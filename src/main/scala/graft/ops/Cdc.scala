@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.schemas.Gmall
+
+/** Rebuilt CDC (Maxwell-envelope) pipeline: reference
+  * `app/OdsBaseDbApp.scala` (T10/T11, R2-R4).
+  *
+  * Pure DataFrame transforms shared by batch and streaming; the
+  * reference's per-record if/else inside `foreachPartition` becomes
+  * filter/when/join, all narrow except the keyed LWW compaction.
+  */
+object Cdc {
+
+  /** Parse raw `value: string` Maxwell JSON into (table, type, data). */
+  def parse(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"),
+        Gmall.maxwellEnvelopeSchema).as("j"))
+      .select(col("j.*"))
+
+  /** T10 (`OdsBaseDbApp.scala:112-121`): normalize Maxwell op types —
+    * bootstrap-insert/insert → I, update → U, anything else dropped.
+    */
+  def normalizeOps(env: DataFrame): DataFrame =
+    env
+      .withColumn("op",
+        when(col("type").isin("bootstrap-insert", "insert"), lit("I"))
+          .when(col("type") === "update", lit("U"))
+          .otherwise(lit(null).cast("string")))
+      .filter(col("op").isNotNull)
+
+  /** T11 (`OdsBaseDbApp.scala:126-129`): value-derived routing key —
+    * topic = upper(table) + "_" + op. The Kafka sink honors a `topic`
+    * column, so this single expression replaces the reference's
+    * per-record producer dispatch.
+    */
+  def withTopic(df: DataFrame): DataFrame =
+    df.withColumn("topic",
+      concat(upper(col("table")), lit("_"), col("op")))
+
+  /** R2 (`OdsBaseDbApp.scala:89-99`): route rows whose table is in the
+    * (small, per-batch-reloadable) routing list — a broadcast LEFT
+    * SEMI join, the declarative form of the reference's
+    * broadcast-set `contains` probe. At scale: routing list is tiny →
+    * broadcast, stream side never shuffles.
+    */
+  def routeMatching(
+      df: DataFrame,
+      routing: DataFrame,
+      kind: String
+  ): DataFrame =
+    df.join(
+      broadcast(routing.filter(col("kind") === kind)
+        .select(col("table_name"))),
+      df("table") === col("table_name"),
+      "left_semi"
+    )
+
+  /** R4 (`OdsBaseDbApp.scala:139-166`): keyed last-write-wins
+    * compaction — the batch/shuffle form of the reference's Redis
+    * point upsert. One shuffle on the key, then a per-key window;
+    * with AQE skew handling this is the standard 100 TB-safe dedup.
+    */
+  def lastWriteWins(
+      df: DataFrame,
+      keys: Seq[Column],
+      order: Seq[Column]
+  ): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Oracle-backed registry for the CDC pipeline (T10/T11, R2-R4).
+  *
+  * Maxwell envelopes are synthesized deterministically from `events`
+  * (same trick as DemuxQueries):
+  *   table = 't' || user_id % 3
+  *   type  = signup → bootstrap-insert, view → insert,
+  *           purchase → update, click/error → unmapped (must drop)
+  *   data  = {id: event_id, uid: user_id, k: k}
+  * Routing config (reference keeps it in Redis sets,
+  * `OdsBaseDbApp.scala:89-95`): t0,t1 = fact; t2 = dim.
+  */
+object CdcQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events → raw Maxwell JSON lines (the synthetic ODS_BASE_DB). */
+  def maxwellLines(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    events
+      .withColumn("k", k)
+      .select(
+        to_json(struct(
+          concat(lit("t"), (col("user_id") % 3).cast("string"))
+            .as("table"),
+          when(col("event_type") === "signup", lit("bootstrap-insert"))
+            .when(col("event_type") === "view", lit("insert"))
+            .when(col("event_type") === "purchase", lit("update"))
+            .otherwise(col("event_type")).as("type"),
+          map(
+            lit("id"), col("event_id").cast("string"),
+            lit("uid"), col("user_id").cast("string"),
+            lit("k"), col("k").cast("string")
+          ).as("data")
+        )).as("value"),
+        unix_millis(col("ts")).as("ems")
+      )
+  }
+
+  private def routing(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("t0", "fact"), ("t1", "fact"), ("t2", "dim"))
+      .toDF("table_name", "kind")
+  }
+
+  private def normalized(s: SparkSession, d: String): DataFrame = {
+    val raw = maxwellLines(Tables.events(s, d))
+    Cdc.normalizeOps(
+      Cdc.parse(raw.select("value"))
+    )
+  }
+
+  val queries: Map[String, Q] = Map(
+    // T10+T11: normalize op types (click/error rows must be dropped),
+    // derive the dynamic topic column.
+    "q_cdc_route" -> ((s, d) =>
+      Cdc.withTopic(normalized(s, d))
+        .select(
+          col("table").as("src_table"),
+          col("op"),
+          col("topic"),
+          col("data")("id").cast("long").as("id")
+        )
+        .orderBy(col("id"))),
+    // R2+R3: fact fan-out — broadcast left-semi against routing list.
+    "q_cdc_fact_semi" -> ((s, d) =>
+      Cdc.routeMatching(normalized(s, d), routing(s), "fact")
+        .select(
+          col("table").as("src_table"),
+          col("op"),
+          col("data")("id").cast("long").as("id")
+        )
+        .orderBy(col("id"))),
+    // R4: dim last-write-wins — latest row per uid among dim-routed
+    // rows (reference: Redis point upsert DIM:{TABLE}:{id}).
+    "q_cdc_dim_lww" -> ((s, d) => {
+      val dims = Cdc.routeMatching(normalized(s, d), routing(s), "dim")
+        .select(
+          col("data")("uid").cast("long").as("uid"),
+          col("data")("id").cast("long").as("id"),
+          col("op")
+        )
+      Cdc.lastWriteWins(dims, Seq(col("uid")), Seq(col("id")))
+        .orderBy(col("uid"))
+    })
+  )
+
+  private val base =
+    """WITH m AS (
+      |  SELECT 't'||(user_id % 3) AS src_table,
+      |    CASE WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type = 'view' THEN 'I'
+      |         WHEN event_type = 'purchase' THEN 'U' END AS op,
+      |    event_id AS id, user_id AS uid
+      |  FROM events
+      |  WHERE event_type IN ('signup','view','purchase'))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_cdc_route" ->
+      s"""$base
+         |SELECT src_table, op, UPPER(src_table)||'_'||op AS topic, id
+         |FROM m ORDER BY id""".stripMargin,
+    "q_cdc_fact_semi" ->
+      s"""$base
+         |SELECT src_table, op, id FROM m
+         |WHERE src_table IN ('t0','t1') ORDER BY id""".stripMargin,
+    "q_cdc_dim_lww" ->
+      s"""$base
+         |SELECT uid, id, op FROM (
+         |  SELECT uid, id, op,
+         |    ROW_NUMBER() OVER (PARTITION BY uid ORDER BY id DESC) AS rn
+         |  FROM m WHERE src_table = 't2')
+         |WHERE rn = 1 ORDER BY uid""".stripMargin
+  )
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.schemas.Gmall
+
+/** The rebuilt 5-way log demultiplexer (reference R1/T2-T9:
+  * `app/OdsBaseLogApp.scala:85-207`).
+  *
+  * The reference demuxes with a per-record if/else tree inside
+  * `foreachPartition`; here each branch is a declarative
+  * `DataFrame => DataFrame` so the exact same plan runs in batch (over
+  * parquet, oracle-checked) and in Structured Streaming (over Kafka /
+  * MemoryStream, see graft.streaming.LogPipeline). All narrow ops — no
+  * shuffle anywhere in the demux; at 100 TB this is a pure map-side
+  * pipeline that scales linearly with input partitions.
+  *
+  * Branch semantics preserved exactly (SURVEY §7.5-3):
+  *  - `err` short-circuits everything (`OdsBaseLogApp.scala:95-99`);
+  *  - page/displays/actions only when `page` present (`:117-170`);
+  *  - `start` independent of page (`:174-188`);
+  *  - missing JSON keys → null fields (fastjson leniency → nullable
+  *    `from_json` schema).
+  */
+object Demux {
+
+  /** T2: raw Kafka-shaped `value: string` → typed envelope columns. */
+  def parse(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"),
+        Gmall.logEnvelopeSchema).as("j"))
+      .select(col("j.*"))
+
+  /** T3: error branch — whole record routed, nothing else extracted. */
+  def errors(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("err").isNotNull)
+      .select(
+        col("common.mid").as("mid"),
+        col("err.error_code").as("error_code"),
+        col("err.msg").as("msg"),
+        col("ts")
+      )
+
+  private def nonError(parsed: DataFrame): DataFrame =
+    parsed.filter(col("err").isNull)
+
+  /** T4 common projection, shared by every non-error branch
+    * (`OdsBaseLogApp.scala:102-114`).
+    */
+  private val commonCols = Seq(
+    col("common.mid").as("mid"),
+    col("common.uid").as("user_id"),
+    col("common.ar").as("province_id"),
+    col("common.ch").as("channel"),
+    col("common.is_new").as("is_new"),
+    col("common.md").as("model"),
+    col("common.os").as("operate_system"),
+    col("common.vc").as("version_code"),
+    col("common.ba").as("brand")
+  )
+
+  private val pageCols = Seq(
+    col("page.page_id").as("page_id"),
+    col("page.last_page_id").as("last_page_id"),
+    col("page.item").as("page_item"),
+    col("page.item_type").as("page_item_type"),
+    col("page.during_time").as("during_time"),
+    col("page.source_type").as("source_type")
+  )
+
+  /** T5: PageLog (16 cols, `bean/PageLog.scala:3-20`). */
+  def pages(parsed: DataFrame): DataFrame =
+    nonError(parsed)
+      .filter(col("page").isNotNull)
+      .select(commonCols ++ pageCols :+ col("ts"): _*)
+
+  /** T6: correlated unnest of `displays` → PageDisplayLog (21 cols,
+    * `bean/PageDisplayLog.scala:3-26`). `explode` drops null/empty
+    * arrays — same as the reference's foreach over a present-only array
+    * (`OdsBaseLogApp.scala:136-138`).
+    */
+  def displays(parsed: DataFrame): DataFrame =
+    nonError(parsed)
+      .filter(col("page").isNotNull)
+      .select(
+        (commonCols ++ pageCols) :+
+          explode(col("displays")).as("d") :+ col("ts"): _*
+      )
+      .select(
+        col("mid"), col("user_id"), col("province_id"), col("channel"),
+        col("is_new"), col("model"), col("operate_system"),
+        col("version_code"), col("brand"), col("page_id"),
+        col("last_page_id"), col("page_item"), col("page_item_type"),
+        col("during_time"), col("source_type"),
+        col("d.display_type").as("display_type"),
+        col("d.item").as("display_item"),
+        col("d.item_type").as("display_item_type"),
+        col("d.order").as("display_order"),
+        col("d.pos_id").as("display_pos_id"),
+        col("ts")
+      )
+
+  /** T7: unnest of `actions` → PageActionLog (20 cols; per-action ts
+    * kept alongside record ts, `OdsBaseLogApp.scala:163-165`).
+    */
+  def actions(parsed: DataFrame): DataFrame =
+    nonError(parsed)
+      .filter(col("page").isNotNull)
+      .select(
+        (commonCols ++ pageCols) :+
+          explode(col("actions")).as("a") :+ col("ts"): _*
+      )
+      .select(
+        col("mid"), col("user_id"), col("province_id"), col("channel"),
+        col("is_new"), col("model"), col("operate_system"),
+        col("version_code"), col("brand"), col("page_id"),
+        col("last_page_id"), col("page_item"), col("page_item_type"),
+        col("during_time"), col("source_type"),
+        col("a.action_id").as("action_id"),
+        col("a.item").as("action_item"),
+        col("a.item_type").as("action_item_type"),
+        col("a.ts").as("action_ts"),
+        col("ts")
+      )
+
+  /** T8: StartLog (15 cols, `bean/StartLog.scala:3-19`). */
+  def starts(parsed: DataFrame): DataFrame =
+    nonError(parsed)
+      .filter(col("start").isNotNull)
+      .select(
+        commonCols :+
+          col("start.entry").as("entry") :+
+          col("start.open_ad_id").as("open_ad_id") :+
+          col("start.loading_time").as("loading_time_ms") :+
+          col("start.open_ad_ms").as("open_ad_ms") :+
+          col("start.open_ad_skip_ms").as("open_ad_skip_ms") :+
+          col("ts"): _*
+      )
+
+  /** T9: serialize any branch back to a Kafka-ready JSON `value`. */
+  def toJsonValue(branch: DataFrame): DataFrame =
+    branch.select(to_json(struct(col("*"))).as("value"))
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Oracle-backed registry for the log-demux pipeline (R1/T2-T9).
+  *
+  * Each query runs the FULL pipeline: events → GmallSynth JSON →
+  * Demux.parse (from_json) → branch projection/explode. The oracle SQL
+  * computes the expected flat rows directly from `events` with the
+  * same integer arithmetic — proving parse + branch + explode produce
+  * exactly the reference's demux semantics (err short-circuit
+  * included: error rows carry a `page` object but must not appear in
+  * the page branch).
+  */
+object DemuxQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def parsed(s: SparkSession, d: String): DataFrame =
+    Demux.parse(GmallSynth.logLines(Tables.events(s, d)))
+
+  val queries: Map[String, Q] = Map(
+    "q_demux_page" -> ((s, d) =>
+      Demux.pages(parsed(s, d))
+        .orderBy(col("page_item").cast("long"))),
+    "q_demux_display" -> ((s, d) =>
+      Demux.displays(parsed(s, d))
+        .orderBy(col("page_item").cast("long"), col("display_order"))),
+    "q_demux_action" -> ((s, d) =>
+      Demux.actions(parsed(s, d))
+        .orderBy(col("page_item").cast("long"), col("action_ts"))),
+    "q_demux_start" -> ((s, d) =>
+      Demux.starts(parsed(s, d))
+        .orderBy(col("ts"), col("mid"), col("loading_time_ms"))),
+    "q_demux_err" -> ((s, d) =>
+      Demux.errors(parsed(s, d))
+        .orderBy(col("ts"), col("mid"), col("error_code")))
+  )
+
+  /** Shared SQL fragment: the common-field derivations (must stay in
+    * lockstep with GmallSynth).
+    */
+  private val commonSql =
+    """'mid_'||user_id AS mid,
+      |  CAST(user_id AS VARCHAR) AS user_id,
+      |  CAST(user_id % 34 AS VARCHAR) AS province_id,
+      |  'ch'||(user_id % 4) AS channel,
+      |  CAST(user_id % 2 AS VARCHAR) AS is_new,
+      |  'm'||(user_id % 7) AS model,
+      |  'os'||(user_id % 3) AS operate_system,
+      |  'v'||(user_id % 9) AS version_code,
+      |  'brand'||(user_id % 5) AS brand""".stripMargin
+
+  private val pageSql =
+    """'p'||(k % 10) AS page_id,
+      |  'p'||(k % 7) AS last_page_id,
+      |  CAST(event_id AS VARCHAR) AS page_item,
+      |  'sku_id' AS page_item_type,
+      |  CAST(FLOOR(value * 100) AS BIGINT) AS during_time,
+      |  's'||(k % 3) AS source_type""".stripMargin
+
+  private def withK(where: String) =
+    s"""WITH e AS (
+       |  SELECT *, CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+       |         epoch_ms(ts) AS ems
+       |  FROM events WHERE $where)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_demux_page" ->
+      s"""${withK("event_type IN ('view','click','purchase')")}
+         |SELECT $commonSql,
+         |  $pageSql,
+         |  ems AS ts
+         |FROM e ORDER BY event_id""".stripMargin,
+    "q_demux_display" ->
+      s"""${withK("event_type = 'click'")},
+         |x AS (SELECT *, UNNEST(range(0, (k % 3) + 1)) AS i FROM e)
+         |SELECT $commonSql,
+         |  $pageSql,
+         |  'promo' AS display_type,
+         |  CAST(event_id * 10 + i AS VARCHAR) AS display_item,
+         |  'sku_id' AS display_item_type,
+         |  CAST(i AS VARCHAR) AS display_order,
+         |  CAST(k % 5 AS VARCHAR) AS display_pos_id,
+         |  ems AS ts
+         |FROM x ORDER BY event_id, i""".stripMargin,
+    "q_demux_action" ->
+      s"""${withK("event_type = 'purchase'")},
+         |x AS (SELECT *, UNNEST(range(0, (k % 2) + 1)) AS i FROM e)
+         |SELECT $commonSql,
+         |  $pageSql,
+         |  'a'||((k + i) % 5) AS action_id,
+         |  CAST(event_id AS VARCHAR) AS action_item,
+         |  'sku_id' AS action_item_type,
+         |  ems + i * 1000 AS action_ts,
+         |  ems AS ts
+         |FROM x ORDER BY event_id, action_ts""".stripMargin,
+    "q_demux_start" ->
+      s"""${withK("event_type = 'signup'")}
+         |SELECT $commonSql,
+         |  'e'||(k % 3) AS entry,
+         |  CAST(k % 10 AS VARCHAR) AS open_ad_id,
+         |  CAST(k * 10 AS BIGINT) AS loading_time_ms,
+         |  CAST(k * 20 AS BIGINT) AS open_ad_ms,
+         |  CAST((k % 2) * 100 AS BIGINT) AS open_ad_skip_ms,
+         |  ems AS ts
+         |FROM e ORDER BY ems, mid, loading_time_ms""".stripMargin,
+    "q_demux_err" ->
+      s"""${withK("event_type = 'error'")}
+         |SELECT 'mid_'||user_id AS mid,
+         |  CAST(k AS BIGINT) AS error_code,
+         |  'boom_'||k AS msg,
+         |  ems AS ts
+         |FROM e ORDER BY ems, mid, error_code""".stripMargin
+  )
+}

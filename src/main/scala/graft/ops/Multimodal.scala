@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for the LLM-data pipeline (north star).
+  *
+  * Media payloads are opaque `binary` columns + typed metadata
+  * structs. The real decode libraries (image/audio codecs) are not in
+  * this container, so `fakeDecode` below is a clearly-marked
+  * deterministic STUB — but the Spark-side plumbing (schema, batch
+  * iteration via mapPartitions, partition-locality, metadata
+  * projection) is real and tested, and the stub's signature is
+  * exactly what a JNI/codec-backed decoder would implement.
+  */
+object Multimodal {
+
+  /** Media metadata schema a decoder emits per payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("ok", BooleanType)
+  ))
+
+  /** Attach a binary payload column (here: UTF-8 of `text` — the
+    * testdata has no real media; the column type and everything
+    * downstream treats it as opaque bytes).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", col("text").cast("binary"))
+
+  /** Byte-level metadata — pure builtins, oracle-checkable. */
+  def payloadStats(docs: DataFrame): DataFrame =
+    withPayload(docs).select(
+      col("doc_id"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      lower(substring(hex(col("payload")), 1, 8)).as("head_hex")
+    )
+
+  // === STUB ==========================================================
+  /** Deterministic FAKE decode: derives plausible metadata from the
+    * payload bytes. A real implementation would call an image/audio
+    * codec here (per-partition init, reused across rows); nothing
+    * else in the pipeline changes.
+    */
+  def fakeDecode(payload: Array[Byte]): Row = {
+    if (payload == null || payload.isEmpty)
+      Row("unknown", 0, 0, 0, false)
+    else {
+      val h = payload.foldLeft(1125899906842597L)((a, b) =>
+        31 * a + (b & 0xff))
+      val mt = (h & 3) match {
+        case 0 => "image"; case 1 => "audio"
+        case 2 => "video"; case _ => "text"
+      }
+      Row(mt, (math.abs(h >> 2) % 1920 + 1).toInt,
+        (math.abs(h >> 12) % 1080 + 1).toInt,
+        (math.abs(h >> 22) % 300 + 1).toInt, true)
+    }
+  }
+  // === END STUB ======================================================
+
+  /** Decode payloads partition-by-partition (the batch shape a real
+    * codec needs: per-partition decoder init, streaming iteration, no
+    * driver collect). Output: doc_id + media metadata struct.
+    */
+  def decodeMeta(docs: DataFrame): DataFrame = {
+    val out = StructType(
+      StructField("doc_id", LongType) +: mediaMetaSchema.fields.toSeq)
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // real impl: init codec once per partition here
+        rows.map { r =>
+          val meta = fakeDecode(r.getAs[Array[Byte]]("payload"))
+          Row.fromSeq(r.getLong(0) +: meta.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Downstream-style projection over decoded metadata: filter by
+    * type + aspect-ratio bucketing (what a training-data curation
+    * step does after decode).
+    */
+  def frameSamplePlan(decoded: DataFrame): DataFrame =
+    decoded
+      .filter(col("ok") && col("media_type").isin("image", "video"))
+      .select(
+        col("doc_id"), col("media_type"), col("width"), col("height"),
+        (col("width").cast("double") / col("height")).as("aspect"),
+        least(col("n_frames"), lit(32)).as("frames_to_sample")
+      )
+}

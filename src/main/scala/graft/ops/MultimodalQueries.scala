@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Registry for multimodal plumbing. `q_mm_payload_stats` is fully
+  * oracle-checked (byte-level builtins). The decode path (stubbed
+  * codec) is rows-only + spec-tested.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_mm_payload_stats" -> ((s, d) =>
+      Multimodal.payloadStats(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    "q_mm_decode_meta" -> ((s, d) =>
+      Multimodal.frameSamplePlan(
+        Multimodal.decodeMeta(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_mm_payload_stats" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  lower(substring(hex(encode(text)), 1, 8)) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

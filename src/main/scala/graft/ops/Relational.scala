@@ -1,0 +1,302 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface of the rebuilt engine (SURVEY.md §2.6): joins,
+  * hash aggregations, window functions, top-k, set ops, scalar funcs.
+  *
+  * Everything here is a pure `DataFrame => DataFrame` composition of
+  * built-in Catalyst operators — no UDFs, no collects — so plans stay
+  * inside WholeStageCodegen and scale by partitioning alone. Aggregates
+  * over doubles go through exact DECIMAL sums (`dsum`) so results are
+  * order-independent: a 1000-executor shuffle reduces in arbitrary
+  * order, and bitwise-reproducible results are what the DuckDB oracle
+  * (and any sane 100 TB pipeline) needs.
+  */
+object Relational {
+
+  /** Order-independent exact sum of a double column: cast each value to
+    * DECIMAL (exact, no rounding ambiguity — no double is exactly on a
+    * half-ulp-of-scale-4 boundary), sum exactly, cast back to double.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Exact sum of a product of two doubles: operands are converted to
+    * decimal first so the multiply itself is exact decimal arithmetic.
+    */
+  def dsum2(a: Column, b: Column): Column =
+    sum(a.cast("decimal(18,4)") * b.cast("decimal(18,4)")).cast("double")
+
+  /** Deterministic average = exact decimal sum / count. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  // --- Aggregation --------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary: partial-agg (map-side combine)
+    * then 4-group reduce; the scan prunes to 7 of 11 columns.
+    * Reference has no aggregation at all (SURVEY §2.6) — this is the
+    * rebuild's canonical hash-agg.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(
+          col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") -
+              col("l_discount").cast("decimal(18,4)"))
+        ).cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** count(distinct) + multi-distinct in one agg (expand-based plan). */
+  def distinctAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP over two grouping levels; NULL-filled subtotal rows. */
+  def rollupAgg(customer: DataFrame, nation: DataFrame): DataFrame =
+    customer
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(
+        col("n_name").asc_nulls_first,
+        col("c_mktsegment").asc_nulls_first
+      )
+
+  /** CUBE over two dims. */
+  def cubeAgg(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first
+      )
+
+  // --- Joins --------------------------------------------------------
+
+  /** TPC-H Q3-style: 3-way join + agg + top-10. customer is the small
+    * side → broadcast; orders⋈lineitem shuffles on orderkey only once.
+    */
+  def shippingPriority(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame
+  ): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(
+        sum(
+          col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") -
+              col("l_discount").cast("decimal(18,4)"))
+        ).cast("double").as("revenue")
+      )
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Multi-way star join: revenue per nation (TPC-H Q5 flavor).
+    * nation/region are tiny → auto-broadcast; the only real shuffle is
+    * orders⋈lineitem.
+    */
+  def revenueByNation(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      nation: DataFrame
+  ): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(
+          col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") -
+              col("l_discount").cast("decimal(18,4)"))
+        ).cast("double").as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("n_name"))
+
+  /** Explicit broadcast hash join (reference R2's small-dim pattern at
+    * SURVEY §2.3): lineitem⋈part with part broadcast.
+    */
+  def broadcastJoinAgg(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("p_brand"))
+
+  /** LEFT SEMI: customers that have at least one urgent order. */
+  def semiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_orderpriority") === "1-URGENT"),
+        customer("c_custkey") === orders("o_custkey"),
+        "left_semi"
+      )
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** LEFT ANTI: customers with no urgent orders (filtered to stay
+    * non-trivial at every scale factor).
+    */
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_orderpriority") === "1-URGENT"),
+        customer("c_custkey") === orders("o_custkey"),
+        "left_anti"
+      )
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** LEFT OUTER join + null-aware agg: order count per customer
+    * including zero-order customers.
+    */
+  def outerJoinAgg(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_spent")
+      )
+      .orderBy(col("c_custkey"))
+
+  // --- Window functions ---------------------------------------------
+
+  /** Per-group top-k via row_number window (rank + filter — the
+    * scalable per-group top-k; no driver-side sorting).
+    */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** lag/lead + running frame over event time per user. */
+  def eventWindowFuncs(events: DataFrame): DataFrame = {
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("seq", row_number().over(w))
+      .withColumn(
+        "running_value",
+        sum(col("value").cast("decimal(18,4)")).over(wf).cast("double")
+      )
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("prev_type"), col("next_type"), col("seq"), col("running_value"))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
+  /** rank/dense_rank with range frame aggregation. */
+  def rankSuppliers(supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("bal_rank", rank().over(w))
+      .withColumn("bal_dense_rank", dense_rank().over(w))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("s_acctbal"), col("bal_rank"), col("bal_dense_rank"))
+      .orderBy(col("bal_rank"), col("s_suppkey"))
+  }
+
+  // --- Sort / top-k / set ops ---------------------------------------
+
+  /** Global order + limit (TopK physical operator — takeOrdered, no
+    * full sort at scale).
+    */
+  def globalTopK(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** UNION / INTERSECT / EXCEPT over nation keys of customers vs
+    * suppliers, tagged by which set-op produced the row.
+    */
+  def setOps(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.select(col("c_nationkey").as("nationkey")).distinct()
+    val s = supplier.select(col("s_nationkey").as("nationkey")).distinct()
+    val both   = c.intersect(s).withColumn("op", lit("both"))
+    val custOnly = c.except(s).withColumn("op", lit("customer_only"))
+    val supOnly  = s.except(c).withColumn("op", lit("supplier_only"))
+    both.unionByName(custOnly).unionByName(supOnly)
+      .orderBy(col("op"), col("nationkey"))
+  }
+
+  // --- Scalar functions ----------------------------------------------
+
+  /** String / date / conditional scalar-function surface in one
+    * projection (all codegen'd builtins; reference uses upper/concat at
+    * OdsBaseDbApp.scala:127).
+    */
+  def scalarFuncs(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_upper"),
+        concat(lit("P:"), col("o_orderpriority")).as("prio_tag"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("o_month_start"),
+        when(col("o_totalprice") > 150000, lit("big"))
+          .when(col("o_totalprice") > 50000, lit("mid"))
+          .otherwise(lit("small")).as("size_class")
+      )
+      .orderBy(col("o_orderkey"))
+
+  /** Time-bucketed aggregation over the event stream table: the batch
+    * equivalent of a tumbling event-time window (streaming version in
+    * graft.streaming).
+    */
+  def eventsPerDay(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("day", col("ts")).as("day"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+}

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Registry half of the relational surface: named queries (driver
+  * contract `SparkEntry.queries`) + their DuckDB oracle SQL.
+  *
+  * Oracle-stability rules used throughout (see Relational.dsum):
+  *  - every double aggregate goes through exact decimal sums, cast back
+  *    to double at the end → order-independent, bitwise-reproducible;
+  *  - every query ends in a total ORDER BY so row order is defined;
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - int-width-sensitive scalars (year/length/...) are cast to the
+  *    Spark-side width in the SQL.
+  */
+object RelationalQueries {
+  import Relational._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val decRev =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) " +
+      "AS DOUBLE)"
+
+  val queries: Map[String, Q] = Map(
+    "q_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
+    "q_distinct_agg"    -> ((s, d) => distinctAgg(Tables.lineitem(s, d))),
+    "q_rollup_agg" -> ((s, d) =>
+      rollupAgg(Tables.customer(s, d), Tables.nation(s, d))),
+    "q_cube_agg" -> ((s, d) => cubeAgg(Tables.orders(s, d))),
+    "q_shipping_priority" -> ((s, d) =>
+      shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "q_revenue_by_nation" -> ((s, d) =>
+      revenueByNation(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d))),
+    "q_broadcast_join_agg" -> ((s, d) =>
+      broadcastJoinAgg(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_semi_join" -> ((s, d) =>
+      semiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_anti_join" -> ((s, d) =>
+      antiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_outer_join_agg" -> ((s, d) =>
+      outerJoinAgg(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_top_orders_per_cust" -> ((s, d) =>
+      topOrdersPerCustomer(Tables.orders(s, d), 3)),
+    "q_event_window_funcs" -> ((s, d) =>
+      eventWindowFuncs(Tables.events(s, d))),
+    "q_rank_suppliers" -> ((s, d) =>
+      rankSuppliers(Tables.supplier(s, d), Tables.nation(s, d))),
+    "q_global_topk" -> ((s, d) => globalTopK(Tables.orders(s, d), 20)),
+    "q_set_ops" -> ((s, d) =>
+      setOps(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_scalar_funcs" -> ((s, d) => scalarFuncs(Tables.orders(s, d))),
+    "q_events_per_day" -> ((s, d) => eventsPerDay(Tables.events(s, d)))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         |  $decRev AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup_agg" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q_cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, $decRev AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q_revenue_by_nation" ->
+      s"""SELECT n_name, $decRev AS revenue, COUNT(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_broadcast_join_agg" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_outer_join_agg" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS sum_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_event_window_funcs" ->
+      """SELECT event_id, user_id, event_type,
+        |  LAG(event_type) OVER w AS prev_type,
+        |  LEAD(event_type) OVER w AS next_type,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS seq,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, seq""".stripMargin,
+    "q_rank_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name, s_acctbal,
+        |  CAST(RANK() OVER w AS INT) AS bal_rank,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS bal_dense_rank
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY bal_rank, s_suppkey""".stripMargin,
+    "q_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS op
+        |  FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS op
+        |  FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'supplier_only' AS op
+        |  FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+        |ORDER BY op, nationkey""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  UPPER(o_orderstatus) AS status_upper,
+        |  'P:' || o_orderpriority AS prio_tag,
+        |  SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+        |  CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS o_day,
+        |  DATE_TRUNC('month', o_orderdate) AS o_month_start,
+        |  CASE WHEN o_totalprice > 150000 THEN 'big'
+        |       WHEN o_totalprice > 50000 THEN 'mid'
+        |       ELSE 'small' END AS size_class
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_events_per_day" ->
+      """SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,251 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for the LLM-training-data
+  * pipeline (north star; SURVEY §2.6 extras).
+  *
+  * Everything is a narrow, map-side column expression except the
+  * dedup group-bys — which shuffle on a hash key, the exact pattern
+  * that scales: at 100 TB the fingerprint/minhash signature is
+  * computed in the scan stage and only (hash, doc_id) pairs shuffle.
+  * No UDFs except simhash (pointwise bit-mixing with no builtin
+  * equivalent — candidate for a codegen Expression later).
+  */
+object Text {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array
+    * (split of "" would yield [""]).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Exact-duplicate groups: hash-groupBy on md5(text). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_dups")
+      )
+
+  /** Exact dedup keeping the lowest doc_id per identical text. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(md5(col("text").cast("binary")))
+      .orderBy(col("doc_id"))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Token-level stats: counts are exact integers → oracle-stable. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      length(col("text")).as("n_chars_computed"),
+      aggregate(toks, lit(0),
+        (acc, t) => acc + length(t)).as("sum_token_len")
+    )
+  }
+
+  private val stopwords =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /** Heuristic quality scoring: length score, stopword ratio,
+    * alphabetic ratio, duplication ratio — combined into one score.
+    * All ratios are exact-int / exact-int divisions → bitwise
+    * deterministic.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = size(filter(toks,
+      t => array_contains(lit(stopwords.toArray), t)))
+    val nUniq = size(array_distinct(toks))
+    docs
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (nStop.cast("double") / greatest(nTok, lit(1)))
+          .as("stopword_ratio"),
+        (nUniq.cast("double") / greatest(nTok, lit(1)))
+          .as("uniq_ratio"),
+        least(col("n_chars"), lit(500)).cast("double")./(500.0)
+          .as("len_score")
+      )
+      .withColumn("quality",
+        col("stopword_ratio") * 0.25 + col("uniq_ratio") * 0.5 +
+          col("len_score") * 0.25)
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "nicht"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "est")
+  )
+
+  /** N-gram-free language ID heuristic: count marker stopwords per
+    * language, argmax with fixed tie-break order (en,de,es,fr; 'und'
+    * = unknown when no markers hit). Pure column expressions — at
+    * scale this runs entirely in the scan stage.
+    */
+  def langGuess(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val counts = langMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks,
+        t => array_contains(lit(words.toArray), t)))
+    }
+    val Seq(en, de, es, fr) = counts.map(_._2)
+    val guess =
+      when(en + de + es + fr === 0, lit("und"))
+        .when(en >= de && en >= es && en >= fr, lit("en"))
+        .when(de >= es && de >= fr, lit("de"))
+        .when(es >= fr, lit("es"))
+        .otherwise(lit("fr"))
+    docs.select(
+      col("doc_id"),
+      col("lang").as("lang_label"),
+      counts(0)._2.as("c_en"), counts(1)._2.as("c_de"),
+      counts(2)._2.as("c_es"), counts(3)._2.as("c_fr"),
+      guess.as("lang_guess")
+    )
+  }
+
+  /** Content fingerprint: md5 over alnum-normalized lowercase text —
+    * whitespace/punctuation-insensitive near-exact dedup key.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "[^a-z0-9]+", "")
+        .cast("binary")).as("fp"),
+      substring(
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]+", "")
+          .cast("binary")), 1, 8).as("fp_prefix")
+    )
+
+  // --- MinHash + LSH near-dup (no SQL oracle; spec-tested) ----------
+
+  val MinhashPerms = 32
+  val LshBands     = 8
+  val LshRows: Int = MinhashPerms / LshBands
+
+  /** Token 3-shingles as strings (docs shorter than 3 tokens get their
+    * full token string as a single shingle).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ",
+            slice(toks, i + 1, lit(n)))
+        ))
+      )
+  }
+
+  /** MinHash signature: per permutation p, min over shingles of
+    * xxhash64(p, shingle). Pure HOF expressions; signature length =
+    * MinhashPerms.
+    */
+  def minhashSignature(sh: Column): Column =
+    array((0 until MinhashPerms).map { p =>
+      array_min(transform(sh, s => xxhash64(lit(p), s)))
+    }: _*)
+
+  /** LSH banding: docs → (band_idx, band_hash, doc_id); same-bucket
+    * docs are near-dup candidates. Jaccard estimate from full
+    * signatures confirms; only candidate pairs are compared (never
+    * n²) — the 100 TB-safe shape.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sigs = docs.select(
+      col("doc_id"),
+      minhashSignature(shingles(col("text"))).as("sig")
+    )
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(LshBands - 1)),
+          b => xxhash64(
+            lit(1337), b,
+            concat_ws(",",
+              transform(slice(col("sig"), b * LshRows + 1, lit(LshRows)),
+                _.cast("string")))))
+      ).as(Seq("band_idx", "band_hash"))
+    )
+    // identical join legs → the band shuffle is computed once and
+    // reused (ReusedExchange); signatures are evaluated in one pass.
+    val joined = banded.as("l").join(banded.as("r"),
+      col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+    joined
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        (size(filter(zip_with(col("l.sig"), col("r.sig"),
+          (a, b) => a === b), x => x))
+          .cast("double") / MinhashPerms).as("jaccard_est"))
+      .distinct()
+      .filter(col("jaccard_est") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard verification over candidate pairs. */
+  def ngramJaccard(
+      docs: DataFrame,
+      candidates: DataFrame
+  ): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text")).as("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))))
+          .as("jaccard")
+      )
+  }
+
+  /** 64-bit SimHash over tokens (UDF: pointwise bit-mixing; no
+    * builtin equivalent — flagged for a codegen Expression).
+    */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { toks: Seq[String] =>
+      val acc = new Array[Int](64)
+      toks.foreach { t =>
+        var h = scala.util.hashing.MurmurHash3.stringHash(t, 42).toLong
+        h = (h << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(t, 7).toLong
+            & 0xffffffffL)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      simhash64(tokens(col("text"))).as("simhash"))
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Registry for the text/dedup operators. Oracle SQL mirrors the
+  * Spark expressions exactly; DuckDB regexp_replace needs the 'g'
+  * flag to match Spark's replace-all. MinHash/SimHash entries have no
+  * ANSI-SQL equivalent → rows-only check per the driver contract.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_text_exact_dup_groups" -> ((s, d) =>
+      Text.exactDupGroups(Tables.documents(s, d))
+        .orderBy(col("text_hash"))),
+    "q_text_exact_dedup" -> ((s, d) =>
+      Text.exactDedup(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+    "q_text_token_stats" -> ((s, d) =>
+      Text.tokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_text_quality" -> ((s, d) =>
+      Text.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_text_lang_guess" -> ((s, d) =>
+      Text.langGuess(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_text_fingerprint" -> ((s, d) =>
+      Text.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // No-oracle (rows-only) entries: LSH near-dup candidates + exact
+    // jaccard verify + simhash (not ANSI-SQL-expressible).
+    "q_text_minhash_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.minhashCandidates(docs, 0.2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q_text_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.ngramJaccard(docs, Text.minhashCandidates(docs, 0.2))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q_text_simhash" -> ((s, d) =>
+      Text.simhashes(Tables.documents(s, d)).orderBy(col("doc_id")))
+  )
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private val stopSql = "['the','a','an','and','of','to','in','is']"
+
+  val oracle: Map[String, String] = Map(
+    "q_text_exact_dup_groups" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+        |  COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_exact_dedup" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len($toksSql) END AS INT) AS n_tokens,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(list_distinct($toksSql)) END AS INT)
+         |    AS n_uniq_tokens,
+         |  CAST(length(text) AS INT) AS n_chars_computed,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE list_sum(list_transform($toksSql,
+         |              t -> length(t))) END AS INT) AS sum_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS uniq_ratio,
+         |    CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 AS len_score
+         |  FROM t)
+         |SELECT doc_id, n_tokens, stopword_ratio, uniq_ratio, len_score,
+         |  stopword_ratio * 0.25 + uniq_ratio * 0.5 + len_score * 0.25
+         |    AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_text_lang_guess" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS lang_label,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang_label,
+         |    CAST(len(list_filter(toks, x ->
+         |      list_contains(['the','and','of','is'], x))) AS INT) AS c_en,
+         |    CAST(len(list_filter(toks, x ->
+         |      list_contains(['der','und','die','nicht'], x))) AS INT) AS c_de,
+         |    CAST(len(list_filter(toks, x ->
+         |      list_contains(['el','los','que','y'], x))) AS INT) AS c_es,
+         |    CAST(len(list_filter(toks, x ->
+         |      list_contains(['le','les','et','est'], x))) AS INT) AS c_fr
+         |  FROM t)
+         |SELECT doc_id, lang_label, c_en, c_de, c_es, c_fr,
+         |  CASE WHEN c_en + c_de + c_es + c_fr = 0 THEN 'und'
+         |       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr
+         |         THEN 'en'
+         |       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |       WHEN c_es >= c_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_guess
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp,
+        |  substring(md5(regexp_replace(lower(text), '[^a-z0-9]+', '',
+        |    'g')), 1, 8) AS fp_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

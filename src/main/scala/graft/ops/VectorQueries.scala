@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Registry for similarity-search operators. The brute-force top-k
+  * and centroid queries have exact decimal-accumulated oracles (the
+  * DuckDB side unnests; the Spark side folds — both sum exactly, so
+  * they agree bitwise). LSH entries are rows-only.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_vec_cosine_topk" -> ((s, d) =>
+      Vector.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
+    "q_vec_label_centroid" -> ((s, d) =>
+      Vector.labelCentroids(Tables.embeddings(s, d))
+        .filter(col("pos") < 8)
+        .orderBy(col("label"), col("pos"))),
+    "q_vec_norms" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          Vector.decNorm(col("embedding")).as("l2_norm"))
+        .orderBy(col("vec_id"))),
+    // rows-only (LSH not ANSI-SQL-expressible):
+    "q_vec_ann_lsh" -> ((s, d) =>
+      Vector.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
+    "q_vec_neardup" -> ((s, d) =>
+      Vector.cosineNearDup(Tables.embeddings(s, d), 0.5, nPlanes = 16)
+        .orderBy(col("vec_a"), col("vec_b")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_vec_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings
+         |           WHERE vec_id = 0),
+         |pairs AS (
+         |  SELECT e.vec_id, e.label,
+         |         UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |dots AS (
+         |  SELECT vec_id, label,
+         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_a,
+         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
+         |  FROM pairs GROUP BY vec_id, label)
+         |SELECT vec_id, label, dot / (norm_a * norm_b) AS cos_sim
+         |FROM dots ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vec_label_centroid" ->
+      """SELECT label, pos,
+        |  SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18))) AS sum_val,
+        |  COUNT(*) AS n_vecs
+        |FROM (SELECT label,
+        |        CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |        UNNEST(embedding) AS x
+        |      FROM embeddings)
+        |WHERE pos < 8
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+    "q_vec_norms" ->
+      """SELECT vec_id, label,
+        |  sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS l2_norm
+        |FROM (SELECT vec_id, label, UNNEST(embedding) AS x
+        |      FROM embeddings)
+        |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
+  )
+}

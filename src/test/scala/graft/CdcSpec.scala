@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Cdc
+
+/** CDC normalization/routing/LWW semantics (T10/T11, R2/R4):
+  * 4-case op table incl. drop, topic derivation, last-write-wins.
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lines = Seq(
+    """{"table":"order_info","type":"insert","data":{"id":"1"}}""",
+    """{"table":"order_info","type":"bootstrap-insert","data":{"id":"2"}}""",
+    """{"table":"user_info","type":"update","data":{"id":"3"}}""",
+    """{"table":"user_info","type":"delete","data":{"id":"4"}}""",
+    """{"table":"user_info","type":"truncate","data":{"id":"5"}}"""
+  ).toDF("value")
+
+  test("op normalization: I/I/U and else-drop") {
+    val out = Cdc.normalizeOps(Cdc.parse(lines))
+      .select(col("data")("id").as("id"), col("op"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("1" -> "I", "2" -> "I", "3" -> "U"))
+  }
+
+  test("topic derivation: upper(table)_op") {
+    val topics = Cdc.withTopic(Cdc.normalizeOps(Cdc.parse(lines)))
+      .select("topic").as[String].collect().toSet
+    assert(topics == Set("ORDER_INFO_I", "USER_INFO_U"))
+  }
+
+  test("routing semi-join keeps only configured kind") {
+    val routing = Seq(("order_info", "fact"), ("user_info", "dim"))
+      .toDF("table_name", "kind")
+    val n = Cdc.normalizeOps(Cdc.parse(lines))
+    assert(Cdc.routeMatching(n, routing, "fact")
+      .select("table").as[String].collect().toSet == Set("order_info"))
+    assert(Cdc.routeMatching(n, routing, "dim")
+      .select("table").as[String].collect().toSet == Set("user_info"))
+  }
+
+  test("last-write-wins keeps exactly the newest row per key") {
+    val df = Seq(
+      ("k1", 1L, "a"), ("k1", 3L, "c"), ("k1", 2L, "b"),
+      ("k2", 5L, "x")
+    ).toDF("k", "v", "payload")
+    val out = Cdc.lastWriteWins(df, Seq(col("k")), Seq(col("v")))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("k1" -> "c", "k2" -> "x"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Demux, GmallSynth}
+
+/** Golden-row + partition-property tests for the log demux (R1/T2-T9).
+  * Mirrors SURVEY §5's rebuild test strategy items 2-3.
+  */
+class DemuxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parsedOf(lines: String*) =
+    Demux.parse(lines.toDF("value"))
+
+  private val pageJson =
+    """{"common":{"ar":"1","ba":"b","ch":"c","is_new":"1","md":"m",
+      |"mid":"mid_1","os":"o","uid":"7","vc":"v"},
+      |"page":{"during_time":1200,"item":"35","item_type":"sku_id",
+      |"last_page_id":"home","page_id":"detail","source_type":"promo"},
+      |"displays":[{"display_type":"promo","item":"4","item_type":"sku_id",
+      |"order":"1","pos_id":"2"},
+      |{"display_type":"query","item":"5","item_type":"sku_id",
+      |"order":"2","pos_id":"3"}],
+      |"actions":[{"action_id":"cart_add","item":"35",
+      |"item_type":"sku_id","ts":1690000006000}],
+      |"ts":1690000005000}""".stripMargin.replaceAll("\n", "")
+
+  private val errJson =
+    """{"common":{"mid":"mid_9"},"page":{"page_id":"x"},
+      |"err":{"error_code":13,"msg":"boom"},"ts":1}"""
+      .stripMargin.replaceAll("\n", "")
+
+  private val startJson =
+    """{"common":{"mid":"mid_2","uid":"8"},
+      |"start":{"entry":"icon","loading_time":1500,"open_ad_id":"7",
+      |"open_ad_ms":8000,"open_ad_skip_ms":0},"ts":2}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("page branch projects 16 PageLog columns") {
+    val rows = Demux.pages(parsedOf(pageJson)).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("mid") == "mid_1")
+    assert(r.getAs[String]("user_id") == "7")
+    assert(r.getAs[String]("page_id") == "detail")
+    assert(r.getAs[Long]("during_time") == 1200L)
+    assert(r.getAs[Long]("ts") == 1690000005000L)
+    assert(rows.head.length == 16)
+  }
+
+  test("err short-circuits page/start even when present") {
+    val parsed = parsedOf(errJson, pageJson, startJson)
+    assert(Demux.errors(parsed).count() == 1)
+    assert(Demux.pages(parsed).count() == 1)     // errJson excluded
+    assert(Demux.starts(parsed).count() == 1)
+    val err = Demux.errors(parsed).collect().head
+    assert(err.getAs[Long]("error_code") == 13L)
+    assert(err.getAs[String]("mid") == "mid_9")
+  }
+
+  test("explode multiplicity: |displays| rows, parent fields repeated") {
+    val d = Demux.displays(parsedOf(pageJson)).collect()
+    assert(d.length == 2)
+    assert(d.map(_.getAs[String]("display_item")).sorted.toSeq ==
+      Seq("4", "5"))
+    assert(d.forall(_.getAs[String]("page_id") == "detail"))
+    assert(d.head.length == 21)
+  }
+
+  test("action rows keep both action ts and record ts") {
+    val a = Demux.actions(parsedOf(pageJson)).collect()
+    assert(a.length == 1)
+    assert(a.head.getAs[Long]("action_ts") == 1690000006000L)
+    assert(a.head.getAs[Long]("ts") == 1690000005000L)
+    assert(a.head.length == 20)
+  }
+
+  test("start branch independent of page; 15 StartLog columns") {
+    val s = Demux.starts(parsedOf(startJson)).collect()
+    assert(s.length == 1)
+    assert(s.head.getAs[Long]("loading_time_ms") == 1500L)
+    assert(s.head.length == 15)
+  }
+
+  test("missing keys parse to null (fastjson leniency)") {
+    val p = Demux.pages(parsedOf(
+      """{"common":{"mid":"m1"},"page":{"page_id":"p1"},"ts":5}"""))
+      .collect().head
+    assert(p.getAs[String]("user_id") == null)
+    assert(p.getAs[Any]("during_time") == null)
+  }
+
+  test("demux partition property on synthesized events") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val parsed = Demux.parse(GmallSynth.logLines(events)).cache()
+    val byType = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Demux.errors(parsed).count() == byType("error"))
+    assert(Demux.pages(parsed).count() ==
+      byType("view") + byType("click") + byType("purchase"))
+    assert(Demux.starts(parsed).count() == byType("signup"))
+    // explode count = Σ array sizes
+    val dispSum = parsed.filter(col("err").isNull)
+      .select(coalesce(size(col("displays")), lit(0)).as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(Demux.displays(parsed).count() == dispSum)
+    parsed.unpersist()
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** Multimodal plumbing: binary payloads, partition-wise decode stub,
+  * curation projection.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hello world"), (2L, ""), (3L, "another doc")
+  ).toDF("doc_id", "text")
+
+  test("payload stats reflect utf-8 bytes") {
+    val m = Multimodal.payloadStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_bytes")).toMap
+    assert(m == Map(1L -> 11, 2L -> 0, 3L -> 11))
+  }
+
+  test("decode stub is deterministic and total") {
+    val a = Multimodal.decodeMeta(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("media_type"), r.getAs[Int]("width"))).toMap
+    val b = Multimodal.decodeMeta(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("media_type"), r.getAs[Int]("width"))).toMap
+    assert(a == b)
+    assert(a(2L)._1 == "unknown")    // empty payload → ok=false path
+    assert(a(1L)._2 >= 1)
+  }
+
+  test("frame-sample plan keeps only decodable visual media") {
+    val out = Multimodal.frameSamplePlan(Multimodal.decodeMeta(docs))
+    assert(out.columns.contains("aspect"))
+    out.collect().foreach { r =>
+      assert(Set("image", "video")(r.getAs[String]("media_type")))
+      assert(r.getAs[Int]("frames_to_sample") <= 32)
+    }
+  }
+}

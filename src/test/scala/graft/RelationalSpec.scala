@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Plan-shape assertions: the scale-critical properties (broadcast
+  * chosen, filters pushed to the scan, no stray shuffles) that the
+  * oracle can't see. These guard the 100 TB posture.
+  */
+class RelationalSpec extends SparkSpec {
+
+  private val d = sf("sf0.001")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dim joins broadcast (no shuffle of the big side by dim key)") {
+    val p = plan(Relational.revenueByNation(
+      Tables.customer(spark, d), Tables.orders(spark, d),
+      Tables.lineitem(spark, d), Tables.nation(spark, d)))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("filter is pushed into the parquet scan") {
+    val df = Relational.pricingSummary(Tables.lineitem(spark, d))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      scan.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("scan prunes columns (ReadSchema subset)") {
+    val df = Relational.distinctAgg(Tables.lineitem(spark, d))
+    val s = df.queryExecution.executedPlan.toString
+    // only 3 referenced columns reach the scan, not all 11
+    assert(s.contains("l_returnflag") && s.contains("l_partkey"))
+    assert(!s.substring(s.indexOf("ReadSchema"))
+      .takeWhile(_ != '\n').contains("l_extendedprice"))
+  }
+
+  test("per-group top-k has exactly one shuffle on the group key") {
+    val df = Relational.topOrdersPerCustomer(Tables.orders(spark, d), 3)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one shuffle for the window partitioning + one for the final sort
+    assert(exchanges.size <= 2)
+  }
+
+  test("semi/anti joins produce correct complements") {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+    val withUrgent = Relational.semiJoin(c, o).count()
+    val withoutUrgent = Relational.antiJoin(c, o).count()
+    assert(withUrgent + withoutUrgent == c.count())
+  }
+
+  test("set ops partition the nationkey universe") {
+    val out = Relational.setOps(Tables.customer(spark, d),
+      Tables.supplier(spark, d))
+      .groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = out.values.sum
+    val distinctUnion = Tables.customer(spark, d)
+      .select(col("c_nationkey").as("n")).distinct()
+      .union(Tables.supplier(spark, d)
+        .select(col("s_nationkey").as("n")).distinct())
+      .distinct().count()
+    assert(total == distinctUnion)
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{CdcPipeline, EventTimeOps, LogPipeline, Sessionize}
+
+/** Streaming-semantics tests (SURVEY §5 item 4): MemoryStream →
+  * identical pipelines → processAllAvailable, plus watermark/late
+  * data and stateful sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("log demux streams 5-way with topic routing") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = LogPipeline
+      .demuxToTopicValue(in.toDF().withColumnRenamed("value", "value"))
+      .writeStream.format("memory").queryName("demux_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        """{"common":{"mid":"m1"},"err":{"error_code":1,"msg":"x"},"ts":1}""",
+        """{"common":{"mid":"m2"},"page":{"page_id":"p"},"ts":2}""",
+        """{"common":{"mid":"m3"},"start":{"entry":"icon"},"ts":3}"""
+      )
+      q.processAllAvailable()
+      val out = spark.table("demux_out")
+        .groupBy("topic").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map(
+        LogPipeline.ErrorTopic -> 1L,
+        LogPipeline.PageTopic  -> 1L,
+        LogPipeline.StartTopic -> 1L))
+    } finally q.stop()
+  }
+
+  test("cdc foreachBatch routes facts and compacts dims") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    var facts: Array[(String, String)] = Array.empty
+    var dims: Array[(String, String, String)] = Array.empty
+    val routing = Seq(("order_info", "fact"), ("user_info", "dim"))
+      .toDF("table_name", "kind")
+    val q = in.toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        CdcPipeline.processBatch(batch, routing,
+          f => facts ++= f.collect()
+            .map(r => (r.getString(0), r.getString(1))),
+          d => dims ++= d.collect()
+            .map(r => (r.getAs[String]("table"),
+              r.getAs[Map[String, String]]("data")("id"),
+              r.getAs[String]("op"))))
+      }
+      .start()
+    try {
+      in.addData(
+        """{"table":"order_info","type":"insert","data":{"id":"1"}}""",
+        """{"table":"user_info","type":"insert","data":{"id":"7","v":"a"}}""",
+        """{"table":"user_info","type":"update","data":{"id":"7","v":"b"}}""",
+        """{"table":"other","type":"insert","data":{"id":"9"}}"""
+      )
+      q.processAllAvailable()
+      assert(facts.map(_._1).toSet == Set("ORDER_INFO_I"))
+      assert(dims.length == 1)            // LWW compacted id=7
+      assert(dims.head._3 == "U")         // update won
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark drop late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventTimeOps
+      .windowedCounts(df, "10 minutes", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      in.addData((t(1), "a", 1.0), (t(5), "a", 2.0))
+      q.processAllAvailable()
+      in.addData((t(30), "a", 3.0))   // advances watermark past 10:10
+      q.processAllAvailable()
+      in.addData((t(2), "a", 100.0))  // late beyond watermark → dropped
+      q.processAllAvailable()
+      in.addData((t(59), "a", 4.0))   // closes the 10:30 window
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("w_start", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1),
+          r.getDouble(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 10:30:00.0", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = in.toDF().toDF("event_id", "ts")
+    val q = EventTimeOps.dedupWithinWatermark(df, "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      in.addData((1L, t(0)), (1L, t(1)), (2L, t(2)))
+      q.processAllAvailable()
+      in.addData((1L, t(3)), (3L, t(4)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes on gap") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionize(in.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Sessionize.Event(1L, 0L, 1.0),
+        Sessionize.Event(1L, 30000L, 2.0))
+      q.processAllAvailable()
+      // gap > 60 s → closes first session
+      in.addData(Sessionize.Event(1L, 200000L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[Sessionize.SessionOut]
+        .collect()
+      assert(rows.length == 1)
+      assert(rows.head.n_events == 2 && rows.head.sum_value == 3.0)
+    } finally q.stop()
+  }
+}
