@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftx.Bridge
+
+/** Column-facing API for graft's native Catalyst expressions. */
+package object functions {
+
+  /** Codegen dot product of two numeric array columns (see
+    * [[graft.functions.ArrayDotProduct]]).
+    */
+  def arrayDot(a: Column, b: Column): Column =
+    Bridge.column(ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen MinHash signature of a string-array column (see
+    * [[graft.functions.MinHashSignature]]).
+    */
+  def minhash(sh: Column, numPerms: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(sh), numPerms))
+}

@@ -48,12 +48,20 @@ object CdcQueries {
       .toDF("table_name", "kind")
   }
 
-  private def normalized(s: SparkSession, d: String): DataFrame = {
-    val raw = maxwellLines(Tables.events(s, d))
-    Cdc.normalizeOps(
-      Cdc.parse(raw.select("value"))
-    )
-  }
+  /** Parse + normalize once, route many ways — same single-pass shape
+    * (and the same persist-as-barrier rationale) as
+    * DemuxQueries.parsed: one shared materialized envelope per
+    * session instead of a per-branch single-split JSON round trip.
+    */
+  private val normalizedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def normalized(s: SparkSession, d: String): DataFrame =
+    normalizedCache.getOrElseUpdate((s, d), {
+      val raw = maxwellLines(
+        Tables.events(s, d).repartition(col("event_id")))
+      Cdc.normalizeOps(Cdc.parse(raw.select("value"))).persist()
+    })
 
   val queries: Map[String, Q] = Map(
     // T10+T11: normalize op types (click/error rows must be dropped),

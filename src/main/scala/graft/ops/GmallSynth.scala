@@ -29,7 +29,12 @@ object GmallSynth {
     * single-column `value: string` of log-envelope JSON.
     */
   def logLines(events: DataFrame): DataFrame = {
+    // The sf0.1 parquet is one file → one input split, which would
+    // serialize the (expensive) JSON round-trip on a single core. A
+    // Kafka source would arrive partitioned; reproduce that here with
+    // one cheap hash shuffle into spark.sql.shuffle.partitions splits.
     val e = events
+      .repartition(col("event_id"))
       .withColumn("k",
         get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("ems", unix_millis(col("ts")))

@@ -142,8 +142,19 @@ object Text {
   /** Token 3-shingles as strings (docs shorter than 3 tokens get their
     * full token string as a single shingle).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles from an already-materialized token array column.
+    *
+    * Callers that feed the result into many downstream expressions
+    * (e.g. the 32 minhash permutations) MUST stage `toks`/`sh` as
+    * their own projections: lambda-bearing HOFs are excluded from
+    * Spark's subexpression elimination, so an inlined shingle tree
+    * would be re-evaluated once per consumer — measured 30× slowdown
+    * on the near-dup queries.
+    */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(
         array_distinct(transform(
@@ -152,16 +163,26 @@ object Text {
             slice(toks, i + 1, lit(n)))
         ))
       )
-  }
 
-  /** MinHash signature: per permutation p, min over shingles of
-    * xxhash64(p, shingle). Pure HOF expressions; signature length =
-    * MinhashPerms.
+  /** doc_id + staged shingle arrays: one Project per expensive HOF so
+    * each is evaluated exactly once per row.
+    */
+  def docShingles(docs: DataFrame): DataFrame =
+    docs
+      // small single-file inputs arrive as one split; spread the
+      // CPU-heavy shingle/hash work across cores (at scale the input
+      // is already split and this shuffle is one narrow hash pass)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
+
+  /** MinHash signature via the native codegen expression (one string
+    * hash + MinhashPerms integer mixes per shingle; the HOF
+    * formulation — 32 × array_min(transform(xxhash64)) — re-hashed
+    * every shingle per permutation, interpreted).
     */
   def minhashSignature(sh: Column): Column =
-    array((0 until MinhashPerms).map { p =>
-      array_min(transform(sh, s => xxhash64(lit(p), s)))
-    }: _*)
+    graft.functions.minhash(sh, MinhashPerms)
 
   /** LSH banding: docs → (band_idx, band_hash, doc_id); same-bucket
     * docs are near-dup candidates. Jaccard estimate from full
@@ -172,20 +193,19 @@ object Text {
       docs: DataFrame,
       threshold: Double = 0.5
   ): DataFrame = {
-    val sigs = docs.select(
-      col("doc_id"),
-      minhashSignature(shingles(col("text"))).as("sig")
-    )
+    // Signatures are tiny (32 longs/doc, ≪ the text) — persisting them
+    // is the right call at any scale, and stops the self-join legs
+    // from re-running the shingle+hash pipeline.
+    val sigs = docShingles(docs)
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+      .persist()
+    // Band hash = builtin xxhash64 over the sig slice (codegen'd,
+    // hashes the longs directly — no per-band string building).
     val banded = sigs.select(
       col("doc_id"), col("sig"),
-      posexplode(
-        transform(sequence(lit(0), lit(LshBands - 1)),
-          b => xxhash64(
-            lit(1337), b,
-            concat_ws(",",
-              transform(slice(col("sig"), b * LshRows + 1, lit(LshRows)),
-                _.cast("string")))))
-      ).as(Seq("band_idx", "band_hash"))
+      posexplode(array((0 until LshBands).map { b =>
+        xxhash64(lit(b), slice(col("sig"), b * LshRows + 1, LshRows))
+      }: _*)).as(Seq("band_idx", "band_hash"))
     )
     // identical join legs → the band shuffle is computed once and
     // reused (ReusedExchange); signatures are evaluated in one pass.
@@ -207,8 +227,7 @@ object Text {
       docs: DataFrame,
       candidates: DataFrame
   ): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      shingles(col("text")).as("sh"))
+    val sh = docShingles(docs).persist()
     candidates
       .join(sh.select(col("doc_id").as("doc_a"),
         col("sh").as("sh_a")), "doc_a")

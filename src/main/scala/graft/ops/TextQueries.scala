@@ -13,6 +13,17 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** MinHash candidate pairs are consumed by both near-dup queries —
+    * compute + persist once per session (same single-pass pattern as
+    * DemuxQueries.parsed).
+    */
+  private val candCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def candidates(s: SparkSession, d: String): DataFrame =
+    candCache.getOrElseUpdate((s, d),
+      Text.minhashCandidates(Tables.documents(s, d), 0.2).persist())
+
   val queries: Map[String, Q] = Map(
     "q_text_exact_dup_groups" -> ((s, d) =>
       Text.exactDupGroups(Tables.documents(s, d))
@@ -31,16 +42,11 @@ object TextQueries {
       Text.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // No-oracle (rows-only) entries: LSH near-dup candidates + exact
     // jaccard verify + simhash (not ANSI-SQL-expressible).
-    "q_text_minhash_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Text.minhashCandidates(docs, 0.2)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
-    "q_text_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Text.ngramJaccard(docs, Text.minhashCandidates(docs, 0.2))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "q_text_minhash_neardup" -> ((s, d) =>
+      candidates(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    "q_text_ngram_jaccard" -> ((s, d) =>
+      Text.ngramJaccard(Tables.documents(s, d), candidates(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "q_text_simhash" -> ((s, d) =>
       Text.simhashes(Tables.documents(s, d)).orderBy(col("doc_id")))
   )

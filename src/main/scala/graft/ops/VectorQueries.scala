@@ -29,7 +29,7 @@ object VectorQueries {
     "q_vec_ann_lsh" -> ((s, d) =>
       Vector.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
     "q_vec_neardup" -> ((s, d) =>
-      Vector.cosineNearDup(Tables.embeddings(s, d), 0.5, nPlanes = 16)
+      Vector.cosineNearDup(Tables.embeddings(s, d), 0.5)
         .orderBy(col("vec_a"), col("vec_b")))
   )
 

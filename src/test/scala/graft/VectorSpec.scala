@@ -46,13 +46,33 @@ class VectorSpec extends SparkSpec {
         .collect().toSet))
   }
 
-  test("near-dup pairs symmetric-free and above threshold") {
-    val nd = Vec.cosineNearDup(vecs, 0.95, nPlanes = 1, dim = 3)
-      .collect()
+  test("near-dup pairs symmetric-free, above threshold, deduped") {
+    val nd = Vec.cosineNearDup(vecs, 0.95,
+      nBands = 4, bitsPerBand = 1, dim = 3).collect()
     nd.foreach { r =>
       assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
       assert(r.getAs[Double]("cos_sim") >= 0.95)
     }
+    // pairs must be unique even when they collide in several bands
+    val pairs = nd.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    // (0,4) has cosine ≈ 0.9988 — banding with 4×1 bits must find it
+    assert(pairs.contains((0L, 4L)))
+  }
+
+  test("codegen arrayDot matches HOF fold bitwise incl. null cases") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.4f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      Vec.decDot(col("a"), col("b")).as("fast"),
+      Vec.decDotHof(col("a"), col("b")).as("slow")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // null array → null result
+    val n = df.limit(1).select(
+      Vec.decDot(lit(null).cast("array<float>"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
   }
 
   test("label centroid sums are exact and mergeable") {
