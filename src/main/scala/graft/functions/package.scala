@@ -17,4 +17,10 @@ package object functions {
     */
   def minhash(sh: Column, numPerms: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(sh), numPerms))
+
+  /** Winnowing-style min rolling hash of a string column (see
+    * [[graft.functions.RollingHashMin]]).
+    */
+  def rollingMin(text: Column, k: Int): Column =
+    Bridge.column(RollingHashMin(Bridge.expression(text), k))
 }

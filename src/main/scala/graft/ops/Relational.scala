@@ -299,4 +299,138 @@ object Relational {
       )
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
+
+  /** Sliding event-time window (batch form of streaming
+    * `window(ts, len, slide)`): each event lands in len/slide
+    * overlapping buckets.
+    */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n"),
+        col("sum_value"))
+      .orderBy(col("w_start"))
+
+  /** Batch sessionization: gap-based session assignment via
+    * lag + running sum (the declarative form of streaming
+    * `session_window` / flatMapGroupsWithState — and the standard
+    * 100 TB shape: one shuffle on user, two window passes, no state).
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("sess_seq", sum(col("new_sess")).over(wr))
+      .groupBy(col("user_id"), col("sess_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value")
+      )
+      .orderBy(col("user_id"), col("sess_seq"))
+  }
+
+  /** As-of join via tagged union + last-non-null window — the
+    * scale-safe as-of shape (one shuffle on the key, no inequality
+    * range explosion): each left event gets the most recent right
+    * timestamp at-or-before it. Right rows sort before left rows at
+    * equal ts (inclusive as-of).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      asOfCol: String
+  ): DataFrame = {
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__rts", lit(null).cast("timestamp"))
+    val r = right.withColumn("__tag", lit(0))
+      .withColumn("__rts", col(ts))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(asOfCol, last(col("__rts"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__tag", "__rts")
+  }
+
+  /** Most recent signup at-or-before each non-signup event — the
+    * canonical as-of use (attach latest profile/dim version to a
+    * fact).
+    */
+  def lastSignupAsOf(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val facts = events.filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asOfJoin(facts, signups, "user_id", "ts", "last_signup_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_signup_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Discrete percentiles per group via rank windows (PERCENTILE_DISC
+    * semantics made explicit: value at row ceil(p·n) of the sorted
+    * group — no interpolation arithmetic, so results are
+    * engine-exact).
+    */
+  def groupPercentiles(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rn") === ceil(col("cnt") * 0.5), col("o_totalprice")))
+          .as("p50"),
+        max(when(col("rn") === ceil(col("cnt") * 0.9), col("o_totalprice")))
+          .as("p90"),
+        max(col("cnt")).as("n")
+      )
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** PIVOT: order status columns per priority (sum of totalprice). */
+  def pivotStatus(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .orderBy(col("o_orderpriority"))
+
+  /** JSON scalar-function surface over the raw props column. */
+  def jsonFuncs(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        length(col("props")).as("props_len"),
+        (get_json_object(col("props"), "$.k").cast("int") % 10)
+          .as("k_mod10")
+      )
+      .orderBy(col("event_id"))
+
+  /** Sketch surface: approx_count_distinct (HLL++) next to the exact
+    * count — rows-only (sketch estimates are engine-specific), the
+    * mergeable-sketch pattern that replaces exact distinct at 100 TB.
+    */
+  def approxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")
+      )
+      .orderBy(col("l_returnflag"))
 }

@@ -54,7 +54,19 @@ object RelationalQueries {
     "q_set_ops" -> ((s, d) =>
       setOps(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_scalar_funcs" -> ((s, d) => scalarFuncs(Tables.orders(s, d))),
-    "q_events_per_day" -> ((s, d) => eventsPerDay(Tables.events(s, d)))
+    "q_events_per_day" -> ((s, d) => eventsPerDay(Tables.events(s, d))),
+    "q_sliding_window" -> ((s, d) =>
+      slidingWindowAgg(Tables.events(s, d))),
+    "q_sessionize" -> ((s, d) =>
+      sessionizeBatch(Tables.events(s, d), 30 * 60 * 1000L)),
+    "q_asof_join" -> ((s, d) => lastSignupAsOf(Tables.events(s, d))),
+    "q_group_percentiles" -> ((s, d) =>
+      groupPercentiles(Tables.orders(s, d))),
+    "q_pivot_status" -> ((s, d) => pivotStatus(Tables.orders(s, d))),
+    "q_json_funcs" -> ((s, d) => jsonFuncs(Tables.events(s, d))),
+    // rows-only: HLL estimates are engine-specific
+    "q_approx_distinct" -> ((s, d) =>
+      approxDistinct(Tables.lineitem(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -188,6 +200,76 @@ object RelationalQueries {
       """SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sliding_window" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0, value
+        |  FROM events),
+        |x AS (
+        |  SELECT UNNEST([b0, b0 - INTERVAL '30 minutes']) AS w_start,
+        |         value
+        |  FROM b)
+        |SELECT w_start, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sess_seq
+        |  FROM m)
+        |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess_seq
+        |ORDER BY user_id, sess_seq""".stripMargin,
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  (SELECT MAX(s.ts) FROM events s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |     AND s.ts <= e.ts) AS last_signup_ts
+        |FROM events e WHERE e.event_type <> 'signup'
+        |ORDER BY e.event_id""".stripMargin,
+    "q_group_percentiles" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN o_totalprice END) AS p50,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.9) THEN o_totalprice END) AS p90,
+        |  MAX(cnt) AS n
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(LENGTH(props) AS INT) AS props_len,
+        |  CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10
+        |    AS INT) AS k_mod10
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -267,4 +267,35 @@ object Text {
   def simhashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       simhash64(tokens(col("text"))).as("simhash"))
+
+  /** BPE-ish pre-tokenizer regex (GPT-2 style word/number/punct
+    * splitting, ASCII form): identical semantics under Java regex
+    * (Spark) and RE2 (DuckDB), so token counts are oracle-checkable.
+    */
+  val BpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  /** Token counting two ways: whitespace words and BPE-ish segments
+    * (the LLM-pipeline "how many tokens is this corpus" estimator).
+    */
+  def bpeTokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .as("n_bpe_tokens")
+    )
+
+  /** Rolling-hash (Rabin–Karp, 32-byte windows) winnowing fingerprint
+    * per document + its duplicate-group size — content-defined
+    * near-exact dedup key via the native codegen expression.
+    */
+  def rollingFingerprint(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      graft.functions.rollingMin(col("text"), 32).as("roll_fp"))
+    val groups = fp.groupBy(col("roll_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+    fp.join(groups, "roll_fp")
+      .select(col("doc_id"), col("roll_fp"), col("n_docs"),
+        col("keep_doc_id"))
+  }
 }

@@ -48,7 +48,14 @@ object TextQueries {
       Text.ngramJaccard(Tables.documents(s, d), candidates(s, d))
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_text_simhash" -> ((s, d) =>
-      Text.simhashes(Tables.documents(s, d)).orderBy(col("doc_id")))
+      Text.simhashes(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_text_bpe_tokens" -> ((s, d) =>
+      Text.bpeTokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // rows-only: rolling-hash fingerprint (custom expression, no ANSI
+    // equivalent)
+    "q_text_rolling_fp" -> ((s, d) =>
+      Text.rollingFingerprint(Tables.documents(s, d))
+        .orderBy(col("doc_id")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -130,6 +137,14 @@ object TextQueries {
         |  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp,
         |  substring(md5(regexp_replace(lower(text), '[^a-z0-9]+', '',
         |    'g')), 1, 8) AS fp_prefix
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len($toksSql) END AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT)
+         |    AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

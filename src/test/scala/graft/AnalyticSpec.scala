@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Relational, Text}
+
+/** Behavior of the analytic additions: as-of join, sessionization,
+  * percentiles, rolling-hash fingerprint.
+  */
+class AnalyticSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("asOfJoin attaches most recent right row at-or-before, inclusive") {
+    val left = Seq(
+      (1L, ts(5), 100L),   // after right@3 → 3
+      (1L, ts(10), 101L),  // after right@10 (equal ts, inclusive) → 10
+      (2L, ts(1), 102L)    // no right for user 2 → null
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(3), 900L),
+      (1L, ts(10), 901L),
+      (1L, ts(20), 902L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Relational
+      .asOfJoin(left, right, "user_id", "ts", "last_right_ts")
+      .select(col("event_id"), col("last_right_ts")).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getTimestamp(1)).map(_.toString)).toMap
+    assert(out(100L).contains("2024-01-01 10:03:00.0"))
+    assert(out(101L).contains("2024-01-01 10:10:00.0"))
+    assert(out(102L).isEmpty)
+  }
+
+  test("sessionizeBatch splits on gap and aggregates per session") {
+    val ev = Seq(
+      (1L, ts(0), 10L, 1.0), (1L, ts(10), 11L, 2.0),  // session 1
+      (1L, ts(50), 12L, 3.0),                          // gap 40m → session 2
+      (2L, ts(5), 13L, 4.0)                            // user 2, session 1
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Relational.sessionizeBatch(ev, 30 * 60 * 1000L)
+      .select("user_id", "sess_seq", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((1L, 1L)) == (2L, 3.0))
+    assert(out((1L, 2L)) == (1L, 3.0))
+    assert(out((2L, 1L)) == (1L, 4.0))
+  }
+
+  test("groupPercentiles picks exact order-statistic values") {
+    val orders = (1 to 10).map(i =>
+      (i.toLong, "P", i * 10.0)).toDF(
+      "o_orderkey", "o_orderpriority", "o_totalprice")
+    val r = Relational.groupPercentiles(orders).collect().head
+    assert(r.getAs[Double]("p50") == 50.0)   // ceil(10*0.5)=5th → 50
+    assert(r.getAs[Double]("p90") == 90.0)   // ceil(10*0.9)=9th → 90
+  }
+
+  test("rolling-hash fingerprint equal for equal text, shift-robust") {
+    import graft.functions.RollingHashMin
+    val a = "the quick brown fox jumps over the lazy dog, again and again"
+    // identical text → identical fingerprint
+    assert(RollingHashMin.minRollingHash(a.getBytes("UTF-8"), 32) ==
+      RollingHashMin.minRollingHash(a.getBytes("UTF-8"), 32))
+    // winnowing property: prepending text far from the minimizing
+    // window usually keeps the min (content-defined, not offset-bound);
+    // at minimum the hash stays deterministic — check via DataFrame too
+    val df = Seq((1L, a), (2L, a), (3L, "completely different text"))
+      .toDF("doc_id", "text")
+    val fps = Text.rollingFingerprint(df)
+      .select("doc_id", "roll_fp", "n_docs").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L)._1 == fps(2L)._1)
+    assert(fps(1L)._2 == 2L && fps(3L)._2 == 1L)
+    assert(fps(1L)._1 != fps(3L)._1)
+  }
+
+  test("short text hashes as single window") {
+    import graft.functions.RollingHashMin
+    val short = "abc"
+    val h = RollingHashMin.minRollingHash(short.getBytes("UTF-8"), 32)
+    // polynomial hash of the 3 bytes
+    val expected = (('a'.toLong * 257 + 'b') * 257) + 'c'
+    assert(h == expected)
+  }
+}
