@@ -57,4 +57,16 @@ object EventTimeOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static dim enrichment — the reference R2's broadcast
+    * pattern (`OdsBaseDbApp.scala:89-99`) in declarative streaming
+    * form: the static side is (re)read and broadcast per micro-batch,
+    * the stream side never shuffles.
+    */
+  def enrichWithDim(
+      stream: DataFrame,
+      dim: DataFrame,
+      key: String
+  ): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

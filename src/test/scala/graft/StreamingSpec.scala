@@ -114,6 +114,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches with dim columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = EventTimeOps
+      .enrichWithDim(in.toDF().toDF("user_id", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 10.0), (3L, 20.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+      assert(out(1L).contains("gold"))
+      assert(out(3L).isEmpty)   // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
