@@ -27,6 +27,11 @@ object Bench {
     SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // Spark's ContextCleaner is GC-driven: with a large heap, GC
+        // almost never fires, so broadcast blocks and shuffle state
+        // from earlier queries pile up and skew later timings. Nudge
+        // collection between queries, outside the timed region.
+        System.gc()
         val t0 = System.nanoTime()
         val n =
           try fn(spark, sfDir).count()

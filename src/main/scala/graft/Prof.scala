@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ops.Vector
+import graft.ops.Text
 // scratch profiling main (not part of the library surface)
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -15,16 +15,25 @@ object Prof {
       val t0 = System.nanoTime; val r = f
       println(f"TIME $label ${(System.nanoTime - t0) / 1e9}%.2f  ($r)")
     }
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
-    // differential: codegen dot vs HOF fold must agree bitwise
-    val diff = emb.as("l").crossJoin(emb.as("r")).limit(50000)
-      .select(
-        Vector.decDot(col("l.embedding"), col("r.embedding")).as("fast"),
-        Vector.decDotHof(col("l.embedding"), col("r.embedding")).as("slow"))
-      .filter(col("fast") =!= col("slow") ||
-        (col("fast").isNull =!= col("slow").isNull))
-    time("dot_differential_mismatches")(diff.count())
-    time("neardup")(Vector.cosineNearDup(emb, 0.5).count())
-    time("neardup2")(Vector.cosineNearDup(emb, 0.5).count())
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    time("docs_count")(docs.count())
+    val sh = Text.docShingles(docs)
+    time("shingles")(sh.select(sum(size(col("sh")))).collect().head)
+    time("shingles2")(sh.select(sum(size(col("sh")))).collect().head)
+    val sigs = sh.select(col("doc_id"), Text.minhashSignature(col("sh")).as("sig"))
+    time("sigs")(sigs.select(max(element_at(col("sig"), 1))).collect().head)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until Text.LshBands).map { b =>
+        xxhash64(lit(b), slice(col("sig"), b * Text.LshRows + 1, Text.LshRows))
+      }: _*)).as(Seq("band_idx", "band_hash")))
+    time("banded")(banded.count())
+    val joined = banded.as("l").join(banded.as("r"),
+      col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+    time("join_count")(joined.count())
+    time("full")(Text.minhashCandidates(docs, 0.2).count())
+    time("full2")(Text.minhashCandidates(docs, 0.2).count())
   }
 }

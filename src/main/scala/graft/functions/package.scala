@@ -23,4 +23,10 @@ package object functions {
     */
   def rollingMin(text: Column, k: Int): Column =
     Bridge.column(RollingHashMin(Bridge.expression(text), k))
+
+  /** Distinct n-token shingles of a string column in one native pass
+    * (see [[graft.functions.TokenShingles]]).
+    */
+  def tokenShingles(text: Column, n: Int): Column =
+    Bridge.column(TokenShingles(Bridge.expression(text), n))
 }

@@ -95,4 +95,71 @@ object Multimodal {
         (col("width").cast("double") / col("height")).as("aspect"),
         least(col("n_frames"), lit(32)).as("frames_to_sample")
       )
+
+  /** Resize planning over decoded metadata — pure metadata math (the
+    * shape a curation step computes before invoking the codec):
+    * scale to fit a 336×336 training tile preserving aspect.
+    */
+  def resizePlan(decoded: DataFrame, target: Int = 336): DataFrame =
+    decoded
+      .filter(col("ok") && col("width") > 0 && col("height") > 0)
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        least(
+          lit(target).cast("double") / col("width"),
+          lit(target).cast("double") / col("height")).as("scale"))
+      .select(
+        col("doc_id"), col("width"), col("height"), col("scale"),
+        ceil(col("width") * col("scale")).cast("int").as("out_w"),
+        ceil(col("height") * col("scale")).cast("int").as("out_h"))
+
+  // === STUB ==========================================================
+  /** Deterministic FAKE feature extractor: derives a `dim`-float
+    * embedding from payload bytes (splitmix64 chain over the bytes →
+    * unit-interval floats). A real implementation would run an
+    * encoder model per batch here; schema, batching, and everything
+    * downstream (ANN/centroid/near-dup over the feature column) is
+    * identical.
+    */
+  def fakeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    var h = 0x243f6a8885a308d3L
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) {
+        h = graft.functions.MinHashSignature.mix64(
+          h + (payload(i) & 0xff))
+        i += 1
+      }
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      h = graft.functions.MinHashSignature.mix64(h + j)
+      out(j) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      j += 1
+    }
+    out
+  }
+  // === END STUB ======================================================
+
+  /** Feature extraction per partition (the mapPartitions batch shape
+    * a real encoder needs: model loaded once per partition, rows
+    * streamed through). Output composes with Vector.* — here the
+    * embedding column is the media feature vector.
+    */
+  def extractFeatures(docs: DataFrame, dim: Int = 16): DataFrame = {
+    val out = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("feature", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // real impl: load the encoder model once per partition here
+        rows.map { r =>
+          Row(r.getLong(0),
+            fakeFeatures(r.getAs[Array[Byte]]("payload"), dim).toSeq)
+        }
+      }(enc)
+  }
 }

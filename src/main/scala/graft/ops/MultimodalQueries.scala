@@ -19,6 +19,17 @@ object MultimodalQueries {
     "q_mm_decode_meta" -> ((s, d) =>
       Multimodal.frameSamplePlan(
         Multimodal.decodeMeta(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+    "q_mm_resize_plan" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+    // feature extraction composed with vector math: per-media-feature
+    // L2 norm (stubbed encoder; plumbing + composition under test)
+    "q_mm_feature_norms" -> ((s, d) =>
+      Multimodal.extractFeatures(Tables.documents(s, d))
+        .select(col("doc_id"),
+          Vector.decNorm(col("feature")).as("l2_norm"))
         .orderBy(col("doc_id")))
   )
 

@@ -164,8 +164,10 @@ object Text {
         ))
       )
 
-  /** doc_id + staged shingle arrays: one Project per expensive HOF so
-    * each is evaluated exactly once per row.
+  /** doc_id + shingle arrays via the one-pass native expression
+    * (`graft.functions.TokenShingles` — bit-compatible with the
+    * declarative `shinglesFromTokens(tokens(text))` chain, which
+    * interprets per window position).
     */
   def docShingles(docs: DataFrame): DataFrame =
     docs
@@ -173,8 +175,8 @@ object Text {
       // CPU-heavy shingle/hash work across cores (at scale the input
       // is already split and this shuffle is one narrow hash pass)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.tokenShingles(col("text"), 3).as("sh"))
 
   /** MinHash signature via the native codegen expression (one string
     * hash + MinhashPerms integer mixes per shingle; the HOF

@@ -76,6 +76,27 @@ class AnalyticSpec extends SparkSpec {
     assert(fps(1L)._1 != fps(3L)._1)
   }
 
+  test("TokenShingles matches declarative shingle chain incl. edges") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two",                 // < 3 tokens → single joined shingle
+      "",                        // empty → [""]
+      "   ",                     // whitespace-only (space-trimmed) → [""]
+      "a\tb\nc d e",             // mixed whitespace
+      "dup dup dup dup",         // repeated shingles → distinct
+      "  leading and trailing  "
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .union(Tables.documents(spark, sf("sf0.001"))
+        .select("doc_id", "text").limit(200))
+    val both = docs.select(
+      graft.functions.tokenShingles(col("text"), 3).as("fast"),
+      Text.shinglesFromTokens(Text.tokens(col("text"))).as("slow"))
+    val bad = both
+      .filter(not(col("fast") === col("slow"))).count()
+    assert(bad == 0)
+  }
+
   test("short text hashes as single window") {
     import graft.functions.RollingHashMin
     val short = "abc"

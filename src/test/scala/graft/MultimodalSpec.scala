@@ -39,4 +39,28 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("frames_to_sample") <= 32)
     }
   }
+
+  test("resize plan fits target tile preserving aspect") {
+    Multimodal.resizePlan(Multimodal.decodeMeta(docs), target = 336)
+      .collect().foreach { r =>
+        val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+        assert(w <= 336 && h <= 336)
+        assert(w == 336 || h == 336)   // scale-to-fit touches one edge
+      }
+  }
+
+  test("feature stub: deterministic, fixed dim, composes with norms") {
+    val f1 = Multimodal.extractFeatures(docs, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.extractFeatures(docs, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.length == 16))
+    assert(f1(1L) != f1(3L))   // different payloads → different features
+    val norms = Multimodal.extractFeatures(docs, dim = 16)
+      .select(col("doc_id"),
+        graft.ops.Vector.decNorm(col("feature")).as("n"))
+      .collect().map(_.getDouble(1))
+    assert(norms.forall(n => n > 0 && n < 4.0))   // 16 floats in [0,1)
+  }
 }
