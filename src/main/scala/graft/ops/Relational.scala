@@ -421,6 +421,52 @@ object Relational {
       )
       .orderBy(col("event_id"))
 
+  /** GROUPING SETS (beyond rollup/cube: explicit grouping combos). */
+  def groupingSetsAgg(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Range (banded) join: fact value binned by a tiny band dim via an
+    * interval condition — broadcast nested-loop with the inequality
+    * as the join predicate (the correct physical shape when the dim
+    * is a handful of rows; at scale the alternative is binning
+    * map-side, which `when()` chains in scalarFuncs demonstrate).
+    */
+  def rangeJoinBands(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val bands = Seq(
+      (1L, "low", 0.0, 15.0),
+      (2L, "mid", 15.0, 35.0),
+      (3L, "high", 35.0, 1e9)
+    ).toDF("band_id", "band_name", "lo", "hi")
+    lineitem
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band_id"), col("band_name"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("band_id"))
+  }
+
+  /** Per-group top-k via the typed mergeable TopKAggregator (UDAF
+    * surface): shuffle carries ≤ k pairs per group — compare
+    * topOrdersPerCustomer's window form, which materializes whole
+    * partitions.
+    */
+  def topKAgg(orders: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Sketch surface: approx_count_distinct (HLL++) next to the exact
     * count — rows-only (sketch estimates are engine-specific), the
     * mergeable-sketch pattern that replaces exact distinct at 100 TB.

@@ -64,6 +64,10 @@ object RelationalQueries {
       groupPercentiles(Tables.orders(s, d))),
     "q_pivot_status" -> ((s, d) => pivotStatus(Tables.orders(s, d))),
     "q_json_funcs" -> ((s, d) => jsonFuncs(Tables.events(s, d))),
+    "q_grouping_sets" -> ((s, d) =>
+      groupingSetsAgg(Tables.orders(s, d))),
+    "q_range_join" -> ((s, d) => rangeJoinBands(Tables.lineitem(s, d))),
+    "q_topk_agg" -> ((s, d) => topKAgg(Tables.orders(s, d), 3)),
     // rows-only: HLL estimates are engine-specific
     "q_approx_distinct" -> ((s, d) =>
       approxDistinct(Tables.lineitem(s, d)))
@@ -270,6 +274,31 @@ object RelationalQueries {
         |  CAST(LENGTH(props) AS INT) AS props_len,
         |  CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10
         |    AS INT) AS k_mod10
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+    "q_range_join" ->
+      """WITH bands(band_id, band_name, lo, hi) AS (
+        |  VALUES (CAST(1 AS BIGINT), 'low', 0.0, 15.0),
+        |         (CAST(2 AS BIGINT), 'mid', 15.0, 35.0),
+        |         (CAST(3 AS BIGINT), 'high', 35.0, 1e9))
+        |SELECT band_id, band_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN bands
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band_id, band_name ORDER BY band_id""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT o_orderpriority,
+        |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]
+        |    AS top_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -97,6 +97,30 @@ class AnalyticSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("TopKAggregator: merge of partials == global top-k, ties by id") {
+    val agg = new graft.functions.TopKAggregator(3)
+    val xs = Seq((5.0, 10L), (5.0, 2L), (9.0, 7L), (1.0, 1L), (9.0, 8L))
+    // two arbitrary partial splits must merge to the same result
+    val (a, b) = xs.splitAt(2)
+    val partial = agg.merge(
+      a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(partial) == agg.finish(whole))
+    assert(agg.finish(whole) == Seq(7L, 8L, 2L))  // 9.0@7, 9.0@8, 5.0@2
+    // end-to-end through Spark partial aggregation, many partitions
+    val df = spark.range(0, 1000).selectExpr(
+      "'g' AS g", "CAST(id % 97 AS DOUBLE) AS v", "id")
+      .repartition(8)
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(3),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val out = df.groupBy(col("g"))
+      .agg(topk(col("v"), col("id")).as("ids"))
+      .collect().head.getSeq[Long](1)
+    // max v = 96 at ids 96, 193, 290 → smallest ids win ties
+    assert(out == Seq(96L, 193L, 290L))
+  }
+
   test("short text hashes as single window") {
     import graft.functions.RollingHashMin
     val short = "abc"

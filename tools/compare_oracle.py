@@ -19,6 +19,11 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # array-valued columns (numpy arrays / lists) → tuples for ==
+    if hasattr(v, "tolist") and not hasattr(v, "upper"):
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 
