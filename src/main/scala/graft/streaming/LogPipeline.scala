@@ -65,6 +65,19 @@ object LogPipeline {
       .unionByName(tag(Demux.starts(parsed), StartTopic))
   }
 
+  /** T1 equivalent (`transform` offset/metric capture without a second
+    * stream traversal): `observe` attaches metrics to the single pass.
+    * Batch callers read them from the returned Observation; streaming
+    * callers get them per micro-batch via
+    * `StreamingQueryProgress.observedMetrics` (same plan node).
+    */
+  def demuxWithMetrics(
+      raw: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("demux_in")
+    val observed = raw.observe(obs, count(lit(1)).as("n_in"))
+    (demuxToTopicValue(observed), obs)
+  }
+
   /** End-to-end: Kafka ODS topic → 5 DWD topics, 5 s micro-batches,
     * checkpointed. The union-of-branches plan re-reads the parsed
     * batch per branch; Catalyst collapses the source scan, and the
