@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.ops.{Cdc, Demux, GmallSynth, Text}
+
+/** Property-based tests (SURVEY §5.3): structural invariants that must
+  * hold for ANY input, checked over generated corpora.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** No scalatest-scalacheck bridge in the offline cache — drive the
+    * generators directly with a deterministic seed.
+    */
+  private def forAll[A](g: Gen[A], n: Int = 30)(body: A => Unit): Unit = {
+    val params = org.scalacheck.Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    while (i < n) {
+      g.apply(params, seed).foreach { a => body(a); i += 1 }
+      seed = seed.next
+    }
+  }
+  import spark.implicits._
+
+  private val word = Gen.oneOf(
+    "the", "quick", "brown", "fox", "und", "der", "los", "a1", "§",
+    "x", "", " ", "tab\there")
+  private val textGen: Gen[String] =
+    Gen.listOf(word).map(_.mkString(" "))
+
+  test("demux branches partition the non-error page/start space") {
+    // Build log lines from a slice of real events via the synthesizer,
+    // then check: every parsed record lands in err XOR
+    // (page branch / start branch / neither), never both err and page.
+    val lines = GmallSynth.logLines(
+      Tables.events(spark, sf("sf0.001"))).limit(2000)
+    val parsed = Demux.parse(lines).persist()
+    try {
+      val total  = parsed.count()
+      val nErr   = Demux.errors(parsed).count()
+      val nPage  = Demux.pages(parsed).count()
+      val nStart = Demux.starts(parsed).count()
+      val nOther = parsed
+        .filter(col("err").isNull && col("page").isNull &&
+          col("start").isNull).count()
+      assert(nErr + nPage + nStart + nOther == total)
+    } finally parsed.unpersist()
+  }
+
+  test("explode multiplicity: display rows == sum of array sizes") {
+    val lines = GmallSynth.logLines(
+      Tables.events(spark, sf("sf0.001"))).limit(2000)
+    val parsed = Demux.parse(lines).persist()
+    try {
+      val sumSizes = parsed
+        .filter(col("err").isNull && col("page").isNotNull)
+        .select(coalesce(size(col("displays")), lit(0)).as("n"))
+        .agg(sum(col("n"))).collect().head.getLong(0)
+      assert(Demux.displays(parsed).count() == sumSizes)
+    } finally parsed.unpersist()
+  }
+
+  test("LWW compaction: exactly one survivor per key, the max-order one") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))) {
+      pairs =>
+        val df = pairs.zipWithIndex
+          .map { case ((k, v), i) => (k.toLong, v.toLong, i.toLong) }
+          .toDF("k", "v", "seq")
+        val out = Cdc.lastWriteWins(df, Seq(col("k")), Seq(col("seq")))
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val expect = pairs.zipWithIndex
+          .groupBy(_._1._1).map { case (k, xs) =>
+            k.toLong -> xs.map(_._2.toLong).max }
+        assert(out == expect)
+    }
+  }
+
+  test("shingle invariants: distinct, count bounded by token count") {
+    forAll(textGen) { t =>
+      val row = Seq(Tuple1(t)).toDF("text")
+        .select(graft.functions.tokenShingles(col("text"), 3).as("sh"))
+        .collect().head.getSeq[String](0)
+      assert(row.distinct.length == row.length)   // distinct
+      assert(row.nonEmpty)                        // total function
+      val trimmed = org.apache.spark.unsafe.types.UTF8String
+        .fromString(t).trim().toString
+      val nToks =
+        if (trimmed.isEmpty) 0 else trimmed.split("\\s+", -1).length
+      if (nToks >= 3) assert(row.length <= nToks - 2)
+      else assert(row.length == 1)
+    }
+  }
+
+  test("minhash signature: length fixed, permutation-monotone under subset") {
+    forAll(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) {
+      words =>
+        val all = words.distinct
+        val half = all.take(math.max(1, all.length / 2))
+        def sig(xs: Seq[String]): Seq[Long] =
+          Seq(Tuple1(xs)).toDF("sh")
+            .select(graft.functions.minhash(col("sh"), 32).as("s"))
+            .collect().head.getSeq[Long](0)
+        val sAll  = sig(all)
+        val sHalf = sig(half)
+        assert(sAll.length == 32 && sHalf.length == 32)
+        // min over a superset can only be <= per permutation
+        assert(sAll.zip(sHalf).forall { case (a, h) => a <= h })
+    }
+  }
+}
