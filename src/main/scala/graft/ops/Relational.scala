@@ -467,6 +467,27 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Two-phase salted aggregation — the standard hot-key mitigation
+    * when one group key dominates (AQE skew-join covers joins; skewed
+    * groupBy needs this): phase 1 aggregates on (key, salt) spreading
+    * a hot key over `saltBuckets` reducers, phase 2 merges the
+    * partials per key. Results are identical to the direct groupBy
+    * (sums/counts are mergeable) — proven by the shared oracle.
+    */
+  def saltedAgg(lineitem: DataFrame, saltBuckets: Int = 16): DataFrame =
+    lineitem
+      .withColumn("__salt",
+        pmod(hash(col("l_orderkey")), lit(saltBuckets)))
+      .groupBy(col("l_returnflag"), col("__salt"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).as("partial_qty"),
+        count(lit(1)).as("partial_n"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("partial_qty")).cast("double").as("sum_qty"),
+        sum(col("partial_n")).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Sketch surface: approx_count_distinct (HLL++) next to the exact
     * count — rows-only (sketch estimates are engine-specific), the
     * mergeable-sketch pattern that replaces exact distinct at 100 TB.

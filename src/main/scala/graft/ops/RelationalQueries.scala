@@ -68,6 +68,7 @@ object RelationalQueries {
       groupingSetsAgg(Tables.orders(s, d))),
     "q_range_join" -> ((s, d) => rangeJoinBands(Tables.lineitem(s, d))),
     "q_topk_agg" -> ((s, d) => topKAgg(Tables.orders(s, d), 3)),
+    "q_salted_agg" -> ((s, d) => saltedAgg(Tables.lineitem(s, d))),
     // rows-only: HLL estimates are engine-specific
     "q_approx_distinct" -> ((s, d) =>
       approxDistinct(Tables.lineitem(s, d)))
@@ -299,6 +300,15 @@ object RelationalQueries {
         |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]
         |    AS top_orders
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    // salted two-phase agg must equal the direct group-by (mergeable
+    // partials) — the oracle IS the direct form
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

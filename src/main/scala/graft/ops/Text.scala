@@ -287,6 +287,34 @@ object Text {
         .as("n_bpe_tokens")
     )
 
+  /** End-to-end curation pipeline — the composed LLM-training-data
+    * path: language filter → quality gate → exact dedup (lowest
+    * doc_id survives) → per-language token budget accounting. Every
+    * stage is one of the individually-oracle-checked operators; this
+    * query checks their composition.
+    */
+  def curationPipeline(docs: DataFrame): DataFrame = {
+    val quality = qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val kept = docs
+      .join(quality, "doc_id")
+      .filter(col("lang").isin("en", "de") && col("quality") > 0.3)
+    val deduped = exactDedup(kept)
+    deduped
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).as("n_tokens"),
+        // power-of-2 fixed-point sum: quality values are often dyadic
+        // rationals (0.40625 = 13/32) that land exactly on decimal
+        // rounding boundaries where engines' rounding rules (half-up
+        // vs half-even) disagree; floor(x * 2^16) is exact and
+        // rule-free on both sides
+        sum(floor(col("quality") * 65536).cast("long"))
+          .as("sum_quality_q16"))
+      .orderBy(col("lang"))
+  }
+
   /** Rolling-hash (Rabin–Karp, 32-byte windows) winnowing fingerprint
     * per document + its duplicate-group size — content-defined
     * near-exact dedup key via the native codegen expression.

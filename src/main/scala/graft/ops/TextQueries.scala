@@ -55,7 +55,9 @@ object TextQueries {
     // equivalent)
     "q_text_rolling_fp" -> ((s, d) =>
       Text.rollingFingerprint(Tables.documents(s, d))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    "q_text_curation" -> ((s, d) =>
+      Text.curationPipeline(Tables.documents(s, d)))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -145,6 +147,37 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(text,
          |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT)
          |    AS n_bpe_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_curation" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) * 0.25
+         |    + CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) * 0.5
+         |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25
+         |      AS quality
+         |  FROM t),
+         |kept AS (
+         |  SELECT * FROM q
+         |  WHERE lang IN ('en', 'de') AND quality > 0.3),
+         |dedup AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |                               ORDER BY doc_id) AS rn
+         |  FROM kept)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(FLOOR(quality * 65536) AS BIGINT)) AS BIGINT)
+         |    AS sum_quality_q16
+         |FROM dedup WHERE rn = 1
+         |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
