@@ -152,6 +152,55 @@ object Vector {
       .limit(k)
   }
 
+  /** IVF(-flat) approximate nearest neighbor — the other scale path
+    * next to sign-LSH: a KMeans coarse quantizer (trained once,
+    * deterministic seed) partitions vectors into `nLists` inverted
+    * lists; a query probes only its `nProbe` nearest centroids and
+    * ranks by exact cosine inside them. At 10⁸+ vectors the probe
+    * fraction (nProbe/nLists) is the speedup; recall is tuned by
+    * nProbe. Training is a one-time offline job at scale — here it
+    * runs inline for the registered query.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // cache: KMeans iterates over its input; uncached it would re-run
+    // the scan + conversion every iteration
+    val vecs = embeddings
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist()
+    val model = new KMeans()
+      .setK(nLists).setSeed(42L).setMaxIter(5)
+      .fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("prediction").as("list_id"))
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb")).head().getSeq[Float](0)
+    val qCol  = array(q.map(lit(_)): _*)
+    val qArr  = q.map(_.toDouble).toArray
+    // nProbe nearest centroids to the query vector (centroid table is
+    // tiny by construction — driver-side math is fine at any scale)
+    val probed = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        i -> c.toArray.zip(qArr).map { case (a, b) =>
+          (a - b) * (a - b) }.sum
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    assigned
+      .filter(col("list_id").isin(probed: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), qCol).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** vec_id + unit-normalized embedding, staged so the norm is
     * computed once per row (an inlined norm inside the transform
     * lambda would be re-evaluated per element — HOFs are excluded

@@ -28,6 +28,8 @@ object VectorQueries {
     // rows-only (LSH not ANSI-SQL-expressible):
     "q_vec_ann_lsh" -> ((s, d) =>
       Vector.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
+    "q_vec_ann_ivf" -> ((s, d) =>
+      Vector.ivfTopK(Tables.embeddings(s, d), 0L, 10)),
     "q_vec_neardup" -> ((s, d) =>
       Vector.cosineNearDup(Tables.embeddings(s, d), 0.5)
         .orderBy(col("vec_a"), col("vec_b")))

@@ -132,6 +132,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming demux output == batch demux output on same input") {
+    // the shared-logical-core claim (SURVEY §7.1), tested directly:
+    // the same Demux functions under MemoryStream must emit exactly
+    // the rows the batch path emits.
+    implicit val sqlCtx = spark.sqlContext
+    val lines = graft.ops.GmallSynth
+      .logLines(Tables.events(spark, sf("sf0.001")))
+      .limit(300).as[String].collect().toSeq
+    val batchOut = LogPipeline
+      .demuxToTopicValue(lines.toDF("value"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val in = MemoryStream[String]
+    val q = LogPipeline.demuxToTopicValue(in.toDF())
+      .writeStream.format("memory").queryName("parity_out")
+      .outputMode("append").start()
+    try {
+      in.addData(lines)
+      q.processAllAvailable()
+      val streamOut = spark.table("parity_out")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(streamOut.length == batchOut.length)
+      assert(streamOut.sameElements(batchOut))
+    } finally q.stop()
+  }
+
   test("observe captures input metrics in the single demux pass (T1)") {
     val raw = Seq(
       """{"common":{"mid":"m1"},"page":{"page_id":"p"},"ts":1}""",

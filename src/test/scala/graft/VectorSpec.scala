@@ -46,6 +46,20 @@ class VectorSpec extends SparkSpec {
         .collect().toSet))
   }
 
+  test("ivf ann: neighbors are real vectors ranked by true cosine") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val ivf = Vec.ivfTopK(emb, 0L, 5, nLists = 4, nProbe = 2)
+      .collect()
+    assert(ivf.nonEmpty && ivf.length <= 5)
+    // ranked descending by cosine
+    val sims = ivf.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    // every returned id is in the brute-force top half (sane recall)
+    val bf = Vec.bruteForceTopK(emb, 0L, 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.map(_.getAs[Long]("vec_id")).count(bf) >= ivf.length / 2)
+  }
+
   test("near-dup pairs symmetric-free, above threshold, deduped") {
     val nd = Vec.cosineNearDup(vecs, 0.95,
       nBands = 4, bitsPerBand = 1, dim = 3).collect()
