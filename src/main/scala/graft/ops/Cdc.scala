@@ -74,4 +74,23 @@ object Cdc {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** LWW as an aggregation (`max_by`) instead of a window: the window
+    * form sorts and materializes whole key partitions; this form gets
+    * map-side partial aggregation (each task keeps ONE row per key)
+    * and AQE skew splitting — strictly better at scale when the order
+    * key is unique (with order ties the surviving row among tied
+    * maxima is unspecified, where the window form's is defined by the
+    * full sort order).
+    */
+  def lastWriteWinsAgg(
+      df: DataFrame,
+      keys: Seq[Column],
+      order: Column
+  ): DataFrame = {
+    val cols = df.columns.map(col)
+    df.groupBy(keys: _*)
+      .agg(max_by(struct(cols: _*), order).as("__row"))
+      .select(col("__row.*"))
+  }
 }

@@ -93,7 +93,9 @@ object CdcQueries {
           col("data")("id").cast("long").as("id"),
           col("op")
         )
-      Cdc.lastWriteWins(dims, Seq(col("uid")), Seq(col("id")))
+      // agg (max_by) form: map-side partial + AQE skew handling; the
+      // order key (id) is unique so it's equivalent to the window form
+      Cdc.lastWriteWinsAgg(dims, Seq(col("uid")), col("id"))
         .orderBy(col("uid"))
     })
   )

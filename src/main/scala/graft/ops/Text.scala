@@ -32,8 +32,23 @@ object Text {
         count(lit(1)).as("n_dups")
       )
 
-  /** Exact dedup keeping the lowest doc_id per identical text. */
+  /** Exact dedup keeping the lowest doc_id per identical text —
+    * `min_by` aggregation form: map-side partial keeps one row per
+    * hash per task and AQE splits skewed hash buckets, vs the window
+    * form (`exactDedupWindow`) which sorts whole partitions.
+    */
   def exactDedup(docs: DataFrame): DataFrame = {
+    val cols = docs.columns.map(col)
+    docs
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(min_by(struct(cols: _*), col("doc_id")).as("__row"))
+      .select(col("__row.*"))
+  }
+
+  /** Window-form exact dedup (kept for the defined-under-ties
+    * semantics and as the differential-test reference).
+    */
+  def exactDedupWindow(docs: DataFrame): DataFrame = {
     val w = Window
       .partitionBy(md5(col("text").cast("binary")))
       .orderBy(col("doc_id"))

@@ -76,6 +76,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("agg-form LWW/dedup == window-form on unique order keys") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 8)), n = 15) { ks =>
+      val df = ks.zipWithIndex
+        .map { case (k, i) => (k.toLong, i.toLong, s"p$i") }
+        .toDF("k", "seq", "payload")
+      val win = Cdc.lastWriteWins(df, Seq(col("k")), Seq(col("seq")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val agg = Cdc.lastWriteWinsAgg(df, Seq(col("k")), col("seq"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(win == agg)
+    }
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val a = Text.exactDedup(docs).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val b = Text.exactDedupWindow(docs).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("shingle invariants: distinct, count bounded by token count") {
     forAll(textGen) { t =>
       val row = Seq(Tuple1(t)).toDF("text")
