@@ -19,25 +19,30 @@ object CdcQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** events → raw Maxwell JSON lines (the synthetic ODS_BASE_DB). */
+  /** events → raw Maxwell JSON lines (the synthetic ODS_BASE_DB).
+    * Built with codegen `concat` rather than `to_json`
+    * (StructsToJson is interpreted): every value here is a digit
+    * string or fixed literal, so no JSON escaping is needed, and the
+    * parse side (`from_json`) is what's actually under test.
+    */
   def maxwellLines(events: DataFrame): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("int")
+    val typ =
+      when(col("event_type") === "signup", lit("bootstrap-insert"))
+        .when(col("event_type") === "view", lit("insert"))
+        .when(col("event_type") === "purchase", lit("update"))
+        .otherwise(col("event_type"))
     events
       .withColumn("k", k)
       .select(
-        to_json(struct(
-          concat(lit("t"), (col("user_id") % 3).cast("string"))
-            .as("table"),
-          when(col("event_type") === "signup", lit("bootstrap-insert"))
-            .when(col("event_type") === "view", lit("insert"))
-            .when(col("event_type") === "purchase", lit("update"))
-            .otherwise(col("event_type")).as("type"),
-          map(
-            lit("id"), col("event_id").cast("string"),
-            lit("uid"), col("user_id").cast("string"),
-            lit("k"), col("k").cast("string")
-          ).as("data")
-        )).as("value"),
+        concat(
+          lit("{\"table\":\"t"), (col("user_id") % 3).cast("string"),
+          lit("\",\"type\":\""), typ,
+          lit("\",\"data\":{\"id\":\""), col("event_id").cast("string"),
+          lit("\",\"uid\":\""), col("user_id").cast("string"),
+          lit("\",\"k\":\""), col("k").cast("string"),
+          lit("\"}}")
+        ).as("value"),
         unix_millis(col("ts")).as("ems")
       )
   }

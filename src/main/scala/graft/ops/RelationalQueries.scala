@@ -69,6 +69,22 @@ object RelationalQueries {
     "q_range_join" -> ((s, d) => rangeJoinBands(Tables.lineitem(s, d))),
     "q_topk_agg" -> ((s, d) => topKAgg(Tables.orders(s, d), 3)),
     "q_salted_agg" -> ((s, d) => saltedAgg(Tables.lineitem(s, d))),
+    // SQL frontend (the reference has none — spark-sql was a declared
+    // but unused dependency): TPC-H Q6 as a pure SQL string over a
+    // registered view, same Catalyst plan as the DataFrame form.
+    "q_sql_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    }),
     // rows-only: HLL estimates are engine-specific
     "q_approx_distinct" -> ((s, d) =>
       approxDistinct(Tables.lineitem(s, d)))
@@ -301,6 +317,16 @@ object RelationalQueries {
         |    AS top_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     // salted two-phase agg must equal the direct group-by (mergeable
     // partials) — the oracle IS the direct form
     "q_salted_agg" ->
