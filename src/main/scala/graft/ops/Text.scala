@@ -302,6 +302,25 @@ object Text {
         .as("n_bpe_tokens")
     )
 
+  /** Corpus document-frequency stats: token → (docs containing it,
+    * total occurrences) — the explode+groupBy shape behind TF-IDF /
+    * vocabulary building. One shuffle on the token; at 100 TB add a
+    * frequency floor pushdown (HAVING) so the long tail never leaves
+    * the reducers, which `minDf` provides.
+    */
+  def docFrequency(docs: DataFrame, minDf: Long): DataFrame = {
+    val total = docs.count()
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total"))
+      .filter(col("df") >= minDf)
+      .withColumn("idf",
+        log(lit(total.toDouble) / col("df").cast("double")))
+  }
+
   /** End-to-end curation pipeline — the composed LLM-training-data
     * path: language filter → quality gate → exact dedup (lowest
     * doc_id survives) → per-language token budget accounting. Every

@@ -57,7 +57,14 @@ object TextQueries {
       Text.rollingFingerprint(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
     "q_text_curation" -> ((s, d) =>
-      Text.curationPipeline(Tables.documents(s, d)))
+      Text.curationPipeline(Tables.documents(s, d))),
+    // idf itself is ln(), which differs in the last ulp between Java
+    // and DuckDB libm — the hash-compared projection sticks to the
+    // exact-integer df/tf columns (idf is spec-tested instead)
+    "q_text_doc_freq" -> ((s, d) =>
+      Text.docFrequency(Tables.documents(s, d), minDf = 50L)
+        .select(col("token"), col("df"), col("tf_total"))
+        .orderBy(col("token")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -148,6 +155,17 @@ object TextQueries {
          |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT)
          |    AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_doc_freq" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END) AS token
+         |  FROM documents)
+         |SELECT token, COUNT(DISTINCT doc_id) AS df,
+         |  COUNT(*) AS tf_total
+         |FROM tok GROUP BY token
+         |HAVING COUNT(DISTINCT doc_id) >= 50
+         |ORDER BY token""".stripMargin,
     "q_text_curation" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, text, n_chars,

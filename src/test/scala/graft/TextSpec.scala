@@ -67,6 +67,16 @@ class TextSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("doc frequency + idf: df counts docs once, idf = ln(N/df)") {
+    val out = Text.docFrequency(docs, minDf = 1L).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("tf_total"),
+          r.getAs[Double]("idf"))).toMap
+    // "the" appears twice in docs 1-3 → df=3, tf=6
+    assert(out("the") == ((3L, 6L, math.log(5.0 / 3.0))))
+    assert(out("cat")._1 == 1L)
+  }
+
   test("lang guess picks marker-word argmax") {
     val d = Seq(
       (1L, "der hund und die katze", "x"),
