@@ -467,6 +467,28 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Ordered conversion funnel over the event stream: users who
+    * viewed, then clicked after their first view, then purchased
+    * after that click. Each stage is one filtered agg + broadcastable
+    * join on user — no sessionized state, no per-user sort; at scale
+    * the stage frames shrink monotonically so later joins broadcast.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
   /** Two-phase salted aggregation — the standard hot-key mitigation
     * when one group key dominates (AQE skew-join covers joins; skewed
     * groupBy needs this): phase 1 aggregates on (key, salt) spreading

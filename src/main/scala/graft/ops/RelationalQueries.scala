@@ -64,6 +64,7 @@ object RelationalQueries {
       groupPercentiles(Tables.orders(s, d))),
     "q_pivot_status" -> ((s, d) => pivotStatus(Tables.orders(s, d))),
     "q_json_funcs" -> ((s, d) => jsonFuncs(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_grouping_sets" -> ((s, d) =>
       groupingSetsAgg(Tables.orders(s, d))),
     "q_range_join" -> ((s, d) => rangeJoinBands(Tables.lineitem(s, d))),
@@ -317,6 +318,23 @@ object RelationalQueries {
         |    AS top_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+        |       (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin,
     "q_sql_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)

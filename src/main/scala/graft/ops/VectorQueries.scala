@@ -30,6 +30,14 @@ object VectorQueries {
       Vector.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
     "q_vec_ann_ivf" -> ((s, d) =>
       Vector.ivfTopK(Tables.embeddings(s, d), 0L, 10)),
+    "q_vec_feature_knn" -> ((s, d) =>
+      // media features → brute-force cosine neighbors: the multimodal
+      // feature column flowing through the similarity operator
+      Vector.bruteForceTopK(
+        Multimodal.extractFeatures(Tables.documents(s, d), dim = 16)
+          .select(col("doc_id").as("vec_id"), lit(0).as("label"),
+            col("feature").as("embedding")),
+        0L, 10)),
     "q_vec_neardup" -> ((s, d) =>
       Vector.cosineNearDup(Tables.embeddings(s, d), 0.5)
         .orderBy(col("vec_a"), col("vec_b")))
