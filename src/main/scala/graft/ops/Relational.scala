@@ -287,6 +287,41 @@ object Relational {
       )
       .orderBy(col("o_orderkey"))
 
+  /** Date/interval arithmetic surface (exact day/month integer
+    * results — no timezone or fractional ambiguity).
+    */
+  def dateFuncs(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate"), 30).cast("date").as("due_date"),
+        add_months(col("o_orderdate"), 3).cast("date").as("quarter_later"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+          .as("days_to_eoy"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        dayofweek(col("o_orderdate")).as("o_dow"),
+        last_day(col("o_orderdate")).as("month_end")
+      )
+      .orderBy(col("o_orderkey"))
+
+  /** String-function surface beyond scalarFuncs: padding, translation,
+    * edit distance, splitting — all codegen builtins with exact
+    * results.
+    */
+  def stringFuncs(nation: DataFrame): DataFrame =
+    nation
+      .select(
+        col("n_name"),
+        lpad(col("n_name"), 20, ".").as("padded"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("lower_vowels"),
+        levenshtein(col("n_name"), lit("UNITED STATES")).as("dist_us"),
+        reverse(col("n_name")).as("reversed"),
+        size(split(col("n_name"), " ")).as("n_words"),
+        concat(upper(substring(lower(col("n_name")), 1, 1)),
+          substring(lower(col("n_name")), 2, 100)).as("title_case")
+      )
+      .orderBy(col("n_name"))
+
   /** Time-bucketed aggregation over the event stream table: the batch
     * equivalent of a tumbling event-time window (streaming version in
     * graft.streaming).

@@ -65,6 +65,8 @@ object RelationalQueries {
     "q_pivot_status" -> ((s, d) => pivotStatus(Tables.orders(s, d))),
     "q_json_funcs" -> ((s, d) => jsonFuncs(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "q_date_funcs" -> ((s, d) => dateFuncs(Tables.orders(s, d))),
+    "q_string_funcs" -> ((s, d) => stringFuncs(Tables.nation(s, d))),
     "q_grouping_sets" -> ((s, d) =>
       groupingSetsAgg(Tables.orders(s, d))),
     "q_range_join" -> ((s, d) => rangeJoinBands(Tables.lineitem(s, d))),
@@ -318,6 +320,26 @@ object RelationalQueries {
         |    AS top_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE),
+        |                DATE '1998-12-31') AS INT) AS days_to_eoy,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS o_quarter,
+        |  CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS o_dow,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT n_name,
+        |  lpad(n_name, 20, '.') AS padded,
+        |  translate(n_name, 'AEIOU', 'aeiou') AS lower_vowels,
+        |  CAST(levenshtein(n_name, 'UNITED STATES') AS INT) AS dist_us,
+        |  reverse(n_name) AS reversed,
+        |  CAST(len(string_split(n_name, ' ')) AS INT) AS n_words,
+        |  upper(substring(lower(n_name), 1, 1)) ||
+        |    substring(lower(n_name), 2, 100) AS title_case
+        |FROM nation ORDER BY n_name""".stripMargin,
     "q_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS v_ts FROM events
