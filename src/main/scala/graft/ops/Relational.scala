@@ -322,6 +322,26 @@ object Relational {
       )
       .orderBy(col("n_name"))
 
+  /** Array functions over grouped collections: `collect_list` is
+    * order-nondeterministic under shuffle, so it is ALWAYS wrapped in
+    * `sort_array` before leaving the operator (the only way a
+    * collected array is reproducible at scale).
+    */
+  def arrayFuncs(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        col("qtys"),
+        size(col("qtys")).as("n_items"),
+        element_at(col("qtys"), 1).as("min_qty"),
+        element_at(col("qtys"), -1).as("max_qty"),
+        array_contains(col("qtys"), 15.0).as("has_qty15"),
+        slice(col("qtys"), 1, 2).as("two_smallest")
+      )
+      .orderBy(col("l_orderkey"))
+
   /** Time-bucketed aggregation over the event stream table: the batch
     * equivalent of a tumbling event-time window (streaming version in
     * graft.streaming).

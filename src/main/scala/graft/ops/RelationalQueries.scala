@@ -66,6 +66,7 @@ object RelationalQueries {
     "q_json_funcs" -> ((s, d) => jsonFuncs(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_date_funcs" -> ((s, d) => dateFuncs(Tables.orders(s, d))),
+    "q_array_funcs" -> ((s, d) => arrayFuncs(Tables.lineitem(s, d))),
     "q_string_funcs" -> ((s, d) => stringFuncs(Tables.nation(s, d))),
     "q_grouping_sets" -> ((s, d) =>
       groupingSetsAgg(Tables.orders(s, d))),
@@ -320,6 +321,17 @@ object RelationalQueries {
         |    AS top_orders
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_array_funcs" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, qtys,
+        |  CAST(len(qtys) AS INT) AS n_items,
+        |  qtys[1] AS min_qty,
+        |  qtys[-1] AS max_qty,
+        |  list_contains(qtys, 15.0) AS has_qty15,
+        |  qtys[1:2] AS two_smallest
+        |FROM g ORDER BY l_orderkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
