@@ -29,4 +29,10 @@ package object functions {
     */
   def tokenShingles(text: Column, n: Int): Column =
     Bridge.column(TokenShingles(Bridge.expression(text), n))
+
+  /** 64-bit SimHash of a token-array column (see
+    * [[graft.functions.SimHash64]]).
+    */
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
 }

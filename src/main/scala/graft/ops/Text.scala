@@ -258,32 +258,9 @@ object Text {
       )
   }
 
-  /** 64-bit SimHash over tokens (UDF: pointwise bit-mixing; no
-    * builtin equivalent — flagged for a codegen Expression).
-    */
-  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { toks: Seq[String] =>
-      val acc = new Array[Int](64)
-      toks.foreach { t =>
-        var h = scala.util.hashing.MurmurHash3.stringHash(t, 42).toLong
-        h = (h << 32) |
-          (scala.util.hashing.MurmurHash3.stringHash(t, 7).toLong
-            & 0xffffffffL)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-          i += 1
-        }
-      }
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
-      out
-    }
-
   def simhashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      simhash64(tokens(col("text"))).as("simhash"))
+      graft.functions.simhash64(tokens(col("text"))).as("simhash"))
 
   /** BPE-ish pre-tokenizer regex (GPT-2 style word/number/punct
     * splitting, ASCII form): identical semantics under Java regex
