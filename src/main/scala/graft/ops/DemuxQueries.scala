@@ -31,7 +31,7 @@ object DemuxQueries {
 
   private def parsed(s: SparkSession, d: String): DataFrame =
     parsedCache.getOrElseUpdate((s, d),
-      Demux.parse(GmallSynth.logLines(Tables.events(s, d))).persist())
+      Demux.parse(GmallSynth.logLinesFast(Tables.events(s, d))).persist())
 
   val queries: Map[String, Q] = Map(
     "q_demux_page" -> ((s, d) =>

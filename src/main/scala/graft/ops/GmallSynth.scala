@@ -107,4 +107,89 @@ object GmallSynth {
       )).as("value")
     )
   }
+
+  /** Same log lines built with codegen `concat` instead of the
+    * interpreted StructsToJson (every value is a digit string or
+    * fixed literal — no escaping needed; the parse side is what the
+    * demux queries test). Payload-identical to `logLines` modulo
+    * JSON key presence order, which `from_json` ignores.
+    */
+  def logLinesFast(events: DataFrame): DataFrame = {
+    val e = events
+      .repartition(col("event_id"))
+      .withColumn("k",
+        get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("ems", unix_millis(col("ts")))
+
+    val commonJson = concat(
+      lit("\"common\":{\"ar\":\""), s(col("user_id") % 34),
+      lit("\",\"ba\":\"brand"), s(col("user_id") % 5),
+      lit("\",\"ch\":\"ch"), s(col("user_id") % 4),
+      lit("\",\"is_new\":\""), s(col("user_id") % 2),
+      lit("\",\"md\":\"m"), s(col("user_id") % 7),
+      lit("\",\"mid\":\"mid_"), s(col("user_id")),
+      lit("\",\"os\":\"os"), s(col("user_id") % 3),
+      lit("\",\"uid\":\""), s(col("user_id")),
+      lit("\",\"vc\":\"v"), s(col("user_id") % 9),
+      lit("\"}"))
+
+    val pageJson = concat(
+      lit(",\"page\":{\"during_time\":"),
+      s(floor(col("value") * 100).cast("long")),
+      lit(",\"item\":\""), s(col("event_id")),
+      lit("\",\"item_type\":\"sku_id\",\"last_page_id\":\"p"),
+      s(col("k") % 7),
+      lit("\",\"page_id\":\"p"), s(col("k") % 10),
+      lit("\",\"source_type\":\"s"), s(col("k") % 3),
+      lit("\"}"))
+
+    val displaysJson = concat(
+      lit(",\"displays\":["),
+      array_join(transform(sequence(lit(0), col("k") % 3), i =>
+        concat(
+          lit("{\"display_type\":\"promo\",\"item\":\""),
+          s(col("event_id") * 10 + i),
+          lit("\",\"item_type\":\"sku_id\",\"order\":\""), s(i),
+          lit("\",\"pos_id\":\""), s(col("k") % 5),
+          lit("\"}"))), ","),
+      lit("]"))
+
+    val actionsJson = concat(
+      lit(",\"actions\":["),
+      array_join(transform(sequence(lit(0), col("k") % 2), i =>
+        concat(
+          lit("{\"action_id\":\"a"), s((col("k") + i) % 5),
+          lit("\",\"item\":\""), s(col("event_id")),
+          lit("\",\"item_type\":\"sku_id\",\"ts\":"),
+          s(col("ems") + i * 1000),
+          lit("}"))), ","),
+      lit("]"))
+
+    val startJson = concat(
+      lit(",\"start\":{\"entry\":\"e"), s(col("k") % 3),
+      lit("\",\"loading_time\":"), s((col("k") * 10).cast("long")),
+      lit(",\"open_ad_id\":\""), s(col("k") % 10),
+      lit("\",\"open_ad_ms\":"), s((col("k") * 20).cast("long")),
+      lit(",\"open_ad_skip_ms\":"), s(((col("k") % 2) * 100).cast("long")),
+      lit("}"))
+
+    val errJson = concat(
+      lit(",\"err\":{\"error_code\":"), s(col("k").cast("long")),
+      lit(",\"msg\":\"boom_"), s(col("k")), lit("\"}"))
+
+    e.select(
+      concat(
+        lit("{"), commonJson,
+        when(col("event_type").isin("view", "click", "purchase", "error"),
+          pageJson).otherwise(lit("")),
+        when(col("event_type") === "click", displaysJson)
+          .otherwise(lit("")),
+        when(col("event_type") === "purchase", actionsJson)
+          .otherwise(lit("")),
+        when(col("event_type") === "signup", startJson)
+          .otherwise(lit("")),
+        when(col("event_type") === "error", errJson).otherwise(lit("")),
+        lit(",\"ts\":"), s(col("ems")), lit("}")
+      ).as("value"))
+  }
 }

@@ -106,4 +106,16 @@ class DemuxSpec extends SparkSpec {
     assert(Demux.displays(parsed).count() == dispSum)
     parsed.unpersist()
   }
+
+  test("logLinesFast parses to exactly the same envelopes as logLines") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    def flat(lines: org.apache.spark.sql.DataFrame) =
+      Demux.parse(lines)
+        .select(to_json(struct(col("*"))).as("j"))
+        .as[String].collect().sorted.toSeq
+    val a = flat(GmallSynth.logLines(events))
+    val b = flat(GmallSynth.logLinesFast(events))
+    assert(a.length == b.length)
+    assert(a == b)
+  }
 }
