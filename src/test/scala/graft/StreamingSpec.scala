@@ -208,18 +208,35 @@ class StreamingSpec extends SparkSpec {
     val q = Sessionize.sessionize(in.toDS(), gapMs = 60000)
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("append").start()
+    // base epoch away from 0: with a watermark, stateful exec drops
+    // input rows at-or-before the current watermark, and the initial
+    // watermark is 0 — a ts=0 event would be filtered as late.
+    val t0 = 1_000_000_000L
     try {
       in.addData(
-        Sessionize.Event(1L, 0L, 1.0),
-        Sessionize.Event(1L, 30000L, 2.0))
+        Sessionize.Event(1L, t0, 1.0),
+        Sessionize.Event(1L, t0 + 30000L, 2.0))
       q.processAllAvailable()
-      // gap > 60 s → closes first session
-      in.addData(Sessionize.Event(1L, 200000L, 3.0))
+      // gap > 60 s → closes first session inline
+      in.addData(Sessionize.Event(1L, t0 + 200000L, 3.0))
       q.processAllAvailable()
       val rows = spark.table("sess_out").as[Sessionize.SessionOut]
         .collect()
       assert(rows.length == 1)
       assert(rows.head.n_events == 2 && rows.head.sum_value == 3.0)
+      // idle-key close: user 2's lone event, then watermark advanced
+      // far past user2.last+gap by user 1 traffic → event-time timeout
+      // emits user 2's session without any user-2 event
+      in.addData(Sessionize.Event(2L, t0 + 210000L, 9.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.Event(1L, t0 + 500000L, 4.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.Event(1L, t0 + 510000L, 5.0))
+      q.processAllAvailable()
+      val u2 = spark.table("sess_out").as[Sessionize.SessionOut]
+        .collect().filter(_.user_id == 2L)
+      assert(u2.length == 1)
+      assert(u2.head.n_events == 1 && u2.head.sum_value == 9.0)
     } finally q.stop()
   }
 }
