@@ -25,19 +25,30 @@ object Bench {
     // machinery) so the first timed query doesn't absorb JVM startup.
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        // Spark's ContextCleaner is GC-driven: with a large heap, GC
-        // almost never fires, so broadcast blocks and shuffle state
-        // from earlier queries pile up and skew later timings. Nudge
-        // collection between queries, outside the timed region.
-        System.gc()
+    // cache-family of a query name (q_text_* → "text", ...): names are
+    // processed sorted, so each family is a contiguous run and its
+    // shared persisted state (graft.Caches) can be released as soon as
+    // the run ends — the bench then measures steady state instead of
+    // an ever-growing cache pile.
+    def family(name: String): String =
+      name.split("_").lift(1).getOrElse("")
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = sorted.zipWithIndex.map {
+      case ((name, fn), i) =>
         val t0 = System.nanoTime()
         val n =
           try fn(spark, sfDir).count()
           catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $dt%8.2fs  rows=$n")
+        // outside the timed region: release family caches at the
+        // family's last query, then nudge GC — Spark's ContextCleaner
+        // is GC-driven, and with a large heap broadcast/shuffle state
+        // from earlier queries otherwise piles up and skews timings.
+        if (i + 1 >= sorted.length ||
+            family(sorted(i + 1)._1) != family(name))
+          Caches.release(family(name))
+        System.gc()
         name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

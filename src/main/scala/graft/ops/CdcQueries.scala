@@ -26,7 +26,10 @@ object CdcQueries {
     * parse side (`from_json`) is what's actually under test.
     */
   def maxwellLines(events: DataFrame): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("int")
+    // coalesce-guard: concat null-propagates, so a null k would
+    // silently drop the whole envelope
+    val k = coalesce(
+      get_json_object(col("props"), "$.k").cast("int"), lit(0))
     val typ =
       when(col("event_type") === "signup", lit("bootstrap-insert"))
         .when(col("event_type") === "view", lit("insert"))
@@ -58,15 +61,12 @@ object CdcQueries {
     * DemuxQueries.parsed: one shared materialized envelope per
     * session instead of a per-branch single-split JSON round trip.
     */
-  private val normalizedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def normalized(s: SparkSession, d: String): DataFrame =
-    normalizedCache.getOrElseUpdate((s, d), {
+    graft.Caches.persisted("cdc", (s, d)) {
       val raw = maxwellLines(
         Tables.events(s, d).repartition(col("event_id")))
-      Cdc.normalizeOps(Cdc.parse(raw.select("value"))).persist()
-    })
+      Cdc.normalizeOps(Cdc.parse(raw.select("value")))
+    }
 
   val queries: Map[String, Q] = Map(
     // T10+T11: normalize op types (click/error rows must be dropped),

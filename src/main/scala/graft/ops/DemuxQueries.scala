@@ -26,12 +26,9 @@ object DemuxQueries {
     * repartition as a full per-row from_json(to_json(...)) on the
     * (single-split) scan.
     */
-  private val parsedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def parsed(s: SparkSession, d: String): DataFrame =
-    parsedCache.getOrElseUpdate((s, d),
-      Demux.parse(GmallSynth.logLinesFast(Tables.events(s, d))).persist())
+    graft.Caches.persisted("demux", (s, d))(
+      Demux.parse(GmallSynth.logLinesFast(Tables.events(s, d))))
 
   val queries: Map[String, Q] = Map(
     "q_demux_page" -> ((s, d) =>
@@ -43,12 +40,17 @@ object DemuxQueries {
     "q_demux_action" -> ((s, d) =>
       Demux.actions(parsed(s, d))
         .orderBy(col("page_item").cast("long"), col("action_ts"))),
+    // sort keys carry every free variable of the row derivation
+    // (ts → ems, mid → user_id, loading_time_ms/error_code → k), plus
+    // entry/msg as explicit tie-breakers so compare order can never
+    // be input-dependent
     "q_demux_start" -> ((s, d) =>
       Demux.starts(parsed(s, d))
-        .orderBy(col("ts"), col("mid"), col("loading_time_ms"))),
+        .orderBy(col("ts"), col("mid"), col("loading_time_ms"),
+          col("entry"), col("open_ad_id"))),
     "q_demux_err" -> ((s, d) =>
       Demux.errors(parsed(s, d))
-        .orderBy(col("ts"), col("mid"), col("error_code")))
+        .orderBy(col("ts"), col("mid"), col("error_code"), col("msg")))
   )
 
   /** Shared SQL fragment: the common-field derivations (must stay in
@@ -75,7 +77,9 @@ object DemuxQueries {
 
   private def withK(where: String) =
     s"""WITH e AS (
-       |  SELECT *, CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+       |  SELECT * REPLACE (COALESCE(value, 0.0) AS value),
+       |         COALESCE(CAST(json_extract_string(props, '$$.k') AS INT),
+       |                  0) AS k,
        |         epoch_ms(ts) AS ems
        |  FROM events WHERE $where)""".stripMargin
 
@@ -118,13 +122,14 @@ object DemuxQueries {
          |  CAST(k * 20 AS BIGINT) AS open_ad_ms,
          |  CAST((k % 2) * 100 AS BIGINT) AS open_ad_skip_ms,
          |  ems AS ts
-         |FROM e ORDER BY ems, mid, loading_time_ms""".stripMargin,
+         |FROM e ORDER BY ems, mid, loading_time_ms, entry,
+         |  open_ad_id""".stripMargin,
     "q_demux_err" ->
       s"""${withK("event_type = 'error'")}
          |SELECT 'mid_'||user_id AS mid,
          |  CAST(k AS BIGINT) AS error_code,
          |  'boom_'||k AS msg,
          |  ems AS ts
-         |FROM e ORDER BY ems, mid, error_code""".stripMargin
+         |FROM e ORDER BY ems, mid, error_code, msg""".stripMargin
   )
 }

@@ -35,8 +35,12 @@ object GmallSynth {
     // one cheap hash shuffle into spark.sql.shuffle.partitions splits.
     val e = events
       .repartition(col("event_id"))
+      // coalesce-guard the derived fields: concat null-propagates, so a
+      // single null k/value would silently drop the whole record (the
+      // oracle's withK fragment applies the same defaults)
       .withColumn("k",
-        get_json_object(col("props"), "$.k").cast("int"))
+        coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0)))
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
       .withColumn("ems", unix_millis(col("ts")))
 
     val common = struct(
@@ -117,8 +121,12 @@ object GmallSynth {
   def logLinesFast(events: DataFrame): DataFrame = {
     val e = events
       .repartition(col("event_id"))
+      // coalesce-guard the derived fields: concat null-propagates, so a
+      // single null k/value would silently drop the whole record (the
+      // oracle's withK fragment applies the same defaults)
       .withColumn("k",
-        get_json_object(col("props"), "$.k").cast("int"))
+        coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0)))
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
       .withColumn("ems", unix_millis(col("ts")))
 
     val commonJson = concat(

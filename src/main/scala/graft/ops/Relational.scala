@@ -342,6 +342,23 @@ object Relational {
       )
       .orderBy(col("l_orderkey"))
 
+  /** Sorted-rowkey range scan (the reference's HBase
+    * `Scan.withStartRow/withStopRow` shape, `Hbase/src/main/java/com/
+    * atguigu/HbaseDML.java:127-149`): a BETWEEN predicate over the
+    * table's primary key. On parquet this compiles to pushed min/max
+    * filters (`PushedFilters: [GreaterThanOrEqual, LessThanOrEqual]`)
+    * so row groups outside the range are skipped at the footer — the
+    * columnar analogue of an HBase region range scan; on a sorted/
+    * bucketed layout at 100 TB, all but the overlapping files are
+    * pruned before any IO.
+    */
+  def rowkeyRangeScan(orders: DataFrame, lo: Long, hi: Long): DataFrame =
+    orders
+      .filter(col("o_orderkey").between(lo, hi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+
   /** Time-bucketed aggregation over the event stream table: the batch
     * equivalent of a tumbling event-time window (streaming version in
     * graft.streaming).

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Registry half of the relational surface: named queries (driver
@@ -66,12 +67,30 @@ object RelationalQueries {
     "q_json_funcs" -> ((s, d) => jsonFuncs(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_date_funcs" -> ((s, d) => dateFuncs(Tables.orders(s, d))),
-    "q_array_funcs" -> ((s, d) => arrayFuncs(Tables.lineitem(s, d))),
+    // the operator returns real arrays; the registered check projects
+    // them to CSV (fixed-point cents) because the driver's comparator
+    // can't sort array-typed cells — values compared are identical
+    "q_array_funcs" -> ((s, d) => {
+      def csvQ(c: org.apache.spark.sql.Column) =
+        concat_ws(",", transform(c, x => floor(x * 100).cast("string")))
+      arrayFuncs(Tables.lineitem(s, d))
+        .select(col("l_orderkey"), csvQ(col("qtys")).as("qtys_csv"),
+          col("n_items"), col("min_qty"), col("max_qty"),
+          col("has_qty15"), csvQ(col("two_smallest")).as("two_smallest_csv"))
+        .orderBy(col("l_orderkey"))
+    }),
     "q_string_funcs" -> ((s, d) => stringFuncs(Tables.nation(s, d))),
     "q_grouping_sets" -> ((s, d) =>
       groupingSetsAgg(Tables.orders(s, d))),
     "q_range_join" -> ((s, d) => rangeJoinBands(Tables.lineitem(s, d))),
-    "q_topk_agg" -> ((s, d) => topKAgg(Tables.orders(s, d), 3)),
+    "q_rowkey_range_scan" -> ((s, d) =>
+      rowkeyRangeScan(Tables.orders(s, d), 1000L, 2000L)),
+    "q_topk_agg" -> ((s, d) =>
+      topKAgg(Tables.orders(s, d), 3)
+        .select(col("o_orderpriority"),
+          concat_ws(",", transform(col("top_orders"),
+            _.cast("string"))).as("top_orders_csv"))
+        .orderBy(col("o_orderpriority"))),
     "q_salted_agg" -> ((s, d) => saltedAgg(Tables.lineitem(s, d))),
     // SQL frontend (the reference has none — spark-sql was a declared
     // but unused dependency): TPC-H Q6 as a pure SQL string over a
@@ -315,22 +334,34 @@ object RelationalQueries {
         |FROM lineitem JOIN bands
         |  ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band_id, band_name ORDER BY band_id""".stripMargin,
+    "q_rowkey_range_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "q_topk_agg" ->
       """SELECT o_orderpriority,
-        |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]
-        |    AS top_orders
+        |  array_to_string(list_transform(
+        |    (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3],
+        |    x -> CAST(x AS VARCHAR)), ',') AS top_orders_csv
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_array_funcs" ->
       """WITH g AS (
         |  SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
         |  FROM lineitem GROUP BY l_orderkey)
-        |SELECT l_orderkey, qtys,
+        |SELECT l_orderkey,
+        |  array_to_string(list_transform(qtys,
+        |    x -> CAST(CAST(FLOOR(x * 100) AS BIGINT) AS VARCHAR)), ',')
+        |    AS qtys_csv,
         |  CAST(len(qtys) AS INT) AS n_items,
         |  qtys[1] AS min_qty,
         |  qtys[-1] AS max_qty,
         |  list_contains(qtys, 15.0) AS has_qty15,
-        |  qtys[1:2] AS two_smallest
+        |  array_to_string(list_transform(qtys[1:2],
+        |    x -> CAST(CAST(FLOOR(x * 100) AS BIGINT) AS VARCHAR)), ',')
+        |    AS two_smallest_csv
         |FROM g ORDER BY l_orderkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,

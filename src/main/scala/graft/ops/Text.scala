@@ -213,9 +213,8 @@ object Text {
     // Signatures are tiny (32 longs/doc, ≪ the text) — persisting them
     // is the right call at any scale, and stops the self-join legs
     // from re-running the shingle+hash pipeline.
-    val sigs = docShingles(docs)
-      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
-      .persist()
+    val sigs = graft.Caches.track("text", docShingles(docs)
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig")))
     // Band hash = builtin xxhash64 over the sig slice (codegen'd,
     // hashes the longs directly — no per-band string building).
     val banded = sigs.select(
@@ -244,7 +243,7 @@ object Text {
       docs: DataFrame,
       candidates: DataFrame
   ): DataFrame = {
-    val sh = docShingles(docs).persist()
+    val sh = graft.Caches.track("text", docShingles(docs))
     candidates
       .join(sh.select(col("doc_id").as("doc_a"),
         col("sh").as("sh_a")), "doc_a")

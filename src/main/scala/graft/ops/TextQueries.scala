@@ -17,12 +17,9 @@ object TextQueries {
     * compute + persist once per session (same single-pass pattern as
     * DemuxQueries.parsed).
     */
-  private val candCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def candidates(s: SparkSession, d: String): DataFrame =
-    candCache.getOrElseUpdate((s, d),
-      Text.minhashCandidates(Tables.documents(s, d), 0.2).persist())
+    graft.Caches.persisted("text", (s, d))(
+      Text.minhashCandidates(Tables.documents(s, d), 0.2))
 
   val queries: Map[String, Q] = Map(
     "q_text_exact_dup_groups" -> ((s, d) =>

@@ -72,14 +72,16 @@ object Vector {
       .limit(k)
   }
 
-  /** Per-label centroid components via posexplode + exact decimal
+  /** Per-label centroid components via posexplode + exact fixed-point
     * mean — elementwise array aggregation expressed relationally.
     *
     * This sum DOES cross rows, so fold order is partition-dependent;
-    * exactness comes from summing decimals. Floats are converted via
-    * their shortest string representation (Ryu — identical in Spark
-    * and DuckDB, and ≤9 significant digits, so the decimal parse is
-    * exact), making the sum order-independent and bitwise-stable.
+    * exactness comes from integer accumulation: each float component
+    * is scaled by 2^16 (a pure exponent shift — exact in IEEE double)
+    * and floored to a long, so the sum is order-independent integer
+    * arithmetic, bitwise-identical in any engine. Exposed as
+    * (q16 sum, count) — the mergeable form (mean = sum/2^16/n at the
+    * consumer).
     */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
@@ -87,11 +89,7 @@ object Vector {
         posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(
-        // Exposed as (exact sum, count) — the mergeable form (mean =
-        // sum/n at the consumer). Keeping the decimal avoids engines'
-        // differing decimal→double conversions.
-        sum(col("x").cast("string").cast("decimal(38,18)"))
-          .as("sum_val"),
+        sum(floor(col("x").cast("double") * 65536)).as("sum_q16"),
         count(lit(1)).as("n_vecs")
       )
 
@@ -161,42 +159,73 @@ object Vector {
     * nProbe. Training is a one-time offline job at scale — here it
     * runs inline for the registered query.
     */
-  def ivfTopK(
+  /** Fit the IVF coarse quantizer (KMeans over the embeddings).
+    * Training is a one-time OFFLINE step at scale — callers fit once
+    * per corpus (memoize via `graft.Caches.cached`) and probe many
+    * times; the fit must never sit inside a latency-sensitive query.
+    * The training input is persisted only for the duration of the fit
+    * (KMeans iterates over it) and released immediately after.
+    */
+  def fitIvf(
       embeddings: DataFrame,
-      queryId: Long,
-      k: Int,
       nLists: Int = 16,
-      nProbe: Int = 4
-  ): DataFrame = {
+      maxIter: Int = 5,
+      seed: Long = 42L
+  ): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // cache: KMeans iterates over its input; uncached it would re-run
-    // the scan + conversion every iteration
-    val vecs = embeddings
-      .withColumn("features", array_to_vector(col("embedding")))
+    val train = embeddings
+      .select(array_to_vector(col("embedding")).as("features"))
       .persist()
-    val model = new KMeans()
-      .setK(nLists).setSeed(42L).setMaxIter(5)
-      .fit(vecs)
-    val assigned = model.transform(vecs)
+    try new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .fit(train)
+    finally train.unpersist(blocking = false)
+  }
+
+  /** IVF probe: assign vectors to inverted lists (map-side transform),
+    * pick the query's `nProbe` nearest centroids, rank by exact cosine
+    * inside those lists only. Fully lazy/distributed — the query
+    * vector travels via a broadcast 1-row join (no driver `.head()`),
+    * and centroid selection is a 16-row broadcast plan, so the whole
+    * probe is one scan + TakeOrdered regardless of corpus size.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      queryId: Long,
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val assigned = model
+      .transform(embeddings
+        .withColumn("features", array_to_vector(col("embedding"))))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("prediction").as("list_id"))
-    val q = assigned.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb")).head().getSeq[Float](0)
-    val qCol  = array(q.map(lit(_)): _*)
-    val qArr  = q.map(_.toDouble).toArray
-    // nProbe nearest centroids to the query vector (centroid table is
-    // tiny by construction — driver-side math is fine at any scale)
-    val probed = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        i -> c.toArray.zip(qArr).map { case (a, b) =>
-          (a - b) * (a - b) }.sum
-      }
-      .sortBy(_._2).take(nProbe).map(_._1)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    // centroids are tiny by construction (nLists rows) — a literal
+    // DataFrame + broadcast rank picks the nProbe nearest lists
+    val cents = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("list_id", "c_emb")
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("list_id"),
+        aggregate(
+          zip_with(col("c_emb"), col("q_emb"),
+            (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+      .orderBy(col("d2"), col("list_id"))
+      .limit(nProbe)
+      .select(col("list_id"))
     assigned
-      .filter(col("list_id").isin(probed: _*) && col("vec_id") =!= queryId)
+      .join(broadcast(probed), "list_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        cosine(col("embedding"), qCol).as("cos_sim"))
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -225,6 +254,23 @@ object Vector {
     * dot product; bands/bits tune candidate volume vs recall at
     * scale.
     */
+  /** EXACT brute-force cosine pairs above a threshold — the n² oracle
+    * twin of [[cosineNearDup]]. This is the verification baseline, not
+    * the scale path: run it at small SF to measure the LSH variant's
+    * recall (VectorSpec does), never on a full corpus. One broadcast
+    * nested-loop join; the cosine is a single codegen dot product per
+    * pair over unit-normalized vectors.
+    */
+  def exactCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val u = unitized(embeddings)
+    u.as("l").join(u.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(
+        col("l.vec_id").as("vec_a"),
+        col("r.vec_id").as("vec_b"),
+        decDot(col("l.unit"), col("r.unit")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   def cosineNearDup(
       embeddings: DataFrame,
       threshold: Double,
@@ -241,11 +287,11 @@ object Vector {
       }.reduce(_ + _)
     }: _*)
     // Persist (tiny: id + unit + band keys) so the self-join legs
-    // don't re-run normalization + 32 plane dots.
-    val banded = unitized(embeddings)
+    // don't re-run normalization + 32 plane dots; registered with
+    // Caches so the family release unpersists it.
+    val banded = graft.Caches.track("vec", unitized(embeddings)
       .select(col("vec_id"), col("unit"),
-        posexplode(bandArr).as(Seq("band_idx", "band_hash")))
-      .persist()
+        posexplode(bandArr).as(Seq("band_idx", "band_hash"))))
     banded.as("l").join(banded.as("r"),
       col("l.band_idx") === col("r.band_idx") &&
         col("l.band_hash") === col("r.band_hash") &&

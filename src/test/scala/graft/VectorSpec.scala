@@ -48,7 +48,8 @@ class VectorSpec extends SparkSpec {
 
   test("ivf ann: neighbors are real vectors ranked by true cosine") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
-    val ivf = Vec.ivfTopK(emb, 0L, 5, nLists = 4, nProbe = 2)
+    val model = Vec.fitIvf(emb, nLists = 4)
+    val ivf = Vec.ivfTopK(emb, model, 0L, 5, nProbe = 2)
       .collect()
     assert(ivf.nonEmpty && ivf.length <= 5)
     // ranked descending by cosine
@@ -74,6 +75,22 @@ class VectorSpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("banded LSH near-dup: exact precision, measured recall vs n² twin") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exact = pairSet(Vec.exactCosinePairs(emb, 0.4))
+    // the registered threshold must be evidentiary: non-trivial pair set
+    assert(exact.size >= 10)
+    val lsh = pairSet(Vec.cosineNearDup(emb, 0.4, nBands = 16))
+    // candidates are confirmed by exact cosine → precision is exactly 1
+    assert(lsh.subsetOf(exact))
+    // 16 bands × 4 bits at cos ≥ 0.4 → theoretical recall ≈ 0.94 for
+    // the worst (threshold-grazing) pair; assert a conservative floor
+    assert(lsh.size.toDouble / exact.size >= 0.6,
+      s"LSH recall ${lsh.size}/${exact.size} below floor")
+  }
+
   test("codegen arrayDot matches HOF fold bitwise incl. null cases") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
@@ -93,8 +110,9 @@ class VectorSpec extends SparkSpec {
     val c = Vec.labelCentroids(vecs)
       .filter(col("label") === 0 && col("pos") === 0)
       .collect().head
-    assert(c.getAs[java.math.BigDecimal]("sum_val")
-      .doubleValue() == 2.9)
+    // components 1.0f, 0.9f, 1.0f → q16: 65536 + floor(0.9f·2^16 =
+    // 58982.39…) + 65536; integer accumulation is fold-order-free
+    assert(c.getAs[Long]("sum_q16") == 65536L + 58982L + 65536L)
     assert(c.getAs[Long]("n_vecs") == 3L)
   }
 }
