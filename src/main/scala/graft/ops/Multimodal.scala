@@ -41,27 +41,42 @@ object Multimodal {
       lower(substring(hex(col("payload")), 1, 8)).as("head_hex")
     )
 
-  // === STUB ==========================================================
-  /** Deterministic FAKE decode: derives plausible metadata from the
-    * payload bytes. A real implementation would call an image/audio
-    * codec here (per-partition init, reused across rows); nothing
-    * else in the pipeline changes.
+  /** 60-bit integer from the first 15 hex chars of MD5 — the stubs'
+    * entropy source, chosen because it is bit-identical in any engine
+    * (`conv(substr(md5(x),1,15),16,10)` in Spark SQL,
+    * `('0x'||substr(md5(x),1,15))::BIGINT` in DuckDB), which is what
+    * makes the decode/feature queries oracle-checkable.
     */
-  def fakeDecode(payload: Array[Byte]): Row = {
+  def md5_60(md: java.security.MessageDigest, payload: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(payload)
+    // first 15 hex chars = 7.5 bytes, big-endian as hex reads
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  // === STUB ==========================================================
+  /** Deterministic FAKE decode: derives plausible metadata from an
+    * MD5 of the payload bytes. A real implementation would call an
+    * image/audio codec here (the MessageDigest passed in stands in
+    * for the per-partition codec handle, initialized once and reused
+    * across rows); nothing else in the pipeline changes.
+    */
+  def fakeDecode(md: java.security.MessageDigest, payload: Array[Byte]): Row =
     if (payload == null || payload.isEmpty)
       Row("unknown", 0, 0, 0, false)
     else {
-      val h = payload.foldLeft(1125899906842597L)((a, b) =>
-        31 * a + (b & 0xff))
-      val mt = (h & 3) match {
+      val h = md5_60(md, payload)
+      val mt = (h % 4) match {
         case 0 => "image"; case 1 => "audio"
         case 2 => "video"; case _ => "text"
       }
-      Row(mt, (math.abs(h >> 2) % 1920 + 1).toInt,
-        (math.abs(h >> 12) % 1080 + 1).toInt,
-        (math.abs(h >> 22) % 300 + 1).toInt, true)
+      Row(mt, ((h / 4L) % 1920L + 1L).toInt,
+        ((h / 4096L) % 1080L + 1L).toInt,
+        ((h / 4194304L) % 300L + 1L).toInt, true)
     }
-  }
   // === END STUB ======================================================
 
   /** Decode payloads partition-by-partition (the batch shape a real
@@ -75,9 +90,10 @@ object Multimodal {
     withPayload(docs)
       .select(col("doc_id"), col("payload"))
       .mapPartitions { rows =>
-        // real impl: init codec once per partition here
+        // per-partition init (a real impl constructs the codec here)
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
-          val meta = fakeDecode(r.getAs[Array[Byte]]("payload"))
+          val meta = fakeDecode(md, r.getAs[Array[Byte]]("payload"))
           Row.fromSeq(r.getLong(0) +: meta.toSeq)
         }
       }(enc)
@@ -115,27 +131,26 @@ object Multimodal {
 
   // === STUB ==========================================================
   /** Deterministic FAKE feature extractor: derives a `dim`-float
-    * embedding from payload bytes (splitmix64 chain over the bytes →
-    * unit-interval floats). A real implementation would run an
+    * embedding from per-dimension MD5s of the payload (`payload:j` →
+    * low 24 bits → unit interval). A real implementation would run an
     * encoder model per batch here; schema, batching, and everything
     * downstream (ANN/centroid/near-dup over the feature column) is
-    * identical.
+    * identical. MD5-based so the feature queries are oracle-checkable
+    * (see [[md5_60]]).
     */
-  def fakeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    var h = 0x243f6a8885a308d3L
-    if (payload != null) {
-      var i = 0
-      while (i < payload.length) {
-        h = graft.functions.MinHashSignature.mix64(
-          h + (payload(i) & 0xff))
-        i += 1
-      }
-    }
+  def fakeFeatures(
+      md: java.security.MessageDigest,
+      payload: Array[Byte],
+      dim: Int
+  ): Array[Float] = {
     val out = new Array[Float](dim)
     var j = 0
     while (j < dim) {
-      h = graft.functions.MinHashSignature.mix64(h + j)
-      out(j) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      val salted =
+        (if (payload == null) Array.emptyByteArray else payload) ++
+          s":$j".getBytes("UTF-8")
+      val h = md5_60(md, salted)
+      out(j) = ((h % (1L << 24)).toDouble / (1L << 24).toDouble).toFloat
       j += 1
     }
     out
@@ -155,10 +170,11 @@ object Multimodal {
     withPayload(docs)
       .select(col("doc_id"), col("payload"))
       .mapPartitions { rows =>
-        // real impl: load the encoder model once per partition here
+        // per-partition init (a real impl loads the encoder here)
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           Row(r.getLong(0),
-            fakeFeatures(r.getAs[Array[Byte]]("payload"), dim).toSeq)
+            fakeFeatures(md, r.getAs[Array[Byte]]("payload"), dim).toSeq)
         }
       }(enc)
   }

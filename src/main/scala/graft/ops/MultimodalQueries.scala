@@ -4,11 +4,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Registry for multimodal plumbing. `q_mm_payload_stats` is fully
-  * oracle-checked (byte-level builtins). The decode path (stubbed
-  * codec) is rows-only + spec-tested.
+/** Registry for multimodal plumbing. All four queries are
+  * oracle-checked: the stubs derive their fake outputs from MD5
+  * (portable — `('0x'||substr(md5(x),1,15))::BIGINT` in DuckDB
+  * equals `Multimodal.md5_60` bit-for-bit), so even the
+  * mapPartitions decode/encode paths have exact SQL twins.
   */
 object MultimodalQueries {
+
+  /** Shared oracle fragment: the decoded-metadata twin of
+    * `Multimodal.decodeMeta` (md5-derived fake codec output).
+    */
+  private val decodedCte =
+    """decoded AS (
+      |  SELECT doc_id,
+      |    CASE h % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      WHEN 2 THEN 'video' ELSE 'text' END AS media_type,
+      |    CAST((h // 4) % 1920 + 1 AS INT) AS width,
+      |    CAST((h // 4096) % 1080 + 1 AS INT) AS height,
+      |    CAST((h // 4194304) % 300 + 1 AS INT) AS n_frames
+      |  FROM (SELECT doc_id,
+      |          CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |        FROM documents WHERE text IS NOT NULL AND text <> ''))"""
+      .stripMargin
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -39,6 +57,36 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS payload_md5,
         |  lower(substring(hex(encode(text)), 1, 8)) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_decode_meta" ->
+      s"""WITH $decodedCte
+         |SELECT doc_id, media_type, width, height,
+         |  CAST(width AS DOUBLE) / height AS aspect,
+         |  LEAST(n_frames, 32) AS frames_to_sample
+         |FROM decoded WHERE media_type IN ('image', 'video')
+         |ORDER BY doc_id""".stripMargin,
+    "q_mm_resize_plan" ->
+      s"""WITH $decodedCte,
+         |s AS (
+         |  SELECT doc_id, width, height,
+         |    LEAST(336.0 / width, 336.0 / height) AS scale
+         |  FROM decoded)
+         |SELECT doc_id, width, height, scale,
+         |  CAST(ceil(width * scale) AS INT) AS out_w,
+         |  CAST(ceil(height * scale) AS INT) AS out_h
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_mm_feature_norms" ->
+      """WITH f AS (
+        |  SELECT d.doc_id,
+        |    list(CAST(CAST(CAST(('0x' || substr(
+        |        md5(d.text || ':' || CAST(t.j AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 16777216 AS DOUBLE) / 16777216.0 AS REAL)
+        |      ORDER BY t.j) AS feature
+        |  FROM documents d, generate_series(0, 15) AS t(j)
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id,
+        |  sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS l2_norm
+        |FROM (SELECT doc_id, UNNEST(feature) AS x FROM f)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -19,6 +19,15 @@ class MultimodalSpec extends SparkSpec {
     assert(m == Map(1L -> 11, 2L -> 0, 3L -> 11))
   }
 
+  test("md5_60 equals the oracle's ('0x'||substr(md5,1,15))::BIGINT") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // md5('hello') = 5d41402abc4b2a76... → 0x5d41402abc4b2a7
+    assert(Multimodal.md5_60(md, "hello".getBytes("UTF-8")) ==
+      419982666956583591L)
+    assert(Multimodal.md5_60(md, "hello".getBytes("UTF-8")) ==
+      java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+
   test("decode stub is deterministic and total") {
     val a = Multimodal.decodeMeta(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
