@@ -359,6 +359,40 @@ object Relational {
         col("o_totalprice"), col("o_orderdate"))
       .orderBy(col("o_orderkey"))
 
+  /** Score-ordered set (the reference's Redis sorted-set shape,
+    * `Jedis/.../Jedis_Pool.java:93-98` — ZADD accumulating member
+    * scores, read back with ZRANGEBYSCORE/ZRANK): members are users,
+    * a member's score is its accumulated event value, and the query
+    * is a score-range read with dense ranks.
+    *
+    * Scores accumulate as q16 fixed-point longs (floor(v·2^16) per
+    * event, integer sum) so the fold is order-independent — the same
+    * portability-and-determinism trick as the centroid/curation sums.
+    * Ranks are computed on the DISTINCT score set (tiny after agg)
+    * and broadcast back, so no window function ever sees more than
+    * the score cardinality — the full-table sort a naive
+    * rank-over-everything would shuffle into one partition never
+    * happens.
+    */
+  def zsetRangeByScore(
+      events: DataFrame,
+      loQ16: Long,
+      hiQ16: Long
+  ): DataFrame = {
+    val scores = events
+      .groupBy(col("user_id").as("member"))
+      .agg(sum(floor(col("value") * 65536).cast("long")).as("score_q16"))
+      .filter(col("score_q16").between(loQ16, hiQ16))
+    val ranks = scores.select(col("score_q16")).distinct()
+      .withColumn("zrank",
+        dense_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_q16").desc)))
+    scores.join(broadcast(ranks), "score_q16")
+      .select(col("member"), col("score_q16"), col("zrank"))
+      .orderBy(col("score_q16").desc, col("member"))
+  }
+
   /** Time-bucketed aggregation over the event stream table: the batch
     * equivalent of a tumbling event-time window (streaming version in
     * graft.streaming).

@@ -85,6 +85,8 @@ object RelationalQueries {
     "q_range_join" -> ((s, d) => rangeJoinBands(Tables.lineitem(s, d))),
     "q_rowkey_range_scan" -> ((s, d) =>
       rowkeyRangeScan(Tables.orders(s, d), 1000L, 2000L)),
+    "q_zset_range" -> ((s, d) =>
+      zsetRangeByScore(Tables.events(s, d), 200000000L, 300000000L)),
     "q_topk_agg" -> ((s, d) =>
       topKAgg(Tables.orders(s, d), 3)
         .select(col("o_orderpriority"),
@@ -340,6 +342,19 @@ object RelationalQueries {
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_zset_range" ->
+      """WITH s AS (
+        |  SELECT user_id AS member,
+        |    CAST(SUM(CAST(FLOOR(value * 65536) AS BIGINT)) AS BIGINT)
+        |      AS score_q16
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT member, score_q16,
+        |    CAST(DENSE_RANK() OVER (ORDER BY score_q16 DESC) AS INT)
+        |      AS zrank
+        |  FROM s WHERE score_q16 BETWEEN 200000000 AND 300000000)
+        |SELECT member, score_q16, zrank FROM r
+        |ORDER BY score_q16 DESC, member""".stripMargin,
     "q_topk_agg" ->
       """SELECT o_orderpriority,
         |  array_to_string(list_transform(

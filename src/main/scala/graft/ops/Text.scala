@@ -338,4 +338,204 @@ object Text {
       .select(col("doc_id"), col("roll_fp"), col("n_docs"),
         col("keep_doc_id"))
   }
+
+  /** EXACT 3-gram shingle Jaccard pairs at-or-above `threshold` —
+    * the exact twin of the MinHash pipeline's similarity space
+    * (sequence-sensitive word 3-grams, so "same vocabulary, different
+    * document" template pairs score low and only true near-copies
+    * match) — via prefix filtering (the PPJoin family's lossless
+    * pruning): order each doc's distinct shingles by global rarity
+    * (df asc, shingle asc — one canonical total order), and join docs
+    * only on their first `n - ceil(t·n) + 1` shingles. Any pair with
+    * Jaccard ≥ t must share a prefix element under a common total
+    * order, so the pruning loses nothing — the DuckDB oracle computes
+    * the unpruned inverted-index join and the driver compare proves
+    * losslessness on real data.
+    *
+    * Scale shape: one df aggregation, one shingle-keyed candidate
+    * join that only explodes PREFIXES (rare shingles — the df
+    * ordering pushes hot shingles into suffixes, so the join key is
+    * skew-resistant by construction), candidate dedup, then one
+    * verify join per side to fetch shingle sets for the exact
+    * intersection. No n² anywhere.
+    *
+    * Everything past the shingle projection runs on xxhash64'd
+    * shingles (8-byte keys through the df agg, the canonical sort,
+    * the candidate join, and the set intersection — far cheaper than
+    * ~25-char strings). Distinct-set Jaccard is hash-invariant absent
+    * collisions, and the string-space oracle compare would surface
+    * any collision as a value mismatch.
+    */
+  def jaccardExactPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // shingles staged behind two Project barriers: `tokens` (a split)
+    // must not get inlined into the per-element lambda (lambda HOF
+    // bodies are excluded from subexpression elimination). The
+    // repartition spreads the single-row-group testdata scan before
+    // the expensive per-row shingle transform (at scale the scan
+    // arrives pre-split and AQE can elide the exchange). Persisted:
+    // the df agg and the ordering both re-read it, and unpersisted
+    // legs re-run the whole shingle transform per leg.
+    val toks = graft.Caches.track("text", docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("raw_toks"))
+      .filter(size(col("raw_toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("raw_toks")) - 3),
+          i => xxhash64(concat_ws(" ",
+            element_at(col("raw_toks"), i + 1),
+            element_at(col("raw_toks"), i + 2),
+            element_at(col("raw_toks"), i + 3))))).as("toks")))
+    val df_ = toks
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // canonical rare-first token order per doc: sort (df, tok) structs
+    val ordered = toks
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        explode(col("toks")).as("tok"))
+      .join(df_, "tok")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+        .as("ord"))
+      .select(col("doc_id"), col("n"),
+        transform(col("ord"), _.getField("tok")).as("toks_ord"),
+        (col("n") - ceil(lit(threshold) * col("n")) + 1)
+          .cast("int").as("plen"))
+    // the ordered-shingle table feeds four plan legs (two prefix
+    // self-join sides + two verify set fetches) — persist it so the
+    // shuffle-heavy ordering chain materializes once; released with
+    // the text family
+    val orderedC = graft.Caches.track("text", ordered)
+    // candidates: ids only through the join; token arrays re-attached
+    // after dedup so wide rows never multiply across candidate pairs
+    val prefix = orderedC.select(col("doc_id"),
+      explode(slice(col("toks_ord"), lit(1), col("plen"))).as("tok"))
+    val cand = prefix.as("a").join(prefix.as("b"), "tok")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = orderedC.select(col("doc_id"), col("n"), col("toks_ord"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("toks_ord").as("ta")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("toks_ord").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter"),
+        col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Connected components over a near-duplicate pair graph: each doc
+    * gets the minimum doc_id reachable through pair edges as its
+    * cluster id — the step that turns pairwise dedup into dedup
+    * GROUPS (keep one doc per cluster, not one per pair).
+    *
+    * Iterative min-label propagation: label(v) ← min(label(v),
+    * min over neighbors u of label(u)) until fixpoint — O(diameter)
+    * rounds, each one hash join + one agg on the edge key.
+    * `localCheckpoint` truncates lineage per round (a cluster job
+    * would use reliable checkpointing); dedup graphs have tiny
+    * diameters, so rounds stay single-digit at any scale (the
+    * large-star/small-star variant halves rounds if they don't).
+    * The fixpoint is unique, so the result is deterministic however
+    * the rounds are scheduled.
+    */
+  def dupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Fixed token-window chunks with overlap (`window` tokens every
+    * `stride`): the context-window splitting step of a training-data
+    * pipeline. Pure per-row array math — sequence + explode + slice
+    * in the scan stage, no shuffle at all.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      window: Int = 50,
+      stride: Int = 40
+  ): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    toks
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"),
+        size(slice(col("toks"), col("start") + 1, lit(window)))
+          .as("n_tokens"))
+  }
+
+  /** Deterministic per-stratum hash sampling: docs are bucketed by
+    * length, and each stratum keeps rows whose md5-derived 60-bit
+    * draw falls under its quota threshold. Hash-based (not RNG-based)
+    * so the sample is reproducible across runs, engines, and
+    * partitionings — the property a training-data pipeline needs for
+    * auditable subsampling. Map-side only; the draw is
+    * `('0x'||substr(md5(id||salt),1,15))::BIGINT` in any engine.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      rates: Seq[(String, Double)] =
+        Seq("short" -> 0.2, "medium" -> 0.5, "long" -> 1.0),
+      salt: String = "strat"
+  ): DataFrame = {
+    val n = size(tokens(col("text")))
+    val bucket = when(n < 50, lit("short"))
+      .when(n < 200, lit("medium")).otherwise(lit("long"))
+    val draw = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))),
+        1, 15), 16, 10).cast("long")
+    // thresholds precomputed as exact longs so both engines compare
+    // against the identical integer literal
+    val thr = rates.map { case (b, r) =>
+      b -> (r * math.pow(2, 60)).toLong }
+    val thrCol = thr.tail.foldLeft(
+      when(bucket === thr.head._1, lit(thr.head._2))) {
+      case (acc, (b, t)) => acc.when(bucket === b, lit(t))
+    }.otherwise(lit(0L))
+    docs
+      .select(col("doc_id"), bucket.as("stratum"), n.as("n_tokens"),
+        draw.as("draw"), thrCol.as("thr"))
+      .filter(col("draw") < col("thr"))
+      .select(col("doc_id"), col("stratum"), col("n_tokens"))
+  }
 }

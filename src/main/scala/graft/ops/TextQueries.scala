@@ -21,6 +21,14 @@ object TextQueries {
     graft.Caches.persisted("text", (s, d))(
       Text.minhashCandidates(Tables.documents(s, d), 0.2))
 
+  /** Exact shingle-jaccard pairs, shared by the pair query and the
+    * cluster query (the cluster query consumes the pair graph — one
+    * materialization per session, released with the family).
+    */
+  private def jacPairs(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("text", ("jac", s, d))(
+      Text.jaccardExactPairs(Tables.documents(s, d), 0.5))
+
   val queries: Map[String, Q] = Map(
     "q_text_exact_dup_groups" -> ((s, d) =>
       Text.exactDupGroups(Tables.documents(s, d))
@@ -61,7 +69,24 @@ object TextQueries {
     "q_text_doc_freq" -> ((s, d) =>
       Text.docFrequency(Tables.documents(s, d), minDf = 50L)
         .select(col("token"), col("df"), col("tf_total"))
-        .orderBy(col("token")))
+        .orderBy(col("token"))),
+    // exact 3-gram-shingle jaccard via lossless prefix filtering; the
+    // oracle runs the UNPRUNED inverted-index join, so the compare
+    // proves the pruning drops nothing on real data
+    "q_text_jaccard_exact" -> ((s, d) =>
+      jacPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    // pairwise dedup → dedup GROUPS: connected components (min
+    // reachable doc_id) over the exact-jaccard pair graph; oracle is
+    // a DuckDB recursive CTE over the same edges
+    "q_text_dup_clusters" -> ((s, d) =>
+      Text.dupClusters(Tables.documents(s, d), jacPairs(s, d))
+        .orderBy(col("doc_id"))),
+    "q_text_chunks" -> ((s, d) =>
+      Text.chunkDocs(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+    "q_text_stratified_sample" -> ((s, d) =>
+      Text.stratifiedSample(Tables.documents(s, d))
+        .orderBy(col("doc_id")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -193,6 +218,91 @@ object TextQueries {
          |  CAST(SUM(CAST(FLOOR(quality * 65536) AS BIGINT)) AS BIGINT)
          |    AS sum_quality_q16
          |FROM dedup WHERE rn = 1
-         |GROUP BY lang ORDER BY lang""".stripMargin
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_jaccard_exact" ->
+      s"""WITH $jacPairsSql
+         |SELECT doc_a, doc_b, jaccard FROM jac
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_text_dup_clusters" ->
+      s"""WITH RECURSIVE $jacPairsSql,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |    WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.dst
+         |  FROM reach JOIN e ON reach.r = e.src)
+         |SELECT doc_id, MIN(r) AS cluster
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(generate_series(0, len(toks) - 1, 40)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+        |  array_to_string(toks[start + 1 : start + 50], ' ')
+        |    AS chunk_text,
+        |  CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_text_stratified_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         |    END AS n_tokens,
+         |    CAST(('0x' || substr(
+         |      md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15))
+         |      AS BIGINT) AS draw
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_tokens, draw,
+         |    CASE WHEN n_tokens < 50 THEN 'short'
+         |         WHEN n_tokens < 200 THEN 'medium'
+         |         ELSE 'long' END AS stratum,
+         |    CASE WHEN n_tokens < 50 THEN ${q60(0.2)}
+         |         WHEN n_tokens < 200 THEN ${q60(0.5)}
+         |         ELSE ${q60(1.0)} END AS thr
+         |  FROM d)
+         |SELECT doc_id, stratum, CAST(n_tokens AS INT) AS n_tokens
+         |FROM b WHERE draw < thr ORDER BY doc_id""".stripMargin
   )
+
+  /** Exact draw thresholds as integer literals — computed once here
+    * so the Spark op and the oracle compare against the identical
+    * 60-bit constant.
+    */
+  private def q60(r: Double): Long = (r * math.pow(2, 60)).toLong
+
+  /** Shared oracle fragment: exact 3-gram-shingle jaccard over the
+    * unpruned inverted-index join (the n² check the prefix-filtered
+    * Spark path must equal).
+    */
+  private def jacPairsSql =
+    """t0 AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, len(w) - 2),
+      |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS toks
+      |  FROM t0 WHERE len(w) >= 3),
+      |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |i AS (SELECT doc_id, n, UNNEST(toks) AS tok FROM s),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.n AS na, b.n AS nb, COUNT(*) AS inter
+      |  FROM i a JOIN i b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |jac AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      |  FROM p)""".stripMargin
 }

@@ -67,4 +67,24 @@ class RelationalSpec extends SparkSpec {
       .distinct().count()
     assert(total == distinctUnion)
   }
+
+  test("zset range-by-score: q16 scores, dense ranks, range filter") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1.5), (1L, 2.5),    // member 1 → 4.0  → 262144 q16
+      (2L, 4.0),               // member 2 → 4.0  (tied with 1)
+      (3L, 1.0),               // member 3 → 1.0  → 65536
+      (4L, 100.0)              // member 4 → outside [lo, hi]
+    ).toDF("user_id", "value")
+    val out = graft.ops.Relational
+      .zsetRangeByScore(events, 0L, 1000000L).collect()
+    val byMember = out.map(r => r.getAs[Long]("member") ->
+      (r.getAs[Long]("score_q16"), r.getAs[Int]("zrank"))).toMap
+    assert(byMember(1L) == (262144L, 1))     // ties share a rank
+    assert(byMember(2L) == (262144L, 1))
+    assert(byMember(3L) == (65536L, 2))      // dense: next rank is 2
+    assert(!byMember.contains(4L))           // ZRANGEBYSCORE bound
+    // ordered by score desc, member asc
+    assert(out.map(_.getAs[Long]("member")).toSeq == Seq(1L, 2L, 3L))
+  }
 }

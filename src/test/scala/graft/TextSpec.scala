@@ -88,4 +88,57 @@ class TextSpec extends SparkSpec {
       .toMap
     assert(m == Map(1L -> "de", 2L -> "en", 3L -> "und"))
   }
+
+  test("exact jaccard via prefix filter: identical=1, near pair kept") {
+    val pairs = Text.jaccardExactPairs(docs, 0.7)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0)           // identical texts
+    // docs 1,3 (9 words → 7 shingles each) share 6 shingles; only
+    // "over the lazy *" windows differ → |A∩B|=6, |A∪B|=8
+    assert(pairs((1L, 3L)) == 6.0 / 8.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("dup clusters are transitive beyond direct pairs") {
+    // chain: 1-2 and 2-3 are pairs, 1-3 need not be — all three must
+    // still land in one cluster (min doc_id = 1)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val m = Text.dupClusters(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert(m(4L) == 4L && m(5L) == 5L)       // singletons keep own id
+  }
+
+  test("chunking: overlapping windows cover every token exactly") {
+    val doc = Seq((1L, (1 to 120).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Text.chunkDocs(doc, window = 50, stride = 40)
+      .orderBy(col("chunk_id")).collect()
+    assert(rows.map(_.getAs[Int]("chunk_id")).toSeq == Seq(0, 1, 2))
+    assert(rows.map(_.getAs[Int]("n_tokens")).toSeq == Seq(50, 50, 40))
+    assert(rows(1).getAs[String]("chunk_text").startsWith("t41 "))
+    assert(rows(2).getAs[String]("chunk_text").endsWith(" t120"))
+  }
+
+  test("stratified sample is deterministic and honors rate-1 strata") {
+    val big = Seq.tabulate(60)(i =>
+      (i.toLong, (1 to 250).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Text.stratifiedSample(big).select("doc_id").as[Long]
+      .collect().toSet
+    val b = Text.stratifiedSample(big).select("doc_id").as[Long]
+      .collect().toSet
+    assert(a == b)                            // hash draw, not RNG
+    assert(a.size == 60)                      // 'long' stratum rate 1.0
+    val small = Seq.tabulate(200)(i => (i.toLong, "a b c"))
+      .toDF("doc_id", "text")
+    val s = Text.stratifiedSample(small).collect()
+    assert(s.forall(_.getAs[String]("stratum") == "short"))
+    // rate 0.2 over 200 uniform draws: comfortably nonempty + partial
+    assert(s.length > 5 && s.length < 100)
+  }
 }
