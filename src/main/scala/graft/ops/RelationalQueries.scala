@@ -87,6 +87,19 @@ object RelationalQueries {
       rowkeyRangeScan(Tables.orders(s, d), 1000L, 2000L)),
     "q_zset_range" -> ((s, d) =>
       zsetRangeByScore(Tables.events(s, d), 200000000L, 300000000L)),
+    // batch twin of the stream-stream interval join (same operator,
+    // watermarks no-op on batch frames): click→view attribution
+    "q_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.streaming.EventTimeOps.intervalJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "click"),
+        maxDelay = "10 minutes", watermark = "10 minutes")
+        .select(col("user_id"), col("view_id"), col("action_id"),
+          unix_millis(col("view_ts")).as("view_ms"),
+          unix_millis(col("action_ts")).as("action_ms"))
+        .orderBy(col("view_id"), col("action_id"))
+    }),
     "q_topk_agg" -> ((s, d) =>
       topKAgg(Tables.orders(s, d), 3)
         .select(col("o_orderpriority"),
@@ -342,6 +355,20 @@ object RelationalQueries {
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000
         |ORDER BY o_orderkey""".stripMargin,
+    "q_interval_join" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |a AS (
+        |  SELECT user_id, event_id AS action_id, ts AS action_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, action_id,
+        |  epoch_ms(view_ts) AS view_ms,
+        |  epoch_ms(action_ts) AS action_ms
+        |FROM v JOIN a ON v.user_id = a.user_id
+        |  AND a.action_ts >= v.view_ts
+        |  AND a.action_ts <= v.view_ts + INTERVAL '10 minutes'
+        |ORDER BY view_id, action_id""".stripMargin,
     "q_zset_range" ->
       """WITH s AS (
         |  SELECT user_id AS member,

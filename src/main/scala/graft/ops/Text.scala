@@ -504,6 +504,63 @@ object Text {
           .as("n_tokens"))
   }
 
+  /** PII redaction: replace emails, URLs, and long digit runs with
+    * typed placeholders, and count what was redacted. Patterns stick
+    * to the regex subset Java and RE2 interpret identically (no
+    * backrefs / lookaround), so the op is portable and
+    * oracle-checkable. Map-side only — at scale this runs in the
+    * scan stage like the other curation expressions.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val num = "[0-9]{7,}"
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), url, "<URL>"),
+          email, "<EMAIL>"),
+        num, "<NUM>").as("redacted"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(url), lit(0)))
+        .as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(num), lit(0)))
+        .as("n_long_nums"))
+  }
+
+  /** Repetition signals (the Gopher-style quality filters): duplicate
+    * bigram mass and most-frequent-token share. Entirely per-row
+    * array math in the scan stage; the quadratic top-token fold is
+    * bounded by document token count, not corpus size.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val staged = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("toks"),
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ",
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))).as("bigrams"))
+    staged.select(
+      col("doc_id"),
+      size(col("bigrams")).as("n_bigrams"),
+      size(array_distinct(col("bigrams"))).as("n_uniq_bigrams"),
+      (lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+        size(col("bigrams"))).as("dup_bigram_ratio"),
+      aggregate(
+        transform(array_distinct(col("toks")),
+          t => size(filter(col("toks"), x => x === t))),
+        lit(0), (acc, c) => greatest(acc, c)).as("top_tok_count"),
+      (aggregate(
+        transform(array_distinct(col("toks")),
+          t => size(filter(col("toks"), x => x === t))),
+        lit(0), (acc, c) => greatest(acc, c)).cast("double") /
+        size(col("toks"))).as("top_tok_ratio"))
+  }
+
   /** Deterministic per-stratum hash sampling: docs are bucketed by
     * length, and each stratum keeps rows whose md5-derived 60-bit
     * draw falls under its quota threshold. Hash-based (not RNG-based)

@@ -86,6 +86,11 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_id"))),
     "q_text_stratified_sample" -> ((s, d) =>
       Text.stratifiedSample(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    "q_text_pii" -> ((s, d) =>
+      Text.piiRedact(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "q_text_repetition" -> ((s, d) =>
+      Text.repetitionStats(Tables.documents(s, d))
         .orderBy(col("doc_id")))
   )
 
@@ -271,7 +276,45 @@ object TextQueries {
          |         ELSE ${q60(1.0)} END AS thr
          |  FROM d)
          |SELECT doc_id, stratum, CAST(n_tokens AS INT) AS n_tokens
-         |FROM b WHERE draw < thr ORDER BY doc_id""".stripMargin
+         |FROM b WHERE draw < thr ORDER BY doc_id""".stripMargin,
+    "q_text_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT)
+        |    AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS INT)
+        |    AS n_long_nums
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        |  FROM t WHERE len(toks) >= 2),
+        |m AS (
+        |  SELECT doc_id, toks, bigrams,
+        |    list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS top_cnt
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(len(bigrams) AS INT) AS n_bigrams,
+        |  CAST(len(list_distinct(bigrams)) AS INT) AS n_uniq_bigrams,
+        |  CAST(1 AS DOUBLE) -
+        |    CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+        |    AS dup_bigram_ratio,
+        |  CAST(top_cnt AS INT) AS top_tok_count,
+        |  CAST(top_cnt AS DOUBLE) / len(toks) AS top_tok_ratio
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 
   /** Exact draw thresholds as integer literals — computed once here

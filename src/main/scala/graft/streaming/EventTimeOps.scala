@@ -69,4 +69,40 @@ object EventTimeOps {
       key: String
   ): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream event-time interval join: attribute each action
+    * (e.g. click) to the view by the same user that happened at most
+    * `maxDelay` before it. BOTH sides carry a watermark and the join
+    * condition bounds event-time distance — that pair of constraints
+    * is what lets the state store evict rows once the watermark
+    * passes `ts + maxDelay`, keeping state size proportional to the
+    * delay horizon instead of the stream's history. Without the time
+    * bound a stream-stream join must buffer forever — the 100 TB
+    * failure mode this operator exists to avoid.
+    *
+    * Works identically on batch frames (watermarks are no-ops there),
+    * which is how the batch twin `q_funnel`-style oracles exercise
+    * the same join shape.
+    */
+  def intervalJoin(
+      views: DataFrame,
+      actions: DataFrame,
+      maxDelay: String = "10 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val v = views
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val a = actions
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("a_user"), col("event_id").as("action_id"),
+        col("ts").as("action_ts"))
+    v.join(a,
+      col("v_user") === col("a_user") &&
+        col("action_ts") >= col("view_ts") &&
+        col("action_ts") <= col("view_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("action_id"), col("view_ts"), col("action_ts"))
+  }
 }

@@ -239,4 +239,33 @@ class StreamingSpec extends SparkSpec {
       assert(u2.head.n_events == 1 && u2.head.sum_value == 9.0)
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(1_000_000_000L + s * 1000L)
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val actions = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def named(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+    val q = EventTimeOps
+      .intervalJoin(named(views), named(actions), maxDelay = "1 minute",
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, 100L, ts(0)), (2L, 101L, ts(0)))
+      actions.addData(
+        (1L, 200L, ts(30)),   // within 1 min of view 100 → match
+        (2L, 201L, ts(300)),  // 5 min after view 101 → outside horizon
+        (3L, 202L, ts(30)))   // no view by this user → no match
+      q.processAllAvailable()
+      // advance both watermarks so state for the horizon is evictable
+      views.addData((9L, 900L, ts(1000)))
+      actions.addData((9L, 901L, ts(1000)))
+      q.processAllAvailable()
+      val out = spark.table("ssjoin_out")
+        .select("view_id", "action_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((100L, 200L), (900L, 901L)))
+    } finally q.stop()
+  }
 }

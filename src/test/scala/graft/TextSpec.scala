@@ -124,6 +124,33 @@ class TextSpec extends SparkSpec {
     assert(rows(2).getAs[String]("chunk_text").endsWith(" t120"))
   }
 
+  test("pii redaction replaces emails, urls, long numbers and counts them") {
+    val d = Seq(
+      (1L, "contact bob@example.com or visit https://x.co/p id 12345678"),
+      (2L, "clean text, short num 123")
+    ).toDF("doc_id", "text")
+    val out = Text.piiRedact(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("redacted") ==
+      "contact <EMAIL> or visit <URL> id <NUM>")
+    assert(out(1L).getAs[Int]("n_emails") == 1)
+    assert(out(1L).getAs[Int]("n_urls") == 1)
+    assert(out(1L).getAs[Int]("n_long_nums") == 1)
+    assert(out(2L).getAs[String]("redacted") ==
+      "clean text, short num 123")
+    assert(out(2L).getAs[Int]("n_long_nums") == 0)
+  }
+
+  test("repetition stats: dup bigram mass and top-token share") {
+    val d = Seq((1L, "a a a a b")).toDF("doc_id", "text")
+    val r = Text.repetitionStats(d).collect().head
+    assert(r.getAs[Int]("n_bigrams") == 4)        // aa aa aa ab
+    assert(r.getAs[Int]("n_uniq_bigrams") == 2)
+    assert(r.getAs[Double]("dup_bigram_ratio") == 0.5)
+    assert(r.getAs[Int]("top_tok_count") == 4)
+    assert(r.getAs[Double]("top_tok_ratio") == 0.8)
+  }
+
   test("stratified sample is deterministic and honors rate-1 strata") {
     val big = Seq.tabulate(60)(i =>
       (i.toLong, (1 to 250).map(j => s"w${i}_$j").mkString(" ")))
