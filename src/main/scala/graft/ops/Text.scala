@@ -454,7 +454,12 @@ object Text {
       .union(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
       .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    // iterate over the GRAPH ONLY: docs touching no pair are
+    // singletons by definition and are appended once at the end —
+    // at 100 TB the near-dup graph is orders of magnitude smaller
+    // than the corpus, so the loop's joins never see the full table
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
     var it = 0
     var converged = false
@@ -476,7 +481,12 @@ object Text {
       it += 1
     }
     edges.unpersist(blocking = false)
-    labels
+    // singletons (no incident pair) re-enter as their own cluster —
+    // one anti-join against the converged graph labels
+    docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .union(labels)
   }
 
   /** Fixed token-window chunks with overlap (`window` tokens every

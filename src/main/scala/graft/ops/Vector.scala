@@ -235,6 +235,25 @@ object Vector {
     * lambda would be re-evaluated per element — HOFs are excluded
     * from subexpression elimination).
     */
+  /** Scalar int8 quantization per vector (symmetric max-abs scale,
+    * floor toward -inf): the memory-side companion of the ANN
+    * operators — a 100 TB embedding corpus stores/ships 4× smaller
+    * and dequantizes as q·scale/127. Pure per-row array math in the
+    * scan stage; floor (not round) keeps the math bit-identical
+    * across engines (round differs on half-way ties).
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double"))))
+          .as("max_abs"))
+      .select(col("vec_id"), col("max_abs").as("scale"),
+        transform(col("embedding"),
+          x => when(col("max_abs") === 0.0, lit(0))
+            .otherwise(floor(x.cast("double") / col("max_abs") * 127)
+              .cast("int"))).as("qvec"))
+
   def unitized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding"),

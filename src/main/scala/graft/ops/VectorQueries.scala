@@ -63,7 +63,15 @@ object VectorQueries {
     // banded-LSH path is measured against
     "q_vec_neardup_exact" -> ((s, d) =>
       Vector.exactCosinePairs(Tables.embeddings(s, d), 0.4)
-        .orderBy(col("vec_a"), col("vec_b")))
+        .orderBy(col("vec_a"), col("vec_b"))),
+    // int8 vectors projected to CSV (driver comparator can't sort
+    // array cells); values compared are identical
+    "q_vec_quantize_int8" -> ((s, d) =>
+      Vector.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", transform(col("qvec"), _.cast("string")))
+            .as("qvec_csv"))
+        .orderBy(col("vec_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -122,6 +130,18 @@ object VectorQueries {
         |FROM (SELECT vec_id, label, UNNEST(embedding) AS x
         |      FROM embeddings)
         |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
+    "q_vec_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings)
+        |SELECT vec_id, max_abs AS scale,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(CASE WHEN max_abs = 0 THEN 0
+        |      ELSE FLOOR(CAST(x AS DOUBLE) / max_abs * 127)
+        |      END AS BIGINT)), ',') AS qvec_csv
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q_vec_neardup_exact" ->
       """WITH n AS (
         |  SELECT vec_id,

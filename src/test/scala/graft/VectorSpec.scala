@@ -75,6 +75,18 @@ class VectorSpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("int8 quantization: max-abs scale, floor semantics, zero guard") {
+    val v = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Vec.quantizeInt8(v).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Seq[Int]]("qvec"))).toMap
+    assert(out(1L) == (1.0, Seq(127, -64, 31)))  // floor(-63.5) = -64
+    assert(out(2L) == (0.0, Seq(0, 0, 0)))       // zero vector guard
+  }
+
   test("banded LSH near-dup: exact precision, measured recall vs n² twin") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     def pairSet(df: org.apache.spark.sql.DataFrame) =
