@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** User-facing fluent surface: every operator family as extension
+  * syntax on plain DataFrames, so adopting the library is
+  * `import graft.Graft._` and method calls on the frames you already
+  * have — no engine-specific session or IR. Each method delegates to
+  * the (individually documented, oracle-checked) ops.* functions;
+  * this object adds nothing but ergonomics.
+  *
+  * Operators that materialize shared intermediates (LSH bands,
+  * ordered shingle tables) register them in [[Caches]]; long-lived
+  * services should call `Caches.release("text"|"vec")` when a
+  * corpus's queries are done, exactly as `Bench` does per family.
+  *
+  * {{{
+  * import graft.Graft._
+  * docs.dedupExact
+  * docs.nearDupCandidates(0.2)          // MinHash + LSH
+  * docs.jaccardPairs(0.5)               // exact, prefix-filtered
+  * docs.dupClusters(docs.jaccardPairs(0.5))
+  * docs.chunked(window = 512, stride = 384)
+  * docs.redactPii
+  * embs.cosineTopK(queryId = 42L, k = 10)
+  * embs.quantizedInt8
+  * }}}
+  */
+object Graft {
+
+  implicit class DocOps(private val docs: DataFrame) extends AnyVal {
+    def dedupExact: DataFrame = ops.Text.exactDedup(docs)
+    def dupGroups: DataFrame = ops.Text.exactDupGroups(docs)
+    def nearDupCandidates(threshold: Double): DataFrame =
+      ops.Text.minhashCandidates(docs, threshold)
+    def jaccardPairs(threshold: Double): DataFrame =
+      ops.Text.jaccardExactPairs(docs, threshold)
+    def dupClusters(pairs: DataFrame): DataFrame =
+      ops.Text.dupClusters(docs, pairs)
+    def chunked(window: Int = 50, stride: Int = 40): DataFrame =
+      ops.Text.chunkDocs(docs, window, stride)
+    def redactPii: DataFrame = ops.Text.piiRedact(docs)
+    def repetitionSignals: DataFrame = ops.Text.repetitionStats(docs)
+    def qualityScored: DataFrame = ops.Text.qualityScore(docs)
+    def langGuessed: DataFrame = ops.Text.langGuess(docs)
+    def tokenStats: DataFrame = ops.Text.tokenStats(docs)
+    def fingerprinted: DataFrame = ops.Text.fingerprint(docs)
+    def stratifiedSample(
+        rates: Seq[(String, Double)] =
+          Seq("short" -> 0.2, "medium" -> 0.5, "long" -> 1.0)
+    ): DataFrame = ops.Text.stratifiedSample(docs, rates)
+    def curated: DataFrame = ops.Text.curationPipeline(docs)
+  }
+
+  implicit class EmbeddingOps(private val embs: DataFrame)
+      extends AnyVal {
+    def cosineTopK(queryId: Long, k: Int): DataFrame =
+      ops.Vector.bruteForceTopK(embs, queryId, k)
+    def annTopK(queryId: Long, k: Int, nPlanes: Int = 16): DataFrame =
+      ops.Vector.annTopK(embs, queryId, k, nPlanes)
+    def cosineNearDups(threshold: Double): DataFrame =
+      ops.Vector.cosineNearDup(embs, threshold)
+    def labelCentroids: DataFrame = ops.Vector.labelCentroids(embs)
+    def quantizedInt8: DataFrame = ops.Vector.quantizeInt8(embs)
+  }
+}

@@ -379,10 +379,13 @@ object Relational {
       loQ16: Long,
       hiQ16: Long
   ): DataFrame = {
-    val scores = events
+    // persisted: the member-score table feeds both the range read and
+    // the distinct-score rank side — without it the full scan+agg runs
+    // twice (released with the "zset" family)
+    val scores = graft.Caches.track("zset", events
       .groupBy(col("user_id").as("member"))
       .agg(sum(floor(col("value") * 65536).cast("long")).as("score_q16"))
-      .filter(col("score_q16").between(loQ16, hiQ16))
+      .filter(col("score_q16").between(loQ16, hiQ16)))
     val ranks = scores.select(col("score_q16")).distinct()
       .withColumn("zrank",
         dense_rank().over(
