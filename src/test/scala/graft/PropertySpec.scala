@@ -127,4 +127,63 @@ class PropertySpec extends SparkSpec {
         assert(sAll.zip(sHalf).forall { case (a, h) => a <= h })
     }
   }
+
+  /** Driver-side twin of Text.tokens + 3-gram shingle sets. */
+  private def naiveShingles(text: String): Set[Seq[String]] = {
+    val t = text.trim
+    val toks = if (t.isEmpty) Seq.empty[String] else t.split("\\s+").toSeq
+    if (toks.length < 3) Set.empty
+    else toks.sliding(3).map(_.toSeq).toSet
+  }
+
+  test("exact jaccard join equals the naive all-pairs computation") {
+    val corpusGen = Gen.listOfN(15, textGen)
+    forAll(corpusGen, n = 8) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Text.jaccardExactPairs(docs, 0.3).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sh = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> naiveShingles(t) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        inter = (sa & sb).size
+        jac = inter.toDouble / (sa.size + sb.size - inter)
+        if jac >= 0.3
+      } yield (a, b) -> jac).toMap
+      assert(got == want)
+    }
+    graft.Caches.release("text")  // drop the per-iteration track persists
+  }
+
+  test("chunking covers every token exactly once at stride == window") {
+    forAll(textGen, n = 20) { text =>
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val t = text.trim
+      val n = if (t.isEmpty) 0 else t.split("\\s+").length
+      val rows = Text.chunkDocs(docs, window = 7, stride = 7).collect()
+      if (n == 0) assert(rows.isEmpty)
+      else {
+        assert(rows.map(_.getAs[Int]("n_tokens")).sum == n)
+        assert(rows.length == (n - 1) / 7 + 1)
+      }
+    }
+  }
+
+  test("int8 quantization round-trip error is within one step") {
+    val vecGen = Gen.listOfN(8,
+      Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
+    forAll(vecGen, n = 20) { xs =>
+      val df = Seq((1L, xs.toArray, 0)).toDF("vec_id", "embedding", "label")
+      val r = graft.ops.Vector.quantizeInt8(df).collect().head
+      val scale = r.getAs[Double]("scale")
+      val q = r.getSeq[Int](r.fieldIndex("qvec")).toList
+      assert(q.forall(v => v >= -128 && v <= 127))
+      xs.zip(q).foreach { case (x, qi) =>
+        val back = if (scale == 0) 0.0 else qi * scale / 127.0
+        assert(math.abs(x - back) <= scale / 127.0 + 1e-12)
+      }
+    }
+  }
 }
