@@ -110,6 +110,40 @@ object RelationalQueries {
     // SQL frontend (the reference has none — spark-sql was a declared
     // but unused dependency): TPC-H Q6 as a pure SQL string over a
     // registered view, same Catalyst plan as the DataFrame form.
+    "q_sql_top_nations" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_bal
+        FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING COUNT(*) > 10
+        ORDER BY total_bal DESC, n_name LIMIT 10""")
+    }),
+    // window function through the SQL frontend; the share's window sum
+    // stays DECIMAL (exact, order-independent) and only the final
+    // division runs in double
+    "q_sql_revenue_share" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("""
+        WITH nr AS (
+          SELECT n_name,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev_d
+          FROM lineitem_v
+            JOIN orders_v   ON l_orderkey = o_orderkey
+            JOIN customer_v ON o_custkey = c_custkey
+            JOIN nation_v   ON c_nationkey = n_nationkey
+          GROUP BY n_name)
+        SELECT n_name, CAST(rev_d AS DOUBLE) AS rev,
+               CAST(rev_d AS DOUBLE) /
+                 CAST(SUM(rev_d) OVER () AS DOUBLE) AS share
+        FROM nr ORDER BY n_name""")
+    }),
     "q_sql_forecast_revenue" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql("""
@@ -442,6 +476,27 @@ object RelationalQueries {
         |SELECT (SELECT COUNT(*) FROM v) AS n_view,
         |       (SELECT COUNT(*) FROM c) AS n_click_after_view,
         |       (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin,
+    "q_sql_top_nations" ->
+      """SELECT n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |HAVING COUNT(*) > 10
+        |ORDER BY total_bal DESC, n_name LIMIT 10""".stripMargin,
+    "q_sql_revenue_share" ->
+      """WITH nr AS (
+        |  SELECT n_name,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev_d
+        |  FROM lineitem
+        |    JOIN orders   ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation   ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, CAST(rev_d AS DOUBLE) AS rev,
+        |  CAST(rev_d AS DOUBLE) /
+        |    CAST(SUM(rev_d) OVER () AS DOUBLE) AS share
+        |FROM nr ORDER BY n_name""".stripMargin,
     "q_sql_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)

@@ -56,8 +56,12 @@ object VectorQueries {
     // cosine — dozens of true pairs at sf0.01, so the result is
     // non-empty and the LSH recall is measurable (VectorSpec asserts
     // it against the exact twin below)
+    // 16 bands × 5 bits: ~2000-vector corpus → ~60 vectors/bucket;
+    // bits ≈ log2(n) keeps candidate volume ~linear (4 bits doubles
+    // candidates for ~6 points of recall at the 0.4 threshold floor)
     "q_vec_neardup" -> ((s, d) =>
-      Vector.cosineNearDup(Tables.embeddings(s, d), 0.4, nBands = 16)
+      Vector.cosineNearDup(Tables.embeddings(s, d), 0.4, nBands = 16,
+        bitsPerBand = 5)
         .orderBy(col("vec_a"), col("vec_b"))),
     // exact n² twin (oracle-checked): the verification baseline the
     // banded-LSH path is measured against

@@ -94,10 +94,12 @@ class VectorSpec extends SparkSpec {
     val exact = pairSet(Vec.exactCosinePairs(emb, 0.4))
     // the registered threshold must be evidentiary: non-trivial pair set
     assert(exact.size >= 10)
-    val lsh = pairSet(Vec.cosineNearDup(emb, 0.4, nBands = 16))
+    // the registered configuration (16 bands × 5 bits)
+    val lsh = pairSet(Vec.cosineNearDup(emb, 0.4, nBands = 16,
+      bitsPerBand = 5))
     // candidates are confirmed by exact cosine → precision is exactly 1
     assert(lsh.subsetOf(exact))
-    // 16 bands × 4 bits at cos ≥ 0.4 → theoretical recall ≈ 0.94 for
+    // 16 bands × 5 bits at cos ≥ 0.4 → theoretical recall ≈ 0.81 for
     // the worst (threshold-grazing) pair; assert a conservative floor
     assert(lsh.size.toDouble / exact.size >= 0.6,
       s"LSH recall ${lsh.size}/${exact.size} below floor")
