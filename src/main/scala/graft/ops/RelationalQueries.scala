@@ -20,10 +20,17 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Exact decimal revenue sum, converted to double THROUGH A STRING:
+    * DuckDB's direct DECIMAL→DOUBLE cast rounds twice (int128→double,
+    * then ÷10^scale) and can land one ulp off the correctly-rounded
+    * value Spark's Decimal.toDouble produces (seen at sf0.1:
+    * 2706323975.3561 vs …3560996); VARCHAR→DOUBLE parses are
+    * correctly rounded in both engines.
+    */
   private val decRev =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) " +
-      "AS DOUBLE)"
+      "AS VARCHAR) AS DOUBLE)"
 
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
@@ -115,7 +122,7 @@ object RelationalQueries {
       Tables.nation(s, d).createOrReplaceTempView("nation_v")
       s.sql("""
         SELECT n_name, COUNT(*) AS n_customers,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
                  AS total_bal
         FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
         GROUP BY n_name
@@ -139,16 +146,16 @@ object RelationalQueries {
             JOIN customer_v ON o_custkey = c_custkey
             JOIN nation_v   ON c_nationkey = n_nationkey
           GROUP BY n_name)
-        SELECT n_name, CAST(rev_d AS DOUBLE) AS rev,
-               CAST(rev_d AS DOUBLE) /
-                 CAST(SUM(rev_d) OVER () AS DOUBLE) AS share
+        SELECT n_name, CAST(CAST(rev_d AS STRING) AS DOUBLE) AS rev,
+               CAST(CAST(rev_d AS STRING) AS DOUBLE) /
+                 CAST(CAST(SUM(rev_d) OVER () AS STRING) AS DOUBLE) AS share
         FROM nr ORDER BY n_name""")
     }),
     "q_sql_forecast_revenue" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql("""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                        CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        CAST(l_discount AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
                  AS revenue,
                COUNT(*) AS n
         FROM lineitem_v
@@ -165,11 +172,11 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
          |  $decRev AS sum_disc_price,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -183,13 +190,13 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup_agg" ->
       """SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, c_mktsegment)
         |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
     "q_cube_agg" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
@@ -213,7 +220,7 @@ object RelationalQueries {
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_broadcast_join_agg" ->
       """SELECT p_brand,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -231,7 +238,7 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_outer_join_agg" ->
       """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS sum_spent
+        |  COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE), 0.0) AS sum_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
     "q_top_orders_per_cust" ->
@@ -291,7 +298,7 @@ object RelationalQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_events_per_day" ->
       """SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sliding_window" ->
@@ -303,7 +310,7 @@ object RelationalQueries {
         |         value
         |  FROM b)
         |SELECT w_start, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (
@@ -325,7 +332,7 @@ object RelationalQueries {
         |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sess_seq
         |ORDER BY user_id, sess_seq""".stripMargin,
     "q_asof_join" ->
@@ -349,12 +356,12 @@ object RelationalQueries {
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_pivot_status" ->
       """SELECT o_orderpriority,
-        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
-        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
-        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
-        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
-        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
-        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+        |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS F,
+        |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS O,
+        |  CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS P
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_json_funcs" ->
@@ -366,7 +373,7 @@ object RelationalQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |    AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -378,7 +385,7 @@ object RelationalQueries {
         |         (CAST(2 AS BIGINT), 'mid', 15.0, 35.0),
         |         (CAST(3 AS BIGINT), 'high', 35.0, 1e9))
         |SELECT band_id, band_name, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |    AS sum_qty
         |FROM lineitem JOIN bands
         |  ON l_quantity >= lo AND l_quantity < hi
@@ -478,7 +485,7 @@ object RelationalQueries {
         |       (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin,
     "q_sql_top_nations" ->
       """SELECT n_name, COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |    AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
@@ -493,13 +500,13 @@ object RelationalQueries {
         |    JOIN customer ON o_custkey = c_custkey
         |    JOIN nation   ON c_nationkey = n_nationkey
         |  GROUP BY n_name)
-        |SELECT n_name, CAST(rev_d AS DOUBLE) AS rev,
-        |  CAST(rev_d AS DOUBLE) /
-        |    CAST(SUM(rev_d) OVER () AS DOUBLE) AS share
+        |SELECT n_name, CAST(CAST(rev_d AS VARCHAR) AS DOUBLE) AS rev,
+        |  CAST(CAST(rev_d AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(SUM(rev_d) OVER () AS VARCHAR) AS DOUBLE) AS share
         |FROM nr ORDER BY n_name""".stripMargin,
     "q_sql_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |         AS revenue,
         |       COUNT(*) AS n
         |FROM lineitem
@@ -511,7 +518,7 @@ object RelationalQueries {
     // partials) — the oracle IS the direct form
     "q_salted_agg" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |    AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag

@@ -514,6 +514,39 @@ object Text {
           .as("n_tokens"))
   }
 
+  /** Eval-set contamination check (decontamination step of a
+    * training-data pipeline): which training docs share at least
+    * `minHits` word `n`-gram shingles with any eval-set doc, and how
+    * many. Train-side shingles explode once and join the (small,
+    * broadcast) eval shingle set on the 8-byte hash — at 100 TB the
+    * eval set stays broadcastable by construction (eval corpora are
+    * tiny), so the scan side never shuffles.
+    */
+  def contamination(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 3,
+      minHits: Int = 1
+  ): DataFrame = {
+    def hashedShingles(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), tokens(col("text")).as("raw_toks"))
+      .filter(size(col("raw_toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("raw_toks")) - n),
+          i => xxhash64(concat_ws(" ",
+            (0 until n).map(o =>
+              element_at(col("raw_toks"), i + o + 1)): _*)))))
+          .as("sh"))
+    val evalSh = hashedShingles(evalDocs)
+      .select(col("sh")).distinct()
+    hashedShingles(docs)
+      .join(broadcast(evalSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** PII redaction: replace emails, URLs, and long digit runs with
     * typed placeholders, and count what was redacted. Patterns stick
     * to the regex subset Java and RE2 interpret identically (no

@@ -89,6 +89,14 @@ object TextQueries {
         .orderBy(col("doc_id"))),
     "q_text_pii" -> ((s, d) =>
       Text.piiRedact(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // decontamination: docs vs a deterministic held-out slice
+    "q_text_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 3, minHits = 5)
+        .orderBy(col("doc_id"))
+    }),
     "q_text_repetition" -> ((s, d) =>
       Text.repetitionStats(Tables.documents(s, d))
         .orderBy(col("doc_id")))
@@ -277,6 +285,22 @@ object TextQueries {
          |  FROM d)
          |SELECT doc_id, stratum, CAST(n_tokens AS INT) AS n_tokens
          |FROM b WHERE draw < thr ORDER BY doc_id""".stripMargin,
+    "q_text_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_distinct(list_transform(
+        |      generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS s
+        |  FROM w WHERE len(t) >= 3),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+        |SELECT sh.doc_id, COUNT(*) AS n_hits
+        |FROM sh JOIN ev ON sh.s = ev.s
+        |WHERE sh.doc_id % 50 <> 0
+        |GROUP BY sh.doc_id HAVING COUNT(*) >= 5
+        |ORDER BY sh.doc_id""".stripMargin,
     "q_text_pii" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,

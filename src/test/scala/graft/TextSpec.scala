@@ -124,6 +124,19 @@ class TextSpec extends SparkSpec {
     assert(rows(2).getAs[String]("chunk_text").endsWith(" t120"))
   }
 
+  test("contamination flags train docs sharing eval n-grams") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // contains eval trigram
+      (2L, "totally unrelated words here now")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "beta gamma delta zeta"))
+      .toDF("doc_id", "text")
+    val hits = Text.contamination(train, eval_, n = 3, minHits = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // train doc 1 shares exactly "beta gamma delta" with the eval doc
+    assert(hits == Map(1L -> 1L))
+  }
+
   test("pii redaction replaces emails, urls, long numbers and counts them") {
     val d = Seq(
       (1L, "contact bob@example.com or visit https://x.co/p id 12345678"),
