@@ -31,6 +31,30 @@ object Demux {
         Gmall.logEnvelopeSchema).as("j"))
       .select(col("j.*"))
 
+  /** Quarantine branch for records the envelope parse rejects: not
+    * JSON at all, or JSON that lacks every envelope section. The
+    * reference discards these inside its per-record try/catch
+    * (`OdsBaseLogApp.scala` fastjson parse); a pipeline at scale
+    * routes them to a dead-letter topic with a reason instead of
+    * dropping them silently. Map-side only.
+    */
+  def quarantine(raw: DataFrame): DataFrame = {
+    val v = col("value").cast("string")
+    val parsed = from_json(v, Gmall.logEnvelopeSchema)
+    raw
+      .select(v.as("raw_value"), parsed.as("j"))
+      // PERMISSIVE from_json yields an all-null struct (not null) on
+      // bad input, so JSON validity needs its own probe
+      .withColumn("reason",
+        when(get_json_object(col("raw_value"), "$").isNull,
+          lit("not_json"))
+          .when(col("j.common").isNull && col("j.err").isNull &&
+            col("j.page").isNull && col("j.start").isNull,
+            lit("no_envelope_section")))
+      .filter(col("reason").isNotNull)
+      .select(col("raw_value"), col("reason"))
+  }
+
   /** T3: error branch — whole record routed, nothing else extracted. */
   def errors(parsed: DataFrame): DataFrame =
     parsed

@@ -481,6 +481,11 @@ object Text {
       it += 1
     }
     edges.unpersist(blocking = false)
+    // a truncated iteration would return silently-wrong clusters —
+    // fail loudly instead (maxIter bounds rounds ≈ graph diameter;
+    // real dedup graphs converge in single digits)
+    require(converged,
+      s"dupClusters did not converge within $maxIter rounds")
     // singletons (no incident pair) re-enter as their own cluster —
     // one anti-join against the converged graph labels
     docs.select(col("doc_id"))

@@ -118,4 +118,23 @@ class DemuxSpec extends SparkSpec {
     assert(a.length == b.length)
     assert(a == b)
   }
+
+  test("quarantine routes malformed lines with a reason, keeps good ones out") {
+    val lines = Seq(
+      """{"common":{"mid":"m1"},"page":{"page_id":"p"},"ts":1}""", // good
+      """not json at all {{""",                                    // broken
+      """{"some":"json","but":"wrong shape"}""",                   // no section
+      """{"common":{"mid":"m2"},"err":{"error_code":1},"ts":2}"""  // good
+    ).toDF("value")
+    val q = Demux.quarantine(lines).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q.size == 2)
+    assert(q("""not json at all {{""") == "not_json")
+    assert(q("""{"some":"json","but":"wrong shape"}""") ==
+      "no_envelope_section")
+    // every quarantined line is invisible to the demux branches
+    val parsed = parsedOf(lines.as[String].collect().toSeq: _*)
+    assert(Demux.pages(parsed).count() == 1)
+    assert(Demux.errors(parsed).count() == 1)
+  }
 }
