@@ -59,6 +59,24 @@ object Cdc {
       "left_semi"
     )
 
+  /** Changed-column extraction from update envelopes: Maxwell's
+    * `old` map holds the previous values of exactly the columns an
+    * update touched, so exploding it yields one (column, before,
+    * after) row per changed cell — the change-tracking feed a
+    * downstream audit/SCD pipeline consumes. Map-side only (one
+    * Generate off the parsed envelope).
+    */
+  def changedColumns(env: DataFrame): DataFrame =
+    env
+      .filter(col("op") === "U" && col("old").isNotNull)
+      .select(col("table").as("src_table"),
+        col("data")("id").cast("long").as("id"),
+        col("data"),
+        explode(col("old")).as(Seq("col_name", "old_value")))
+      .select(col("src_table"), col("id"), col("col_name"),
+        col("old_value"),
+        element_at(col("data"), col("col_name")).as("new_value"))
+
   /** R4 (`OdsBaseDbApp.scala:139-166`): keyed last-write-wins
     * compaction — the batch/shuffle form of the reference's Redis
     * point upsert. One shuffle on the key, then a per-key window;

@@ -35,6 +35,13 @@ object CdcQueries {
         .when(col("event_type") === "view", lit("insert"))
         .when(col("event_type") === "purchase", lit("update"))
         .otherwise(col("event_type"))
+    // Maxwell updates carry the previous values of changed columns in
+    // "old" — synthesized deterministically as k-1 so the
+    // changed-column extraction has an exact oracle
+    val tail = when(typ === "update",
+      concat(lit("\"},\"old\":{\"k\":\""),
+        (col("k") - 1).cast("string"), lit("\"}}")))
+      .otherwise(lit("\"}}"))
     events
       .withColumn("k", k)
       .select(
@@ -44,7 +51,7 @@ object CdcQueries {
           lit("\",\"data\":{\"id\":\""), col("event_id").cast("string"),
           lit("\",\"uid\":\""), col("user_id").cast("string"),
           lit("\",\"k\":\""), col("k").cast("string"),
-          lit("\"}}")
+          tail
         ).as("value"),
         unix_millis(col("ts")).as("ems")
       )
@@ -115,7 +122,11 @@ object CdcQueries {
       // order key (id) is unique so it's equivalent to the window form
       Cdc.lastWriteWinsAgg(dims, Seq(col("uid")), col("id"))
         .orderBy(col("uid"))
-    })
+    }),
+    // change tracking: one row per changed cell of each update
+    "q_cdc_changed_cols" -> ((s, d) =>
+      Cdc.changedColumns(normalized(s, d))
+        .orderBy(col("id"), col("col_name")))
   )
 
   private val base =
@@ -143,6 +154,15 @@ object CdcQueries {
          |  SELECT uid, id, op,
          |    ROW_NUMBER() OVER (PARTITION BY uid ORDER BY id DESC) AS rn
          |  FROM m WHERE src_table = 't2')
-         |WHERE rn = 1 ORDER BY uid""".stripMargin
+         |WHERE rn = 1 ORDER BY uid""".stripMargin,
+    "q_cdc_changed_cols" ->
+      """SELECT 't'||(user_id % 3) AS src_table, event_id AS id,
+        |  'k' AS col_name,
+        |  CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS INT),
+        |    0) - 1 AS VARCHAR) AS old_value,
+        |  CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS INT),
+        |    0) AS VARCHAR) AS new_value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY id, col_name""".stripMargin
   )
 }

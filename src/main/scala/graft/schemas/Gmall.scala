@@ -79,7 +79,9 @@ object Gmall {
   val maxwellEnvelopeSchema: StructType = StructType(Seq(
     StructField("table", StringType),
     StructField("type", StringType),
-    StructField("data", MapType(StringType, StringType))
+    StructField("data", MapType(StringType, StringType)),
+    // Maxwell emits the PREVIOUS values of changed columns on updates
+    StructField("old", MapType(StringType, StringType))
   ))
 
   final case class PageLog(

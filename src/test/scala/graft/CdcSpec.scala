@@ -49,4 +49,19 @@ class CdcSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(out == Map("k1" -> "c", "k2" -> "x"))
   }
+
+  test("changed columns: one row per old-map cell, updates only") {
+    val lines = Seq(
+      """{"table":"t1","type":"update","data":{"id":"7","a":"2","b":"9"},"old":{"a":"1"}}""",
+      """{"table":"t1","type":"insert","data":{"id":"8","a":"5"}}"""
+    ).toDF("value")
+    val out = Cdc.changedColumns(Cdc.normalizeOps(Cdc.parse(lines)))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("id") == 7L)
+    assert(r.getAs[String]("col_name") == "a")
+    assert(r.getAs[String]("old_value") == "1")
+    assert(r.getAs[String]("new_value") == "2")
+  }
 }
