@@ -59,6 +59,40 @@ object Cdc {
       "left_semi"
     )
 
+  /** Op normalization INCLUDING deletes: Maxwell `delete` → D
+    * tombstones (the reference's HBase path issues real deletes,
+    * `Hbase/src/main/java/com/atguigu/HbaseDML.java` deleteData; its
+    * Redis dim path only overwrites). Used by the tombstone-aware
+    * compaction below; the plain `normalizeOps` keeps the reference's
+    * I/U-only routing semantics.
+    */
+  def normalizeOpsWithDeletes(env: DataFrame): DataFrame =
+    env
+      .withColumn("op",
+        when(col("type").isin("bootstrap-insert", "insert"), lit("I"))
+          .when(col("type") === "update", lit("U"))
+          .when(col("type") === "delete", lit("D"))
+          .otherwise(lit(null).cast("string")))
+      .filter(col("op").isNotNull)
+
+  /** Keyed compaction honoring tombstones: newest row per key wins,
+    * and if the newest is a delete the key disappears entirely —
+    * the materialized-view semantics of a keyed store fed by CDC.
+    * Same one-shuffle max_by shape as [[lastWriteWinsAgg]]; the
+    * tombstone filter is map-side after the agg.
+    */
+  def compactWithTombstones(
+      df: DataFrame,
+      keys: Seq[Column],
+      order: Column
+  ): DataFrame = {
+    val cols = df.columns.map(col)
+    df.groupBy(keys: _*)
+      .agg(max_by(struct(cols: _*), order).as("__row"))
+      .select(col("__row.*"))
+      .filter(col("op") =!= "D")
+  }
+
   /** Changed-column extraction from update envelopes: Maxwell's
     * `old` map holds the previous values of exactly the columns an
     * update touched, so exploding it yields one (column, before,

@@ -34,6 +34,7 @@ object CdcQueries {
       when(col("event_type") === "signup", lit("bootstrap-insert"))
         .when(col("event_type") === "view", lit("insert"))
         .when(col("event_type") === "purchase", lit("update"))
+        .when(col("event_type") === "click", lit("delete"))
         .otherwise(col("event_type"))
     // Maxwell updates carry the previous values of changed columns in
     // "old" — synthesized deterministically as k-1 so the
@@ -126,7 +127,19 @@ object CdcQueries {
     // change tracking: one row per changed cell of each update
     "q_cdc_changed_cols" -> ((s, d) =>
       Cdc.changedColumns(normalized(s, d))
-        .orderBy(col("id"), col("col_name")))
+        .orderBy(col("id"), col("col_name"))),
+    // K5 delete semantics: keyed compaction where a newest-row
+    // tombstone removes the key (materialized-view read of CDC)
+    "q_cdc_compact_tombstones" -> ((s, d) => {
+      val envD = Cdc.normalizeOpsWithDeletes(Cdc.parse(synthLines(s, d)))
+      val dims = Cdc.routeMatching(envD, routing(s), "dim")
+        .select(
+          col("data")("uid").cast("long").as("uid"),
+          col("data")("id").cast("long").as("id"),
+          col("op"))
+      Cdc.compactWithTombstones(dims, Seq(col("uid")), col("id"))
+        .orderBy(col("uid"))
+    })
   )
 
   private val base =
@@ -163,6 +176,21 @@ object CdcQueries {
         |  CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS INT),
         |    0) AS VARCHAR) AS new_value
         |FROM events WHERE event_type = 'purchase'
-        |ORDER BY id, col_name""".stripMargin
+        |ORDER BY id, col_name""".stripMargin,
+    "q_cdc_compact_tombstones" ->
+      """WITH m AS (
+        |  SELECT 't'||(user_id % 3) AS src_table,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'view' THEN 'I'
+        |         WHEN event_type = 'purchase' THEN 'U'
+        |         WHEN event_type = 'click' THEN 'D' END AS op,
+        |    event_id AS id, user_id AS uid
+        |  FROM events
+        |  WHERE event_type IN ('signup','view','purchase','click'))
+        |SELECT uid, id, op FROM (
+        |  SELECT uid, id, op,
+        |    ROW_NUMBER() OVER (PARTITION BY uid ORDER BY id DESC) AS rn
+        |  FROM m WHERE src_table = 't2')
+        |WHERE rn = 1 AND op <> 'D' ORDER BY uid""".stripMargin
   )
 }

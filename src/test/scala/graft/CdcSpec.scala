@@ -50,6 +50,17 @@ class CdcSpec extends SparkSpec {
     assert(out == Map("k1" -> "c", "k2" -> "x"))
   }
 
+  test("tombstone compaction drops keys whose newest row is a delete") {
+    val df = Seq(
+      ("k1", 1L, "I"), ("k1", 3L, "D"), ("k1", 2L, "U"),  // newest = D
+      ("k2", 5L, "I"), ("k2", 6L, "U"),                   // newest = U
+      ("k3", 9L, "D"), ("k3", 10L, "I")                   // delete then re-insert
+    ).toDF("k", "v", "op")
+    val out = Cdc.compactWithTombstones(df, Seq(col("k")), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("k2" -> 6L, "k3" -> 10L))  // k1 gone
+  }
+
   test("changed columns: one row per old-map cell, updates only") {
     val lines = Seq(
       """{"table":"t1","type":"update","data":{"id":"7","a":"2","b":"9"},"old":{"a":"1"}}""",
