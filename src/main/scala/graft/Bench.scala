@@ -64,6 +64,14 @@ object Bench {
     // up to 2× between identical runs. Re-time the noise-dominated
     // tail (first-pass > 2 s) once more and report the per-query
     // minimum — standard best-of-N; both samples go to stderr.
+    // Conditions match pass 1: prewarmed state is restored first
+    // (released at family boundaries above), and each retimed query's
+    // family is released afterwards so later retimes don't run
+    // against a cache pile pass 1 never saw.
+    Caches.releaseAll()
+    ops.DemuxQueries.prewarm(spark, sfDir)
+    ops.CdcQueries.prewarm(spark, sfDir)
+    ops.VectorQueries.prewarm(spark, sfDir)
     val retimed = results.map {
       case (name, dt1) if dt1 > 2.0 =>
         val fn = SparkEntry.queries(name)
@@ -72,8 +80,10 @@ object Bench {
         val dt2 = (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] $name%-28s $dt2%8.2fs  rows=$n (retime; first=$dt1%.2f)")
+        Caches.release(family(name))
         System.gc()
-        name -> math.min(dt1, dt2)
+        // a failed retime (rows=-1) must never replace a valid sample
+        name -> (if (n < 0) dt1 else math.min(dt1, dt2))
       case kv => kv
     }
     Caches.releaseAll()

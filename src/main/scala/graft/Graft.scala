@@ -28,6 +28,14 @@ import org.apache.spark.sql.DataFrame
   */
 object Graft {
 
+  /** Release every shared intermediate the operators registered
+    * (persisted shingle/band tables, fitted models). Long-lived
+    * services call this when a corpus's queries are done — the
+    * facade's pair/near-dup methods persist shared state per call,
+    * and nothing else unpersists it.
+    */
+  def release(): Unit = Caches.releaseAll()
+
   implicit class DocOps(private val docs: DataFrame) extends AnyVal {
     def dedupExact: DataFrame = ops.Text.exactDedup(docs)
     def dupGroups: DataFrame = ops.Text.exactDupGroups(docs)

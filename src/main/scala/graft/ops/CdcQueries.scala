@@ -85,9 +85,16 @@ object CdcQueries {
     synthLines(s, d).count(); ()
   }
 
-  private def normalized(s: SparkSession, d: String): DataFrame =
+  /** Parsed (pre-normalization) envelope, cached once — both the
+    * I/U-only and the tombstone-aware normalizations are cheap
+    * map-side passes over it, so neither pays a second JSON parse.
+    */
+  private def parsedEnv(s: SparkSession, d: String): DataFrame =
     graft.Caches.persisted("cdc", (s, d))(
-      Cdc.normalizeOps(Cdc.parse(synthLines(s, d))))
+      Cdc.parse(synthLines(s, d)))
+
+  private def normalized(s: SparkSession, d: String): DataFrame =
+    Cdc.normalizeOps(parsedEnv(s, d))
 
   val queries: Map[String, Q] = Map(
     // T10+T11: normalize op types (click/error rows must be dropped),
@@ -131,7 +138,7 @@ object CdcQueries {
     // K5 delete semantics: keyed compaction where a newest-row
     // tombstone removes the key (materialized-view read of CDC)
     "q_cdc_compact_tombstones" -> ((s, d) => {
-      val envD = Cdc.normalizeOpsWithDeletes(Cdc.parse(synthLines(s, d)))
+      val envD = Cdc.normalizeOpsWithDeletes(parsedEnv(s, d))
       val dims = Cdc.routeMatching(envD, routing(s), "dim")
         .select(
           col("data")("uid").cast("long").as("uid"),

@@ -592,21 +592,24 @@ object Text {
           i => concat_ws(" ",
             element_at(col("toks"), i + 1),
             element_at(col("toks"), i + 2))).as("bigrams"))
-    staged.select(
-      col("doc_id"),
-      size(col("bigrams")).as("n_bigrams"),
-      size(array_distinct(col("bigrams"))).as("n_uniq_bigrams"),
-      (lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
-        size(col("bigrams"))).as("dup_bigram_ratio"),
-      aggregate(
-        transform(array_distinct(col("toks")),
-          t => size(filter(col("toks"), x => x === t))),
-        lit(0), (acc, c) => greatest(acc, c)).as("top_tok_count"),
-      (aggregate(
-        transform(array_distinct(col("toks")),
-          t => size(filter(col("toks"), x => x === t))),
-        lit(0), (acc, c) => greatest(acc, c)).cast("double") /
-        size(col("toks"))).as("top_tok_ratio"))
+    // the O(n²) top-token fold is staged once — lambda HOF bodies are
+    // excluded from subexpression elimination, so two inline copies
+    // would evaluate the quadratic fold twice per row
+    staged
+      .select(col("doc_id"), col("toks"), col("bigrams"),
+        aggregate(
+          transform(array_distinct(col("toks")),
+            t => size(filter(col("toks"), x => x === t))),
+          lit(0), (acc, c) => greatest(acc, c)).as("top_tok_count"))
+      .select(
+        col("doc_id"),
+        size(col("bigrams")).as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).as("n_uniq_bigrams"),
+        (lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+          size(col("bigrams"))).as("dup_bigram_ratio"),
+        col("top_tok_count"),
+        (col("top_tok_count").cast("double") / size(col("toks")))
+          .as("top_tok_ratio"))
   }
 
   /** Deterministic per-stratum hash sampling: docs are bucketed by
@@ -617,6 +620,12 @@ object Text {
     * auditable subsampling. Map-side only; the draw is
     * `('0x'||substr(md5(id||salt),1,15))::BIGINT` in any engine.
     */
+  /** Exact 60-bit draw threshold for rate `r` — THE single source of
+    * the threshold formula; the oracle SQL interpolates these values
+    * so both engines compare against the identical integer literal.
+    */
+  def q60(r: Double): Long = (r * math.pow(2, 60)).toLong
+
   def stratifiedSample(
       docs: DataFrame,
       rates: Seq[(String, Double)] =
@@ -630,9 +639,9 @@ object Text {
       substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))),
         1, 15), 16, 10).cast("long")
     // thresholds precomputed as exact longs so both engines compare
-    // against the identical integer literal
-    val thr = rates.map { case (b, r) =>
-      b -> (r * math.pow(2, 60)).toLong }
+    // against the identical integer literal (q60 is the single source
+    // of the formula — the oracle SQL interpolates the same values)
+    val thr = rates.map { case (b, r) => b -> q60(r) }
     val thrCol = thr.tail.foldLeft(
       when(bucket === thr.head._1, lit(thr.head._2))) {
       case (acc, (b, t)) => acc.when(bucket === b, lit(t))

@@ -341,11 +341,7 @@ object TextQueries {
         |FROM m ORDER BY doc_id""".stripMargin
   )
 
-  /** Exact draw thresholds as integer literals — computed once here
-    * so the Spark op and the oracle compare against the identical
-    * 60-bit constant.
-    */
-  private def q60(r: Double): Long = (r * math.pow(2, 60)).toLong
+  private def q60(r: Double): Long = Text.q60(r)
 
   /** Shared oracle fragment: exact 3-gram-shingle jaccard over the
     * unpruned inverted-index join (the n² check the prefix-filtered
