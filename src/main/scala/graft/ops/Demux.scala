@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.schemas.Gmall
 
@@ -165,4 +165,87 @@ object Demux {
   /** T9: serialize any branch back to a Kafka-ready JSON `value`. */
   def toJsonValue(branch: DataFrame): DataFrame =
     branch.select(to_json(struct(col("*"))).as("value"))
+
+  /** ALL FIVE branches in literally one pass: per input row, build an
+    * array of (topic, value) elements — err short-circuit, page,
+    * per-display, per-action, start — and explode it. The union-of-
+    * branches plan evaluates the `from_json` parse once per BRANCH
+    * LEG (batch callers persist the envelope; a streaming plan
+    * cannot), so this form is what the 5 s-micro-batch pipeline
+    * runs: one parse + one Generate per record, the exact shape of
+    * the reference's per-record if/else (`OdsBaseLogApp.scala:
+    * 95-188`). Field names/order match the per-branch
+    * `toJsonValue(branch)` serialization bit-for-bit (differential
+    * spec asserts it).
+    */
+  def topicValues(
+      parsed: DataFrame,
+      errorTopic: String,
+      pageTopic: String,
+      displayTopic: String,
+      actionTopic: String,
+      startTopic: String
+  ): DataFrame = {
+    def el(topic: String, payload: Column) =
+      struct(lit(topic).as("topic"), to_json(payload).as("value"))
+    val empty = array()
+      .cast("array<struct<topic:string,value:string>>")
+    val commonS = Seq(
+      col("common.mid").as("mid"),
+      col("common.uid").as("user_id"),
+      col("common.ar").as("province_id"),
+      col("common.ch").as("channel"),
+      col("common.is_new").as("is_new"),
+      col("common.md").as("model"),
+      col("common.os").as("operate_system"),
+      col("common.vc").as("version_code"),
+      col("common.ba").as("brand")
+    )
+    val pageS = Seq(
+      col("page.page_id").as("page_id"),
+      col("page.last_page_id").as("last_page_id"),
+      col("page.item").as("page_item"),
+      col("page.item_type").as("page_item_type"),
+      col("page.during_time").as("during_time"),
+      col("page.source_type").as("source_type")
+    )
+    val isErr = col("err").isNotNull
+    val onPage = !isErr && col("page").isNotNull
+    val errArr = when(isErr, array(el(errorTopic, struct(
+      col("common.mid").as("mid"),
+      col("err.error_code").as("error_code"),
+      col("err.msg").as("msg"),
+      col("ts"))))).otherwise(empty)
+    val pageArr = when(onPage, array(el(pageTopic,
+      struct(commonS ++ pageS :+ col("ts"): _*)))).otherwise(empty)
+    val dispArr = when(onPage && col("displays").isNotNull,
+      transform(col("displays"), d => el(displayTopic, struct(
+        commonS ++ pageS ++ Seq(
+          d.getField("display_type").as("display_type"),
+          d.getField("item").as("display_item"),
+          d.getField("item_type").as("display_item_type"),
+          d.getField("order").as("display_order"),
+          d.getField("pos_id").as("display_pos_id"),
+          col("ts")): _*)))).otherwise(empty)
+    val actArr = when(onPage && col("actions").isNotNull,
+      transform(col("actions"), a => el(actionTopic, struct(
+        commonS ++ pageS ++ Seq(
+          a.getField("action_id").as("action_id"),
+          a.getField("item").as("action_item"),
+          a.getField("item_type").as("action_item_type"),
+          a.getField("ts").as("action_ts"),
+          col("ts")): _*)))).otherwise(empty)
+    val startArr = when(!isErr && col("start").isNotNull,
+      array(el(startTopic, struct(commonS ++ Seq(
+        col("start.entry").as("entry"),
+        col("start.open_ad_id").as("open_ad_id"),
+        col("start.loading_time").as("loading_time_ms"),
+        col("start.open_ad_ms").as("open_ad_ms"),
+        col("start.open_ad_skip_ms").as("open_ad_skip_ms"),
+        col("ts")): _*)))).otherwise(empty)
+    parsed
+      .select(explode(
+        concat(errArr, pageArr, dispArr, actArr, startArr)).as("tv"))
+      .select(col("tv.topic").as("topic"), col("tv.value").as("value"))
+  }
 }

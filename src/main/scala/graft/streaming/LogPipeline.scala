@@ -53,8 +53,21 @@ object LogPipeline {
     * the Kafka sink routes on the `topic` column, so a single
     * streaming query serves all branches (no 5× source re-read, one
     * checkpoint, atomic-enough commit ordering).
+    *
+    * Uses the literally-one-pass form (`Demux.topicValues`: one parse
+    * + one Generate per record); the union-of-branches twin below
+    * re-parses per branch leg in a streaming plan (no persist there)
+    * and exists as the differential-test reference.
     */
-  def demuxToTopicValue(raw: DataFrame): DataFrame = {
+  def demuxToTopicValue(raw: DataFrame): DataFrame =
+    Demux.topicValues(Demux.parse(raw),
+      ErrorTopic, PageTopic, DisplayTopic, ActionTopic, StartTopic)
+
+  /** Union-of-branches form: same (topic, value) multiset as
+    * [[demuxToTopicValue]], built from the five independent branch
+    * projections + per-branch serialization.
+    */
+  def demuxToTopicValueUnion(raw: DataFrame): DataFrame = {
     val parsed = Demux.parse(raw)
     def tag(df: DataFrame, topic: String): DataFrame =
       Demux.toJsonValue(df).select(lit(topic).as("topic"), col("value"))

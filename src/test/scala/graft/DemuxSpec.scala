@@ -119,6 +119,19 @@ class DemuxSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("one-pass topicValues equals union-of-branches bit-for-bit") {
+    val lines = graft.ops.GmallSynth.logLinesFast(
+      Tables.events(spark, sf("sf0.001"))).select("value")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String)].collect().toSeq.sorted
+    val onePass = multiset(
+      graft.streaming.LogPipeline.demuxToTopicValue(lines))
+    val union = multiset(
+      graft.streaming.LogPipeline.demuxToTopicValueUnion(lines))
+    assert(onePass.nonEmpty)
+    assert(onePass == union)
+  }
+
   test("quarantine routes malformed lines with a reason, keeps good ones out") {
     val lines = Seq(
       """{"common":{"mid":"m1"},"page":{"page_id":"p"},"ts":1}""", // good
