@@ -377,15 +377,16 @@ object Text {
     // legs re-run the whole shingle transform per leg.
     val toks = graft.Caches.track("text", docs
       .repartition(col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("raw_toks"))
+      .select(col("doc_id"), tokens(col("text")).as("raw_toks"),
+        col("text"))
       .filter(size(col("raw_toks")) >= 3)
       .select(col("doc_id"),
+        // one-pass codegen shingling (bit-compatible with the
+        // concat_ws HOF chain) + per-element hash; distinct again on
+        // the hashes because distinct strings may collide
         array_distinct(transform(
-          sequence(lit(0), size(col("raw_toks")) - 3),
-          i => xxhash64(concat_ws(" ",
-            element_at(col("raw_toks"), i + 1),
-            element_at(col("raw_toks"), i + 2),
-            element_at(col("raw_toks"), i + 3))))).as("toks")))
+          graft.functions.tokenShingles(col("text"), 3),
+          s => xxhash64(s))).as("toks")))
     val df_ = toks
       .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -534,15 +535,13 @@ object Text {
       minHits: Int = 1
   ): DataFrame = {
     def hashedShingles(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), tokens(col("text")).as("raw_toks"))
+      .select(col("doc_id"), tokens(col("text")).as("raw_toks"),
+        col("text"))
       .filter(size(col("raw_toks")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(0), size(col("raw_toks")) - n),
-          i => xxhash64(concat_ws(" ",
-            (0 until n).map(o =>
-              element_at(col("raw_toks"), i + o + 1)): _*)))))
-          .as("sh"))
+          graft.functions.tokenShingles(col("text"), n),
+          s => xxhash64(s)))).as("sh"))
     val evalSh = hashedShingles(evalDocs)
       .select(col("sh")).distinct()
     hashedShingles(docs)
