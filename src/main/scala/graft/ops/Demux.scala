@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import graft.schemas.Gmall
 
@@ -161,6 +161,22 @@ object Demux {
           col("start.open_ad_skip_ms").as("open_ad_skip_ms") :+
           col("ts"): _*
       )
+
+  // --- typed DWD surface (`Dataset[bean]`, the reference's
+  // `bean/*.scala` case classes) — same plans as the untyped branch
+  // functions, with compile-time field safety for downstream code ---
+
+  def pagesTyped(parsed: DataFrame): Dataset[Gmall.PageLog] =
+    pages(parsed).as(Encoders.product[Gmall.PageLog])
+
+  def startsTyped(parsed: DataFrame): Dataset[Gmall.StartLog] =
+    starts(parsed).as(Encoders.product[Gmall.StartLog])
+
+  def displaysTyped(parsed: DataFrame): Dataset[Gmall.PageDisplayLog] =
+    displays(parsed).as(Encoders.product[Gmall.PageDisplayLog])
+
+  def actionsTyped(parsed: DataFrame): Dataset[Gmall.PageActionLog] =
+    actions(parsed).as(Encoders.product[Gmall.PageActionLog])
 
   /** T9: serialize any branch back to a Kafka-ready JSON `value`. */
   def toJsonValue(branch: DataFrame): DataFrame =

@@ -119,6 +119,22 @@ class DemuxSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("typed DWD datasets mirror the untyped branches") {
+    val parsed = Demux.parse(graft.ops.GmallSynth.logLinesFast(
+      Tables.events(spark, sf("sf0.001"))).select("value"))
+    assert(Demux.pagesTyped(parsed).count() ==
+      Demux.pages(parsed).count())
+    assert(Demux.startsTyped(parsed).count() ==
+      Demux.starts(parsed).count())
+    assert(Demux.displaysTyped(parsed).count() ==
+      Demux.displays(parsed).count())
+    assert(Demux.actionsTyped(parsed).count() ==
+      Demux.actions(parsed).count())
+    // compile-time field access on the typed rows
+    val p = Demux.pagesTyped(parsed).head()
+    assert(p.mid != null && p.page_id != null)
+  }
+
   test("one-pass topicValues equals union-of-branches bit-for-bit") {
     val lines = graft.ops.GmallSynth.logLinesFast(
       Tables.events(spark, sf("sf0.001"))).select("value")
