@@ -157,6 +157,31 @@ class PropertySpec extends SparkSpec {
     graft.Caches.release("text")  // drop the per-iteration track persists
   }
 
+  test("dup clusters equal naive union-find on random graphs") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+    forAll(edgeGen, n = 10) { rawEdges =>
+      val edges = rawEdges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // naive union-find over nodes 0..19
+      val parent = Array.tabulate(20)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until 20).map(i => i.toLong -> find(i).toLong).toMap
+      val docs = (0L until 20L).map(i => (i, s"doc$i"))
+        .toDF("doc_id", "text")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Text.dupClusters(docs, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
+  }
+
   test("chunking covers every token exactly once at stride == window") {
     forAll(textGen, n = 20) { text =>
       val docs = Seq((1L, text)).toDF("doc_id", "text")
