@@ -38,6 +38,8 @@ object StreamBench {
     val nBatches =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "4").toInt
     val perBatch = lines.length / nBatches
+    require(perBatch > 0,
+      s"corpus of ${lines.length} lines cannot fill $nBatches batches")
 
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
@@ -56,16 +58,18 @@ object StreamBench {
       q.processAllAvailable()
       val t0 = System.nanoTime()
       var i = perBatch
+      var timedBatches = 0
       while (i < lines.length) {
         in.addData(lines.slice(i, i + perBatch))
         q.processAllAvailable()
         i += perBatch
+        timedBatches += 1
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val n = lines.length - perBatch
       println(
         s"""{"metric":"demux_stream_rows_per_sec","value":${(n / dt).toLong},""" +
-          s""""rows":$n,"seconds":$dt,"batches":${nBatches - 1},"sf":"$sfDir"}""")
+          s""""rows":$n,"seconds":$dt,"batches":$timedBatches,"sf":"$sfDir"}""")
     } finally q.stop()
     spark.stop()
   }

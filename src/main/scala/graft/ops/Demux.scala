@@ -206,25 +206,11 @@ object Demux {
       struct(lit(topic).as("topic"), to_json(payload).as("value"))
     val empty = array()
       .cast("array<struct<topic:string,value:string>>")
-    val commonS = Seq(
-      col("common.mid").as("mid"),
-      col("common.uid").as("user_id"),
-      col("common.ar").as("province_id"),
-      col("common.ch").as("channel"),
-      col("common.is_new").as("is_new"),
-      col("common.md").as("model"),
-      col("common.os").as("operate_system"),
-      col("common.vc").as("version_code"),
-      col("common.ba").as("brand")
-    )
-    val pageS = Seq(
-      col("page.page_id").as("page_id"),
-      col("page.last_page_id").as("last_page_id"),
-      col("page.item").as("page_item"),
-      col("page.item_type").as("page_item_type"),
-      col("page.during_time").as("during_time"),
-      col("page.source_type").as("source_type")
-    )
+    // the SAME projection vals the branch functions use — one
+    // definition keeps the one-pass output bit-for-bit aligned with
+    // toJsonValue(branch) (the differential spec pins it)
+    val commonS = commonCols
+    val pageS = pageCols
     val isErr = col("err").isNotNull
     val onPage = !isErr && col("page").isNotNull
     val errArr = when(isErr, array(el(errorTopic, struct(

@@ -34,6 +34,38 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** The multiply must happen IN DOUBLE for the rewrite to preserve
+    * results: either both operands are explicit casts to double (any
+    * element type ArrayDotProduct can read), or the arrays are
+    * already double-typed and the operands are bare variables. A
+    * bare-variable multiply over float/int/long arrays computes in
+    * the ELEMENT type (float rounding, integer wrap) and must not be
+    * rewritten.
+    */
+  private def doubleArith(
+      e: Expression,
+      v: NamedLambdaVariable,
+      arr: Expression
+  ): Boolean = {
+    val elem = arr.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => Some(et)
+      case _ => None
+    }
+    val readable = elem.exists {
+      case DoubleType | org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    e match {
+      case Cast(nv: NamedLambdaVariable, DoubleType, _, _) =>
+        nv.exprId == v.exprId && readable
+      case nv: NamedLambdaVariable =>
+        nv.exprId == v.exprId && elem.contains(DoubleType)
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -44,8 +76,8 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable,
               Seq(fv: NamedLambdaVariable), _))
-          if ((sameVar(mx, x) && sameVar(my, y)) ||
-            (sameVar(mx, y) && sameVar(my, x))) &&
+          if ((doubleArith(mx, x, l) && doubleArith(my, y, r)) ||
+            (doubleArith(mx, y, r) && doubleArith(my, x, l))) &&
             sameVar(ma, acc) && sameVar(mv, v) &&
             fin.exprId == fv.exprId =>
         graft.functions.ArrayDotProduct(l, r)

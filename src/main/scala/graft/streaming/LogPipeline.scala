@@ -92,11 +92,10 @@ object LogPipeline {
   }
 
   /** End-to-end: Kafka ODS topic → 5 DWD topics, 5 s micro-batches,
-    * checkpointed. The union-of-branches plan re-reads the parsed
-    * batch per branch; Catalyst collapses the source scan, and the
-    * single query keeps offset commit ordering identical to the
-    * reference (flush before offset save, `OdsBaseLogApp.scala:194,
-    * 205`).
+    * checkpointed. Runs the one-pass demux (one parse + one Generate
+    * per record); the single query keeps offset commit ordering
+    * identical to the reference (flush before offset save,
+    * `OdsBaseLogApp.scala:194,205`).
     */
   def start(
       spark: SparkSession,
