@@ -32,6 +32,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(rewritten == interpreted)
   }
 
+  test("rule refuses folds whose multiply is not double-precision") {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations =
+      Seq(graft.plans.RewriteDotProduct)
+    // bare-variable multiply over FLOAT arrays computes in float —
+    // rewriting would change rounding, so the rule must not fire
+    val q = Tables.embeddings(s, sf("sf0.001"))
+      .select(aggregate(
+        zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+    assert(!q.queryExecution.optimizedPlan.toString
+      .contains("graft_dot"))
+  }
+
   test("sessions without the rule keep the HOF plan") {
     val q = hofQuery(spark)
     assert(!q.queryExecution.optimizedPlan.toString
