@@ -625,6 +625,63 @@ object Text {
     */
   def q60(r: Double): Long = (r * math.pow(2, 60)).toLong
 
+  /** The capstone composition — the end-to-end "prepare training
+    * data" pipeline a 100 TB curation job runs, built entirely from
+    * the operators above:
+    *
+    *  1. quality gate (scan-stage score ≥ threshold);
+    *  2. near-duplicate collapse: exact shingle-Jaccard pair graph →
+    *     connected components → keep each cluster's min-id
+    *     representative (subsumes exact dedup: identical docs share
+    *     every shingle);
+    *  3. PII redaction over the survivors (scan-stage);
+    *  4. token-window chunking with overlap (scan-stage);
+    *  5. deterministic hash sampling of chunks (reproducible under
+    *     any partitioning).
+    *
+    * Shuffle census at scale: the pair join + components iterate over
+    * the (small) near-dup graph, everything else stays in the scan
+    * stage — the whole pipeline is one similarity join away from
+    * embarrassingly parallel.
+    */
+  def prepareTrainingData(
+      docs: DataFrame,
+      qualityThreshold: Double = 0.4,
+      jaccardThreshold: Double = 0.5,
+      sampleRate: Double = 0.5,
+      window: Int = 50,
+      stride: Int = 40,
+      precomputedPairs: Option[DataFrame] = None
+  ): DataFrame = {
+    val kept = docs.join(
+      qualityScore(docs)
+        .filter(col("quality") >= qualityThreshold)
+        .select(col("doc_id")),
+      "doc_id")
+    // a pair's jaccard is independent of other docs, so a corpus-wide
+    // pair graph (computed once per session) restricted to the kept
+    // set is EXACTLY the kept-set pair graph — pass it in to avoid
+    // re-running the similarity join per downstream pipeline
+    val pairs = precomputedPairs
+      .map(_.filter(col("jaccard") >= jaccardThreshold)
+        .join(kept.select(col("doc_id").as("doc_a")),
+          Seq("doc_a"), "left_semi")
+        .join(kept.select(col("doc_id").as("doc_b")),
+          Seq("doc_b"), "left_semi"))
+      .getOrElse(jaccardExactPairs(kept, jaccardThreshold))
+    val reps = dupClusters(kept, pairs)
+      .filter(col("doc_id") === col("cluster"))
+      .select(col("doc_id"))
+    val redacted = piiRedact(kept.join(reps, "doc_id"))
+      .select(col("doc_id"), col("redacted").as("text"))
+    val chunks = chunkDocs(redacted, window, stride)
+    val draw = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("chunk_id").cast("string"), lit(":chunk"))), 1, 15),
+      16, 10).cast("long")
+    chunks.filter(draw < lit(q60(sampleRate)))
+  }
+
   def stratifiedSample(
       docs: DataFrame,
       rates: Seq[(String, Double)] =

@@ -99,7 +99,13 @@ object TextQueries {
     }),
     "q_text_repetition" -> ((s, d) =>
       Text.repetitionStats(Tables.documents(s, d))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // capstone composition: quality gate -> near-dup cluster
+    // representatives -> PII redact -> chunk -> deterministic sample
+    "q_text_prepare" -> ((s, d) =>
+      Text.prepareTrainingData(Tables.documents(s, d),
+        precomputedPairs = Some(jacPairs(s, d)))
+        .orderBy(col("doc_id"), col("chunk_id")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -338,7 +344,63 @@ object TextQueries {
         |    AS dup_bigram_ratio,
         |  CAST(top_cnt AS INT) AS top_tok_count,
         |  CAST(top_cnt AS DOUBLE) / len(toks) AS top_tok_ratio
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_prepare" ->
+      s"""WITH RECURSIVE
+         |qt AS (
+         |  SELECT doc_id, n_chars, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE regexp_split_to_array(trim(text), '\\s+')
+         |    END AS qtoks
+         |  FROM documents),
+         |qdocs AS (
+         |  SELECT doc_id, text FROM qt
+         |  WHERE CAST(len(list_filter(qtoks, x -> list_contains(
+         |      ['the','a','an','and','of','to','in','is'], x))) AS DOUBLE)
+         |      / GREATEST(len(qtoks), 1) * 0.25
+         |    + CAST(len(list_distinct(qtoks)) AS DOUBLE)
+         |      / GREATEST(len(qtoks), 1) * 0.5
+         |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25
+         |    >= 0.4),
+         |${jacPairsSqlOver("qdocs")},
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |    WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(doc_id, rr) AS (
+         |  SELECT doc_id, doc_id FROM qdocs
+         |  UNION
+         |  SELECT reach.doc_id, e.dst
+         |  FROM reach JOIN e ON reach.rr = e.src),
+         |reps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, MIN(rr) AS cluster FROM reach GROUP BY doc_id)
+         |  WHERE doc_id = cluster),
+         |red AS (
+         |  SELECT q.doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(q.text,
+         |      'https?://[^ ]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |      '<EMAIL>', 'g'),
+         |      '[0-9]{7,}', '<NUM>', 'g') AS text
+         |  FROM qdocs q JOIN reps USING (doc_id)),
+         |tk AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM red WHERE len(trim(text)) > 0),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    UNNEST(generate_series(0, len(toks) - 1, 40)) AS start
+         |  FROM tk)
+         |SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+         |  array_to_string(toks[start + 1 : start + 50], ' ')
+         |    AS chunk_text,
+         |  CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_tokens
+         |FROM c
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |    CAST(start // 40 AS VARCHAR) || ':chunk'), 1, 15)) AS BIGINT)
+         |  < ${Text.q60(0.5)}
+         |ORDER BY doc_id, chunk_id""".stripMargin
   )
 
   private def q60(r: Double): Long = Text.q60(r)
@@ -347,10 +409,12 @@ object TextQueries {
     * unpruned inverted-index join (the n² check the prefix-filtered
     * Spark path must equal).
     */
-  private def jacPairsSql =
-    """t0 AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-      |  FROM documents WHERE len(trim(text)) > 0),
+  private def jacPairsSql = jacPairsSqlOver("documents")
+
+  private def jacPairsSqlOver(src: String) =
+    s"""t0 AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      |  FROM $src WHERE len(trim(text)) > 0),
       |t AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(
