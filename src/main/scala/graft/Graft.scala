@@ -58,6 +58,12 @@ object Graft {
           Seq("short" -> 0.2, "medium" -> 0.5, "long" -> 1.0)
     ): DataFrame = ops.Text.stratifiedSample(docs, rates)
     def curated: DataFrame = ops.Text.curationPipeline(docs)
+    def preparedForTraining(
+        qualityThreshold: Double = 0.4,
+        jaccardThreshold: Double = 0.5,
+        sampleRate: Double = 0.5
+    ): DataFrame = ops.Text.prepareTrainingData(docs,
+      qualityThreshold, jaccardThreshold, sampleRate)
   }
 
   implicit class EmbeddingOps(private val embs: DataFrame)

@@ -653,6 +653,8 @@ object Text {
       stride: Int = 40,
       precomputedPairs: Option[DataFrame] = None
   ): DataFrame = {
+    // contract: a precomputed graph must come from a threshold <= the
+    // requested one (it is re-filtered down, never regenerated up)
     val kept = docs.join(
       qualityScore(docs)
         .filter(col("quality") >= qualityThreshold)
