@@ -625,24 +625,33 @@ object Text {
     */
   def q60(r: Double): Long = (r * math.pow(2, 60)).toLong
 
+  /** 60-bit md5 draw over `key` — the single source of the draw half
+    * of the deterministic-sampling formula (`('0x'||substr(md5(key),
+    * 1,15))::BIGINT` in any engine), compared against [[q60]]
+    * thresholds.
+    */
+  def draw60(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
   /** The capstone composition — the end-to-end "prepare training
     * data" pipeline a 100 TB curation job runs, built entirely from
     * the operators above:
     *
     *  1. quality gate (scan-stage score ≥ threshold);
-    *  2. near-duplicate collapse: exact shingle-Jaccard pair graph →
+    *  2. exact dedup (md5 min-doc — near-dup collapse subsumes it
+    *     only for docs long enough to shingle, so sub-3-token exact
+    *     copies need this explicit pass);
+    *  3. near-duplicate collapse: exact shingle-Jaccard pair graph →
     *     connected components → keep each cluster's min-id
-    *     representative (subsumes exact dedup: identical docs share
-    *     every shingle);
-    *  3. PII redaction over the survivors (scan-stage);
-    *  4. token-window chunking with overlap (scan-stage);
-    *  5. deterministic hash sampling of chunks (reproducible under
+    *     representative;
+    *  4. PII redaction over the survivors (scan-stage);
+    *  5. token-window chunking with overlap (scan-stage);
+    *  6. deterministic hash sampling of chunks (reproducible under
     *     any partitioning).
     *
-    * Shuffle census at scale: the pair join + components iterate over
-    * the (small) near-dup graph, everything else stays in the scan
-    * stage — the whole pipeline is one similarity join away from
-    * embarrassingly parallel.
+    * Shuffle census at scale: the exact-dedup agg, the pair join and
+    * the component iteration over the (small) near-dup graph;
+    * everything else stays in the scan stage.
     */
   def prepareTrainingData(
       docs: DataFrame,
@@ -651,25 +660,36 @@ object Text {
       sampleRate: Double = 0.5,
       window: Int = 50,
       stride: Int = 40,
-      precomputedPairs: Option[DataFrame] = None
+      precomputedPairs: Option[(DataFrame, Double)] = None
   ): DataFrame = {
-    // contract: a precomputed graph must come from a threshold <= the
-    // requested one (it is re-filtered down, never regenerated up)
-    val kept = docs.join(
-      qualityScore(docs)
-        .filter(col("quality") >= qualityThreshold)
-        .select(col("doc_id")),
-      "doc_id")
+    precomputedPairs.foreach { case (_, srcThreshold) =>
+      // a graph can only be re-filtered DOWN: pairs below its source
+      // threshold were never materialized and cannot be recovered
+      require(srcThreshold <= jaccardThreshold,
+        s"precomputed pair graph at threshold $srcThreshold cannot " +
+          s"serve a request at $jaccardThreshold")
+    }
+    // persisted: the quality-gated corpus feeds the pair restriction,
+    // the (eager, iterative) clustering, and the redaction join —
+    // unpersisted, each leg re-runs the scan + HOF quality exprs
+    val kept = graft.Caches.track("text", exactDedup(
+      docs.join(
+        qualityScore(docs)
+          .filter(col("quality") >= qualityThreshold)
+          .select(col("doc_id")),
+        "doc_id")))
     // a pair's jaccard is independent of other docs, so a corpus-wide
     // pair graph (computed once per session) restricted to the kept
     // set is EXACTLY the kept-set pair graph — pass it in to avoid
     // re-running the similarity join per downstream pipeline
     val pairs = precomputedPairs
-      .map(_.filter(col("jaccard") >= jaccardThreshold)
-        .join(kept.select(col("doc_id").as("doc_a")),
-          Seq("doc_a"), "left_semi")
-        .join(kept.select(col("doc_id").as("doc_b")),
-          Seq("doc_b"), "left_semi"))
+      .map { case (p, _) =>
+        p.filter(col("jaccard") >= jaccardThreshold)
+          .join(kept.select(col("doc_id").as("doc_a")),
+            Seq("doc_a"), "left_semi")
+          .join(kept.select(col("doc_id").as("doc_b")),
+            Seq("doc_b"), "left_semi")
+      }
       .getOrElse(jaccardExactPairs(kept, jaccardThreshold))
     val reps = dupClusters(kept, pairs)
       .filter(col("doc_id") === col("cluster"))
@@ -677,10 +697,8 @@ object Text {
     val redacted = piiRedact(kept.join(reps, "doc_id"))
       .select(col("doc_id"), col("redacted").as("text"))
     val chunks = chunkDocs(redacted, window, stride)
-    val draw = conv(
-      substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-        col("chunk_id").cast("string"), lit(":chunk"))), 1, 15),
-      16, 10).cast("long")
+    val draw = draw60(concat(col("doc_id").cast("string"), lit(":"),
+      col("chunk_id").cast("string"), lit(":chunk")))
     chunks.filter(draw < lit(q60(sampleRate)))
   }
 
@@ -693,9 +711,8 @@ object Text {
     val n = size(tokens(col("text")))
     val bucket = when(n < 50, lit("short"))
       .when(n < 200, lit("medium")).otherwise(lit("long"))
-    val draw = conv(
-      substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))),
-        1, 15), 16, 10).cast("long")
+    val draw = draw60(
+      concat(col("doc_id").cast("string"), lit(":" + salt)))
     // thresholds precomputed as exact longs so both engines compare
     // against the identical integer literal (q60 is the single source
     // of the formula — the oracle SQL interpolates the same values)

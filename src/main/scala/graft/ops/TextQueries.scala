@@ -104,7 +104,7 @@ object TextQueries {
     // representatives -> PII redact -> chunk -> deterministic sample
     "q_text_prepare" -> ((s, d) =>
       Text.prepareTrainingData(Tables.documents(s, d),
-        precomputedPairs = Some(jacPairs(s, d)))
+        precomputedPairs = Some((jacPairs(s, d), 0.5)))
         .orderBy(col("doc_id"), col("chunk_id")))
   )
 
@@ -362,14 +362,21 @@ object TextQueries {
          |      / GREATEST(len(qtoks), 1) * 0.5
          |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25
          |    >= 0.4),
-         |${jacPairsSqlOver("qdocs")},
+         |qd AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |                         ORDER BY doc_id) AS rn
+         |    FROM qdocs)
+         |  WHERE rn = 1),
+         |${jacPairsSqlOver("qd")},
          |e AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM jac
          |    WHERE jaccard >= 0.5
          |  UNION ALL
          |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
          |reach(doc_id, rr) AS (
-         |  SELECT doc_id, doc_id FROM qdocs
+         |  SELECT doc_id, doc_id FROM qd
          |  UNION
          |  SELECT reach.doc_id, e.dst
          |  FROM reach JOIN e ON reach.rr = e.src),
@@ -384,7 +391,7 @@ object TextQueries {
          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
          |      '<EMAIL>', 'g'),
          |      '[0-9]{7,}', '<NUM>', 'g') AS text
-         |  FROM qdocs q JOIN reps USING (doc_id)),
+         |  FROM qd q JOIN reps USING (doc_id)),
          |tk AS (
          |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
          |  FROM red WHERE len(trim(text)) > 0),
