@@ -44,12 +44,20 @@ object Caches {
     df
   }
 
+  /** Register a release hook for cached state the registry cannot
+    * unpersist itself (e.g. checkpoint RDD blocks behind a truncated
+    * lineage) — `release(family)` invokes it exactly once.
+    */
+  def trackReleasable(family: String)(hook: () => Unit): Unit =
+    entries.put((family, ("track", trackIds.incrementAndGet())), hook)
+
   /** Unpersist and drop everything registered under `family`. */
   def release(family: String): Unit =
     entries.keysIterator.filter(_._1 == family).foreach { k =>
       entries.remove(k).foreach {
-        case df: DataFrame => df.unpersist(blocking = false)
-        case _             => ()
+        case df: DataFrame         => df.unpersist(blocking = false)
+        case hook: (() => Unit) @unchecked => hook()
+        case _                     => ()
       }
     }
 

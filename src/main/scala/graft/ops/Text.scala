@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.storage.StorageLevel
 
 /** Text-analysis + deduplication operators for the LLM-training-data
   * pipeline (north star; SURVEY §2.6 extras).
@@ -437,19 +439,42 @@ object Text {
     *
     * Iterative min-label propagation: label(v) ← min(label(v),
     * min over neighbors u of label(u)) until fixpoint — O(diameter)
-    * rounds, each one hash join + one agg on the edge key.
-    * `localCheckpoint` truncates lineage per round (a cluster job
-    * would use reliable checkpointing); dedup graphs have tiny
-    * diameters, so rounds stay single-digit at any scale (the
-    * large-star/small-star variant halves rounds if they don't).
-    * The fixpoint is unique, so the result is deterministic however
-    * the rounds are scheduled.
+    * rounds, each one hash join + one agg on the edge key. Each round
+    * is truncated to a checkpoint (reliable `checkpoint()` when
+    * `checkpointDir` is given — the cluster-grade path that survives
+    * executor loss; `localCheckpoint` otherwise), materialized by ONE
+    * count job that doubles as the convergence test, and the
+    * superseded round's blocks are released immediately — an
+    * iterative operator that leaks its history is a memory bug in any
+    * long-lived service. Dedup graphs have tiny diameters, so rounds
+    * stay single-digit at any scale (the large-star/small-star
+    * variant halves rounds if they don't). The fixpoint is unique, so
+    * the result is deterministic however the rounds are scheduled.
     */
   def dupClusters(
       docs: DataFrame,
       pairs: DataFrame,
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
+    val spark = docs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Lazy in both modes so the convergence count below is the ONE
+    // job that materializes a round.
+    def snapshot(df: DataFrame): DataFrame = {
+      val snapped =
+        if (checkpointDir.isDefined) df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
+      // a reliable checkpoint recomputes its lineage for the file
+      // write unless the RDD is also cached — persist it like the
+      // local path (localCheckpoint marks MEMORY_AND_DISK itself)
+      if (checkpointDir.isDefined)
+        Bridge.leafRdd(snapped)
+          .foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+      snapped
+    }
+    def releaseSnapshot(df: DataFrame): Unit =
+      Bridge.leafRdd(df).foreach(_.unpersist(blocking = false))
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"),
@@ -459,25 +484,31 @@ object Text {
     // singletons by definition and are appended once at the end —
     // at 100 TB the near-dup graph is orders of magnitude smaller
     // than the corpus, so the loop's joins never see the full table
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint()
+    var labels = snapshot(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster")))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val nbrMin = edges
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels
+      // the round's labels carry a `changed` flag so a single count
+      // both materializes the snapshot and decides convergence — the
+      // previous separate isEmpty action re-joined next against
+      // labels, paying two extra scheduled jobs per round in a
+      // latency-bound loop
+      val next = snapshot(labels
         .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(labels("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter(col("cluster") =!= col("prev"))
-        .isEmpty
+          least(labels("cluster"),
+            coalesce(col("nbr_min"), labels("cluster"))).as("cluster"),
+          (col("nbr_min") < labels("cluster")).as("changed")))
+      converged = next.filter(col("changed")).count() == 0L
+      // the superseded round's checkpoint blocks are released as soon
+      // as the successor is materialized — left alone they pile up
+      // until GC-driven ContextCleaner cleanup (r3's dominant bench
+      // pathology)
+      releaseSnapshot(labels)
       labels = next
       it += 1
     }
@@ -487,12 +518,18 @@ object Text {
     // real dedup graphs converge in single digits)
     require(converged,
       s"dupClusters did not converge within $maxIter rounds")
+    // the converged snapshot backs the returned frame through a
+    // TRUNCATED lineage (it cannot be recomputed once released) —
+    // register its release with the family, like every other shared
+    // intermediate, instead of leaking it
+    val finalSnap = labels
+    graft.Caches.trackReleasable("text")(() => releaseSnapshot(finalSnap))
     // singletons (no incident pair) re-enter as their own cluster —
     // one anti-join against the converged graph labels
     docs.select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(finalSnap.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
-      .union(labels)
+      .union(finalSnap.select(col("doc_id"), col("cluster")))
   }
 
   /** Fixed token-window chunks with overlap (`window` tokens every

@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graftx
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Column ↔ Expression bridge.
   *
@@ -16,4 +18,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The materialized RDD behind a checkpointed Dataset
+    * (`ds.checkpoint`/`ds.localCheckpoint` both return a Dataset whose
+    * analyzed plan is a `LogicalRDD` leaf). Iterative operators need
+    * the handle to `unpersist` superseded rounds' checkpoint blocks —
+    * `Dataset.unpersist` only consults the CacheManager, which never
+    * sees checkpoint storage, so without this the blocks linger until
+    * GC-driven ContextCleaner cleanup.
+    */
+  def leafRdd(ds: Dataset[_]): Option[RDD[_]] =
+    ds.queryExecution.analyzed match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _             => None
+    }
 }

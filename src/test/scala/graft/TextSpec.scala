@@ -113,6 +113,26 @@ class TextSpec extends SparkSpec {
     assert(m(4L) == 4L && m(5L) == 5L)       // singletons keep own id
   }
 
+  test("dup clusters converge identically with reliable checkpointing") {
+    // the cluster-grade path (reliable checkpoint() to a directory,
+    // surviving executor loss) must produce the same fixpoint as the
+    // default localCheckpoint path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val m = Text.dupClusters(docs, pairs, checkpointDir = Some(dir))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert(m(4L) == 4L && m(5L) == 5L)
+    // the reliable path actually wrote checkpoint files
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .count()
+    assert(wrote > 0, "reliable checkpoint wrote no files")
+  }
+
   test("chunking: overlapping windows cover every token exactly") {
     val doc = Seq((1L, (1 to 120).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
