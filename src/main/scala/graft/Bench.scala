@@ -87,11 +87,16 @@ object Bench {
       case kv => kv
     }
     Caches.releaseAll()
-    val qs = retimed.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver's capture has truncated this line from the HEAD every
+    // round so far ("parsed": null) — keep it short (3-decimal
+    // seconds), lead with the headline total, and repeat the total at
+    // the very end so it survives truncation from either side.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = retimed.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = retimed.map(_._2).sum
+    val total = r3(retimed.map(_._2).sum)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -256,6 +256,11 @@ object Vector {
 
   def unitized(embeddings: DataFrame): DataFrame =
     embeddings
+      // small single-file inputs arrive as one split; spread the
+      // per-row work (norm + downstream plane dots) across cores —
+      // same rationale as Text.docShingles (at scale the input is
+      // already split and AQE can elide the exchange)
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         decNorm(col("embedding")).as("nrm"))
       .select(col("vec_id"),
