@@ -45,12 +45,18 @@ object TextQueries {
       Text.langGuess(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_text_fingerprint" -> ((s, d) =>
       Text.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
-    // No-oracle (rows-only) entries: LSH near-dup candidates + exact
-    // jaccard verify + simhash (not ANSI-SQL-expressible).
+    // No-oracle (rows-only) entries: LSH near-dup candidates + simhash
+    // (not ANSI-SQL-expressible).
     "q_text_minhash_neardup" -> ((s, d) =>
       candidates(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    // exact-jaccard verification of the MinHash-LSH candidates,
+    // thresholded: the oracle is the full unpruned pair set at the
+    // same threshold, so a green row certifies the LSH candidate
+    // generation lost no qualifying pair on this corpus (banded
+    // recall at j ≥ 0.5 for near-identical dups is ≈ 1)
     "q_text_ngram_jaccard" -> ((s, d) =>
       Text.ngramJaccard(Tables.documents(s, d), candidates(s, d))
+        .filter(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_text_simhash" -> ((s, d) =>
       Text.simhashes(Tables.documents(s, d)).orderBy(col("doc_id"))),
@@ -239,6 +245,14 @@ object TextQueries {
          |FROM dedup WHERE rn = 1
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_jaccard_exact" ->
+      s"""WITH $jacPairsSql
+         |SELECT doc_a, doc_b, jaccard FROM jac
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same oracle SQL as q_text_jaccard_exact on purpose: the Spark
+    // side travels a DIFFERENT path (LSH banding → candidate pairs →
+    // exact verify) and must land on the identical final pair set
+    "q_text_ngram_jaccard" ->
       s"""WITH $jacPairsSql
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= 0.5
