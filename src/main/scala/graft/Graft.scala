@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.ml.clustering.KMeansModel
 import org.apache.spark.sql.DataFrame
 
 /** User-facing fluent surface: every operator family as extension
@@ -58,6 +59,23 @@ object Graft {
           Seq("short" -> 0.2, "medium" -> 0.5, "long" -> 1.0)
     ): DataFrame = ops.Text.stratifiedSample(docs, rates)
     def curated: DataFrame = ops.Text.curationPipeline(docs)
+    def contaminationAgainst(
+        evalDocs: DataFrame,
+        n: Int = 3,
+        minHits: Int = 1
+    ): DataFrame = ops.Text.contamination(docs, evalDocs, n, minHits)
+    def docFrequency(minDf: Long = 1L): DataFrame =
+      ops.Text.docFrequency(docs, minDf)
+    def rollingFingerprinted: DataFrame =
+      ops.Text.rollingFingerprint(docs)
+    def simhashed: DataFrame = ops.Text.simhashes(docs)
+    def writePartitioned(
+        path: String,
+        partitionCols: Seq[String] = Seq("lang"),
+        maxRecordsPerFile: Long = 1000000L
+    ): Unit =
+      ops.Export.writePartitioned(docs, path, partitionCols,
+        maxRecordsPerFile)
     def preparedForTraining(
         qualityThreshold: Double = 0.4,
         jaccardThreshold: Double = 0.5,
@@ -76,5 +94,15 @@ object Graft {
       ops.Vector.cosineNearDup(embs, threshold)
     def labelCentroids: DataFrame = ops.Vector.labelCentroids(embs)
     def quantizedInt8: DataFrame = ops.Vector.quantizeInt8(embs)
+    // IVF is fit-once, probe-many: fit offline (memoize the model —
+    // see VectorQueries.prewarm / Caches.cached), probe per query
+    def fitIvf(nLists: Int = 16): KMeansModel =
+      ops.Vector.fitIvf(embs, nLists)
+    def ivfTopK(
+        model: KMeansModel,
+        queryId: Long,
+        k: Int,
+        nProbe: Int = 4
+    ): DataFrame = ops.Vector.ivfTopK(embs, model, queryId, k, nProbe)
   }
 }

@@ -34,10 +34,32 @@ class GraftApiSpec extends SparkSpec {
     assert(docs.curated.columns.nonEmpty)
   }
 
+  test("doc analysis + export surface composes end to end") {
+    // doc 3 shares zero trigrams with docs 1/2 → only 1,2 contaminated
+    val hits = docs.filter($"doc_id" =!= 3L)
+      .contaminationAgainst(docs.filter($"doc_id" === 3L), n = 3)
+    assert(hits.count() == 0)
+    val hits2 = docs.filter($"doc_id" === 1L)
+      .contaminationAgainst(docs.filter($"doc_id" === 2L), n = 3)
+    assert(hits2.count() == 1)                // identical texts collide
+    val df_ = docs.docFrequency(minDf = 2L).collect()
+    assert(df_.exists(r => r.getAs[String]("token") == "the" &&
+      r.getAs[Long]("df") == 2L))
+    assert(docs.rollingFingerprinted.columns.contains("roll_fp"))
+    assert(docs.simhashed.count() == 3)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-api-export").toString
+    docs.writePartitioned(out, partitionCols = Seq("lang"))
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("embedding surface composes end to end") {
     val top = embs.cosineTopK(0L, 1).collect()
     assert(top.head.getAs[Long]("vec_id") == 1L)
     assert(embs.quantizedInt8.count() == 3)
     assert(embs.labelCentroids.count() == 4)  // 2 labels × 2 dims
+    val model = embs.fitIvf(nLists = 2)
+    val ivf = embs.ivfTopK(model, 0L, 1).collect()
+    assert(ivf.head.getAs[Long]("vec_id") == 1L)
   }
 }
