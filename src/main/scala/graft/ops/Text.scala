@@ -455,7 +455,8 @@ object Text {
       docs: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 20,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      cacheFamily: String = "text"
   ): DataFrame = {
     val spark = docs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -523,7 +524,8 @@ object Text {
     // register its release with the family, like every other shared
     // intermediate, instead of leaking it
     val finalSnap = labels
-    graft.Caches.trackReleasable("text")(() => releaseSnapshot(finalSnap))
+    graft.Caches.trackReleasable(cacheFamily)(
+      () => releaseSnapshot(finalSnap))
     // singletons (no incident pair) re-enter as their own cluster —
     // one anti-join against the converged graph labels
     docs.select(col("doc_id"))
@@ -555,6 +557,87 @@ object Text {
           .as("chunk_text"),
         size(slice(col("toks"), col("start") + 1, lit(window)))
           .as("n_tokens"))
+  }
+
+  /** Pack chunk rows into fixed-token-budget training sequences —
+    * the concat-and-cut step between chunking and batching: the chunk
+    * stream is (conceptually) concatenated in (doc_id, chunk_id)
+    * order and cut every `seqTokens` tokens; each chunk is assigned
+    * the sequence where it STARTS plus its offset inside it (GPT-style
+    * stream packing — a chunk may straddle a cut, exactly as training
+    * examples do).
+    *
+    * A single global running sum would serialize on one partition, so
+    * the stream is first split into `nBuckets` deterministic doc-level
+    * buckets (md5 60-bit draw — reproducible in any engine, and
+    * doc-id-hash so a document's chunks stay in one bucket) and packed
+    * per bucket: one hash shuffle + per-bucket window sums, fully
+    * parallel, reproducible under any partitioning. Pure integer math
+    * end to end (oracle-exact).
+    */
+  def packChunks(
+      chunks: DataFrame,
+      seqTokens: Int = 512,
+      nBuckets: Int = 8
+  ): DataFrame = {
+    val bucket = pmod(draw60(concat(col("doc_id").cast("string"),
+      lit(":pack"))), lit(nBuckets.toLong))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        bucket.as("bucket"))
+      .withColumn("start_off",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("chunk_id"), col("bucket"),
+        col("n_tokens"),
+        // integer DIV, not `/` (double division) — keeps the math
+        // exact integer arithmetic at any magnitude
+        expr(s"start_off DIV $seqTokens").as("seq_id"),
+        (col("start_off") % seqTokens).as("seq_off"))
+  }
+
+  /** Substring-level duplication signal (the repeated-passage
+    * companion of whole-document dedup, after Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better"
+    * observation that training corpora repeat long SPANS across
+    * otherwise-distinct documents — boilerplate, licenses, quotes):
+    * per document, how many of its `spanTokens`-token sliding windows
+    * also occur verbatim in at least one OTHER document.
+    *
+    * Shape at scale: windows stream out of the scan stage via the
+    * one-pass shingle expression and immediately reduce to portable
+    * 60-bit md5 keys (8-byte shuffle rows, engine-reproducible);
+    * one groupBy finds cross-doc hashes, one join attributes them
+    * back. The window table is the big side — it shuffles twice
+    * (agg + attribution join), both on the same 8-byte key; nothing
+    * is ever quadratic. Exact integer counts → oracle-checkable.
+    */
+  def duplicatedSpans(docs: DataFrame, spanTokens: Int = 20): DataFrame = {
+    val spans = graft.Caches.track("text", docs
+      .repartition(col("doc_id"))
+      // docs shorter than one span have no windows (the shingle
+      // expression would return the whole doc as one short shingle)
+      .filter(size(tokens(col("text"))) >= spanTokens)
+      .select(col("doc_id"),
+        // DISTINCT windows per doc (the shingle expression dedupes) —
+        // within-doc repetition is repetitionStats' job; this op
+        // measures cross-document duplication
+        explode(graft.functions.tokenShingles(col("text"), spanTokens))
+          .as("span"))
+      .select(col("doc_id"), draw60(col("span")).as("h")))
+    val crossDoc = spans
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    spans
+      .join(crossDoc.withColumn("dup", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("dup")).as("n_dup_spans"))
+      .withColumn("dup_span_ratio",
+        col("n_dup_spans").cast("double") / col("n_spans"))
   }
 
   /** Eval-set contamination check (decontamination step of a

@@ -295,6 +295,60 @@ object Vector {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: partition the
+    * corpus into the coarse quantizer's clusters (the same fitted
+    * KMeans the IVF index uses — one model serves both ops), then
+    * compare pairs ONLY within a cluster, confirmed by exact cosine.
+    * Published shape (Abbas et al., "SemDeDup"): semantic duplicates
+    * land in the same cluster with overwhelming probability, so
+    * cross-cluster comparisons — the n² bulk — are skipped entirely.
+    * Within-cluster work is Σ|cluster|², bounded by choosing
+    * nLists ∝ N/targetClusterSize at fit time; every reported pair is
+    * exact-cosine-verified, so precision is 1 by construction and
+    * only cross-cluster recall is approximate (the LSH-banded
+    * [[cosineNearDup]] is the recall-tunable alternative).
+    */
+  def semanticNearDupPairs(
+      embeddings: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      threshold: Double
+  ): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val u = unitized(embeddings)
+    val assigned = graft.Caches.track("vec", model
+      .transform(embeddings
+        .withColumn("features", array_to_vector(col("embedding"))))
+      .select(col("vec_id"), col("prediction").as("list_id"))
+      .join(u, "vec_id"))
+    assigned.as("l").join(assigned.as("r"),
+      col("l.list_id") === col("r.list_id") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .select(
+        col("l.vec_id").as("vec_a"),
+        col("r.vec_id").as("vec_b"),
+        decDot(col("l.unit"), col("r.unit")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Semantic dedup keep-list: connected components over the
+    * within-cluster pair graph (reusing the same label-propagation
+    * operator as text dedup — vec ids stand in for doc ids), keeping
+    * each component's min-id representative. Returns
+    * (vec_id, cluster, keep).
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      threshold: Double
+  ): DataFrame = {
+    val pairs = semanticNearDupPairs(embeddings, model, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Text.dupClusters(embeddings.select(col("vec_id").as("doc_id")),
+      pairs, cacheFamily = "vec")
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("keep"))
+  }
+
   def cosineNearDup(
       embeddings: DataFrame,
       threshold: Double,
