@@ -87,16 +87,27 @@ object Bench {
       case kv => kv
     }
     Caches.releaseAll()
-    // The driver's capture has truncated this line from the HEAD every
-    // round so far ("parsed": null) — keep it short (3-decimal
-    // seconds), lead with the headline total, and repeat the total at
-    // the very end so it survives truncation from either side.
+    // The driver's capture has truncated the full report line from the
+    // HEAD every round so far ("parsed": null). Defense in depth:
+    //  1. the authoritative full JSON goes to a FILE (survives any
+    //     pipe truncation);
+    //  2. the full line is still printed (a capture that keeps whole
+    //     stdout parses it);
+    //  3. a SHORT final line — headline total + absolute path of the
+    //     file — fits inside any plausible tail-capture window, so a
+    //     last-line capture parses THAT.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val qs = retimed.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(retimed.map(_._2).sum)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"total_sec":$total}"""
+    val benchFile = new java.io.File("target/bench.json")
+    Option(benchFile.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.writeString(benchFile.toPath, full + "\n")
+    println(full)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"total_sec":$total}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"${benchFile.getAbsolutePath}","total_sec":$total}""")
     spark.stop()
   }
 }

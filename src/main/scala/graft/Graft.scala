@@ -48,11 +48,25 @@ object Graft {
       ops.Text.dupClusters(docs, pairs)
     def chunked(window: Int = 50, stride: Int = 40): DataFrame =
       ops.Text.chunkDocs(docs, window, stride)
+    /** Expects CHUNK rows (doc_id, chunk_id, n_tokens) — i.e. the
+      * output of [[chunked]]: `docs.chunked().packedChunks()`.
+      */
+    def packedChunks(seqTokens: Int = 512, nBuckets: Int = 8): DataFrame =
+      ops.Text.packChunks(docs, seqTokens, nBuckets)
+    def duplicatedSpans(spanTokens: Int = 20): DataFrame =
+      ops.Text.duplicatedSpans(docs, spanTokens)
     def redactPii: DataFrame = ops.Text.piiRedact(docs)
     def repetitionSignals: DataFrame = ops.Text.repetitionStats(docs)
     def qualityScored: DataFrame = ops.Text.qualityScore(docs)
     def langGuessed: DataFrame = ops.Text.langGuess(docs)
     def tokenStats: DataFrame = ops.Text.tokenStats(docs)
+    def bpeTokenCounts: DataFrame = ops.Text.bpeTokenStats(docs)
+    /** Exact n-gram Jaccard over a candidate pair frame (doc_a,
+      * doc_b) — the verify half of the MinHash pipeline:
+      * `docs.ngramJaccardOver(docs.nearDupCandidates(0.2))`.
+      */
+    def ngramJaccardOver(candidates: DataFrame): DataFrame =
+      ops.Text.ngramJaccard(docs, candidates)
     def fingerprinted: DataFrame = ops.Text.fingerprint(docs)
     def stratifiedSample(
         rates: Seq[(String, Double)] =
@@ -92,6 +106,34 @@ object Graft {
       ops.Vector.annTopK(embs, queryId, k, nPlanes)
     def cosineNearDups(threshold: Double): DataFrame =
       ops.Vector.cosineNearDup(embs, threshold)
+    /** n² verification twin — guarded to small inputs; see
+      * [[ops.Vector.exactCosinePairs]].
+      */
+    def exactCosinePairs(threshold: Double): DataFrame =
+      ops.Vector.exactCosinePairs(embs, threshold)
+    /** SemDeDup-style within-cluster near-dup pairs (the coarse
+      * quantizer comes from [[fitIvf]] — one model serves IVF search
+      * and semantic dedup).
+      */
+    def semanticNearDups(
+        model: KMeansModel,
+        threshold: Double
+    ): DataFrame =
+      ops.Vector.semanticNearDupPairs(embs, model, threshold)
+    def semanticDeduped(
+        model: KMeansModel,
+        threshold: Double
+    ): DataFrame = ops.Vector.semanticDedup(embs, model, threshold)
+    /** Precomputed-assignment forms: expect a `list_id` column (an
+      * offline quantizer assignment or any partitioning metadata) —
+      * the shape a 100 TB SemDeDup run uses.
+      */
+    def semanticNearDupsAssigned(threshold: Double): DataFrame =
+      ops.Vector.semanticNearDupPairsAssigned(embs, threshold)
+    def semanticDedupedAssigned(threshold: Double): DataFrame =
+      ops.Vector.semanticDedupAssigned(embs, threshold)
+    def assignedLists(model: KMeansModel): DataFrame =
+      ops.Vector.assignLists(embs, model)
     def labelCentroids: DataFrame = ops.Vector.labelCentroids(embs)
     def quantizedInt8: DataFrame = ops.Vector.quantizeInt8(embs)
     // IVF is fit-once, probe-many: fit offline (memoize the model —

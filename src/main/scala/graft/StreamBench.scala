@@ -67,9 +67,17 @@ object StreamBench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val n = lines.length - perBatch
-      println(
+      val line =
         s"""{"metric":"demux_stream_rows_per_sec","value":${(n / dt).toLong},""" +
-          s""""rows":$n,"seconds":$dt,"batches":$timedBatches,"sf":"$sfDir"}""")
+          s""""rows":$n,"seconds":$dt,"batches":$timedBatches,"sf":"$sfDir"}"""
+      println(line)
+      // per-round regression artifact (VERDICT r5 item 7): the same
+      // JSON goes to a file so streaming-path throughput is tracked
+      // round over round, not just printed once
+      val out = new java.io.File(sys.env.getOrElse(
+        "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+      Option(out.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.writeString(out.toPath, line + "\n")
     } finally q.stop()
     spark.stop()
   }

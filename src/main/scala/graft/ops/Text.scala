@@ -287,7 +287,11 @@ object Text {
     * the reducers, which `minDf` provides.
     */
   def docFrequency(docs: DataFrame, minDf: Long): DataFrame = {
-    val total = docs.count()
+    // corpus size as a LAZY 1-row agg, broadcast onto the result — an
+    // eager docs.count() here scheduled an extra driver job at
+    // operator-construction time (before any action), and callers
+    // that drop idf paid it anyway
+    val total = docs.agg(count(lit(1)).as("__total"))
     docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
@@ -295,8 +299,10 @@ object Text {
         countDistinct(col("doc_id")).as("df"),
         count(lit(1)).as("tf_total"))
       .filter(col("df") >= minDf)
+      .crossJoin(broadcast(total))
       .withColumn("idf",
-        log(lit(total.toDouble) / col("df").cast("double")))
+        log(col("__total").cast("double") / col("df").cast("double")))
+      .drop("__total")
   }
 
   /** End-to-end curation pipeline — the composed LLM-training-data
@@ -450,6 +456,18 @@ object Text {
     * stay single-digit at any scale (the large-star/small-star
     * variant halves rounds if they don't). The fixpoint is unique, so
     * the result is deterministic however the rounds are scheduled.
+    *
+    * Lifecycle notes for long-lived services:
+    *  - the returned frame is backed by the converged snapshot through
+    *    a TRUNCATED lineage. After `Caches.release(cacheFamily)` it is
+    *    UNRECOVERABLE — unlike other released caches (which
+    *    transparently recompute), any retained reference throws on its
+    *    next action. Consume or copy the result before releasing.
+    *  - `checkpointDir` sets the SparkContext-GLOBAL checkpoint dir
+    *    (Spark has no per-job setting); concurrent jobs in one session
+    *    should share one dir. Superseded rounds' checkpoint FILES are
+    *    deleted as they are replaced; the final round's files go with
+    *    the family release.
     */
   def dupClusters(
       docs: DataFrame,
@@ -475,7 +493,18 @@ object Text {
       snapped
     }
     def releaseSnapshot(df: DataFrame): Unit =
-      Bridge.leafRdd(df).foreach(_.unpersist(blocking = false))
+      Bridge.leafRdd(df).foreach { r =>
+        r.unpersist(blocking = false)
+        // reliable checkpoints also leave FILES in checkpointDir that
+        // unpersist never touches — a long-lived service would leak
+        // disk per call; delete the superseded round's files (local
+        // checkpoints return no file and skip this)
+        r.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
+      }
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"),

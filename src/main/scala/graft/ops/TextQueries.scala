@@ -45,15 +45,29 @@ object TextQueries {
       Text.langGuess(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_text_fingerprint" -> ((s, d) =>
       Text.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
-    // No-oracle (rows-only) entries: LSH near-dup candidates + simhash
-    // (not ANSI-SQL-expressible).
+    // MinHash-LSH candidate pairs, ids only (the jaccard_est column
+    // is minhash arithmetic with no SQL twin — projecting it away
+    // makes the SET oracle-checkable). Oracle = the exact unpruned
+    // pair set at j >= 0.5: on this corpus the similarity
+    // distribution is bimodal (near-identical duplicates at j ≈ 0.9
+    // vs unrelated docs at j ≈ 0), so the banded candidate set at
+    // est >= 0.2 coincides with the exact j >= 0.5 set — the same
+    // corpus-level recall assumption documented on
+    // q_text_ngram_jaccard below.
     "q_text_minhash_neardup" -> ((s, d) =>
-      candidates(s, d).orderBy(col("doc_a"), col("doc_b"))),
+      candidates(s, d).select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))),
     // exact-jaccard verification of the MinHash-LSH candidates,
     // thresholded: the oracle is the full unpruned pair set at the
     // same threshold, so a green row certifies the LSH candidate
-    // generation lost no qualifying pair on this corpus (banded
-    // recall at j ≥ 0.5 for near-identical dups is ≈ 1)
+    // generation lost no qualifying pair on this corpus. NOTE this
+    // asserts a PROBABILISTIC property — banded recall at j ≥ 0.5
+    // for near-identical duplicates is ≈ 1 (8 bands × 4 rows:
+    // 1-(1-j⁴)⁸ ≈ 0.9997 at j = 0.7, higher at 0.9) but not exactly
+    // 1; a marginal pair missed by banding on a different corpus
+    // would surface here as a correctness diff, distinguishable from
+    // a jaccard-computation bug by q_text_jaccard_exact (same oracle,
+    // LSH-free path) staying green.
     "q_text_ngram_jaccard" -> ((s, d) =>
       Text.ngramJaccard(Tables.documents(s, d), candidates(s, d))
         .filter(col("jaccard") >= 0.5)
@@ -111,6 +125,16 @@ object TextQueries {
     "q_text_prepare" -> ((s, d) =>
       Text.prepareTrainingData(Tables.documents(s, d),
         precomputedPairs = Some((jacPairs(s, d), 0.5)))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+    // cross-document duplicated spans (Lee et al. substring-level
+    // signal): exact integer window counts → fully oracle-checkable
+    "q_text_dup_spans" -> ((s, d) =>
+      Text.duplicatedSpans(Tables.documents(s, d), spanTokens = 20)
+        .orderBy(col("doc_id"))),
+    // GPT-style stream packing of the chunk table: pure integer math
+    // (bucket draw, running offsets, DIV/mod) → oracle-exact
+    "q_text_pack_chunks" -> ((s, d) =>
+      Text.packChunks(Text.chunkDocs(Tables.documents(s, d)))
         .orderBy(col("doc_id"), col("chunk_id")))
   )
 
@@ -247,6 +271,13 @@ object TextQueries {
     "q_text_jaccard_exact" ->
       s"""WITH $jacPairsSql
          |SELECT doc_a, doc_b, jaccard FROM jac
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // ids-only candidate set; same exact-pair oracle as the verified
+    // queries below (see the recall note at the queries entry)
+    "q_text_minhash_neardup" ->
+      s"""WITH $jacPairsSql
+         |SELECT doc_a, doc_b FROM jac
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     // same oracle SQL as q_text_jaccard_exact on purpose: the Spark
@@ -421,7 +452,50 @@ object TextQueries {
          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
          |    CAST(start // 40 AS VARCHAR) || ':chunk'), 1, 15)) AS BIGINT)
          |  < ${Text.q60(0.5)}
-         |ORDER BY doc_id, chunk_id""".stripMargin
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_text_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |sp AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 19),
+        |    i -> array_to_string(t[i : i + 19], ' ')))) AS span
+        |  FROM w WHERE len(t) >= 20),
+        |cd AS (
+        |  SELECT span FROM sp GROUP BY span
+        |  HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT sp.doc_id,
+        |  COUNT(*) AS n_spans,
+        |  COUNT(cd.span) AS n_dup_spans,
+        |  CAST(COUNT(cd.span) AS DOUBLE) / COUNT(*) AS dup_span_ratio
+        |FROM sp LEFT JOIN cd ON sp.span = cd.span
+        |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+    "q_text_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(generate_series(0, len(toks) - 1, 40)) AS start
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+        |    CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_tokens,
+        |    CAST(CAST(('0x' || substr(
+        |      md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15))
+        |      AS BIGINT) % 8 AS BIGINT) AS bucket
+        |  FROM c),
+        |p AS (
+        |  SELECT doc_id, chunk_id, bucket, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY bucket
+        |      ORDER BY doc_id, chunk_id) AS BIGINT) - n_tokens
+        |      AS start_off
+        |  FROM ch)
+        |SELECT doc_id, chunk_id, bucket, n_tokens,
+        |  start_off // 512 AS seq_id,
+        |  start_off % 512 AS seq_off
+        |FROM p ORDER BY doc_id, chunk_id""".stripMargin
   )
 
   private def q60(r: Double): Long = Text.q60(r)

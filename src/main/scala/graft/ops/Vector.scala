@@ -254,18 +254,26 @@ object Vector {
             .otherwise(floor(x.cast("double") / col("max_abs") * 127)
               .cast("int"))).as("qvec"))
 
-  def unitized(embeddings: DataFrame): DataFrame =
-    embeddings
-      // small single-file inputs arrive as one split; spread the
-      // per-row work (norm + downstream plane dots) across cores —
-      // same rationale as Text.docShingles (at scale the input is
-      // already split and AQE can elide the exchange)
-      .repartition(col("vec_id"))
+  def unitized(embeddings: DataFrame): DataFrame = {
+    // Small single-file inputs arrive as one split; spread the
+    // per-row work (norm + downstream plane dots) across cores. The
+    // repartition is a REAL exchange every consumer pays (AQE
+    // coalesces REPARTITION_BY_COL output partitions but does not
+    // remove the exchange), so it is gated on the input actually
+    // being under-split for this session's parallelism — a corpus
+    // that already arrives well-split skips the shuffle entirely.
+    val parallelism =
+      embeddings.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (embeddings.rdd.getNumPartitions * 2 >= parallelism) embeddings
+      else embeddings.repartition(col("vec_id"))
+    spread
       .select(col("vec_id"), col("embedding"),
         decNorm(col("embedding")).as("nrm"))
       .select(col("vec_id"),
         transform(col("embedding"),
           x => x.cast("double") / col("nrm")).as("unit"))
+  }
 
   /** Embedding-cosine near-duplicate pairs via BANDED sign-LSH
     * (minhash-banding shape): `nBands` independent `bitsPerBand`-bit
@@ -285,8 +293,24 @@ object Vector {
     * nested-loop join; the cosine is a single codegen dot product per
     * pair over unit-normalized vectors.
     */
-  def exactCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def exactCosinePairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      maxRows: Long = 100000L
+  ): DataFrame = {
+    // Pin the n² twin to verification scale with a LAZY distributed
+    // guard (1-row count agg broadcast onto the scan side): above
+    // `maxRows` vectors any action fails loudly in the scan stage —
+    // before a single pairwise comparison runs — instead of silently
+    // launching ~n²/2 of them. No driver job at construction time.
+    val n = embeddings.agg(count(lit(1)).as("__n"))
     val u = unitized(embeddings)
+      .crossJoin(broadcast(n))
+      .filter(assert_true(col("__n") <= maxRows,
+        lit(s"exactCosinePairs is the n-squared verification twin — " +
+          s"refusing an input above $maxRows vectors; use " +
+          "cosineNearDup or semanticNearDupPairs at scale")).isNull)
+      .drop("__n")
     u.as("l").join(u.as("r"), col("l.vec_id") < col("r.vec_id"))
       .select(
         col("l.vec_id").as("vec_a"),
@@ -308,19 +332,26 @@ object Vector {
     * only cross-cluster recall is approximate (the LSH-banded
     * [[cosineNearDup]] is the recall-tunable alternative).
     */
-  def semanticNearDupPairs(
-      embeddings: DataFrame,
-      model: org.apache.spark.ml.clustering.KMeansModel,
+  /** The generalized core: near-dup pairs within a caller-supplied
+    * coarse partition. `assigned` carries (vec_id, embedding,
+    * list_id) — the list can come from [[assignLists]] (the KMeans
+    * quantizer), from a precomputed offline assignment (how SemDeDup
+    * runs at 100 TB: assign once, dedup many), or from any metadata
+    * column that partitions the corpus. Within-partition work is
+    * Σ|list|² — bounded by the partitioner's granularity — and every
+    * reported pair is exact-cosine-verified, so precision is 1 by
+    * construction; only cross-partition recall depends on the
+    * partitioner.
+    */
+  def semanticNearDupPairsAssigned(
+      assigned: DataFrame,
       threshold: Double
   ): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val u = unitized(embeddings)
-    val assigned = graft.Caches.track("vec", model
-      .transform(embeddings
-        .withColumn("features", array_to_vector(col("embedding"))))
-      .select(col("vec_id"), col("prediction").as("list_id"))
+    val u = unitized(assigned)
+    val a = graft.Caches.track("vec", assigned
+      .select(col("vec_id"), col("list_id"))
       .join(u, "vec_id"))
-    assigned.as("l").join(assigned.as("r"),
+    a.as("l").join(a.as("r"),
       col("l.list_id") === col("r.list_id") &&
         col("l.vec_id") < col("r.vec_id"))
       .select(
@@ -330,24 +361,53 @@ object Vector {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** KMeans coarse assignment for the SemDeDup operators — one
+    * fitted quantizer serves IVF search and semantic dedup.
+    */
+  def assignLists(
+      embeddings: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel
+  ): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    model
+      .transform(embeddings
+        .withColumn("features", array_to_vector(col("embedding"))))
+      .select(col("vec_id"), col("embedding"),
+        col("prediction").as("list_id"))
+  }
+
+  def semanticNearDupPairs(
+      embeddings: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      threshold: Double
+  ): DataFrame =
+    semanticNearDupPairsAssigned(assignLists(embeddings, model),
+      threshold)
+
   /** Semantic dedup keep-list: connected components over the
-    * within-cluster pair graph (reusing the same label-propagation
+    * within-partition pair graph (reusing the same label-propagation
     * operator as text dedup — vec ids stand in for doc ids), keeping
     * each component's min-id representative. Returns
     * (vec_id, cluster, keep).
     */
-  def semanticDedup(
-      embeddings: DataFrame,
-      model: org.apache.spark.ml.clustering.KMeansModel,
+  def semanticDedupAssigned(
+      assigned: DataFrame,
       threshold: Double
   ): DataFrame = {
-    val pairs = semanticNearDupPairs(embeddings, model, threshold)
+    val pairs = semanticNearDupPairsAssigned(assigned, threshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    Text.dupClusters(embeddings.select(col("vec_id").as("doc_id")),
+    Text.dupClusters(assigned.select(col("vec_id").as("doc_id")),
       pairs, cacheFamily = "vec")
       .select(col("doc_id").as("vec_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("keep"))
   }
+
+  def semanticDedup(
+      embeddings: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      threshold: Double
+  ): DataFrame =
+    semanticDedupAssigned(assignLists(embeddings, model), threshold)
 
   def cosineNearDup(
       embeddings: DataFrame,

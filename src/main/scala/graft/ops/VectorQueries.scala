@@ -68,6 +68,22 @@ object VectorQueries {
     "q_vec_neardup_exact" -> ((s, d) =>
       Vector.exactCosinePairs(Tables.embeddings(s, d), 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
+    // SemDeDup-style operators in their precomputed-assignment form
+    // (how they run at 100 TB: assign offline once, dedup many) — the
+    // stored label column is the coarse partition, so the pair search
+    // and the component structure are fully deterministic and the
+    // oracle is exact at any SF. The KMeans-quantizer form
+    // (semanticNearDupPairs/semanticDedup) delegates to the same core
+    // and is spec-tested (precision ⊆ exact pairs; recall measured
+    // against the exact twin) — a learned assignment has no SQL twin.
+    "q_vec_semantic_pairs" -> ((s, d) =>
+      Vector.semanticNearDupPairsAssigned(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")), 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))),
+    "q_vec_semantic_dedup" -> ((s, d) =>
+      Vector.semanticDedupAssigned(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")), 0.4)
+        .orderBy(col("vec_id"))),
     // int8 vectors projected to CSV (driver comparator can't sort
     // array cells); values compared are identical
     "q_vec_quantize_int8" -> ((s, d) =>
@@ -146,6 +162,59 @@ object VectorQueries {
         |      ELSE FLOOR(CAST(x AS DOUBLE) / max_abs * 127)
         |      END AS BIGINT)), ',') AS qvec_csv
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q_vec_semantic_pairs" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |  FROM (SELECT vec_id, label, UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(a.ux * b.ux) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, cos_sim FROM p
+        |WHERE cos_sim >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_vec_semantic_dedup" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |  FROM (SELECT vec_id, label, UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(a.ux * b.ux) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT vec_a, vec_b FROM p WHERE cos_sim >= 0.4),
+        |e AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pr
+        |  UNION ALL
+        |  SELECT vec_b, vec_a FROM pr),
+        |reach(vec_id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT reach.vec_id, e.dst
+        |  FROM reach JOIN e ON reach.r = e.src)
+        |SELECT vec_id, MIN(r) AS cluster, vec_id = MIN(r) AS keep
+        |FROM reach GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_vec_neardup_exact" ->
       """WITH n AS (
         |  SELECT vec_id,

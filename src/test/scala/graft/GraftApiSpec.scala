@@ -61,5 +61,71 @@ class GraftApiSpec extends SparkSpec {
     val model = embs.fitIvf(nLists = 2)
     val ivf = embs.ivfTopK(model, 0L, 1).collect()
     assert(ivf.head.getAs[Long]("vec_id") == 1L)
+    // new-surface smoke: spans/packing + semantic dedup round trips
+    assert(docs.duplicatedSpans(spanTokens = 3).count() > 0)
+    assert(docs.chunked(window = 4, stride = 3).packedChunks(
+      seqTokens = 8, nBuckets = 2).columns.contains("seq_id"))
+    val sem = embs.withColumn("list_id", $"label")
+      .semanticDedupedAssigned(0.9)
+    assert(sem.filter($"keep").count() == 2)  // {0,1} merge, 2 alone
+  }
+
+  /** Every public DataFrame operator in ops.Text / ops.Vector must be
+    * reachable from the facade (or explicitly whitelisted as an
+    * internal/differential helper) — round 5 shipped four operators
+    * no facade user could find; this pins the invariant.
+    */
+  test("facade covers every public Text/Vector DataFrame operator") {
+    import org.apache.spark.sql.DataFrame
+    def opNames(o: AnyRef): Set[String] =
+      o.getClass.getMethods
+        .filter(_.getReturnType == classOf[DataFrame])
+        .map(_.getName).filterNot(_.contains("$")).toSet
+    def facadeNames(c: Class[_]): Set[String] =
+      c.getMethods.map(_.getName).toSet
+    val docFacade = facadeNames(classOf[Graft.DocOps])
+    val embFacade = facadeNames(classOf[Graft.EmbeddingOps])
+    // ops name → facade name (identity unless renamed for fluency)
+    val covered = Map(
+      "exactDedup" -> "dedupExact", "exactDupGroups" -> "dupGroups",
+      "minhashCandidates" -> "nearDupCandidates",
+      "jaccardExactPairs" -> "jaccardPairs",
+      "dupClusters" -> "dupClusters", "chunkDocs" -> "chunked",
+      "packChunks" -> "packedChunks",
+      "duplicatedSpans" -> "duplicatedSpans",
+      "piiRedact" -> "redactPii",
+      "repetitionStats" -> "repetitionSignals",
+      "qualityScore" -> "qualityScored", "langGuess" -> "langGuessed",
+      "tokenStats" -> "tokenStats",
+      "bpeTokenStats" -> "bpeTokenCounts",
+      "ngramJaccard" -> "ngramJaccardOver",
+      "fingerprint" -> "fingerprinted",
+      "stratifiedSample" -> "stratifiedSample",
+      "curationPipeline" -> "curated",
+      "contamination" -> "contaminationAgainst",
+      "docFrequency" -> "docFrequency",
+      "rollingFingerprint" -> "rollingFingerprinted",
+      "simhashes" -> "simhashed",
+      "prepareTrainingData" -> "preparedForTraining",
+      "bruteForceTopK" -> "cosineTopK", "annTopK" -> "annTopK",
+      "ivfTopK" -> "ivfTopK", "labelCentroids" -> "labelCentroids",
+      "quantizeInt8" -> "quantizedInt8",
+      "cosineNearDup" -> "cosineNearDups",
+      "exactCosinePairs" -> "exactCosinePairs",
+      "assignLists" -> "assignedLists",
+      "semanticNearDupPairs" -> "semanticNearDups",
+      "semanticNearDupPairsAssigned" -> "semanticNearDupsAssigned",
+      "semanticDedup" -> "semanticDeduped",
+      "semanticDedupAssigned" -> "semanticDedupedAssigned")
+    // internal staging / differential-test references, not user ops
+    val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
+    val missing = (opNames(ops.Text) ++ opNames(ops.Vector))
+      .diff(covered.keySet ++ whitelist)
+    assert(missing.isEmpty,
+      s"ops without facade coverage or whitelist entry: $missing")
+    val dangling = covered.values.toSet
+      .diff(docFacade ++ embFacade)
+    assert(dangling.isEmpty,
+      s"facade methods named in the map but not defined: $dangling")
   }
 }

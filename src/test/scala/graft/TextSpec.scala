@@ -201,4 +201,68 @@ class TextSpec extends SparkSpec {
     // rate 0.2 over 200 uniform draws: comfortably nonempty + partial
     assert(s.length > 5 && s.length < 100)
   }
+
+  test("duplicatedSpans counts cross-doc windows only") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      // 23 tokens → 4 windows; window 1 is the shared span
+      (1L, shared + " a1 a2 a3"),
+      // 22 tokens → 3 windows; window 3 is the shared span
+      (2L, "b1 b2 " + shared),
+      // 20 unique tokens → 1 window, nowhere else
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ")),
+      // under one span — excluded entirely
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val m = Text.duplicatedSpans(d, spanTokens = 20).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans")))
+      .toMap
+    assert(m == Map(1L -> ((4L, 1L)), 2L -> ((3L, 1L)),
+      3L -> ((1L, 0L))))
+  }
+
+  test("packChunks: contiguous per-bucket stream, exact cut math") {
+    val d = Seq.tabulate(40)(i =>
+      (i.toLong, (1 to 90).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Text
+      .packChunks(Text.chunkDocs(d), seqTokens = 64, nBuckets = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Long]("bucket"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off")))
+    // a document's chunks never straddle buckets (doc-id hash)
+    assert(packed.groupBy(_._1).values
+      .forall(_.map(_._3).distinct.length == 1))
+    // within a bucket, offsets are the exact running token sum in
+    // (doc_id, chunk_id) order — reconstructed independently here
+    packed.groupBy(_._3).values.foreach { rows =>
+      var off = 0L
+      rows.sortBy(r => (r._1, r._2)).foreach {
+        case (_, _, _, n, seqId, seqOff) =>
+          assert(seqId == off / 64 && seqOff == off % 64)
+          off += n
+      }
+    }
+    assert(packed.forall(r => r._6 >= 0 && r._6 < 64))
+  }
+
+  test("docFrequency builds lazily (no job) and idf uses corpus size") {
+    val sc = spark.sparkContext
+    // a construction-time count() would schedule a job from THIS
+    // thread and carry this job group; other suites' concurrent jobs
+    // don't (job groups are thread-local)
+    sc.setJobGroup("docfreq-lazy-probe", "probe", false)
+    val df = Text.docFrequency(docs, 1L)
+    Thread.sleep(500)
+    assert(sc.statusTracker.getJobIdsForGroup("docfreq-lazy-probe")
+      .isEmpty, "operator construction must not schedule a job")
+    sc.clearJobGroup()
+    val the = df.filter(col("token") === "the").collect().head
+    assert(the.getAs[Long]("df") == 3L)
+    // corpus size = all 5 docs (incl. the empty one)
+    assert(math.abs(the.getAs[Double]("idf") - math.log(5.0 / 3)) <
+      1e-12)
+  }
 }

@@ -129,4 +129,46 @@ class VectorSpec extends SparkSpec {
     assert(c.getAs[Long]("sum_q16") == 65536L + 58982L + 65536L)
     assert(c.getAs[Long]("n_vecs") == 3L)
   }
+
+  test("semantic near-dup (KMeans) = exact pairs ∩ same list; " +
+      "recall is the quantizer's cross-list loss only") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val model = Vec.fitIvf(emb, nLists = 8)
+    val lists = Vec.assignLists(emb, model)
+      .select(col("vec_id"), col("list_id")).as[(Long, Int)]
+      .collect().toMap
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exact = pairSet(Vec.exactCosinePairs(emb, 0.4))
+    val sem = pairSet(Vec.semanticNearDupPairs(emb, model, 0.4))
+    // precision 1 by construction (every pair exact-cosine-verified)
+    assert(sem.subsetOf(exact))
+    // and EXACTLY the same-list slice of the exact graph — the only
+    // loss is the quantizer's cross-list split, nothing else
+    assert(sem == exact.filter { case (a, b) =>
+      lists(a) == lists(b)
+    })
+  }
+
+  test("semanticDedupAssigned: within-list components, min-id keep") {
+    val assigned = vecs.withColumn("list_id", col("label"))
+    // threshold 0.95 connects {0,1,4} inside label 0; label 1's pair
+    // (2,3) is at cosine −1 → all label-1 vectors stay singletons
+    val out = Vec.semanticDedupAssigned(assigned, 0.95).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(out == Map(
+      0L -> ((0L, true)), 1L -> ((0L, false)), 4L -> ((0L, false)),
+      2L -> ((2L, true)), 3L -> ((3L, true))))
+  }
+
+  test("exactCosinePairs refuses inputs above the n² guard") {
+    val e = intercept[Exception] {
+      Vec.exactCosinePairs(vecs, 0.5, maxRows = 2L).count()
+    }
+    assert(e.getMessage.contains("verification twin") ||
+      Option(e.getCause).exists(_.getMessage.contains(
+        "verification twin")))
+  }
 }
