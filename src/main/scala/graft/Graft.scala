@@ -68,6 +68,19 @@ object Graft {
     def ngramJaccardOver(candidates: DataFrame): DataFrame =
       ops.Text.ngramJaccard(docs, candidates)
     def fingerprinted: DataFrame = ops.Text.fingerprint(docs)
+    /** Incremental-ingestion dedup: batch-internal exact dedup, then
+      * drop docs whose content hash exists in `seenDocs`; pass a
+      * bloom from [[ops.Text.fitSeenBloom]] to prefilter map-side
+      * (result stays exact).
+      */
+    def dedupAgainst(
+        seenDocs: DataFrame,
+        bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    ): DataFrame = ops.Text.incrementalDedup(docs, seenDocs, bloom)
+    def cappedPerSource(cap: Int): DataFrame =
+      ops.Text.sourceCap(docs, cap)
+    def tokenBudgeted(budgets: Seq[(String, Long)]): DataFrame =
+      ops.Text.tokenBudgetSample(docs, budgets)
     def stratifiedSample(
         rates: Seq[(String, Double)] =
           Seq("short" -> 0.2, "medium" -> 0.5, "long" -> 1.0)

@@ -851,6 +851,111 @@ object Text {
     chunks.filter(draw < lit(q60(sampleRate)))
   }
 
+  /** Incremental exact dedup of a new batch against an existing
+    * corpus — the daily-ingestion shape: dedup the batch internally
+    * (lowest doc_id wins), then drop every doc whose content hash
+    * already exists in `seenDocs`. One hash-keyed anti-join; at
+    * 100 TB the seen-hash side is billions of 16-byte keys that
+    * shuffle fine, and [[fitSeenBloom]] supplies a map-side prefilter
+    * that keeps most of the (mostly-novel) batch out of the join
+    * entirely while leaving the result EXACT — bloom "maybe" rows
+    * still go through the anti-join, so false positives cannot drop a
+    * novel doc.
+    */
+  def incrementalDedup(
+      docs: DataFrame,
+      seenDocs: DataFrame,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+  ): DataFrame = {
+    val seenH = seenDocs
+      .select(md5(col("text").cast("binary")).as("__h")).distinct()
+    val batch = exactDedup(docs)
+      .withColumn("__h", md5(col("text").cast("binary")))
+    val joined = bloom match {
+      case None => batch.join(seenH, Seq("__h"), "left_anti")
+      case Some(b) =>
+        val mightContain = udf((h: String) => b.mightContainString(h))
+        // definitely-unseen rows bypass the shuffle; only bloom
+        // "maybe" rows (true hits + fpp noise) pay the anti-join
+        batch.filter(!mightContain(col("__h")))
+          .union(batch.filter(mightContain(col("__h")))
+            .join(seenH, Seq("__h"), "left_anti"))
+    }
+    joined.drop("__h")
+  }
+
+  /** Offline bloom fit over the seen corpus' content hashes — the
+    * build-once artifact of the incremental-dedup path (same
+    * fit-offline/probe-many pattern as the IVF quantizer). Eager by
+    * nature (one aggregation job); memoize via `Caches.cached` in a
+    * long-lived service.
+    */
+  def fitSeenBloom(
+      seenDocs: DataFrame,
+      expectedItems: Long,
+      fpp: Double = 0.01
+  ): org.apache.spark.util.sketch.BloomFilter =
+    seenDocs
+      .select(md5(col("text").cast("binary")).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+
+  /** Per-source document cap (the C4/RefinedWeb-style domain quota:
+    * no single source may dominate the mixture): keep at most `cap`
+    * docs per source, chosen by the deterministic 60-bit draw so the
+    * survivors are a reproducible uniform sample of each source.
+    * One window rank per source; at extreme source skew switch the
+    * rank to the salted two-phase shape (`Relational.saltedAgg`) —
+    * the draw order makes any K-subset selection equivalent.
+    */
+  def sourceCap(
+      docs: DataFrame,
+      cap: Int,
+      salt: String = "cap"
+  ): DataFrame = {
+    val draw = draw60(
+      concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("draw"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), draw.as("draw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Token-budget mixture sampling: per language, admit docs in
+    * deterministic draw order until the language's token budget is
+    * reached (a doc is admitted iff the tokens BEFORE it in draw
+    * order are under budget, so each language overshoots by at most
+    * one document). This is the mixture-construction step of a
+    * training run — "2 B tokens of en, 500 M of de" — expressed as
+    * one window sum per language over exact integers; languages with
+    * no budget entry are excluded. Reproducible under any
+    * partitioning (hash draw, not RNG).
+    */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      budgets: Seq[(String, Long)],
+      salt: String = "budget"
+  ): DataFrame = {
+    val draw = draw60(
+      concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("draw"), col("doc_id"))
+    val budgetCol = budgets
+      .foldLeft(lit(0L)) { case (acc, (lang, b)) =>
+        when(col("lang") === lang, lit(b)).otherwise(acc)
+      }
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).as("n_tokens"), draw.as("draw"))
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("cum_before") < budgetCol)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_before"))
+  }
+
   def stratifiedSample(
       docs: DataFrame,
       rates: Seq[(String, Double)] =

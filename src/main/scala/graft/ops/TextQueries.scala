@@ -135,7 +135,27 @@ object TextQueries {
     // (bucket draw, running offsets, DIV/mod) → oracle-exact
     "q_text_pack_chunks" -> ((s, d) =>
       Text.packChunks(Text.chunkDocs(Tables.documents(s, d)))
-        .orderBy(col("doc_id"), col("chunk_id")))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+    // incremental-ingestion dedup: batch (doc_id % 10 != 0) against
+    // the already-ingested slice (doc_id % 10 == 0); exact anti-join
+    // path (the bloom prefilter variant is spec-tested — same result
+    // by construction)
+    "q_text_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.incrementalDedup(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_text_source_cap" -> ((s, d) =>
+      Text.sourceCap(Tables.documents(s, d), cap = 15)
+        .orderBy(col("doc_id"))),
+    "q_text_token_budget" -> ((s, d) =>
+      Text.tokenBudgetSample(Tables.documents(s, d),
+        Seq("en" -> 5000L, "de" -> 2000L, "fr" -> 1500L))
+        .orderBy(col("doc_id")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -495,7 +515,53 @@ object TextQueries {
         |SELECT doc_id, chunk_id, bucket, n_tokens,
         |  start_off // 512 AS seq_id,
         |  start_off % 512 AS seq_off
-        |FROM p ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_text_incremental_dedup" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, source, n_chars, md5(text) AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT doc_id, lang, source, n_chars FROM batch b
+        |WHERE rn = 1
+        |  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = b.h)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_source_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':cap'), 1, 15)) AS BIGINT) AS draw
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY draw, doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, source FROM r WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS INT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':budget'), 1, 15)) AS BIGINT) AS draw
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY draw, doc_id) AS BIGINT) - n_tokens
+        |      AS cum_before
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens, cum_before
+        |FROM c
+        |WHERE cum_before < CASE lang WHEN 'en' THEN 5000
+        |  WHEN 'de' THEN 2000 WHEN 'fr' THEN 1500 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin
   )
 
   private def q60(r: Double): Long = Text.q60(r)

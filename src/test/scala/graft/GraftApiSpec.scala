@@ -106,6 +106,9 @@ class GraftApiSpec extends SparkSpec {
       "docFrequency" -> "docFrequency",
       "rollingFingerprint" -> "rollingFingerprinted",
       "simhashes" -> "simhashed",
+      "incrementalDedup" -> "dedupAgainst",
+      "sourceCap" -> "cappedPerSource",
+      "tokenBudgetSample" -> "tokenBudgeted",
       "prepareTrainingData" -> "preparedForTraining",
       "bruteForceTopK" -> "cosineTopK", "annTopK" -> "annTopK",
       "ivfTopK" -> "ivfTopK", "labelCentroids" -> "labelCentroids",

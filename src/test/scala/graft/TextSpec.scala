@@ -202,6 +202,59 @@ class TextSpec extends SparkSpec {
     assert(s.length > 5 && s.length < 100)
   }
 
+  test("incrementalDedup: batch-internal + against-seen, bloom exact") {
+    val seen = Seq(
+      (100L, "already ingested content", "en", "s", 24L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(
+      (1L, "novel content one", "en", "s", 17L),
+      (2L, "novel content two", "en", "s", 17L),
+      (3L, "novel content two", "en", "s", 17L),  // internal dup of 2
+      (4L, "already ingested content", "en", "s", 24L) // seen
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Text.incrementalDedup(batch, seen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L))
+    // bloom prefilter must not change the result (maybe-rows still
+    // anti-join; definitely-unseen rows bypass)
+    val bloom = Text.fitSeenBloom(seen, expectedItems = 10L)
+    val pre = Text.incrementalDedup(batch, seen, Some(bloom))
+      .select("doc_id").as[Long].collect().toSet
+    assert(pre == exact)
+    assert(bloom.mightContainString(
+      // the seen hash must be in the filter for the split to route it
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("already ingested content".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+  }
+
+  test("sourceCap keeps a deterministic K-subset per source") {
+    val d = Seq.tabulate(30)(i =>
+      (i.toLong, s"text $i", if (i < 20) "big" else "small"))
+      .toDF("doc_id", "text", "source")
+    val a = Text.sourceCap(d, cap = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val bySrc = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("big" -> 5, "small" -> 5))
+    val b = Text.sourceCap(d, cap = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1))) // hash, not RNG
+  }
+
+  test("tokenBudgetSample admits per-lang until budget, excludes " +
+      "unbudgeted langs") {
+    val d = Seq.tabulate(8)(i =>
+      (i.toLong, "t1 t2 t3 t4 t5", if (i < 4) "en" else "zh"))
+      .toDF("doc_id", "text", "lang")
+    // 4 en docs × 5 tokens; budget 12 admits exactly the first 3 in
+    // draw order (cum_before 0, 5, 10 < 12; the 4th sits at 15)
+    val out = Text.tokenBudgetSample(d, Seq("en" -> 12L)).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[String]("lang") == "en"))
+    assert(out.map(_.getAs[Long]("cum_before")).sorted.toSeq ==
+      Seq(0L, 5L, 10L))
+  }
+
   test("duplicatedSpans counts cross-doc windows only") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
     val d = Seq(
