@@ -202,6 +202,23 @@ class TextSpec extends SparkSpec {
     assert(s.length > 5 && s.length < 100)
   }
 
+  test("LSH candidate set is a superset of the exact j>=0.5 pairs " +
+      "(separates a banding miss from a jaccard bug)") {
+    // the oracle rows for q_text_minhash_neardup / q_text_ngram_jaccard
+    // encode recall-=-1 on the test corpus; this spec asserts the
+    // superset half directly so a future diff is attributable: superset
+    // broken → banding recall; superset intact + oracle red → jaccard
+    // computation
+    val corpus = Tables.documents(spark, sf("sf0.01"))
+    val exact = ops.Text.jaccardExactPairs(corpus, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = ops.Text.minhashCandidates(corpus, 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(cands),
+      s"banding lost qualifying pairs: ${exact.diff(cands)}")
+  }
+
   test("incrementalDedup: batch-internal + against-seen, bloom exact") {
     val seen = Seq(
       (100L, "already ingested content", "en", "s", 24L)
