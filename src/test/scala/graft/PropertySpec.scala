@@ -196,6 +196,105 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicatedSpans equals the naive window computation") {
+    val docGen = Gen.listOfN(4, Gen.listOfN(8,
+      Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    forAll(docGen, n = 15) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Text.duplicatedSpans(docs, spanTokens = 3).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))))
+        .toMap
+      // naive: per doc the DISTINCT 3-token windows; dup = window
+      // appearing in ≥ 2 docs
+      val windows = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split("\\s+").toSeq.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+      val crossDoc = windows.values.flatten
+        .groupBy(identity)
+        .collect { case (w, occ) if windows.count(_._2(w)) >= 2 => w }
+        .toSet
+      val expect = windows.collect {
+        case (id, ws) if ws.nonEmpty =>
+          id -> ((ws.size.toLong, ws.count(crossDoc).toLong))
+      }
+      assert(got == expect)
+    }
+  }
+
+  test("packChunks: per-bucket running-sum reconstruction for any " +
+      "chunk table") {
+    val chunkGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 9L), Gen.choose(0, 40)))
+    forAll(chunkGen, n = 15) { raw =>
+      // synthesize a chunk table: one row per (doc, position)
+      val chunks = raw.zipWithIndex
+        .map { case ((doc, n), i) => (doc, i, n) }
+        .toDF("doc_id", "chunk_id", "n_tokens")
+      val got = Text.packChunks(chunks, seqTokens = 16, nBuckets = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+          r.getAs[Long]("bucket"), r.getAs[Int]("n_tokens"),
+          r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off")))
+      assert(got.length == raw.length)
+      got.groupBy(_._3).values.foreach { rows =>
+        var off = 0L
+        rows.sortBy(r => (r._1, r._2)).foreach {
+          case (_, _, _, n, seqId, seqOff) =>
+            assert(seqId == off / 16 && seqOff == off % 16)
+            off += n
+        }
+      }
+    }
+  }
+
+  test("incrementalDedup equals naive set logic for any batch/seen") {
+    val tGen = Gen.listOf(Gen.oneOf("p q", "r s", "t u", "v w", "x y"))
+    forAll(Gen.zip(tGen, tGen), n = 15) { case (batchT, seenT) =>
+      val batch = batchT.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val seen = seenT.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val got = Text.incrementalDedup(batch, seen)
+        .select("doc_id").as[Long].collect().toSet
+      val expect = batchT.zipWithIndex
+        .filterNot { case (t, _) => seenT.contains(t) }
+        .groupBy(_._1).values.map(_.map(_._2).min.toLong).toSet
+      assert(got == expect)
+    }
+  }
+
+  test("tokenBudgetSample: admitted set is the exact draw-order " +
+      "prefix under budget") {
+    val docGen = Gen.nonEmptyListOf(Gen.choose(0, 6))
+    forAll(docGen, n = 15) { sizes =>
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"t$j").mkString(" "), "en")
+      }.toDF("doc_id", "text", "lang")
+      val budget = 10L
+      val got = Text.tokenBudgetSample(docs, Seq("en" -> budget))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("cum_before")).toMap
+      // naive: sort by (draw, doc_id) with the same md5-60 draw
+      def draw(id: Long): BigInt = BigInt(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:budget".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+      var cum = 0L
+      val expect = sizes.zipWithIndex
+        .map { case (n, i) => (i.toLong, n.toLong) }
+        .sortBy { case (id, _) => (draw(id), id) }
+        .flatMap { case (id, n) =>
+          val before = cum; cum += n
+          if (before < budget) Some(id -> before) else None
+        }.toMap
+      assert(got == expect)
+    }
+  }
+
   test("int8 quantization round-trip error is within one step") {
     val vecGen = Gen.listOfN(8,
       Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
