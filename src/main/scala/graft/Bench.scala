@@ -74,19 +74,34 @@ object Bench {
     ops.CdcQueries.prewarm(spark, sfDir)
     ops.VectorQueries.prewarm(spark, sfDir)
     val toRetime = results.filter(_._2 > 2.0).map(_._1)
+    val firstPass = results.toMap
     val retimes = toRetime.zipWithIndex.map { case (name, i) =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val dt2 = (System.nanoTime() - t0) / 1e9
-      System.err.println(
-        f"[bench] $name%-28s $dt2%8.2fs  rows=$n (retime)")
+      def sample(): Double = {
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] $name%-28s $dt%8.2fs  rows=$n (retime)")
+        // a failed retime (rows=-1) must never replace a valid sample
+        if (n < 0) Double.MaxValue else dt
+      }
+      val dt2 = sample()
+      // This host shows bursty multi-minute noise windows: identical
+      // runs of the same binary measured 30× apart (4 s vs 128 s,
+      // CPU steal ~6%). When the two samples STILL disagree by >2×
+      // and the better one is >2 s, take one tie-breaker so a single
+      // bad window can't set the reported number.
+      val dt1 = firstPass(name)
+      val dt3 =
+        if (math.min(dt1, dt2) > 2.0 &&
+            math.max(dt1, dt2) / math.min(dt1, dt2) > 2.0) sample()
+        else Double.MaxValue
       if (i + 1 >= toRetime.length ||
           family(toRetime(i + 1)) != family(name))
         Caches.release(family(name))
       System.gc()
-      // a failed retime (rows=-1) must never replace a valid sample
-      name -> (if (n < 0) Double.MaxValue else dt2)
+      name -> math.min(dt2, dt3)
     }.toMap
     val retimed = results.map { case (name, dt1) =>
       name -> math.min(dt1, retimes.getOrElse(name, dt1))

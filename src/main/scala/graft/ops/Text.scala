@@ -478,6 +478,14 @@ object Text {
   ): DataFrame = {
     val spark = docs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val debug = sys.env.contains("GRAFT_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(label: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[dupClusters] $label%-18s ${(now - tMark) / 1e9}%7.2fs")
+      tMark = now
+    }
     // Lazy in both modes so the convergence count below is the ONE
     // job that materializes a round.
     def snapshot(df: DataFrame): DataFrame = {
@@ -516,6 +524,7 @@ object Text {
     // than the corpus, so the loop's joins never see the full table
     var labels = snapshot(edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster")))
+    mark("setup")
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -534,11 +543,13 @@ object Text {
             coalesce(col("nbr_min"), labels("cluster"))).as("cluster"),
           (col("nbr_min") < labels("cluster")).as("changed")))
       converged = next.filter(col("changed")).count() == 0L
+      mark(s"round $it count")
       // the superseded round's checkpoint blocks are released as soon
       // as the successor is materialized — left alone they pile up
       // until GC-driven ContextCleaner cleanup (r3's dominant bench
       // pathology)
       releaseSnapshot(labels)
+      mark(s"round $it release")
       labels = next
       it += 1
     }
@@ -555,6 +566,7 @@ object Text {
     val finalSnap = labels
     graft.Caches.trackReleasable(cacheFamily)(
       () => releaseSnapshot(finalSnap))
+    mark("post-loop")
     // singletons (no incident pair) re-enter as their own cluster —
     // one anti-join against the converged graph labels
     docs.select(col("doc_id"))
