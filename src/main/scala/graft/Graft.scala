@@ -96,6 +96,17 @@ object Graft {
     def rollingFingerprinted: DataFrame =
       ops.Text.rollingFingerprint(docs)
     def simhashed: DataFrame = ops.Text.simhashes(docs)
+    /** Hamming-≤-k SimHash pairs — exact via pigeonhole banding. */
+    def simhashNearDups(maxHamming: Int = 3): DataFrame =
+      ops.Text.simhashNearDup(docs, maxHamming)
+    /** BPE merge-step adjacent-pair counts (vocab induction). */
+    def bpePairs(minCount: Long = 2L, topN: Int = 100): DataFrame =
+      ops.Text.bpePairCounts(docs, minCount, topN)
+    /** α = 0.5 temperature flattening of the `groupCol` mixture. */
+    def temperatureSampled(
+        pivot: Long,
+        groupCol: String = "source"
+    ): DataFrame = ops.Text.temperatureSample(docs, pivot, groupCol)
     def writePartitioned(
         path: String,
         partitionCols: Seq[String] = Seq("lang"),

@@ -35,4 +35,10 @@ package object functions {
     */
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  /** 60-bit md5-based SimHash with an exact SQL twin (see
+    * [[graft.functions.Simhash60Md5]]).
+    */
+  def simhash60md5(tokens: Column): Column =
+    Bridge.column(Simhash60Md5(Bridge.expression(tokens)))
 }

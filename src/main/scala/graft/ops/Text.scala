@@ -968,6 +968,167 @@ object Text {
         col("cum_before"))
   }
 
+  /** md5-based 60-bit SimHash signature over a token array. Unlike
+    * [[graft.functions.simhash64]] (xxhash mixing, fastest path, no
+    * SQL twin), this variant's per-token hash is the same
+    * `('0x'||substr(md5(tok),1,15))::BIGINT` both Spark and any
+    * ANSI engine compute — so the signature, and everything derived
+    * from it, is oracle-checkable bit for bit.
+    *
+    * Bit b of the signature is set iff more than half the tokens
+    * have bit b set in their hash (2·count_b > n_tokens — the
+    * +1/−1 majority vote in exact integer form; empty docs → 0).
+    * One pass over the tokens with an array-of-counters accumulator;
+    * pure scan-stage column expressions.
+    */
+  def simhash60(toks: Column): Column = {
+    val bits = 60
+    val tokenHash = (t: Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    // per-hash bit vector as a 60-wide int array (literal shifts
+    // unroll at plan build; the whole fold stays in codegen)
+    val contrib = (h: Column) => array(
+      (0 until bits).map(b =>
+        shiftright(h, b).bitwiseAND(lit(1L)).cast("int")): _*)
+    val counts = aggregate(
+      transform(toks, tokenHash),
+      array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, contrib(h), (a, c) => a + c))
+    val n = size(toks).cast("long")
+    (0 until bits).map(b =>
+      when(element_at(counts, b + 1).cast("long") * 2 > n, lit(1L << b))
+        .otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** SimHash near-duplicate pairs at hamming distance ≤ `maxHamming`
+    * via pigeonhole banding — EXACT, not probabilistic: the 60-bit
+    * signature splits into `maxHamming + 1` equal bands, and two
+    * signatures differing in ≤ maxHamming bits must agree on at
+    * least one whole band, so the band-bucket self-join generates a
+    * strict superset of the true pairs and the `bit_count(xor)`
+    * verify keeps exactly them. Never n²: only same-band-bucket
+    * pairs are compared (the standard Manku et al. web-dedup
+    * decomposition). At 100 TB each band join shuffles 8-byte keys;
+    * a degenerate bucket (e.g. the all-zero signature of empty docs)
+    * is the same hot-key shape as any LSH bucket — salt or cap it if
+    * a corpus concentrates there.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(maxHamming >= 0 && 60 % nBands == 0,
+      s"maxHamming + 1 = $nBands must divide the 60-bit signature")
+    val bandBits = 60 / nBands
+    // Signature via the NATIVE expression (graft_simhash60_md5):
+    // per-row scan-stage work, no shuffle. The [[simhash60]] column
+    // fold computes the identical value but through interpreted
+    // array HOFs (CodegenFallback — measured 4× slower), and an
+    // explode + 60-bit-count-sums aggregate pays seconds of janino
+    // compile for its 61-column update function; the native loop has
+    // neither cost. Differential equality of the paths is
+    // spec-tested. A small single-file corpus arrives as one split —
+    // spread only when under-split (same gate as Vector.unitized).
+    // Cached: the band self-join would otherwise build signatures
+    // twice.
+    val parallelism =
+      docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions * 2 >= parallelism) docs
+      else docs.repartition(col("doc_id"))
+    val sigs = graft.Caches.track("text", spread.select(col("doc_id"),
+      graft.functions.simhash60md5(tokens(col("text"))).as("simhash")))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map(i => struct(
+        lit(i).as("band"),
+        shiftright(col("simhash"), i * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bits") === col("r.bits") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("sim_a"), col("r.simhash").as("sim_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Corpus-wide adjacent-pair counts over the BPE-ish pre-tokens —
+    * one merge step of BPE vocabulary induction (count every
+    * adjacent segment pair, rank by frequency; the top pair is the
+    * next merge). Exact integers with a deterministic total order
+    * (count desc, then pair), so top-N is reproducible. The shape at
+    * 100 TB: pairs explode in the scan stage, one shuffle on the
+    * pair key with map-side combine, `minCount` floors the long tail
+    * out of the reducers (same HAVING pushdown as [[docFrequency]]),
+    * and top-N is TakeOrderedAndProject — no global sort.
+    */
+  def bpePairCounts(
+      docs: DataFrame,
+      minCount: Long = 2L,
+      topN: Int = 100
+  ): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("p"))
+      .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_pairs") >= minCount)
+      .orderBy(col("n_pairs").desc, col("tok_a"), col("tok_b"))
+      .limit(topN)
+  }
+
+  /** Temperature-flattened mixture over a group column (the
+    * multilingual α = 0.5 sampling rule): each group keeps rate
+    * min(1, √(pivot/n_g)), so a group with `pivot` docs or fewer is
+    * kept whole and a group 100× larger ends only 10× larger —
+    * square-root compression of the mixture's dynamic range. The
+    * draw-vs-rate comparison runs in EXACT integer arithmetic
+    * (draw30² · n_g < pivot · 2^60 over 38-digit decimals — both
+    * factors well under 10^38 for any corpus size), so no libm
+    * `pow`/`sqrt` rounding can diverge between engines and the
+    * sample is bit-reproducible anywhere. Map-side except one tiny
+    * per-group count agg, broadcast back.
+    */
+  def temperatureSample(
+      docs: DataFrame,
+      pivot: Long,
+      groupCol: String = "source",
+      salt: String = "temp"
+  ): DataFrame = {
+    require(pivot > 0, s"pivot must be positive, got $pivot")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_group"))
+    val draw30 = shiftright(draw60(
+      concat(col("doc_id").cast("string"), lit(":" + salt))), 30)
+    docs
+      .select(col("doc_id"), col(groupCol))
+      .join(broadcast(counts), groupCol)
+      .withColumn("draw30", draw30)
+      // keep-all fast path, else draw30² · n_g < pivot · 2^60
+      // (draw30 < 2^30 so the square is an exact long; the decimal
+      // products stay exact far beyond any corpus size)
+      .filter(col("n_group") <= pivot ||
+        (col("draw30") * col("draw30")).cast(dec) *
+          col("n_group").cast(dec) <
+          lit(pivot).cast(dec) * lit(1L << 60).cast(dec))
+      .select(col("doc_id"), col(groupCol), col("n_group"))
+  }
+
   def stratifiedSample(
       docs: DataFrame,
       rates: Seq[(String, Double)] =

@@ -155,6 +155,25 @@ object TextQueries {
     "q_text_token_budget" -> ((s, d) =>
       Text.tokenBudgetSample(Tables.documents(s, d),
         Seq("en" -> 5000L, "de" -> 2000L, "fr" -> 1500L))
+        .orderBy(col("doc_id"))),
+    // SimHash near-dup pairs via pigeonhole banding — EXACT (any
+    // pair within hamming 3 must share one of the 4 bands), so the
+    // oracle's brute-force n² twin is the identical set by theorem,
+    // not by corpus luck (contrast the MinHash recall note above)
+    "q_text_simhash_neardup" -> ((s, d) =>
+      Text.simhashNearDup(Tables.documents(s, d), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // BPE merge-step pair counts: exact integers, deterministic
+    // total order (count desc, pair), top-100
+    "q_text_bpe_pairs" -> ((s, d) =>
+      Text.bpePairCounts(Tables.documents(s, d),
+        minCount = 2L, topN = 100)),
+    // α = 0.5 temperature flattening over the skewed lang mixture
+    // (en 218 / zh 75 / es 73 / de 70 / fr 64 at sf0.01): pivot 75
+    // keeps four langs whole and square-root-downsamples en
+    "q_text_temperature_sample" -> ((s, d) =>
+      Text.temperatureSample(Tables.documents(s, d),
+        pivot = 75L, groupCol = "lang")
         .orderBy(col("doc_id")))
   )
 
@@ -561,6 +580,73 @@ object TextQueries {
         |FROM c
         |WHERE cum_before < CASE lang WHEN 'en' THEN 5000
         |  WHEN 'de' THEN 2000 WHEN 'fr' THEN 1500 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+    // brute-force n² twin of the banded Spark path; identical by the
+    // pigeonhole theorem (see the queries entry). The signature is
+    // the md5-based simhash60: per-bit majority vote over
+    // ('0x'||substr(md5(tok),1,15))::BIGINT token hashes.
+    "q_text_simhash_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+')
+        |    END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM tok),
+        |bc AS (
+        |  SELECT doc_id, b, SUM((h >> b) & 1) AS cnt
+        |  FROM th CROSS JOIN
+        |    (SELECT UNNEST(generate_series(0, 59)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |nn AS (SELECT doc_id, len(toks) AS n FROM t),
+        |sig AS (
+        |  SELECT nn.doc_id,
+        |    COALESCE(SUM(CASE WHEN 2 * bc.cnt > nn.n
+        |      THEN (CAST(1 AS BIGINT) << bc.b) ELSE 0 END), 0)
+        |      AS simhash
+        |  FROM nn LEFT JOIN bc ON nn.doc_id = bc.doc_id
+        |  GROUP BY nn.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_text_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text,
+        |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+') AS toks
+        |  FROM documents),
+        |i AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(generate_series(1, len(toks) - 1)) AS i
+        |  FROM t WHERE len(toks) >= 2),
+        |p AS (
+        |  SELECT doc_id, toks[i] AS tok_a, toks[i + 1] AS tok_b
+        |  FROM i)
+        |SELECT tok_a, tok_b, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT doc_id) AS n_docs
+        |FROM p GROUP BY tok_a, tok_b
+        |HAVING COUNT(*) >= 2
+        |ORDER BY n_pairs DESC, tok_a, tok_b LIMIT 100""".stripMargin,
+    // exact-integer form of keep-rate min(1, sqrt(75 / n_lang)):
+    // draw30² · n < 75 · 2^60, in HUGEINT so nothing rounds
+    "q_text_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_group FROM documents
+        |  GROUP BY lang),
+        |d AS (
+        |  SELECT doc_id, documents.lang, n_group,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':temp'), 1, 15)) AS BIGINT) >> 30 AS draw30
+        |  FROM documents JOIN c USING (lang))
+        |SELECT doc_id, lang, n_group FROM d
+        |WHERE n_group <= 75
+        |   OR CAST(draw30 * draw30 AS HUGEINT) * n_group
+        |      < CAST(75 AS HUGEINT) * 1152921504606846976
         |ORDER BY doc_id""".stripMargin
   )
 

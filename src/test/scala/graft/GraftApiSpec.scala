@@ -109,6 +109,9 @@ class GraftApiSpec extends SparkSpec {
       "incrementalDedup" -> "dedupAgainst",
       "sourceCap" -> "cappedPerSource",
       "tokenBudgetSample" -> "tokenBudgeted",
+      "simhashNearDup" -> "simhashNearDups",
+      "bpePairCounts" -> "bpePairs",
+      "temperatureSample" -> "temperatureSampled",
       "prepareTrainingData" -> "preparedForTraining",
       "bruteForceTopK" -> "cosineTopK", "annTopK" -> "annTopK",
       "ivfTopK" -> "ivfTopK", "labelCentroids" -> "labelCentroids",

@@ -335,4 +335,80 @@ class TextSpec extends SparkSpec {
     assert(math.abs(the.getAs[Double]("idf") - math.log(5.0 / 3)) <
       1e-12)
   }
+
+  test("simhashNearDup banding equals brute force (pigeonhole is " +
+      "exact, not probabilistic)") {
+    // a corpus with identical docs, one-token edits, and unrelated
+    // docs — enough signature variety to exercise all band buckets
+    val corpus = (1L to 30L).map { i =>
+      val base = s"shared prefix tokens alpha beta gamma delta " +
+        s"epsilon zeta eta theta iota kappa"
+      val text =
+        if (i <= 3) base                         // identical block
+        else if (i <= 10) base + s" tail$i"      // one-token edits
+        else s"doc $i " + (1 to 12).map(j => s"w${i}_$j").mkString(" ")
+      (i, text, "en", s"s$i", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val banded = Text.simhashNearDup(corpus, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = corpus.select(col("doc_id"),
+      Text.simhash60(Text.tokens(col("text"))).as("s"))
+    val brute = sigs.as("l").join(sigs.as("r"),
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id"), col("r.doc_id"),
+        bit_count(col("l.s").bitwiseXOR(col("r.s"))).cast("int"))
+      .as[(Long, Long, Int)].collect().filter(_._3 <= 3).toSet
+    assert(banded == brute)
+    // identical texts must pair at hamming 0
+    assert(banded.contains((1L, 2L, 0)) && banded.contains((1L, 3L, 0)))
+  }
+
+  test("bpePairCounts: exact adjacent-pair math and conservation") {
+    val d = Seq(
+      (1L, "aa bb aa bb", "en", "s1", 11L),
+      (2L, "aa bb cc", "en", "s2", 8L),
+      (3L, "solo", "en", "s3", 4L),
+      (4L, "", "en", "s4", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val all = Text.bpePairCounts(d, minCount = 1L, topN = 1000)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).toMap
+    // BPE pre-tokens of "aa bb aa bb": ["aa"," bb"," aa"," bb"]
+    assert(all(("aa", " bb")) == (2L, 2L))   // docs 1 and 2
+    assert(all((" bb", " aa")) == (1L, 1L))
+    assert(all((" aa", " bb")) == (1L, 1L))
+    assert(all((" bb", " cc")) == (1L, 1L))
+    // conservation: Σ n_pairs over all pairs = Σ max(0, n_toks - 1)
+    assert(all.values.map(_._1).sum == 3 + 2 + 0 + 0)
+    // deterministic order: counts descend, ties break on the pair
+    val ordered = Text.bpePairCounts(d, minCount = 1L, topN = 1000)
+      .select("n_pairs").as[Long].collect()
+    assert(ordered.sameElements(ordered.sortBy(-_)))
+  }
+
+  test("temperatureSample keeps small groups whole and flattens " +
+      "large ones by the exact integer rule") {
+    val d = (1L to 120L).map { i =>
+      val src = if (i <= 100) "big" else if (i <= 110) "mid" else "small"
+      (i, s"text $i", "en", src, 8L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pivot = 10L
+    val kept = Text.temperatureSample(d, pivot)
+      .select("doc_id").as[Long].collect().toSet
+    // mid (10 docs) and small (10 docs) are at/below pivot: all kept
+    assert((101L to 120L).forall(kept))
+    // big (100 docs): exactly the docs whose draw30² · 100 < 10 · 2^60
+    val expected = (1L to 100L).filter { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:temp".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val draw30 = java.lang.Long.parseLong(hex, 16) >> 30
+      BigInt(draw30) * BigInt(draw30) * 100 < BigInt(10) * BigInt(2).pow(60)
+    }.toSet
+    assert(kept.filter(_ <= 100L) == expected)
+    // ~sqrt(10/100) ≈ 32% of big survives — sanity the flattening
+    assert(expected.size > 15 && expected.size < 50)
+  }
 }
