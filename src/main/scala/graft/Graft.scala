@@ -126,6 +126,12 @@ object Graft {
       extends AnyVal {
     def cosineTopK(queryId: Long, k: Int): DataFrame =
       ops.Vector.bruteForceTopK(embs, queryId, k)
+    /** Batch exact top-k: every row of `queries` against this
+      * corpus, mergeable per-query top-k (shuffle carries k pairs
+      * per query).
+      */
+    def cosineTopKBatch(queries: DataFrame, k: Int): DataFrame =
+      ops.Vector.batchTopK(embs, queries, k)
     def annTopK(queryId: Long, k: Int, nPlanes: Int = 16): DataFrame =
       ops.Vector.annTopK(embs, queryId, k, nPlanes)
     def cosineNearDups(threshold: Double): DataFrame =

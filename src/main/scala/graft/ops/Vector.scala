@@ -150,6 +150,41 @@ object Vector {
       .limit(k)
   }
 
+  /** Batch exact top-k cosine: EVERY query vector against the
+    * corpus in one pass — the offline evaluation / retrieval-index
+    * build shape (single-query [[bruteForceTopK]] is the
+    * interactive twin). The query set broadcasts (at scale: chunk
+    * query batches to broadcast size); scores compute map-side via
+    * the codegen dot product; per-query top-k runs through the
+    * MERGEABLE [[graft.functions.TopKPairsAggregator]], so partial
+    * aggregation keeps ≤ k pairs per query per task and the shuffle
+    * carries k rows per query — never the |corpus| × |queries|
+    * score matrix (the window row_number form would shuffle and
+    * sort all of it). Output rank is the deterministic
+    * (cos_sim DESC, vec_id ASC) order.
+    */
+  def batchTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val topk = udaf(new graft.functions.TopKPairsAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    corpus
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos_sim"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("e._2").as("vec_id"), col("e._1").as("cos_sim"))
+  }
+
   /** IVF(-flat) approximate nearest neighbor — the other scale path
     * next to sign-LSH: a KMeans coarse quantizer (trained once,
     * deterministic seed) partitions vectors into `nLists` inverted

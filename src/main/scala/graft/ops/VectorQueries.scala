@@ -101,7 +101,16 @@ object VectorQueries {
         .select(col("vec_id"), col("scale"),
           concat_ws(",", transform(col("qvec"), _.cast("string")))
             .as("qvec_csv"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+    // batch retrieval: every 100th vector queries the corpus, exact
+    // top-5 each, through the mergeable top-k aggregator (shuffle
+    // carries 5 pairs per query, never the score matrix)
+    "q_vec_batch_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Vector.batchTopK(embs,
+        embs.filter(col("vec_id") % 100 === 0), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,6 +252,28 @@ object VectorQueries {
         |  GROUP BY 1, 2)
         |SELECT vec_a, vec_b, cos_sim FROM p
         |WHERE cos_sim >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_vec_batch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |dots AS (
+        |  SELECT query_id, vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+        |  FROM pairs GROUP BY query_id, vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, dot / (na * nb) AS cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (na * nb) DESC, vec_id) AS rank
+        |  FROM dots)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -114,6 +114,7 @@ class GraftApiSpec extends SparkSpec {
       "temperatureSample" -> "temperatureSampled",
       "prepareTrainingData" -> "preparedForTraining",
       "bruteForceTopK" -> "cosineTopK", "annTopK" -> "annTopK",
+      "batchTopK" -> "cosineTopKBatch",
       "ivfTopK" -> "ivfTopK", "labelCentroids" -> "labelCentroids",
       "quantizeInt8" -> "quantizedInt8",
       "cosineNearDup" -> "cosineNearDups",

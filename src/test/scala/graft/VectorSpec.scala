@@ -171,4 +171,23 @@ class VectorSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains(
         "verification twin")))
   }
+
+  test("batchTopK agrees with per-query bruteForceTopK") {
+    val queries = vecs.filter(col("vec_id").isin(0L, 2L))
+    val batch = Vec.batchTopK(vecs, queries, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("vec_id")).toMap
+    // exact known order for query 0: 4 (cos≈0.999), 1, 2 (orthogonal)
+    assert(batch((0L, 1)) == 4L && batch((0L, 2)) == 1L &&
+      batch((0L, 3)) == 2L)
+    // every query's ranked list equals the single-query operator's
+    for (qid <- Seq(0L, 2L)) {
+      val single = Vec.bruteForceTopK(vecs, qid, 3)
+        .select("vec_id").as[Long].collect().toSeq
+      val fromBatch = (1 to 3).map(r => batch((qid, r)))
+      assert(fromBatch == single, s"query $qid")
+    }
+    // self-match excluded
+    assert(!batch.exists { case ((q, _), v) => q == v })
+  }
 }
