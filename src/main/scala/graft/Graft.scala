@@ -95,6 +95,9 @@ object Graft {
       ops.Text.docFrequency(docs, minDf)
     def rollingFingerprinted: DataFrame =
       ops.Text.rollingFingerprint(docs)
+    /** md5-window winnowing twin of [[rollingFingerprinted]]. */
+    def winnowFingerprinted(window: Int = 32): DataFrame =
+      ops.Text.winnowFingerprint(docs, window)
     def simhashed: DataFrame = ops.Text.simhashes(docs)
     /** Hamming-≤-k SimHash pairs — exact via pigeonhole banding. */
     def simhashNearDups(maxHamming: Int = 3): DataFrame =

@@ -62,10 +62,15 @@ object Simhash60Md5 {
   /** Top 60 bits of md5(token-utf8) — numerically equal to parsing
     * the digest's first 15 hex chars as an unsigned hex number.
     */
-  def tokenHash60(utf8Bytes: Array[Byte]): Long = {
+  def tokenHash60(utf8Bytes: Array[Byte]): Long =
+    tokenHash60(utf8Bytes, 0, utf8Bytes.length)
+
+  /** Slice form — lets window hashing reuse one byte array. */
+  def tokenHash60(utf8Bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = digest.get()
     md.reset()
-    val d = md.digest(utf8Bytes)
+    md.update(utf8Bytes, off, len)
+    val d = md.digest()
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

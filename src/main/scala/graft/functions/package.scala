@@ -41,4 +41,10 @@ package object functions {
     */
   def simhash60md5(tokens: Column): Column =
     Bridge.column(Simhash60Md5(Bridge.expression(tokens)))
+
+  /** md5-window winnowing fingerprint with an exact SQL twin (see
+    * [[graft.functions.Md5WinnowMin]]).
+    */
+  def md5WinnowMin(text: Column, k: Int): Column =
+    Bridge.column(Md5WinnowMin(Bridge.expression(text), k))
 }

@@ -347,6 +347,32 @@ object Text {
         col("keep_doc_id"))
   }
 
+  /** Winnowing fingerprint with an exact SQL twin — same
+    * content-defined dedup-key semantics as [[rollingFingerprint]]
+    * (min window hash + duplicate-group stats), but the window hash
+    * is md5-based ([[graft.functions.Md5WinnowMin]]) so any ANSI
+    * engine reproduces it bit for bit. Keep the O(n) Rabin–Karp form
+    * for production scale; this twin makes the capability
+    * oracle-checkable.
+    */
+  def winnowFingerprint(docs: DataFrame, window: Int = 32): DataFrame = {
+    // fp cached: the group join reads it twice, and the per-window
+    // md5 pass is the expensive leg; spread an under-split corpus
+    // first (same gate as simhashNearDup)
+    val parallelism =
+      docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions * 2 >= parallelism) docs
+      else docs.repartition(col("doc_id"))
+    val fp = graft.Caches.track("text", spread.select(col("doc_id"),
+      graft.functions.md5WinnowMin(col("text"), window).as("win_fp")))
+    val groups = fp.groupBy(col("win_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+    fp.join(groups, "win_fp")
+      .select(col("doc_id"), col("win_fp"), col("n_docs"),
+        col("keep_doc_id"))
+  }
+
   /** EXACT 3-gram shingle Jaccard pairs at-or-above `threshold` —
     * the exact twin of the MinHash pipeline's similarity space
     * (sequence-sensitive word 3-grams, so "same vocabulary, different

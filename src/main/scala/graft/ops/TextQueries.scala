@@ -174,6 +174,13 @@ object TextQueries {
     "q_text_temperature_sample" -> ((s, d) =>
       Text.temperatureSample(Tables.documents(s, d),
         pivot = 75L, groupCol = "lang")
+        .orderBy(col("doc_id"))),
+    // winnowing fingerprint, md5-window variant: the oracle-checked
+    // representative of the content-defined-fingerprint family (the
+    // Rabin-Karp q_text_rolling_fp stays rows-only — its hash has no
+    // SQL twin; this one's min-of-md5-windows does)
+    "q_text_winnow_fp" -> ((s, d) =>
+      Text.winnowFingerprint(Tables.documents(s, d))
         .orderBy(col("doc_id")))
   )
 
@@ -647,7 +654,26 @@ object TextQueries {
         |WHERE n_group <= 75
         |   OR CAST(draw30 * draw30 AS HUGEINT) * n_group
         |      < CAST(75 AS HUGEINT) * 1152921504606846976
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // min over every 32-char window of the 60-bit md5 prefix; docs
+    // of <= 32 chars (incl. empty) hash as one whole-text window
+    "q_text_winnow_fp" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    COALESCE(
+        |      list_min(list_transform(
+        |        generate_series(1, length(text) - 31),
+        |        i -> CAST(('0x' || substr(md5(substr(text, i, 32)),
+        |          1, 15)) AS BIGINT))),
+        |      CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+        |      AS win_fp
+        |  FROM documents),
+        |g AS (
+        |  SELECT win_fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+        |  FROM f GROUP BY win_fp)
+        |SELECT f.doc_id, f.win_fp, g.n_docs, g.keep_doc_id
+        |FROM f JOIN g USING (win_fp)
+        |ORDER BY f.doc_id""".stripMargin
   )
 
   private def q60(r: Double): Long = Text.q60(r)

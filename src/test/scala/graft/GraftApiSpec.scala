@@ -105,6 +105,7 @@ class GraftApiSpec extends SparkSpec {
       "contamination" -> "contaminationAgainst",
       "docFrequency" -> "docFrequency",
       "rollingFingerprint" -> "rollingFingerprinted",
+      "winnowFingerprint" -> "winnowFingerprinted",
       "simhashes" -> "simhashed",
       "incrementalDedup" -> "dedupAgainst",
       "sourceCap" -> "cappedPerSource",

@@ -388,6 +388,39 @@ class TextSpec extends SparkSpec {
     assert(ordered.sameElements(ordered.sortBy(-_)))
   }
 
+  test("winnowFingerprint equals the min-of-md5-windows definition " +
+      "and groups identical docs") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the " +
+        "river bank today", "en", "s1", 70L),
+      (2L, "the quick brown fox jumps over the lazy dog near the " +
+        "river bank today", "en", "s2", 70L),
+      (3L, "short text", "en", "s3", 10L),
+      (4L, "", "en", "s4", 0L),
+      (5L, "abcdefghijklmnopqrstuvwxyz123456", "en", "s5", 32L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.winnowFingerprint(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("win_fp"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("keep_doc_id")))).toMap
+    // differential: recompute the definition with plain column exprs
+    val h = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val ref = d.select(col("doc_id"),
+      when(length(col("text")) <= 32, h(col("text")))
+        .otherwise(array_min(transform(
+          sequence(lit(1), length(col("text")) - 31),
+          i => h(col("text").substr(i, lit(32)))))).as("ref"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    out.foreach { case (id, (fp, _, _)) =>
+      assert(fp == ref(id), s"doc $id") }
+    // identical texts share the fingerprint and group on doc 1
+    assert(out(1L)._1 == out(2L)._1)
+    assert(out(1L)._2 == 2L && out(2L)._3 == 1L)
+    assert(out(3L)._2 == 1L && out(4L)._2 == 1L)
+  }
+
   test("temperatureSample keeps small groups whole and flattens " +
       "large ones by the exact integer rule") {
     val d = (1L to 120L).map { i =>
