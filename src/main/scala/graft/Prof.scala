@@ -53,6 +53,15 @@ object Prof {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     t("candidates")(cand.count())
+    val prefixN = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("toks_ord"), lit(1), col("plen"))).as("tok"))
+    val candLen = prefixN.as("a").join(prefixN.as("b"), "tok")
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          lit(0.5) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    t("candidates+lenfilter")(candLen.count())
     t("full jaccardExactPairs")(
       ops.Text.jaccardExactPairs(docs, 0.5).count())
     val pairs = graft.Caches.persisted("text", ("jac", spark, sfDir))(

@@ -442,11 +442,19 @@ object Text {
     // the text family
     val orderedC = graft.Caches.track("text", ordered)
     // candidates: ids only through the join; token arrays re-attached
-    // after dedup so wide rows never multiply across candidate pairs
-    val prefix = orderedC.select(col("doc_id"),
+    // after dedup so wide rows never multiply across candidate pairs.
+    // The set size rides along for the PPJoin LENGTH filter below —
+    // jaccard ≥ t forces min(na,nb) ≥ t·max(na,nb) (inter ≤ min,
+    // union ≥ max), so size-incompatible candidates are dropped at
+    // the join, before dedup and before any array_intersect runs
+    // (measured at sf0.1: 409k → 310k candidates; a necessary
+    // condition, so lossless by the same argument as the prefix)
+    val prefix = orderedC.select(col("doc_id"), col("n"),
       explode(slice(col("toks_ord"), lit(1), col("plen"))).as("tok"))
     val cand = prefix.as("a").join(prefix.as("b"), "tok")
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          lit(threshold) * greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val sets = orderedC.select(col("doc_id"), col("n"), col("toks_ord"))
