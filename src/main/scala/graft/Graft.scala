@@ -123,6 +123,12 @@ object Graft {
         sampleRate: Double = 0.5
     ): DataFrame = ops.Text.prepareTrainingData(docs,
       qualityThreshold, jaccardThreshold, sampleRate)
+    /** Unigram-LM scoring (corpus-frequency perplexity proxy). */
+    def unigramScored: DataFrame = ops.Text.unigramScore(docs)
+    /** Pairwise token-set Jaccard between sources. */
+    def sourceOverlap: DataFrame = ops.Text.sourceOverlap(docs)
+    /** Power-of-2 length buckets with padding-waste accounting. */
+    def lengthBucketed: DataFrame = ops.Text.lengthBuckets(docs)
   }
 
   implicit class EmbeddingOps(private val embs: DataFrame)
@@ -179,5 +185,8 @@ object Graft {
         k: Int,
         nProbe: Int = 4
     ): DataFrame = ops.Vector.ivfTopK(embs, model, queryId, k, nProbe)
+    /** Coarse-grid cell density (outlier / dup-region signal). */
+    def gridDensity(gridDims: Int = 4, g: Int = 4): DataFrame =
+      ops.Vector.gridDensity(embs, gridDims, g)
   }
 }

@@ -1188,4 +1188,110 @@ object Text {
       .filter(col("draw") < col("thr"))
       .select(col("doc_id"), col("stratum"), col("n_tokens"))
   }
+
+  /** Unigram-LM document scoring (the CCNet-style perplexity proxy of
+    * a training-data pipeline, with corpus term frequencies standing
+    * in for the external LM): per doc, over its token OCCURRENCES
+    * (not distinct tokens — an LM scores the sequence),
+    *  - `n_toks`, `sum_tf` (Σ corpus tf), `min_tf` (rarest token) —
+    *    exact integers, the hash-compared skeleton;
+    *  - `avg_nll` = mean −ln(tf/T), the perplexity proxy itself. A
+    *    raw double Σ ln(tf) would be partition-order-dependent, so
+    *    the sum accumulates per-token ⌊ln(tf)·2²⁰⌋ as an INTEGER
+    *    (deterministic under any partitioning, ~1e-6 quantization)
+    *    and avg_nll derives from it per row. Like [[docFrequency]]'s
+    *    idf, ln() differs in the last ulp between libms, so
+    *    registered queries project the q20/nll columns away and specs
+    *    cover them instead (`q_text_doc_freq` precedent).
+    *
+    * Rare-token-heavy docs (high avg_nll / low mean tf) are the
+    * gibberish-or-exotic tail a curation pipeline routes to review;
+    * boilerplate scores low. Shape at scale: one tf aggregation on
+    * the token, one token-keyed attribution join (same skew profile
+    * as [[docFrequency]] — hot tokens are many-to-one into a
+    * broadcast-able tf table once `minDf`-style floors apply), one
+    * groupBy doc.
+    */
+  def unigramScore(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = occ.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = occ.agg(count(lit(1)).as("__total"))
+    occ
+      .join(tf, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("tf")).as("sum_tf"),
+        min(col("tf")).as("min_tf"),
+        sum(floor(log(col("tf").cast("double")) * (1L << 20))
+          .cast("long")).as("sum_ln_tf_q20"))
+      .crossJoin(broadcast(total))
+      .withColumn("avg_nll",
+        log(col("__total").cast("double")) -
+          col("sum_ln_tf_q20").cast("double") /
+            (col("n_toks") * (1L << 20).toDouble))
+      .drop("__total")
+  }
+
+  /** Pairwise token-set Jaccard BETWEEN SOURCES — the corpus-level
+    * diversity/contamination diagnostic (are two crawls snapshots of
+    * the same site?). Exact integers end to end: per-source distinct
+    * vocabularies explode once, the token-keyed self-join counts
+    * intersections, sizes attach by broadcast (#sources rows). A
+    * token shared by k sources contributes k·(k−1)/2 pair rows —
+    * bounded by #sources², not corpus size, so stop-words cost
+    * #sources²·|vocab-head| rows, never a scan-side blowup.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val vocab = graft.Caches.track("text", docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .distinct())
+    val sizes = vocab.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val inter = vocab.as("a").join(vocab.as("b"), "token")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_tokens").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_tokens").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        col("na"), col("nb"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Power-of-2 sequence-length bucketing with padding-waste
+    * accounting — the batch-shape planner of a training pipeline
+    * (bucketed batching pads each sequence to its bucket size; the
+    * waste column is the exact token cost of that choice). Bucket =
+    * 2^⌈log2 n⌉ computed in INTEGER bit arithmetic (binary-string
+    * length, shift), not floating log2 — exact at any magnitude and
+    * in any engine. One groupBy on a tiny key domain (≤ 64 buckets);
+    * the per-doc stage is scan-side only.
+    */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val n = size(tokens(col("text")))
+    // ⌈log2 n⌉ via length(bin(n-1)): floor(log2(n-1))+1 for n ≥ 2;
+    // 2^k through pow — exact in IEEE double for any power of two
+    // representable here, unlike a float log2 of n itself
+    val bucket = when(n <= 1, lit(1L))
+      .otherwise(pow(lit(2.0), length(bin(n - 1)).cast("int"))
+        .cast("long"))
+    docs
+      .select(col("doc_id"), n.as("n_toks"), bucket.as("bucket"))
+      // zero-token docs have no sequence to batch
+      .filter(col("n_toks") > 0)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("bucket") * col("n_docs"))
+      .withColumn("waste_tokens",
+        col("padded_tokens") - col("sum_tokens"))
+      .withColumn("waste_ratio",
+        col("waste_tokens").cast("double") / col("padded_tokens"))
+  }
 }

@@ -181,7 +181,24 @@ object TextQueries {
     // SQL twin; this one's min-of-md5-windows does)
     "q_text_winnow_fp" -> ((s, d) =>
       Text.winnowFingerprint(Tables.documents(s, d))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // unigram-LM scoring skeleton: hash-compare the exact-integer
+    // columns only; the ln-derived q20/nll columns are spec-tested
+    // (same split as q_text_doc_freq's idf)
+    "q_text_unigram" -> ((s, d) =>
+      Text.unigramScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_toks"), col("sum_tf"),
+          col("min_tf"))
+        .orderBy(col("doc_id"))),
+    // corpus-level source-pair vocabulary overlap: exact integer
+    // set sizes; jaccard is one IEEE division of those integers
+    "q_text_source_overlap" -> ((s, d) =>
+      Text.sourceOverlap(Tables.documents(s, d))
+        .orderBy(col("source_a"), col("source_b"))),
+    // power-of-2 length bucketing: integer bit arithmetic end to end
+    "q_text_length_buckets" -> ((s, d) =>
+      Text.lengthBuckets(Tables.documents(s, d))
+        .orderBy(col("bucket")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -673,7 +690,52 @@ object TextQueries {
         |  FROM f GROUP BY win_fp)
         |SELECT f.doc_id, f.win_fp, g.n_docs, g.keep_doc_id
         |FROM f JOIN g USING (win_fp)
-        |ORDER BY f.doc_id""".stripMargin
+        |ORDER BY f.doc_id""".stripMargin,
+    "q_text_unigram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST($toksSql) AS token
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |tf AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token)
+         |SELECT t.doc_id, COUNT(*) AS n_toks,
+         |  CAST(SUM(tf.tf) AS BIGINT) AS sum_tf,
+         |  CAST(MIN(tf.tf) AS BIGINT) AS min_tf
+         |FROM t JOIN tf USING (token)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q_text_source_overlap" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT source, token FROM (
+         |    SELECT source, UNNEST($toksSql) AS token
+         |    FROM documents WHERE len(trim(text)) > 0)),
+         |sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY source),
+         |i AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS inter
+         |  FROM v a JOIN v b
+         |    ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, inter, sa.n AS na, sb.n AS nb,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM i
+         |JOIN sz sa ON i.source_a = sa.source
+         |JOIN sz sb ON i.source_b = sb.source
+         |ORDER BY source_a, source_b""".stripMargin,
+    "q_text_length_buckets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len($toksSql) AS n
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |b AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(1 AS BIGINT) << len(bin(n - 1)) END
+         |      AS bucket
+         |  FROM t WHERE n > 0)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         |  bucket * COUNT(*) AS padded_tokens,
+         |  bucket * COUNT(*) - CAST(SUM(n) AS BIGINT) AS waste_tokens,
+         |  CAST(bucket * COUNT(*) - SUM(n) AS DOUBLE)
+         |    / (bucket * COUNT(*)) AS waste_ratio
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 
   private def q60(r: Double): Long = Text.q60(r)

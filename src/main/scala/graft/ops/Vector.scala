@@ -480,4 +480,33 @@ object Vector {
       // k bands yields k identical (vec_a, vec_b, cos_sim) rows
       .distinct()
   }
+
+  /** Coarse-grid cell density per embedding: quantize the first
+    * `gridDims` unit-vector components to a `g`-cell lattice and
+    * count corpus neighbors in the same cell — the cheap density
+    * signal behind duplicate-region detection and outlier triage
+    * (cell_count 1 = isolated; huge cells = embedding-space clumps a
+    * dedup pass should visit first). Grid quantization is the
+    * integer-exact cousin of the KMeans assignment (no fitted model,
+    * so a SQL oracle CAN replay it): floor on top of the
+    * deterministic unit normalization, then one groupBy on the cell
+    * key and a broadcast-able attribution join (cell table ≤ g^dims
+    * rows). All scan-side except the tiny agg — at 100 TB this is a
+    * single pass plus a map-side join.
+    */
+  def gridDensity(
+      embeddings: DataFrame,
+      gridDims: Int = 4,
+      g: Int = 4
+  ): DataFrame = {
+    val cells = (0 until gridDims).map { i =>
+      floor(element_at(col("unit"), i + 1) * g).cast("int").as(s"c$i")
+    }
+    val keyed = unitized(embeddings)
+      .select(col("vec_id") +: cells: _*)
+    val cellCols = (0 until gridDims).map(i => col(s"c$i"))
+    val counts = keyed.groupBy(cellCols: _*)
+      .agg(count(lit(1)).as("cell_count"))
+    keyed.join(broadcast(counts), (0 until gridDims).map(i => s"c$i"))
+  }
 }

@@ -110,7 +110,13 @@ object VectorQueries {
       Vector.batchTopK(embs,
         embs.filter(col("vec_id") % 100 === 0), k = 5)
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+    // coarse-grid cell density: floor-quantized unit components are
+    // integer-exact on top of the deterministic normalization (same
+    // argument as q_vec_quantize_int8), so the oracle replays them
+    "q_vec_grid_density" -> ((s, d) =>
+      Vector.gridDensity(Tables.embeddings(s, d))
+        .orderBy(col("vec_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -274,6 +280,28 @@ object VectorQueries {
         |  FROM dots)
         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
         |FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_vec_grid_density" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id),
+        |u AS (
+        |  SELECT e.vec_id,
+        |    CAST(FLOOR(CAST(e.embedding[1] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c0,
+        |    CAST(FLOOR(CAST(e.embedding[2] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c1,
+        |    CAST(FLOOR(CAST(e.embedding[3] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c2,
+        |    CAST(FLOOR(CAST(e.embedding[4] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c3
+        |  FROM embeddings e JOIN n USING (vec_id)),
+        |c AS (SELECT c0, c1, c2, c3, COUNT(*) AS cell_count
+        |      FROM u GROUP BY 1, 2, 3, 4)
+        |SELECT u.vec_id, u.c0, u.c1, u.c2, u.c3, c.cell_count
+        |FROM u JOIN c USING (c0, c1, c2, c3)
+        |ORDER BY u.vec_id""".stripMargin
   )
 }

@@ -124,7 +124,11 @@ class GraftApiSpec extends SparkSpec {
       "semanticNearDupPairs" -> "semanticNearDups",
       "semanticNearDupPairsAssigned" -> "semanticNearDupsAssigned",
       "semanticDedup" -> "semanticDeduped",
-      "semanticDedupAssigned" -> "semanticDedupedAssigned")
+      "semanticDedupAssigned" -> "semanticDedupedAssigned",
+      "unigramScore" -> "unigramScored",
+      "sourceOverlap" -> "sourceOverlap",
+      "lengthBuckets" -> "lengthBucketed",
+      "gridDensity" -> "gridDensity")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

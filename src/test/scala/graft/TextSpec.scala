@@ -444,4 +444,68 @@ class TextSpec extends SparkSpec {
     // ~sqrt(10/100) ≈ 32% of big survives — sanity the flattening
     assert(expected.size > 15 && expected.size < 50)
   }
+
+  test("unigramScore: integer skeleton exact, avg_nll matches the " +
+      "quantized definition and ranks rare-token docs higher") {
+    val d = Seq(
+      (1L, "common common common", "en", "s1", 20L),
+      (2L, "common rare", "en", "s1", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.unigramScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // corpus: common ×4, rare ×1, T = 5
+    assert(out(1L).getAs[Long]("n_toks") == 3L)
+    assert(out(1L).getAs[Long]("sum_tf") == 12L)
+    assert(out(1L).getAs[Long]("min_tf") == 4L)
+    assert(out(2L).getAs[Long]("sum_tf") == 5L)
+    assert(out(2L).getAs[Long]("min_tf") == 1L)
+    def nll(tfs: Seq[Long], total: Long): Double = {
+      val q20 = tfs.map(tf =>
+        math.floor(math.log(tf.toDouble) * (1L << 20)).toLong).sum
+      math.log(total.toDouble) -
+        q20.toDouble / (tfs.size * (1L << 20).toDouble)
+    }
+    assert(math.abs(
+      out(1L).getAs[Double]("avg_nll") - nll(Seq(4, 4, 4), 5)) < 1e-9)
+    assert(math.abs(
+      out(2L).getAs[Double]("avg_nll") - nll(Seq(4, 1), 5)) < 1e-9)
+    // the rare-token doc is the higher-perplexity one
+    assert(out(2L).getAs[Double]("avg_nll") >
+      out(1L).getAs[Double]("avg_nll"))
+  }
+
+  test("sourceOverlap: exact set sizes and jaccard per source pair") {
+    val d = Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "b c d", "en", "s2", 5L),
+      (3L, "x y", "en", "s3", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Text.sourceOverlap(d).collect()
+      .map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("na"),
+          r.getAs[Long]("nb"), r.getAs[Double]("jaccard"))).toMap
+    assert(rows(("s1", "s2")) == ((2L, 3L, 3L, 0.5)))
+    // disjoint vocabularies produce no pair row at all
+    assert(!rows.contains(("s1", "s3")) && !rows.contains(("s2", "s3")))
+  }
+
+  test("lengthBuckets: pow2 ceiling and exact waste accounting") {
+    val d = Seq(
+      (1L, "t1", 1), (2L, "t2", 2), (3L, "t3", 3), (4L, "t4", 5),
+      (5L, "t5", 64), (6L, "t6", 65)
+    ).map { case (id, _, n) =>
+      (id, (1 to n).map(i => s"w$i").mkString(" "), "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = Text.lengthBuckets(d).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("waste_tokens"))).toMap
+    assert(b(1L) == ((1L, 1L, 0L)))       // n=1 → bucket 1, no waste
+    assert(b(2L) == ((1L, 2L, 0L)))       // n=2 → bucket 2
+    assert(b(4L) == ((1L, 3L, 1L)))       // n=3 → bucket 4, pad 1
+    assert(b(8L) == ((1L, 5L, 3L)))       // n=5 → bucket 8, pad 3
+    assert(b(64L) == ((1L, 64L, 0L)))     // n=64 exactly fills
+    assert(b(128L) == ((1L, 65L, 63L)))   // n=65 → bucket 128
+  }
 }

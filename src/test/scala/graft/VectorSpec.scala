@@ -190,4 +190,22 @@ class VectorSpec extends SparkSpec {
     // self-match excluded
     assert(!batch.exists { case ((q, _), v) => q == v })
   }
+
+  test("gridDensity: co-located unit vectors share a cell, isolated " +
+      "ones count 1") {
+    val out = Vec.gridDensity(vecs, gridDims = 3, g = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("c0"), r.getAs[Int]("c1"), r.getAs[Int]("c2"),
+          r.getAs[Long]("cell_count")))).toMap
+    // vec 1 (0.9,0.1,0) and vec 4 (1,0.05,0) both normalize into
+    // cell (3,0,0); the axis vectors land alone in (±4,0,0)/(0,4,0)
+    assert(out(1L)._4 == 2L && out(4L)._4 == 2L)
+    assert(out(1L)._1 == 3 && out(4L)._1 == 3)
+    assert(out(0L) == ((4, 0, 0, 1L)))
+    assert(out(3L)._1 == -4 && out(3L)._4 == 1L)
+    // summing each distinct cell's count once recovers the corpus size
+    assert(out.values.groupBy(v => (v._1, v._2, v._3))
+      .map(_._2.head._4).sum == 5L)
+    assert(out.size == 5)
+  }
 }
