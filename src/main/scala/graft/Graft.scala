@@ -125,6 +125,8 @@ object Graft {
       qualityThreshold, jaccardThreshold, sampleRate)
     /** Unigram-LM scoring (corpus-frequency perplexity proxy). */
     def unigramScored: DataFrame = ops.Text.unigramScore(docs)
+    /** Bigram conditional-LM scoring (word-salad detector). */
+    def bigramScored: DataFrame = ops.Text.bigramScore(docs)
     /** Pairwise token-set Jaccard between sources. */
     def sourceOverlap: DataFrame = ops.Text.sourceOverlap(docs)
     /** Power-of-2 length buckets with padding-waste accounting. */

@@ -1233,6 +1233,59 @@ object Text {
       .drop("__total")
   }
 
+  /** Bigram conditional-LM document scoring — the next-order
+    * companion of [[unigramScore]] (CCNet scores with a real LM; a
+    * corpus bigram model is the strongest scorer derivable from the
+    * corpus itself): per doc over its ADJACENT token pairs,
+    *  - `n_pairs`, `sum_pair_tf`, `min_pair_tf` — exact integers on
+    *    corpus bigram frequencies, the hash-compared skeleton;
+    *  - `avg_nll` = mean −ln p(w₂|w₁) = mean [ln tf(w₁) − ln tf(w₁w₂)]
+    *    with both ln sums accumulated as per-pair ⌊ln·2²⁰⌋ integers
+    *    (partition-order-safe; registered queries project the
+    *    ln-derived column away, specs cover it).
+    *
+    * A doc full of individually-common words in never-seen orders
+    * (word-salad spam) scores high here while passing [[unigramScore]]
+    * — the reason pipelines score with a sequence model, not a bag.
+    * Shape at scale: one bigram-tf aggregation + one unigram-tf
+    * aggregation, then one attribution join each — the bigram key
+    * space is larger than the unigram one but the joins stay
+    * many-to-one into aggregated (broadcast-able after frequency
+    * floors) tables; nothing quadratic.
+    */
+  def bigramScore(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        // equal-length slices (bpePairCounts pattern) — no zip_with
+        // null padding to special-case
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("pair"))
+    val pairTf = pairs.groupBy(col("pair"))
+      .agg(count(lit(1)).as("pair_tf"))
+    val uniTf = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("uni_tf"))
+    pairs
+      .join(pairTf, "pair")
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .join(uniTf.withColumnRenamed("token", "w1"), "w1")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("pair_tf")).as("sum_pair_tf"),
+        min(col("pair_tf")).as("min_pair_tf"),
+        sum(floor(log(col("uni_tf").cast("double")) * (1L << 20))
+          .cast("long") -
+          floor(log(col("pair_tf").cast("double")) * (1L << 20))
+            .cast("long")).as("sum_nll_q20"))
+      .withColumn("avg_nll",
+        col("sum_nll_q20").cast("double") /
+          (col("n_pairs") * (1L << 20).toDouble))
+  }
+
   /** Pairwise token-set Jaccard BETWEEN SOURCES — the corpus-level
     * diversity/contamination diagnostic (are two crawls snapshots of
     * the same site?). Exact integers end to end: per-source distinct

@@ -190,6 +190,13 @@ object TextQueries {
         .select(col("doc_id"), col("n_toks"), col("sum_tf"),
           col("min_tf"))
         .orderBy(col("doc_id"))),
+    // bigram conditional-LM skeleton — same integer/ln split as
+    // q_text_unigram
+    "q_text_bigram" -> ((s, d) =>
+      Text.bigramScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_pairs"), col("sum_pair_tf"),
+          col("min_pair_tf"))
+        .orderBy(col("doc_id"))),
     // corpus-level source-pair vocabulary overlap: exact integer
     // set sizes; jaccard is one IEEE division of those integers
     "q_text_source_overlap" -> ((s, d) =>
@@ -701,6 +708,23 @@ object TextQueries {
          |  CAST(MIN(tf.tf) AS BIGINT) AS min_tf
          |FROM t JOIN tf USING (token)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q_text_bigram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |ix AS (
+         |  SELECT doc_id, toks,
+         |    UNNEST(generate_series(1, len(toks) - 1)) AS i
+         |  FROM t WHERE len(toks) >= 2),
+         |p AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS pair
+         |  FROM ix),
+         |ptf AS (SELECT pair, COUNT(*) AS pair_tf FROM p GROUP BY pair)
+         |SELECT p.doc_id, COUNT(*) AS n_pairs,
+         |  CAST(SUM(ptf.pair_tf) AS BIGINT) AS sum_pair_tf,
+         |  CAST(MIN(ptf.pair_tf) AS BIGINT) AS min_pair_tf
+         |FROM p JOIN ptf USING (pair)
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "q_text_source_overlap" ->
       s"""WITH v AS (
          |  SELECT DISTINCT source, token FROM (

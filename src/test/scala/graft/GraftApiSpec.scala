@@ -126,6 +126,7 @@ class GraftApiSpec extends SparkSpec {
       "semanticDedup" -> "semanticDeduped",
       "semanticDedupAssigned" -> "semanticDedupedAssigned",
       "unigramScore" -> "unigramScored",
+      "bigramScore" -> "bigramScored",
       "sourceOverlap" -> "sourceOverlap",
       "lengthBuckets" -> "lengthBucketed",
       "gridDensity" -> "gridDensity")

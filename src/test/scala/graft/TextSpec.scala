@@ -474,6 +474,31 @@ class TextSpec extends SparkSpec {
       out(1L).getAs[Double]("avg_nll"))
   }
 
+  test("bigramScore: exact pair skeleton and word-salad detection") {
+    val d = Seq(
+      // "a b" appears 3× (docs 1,1,2); "b a" only in doc 3
+      (1L, "a b a b", "en", "s1", 7L),
+      (2L, "a b", "en", "s1", 3L),
+      (3L, "b a", "en", "s1", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.bigramScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 pairs: (a b), (b a), (a b) → tf 3, 2, 3
+    assert(out(1L).getAs[Long]("n_pairs") == 3L)
+    assert(out(1L).getAs[Long]("sum_pair_tf") == 8L)
+    assert(out(1L).getAs[Long]("min_pair_tf") == 2L)
+    assert(out(2L).getAs[Long]("n_pairs") == 1L)
+    assert(out(2L).getAs[Long]("sum_pair_tf") == 3L)
+    // avg_nll matches the quantized definition: unigram tf a=4, b=4
+    def q20(x: Double): Long =
+      math.floor(math.log(x) * (1L << 20)).toLong
+    val expected2 = (q20(4) - q20(3)).toDouble / (1L << 20).toDouble
+    assert(math.abs(out(2L).getAs[Double]("avg_nll") - expected2) < 1e-9)
+    // the unseen-order doc scores strictly higher than the common one
+    assert(out(3L).getAs[Double]("avg_nll") >
+      out(2L).getAs[Double]("avg_nll"))
+  }
+
   test("sourceOverlap: exact set sizes and jaccard per source pair") {
     val d = Seq(
       (1L, "a b c", "en", "s1", 5L),
