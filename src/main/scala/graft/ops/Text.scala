@@ -1216,7 +1216,9 @@ object Text {
     val occ = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = occ.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val total = occ.agg(count(lit(1)).as("__total"))
+    // corpus size from the aggregated tf table (Σ tf ≡ Σ occurrences)
+    // — a third full corpus scan is the wrong shape at 100 TB
+    val total = tf.agg(sum(col("tf")).as("__total"))
     occ
       .join(tf, "token")
       .groupBy(col("doc_id"))
