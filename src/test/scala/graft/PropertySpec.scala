@@ -295,6 +295,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("unigram/bigram scores equal the naive frequency computation") {
+    val docGen = Gen.listOfN(5, Gen.listOf(Gen.oneOf(
+      "a", "b", "c", "dd", "e")))
+    forAll(docGen, n = 10) { docsToks =>
+      val docs = docsToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" "), "en", "s", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val nonEmpty = docsToks.map(_.filter(_.nonEmpty))
+      val tf = nonEmpty.flatten.groupBy(identity).view.mapValues(_.size)
+      val uni = Text.unigramScore(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_toks"), r.getAs[Long]("sum_tf")))).toMap
+      nonEmpty.zipWithIndex.filter(_._1.nonEmpty).foreach {
+        case (ts, i) =>
+          assert(uni(i.toLong) ==
+            ((ts.size.toLong, ts.map(t => tf(t).toLong).sum)))
+      }
+      val pairTf = nonEmpty.flatMap(ts => ts.zip(ts.drop(1)))
+        .groupBy(identity).view.mapValues(_.size)
+      val bi = Text.bigramScore(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_pairs"),
+            r.getAs[Long]("sum_pair_tf")))).toMap
+      nonEmpty.zipWithIndex.filter(_._1.size >= 2).foreach {
+        case (ts, i) =>
+          val pairs = ts.zip(ts.drop(1))
+          assert(bi(i.toLong) ==
+            ((pairs.size.toLong,
+              pairs.map(p => pairTf(p).toLong).sum)))
+      }
+    }
+  }
+
+  test("lengthBuckets: doc conservation and bucket tightness") {
+    val docGen = Gen.nonEmptyListOf(Gen.choose(1, 200))
+    forAll(docGen, n = 15) { sizes =>
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"w$j").mkString(" "), "en", "s",
+          0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val b = Text.lengthBuckets(docs).collect().map(r =>
+        (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("sum_tokens"), r.getAs[Long]("waste_tokens")))
+      assert(b.map(_._2).sum == sizes.size)          // every doc lands
+      assert(b.map(_._3).sum == sizes.map(_.toLong).sum)
+      b.foreach { case (bucket, nDocs, sumToks, waste) =>
+        assert((bucket & (bucket - 1)) == 0L)        // power of two
+        assert(waste == bucket * nDocs - sumToks && waste >= 0)
+        // tightness: every doc in the bucket is > bucket/2 tokens
+        assert(sumToks > bucket / 2 * nDocs || bucket == 1L)
+      }
+    }
+  }
+
+  test("sourceOverlap: intersection bounded by set sizes, jaccard " +
+      "consistent") {
+    val srcGen = Gen.listOfN(3,
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")))
+    forAll(srcGen, n = 15) { perSrc =>
+      val docs = perSrc.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" "), "en", s"s$i", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      Text.sourceOverlap(docs).collect().foreach { r =>
+        val (inter, na, nb) = (r.getAs[Long]("inter"),
+          r.getAs[Long]("na"), r.getAs[Long]("nb"))
+        assert(inter >= 1 && inter <= math.min(na, nb))
+        assert(math.abs(r.getAs[Double]("jaccard") -
+          inter.toDouble / (na + nb - inter)) < 1e-15)
+      }
+    }
+  }
+
   test("int8 quantization round-trip error is within one step") {
     val vecGen = Gen.listOfN(8,
       Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
