@@ -44,6 +44,10 @@ object Graft {
       ops.Text.minhashCandidates(docs, threshold)
     def jaccardPairs(threshold: Double): DataFrame =
       ops.Text.jaccardExactPairs(docs, threshold)
+    def clusterSurvivors(clusters: DataFrame): DataFrame =
+      ops.Text.dupClusterSurvivors(docs, clusters)
+    def scrubbedDuplicateBlocks(blockTokens: Int = 20): DataFrame =
+      ops.Text.scrubDuplicatedBlocks(docs, blockTokens)
     def dupClusters(pairs: DataFrame): DataFrame =
       ops.Text.dupClusters(docs, pairs)
     def chunked(window: Int = 50, stride: Int = 40): DataFrame =
@@ -137,6 +141,17 @@ object Graft {
       extends AnyVal {
     def cosineTopK(queryId: Long, k: Int): DataFrame =
       ops.Vector.bruteForceTopK(embs, queryId, k)
+    /** Hybrid retrieval: restrict the corpus by document metadata
+      * (the docs frame joins on doc_id = vec_id), then exact cosine
+      * top-k over the survivors.
+      */
+    def hybridSearch(
+        docs: DataFrame,
+        lang: String,
+        queryId: Long,
+        k: Int
+    ): DataFrame =
+      ops.Vector.filteredCosineTopK(docs, embs, lang, queryId, k)
     /** Batch exact top-k: every row of `queries` against this
       * corpus, mergeable per-query top-k (shuffle carries k pairs
       * per query).

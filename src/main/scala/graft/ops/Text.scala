@@ -609,6 +609,40 @@ object Text {
       .union(finalSnap.select(col("doc_id"), col("cluster")))
   }
 
+  /** Survivor selection over near-duplicate clusters — the policy
+    * step between clustering and dedup: real pipelines keep the BEST
+    * copy per cluster (highest quality score), not an arbitrary one.
+    * Input is the (doc_id, cluster) assignment from `dupClusters`;
+    * output is one row per cluster with the winning doc (max
+    * `qualityScore`, ties to the lowest doc_id), the member count,
+    * and how many copies dedup drops.
+    *
+    * Shape at scale: quality is per-row scan math joined to the
+    * assignment on doc_id, then ONE max-struct aggregation per
+    * cluster (map-side partial; the negated doc_id inside the
+    * ordering struct makes the double-then-id comparison a single
+    * lexicographic max — no window, no second pass).
+    */
+  def dupClusterSurvivors(
+      docs: DataFrame,
+      clusters: DataFrame
+  ): DataFrame = {
+    val quality = qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    clusters
+      .join(quality, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id")))
+          .as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"),
+        (-col("__best.neg_id")).cast("long").as("survivor_doc_id"),
+        col("__best.quality").as("best_quality"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+  }
+
   /** Fixed token-window chunks with overlap (`window` tokens every
     * `stride`): the context-window splitting step of a training-data
     * pipeline. Pure per-row array math — sequence + explode + slice
@@ -713,6 +747,80 @@ object Text {
         count(col("dup")).as("n_dup_spans"))
       .withColumn("dup_span_ratio",
         col("n_dup_spans").cast("double") / col("n_spans"))
+  }
+
+  /** Corpus-level duplicated-passage REMOVAL — the scrubbing
+    * companion of `duplicatedSpans` (which only measures): the text
+    * of every document is cut into aligned non-overlapping
+    * `blockTokens`-token blocks, each block content keeps exactly its
+    * first occurrence corpus-wide (ordered by doc_id, then position),
+    * every other occurrence is dropped, and the surviving blocks plus
+    * the sub-block tail are re-joined into a cleaned text. This is
+    * the C4/CCNet-style shared-passage scrub adapted to
+    * sentence-less text: repeated boilerplate survives once, in its
+    * canonical document, instead of once per copy.
+    *
+    * Shape at scale: blocks leave the scan stage as
+    * (md5-key, doc_id, idx) rows; ONE aggregation finds the canonical
+    * occurrence per content key (min-struct form — map-side partial,
+    * AQE splits skewed keys, so a boilerplate block repeated a
+    * billion times is fine), one join back attributes keep/drop, one
+    * groupBy(doc_id) reassembles. Nothing quadratic, both shuffles
+    * ride the 16-byte hash / 8-byte doc_id. Exact string/int output →
+    * oracle-checkable.
+    */
+  def scrubDuplicatedBlocks(
+      docs: DataFrame,
+      blockTokens: Int = 20
+  ): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_blocks",
+        (size(col("toks")) / blockTokens).cast("int"))
+      // sub-block remainder: always kept verbatim (a partial window
+      // is not evidence of duplication)
+      .withColumn("tail_text",
+        array_join(slice(col("toks"),
+          col("n_blocks") * blockTokens + 1,
+          size(col("toks")) - col("n_blocks") * blockTokens), " "))
+    val blocks = base
+      // guard: sequence(0, -1) would step BACKWARD in Spark, not
+      // return empty — short docs must yield an empty block array
+      .withColumn("blks",
+        when(col("n_blocks") > 0,
+          transform(sequence(lit(0), col("n_blocks") - 1),
+            i => array_join(
+              slice(col("toks"), i * blockTokens + 1,
+                lit(blockTokens)), " ")))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), posexplode(col("blks")))
+      .withColumnsRenamed(Map("pos" -> "block_idx", "col" -> "block"))
+      .withColumn("bh", md5(col("block").cast("binary")))
+    val canon = blocks
+      .groupBy(col("bh"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("canon"))
+    val kept = blocks
+      .join(canon, "bh")
+      .filter(struct(col("doc_id"), col("block_idx")) === col("canon"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("block_idx"), col("block")))),
+            s => s.getField("block")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    base
+      .select(col("doc_id"), col("n_blocks"), col("tail_text"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("kept_text"), lit("")) === "", col("tail_text"))
+          .when(col("tail_text") === "", col("kept_text"))
+          .otherwise(concat(col("kept_text"), lit(" "), col("tail_text")))
+          .as("clean_text"),
+        col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L)))
+          .cast("int").as("n_dropped"))
   }
 
   /** Eval-set contamination check (decontamination step of a

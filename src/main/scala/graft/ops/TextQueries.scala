@@ -29,6 +29,15 @@ object TextQueries {
     graft.Caches.persisted("text", ("jac", s, d))(
       Text.jaccardExactPairs(Tables.documents(s, d), 0.5))
 
+  /** Converged cluster assignment, shared by the cluster query and
+    * the survivor-policy query (label propagation runs once per
+    * session; NOTE dupClusters' result is checkpoint-backed, so like
+    * the pair graph it does not survive a family release).
+    */
+  private def clusterAssign(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("text", ("clusters", s, d))(
+      Text.dupClusters(Tables.documents(s, d), jacPairs(s, d)))
+
   val queries: Map[String, Q] = Map(
     "q_text_exact_dup_groups" -> ((s, d) =>
       Text.exactDupGroups(Tables.documents(s, d))
@@ -99,7 +108,20 @@ object TextQueries {
     // reachable doc_id) over the exact-jaccard pair graph; oracle is
     // a DuckDB recursive CTE over the same edges
     "q_text_dup_clusters" -> ((s, d) =>
-      Text.dupClusters(Tables.documents(s, d), jacPairs(s, d))
+      clusterAssign(s, d).orderBy(col("doc_id"))),
+    // dedup survivor POLICY on top of the clusters: keep the
+    // best-quality member (ties → lowest doc_id) — one max-struct
+    // agg over the shared session assignment
+    "q_text_cluster_survivors" -> ((s, d) =>
+      Text.dupClusterSurvivors(Tables.documents(s, d),
+        clusterAssign(s, d))
+        .orderBy(col("cluster"))),
+    // corpus-level passage SCRUB (removal twin of q_text_dup_spans):
+    // duplicated aligned 20-token blocks keep only their first
+    // (doc_id, position) occurrence; exact string/int output
+    "q_text_scrub_blocks" -> ((s, d) =>
+      Text.scrubDuplicatedBlocks(Tables.documents(s, d),
+        blockTokens = 20)
         .orderBy(col("doc_id"))),
     "q_text_chunks" -> ((s, d) =>
       Text.chunkDocs(Tables.documents(s, d))
@@ -372,6 +394,89 @@ object TextQueries {
          |  FROM reach JOIN e ON reach.r = e.src)
          |SELECT doc_id, MIN(r) AS cluster
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same recursive components + the q_text_quality score, argmax
+    // per cluster (ORDER BY quality DESC, doc_id == Spark's
+    // max-struct(quality, -doc_id))
+    "q_text_cluster_survivors" ->
+      s"""WITH RECURSIVE $jacPairsSql,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |    WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.dst
+         |  FROM reach JOIN e ON reach.r = e.src),
+         |cl AS (
+         |  SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id),
+         |qt AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) * 0.25
+         |    + CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) * 0.5
+         |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25
+         |      AS quality
+         |  FROM qt),
+         |rk AS (
+         |  SELECT cl.cluster, cl.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY cl.cluster
+         |      ORDER BY q.quality DESC, cl.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cl.cluster) AS n_members
+         |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |SELECT cluster, doc_id AS survivor_doc_id,
+         |  quality AS best_quality, n_members,
+         |  n_members - 1 AS n_dropped
+         |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "q_text_scrub_blocks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |b0 AS (
+        |  SELECT doc_id, w, CAST(len(w) // 20 AS INT) AS n_blocks
+        |  FROM t),
+        |blk AS (
+        |  SELECT doc_id, CAST(s.i AS INT) AS block_idx,
+        |    array_to_string(w[s.i*20+1 : s.i*20+20], ' ') AS block
+        |  FROM b0, LATERAL (SELECT UNNEST(
+        |    generate_series(0, n_blocks - 1)) AS i) s
+        |  WHERE n_blocks > 0),
+        |r AS (
+        |  SELECT doc_id, block_idx, block,
+        |    row_number() OVER (PARTITION BY block
+        |      ORDER BY doc_id, block_idx) AS rn
+        |  FROM blk),
+        |k AS (
+        |  SELECT doc_id,
+        |    string_agg(block, ' ' ORDER BY block_idx) AS kept_text,
+        |    count(*) AS n_kept
+        |  FROM r WHERE rn = 1 GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, n_blocks,
+        |    -- array_to_string of an EMPTY slice is NULL in DuckDB
+        |    COALESCE(array_to_string(
+        |      w[n_blocks*20+1 : len(w)], ' '), '') AS tail_text
+        |  FROM b0)
+        |SELECT b.doc_id,
+        |  CASE WHEN COALESCE(k.kept_text, '') = '' THEN b.tail_text
+        |       WHEN b.tail_text = '' THEN k.kept_text
+        |       ELSE k.kept_text || ' ' || b.tail_text END AS clean_text,
+        |  b.n_blocks,
+        |  CAST(b.n_blocks - COALESCE(k.n_kept, 0) AS INT) AS n_dropped
+        |FROM base b LEFT JOIN k ON b.doc_id = k.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q_text_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

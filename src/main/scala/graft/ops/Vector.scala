@@ -72,6 +72,42 @@ object Vector {
       .limit(k)
   }
 
+  /** Hybrid (filtered) retrieval — the RAG-serving shape: restrict
+    * the corpus by document metadata (here: language), then exact
+    * cosine top-k against the query vector over the survivors.
+    * Pre-filtering beats post-filtering a fixed-k ANN result (which
+    * under-fills k when the filter is selective).
+    *
+    * Shape at scale: the metadata predicate is a plain column filter
+    * on the documents scan (parquet-pushed), the doc↔embedding join
+    * rides the shared id (AQE broadcasts whichever side the filter
+    * made small), the 1-row query vector broadcasts, and top-k is
+    * TakeOrdered — never a global sort.
+    */
+  def filteredCosineTopK(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      lang: String,
+      queryId: Long,
+      k: Int
+  ): DataFrame = {
+    val q = embeddings
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings
+      .filter(col("vec_id") =!= queryId)
+      .join(docs.filter(col("lang") === lang)
+        .select(col("doc_id").as("vec_id")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim")
+      )
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label centroid components via posexplode + exact fixed-point
     * mean — elementwise array aggregation expressed relationally.
     *

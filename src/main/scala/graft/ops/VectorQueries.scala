@@ -94,6 +94,12 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         0.4, precomputedPairs = Some(semPairs(s, d)))
         .orderBy(col("vec_id"))),
+    // hybrid retrieval: metadata pre-filter (documents.lang = 'es',
+    // ~15% of the corpus) + exact cosine top-k over the survivors —
+    // the RAG-serving composition of the doc and embedding tables
+    "q_vec_hybrid_search" -> ((s, d) =>
+      Vector.filteredCosineTopK(Tables.documents(s, d),
+        Tables.embeddings(s, d), lang = "es", queryId = 0L, k = 10)),
     // int8 vectors projected to CSV (driver comparator can't sort
     // array cells); values compared are identical
     "q_vec_quantize_int8" -> ((s, d) =>
@@ -127,6 +133,25 @@ object VectorQueries {
          |  SELECT e.vec_id, e.label,
          |         UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
          |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         |dots AS (
+         |  SELECT vec_id, label,
+         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_a,
+         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
+         |  FROM pairs GROUP BY vec_id, label)
+         |SELECT vec_id, label, dot / (norm_a * norm_b) AS cos_sim
+         |FROM dots ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // metadata-filtered variant of the cosine-topk oracle: the doc
+    // join restricts the corpus BEFORE ranking (pre-filter semantics)
+    "q_vec_hybrid_search" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings
+         |           WHERE vec_id = 0),
+         |pairs AS (
+         |  SELECT e.vec_id, e.label,
+         |         UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+         |  FROM embeddings e
+         |  JOIN documents d ON e.vec_id = d.doc_id AND d.lang = 'es',
+         |  q WHERE e.vec_id <> 0),
          |dots AS (
          |  SELECT vec_id, label,
          |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,

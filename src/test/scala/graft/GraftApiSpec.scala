@@ -129,7 +129,10 @@ class GraftApiSpec extends SparkSpec {
       "bigramScore" -> "bigramScored",
       "sourceOverlap" -> "sourceOverlap",
       "lengthBuckets" -> "lengthBucketed",
-      "gridDensity" -> "gridDensity")
+      "gridDensity" -> "gridDensity",
+      "scrubDuplicatedBlocks" -> "scrubbedDuplicateBlocks",
+      "dupClusterSurvivors" -> "clusterSurvivors",
+      "filteredCosineTopK" -> "hybridSearch")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

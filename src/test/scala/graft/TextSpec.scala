@@ -292,6 +292,57 @@ class TextSpec extends SparkSpec {
       3L -> ((1L, 0L))))
   }
 
+  test("scrubDuplicatedBlocks keeps first occurrence, tail, and " +
+      "within-doc dedup") {
+    val d = Seq(
+      (1L, "a b c d e f g"),   // blocks [a b c][d e f], tail g
+      (2L, "a b c x y z"),     // block 0 duplicates doc 1's — dropped
+      (3L, "a b c"),           // only block is a dup — scrubbed empty
+      (4L, "p q"),             // sub-block doc: tail only, untouched
+      (5L, ""),                // empty stays empty
+      (6L, "m m m m m m")      // within-doc dup block — second dropped
+    ).toDF("doc_id", "text")
+    val m = Text.scrubDuplicatedBlocks(d, blockTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_blocks"),
+          r.getAs[Int]("n_dropped"))))
+      .toMap
+    assert(m(1L) == (("a b c d e f g", 2, 0)))
+    assert(m(2L) == (("x y z", 2, 1)))
+    assert(m(3L) == (("", 1, 1)))
+    assert(m(4L) == (("p q", 0, 0)))
+    assert(m(5L) == (("", 0, 0)))
+    assert(m(6L) == (("m m m", 2, 1)))
+  }
+
+  test("dupClusterSurvivors picks max quality, ties to lowest id") {
+    val d = Seq(
+      (10L, "the cat", "en", "sa", 7L),          // stop .5, uniq 1
+      (11L, "cat cat cat", "en", "sb", 11L),     // low uniq ratio
+      (12L, "the big cat runs", "en", "sc", 16L),
+      (13L, "solo doc here", "en", "sd", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L),
+      (13L, 13L)).toDF("doc_id", "cluster")
+    val rows = Text.dupClusterSurvivors(d, clusters).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("survivor_doc_id"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("n_dropped"))))
+      .toMap
+    assert(rows(10L) == ((10L, 3L, 2L)))  // "the cat" scores highest
+    assert(rows(13L) == ((13L, 1L, 0L)))
+    // tie case: identical texts → identical quality → lowest id wins
+    val tied = Seq(
+      (20L, "same text twin", "en", "s", 14L),
+      (21L, "same text twin", "en", "s", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tiedClusters =
+      Seq((20L, 20L), (21L, 20L)).toDF("doc_id", "cluster")
+    val t = Text.dupClusterSurvivors(tied, tiedClusters).collect()
+    assert(t.length == 1 &&
+      t.head.getAs[Long]("survivor_doc_id") == 20L)
+  }
+
   test("packChunks: contiguous per-bucket stream, exact cut math") {
     val d = Seq.tabulate(40)(i =>
       (i.toLong, (1 to 90).map(j => s"w${i}_$j").mkString(" ")))

@@ -32,6 +32,28 @@ class VectorSpec extends SparkSpec {
     assert(math.abs(df((0L, 3L)) + 1.0) < 1e-12)
   }
 
+  test("filteredCosineTopK restricts to the metadata filter before " +
+      "ranking") {
+    val docs = Seq(
+      (1L, "en"), (2L, "es"), (3L, "es"), (4L, "en")
+    ).toDF("doc_id", "lang")
+    // vec 4 is the global best match but filtered out (lang=en);
+    // vec 1 likewise — the es survivors are 2 (orthogonal) and
+    // 3 (opposite)
+    val top = Vec.filteredCosineTopK(docs, vecs, "es", 0L, 2)
+      .select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(2L, 3L))
+    // unfiltered equivalence: an all-match filter reproduces
+    // bruteForceTopK over the joined ids
+    val allDocs = Seq(1L, 2L, 3L, 4L).map((_, "xx"))
+      .toDF("doc_id", "lang")
+    val filtered = Vec.filteredCosineTopK(allDocs, vecs, "xx", 0L, 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Vec.bruteForceTopK(vecs, 0L, 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(filtered == brute)
+  }
+
   test("ann lsh returns subset of brute-force ordering") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val bf = Vec.bruteForceTopK(emb, 0L, 50)
