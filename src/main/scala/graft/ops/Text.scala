@@ -798,7 +798,11 @@ object Text {
       .withColumn("bh", md5(col("block").cast("binary")))
     val canon = blocks
       .groupBy(col("bh"))
-      .agg(min(struct(col("doc_id"), col("block_idx"))).as("canon"))
+      // min_by (TypedImperative) → ObjectHashAggregate; a plain
+      // min(struct(..)) falls back to SortAggregate, which sorts
+      // every partition of the block table
+      .agg(min_by(struct(col("doc_id"), col("block_idx")),
+        struct(col("doc_id"), col("block_idx"))).as("canon"))
     val kept = blocks
       .join(canon, "bh")
       .filter(struct(col("doc_id"), col("block_idx")) === col("canon"))
