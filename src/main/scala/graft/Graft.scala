@@ -141,6 +141,15 @@ object Graft {
       extends AnyVal {
     def cosineTopK(queryId: Long, k: Int): DataFrame =
       ops.Vector.bruteForceTopK(embs, queryId, k)
+    /** Semantic decontamination: rows of this corpus whose cosine
+      * against any eval vector reaches the threshold (brute-force
+      * exact — the eval side broadcasts).
+      */
+    def semanticContaminationAgainst(
+        evalSet: DataFrame,
+        threshold: Double
+    ): DataFrame =
+      ops.Vector.semanticContamination(embs, evalSet, threshold)
     /** Hybrid retrieval: restrict the corpus by document metadata
       * (the docs frame joins on doc_id = vec_id), then exact cosine
       * top-k over the survivors.

@@ -108,6 +108,36 @@ object Vector {
       .limit(k)
   }
 
+  /** Semantic decontamination — the embedding-space complement of
+    * `Text.contamination`: training vectors whose cosine against ANY
+    * eval-set vector reaches `threshold`, with the hit count and the
+    * worst (highest) similarity. Catches paraphrased leakage the
+    * n-gram check misses.
+    *
+    * Shape at scale: same as the n-gram op — the eval set is small by
+    * construction, so it broadcasts and the corpus side streams
+    * through one map stage (corpus × |eval| comparisons, linear in
+    * the corpus) into a per-doc aggregation. Exact brute-force by
+    * design: this is a gate, not a search, and a missed hit is a
+    * leaked eval doc.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    val ev = evalSet.select(col("vec_id").as("eval_id"),
+      col("embedding").as("eval_emb"))
+    corpus
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("eval_id"),
+        cosine(col("embedding"), col("eval_emb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("cos_sim")).as("max_sim"))
+  }
+
   /** Per-label centroid components via posexplode + exact fixed-point
     * mean — elementwise array aggregation expressed relationally.
     *

@@ -94,6 +94,16 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         0.4, precomputedPairs = Some(semPairs(s, d)))
         .orderBy(col("vec_id"))),
+    // semantic decontamination: train slice vs the deterministic
+    // held-out slice (vec_id % 50 == 0, mirroring
+    // q_text_contamination's split), brute-force exact by design
+    "q_vec_semantic_contamination" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Vector.semanticContamination(
+        embs.filter(col("vec_id") % 50 =!= 0),
+        embs.filter(col("vec_id") % 50 === 0), threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
     // hybrid retrieval: metadata pre-filter (documents.lang = 'es',
     // ~15% of the corpus) + exact cosine top-k over the survivors —
     // the RAG-serving composition of the doc and embedding tables
@@ -141,6 +151,28 @@ object VectorQueries {
          |  FROM pairs GROUP BY vec_id, label)
          |SELECT vec_id, label, dot / (norm_a * norm_b) AS cos_sim
          |FROM dots ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vec_semantic_contamination" ->
+      """WITH ev AS (
+         |  SELECT vec_id AS eval_id, embedding AS eval_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |tr AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0),
+         |pairs AS (
+         |  SELECT tr.vec_id, ev.eval_id,
+         |         UNNEST(tr.embedding) AS x, UNNEST(ev.eval_emb) AS y
+         |  FROM tr, ev),
+         |dots AS (
+         |  SELECT vec_id, eval_id,
+         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_a,
+         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
+         |  FROM pairs GROUP BY vec_id, eval_id),
+         |sims AS (
+         |  SELECT vec_id, eval_id, dot / (norm_a * norm_b) AS cos_sim
+         |  FROM dots WHERE dot / (norm_a * norm_b) >= 0.35)
+         |SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(cos_sim) AS max_sim
+         |FROM sims GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // metadata-filtered variant of the cosine-topk oracle: the doc
     // join restricts the corpus BEFORE ranking (pre-filter semantics)
     "q_vec_hybrid_search" ->

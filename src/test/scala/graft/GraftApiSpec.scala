@@ -132,7 +132,8 @@ class GraftApiSpec extends SparkSpec {
       "gridDensity" -> "gridDensity",
       "scrubDuplicatedBlocks" -> "scrubbedDuplicateBlocks",
       "dupClusterSurvivors" -> "clusterSurvivors",
-      "filteredCosineTopK" -> "hybridSearch")
+      "filteredCosineTopK" -> "hybridSearch",
+      "semanticContamination" -> "semanticContaminationAgainst")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

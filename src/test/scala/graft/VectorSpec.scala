@@ -54,6 +54,24 @@ class VectorSpec extends SparkSpec {
     assert(filtered == brute)
   }
 
+  test("semanticContamination counts eval hits above threshold only") {
+    // eval = {0}; train = 1 (cos≈.994), 2 (cos 0), 3 (cos -1), 4
+    // (cos≈.999) — at 0.9 only 1 and 4 hit, one eval doc each
+    val hits = Vec.semanticContamination(
+      vecs.filter($"vec_id" =!= 0L), vecs.filter($"vec_id" === 0L),
+      threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("n_eval_hits")).toMap
+    assert(hits == Map(1L -> 1L, 4L -> 1L))
+    // multi-hit: eval {0, 4} are near-parallel, so train 1 hits both
+    val multi = Vec.semanticContamination(
+      vecs.filter($"vec_id" === 1L),
+      vecs.filter($"vec_id" === 0L || $"vec_id" === 4L),
+      threshold = 0.9).collect()
+    assert(multi.length == 1 &&
+      multi.head.getAs[Long]("n_eval_hits") == 2L)
+  }
+
   test("ann lsh returns subset of brute-force ordering") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val bf = Vec.bruteForceTopK(emb, 0L, 50)
