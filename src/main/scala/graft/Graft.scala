@@ -107,6 +107,14 @@ object Graft {
     def simhashNearDups(maxHamming: Int = 3): DataFrame =
       ops.Text.simhashNearDup(docs, maxHamming)
     /** BPE merge-step adjacent-pair counts (vocab induction). */
+    /** Learn a BPE merge table from this corpus (tokenizer
+      * training); deterministic, one corpus scan + per-round jobs on
+      * distinct words only.
+      */
+    def bpeMergesLearned(
+        nMerges: Int = 20,
+        minCount: Long = 2L
+    ): DataFrame = ops.Text.bpeLearnMerges(docs, nMerges, minCount)
     def bpePairs(minCount: Long = 2L, topN: Int = 100): DataFrame =
       ops.Text.bpePairCounts(docs, minCount, topN)
     /** α = 0.5 temperature flattening of the `groupCol` mixture. */

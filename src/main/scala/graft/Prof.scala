@@ -22,88 +22,45 @@ object Prof {
       println(f"[prof] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
     }
     val docs = Tables.documents(spark, sfDir)
-    // stage decomposition of the pair-graph build
-    val toks = docs
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), ops.Text.tokens(col("text")).as("raw_toks"), col("text"))
-      .filter(size(col("raw_toks")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(
-          graft.functions.tokenShingles(col("text"), 3),
-          s => xxhash64(s))).as("toks"))
-      .persist()
-    t("toks (shingle+hash+distinct)")(toks.count())
-    val df_ = toks.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    t("df agg")(df_.count())
-    val ordered = toks
-      .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-      .join(df_, "tok")
-      .groupBy(col("doc_id"), col("n"))
-      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .select(col("doc_id"), col("n"),
-        transform(col("ord"), _.getField("tok")).as("toks_ord"),
-        (col("n") - ceil(lit(0.5) * col("n")) + 1).cast("int").as("plen"))
-      .persist()
-    t("ordered (join+collect+sort)")(ordered.count())
-    val prefix = ordered.select(col("doc_id"),
-      explode(slice(col("toks_ord"), lit(1), col("plen"))).as("tok"))
-    val cand = prefix.as("a").join(prefix.as("b"), "tok")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    t("candidates")(cand.count())
-    val prefixN = ordered.select(col("doc_id"), col("n"),
-      explode(slice(col("toks_ord"), lit(1), col("plen"))).as("tok"))
-    val candLen = prefixN.as("a").join(prefixN.as("b"), "tok")
-      .filter(col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.n"), col("b.n")).cast("double") >=
-          lit(0.5) * greatest(col("a.n"), col("b.n")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    t("candidates+lenfilter")(candLen.count())
-    t("full jaccardExactPairs")(
-      ops.Text.jaccardExactPairs(docs, 0.5).count())
-    val pairs = graft.Caches.persisted("text", ("jac", spark, sfDir))(
-      ops.Text.jaccardExactPairs(docs, 0.5))
-    t("pairs persist+count")(pairs.count())
-    t("dupClusters (pairs warm)")(
-      ops.Text.dupClusters(docs, pairs).count())
-    // round-by-round replica of the dupClusters loop
-    locally {
-      val edges = pairs
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist()
-      t("edges persist")(edges.count())
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("cluster"))
+    // BPE loop decomposition
+    val words = docs
+      .select(explode(ops.Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("n"), split(col("word"), "").as("seg"))
+    t("word agg")(words.count())
+    var seg = words.localCheckpoint(eager = false)
+    t("snapshot0 materialize")(seg.count())
+    var round = 1
+    while (round <= 6) {
+      val t0 = System.nanoTime()
+      val best = seg
+        .filter(size(col("seg")) >= 2)
+        .select(col("n"),
+          explode(zip_with(
+            slice(col("seg"), lit(1), size(col("seg")) - 1),
+            slice(col("seg"), lit(2), size(col("seg")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+      val plan0 = System.nanoTime()
+      val rows = best.collect()
+      println(f"[prof] round$round collect ${(System.nanoTime() - plan0) / 1e9}%6.2fs (build ${(plan0 - t0) / 1e9}%5.2fs)")
+      val (l, r) = (rows.head.getAs[String]("l"), rows.head.getAs[String]("r"))
+      val tm = System.nanoTime()
+      seg = seg.select(col("n"),
+        aggregate(col("seg"), array().cast("array<string>"),
+          (acc, s) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), s))))
+              .otherwise(concat(acc, array(s)))).as("seg"))
         .localCheckpoint(eager = false)
-      t("round0 snapshot")(labels.count())
-      var it = 0
-      var converged = false
-      while (!converged && it < 20) {
-        val nbrMin = edges
-          .join(labels, edges("src") === labels("doc_id"))
-          .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
-        val next = labels
-          .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-          .select(labels("doc_id"),
-            least(labels("cluster"),
-              coalesce(col("nbr_min"), labels("cluster"))).as("cluster"),
-            (col("nbr_min") < labels("cluster")).as("changed"))
-          .localCheckpoint(eager = false)
-        var changed = 0L
-        t(s"round${it + 1}") { changed = next.filter(col("changed")).count(); changed }
-        converged = changed == 0L
-        labels = next
-        it += 1
-      }
-      t("anti-join singletons")(
-        docs.select(col("doc_id"))
-          .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("doc_id").as("cluster"))
-          .union(labels.select(col("doc_id"), col("cluster"))).count())
+      println(f"[prof] round$round fold-build ${(System.nanoTime() - tm) / 1e9}%6.2fs")
+      round += 1
     }
     spark.stop()
   }

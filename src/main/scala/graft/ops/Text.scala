@@ -1237,6 +1237,108 @@ object Text {
       .limit(topN)
   }
 
+  /** Distributed BPE merge learning (Sennrich-style vocabulary
+    * induction) — the tokenizer-TRAINING step a data pipeline runs
+    * before token counting: start from whitespace words as character
+    * sequences, repeatedly find the globally most frequent adjacent
+    * symbol pair (weighted by word frequency) and fuse it, up to
+    * `nMerges` rounds or until the best pair drops under `minCount`.
+    * Returns the learned merge table (merge_rank, left, right,
+    * pair_count) — deterministic: ties break on (left, right)
+    * lexicographically.
+    *
+    * Shape at scale: ONE corpus scan builds the word-frequency table;
+    * every round after that runs on distinct words only (orders of
+    * magnitude smaller than the corpus — the classic BPE trick), as
+    * one explode+agg job for the global argmax. The 1-row collect per
+    * round is the learned model itself (driver state by definition,
+    * like a KMeans fit). Each round's segmentation is truncated to a
+    * localCheckpoint and the superseded round is released — same
+    * iterative hygiene as `dupClusters`.
+    */
+  def bpeLearnMerges(
+      docs: DataFrame,
+      nMerges: Int = 20,
+      minCount: Long = 2L
+  ): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    // LAZY truncation: each round's argmax collect is the action that
+    // materializes the current segmentation's checkpoint (one job per
+    // round, not two — the same count-doubles-as-materializer trick
+    // dupClusters uses); the superseded round's blocks are released
+    // right after the successor is materialized
+    def snapshot(df: DataFrame): DataFrame =
+      df.localCheckpoint(eager = false)
+    def releaseSnapshot(df: DataFrame): Unit =
+      org.apache.spark.sql.graftx.Bridge.leafRdd(df)
+        .foreach(_.unpersist(blocking = false))
+    // word-frequency table: the only full-corpus pass
+    val words = snapshot(docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("n"), split(col("word"), "").as("seg")))
+    // the loop runs tens of tiny jobs over this table — size the
+    // round partitioning to the table, not to
+    // spark.sql.shuffle.partitions: ~100k words per task keeps a
+    // small vocabulary to ONE task per round while a web-scale
+    // distinct-word table still fans out
+    val nWords = words.count()
+    val roundParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (nWords + 99999L) / 100000L)).toInt
+    var seg = snapshot(words.repartition(roundParts))
+    var prev: Option[DataFrame] = Some(words)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val best = seg
+        .filter(size(col("seg")) >= 2)
+        .select(col("n"),
+          explode(zip_with(
+            slice(col("seg"), lit(1), size(col("seg")) - 1),
+            slice(col("seg"), lit(2), size(col("seg")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      // this round's snapshot is now materialized — the previous
+      // round's blocks are dead
+      prev.foreach(releaseSnapshot)
+      prev = Some(seg)
+      if (best.isEmpty || best.head.getAs[Long]("cnt") < minCount) {
+        done = true
+      } else {
+        val (l, r, cnt) = (best.head.getAs[String]("l"),
+          best.head.getAs[String]("r"), best.head.getAs[Long]("cnt"))
+        merges += ((round, l, r, cnt))
+        // greedy left-to-right fuse via a fold: replace the tail of
+        // the accumulator when it ends in `l` and the next symbol is
+        // `r` — non-overlapping by construction (the fused symbol no
+        // longer equals `l` unless l==r, where alternating fuses are
+        // exactly the greedy semantics)
+        seg = snapshot(seg.select(col("n"),
+          aggregate(col("seg"), array().cast("array<string>"),
+            (acc, s) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && s === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(element_at(acc, -1), s))))
+                .otherwise(concat(acc, array(s)))).as("seg")))
+        round += 1
+      }
+    }
+    prev.foreach(releaseSnapshot)
+    releaseSnapshot(seg)
+    spark.createDataFrame(merges.toSeq)
+      .toDF("merge_rank", "left", "right", "pair_count")
+  }
+
   /** Temperature-flattened mixture over a group column (the
     * multilingual α = 0.5 sampling rule): each group keeps rate
     * min(1, √(pivot/n_g)), so a group with `pivot` docs or fewer is

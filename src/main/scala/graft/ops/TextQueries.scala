@@ -116,6 +116,12 @@ object TextQueries {
       Text.dupClusterSurvivors(Tables.documents(s, d),
         clusterAssign(s, d))
         .orderBy(col("cluster"))),
+    // rows-only: BPE merge learning is an iterative global argmax —
+    // no ANSI-SQL twin; the merge table is differential-tested in
+    // TextSpec against an in-memory reference implementation
+    "q_text_bpe_merges" -> ((s, d) =>
+      Text.bpeLearnMerges(Tables.documents(s, d), nMerges = 20)
+        .orderBy(col("merge_rank"))),
     // corpus-level passage SCRUB (removal twin of q_text_dup_spans):
     // duplicated aligned 20-token blocks keep only their first
     // (doc_id, position) occurrence; exact string/int output

@@ -133,7 +133,8 @@ class GraftApiSpec extends SparkSpec {
       "scrubDuplicatedBlocks" -> "scrubbedDuplicateBlocks",
       "dupClusterSurvivors" -> "clusterSurvivors",
       "filteredCosineTopK" -> "hybridSearch",
-      "semanticContamination" -> "semanticContaminationAgainst")
+      "semanticContamination" -> "semanticContaminationAgainst",
+      "bpeLearnMerges" -> "bpeMergesLearned")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

@@ -343,6 +343,61 @@ class TextSpec extends SparkSpec {
       t.head.getAs[Long]("survivor_doc_id") == 20L)
   }
 
+  test("bpeLearnMerges matches an in-memory reference BPE") {
+    // classic Sennrich corpus: low×5 lower×2 newest×6 widest×3
+    val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+
+    // reference: greedy left-to-right fuse, ties (cnt desc, l asc,
+    // r asc)
+    def refBpe(nMerges: Int, minCount: Long)
+        : Seq[(Int, String, String, Long)] = {
+      var seg: Seq[(Vector[String], Long)] =
+        words.map { case (w, n) => (w.map(_.toString).toVector, n.toLong) }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      for (rank <- 1 to nMerges if out.size == rank - 1) {
+        val counts = scala.collection.mutable
+          .Map.empty[(String, String), Long]
+        seg.foreach { case (s, n) =>
+          s.sliding(2).filter(_.size == 2).foreach(p =>
+            counts((p(0), p(1))) =
+              counts.getOrElse((p(0), p(1)), 0L) + n)
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), cnt) = counts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head
+          if (cnt >= minCount) {
+            out += ((rank, l, r, cnt))
+            seg = seg.map { case (s, n) =>
+              val b = Vector.newBuilder[String]
+              var acc = Vector.empty[String]
+              s.foreach { sym =>
+                if (acc.nonEmpty && acc.last == l && sym == r)
+                  acc = acc.init :+ (l + r)
+                else acc = acc :+ sym
+              }
+              (acc, n)
+            }
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    val got = Text.bpeLearnMerges(d, nMerges = 10, minCount = 2L)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+    val want = refBpe(10, 2L)
+    assert(got == want, s"got $got\nwant $want")
+    // sanity on the classic corpus: first merges build up "est"
+    assert(got.nonEmpty && got.head._4 == 9L)  // s+t appears 9×
+  }
+
   test("packChunks: contiguous per-bucket stream, exact cut math") {
     val d = Seq.tabulate(40)(i =>
       (i.toLong, (1 to 90).map(j => s"w${i}_$j").mkString(" ")))
