@@ -633,6 +633,13 @@ object Text {
       .join(quality, "doc_id")
       .groupBy(col("cluster"))
       .agg(
+        // struct-valued max aggregates via SortAggregate (struct
+        // buffers aren't hash-aggregable) — still the right shape:
+        // one narrow (cluster, quality, id) exchange with map-side
+        // partial combine; a max-then-join-back alternative would
+        // shuffle the assignment twice because the per-cluster best
+        // table is corpus-sized under singleton clusters, never
+        // broadcastable
         max(struct(col("quality"), (-col("doc_id")).as("neg_id")))
           .as("__best"),
         count(lit(1)).as("n_members"))
@@ -762,12 +769,12 @@ object Text {
     *
     * Shape at scale: blocks leave the scan stage as
     * (md5-key, doc_id, idx) rows; ONE aggregation finds the canonical
-    * occurrence per content key (min-struct form — map-side partial,
-    * AQE splits skewed keys, so a boilerplate block repeated a
-    * billion times is fine), one join back attributes keep/drop, one
-    * groupBy(doc_id) reassembles. Nothing quadratic, both shuffles
-    * ride the 16-byte hash / 8-byte doc_id. Exact string/int output →
-    * oracle-checkable.
+    * occurrence per content key (min-struct form — map-side partial
+    * combine collapses a boilerplate block repeated a billion times
+    * to one row per task before the shuffle), one join back
+    * attributes keep/drop, one groupBy(doc_id) reassembles. Nothing
+    * quadratic, both shuffles ride the 16-byte hash / 8-byte doc_id.
+    * Exact string/int output → oracle-checkable.
     */
   def scrubDuplicatedBlocks(
       docs: DataFrame,
@@ -798,11 +805,12 @@ object Text {
       .withColumn("bh", md5(col("block").cast("binary")))
     val canon = blocks
       .groupBy(col("bh"))
-      // min_by (TypedImperative) → ObjectHashAggregate; a plain
-      // min(struct(..)) falls back to SortAggregate, which sorts
-      // every partition of the block table
-      .agg(min_by(struct(col("doc_id"), col("block_idx")),
-        struct(col("doc_id"), col("block_idx"))).as("canon"))
+      // struct-valued min aggregates via SortAggregate (struct
+      // buffers aren't hash-aggregable; min_by is no different) —
+      // acceptable: ONE narrow exchange keyed by the 16-byte hash
+      // with map-side partial combine, vs the join-back alternative
+      // which would shuffle the block table twice
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("canon"))
     val kept = blocks
       .join(canon, "bh")
       .filter(struct(col("doc_id"), col("block_idx")) === col("canon"))
