@@ -115,6 +115,9 @@ object Graft {
         nMerges: Int = 20,
         minCount: Long = 2L
     ): DataFrame = ops.Text.bpeLearnMerges(docs, nMerges, minCount)
+    /** Per-doc BPE token counts under a learned merge table. */
+    def bpeEncoded(merges: DataFrame): DataFrame =
+      ops.Text.bpeEncode(docs, merges)
     def bpePairs(minCount: Long = 2L, topN: Int = 100): DataFrame =
       ops.Text.bpePairCounts(docs, minCount, topN)
     /** α = 0.5 temperature flattening of the `groupCol` mixture. */

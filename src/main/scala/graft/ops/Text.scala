@@ -1347,6 +1347,43 @@ object Text {
       .toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** BPE ENCODE — apply a learned merge table (`bpeLearnMerges`
+    * output) to the corpus and report per-doc BPE token counts. The
+    * merge table is collected to the driver (it IS the model — vocab
+    * sized, like a KMeans fit) and compiled into a fixed fold chain
+    * in rank order, which is exactly classic encode semantics: for
+    * each merge, fuse all its occurrences left-to-right, in learned
+    * order.
+    *
+    * Shape at scale: the fold chain runs on DISTINCT words only (the
+    * same trick as learning), then one join attributes piece counts
+    * back to word occurrences and one agg rolls them up per doc — the
+    * corpus never pays the per-merge passes.
+    */
+  def bpeEncode(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy(col("merge_rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val enc = ms.foldLeft(split(col("word"), ""): Column) {
+      case (c, (l, r)) =>
+        aggregate(c, array().cast("array<string>"),
+          (acc, s) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), s))))
+              .otherwise(concat(acc, array(s))))
+    }
+    val words = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val vocab = words.select(col("word")).distinct()
+      .select(col("word"), size(enc).as("n_pieces"))
+    words
+      .join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_bpe_tokens"))
+  }
+
   /** Temperature-flattened mixture over a group column (the
     * multilingual α = 0.5 sampling rule): each group keeps rate
     * min(1, √(pivot/n_g)), so a group with `pivot` docs or fewer is

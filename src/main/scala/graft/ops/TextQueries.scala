@@ -38,6 +38,13 @@ object TextQueries {
     graft.Caches.persisted("text", ("clusters", s, d))(
       Text.dupClusters(Tables.documents(s, d), jacPairs(s, d)))
 
+  /** Learned BPE merge table, shared by the learn query and the
+    * encode query (learning iterates; run it once per session).
+    */
+  private def learnedMerges(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("text", ("bpe", s, d))(
+      Text.bpeLearnMerges(Tables.documents(s, d), nMerges = 20))
+
   val queries: Map[String, Q] = Map(
     "q_text_exact_dup_groups" -> ((s, d) =>
       Text.exactDupGroups(Tables.documents(s, d))
@@ -120,8 +127,12 @@ object TextQueries {
     // no ANSI-SQL twin; the merge table is differential-tested in
     // TextSpec against an in-memory reference implementation
     "q_text_bpe_merges" -> ((s, d) =>
-      Text.bpeLearnMerges(Tables.documents(s, d), nMerges = 20)
-        .orderBy(col("merge_rank"))),
+      learnedMerges(s, d).orderBy(col("merge_rank"))),
+    // rows-only downstream of the learned table: encode with the
+    // session's merges (differential-tested with the learn spec)
+    "q_text_bpe_encode" -> ((s, d) =>
+      Text.bpeEncode(Tables.documents(s, d), learnedMerges(s, d))
+        .orderBy(col("doc_id"))),
     // corpus-level passage SCRUB (removal twin of q_text_dup_spans):
     // duplicated aligned 20-token blocks keep only their first
     // (doc_id, position) occurrence; exact string/int output

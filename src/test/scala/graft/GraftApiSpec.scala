@@ -134,7 +134,8 @@ class GraftApiSpec extends SparkSpec {
       "dupClusterSurvivors" -> "clusterSurvivors",
       "filteredCosineTopK" -> "hybridSearch",
       "semanticContamination" -> "semanticContaminationAgainst",
-      "bpeLearnMerges" -> "bpeMergesLearned")
+      "bpeLearnMerges" -> "bpeMergesLearned",
+      "bpeEncode" -> "bpeEncoded")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

@@ -388,7 +388,8 @@ class TextSpec extends SparkSpec {
       out.toSeq
     }
 
-    val got = Text.bpeLearnMerges(d, nMerges = 10, minCount = 2L)
+    val mergesDf = Text.bpeLearnMerges(d, nMerges = 10, minCount = 2L)
+    val got = mergesDf
       .orderBy(col("merge_rank")).collect()
       .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left"),
         r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
@@ -396,6 +397,27 @@ class TextSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
     // sanity on the classic corpus: first merges build up "est"
     assert(got.nonEmpty && got.head._4 == 9L)  // s+t appears 9×
+
+    // encode under the learned table: per-word piece counts match a
+    // reference application of the merges in rank order
+    def refEncode(word: String): Int = {
+      var seg = word.map(_.toString).toVector
+      got.foreach { case (_, l, r, _) =>
+        var acc = Vector.empty[String]
+        seg.foreach { sym =>
+          if (acc.nonEmpty && acc.last == l && sym == r)
+            acc = acc.init :+ (l + r)
+          else acc = acc :+ sym
+        }
+        seg = acc
+      }
+      seg.size
+    }
+    val wantTokens = words.map { case (w, n) => refEncode(w) * n }.sum
+    val enc = Text.bpeEncode(d, mergesDf).collect()
+    assert(enc.length == 1 &&
+      enc.head.getAs[Long]("n_bpe_tokens") == wantTokens.toLong &&
+      enc.head.getAs[Long]("n_words") == words.map(_._2).sum.toLong)
   }
 
   test("packChunks: contiguous per-bucket stream, exact cut math") {
