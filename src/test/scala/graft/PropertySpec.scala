@@ -367,6 +367,99 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scrubDuplicatedBlocks equals the naive first-occurrence scan") {
+    val docGen = Gen.nonEmptyListOf(
+      Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    forAll(docGen, n = 15) { texts =>
+      val B = 2
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // naive: single pass in (doc_id, block_idx) order, first
+      // occurrence of each block content wins
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val nBlocks = toks.size / B
+        val blocks = (0 until nBlocks)
+          .map(j => toks.slice(j * B, j * B + B).mkString(" "))
+        val kept = blocks.filter { b =>
+          if (seen.contains(b)) false else { seen.add(b); true }
+        }
+        val tail = toks.drop(nBlocks * B).mkString(" ")
+        val clean = (kept :+ tail).filter(_.nonEmpty).mkString(" ")
+        i.toLong -> ((clean, nBlocks, nBlocks - kept.size))
+      }.toMap
+      val got = Text.scrubDuplicatedBlocks(docs, blockTokens = B)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Int]("n_blocks"),
+            r.getAs[Int]("n_dropped")))).toMap
+      assert(got == want, s"got $got\nwant $want")
+    }
+  }
+
+  test("dupClusterSurvivors: survivor is a member, counts partition " +
+      "the corpus") {
+    val assignGen = Gen.nonEmptyListOf(Gen.choose(0, 4))
+    forAll(assignGen, n = 15) { roots =>
+      val docs = roots.zipWithIndex.map { case (root, i) =>
+        (i.toLong, s"doc text $i ${"pad " * (i % 3)}", "en", "s",
+          10L + i)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val clusters = roots.zipWithIndex
+        .map { case (root, i) => (i.toLong, root.toLong) }
+        .toDF("doc_id", "cluster")
+      val members = roots.zipWithIndex
+        .groupMap { case (root, _) => root.toLong } {
+          case (_, i) => i.toLong }
+      val rows = Text.dupClusterSurvivors(docs, clusters).collect()
+      assert(rows.map(_.getAs[Long]("n_members")).sum == roots.size)
+      rows.foreach { r =>
+        val c = r.getAs[Long]("cluster")
+        assert(members(c).contains(r.getAs[Long]("survivor_doc_id")))
+        assert(r.getAs[Long]("n_members") == members(c).size.toLong)
+        assert(r.getAs[Long]("n_dropped") ==
+          r.getAs[Long]("n_members") - 1)
+      }
+    }
+  }
+
+  test("semanticContamination equals the naive cosine filter") {
+    val vGen = Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 100.0f))
+    val setGen = Gen.zip(
+      Gen.nonEmptyListOf(vGen), Gen.nonEmptyListOf(vGen))
+    forAll(setGen, n = 10) { case (corpusV, evalV) =>
+      val corpus = corpusV.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray, 0) }
+        .toDF("vec_id", "embedding", "label")
+      val ev = evalV.zipWithIndex
+        .map { case (v, i) => (100L + i, v.toArray, 0) }
+        .toDF("vec_id", "embedding", "label")
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) =>
+          x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        dot / (na * nb)
+      }
+      val want = corpusV.zipWithIndex.flatMap { case (c, i) =>
+        val sims = evalV.map(e => cos(c, e)).filter(s => s >= 0.8)
+        if (sims.isEmpty) None
+        else Some(i.toLong -> ((sims.size.toLong, sims.max)))
+      }.toMap
+      val got = graft.ops.Vector
+        .semanticContamination(corpus, ev, threshold = 0.8)
+        .collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("n_eval_hits"),
+            r.getAs[Double]("max_sim")))).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, (n, m)) =>
+        assert(n == want(k)._1 && math.abs(m - want(k)._2) < 1e-9)
+      }
+    }
+  }
+
   test("int8 quantization round-trip error is within one step") {
     val vecGen = Gen.listOfN(8,
       Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
