@@ -55,6 +55,13 @@ object Graft {
     /** Expects CHUNK rows (doc_id, chunk_id, n_tokens) — i.e. the
       * output of [[chunked]]: `docs.chunked().packedChunks()`.
       */
+    /** Content-defined chunking: boundaries from a sliding-window
+      * hash mask, robust to upstream edits.
+      */
+    def contentChunked(
+        window: Int = 16,
+        maskBits: Int = 6
+    ): DataFrame = ops.Text.contentDefinedChunks(docs, window, maskBits)
     def packedChunks(seqTokens: Int = 512, nBuckets: Int = 8): DataFrame =
       ops.Text.packChunks(docs, seqTokens, nBuckets)
     def duplicatedSpans(spanTokens: Int = 20): DataFrame =

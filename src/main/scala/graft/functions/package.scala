@@ -47,4 +47,10 @@ package object functions {
     */
   def md5WinnowMin(text: Column, k: Int): Column =
     Bridge.column(Md5WinnowMin(Bridge.expression(text), k))
+
+  /** Content-defined chunk cut positions with an exact SQL twin (see
+    * [[graft.functions.Md5WindowCuts]]).
+    */
+  def md5WindowCuts(text: Column, k: Int, maskBits: Int): Column =
+    Bridge.column(Md5WindowCuts(Bridge.expression(text), k, maskBits))
 }

@@ -675,6 +675,50 @@ object Text {
           .as("n_tokens"))
   }
 
+  /** Content-defined chunking (gear/LBFS-style): cut the text where
+    * a sliding `window`-char hash hits the boundary mask
+    * (`hash % 2^maskBits == 0`), so chunk boundaries depend on LOCAL
+    * content only and survive upstream insertions/deletions — the
+    * dedup-friendly alternative to fixed windows, where one shifted
+    * byte re-cuts every downstream chunk. Expected chunk length ≈
+    * `2^maskBits` chars. This is the bare variant: every boundary
+    * cuts (production CDC adds min/max chunk bounds, which need
+    * sequential consume-and-skip state; the bare rule is a pure
+    * per-position predicate and stays engine-reproducible).
+    *
+    * Shape at scale: entirely scan-stage per-row array math — no
+    * shuffle, no join; the per-position md5 pass is the same cost
+    * profile as `winnowFingerprint`.
+    */
+  def contentDefinedChunks(
+      docs: DataFrame,
+      window: Int = 16,
+      maskBits: Int = 6
+  ): DataFrame = {
+    require(window >= 1 && maskBits >= 1,
+      s"window/maskBits must be positive, got $window/$maskBits")
+    // ascending cut ENDS from the one-pass native expression (a
+    // per-position substr+md5 HOF chain interprets the lambda per
+    // element — measured ~10× slower); the doc end is always a cut
+    // (distinct: the last boundary may coincide with it)
+    val ends = array_sort(array_distinct(concat(
+      graft.functions.md5WindowCuts(col("text"), window, maskBits),
+      array(length(col("text"))))))
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), ends.as("ends"))
+      .select(col("doc_id"), col("text"), col("ends"),
+        posexplode(col("ends")))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "end"))
+      .withColumn("start",
+        when(col("chunk_id") === 0, lit(0))
+          .otherwise(element_at(col("ends"), col("chunk_id"))) + 1)
+      .select(col("doc_id"), col("chunk_id"),
+        col("start").cast("int").as("start"),
+        col("text").substr(col("start"),
+          col("end") - col("start") + 1).as("chunk_text"))
+  }
+
   /** Pack chunk rows into fixed-token-budget training sequences —
     * the concat-and-cut step between chunking and batching: the chunk
     * stream is (conceptually) concatenated in (doc_id, chunk_id)

@@ -143,6 +143,11 @@ object TextQueries {
     "q_text_chunks" -> ((s, d) =>
       Text.chunkDocs(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
+    // content-defined chunking: cut ends are a pure per-position
+    // hash predicate (no greedy state) → exact SQL twin
+    "q_text_content_chunks" -> ((s, d) =>
+      Text.contentDefinedChunks(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
     "q_text_stratified_sample" -> ((s, d) =>
       Text.stratifiedSample(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
@@ -454,6 +459,35 @@ object TextQueries {
          |  quality AS best_quality, n_members,
          |  n_members - 1 AS n_dropped
          |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "q_text_content_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) > 0),
+        |cuts AS (
+        |  SELECT doc_id, text, n,
+        |    list_sort(list_distinct(list_append(
+        |      list_transform(
+        |        list_filter(
+        |          CASE WHEN n - 15 >= 1
+        |               THEN generate_series(1, n - 15)
+        |               ELSE [] END,
+        |          i -> CAST(('0x' || substr(md5(substr(text, i, 16)),
+        |            1, 15)) AS BIGINT) % 64 = 0),
+        |        i -> i + 15),
+        |      n))) AS ends
+        |  FROM t),
+        |sel AS (
+        |  SELECT doc_id, text, ends,
+        |    UNNEST(generate_series(1, len(ends))) AS k
+        |  FROM cuts)
+        |SELECT doc_id, CAST(k - 1 AS INT) AS chunk_id,
+        |  CAST(CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END + 1 AS INT)
+        |    AS start,
+        |  substr(text,
+        |    CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END + 1,
+        |    ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END)
+        |    AS chunk_text
+        |FROM sel ORDER BY doc_id, chunk_id""".stripMargin,
     "q_text_scrub_blocks" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -135,7 +135,8 @@ class GraftApiSpec extends SparkSpec {
       "filteredCosineTopK" -> "hybridSearch",
       "semanticContamination" -> "semanticContaminationAgainst",
       "bpeLearnMerges" -> "bpeMergesLearned",
-      "bpeEncode" -> "bpeEncoded")
+      "bpeEncode" -> "bpeEncoded",
+      "contentDefinedChunks" -> "contentChunked")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

@@ -343,6 +343,36 @@ class TextSpec extends SparkSpec {
       t.head.getAs[Long]("survivor_doc_id") == 20L)
   }
 
+  test("contentDefinedChunks: lossless cover, boundary stability " +
+      "under prefix edits") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, base), (2L, "short"), (3L, "edited prefix " + base))
+      .toDF("doc_id", "text")
+    val rows = Text.contentDefinedChunks(d, window = 8, maskBits = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Int]("start"), r.getAs[String]("chunk_text")))
+    // lossless: concatenating chunks in order reproduces the text
+    val byDoc = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._4).mkString).toMap
+    assert(byDoc(1L) == base && byDoc(2L) == "short" &&
+      byDoc(3L) == "edited prefix " + base)
+    // starts are consistent: each chunk begins where the previous
+    // ended
+    rows.groupBy(_._1).values.foreach { cs =>
+      cs.sortBy(_._2).foldLeft(1) { case (expect, (_, _, start, t)) =>
+        assert(start == expect); start + t.length
+      }
+    }
+    // content-defined stability: doc 3 is doc 1 with an edited
+    // prefix; far from the edit, both share a boundary-aligned
+    // suffix chunk set (same chunk texts reappear)
+    val c1 = rows.filter(_._1 == 1L).map(_._4).toSet
+    val c3 = rows.filter(_._1 == 3L).map(_._4).toSet
+    assert((c1 & c3).nonEmpty,
+      s"no shared chunks between original and prefix-edited doc")
+  }
+
   test("bpeLearnMerges matches an in-memory reference BPE") {
     // classic Sennrich corpus: low×5 lower×2 newest×6 widest×3
     val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6,
