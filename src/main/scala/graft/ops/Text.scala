@@ -259,9 +259,19 @@ object Text {
       )
   }
 
-  def simhashes(docs: DataFrame): DataFrame =
+  /** Per-doc SimHash signatures. Default is the md5-based 60-bit
+    * variant ([[simhash60]] — oracle-checkable bit for bit, and the
+    * same signature `simhashNearDup` bands over); `sqlTwinned =
+    * false` switches to the xxhash64-mixed 64-bit signature
+    * ([[graft.functions.simhash64]]) — the fastest path when no
+    * cross-engine reproducibility is needed.
+    */
+  def simhashes(docs: DataFrame, sqlTwinned: Boolean = true): DataFrame =
     docs.select(col("doc_id"),
-      graft.functions.simhash64(tokens(col("text"))).as("simhash"))
+      (if (sqlTwinned)
+        graft.functions.simhash60md5(tokens(col("text")))
+      else graft.functions.simhash64(tokens(col("text"))))
+        .as("simhash"))
 
   /** BPE-ish pre-tokenizer regex (GPT-2 style word/number/punct
     * splitting, ASCII form): identical semantics under Java regex

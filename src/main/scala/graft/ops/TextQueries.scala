@@ -773,35 +773,17 @@ object TextQueries {
     // the md5-based simhash60: per-bit majority vote over
     // ('0x'||substr(md5(tok),1,15))::BIGINT token hashes.
     "q_text_simhash_neardup" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(text), '\s+')
-        |    END AS toks
-        |  FROM documents),
-        |tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
-        |th AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-        |  FROM tok),
-        |bc AS (
-        |  SELECT doc_id, b, SUM((h >> b) & 1) AS cnt
-        |  FROM th CROSS JOIN
-        |    (SELECT UNNEST(generate_series(0, 59)) AS b) bb
-        |  GROUP BY doc_id, b),
-        |nn AS (SELECT doc_id, len(toks) AS n FROM t),
-        |sig AS (
-        |  SELECT nn.doc_id,
-        |    COALESCE(SUM(CASE WHEN 2 * bc.cnt > nn.n
-        |      THEN (CAST(1 AS BIGINT) << bc.b) ELSE 0 END), 0)
-        |      AS simhash
-        |  FROM nn LEFT JOIN bc ON nn.doc_id = bc.doc_id
-        |  GROUP BY nn.doc_id)
+      s"""WITH $simhash60SigSql
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the signature itself (same md5-based majority-vote fragment the
+    // neardup twin uses) — converted from rows-only in r6
+    "q_text_simhash" ->
+      s"""WITH $simhash60SigSql
+        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
     "q_text_bpe_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text,
@@ -924,6 +906,38 @@ object TextQueries {
     * unpruned inverted-index join (the n² check the prefix-filtered
     * Spark path must equal).
     */
+  /** Shared oracle fragment: md5-based 60-bit SimHash signatures as
+    * a `sig(doc_id, simhash)` CTE chain (per-bit majority vote over
+    * `('0x'||substr(md5(tok),1,15))::BIGINT` token hashes — the
+    * exact math of `functions.Simhash60Md5`).
+    */
+  private def simhash60SigSql =
+    """t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+')
+      |    END AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+      |th AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      |  FROM tok),
+      |bc AS (
+      |  SELECT doc_id, b, SUM((h >> b) & 1) AS cnt
+      |  FROM th CROSS JOIN
+      |    (SELECT UNNEST(generate_series(0, 59)) AS b) bb
+      |  GROUP BY doc_id, b),
+      |nn AS (SELECT doc_id, len(toks) AS n FROM t),
+      |sig AS (
+      |  SELECT nn.doc_id,
+      |    -- SUM(BIGINT) widens to HUGEINT in DuckDB; narrow back
+      |    CAST(COALESCE(SUM(CASE WHEN 2 * bc.cnt > nn.n
+      |      THEN (CAST(1 AS BIGINT) << bc.b) ELSE 0 END), 0)
+      |      AS BIGINT) AS simhash
+      |  FROM nn LEFT JOIN bc ON nn.doc_id = bc.doc_id
+      |  GROUP BY nn.doc_id)""".stripMargin
+
   private def jacPairsSql = jacPairsSqlOver("documents")
 
   private def jacPairsSqlOver(src: String) =

@@ -52,12 +52,16 @@ class TextSpec extends SparkSpec {
   }
 
   test("simhash: identical texts equal, near texts close in hamming") {
-    val m = Text.simhashes(docs).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
-      .toMap
-    assert(m(1L) == m(2L))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+    // both variants: the SQL-twinned md5/60-bit default and the
+    // xxhash64 fast path
+    for (sqlTwinned <- Seq(true, false)) {
+      val m = Text.simhashes(docs, sqlTwinned).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+        .toMap
+      assert(m(1L) == m(2L))
+      assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+    }
   }
 
   test("fingerprint is whitespace/punct-insensitive") {
