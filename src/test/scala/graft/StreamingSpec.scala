@@ -316,4 +316,32 @@ class StreamingSpec extends SparkSpec {
       assert(streamOut.forall(!_._2.contains("bob@example.com")))
     } finally sq.stop()
   }
+
+  test("streaming content-defined chunking == batch on same docs") {
+    // cut positions are per-row array math (no shuffle, no state), so
+    // the operator composes under readStream unchanged — ingestion
+    // pipelines chunk on the way in
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Text
+    val docs = Seq(
+      (1L, (1 to 60).map(i => s"tok$i").mkString(" ")),
+      (2L, "short"))
+    val in = MemoryStream[(Long, String)]
+    val named = in.toDF().toDF("doc_id", "text")
+    val sq = Text.contentDefinedChunks(named, window = 8, maskBits = 4)
+      .writeStream.format("memory").queryName("cdc_chunks_out")
+      .outputMode("append").start()
+    try {
+      in.addData(docs)
+      sq.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+          r.getAs[Int]("start"), r.getAs[String]("chunk_text"))
+      val want = Text.contentDefinedChunks(
+        docs.toDF("doc_id", "text"), window = 8, maskBits = 4)
+        .collect().map(key).sorted
+      val got = spark.table("cdc_chunks_out").collect().map(key).sorted
+      assert(want.nonEmpty && got.sameElements(want))
+    } finally sq.stop()
+  }
 }
