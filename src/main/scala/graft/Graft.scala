@@ -52,9 +52,6 @@ object Graft {
       ops.Text.dupClusters(docs, pairs)
     def chunked(window: Int = 50, stride: Int = 40): DataFrame =
       ops.Text.chunkDocs(docs, window, stride)
-    /** Expects CHUNK rows (doc_id, chunk_id, n_tokens) — i.e. the
-      * output of [[chunked]]: `docs.chunked().packedChunks()`.
-      */
     /** Content-defined chunking: boundaries from a sliding-window
       * hash mask, robust to upstream edits.
       */
@@ -62,6 +59,9 @@ object Graft {
         window: Int = 16,
         maskBits: Int = 6
     ): DataFrame = ops.Text.contentDefinedChunks(docs, window, maskBits)
+    /** Expects CHUNK rows (doc_id, chunk_id, n_tokens) — i.e. the
+      * output of [[chunked]]: `docs.chunked().packedChunks()`.
+      */
     def packedChunks(seqTokens: Int = 512, nBuckets: Int = 8): DataFrame =
       ops.Text.packChunks(docs, seqTokens, nBuckets)
     def duplicatedSpans(spanTokens: Int = 20): DataFrame =
@@ -113,7 +113,6 @@ object Graft {
     /** Hamming-≤-k SimHash pairs — exact via pigeonhole banding. */
     def simhashNearDups(maxHamming: Int = 3): DataFrame =
       ops.Text.simhashNearDup(docs, maxHamming)
-    /** BPE merge-step adjacent-pair counts (vocab induction). */
     /** Learn a BPE merge table from this corpus (tokenizer
       * training); deterministic, one corpus scan + per-round jobs on
       * distinct words only.
@@ -125,6 +124,7 @@ object Graft {
     /** Per-doc BPE token counts under a learned merge table. */
     def bpeEncoded(merges: DataFrame): DataFrame =
       ops.Text.bpeEncode(docs, merges)
+    /** BPE merge-step adjacent-pair counts (vocab induction). */
     def bpePairs(minCount: Long = 2L, topN: Int = 100): DataFrame =
       ops.Text.bpePairCounts(docs, minCount, topN)
     /** α = 0.5 temperature flattening of the `groupCol` mixture. */

@@ -31,8 +31,13 @@ object Prof {
     t("word agg")(words.count())
     var seg = words.localCheckpoint(eager = false)
     t("snapshot0 materialize")(seg.count())
+    def release(df: org.apache.spark.sql.DataFrame): Unit =
+      org.apache.spark.sql.graftx.Bridge.leafRdd(df)
+        .foreach(_.unpersist(blocking = false))
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     var round = 1
-    while (round <= 6) {
+    var done = false
+    while (round <= 6 && !done) {
       val t0 = System.nanoTime()
       val best = seg
         .filter(size(col("seg")) >= 2)
@@ -47,20 +52,22 @@ object Prof {
         .limit(1)
       val plan0 = System.nanoTime()
       val rows = best.collect()
+      // release the superseded round once its successor materialized,
+      // like bpeLearnMerges — otherwise later rounds time under
+      // accumulated cached blocks
+      prev.foreach(release)
+      prev = Some(seg)
       println(f"[prof] round$round collect ${(System.nanoTime() - plan0) / 1e9}%6.2fs (build ${(plan0 - t0) / 1e9}%5.2fs)")
-      val (l, r) = (rows.head.getAs[String]("l"), rows.head.getAs[String]("r"))
-      val tm = System.nanoTime()
-      seg = seg.select(col("n"),
-        aggregate(col("seg"), array().cast("array<string>"),
-          (acc, s) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && s === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(element_at(acc, -1), s))))
-              .otherwise(concat(acc, array(s)))).as("seg"))
-        .localCheckpoint(eager = false)
-      println(f"[prof] round$round fold-build ${(System.nanoTime() - tm) / 1e9}%6.2fs")
-      round += 1
+      if (rows.isEmpty) { done = true }
+      else {
+        val (l, r) = (rows.head.getAs[String]("l"), rows.head.getAs[String]("r"))
+        val tm = System.nanoTime()
+        seg = seg.select(col("n"),
+          graft.ops.Text.fuseMerge(col("seg"), l, r).as("seg"))
+          .localCheckpoint(eager = false)
+        println(f"[prof] round$round fold-build ${(System.nanoTime() - tm) / 1e9}%6.2fs")
+        round += 1
+      }
     }
     spark.stop()
   }

@@ -714,19 +714,22 @@ object Text {
     val ends = array_sort(array_distinct(concat(
       graft.functions.md5WindowCuts(col("text"), window, maskBits),
       array(length(col("text"))))))
+    // pair each end with its predecessor BEFORE exploding — carrying
+    // the whole cut array through the explode would replicate it once
+    // per chunk (O(chunks²) per doc) just to look up ends[i-1]
+    val spans = zip_with(
+      concat(array(lit(0)), slice(col("ends"), lit(1),
+        size(col("ends")) - 1)),
+      col("ends"),
+      (prev, end) => struct((prev + 1).as("start"), end.as("end")))
     docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"), ends.as("ends"))
-      .select(col("doc_id"), col("text"), col("ends"),
-        posexplode(col("ends")))
-      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "end"))
-      .withColumn("start",
-        when(col("chunk_id") === 0, lit(0))
-          .otherwise(element_at(col("ends"), col("chunk_id"))) + 1)
-      .select(col("doc_id"), col("chunk_id"),
-        col("start").cast("int").as("start"),
-        col("text").substr(col("start"),
-          col("end") - col("start") + 1).as("chunk_text"))
+      .select(col("doc_id"), col("text"), posexplode(spans))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col.start").cast("int").as("start"),
+        col("text").substr(col("col.start"),
+          col("col.end") - col("col.start") + 1).as("chunk_text"))
   }
 
   /** Pack chunk rows into fixed-token-budget training sequences —
@@ -1318,6 +1321,23 @@ object Text {
     * localCheckpoint and the superseded round is released — same
     * iterative hygiene as `dupClusters`.
     */
+  /** Greedy left-to-right fuse of one BPE merge rule over a symbol
+    * array: replace the accumulator tail when it ends in `l` and the
+    * next symbol is `r` — non-overlapping by construction (the fused
+    * symbol no longer equals `l` unless l == r, where alternating
+    * fuses are exactly the greedy semantics). Shared by the learner
+    * and the encoder: learn/encode consistency is the differential
+    * test's core invariant.
+    */
+  private[graft] def fuseMerge(seg: Column, l: String, r: String): Column =
+    aggregate(seg, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), s))))
+          .otherwise(concat(acc, array(s))))
+
   def bpeLearnMerges(
       docs: DataFrame,
       nMerges: Int = 20,
@@ -1379,19 +1399,8 @@ object Text {
         val (l, r, cnt) = (best.head.getAs[String]("l"),
           best.head.getAs[String]("r"), best.head.getAs[Long]("cnt"))
         merges += ((round, l, r, cnt))
-        // greedy left-to-right fuse via a fold: replace the tail of
-        // the accumulator when it ends in `l` and the next symbol is
-        // `r` — non-overlapping by construction (the fused symbol no
-        // longer equals `l` unless l==r, where alternating fuses are
-        // exactly the greedy semantics)
         seg = snapshot(seg.select(col("n"),
-          aggregate(col("seg"), array().cast("array<string>"),
-            (acc, s) =>
-              when(size(acc) > 0 &&
-                  element_at(acc, -1) === lit(l) && s === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(element_at(acc, -1), s))))
-                .otherwise(concat(acc, array(s)))).as("seg")))
+          fuseMerge(col("seg"), l, r).as("seg")))
         round += 1
       }
     }
@@ -1418,14 +1427,7 @@ object Text {
     val ms = merges.orderBy(col("merge_rank")).collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
     val enc = ms.foldLeft(split(col("word"), ""): Column) {
-      case (c, (l, r)) =>
-        aggregate(c, array().cast("array<string>"),
-          (acc, s) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && s === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(element_at(acc, -1), s))))
-              .otherwise(concat(acc, array(s))))
+      case (c, (l, r)) => fuseMerge(c, l, r)
     }
     val words = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))

@@ -56,21 +56,12 @@ object Vector {
       embeddings: DataFrame,
       queryId: Long,
       k: Int
-  ): DataFrame = {
-    val q = embeddings
-      .filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
-    embeddings
-      .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(
-        col("vec_id"),
-        col("label"),
-        cosine(col("embedding"), col("q_emb")).as("cos_sim")
-      )
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
-  }
+  ): DataFrame =
+    rankedAgainst(
+      embeddings.filter(col("vec_id") =!= queryId),
+      embeddings.filter(col("vec_id") === queryId)
+        .select(col("embedding").as("q_emb")),
+      k)
 
   /** Hybrid (filtered) retrieval — the RAG-serving shape: restrict
     * the corpus by document metadata (here: language), then exact
@@ -90,23 +81,39 @@ object Vector {
       lang: String,
       queryId: Long,
       k: Int
-  ): DataFrame = {
-    val q = embeddings
-      .filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
-    embeddings
-      .filter(col("vec_id") =!= queryId)
-      .join(docs.filter(col("lang") === lang)
-        .select(col("doc_id").as("vec_id")), "vec_id")
+  ): DataFrame =
+    // the query vector comes from the UNFILTERED frame (the query doc
+    // need not satisfy the metadata predicate itself)
+    rankedAgainst(
+      embeddings
+        .filter(col("vec_id") =!= queryId)
+        .join(docs.filter(col("lang") === lang)
+          .select(col("doc_id").as("vec_id")), "vec_id"),
+      embeddings.filter(col("vec_id") === queryId)
+        .select(col("embedding").as("q_emb")),
+      k)
+
+  /** Shared ranking tail of the exact top-k family: broadcast the
+    * 1-row query, map-side cosine, TakeOrdered. Zero-norm corpus
+    * rows (cosine NaN — and NaN outranks everything in Spark SQL
+    * ordering) are excluded: a degenerate vector is not similar to
+    * anything.
+    */
+  private def rankedAgainst(
+      corpus: DataFrame,
+      q: DataFrame,
+      k: Int
+  ): DataFrame =
+    corpus
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
         col("label"),
         cosine(col("embedding"), col("q_emb")).as("cos_sim")
       )
+      .filter(!isnan(col("cos_sim")))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
-  }
 
   /** Semantic decontamination — the embedding-space complement of
     * `Text.contamination`: training vectors whose cosine against ANY
@@ -132,7 +139,9 @@ object Vector {
       .crossJoin(broadcast(ev))
       .select(col("vec_id"), col("eval_id"),
         cosine(col("embedding"), col("eval_emb")).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      // NaN >= threshold is TRUE in Spark SQL ordering semantics — a
+      // zero-norm vector would otherwise "hit" every eval doc
+      .filter(col("cos_sim") >= threshold && !isnan(col("cos_sim")))
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_eval_hits"),
         max(col("cos_sim")).as("max_sim"))
