@@ -124,6 +124,15 @@ object Graft {
     /** Per-doc BPE token counts under a learned merge table. */
     def bpeEncoded(merges: DataFrame): DataFrame =
       ops.Text.bpeEncode(docs, merges)
+    /** Count–min-sketch token frequencies (exact-vs-estimate
+      * validation form).
+      */
+    def tokenFrequencySketched(
+        topN: Int = 30,
+        eps: Double = 0.001,
+        confidence: Double = 0.99
+    ): DataFrame =
+      ops.Text.tokenFrequencySketch(docs, topN, eps, confidence)
     /** BPE merge-step adjacent-pair counts (vocab induction). */
     def bpePairs(minCount: Long = 2L, topN: Int = 100): DataFrame =
       ops.Text.bpePairCounts(docs, minCount, topN)

@@ -290,6 +290,43 @@ object Text {
         .as("n_bpe_tokens")
     )
 
+  /** Count–min-sketch token frequencies — the fixed-memory
+    * frequency-estimate path for corpora where an exact token count
+    * table no longer fits: ONE pass builds a (eps, confidence)
+    * sketch (Spark's built-in `count_min_sketch` aggregate — merges
+    * associatively across partitions), and estimates are read from
+    * the collected sketch, which is driver state like any fitted
+    * summary (KB–MB for any corpus size, vs a token table that grows
+    * with the vocabulary).
+    *
+    * This VALIDATION form reports the exact-top-`topN` tokens with
+    * both exact and estimated counts so the overestimate bound
+    * (est ≥ true, est ≤ true + eps·N w.p. `confidence`) is visible
+    * and testable; a pure-estimate deployment drops the exact leg.
+    */
+  def tokenFrequencySketch(
+      docs: DataFrame,
+      topN: Int = 30,
+      eps: Double = 0.001,
+      confidence: Double = 0.99
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val bytes = toks
+      .agg(count_min_sketch(col("token"), lit(eps), lit(confidence),
+        lit(42)).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(topN).collect()
+    spark.createDataFrame(exact.toSeq.map(r =>
+      (r.getString(0), r.getLong(1),
+        cms.estimateCount(r.getString(0)))))
+      .toDF("token", "tf", "tf_est")
+  }
+
   /** Corpus document-frequency stats: token → (docs containing it,
     * total occurrences) — the explode+groupBy shape behind TF-IDF /
     * vocabulary building. One shuffle on the token; at 100 TB add a

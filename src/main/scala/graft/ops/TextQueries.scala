@@ -123,6 +123,12 @@ object TextQueries {
       Text.dupClusterSurvivors(Tables.documents(s, d),
         clusterAssign(s, d))
         .orderBy(col("cluster"))),
+    // rows-only: the count-min estimate column needs the sketch's
+    // internal hash family (no SQL twin); the exact-vs-estimate
+    // overestimate bound is spec-tested
+    "q_text_cms_tokens" -> ((s, d) =>
+      Text.tokenFrequencySketch(Tables.documents(s, d))
+        .orderBy(col("tf").desc, col("token"))),
     // rows-only: BPE merge learning is an iterative global argmax —
     // no ANSI-SQL twin; the merge table is differential-tested in
     // TextSpec against an in-memory reference implementation

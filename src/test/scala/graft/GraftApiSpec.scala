@@ -136,7 +136,8 @@ class GraftApiSpec extends SparkSpec {
       "semanticContamination" -> "semanticContaminationAgainst",
       "bpeLearnMerges" -> "bpeMergesLearned",
       "bpeEncode" -> "bpeEncoded",
-      "contentDefinedChunks" -> "contentChunked")
+      "contentDefinedChunks" -> "contentChunked",
+      "tokenFrequencySketch" -> "tokenFrequencySketched")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

@@ -377,6 +377,27 @@ class TextSpec extends SparkSpec {
       s"no shared chunks between original and prefix-edited doc")
   }
 
+  test("tokenFrequencySketch: exact top-k skeleton, overestimate " +
+      "bound, deterministic") {
+    val d = Seq(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "alpha beta delta delta")
+    ).toDF("doc_id", "text")
+    val rows = Text.tokenFrequencySketch(d, topN = 3).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("tf"),
+        r.getAs[Long]("tf_est")))
+    // exact leg: top-3 by (tf desc, token asc)
+    assert(rows.sortBy(t => (-t._2, t._1)).map(t => (t._1, t._2))
+      .toSeq == Seq(("alpha", 4L), ("beta", 3L), ("delta", 2L)))
+    // count-min never underestimates
+    rows.foreach { case (_, tf, est) => assert(est >= tf) }
+    // fixed seed → bit-identical estimates on a second build
+    val again = Text.tokenFrequencySketch(d, topN = 3).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("tf_est")))
+      .toSet
+    assert(again == rows.map(t => (t._1, t._3)).toSet)
+  }
+
   test("bpeLearnMerges matches an in-memory reference BPE") {
     // classic Sennrich corpus: low×5 lower×2 newest×6 widest×3
     val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6,
