@@ -303,6 +303,10 @@ object Text {
     * both exact and estimated counts so the overestimate bound
     * (est ≥ true, est ≤ true + eps·N w.p. `confidence`) is visible
     * and testable; a pure-estimate deployment drops the exact leg.
+    * Like `bpeLearnMerges` and the IVF fit, CONSTRUCTION runs the
+    * fit jobs (the sketch is driver state); the token table is
+    * tracked in the session cache so the two legs share one corpus
+    * scan.
     */
   def tokenFrequencySketch(
       docs: DataFrame,
@@ -311,19 +315,28 @@ object Text {
       confidence: Double = 0.99
   ): DataFrame = {
     val spark = docs.sparkSession
-    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val toks = graft.Caches.track("text",
+      docs.select(explode(tokens(col("text"))).as("token")))
     val bytes = toks
       .agg(count_min_sketch(col("token"), lit(eps), lit(confidence),
         lit(42)).as("cms"))
       .head().getAs[Array[Byte]]("cms")
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(bytes))
-    val exact = toks.groupBy(col("token"))
+    // estimate through the token's UTF-8 BYTES: the aggregate hashed
+    // raw UTF8String bytes, and a String round-trip would re-encode
+    // (malformed sequences → U+FFFD → different cells → the est ≥
+    // true invariant silently breaks on non-UTF-8 corpora)
+    val exact = toks
+      .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"))
-      .orderBy(col("tf").desc, col("token")).limit(topN).collect()
+      .orderBy(col("tf").desc, col("token")).limit(topN)
+      .select(col("token"), col("tf"),
+        col("token").cast("binary").as("token_bytes"))
+      .collect()
     spark.createDataFrame(exact.toSeq.map(r =>
       (r.getString(0), r.getLong(1),
-        cms.estimateCount(r.getString(0)))))
+        cms.estimateCount(r.getAs[Array[Byte]]("token_bytes")))))
       .toDF("token", "tf", "tf_est")
   }
 
