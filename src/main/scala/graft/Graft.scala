@@ -64,6 +64,13 @@ object Graft {
       */
     def packedChunks(seqTokens: Int = 512, nBuckets: Int = 8): DataFrame =
       ops.Text.packChunks(docs, seqTokens, nBuckets)
+    /** First-fit (no-straddle) packing — chunks never span a
+      * sequence boundary; expects chunk rows like [[packedChunks]].
+      */
+    def packedChunksFirstFit(
+        seqTokens: Int = 512,
+        nBuckets: Int = 8
+    ): DataFrame = ops.Text.packChunksFirstFit(docs, seqTokens, nBuckets)
     def duplicatedSpans(spanTokens: Int = 20): DataFrame =
       ops.Text.duplicatedSpans(docs, spanTokens)
     def redactPii: DataFrame = ops.Text.piiRedact(docs)

@@ -820,6 +820,70 @@ object Text {
         (col("start_off") % seqTokens).as("seq_off"))
   }
 
+  /** First-fit (no-straddle) stream packing — the OTHER packing mode:
+    * where `packChunks` cuts the concatenated stream every
+    * `seqTokens` tokens and lets chunks straddle cuts (GPT-style,
+    * for pipelines that train across boundaries), this variant
+    * starts a new sequence whenever the next chunk would not fit —
+    * the mode used when cross-document attention is masked and a
+    * chunk must live inside exactly one sequence. A chunk longer
+    * than `seqTokens` occupies a sequence alone (placed at offset 0,
+    * overflowing it — dropped or split upstream if that matters).
+    *
+    * The running fill is DATA-DEPENDENT state (the reset point
+    * depends on the accumulated value, which no window frame can
+    * express), so this is the library's one deliberate
+    * `mapPartitions` operator: chunks hash-partition by the same
+    * deterministic doc-level bucket draw `packChunks` uses, sort
+    * within partitions, and a per-bucket counter walks each bucket's
+    * contiguous run. Deterministic under any partition count (state
+    * resets at bucket boundaries; a bucket never spans partitions).
+    * Pure integer math → exact oracle via a linear recursive CTE.
+    */
+  def packChunksFirstFit(
+      chunks: DataFrame,
+      seqTokens: Int = 512,
+      nBuckets: Int = 8
+  ): DataFrame = {
+    require(seqTokens >= 1, s"seqTokens must be positive, got $seqTokens")
+    val bucket = pmod(draw60(concat(col("doc_id").cast("string"),
+      lit(":pack"))), lit(nBuckets.toLong))
+    val prepared = chunks
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("chunk_id").cast("int").as("chunk_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        bucket.as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"), col("chunk_id"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("seq_off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    prepared.mapPartitions { it =>
+      var curBucket = Long.MinValue
+      var seq = 0L
+      var fill = 0L
+      it.map { r =>
+        val (docId, chunkId, n, b) =
+          (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))
+        if (b != curBucket) { curBucket = b; seq = 0L; fill = 0L }
+        if (fill > 0 && fill + n > seqTokens) { seq += 1; fill = 0L }
+        val off = fill
+        fill += n
+        org.apache.spark.sql.Row(docId, chunkId, b, n, seq, off)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Substring-level duplication signal (the repeated-passage
     * companion of whole-document dedup, after Lee et al.'s
     * "Deduplicating Training Data Makes Language Models Better"

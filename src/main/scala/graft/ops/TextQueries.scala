@@ -186,6 +186,11 @@ object TextQueries {
     "q_text_pack_chunks" -> ((s, d) =>
       Text.packChunks(Text.chunkDocs(Tables.documents(s, d)))
         .orderBy(col("doc_id"), col("chunk_id"))),
+    // first-fit (no-straddle) packing: data-dependent fill resets →
+    // mapPartitions on the Spark side, linear recursive CTE oracle
+    "q_text_pack_firstfit" -> ((s, d) =>
+      Text.packChunksFirstFit(Text.chunkDocs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("chunk_id"))),
     // incremental-ingestion dedup: batch (doc_id % 10 != 0) against
     // the already-ingested slice (doc_id % 10 == 0); exact anti-join
     // path (the bloom prefilter variant is spec-tested — same result
@@ -728,6 +733,44 @@ object TextQueries {
         |  start_off // 512 AS seq_id,
         |  start_off % 512 AS seq_off
         |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
+    // linear recursion: row rn+1's (seq, fill) depends on row rn's —
+    // exactly the running state the Spark side walks per bucket
+    "q_text_pack_firstfit" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(generate_series(0, len(toks) - 1, 40)) AS start
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+        |    CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_tokens,
+        |    CAST(CAST(('0x' || substr(
+        |      md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15))
+        |      AS BIGINT) % 8 AS BIGINT) AS bucket
+        |  FROM c),
+        |o AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket
+        |    ORDER BY doc_id, chunk_id) AS rn
+        |  FROM ch),
+        |s AS (
+        |  SELECT bucket, rn, doc_id, chunk_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_off,
+        |    CAST(n_tokens AS BIGINT) AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.bucket, o.rn, o.doc_id, o.chunk_id, o.n_tokens,
+        |    CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > 512
+        |         THEN s.seq_id + 1 ELSE s.seq_id END,
+        |    CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > 512
+        |         THEN CAST(0 AS BIGINT) ELSE s.fill END,
+        |    CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > 512
+        |         THEN CAST(o.n_tokens AS BIGINT)
+        |         ELSE s.fill + o.n_tokens END
+        |  FROM s JOIN o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
+        |SELECT doc_id, chunk_id, bucket, n_tokens, seq_id, seq_off
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "q_text_incremental_dedup" ->
       """WITH seen AS (
         |  SELECT DISTINCT md5(text) AS h FROM documents

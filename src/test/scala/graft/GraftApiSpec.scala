@@ -137,7 +137,8 @@ class GraftApiSpec extends SparkSpec {
       "bpeLearnMerges" -> "bpeMergesLearned",
       "bpeEncode" -> "bpeEncoded",
       "contentDefinedChunks" -> "contentChunked",
-      "tokenFrequencySketch" -> "tokenFrequencySketched")
+      "tokenFrequencySketch" -> "tokenFrequencySketched",
+      "packChunksFirstFit" -> "packedChunksFirstFit")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

@@ -475,6 +475,42 @@ class TextSpec extends SparkSpec {
       enc.head.getAs[Long]("n_words") == words.map(_._2).sum.toLong)
   }
 
+  test("packChunksFirstFit: no chunk straddles, differential vs " +
+      "naive greedy") {
+    val chunks = Seq.tabulate(50)(i =>
+      (i.toLong % 7, i, 10 + (i * 13) % 55)) // n_tokens 10..64
+      .toDF("doc_id", "chunk_id", "n_tokens")
+    val S = 64
+    val got = Text.packChunksFirstFit(chunks, seqTokens = S,
+      nBuckets = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Long]("bucket"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off")))
+    assert(got.length == 50)
+    // no-straddle: every chunk fits inside its sequence (none here
+    // exceeds S alone)
+    got.foreach { case (_, _, _, n, _, off) =>
+      assert(off + n <= S, s"straddle: off=$off n=$n") }
+    // differential: per-bucket naive greedy walk in (doc, chunk)
+    // order reproduces (seq_id, seq_off)
+    got.groupBy(_._3).values.foreach { rows =>
+      var seq = 0L; var fill = 0L
+      rows.sortBy(r => (r._1, r._2)).foreach {
+        case (_, _, _, n, seqId, seqOff) =>
+          if (fill > 0 && fill + n > S) { seq += 1; fill = 0 }
+          assert(seqId == seq && seqOff == fill)
+          fill += n
+      }
+    }
+    // oversize chunk occupies a sequence alone at offset 0
+    val big = Seq((1L, 0, 100), (1L, 1, 10))
+      .toDF("doc_id", "chunk_id", "n_tokens")
+    val b = Text.packChunksFirstFit(big, seqTokens = S, nBuckets = 1)
+      .orderBy(col("chunk_id")).collect()
+    assert(b(0).getAs[Long]("seq_off") == 0L &&
+      b(1).getAs[Long]("seq_id") == b(0).getAs[Long]("seq_id") + 1)
+  }
+
   test("packChunks: contiguous per-bucket stream, exact cut math") {
     val d = Seq.tabulate(40)(i =>
       (i.toLong, (1 to 90).map(j => s"w${i}_$j").mkString(" ")))
