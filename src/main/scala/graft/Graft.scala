@@ -76,6 +76,12 @@ object Graft {
     def redactPii: DataFrame = ops.Text.piiRedact(docs)
     def repetitionSignals: DataFrame = ops.Text.repetitionStats(docs)
     def qualityScored: DataFrame = ops.Text.qualityScore(docs)
+    /** Percentile/decile calibration of the quality score. */
+    def qualityPercentiled: DataFrame =
+      ops.Text.qualityPercentiles(docs)
+    /** Scale-path decile thresholds (approx_percentile sketch). */
+    def qualityThresholds: DataFrame =
+      ops.Text.qualityDecileThresholds(docs)
     def langGuessed: DataFrame = ops.Text.langGuess(docs)
     def tokenStats: DataFrame = ops.Text.tokenStats(docs)
     def bpeTokenCounts: DataFrame = ops.Text.bpeTokenStats(docs)

@@ -103,6 +103,40 @@ object Text {
           col("len_score") * 0.25)
   }
 
+  /** Percentile calibration of the quality score — how quality gates
+    * are set in practice: "drop the worst 20%" (a percentile), not
+    * "drop below 0.37" (an absolute that shifts with every corpus).
+    * Emits each doc's percent rank and decile of `qualityScore`.
+    *
+    * Scale note: EXACT global ranks put the whole input through ONE
+    * window partition in Spark (an unpartitioned window does not
+    * range-partition) — right for calibration runs and sampled
+    * corpora, wrong for the full 100 TB table. At full scale use
+    * [[qualityDecileThresholds]] (one mergeable-sketch pass) and
+    * gate by threshold instead of by rank.
+    */
+  def qualityPercentiles(docs: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("quality"), col("doc_id"))
+    qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+      .withColumn("q_pct", percent_rank().over(w))
+      .withColumn("q_decile", ntile(10).over(w))
+  }
+
+  /** The full-scale companion of [[qualityPercentiles]]: decile
+    * THRESHOLDS of the quality score via `approx_percentile` — a
+    * mergeable sketch that never concentrates the corpus on one
+    * task; the gate becomes a broadcast threshold comparison.
+    */
+  def qualityDecileThresholds(docs: DataFrame): DataFrame =
+    qualityScore(docs)
+      .agg(percentile_approx(col("quality"),
+        array((1 to 9).map(d => lit(d / 10.0)): _*),
+        lit(10000)).as("thresholds"))
+      .select(posexplode(col("thresholds")))
+      .select((col("pos") + 1).cast("int").as("decile"),
+        col("col").as("quality_threshold"))
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is"),
     "de" -> Seq("der", "und", "die", "nicht"),

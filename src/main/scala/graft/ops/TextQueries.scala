@@ -59,6 +59,16 @@ object TextQueries {
       Text.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_text_lang_guess" -> ((s, d) =>
       Text.langGuess(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // percentile calibration of the quality gate (rank + decile)
+    "q_text_quality_pct" -> ((s, d) =>
+      Text.qualityPercentiles(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    // rows-only: the scale-path decile thresholds use Spark's
+    // approx_percentile sketch (no SQL twin for its merge order);
+    // bracketing vs the exact deciles is spec-tested
+    "q_text_quality_thresholds" -> ((s, d) =>
+      Text.qualityDecileThresholds(Tables.documents(s, d))
+        .orderBy(col("decile"))),
     "q_text_fingerprint" -> ((s, d) =>
       Text.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // MinHash-LSH candidate pairs, ids only (the jaccard_est column
@@ -427,6 +437,28 @@ object TextQueries {
          |  FROM reach JOIN e ON reach.r = e.src)
          |SELECT doc_id, MIN(r) AS cluster
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_quality_pct" ->
+      s"""WITH qt AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) * 0.25
+         |    + CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) * 0.5
+         |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25
+         |      AS quality
+         |  FROM qt)
+         |SELECT doc_id, quality,
+         |  percent_rank() OVER (ORDER BY quality, doc_id) AS q_pct,
+         |  CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INT)
+         |    AS q_decile
+         |FROM q ORDER BY doc_id""".stripMargin,
     // same recursive components + the q_text_quality score, argmax
     // per cluster (ORDER BY quality DESC, doc_id == Spark's
     // max-struct(quality, -doc_id))

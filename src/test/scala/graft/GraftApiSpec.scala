@@ -138,7 +138,9 @@ class GraftApiSpec extends SparkSpec {
       "bpeEncode" -> "bpeEncoded",
       "contentDefinedChunks" -> "contentChunked",
       "tokenFrequencySketch" -> "tokenFrequencySketched",
-      "packChunksFirstFit" -> "packedChunksFirstFit")
+      "packChunksFirstFit" -> "packedChunksFirstFit",
+      "qualityPercentiles" -> "qualityPercentiled",
+      "qualityDecileThresholds" -> "qualityThresholds")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

@@ -34,6 +34,29 @@ class TextSpec extends SparkSpec {
     assert(m(1L) == 9 && m(5L) == 0)
   }
 
+  test("qualityPercentiles: ranks span [0,1], deciles partition, " +
+      "order follows quality") {
+    val r = Text.qualityPercentiles(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("quality"),
+        x.getAs[Double]("q_pct"), x.getAs[Int]("q_decile")))
+    assert(r.length == 5)
+    assert(r.map(_._3).min == 0.0 && r.map(_._3).max == 1.0)
+    assert(r.forall(x => x._4 >= 1 && x._4 <= 10))
+    // percent rank is monotone in (quality, doc_id)
+    val sorted = r.sortBy(x => (x._2, x._1))
+    assert(sorted.map(_._3).sameElements(sorted.map(_._3).sorted))
+    // scale-path thresholds: monotone, 9 of them, and each bracketed
+    // by the exact quality range
+    val th = Text.qualityDecileThresholds(docs).collect()
+      .map(x => (x.getAs[Int]("decile"),
+        x.getAs[Double]("quality_threshold")))
+    assert(th.map(_._1).toSeq == (1 to 9))
+    assert(th.map(_._2).toSeq ==
+      th.map(_._2).toSeq.sorted)
+    val (qMin, qMax) = (r.map(_._2).min, r.map(_._2).max)
+    assert(th.forall(t => t._2 >= qMin && t._2 <= qMax))
+  }
+
   test("minhash LSH finds near-dup pair, not unrelated pair") {
     val cands = Text.minhashCandidates(docs, 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
