@@ -250,6 +250,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packChunksFirstFit equals the naive greedy walk for any " +
+      "chunk table") {
+    val chunkGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 9L), Gen.choose(1, 40)))
+    forAll(chunkGen, n = 12) { raw =>
+      val S = 16
+      val chunks = raw.zipWithIndex
+        .map { case ((doc, n), i) => (doc, i, n) }
+        .toDF("doc_id", "chunk_id", "n_tokens")
+      val got = Text.packChunksFirstFit(chunks, seqTokens = S,
+        nBuckets = 3).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+          r.getAs[Long]("bucket"), r.getAs[Int]("n_tokens"),
+          r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off")))
+      assert(got.length == raw.length)
+      got.groupBy(_._3).values.foreach { rows =>
+        var seq = 0L; var fill = 0L
+        rows.sortBy(r => (r._1, r._2)).foreach {
+          case (_, _, _, n, seqId, seqOff) =>
+            if (fill > 0 && fill + n > S) { seq += 1; fill = 0L }
+            assert(seqId == seq && seqOff == fill)
+            fill += n
+        }
+      }
+    }
+  }
+
   test("incrementalDedup equals naive set logic for any batch/seen") {
     val tGen = Gen.listOf(Gen.oneOf("p q", "r s", "t u", "v w", "x y"))
     forAll(Gen.zip(tGen, tGen), n = 15) { case (batchT, seenT) =>
