@@ -889,19 +889,13 @@ object Text {
         bucket.as("bucket"))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("doc_id"), col("chunk_id"))
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("chunk_id",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("bucket",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_tokens",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("seq_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("seq_off",
-        org.apache.spark.sql.types.LongType, nullable = false)))
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long", nullable = false)
+      .add("chunk_id", "int", nullable = false)
+      .add("bucket", "long", nullable = false)
+      .add("n_tokens", "int", nullable = false)
+      .add("seq_id", "long", nullable = false)
+      .add("seq_off", "long", nullable = false)
     prepared.mapPartitions { it =>
       var curBucket = Long.MinValue
       var seq = 0L

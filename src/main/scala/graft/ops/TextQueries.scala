@@ -65,7 +65,8 @@ object TextQueries {
         .orderBy(col("doc_id"))),
     // rows-only: the scale-path decile thresholds use Spark's
     // approx_percentile sketch (no SQL twin for its merge order);
-    // bracketing vs the exact deciles is spec-tested
+    // spec-tested: monotone, and each threshold's rank brackets its
+    // nominal decile
     "q_text_quality_thresholds" -> ((s, d) =>
       Text.qualityDecileThresholds(Tables.documents(s, d))
         .orderBy(col("decile"))),
@@ -276,6 +277,20 @@ object TextQueries {
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
   private val stopSql = "['the','a','an','and','of','to','in','is']"
 
+  /** The quality-score expression over a token-array column — the
+    * single SQL source of truth for `Text.qualityScore`'s formula
+    * (stop-ratio·0.25 + uniq-ratio·0.5 + len-score·0.25); every
+    * oracle that gates or ranks on quality interpolates this so a
+    * weight change cannot silently diverge one of them.
+    */
+  private def qualityExprSql(toks: String) =
+    s"""CAST(len(list_filter($toks,
+       |      x -> list_contains($stopSql, x))) AS DOUBLE)
+       |      / GREATEST(len($toks), 1) * 0.25
+       |    + CAST(len(list_distinct($toks)) AS DOUBLE)
+       |      / GREATEST(len($toks), 1) * 0.5
+       |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_text_exact_dup_groups" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
@@ -382,12 +397,7 @@ object TextQueries {
          |q AS (
          |  SELECT doc_id, lang, text,
          |    CAST(len(toks) AS BIGINT) AS n_toks,
-         |    CAST(len(list_filter(toks,
-         |      x -> list_contains($stopSql, x))) AS DOUBLE)
-         |      / GREATEST(len(toks), 1) * 0.25
-         |    + CAST(len(list_distinct(toks)) AS DOUBLE)
-         |      / GREATEST(len(toks), 1) * 0.5
-         |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25
+         |    ${qualityExprSql("toks")}
          |      AS quality
          |  FROM t),
          |kept AS (
@@ -446,12 +456,7 @@ object TextQueries {
          |  FROM documents),
          |q AS (
          |  SELECT doc_id,
-         |    CAST(len(list_filter(toks,
-         |      x -> list_contains($stopSql, x))) AS DOUBLE)
-         |      / GREATEST(len(toks), 1) * 0.25
-         |    + CAST(len(list_distinct(toks)) AS DOUBLE)
-         |      / GREATEST(len(toks), 1) * 0.5
-         |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25
+         |    ${qualityExprSql("toks")}
          |      AS quality
          |  FROM qt)
          |SELECT doc_id, quality,
@@ -484,12 +489,7 @@ object TextQueries {
          |  FROM documents),
          |q AS (
          |  SELECT doc_id,
-         |    CAST(len(list_filter(toks,
-         |      x -> list_contains($stopSql, x))) AS DOUBLE)
-         |      / GREATEST(len(toks), 1) * 0.25
-         |    + CAST(len(list_distinct(toks)) AS DOUBLE)
-         |      / GREATEST(len(toks), 1) * 0.5
-         |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25
+         |    ${qualityExprSql("toks")}
          |      AS quality
          |  FROM qt),
          |rk AS (
@@ -669,12 +669,7 @@ object TextQueries {
          |  FROM documents),
          |qdocs AS (
          |  SELECT doc_id, text FROM qt
-         |  WHERE CAST(len(list_filter(qtoks, x -> list_contains(
-         |      ['the','a','an','and','of','to','in','is'], x))) AS DOUBLE)
-         |      / GREATEST(len(qtoks), 1) * 0.25
-         |    + CAST(len(list_distinct(qtoks)) AS DOUBLE)
-         |      / GREATEST(len(qtoks), 1) * 0.5
-         |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25
+         |  WHERE ${qualityExprSql("qtoks")}
          |    >= 0.4),
          |qd AS (
          |  SELECT doc_id, text FROM (
@@ -741,20 +736,7 @@ object TextQueries {
         |FROM sp LEFT JOIN cd ON sp.span = cd.span
         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
     "q_text_pack_chunks" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents WHERE len(trim(text)) > 0),
-        |c AS (
-        |  SELECT doc_id, toks,
-        |    UNNEST(generate_series(0, len(toks) - 1, 40)) AS start
-        |  FROM t),
-        |ch AS (
-        |  SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
-        |    CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_tokens,
-        |    CAST(CAST(('0x' || substr(
-        |      md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15))
-        |      AS BIGINT) % 8 AS BIGINT) AS bucket
-        |  FROM c),
+      s"""WITH $chunkedBucketsSql,
         |p AS (
         |  SELECT doc_id, chunk_id, bucket, n_tokens,
         |    CAST(SUM(n_tokens) OVER (PARTITION BY bucket
@@ -768,20 +750,7 @@ object TextQueries {
     // linear recursion: row rn+1's (seq, fill) depends on row rn's —
     // exactly the running state the Spark side walks per bucket
     "q_text_pack_firstfit" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents WHERE len(trim(text)) > 0),
-        |c AS (
-        |  SELECT doc_id, toks,
-        |    UNNEST(generate_series(0, len(toks) - 1, 40)) AS start
-        |  FROM t),
-        |ch AS (
-        |  SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
-        |    CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_tokens,
-        |    CAST(CAST(('0x' || substr(
-        |      md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15))
-        |      AS BIGINT) % 8 AS BIGINT) AS bucket
-        |  FROM c),
+      s"""WITH RECURSIVE $chunkedBucketsSql,
         |o AS (
         |  SELECT *, row_number() OVER (PARTITION BY bucket
         |    ORDER BY doc_id, chunk_id) AS rn
@@ -987,6 +956,28 @@ object TextQueries {
     * unpruned inverted-index join (the n² check the prefix-filtered
     * Spark path must equal).
     */
+  /** Shared oracle fragment: `chunkDocs(50, 40)` chunk rows plus the
+    * `packChunks` doc-level bucket draw, as a `ch(doc_id, chunk_id,
+    * n_tokens, bucket)` CTE chain — one source of truth for both
+    * packing oracles (window/stride and bucket salt must track the
+    * Spark defaults together).
+    */
+  private def chunkedBucketsSql =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    UNNEST(generate_series(0, len(toks) - 1, 40)) AS start
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+      |    CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_tokens,
+      |    CAST(CAST(('0x' || substr(
+      |      md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15))
+      |      AS BIGINT) % 8 AS BIGINT) AS bucket
+      |  FROM c)""".stripMargin
+
   /** Shared oracle fragment: md5-based 60-bit SimHash signatures as
     * a `sig(doc_id, simhash)` CTE chain (per-bit majority vote over
     * `('0x'||substr(md5(tok),1,15))::BIGINT` token hashes — the

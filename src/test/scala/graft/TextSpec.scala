@@ -45,16 +45,23 @@ class TextSpec extends SparkSpec {
     // percent rank is monotone in (quality, doc_id)
     val sorted = r.sortBy(x => (x._2, x._1))
     assert(sorted.map(_._3).sameElements(sorted.map(_._3).sorted))
-    // scale-path thresholds: monotone, 9 of them, and each bracketed
-    // by the exact quality range
+    // scale-path thresholds: monotone, 9 of them, and each one's
+    // RANK brackets its nominal decile (kills a
+    // nine-copies-of-the-median regression, which stays monotone and
+    // in range)
     val th = Text.qualityDecileThresholds(docs).collect()
       .map(x => (x.getAs[Int]("decile"),
         x.getAs[Double]("quality_threshold")))
     assert(th.map(_._1).toSeq == (1 to 9))
     assert(th.map(_._2).toSeq ==
       th.map(_._2).toSeq.sorted)
-    val (qMin, qMax) = (r.map(_._2).min, r.map(_._2).max)
-    assert(th.forall(t => t._2 >= qMin && t._2 <= qMax))
+    val qs = r.map(_._2).sorted
+    th.foreach { case (d, t) =>
+      val atOrBelow = qs.count(_ <= t).toDouble / qs.length
+      val below = qs.count(_ < t).toDouble / qs.length
+      assert(below <= d / 10.0 + 1e-9 && atOrBelow >= d / 10.0 - 0.2,
+        s"decile $d threshold $t: below=$below atOrBelow=$atOrBelow")
+    }
   }
 
   test("minhash LSH finds near-dup pair, not unrelated pair") {
