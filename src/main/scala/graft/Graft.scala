@@ -97,6 +97,13 @@ object Graft {
       * bloom from [[ops.Text.fitSeenBloom]] to prefilter map-side
       * (result stays exact).
       */
+    /** Incremental NEAR-dup ingestion gate vs an already-ingested
+      * corpus (ids must be disjoint); LSH-banded, never n².
+      */
+    def nearDupsAgainst(
+        seen: DataFrame,
+        threshold: Double = 0.5
+    ): DataFrame = ops.Text.incrementalNearDup(docs, seen, threshold)
     def dedupAgainst(
         seenDocs: DataFrame,
         bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None

@@ -274,6 +274,44 @@ object Text {
       .filter(col("jaccard_est") >= threshold)
   }
 
+  /** Incremental NEAR-dup ingestion gate — the LSH companion of
+    * [[incrementalDedup]] (which only catches byte-identical text):
+    * which docs of an incoming batch near-duplicate the
+    * already-ingested corpus. Both sides band their MinHash
+    * signatures, buckets join ACROSS sides only — the seen corpus
+    * (orders of magnitude bigger than any batch at steady state)
+    * never self-joins — and candidates exact-verify with shingle
+    * Jaccard. Ids must be disjoint across the two frames (same
+    * contract as `incrementalDedup`).
+    *
+    * At 100 TB the seen side's signatures are computed once at
+    * ingestion time and stored (32 longs/doc); per batch the join
+    * touches one banded table per side — never the corpus text.
+    */
+  def incrementalNearDup(
+      batch: DataFrame,
+      seen: DataFrame,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    def banded(docs: DataFrame): DataFrame = {
+      val sigs = graft.Caches.track("text", docShingles(docs)
+        .select(col("doc_id"), minhashSignature(col("sh")).as("sig")))
+      sigs.select(col("doc_id"),
+        posexplode(array((0 until LshBands).map { b =>
+          xxhash64(lit(b), slice(col("sig"), b * LshRows + 1, LshRows))
+        }: _*)).as(Seq("band_idx", "band_hash")))
+    }
+    val cands = banded(batch).as("b").join(banded(seen).as("s"),
+        col("b.band_idx") === col("s.band_idx") &&
+          col("b.band_hash") === col("s.band_hash"))
+      .select(col("b.doc_id").as("doc_a"), col("s.doc_id").as("doc_b"))
+      .distinct()
+    ngramJaccard(
+      batch.select(col("doc_id"), col("text"))
+        .union(seen.select(col("doc_id"), col("text"))), cands)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs. */
   def ngramJaccard(
       docs: DataFrame,

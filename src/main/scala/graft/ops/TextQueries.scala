@@ -150,6 +150,18 @@ object TextQueries {
     "q_text_bpe_encode" -> ((s, d) =>
       Text.bpeEncode(Tables.documents(s, d), learnedMerges(s, d))
         .orderBy(col("doc_id"))),
+    // incremental NEAR-dup gate: batch (doc_id % 10 != 0) vs the
+    // already-ingested slice (doc_id % 10 == 0) — the same split as
+    // q_text_incremental_dedup; oracle = the unpruned cross-side
+    // exact-jaccard join (same corpus-bimodality recall assumption
+    // documented on q_text_ngram_jaccard)
+    "q_text_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.incrementalNearDup(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     // corpus-level passage SCRUB (removal twin of q_text_dup_spans):
     // duplicated aligned 20-token blocks keep only their first
     // (doc_id, position) occurrence; exact string/int output
@@ -425,6 +437,31 @@ object TextQueries {
          |SELECT doc_a, doc_b FROM jac
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // cross-side unpruned exact-jaccard join: the batch side never
+    // pairs with itself, the seen side never pairs with itself
+    "q_text_incremental_neardup" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS toks
+        |  FROM t0 WHERE len(w) >= 3),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |i AS (SELECT doc_id, n, UNNEST(toks) AS tok FROM s),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n AS na, b.n AS nb, COUNT(*) AS inter
+        |  FROM i a JOIN i b ON a.tok = b.tok
+        |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM p
+        |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // same oracle SQL as q_text_jaccard_exact on purpose: the Spark
     // side travels a DIFFERENT path (LSH banding → candidate pairs →
     // exact verify) and must land on the identical final pair set

@@ -140,7 +140,8 @@ class GraftApiSpec extends SparkSpec {
       "tokenFrequencySketch" -> "tokenFrequencySketched",
       "packChunksFirstFit" -> "packedChunksFirstFit",
       "qualityPercentiles" -> "qualityPercentiled",
-      "qualityDecileThresholds" -> "qualityThresholds")
+      "qualityDecileThresholds" -> "qualityThresholds",
+      "incrementalNearDup" -> "nearDupsAgainst")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

@@ -279,6 +279,28 @@ class TextSpec extends SparkSpec {
         .map("%02x".format(_)).mkString))
   }
 
+  test("incrementalNearDup: cross-side pairs only, exact jaccard " +
+      "values") {
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words appear in this one here")
+    ).toDF("doc_id", "text")
+    val seen = Seq(
+      (101L, "the quick brown fox jumps over the lazy cat"), // near 1
+      (102L, "the quick brown fox jumps over the lazy dog"), // == 1
+      (103L, "nothing like either of them at all friends")
+    ).toDF("doc_id", "text")
+    val got = Text.incrementalNearDup(batch, seen, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // batch doc 1 hits its exact copy (j=1) and the near copy; doc 2
+    // hits nothing; seen docs never pair with each other
+    assert(got.keySet == Set((1L, 101L), (1L, 102L)))
+    assert(got((1L, 102L)) == 1.0)
+    assert(got((1L, 101L)) > 0.5 && got((1L, 101L)) < 1.0)
+  }
+
   test("sourceCap keeps a deterministic K-subset per source") {
     val d = Seq.tabulate(30)(i =>
       (i.toLong, s"text $i", if (i < 20) "big" else "small"))
