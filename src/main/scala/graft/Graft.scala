@@ -97,6 +97,10 @@ object Graft {
       * bloom from [[ops.Text.fitSeenBloom]] to prefilter map-side
       * (result stays exact).
       */
+    def dedupAgainst(
+        seenDocs: DataFrame,
+        bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    ): DataFrame = ops.Text.incrementalDedup(docs, seenDocs, bloom)
     /** Incremental NEAR-dup ingestion gate vs an already-ingested
       * corpus (ids must be disjoint); LSH-banded, never n².
       */
@@ -104,10 +108,6 @@ object Graft {
         seen: DataFrame,
         threshold: Double = 0.5
     ): DataFrame = ops.Text.incrementalNearDup(docs, seen, threshold)
-    def dedupAgainst(
-        seenDocs: DataFrame,
-        bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
-    ): DataFrame = ops.Text.incrementalDedup(docs, seenDocs, bloom)
     def cappedPerSource(cap: Int): DataFrame =
       ops.Text.sourceCap(docs, cap)
     def tokenBudgeted(budgets: Seq[(String, Long)]): DataFrame =

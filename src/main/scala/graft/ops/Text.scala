@@ -237,6 +237,17 @@ object Text {
   def minhashSignature(sh: Column): Column =
     graft.functions.minhash(sh, MinhashPerms)
 
+  /** The LSH band hashes of a MinHash signature — ONE definition of
+    * the band layout (`LshBands` × `LshRows`, xxhash64 over the raw
+    * longs), shared by every banding consumer: signatures banded by
+    * different code must stay bucket-compatible or cross-op
+    * candidate joins silently miss.
+    */
+  private def bandHashes(sig: Column): Column =
+    array((0 until LshBands).map { b =>
+      xxhash64(lit(b), slice(sig, b * LshRows + 1, LshRows))
+    }: _*)
+
   /** LSH banding: docs → (band_idx, band_hash, doc_id); same-bucket
     * docs are near-dup candidates. Jaccard estimate from full
     * signatures confirms; only candidate pairs are compared (never
@@ -255,9 +266,7 @@ object Text {
     // hashes the longs directly — no per-band string building).
     val banded = sigs.select(
       col("doc_id"), col("sig"),
-      posexplode(array((0 until LshBands).map { b =>
-        xxhash64(lit(b), slice(col("sig"), b * LshRows + 1, LshRows))
-      }: _*)).as(Seq("band_idx", "band_hash"))
+      posexplode(bandHashes(col("sig"))).as(Seq("band_idx", "band_hash"))
     )
     // identical join legs → the band shuffle is computed once and
     // reused (ReusedExchange); signatures are evaluated in one pass.
@@ -284,31 +293,42 @@ object Text {
     * Jaccard. Ids must be disjoint across the two frames (same
     * contract as `incrementalDedup`).
     *
-    * At 100 TB the seen side's signatures are computed once at
-    * ingestion time and stored (32 longs/doc); per batch the join
-    * touches one banded table per side — never the corpus text.
+    * Each side's shingle table is computed ONCE per call (cached —
+    * it feeds both the banding leg and the verify join; the text is
+    * never re-shingled). A production deployment additionally stores
+    * the seen side's signatures at ingestion time (32 longs/doc) and
+    * skips that side's shingle pass entirely.
     */
   def incrementalNearDup(
       batch: DataFrame,
       seen: DataFrame,
       threshold: Double = 0.5
   ): DataFrame = {
-    def banded(docs: DataFrame): DataFrame = {
-      val sigs = graft.Caches.track("text", docShingles(docs)
-        .select(col("doc_id"), minhashSignature(col("sh")).as("sig")))
-      sigs.select(col("doc_id"),
-        posexplode(array((0 until LshBands).map { b =>
-          xxhash64(lit(b), slice(col("sig"), b * LshRows + 1, LshRows))
-        }: _*)).as(Seq("band_idx", "band_hash")))
+    def side(docs: DataFrame): (DataFrame, DataFrame) = {
+      val sh = graft.Caches.track("text", docShingles(docs))
+      val banded = sh
+        .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+        .select(col("doc_id"),
+          posexplode(bandHashes(col("sig")))
+            .as(Seq("band_idx", "band_hash")))
+      (sh, banded)
     }
-    val cands = banded(batch).as("b").join(banded(seen).as("s"),
+    val (shBatch, bandBatch) = side(batch)
+    val (shSeen, bandSeen) = side(seen)
+    val cands = bandBatch.as("b").join(bandSeen.as("s"),
         col("b.band_idx") === col("s.band_idx") &&
           col("b.band_hash") === col("s.band_hash"))
       .select(col("b.doc_id").as("doc_a"), col("s.doc_id").as("doc_b"))
       .distinct()
-    ngramJaccard(
-      batch.select(col("doc_id"), col("text"))
-        .union(seen.select(col("doc_id"), col("text"))), cands)
+    cands
+      .join(shBatch.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a")), "doc_a")
+      .join(shSeen.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -440,27 +440,10 @@ object TextQueries {
     // cross-side unpruned exact-jaccard join: the batch side never
     // pairs with itself, the seen side never pairs with itself
     "q_text_incremental_neardup" ->
-      """WITH t0 AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        |  FROM documents WHERE len(trim(text)) > 0),
-        |t AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      generate_series(1, len(w) - 2),
-        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS toks
-        |  FROM t0 WHERE len(w) >= 3),
-        |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-        |i AS (SELECT doc_id, n, UNNEST(toks) AS tok FROM s),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.n AS na, b.n AS nb, COUNT(*) AS inter
-        |  FROM i a JOIN i b ON a.tok = b.tok
-        |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b,
-        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-        |FROM p
-        |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      s"""WITH ${jacPairsSqlOver("documents",
+             "a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0")}
+        |SELECT doc_a, doc_b, jaccard FROM jac
+        |WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     // same oracle SQL as q_text_jaccard_exact on purpose: the Spark
     // side travels a DIFFERENT path (LSH banding → candidate pairs →
@@ -1049,7 +1032,13 @@ object TextQueries {
 
   private def jacPairsSql = jacPairsSqlOver("documents")
 
-  private def jacPairsSqlOver(src: String) =
+  /** `pairPred` picks which doc pairs the inverted-index join emits:
+    * the default canonical `a < b` for within-corpus pair sets; the
+    * incremental gate swaps in its cross-side split predicate.
+    */
+  private def jacPairsSqlOver(
+      src: String,
+      pairPred: String = "a.doc_id < b.doc_id") =
     s"""t0 AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
       |  FROM $src WHERE len(trim(text)) > 0),
@@ -1064,7 +1053,7 @@ object TextQueries {
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         a.n AS na, b.n AS nb, COUNT(*) AS inter
-      |  FROM i a JOIN i b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  FROM i a JOIN i b ON a.tok = b.tok AND ($pairPred)
       |  GROUP BY 1, 2, 3, 4),
       |jac AS (
       |  SELECT doc_a, doc_b,
