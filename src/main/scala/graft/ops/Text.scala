@@ -219,6 +219,15 @@ object Text {
     * (`graft.functions.TokenShingles` — bit-compatible with the
     * declarative `shinglesFromTokens(tokens(text))` chain, which
     * interprets per window position).
+    *
+    * Degenerate docs (< 3 tokens) are EXCLUDED, mirroring
+    * [[jaccardExactPairs]]' guard: a <n-token doc collapses to a
+    * single whole-text shingle, so every empty/identical-short doc
+    * shares one MinHash signature and lands in the same bucket on
+    * EVERY band — a |short|² hot bucket through any banded join at
+    * corpus scale. All downstream oracles already restrict to
+    * >= 3-token docs, so the guard also aligns the Spark side with
+    * the SQL twins.
     */
   def docShingles(docs: DataFrame): DataFrame =
     docs
@@ -226,6 +235,7 @@ object Text {
       // CPU-heavy shingle/hash work across cores (at scale the input
       // is already split and this shuffle is one narrow hash pass)
       .repartition(col("doc_id"))
+      .filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"),
         graft.functions.tokenShingles(col("text"), 3).as("sh"))
 
@@ -283,6 +293,27 @@ object Text {
       .filter(col("jaccard_est") >= threshold)
   }
 
+  /** The persisted-signature table the incremental near-dup gate
+    * consumes: one row per (>= 3-token) doc with the MinHash
+    * signature (`MinhashPerms` longs — what the LSH bands derive
+    * from) and the distinct xxhash64'd shingles (what the exact
+    * Jaccard verify intersects). This is the artifact a production
+    * ingestion pipeline writes ONCE per doc at ingestion time and
+    * the gate then reads forever: at 100 TB the seen side is this
+    * table — kilobytes per doc instead of the text, and no
+    * re-shingling of the corpus per batch. Hash-space Jaccard equals
+    * string-space Jaccard absent xxhash64 collisions (the same
+    * argument, and the same representation, as [[jaccardExactPairs]];
+    * the string-space oracle compare would surface any collision as
+    * a value diff).
+    */
+  def nearDupSignatures(docs: DataFrame): DataFrame =
+    docShingles(docs)
+      .select(col("doc_id"),
+        minhashSignature(col("sh")).as("sig"),
+        array_distinct(transform(col("sh"), s => xxhash64(s)))
+          .as("sh_hash"))
+
   /** Incremental NEAR-dup ingestion gate — the LSH companion of
     * [[incrementalDedup]] (which only catches byte-identical text):
     * which docs of an incoming batch near-duplicate the
@@ -293,44 +324,56 @@ object Text {
     * Jaccard. Ids must be disjoint across the two frames (same
     * contract as `incrementalDedup`).
     *
-    * Each side's shingle table is computed ONCE per call (cached —
-    * it feeds both the banding leg and the verify join; the text is
-    * never re-shingled). A production deployment additionally stores
-    * the seen side's signatures at ingestion time (32 longs/doc) and
-    * skips that side's shingle pass entirely.
+    * This overload takes PRECOMPUTED signature tables
+    * ([[nearDupSignatures]] rows, e.g. read back from the parquet a
+    * previous ingestion run wrote) — the deployment form: the seen
+    * corpus is never re-read, never re-shingled; only its stored
+    * signatures join. `TextSpec` proves the stored-signature path is
+    * row-identical to the recompute path.
     */
-  def incrementalNearDup(
-      batch: DataFrame,
-      seen: DataFrame,
+  def incrementalNearDupSigs(
+      batchSigs: DataFrame,
+      seenSigs: DataFrame,
       threshold: Double = 0.5
   ): DataFrame = {
-    def side(docs: DataFrame): (DataFrame, DataFrame) = {
-      val sh = graft.Caches.track("text", docShingles(docs))
-      val banded = sh
-        .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
-        .select(col("doc_id"),
-          posexplode(bandHashes(col("sig")))
-            .as(Seq("band_idx", "band_hash")))
-      (sh, banded)
-    }
-    val (shBatch, bandBatch) = side(batch)
-    val (shSeen, bandSeen) = side(seen)
-    val cands = bandBatch.as("b").join(bandSeen.as("s"),
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc_id"),
+        posexplode(bandHashes(col("sig")))
+          .as(Seq("band_idx", "band_hash")))
+    val cands = banded(batchSigs).as("b").join(banded(seenSigs).as("s"),
         col("b.band_idx") === col("s.band_idx") &&
           col("b.band_hash") === col("s.band_hash"))
       .select(col("b.doc_id").as("doc_a"), col("s.doc_id").as("doc_b"))
       .distinct()
     cands
-      .join(shBatch.select(col("doc_id").as("doc_a"),
-        col("sh").as("sh_a")), "doc_a")
-      .join(shSeen.select(col("doc_id").as("doc_b"),
-        col("sh").as("sh_b")), "doc_b")
+      .join(batchSigs.select(col("doc_id").as("doc_a"),
+        col("sh_hash").as("sh_a")), "doc_a")
+      .join(seenSigs.select(col("doc_id").as("doc_b"),
+        col("sh_hash").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b"))))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Recompute-from-text convenience form of the gate: signs both
+    * sides with [[nearDupSignatures]] (each side's signature table is
+    * computed once per call — it feeds both the banding leg and the
+    * verify join) and delegates to [[incrementalNearDupSigs]], so the
+    * two forms cannot diverge. Use the sigs overload in deployment —
+    * re-signing the seen corpus per batch is exactly the cost the
+    * stored-signature table exists to avoid.
+    */
+  def incrementalNearDup(
+      batch: DataFrame,
+      seen: DataFrame,
+      threshold: Double = 0.5
+  ): DataFrame =
+    incrementalNearDupSigs(
+      graft.Caches.track("text", nearDupSignatures(batch)),
+      graft.Caches.track("text", nearDupSignatures(seen)),
+      threshold)
 
   /** Exact n-gram Jaccard verification over candidate pairs. */
   def ngramJaccard(

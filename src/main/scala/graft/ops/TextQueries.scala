@@ -80,7 +80,12 @@ object TextQueries {
     // vs unrelated docs at j ≈ 0), so the banded candidate set at
     // est >= 0.2 coincides with the exact j >= 0.5 set — the same
     // corpus-level recall assumption documented on
-    // q_text_ngram_jaccard below.
+    // q_text_ngram_jaccard below. That assumption is PINNED by the
+    // adversarial fixture in TextSpec ("LSH adversarial-recall
+    // fixture"): planted j≈0.5 pairs are missed at the predicted
+    // 1-(1-j⁴)⁸ rate while j≈0.9 pairs are all caught — so a future
+    // red here on refreshed testdata is attributable to documented
+    // probabilistic recall, not a jaccard bug.
     "q_text_minhash_neardup" -> ((s, d) =>
       candidates(s, d).select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -94,7 +99,10 @@ object TextQueries {
     // 1; a marginal pair missed by banding on a different corpus
     // would surface here as a correctness diff, distinguishable from
     // a jaccard-computation bug by q_text_jaccard_exact (same oracle,
-    // LSH-free path) staying green.
+    // LSH-free path) staying green. The recall curve itself is
+    // asserted by TextSpec's "LSH adversarial-recall fixture"
+    // (planted j≈0.5 pairs), so the assumption is test-pinned rather
+    // than testdata luck.
     "q_text_ngram_jaccard" -> ((s, d) =>
       Text.ngramJaccard(Tables.documents(s, d), candidates(s, d))
         .filter(col("jaccard") >= 0.5)
@@ -154,12 +162,21 @@ object TextQueries {
     // already-ingested slice (doc_id % 10 == 0) — the same split as
     // q_text_incremental_dedup; oracle = the unpruned cross-side
     // exact-jaccard join (same corpus-bimodality recall assumption
-    // documented on q_text_ngram_jaccard)
+    // documented on q_text_ngram_jaccard, pinned by TextSpec's "LSH
+    // adversarial-recall fixture"). Runs the gate THROUGH its
+    // deployment form: the seen side is a precomputed
+    // nearDupSignatures table (session-cached, standing in for the
+    // parquet a previous ingestion wrote — TextSpec proves the
+    // parquet round-trip identical), so the green row certifies the
+    // stored-signature path itself.
     "q_text_incremental_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Text.incrementalNearDup(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0))
+      val seenSigs = graft.Caches.persisted("text", ("seensigs", s, d))(
+        Text.nearDupSignatures(docs.filter(col("doc_id") % 10 === 0)))
+      Text.incrementalNearDupSigs(
+        graft.Caches.track("text",
+          Text.nearDupSignatures(docs.filter(col("doc_id") % 10 =!= 0))),
+        seenSigs)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     // corpus-level passage SCRUB (removal twin of q_text_dup_spans):

@@ -253,6 +253,73 @@ class TextSpec extends SparkSpec {
       s"banding lost qualifying pairs: ${exact.diff(cands)}")
   }
 
+  test("LSH adversarial-recall fixture: planted j≈0.5 pairs follow " +
+      "the banded recall curve 1-(1-j⁴)⁸ — pins the corpus-" +
+      "bimodality assumption the minhash oracles rely on") {
+    // The oracle-green rows for q_text_minhash_neardup /
+    // q_text_ngram_jaccard / q_text_incremental_neardup hold because
+    // the testdata's similarity distribution is bimodal (j≈0.9 dups
+    // vs j≈0 noise) — banded recall at j≈0.9 is ≈1. This fixture
+    // PLANTS the adversarial middle the testdata lacks: pairs at
+    // j≈0.49, where 8-band×4-row recall is only 1-(1-j⁴)⁸ ≈ 0.38 —
+    // and asserts both halves of the assumption: mid-band pairs ARE
+    // missed at the predicted rate (so a testdata refresh with such
+    // pairs flipping those rows red is the documented probabilistic
+    // recall, not a jaccard bug), and high-j pairs are all caught
+    // (why today's greens hold).
+    //
+    // Pair construction (exact by shingle counting): docs of 40
+    // globally-unique tokens; the partner shares the first k tokens
+    // then diverges. Shared 3-shingles = k-2, each side has 38, so
+    // j(k) = (k-2)/(78-k): k=27 → 25/51 ≈ 0.490; k=38 → 36/40 = 0.9.
+    val nMid = 40
+    val nHigh = 10
+    def doc(pair: Int, side: Char, k: Int): String =
+      ((0 until (if (side == 'a') 40 else k)).map(j => s"p${pair}a$j")
+        ++ (if (side == 'a') Seq.empty
+            else (k until 40).map(j => s"p${pair}b$j")))
+        .mkString(" ")
+    val rows =
+      (0 until nMid).flatMap(i => Seq(
+        (2L * i, doc(i, 'a', 27)), (2L * i + 1, doc(i, 'b', 27)))) ++
+      (0 until nHigh).flatMap(i => Seq(
+        (1000L + 2 * i, doc(100 + i, 'a', 38)),
+        (1000L + 2 * i + 1, doc(100 + i, 'b', 38))))
+    val fixture = rows.toDF("doc_id", "text")
+    // fixture sanity: the exact path sees the planted similarities
+    val exact = Text.jaccardExactPairs(fixture, 0.45).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val midPairs = (0 until nMid).map(i => (2L * i, 2L * i + 1))
+    val highPairs = (0 until nHigh)
+      .map(i => (1000L + 2 * i, 1000L + 2 * i + 1))
+    midPairs.foreach(p => assert(
+      math.abs(exact(p) - 25.0 / 51.0) < 1e-12, s"fixture broke at $p"))
+    highPairs.foreach(p => assert(exact(p) == 0.9))
+    // banded candidates: recall at j≈0.49 should sit near the curve
+    val cands = Text.minhashCandidates(fixture, 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val midFound = midPairs.count(cands)
+    val highFound = highPairs.count(cands)
+    val expected = 1 - math.pow(1 - math.pow(25.0 / 51.0, 4), 8) // ≈.38
+    assert(highFound == nHigh,
+      s"high-j recall must be ~1 (curve: .9998), got $highFound/$nHigh")
+    assert(midFound > 0 && midFound < nMid,
+      s"mid-band recall must be strictly partial, got $midFound/$nMid")
+    assert(math.abs(midFound.toDouble / nMid - expected) < 0.25,
+      s"mid recall ${midFound.toDouble / nMid} far from curve $expected")
+    // the incremental gate bands the same signatures → same curve
+    // (sides split so every planted pair crosses them)
+    val even = fixture.filter(col("doc_id") % 2 === 0)
+    val odd = fixture.filter(col("doc_id") % 2 =!= 0)
+    val inc = Text.incrementalNearDup(odd, even, 0.45).collect()
+      .map(r => (r.getAs[Long]("doc_b"), r.getAs[Long]("doc_a"))).toSet
+    val incMid = midPairs.count(inc)
+    assert(highPairs.count(inc) == nHigh)
+    assert(incMid > 0 && incMid < nMid)
+    assert(math.abs(incMid.toDouble / nMid - expected) < 0.25)
+  }
+
   test("incrementalDedup: batch-internal + against-seen, bloom exact") {
     val seen = Seq(
       (100L, "already ingested content", "en", "s", 24L)
@@ -299,6 +366,47 @@ class TextSpec extends SparkSpec {
     assert(got.keySet == Set((1L, 101L), (1L, 102L)))
     assert(got((1L, 102L)) == 1.0)
     assert(got((1L, 101L)) > 0.5 && got((1L, 101L)) < 1.0)
+  }
+
+  test("incrementalNearDup: stored-signature path is row-identical " +
+      "to the recompute path (parquet round-trip)") {
+    // the gate's 100 TB story: the seen corpus's signatures are
+    // written ONCE at ingestion (nearDupSignatures) and every later
+    // batch joins against the STORED table — this spec proves that
+    // path produces exactly what re-signing the text would
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+    val batch = corpus.filter(col("doc_id") % 10 =!= 0)
+    val seen = corpus.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigs").toString
+    Text.nearDupSignatures(batch).write.parquet(s"$dir/batch")
+    Text.nearDupSignatures(seen).write.parquet(s"$dir/seen")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val stored = key(Text.incrementalNearDupSigs(
+      spark.read.parquet(s"$dir/batch"),
+      spark.read.parquet(s"$dir/seen"), threshold = 0.5))
+    val recomputed = key(Text.incrementalNearDup(batch, seen, 0.5))
+    assert(stored == recomputed)
+    assert(stored.nonEmpty) // sf0.001 has cross-side near-dups
+  }
+
+  test("incrementalNearDup: degenerate (<3-token) docs are excluded " +
+      "before banding — no short-doc hot bucket") {
+    // every <3-token doc collapses to one whole-text shingle; without
+    // the docShingles guard, identical short docs (all empties, say)
+    // share a MinHash signature and band together on EVERY band —
+    // |shortBatch|×|shortSeen| candidates through the join
+    val batch = Seq((1L, ""), (2L, "one two"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val seen = Seq((101L, ""), (102L, "one two"), (103L, "x y z w"))
+      .toDF("doc_id", "text")
+    val sigs = Text.nearDupSignatures(batch).collect()
+    assert(sigs.map(_.getAs[Long]("doc_id")).toSet == Set(3L))
+    val out = Text.incrementalNearDup(batch, seen, 0.5).collect()
+    assert(out.isEmpty) // 1-101 and 2-102 are byte-identical but
+    // sub-shingle-width: the EXACT gate (incrementalDedup) owns them
   }
 
   test("sourceCap keeps a deterministic K-subset per source") {
