@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as
+// JSON; sbt's trailing "[success] Total time..." line was breaking
+// that parse every round. Suppress it, and let the forked process
+// write to the real stdout/stderr instead of through sbt's logger —
+// otherwise every line gets an "[info] "/"[error] " prefix that a
+// strict JSON parse trips over.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

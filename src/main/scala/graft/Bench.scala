@@ -34,15 +34,42 @@ object Bench {
     ops.DemuxQueries.prewarm(spark, sfDir)
     ops.CdcQueries.prewarm(spark, sfDir)
     ops.VectorQueries.prewarm(spark, sfDir)
-    // cache-family of a query name (q_text_* → "text", ...): names are
-    // processed sorted, so each family is a contiguous run and its
-    // shared persisted state (graft.Caches) can be released as soon as
-    // the run ends — the bench then measures steady state instead of
-    // an ever-growing cache pile.
+    // cache-family of a timed entry (q_text_* → "text",
+    // cache:text:* → "text", ...): entries are processed family by
+    // family, so each family's shared persisted state (graft.Caches)
+    // can be released as soon as its run ends — the bench then
+    // measures steady state instead of an ever-growing cache pile.
     def family(name: String): String =
-      name.split("_").lift(1).getOrElse("")
+      if (name.startsWith("cache:")) name.split(":")(1)
+      else name.split("_").lift(1).getOrElse("")
+    // Shared-cache builds are timed as their own `cache:<family>:*`
+    // entries, FIRST in their family — so the alphabetically-first
+    // consumer of a session cache reports its own marginal cost
+    // instead of inheriting the whole build (round 6's
+    // q_text_cluster_survivors read 14.7 s for a ~0.2 s aggregation
+    // plus the shared pair-graph + convergence build it happened to
+    // trigger).
+    val cacheBuilders: Map[String, Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]] = Map(
+      "text" -> ops.TextQueries.sharedCacheBuilders,
+      "vec" -> ops.VectorQueries.sharedCacheBuilders)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = sorted.zipWithIndex.map {
+    val entries: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = {
+      val buf = Seq.newBuilder[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]
+      var seenFam = Set.empty[String]
+      sorted.foreach { case (n, fn) =>
+        val f = family(n)
+        if (!seenFam(f)) {
+          seenFam += f
+          buf ++= cacheBuilders.getOrElse(f, Nil)
+        }
+        buf += (n -> fn)
+      }
+      buf.result()
+    }
+    val results = entries.zipWithIndex.map {
       case ((name, fn), i) =>
         val t0 = System.nanoTime()
         val n =
@@ -54,55 +81,73 @@ object Bench {
         // family's last query, then nudge GC — Spark's ContextCleaner
         // is GC-driven, and with a large heap broadcast/shuffle state
         // from earlier queries otherwise piles up and skews timings.
-        if (i + 1 >= sorted.length ||
-            family(sorted(i + 1)._1) != family(name))
+        if (i + 1 >= entries.length ||
+            family(entries(i + 1)._1) != family(name))
           Caches.release(family(name))
         System.gc()
         name -> dt
     }
     // Host-level timing noise on this box swings multi-second queries
     // up to 2× between identical runs. Re-time the noise-dominated
-    // tail (first-pass > 2 s) once more and report the per-query
+    // tail (first-pass > 2 s) once more and report the per-entry
     // minimum — standard best-of-N; both samples go to stderr.
-    // Conditions match pass 1: prewarmed state is restored first, and
-    // families are released at FAMILY boundaries (exactly like pass
-    // 1) — releasing after every retimed query made later retimes in
-    // the same family pay a full shared-state rebuild pass 1 never
-    // saw (measured: prepare 60 s retimed vs 3.5 s in-family).
+    // Conditions match pass 1: prewarmed state is restored first,
+    // cache builders run (timed when they are being retimed, untimed
+    // otherwise) BEFORE their family's retimed queries, and families
+    // release at FAMILY boundaries — releasing after every retimed
+    // query made later retimes in the same family pay a full
+    // shared-state rebuild pass 1 never saw (measured: prepare 60 s
+    // retimed vs 3.5 s in-family).
     Caches.releaseAll()
     ops.DemuxQueries.prewarm(spark, sfDir)
     ops.CdcQueries.prewarm(spark, sfDir)
     ops.VectorQueries.prewarm(spark, sfDir)
-    val toRetime = results.filter(_._2 > 2.0).map(_._1)
     val firstPass = results.toMap
-    val retimes = toRetime.zipWithIndex.map { case (name, i) =>
-      val fn = SparkEntry.queries(name)
-      def sample(): Double = {
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(
-          f"[bench] $name%-28s $dt%8.2fs  rows=$n (retime)")
-        // a failed retime (rows=-1) must never replace a valid sample
-        if (n < 0) Double.MaxValue else dt
+    val toRetime = results.filter(_._2 > 2.0).map(_._1).toSet
+    val fams = entries.map(e => family(e._1))
+    val famHasRetime = fams.toSet.filter(f =>
+      entries.exists(e => family(e._1) == f && toRetime(e._1)))
+    val retimes = scala.collection.mutable.Map.empty[String, Double]
+    entries.zipWithIndex.foreach { case ((name, fn), i) =>
+      val fam = family(name)
+      val isCache = name.startsWith("cache:")
+      if (famHasRetime(fam) && (toRetime(name) || isCache)) {
+        def sample(): Double = {
+          val t0 = System.nanoTime()
+          val n = try fn(spark, sfDir).count()
+            catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[bench] $name%-28s $dt%8.2fs  rows=$n (retime)")
+          // a failed retime (rows=-1) must never replace a valid one
+          if (n < 0) Double.MaxValue else dt
+        }
+        if (toRetime(name)) {
+          val dt2 = sample()
+          // This host shows bursty multi-minute noise windows:
+          // identical runs of the same binary measured 30× apart (4 s
+          // vs 128 s, CPU steal ~6%). When the two samples STILL
+          // disagree by >2× and the better one is >2 s, take one
+          // tie-breaker so a single bad window can't set the number.
+          val dt1 = firstPass(name)
+          val dt3 =
+            if (math.min(dt1, dt2) > 2.0 &&
+                math.max(dt1, dt2) / math.min(dt1, dt2) > 2.0) sample()
+            else Double.MaxValue
+          retimes(name) = math.min(dt2, dt3)
+        } else {
+          // a sub-threshold cache build still has to RUN (warm state
+          // for the family's retimed queries), just untimed
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => () }
+        }
+        System.gc()
       }
-      val dt2 = sample()
-      // This host shows bursty multi-minute noise windows: identical
-      // runs of the same binary measured 30× apart (4 s vs 128 s,
-      // CPU steal ~6%). When the two samples STILL disagree by >2×
-      // and the better one is >2 s, take one tie-breaker so a single
-      // bad window can't set the reported number.
-      val dt1 = firstPass(name)
-      val dt3 =
-        if (math.min(dt1, dt2) > 2.0 &&
-            math.max(dt1, dt2) / math.min(dt1, dt2) > 2.0) sample()
-        else Double.MaxValue
-      if (i + 1 >= toRetime.length ||
-          family(toRetime(i + 1)) != family(name))
-        Caches.release(family(name))
-      System.gc()
-      name -> math.min(dt2, dt3)
-    }.toMap
+      // release at the family boundary whether or not anything ran —
+      // release of an unbuilt family is a no-op
+      if (i + 1 >= entries.length || fams(i + 1) != fam)
+        Caches.release(fam)
+    }
     val retimed = results.map { case (name, dt1) =>
       name -> math.min(dt1, retimes.getOrElse(name, dt1))
     }

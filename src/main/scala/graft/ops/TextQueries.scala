@@ -45,6 +45,31 @@ object TextQueries {
     graft.Caches.persisted("text", ("bpe", s, d))(
       Text.bpeLearnMerges(Tables.documents(s, d), nMerges = 20))
 
+  /** Seen-side near-dup signature table (the stored artifact the
+    * incremental gate joins against), memoized per session like the
+    * other shared caches.
+    */
+  private def seenSigs(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("text", ("seensigs", s, d))(
+      Text.nearDupSignatures(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)))
+
+  /** The session-shared materializations above, in dependency order,
+    * for the bench's cache-attribution lines: Bench times each as its
+    * own `cache:text:*` entry before the family's queries, so no
+    * query's headline silently absorbs a shared build (the
+    * alphabetically-first consumer otherwise pays for everyone —
+    * q_text_cluster_survivors reported 14.7 s in round 6 for what is
+    * a ~0.2 s aggregation plus the shared pair-graph build).
+    */
+  val sharedCacheBuilders: Seq[(String, Q)] = Seq(
+    "cache:text:minhash_candidates" -> ((s, d) => candidates(s, d)),
+    "cache:text:jac_pairs" -> ((s, d) => jacPairs(s, d)),
+    "cache:text:dup_clusters" -> ((s, d) => clusterAssign(s, d)),
+    "cache:text:bpe_merges" -> ((s, d) => learnedMerges(s, d)),
+    "cache:text:seen_sigs" -> ((s, d) => seenSigs(s, d))
+  )
+
   val queries: Map[String, Q] = Map(
     "q_text_exact_dup_groups" -> ((s, d) =>
       Text.exactDupGroups(Tables.documents(s, d))
@@ -171,12 +196,10 @@ object TextQueries {
     // stored-signature path itself.
     "q_text_incremental_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val seenSigs = graft.Caches.persisted("text", ("seensigs", s, d))(
-        Text.nearDupSignatures(docs.filter(col("doc_id") % 10 === 0)))
       Text.incrementalNearDupSigs(
         graft.Caches.track("text",
           Text.nearDupSignatures(docs.filter(col("doc_id") % 10 =!= 0))),
-        seenSigs)
+        seenSigs(s, d))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     // corpus-level passage SCRUB (removal twin of q_text_dup_spans):

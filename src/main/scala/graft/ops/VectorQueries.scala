@@ -38,6 +38,16 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         0.4))
 
+  /** Session-shared materializations for the bench's
+    * cache-attribution lines (same contract as
+    * `TextQueries.sharedCacheBuilders`). The IVF quantizer fit stays
+    * in `prewarm` — it is the documented offline-training step, not
+    * query work.
+    */
+  val sharedCacheBuilders: Seq[(String, Q)] = Seq(
+    "cache:vec:semantic_pairs" -> ((s, d) => semPairs(s, d))
+  )
+
   val queries: Map[String, Q] = Map(
     "q_vec_cosine_topk" -> ((s, d) =>
       Vector.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
