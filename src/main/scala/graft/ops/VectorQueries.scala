@@ -76,13 +76,21 @@ object VectorQueries {
     // threshold 0.4 ≈ p99.99 of the (near-random) corpus's pairwise
     // cosine — dozens of true pairs at sf0.01, so the result is
     // non-empty and the LSH recall is measurable (VectorSpec asserts
-    // it against the exact twin below)
-    // 16 bands × 5 bits: ~2000-vector corpus → ~60 vectors/bucket;
-    // bits ≈ log2(n) keeps candidate volume ~linear (4 bits doubles
-    // candidates for ~6 points of recall at the 0.4 threshold floor)
+    // it against the exact twin below).
+    // 32 bands × 4 bits: banded recall 1-(1-p⁴)³² ≈ 0.996 at the
+    // cos=0.4 floor (p = 1 - acos(0.4)/π ≈ 0.63), and measured
+    // recall is exactly 1 on both test corpora (sf0.001: 66/66,
+    // sf0.01: 59/59) — which is what makes the exact-twin SQL an
+    // oracle for this entry (same corpus-level recall contract as
+    // q_text_minhash_neardup; a banding miss on refreshed testdata
+    // is the documented probabilistic recall, distinguishable from a
+    // cosine bug by q_vec_neardup_exact staying green). In
+    // production bits/band scales with log2(n) to keep candidate
+    // volume linear; recall-1 verification configs like this one are
+    // for audit runs.
     "q_vec_neardup" -> ((s, d) =>
-      Vector.cosineNearDup(Tables.embeddings(s, d), 0.4, nBands = 16,
-        bitsPerBand = 5)
+      Vector.cosineNearDup(Tables.embeddings(s, d), 0.4, nBands = 32,
+        bitsPerBand = 4)
         .orderBy(col("vec_a"), col("vec_b"))),
     // exact n² twin (oracle-checked): the verification baseline the
     // banded-LSH path is measured against
@@ -146,6 +154,29 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the banded sign-LSH path must land on the exact n² pair set
+    // (recall 1 on this corpus — see the registry comment); same SQL
+    // as q_vec_neardup_exact on purpose, mirroring how
+    // q_text_ngram_jaccard shares q_text_jaccard_exact's oracle
+    "q_vec_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id),
+        |u AS (
+        |  SELECT e.vec_id,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(a.ux * b.ux) AS cos_sim
+        |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, cos_sim FROM p
+        |WHERE cos_sim >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q_vec_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings
          |           WHERE vec_id = 0),
@@ -160,7 +191,10 @@ object VectorQueries {
          |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
          |  FROM pairs GROUP BY vec_id, label)
          |SELECT vec_id, label, dot / (norm_a * norm_b) AS cos_sim
-         |FROM dots ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+         |-- norm guard: Spark's rankedAgainst filters !isnan; DuckDB
+         |-- would rank a zero-norm pair's NaN first under DESC
+         |FROM dots WHERE norm_a > 0 AND norm_b > 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_vec_semantic_contamination" ->
       """WITH ev AS (
          |  SELECT vec_id AS eval_id, embedding AS eval_emb
@@ -179,8 +213,12 @@ object VectorQueries {
          |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
          |  FROM pairs GROUP BY vec_id, eval_id),
          |sims AS (
+         |  -- norm guard: Spark drops NaN cosines (zero-norm vectors)
+         |  -- explicitly; DuckDB's IEEE NaN would otherwise satisfy
+         |  -- >= 0.35 (NaN sorts greater than all values)
          |  SELECT vec_id, eval_id, dot / (norm_a * norm_b) AS cos_sim
-         |  FROM dots WHERE dot / (norm_a * norm_b) >= 0.35)
+         |  FROM dots WHERE norm_a > 0 AND norm_b > 0
+         |    AND dot / (norm_a * norm_b) >= 0.35)
          |SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(cos_sim) AS max_sim
          |FROM sims GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // metadata-filtered variant of the cosine-topk oracle: the doc
@@ -201,7 +239,10 @@ object VectorQueries {
          |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
          |  FROM pairs GROUP BY vec_id, label)
          |SELECT vec_id, label, dot / (norm_a * norm_b) AS cos_sim
-         |FROM dots ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+         |-- norm guard: Spark's rankedAgainst filters !isnan; DuckDB
+         |-- would rank a zero-norm pair's NaN first under DESC
+         |FROM dots WHERE norm_a > 0 AND norm_b > 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_vec_feature_knn" ->
       """WITH f AS (
         |  SELECT d.doc_id AS vec_id,
@@ -223,7 +264,8 @@ object VectorQueries {
         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
         |  FROM pairs GROUP BY vec_id)
         |SELECT vec_id, 0 AS label, dot / (norm_a * norm_b) AS cos_sim
-        |FROM dots ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+        |FROM dots WHERE norm_a > 0 AND norm_b > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_vec_label_centroid" ->
       """SELECT label, pos,
         |  CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT))
