@@ -18,6 +18,9 @@ run / fork := true
 // otherwise every line gets an "[info] "/"[error] " prefix that a
 // strict JSON parse trips over.
 Global / showSuccess := false
+// (showSuccess is read by sbt's command engine, not a task — exclude
+// it from the unused-key lint so batch runs stay warning-free)
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -108,6 +108,33 @@ object Graft {
         seen: DataFrame,
         threshold: Double = 0.5
     ): DataFrame = ops.Text.incrementalNearDup(docs, seen, threshold)
+    /** [[dedupAgainst]] vs a PRECOMPUTED seen-hash table
+      * ([[seenContentHashes]] rows) — the deployment form: the seen
+      * corpus's text is never re-read.
+      */
+    def dedupAgainstHashes(
+        seenHashTable: DataFrame,
+        bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    ): DataFrame =
+      ops.Text.incrementalDedupHashes(docs, seenHashTable, bloom)
+    /** [[nearDupsAgainst]] between PRECOMPUTED signature tables
+      * ([[nearDupSignatures]] rows): `this` frame must already BE a
+      * signature table (the batch side). Deployment form — the seen
+      * corpus is never re-shingled.
+      */
+    def nearDupsAgainstSigs(
+        seenSigs: DataFrame,
+        threshold: Double = 0.5
+    ): DataFrame =
+      ops.Text.incrementalNearDupSigs(docs, seenSigs, threshold)
+    /** The per-doc artifact [[nearDupsAgainstSigs]] joins: MinHash
+      * signature + hashed shingles — what an ingestion pipeline
+      * persists per admitted doc (see streaming.IngestPipeline).
+      */
+    def nearDupSignatures: DataFrame = ops.Text.nearDupSignatures(docs)
+    /** Distinct md5 content hashes — [[dedupAgainstHashes]]' stored
+      * artifact. */
+    def seenContentHashes: DataFrame = ops.Text.seenHashes(docs)
     def cappedPerSource(cap: Int): DataFrame =
       ops.Text.sourceCap(docs, cap)
     def tokenBudgeted(budgets: Seq[(String, Long)]): DataFrame =

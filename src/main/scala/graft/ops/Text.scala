@@ -1332,9 +1332,26 @@ object Text {
       docs: DataFrame,
       seenDocs: DataFrame,
       bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+  ): DataFrame =
+    incrementalDedupHashes(docs, seenHashes(seenDocs), bloom)
+
+  /** The persisted-hash table the exact gate consumes: one 16-byte
+    * md5 per distinct seen text — the exact-dedup counterpart of
+    * [[nearDupSignatures]] (store hashes at ingestion, never re-read
+    * the seen text). */
+  def seenHashes(seenDocs: DataFrame): DataFrame =
+    seenDocs
+      .select(md5(col("text").cast("binary")).as("text_hash")).distinct()
+
+  /** [[incrementalDedup]] against a PRECOMPUTED seen-hash table
+    * ([[seenHashes]] rows) — the deployment form; the text overload
+    * delegates here so the two cannot diverge. */
+  def incrementalDedupHashes(
+      docs: DataFrame,
+      seenHashTable: DataFrame,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
   ): DataFrame = {
-    val seenH = seenDocs
-      .select(md5(col("text").cast("binary")).as("__h")).distinct()
+    val seenH = seenHashTable.select(col("text_hash").as("__h"))
     val batch = exactDedup(docs)
       .withColumn("__h", md5(col("text").cast("binary")))
     val joined = bloom match {

@@ -47,6 +47,13 @@ class GraftApiSpec extends SparkSpec {
       r.getAs[Long]("df") == 2L))
     assert(docs.rollingFingerprinted.columns.contains("roll_fp"))
     assert(docs.simhashed.count() == 3)
+    // stored-artifact gate surface: hashes + signatures round trip
+    assert(docs.seenContentHashes.count() == 2) // docs 1,2 identical
+    val sigs = docs.nearDupSignatures
+    assert(sigs.filter($"doc_id" === 1L).nearDupsAgainstSigs(
+      sigs.filter($"doc_id" === 2L)).count() == 1)
+    assert(docs.filter($"doc_id" === 3L).dedupAgainstHashes(
+      docs.filter($"doc_id" === 1L).seenContentHashes).count() == 1)
     val out = java.nio.file.Files
       .createTempDirectory("graft-api-export").toString
     docs.writePartitioned(out, partitionCols = Seq("lang"))
@@ -141,7 +148,11 @@ class GraftApiSpec extends SparkSpec {
       "packChunksFirstFit" -> "packedChunksFirstFit",
       "qualityPercentiles" -> "qualityPercentiled",
       "qualityDecileThresholds" -> "qualityThresholds",
-      "incrementalNearDup" -> "nearDupsAgainst")
+      "incrementalNearDup" -> "nearDupsAgainst",
+      "incrementalNearDupSigs" -> "nearDupsAgainstSigs",
+      "nearDupSignatures" -> "nearDupSignatures",
+      "incrementalDedupHashes" -> "dedupAgainstHashes",
+      "seenHashes" -> "seenContentHashes")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

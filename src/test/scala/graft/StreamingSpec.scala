@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{CdcPipeline, EventTimeOps, LogPipeline, Sessionize}
+import graft.streaming.{CdcPipeline, EventTimeOps, IngestPipeline, LogPipeline, Sessionize}
 
 /** Streaming-semantics tests (SURVEY §5 item 4): MemoryStream →
   * identical pipelines → processAllAvailable, plus watermark/late
@@ -315,6 +315,75 @@ class StreamingSpec extends SparkSpec {
       // and the PII actually got redacted on the way through
       assert(streamOut.forall(!_._2.contains("bob@example.com")))
     } finally sq.stop()
+  }
+
+  test("streaming ingestion gate (exact + near-dup vs accumulating " +
+      "seen store) == batch gate on same batches") {
+    // IngestPipeline is the deployment form of the incremental gates:
+    // foreachBatch admits each micro-batch against the seen store and
+    // extends the store with the survivors' ARTIFACTS (hashes +
+    // signatures, never text). Parity: the same two batches through
+    // the streaming query and through two direct processBatch calls
+    // must admit identical doc sets and leave identical stores.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Text
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val aNear = "the quick brown fox jumps over the lazy dog tomorrow"
+    val b = "completely unrelated second document with its own words"
+    val c = "a third novel document containing fresh content entirely"
+    val batch1 = Seq((1L, a), (2L, b), (3L, "hi"))
+    val batch2 = Seq(
+      (11L, a),     // exact copy of seen 1 → exact gate drops
+      (12L, aNear), // near copy of seen 1 (j = 8/10) → near gate drops
+      (13L, c),     // novel → admitted
+      (14L, c),     // batch-internal exact dup of 13 → dropped
+      (15L, "hi")   // short doc, exact copy of seen 3 → exact gate
+    )
+    def runBatches(process: Seq[(Long, String)] => Unit): Unit = {
+      process(batch1); process(batch2)
+    }
+    // batch twin
+    val batchStore = new IngestPipeline.MemoryStore(spark)
+    val batchAdmitted = scala.collection.mutable.ArrayBuffer[Long]()
+    runBatches(rows => IngestPipeline.processBatch(
+      rows.toDF("doc_id", "text"), batchStore,
+      df => batchAdmitted ++=
+        df.select("doc_id").collect().map(_.getLong(0))))
+    assert(batchAdmitted.toSet == Set(1L, 2L, 3L, 13L))
+    // streaming side: two MemoryStream micro-batches through start()
+    val store = new IngestPipeline.MemoryStore(spark)
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val sq = IngestPipeline.start(
+      in.toDF().toDF("doc_id", "text"), store,
+      df => admitted ++= df.select("doc_id").collect().map(_.getLong(0)),
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-ingest-ckpt").toString)
+    try {
+      in.addData(batch1)
+      sq.processAllAvailable()
+      in.addData(batch2)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    assert(admitted.toSet == batchAdmitted.toSet)
+    // stores converged to the same state: hashes of the 4 admitted
+    // texts; signatures only for the >= 3-token admitted docs
+    def hs(s: IngestPipeline.SeenStore) =
+      s.hashes.collect().map(_.getString(0)).toSet
+    def sg(s: IngestPipeline.SeenStore) =
+      s.sigs.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Seq[Long]]("sig"))).toSet
+    assert(hs(store) == hs(batchStore) && hs(store).size == 4)
+    assert(sg(store) == sg(batchStore))
+    assert(sg(store).map(_._1) == Set(1L, 2L, 13L)) // "hi" has no sig
+    // the near-dup artifact actually gates: 12's signature against
+    // the stored state says near-dup of 1
+    val probe = Text.incrementalNearDupSigs(
+      Text.nearDupSignatures(Seq((12L, aNear)).toDF("doc_id", "text")),
+      store.sigs, 0.5).collect()
+    assert(probe.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet ==
+      Set((12L, 1L)))
   }
 
   test("streaming content-defined chunking == batch on same docs") {
