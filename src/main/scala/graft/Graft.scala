@@ -82,6 +82,10 @@ object Graft {
     /** Scale-path decile thresholds (approx_percentile sketch). */
     def qualityThresholds: DataFrame =
       ops.Text.qualityDecileThresholds(docs)
+    /** Exact decile thresholds — the audit twin of
+      * [[qualityThresholds]] (window-based; calibration scale). */
+    def qualityThresholdsExact: DataFrame =
+      ops.Text.qualityDecileThresholdsExact(docs)
     def langGuessed: DataFrame = ops.Text.langGuess(docs)
     def tokenStats: DataFrame = ops.Text.tokenStats(docs)
     def bpeTokenCounts: DataFrame = ops.Text.bpeTokenStats(docs)

@@ -137,6 +137,21 @@ object Text {
       .select((col("pos") + 1).cast("int").as("decile"),
         col("col").as("quality_threshold"))
 
+  /** EXACT decile thresholds — the hash-checkable twin that brackets
+    * the [[qualityDecileThresholds]] sketch: threshold d = the
+    * largest quality in `ntile(10)` decile d of the
+    * [[qualityPercentiles]] ranking (deterministic under the
+    * (quality, doc_id) total order). Calibration-scale tool, same
+    * caveat as qualityPercentiles: the global window is one
+    * partition — at full scale the sketch is the path and this twin
+    * is what audits it on a sample.
+    */
+  def qualityDecileThresholdsExact(docs: DataFrame): DataFrame =
+    qualityPercentiles(docs)
+      .filter(col("q_decile") <= 9)
+      .groupBy(col("q_decile").cast("int").as("decile"))
+      .agg(max(col("quality")).as("quality_threshold"))
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is"),
     "de" -> Seq("der", "und", "die", "nicht"),

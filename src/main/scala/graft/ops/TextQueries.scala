@@ -95,6 +95,14 @@ object TextQueries {
     "q_text_quality_thresholds" -> ((s, d) =>
       Text.qualityDecileThresholds(Tables.documents(s, d))
         .orderBy(col("decile"))),
+    // the EXACT decile-threshold twin (max quality per ntile decile
+    // of the oracle-green percentile ranking): hash-checked, so the
+    // sketch path above is bracketed by a twin the driver verifies —
+    // TextSpec asserts each sketch threshold lies within one decile
+    // of its exact counterpart
+    "q_text_quality_deciles_exact" -> ((s, d) =>
+      Text.qualityDecileThresholdsExact(Tables.documents(s, d))
+        .orderBy(col("decile"))),
     "q_text_fingerprint" -> ((s, d) =>
       Text.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // MinHash-LSH candidate pairs, ids only (the jaccard_est column
@@ -507,6 +515,26 @@ object TextQueries {
          |  FROM reach JOIN e ON reach.r = e.src)
          |SELECT doc_id, MIN(r) AS cluster
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_quality_deciles_exact" ->
+      s"""WITH qt AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    ${qualityExprSql("toks")}
+         |      AS quality
+         |  FROM qt),
+         |d AS (
+         |  SELECT quality,
+         |    CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INT)
+         |      AS q_decile
+         |  FROM q)
+         |SELECT q_decile AS decile, MAX(quality) AS quality_threshold
+         |FROM d WHERE q_decile <= 9
+         |GROUP BY q_decile ORDER BY decile""".stripMargin,
     "q_text_quality_pct" ->
       s"""WITH qt AS (
          |  SELECT doc_id, n_chars,

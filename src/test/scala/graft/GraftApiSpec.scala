@@ -148,6 +148,7 @@ class GraftApiSpec extends SparkSpec {
       "packChunksFirstFit" -> "packedChunksFirstFit",
       "qualityPercentiles" -> "qualityPercentiled",
       "qualityDecileThresholds" -> "qualityThresholds",
+      "qualityDecileThresholdsExact" -> "qualityThresholdsExact",
       "incrementalNearDup" -> "nearDupsAgainst",
       "incrementalNearDupSigs" -> "nearDupsAgainstSigs",
       "nearDupSignatures" -> "nearDupSignatures",

@@ -55,6 +55,40 @@ class TextSpec extends SparkSpec {
     assert(th.map(_._1).toSeq == (1 to 9))
     assert(th.map(_._2).toSeq ==
       th.map(_._2).toSeq.sorted)
+    // exact twin on the tiny corpus: one doc per ntile group (ntile
+    // emits min(N, 10) groups — 5 docs → deciles 1..5), monotone
+    val exactTiny = Text.qualityDecileThresholdsExact(docs).collect()
+      .map(x => (x.getAs[Int]("decile"),
+        x.getAs[Double]("quality_threshold"))).toMap
+    assert(exactTiny.keySet == (1 to math.min(9, r.length)).toSet)
+    assert(exactTiny.keySet.forall(d =>
+      exactTiny(d) >= exactTiny.getOrElse(d - 1,
+        Double.NegativeInfinity)))
+    // the sketch is BRACKETED by the exact (hash-checked) twin: each
+    // approx threshold lies within one decile of its exact
+    // counterpart (exact(d-1) <= approx(d) <= exact(d+1), corpus max
+    // closing the top) — so a sketch-merge regression that walks a
+    // threshold out of its decile fails here even though the sketch
+    // row itself is rows-only for the driver. Asserted on sf0.001
+    // (N=50): the bracket needs real decile geometry — at N<10 the
+    // ntile max-rank (d/N quantile) and the d/10 percentile are
+    // different conventions and legitimately disagree.
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+    val exact = Text.qualityDecileThresholdsExact(corpus).collect()
+      .map(x => (x.getAs[Int]("decile"),
+        x.getAs[Double]("quality_threshold"))).toMap
+    assert(exact.keySet == (1 to 9).toSet)
+    val sketch = Text.qualityDecileThresholds(corpus).collect()
+      .map(x => (x.getAs[Int]("decile"),
+        x.getAs[Double]("quality_threshold")))
+    val qMax = Text.qualityScore(corpus).agg(max(col("quality")))
+      .head().getDouble(0)
+    sketch.foreach { case (d, t) =>
+      val lo = exact.getOrElse(d - 1, Double.NegativeInfinity)
+      val hi = exact.getOrElse(d + 1, qMax)
+      assert(t >= lo && t <= hi,
+        s"sketch threshold $t for decile $d outside [$lo, $hi]")
+    }
     val qs = r.map(_._2).sorted
     th.foreach { case (d, t) =>
       val atOrBelow = qs.count(_ <= t).toDouble / qs.length
