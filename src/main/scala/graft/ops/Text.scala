@@ -996,6 +996,26 @@ object Text {
       nBuckets: Int = 8
   ): DataFrame = {
     require(seqTokens >= 1, s"seqTokens must be positive, got $seqTokens")
+    // Fail fast on the schema rather than silently casting: a
+    // non-numeric doc_id (or an overflowing value) casts to NULL and
+    // the partition walk below then dies with an opaque NPE at
+    // getLong — the one place in the library where bad input could
+    // outrun the analyzer.
+    Seq("doc_id", "chunk_id", "n_tokens").foreach { c =>
+      val f = chunks.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"packChunksFirstFit: input is missing required column " +
+            s"'$c' (got schema ${chunks.schema.simpleString})"))
+      f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"packChunksFirstFit: column '$c' must be integral, got " +
+            s"${other.simpleString}")
+      }
+    }
     val bucket = pmod(draw60(concat(col("doc_id").cast("string"),
       lit(":pack"))), lit(nBuckets.toLong))
     val prepared = chunks

@@ -703,6 +703,18 @@ class TextSpec extends SparkSpec {
       .orderBy(col("chunk_id")).collect()
     assert(b(0).getAs[Long]("seq_off") == 0L &&
       b(1).getAs[Long]("seq_id") == b(0).getAs[Long]("seq_id") + 1)
+    // bad input fails fast at plan time with a clear message — not a
+    // NULL-from-cast NPE inside the partition walk
+    val nonNumeric = Seq(("not-a-number", 0, 10))
+      .toDF("doc_id", "chunk_id", "n_tokens")
+    val e1 = intercept[IllegalArgumentException](
+      Text.packChunksFirstFit(nonNumeric))
+    assert(e1.getMessage.contains("doc_id") &&
+      e1.getMessage.contains("integral"))
+    val missing = Seq((1L, 0)).toDF("doc_id", "chunk_id")
+    val e2 = intercept[IllegalArgumentException](
+      Text.packChunksFirstFit(missing))
+    assert(e2.getMessage.contains("n_tokens"))
   }
 
   test("packChunks: contiguous per-bucket stream, exact cut math") {
