@@ -141,6 +141,12 @@ object Graft {
     def seenContentHashes: DataFrame = ops.Text.seenHashes(docs)
     def cappedPerSource(cap: Int): DataFrame =
       ops.Text.sourceCap(docs, cap)
+    /** Deterministic train/val/test assignment (hash draw vs exact
+      * cumulative thresholds; stable under corpus growth). */
+    def assignedSplits(
+        splits: Seq[(String, Double)] =
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    ): DataFrame = ops.Text.deterministicSplit(docs, splits)
     def tokenBudgeted(budgets: Seq[(String, Long)]): DataFrame =
       ops.Text.tokenBudgetSample(docs, budgets)
     def stratifiedSample(
@@ -279,6 +285,11 @@ object Graft {
       ops.Vector.assignLists(embs, model)
     def labelCentroids: DataFrame = ops.Vector.labelCentroids(embs)
     def quantizedInt8: DataFrame = ops.Vector.quantizeInt8(embs)
+    /** SQ8 first-pass ranking + exact-cosine rescore of the top
+      * `rescoreK` (the quantized serving pattern). */
+    def quantizedTopK(queryId: Long, k: Int, rescoreK: Int = 50)
+        : DataFrame =
+      ops.Vector.quantizedTopK(embs, queryId, k, rescoreK)
     // IVF is fit-once, probe-many: fit offline (memoize the model —
     // see VectorQueries.prewarm / Caches.cached), probe per query
     def fitIvf(nLists: Int = 16): KMeansModel =

@@ -1474,6 +1474,35 @@ object Text {
         col("cum_before"))
   }
 
+  /** Deterministic train/val/test assignment — the reproducible-split
+    * primitive every training pipeline needs: each doc's 60-bit md5
+    * draw is compared against the cumulative split thresholds, so
+    * the assignment is a pure function of (doc_id, salt) — stable
+    * across runs, engines, partitionings, and corpus growth (a doc
+    * keeps its split when new docs arrive; an RNG split reshuffles
+    * everything). Fractions may sum below 1 — the remainder lands in
+    * `held_out`. First matching threshold wins; map-side only.
+    */
+  def deterministicSplit(
+      docs: DataFrame,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "split"
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      "split fractions must be non-negative")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum to ${splits.map(_._2).sum} > 1")
+    val draw = draw60(
+      concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(q60)
+    val assign = splits.zip(thresholds)
+      .foldRight(lit("held_out")) { case (((name, _), thr), els) =>
+        when(draw < thr, lit(name)).otherwise(els)
+      }
+    docs.select(col("doc_id"), assign.as("split"))
+  }
+
   /** md5-based 60-bit SimHash signature over a token array. Unlike
     * [[graft.functions.simhash64]] (xxhash mixing, fastest path, no
     * SQL twin), this variant's per-token hash is the same

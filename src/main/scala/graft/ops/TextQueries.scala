@@ -228,6 +228,11 @@ object TextQueries {
     "q_text_stratified_sample" -> ((s, d) =>
       Text.stratifiedSample(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    // deterministic train/val/test assignment: pure (doc_id, salt)
+    // hash function, exact integer thresholds → oracle-exact
+    "q_text_split" -> ((s, d) =>
+      Text.deterministicSplit(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "q_text_pii" -> ((s, d) =>
       Text.piiRedact(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // decontamination: docs vs a deterministic held-out slice
@@ -693,6 +698,24 @@ object TextQueries {
          |  FROM d)
          |SELECT doc_id, stratum, CAST(n_tokens AS INT) AS n_tokens
          |FROM b WHERE draw < thr ORDER BY doc_id""".stripMargin,
+    // thresholds interpolated from the SAME Scala cumulative-sum +
+    // q60 the operator computes, so IEEE summation order cannot
+    // diverge the two engines
+    "q_text_split" -> {
+      val cum = Seq(0.9, 0.05, 0.05).scanLeft(0.0)(_ + _).tail
+        .map(Text.q60)
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |      || ':split'), 1, 15)) AS BIGINT) AS draw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN draw < ${cum(0)} THEN 'train'
+         |       WHEN draw < ${cum(1)} THEN 'val'
+         |       WHEN draw < ${cum(2)} THEN 'test'
+         |       ELSE 'held_out' END AS split
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "q_text_contamination" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

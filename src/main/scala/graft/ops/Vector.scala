@@ -364,6 +364,52 @@ object Vector {
             .otherwise(floor(x.cast("double") / col("max_abs") * 127)
               .cast("int"))).as("qvec"))
 
+  /** SQ8 retrieval with exact rescore — the quantized serving
+    * pattern the int8 corpus exists for: rank every candidate by the
+    * INTEGER dot product of the stored int8 vectors (descaled by the
+    * two max-abs scales; /127² is a global constant and cannot change
+    * the order), keep the best `rescoreK`, then re-rank those few by
+    * exact float cosine and emit the top `k`. At 100 TB the first
+    * pass streams the 4×-smaller quantized corpus map-side into a
+    * TakeOrdered; only `rescoreK` full-precision vectors are ever
+    * touched. Every stage is engine-reproducible (floor-exact
+    * quantization, integer dot, one IEEE multiply per candidate,
+    * decimal-accumulated rescore) → full SQL twin.
+    */
+  def quantizedTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      rescoreK: Int = 50
+  ): DataFrame = {
+    require(rescoreK >= k, s"rescoreK ($rescoreK) must be >= k ($k)")
+    val q8 = quantizeInt8(embeddings)
+    val q = q8.filter(col("vec_id") === queryId)
+      .select(col("qvec").as("q_qvec"), col("scale").as("q_scale"))
+    val qf = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val approx = q8
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (aggregate(
+          zip_with(col("qvec"), col("q_qvec"),
+            (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, v) => acc + v).cast("double")
+          * col("scale") * col("q_scale")).as("approx_score"))
+      .orderBy(col("approx_score").desc, col("vec_id"))
+      .limit(rescoreK)
+    approx
+      .join(embeddings.select(col("vec_id"), col("label"),
+        col("embedding")), "vec_id")
+      .crossJoin(broadcast(qf))
+      .select(col("vec_id"), col("label"), col("approx_score"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def unitized(embeddings: DataFrame): DataFrame = {
     // Small single-file inputs arrive as one split; spread the
     // per-row work (norm + downstream plane dots) across cores. The

@@ -150,7 +150,14 @@ object VectorQueries {
     // argument as q_vec_quantize_int8), so the oracle replays them
     "q_vec_grid_density" -> ((s, d) =>
       Vector.gridDensity(Tables.embeddings(s, d))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+    // SQ8 + exact rescore: integer first-pass ranking over the
+    // quantized corpus, full-precision cosine on the top-rescoreK
+    // survivors only — every stage engine-reproducible, so the whole
+    // serving pattern is oracle-checked end to end
+    "q_vec_quantized_topk" -> ((s, d) =>
+      Vector.quantizedTopK(Tables.embeddings(s, d), 0L, 10,
+        rescoreK = 50))
   )
 
   val oracle: Map[String, String] = Map(
@@ -390,6 +397,53 @@ object VectorQueries {
         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // replay: quantization (q_vec_quantize_int8's fragment) →
+    // positional-unnest integer dot, descaled by one IEEE multiply
+    // chain in the same left-assoc order → top-50 by
+    // (approx DESC, vec_id) → exact-cosine rescore of those 50 →
+    // top-10 by (cos DESC, vec_id)
+    "q_vec_quantized_topk" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id, max_abs AS scale,
+        |    list_transform(embedding,
+        |      x -> CAST(CASE WHEN max_abs = 0 THEN 0
+        |        ELSE FLOOR(CAST(x AS DOUBLE) / max_abs * 127)
+        |        END AS BIGINT)) AS qvec
+        |  FROM m),
+        |qq AS (SELECT qvec AS q_qvec, scale AS q_scale FROM q8
+        |       WHERE vec_id = 0),
+        |appairs AS (
+        |  SELECT e.vec_id, e.scale, q.q_scale,
+        |    UNNEST(e.qvec) AS x, UNNEST(q.q_qvec) AS y
+        |  FROM q8 e, qq q WHERE e.vec_id <> 0),
+        |ap AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(x * y) AS DOUBLE) * MIN(scale) * MIN(q_scale)
+        |      AS approx_score
+        |  FROM appairs GROUP BY vec_id),
+        |top AS (
+        |  SELECT vec_id, approx_score FROM ap
+        |  ORDER BY approx_score DESC, vec_id LIMIT 50),
+        |pairs AS (
+        |  SELECT t.vec_id, t.approx_score, e.label,
+        |    UNNEST(e.embedding) AS x, UNNEST(qe.q_emb) AS y
+        |  FROM top t JOIN embeddings e ON t.vec_id = e.vec_id,
+        |    (SELECT embedding AS q_emb FROM embeddings
+        |     WHERE vec_id = 0) qe),
+        |dots AS (
+        |  SELECT vec_id, approx_score, label,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+        |  FROM pairs GROUP BY vec_id, approx_score, label)
+        |SELECT vec_id, label, approx_score, dot / (na * nb) AS cos_sim
+        |FROM dots WHERE na > 0 AND nb > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_vec_grid_density" ->
       """WITH n AS (
         |  SELECT vec_id,

@@ -150,6 +150,8 @@ class GraftApiSpec extends SparkSpec {
       "qualityDecileThresholds" -> "qualityThresholds",
       "qualityDecileThresholdsExact" -> "qualityThresholdsExact",
       "incrementalNearDup" -> "nearDupsAgainst",
+      "deterministicSplit" -> "assignedSplits",
+      "quantizedTopK" -> "quantizedTopK",
       "incrementalNearDupSigs" -> "nearDupsAgainstSigs",
       "nearDupSignatures" -> "nearDupSignatures",
       "incrementalDedupHashes" -> "dedupAgainstHashes",

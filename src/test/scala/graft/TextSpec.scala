@@ -443,6 +443,37 @@ class TextSpec extends SparkSpec {
     // sub-shingle-width: the EXACT gate (incrementalDedup) owns them
   }
 
+  test("deterministicSplit: total cover, stable under growth, " +
+      "held_out when fractions undersum, proportions near nominal") {
+    val d = Seq.tabulate(400)(i => (i.toLong, s"text $i"))
+      .toDF("doc_id", "text")
+    val got = Text.deterministicSplit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+    assert(got.length == 400) // every doc assigned exactly once
+    val byName = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    // 90/5/5 nominal; 400 hash draws — generous banding
+    assert(byName("train") > 320 && byName("train") < 392)
+    assert(byName("val") > 2 && byName("test") > 2)
+    // growth stability: a doc keeps its split when the corpus doubles
+    // (assignment is a pure function of doc_id — no reshuffle)
+    val grown = Seq.tabulate(800)(i => (i.toLong, s"text $i"))
+      .toDF("doc_id", "text")
+    val after = Text.deterministicSplit(grown).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(got.forall { case (id, s) => after(id) == s })
+    // undersumming fractions route the remainder to held_out
+    val partial = Text.deterministicSplit(d,
+      Seq("train" -> 0.5)).collect()
+      .map(_.getAs[String]("split"))
+    assert(partial.contains("held_out") && partial.contains("train"))
+    assert(partial.toSet == Set("train", "held_out"))
+    // oversumming is rejected
+    intercept[IllegalArgumentException](
+      Text.deterministicSplit(d, Seq("a" -> 0.7, "b" -> 0.7)))
+  }
+
   test("sourceCap keeps a deterministic K-subset per source") {
     val d = Seq.tabulate(30)(i =>
       (i.toLong, s"text $i", if (i < 20) "big" else "small"))

@@ -231,6 +231,29 @@ class VectorSpec extends SparkSpec {
     assert(!batch.exists { case ((q, _), v) => q == v })
   }
 
+  test("quantizedTopK: full-rescore form equals brute force; " +
+      "rescore pool bounds the output") {
+    // with rescoreK covering the whole corpus the quantized first
+    // pass cannot evict a true neighbor — the final ranking must be
+    // EXACTLY the float brute-force one (same cosine, same
+    // tie-break); real corpus so the check has teeth
+    val embs = Tables.embeddings(spark, sf("sf0.001"))
+    val n = embs.count().toInt
+    val full = Vec.quantizedTopK(embs, 0L, 10, rescoreK = n).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+    val brute = Vec.bruteForceTopK(embs, 0L, 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+    assert(full.toSeq == brute.toSeq)
+    // narrow pool: output ⊆ the approx top-rescoreK, still k rows,
+    // and on this corpus SQ8 ranking preserves the true top-10
+    val narrow = Vec.quantizedTopK(embs, 0L, 10, rescoreK = 50)
+      .collect().map(r => r.getAs[Long]("vec_id"))
+    assert(narrow.length == 10)
+    assert(narrow.toSeq == brute.map(_._1).toSeq)
+    intercept[IllegalArgumentException](
+      Vec.quantizedTopK(embs, 0L, 10, rescoreK = 5))
+  }
+
   test("gridDensity: co-located unit vectors share a cell, isolated " +
       "ones count 1") {
     val out = Vec.gridDensity(vecs, gridDims = 3, g = 4).collect()
