@@ -582,24 +582,35 @@ object Vector {
           lit(1L << bit)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
-    // Persist (tiny: id + unit + band keys) so the self-join legs
-    // don't re-run normalization + 32 plane dots; registered with
+    // Persist the unit vectors once (normalization + 32 plane dots
+    // feed both the banding and the verify legs); registered with
     // Caches so the family release unpersists it.
-    val banded = graft.Caches.track("vec", unitized(embeddings)
-      .select(col("vec_id"), col("unit"),
-        posexplode(bandArr).as(Seq("band_idx", "band_hash"))))
-    banded.as("l").join(banded.as("r"),
-      col("l.band_idx") === col("r.band_idx") &&
-        col("l.band_hash") === col("r.band_hash") &&
-        col("l.vec_id") < col("r.vec_id"))
-      .select(
-        col("l.vec_id").as("vec_a"),
-        col("r.vec_id").as("vec_b"),
-        decDot(col("l.unit"), col("r.unit")).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
-      // distinct on scalars, after the cheap dot: a pair colliding in
-      // k bands yields k identical (vec_a, vec_b, cos_sim) rows
+    val u = graft.Caches.track("vec", unitized(embeddings)
+      .select(col("vec_id"), col("unit"), bandArr.as("bands")))
+    // ids-ONLY through the band self-join: exploding the unit array
+    // alongside the bands would push nBands copies of every vector
+    // through the exchange (a nBands× data blowup at corpus scale),
+    // and a pair colliding in k bands would pay k dot products. Band
+    // rows are (id, band_idx, band_hash) triples; candidates dedup to
+    // id pairs BEFORE the unit vectors are attached, so each
+    // surviving pair is fetched and dotted exactly once — the same
+    // ids-first shape as Text.jaccardExactPairs' candidate join.
+    val banded = u.select(col("vec_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
       .distinct()
+    cands
+      .join(u.select(col("vec_id").as("vec_a"), col("unit").as("ua")),
+        "vec_a")
+      .join(u.select(col("vec_id").as("vec_b"), col("unit").as("ub")),
+        "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        decDot(col("ua"), col("ub")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   /** Coarse-grid cell density per embedding: quantize the first
