@@ -289,22 +289,32 @@ object Text {
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig")))
     // Band hash = builtin xxhash64 over the sig slice (codegen'd,
     // hashes the longs directly — no per-band string building).
+    // ids ONLY through the band self-join (carrying the 32-long sig
+    // would push LshBands copies of every signature through the
+    // exchange and estimate jaccard once per band collision);
+    // candidate pairs dedup first, then each surviving pair fetches
+    // its two signatures exactly once — the same ids-first shape as
+    // jaccardExactPairs and cosineNearDup. Identical join legs → the
+    // band shuffle is computed once and reused (ReusedExchange).
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(bandHashes(col("sig"))).as(Seq("band_idx", "band_hash"))
     )
-    // identical join legs → the band shuffle is computed once and
-    // reused (ReusedExchange); signatures are evaluated in one pass.
-    val joined = banded.as("l").join(banded.as("r"),
-      col("l.band_idx") === col("r.band_idx") &&
-        col("l.band_hash") === col("r.band_hash") &&
-        col("l.doc_id") < col("r.doc_id"))
-    joined
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        (size(filter(zip_with(col("l.sig"), col("r.sig"),
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (a, b) => a === b), x => x))
           .cast("double") / MinhashPerms).as("jaccard_est"))
-      .distinct()
       .filter(col("jaccard_est") >= threshold)
   }
 
