@@ -1,6 +1,7 @@
 package graft
 // scratch check main (not part of the library surface)
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -14,24 +15,43 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    // banded sign-LSH recall vs the exact n² twin, across configs:
-    // find the config whose candidate set equals the exact pair set
-    // on the test corpora (→ oracle-checkable q_vec_neardup)
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val embs = Tables.embeddings(spark, dir)
-      val exact = ops.Vector.exactCosinePairs(embs, 0.4)
-        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-      for ((nb, bpb) <- Seq((16, 5), (24, 4), (32, 3), (32, 4), (48, 3))) {
-        val t0 = System.nanoTime()
-        val got = ops.Vector.cosineNearDup(embs, 0.4, nBands = nb,
-          bitsPerBand = bpb)
-          .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-        val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[prof] $dir nb=$nb bpb=$bpb found=${got.size}/${exact.size} " +
-          f"missed=${exact.diff(got).size} extra=${got.diff(exact).size} $dt%6.2fs")
-        graft.Caches.releaseAll()
+    def t(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[prof] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    // decompose one ingestion-gate batch: 1250-doc batch vs a
+    // 3750-doc seen store, static frames (no streaming machinery)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 4 === 3).persist()
+    val seen = docs.filter(col("doc_id") % 4 =!= 3).persist()
+    t("materialize inputs")(batch.count() + seen.count())
+    val store = new streaming.IngestPipeline.MemoryStore(spark)
+    t("seed store (hashes+sigs)") {
+      store.append(ops.Text.seenHashes(seen),
+        ops.Text.nearDupSignatures(seen))
+      store.sigs.count()
+    }
+    // warm second run to split codegen/planning from steady state
+    for (round <- 1 to 3) {
+      var admitted = 0L
+      t(s"processBatch round$round") {
+        streaming.IngestPipeline.processBatch(batch, store,
+          df => admitted += df.count())
+        admitted
       }
+    }
+    // stage-level: where does one batch go?
+    t("exact gate only") {
+      ops.Text.incrementalDedupHashes(batch, store.hashes).count()
+    }
+    t("batch signatures only") {
+      ops.Text.nearDupSignatures(batch).count()
+    }
+    val bs = ops.Text.nearDupSignatures(batch).persist()
+    t("batch sigs materialize")(bs.count())
+    t("band join + verify vs store") {
+      ops.Text.incrementalNearDupSigs(bs, store.sigs).count()
     }
     spark.stop()
   }

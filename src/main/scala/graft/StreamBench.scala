@@ -79,6 +79,50 @@ object StreamBench {
       Option(out.getParentFile).foreach(_.mkdirs())
       java.nio.file.Files.writeString(out.toPath, line + "\n")
     } finally q.stop()
+
+    // Second surface: the streaming ingestion gate (exact hash gate +
+    // near-dup signature gate vs an accumulating seen store) — docs/s
+    // through IngestPipeline micro-batches, store growing as it runs.
+    // Docs stream in deterministic doc_id order, quartered into
+    // batches; the first (unmeasured) batch warms codegen and seeds
+    // the store so the timed batches pay realistic state sizes.
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val perDocBatch = docs.length / 4
+    val docsIn = MemoryStream[(Long, String)]
+    val store = new streaming.IngestPipeline.MemoryStore(spark)
+    var admitted = 0L
+    val gate = streaming.IngestPipeline.start(
+      docsIn.toDF().toDF("doc_id", "text"), store,
+      df => admitted += df.count(),
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-ingest-bench").toString)
+    try {
+      docsIn.addData(docs.take(perDocBatch))
+      gate.processAllAvailable()
+      val t0 = System.nanoTime()
+      var i = perDocBatch
+      var timed = 0
+      while (i < docs.length) {
+        docsIn.addData(docs.slice(i, i + perDocBatch))
+        gate.processAllAvailable()
+        i += perDocBatch
+        timed += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = docs.length - perDocBatch
+      val line2 =
+        s"""{"metric":"ingest_gate_docs_per_sec","value":${(n / dt).toLong},""" +
+          s""""docs":$n,"admitted":$admitted,"seconds":$dt,"batches":$timed,"sf":"$sfDir"}"""
+      println(line2)
+      val out2 = new java.io.File(sys.env.getOrElse(
+        "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+      java.nio.file.Files.writeString(out2.toPath,
+        java.nio.file.Files.readString(out2.toPath) + line2 + "\n")
+    } finally gate.stop()
     spark.stop()
   }
 }
