@@ -147,6 +147,10 @@ object Graft {
         splits: Seq[(String, Double)] =
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
     ): DataFrame = ops.Text.deterministicSplit(docs, splits)
+    /** Sharded reproducible training-order shuffle (hash shard +
+      * within-shard rank; partitioned windows — scales). */
+    def shuffledForTraining(nShards: Int = 8): DataFrame =
+      ops.Text.trainingShuffleShards(docs, nShards)
     def tokenBudgeted(budgets: Seq[(String, Long)]): DataFrame =
       ops.Text.tokenBudgetSample(docs, budgets)
     def stratifiedSample(

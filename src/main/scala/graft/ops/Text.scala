@@ -1513,6 +1513,37 @@ object Text {
     docs.select(col("doc_id"), assign.as("split"))
   }
 
+  /** Deterministic training-order shuffle, sharded form — how a
+    * training run actually consumes "shuffled" data at scale: each
+    * doc lands in a hash-assigned shard (`pmod(draw, nShards)` — a
+    * shard is one output file / reader stream) and gets a rank
+    * within its shard by the same draw; global training order is
+    * (shard, shard_rank). A fixed bijection of a uniform hash is a
+    * reproducible permutation: stable across runs, engines, and
+    * partitionings, no RNG state to checkpoint. The rank window is
+    * PARTITIONED by shard, so no stage ever sees more than one
+    * shard — this scales where a global row_number cannot (contrast
+    * [[qualityPercentiles]]' documented single-window calibration
+    * scale).
+    */
+  def trainingShuffleShards(
+      docs: DataFrame,
+      nShards: Int = 8,
+      salt: String = "shuffle"
+  ): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val draw = draw60(
+      concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("draw"), col("doc_id"))
+    docs
+      .select(col("doc_id"), draw.as("draw"))
+      .withColumn("shard",
+        pmod(col("draw"), lit(nShards.toLong)).cast("int"))
+      .withColumn("shard_rank", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("shard_rank"))
+  }
+
   /** md5-based 60-bit SimHash signature over a token array. Unlike
     * [[graft.functions.simhash64]] (xxhash mixing, fastest path, no
     * SQL twin), this variant's per-token hash is the same

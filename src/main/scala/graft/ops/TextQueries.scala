@@ -233,6 +233,11 @@ object TextQueries {
     "q_text_split" -> ((s, d) =>
       Text.deterministicSplit(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    // sharded training-order shuffle: hash shard + within-shard rank,
+    // all exact integer math over partitioned windows → oracle-exact
+    "q_text_shuffle_shards" -> ((s, d) =>
+      Text.trainingShuffleShards(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "q_text_pii" -> ((s, d) =>
       Text.piiRedact(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // decontamination: docs vs a deterministic held-out slice
@@ -716,6 +721,16 @@ object TextQueries {
          |       ELSE 'held_out' END AS split
          |FROM d ORDER BY doc_id""".stripMargin
     },
+    "q_text_shuffle_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':shuffle'), 1, 15)) AS BIGINT) AS draw
+        |  FROM documents)
+        |SELECT doc_id, CAST(draw % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY draw % 8
+        |    ORDER BY draw, doc_id) AS INT) AS shard_rank
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_text_contamination" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

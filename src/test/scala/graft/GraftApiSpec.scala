@@ -151,6 +151,7 @@ class GraftApiSpec extends SparkSpec {
       "qualityDecileThresholdsExact" -> "qualityThresholdsExact",
       "incrementalNearDup" -> "nearDupsAgainst",
       "deterministicSplit" -> "assignedSplits",
+      "trainingShuffleShards" -> "shuffledForTraining",
       "quantizedTopK" -> "quantizedTopK",
       "incrementalNearDupSigs" -> "nearDupsAgainstSigs",
       "nearDupSignatures" -> "nearDupSignatures",

@@ -474,6 +474,32 @@ class TextSpec extends SparkSpec {
       Text.deterministicSplit(d, Seq("a" -> 0.7, "b" -> 0.7)))
   }
 
+  test("trainingShuffleShards: exact permutation, deterministic, " +
+      "rank dense per shard, order follows the draw") {
+    val d = Seq.tabulate(200)(i => (i.toLong, s"text $i"))
+      .toDF("doc_id", "text")
+    val a = Text.trainingShuffleShards(d, nShards = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Int]("shard_rank")))
+    // permutation: every doc exactly once, (shard, rank) unique
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    assert(a.map(x => (x._2, x._3)).distinct.length == 200)
+    // ranks are dense 1..|shard| within each shard
+    a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    assert(a.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    // deterministic: re-run is identical (hash, not RNG)
+    val b = Text.trainingShuffleShards(d, nShards = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Int]("shard_rank")))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+    // the shuffle actually shuffles: within-shard rank order is not
+    // doc_id order
+    val byRank = a.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(byRank.toSeq != byRank.sorted.toSeq)
+  }
+
   test("sourceCap keeps a deterministic K-subset per source") {
     val d = Seq.tabulate(30)(i =>
       (i.toLong, s"text $i", if (i < 20) "big" else "small"))
