@@ -487,6 +487,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("deterministicSplit partitions any corpus for any legal " +
+      "fractions; proportions track nominal") {
+    val fracGen = for {
+      a <- Gen.chooseNum(0, 80)
+      b <- Gen.chooseNum(0, 100 - a - 10)
+    } yield Seq("train" -> a / 100.0, "val" -> b / 100.0)
+    val d = Seq.tabulate(300)(i => (i.toLong, s"t$i"))
+      .toDF("doc_id", "text").persist()
+    try forAll(fracGen, n = 10) { fracs =>
+      val got = Text.deterministicSplit(d, fracs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      assert(got.length == 300) // total cover, exactly once
+      val byName = got.groupBy(_._2).view.mapValues(_.length).toMap
+      // every doc is in a declared split or held_out, nothing else
+      assert(byName.keySet.subsetOf(
+        fracs.map(_._1).toSet + "held_out"))
+      // proportion of each declared split within a generous CLT band
+      fracs.foreach { case (name, f) =>
+        val n = byName.getOrElse(name, 0)
+        assert(math.abs(n - 300.0 * f) <= 3 * math.sqrt(300.0 * 0.25) + 1,
+          s"split $name: $n docs at fraction $f")
+      }
+    } finally d.unpersist()
+  }
+
+  test("trainingShuffleShards is a permutation for any shard count") {
+    val d = Seq.tabulate(120)(i => (i.toLong, s"t$i"))
+      .toDF("doc_id", "text").persist()
+    try forAll(Gen.chooseNum(1, 16), n = 8) { nShards =>
+      val got = Text.trainingShuffleShards(d, nShards).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+          r.getAs[Int]("shard_rank")))
+      assert(got.length == 120 && got.map(_._1).distinct.length == 120)
+      assert(got.forall(x => x._2 >= 0 && x._2 < nShards))
+      got.groupBy(_._2).values.foreach { rows =>
+        assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      }
+    } finally d.unpersist()
+  }
+
   test("int8 quantization round-trip error is within one step") {
     val vecGen = Gen.listOfN(8,
       Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
