@@ -42,8 +42,12 @@ object IngestPipeline {
     /** `(doc_id, sig, sh_hash)` rows —
       * [[graft.ops.Text.nearDupSignatures]] schema. */
     def sigs: DataFrame
-    /** Commit one batch's admitted artifacts (both frames are
-      * materialized by the caller before this is invoked). */
+    /** Commit one batch's admitted artifacts. CONTRACT: the frames'
+      * lineages read this store's state, so an implementation MUST
+      * snapshot both inputs before mutating anything — a mutation
+      * mid-append invalidates the not-yet-written frame and it
+      * re-gates against post-append state (see ParquetStore's
+      * read-your-own-append note). */
     def append(admittedHashes: DataFrame, admittedSigs: DataFrame): Unit
   }
 
@@ -70,6 +74,54 @@ object IngestPipeline {
     def append(ah: DataFrame, as: DataFrame): Unit = {
       h = h ++ ah.collect()
       s = s ++ as.collect()
+    }
+  }
+
+  /** Parquet-backed store — the production form: both artifact
+    * tables are append-only parquet directories, so the seen state
+    * survives restarts and is shared across writers the way any
+    * lakehouse table is. Reads are lazy scans resolved when the
+    * gate's joins execute (each `foreachBatch` re-plans, so a batch
+    * sees every file committed before it); appends are atomic at
+    * file granularity. At 100 TB these directories hold the ONLY
+    * per-doc state the gate ever touches — hashes and signatures,
+    * never text — and compaction/partitioning policy is plain table
+    * maintenance.
+    */
+  final class ParquetStore(spark: SparkSession, dir: String)
+      extends SeenStore {
+    private val hPath = s"$dir/hashes"
+    private val sPath = s"$dir/sigs"
+    private def exists(p: String): Boolean = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(path)
+    }
+    private def readOrEmpty(p: String, schema: StructType): DataFrame =
+      if (exists(p)) spark.read.schema(schema).parquet(p)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def hashes: DataFrame = readOrEmpty(hPath, hashesSchema)
+    def sigs: DataFrame = readOrEmpty(sPath, sigsSchema)
+    def append(ah: DataFrame, as: DataFrame): Unit = {
+      // Snapshot BOTH inputs (eager localCheckpoint truncates their
+      // lineage) BEFORE touching either directory. The frames'
+      // lineages read this store's files, and a parquet insert
+      // refreshes every cached plan on the written path — without
+      // the snapshot, appending the hashes would force the
+      // signature frame to RECOMPUTE against post-append state, the
+      // gate would see its own batch as "already seen", and the
+      // signatures of every admitted doc would be silently dropped
+      // (read-your-own-append; StreamingSpec's restart test catches
+      // it). persist() does not protect — the refresh recaches it.
+      val ahSnap = ah.localCheckpoint(eager = true)
+      val asSnap = as.localCheckpoint(eager = true)
+      try {
+        ahSnap.write.mode("append").parquet(hPath)
+        asSnap.write.mode("append").parquet(sPath)
+      } finally Seq(ahSnap, asSnap).foreach(df =>
+        org.apache.spark.sql.graftx.Bridge.leafRdd(df)
+          .foreach(_.unpersist(blocking = false)))
     }
   }
 

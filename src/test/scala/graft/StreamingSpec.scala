@@ -386,6 +386,42 @@ class StreamingSpec extends SparkSpec {
       Set((12L, 1L)))
   }
 
+  test("parquet-backed ingestion store matches the in-memory store " +
+      "and survives a restart") {
+    // production form of the seen store: the same two batches through
+    // a ParquetStore must admit exactly what MemoryStore admitted
+    // (previous test's semantics), and a FRESH store instance over
+    // the same directory — a process restart — must still gate
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val aNear = "the quick brown fox jumps over the lazy dog tomorrow"
+    val b = "completely unrelated second document with its own words"
+    val c = "a third novel document containing fresh content entirely"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-store").toString
+    val store = new IngestPipeline.ParquetStore(spark, dir)
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    def admit(df: org.apache.spark.sql.DataFrame): Unit =
+      admitted ++= df.select("doc_id").collect().map(_.getLong(0))
+    IngestPipeline.processBatch(
+      Seq((1L, a), (2L, b), (3L, "hi")).toDF("doc_id", "text"),
+      store, admit)
+    IngestPipeline.processBatch(
+      Seq((11L, a), (12L, aNear), (13L, c), (14L, c), (15L, "hi"))
+        .toDF("doc_id", "text"), store, admit)
+    assert(admitted.toSet == Set(1L, 2L, 3L, 13L))
+    // restart: a new instance over the same directory sees the state
+    val reopened = new IngestPipeline.ParquetStore(spark, dir)
+    assert(reopened.hashes.count() == 4 && reopened.sigs.count() == 3)
+    val admitted2 = scala.collection.mutable.ArrayBuffer[Long]()
+    IngestPipeline.processBatch(
+      Seq((21L, c), (22L, aNear), (23L, "genuinely new content that " +
+        "matches nothing at all")).toDF("doc_id", "text"),
+      reopened,
+      df => admitted2 ++= df.select("doc_id").collect().map(_.getLong(0)))
+    // 21 exact-dups seen 13; 22 near-dups seen 1; 23 admitted
+    assert(admitted2.toSet == Set(23L))
+  }
+
   test("streaming content-defined chunking == batch on same docs") {
     // cut positions are per-row array math (no shuffle, no state), so
     // the operator composes under readStream unchanged — ingestion
