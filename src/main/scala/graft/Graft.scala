@@ -307,5 +307,21 @@ object Graft {
     /** Coarse-grid cell density (outlier / dup-region signal). */
     def gridDensity(gridDims: Int = 4, g: Int = 4): DataFrame =
       ops.Vector.gridDensity(embs, gridDims, g)
+    // PQ is fit-once, encode-once, probe-many: fit offline (driver-
+    // sized sample), store the codes table at ingestion, serve via
+    // ADC lookups + exact rescore
+    def fitPq(m: Int = 16, ksub: Int = 16): ops.Vector.PqModel =
+      ops.Vector.fitPq(embs, m, ksub)
+    def pqEncode(model: ops.Vector.PqModel): DataFrame =
+      ops.Vector.pqEncode(embs, model)
+    def pqAdcTopK(
+        model: ops.Vector.PqModel,
+        queryId: Long,
+        k: Int,
+        rescoreK: Int = 100,
+        precomputedCodes: Option[DataFrame] = None
+    ): DataFrame =
+      ops.Vector.pqAdcTopK(embs, model, queryId, k, rescoreK,
+        precomputedCodes)
   }
 }

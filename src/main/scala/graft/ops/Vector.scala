@@ -410,6 +410,184 @@ object Vector {
       .limit(k)
   }
 
+  /** Product-quantization codebook: `m` subspaces × `ksub` centroids
+    * × `dsub = dim/m` components each. Tiny by construction
+    * (8×16×8 doubles = 8 KB) — ships as plan literals / broadcast.
+    */
+  final case class PqModel(
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      codebooks: Array[Array[Array[Double]]]
+  ) {
+    def dsub: Int = dim / m
+  }
+
+  /** Fit a product quantizer: independent Lloyd k-means per subspace
+    * over a deterministic bounded sample of the UNIT-normalized
+    * corpus (PQ for cosine/IP retrieval quantizes the unit sphere, so
+    * ADC scores approximate cosine directly).
+    *
+    * The fit is a one-time OFFLINE step, like [[fitIvf]] — and unlike
+    * it the training input is a driver-sized sample by design
+    * (codebooks are k-means over dsub-dim subvectors; FAISS trains
+    * them on ~10⁴ points regardless of corpus size). The sample here
+    * is the `trainN` lowest vec_ids (TakeOrdered, no global sort);
+    * at 100 TB substitute a hash-draw (`xxhash64(vec_id) % p = 0`)
+    * of the same driver-sized magnitude. Deterministic end to end:
+    * stride init over the ordered sample, lowest-index tie-breaks,
+    * empty clusters keep their previous centroid — two fits on the
+    * same corpus are bitwise-identical.
+    */
+  def fitPq(
+      embeddings: DataFrame,
+      m: Int = 16,
+      ksub: Int = 16,
+      dim: Int = 64,
+      iters: Int = 10,
+      trainN: Int = 2048
+  ): PqModel = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val sample = unitized(
+      embeddings.filter(decNorm(col("embedding")) > 0))
+      .orderBy(col("vec_id"))
+      .limit(trainN)
+      .select(col("unit"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = sample.length
+    require(n >= ksub,
+      s"PQ fit needs >= $ksub training vectors, got $n")
+    val codebooks = Array.tabulate(m) { s =>
+      val subs = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      // stride init: centroid c seeds from sample index c*n/ksub —
+      // deterministic and spread across the (vec_id-ordered) sample
+      var cents = Array.tabulate(ksub)(c =>
+        subs((c.toLong * n / ksub).toInt).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub, dsub)(0.0)
+        val counts = new Array[Int](ksub)
+        subs.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var j = 0
+            while (j < dsub) {
+              val t = p(j) - cents(c)(j); d += t * t; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c } // strict < → lowest idx
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += p(j); j += 1 }
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cents(c) // empty cluster: keep previous
+          else Array.tabulate(dsub)(j => sums(c)(j) / counts(c)))
+        it += 1
+      }
+      cents
+    }
+    PqModel(dim, m, ksub, codebooks)
+  }
+
+  /** PQ-encode the corpus: `m` codes per vector (argmin centroid per
+    * subspace of the unit vector) — the stored retrieval artifact, m
+    * byte-sized codes per vector vs `dim` floats (16 B vs 256 B at
+    * the m=16 default — the compression PQ exists for; m=8 doubles
+    * it again at measurable recall cost). Pure map-side HOF math: per
+    * subspace one distance fold over the ksub-row codebook literal,
+    * argmin via array_position of the min (first occurrence → lowest
+    * code on ties, matching the fit's tie-break). No shuffle, no UDF.
+    */
+  def pqEncode(embeddings: DataFrame, model: PqModel): DataFrame = {
+    val dsub = model.dsub
+    val codeCols = (0 until model.m).map { s =>
+      val cbLit = array(model.codebooks(s).map(c =>
+        array(c.map(lit(_)): _*)): _*)
+      val sub = slice(col("unit"), s * dsub + 1, dsub)
+      val dists = transform(cbLit, c =>
+        aggregate(zip_with(sub, c, (x, cv) => (x - cv) * (x - cv)),
+          lit(0.0), (a, v) => a + v))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    unitized(embeddings)
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ retrieval via asymmetric distance computation (ADC) + exact
+    * rescore — the 16×-compression serving pattern next to
+    * [[quantizedTopK]]'s SQ8 (4×): score every candidate as the sum
+    * of m LOOKUPS into a per-query table of centroid·query partial
+    * inner products, keep the best `rescoreK`, re-rank those by
+    * exact float cosine.
+    *
+    * Shape at scale: the first pass scans ONLY the codes table (m
+    * bytes/vector); the lookup table (m·ksub doubles) is built from
+    * the codebook literal × the broadcast 1-row query — no driver
+    * `.head()` — then broadcast as a single flat array; scoring is a
+    * map-side fold into TakeOrdered. Only `rescoreK` full-precision
+    * vectors are ever read. `precomputedCodes` is the deployment
+    * form (encode once at ingestion, probe many).
+    */
+  def pqAdcTopK(
+      embeddings: DataFrame,
+      model: PqModel,
+      queryId: Long,
+      k: Int,
+      rescoreK: Int = 50,
+      precomputedCodes: Option[DataFrame] = None
+  ): DataFrame = {
+    require(rescoreK >= k, s"rescoreK ($rescoreK) must be >= k ($k)")
+    val dsub = model.dsub
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val codes = precomputedCodes.getOrElse(pqEncode(embeddings, model))
+    val q = unitized(embeddings.filter(col("vec_id") === queryId))
+      .select(col("unit").as("q_unit"))
+    val cents = (for {
+      s <- 0 until model.m; c <- 0 until model.ksub
+    } yield (s, c, model.codebooks(s)(c).toSeq))
+      .toDF("sub", "code", "centroid")
+    val lut = cents.crossJoin(broadcast(q))
+      .select((col("sub") * model.ksub + col("code")).as("idx"),
+        aggregate(
+          zip_with(col("centroid"),
+            slice(col("q_unit"), col("sub") * dsub + 1, lit(dsub)),
+            (cv, x) => cv * x),
+          lit(0.0), (a, v) => a + v).as("partial"))
+      // one flat array indexed sub*ksub+code (array_sort on the
+      // (idx, partial) structs orders by idx — field order)
+      .agg(array_sort(collect_list(struct(col("idx"), col("partial"))))
+        .as("kv"))
+      .select(transform(col("kv"), e => e.getField("partial")).as("lut"))
+    val adc = codes
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(lut))
+      .select(col("vec_id"),
+        aggregate(
+          transform(col("codes"),
+            (c, i) => element_at(col("lut"), i * model.ksub + c + 1)),
+          lit(0.0), (a, v) => a + v).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(rescoreK)
+    val qf = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    adc
+      .join(embeddings.select(col("vec_id"), col("label"),
+        col("embedding")), "vec_id")
+      .crossJoin(broadcast(qf))
+      .select(col("vec_id"), col("label"), col("adc_score"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def unitized(embeddings: DataFrame): DataFrame = {
     // Small single-file inputs arrive as one split; spread the
     // per-row work (norm + downstream plane dots) across cores. The

@@ -24,8 +24,17 @@ object VectorQueries {
     graft.Caches.cached("vec", ("ivf-model", d, 16))(
       Vector.fitIvf(Tables.embeddings(s, d), nLists = 16))
 
-  /** Fit the quantizer outside any timed region. */
-  def prewarm(s: SparkSession, d: String): Unit = { ivfModel(s, d); () }
+  /** Product quantizer, memoized per corpus like the IVF model (both
+    * are the documented offline-training artifacts).
+    */
+  private def pqModel(s: SparkSession, d: String): Vector.PqModel =
+    graft.Caches.cached("vec", ("pq-model", d, 16, 16))(
+      Vector.fitPq(Tables.embeddings(s, d), m = 16, ksub = 16))
+
+  /** Fit the quantizers outside any timed region. */
+  def prewarm(s: SparkSession, d: String): Unit = {
+    ivfModel(s, d); pqModel(s, d); ()
+  }
 
   /** Label-partitioned semantic pair graph, shared by the pairs query
     * and the dedup query (the dedup consumes the graph — one
@@ -151,6 +160,15 @@ object VectorQueries {
     "q_vec_grid_density" -> ((s, d) =>
       Vector.gridDensity(Tables.embeddings(s, d))
         .orderBy(col("vec_id"))),
+    // PQ-ADC + exact rescore: first pass scans only the 16-byte code
+    // table (16× compression) through per-query lookup-table sums,
+    // top-100 rescored by exact cosine. rows-only: the codebook is a
+    // fitted k-means (no SQL twin — same contract as q_vec_ann_ivf);
+    // VectorSpec pins full-rescore ≡ brute force and measures
+    // ADC-only recall (0.9 at rescoreK=50, 1.0 at 100 on sf0.001).
+    "q_vec_pq_topk" -> ((s, d) =>
+      Vector.pqAdcTopK(Tables.embeddings(s, d), pqModel(s, d), 0L, 10,
+        rescoreK = 100)),
     // SQ8 + exact rescore: integer first-pass ranking over the
     // quantized corpus, full-precision cosine on the top-rescoreK
     // survivors only — every stage engine-reproducible, so the whole

@@ -156,7 +156,8 @@ class GraftApiSpec extends SparkSpec {
       "incrementalNearDupSigs" -> "nearDupsAgainstSigs",
       "nearDupSignatures" -> "nearDupSignatures",
       "incrementalDedupHashes" -> "dedupAgainstHashes",
-      "seenHashes" -> "seenContentHashes")
+      "seenHashes" -> "seenContentHashes",
+      "pqEncode" -> "pqEncode", "pqAdcTopK" -> "pqAdcTopK")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))
