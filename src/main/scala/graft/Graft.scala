@@ -323,5 +323,26 @@ object Graft {
     ): DataFrame =
       ops.Vector.pqAdcTopK(embs, model, queryId, k, rescoreK,
         precomputedCodes)
+    // IVF-PQ composite: coarse lists + residual codes — fit offline,
+    // store the (list_id, codes) index at ingestion, serve via
+    // probe × ADC × exact rescore
+    def fitIvfPq(
+        nLists: Int = 16,
+        m: Int = 16,
+        ksub: Int = 16
+    ): ops.Vector.IvfPqModel =
+      ops.Vector.fitIvfPq(embs, nLists, m, ksub)
+    def ivfPqIndex(model: ops.Vector.IvfPqModel): DataFrame =
+      ops.Vector.ivfPqIndex(embs, model)
+    def ivfPqTopK(
+        model: ops.Vector.IvfPqModel,
+        queryId: Long,
+        k: Int,
+        nProbe: Int = 4,
+        rescoreK: Int = 100,
+        precomputedIndex: Option[DataFrame] = None
+    ): DataFrame =
+      ops.Vector.ivfPqTopK(embs, model, queryId, k, nProbe, rescoreK,
+        precomputedIndex)
   }
 }

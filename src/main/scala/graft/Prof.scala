@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 object Prof {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,43 +15,24 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def t(label: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      println(f"[prof] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
-    }
-    // decompose one ingestion-gate batch: 1250-doc batch vs a
-    // 3750-doc seen store, static frames (no streaming machinery)
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val batch = docs.filter(col("doc_id") % 4 === 3).persist()
-    val seen = docs.filter(col("doc_id") % 4 =!= 3).persist()
-    t("materialize inputs")(batch.count() + seen.count())
-    val store = new streaming.IngestPipeline.MemoryStore(spark)
-    t("seed store (hashes+sigs)") {
-      store.append(ops.Text.seenHashes(seen),
-        ops.Text.nearDupSignatures(seen))
-      store.sigs.count()
-    }
-    // warm second run to split codegen/planning from steady state
-    for (round <- 1 to 3) {
-      var admitted = 0L
-      t(s"processBatch round$round") {
-        streaming.IngestPipeline.processBatch(batch, store,
-          df => admitted += df.count())
-        admitted
+    val embs = Tables.embeddings(spark, sfDir)
+    val n = embs.count()
+    println(s"[prof] corpus n=$n")
+    val model = ops.Vector.fitIvfPq(embs)
+    val index = ops.Vector.ivfPqIndex(embs, model).persist()
+    println(s"[prof] index rows=${index.count()}")
+    index.groupBy("list_id").count().orderBy("list_id").show(20)
+    for (qid <- Seq(0L, 7L, 123L)) {
+      val brute = ops.Vector.bruteForceTopK(embs, qid, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      for (nProbe <- Seq(4, 8, 16); rescoreK <- Seq(50, 100)) {
+        val got = ops.Vector.ivfPqTopK(embs, model, qid, 10,
+          nProbe = nProbe, rescoreK = rescoreK,
+          precomputedIndex = Some(index))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        println(f"[prof] q=$qid nProbe=$nProbe rescoreK=$rescoreK " +
+          f"recall@10=${got.intersect(brute).size / 10.0}%.2f")
       }
-    }
-    // stage-level: where does one batch go?
-    t("exact gate only") {
-      ops.Text.incrementalDedupHashes(batch, store.hashes).count()
-    }
-    t("batch signatures only") {
-      ops.Text.nearDupSignatures(batch).count()
-    }
-    val bs = ops.Text.nearDupSignatures(batch).persist()
-    t("batch sigs materialize")(bs.count())
-    t("band join + verify vs store") {
-      ops.Text.incrementalNearDupSigs(bs, store.sigs).count()
     }
     spark.stop()
   }

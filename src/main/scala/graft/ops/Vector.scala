@@ -456,10 +456,27 @@ object Vector {
       .select(col("unit"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    PqModel(dim, m, ksub, lloydCodebooks(sample, m, ksub, dsub, iters))
+  }
+
+  /** Per-subspace Lloyd k-means over a driver-sized sample — the
+    * deterministic codebook trainer behind [[fitPq]] (unit vectors)
+    * and [[fitIvfPq]] (coarse-list residuals). Stride init over the
+    * caller-ordered sample, lowest-index tie-breaks, empty clusters
+    * keep their previous centroid — two fits on the same sample are
+    * bitwise-identical.
+    */
+  private def lloydCodebooks(
+      sample: Array[Array[Double]],
+      m: Int,
+      ksub: Int,
+      dsub: Int,
+      iters: Int
+  ): Array[Array[Array[Double]]] = {
     val n = sample.length
     require(n >= ksub,
       s"PQ fit needs >= $ksub training vectors, got $n")
-    val codebooks = Array.tabulate(m) { s =>
+    Array.tabulate(m) { s =>
       val subs = sample.map(v =>
         java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       // stride init: centroid c seeds from sample index c*n/ksub —
@@ -492,7 +509,6 @@ object Vector {
       }
       cents
     }
-    PqModel(dim, m, ksub, codebooks)
   }
 
   /** PQ-encode the corpus: `m` codes per vector (argmin centroid per
@@ -504,19 +520,29 @@ object Vector {
     * argmin via array_position of the min (first occurrence → lowest
     * code on ties, matching the fit's tie-break). No shuffle, no UDF.
     */
-  def pqEncode(embeddings: DataFrame, model: PqModel): DataFrame = {
+  def pqEncode(embeddings: DataFrame, model: PqModel): DataFrame =
+    unitized(embeddings)
+      .select(col("vec_id"), pqCodes(col("unit"), model).as("codes"))
+
+  /** The m-code column for an arbitrary vector column — shared by
+    * [[pqEncode]] (unit vectors) and [[ivfPqIndex]] (coarse-list
+    * residuals). Per subspace: one distance fold over the ksub-row
+    * codebook literal, argmin via array_position of the min (first
+    * occurrence → lowest code on ties, matching the fit's
+    * tie-break).
+    */
+  private def pqCodes(vec: Column, model: PqModel): Column = {
     val dsub = model.dsub
     val codeCols = (0 until model.m).map { s =>
       val cbLit = array(model.codebooks(s).map(c =>
         array(c.map(lit(_)): _*)): _*)
-      val sub = slice(col("unit"), s * dsub + 1, dsub)
+      val sub = slice(vec, s * dsub + 1, dsub)
       val dists = transform(cbLit, c =>
         aggregate(zip_with(sub, c, (x, cv) => (x - cv) * (x - cv)),
           lit(0.0), (a, v) => a + v))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    unitized(embeddings)
-      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+    array(codeCols: _*)
   }
 
   /** PQ retrieval via asymmetric distance computation (ADC) + exact
@@ -543,17 +569,50 @@ object Vector {
       precomputedCodes: Option[DataFrame] = None
   ): DataFrame = {
     require(rescoreK >= k, s"rescoreK ($rescoreK) must be >= k ($k)")
-    val dsub = model.dsub
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val codes = precomputedCodes.getOrElse(pqEncode(embeddings, model))
     val q = unitized(embeddings.filter(col("vec_id") === queryId))
       .select(col("unit").as("q_unit"))
+    val lut = adcLut(model, q)
+    val adc = codes
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(lut))
+      .select(col("vec_id"),
+        aggregate(
+          transform(col("codes"),
+            (c, i) => element_at(col("lut"), i * model.ksub + c + 1)),
+          lit(0.0), (a, v) => a + v).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(rescoreK)
+    val qf = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    adc
+      .join(embeddings.select(col("vec_id"), col("label"),
+        col("embedding")), "vec_id")
+      .crossJoin(broadcast(qf))
+      .select(col("vec_id"), col("label"), col("adc_score"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-query ADC lookup table: partial inner products of every PQ
+    * centroid against the (1-row broadcast) query vector `q`
+    * (column `q_unit`), flattened into one array indexed
+    * `sub*ksub+code`. Built distributedly from the codebook literal ×
+    * the broadcast query — no driver `.head()` — and returned as a
+    * 1-row frame the caller cross-joins broadcast. m·ksub doubles
+    * (2 KB at 16×16), regardless of corpus size.
+    */
+  private def adcLut(model: PqModel, q: DataFrame): DataFrame = {
+    val dsub = model.dsub
+    val spark = q.sparkSession
+    import spark.implicits._
     val cents = (for {
       s <- 0 until model.m; c <- 0 until model.ksub
     } yield (s, c, model.codebooks(s)(c).toSeq))
       .toDF("sub", "code", "centroid")
-    val lut = cents.crossJoin(broadcast(q))
+    cents.crossJoin(broadcast(q))
       .select((col("sub") * model.ksub + col("code")).as("idx"),
         aggregate(
           zip_with(col("centroid"),
@@ -565,14 +624,154 @@ object Vector {
       .agg(array_sort(collect_list(struct(col("idx"), col("partial"))))
         .as("kv"))
       .select(transform(col("kv"), e => e.getField("partial")).as("lut"))
-    val adc = codes
+  }
+
+  /** IVF-PQ composite model: a coarse quantizer over the UNIT sphere
+    * (`nLists` centroids — fitted on unit vectors, unlike the
+    * standalone [[fitIvf]]'s raw-space model, because the residual
+    * decomposition below lives in unit space) plus residual PQ
+    * codebooks SHARED across lists (the FAISS IVFPQ layout). Every
+    * stored vector is `list_id + m codes`; the exact identity
+    * `unit = c_list + residual` makes the ADC score
+    * `q·c_list + Σ lut[s, code_s]` an estimate of the full cosine.
+    */
+  final case class IvfPqModel(
+      ivf: org.apache.spark.ml.clustering.KMeansModel,
+      pq: PqModel
+  )
+
+  /** Fit the IVF-PQ composite — the canonical billion-scale ANN
+    * layout (FAISS IVFPQ; Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search"): a coarse quantizer partitions the
+    * unit sphere into `nLists` inverted lists, and PQ codebooks are
+    * trained on the RESIDUALS (unit − assigned centroid) — residuals
+    * concentrate near the origin, so the same code budget quantizes
+    * them with far less distortion than raw vectors.
+    *
+    * Both fits are one-time OFFLINE steps at scale (memoize via
+    * `graft.Caches.cached`): KMeans over the unit corpus for the
+    * coarse step, then per-subspace Lloyd over a driver-sized
+    * residual sample (the `trainN` lowest vec_ids — deterministic;
+    * at 100 TB substitute a hash-draw of the same magnitude).
+    */
+  def fitIvfPq(
+      embeddings: DataFrame,
+      nLists: Int = 16,
+      m: Int = 16,
+      ksub: Int = 16,
+      dim: Int = 64,
+      iters: Int = 10,
+      trainN: Int = 2048,
+      seed: Long = 42L
+  ): IvfPqModel = {
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val u = unitized(embeddings.filter(decNorm(col("embedding")) > 0))
+    val ivf = fitIvf(u.select(col("vec_id"),
+      col("unit").as("embedding")), nLists, seed = seed)
+    val centers = ivf.clusterCenters.map(_.toArray)
+    val sample = ivf
+      .transform(u.withColumn("features", array_to_vector(col("unit"))))
+      .select(col("vec_id"), col("unit"), col("prediction"))
+      .orderBy(col("vec_id"))
+      .limit(trainN)
+      .collect()
+      .map { r =>
+        val unit = r.getSeq[Double](1).toArray
+        val c = centers(r.getInt(2))
+        Array.tabulate(dim)(j => unit(j) - c(j))
+      }
+    IvfPqModel(ivf,
+      PqModel(dim, m, ksub, lloydCodebooks(sample, m, ksub, dsub, iters)))
+  }
+
+  /** Build the IVF-PQ index: `(vec_id, list_id, codes)` — the stored
+    * retrieval artifact (one int + m byte-sized codes per vector; 20 B
+    * vs 256 B of floats at the defaults). Assignment is the coarse
+    * quantizer's (map-side model transform); codes quantize the
+    * residual against the assigned centroid, attached via a
+    * broadcast join with the nLists-row centroid table. All
+    * scan-stage — encode once at ingestion, probe many.
+    */
+  def ivfPqIndex(embeddings: DataFrame, model: IvfPqModel): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = model.ivf.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("list_id", "c_emb")
+    val u = unitized(embeddings)
+    model.ivf
+      .transform(u.withColumn("features", array_to_vector(col("unit"))))
+      .select(col("vec_id"), col("unit"),
+        col("prediction").as("list_id"))
+      .join(broadcast(cents), "list_id")
+      .select(col("vec_id"), col("list_id"),
+        pqCodes(zip_with(col("unit"), col("c_emb"), (x, c) => x - c),
+          model.pq).as("codes"))
+  }
+
+  /** IVF-PQ retrieval — coarse probe × ADC first pass × exact
+    * rescore, the composition that serves billion-vector corpora:
+    *
+    *  1. rank the nLists centroids against the query (tiny broadcast
+    *     plan), keep the `nProbe` nearest — the probe fraction
+    *     nProbe/nLists is the scan saving;
+    *  2. first pass over the PROBED LISTS' index rows only:
+    *     score = q·c_list (per-list constant, rides the broadcast
+    *     probe table) + m lookups into the broadcast residual LUT —
+    *     codes-only IO, no float vectors touched;
+    *  3. exact-cosine rescore of the top `rescoreK` survivors, emit
+    *     the top `k`.
+    *
+    * `precomputedIndex` ([[ivfPqIndex]]) is the deployment form. With
+    * `nProbe = nLists` and `rescoreK >= corpus` this degrades to
+    * exact brute force (VectorSpec pins that identity); production
+    * recall is tuned by nProbe and rescoreK like every IVF engine.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      model: IvfPqModel,
+      queryId: Long,
+      k: Int,
+      nProbe: Int = 4,
+      rescoreK: Int = 100,
+      precomputedIndex: Option[DataFrame] = None
+  ): DataFrame = {
+    require(rescoreK >= k, s"rescoreK ($rescoreK) must be >= k ($k)")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val index = precomputedIndex.getOrElse(ivfPqIndex(embeddings, model))
+    val q = unitized(embeddings.filter(col("vec_id") === queryId))
+      .select(col("unit").as("q_unit"))
+    val cents = model.ivf.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("list_id", "c_emb")
+    // probe: nProbe nearest centroids by l2 (equivalently cosine on
+    // the unit sphere); q·c rides along as the per-list ADC constant
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("list_id"),
+        aggregate(
+          zip_with(col("c_emb"), col("q_unit"),
+            (c, x) => (c - x) * (c - x)),
+          lit(0.0), (acc, v) => acc + v).as("d2"),
+        aggregate(
+          zip_with(col("c_emb"), col("q_unit"), (c, x) => c * x),
+          lit(0.0), (acc, v) => acc + v).as("q_dot_c"))
+      .orderBy(col("d2"), col("list_id"))
+      .limit(nProbe)
+      .select(col("list_id"), col("q_dot_c"))
+    val lut = adcLut(model.pq, q)
+    val adc = index
+      .join(broadcast(probed), "list_id")
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(lut))
       .select(col("vec_id"),
-        aggregate(
+        (col("q_dot_c") + aggregate(
           transform(col("codes"),
-            (c, i) => element_at(col("lut"), i * model.ksub + c + 1)),
-          lit(0.0), (a, v) => a + v).as("adc_score"))
+            (c, i) => element_at(col("lut"), i * model.pq.ksub + c + 1)),
+          lit(0.0), (a, v) => a + v)).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id"))
       .limit(rescoreK)
     val qf = embeddings.filter(col("vec_id") === queryId)

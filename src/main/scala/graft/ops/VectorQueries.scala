@@ -31,9 +31,17 @@ object VectorQueries {
     graft.Caches.cached("vec", ("pq-model", d, 16, 16))(
       Vector.fitPq(Tables.embeddings(s, d), m = 16, ksub = 16))
 
+  /** IVF-PQ composite (coarse quantizer + residual codebooks),
+    * memoized like the other offline-training artifacts.
+    */
+  private def ivfPqModel(s: SparkSession, d: String): Vector.IvfPqModel =
+    graft.Caches.cached("vec", ("ivfpq-model", d, 16, 16, 16))(
+      Vector.fitIvfPq(Tables.embeddings(s, d), nLists = 16, m = 16,
+        ksub = 16))
+
   /** Fit the quantizers outside any timed region. */
   def prewarm(s: SparkSession, d: String): Unit = {
-    ivfModel(s, d); pqModel(s, d); ()
+    ivfModel(s, d); pqModel(s, d); ivfPqModel(s, d); ()
   }
 
   /** Label-partitioned semantic pair graph, shared by the pairs query
@@ -53,8 +61,18 @@ object VectorQueries {
     * in `prewarm` — it is the documented offline-training step, not
     * query work.
     */
+  /** IVF-PQ index artifact (`(vec_id, list_id, codes)`), memoized per
+    * corpus — the encode-once-at-ingestion table the serving query
+    * probes (deployment form; the bench attributes its build as a
+    * `cache:vec:*` line like the other shared materializations).
+    */
+  private def ivfPqIndexDf(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("vec", ("ivfpq-index", s, d))(
+      Vector.ivfPqIndex(Tables.embeddings(s, d), ivfPqModel(s, d)))
+
   val sharedCacheBuilders: Seq[(String, Q)] = Seq(
-    "cache:vec:semantic_pairs" -> ((s, d) => semPairs(s, d))
+    "cache:vec:semantic_pairs" -> ((s, d) => semPairs(s, d)),
+    "cache:vec:ivfpq_index" -> ((s, d) => ivfPqIndexDf(s, d))
   )
 
   val queries: Map[String, Q] = Map(
@@ -169,6 +187,15 @@ object VectorQueries {
     "q_vec_pq_topk" -> ((s, d) =>
       Vector.pqAdcTopK(Tables.embeddings(s, d), pqModel(s, d), 0L, 10,
         rescoreK = 100)),
+    // IVF-PQ composite (coarse probe × residual-ADC × exact rescore —
+    // the billion-scale serving layout): rows-only like the other
+    // fitted-quantizer entries; VectorSpec pins the full-probe/
+    // full-rescore ≡ brute force identity and the serving-point
+    // recall floor.
+    "q_vec_ivfpq_topk" -> ((s, d) =>
+      Vector.ivfPqTopK(Tables.embeddings(s, d), ivfPqModel(s, d), 0L,
+        10, nProbe = 8, rescoreK = 100,
+        precomputedIndex = Some(ivfPqIndexDf(s, d)))),
     // SQ8 + exact rescore: integer first-pass ranking over the
     // quantized corpus, full-precision cosine on the top-rescoreK
     // survivors only — every stage engine-reproducible, so the whole

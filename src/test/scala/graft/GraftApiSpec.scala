@@ -157,7 +157,8 @@ class GraftApiSpec extends SparkSpec {
       "nearDupSignatures" -> "nearDupSignatures",
       "incrementalDedupHashes" -> "dedupAgainstHashes",
       "seenHashes" -> "seenContentHashes",
-      "pqEncode" -> "pqEncode", "pqAdcTopK" -> "pqAdcTopK")
+      "pqEncode" -> "pqEncode", "pqAdcTopK" -> "pqAdcTopK",
+      "ivfPqIndex" -> "ivfPqIndex", "ivfPqTopK" -> "ivfPqTopK")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))
