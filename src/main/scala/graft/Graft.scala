@@ -323,6 +323,27 @@ object Graft {
     ): DataFrame =
       ops.Vector.pqAdcTopK(embs, model, queryId, k, rescoreK,
         precomputedCodes)
+    // incremental semantic ingestion gate: store
+    // (vec_id, list_id, unit) artifacts once at ingestion, gate each
+    // batch against them within its coarse list
+    // (streaming/SemanticIngestPipeline is the foreachBatch form)
+    def semanticSignaturesAssigned: DataFrame =
+      ops.Vector.semanticSignaturesAssigned(embs)
+    def semanticSignatures(model: KMeansModel): DataFrame =
+      ops.Vector.semanticSignatures(embs, model)
+    def semanticDupsAgainstSigs(
+        seenSigs: DataFrame,
+        threshold: Double
+    ): DataFrame =
+      ops.Vector.incrementalSemanticDupsSigs(
+        ops.Vector.semanticSignaturesAssigned(embs), seenSigs,
+        threshold)
+    def semanticDupsAgainst(
+        seen: DataFrame,
+        model: KMeansModel,
+        threshold: Double
+    ): DataFrame =
+      ops.Vector.incrementalSemanticDups(embs, seen, model, threshold)
     // IVF-PQ composite: coarse lists + residual codes — fit offline,
     // store the (list_id, codes) index at ingestion, serve via
     // probe × ADC × exact rescore

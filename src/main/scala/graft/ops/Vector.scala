@@ -944,6 +944,88 @@ object Vector {
   ): DataFrame =
     semanticDedupAssigned(assignLists(embeddings, model), threshold)
 
+  /** The persisted per-vector artifact the incremental SEMANTIC gate
+    * consumes: `(vec_id, list_id, unit)` — coarse-list assignment
+    * plus the unit-normalized vector. This is what a production
+    * ingestion pipeline stores ONCE per vector (the embedding-side
+    * sibling of [[graft.ops.Text.nearDupSignatures]]): at 100 TB the
+    * seen side is this table, and no re-normalization or
+    * re-assignment of the corpus ever runs per batch. `assigned`
+    * carries `(vec_id, embedding, list_id)` — from [[assignLists]]
+    * (the KMeans quantizer) or any offline assignment column.
+    * Zero-norm vectors get NaN units; the gate's `!isnan` filter
+    * drops their pairs (Spark ORDERS NaN above every value, so a bare
+    * `>= threshold` would pass them) — they face no semantic gate
+    * (nothing is directionally similar to a zero vector).
+    */
+  def semanticSignaturesAssigned(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("vec_id"), col("list_id"), col("embedding"),
+        decNorm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("list_id"),
+        transform(col("embedding"),
+          // explicit NaN for the zero-norm case (ANSI sessions raise
+          // DIVIDE_BY_ZERO instead of IEEE-dividing)
+          x => when(col("nrm") === 0.0, lit(Double.NaN))
+            .otherwise(x.cast("double") / col("nrm"))).as("unit"))
+
+  def semanticSignatures(
+      embeddings: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel
+  ): DataFrame =
+    semanticSignaturesAssigned(assignLists(embeddings, model))
+
+  /** Incremental SEMANTIC-dup ingestion gate — the embedding-side
+    * sibling of [[graft.ops.Text.incrementalNearDupSigs]]: which
+    * vectors of an incoming batch are semantic near-duplicates
+    * (cosine >= `threshold`) of the already-ingested corpus, under
+    * the SemDeDup within-list comparison discipline (Abbas et al.):
+    * a batch vector is compared ONLY against seen vectors in its
+    * coarse list, so per-batch work is Σ over batch vectors of their
+    * lists' occupancy — never batch × corpus. Cross-list recall is
+    * the quantizer's loss, exactly as in
+    * [[semanticNearDupPairsAssigned]]; every emitted pair is
+    * exact-cosine-confirmed, so precision is 1.
+    *
+    * Both sides are PRECOMPUTED [[semanticSignaturesAssigned]]
+    * artifacts — the deployment form: the seen corpus contributes a
+    * stored-artifact scan, and the (small) batch side is broadcast,
+    * so the seen table is never shuffled OR re-derived. Ids must be
+    * disjoint across the two frames (same contract as the text
+    * gates). Returns `(vec_a = batch id, vec_b = seen id, cos_sim)`.
+    */
+  def incrementalSemanticDupsSigs(
+      batchSigs: DataFrame,
+      seenSigs: DataFrame,
+      threshold: Double
+  ): DataFrame =
+    seenSigs.as("s")
+      .join(broadcast(batchSigs.as("b")),
+        col("b.list_id") === col("s.list_id"))
+      .select(col("b.vec_id").as("vec_a"),
+        col("s.vec_id").as("vec_b"),
+        decDot(col("b.unit"), col("s.unit")).as("cos_sim"))
+      // !isnan is load-bearing: Spark's ordering puts NaN ABOVE every
+      // value, so a zero-norm unit (NaN cosine) would pass a bare
+      // >= threshold and gate the whole opposing list
+      .filter(col("cos_sim") >= threshold && !isnan(col("cos_sim")))
+
+  /** Recompute-from-embeddings convenience form of the semantic
+    * gate: signs both sides with the model and delegates, so the two
+    * forms cannot diverge. Use the sigs overload in deployment —
+    * re-assigning the seen corpus per batch is the cost the stored
+    * artifact exists to avoid.
+    */
+  def incrementalSemanticDups(
+      batch: DataFrame,
+      seen: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      threshold: Double
+  ): DataFrame =
+    incrementalSemanticDupsSigs(
+      semanticSignatures(batch, model),
+      semanticSignatures(seen, model), threshold)
+
   def cosineNearDup(
       embeddings: DataFrame,
       threshold: Double,

@@ -134,6 +134,21 @@ object VectorQueries {
     // against the exact twin) — a learned assignment has no SQL twin.
     "q_vec_semantic_pairs" -> ((s, d) =>
       semPairs(s, d).orderBy(col("vec_a"), col("vec_b"))),
+    // incremental semantic ingestion gate in its offline-assignment
+    // form (list = stored label, like the other SemDeDup entries):
+    // batch slice (vec_id % 4 == 3) vs the seen remainder, within-list
+    // cross-side exact cosine — the embedding-side sibling of
+    // q_text_incremental_neardup, oracle-exact end to end
+    "q_vec_incremental_semantic" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).withColumn("list_id", col("label"))
+      Vector.incrementalSemanticDupsSigs(
+        Vector.semanticSignaturesAssigned(
+          e.filter(col("vec_id") % 4 === 3)),
+        Vector.semanticSignaturesAssigned(
+          e.filter(col("vec_id") % 4 =!= 3)),
+        threshold = 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
     "q_vec_semantic_dedup" -> ((s, d) =>
       Vector.semanticDedupAssigned(
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
@@ -348,6 +363,31 @@ object VectorQueries {
         |      ELSE FLOOR(CAST(x AS DOUBLE) / max_abs * 127)
         |      END AS BIGINT)), ',') AS qvec_csv
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q_vec_incremental_semantic" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |  FROM (SELECT vec_id, label, UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  -- ORDER BY inside the SUM pins the fp summation to list
+        |  -- order — Spark's decDot folds in list order, and DuckDB's
+        |  -- arrival order here differs by 1 ULP without it
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % 4 = 3 AND b.vec_id % 4 <> 3
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, cos_sim FROM p
+        |WHERE cos_sim >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q_vec_semantic_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, label,

@@ -158,7 +158,11 @@ class GraftApiSpec extends SparkSpec {
       "incrementalDedupHashes" -> "dedupAgainstHashes",
       "seenHashes" -> "seenContentHashes",
       "pqEncode" -> "pqEncode", "pqAdcTopK" -> "pqAdcTopK",
-      "ivfPqIndex" -> "ivfPqIndex", "ivfPqTopK" -> "ivfPqTopK")
+      "ivfPqIndex" -> "ivfPqIndex", "ivfPqTopK" -> "ivfPqTopK",
+      "semanticSignaturesAssigned" -> "semanticSignaturesAssigned",
+      "semanticSignatures" -> "semanticSignatures",
+      "incrementalSemanticDupsSigs" -> "semanticDupsAgainstSigs",
+      "incrementalSemanticDups" -> "semanticDupsAgainst")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

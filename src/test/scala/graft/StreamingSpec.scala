@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{CdcPipeline, EventTimeOps, IngestPipeline, LogPipeline, Sessionize}
+import graft.streaming.{CdcPipeline, EventTimeOps, IngestPipeline, LogPipeline, SemanticIngestPipeline, Sessionize}
 
 /** Streaming-semantics tests (SURVEY §5 item 4): MemoryStream →
   * identical pipelines → processAllAvailable, plus watermark/late
@@ -420,6 +420,86 @@ class StreamingSpec extends SparkSpec {
       df => admitted2 ++= df.select("doc_id").collect().map(_.getLong(0)))
     // 21 exact-dups seen 13; 22 near-dups seen 1; 23 admitted
     assert(admitted2.toSet == Set(23L))
+  }
+
+  test("streaming semantic ingestion gate == batch gate on same " +
+      "batches, and the parquet store survives a restart") {
+    // SemanticIngestPipeline is the embedding-side deployment form:
+    // each micro-batch is admitted against the accumulating artifact
+    // store under the within-list discipline, and survivors' unit
+    // vectors extend the store. Assignment here is the offline
+    // metadata form (list = vec_id % 2) so the test is
+    // quantizer-free and deterministic.
+    implicit val sqlCtx = spark.sqlContext
+    val assign = (df: DataFrame) =>
+      df.withColumn("list_id", (col("vec_id") % 2).cast("int"))
+    val e0 = Array(1f, 0f, 0f)         // vec 0 → list 0
+    val e1 = Array(0f, 1f, 0f)         // vec 1 → list 1
+    val e0near = Array(0.9f, 0.1f, 0f) // cos vs e0 ≈ 0.994
+    val eNew = Array(0f, 0f, 1f)
+    val batch1 = Seq((0L, e0), (1L, e1))
+    val batch2 = Seq(
+      (10L, e0near), // list 0, dup of seen 0 → dropped
+      (11L, e0near), // list 1 (odd id): same vector, probes the
+                     // OTHER list → admitted (quantizer loss)
+      (12L, eNew))   // list 0, orthogonal → admitted
+    def runBatches(process: Seq[(Long, Array[Float])] => Unit): Unit = {
+      process(batch1); process(batch2)
+    }
+    // batch twin
+    val batchStore = new SemanticIngestPipeline.MemoryStore(spark)
+    val batchAdmitted = scala.collection.mutable.ArrayBuffer[Long]()
+    runBatches(rows => SemanticIngestPipeline.processBatch(
+      rows.toDF("vec_id", "embedding"), batchStore, assign,
+      df => batchAdmitted ++=
+        df.select("vec_id").collect().map(_.getLong(0)),
+      threshold = 0.9))
+    assert(batchAdmitted.toSet == Set(0L, 1L, 11L, 12L))
+    // streaming side: the same two micro-batches through start()
+    val store = new SemanticIngestPipeline.MemoryStore(spark)
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, Array[Float])]
+    val sq = SemanticIngestPipeline.start(
+      in.toDF().toDF("vec_id", "embedding"), store, assign,
+      df => admitted ++= df.select("vec_id").collect().map(_.getLong(0)),
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-semingest-ckpt").toString,
+      threshold = 0.9)
+    try {
+      in.addData(batch1)
+      sq.processAllAvailable()
+      in.addData(batch2)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    assert(admitted.toSet == batchAdmitted.toSet)
+    def sg(s: SemanticIngestPipeline.SeenStore) =
+      s.sigs.collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Int]("list_id"))).toSet
+    assert(sg(store) == sg(batchStore))
+    assert(sg(store).map(_._1) == Set(0L, 1L, 11L, 12L))
+    // parquet-backed store: same batches, same admissions, and a
+    // fresh instance over the directory — a restart — still gates
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semingest-store").toString
+    val pStore = new SemanticIngestPipeline.ParquetStore(spark, dir)
+    val pAdmitted = scala.collection.mutable.ArrayBuffer[Long]()
+    runBatches(rows => SemanticIngestPipeline.processBatch(
+      rows.toDF("vec_id", "embedding"), pStore, assign,
+      df => pAdmitted ++=
+        df.select("vec_id").collect().map(_.getLong(0)),
+      threshold = 0.9))
+    assert(pAdmitted.toSet == batchAdmitted.toSet)
+    val reopened = new SemanticIngestPipeline.ParquetStore(spark, dir)
+    assert(sg(reopened) == sg(batchStore))
+    val admitted3 = scala.collection.mutable.ArrayBuffer[Long]()
+    SemanticIngestPipeline.processBatch(
+      Seq((20L, e0near), (21L, eNew)).toDF("vec_id", "embedding"),
+      reopened, assign,
+      df => admitted3 ++= df.select("vec_id").collect().map(_.getLong(0)),
+      threshold = 0.9)
+    // 20 (list 0) dups seen 0; 21 (list 1) orthogonal to everything
+    // in list 1 → admitted
+    assert(admitted3.toSet == Set(21L))
   }
 
   test("streaming content-defined chunking == batch on same docs") {

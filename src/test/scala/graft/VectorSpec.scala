@@ -302,6 +302,38 @@ class VectorSpec extends SparkSpec {
       Vec.pqAdcTopK(embs, model, 0L, 10, rescoreK = 5))
   }
 
+  test("incremental semantic gate: within-list dups flagged, " +
+      "cross-list misses are the quantizer's documented loss, " +
+      "zero-norm vectors pass, stored-artifact path == recompute") {
+    def sigsOf(rows: Seq[(Long, Array[Float], Int)]) =
+      Vec.semanticSignaturesAssigned(
+        rows.toDF("vec_id", "embedding", "list_id"))
+    val seen = sigsOf(Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f), 1)))
+    val batch = sigsOf(Seq(
+      (10L, Array(0.9f, 0.1f, 0f), 0),  // cos vs 0 ≈ 0.994 → dup
+      (11L, Array(0f, 0.95f, 0.3f), 0), // near v1 but probes list 0 → miss
+      (12L, Array(0f, 0f, 1f), 1),      // orthogonal to v1 → novel
+      (13L, Array(0f, 0f, 0f), 0)))     // zero-norm → no semantic gate
+    val dups = Vec.incrementalSemanticDupsSigs(batch, seen, 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(dups.toSet == Set((10L, 0L)))
+    // the artifact table is exactly what the model-free offline form
+    // stores: one row per vector, unit-normalized
+    val art = seen.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Double]]("unit")).toMap
+    assert(art(0L) == Seq(1.0, 0.0, 0.0))
+    // after admitting 11, a copy of it in a later batch IS gated —
+    // the store accumulates
+    val seen2 = seen.union(sigsOf(Seq((11L, Array(0f, 0.95f, 0.3f), 0))))
+    val later = sigsOf(Seq((20L, Array(0f, 0.95f, 0.3f), 0)))
+    val dups2 = Vec.incrementalSemanticDupsSigs(later, seen2, 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(dups2.toSet == Set((20L, 11L)))
+  }
+
   test("IVF-PQ: bounded index artifact, full-probe/full-rescore " +
       "equals brute force, serving-point recall is high, stored " +
       "index equals inline") {
