@@ -238,7 +238,7 @@ object VectorQueries {
         |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
         |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    SUM(a.ux * b.ux) AS cos_sim
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
         |  GROUP BY 1, 2)
         |SELECT vec_a, vec_b, cos_sim FROM p
@@ -249,13 +249,14 @@ object VectorQueries {
          |           WHERE vec_id = 0),
          |pairs AS (
          |  SELECT e.vec_id, e.label,
+         |         CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
          |         UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
          |  FROM embeddings e, q WHERE e.vec_id <> 0),
          |dots AS (
          |  SELECT vec_id, label,
-         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_a,
-         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
+         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i) AS dot,
+         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) ORDER BY i)) AS norm_a,
+         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)) AS norm_b
          |  FROM pairs GROUP BY vec_id, label)
          |SELECT vec_id, label, dot / (norm_a * norm_b) AS cos_sim
          |-- norm guard: Spark's rankedAgainst filters !isnan; DuckDB
@@ -271,13 +272,14 @@ object VectorQueries {
          |  WHERE vec_id % 50 <> 0),
          |pairs AS (
          |  SELECT tr.vec_id, ev.eval_id,
+         |         CAST(generate_subscripts(tr.embedding, 1) AS INT) AS i,
          |         UNNEST(tr.embedding) AS x, UNNEST(ev.eval_emb) AS y
          |  FROM tr, ev),
          |dots AS (
          |  SELECT vec_id, eval_id,
-         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_a,
-         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
+         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i) AS dot,
+         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) ORDER BY i)) AS norm_a,
+         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)) AS norm_b
          |  FROM pairs GROUP BY vec_id, eval_id),
          |sims AS (
          |  -- norm guard: Spark drops NaN cosines (zero-norm vectors)
@@ -295,15 +297,16 @@ object VectorQueries {
          |           WHERE vec_id = 0),
          |pairs AS (
          |  SELECT e.vec_id, e.label,
+         |         CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
          |         UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
          |  FROM embeddings e
          |  JOIN documents d ON e.vec_id = d.doc_id AND d.lang = 'es',
          |  q WHERE e.vec_id <> 0),
          |dots AS (
          |  SELECT vec_id, label,
-         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_a,
-         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
+         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i) AS dot,
+         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) ORDER BY i)) AS norm_a,
+         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)) AS norm_b
          |  FROM pairs GROUP BY vec_id, label)
          |SELECT vec_id, label, dot / (norm_a * norm_b) AS cos_sim
          |-- norm guard: Spark's rankedAgainst filters !isnan; DuckDB
@@ -322,13 +325,14 @@ object VectorQueries {
         |q AS (SELECT feature AS q_emb FROM f WHERE vec_id = 0),
         |pairs AS (
         |  SELECT e.vec_id,
+        |         CAST(generate_subscripts(e.feature, 1) AS INT) AS i,
         |         UNNEST(e.feature) AS x, UNNEST(q.q_emb) AS y
         |  FROM f e, q WHERE e.vec_id <> 0),
         |dots AS (
         |  SELECT vec_id,
-        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_a,
-        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS norm_b
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i) AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) ORDER BY i)) AS norm_a,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)) AS norm_b
         |  FROM pairs GROUP BY vec_id)
         |SELECT vec_id, 0 AS label, dot / (norm_a * norm_b) AS cos_sim
         |FROM dots WHERE norm_a > 0 AND norm_b > 0
@@ -402,7 +406,7 @@ object VectorQueries {
         |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
         |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    SUM(a.ux * b.ux) AS cos_sim
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
         |    AND a.vec_id < b.vec_id
@@ -424,7 +428,7 @@ object VectorQueries {
         |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
         |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    SUM(a.ux * b.ux) AS cos_sim
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
         |    AND a.vec_id < b.vec_id
@@ -454,7 +458,7 @@ object VectorQueries {
         |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
         |p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    SUM(a.ux * b.ux) AS cos_sim
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
         |  GROUP BY 1, 2)
         |SELECT vec_a, vec_b, cos_sim FROM p
@@ -466,11 +470,12 @@ object VectorQueries {
         |  FROM embeddings WHERE vec_id % 100 = 0),
         |pairs AS (
         |  SELECT q.query_id, e.vec_id,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
         |    UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
         |dots AS (
         |  SELECT query_id, vec_id,
-        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i) AS dot,
         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
         |  FROM pairs GROUP BY query_id, vec_id),
@@ -504,6 +509,7 @@ object VectorQueries {
         |       WHERE vec_id = 0),
         |appairs AS (
         |  SELECT e.vec_id, e.scale, q.q_scale,
+        |    CAST(generate_subscripts(e.qvec, 1) AS INT) AS i,
         |    UNNEST(e.qvec) AS x, UNNEST(q.q_qvec) AS y
         |  FROM q8 e, qq q WHERE e.vec_id <> 0),
         |ap AS (
@@ -516,13 +522,14 @@ object VectorQueries {
         |  ORDER BY approx_score DESC, vec_id LIMIT 50),
         |pairs AS (
         |  SELECT t.vec_id, t.approx_score, e.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
         |    UNNEST(e.embedding) AS x, UNNEST(qe.q_emb) AS y
         |  FROM top t JOIN embeddings e ON t.vec_id = e.vec_id,
         |    (SELECT embedding AS q_emb FROM embeddings
         |     WHERE vec_id = 0) qe),
         |dots AS (
         |  SELECT vec_id, approx_score, label,
-        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i) AS dot,
         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
         |  FROM pairs GROUP BY vec_id, approx_score, label)
