@@ -85,8 +85,13 @@ object MultimodalQueries {
         |  FROM documents d, generate_series(0, 15) AS t(j)
         |  GROUP BY d.doc_id)
         |SELECT doc_id,
-        |  sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS l2_norm
-        |FROM (SELECT doc_id, UNNEST(feature) AS x FROM f)
+        |  -- ordered SUM pins the fp fold to list order (Spark's
+        |  -- decNorm folds in list order; arrival order is luck)
+        |  sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |           ORDER BY i)) AS l2_norm
+        |FROM (SELECT doc_id,
+        |        CAST(generate_subscripts(feature, 1) AS INT) AS i,
+        |        UNNEST(feature) AS x FROM f)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
