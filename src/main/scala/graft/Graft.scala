@@ -86,6 +86,23 @@ object Graft {
       * [[qualityThresholds]] (window-based; calibration scale). */
     def qualityThresholdsExact: DataFrame =
       ops.Text.qualityDecileThresholdsExact(docs)
+    /** Logistic quality classifier: apply (scan-stage arithmetic). */
+    def classifierScored(model: ops.Text.QualityClassifier): DataFrame =
+      ops.Text.classifierScore(docs, model)
+    /** Logistic quality classifier: fit on (doc_id, label) rows. */
+    def trainQualityClassifier(
+        labels: DataFrame
+    ): ops.Text.QualityClassifier =
+      ops.Text.trainQualityClassifier(docs, labels)
+    /** DSIR importance weights of these (raw) docs vs a target
+      * corpus (hashed-unigram importance model). */
+    def dsirWeightsAgainst(
+        target: DataFrame, nBuckets: Int = 1024
+    ): DataFrame = ops.Text.dsirWeights(docs, target, nBuckets)
+    /** Deterministic DSIR selection: top-k raw docs by weight. */
+    def dsirResampled(
+        target: DataFrame, k: Int, nBuckets: Int = 1024
+    ): DataFrame = ops.Text.dsirResample(docs, target, k, nBuckets)
     def langGuessed: DataFrame = ops.Text.langGuess(docs)
     def tokenStats: DataFrame = ops.Text.tokenStats(docs)
     def bpeTokenCounts: DataFrame = ops.Text.bpeTokenStats(docs)
@@ -344,6 +361,13 @@ object Graft {
         threshold: Double
     ): DataFrame =
       ops.Vector.incrementalSemanticDups(embs, seen, model, threshold)
+    /** Within-list directed kNN graph (this frame must carry a
+      * `list_id` assignment column). */
+    def knnGraphAssigned(k: Int): DataFrame =
+      ops.Vector.knnGraphAssigned(embs, k)
+    /** kNN graph via the fitted coarse quantizer. */
+    def knnGraph(model: KMeansModel, k: Int): DataFrame =
+      ops.Vector.knnGraph(embs, model, k)
     // IVF-PQ composite: coarse lists + residual codes — fit offline,
     // store the (list_id, codes) index at ingestion, serve via
     // probe × ADC × exact rescore

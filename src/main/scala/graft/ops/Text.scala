@@ -103,6 +103,70 @@ object Text {
           col("len_score") * 0.25)
   }
 
+  /** Learned weights of the logistic quality classifier:
+    * `logit = bias + wStop·stopword_ratio + wUniq·uniq_ratio +
+    * wLen·len_score`.
+    */
+  final case class QualityClassifier(
+      wStop: Double, wUniq: Double, wLen: Double, bias: Double)
+
+  /** Apply a logistic quality classifier over the [[qualityScore]]
+    * features — the FineWeb-Edu/DCLM-style "filter by classifier
+    * score" pass: the model is a handful of doubles (trained offline
+    * via [[trainQualityClassifier]] or supplied), the application is
+    * pure scan-stage arithmetic — no shuffle, no join, embarrassingly
+    * parallel at any corpus size. `logit` is IEEE +/×-only (hence
+    * engine-exact and oracle-hashable); `clf_score = σ(logit)` goes
+    * through libm `exp` and is spec-tested instead (same split as
+    * [[unigramScore]]'s ln columns).
+    */
+  def classifierScore(
+      docs: DataFrame,
+      model: QualityClassifier
+  ): DataFrame =
+    qualityScore(docs)
+      .withColumn("logit",
+        lit(model.bias) +
+          col("stopword_ratio") * model.wStop +
+          col("uniq_ratio") * model.wUniq +
+          col("len_score") * model.wLen)
+      .withColumn("clf_score", lit(1.0) / (exp(-col("logit")) + 1.0))
+
+  /** Fit the logistic quality classifier on weak labels —
+    * `labels`: `(doc_id, label ∈ {0.0, 1.0})`. Training is the
+    * standard distributed L-BFGS of spark.ml (each iteration one pass
+    * over the feature rows); the returned model is four doubles, so
+    * serving never touches MLlib — [[classifierScore]] applies it as
+    * plain column arithmetic. This is the deployment split every
+    * classifier-filter pipeline uses at 100 TB: fit on a (sampled)
+    * labeled slice, apply scan-stage to the corpus.
+    */
+  def trainQualityClassifier(
+      docs: DataFrame,
+      labels: DataFrame,
+      maxIter: Int = 50
+  ): QualityClassifier = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
+    val feats = qualityScore(docs).join(labels, "doc_id")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val train = feats.select(
+      col("label").cast("double"),
+      col("stopword_ratio"), col("uniq_ratio"), col("len_score"))
+      .as[(Double, Double, Double, Double)]
+      .map { case (l, s, u, n) => (l, Vectors.dense(s, u, n)) }
+      .toDF("label", "features")
+    val lr = new LogisticRegression()
+      .setMaxIter(maxIter)
+      .setStandardization(false)
+      .setRegParam(0.0)
+    val m = lr.fit(train)
+    QualityClassifier(
+      m.coefficients(0), m.coefficients(1), m.coefficients(2),
+      m.intercept)
+  }
+
   /** Percentile calibration of the quality score — how quality gates
     * are set in practice: "drop the worst 20%" (a percentile), not
     * "drop below 0.37" (an absolute that shifts with every corpus).
@@ -1292,6 +1356,96 @@ object Text {
     */
   def draw60(key: Column): Column =
     conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * each raw doc by how target-like its hashed-unigram distribution
+    * is, `log w(d) = Σ_tok ln p̂_target(b(tok)) − ln p̂_raw(b(tok))`
+    * with add-1-smoothed bucket probabilities over `nBuckets` md5
+    * buckets (the published recipe hashes n-grams into a fixed bucket
+    * space precisely so the importance model is a pair of bounded
+    * count tables, not a vocabulary).
+    *
+    * Scale shape: one scan of each corpus → two `nBuckets`-row count
+    * tables (map-side combined groupBy) → their join is model-sized
+    * and BROADCAST back over the raw occurrence stream → per-doc agg
+    * (partial-combined, shuffle volume ≈ one row per doc). The raw
+    * corpus is never shuffled by token, and nothing driver-side
+    * exceeds `nBuckets` rows.
+    *
+    * Exact-integer skeleton for the oracle: `n_toks`, `sum_ct`,
+    * `sum_cr`, `min_ct` are pure counts (engine-exact); the ln-derived
+    * `sum_lr_q20` / `log_w` columns ride the same q20 fixed-point
+    * trick as [[unigramScore]] (per-bucket `floor(ln(c+1)·2^20)`
+    * longs summed exactly — partition-order-safe) and are
+    * differential-spec-tested rather than oracle-hashed.
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      nBuckets: Int = 1024
+  ): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val q20 = (1L << 20).toDouble
+    def occ(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"),
+        pmod(draw60(col("token")), lit(nBuckets.toLong)).as("b"))
+    def bucketCounts(docs: DataFrame, as: String): DataFrame =
+      occ(docs).groupBy(col("b")).agg(count(lit(1)).as(as))
+    val cr = bucketCounts(raw, "cr")
+    val ct = bucketCounts(target, "ct")
+    // model: nBuckets rows — per-bucket counts + the q20 log-ratio
+    // skeleton ln(ct+1) − ln(cr+1), floored to longs so downstream
+    // sums are exact integers under any partitioning
+    val model = cr.join(ct, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .withColumn("lr_q20",
+        (floor(log(col("ct").cast("double") + 1.0) * q20) -
+          floor(log(col("cr").cast("double") + 1.0) * q20))
+          .cast("long"))
+    // corpus-level smoothing constant ln(R+B) − ln(T+B), one row
+    val totals = model.agg(
+      sum(col("cr")).as("__r_total"), sum(col("ct")).as("__t_total"))
+    occ(raw)
+      .join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("ct")).as("sum_ct"),
+        sum(col("cr")).as("sum_cr"),
+        min(col("ct")).as("min_ct"),
+        sum(col("lr_q20")).as("sum_lr_q20"))
+      .crossJoin(broadcast(totals))
+      .withColumn("log_w",
+        col("sum_lr_q20").cast("double") / q20 +
+          col("n_toks").cast("double") *
+            (log(col("__r_total").cast("double") + nBuckets) -
+              log(col("__t_total").cast("double") + nBuckets)))
+      .drop("__r_total", "__t_total")
+  }
+
+  /** Deterministic DSIR selection: the `k` raw docs with the highest
+    * importance weight (ties → lowest doc_id). The published method
+    * gumbel-samples ∝ w; the deterministic argmax variant is the
+    * reproducible form a curation audit wants, and a caller who needs
+    * sampled selection composes `dsirWeights` with
+    * [[temperatureSample]]-style draws instead.
+    */
+  def dsirResample(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Int,
+      nBuckets: Int = 1024
+  ): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val w = dsirWeights(raw, target, nBuckets)
+    // TakeOrdered shape: per-partition top-k, then merge — never a
+    // global sort of the corpus
+    w.orderBy(col("log_w").desc, col("doc_id")).limit(k)
+  }
 
   /** The capstone composition — the end-to-end "prepare training
     * data" pipeline a 100 TB curation job runs, built entirely from

@@ -333,6 +333,30 @@ object TextQueries {
         .select(col("doc_id"), col("n_pairs"), col("sum_pair_tf"),
           col("min_pair_tf"))
         .orderBy(col("doc_id"))),
+    // DSIR importance-weight skeleton (raw = non-en docs scored
+    // toward the en slice): integer count columns only — the
+    // ln-derived q20/log_w columns ride the q_text_unigram split and
+    // are differential-spec-tested in TextSpec
+    "q_text_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.dsirWeights(
+        docs.filter(col("lang") =!= "en"),
+        docs.filter(col("lang") === "en"), nBuckets = 256)
+        .select(col("doc_id"), col("n_toks"), col("sum_ct"),
+          col("sum_cr"), col("min_ct"))
+        .orderBy(col("doc_id"))
+    }),
+    // logistic quality classifier, fixed-weight apply path: the logit
+    // is IEEE +/* only, so it oracle-hashes; the sigmoid clf_score
+    // goes through libm exp and is spec-tested (trained-weights path
+    // is spec-tested end to end — a fitted model has no SQL twin)
+    "q_text_classifier" -> ((s, d) =>
+      Text.classifierScore(Tables.documents(s, d),
+        Text.QualityClassifier(wStop = 1.5, wUniq = -2.0,
+          wLen = 0.75, bias = 0.25))
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+          col("uniq_ratio"), col("len_score"), col("logit"))
+        .orderBy(col("doc_id"))),
     // corpus-level source-pair vocabulary overlap: exact integer
     // set sizes; jaccard is one IEEE division of those integers
     "q_text_source_overlap" -> ((s, d) =>
@@ -1022,6 +1046,55 @@ object TextQueries {
          |  CAST(MIN(tf.tf) AS BIGINT) AS min_tf
          |FROM t JOIN tf USING (token)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q_text_dsir" ->
+      s"""WITH ro AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+         |      % 256 AS b
+         |  FROM (SELECT doc_id, UNNEST($toksSql) AS token
+         |        FROM documents
+         |        WHERE lang <> 'en' AND len(trim(text)) > 0)),
+         |tg AS (
+         |  SELECT
+         |    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+         |      % 256 AS b
+         |  FROM (SELECT UNNEST($toksSql) AS token
+         |        FROM documents
+         |        WHERE lang = 'en' AND len(trim(text)) > 0)),
+         |cr AS (SELECT b, COUNT(*) AS cr FROM ro GROUP BY b),
+         |ct AS (SELECT b, COUNT(*) AS ct FROM tg GROUP BY b),
+         |m AS (
+         |  SELECT COALESCE(cr.b, ct.b) AS b,
+         |    COALESCE(cr.cr, 0) AS cr, COALESCE(ct.ct, 0) AS ct
+         |  FROM cr FULL OUTER JOIN ct ON cr.b = ct.b)
+         |SELECT ro.doc_id, COUNT(*) AS n_toks,
+         |  CAST(SUM(m.ct) AS BIGINT) AS sum_ct,
+         |  CAST(SUM(m.cr) AS BIGINT) AS sum_cr,
+         |  CAST(MIN(m.ct) AS BIGINT) AS min_ct
+         |FROM ro JOIN m USING (b)
+         |GROUP BY ro.doc_id ORDER BY ro.doc_id""".stripMargin,
+    "q_text_classifier" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS uniq_ratio,
+         |    CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 AS len_score
+         |  FROM t)
+         |SELECT doc_id, n_tokens, stopword_ratio, uniq_ratio,
+         |  len_score,
+         |  0.25 + stopword_ratio * 1.5 + uniq_ratio * -2.0
+         |    + len_score * 0.75 AS logit
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_bigram" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks

@@ -1026,6 +1026,50 @@ object Vector {
       semanticSignatures(batch, model),
       semanticSignatures(seen, model), threshold)
 
+  /** Directed k-nearest-neighbor graph under the SemDeDup comparison
+    * discipline: each vector's `k` most-cosine-similar neighbors
+    * WITHIN its coarse list (ties → lowest neighbor id). The kNN
+    * graph is the substrate of cluster-based curation (SemDeDup's
+    * own extremity ranking, D4-style density pruning, graph-walk
+    * sampling) — and the within-list restriction is what makes it
+    * buildable at 100 TB: candidate volume is Σ|list|² like
+    * [[semanticNearDupPairsAssigned]], never n², and the rank window
+    * partitions by vec_id so no global sort exists anywhere.
+    * Cross-list neighbors are the quantizer's documented loss.
+    * Zero-norm vectors emit no edges (NaN cosines are filtered, and
+    * ranking NaN would be meaningless).
+    *
+    * `assigned` carries `(vec_id, embedding, list_id)` — offline
+    * assignment or [[assignLists]]. Returns
+    * `(vec_id, nbr_id, cos_sim, rank)`, rank 1 = nearest.
+    */
+  def knnGraphAssigned(assigned: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val u = graft.Caches.track("vec", semanticSignaturesAssigned(assigned))
+    u.as("l").join(u.as("r"),
+        col("l.list_id") === col("r.list_id") &&
+          col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_id"),
+        col("r.vec_id").as("nbr_id"),
+        decDot(col("l.unit"), col("r.unit")).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_sim").desc, col("nbr_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** KMeans-quantizer form of the kNN graph (fit the model offline
+    * with [[fitIvf]]; one quantizer serves search, dedup, and graph
+    * construction).
+    */
+  def knnGraph(
+      embeddings: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      k: Int
+  ): DataFrame =
+    knnGraphAssigned(assignLists(embeddings, model), k)
+
   def cosineNearDup(
       embeddings: DataFrame,
       threshold: Double,

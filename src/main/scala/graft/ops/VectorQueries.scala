@@ -154,6 +154,14 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         0.4, precomputedPairs = Some(semPairs(s, d)))
         .orderBy(col("vec_id"))),
+    // within-list directed kNN graph in the offline-assignment form
+    // (list = stored label): exact cosine + per-vector rank window,
+    // deterministic end to end, so the whole graph oracle-hashes
+    "q_vec_knn_graph" -> ((s, d) =>
+      Vector.knnGraphAssigned(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        k = 3)
+        .orderBy(col("vec_id"), col("rank"))),
     // semantic decontamination: train slice vs the deterministic
     // held-out slice (vec_id % 50 == 0, mirroring
     // q_text_contamination's split), brute-force exact by design
@@ -392,6 +400,36 @@ object VectorQueries {
         |SELECT vec_a, vec_b, cos_sim FROM p
         |WHERE cos_sim >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_vec_knn_graph" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  -- NOT isnan mirrors the Spark op's zero-norm policy
+        |  SELECT vec_id, nbr_id, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS INT) AS "rank"
+        |  FROM p WHERE NOT isnan(cos_sim))
+        |SELECT vec_id, nbr_id, cos_sim, "rank" FROM r
+        |WHERE "rank" <= 3 ORDER BY vec_id, "rank"""".stripMargin,
     "q_vec_semantic_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, label,

@@ -162,7 +162,12 @@ class GraftApiSpec extends SparkSpec {
       "semanticSignaturesAssigned" -> "semanticSignaturesAssigned",
       "semanticSignatures" -> "semanticSignatures",
       "incrementalSemanticDupsSigs" -> "semanticDupsAgainstSigs",
-      "incrementalSemanticDups" -> "semanticDupsAgainst")
+      "incrementalSemanticDups" -> "semanticDupsAgainst",
+      "dsirWeights" -> "dsirWeightsAgainst",
+      "dsirResample" -> "dsirResampled",
+      "classifierScore" -> "classifierScored",
+      "knnGraphAssigned" -> "knnGraphAssigned",
+      "knnGraph" -> "knnGraph")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

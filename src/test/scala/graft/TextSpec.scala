@@ -956,6 +956,94 @@ class TextSpec extends SparkSpec {
       out(1L).getAs[Double]("avg_nll"))
   }
 
+  test("dsirWeights: integer skeleton exact, log_w matches the " +
+      "quantized definition bitwise, target-like docs outrank " +
+      "target-absent ones, resample picks the top") {
+    val raw = Seq(
+      (1L, "spark table join spark", "en", "s1", 22L),
+      (2L, "zebra yak xylophone", "en", "s1", 19L),
+      (3L, "spark zebra", "en", "s1", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val target = Seq(
+      (100L, "spark join table spark spark", "en", "t", 28L),
+      (101L, "table join", "en", "t", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val nB = 64
+    val out = Text.dsirWeights(raw, target, nBuckets = nB).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // in-memory replication of the whole formula (same md5 bucket,
+    // same q20 floor, same Math.log) — log_w must match BITWISE
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % nB
+    }
+    val rawToks = Seq("spark", "table", "join", "spark", "zebra",
+      "yak", "xylophone", "spark", "zebra")
+    val tgtToks = Seq("spark", "join", "table", "spark", "spark",
+      "table", "join")
+    val cr = rawToks.groupBy(bucket).map { case (b, t) => b -> t.size }
+    val ct = tgtToks.groupBy(bucket).map { case (b, t) => b -> t.size }
+    val q20 = (1L << 20).toDouble
+    def lrQ20(b: Long): Long =
+      (math.floor(math.log(ct.getOrElse(b, 0) + 1.0) * q20) -
+        math.floor(math.log(cr.getOrElse(b, 0) + 1.0) * q20)).toLong
+    def expected(toks: Seq[String]): Double =
+      toks.map(t => lrQ20(bucket(t))).sum / q20 +
+        toks.size * (math.log(rawToks.size.toDouble + nB) -
+          math.log(tgtToks.size.toDouble + nB))
+    assert(out(1L).getAs[Double]("log_w") ==
+      expected(Seq("spark", "table", "join", "spark")))
+    assert(out(2L).getAs[Double]("log_w") ==
+      expected(Seq("zebra", "yak", "xylophone")))
+    assert(out(3L).getAs[Double]("log_w") ==
+      expected(Seq("spark", "zebra")))
+    // the integer skeleton: doc 1's tokens all live in target buckets
+    assert(out(1L).getAs[Long]("n_toks") == 4L)
+    assert(out(1L).getAs[Long]("min_ct") >= 1L)
+    assert(out(2L).getAs[Long]("sum_ct") == 0L) // no target mass
+    // ranking: target-like > mixed > target-absent
+    assert(out(1L).getAs[Double]("log_w") >
+      out(3L).getAs[Double]("log_w"))
+    assert(out(3L).getAs[Double]("log_w") >
+      out(2L).getAs[Double]("log_w"))
+    val top = Text.dsirResample(raw, target, k = 1, nBuckets = nB)
+      .select("doc_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L))
+  }
+
+  test("quality classifier: trained weights separate planted " +
+      "classes, clf_score is the sigmoid of the exact logit, fixed-" +
+      "weight apply matches hand arithmetic") {
+    // class 1: diverse vocab (high uniq_ratio); class 0: repetitive
+    val d = (1L to 10L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i", "en", "s", 40L)) ++
+      (11L to 20L).map(i => (i, "dup dup dup dup", "en", "s", 15L))
+    val docs = d.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val labels = (1L to 20L).map(i => (i, if (i <= 10) 1.0 else 0.0))
+      .toDF("doc_id", "label")
+    val m = Text.trainQualityClassifier(docs, labels)
+    val scored = Text.classifierScore(docs, m).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("clf_score")).toMap
+    val class1Min = (1L to 10L).map(scored).min
+    val class0Max = (11L to 20L).map(scored).max
+    assert(class1Min > class0Max,
+      s"trained classifier failed to separate: $class1Min <= $class0Max")
+    // sigmoid/logit relation + fixed-weight logit arithmetic, exact
+    val fixed = Text.classifierScore(docs,
+      Text.QualityClassifier(1.5, -2.0, 0.75, 0.25)).collect()
+    fixed.foreach { r =>
+      val logit = 0.25 + r.getAs[Double]("stopword_ratio") * 1.5 +
+        r.getAs[Double]("uniq_ratio") * -2.0 +
+        r.getAs[Double]("len_score") * 0.75
+      assert(r.getAs[Double]("logit") == logit)
+      assert(r.getAs[Double]("clf_score") ==
+        1.0 / (math.exp(-logit) + 1.0))
+    }
+  }
+
   test("bigramScore: exact pair skeleton and word-salad detection") {
     val d = Seq(
       // "a b" appears 3× (docs 1,1,2); "b a" only in doc 3

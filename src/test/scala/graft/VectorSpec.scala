@@ -334,6 +334,42 @@ class VectorSpec extends SparkSpec {
     assert(dups2.toSet == Set((20L, 11L)))
   }
 
+  test("knnGraphAssigned: within-list neighbors ranked by cosine, " +
+      "k caps per vector, zero-norm vectors neither source nor " +
+      "attract edges; quantizer form is within-KMeans-list") {
+    val a = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f), 0),  // cos vs 0 ≈ 0.994
+      (2L, Array(0f, 1f, 0f), 0),      // cos vs 0 = 0
+      (3L, Array(0f, 0f, 0f), 0),      // zero-norm
+      (9L, Array(1f, 0f, 0f), 1))      // alone in its list
+      .toDF("vec_id", "embedding", "list_id")
+    val g = Vec.knnGraphAssigned(a, k = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("nbr_id")).toMap
+    // per-vector ranking: nearest first, ties by id; k=2 cap holds
+    assert(g((0L, 1)) == 1L && g((0L, 2)) == 2L)
+    assert(g((1L, 1)) == 0L && g((1L, 2)) == 2L)
+    assert(g((2L, 1)) == 1L)  // cos(2,1)≈0.11 > cos(2,0)=0
+    // zero-norm: no outgoing, no incoming; singleton list: no edges
+    val ids = g.keys.map(_._1).toSet
+    assert(!ids.contains(3L) && !ids.contains(9L))
+    assert(!g.values.toSet.contains(3L))
+    // quantizer form: every edge joins same-assigned-list vectors
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Vec.fitIvf(embs, nLists = 4)
+    val lists = Vec.assignLists(embs, model)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = Vec.knnGraph(embs, model, k = 2).collect()
+    assert(edges.nonEmpty)
+    edges.foreach { r =>
+      assert(lists(r.getAs[Long]("vec_id")) ==
+        lists(r.getAs[Long]("nbr_id")))
+      assert(r.getAs[Int]("rank") <= 2)
+    }
+  }
+
   test("IVF-PQ: bounded index artifact, full-probe/full-rescore " +
       "equals brute force, serving-point recall is high, stored " +
       "index equals inline") {
