@@ -1033,19 +1033,29 @@ object Vector {
     * own extremity ranking, D4-style density pruning, graph-walk
     * sampling) — and the within-list restriction is what makes it
     * buildable at 100 TB: candidate volume is Σ|list|² like
-    * [[semanticNearDupPairsAssigned]], never n², and the rank window
-    * partitions by vec_id so no global sort exists anywhere.
+    * [[semanticNearDupPairsAssigned]], never n², and per-vector
+    * ranking runs through the MERGEABLE
+    * [[graft.functions.TopKPairsAggregator]] — partial aggregation
+    * keeps ≤ k pairs per vector per task, so the shuffle carries
+    * k·|vectors| rows, never the Σ|list|² candidate set (a window
+    * row_number form would shuffle AND sort every candidate — at
+    * sf0.1's 400k candidates the two are within noise of each
+    * other, but the shuffled volume diverges linearly in list
+    * occupancy, which is what matters at corpus scale).
     * Cross-list neighbors are the quantizer's documented loss.
     * Zero-norm vectors emit no edges (NaN cosines are filtered, and
     * ranking NaN would be meaningless).
     *
     * `assigned` carries `(vec_id, embedding, list_id)` — offline
     * assignment or [[assignLists]]. Returns
-    * `(vec_id, nbr_id, cos_sim, rank)`, rank 1 = nearest.
+    * `(vec_id, nbr_id, cos_sim, rank)`, rank 1 = nearest, order
+    * contract (cos_sim DESC, nbr_id ASC) — deterministic.
     */
   def knnGraphAssigned(assigned: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val u = graft.Caches.track("vec", semanticSignaturesAssigned(assigned))
+    val topk = udaf(new graft.functions.TopKPairsAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
     u.as("l").join(u.as("r"),
         col("l.list_id") === col("r.list_id") &&
           col("l.vec_id") =!= col("r.vec_id"))
@@ -1053,10 +1063,12 @@ object Vector {
         col("r.vec_id").as("nbr_id"),
         decDot(col("l.unit"), col("r.unit")).as("cos_sim"))
       .filter(!isnan(col("cos_sim")))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos_sim").desc, col("nbr_id"))))
-      .filter(col("rank") <= k)
+      .groupBy(col("vec_id"))
+      .agg(topk(col("cos_sim"), col("nbr_id")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("e._2").as("nbr_id"),
+        col("e._1").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** KMeans-quantizer form of the kNN graph (fit the model offline
