@@ -368,6 +368,10 @@ object Graft {
     /** kNN graph via the fitted coarse quantizer. */
     def knnGraph(model: KMeansModel, k: Int): DataFrame =
       ops.Vector.knnGraph(embs, model, k)
+    /** D4-style density pruning: drop overdense regions (frame must
+      * carry a `list_id` assignment column). */
+    def densityPruned(k: Int, maxMeanCos: Double): DataFrame =
+      ops.Vector.densityPrune(embs, k, maxMeanCos)
     // IVF-PQ composite: coarse lists + residual codes — fit offline,
     // store the (list_id, codes) index at ingestion, serve via
     // probe × ADC × exact rescore

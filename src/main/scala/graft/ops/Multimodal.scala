@@ -178,4 +178,55 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** 60-bit perceptual hash of the media payload — STUB: md5-derived
+    * (the same deterministic stand-in contract as [[fakeDecode]]; a
+    * real pHash — DCT of the decoded, downscaled image — drops in
+    * with the same 60-bit column and everything downstream is
+    * unchanged). Because the stub hashes raw bytes, only
+    * byte-identical payloads collide at hamming 0; a real pHash
+    * additionally lands *visually* similar payloads within small
+    * hamming distance — which is exactly what [[mediaNearDup]]'s
+    * banding is built to catch.
+    */
+  def mediaPhash(docs: DataFrame): DataFrame =
+    withPayload(docs).select(col("doc_id"),
+      conv(substring(md5(col("payload")), 1, 15), 16, 10)
+        .cast("long").as("phash"))
+
+  /** Media near-duplicate pairs at hamming ≤ `maxHamming` over the
+    * perceptual hash — the image-dedup shape at 100 TB, identical
+    * pigeonhole banding to [[graft.ops.Text.simhashNearDup]]: split
+    * the 60-bit hash into `maxHamming + 1` bands; any pair within
+    * the distance budget matches exactly on ≥ 1 band (pigeonhole),
+    * so only same-band-bucket pairs are compared — EXACT by theorem,
+    * never n².
+    */
+  def mediaNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(maxHamming >= 0 && 60 % nBands == 0,
+      s"maxHamming + 1 = $nBands must divide the 60-bit hash")
+    val bandBits = 60 / nBands
+    val sigs = mediaPhash(docs)
+    val banded = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until nBands).map(i => struct(
+        lit(i).as("band"),
+        shiftright(col("phash"), i * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bits") === col("r.bits") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.phash").as("ph_a"), col("r.phash").as("ph_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

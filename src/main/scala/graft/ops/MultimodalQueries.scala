@@ -48,10 +48,40 @@ object MultimodalQueries {
       Multimodal.extractFeatures(Tables.documents(s, d))
         .select(col("doc_id"),
           Vector.decNorm(col("feature")).as("l2_norm"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // perceptual-hash media near-dup: pigeonhole banding is exact, so
+    // the brute-force n² hamming twin is the oracle (same contract as
+    // q_text_simhash_neardup). The testdata has no byte-identical
+    // payloads, so the query plants a deterministic duplicated slice
+    // (every 100th doc re-added under a shifted id) on BOTH sides —
+    // an empty result would make the green row vacuous
+    "q_mm_phash_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Multimodal.mediaNearDup(docs.unionByName(planted),
+        maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mm_phash_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |      AS phash
+        |  FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_mm_payload_stats" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

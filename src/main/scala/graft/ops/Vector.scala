@@ -1082,6 +1082,45 @@ object Vector {
   ): DataFrame =
     knnGraphAssigned(assignLists(embeddings, model), k)
 
+  /** D4-style density pruning (Tirumala et al., "D4: Improving LLM
+    * Pretraining via Document De-Duplication and Diversification",
+    * 2023): a vector's local density is its mean cosine to its `k`
+    * nearest within-list neighbors; vectors in overdense regions
+    * (`mean_knn_cos > maxMeanCos`) are redundant mass the training
+    * mix doesn't need and are marked `keep = false`. Composes
+    * [[knnGraphAssigned]], so the scale shape is the graph's
+    * (Σ|list|² candidates, k-pair shuffles). Vectors with NO
+    * neighbors (singleton lists, zero-norm) have nothing measuring
+    * their density and are kept.
+    *
+    * Determinism: the mean folds the per-vector top-k list in rank
+    * order (collect_list is order-free only after the sort_array),
+    * so the double sum is the same sequence in any partitioning —
+    * the same trick as the oracle's `SUM(... ORDER BY rank)`.
+    */
+  def densityPrune(
+      assigned: DataFrame,
+      k: Int,
+      maxMeanCos: Double
+  ): DataFrame = {
+    val density = knnGraphAssigned(assigned, k)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("cos_sim")))).as("nbrs"))
+      .select(col("vec_id"),
+        size(col("nbrs")).as("n_nbrs"),
+        (aggregate(col("nbrs"), lit(0.0),
+          (acc, x) => acc + x.getField("cos_sim")) /
+          size(col("nbrs"))).as("mean_knn_cos"))
+    assigned.select(col("vec_id"), col("list_id"))
+      .join(density, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("n_nbrs"), lit(0)).as("n_nbrs"),
+        col("mean_knn_cos"),
+        (col("mean_knn_cos").isNull ||
+          col("mean_knn_cos") <= maxMeanCos).as("keep"))
+  }
+
   def cosineNearDup(
       embeddings: DataFrame,
       threshold: Double,

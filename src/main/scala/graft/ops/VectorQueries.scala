@@ -162,6 +162,14 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         k = 3)
         .orderBy(col("vec_id"), col("rank"))),
+    // D4-style density pruning over the same graph: mean top-k
+    // neighbor cosine in rank order (deterministic fold, ordered-SUM
+    // twin), keep = not overdense
+    "q_vec_density_prune" -> ((s, d) =>
+      Vector.densityPrune(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        k = 3, maxMeanCos = 0.2)
+        .orderBy(col("vec_id"))),
     // semantic decontamination: train slice vs the deterministic
     // held-out slice (vec_id % 50 == 0, mirroring
     // q_text_contamination's split), brute-force exact by design
@@ -430,6 +438,45 @@ object VectorQueries {
         |  FROM p WHERE NOT isnan(cos_sim))
         |SELECT vec_id, nbr_id, cos_sim, "rank" FROM r
         |WHERE "rank" <= 3 ORDER BY vec_id, "rank"""".stripMargin,
+    "q_vec_density_prune" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |dens AS (
+        |  -- rank-ordered SUM matches the Spark side's rank-ordered
+        |  -- fold of the top-k list
+        |  SELECT vec_id, CAST(COUNT(*) AS INT) AS n_nbrs,
+        |    SUM(cos_sim ORDER BY rk) / COUNT(*) AS mean_knn_cos
+        |  FROM r WHERE rk <= 3 GROUP BY vec_id)
+        |SELECT e.vec_id, e.label AS list_id,
+        |  COALESCE(dens.n_nbrs, 0) AS n_nbrs, dens.mean_knn_cos,
+        |  (dens.mean_knn_cos IS NULL OR dens.mean_knn_cos <= 0.2)
+        |    AS keep
+        |FROM embeddings e LEFT JOIN dens ON e.vec_id = dens.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "q_vec_semantic_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, label,

@@ -167,7 +167,8 @@ class GraftApiSpec extends SparkSpec {
       "dsirResample" -> "dsirResampled",
       "classifierScore" -> "classifierScored",
       "knnGraphAssigned" -> "knnGraphAssigned",
-      "knnGraph" -> "knnGraph")
+      "knnGraph" -> "knnGraph",
+      "densityPrune" -> "densityPruned")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

@@ -72,4 +72,27 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getDouble(1))
     assert(norms.forall(n => n > 0 && n < 4.0))   // 16 floats in [0,1)
   }
+
+  test("media near-dup: identical payloads pair at hamming 0, " +
+      "banding equals brute force, distance budget respected") {
+    val d = Seq(
+      (1L, "same bytes"), (2L, "same bytes"),   // exact dup pair
+      (3L, "other doc"), (4L, "third thing"),
+      (5L, "same bytes")                         // dup of 1 and 2
+    ).toDF("doc_id", "text")
+    val banded = Multimodal.mediaNearDup(d, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming")))
+    // brute-force twin over the same hashes
+    val ph = Multimodal.mediaPhash(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phash")).toMap
+    val brute = for {
+      a <- ph.keys.toSeq; b <- ph.keys.toSeq if a < b
+      h = java.lang.Long.bitCount(ph(a) ^ ph(b)) if h <= 3
+    } yield (a, b, h)
+    assert(banded.toSet == brute.toSet)
+    assert(banded.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    assert(banded.forall(_._3 == 0))
+  }
 }

@@ -370,6 +370,42 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("densityPrune: overdense vectors dropped, sparse and " +
+      "unmeasured (no-neighbor) vectors kept, mean is the rank-" +
+      "ordered top-k average") {
+    val a = Seq(
+      // list 0: a tight clump of three near-identical vectors plus
+      // one orthogonal outlier
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.01f, 0f), 0),
+      (2L, Array(0.98f, 0.02f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 0),
+      (9L, Array(1f, 0f, 0f), 1))  // singleton list: unmeasured
+      .toDF("vec_id", "embedding", "list_id")
+    val out = Vec.densityPrune(a, k = 2, maxMeanCos = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size == 5)
+    // clump members: both nearest neighbors are clump-mates, mean
+    // cos ≈ 0.9998 > 0.9 → dropped
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(out(id).getAs[Int]("n_nbrs") == 2)
+      assert(!out(id).getAs[Boolean]("keep"), s"vec $id should drop")
+    }
+    // outlier: neighbors exist but are orthogonal, mean ≈ 0.01 → kept
+    assert(out(3L).getAs[Boolean]("keep"))
+    // singleton list: no neighbors, no density measurement → kept
+    assert(out(9L).getAs[Int]("n_nbrs") == 0)
+    assert(out(9L).getAs[Boolean]("keep"))
+    assert(out(9L).isNullAt(out(9L).fieldIndex("mean_knn_cos")))
+    // the mean is exactly the rank-ordered fold of the top-k list
+    val g = Vec.knnGraphAssigned(a, 2).collect()
+      .filter(_.getAs[Long]("vec_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[Double]("cos_sim"))
+    assert(out(0L).getAs[Double]("mean_knn_cos") ==
+      g.foldLeft(0.0)(_ + _) / g.length)
+  }
+
   test("IVF-PQ: bounded index artifact, full-probe/full-rescore " +
       "equals brute force, serving-point recall is high, stored " +
       "index equals inline") {
