@@ -1,8 +1,7 @@
 package graft
 // scratch check main (not part of the library surface)
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Vector => Vec}
 
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -12,33 +11,25 @@ object Prof {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val e = Tables.embeddings(spark, sfDir)
-      .withColumn("list_id", col("label"))
-    def time(label: String)(f: => Long): Unit = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    val store = new streaming.SemanticIngestPipeline.MemoryStore(spark)
+    var admitted = 0L
+    val batches = vecs.grouped(500).toSeq
+    batches.zipWithIndex.foreach { case (b, bi) =>
       val t0 = System.nanoTime()
-      val n = f
-      System.err.println(f"[prof] $label%-28s ${(System.nanoTime()-t0)/1e9}%6.2fs  n=$n")
+      streaming.SemanticIngestPipeline.processBatch(
+        b.toSeq.toDF("vec_id", "embedding", "list_id"), store, identity,
+        df => admitted += df.count(), threshold = 0.6)
+      System.err.println(f"[prof] batch $bi ${(System.nanoTime()-t0)/1e9}%6.2fs")
     }
-    val u = Vec.semanticSignaturesAssigned(e).persist()
-    time("unitize+persist")(u.count())
-    val joined = u.as("l").join(u.as("r"),
-        col("l.list_id") === col("r.list_id") &&
-          col("l.vec_id") =!= col("r.vec_id"))
-    time("join only (count)")(joined.count())
-    val dots = joined.select(col("l.vec_id").as("vec_id"),
-        col("r.vec_id").as("nbr_id"),
-        Vec.decDot(col("l.unit"), col("r.unit")).as("cos_sim"))
-      .filter(!isnan(col("cos_sim")))
-    time("join+dots (agg sum)")(
-      dots.agg(sum(col("cos_sim"))).collect().length.toLong)
-    time("knnGraphAssigned cold-ish")(
-      Vec.knnGraphAssigned(e, 3).count())
-    time("knnGraphAssigned again")(
-      Vec.knnGraphAssigned(e, 3).count())
+    System.err.println(s"[prof] admitted=$admitted")
     spark.stop()
   }
 }

@@ -99,7 +99,8 @@ object StreamBench {
       docsIn.toDF().toDF("doc_id", "text"), store,
       df => admitted += df.count(),
       checkpoint = java.nio.file.Files
-        .createTempDirectory("graft-ingest-bench").toString)
+        .createTempDirectory("graft-ingest-bench").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
     try {
       docsIn.addData(docs.take(perDocBatch))
       gate.processAllAvailable()
@@ -123,6 +124,53 @@ object StreamBench {
       java.nio.file.Files.writeString(out2.toPath,
         java.nio.file.Files.readString(out2.toPath) + line2 + "\n")
     } finally gate.stop()
+
+    // Third surface: the streaming SEMANTIC ingestion gate —
+    // vectors/s through SemanticIngestPipeline micro-batches against
+    // the accumulating unit-vector artifact store (offline metadata
+    // assignment: list = stored label, the deployment form without a
+    // quantizer in the loop). Same warm-batch protocol as the others.
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    val perVecBatch = vecs.length / 4
+    val vecsIn = MemoryStream[(Long, Array[Float], Int)]
+    val semStore = new streaming.SemanticIngestPipeline.MemoryStore(spark)
+    var semAdmitted = 0L
+    val semGate = streaming.SemanticIngestPipeline.start(
+      vecsIn.toDF().toDF("vec_id", "embedding", "list_id"),
+      semStore, identity,
+      df => semAdmitted += df.count(),
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-semingest-bench").toString,
+      threshold = 0.6,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      vecsIn.addData(vecs.take(perVecBatch).toSeq)
+      semGate.processAllAvailable()
+      val t0 = System.nanoTime()
+      var i = perVecBatch
+      var timed = 0
+      while (i < vecs.length) {
+        vecsIn.addData(vecs.slice(i, i + perVecBatch).toSeq)
+        semGate.processAllAvailable()
+        i += perVecBatch
+        timed += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = vecs.length - perVecBatch
+      val line3 =
+        s"""{"metric":"semantic_gate_vecs_per_sec","value":${(n / dt).toLong},""" +
+          s""""vecs":$n,"admitted":$semAdmitted,"seconds":$dt,"batches":$timed,"sf":"$sfDir"}"""
+      println(line3)
+      val out3 = new java.io.File(sys.env.getOrElse(
+        "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+      java.nio.file.Files.writeString(out3.toPath,
+        java.nio.file.Files.readString(out3.toPath) + line3 + "\n")
+    } finally semGate.stop()
     spark.stop()
   }
 }

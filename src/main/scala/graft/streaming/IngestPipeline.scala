@@ -183,13 +183,18 @@ object IngestPipeline {
       store: SeenStore,
       admitSink: DataFrame => Unit,
       checkpoint: String,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      // the reference's 5 s micro-batch regime by default
+      // (`OdsBaseLogApp.scala:25`); benches/tests pass
+      // Trigger.AvailableNow or a zero-interval trigger so
+      // processAllAvailable is not paced by wall-clock
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")
   ): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, store, admitSink, threshold)
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .trigger(trigger)
       .start()
 }

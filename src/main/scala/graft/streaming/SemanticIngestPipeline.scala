@@ -129,13 +129,17 @@ object SemanticIngestPipeline {
       assign: DataFrame => DataFrame,
       admitSink: DataFrame => Unit,
       checkpoint: String,
-      threshold: Double
+      threshold: Double,
+      // 5 s micro-batches by default (the reference regime); benches
+      // and tests pass a zero-interval trigger so
+      // processAllAvailable is not paced by wall-clock
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")
   ): StreamingQuery =
     source.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, store, assign, admitSink, threshold)
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .trigger(trigger)
       .start()
 }
