@@ -232,6 +232,18 @@ object Graft {
         sampleRate: Double = 0.5
     ): DataFrame = ops.Text.prepareTrainingData(docs,
       qualityThreshold, jaccardThreshold, sampleRate)
+    /** Cross-modal capstone: classifier gate + text AND semantic
+      * near-dup collapse (embeddings must carry a list_id). */
+    def preparedForTrainingSemantic(
+        embsAssigned: DataFrame,
+        clf: ops.Text.QualityClassifier,
+        minLogit: Double,
+        jaccardThreshold: Double = 0.5,
+        cosThreshold: Double = 0.4,
+        sampleRate: Double = 0.5
+    ): DataFrame = ops.Curation.prepareTrainingDataSemantic(
+      docs, embsAssigned, clf, minLogit, jaccardThreshold,
+      cosThreshold, sampleRate)
     /** Unigram-LM scoring (corpus-frequency perplexity proxy). */
     def unigramScored: DataFrame = ops.Text.unigramScore(docs)
     /** Bigram conditional-LM scoring (word-salad detector). */

@@ -257,6 +257,19 @@ object TextQueries {
       Text.prepareTrainingData(Tables.documents(s, d),
         precomputedPairs = Some((jacPairs(s, d), 0.5)))
         .orderBy(col("doc_id"), col("chunk_id"))),
+    // cross-modal capstone: classifier gate -> exact dedup -> text
+    // near-dup components -> SEMANTIC near-dup components over the
+    // survivors' embeddings -> redact -> chunk -> sample. Reuses the
+    // session text pair graph AND the session semantic pair graph
+    "q_text_prepare_semantic" -> ((s, d) =>
+      Curation.prepareTrainingDataSemantic(
+        Tables.documents(s, d),
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        Text.QualityClassifier(1.5, -2.0, 0.75, 0.25),
+        minLogit = -0.5,
+        precomputedPairs = Some((jacPairs(s, d), 0.5)),
+        precomputedSemanticPairs = Some(VectorQueries.semPairs(s, d)))
+        .orderBy(col("doc_id"), col("chunk_id"))),
     // cross-document duplicated spans (Lee et al. substring-level
     // signal): exact integer window counts → fully oracle-checkable
     "q_text_dup_spans" -> ((s, d) =>
@@ -851,6 +864,111 @@ object TextQueries {
          |      '<EMAIL>', 'g'),
          |      '[0-9]{7,}', '<NUM>', 'g') AS text
          |  FROM qd q JOIN reps USING (doc_id)),
+         |tk AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM red WHERE len(trim(text)) > 0),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    UNNEST(generate_series(0, len(toks) - 1, 40)) AS start
+         |  FROM tk)
+         |SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+         |  array_to_string(toks[start + 1 : start + 50], ' ')
+         |    AS chunk_text,
+         |  CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_tokens
+         |FROM c
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |    CAST(start // 40 AS VARCHAR) || ':chunk'), 1, 15)) AS BIGINT)
+         |  < ${Text.q60(0.5)}
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_text_prepare_semantic" ->
+      s"""WITH RECURSIVE
+         |qt AS (
+         |  SELECT doc_id, n_chars, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE regexp_split_to_array(trim(text), '\\s+')
+         |    END AS qtoks
+         |  FROM documents),
+         |qdocs AS (
+         |  -- classifier logit gate: same term order as the Spark side
+         |  SELECT doc_id, text FROM qt
+         |  WHERE 0.25
+         |    + CAST(len(list_filter(qtoks,
+         |        x -> list_contains($stopSql, x))) AS DOUBLE)
+         |        / GREATEST(len(qtoks), 1) * 1.5
+         |    + CAST(len(list_distinct(qtoks)) AS DOUBLE)
+         |        / GREATEST(len(qtoks), 1) * -2.0
+         |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.75
+         |    >= -0.5),
+         |qd AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |                         ORDER BY doc_id) AS rn
+         |    FROM qdocs)
+         |  WHERE rn = 1),
+         |${jacPairsSqlOver("qd")},
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |    WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(doc_id, rr) AS (
+         |  SELECT doc_id, doc_id FROM qd
+         |  UNION
+         |  SELECT reach.doc_id, e.dst
+         |  FROM reach JOIN e ON reach.rr = e.src),
+         |treps AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, MIN(rr) AS cluster FROM reach GROUP BY doc_id)
+         |  WHERE doc_id = cluster),
+         |ek AS (
+         |  SELECT em.vec_id, em.label, em.embedding
+         |  FROM embeddings em JOIN treps ON em.vec_id = treps.doc_id),
+         |nn AS (
+         |  SELECT vec_id, label,
+         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         |             ORDER BY i)) AS nrm
+         |  FROM (SELECT vec_id, label,
+         |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+         |          UNNEST(embedding) AS x
+         |        FROM ek)
+         |  GROUP BY vec_id, label),
+         |uu AS (
+         |  SELECT ek.vec_id, nn.label,
+         |    CAST(generate_subscripts(ek.embedding, 1) AS INT) AS i,
+         |    CAST(UNNEST(ek.embedding) AS DOUBLE) / nn.nrm AS ux
+         |  FROM ek JOIN nn ON ek.vec_id = nn.vec_id),
+         |sp AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM uu a JOIN uu b
+         |    ON a.i = b.i AND a.label = b.label
+         |    AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2
+         |  HAVING SUM(a.ux * b.ux ORDER BY a.i) >= 0.4),
+         |se AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM sp
+         |  UNION ALL
+         |  SELECT vec_b, vec_a FROM sp),
+         |sreach(vec_id, r) AS (
+         |  SELECT vec_id, vec_id FROM ek
+         |  UNION
+         |  SELECT sreach.vec_id, se.dst
+         |  FROM sreach JOIN se ON sreach.r = se.src),
+         |sdrop AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, MIN(r) AS c FROM sreach GROUP BY vec_id)
+         |  WHERE vec_id <> c),
+         |survivors AS (
+         |  SELECT doc_id FROM treps
+         |  WHERE doc_id NOT IN (SELECT vec_id FROM sdrop)),
+         |red AS (
+         |  SELECT q.doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(q.text,
+         |      'https?://[^ ]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |      '<EMAIL>', 'g'),
+         |      '[0-9]{7,}', '<NUM>', 'g') AS text
+         |  FROM qd q JOIN survivors USING (doc_id)),
          |tk AS (
          |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
          |  FROM red WHERE len(trim(text)) > 0),

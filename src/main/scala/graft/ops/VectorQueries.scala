@@ -49,7 +49,7 @@ object VectorQueries {
     * materialization per session, released with the vec family; same
     * pattern as TextQueries.jacPairs).
     */
-  private def semPairs(s: SparkSession, d: String): DataFrame =
+  private[ops] def semPairs(s: SparkSession, d: String): DataFrame =
     graft.Caches.persisted("vec", ("sempairs", s, d))(
       Vector.semanticNearDupPairsAssigned(
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
