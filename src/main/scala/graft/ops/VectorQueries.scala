@@ -244,8 +244,11 @@ object VectorQueries {
     "q_vec_neardup" ->
       """WITH n AS (
         |  SELECT vec_id,
-        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-        |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x FROM embeddings)
         |  GROUP BY vec_id),
         |u AS (
         |  SELECT e.vec_id,
@@ -386,8 +389,11 @@ object VectorQueries {
     "q_vec_incremental_semantic" ->
       """WITH n AS (
         |  SELECT vec_id, label,
-        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-        |  FROM (SELECT vec_id, label, UNNEST(embedding) AS x
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
         |        FROM embeddings)
         |  GROUP BY vec_id, label),
         |u AS (
@@ -480,8 +486,11 @@ object VectorQueries {
     "q_vec_semantic_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, label,
-        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-        |  FROM (SELECT vec_id, label, UNNEST(embedding) AS x
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
         |        FROM embeddings)
         |  GROUP BY vec_id, label),
         |u AS (
@@ -502,8 +511,11 @@ object VectorQueries {
     "q_vec_semantic_dedup" ->
       """WITH RECURSIVE n AS (
         |  SELECT vec_id, label,
-        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-        |  FROM (SELECT vec_id, label, UNNEST(embedding) AS x
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
         |        FROM embeddings)
         |  GROUP BY vec_id, label),
         |u AS (
@@ -533,8 +545,11 @@ object VectorQueries {
     "q_vec_neardup_exact" ->
       """WITH n AS (
         |  SELECT vec_id,
-        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-        |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x FROM embeddings)
         |  GROUP BY vec_id),
         |u AS (
         |  SELECT e.vec_id,
@@ -624,8 +639,11 @@ object VectorQueries {
     "q_vec_grid_density" ->
       """WITH n AS (
         |  SELECT vec_id,
-        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-        |  FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x FROM embeddings)
         |  GROUP BY vec_id),
         |u AS (
         |  SELECT e.vec_id,

@@ -19,6 +19,31 @@ class GraftApiSpec extends SparkSpec {
     (2L, Array(0.0f, 1.0f), 1)
   ).toDF("vec_id", "embedding", "label")
 
+  /** Registry integrity — two silent failure modes the driver cannot
+    * distinguish from bugs: an oracleSql key with no queries entry
+    * (DuckDB side runs, Spark side never dumped → FAIL no_out), and
+    * the same name registered by two modules (map ++ silently keeps
+    * the last one — whichever module happens to win the concat).
+    */
+  test("every oracle key has a query; no name collides across " +
+      "module registries") {
+    val dangling = SparkEntry.oracleSql.keySet
+      .diff(SparkEntry.queries.keySet)
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+    val modules = Seq(
+      "relational" -> ops.RelationalQueries.queries.keySet,
+      "demux" -> ops.DemuxQueries.queries.keySet,
+      "cdc" -> ops.CdcQueries.queries.keySet,
+      "text" -> ops.TextQueries.queries.keySet,
+      "vector" -> ops.VectorQueries.queries.keySet,
+      "multimodal" -> ops.MultimodalQueries.queries.keySet)
+    val collisions = modules.combinations(2).flatMap {
+      case Seq((na, a), (nb, b)) =>
+        a.intersect(b).map(k => s"$k ($na ∩ $nb)")
+    }.toSeq
+    assert(collisions.isEmpty, s"colliding query names: $collisions")
+  }
+
   test("doc surface composes end to end") {
     assert(docs.dedupExact.count() == 2)
     assert(docs.dupGroups.columns.contains("n_dups"))
