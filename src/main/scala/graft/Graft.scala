@@ -384,6 +384,10 @@ object Graft {
       * carry a `list_id` assignment column). */
     def densityPruned(k: Int, maxMeanCos: Double): DataFrame =
       ops.Vector.densityPrune(embs, k, maxMeanCos)
+    /** Hard-negative mining (frame must carry `list_id` and the
+      * positive-equivalence `group` column). */
+    def hardNegatives(k: Int): DataFrame =
+      ops.Vector.hardNegativesAssigned(embs, k)
     // IVF-PQ composite: coarse lists + residual codes — fit offline,
     // store the (list_id, codes) index at ingestion, serve via
     // probe × ADC × exact rescore

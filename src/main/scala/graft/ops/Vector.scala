@@ -1082,6 +1082,45 @@ object Vector {
   ): DataFrame =
     knnGraphAssigned(assignLists(embeddings, model), k)
 
+  /** Hard-negative mining for contrastive/retrieval training (the
+    * ANN-negatives recipe of DPR/Contriever): for each vector, its
+    * `k` most cosine-similar neighbors from a DIFFERENT `group` —
+    * similar enough to be hard, different enough to be guaranteed
+    * negative. `group` is the positive-equivalence key (source
+    * document, query cluster, language — whatever must never be
+    * sampled as a negative for itself). Same within-`list_id`
+    * comparison discipline and mergeable top-k as
+    * [[knnGraphAssigned]] — candidates Σ|list|², shuffle k
+    * pairs/vector — so the miner runs at corpus scale exactly where
+    * the kNN graph does; cross-list negatives are the quantizer's
+    * documented loss (raise nProbe-style coverage by coarsening the
+    * lists if the negative pool must be wider).
+    *
+    * `assigned` carries `(vec_id, embedding, list_id, group)`.
+    * Returns `(vec_id, neg_id, cos_sim, rank)`, rank 1 = hardest.
+    */
+  def hardNegativesAssigned(assigned: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val u = graft.Caches.track("vec",
+      semanticSignaturesAssigned(assigned)
+        .join(assigned.select(col("vec_id"), col("group")), "vec_id"))
+    val topk = udaf(new graft.functions.TopKPairsAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    u.as("l").join(u.as("r"),
+        col("l.list_id") === col("r.list_id") &&
+          col("l.group") =!= col("r.group"))
+      .select(col("l.vec_id").as("vec_id"),
+        col("r.vec_id").as("neg_id"),
+        decDot(col("l.unit"), col("r.unit")).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .groupBy(col("vec_id"))
+      .agg(topk(col("cos_sim"), col("neg_id")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("e._2").as("neg_id"),
+        col("e._1").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** D4-style density pruning (Tirumala et al., "D4: Improving LLM
     * Pretraining via Document De-Duplication and Diversification",
     * 2023): a vector's local density is its mean cosine to its `k`

@@ -170,6 +170,17 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         k = 3, maxMeanCos = 0.2)
         .orderBy(col("vec_id"))),
+    // hard-negative mining: group = the doc's source (negatives must
+    // come from a different source), list = stored label — exact
+    // cosine + deterministic top-k, oracle-exact end to end
+    "q_vec_hard_negatives" -> ((s, d) =>
+      Vector.hardNegativesAssigned(
+        Tables.embeddings(s, d).withColumn("list_id", col("label"))
+          .join(Tables.documents(s, d)
+            .select(col("doc_id").as("vec_id"),
+              col("source").as("group")), "vec_id"),
+        k = 2)
+        .orderBy(col("vec_id"), col("rank"))),
     // semantic decontamination: train slice vs the deterministic
     // held-out slice (vec_id % 50 == 0, mirroring
     // q_text_contamination's split), brute-force exact by design
@@ -444,6 +455,37 @@ object VectorQueries {
         |  FROM p WHERE NOT isnan(cos_sim))
         |SELECT vec_id, nbr_id, cos_sim, "rank" FROM r
         |WHERE "rank" <= 3 ORDER BY vec_id, "rank"""".stripMargin,
+    "q_vec_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label, d.source,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e
+        |  JOIN n ON e.vec_id = n.vec_id
+        |  JOIN documents d ON e.vec_id = d.doc_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.source <> b.source
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, neg_id, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, neg_id) AS INT) AS "rank"
+        |  FROM p WHERE NOT isnan(cos_sim))
+        |SELECT vec_id, neg_id, cos_sim, "rank" FROM r
+        |WHERE "rank" <= 2 ORDER BY vec_id, "rank"""".stripMargin,
     "q_vec_density_prune" ->
       """WITH n AS (
         |  SELECT vec_id, label,

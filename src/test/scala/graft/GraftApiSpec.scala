@@ -193,7 +193,8 @@ class GraftApiSpec extends SparkSpec {
       "classifierScore" -> "classifierScored",
       "knnGraphAssigned" -> "knnGraphAssigned",
       "knnGraph" -> "knnGraph",
-      "densityPrune" -> "densityPruned")
+      "densityPrune" -> "densityPruned",
+      "hardNegativesAssigned" -> "hardNegatives")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

@@ -370,6 +370,31 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesAssigned: same-group neighbors excluded even " +
+      "when most similar, hardest first, k caps, cross-list unseen") {
+    val a = Seq(
+      // list 0, group g1: 0 and 1 are near-identical (positives)
+      (0L, Array(1f, 0f, 0f), 0, "g1"),
+      (1L, Array(0.99f, 0.01f, 0f), 0, "g1"),
+      // list 0, group g2: 2 is close to 0; 3 is orthogonal
+      (2L, Array(0.9f, 0.2f, 0f), 0, "g2"),
+      (3L, Array(0f, 1f, 0f), 0, "g2"),
+      // list 1, group g3: similar to 0 but another list → never seen
+      (9L, Array(1f, 0f, 0f), 1, "g3"))
+      .toDF("vec_id", "embedding", "list_id", "group")
+    val out = Vec.hardNegativesAssigned(a, k = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("neg_id")).toMap
+    // vec 0's hardest negative is 2 (cos ≈ 0.976), NOT 1 (0.9999,
+    // same group); then 3 (cos 0)
+    assert(out((0L, 1)) == 2L && out((0L, 2)) == 3L)
+    // vec 3's negatives come only from g1 (cos vs 0 = 0, vs 1 ≈ 0.01)
+    assert(out((3L, 1)) == 1L && out((3L, 2)) == 0L)
+    // cross-list vector 9 appears nowhere
+    assert(!out.values.toSet.contains(9L))
+    assert(!out.keys.map(_._1).toSet.contains(9L))
+  }
+
   test("densityPrune: overdense vectors dropped, sparse and " +
       "unmeasured (no-neighbor) vectors kept, mean is the rank-" +
       "ordered top-k average") {
