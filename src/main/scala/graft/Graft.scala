@@ -103,6 +103,15 @@ object Graft {
     def dsirResampled(
         target: DataFrame, k: Int, nBuckets: Int = 1024
     ): DataFrame = ops.Text.dsirResample(docs, target, k, nBuckets)
+    /** UniMax waterfilling: per-language budgets from a total. */
+    def unimaxBudgets(
+        totalBudget: Long, epochsCap: Int = 1
+    ): Seq[(String, Long)] =
+      ops.Text.unimaxBudgets(docs, totalBudget, epochsCap)
+    /** UniMax allocation + deterministic per-lang admission. */
+    def unimaxSampled(
+        totalBudget: Long, epochsCap: Int = 1
+    ): DataFrame = ops.Text.unimaxSample(docs, totalBudget, epochsCap)
     def langGuessed: DataFrame = ops.Text.langGuess(docs)
     def tokenStats: DataFrame = ops.Text.tokenStats(docs)
     def bpeTokenCounts: DataFrame = ops.Text.bpeTokenStats(docs)

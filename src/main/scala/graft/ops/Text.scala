@@ -1615,6 +1615,59 @@ object Text {
     * no budget entry are excluded. Reproducible under any
     * partitioning (hash draw, not RNG).
     */
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): split a total token budget across
+    * languages by waterfilling — ascending by corpus size, each
+    * language gets `min(its tokens × epochsCap, the fair share of
+    * what remains)`, and whatever a small language doesn't need
+    * redistributes over the rest. Exact integer arithmetic (floor
+    * division), so the allocation is engine-reproducible.
+    *
+    * Scale shape: the per-language count table is #languages rows —
+    * model-sized by definition — so the waterfilling loop is
+    * driver-side over one collected aggregate of a single corpus
+    * scan; the heavy half (admission) is [[tokenBudgetSample]]'s
+    * distributed per-lang window. `epochsCap > 1` only RAISES a
+    * language's allocation ceiling; emitting repeated epochs is the
+    * trainer's concern, not the sampler's.
+    */
+  def unimaxBudgets(
+      docs: DataFrame,
+      totalBudget: Long,
+      epochsCap: Int = 1
+  ): Seq[(String, Long)] = {
+    require(totalBudget >= 0, s"negative budget $totalBudget")
+    require(epochsCap >= 1, s"epochsCap must be >= 1, got $epochsCap")
+    val counts = docs
+      .select(col("lang"), size(tokens(col("text"))).as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (lang, n) => (n, lang) }
+    var remBudget = totalBudget
+    var remLangs = counts.length
+    counts.map { case (lang, n) =>
+      val share = remBudget / remLangs // floor; both non-negative
+      val b = math.min(n * epochsCap, share)
+      remBudget -= b
+      remLangs -= 1
+      lang -> b
+    }.toSeq
+  }
+
+  /** UniMax end to end: allocate with [[unimaxBudgets]], admit with
+    * [[tokenBudgetSample]] (deterministic draw-ordered admission per
+    * language until its allocated budget is spent).
+    */
+  def unimaxSample(
+      docs: DataFrame,
+      totalBudget: Long,
+      epochsCap: Int = 1
+  ): DataFrame =
+    tokenBudgetSample(docs,
+      unimaxBudgets(docs, totalBudget, epochsCap), salt = "unimax")
+
   def tokenBudgetSample(
       docs: DataFrame,
       budgets: Seq[(String, Long)],

@@ -346,6 +346,13 @@ object TextQueries {
         .select(col("doc_id"), col("n_pairs"), col("sum_pair_tf"),
           col("min_pair_tf"))
         .orderBy(col("doc_id"))),
+    // UniMax waterfilling allocation + admission, end to end: the
+    // 18000-token budget makes the smallest language cap-limited and
+    // the rest share-limited, so both branches of the recurrence are
+    // exercised (allocation replayed by a linear recursive CTE)
+    "q_text_unimax" -> ((s, d) =>
+      Text.unimaxSample(Tables.documents(s, d), totalBudget = 18000L)
+        .orderBy(col("doc_id"))),
     // DSIR importance-weight skeleton (raw = non-en docs scored
     // toward the en slice): integer count columns only — the
     // ln-derived q20/log_w columns ride the q_text_unigram split and
@@ -1164,6 +1171,44 @@ object TextQueries {
          |  CAST(MIN(tf.tf) AS BIGINT) AS min_tf
          |FROM t JOIN tf USING (token)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q_text_unimax" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS INT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |      || ':unimax'), 1, 15)) AS BIGINT) AS draw
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS toks,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY SUM(n_tokens), lang)
+        |      AS INT) AS rn
+        |  FROM d GROUP BY lang),
+        |m AS (SELECT COUNT(*) AS n FROM counts),
+        |alloc(rn, lang, b, rem_b, rem_n) AS (
+        |  SELECT c.rn, c.lang,
+        |    CAST(LEAST(c.toks, 18000 // m.n) AS BIGINT),
+        |    CAST(18000 - LEAST(c.toks, 18000 // m.n) AS BIGINT),
+        |    m.n - 1
+        |  FROM counts c, m WHERE c.rn = 1
+        |  UNION ALL
+        |  SELECT c.rn, c.lang,
+        |    CAST(LEAST(c.toks, a.rem_b // a.rem_n) AS BIGINT),
+        |    CAST(a.rem_b - LEAST(c.toks, a.rem_b // a.rem_n)
+        |      AS BIGINT),
+        |    a.rem_n - 1
+        |  FROM alloc a JOIN counts c ON c.rn = a.rn + 1),
+        |cum AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY draw, doc_id) AS BIGINT) - n_tokens
+        |      AS cum_before
+        |  FROM d)
+        |SELECT cum.doc_id, cum.lang, cum.n_tokens, cum.cum_before
+        |FROM cum JOIN alloc ON cum.lang = alloc.lang
+        |WHERE cum.cum_before < alloc.b
+        |ORDER BY cum.doc_id""".stripMargin,
     "q_text_dsir" ->
       s"""WITH ro AS (
          |  SELECT doc_id,

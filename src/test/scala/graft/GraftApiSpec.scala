@@ -194,7 +194,8 @@ class GraftApiSpec extends SparkSpec {
       "knnGraphAssigned" -> "knnGraphAssigned",
       "knnGraph" -> "knnGraph",
       "densityPrune" -> "densityPruned",
-      "hardNegativesAssigned" -> "hardNegatives")
+      "hardNegativesAssigned" -> "hardNegatives",
+      "unimaxSample" -> "unimaxSampled")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector))

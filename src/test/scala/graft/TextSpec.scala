@@ -956,6 +956,36 @@ class TextSpec extends SparkSpec {
       out(1L).getAs[Double]("avg_nll"))
   }
 
+  test("unimaxBudgets: waterfilling exercises both branches, " +
+      "conserves the budget, redistributes small-language surplus; " +
+      "epochs cap raises ceilings") {
+    // lang sizes: a=4, b=10, c=40 tokens
+    val d = Seq(
+      (1L, "w x y z", "a", "s", 7L),
+      (2L, (1 to 10).map(i => s"t$i").mkString(" "), "b", "s", 30L),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" "), "c", "s", 120L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // budget 30, cap 1: share 10 → a cap-limited at 4; rem 26/2=13
+    // → b cap-limited at 10; rem 16 → c share-limited at 16
+    assert(Text.unimaxBudgets(d, 30L) ==
+      Seq("a" -> 4L, "b" -> 10L, "c" -> 16L))
+    // cap 2 raises a's ceiling: share 10 → a=8; rem 22/2=11 → b=11;
+    // rem 11 → c=11
+    assert(Text.unimaxBudgets(d, 30L, epochsCap = 2) ==
+      Seq("a" -> 8L, "b" -> 11L, "c" -> 11L))
+    // a huge budget caps every language at its full (cap × size)
+    assert(Text.unimaxBudgets(d, 1000L).map(_._2).sum == 54L)
+    // admission respects the allocation per language
+    val admitted = Text.unimaxSample(d, 30L).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Int]("n_tokens"))
+    val byLang = admitted.groupBy(_._1)
+    // a and b fit fully; c's single 40-token doc starts under the
+    // 16-token budget (cum_before 0 < 16) and is admitted
+    assert(byLang("a").map(_._2).sum == 4)
+    assert(byLang("b").map(_._2).sum == 10)
+    assert(byLang("c").map(_._2).sum == 40)
+  }
+
   test("dsirWeights: integer skeleton exact, log_w matches the " +
       "quantized definition bitwise, target-like docs outrank " +
       "target-absent ones, resample picks the top") {
