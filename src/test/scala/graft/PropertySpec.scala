@@ -527,6 +527,61 @@ class PropertySpec extends SparkSpec {
     } finally d.unpersist()
   }
 
+  test("unimaxBudgets: allocation is conserved, capped, and " +
+      "monotone-fair for any corpus and budget") {
+    val corpusGen = for {
+      nLangs <- Gen.chooseNum(1, 6)
+      sizes <- Gen.listOfN(nLangs, Gen.chooseNum(0, 40))
+    } yield sizes.zipWithIndex.map { case (s, i) => (s"l$i", s) }
+    forAll(Gen.zip(corpusGen, Gen.chooseNum(0, 300),
+      Gen.chooseNum(1, 3)), n = 15) { case (langs, budget, cap) =>
+      val rows = langs.zipWithIndex.map { case ((lang, sz), i) =>
+        (i.toLong, Seq.fill(sz)("w").mkString(" "), lang, "s", 1L)
+      }
+      val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val alloc = Text.unimaxBudgets(d, budget.toLong, cap)
+      val bySize = langs.toMap
+      // one entry per language; each within [0, cap × size]; total
+      // never exceeds the budget
+      assert(alloc.map(_._1).sorted == langs.map(_._1).sorted)
+      alloc.foreach { case (lang, b) =>
+        assert(b >= 0 && b <= bySize(lang).toLong * cap,
+          s"$lang allocated $b of ${bySize(lang)} × $cap")
+      }
+      assert(alloc.map(_._2).sum <= budget)
+      // fairness: if anything was left unallocated, every language
+      // must be saturated at its cap (waterfilling leaves no slack
+      // while demand remains)
+      if (alloc.map(_._2).sum < budget) {
+        alloc.foreach { case (lang, b) =>
+          assert(b == bySize(lang).toLong * cap)
+        }
+      }
+    }
+  }
+
+  test("dsirWeights: every token's raw-bucket count covers the " +
+      "token itself (sum_cr >= n_toks for any corpus)") {
+    val docGen = Gen.listOfN(3, textGen)
+    forAll(docGen, n = 10) { texts =>
+      val nonEmpty = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "s", 1L)
+      }
+      val raw = nonEmpty.toDF("doc_id", "text", "lang", "source",
+        "n_chars")
+      val target = Seq((100L, "unrelatedtargettoken", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val w = Text.dsirWeights(raw, target, nBuckets = 16).collect()
+      w.foreach { r =>
+        val n = r.getAs[Long]("n_toks")
+        // each of the doc's tokens contributes >= 1 to its own raw
+        // bucket, so sum_cr >= n_toks always
+        assert(r.getAs[Long]("sum_cr") >= n)
+        assert(n >= 1)
+      }
+    }
+  }
+
   test("int8 quantization round-trip error is within one step") {
     val vecGen = Gen.listOfN(8,
       Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
