@@ -419,4 +419,28 @@ object Graft {
       ops.Vector.ivfPqTopK(embs, model, queryId, k, nProbe, rescoreK,
         precomputedIndex)
   }
+
+  /** Physical-design toolkit on any DataFrame (ops.Layout): Z-order
+    * clustering for multi-dimensional scan pruning, exact
+    * range-boundary planning, key-skew profiling.
+    */
+  implicit class LayoutOps(private val df: DataFrame) extends AnyVal {
+    def withZValue(
+        cols: Seq[String],
+        bits: Int = 16,
+        ranges: Option[Map[String, (Long, Long)]] = None
+    ): DataFrame = ops.Layout.withZValue(df, cols, bits, ranges)
+    def clusteredByZOrder(
+        cols: Seq[String],
+        bits: Int = 16,
+        numPartitions: Int = 0
+    ): DataFrame = ops.Layout.clusterByZOrder(df, cols, bits, numPartitions)
+    def rangeBoundaries(colName: String, nRanges: Int): DataFrame =
+      ops.Layout.rangeBoundaries(df, colName, nRanges)
+    def keySkewProfile(
+        keyCol: String,
+        topN: Int = 20,
+        nParts: Int = 200
+    ): DataFrame = ops.Layout.keySkewProfile(df, keyCol, topN, nParts)
+  }
 }

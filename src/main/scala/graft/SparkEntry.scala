@@ -31,7 +31,8 @@ object SparkEntry {
       ops.CdcQueries.queries ++
       ops.TextQueries.queries ++
       ops.VectorQueries.queries ++
-      ops.MultimodalQueries.queries
+      ops.MultimodalQueries.queries ++
+      ops.LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -43,5 +44,6 @@ object SparkEntry {
       ops.CdcQueries.oracle ++
       ops.TextQueries.oracle ++
       ops.VectorQueries.oracle ++
-      ops.MultimodalQueries.oracle
+      ops.MultimodalQueries.oracle ++
+      ops.LayoutQueries.oracle
 }

@@ -53,4 +53,10 @@ package object functions {
     */
   def md5WindowCuts(text: Column, k: Int, maskBits: Int): Column =
     Bridge.column(Md5WindowCuts(Bridge.expression(text), k, maskBits))
+
+  /** Z-order interleave of an `array<bigint>` of bucket ids (see
+    * [[graft.functions.ZOrderInterleave]]).
+    */
+  def zorderInterleave(buckets: Column, bits: Int): Column =
+    Bridge.column(ZOrderInterleave(Bridge.expression(buckets), bits))
 }

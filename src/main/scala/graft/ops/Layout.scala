@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physical-design toolkit: multi-dimensional clustering (Z-order),
+  * range-partition boundary planning, and key-skew diagnostics.
+  *
+  * None of this exists in the reference (its storage layout is
+  * whatever Kafka/HBase give it — `gmall-realtime-spark/.../app/
+  * OdsBaseDbApp.scala` routes rows, it never plans a layout). At
+  * 100 TB, layout IS the query plan: a table clustered so min-max
+  * stats are tight in the filtered dimensions turns a full scan into
+  * a few row groups, and a pre-computed salt factor turns a stuck
+  * straggler stage into an even one. These operators compute the
+  * layout decisions; they are all exact integer/order arithmetic
+  * (`div`, never float division), so every one carries a
+  * bit-identical ANSI SQL oracle.
+  */
+object Layout {
+
+  /** Exact long floor-division as a Column (SQL `div`; `Column./` is
+    * always DOUBLE division, whose cast-back truncation can land one
+    * off the true floor once operands leave the 2^53 window).
+    */
+  private def ldiv(a: Column, b: Column): Column =
+    call_function("div", a.cast("long"), b.cast("long"))
+
+  /** Append a Z-order clustering value over `cols` (integral
+    * columns): each column is equi-width bucketed to `2^bits` buckets
+    * using its own min/max, and the bucket ids bit-interleave into
+    * one long (`graft.functions.zorderInterleave`).
+    *
+    * Shape at scale: the min/max pass is one partial-aggregated scan
+    * producing a 1-row frame that broadcasts onto the main scan — no
+    * shuffle of the data itself; the bucket+interleave math is
+    * map-side codegen. On a table with fresh column statistics the
+    * min/max pass can be skipped entirely by passing the catalog
+    * values via `ranges`.
+    *
+    * Equi-width is the right default for the write path because it is
+    * STABLE under appends: a bucket id depends only on the fixed
+    * range, not the data distribution, so newly ingested files get
+    * z-values consistent with old ones. For heavily skewed dimensions
+    * compose with [[rangeBoundaries]] to pre-bucket by quantile
+    * instead.
+    */
+  def withZValue(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 16,
+      ranges: Option[Map[String, (Long, Long)]] = None
+  ): DataFrame = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"zorder: ${cols.size} cols x $bits bits must fit 63 output bits")
+    val withMm = ranges match {
+      case Some(r) =>
+        cols.foldLeft(df) { (d, c) =>
+          val (mn, mx) = r(c)
+          d.withColumn(s"__mn_$c", lit(mn)).withColumn(s"__mx_$c", lit(mx))
+        }
+      case None =>
+        val aggExprs = cols.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"__mn_$c"),
+          max(col(c)).cast("long").as(s"__mx_$c")))
+        df.crossJoin(broadcast(df.agg(aggExprs.head, aggExprs.tail: _*)))
+    }
+    val width = 1L << bits
+    val buckets: Seq[Column] = cols.map { c =>
+      // floor((v - mn) * 2^bits / (mx - mn + 1)) — exact long math,
+      // lands in [0, 2^bits) for any v within [mn, mx]
+      ldiv((col(c).cast("long") - col(s"__mn_$c")) * width,
+        col(s"__mx_$c") - col(s"__mn_$c") + 1L)
+    }
+    withMm
+      .withColumn("z_value",
+        graft.functions.zorderInterleave(array(buckets: _*), bits))
+      .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+  }
+
+  /** Cluster `df` for writing: z-value over `cols`, range-partition
+    * on it (so files tile the z-curve), sort within partitions (so
+    * row groups tile it too). Downstream parquet min-max pruning then
+    * works for predicates on ANY of `cols`. `df.write` on the result
+    * preserves the order; this is the standard OPTIMIZE/ZORDER
+    * rewrite shape expressed as a plain DataFrame transform.
+    */
+  def clusterByZOrder(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 16,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    val z = withZValue(df, cols, bits)
+    val parted =
+      if (numPartitions > 0) z.repartitionByRange(numPartitions, col("z_value"))
+      else z.repartitionByRange(col("z_value"))
+    parted.sortWithinPartitions("z_value")
+  }
+
+  /** Exact range-partition boundaries from the VALUE HISTOGRAM: the
+    * upper bound of range `i` (1-based, of `nRanges`) is the smallest
+    * value whose cumulative row count reaches `ceil(i*N/nRanges)`.
+    * Feed the result to a range partitioner (or `PARTITION BY` DDL)
+    * to get balanced partitions under skew — the planning step
+    * `repartitionByRange` does internally by SAMPLING, here exact and
+    * reproducible.
+    *
+    * Shape at scale: one groupBy(value) aggregation (partial combine,
+    * output is the histogram — orders of magnitude smaller than the
+    * rows), then a single-partition cumulative window over the
+    * HISTOGRAM only, then an nRanges-row broadcast join. The rows
+    * themselves never hit a global sort or single partition.
+    */
+  def rangeBoundaries(
+      df: DataFrame,
+      colName: String,
+      nRanges: Int
+  ): DataFrame = {
+    require(nRanges >= 1, s"nRanges must be >= 1, got $nRanges")
+    val hist = df.groupBy(col(colName).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("value"))))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = (1 to nRanges).toDF("range_id")
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n_rows"))))
+      // ceil(i*N/nRanges) in exact long math
+      .select(col("range_id"),
+        ldiv(col("range_id") * col("n_rows") + lit(nRanges - 1),
+          lit(nRanges)).as("target"))
+    cum.join(broadcast(targets), col("cum") >= col("target"))
+      .groupBy(col("range_id"))
+      .agg(min(col("value")).as("upper_bound"))
+  }
+
+  /** Heavy-hitter / skew profile of a key column: the `topN` heaviest
+    * keys with exact counts, parts-per-million share, and the salt
+    * factor that would level each one across `nParts` shuffle
+    * partitions (`ceil(cnt * nParts / total)` — the number of salt
+    * buckets after which no bucket exceeds the average partition
+    * load). This is the measurement step behind `saltedAgg`
+    * (Relational) and AQE skew handling: run it once on a sample or a
+    * day's partition, then size the salt from data instead of
+    * folklore.
+    *
+    * Shape at scale: one partial-aggregated groupBy (map-side
+    * combine), a 1-row total broadcast onto it, TakeOrdered for the
+    * top-N — no global sort, no single-partition window.
+    */
+  def keySkewProfile(
+      df: DataFrame,
+      keyCol: String,
+      topN: Int = 20,
+      nParts: Int = 200
+  ): DataFrame = {
+    val byKey = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = byKey.agg(sum(col("cnt")).as("total"))
+    byKey.crossJoin(broadcast(tot))
+      .select(
+        col("key"), col("cnt"),
+        ldiv(col("cnt") * 1000000L, col("total")).as("share_ppm"),
+        ldiv(col("cnt") * nParts + col("total") - 1L, col("total"))
+          .as("salt_factor"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topN)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Registry for the physical-design operators (Layout). Everything
+  * here is exact integer/order arithmetic, so all three queries are
+  * oracle-checked bit-for-bit.
+  */
+object LayoutQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Z-order clustering value over (l_partkey, l_suppkey), 8 bits
+    // per dimension: the write-side key that makes parquet min-max
+    // pruning work for predicates on either column. Exact long math
+    // end to end (equi-width bucket div + bit interleave).
+    "q_layout_zorder" -> ((s, d) =>
+      Layout.withZValue(Tables.lineitem(s, d),
+        Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("z_value"))
+        .orderBy(col("z_value"), col("l_orderkey"), col("l_linenumber"))),
+    // exact range-partition boundaries (16 balanced ranges of orders
+    // by o_totalprice) computed from the value histogram — the
+    // reproducible form of repartitionByRange's sampled planning
+    "q_layout_range_bounds" -> ((s, d) =>
+      Layout.rangeBoundaries(Tables.orders(s, d), "o_totalprice", 16)
+        .orderBy(col("range_id"))),
+    // heavy-hitter profile of lineitem.l_partkey with the salt factor
+    // that would level each key across 32 shuffle partitions
+    "q_layout_skew" -> ((s, d) =>
+      Layout.keySkewProfile(Tables.lineitem(s, d), "l_partkey",
+        topN = 20, nParts = 32))
+  )
+
+  val oracle: Map[String, String] = Map(
+    // same equi-width bucket + interleave in SQL: bit b of bucket 1
+    // lands at position 2b, of bucket 2 at 2b+1 (column-major,
+    // little-endian by bit — ZOrderInterleave's layout)
+    "q_layout_zorder" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_partkey) AS mn1, MAX(l_partkey) AS mx1,
+        |         MIN(l_suppkey) AS mn2, MAX(l_suppkey) AS mx2
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CAST((CAST(l_partkey - mn1 AS BIGINT) * 256)
+        |         // (mx1 - mn1 + 1) AS BIGINT) AS b1,
+        |    CAST((CAST(l_suppkey - mn2 AS BIGINT) * 256)
+        |         // (mx2 - mn2 + 1) AS BIGINT) AS b2
+        |  FROM lineitem, mm),
+        |z AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    SUM((((b1 >> i) & 1) << (2 * i)) +
+        |        (((b2 >> i) & 1) << (2 * i + 1))) AS z_value
+        |  FROM b, generate_series(0, 7) AS g(i)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CAST(z_value AS BIGINT) AS z_value
+        |FROM z
+        |ORDER BY z_value, l_orderkey, l_linenumber""".stripMargin,
+    "q_layout_range_bounds" ->
+      """WITH hist AS (
+        |  SELECT o_totalprice AS value, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |cum AS (
+        |  SELECT value, cnt, SUM(cnt) OVER (ORDER BY value) AS cum
+        |  FROM hist),
+        |tot AS (SELECT SUM(cnt) AS n_rows FROM hist),
+        |t AS (
+        |  SELECT CAST(i AS INTEGER) AS range_id,
+        |         CAST((i * n_rows + 15) // 16 AS BIGINT) AS target
+        |  FROM generate_series(1, 16) AS g(i), tot)
+        |SELECT range_id, MIN(value) AS upper_bound
+        |FROM cum JOIN t ON cum.cum >= t.target
+        |GROUP BY range_id
+        |ORDER BY range_id""".stripMargin,
+    "q_layout_skew" ->
+      """WITH byk AS (
+        |  SELECT l_partkey AS key, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS total FROM byk)
+        |SELECT key, cnt,
+        |  CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+        |  CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_factor
+        |FROM byk, tot
+        |ORDER BY cnt DESC, key
+        |LIMIT 20""".stripMargin
+  )
+}

@@ -195,15 +195,21 @@ class GraftApiSpec extends SparkSpec {
       "knnGraph" -> "knnGraph",
       "densityPrune" -> "densityPruned",
       "hardNegativesAssigned" -> "hardNegatives",
-      "unimaxSample" -> "unimaxSampled")
+      "unimaxSample" -> "unimaxSampled",
+      "withZValue" -> "withZValue",
+      "clusterByZOrder" -> "clusteredByZOrder",
+      "rangeBoundaries" -> "rangeBoundaries",
+      "keySkewProfile" -> "keySkewProfile")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
-    val missing = (opNames(ops.Text) ++ opNames(ops.Vector))
+    val missing = (opNames(ops.Text) ++ opNames(ops.Vector) ++
+        opNames(ops.Layout))
       .diff(covered.keySet ++ whitelist)
     assert(missing.isEmpty,
       s"ops without facade coverage or whitelist entry: $missing")
+    val layoutFacade = facadeNames(classOf[Graft.LayoutOps])
     val dangling = covered.values.toSet
-      .diff(docFacade ++ embFacade)
+      .diff(docFacade ++ embFacade ++ layoutFacade)
     assert(dangling.isEmpty,
       s"facade methods named in the map but not defined: $dangling")
   }

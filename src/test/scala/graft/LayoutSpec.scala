@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Physical-design toolkit: Z-order clustering, range boundaries,
+  * skew profile.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private def docs = Tables.lineitem(spark, sf("sf0.001"))
+
+  test("zorder interleave matches a bit-by-bit Scala reference and is injective") {
+    def ref(b1: Long, b2: Long, bits: Int): Long = {
+      var z = 0L
+      for (b <- 0 until bits) {
+        z |= ((b1 >> b) & 1L) << (2 * b)
+        z |= ((b2 >> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    import spark.implicits._
+    val pairs = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        functions.zorderInterleave(array(col("a"), col("b")), 5).as("z"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) === ref(a, b, 5), s"($a,$b)")
+    }
+    // injective: 1024 distinct inputs -> 1024 distinct z values
+    assert(got.values.toSet.size === pairs.size)
+  }
+
+  test("zorder fails loudly on out-of-range bucket ids") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((5L, 99L)).toDF("a", "b")
+        .select(functions.zorderInterleave(array(col("a"), col("b")), 5))
+        .collect()
+    }
+    assert(e.getMessage.contains("outside") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside")))
+  }
+
+  test("withZValue buckets stay in range and z-value is within n*bits bits") {
+    val z = Layout.withZValue(docs, Seq("l_partkey", "l_suppkey"), bits = 8)
+    val bad = z.filter(col("z_value") < 0 ||
+      col("z_value") >= (1L << 16)).count()
+    assert(bad === 0L)
+    assert(z.count() === docs.count())
+  }
+
+  test("z-clustered blocks touch fewer blocks than a linear sort for a 2-D box") {
+    // Partition the table into 64 equal row blocks under two layouts:
+    // sorted by z-value vs sorted by l_partkey alone. For a box
+    // predicate on BOTH dims, count blocks whose (min,max) envelope
+    // intersects the box — the proxy for row-group pruning. The
+    // z-layout must touch strictly fewer blocks: that is the entire
+    // point of the operator.
+    val bits = 8
+    val z = Layout.withZValue(docs, Seq("l_partkey", "l_suppkey"), bits)
+      .select(col("l_partkey"), col("l_suppkey"), col("z_value"))
+    def blocksTouched(ordered: org.apache.spark.sql.DataFrame): Long = {
+      val blocked = ordered
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            col("__ord"), col("l_partkey"), col("l_suppkey"))))
+        .withColumn("blk", expr("rn div 100"))
+        .groupBy("blk")
+        .agg(min("l_partkey").as("p_mn"), max("l_partkey").as("p_mx"),
+          min("l_suppkey").as("s_mn"), max("l_suppkey").as("s_mx"))
+      blocked.filter(
+        col("p_mx") >= 100 && col("p_mn") <= 160 &&
+          col("s_mx") >= 2 && col("s_mn") <= 5).count()
+    }
+    val zTouched = blocksTouched(z.withColumn("__ord", col("z_value")))
+    val linTouched = blocksTouched(z.withColumn("__ord", col("l_partkey")))
+    assert(zTouched < linTouched,
+      s"z-order touched $zTouched blocks, linear sort $linTouched")
+  }
+
+  test("rangeBoundaries: minimal upper bounds hitting the ceil targets") {
+    val n = 8
+    val vals = docs.select(col("l_extendedprice").as("v"))
+    val bounds = Layout.rangeBoundaries(vals, "v", n)
+      .orderBy("range_id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    val sortedVals = vals.collect().map(_.getDouble(0)).sorted
+    val total = sortedVals.length.toLong
+    assert(bounds.map(_._1).toSeq === (1 to n))
+    bounds.foreach { case (i, ub) =>
+      val target = (i * total + n - 1) / n
+      // cumulative count at ub reaches the target...
+      assert(sortedVals.count(_ <= ub) >= target, s"range $i")
+      // ...and ub is minimal: the next-smaller distinct value doesn't
+      val below = sortedVals.filter(_ < ub)
+      if (below.nonEmpty) assert(below.length < target, s"range $i minimal")
+    }
+    // the last boundary is the max
+    assert(bounds.last._2 === sortedVals.last)
+  }
+
+  test("keySkewProfile matches a Scala recount and orders by weight") {
+    val prof = Layout.keySkewProfile(docs, "l_suppkey",
+      topN = 10, nParts = 32).collect()
+    val counts = docs.groupBy("l_suppkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val expTop = counts.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(prof.length === 10)
+    prof.zip(expTop).foreach { case (row, (k, c)) =>
+      assert(row.getLong(0) === k)
+      assert(row.getLong(1) === c)
+      assert(row.getLong(2) === c * 1000000L / total)
+      assert(row.getLong(3) === (c * 32L + total - 1L) / total)
+    }
+  }
+
+  test("clusterByZOrder round-trips rows and sorts by z within partitions") {
+    val clustered = Layout.clusterByZOrder(docs,
+      Seq("l_partkey", "l_suppkey"), bits = 8, numPartitions = 4)
+    assert(clustered.count() === docs.count())
+    import spark.implicits._
+    val sortedWithin = clustered
+      .select(spark_partition_id().as("pid"), col("z_value"))
+      .mapPartitions { it =>
+        var ok = true
+        var prev = Long.MinValue
+        it.foreach { r =>
+          val z = r.getLong(1)
+          if (z < prev) ok = false
+          prev = z
+        }
+        Iterator.single(ok)
+      }.collect()
+    assert(sortedWithin.forall(identity))
+  }
+}
