@@ -267,6 +267,15 @@ object Graft {
       extends AnyVal {
     def cosineTopK(queryId: Long, k: Int): DataFrame =
       ops.Vector.bruteForceTopK(embs, queryId, k)
+    /** MMR-diversified top-k: relevance pool then redundancy-penalized
+      * greedy selection (lambda trades relevance vs diversity).
+      */
+    def mmrTopK(
+        queryId: Long,
+        k: Int,
+        lambda: Double = 0.5,
+        poolSize: Int = 15
+    ): DataFrame = ops.Vector.mmrTopK(embs, queryId, k, lambda, poolSize)
     /** Semantic decontamination: rows of this corpus whose cosine
       * against any eval vector reaches the threshold (brute-force
       * exact — the eval side broadcasts).

@@ -93,6 +93,64 @@ object Vector {
         .select(col("embedding").as("q_emb")),
       k)
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998): retrieve a
+    * relevance pool of `poolSize` candidates (exact cosine, same
+    * machinery as [[bruteForceTopK]]), then greedily select `k` of
+    * them maximizing `lambda*rel - (1-lambda)*maxSimToSelected` —
+    * the standard redundancy-penalized re-ranking for RAG contexts
+    * and diversity-aware data selection (picking near-duplicate
+    * passages into one context window wastes it).
+    *
+    * Shape at scale: the expensive stage is pool RETRIEVAL, which is
+    * the already-audited broadcast-query map scan + TakeOrdered; the
+    * selection re-ranks only the `poolSize`-row pool through one
+    * [[graft.functions.MmrSelectAggregator]] — O(poolSize·k) work on
+    * kilobytes. Swap the pool stage for `ivfTopK`/`pqAdcTopK` when
+    * the corpus warrants ANN; the re-ranker is pool-agnostic.
+    *
+    * All selection math is in-order folds over unit vectors, so with
+    * an exactly-representable `lambda` (default 0.5) the whole
+    * operator is bitwise-reproducible by an ordered-SUM recursive
+    * SQL twin — `q_vec_mmr_topk` is oracle-checked end to end.
+    */
+  def mmrTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      lambda: Double = 0.5,
+      poolSize: Int = 15
+  ): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val pool = embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      // norms computed once per row; TakeOrdered's heap carries the
+      // embedding only for rows that survive the pool cut
+      .select(col("vec_id"), col("embedding"),
+        (decDot(col("embedding"), col("q_emb")) /
+          (decNorm(col("embedding")) * decNorm(col("q_emb")))).as("rel"),
+        decNorm(col("embedding")).as("nrm"))
+      .filter(!isnan(col("rel")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolSize)
+      // unit vectors (same x/nrm as the pairwise-oracle convention),
+      // materialized for the poolSize survivors only
+      .select(col("vec_id"), col("rel"),
+        transform(col("embedding"),
+          x => x.cast("double") / col("nrm")).as("unit"))
+    val sel = udaf(new graft.functions.MmrSelectAggregator(k, lambda),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[Double]]()))
+    pool
+      .agg(sel(col("vec_id"), col("rel"), col("unit")).as("picks"))
+      .select(explode(col("picks")).as("p"))
+      .select(col("p._1").as("rank"), col("p._2").as("vec_id"),
+        col("p._3").as("rel"), col("p._4").as("mmr_score"))
+  }
+
   /** Shared ranking tail of the exact top-k family: broadcast the
     * 1-row query, map-side cosine, TakeOrdered. Zero-norm corpus
     * rows (cosine NaN — and NaN outranks everything in Spark SQL

@@ -244,7 +244,15 @@ object VectorQueries {
     // serving pattern is oracle-checked end to end
     "q_vec_quantized_topk" -> ((s, d) =>
       Vector.quantizedTopK(Tables.embeddings(s, d), 0L, 10,
-        rescoreK = 50))
+        rescoreK = 50)),
+    // MMR-diversified retrieval: 15-candidate relevance pool →
+    // greedy lambda=0.5 redundancy-penalized selection of 8. The
+    // selection recurrence is replayed by a linear recursive CTE
+    // (the pack_firstfit/unimax contract); every double is an
+    // ordered fold, so the whole re-ranking is hash-compared
+    "q_vec_mmr_topk" -> ((s, d) =>
+      Vector.mmrTopK(Tables.embeddings(s, d), 0L, k = 8,
+        lambda = 0.5, poolSize = 15))
   )
 
   val oracle: Map[String, String] = Map(
@@ -678,6 +686,64 @@ object VectorQueries {
         |SELECT vec_id, label, approx_score, dot / (na * nb) AS cos_sim
         |FROM dots WHERE na > 0 AND nb > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // MMR re-ranking replayed exactly: relevance pool (ordered-SUM
+    // cosine, the q_vec_cosine_topk fragment) → pool-member unit
+    // vectors → pairwise ordered-SUM sims → linear recursive CTE
+    // carrying the chosen set as a LIST, each step the
+    // (score DESC, id) argmax of 0.5*rel - 0.5*max-sim-to-chosen
+    "q_vec_mmr_topk" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id,
+        |         CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |         UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |dots AS (
+        |  SELECT vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i) AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) ORDER BY i))
+        |      AS norm_a,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i))
+        |      AS norm_b
+        |  FROM pairs GROUP BY vec_id),
+        |-- norm guard: the Spark op drops NaN rel (zero-norm rows)
+        |pool AS (
+        |  SELECT vec_id, dot / (norm_a * norm_b) AS rel
+        |  FROM dots WHERE norm_a > 0 AND norm_b > 0
+        |  ORDER BY rel DESC, vec_id LIMIT 15),
+        |u AS (
+        |  SELECT e.vec_id,
+        |         CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |         CAST(UNNEST(e.embedding) AS DOUBLE) / d.norm_a AS ux
+        |  FROM embeddings e JOIN dots d ON e.vec_id = d.vec_id
+        |  WHERE e.vec_id IN (SELECT vec_id FROM pool)),
+        |sim AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         SUM(a.ux * b.ux ORDER BY a.i) AS s
+        |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |sel AS (
+        |  (SELECT 1 AS rank, vec_id, rel,
+        |          0.5 * rel - 0.5 * 0.0 AS mmr_score, [vec_id] AS chosen
+        |   FROM pool
+        |   ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  (SELECT s.rank + 1, c.vec_id, c.rel, c.mmr_score,
+        |          list_append(s.chosen, c.vec_id)
+        |   FROM sel s JOIN LATERAL (
+        |     SELECT p.vec_id, p.rel,
+        |            0.5 * p.rel - 0.5 * (
+        |              SELECT MAX(m.s) FROM sim m
+        |              WHERE m.va = p.vec_id
+        |                AND list_contains(s.chosen, m.vb)) AS mmr_score
+        |     FROM pool p
+        |     WHERE NOT list_contains(s.chosen, p.vec_id)
+        |     ORDER BY mmr_score DESC, p.vec_id
+        |     LIMIT 1) c ON TRUE
+        |   WHERE s.rank < 8))
+        |SELECT rank, vec_id, rel, mmr_score FROM sel
+        |ORDER BY rank""".stripMargin,
     "q_vec_grid_density" ->
       """WITH n AS (
         |  SELECT vec_id,

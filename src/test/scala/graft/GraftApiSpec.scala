@@ -196,6 +196,7 @@ class GraftApiSpec extends SparkSpec {
       "densityPrune" -> "densityPruned",
       "hardNegativesAssigned" -> "hardNegatives",
       "unimaxSample" -> "unimaxSampled",
+      "mmrTopK" -> "mmrTopK",
       "withZValue" -> "withZValue",
       "clusterByZOrder" -> "clusteredByZOrder",
       "rangeBoundaries" -> "rangeBoundaries",

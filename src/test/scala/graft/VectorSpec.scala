@@ -499,4 +499,79 @@ class VectorSpec extends SparkSpec {
       .map(_._2.head._4).sum == 5L)
     assert(out.size == 5)
   }
+
+  test("mmrTopK diversifies: the redundant near-twin of the top hit " +
+      "is deferred") {
+    // query 0 = x-axis; 4 and 1 are both nearly-x (rel .999/.994 and
+    // mutually sim ~.999); 2 is orthogonal (rel 0). Pure relevance
+    // ranks (4, 1, 2); MMR at lambda=0.5 picks 4, then prefers the
+    // orthogonal 2 (score .5*0-.5*.05≈-.02) over the redundant 1
+    // (score .5*.994-.5*.999 ≈ -.002)... both negative — order is
+    // decided by the actual fold values, so assert against them.
+    val out = Vec.mmrTopK(vecs, 0L, k = 3, lambda = 0.5, poolSize = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.head == ((1, 4L)), "first pick is the most relevant")
+    // the second pick must NOT be the near-duplicate of the first
+    // when an orthogonal candidate scores higher
+    val relRank = Vec.bruteForceTopK(vecs, 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(relRank == Seq(4L, 1L, 2L))
+    assert(out(1)._2 != 1L,
+      s"MMR re-ranked away from the redundant twin: ${out.toSeq}")
+  }
+
+  test("mmrTopK at lambda=1 reduces to pure relevance ranking") {
+    val mmr = Vec.mmrTopK(vecs, 0L, k = 3, lambda = 1.0, poolSize = 4)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val brute = Vec.bruteForceTopK(vecs, 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(mmr == brute)
+  }
+
+  test("mmrTopK matches an in-memory MMR reference on the testdata " +
+      "corpus (bitwise)") {
+    val embs = Tables.embeddings(spark, sf("sf0.001"))
+    val got = Vec.mmrTopK(embs, 0L, k = 8, lambda = 0.5, poolSize = 15)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // reference: same math, plain Scala doubles
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qv = all.find(_._1 == 0L).get._2
+    val qn = math.sqrt(dot(qv, qv))
+    val pool = all.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val n = math.sqrt(dot(v, v))
+        (id, dot(v, qv) / (n * qn), v.map(_ / n))
+      }
+      .filterNot(t => t._2.isNaN)
+      .sortBy(t => (-t._2, t._1)).take(15)
+    val maxSim = scala.collection.mutable.Map(
+      pool.map(t => t._1 -> Double.NegativeInfinity): _*)
+    val taken = scala.collection.mutable.Set.empty[Long]
+    val exp = Seq.newBuilder[(Int, Long, Double, Double)]
+    for (step <- 1 to 8) {
+      val cands = pool.filterNot(t => taken(t._1)).map { t =>
+        val ms = if (maxSim(t._1).isNegInfinity) 0.0 else maxSim(t._1)
+        (t, 0.5 * t._2 - 0.5 * ms)
+      }
+      val (pick, score) = cands.minBy { case (t, s) => (-s, t._1) }
+      taken += pick._1
+      exp += ((step, pick._1, pick._2, score))
+      pool.filterNot(t => taken(t._1)).foreach { t =>
+        val s = dot(t._3, pick._3)
+        if (s > maxSim(t._1)) maxSim(t._1) = s
+      }
+    }
+    assert(got.toSeq == exp.result(),
+      s"got ${got.toSeq}\nexp ${exp.result()}")
+  }
 }
