@@ -121,19 +121,33 @@ object Layout {
     require(nRanges >= 1, s"nRanges must be >= 1, got $nRanges")
     val hist = df.groupBy(col(colName).as("value"))
       .agg(count(lit(1)).as("cnt"))
-    val cum = hist.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("value"))))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val targets = (1 to nRanges).toDF("range_id")
-      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n_rows"))))
-      // ceil(i*N/nRanges) in exact long math
-      .select(col("range_id"),
-        ldiv(col("range_id") * col("n_rows") + lit(nRanges - 1),
-          lit(nRanges)).as("target"))
-    cum.join(broadcast(targets), col("cum") >= col("target"))
-      .groupBy(col("range_id"))
-      .agg(min(col("value")).as("upper_bound"))
+    // one window pass yields both the running total and the grand
+    // total, so the histogram is scanned ONCE (a separate total agg
+    // would re-derive it — Catalyst does not CTE-materialize the
+    // shared subtree)
+    val cum = hist.select(col("value"), col("cnt"),
+      sum(col("cnt")).over(Window.orderBy(col("value"))).as("cum"),
+      sum(col("cnt")).over(Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("n_rows"))
+    // The value at cumulative interval (cum-cnt, cum] is the minimal
+    // upper bound for every range i whose target ceil(i*N/nRanges)
+    // falls inside it; in exact integer math that is
+    // i in [ (cum-cnt)*nRanges div N + 1 , cum*nRanges div N ] —
+    // each of the nRanges targets lands in exactly one interval, so
+    // this emits each range id once: no join, no second scan.
+    cum
+      .select(col("value"),
+        (ldiv((col("cum") - col("cnt")) * nRanges, col("n_rows")) + 1L)
+          .as("lo"),
+        ldiv(col("cum") * nRanges, col("n_rows")).as("hi"))
+      // Spark's sequence(lo, hi) DESCENDS when lo > hi — filter the
+      // empty intervals instead
+      .filter(col("hi") >= col("lo"))
+      .select(col("value"),
+        explode(sequence(col("lo"), col("hi"))).as("range_id"))
+      .select(col("range_id").cast("int").as("range_id"),
+        col("value").as("upper_bound"))
   }
 
   /** Heavy-hitter / skew profile of a key column: the `topN` heaviest

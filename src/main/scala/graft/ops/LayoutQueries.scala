@@ -62,21 +62,24 @@ object LayoutQueries {
         |       CAST(z_value AS BIGINT) AS z_value
         |FROM z
         |ORDER BY z_value, l_orderkey, l_linenumber""".stripMargin,
+    // same closed form: the value owning cumulative interval
+    // (cum-cnt, cum] bounds exactly the ranges whose ceil targets
+    // fall inside it (DuckDB's generate_series yields an empty list
+    // when lo > hi, matching the Spark side's hi >= lo filter)
     "q_layout_range_bounds" ->
       """WITH hist AS (
         |  SELECT o_totalprice AS value, COUNT(*) AS cnt
         |  FROM orders GROUP BY 1),
         |cum AS (
-        |  SELECT value, cnt, SUM(cnt) OVER (ORDER BY value) AS cum
-        |  FROM hist),
-        |tot AS (SELECT SUM(cnt) AS n_rows FROM hist),
-        |t AS (
-        |  SELECT CAST(i AS INTEGER) AS range_id,
-        |         CAST((i * n_rows + 15) // 16 AS BIGINT) AS target
-        |  FROM generate_series(1, 16) AS g(i), tot)
-        |SELECT range_id, MIN(value) AS upper_bound
-        |FROM cum JOIN t ON cum.cum >= t.target
-        |GROUP BY range_id
+        |  SELECT value, cnt, SUM(cnt) OVER (ORDER BY value) AS cum,
+        |         SUM(cnt) OVER () AS n_rows
+        |  FROM hist)
+        |SELECT CAST(UNNEST(generate_series(
+        |         CAST((cum - cnt) * 16 // n_rows + 1 AS BIGINT),
+        |         CAST(cum * 16 // n_rows AS BIGINT))) AS INTEGER)
+        |       AS range_id,
+        |       value AS upper_bound
+        |FROM cum
         |ORDER BY range_id""".stripMargin,
     "q_layout_skew" ->
       """WITH byk AS (
