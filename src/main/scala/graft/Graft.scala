@@ -191,6 +191,16 @@ object Graft {
     ): DataFrame = ops.Text.contamination(docs, evalDocs, n, minHits)
     def docFrequency(minDf: Long = 1L): DataFrame =
       ops.Text.docFrequency(docs, minDf)
+    /** BM25 integer postings skeleton for a literal query. */
+    def bm25Postings(queryTokens: Seq[String]): DataFrame =
+      ops.Text.bm25Postings(docs, queryTokens)
+    /** BM25 ranked lexical top-k retrieval. */
+    def bm25TopK(
+        queryTokens: Seq[String],
+        k: Int,
+        k1: Double = 1.2,
+        b: Double = 0.75
+    ): DataFrame = ops.Text.bm25TopK(docs, queryTokens, k, k1, b)
     def rollingFingerprinted: DataFrame =
       ops.Text.rollingFingerprint(docs)
     /** md5-window winnowing twin of [[rollingFingerprinted]]. */

@@ -589,6 +589,78 @@ object Text {
       .drop("__total")
   }
 
+  /** BM25 postings skeleton for a literal query: one row per
+    * (matching doc, query term) with the exact integer statistics
+    * the score needs — tf, doc length, per-term df, corpus size and
+    * total length. Split out so the retrieval stack has a fully
+    * hash-comparable stage (every column integral — `q_text_bm25`),
+    * with the transcendental idf confined to [[bm25TopK]] (the
+    * `unigramScore`/`docFrequency` ln-split convention).
+    *
+    * Shape at scale: the explode is filtered to the query's terms
+    * BEFORE the aggregation, so the shuffle carries only matching
+    * (doc, term) pairs — |terms| is query-sized, df comes from the
+    * aggregated postings (never a second corpus pass), and the
+    * corpus totals are a 1-row broadcast.
+    */
+  def bm25Postings(docs: DataFrame, queryTokens: Seq[String]): DataFrame = {
+    require(queryTokens.nonEmpty, "bm25: empty query")
+    val totals = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text")))).as("total_len"))
+    val post = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("token"))
+      .filter(col("token").isin(queryTokens: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    post
+      .join(broadcast(dfs), "token")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"),
+        col("df"), col("n_docs"), col("total_len"))
+  }
+
+  /** BM25 ranked lexical retrieval (Robertson/Okapi, Lucene's
+    * non-negative `ln(1 + (N-df+0.5)/(df+0.5))` idf): top-k docs for
+    * a literal query — the lexical sibling of `Vector.bruteForceTopK`
+    * and the first stage of a hybrid lexical+vector stack.
+    *
+    * Per-doc score sums term scores in TOKEN order (sorted struct
+    * fold), so the double accumulation is partition-order-safe and
+    * bitwise reproducible — TextSpec pins it against an in-memory
+    * reference; the integer skeleton is oracle-checked via
+    * [[bm25Postings]]. Top-k is TakeOrdered, never a global sort.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTokens: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame =
+    bm25Postings(docs, queryTokens)
+      .select(col("doc_id"), col("token"),
+        (log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + k1 * (lit(1.0 - b) +
+            b * (col("dl").cast("double") * col("n_docs") /
+              col("total_len"))))).as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(
+            struct(col("token").as("t"), col("term_score").as("s")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("s")).as("score"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
   /** End-to-end curation pipeline — the composed LLM-training-data
     * path: language filter → quality gate → exact dedup (lowest
     * doc_id survives) → per-language token budget accounting. Every

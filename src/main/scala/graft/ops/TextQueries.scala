@@ -158,6 +158,14 @@ object TextQueries {
       Text.docFrequency(Tables.documents(s, d), minDf = 50L)
         .select(col("token"), col("df"), col("tf_total"))
         .orderBy(col("token"))),
+    // BM25 integer skeleton (tf/dl/df/N/total_len per matching
+    // doc-term) — fully hash-compared; the ln(idf) score and top-k
+    // live in bm25TopK, pinned bitwise by TextSpec (the doc_freq
+    // idf split)
+    "q_text_bm25" -> ((s, d) =>
+      Text.bm25Postings(Tables.documents(s, d),
+        Seq("spark", "window", "scan"))
+        .orderBy(col("doc_id"), col("token"))),
     // exact 3-gram-shingle jaccard via lossless prefix filtering; the
     // oracle runs the UNPRUNED inverted-index join, so the compare
     // proves the pruning drops nothing on real data
@@ -501,6 +509,26 @@ object TextQueries {
          |FROM tok GROUP BY token
          |HAVING COUNT(DISTINCT doc_id) >= 50
          |ORDER BY token""".stripMargin,
+    "q_text_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS tk
+         |  FROM documents),
+         |totals AS (
+         |  SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS total_len
+         |  FROM toks),
+         |post AS (
+         |  SELECT doc_id, CAST(len(tk) AS INT) AS dl, token,
+         |         COUNT(*) AS tf
+         |  FROM (SELECT doc_id, tk, UNNEST(tk) AS token FROM toks)
+         |  WHERE token IN ('spark', 'window', 'scan')
+         |  GROUP BY 1, 2, 3),
+         |dfs AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1)
+         |SELECT p.doc_id, p.token, p.tf, p.dl, d.df,
+         |       t.n_docs, CAST(t.total_len AS BIGINT) AS total_len
+         |FROM post p JOIN dfs d ON p.token = d.token, totals t
+         |ORDER BY p.doc_id, p.token""".stripMargin,
     "q_text_curation" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, text, n_chars,

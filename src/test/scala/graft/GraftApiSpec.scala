@@ -197,6 +197,8 @@ class GraftApiSpec extends SparkSpec {
       "hardNegativesAssigned" -> "hardNegatives",
       "unimaxSample" -> "unimaxSampled",
       "mmrTopK" -> "mmrTopK",
+      "bm25Postings" -> "bm25Postings",
+      "bm25TopK" -> "bm25TopK",
       "withZValue" -> "withZValue",
       "clusterByZOrder" -> "clusteredByZOrder",
       "rangeBoundaries" -> "rangeBoundaries",
