@@ -201,6 +201,13 @@ object Graft {
         k1: Double = 1.2,
         b: Double = 0.75
     ): DataFrame = ops.Text.bm25TopK(docs, queryTokens, k, k1, b)
+    /** q20 fixed-point audit twin of [[bm25TopK]] (oracle-exact). */
+    def bm25TopKQ20(
+        queryTokens: Seq[String],
+        k: Int,
+        k1: Double = 1.2,
+        b: Double = 0.75
+    ): DataFrame = ops.Text.bm25TopKQ20(docs, queryTokens, k, k1, b)
     def rollingFingerprinted: DataFrame =
       ops.Text.rollingFingerprint(docs)
     /** md5-window winnowing twin of [[rollingFingerprinted]]. */

@@ -42,15 +42,13 @@ case class ZOrderInterleave(child: Expression, bits: Int)
           s"argument must be array<bigint>, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    ZOrderInterleave.interleave(arr.toLongArray(), bits)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ZOrderInterleave.interleave(input.asInstanceOf[ArrayData], bits)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val cls = ZOrderInterleave.getClass.getName.stripSuffix("$")
-      s"${ev.value} = $cls.interleave($a.toLongArray(), $bits);"
+      s"${ev.value} = $cls.interleave($a, $bits);"
     })
 
   override protected def withNewChildInternal(
@@ -60,6 +58,24 @@ case class ZOrderInterleave(child: Expression, bits: Int)
 }
 
 object ZOrderInterleave {
+
+  /** ArrayData entry point (used by eval and codegen): rejects null
+    * bucket elements with a descriptive error before `toLongArray`,
+    * which would otherwise die with an opaque NPE — a null in any
+    * clustering column must surface as a clear contract violation.
+    */
+  def interleave(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"zorder: null bucket at index $i — clustering columns " +
+            "must be non-null (filter or coalesce nulls first)")
+      i += 1
+    }
+    interleave(arr.toLongArray(), bits)
+  }
 
   /** Bit-interleave `buckets` (little-endian by bit, column-major:
     * output bit `b*n + c` = bit `b` of `buckets(c)`). Throws on ids

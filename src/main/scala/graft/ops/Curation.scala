@@ -55,12 +55,17 @@ object Curation {
       window: Int = 50,
       stride: Int = 40,
       precomputedPairs: Option[(DataFrame, Double)] = None,
-      precomputedSemanticPairs: Option[DataFrame] = None
+      precomputedSemanticPairs: Option[(DataFrame, Double)] = None
   ): DataFrame = {
     precomputedPairs.foreach { case (_, srcThreshold) =>
       require(srcThreshold <= jaccardThreshold,
         s"precomputed pair graph at threshold $srcThreshold cannot " +
           s"serve a request at $jaccardThreshold")
+    }
+    precomputedSemanticPairs.foreach { case (_, srcThreshold) =>
+      require(srcThreshold <= cosThreshold,
+        s"precomputed semantic pair graph at threshold $srcThreshold " +
+          s"cannot serve a request at $cosThreshold")
     }
     val kept = graft.Caches.track("text", Text.exactDedup(
       docs.join(
@@ -87,11 +92,11 @@ object Curation {
       embsAssigned.join(textReps.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_semi"))
     val semPairs = precomputedSemanticPairs
-      .map(p => p.filter(col("cos_sim") >= cosThreshold)
+      .map { case (p, _) => p.filter(col("cos_sim") >= cosThreshold)
         .join(embsKept.select(col("vec_id").as("vec_a")),
           Seq("vec_a"), "left_semi")
         .join(embsKept.select(col("vec_id").as("vec_b")),
-          Seq("vec_b"), "left_semi"))
+          Seq("vec_b"), "left_semi") }
       .getOrElse(
         Vector.semanticNearDupPairsAssigned(embsKept, cosThreshold))
     val semDropped = Vector

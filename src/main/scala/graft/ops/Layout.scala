@@ -67,11 +67,24 @@ object Layout {
         df.crossJoin(broadcast(df.agg(aggExprs.head, aggExprs.tail: _*)))
     }
     val width = 1L << bits
+    // (v - mn) * 2^bits only stays inside Long when the column span
+    // fits Long.MaxValue >> bits; a wrapped product can land back in
+    // [0, 2^bits) and silently mis-cluster, so out-of-range spans
+    // must throw (span check in decimal — mx - mn itself can wrap).
+    val maxSpan = Long.MaxValue >> bits
     val buckets: Seq[Column] = cols.map { c =>
+      val span = col(s"__mx_$c").cast("decimal(20,0)") -
+        col(s"__mn_$c").cast("decimal(20,0)")
       // floor((v - mn) * 2^bits / (mx - mn + 1)) — exact long math,
       // lands in [0, 2^bits) for any v within [mn, mx]
-      ldiv((col(c).cast("long") - col(s"__mn_$c")) * width,
-        col(s"__mx_$c") - col(s"__mn_$c") + 1L)
+      when(span <= lit(maxSpan),
+        ldiv((col(c).cast("long") - col(s"__mn_$c")) * width,
+          col(s"__mx_$c") - col(s"__mn_$c") + 1L))
+        .otherwise(raise_error(concat(
+          lit(s"zorder: span of '$c' ("), span.cast("string"),
+          lit(s") exceeds ${maxSpan} = Long.MaxValue >> $bits; " +
+            "reduce bits or pre-bucket via rangeBoundaries")))
+          .cast("long"))
     }
     withMm
       .withColumn("z_value",

@@ -22,7 +22,11 @@ object LayoutQueries {
         Seq("l_partkey", "l_suppkey"), bits = 8)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"), col("z_value"))
-        .orderBy(col("z_value"), col("l_orderkey"), col("l_linenumber"))),
+        // order over ALL output columns: (l_orderkey, l_linenumber)
+        // is NOT unique in the synthetic lineitem, and a non-total
+        // sort leaves tie rows in engine-dependent positions
+        .orderBy(col("z_value"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))),
     // exact range-partition boundaries (16 balanced ranges of orders
     // by o_totalprice) computed from the value histogram — the
     // reproducible form of repartitionByRange's sampled planning
@@ -52,16 +56,19 @@ object LayoutQueries {
         |    CAST((CAST(l_suppkey - mn2 AS BIGINT) * 256)
         |         // (mx2 - mn2 + 1) AS BIGINT) AS b2
         |  FROM lineitem, mm),
+        |br AS (
+        |  SELECT ROW_NUMBER() OVER () AS rid, * FROM b),
         |z AS (
-        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  SELECT rid, l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |    SUM((((b1 >> i) & 1) << (2 * i)) +
         |        (((b2 >> i) & 1) << (2 * i + 1))) AS z_value
-        |  FROM b, generate_series(0, 7) AS g(i)
-        |  GROUP BY 1, 2, 3, 4)
+        |  FROM br, generate_series(0, 7) AS g(i)
+        |  GROUP BY 1, 2, 3, 4, 5)
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       CAST(z_value AS BIGINT) AS z_value
         |FROM z
-        |ORDER BY z_value, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY z_value, l_orderkey, l_linenumber, l_partkey,
+        |  l_suppkey""".stripMargin,
     // same closed form: the value owning cumulative interval
     // (cum-cnt, cum] bounds exactly the ranges whose ceil targets
     // fall inside it (DuckDB's generate_series yields an empty list

@@ -647,8 +647,8 @@ object Text {
           (col("n_docs") - col("df") + lit(0.5)) /
             (col("df") + lit(0.5))) *
           (col("tf") * (k1 + 1)) /
-          (col("tf") + k1 * (lit(1.0 - b) +
-            b * (col("dl").cast("double") * col("n_docs") /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast("double") * col("n_docs") /
               col("total_len"))))).as("term_score"))
       .groupBy(col("doc_id"))
       .agg(
@@ -660,6 +660,40 @@ object Text {
         count(lit(1)).as("n_matched"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+
+  /** Oracle-comparable fixed-point twin of [[bm25TopK]]: each term
+    * score is floored to q20 fixed point (`floor(s * 2^20)`, the
+    * `unigramScore` ln-split convention) BEFORE the per-doc sum, so
+    * the doc score is an exact integer — order-free summation,
+    * engine-independent ties (exact duplicate docs tie exactly in
+    * every engine), and a bit-exact ANSI SQL twin. Ranking agrees
+    * with the double-score ranking except for docs whose scores
+    * differ by < 2^-20 × |query| (TextSpec pins agreement on the
+    * fixture); serving uses [[bm25TopK]], audits use this.
+    */
+  def bm25TopKQ20(
+      docs: DataFrame,
+      queryTokens: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val q20 = (1L << 20).toDouble
+    bm25Postings(docs, queryTokens)
+      .select(col("doc_id"),
+        floor((log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast("double") * col("n_docs") /
+              col("total_len"))))) * q20).cast("long").as("ts_q20"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ts_q20")).as("score_q20"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("score_q20").desc, col("doc_id"))
+      .limit(k)
+  }
 
   /** End-to-end curation pipeline — the composed LLM-training-data
     * path: language filter → quality gate → exact dedup (lowest

@@ -166,6 +166,16 @@ object TextQueries {
       Text.bm25Postings(Tables.documents(s, d),
         Seq("spark", "window", "scan"))
         .orderBy(col("doc_id"), col("token"))),
+    // BM25 ranked retrieval, q20 fixed-point audit twin: per-term
+    // scores floored to 2^-20 before the doc sum → exact-integer
+    // doc scores, engine-independent ranking, full oracle compare.
+    // The double-score serving path (bm25TopK) is pinned bitwise by
+    // TextSpec and its ranking agreement with this twin is
+    // spec-asserted on the fixture.
+    "q_text_bm25_topk" -> ((s, d) =>
+      Text.bm25TopKQ20(Tables.documents(s, d),
+        Seq("spark", "window", "scan"), k = 100)
+        .orderBy(col("score_q20").desc, col("doc_id"))),
     // exact 3-gram-shingle jaccard via lossless prefix filtering; the
     // oracle runs the UNPRUNED inverted-index join, so the compare
     // proves the pruning drops nothing on real data
@@ -276,7 +286,8 @@ object TextQueries {
         Text.QualityClassifier(1.5, -2.0, 0.75, 0.25),
         minLogit = -0.5,
         precomputedPairs = Some((jacPairs(s, d), 0.5)),
-        precomputedSemanticPairs = Some(VectorQueries.semPairs(s, d)))
+        precomputedSemanticPairs =
+          Some((VectorQueries.semPairs(s, d), 0.4)))
         .orderBy(col("doc_id"), col("chunk_id"))),
     // cross-document duplicated spans (Lee et al. substring-level
     // signal): exact integer window counts → fully oracle-checkable
@@ -529,6 +540,39 @@ object TextQueries {
          |       t.n_docs, CAST(t.total_len AS BIGINT) AS total_len
          |FROM post p JOIN dfs d ON p.token = d.token, totals t
          |ORDER BY p.doc_id, p.token""".stripMargin,
+    // every fractional constant is a DOUBLE literal (NeN form) so
+    // DuckDB mirrors Spark's IEEE-double op sequence instead of
+    // silently switching to DECIMAL arithmetic
+    "q_text_bm25_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS tk
+         |  FROM documents),
+         |totals AS (
+         |  SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS total_len
+         |  FROM toks),
+         |post AS (
+         |  SELECT doc_id, CAST(len(tk) AS INT) AS dl, token,
+         |         COUNT(*) AS tf
+         |  FROM (SELECT doc_id, tk, UNNEST(tk) AS token FROM toks)
+         |  WHERE token IN ('spark', 'window', 'scan')
+         |  GROUP BY 1, 2, 3),
+         |dfs AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |    CAST(FLOOR(ln(1e0 + (t.n_docs - d.df + 0.5e0) /
+         |        (d.df + 0.5e0)) *
+         |      (p.tf * 2.2e0) /
+         |      (p.tf + 1.2e0 * (0.25e0 + 0.75e0 *
+         |        (CAST(p.dl AS DOUBLE) * t.n_docs / t.total_len))) *
+         |      1048576e0) AS BIGINT) AS ts_q20
+         |  FROM post p JOIN dfs d ON p.token = d.token, totals t)
+         |SELECT doc_id, CAST(SUM(ts_q20) AS BIGINT) AS score_q20,
+         |  COUNT(*) AS n_matched
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score_q20 DESC, doc_id
+         |LIMIT 100""".stripMargin,
     "q_text_curation" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, text, n_chars,

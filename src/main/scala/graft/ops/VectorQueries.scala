@@ -115,6 +115,11 @@ object VectorQueries {
     // production bits/band scales with log2(n) to keep candidate
     // volume linear; recall-1 verification configs like this one are
     // for audit runs.
+    // Trim-to-16-bands was MEASURED (r8, graft.Prof) and rejected:
+    // 16x4 misses 5/66 true pairs at sf0.001 and 3/59 at sf0.01
+    // (floor-adjacent cos 0.41-0.51), so the exact-twin oracle goes
+    // red below 32 bands — the ~2s bench premium IS the price of the
+    // oracle-green contract, not an oversight.
     "q_vec_neardup" -> ((s, d) =>
       Vector.cosineNearDup(Tables.embeddings(s, d), 0.4, nBands = 32,
         bitsPerBand = 4)

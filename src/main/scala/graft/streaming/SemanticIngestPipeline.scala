@@ -59,9 +59,13 @@ object SemanticIngestPipeline {
     def append(as: DataFrame): Unit = s = s ++ as.collect()
   }
 
-  /** Parquet-backed store — the production form (append-only parquet
-    * directory; survives restarts; at 100 TB partition it by
-    * `list_id` so the gate's per-list probes prune at the scan).
+  /** Parquet-backed store — the production form: append-only parquet
+    * directory, PARTITIONED BY `list_id`, survives restarts. The
+    * layout is the point at 100 TB: a batch occupies at most
+    * #coarse-lists partitions, and [[processBatch]] restricts the
+    * seen-side scan to the batch's lists, so each probe reads only
+    * the touched partitions (PartitionFilters at the scan — spec
+    * asserted) instead of the full accumulated corpus.
     */
   final class ParquetStore(spark: SparkSession, dir: String)
       extends SeenStore {
@@ -81,7 +85,7 @@ object SemanticIngestPipeline {
       // on the written path (the same read-your-own-append hazard
       // IngestPipeline.ParquetStore documents)
       val snap = as.localCheckpoint(eager = true)
-      try snap.write.mode("append").parquet(dir)
+      try snap.write.mode("append").partitionBy("list_id").parquet(dir)
       finally org.apache.spark.sql.graftx.Bridge.leafRdd(snap)
         .foreach(_.unpersist(blocking = false))
     }
@@ -106,8 +110,21 @@ object SemanticIngestPipeline {
   ): Unit = {
     val sigs = Vector.semanticSignaturesAssigned(assign(batch)).persist()
     try {
+      // Restrict the seen side to the lists this batch touches: the
+      // dup join is within-list anyway (pure pruning, no semantic
+      // change), and against a list_id-partitioned store the isin
+      // becomes a static partition filter — the probe reads ≤
+      // |batch lists| partitions, never the accumulated corpus. The
+      // collect is batch-sized by construction (≤ #coarse lists).
+      val batchLists = sigs.select(col("list_id")).distinct().collect()
+      val nonNull = batchLists.filter(!_.isNullAt(0)).map(_.getInt(0))
+      val inLists = col("list_id").isin(nonNull.map(Int.box): _*)
+      val seen = store.sigs.filter(
+        if (batchLists.exists(_.isNullAt(0)))
+          inLists || col("list_id").isNull
+        else inLists)
       val dupIds = Vector
-        .incrementalSemanticDupsSigs(sigs, store.sigs, threshold)
+        .incrementalSemanticDupsSigs(sigs, seen, threshold)
         .select(col("vec_a").as("vec_id")).distinct()
       val admitted = batch
         .join(dupIds, Seq("vec_id"), "left_anti").persist()

@@ -36,7 +36,8 @@ class GraftApiSpec extends SparkSpec {
       "cdc" -> ops.CdcQueries.queries.keySet,
       "text" -> ops.TextQueries.queries.keySet,
       "vector" -> ops.VectorQueries.queries.keySet,
-      "multimodal" -> ops.MultimodalQueries.queries.keySet)
+      "multimodal" -> ops.MultimodalQueries.queries.keySet,
+      "layout" -> ops.LayoutQueries.queries.keySet)
     val collisions = modules.combinations(2).flatMap {
       case Seq((na, a), (nb, b)) =>
         a.intersect(b).map(k => s"$k ($na ∩ $nb)")
@@ -199,6 +200,7 @@ class GraftApiSpec extends SparkSpec {
       "mmrTopK" -> "mmrTopK",
       "bm25Postings" -> "bm25Postings",
       "bm25TopK" -> "bm25TopK",
+      "bm25TopKQ20" -> "bm25TopKQ20",
       "withZValue" -> "withZValue",
       "clusterByZOrder" -> "clusteredByZOrder",
       "rangeBoundaries" -> "rangeBoundaries",

@@ -500,6 +500,18 @@ class StreamingSpec extends SparkSpec {
     // 20 (list 0) dups seen 0; 21 (list 1) orthogonal to everything
     // in list 1 → admitted
     assert(admitted3.toSet == Set(21L))
+    // the store is laid out partitioned by list_id, and the gate's
+    // batch-list restriction reaches the scan as a partition filter
+    // (the 100-TB contract: a probe reads the touched lists only)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts == Set("list_id=0", "list_id=1"))
+    val probe = reopened.sigs
+      .filter(col("list_id").isin(Int.box(0)))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("list_id"), s"no partition pruning in:\n$plan")
+    assert(probe.collect().forall(_.getAs[Int]("list_id") == 0))
   }
 
   test("streaming content-defined chunking == batch on same docs") {

@@ -145,6 +145,65 @@ class TextSpec extends SparkSpec {
     assert(out("cat")._1 == 1L)
   }
 
+  test("bm25TopK matches an in-memory reference bitwise; q20 twin " +
+      "agrees on ranking and exact integer scores") {
+    val q = Seq("the", "quick", "cat")
+    val (k1, b) = (1.2, 0.75)
+    // in-memory reference, mirroring the operator's exact double op
+    // sequence (incl. the sorted-token fold order)
+    val toks = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the lazy cat",
+      4L -> "completely different content here entirely",
+      5L -> "").map { case (id, t) =>
+      id -> (if (t.trim.isEmpty) Array.empty[String]
+             else t.trim.split("\\s+"))
+    }
+    val nDocs = toks.size.toLong
+    val totalLen = toks.map(_._2.length.toLong).sum
+    val post = for {
+      (id, tk) <- toks
+      tok <- q.distinct
+      tf = tk.count(_ == tok).toLong if tf > 0
+    } yield (id, tok, tf, tk.length)
+    val dfm = post.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.size.toLong }
+    def termScore(tf: Long, dl: Int, df: Long): Double =
+      math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) *
+        (tf * (k1 + 1)) /
+        (tf + k1 * ((1.0 - b) +
+          b * (dl.toDouble * nDocs / totalLen)))
+    val ref = post.groupBy(_._1).map { case (id, xs) =>
+      val terms = xs.map(x =>
+        x._2 -> termScore(x._3, x._4, dfm(x._2))).sortBy(_._1)
+      (id, terms.foldLeft(0.0)(_ + _._2),
+        xs.size.toLong,
+        terms.foldLeft(0L)((a, t) =>
+          a + math.floor(t._2 * (1L << 20).toDouble).toLong))
+    }.toSeq
+    val refTop = ref.sortBy(x => (-x._2, x._1))
+    val got = Text.bm25TopK(docs, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("n_matched")))
+    assert(got.map(_._1).toSeq == refTop.map(_._1))
+    got.zip(refTop).foreach { case ((id, s, n), (rid, rs, rn, _)) =>
+      assert(id == rid && n == rn)
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(rs),
+        s"doc $id score $s != reference $rs (bitwise)")
+    }
+    // q20 twin: exact integer scores, same ranking on the fixture
+    val q20 = Text.bm25TopKQ20(docs, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_q20"), r.getAs[Long]("n_matched")))
+    assert(q20.map(_._1).toSeq == refTop.map(_._1))
+    q20.zip(refTop).foreach { case ((id, sq, n), (rid, _, rn, rq)) =>
+      assert(id == rid && n == rn && sq == rq,
+        s"doc $id q20 score $sq != reference $rq")
+    }
+  }
+
   test("lang guess picks marker-word argmax") {
     val d = Seq(
       (1L, "der hund und die katze", "x"),
