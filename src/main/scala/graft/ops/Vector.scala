@@ -694,9 +694,27 @@ object Vector {
     * `q·c_list + Σ lut[s, code_s]` an estimate of the full cosine.
     */
   final case class IvfPqModel(
-      ivf: org.apache.spark.ml.clustering.KMeansModel,
+      centers: Array[Array[Double]],
       pq: PqModel
   )
+
+  /** Coarse-list assignment as a Column: argmin-l2 over the model's
+    * centers (nLists×dim literal — KB-sized, rides the plan), with
+    * `array_position`-of-min giving the lowest-index tie-break, the
+    * same rule as the driver-side fit loop. Expression-only (no ML
+    * transform), so assignment is identical under any partitioning.
+    */
+  private def nearestCenterExpr(
+      centers: Array[Array[Double]],
+      unit: Column
+  ): Column = {
+    val centArr = array(centers.map(c =>
+      array(c.map(lit(_)): _*)): _*)
+    val d2s = transform(centArr, c =>
+      aggregate(zip_with(c, unit, (ci, x) => (ci - x) * (ci - x)),
+        lit(0.0), (a, v) => a + v))
+    (array_position(d2s, array_min(d2s)) - 1).cast("int")
+  }
 
   /** Fit the IVF-PQ composite — the canonical billion-scale ANN
     * layout (FAISS IVFPQ; Jégou et al., "Product Quantization for
@@ -707,10 +725,16 @@ object Vector {
     * them with far less distortion than raw vectors.
     *
     * Both fits are one-time OFFLINE steps at scale (memoize via
-    * `graft.Caches.cached`): KMeans over the unit corpus for the
-    * coarse step, then per-subspace Lloyd over a driver-sized
-    * residual sample (the `trainN` lowest vec_ids — deterministic;
-    * at 100 TB substitute a hash-draw of the same magnitude).
+    * `graft.Caches.cached`), and both run the same deterministic
+    * driver-side Lloyd ([[lloydCodebooks]]) over the `trainN`
+    * lowest-vec_id unit sample (at 100 TB substitute a hash-draw of
+    * the same magnitude): the coarse step is Lloyd with one
+    * "subspace" spanning the full dim, then residual codebooks per
+    * subspace. Spark ML KMeans was dropped here on measurement (r8):
+    * its kmeans|| init and center-sum order vary with the session's
+    * partitioning, so the same corpus fit under cpus=8 vs 32 gave
+    * different centers — and therefore different serving results —
+    * while the Lloyd fit is bitwise-identical under any parallelism.
     */
   def fitIvfPq(
       embeddings: DataFrame,
@@ -719,29 +743,35 @@ object Vector {
       ksub: Int = 16,
       dim: Int = 64,
       iters: Int = 10,
-      trainN: Int = 2048,
-      seed: Long = 42L
+      trainN: Int = 2048
   ): IvfPqModel = {
-    import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
     val u = unitized(embeddings.filter(decNorm(col("embedding")) > 0))
-    val ivf = fitIvf(u.select(col("vec_id"),
-      col("unit").as("embedding")), nLists, seed = seed)
-    val centers = ivf.clusterCenters.map(_.toArray)
-    val sample = ivf
-      .transform(u.withColumn("features", array_to_vector(col("unit"))))
-      .select(col("vec_id"), col("unit"), col("prediction"))
+    val sample = u
+      .select(col("vec_id"), col("unit"))
       .orderBy(col("vec_id"))
       .limit(trainN)
       .collect()
-      .map { r =>
-        val unit = r.getSeq[Double](1).toArray
-        val c = centers(r.getInt(2))
-        Array.tabulate(dim)(j => unit(j) - c(j))
+      .map(_.getSeq[Double](1).toArray)
+    val centers = lloydCodebooks(sample, 1, nLists, dim, iters)(0)
+    // residuals of the same sample against their argmin center, the
+    // exact rule nearestCenterExpr replays at encode time
+    val resid = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < nLists) {
+        var d = 0.0; var j = 0
+        while (j < dim) {
+          val t = v(j) - centers(c)(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
       }
-    IvfPqModel(ivf,
-      PqModel(dim, m, ksub, lloydCodebooks(sample, m, ksub, dsub, iters)))
+      Array.tabulate(dim)(j => v(j) - centers(best)(j))
+    }
+    IvfPqModel(centers,
+      PqModel(dim, m, ksub, lloydCodebooks(resid, m, ksub, dsub, iters)))
   }
 
   /** Build the IVF-PQ index: `(vec_id, list_id, codes)` — the stored
@@ -753,17 +783,14 @@ object Vector {
     * scan-stage — encode once at ingestion, probe many.
     */
   def ivfPqIndex(embeddings: DataFrame, model: IvfPqModel): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = model.ivf.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }
+    val cents = model.centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
       .toDF("list_id", "c_emb")
     val u = unitized(embeddings)
-    model.ivf
-      .transform(u.withColumn("features", array_to_vector(col("unit"))))
-      .select(col("vec_id"), col("unit"),
-        col("prediction").as("list_id"))
+    u.select(col("vec_id"), col("unit"),
+        nearestCenterExpr(model.centers, col("unit")).as("list_id"))
       .join(broadcast(cents), "list_id")
       .select(col("vec_id"), col("list_id"),
         pqCodes(zip_with(col("unit"), col("c_emb"), (x, c) => x - c),
@@ -803,8 +830,8 @@ object Vector {
     val index = precomputedIndex.getOrElse(ivfPqIndex(embeddings, model))
     val q = unitized(embeddings.filter(col("vec_id") === queryId))
       .select(col("unit").as("q_unit"))
-    val cents = model.ivf.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }
+    val cents = model.centers.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
       .toDF("list_id", "c_emb")
     // probe: nProbe nearest centroids by l2 (equivalently cosine on
     // the unit sphere); q·c rides along as the per-list ADC constant

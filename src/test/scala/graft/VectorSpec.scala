@@ -254,6 +254,22 @@ class VectorSpec extends SparkSpec {
       Vec.quantizedTopK(embs, 0L, 10, rescoreK = 5))
   }
 
+  test("fitIvfPq is partition-invariant: identical model under " +
+      "different input partitionings") {
+    // Spark ML KMeans failed this (kmeans|| init + center-sum order
+    // track the session's partitioning — measured as a cpus=8 vs 32
+    // serving diff in r8); the driver-side Lloyd fit over the
+    // vec_id-ordered sample must not care how the input is split
+    val embs = Tables.embeddings(spark, sf("sf0.001"))
+    val a = Vec.fitIvfPq(embs.repartition(3), nLists = 16, m = 16,
+      ksub = 16)
+    val b = Vec.fitIvfPq(embs.repartition(17), nLists = 16, m = 16,
+      ksub = 16)
+    assert(a.centers.flatten.toSeq == b.centers.flatten.toSeq)
+    assert(a.pq.codebooks.flatten.flatten.toSeq ==
+      b.pq.codebooks.flatten.flatten.toSeq)
+  }
+
   test("PQ: deterministic fit, bounded codes, full-rescore equals " +
       "brute force, ADC-only recall is high on the real corpus") {
     val embs = Tables.embeddings(spark, sf("sf0.001"))
