@@ -81,7 +81,10 @@ object Layout {
         ldiv((col(c).cast("long") - col(s"__mn_$c")) * width,
           col(s"__mx_$c") - col(s"__mn_$c") + 1L))
         .otherwise(raise_error(concat(
-          lit(s"zorder: span of '$c' ("), span.cast("string"),
+          lit(s"zorder: span of '$c' ("),
+          // an all-NULL column yields null min/max → null span; keep
+          // the message non-null or raise_error throws with no text
+          coalesce(span.cast("string"), lit("null — all-NULL column?")),
           lit(s") exceeds ${maxSpan} = Long.MaxValue >> $bits; " +
             "reduce bits or pre-bucket via rangeBoundaries")))
           .cast("long"))

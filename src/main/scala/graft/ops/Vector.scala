@@ -489,10 +489,11 @@ object Vector {
     * The fit is a one-time OFFLINE step, like [[fitIvf]] — and unlike
     * it the training input is a driver-sized sample by design
     * (codebooks are k-means over dsub-dim subvectors; FAISS trains
-    * them on ~10⁴ points regardless of corpus size). The sample here
-    * is the `trainN` lowest vec_ids (TakeOrdered, no global sort);
-    * at 100 TB substitute a hash-draw (`xxhash64(vec_id) % p = 0`)
-    * of the same driver-sized magnitude. Deterministic end to end:
+    * them on ~10⁴ points regardless of corpus size). The sample is a
+    * deterministic hash-draw: the `trainN` lowest `xxhash64(vec_id)`
+    * values (TakeOrdered, no global sort) — unbiased even when
+    * vec_id order correlates with content, which an id-prefix sample
+    * is not (r8 advice). Deterministic end to end:
     * stride init over the ordered sample, lowest-index tie-breaks,
     * empty clusters keep their previous centroid — two fits on the
     * same corpus are bitwise-identical.
@@ -509,7 +510,7 @@ object Vector {
     val dsub = dim / m
     val sample = unitized(
       embeddings.filter(decNorm(col("embedding")) > 0))
-      .orderBy(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(trainN)
       .select(col("unit"))
       .collect()
@@ -726,9 +727,10 @@ object Vector {
     *
     * Both fits are one-time OFFLINE steps at scale (memoize via
     * `graft.Caches.cached`), and both run the same deterministic
-    * driver-side Lloyd ([[lloydCodebooks]]) over the `trainN`
-    * lowest-vec_id unit sample (at 100 TB substitute a hash-draw of
-    * the same magnitude): the coarse step is Lloyd with one
+    * driver-side Lloyd ([[lloydCodebooks]]) over a `trainN`-sized
+    * deterministic hash-draw of the unit vectors (lowest
+    * `xxhash64(vec_id)` — unbiased under ingest-ordered ids, unlike
+    * an id-prefix sample; r8 advice): the coarse step is Lloyd with one
     * "subspace" spanning the full dim, then residual codebooks per
     * subspace. Spark ML KMeans was dropped here on measurement (r8):
     * its kmeans|| init and center-sum order vary with the session's
@@ -750,7 +752,7 @@ object Vector {
     val u = unitized(embeddings.filter(decNorm(col("embedding")) > 0))
     val sample = u
       .select(col("vec_id"), col("unit"))
-      .orderBy(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(trainN)
       .collect()
       .map(_.getSeq[Double](1).toArray)

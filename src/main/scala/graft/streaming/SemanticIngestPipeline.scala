@@ -80,6 +80,24 @@ object SemanticIngestPipeline {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         sigsSchema)
     def append(as: DataFrame): Unit = {
+      // FORMAT BREAK (r8 → r9): the store is now partitioned by
+      // list_id. A directory written by the old unpartitioned code
+      // has data files at the root; appending list_id=N/ dirs next to
+      // them makes Spark partition discovery fail with a confusing
+      // "conflicting directory structures" error much later — detect
+      // it here and fail with a migration message instead.
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path) &&
+          fs.listStatus(path).exists(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet")))
+        throw new IllegalStateException(
+          s"SemanticIngestPipeline.ParquetStore at $dir holds the " +
+            "pre-r9 unpartitioned layout (root-level .parquet files); " +
+            "appending the list_id-partitioned layout next to it would " +
+            "break partition discovery. Migrate once: read the old " +
+            "store and rewrite it with partitionBy(\"list_id\") to a " +
+            "fresh directory.")
       // snapshot BEFORE writing: the frame's lineage reads this
       // directory, and a parquet insert refreshes every cached plan
       // on the written path (the same read-your-own-append hazard
