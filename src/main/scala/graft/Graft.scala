@@ -48,6 +48,10 @@ object Graft {
       ops.Text.dupClusterSurvivors(docs, clusters)
     def scrubbedDuplicateBlocks(blockTokens: Int = 20): DataFrame =
       ops.Text.scrubDuplicatedBlocks(docs, blockTokens)
+    /** Line-frequency boilerplate removal (CCNet/C4 shape): drop
+      * every line whose normalized form appears in ≥ minDf docs. */
+    def boilerplateRemoved(minDf: Long = 50L): DataFrame =
+      ops.Text.removeBoilerplate(docs, minDf)
     def dupClusters(pairs: DataFrame): DataFrame =
       ops.Text.dupClusters(docs, pairs)
     def chunked(window: Int = 50, stride: Int = 40): DataFrame =
@@ -358,6 +362,36 @@ object Graft {
     def quantizedTopK(queryId: Long, k: Int, rescoreK: Int = 50)
         : DataFrame =
       ops.Vector.quantizedTopK(embs, queryId, k, rescoreK)
+    /** Matryoshka truncated retrieval: prefix-cosine first pass over
+      * `dims` leading coordinates + exact full-dim rescore. */
+    def matryoshkaTopK(
+        queryId: Long,
+        k: Int,
+        dims: Int,
+        rescoreK: Int = 50
+    ): DataFrame =
+      ops.Vector.matryoshkaTopK(embs, queryId, k, dims, rescoreK)
+    /** PageRank centrality over the within-list kNN graph in exact
+      * q20 integer arithmetic (frame must carry `list_id`). */
+    def knnPagerankAssigned(k: Int = 3, iters: Int = 3): DataFrame =
+      ops.Vector.knnPagerankAssigned(embs, k, iters)
+    /** PageRank centrality via the fitted coarse quantizer. */
+    def knnPagerank(
+        model: KMeansModel,
+        k: Int = 3,
+        iters: Int = 3
+    ): DataFrame = ops.Vector.knnPagerank(embs, model, k, iters)
+    // PCA is fit-once, project-many: the fit reduces the corpus to an
+    // exact-integer moment skeleton (one scan) + a driver eigensolve
+    def pcaMoments: DataFrame = ops.Vector.pcaMomentsQ16(embs)
+    def fitPca: ops.Vector.PcaModel = ops.Vector.fitPca(embs)
+    /** Project (optionally whiten) onto the top-k components —
+      * scan-stage serving arithmetic, no MLlib. */
+    def pcaProjected(
+        model: ops.Vector.PcaModel,
+        k: Int,
+        whiten: Boolean = false
+    ): DataFrame = ops.Vector.pcaProject(embs, model, k, whiten)
     // IVF is fit-once, probe-many: fit offline (memoize the model —
     // see VectorQueries.prewarm / Caches.cached), probe per query
     def fitIvf(nLists: Int = 16): KMeansModel =

@@ -21,16 +21,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as raw nanos (`nanosAsLong`) and truncate to
-    * microseconds — the same truncation DuckDB applies — so both sides
-    * of the oracle see identical microsecond timestamps.
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects by default —
+    * read as raw nanos via `nanosAsLong` and truncate to micros, the
+    * same truncation DuckDB applies) and TIMESTAMP_MICROS with
+    * isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ).
+    * Normalize both to session-TZ TimestampType: every session here
+    * pins UTC, so the NTZ cast is value-identity and downstream
+    * operators see identical microsecond timestamps either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     apply(s, d, "documents")

@@ -1350,6 +1350,56 @@ object Text {
           .cast("int").as("n_dropped"))
   }
 
+  /** Line-frequency boilerplate removal (the CCNet/C4 shape: nav
+    * menus, cookie banners, "subscribe" footers repeat VERBATIM
+    * across a domain's pages — so a line whose normalized form
+    * appears in ≥ `minDf` distinct documents is template, not
+    * content). Distinct from [[scrubDuplicatedBlocks]] on two axes:
+    * the unit is the author's line structure (not fixed token
+    * windows), and the rule is corpus frequency (not
+    * keep-one-canonical-copy — boilerplate keeps ZERO copies).
+    *
+    * Scale shape: lines explode once; the df table groups by a
+    * 16-byte line hash (two-phase distinct count, map-side partial),
+    * is filtered to the boilerplate rows only — a tiny table by
+    * construction, frequent lines are few — and joins back on the
+    * hash; reassembly is one per-doc sort-agg. No n², nothing
+    * driver-side. Line identity = lower(trim(line)) — the md5 key
+    * keeps the shuffle narrow regardless of line length.
+    *
+    * Returns `(doc_id, clean_text, n_lines, n_dropped)`; a doc whose
+    * every line is boilerplate yields `clean_text = ""`.
+    */
+  def removeBoilerplate(docs: DataFrame, minDf: Long = 50L): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
+      .withColumn("lkey", md5(lower(trim(col("line"))).cast("binary")))
+    val lineDf = lines
+      .groupBy(col("lkey"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") >= minDf)
+    val kept = lines
+      .join(lineDf, Seq("lkey"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("line_idx"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .cast("int").as("n_dropped"))
+  }
+
   /** Eval-set contamination check (decontamination step of a
     * training-data pipeline): which training docs share at least
     * `minHits` word `n`-gram shingles with any eval-set doc, and how

@@ -235,6 +235,27 @@ object TextQueries {
       Text.scrubDuplicatedBlocks(Tables.documents(s, d),
         blockTokens = 20)
         .orderBy(col("doc_id"))),
+    // line-frequency boilerplate removal (CCNet/C4 shape). The
+    // synthetic corpus is single-line (no shared lines), so the query
+    // PLANTS deterministic footer lines — 40% of docs get a
+    // "subscribe" line, 20% also a "follow us" line, one doc a
+    // unique footer — the same planted-slice convention as
+    // q_mm_phash_neardup (an empty green row would be vacuous). The
+    // frequent footers must drop, the unique one must survive.
+    "q_text_boilerplate" -> ((s, d) =>
+      Text.removeBoilerplate(
+        Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"),
+              lit("\nfollow us on example social"),
+              lit("\nsubscribe to the newsletter")))
+            .when(col("doc_id") % 5 === 1,
+              concat(col("text"), lit("\nsubscribe to the newsletter")))
+            .when(col("doc_id") === 7,
+              concat(col("text"), lit("\nunique footer line")))
+            .otherwise(col("text")).as("text")),
+        minDf = 50L)
+        .orderBy(col("doc_id"))),
     "q_text_chunks" -> ((s, d) =>
       Text.chunkDocs(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
@@ -785,6 +806,42 @@ object TextQueries {
         |  CAST(b.n_blocks - COALESCE(k.n_kept, 0) AS INT) AS n_dropped
         |FROM base b LEFT JOIN k ON b.doc_id = k.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q_text_boilerplate" ->
+      """WITH pd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) ||
+        |           'follow us on example social' || chr(10) ||
+        |           'subscribe to the newsletter'
+        |         WHEN doc_id % 5 = 1 THEN text || chr(10) ||
+        |           'subscribe to the newsletter'
+        |         WHEN doc_id = 7 THEN text || chr(10) ||
+        |           'unique footer line'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(ls, 1) - 1 AS INT) AS line_idx,
+        |    UNNEST(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM pd)),
+        |f AS (
+        |  SELECT lower(trim(line)) AS lkey,
+        |    COUNT(DISTINCT doc_id) AS line_df
+        |  FROM l GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 50),
+        |kept AS (
+        |  SELECT l.doc_id,
+        |    string_agg(l.line, chr(10) ORDER BY l.line_idx)
+        |      AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM l LEFT JOIN f ON lower(trim(l.line)) = f.lkey
+        |  WHERE f.lkey IS NULL GROUP BY l.doc_id)
+        |SELECT pd.doc_id,
+        |  COALESCE(kept.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(pd.text, chr(10))) AS INT) AS n_lines,
+        |  CAST(len(string_split(pd.text, chr(10))) -
+        |    COALESCE(kept.n_kept, 0) AS INT) AS n_dropped
+        |FROM pd LEFT JOIN kept ON pd.doc_id = kept.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
     "q_text_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

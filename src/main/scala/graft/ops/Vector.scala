@@ -468,6 +468,62 @@ object Vector {
       .limit(k)
   }
 
+  /** Matryoshka (MRL) truncated retrieval with exact rescore — the
+    * dimension-truncation serving mode of Matryoshka Representation
+    * Learning (Kusupati et al., NeurIPS 2022): embeddings trained
+    * nested answer at `dims` < d cost by SLICING the stored vector,
+    * no re-embedding and no fitted artifact. First pass ranks by
+    * cosine over the `dims`-coordinate prefix (dims/d of the
+    * multiply-adds and — with a prefix-sliced column or column-group
+    * layout — of the scan IO), keeps `rescoreK`, rescores those few
+    * at full dimension. Unlike PQ/SQ8 the truncated score is itself
+    * a true cosine of stored coordinates, so the WHOLE serving path
+    * is SQL-expressible and oracle-checked (the fitted-model entries
+    * can't be). Same shape at scale as [[quantizedTopK]]: map-side
+    * scan + TakeOrdered, only `rescoreK` full vectors touched.
+    */
+  def matryoshkaTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      dims: Int,
+      rescoreK: Int = 50
+  ): DataFrame = {
+    require(rescoreK >= k, s"rescoreK ($rescoreK) must be >= k ($k)")
+    require(dims >= 1, s"dims must be positive, got $dims")
+    val pref = embeddings.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("pvec"))
+    val qp = pref.filter(col("vec_id") === queryId)
+      .select(col("pvec").as("q_pvec"))
+    val qf = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    // explicit NaN for zero norms (ANSI sessions raise
+    // DIVIDE_BY_ZERO instead of IEEE-dividing) — the
+    // semanticSignaturesAssigned convention
+    def guardedCos(a: Column, b: Column): Column =
+      when(decNorm(a) === 0.0 || decNorm(b) === 0.0, lit(Double.NaN))
+        .otherwise(decDot(a, b) / (decNorm(a) * decNorm(b)))
+    val approx = pref
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qp))
+      // zero-norm PREFIX (vector may be nonzero past the cut) is
+      // unrankable in the first pass — same NaN policy as the family
+      .select(col("vec_id"),
+        guardedCos(col("pvec"), col("q_pvec")).as("approx_score"))
+      .filter(!isnan(col("approx_score")))
+      .orderBy(col("approx_score").desc, col("vec_id"))
+      .limit(rescoreK)
+    approx
+      .join(embeddings.select(col("vec_id"), col("label"),
+        col("embedding")), "vec_id")
+      .crossJoin(broadcast(qf))
+      .select(col("vec_id"), col("label"), col("approx_score"),
+        guardedCos(col("embedding"), col("q_emb")).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Product-quantization codebook: `m` subspaces × `ksub` centroids
     * × `dsub = dim/m` components each. Tiny by construction
     * (8×16×8 doubles = 8 KB) — ships as plan literals / broadcast.
@@ -1320,5 +1376,243 @@ object Vector {
     val counts = keyed.groupBy(cellCols: _*)
       .agg(count(lit(1)).as("cell_count"))
     keyed.join(broadcast(counts), (0 until gridDims).map(i => s"c$i"))
+  }
+
+  /** Graph-centrality curation signal: PageRank over the within-list
+    * kNN graph ([[knnGraphAssigned]]), in EXACT q20 fixed-point
+    * integer arithmetic so the score is bitwise engine- and
+    * partitioning-independent (long adds commute; `div` is the only
+    * division). The damping recurrence uses the rational constants
+    * 0.15·2^20 = floor → 157286 and 0.85 = 17/20:
+    *
+    *   pr_0(v)   = 2^20
+    *   share(u)  = pr(u) div outdeg(u)
+    *   pr_t+1(v) = 157286 + (17 · Σ_{u→v} share(u)) div 20
+    *
+    * Dangling mass (vectors with no out-edges — singleton lists,
+    * zero-norm) decays toward the base term, the usual simplification
+    * when centrality RANKS documents rather than models a surfer.
+    *
+    * Scale shape: the edge list is k·n rows and is persisted once
+    * (iterating over a recomputed kNN join would re-pay the Σ|list|²
+    * candidate scan per iteration); each iteration is one map-side-
+    * combined aggregation over the edges plus a broadcast-free n-row
+    * join — `iters` shuffles of k·n rows total, no driver-side state.
+    * Centrality-ranked representative selection (keep the highest-pr
+    * member of each dup cluster, or sample ∝ pr) composes downstream
+    * exactly like qualityScore.
+    *
+    * Returns `(vec_id, pr_q20)`; `pr_q20 / 2^20` ≈ classic PageRank
+    * scaled by n (mass n·2^20 at t=0).
+    */
+  def knnPagerankAssigned(
+      assigned: DataFrame,
+      k: Int = 3,
+      iters: Int = 3
+  ): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val edges = graft.Caches.track("vec",
+      knnGraphAssigned(assigned, k)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src")
+    val nodes = assigned.select(col("vec_id"))
+    var pr = nodes.select(col("vec_id"),
+      lit(1048576L).as("pr_q20"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(pr.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr_q20 div deg")).as("s"))
+      pr = nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(157286L) +
+            expr("(17 * coalesce(s, 0L)) div 20")).as("pr_q20"))
+    }
+    pr
+  }
+
+  /** KMeans-quantizer form (fit offline with [[fitIvf]]). */
+  def knnPagerank(
+      embeddings: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      k: Int = 3,
+      iters: Int = 3
+  ): DataFrame =
+    knnPagerankAssigned(assignLists(embeddings, model), k, iters)
+
+  // ---- PCA (exact-integer moment skeleton + driver-side Jacobi) ----
+
+  /** PCA over embeddings, the fit-small/apply-everywhere split
+    * (same contract as [[fitPq]]/`trainQualityClassifier`): the fit
+    * reduces the corpus to a d×d second-moment skeleton in EXACT q16
+    * integers — one scan, map-side-combined, nothing driver-side
+    * above d² longs — and the eigensolve runs on the d×d driver-side
+    * matrix (model-sized by definition). `components` rows are unit
+    * eigenvectors, eigenvalue-descending, sign-normalized (first
+    * nonzero coordinate positive) so two fits are bitwise-identical.
+    */
+  final case class PcaModel(
+      dim: Int,
+      nVecs: Long,
+      mean: Array[Double],
+      eigenvalues: Array[Double],
+      components: Array[Array[Double]])
+
+  /** Exact q16 moment skeleton: one row per (i ≤ j) dimension pair
+    * with `sxy_q16` = Σ_v xq_i(v)·xq_j(v), the first moments of both
+    * dims, and the count — where xq = floor(x·2^16) (the operator's
+    * documented quantized view of the corpus; 2^-16 is far below
+    * float32 embedding noise). All-long arithmetic: partition- and
+    * engine-invariant, so the whole skeleton hash-compares against a
+    * SQL twin. Shape: the position explode is d rows per vector, each
+    * carrying its j ≥ i product slice; [[graft.functions.LongArraySumAggregator]]
+    * combines map-side, so the single shuffle moves ≤ d arrays per
+    * task — at 100 TB this is ONE pass and d²/2 longs, the classic
+    * distributed-Gram reduction.
+    */
+  def pcaMomentsQ16(embeddings: DataFrame): DataFrame = {
+    val arrSum = udaf(new graft.functions.LongArraySumAggregator,
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Long]]())
+    val xq = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 65536).cast("long")).as("xq"))
+    val d = size(col("xq"))
+    val byI = xq
+      .select(posexplode(col("xq")).as(Seq("i", "xi")), col("xq"))
+      .select(col("i"), col("xi"),
+        // 1-based slice from i+1 keeps j >= i (0-based), self first
+        transform(slice(col("xq"), col("i") + 1, d - col("i")),
+          xj => xj * col("xi")).as("prods"))
+      .groupBy(col("i"))
+      .agg(arrSum(col("prods")).as("sxy"),
+        sum(col("xi")).as("sx_q16"),
+        count(lit(1)).as("n_vecs"))
+    val m = byI.select(col("i").as("j"), col("sx_q16").as("sy_q16"))
+    byI
+      .select(col("i"), col("sx_q16"), col("n_vecs"),
+        posexplode(col("sxy")).as(Seq("joff", "sxy_q16")))
+      .withColumn("j", (col("i") + col("joff")).cast("int"))
+      .join(broadcast(m), "j")
+      .select(col("i"), col("j"), col("sxy_q16"),
+        col("sx_q16"), col("sy_q16"), col("n_vecs"))
+  }
+
+  /** Fit: collect the (tiny) moment skeleton, form the covariance in
+    * doubles (deterministic — every input is an exact long), and run
+    * cyclic Jacobi to convergence. O(d³) driver work for d = 64.
+    */
+  def fitPca(embeddings: DataFrame): PcaModel = {
+    val rows = pcaMomentsQ16(embeddings).collect()
+    require(rows.nonEmpty, "fitPca: empty corpus")
+    val d = rows.iterator.map(_.getAs[Int]("j")).max + 1
+    val n = rows.head.getAs[Long]("n_vecs")
+    val sx = new Array[Double](d)
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      if (i == j) sx(i) = r.getAs[Long]("sx_q16").toDouble
+      val sxy = r.getAs[Long]("sxy_q16").toDouble
+      val c = (sxy / n - (r.getAs[Long]("sx_q16").toDouble / n) *
+        (r.getAs[Long]("sy_q16").toDouble / n)) / 65536.0 / 65536.0
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (evals, vecs) = jacobiEigen(cov)
+    PcaModel(d, n, sx.map(_ / n / 65536.0), evals, vecs)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * deterministic sweep order (row-major upper triangle), fixed
+    * rotation formula, sweeps until the off-diagonal mass is ~0.
+    * Returns (eigenvalues desc, eigenvectors as rows) with the sign
+    * convention fixed (first coordinate with |x| > 1e-12 positive).
+    */
+  private[ops] def jacobiEigen(
+      a0: Array[Array[Double]]
+  ): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-22) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { ci =>
+      val comp = Array.tabulate(d)(r => v(r)(ci))
+      val lead = comp.indexWhere(x => math.abs(x) > 1e-12)
+      if (lead >= 0 && comp(lead) < 0) comp.map(x => -x) else comp
+    }.toArray
+    (evals, vecs)
+  }
+
+  /** Apply: project (and optionally whiten) every embedding onto the
+    * top-`k` components. Pure scan-stage arithmetic — the model rides
+    * in as column literals (k·d doubles), each output coordinate is a
+    * fixed-order fold, no shuffle, no MLlib at serving (the same
+    * serving split as `classifierScore`). Inputs go through the SAME
+    * q16 quantization as the fit, so projected sample covariance is
+    * exactly V'CV = diag(eigenvalues) up to IEEE rounding — the
+    * invariant the spec pins. Whitening divides coordinate c by
+    * sqrt(eigenvalue_c) (skipped for eigenvalues ≤ 1e-12: a
+    * zero-variance direction has nothing to whiten).
+    */
+  def pcaProject(
+      embeddings: DataFrame,
+      model: PcaModel,
+      k: Int,
+      whiten: Boolean = false
+  ): DataFrame = {
+    require(k >= 1 && k <= model.dim,
+      s"k must be in [1, ${model.dim}], got $k")
+    val meanLit = array(model.mean.map(lit(_)): _*)
+    // the fit's quantized view, centered — computed once per row
+    val cent = zip_with(
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 65536) / 65536.0),
+      meanLit, (x, m) => x - m)
+    val comps = (0 until k).map { c =>
+      val wLit = array(model.components(c).map(lit(_)): _*)
+      val scale =
+        if (whiten && model.eigenvalues(c) > 1e-12)
+          1.0 / math.sqrt(model.eigenvalues(c))
+        else 1.0
+      (aggregate(
+        zip_with(col("cent"), wLit, (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v) * scale).as(s"p$c")
+    }
+    embeddings.withColumn("cent", cent)
+      .select(col("vec_id"), array(comps: _*).as("proj"))
   }
 }

@@ -39,9 +39,16 @@ object VectorQueries {
       Vector.fitIvfPq(Tables.embeddings(s, d), nLists = 16, m = 16,
         ksub = 16))
 
+  /** PCA model, memoized like the other offline-training artifacts
+    * (the fit is one exact-integer scan + a d×d driver eigensolve).
+    */
+  private def pcaModel(s: SparkSession, d: String): Vector.PcaModel =
+    graft.Caches.cached("vec", ("pca-model", d))(
+      Vector.fitPca(Tables.embeddings(s, d)))
+
   /** Fit the quantizers outside any timed region. */
   def prewarm(s: SparkSession, d: String): Unit = {
-    ivfModel(s, d); pqModel(s, d); ivfPqModel(s, d); ()
+    ivfModel(s, d); pqModel(s, d); ivfPqModel(s, d); pcaModel(s, d); ()
   }
 
   /** Label-partitioned semantic pair graph, shared by the pairs query
@@ -243,6 +250,13 @@ object VectorQueries {
       Vector.ivfPqTopK(Tables.embeddings(s, d), ivfPqModel(s, d), 0L,
         10, nProbe = 8, rescoreK = 100,
         precomputedIndex = Some(ivfPqIndexDf(s, d)))),
+    // Matryoshka truncated retrieval: prefix-cosine first pass
+    // (16 of 64 dims) → exact-cosine rescore of the top-50 — the
+    // MRL serving mode; no fitted artifact, so unlike PQ/IVF the
+    // whole path has a SQL twin and is oracle-checked end to end
+    "q_vec_matryoshka_topk" -> ((s, d) =>
+      Vector.matryoshkaTopK(Tables.embeddings(s, d), 0L, k = 10,
+        dims = 16, rescoreK = 50)),
     // SQ8 + exact rescore: integer first-pass ranking over the
     // quantized corpus, full-precision cosine on the top-rescoreK
     // survivors only — every stage engine-reproducible, so the whole
@@ -250,6 +264,36 @@ object VectorQueries {
     "q_vec_quantized_topk" -> ((s, d) =>
       Vector.quantizedTopK(Tables.embeddings(s, d), 0L, 10,
         rescoreK = 50)),
+    // PageRank centrality over the within-list kNN graph (offline-
+    // assignment form, list = stored label): exact q20 integer
+    // recurrence — every iteration is long adds and `div`, so the
+    // 3-iteration fixpoint approximation hash-compares against an
+    // unrolled SQL twin over the same oracle-green edge set
+    "q_vec_pagerank" -> ((s, d) =>
+      Vector.knnPagerankAssigned(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        k = 3, iters = 3)
+        .orderBy(col("vec_id"))),
+    // PCA moment skeleton: Σ xq_i·xq_j over the q16-quantized corpus
+    // (exact longs, order-free) — the distributed half of the PCA
+    // fit, hash-compared end to end; the d×d eigensolve consumes
+    // exactly these numbers (fitPca) and is pinned by VectorSpec
+    "q_vec_pca_cov" -> ((s, d) =>
+      Vector.pcaMomentsQ16(Tables.embeddings(s, d))
+        .orderBy(col("i"), col("j"))),
+    // PCA projection/whitening at serving (fit-small/apply-everywhere
+    // — scan-stage arithmetic over model literals). rows-only: the
+    // eigenbasis has no SQL twin (same contract as the fitted
+    // k-means entries); VectorSpec pins orthonormality, the
+    // projected-covariance ≡ diag(eigenvalues) identity, whitened
+    // unit variance, and bitwise determinism under repartitioning.
+    "q_vec_pca_project" -> ((s, d) =>
+      Vector.pcaProject(Tables.embeddings(s, d), pcaModel(s, d),
+        k = 8, whiten = true)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("proj"),
+            x => round(x, 6).cast("string"))).as("proj_csv"))
+        .orderBy(col("vec_id"))),
     // MMR-diversified retrieval: 15-candidate relevance pool →
     // greedy lambda=0.5 redundancy-penalized selection of 8. The
     // selection recurrence is replayed by a linear recursive CTE
@@ -468,6 +512,94 @@ object VectorQueries {
         |  FROM p WHERE NOT isnan(cos_sim))
         |SELECT vec_id, nbr_id, cos_sim, "rank" FROM r
         |WHERE "rank" <= 3 ORDER BY vec_id, "rank"""".stripMargin,
+    // PageRank: the q_vec_knn_graph edge fragment (k = 3), then the
+    // exact q20 integer recurrence unrolled 3 iterations — DuckDB's
+    // `//` on non-negative BIGINTs is the same floor division as
+    // Spark's `div`, and every sum is exact, so the twin is bitwise
+    "q_vec_pagerank" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |e AS (SELECT vec_id AS src, nbr_id AS dst FROM r
+        |      WHERE rk <= 3),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM e
+        |       JOIN deg d ON e.src = d.src),
+        |p0 AS (SELECT vec_id, CAST(1048576 AS BIGINT) AS pr
+        |       FROM embeddings),
+        |c1 AS (SELECT ed.dst AS vec_id,
+        |         CAST(SUM(p.pr // ed.deg) AS BIGINT) AS s
+        |       FROM ed JOIN p0 p ON ed.src = p.vec_id
+        |       GROUP BY ed.dst),
+        |p1 AS (SELECT p0.vec_id,
+        |         CAST(157286 + (17 * COALESCE(c1.s, 0)) // 20
+        |           AS BIGINT) AS pr
+        |       FROM p0 LEFT JOIN c1 ON p0.vec_id = c1.vec_id),
+        |c2 AS (SELECT ed.dst AS vec_id,
+        |         CAST(SUM(p.pr // ed.deg) AS BIGINT) AS s
+        |       FROM ed JOIN p1 p ON ed.src = p.vec_id
+        |       GROUP BY ed.dst),
+        |p2 AS (SELECT p1.vec_id,
+        |         CAST(157286 + (17 * COALESCE(c2.s, 0)) // 20
+        |           AS BIGINT) AS pr
+        |       FROM p1 LEFT JOIN c2 ON p1.vec_id = c2.vec_id),
+        |c3 AS (SELECT ed.dst AS vec_id,
+        |         CAST(SUM(p.pr // ed.deg) AS BIGINT) AS s
+        |       FROM ed JOIN p2 p ON ed.src = p.vec_id
+        |       GROUP BY ed.dst),
+        |p3 AS (SELECT p2.vec_id,
+        |         CAST(157286 + (17 * COALESCE(c3.s, 0)) // 20
+        |           AS BIGINT) AS pr
+        |       FROM p2 LEFT JOIN c3 ON p2.vec_id = c3.vec_id)
+        |SELECT vec_id, pr AS pr_q20 FROM p3
+        |ORDER BY vec_id""".stripMargin,
+    // PCA moment skeleton: q16 quantization (FLOOR(x·2^16) longs),
+    // upper-triangle product sums + first moments — all exact
+    // integer arithmetic on both engines
+    "q_vec_pca_cov" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 65536)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT i, CAST(SUM(xq) AS BIGINT) AS sx,
+        |    COUNT(*) AS n_vecs
+        |  FROM x GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(a.xq * b.xq) AS BIGINT) AS sxy_q16
+        |  FROM x a JOIN x b
+        |    ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT p.i, p.j, p.sxy_q16, ma.sx AS sx_q16,
+        |  mb.sx AS sy_q16, ma.n_vecs
+        |FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
+        |ORDER BY p.i, p.j""".stripMargin,
     "q_vec_hard_negatives" ->
       """WITH n AS (
         |  SELECT vec_id, label,
@@ -685,6 +817,47 @@ object VectorQueries {
         |dots AS (
         |  SELECT vec_id, approx_score, label,
         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i) AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+        |  FROM pairs GROUP BY vec_id, approx_score, label)
+        |SELECT vec_id, label, approx_score, dot / (na * nb) AS cos_sim
+        |FROM dots WHERE na > 0 AND nb > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // prefix cosine (i <= 16, ordered SUM — bitwise the same fold as
+    // Spark's slice + decDot) → top-50 by (approx DESC, vec_id) →
+    // exact-cosine rescore → top-10 (the q_vec_quantized_topk tail)
+    "q_vec_matryoshka_topk" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings
+        |           WHERE vec_id = 0),
+        |appairs AS (
+        |  SELECT e.vec_id,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |ap AS (
+        |  SELECT vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)
+        |      AS pdot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS pna,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |             ORDER BY i)) AS pnb
+        |  FROM appairs WHERE i <= 16 GROUP BY vec_id),
+        |top AS (
+        |  SELECT vec_id, pdot / (pna * pnb) AS approx_score
+        |  FROM ap WHERE pna > 0 AND pnb > 0
+        |  ORDER BY approx_score DESC, vec_id LIMIT 50),
+        |pairs AS (
+        |  SELECT t.vec_id, t.approx_score, e.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    UNNEST(e.embedding) AS x, UNNEST(qe.q_emb) AS y
+        |  FROM top t JOIN embeddings e ON t.vec_id = e.vec_id,
+        |    (SELECT embedding AS q_emb FROM embeddings
+        |     WHERE vec_id = 0) qe),
+        |dots AS (
+        |  SELECT vec_id, approx_score, label,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)
+        |      AS dot,
         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
         |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
         |  FROM pairs GROUP BY vec_id, approx_score, label)

@@ -201,6 +201,12 @@ class GraftApiSpec extends SparkSpec {
       "bm25Postings" -> "bm25Postings",
       "bm25TopK" -> "bm25TopK",
       "bm25TopKQ20" -> "bm25TopKQ20",
+      "removeBoilerplate" -> "boilerplateRemoved",
+      "matryoshkaTopK" -> "matryoshkaTopK",
+      "knnPagerankAssigned" -> "knnPagerankAssigned",
+      "knnPagerank" -> "knnPagerank",
+      "pcaMomentsQ16" -> "pcaMoments",
+      "pcaProject" -> "pcaProjected",
       "withZValue" -> "withZValue",
       "clusterByZOrder" -> "clusteredByZOrder",
       "rangeBoundaries" -> "rangeBoundaries",

@@ -629,6 +629,34 @@ class TextSpec extends SparkSpec {
     assert(m(6L) == (("m m m", 2, 1)))
   }
 
+  test("removeBoilerplate drops frequent lines (normalized), keeps " +
+      "rare ones, counts docs not occurrences") {
+    val d = Seq(
+      (0L, "alpha content\ncommon footer\nbeta"),
+      (1L, "gamma\ncommon footer"),
+      (2L, "delta text\ncommon footer"),
+      (3L, "unique only\nrare line"),
+      // normalization: case + padding fold into the same line key
+      (4L, "  Common Footer  \nepsilon"),
+      // within-doc repetition is ONE doc — df stays 1, both kept
+      (5L, "dup line\ndup line\nx"),
+      // every line boilerplate → empty doc
+      (6L, "common footer")
+    ).toDF("doc_id", "text")
+    val m = Text.removeBoilerplate(d, minDf = 3L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_lines"),
+          r.getAs[Int]("n_dropped"))))
+      .toMap
+    assert(m(0L) == (("alpha content\nbeta", 3, 1)))
+    assert(m(1L) == (("gamma", 2, 1)))
+    assert(m(2L) == (("delta text", 2, 1)))
+    assert(m(3L) == (("unique only\nrare line", 2, 0)))
+    assert(m(4L) == (("epsilon", 2, 1)))
+    assert(m(5L) == (("dup line\ndup line\nx", 3, 0)))
+    assert(m(6L) == (("", 1, 1)))
+  }
+
   test("dupClusterSurvivors picks max quality, ties to lowest id") {
     val d = Seq(
       (10L, "the cat", "en", "sa", 7L),          // stop .5, uniq 1

@@ -590,4 +590,153 @@ class VectorSpec extends SparkSpec {
     assert(got.toSeq == exp.result(),
       s"got ${got.toSeq}\nexp ${exp.result()}")
   }
+
+  test("matryoshkaTopK: full-dims ≡ brute force; prefix pass is " +
+      "corrected by the rescore; zero prefix excluded") {
+    // dims = full dimension, rescoreK ≥ n: identical to brute force
+    val full = Vec.matryoshkaTopK(vecs, 0L, k = 4, dims = 3,
+      rescoreK = 10).select("vec_id", "cos_sim")
+      .as[(Long, Double)].collect().toSeq
+    val brute = Vec.bruteForceTopK(vecs, 0L, 4)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toSeq
+    assert(full == brute)
+    // truncation fixture: v3's 2-dim prefix aligns perfectly with
+    // the query (prefix cos 1.0) but its full cosine is ~0.53 — the
+    // exact rescore must demote it below v1; v2's prefix is
+    // zero-norm → excluded from the first pass entirely
+    val m = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(0.5f, 0.0f, 0.8f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Vec.matryoshkaTopK(m, 0L, k = 3, dims = 2, rescoreK = 10)
+      .select("vec_id", "approx_score", "cos_sim")
+      .as[(Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 3L)) // v2 never ranked
+    assert(math.abs(got(1)._2 - 1.0) < 1e-12)  // v3 prefix cos = 1
+    assert(got(1)._3 < got(0)._3)              // rescore demotes it
+  }
+
+  test("knnPagerankAssigned matches an exact integer replay of the " +
+      "recurrence, dangling nodes included") {
+    // zero-norm vec 5 is edge-free (knn graph drops NaN cosines) —
+    // it must still carry the damped base score
+    val withDangling = vecs.union(
+      Seq((5L, Array(0.0f, 0.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label"))
+    val assigned = withDangling.withColumn("list_id", col("label"))
+    val edges = Vec.knnGraphAssigned(assigned, 2)
+      .select("vec_id", "nbr_id").as[(Long, Long)].collect()
+    val nodes = withDangling.select("vec_id").as[Long].collect()
+    val deg = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.length.toLong
+    }
+    var pr = nodes.map(_ -> 1048576L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map
+        .empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => contrib(d0) += pr(s0) / deg(s0) }
+      pr = nodes.map(v => v -> (157286L + 17L * contrib(v) / 20L)).toMap
+    }
+    val got = Vec.knnPagerankAssigned(assigned, 2, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == pr, s"got $got\nexp $pr")
+    assert(got(5L) == 157286L) // dangling: base term only
+  }
+
+  // correlated rank-2 data in 4 dims: two latent factors a, b drive
+  // all four coordinates, so PCA must find two dominant directions
+  // and two (near-)zero eigenvalues
+  private def pcaFixture = (0 until 48).map { i =>
+    val a = (i % 7).toDouble; val b = (i % 5).toDouble
+    (i.toLong,
+      Array((a + b).toFloat, (a - b).toFloat,
+        (2 * a + 0.5 * b).toFloat, b.toFloat),
+      0)
+  }.toDF("vec_id", "embedding", "label")
+
+  private def q16(x: Float): Long =
+    math.floor(x.toDouble * 65536).toLong
+
+  test("pcaMomentsQ16 equals the in-memory exact-integer moments") {
+    val raw = pcaFixture.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val d = raw.head._2.length
+    val got = Vec.pcaMomentsQ16(pcaFixture)
+      .select("i", "j", "sxy_q16", "sx_q16", "sy_q16", "n_vecs")
+      .as[(Int, Int, Long, Long, Long, Long)].collect().toSet
+    val sx = Array.fill(d)(0L)
+    val sxy = Array.ofDim[Long](d, d)
+    raw.foreach { case (_, v) =>
+      for (i <- 0 until d) {
+        sx(i) += q16(v(i))
+        for (j <- i until d) sxy(i)(j) += q16(v(i)) * q16(v(j))
+      }
+    }
+    val exp = (for (i <- 0 until d; j <- i until d)
+      yield (i, j, sxy(i)(j), sx(i), sx(j), raw.length.toLong)).toSet
+    assert(got == exp)
+  }
+
+  test("fitPca: orthonormal components, descending eigenvalues, " +
+      "exact covariance reconstruction") {
+    val m = Vec.fitPca(pcaFixture)
+    val d = m.dim
+    assert(d == 4)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (c1 <- 0 until d; c2 <- 0 until d) {
+      val expected = if (c1 == c2) 1.0 else 0.0
+      assert(math.abs(dot(m.components(c1), m.components(c2)) -
+        expected) < 1e-9, s"V'V[$c1][$c2]")
+    }
+    assert(m.eigenvalues.toSeq == m.eigenvalues.sortBy(-_).toSeq)
+    // rank-2 data: exactly two eigenvalues above quantization noise
+    assert(m.eigenvalues.count(_ > 1e-6) == 2)
+    // V diag(l) V' reconstructs the covariance of the q16 view
+    val raw = pcaFixture.select("embedding")
+      .as[Seq[Float]].collect()
+    val n = raw.length
+    val mean = (0 until d).map(i =>
+      raw.map(v => q16(v(i))).sum.toDouble / n / 65536.0)
+    for (i <- 0 until d; j <- 0 until d) {
+      val sxy = raw.map(v => q16(v(i)) * q16(v(j))).sum.toDouble
+      val cov = (sxy / n) / 65536.0 / 65536.0 - mean(i) * mean(j)
+      val rec = (0 until d).map(c =>
+        m.eigenvalues(c) * m.components(c)(i) * m.components(c)(j)).sum
+      assert(math.abs(cov - rec) < 1e-7, s"cov[$i][$j]: $cov vs $rec")
+    }
+  }
+
+  test("fitPca is bitwise partition-invariant") {
+    val m1 = Vec.fitPca(pcaFixture)
+    val m2 = Vec.fitPca(pcaFixture.repartition(7))
+    assert(m1.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+    assert(m1.mean.toSeq == m2.mean.toSeq)
+    assert(m1.components.map(_.toSeq).toSeq ==
+      m2.components.map(_.toSeq).toSeq)
+  }
+
+  test("pcaProject: projected covariance is diag(eigenvalues); " +
+      "whitening yields unit variance on informative components") {
+    val m = Vec.fitPca(pcaFixture)
+    val proj = Vec.pcaProject(pcaFixture, m, k = m.dim)
+      .select("proj").as[Seq[Double]].collect()
+    val n = proj.length
+    for (c1 <- 0 until m.dim; c2 <- 0 until m.dim) {
+      val mu1 = proj.map(_(c1)).sum / n
+      val mu2 = proj.map(_(c2)).sum / n
+      val cov = proj.map(p => (p(c1) - mu1) * (p(c2) - mu2)).sum / n
+      val expected = if (c1 == c2) m.eigenvalues(c1) else 0.0
+      assert(math.abs(cov - expected) < 1e-6,
+        s"projCov[$c1][$c2]: $cov vs $expected")
+    }
+    val white = Vec.pcaProject(pcaFixture, m, k = 2, whiten = true)
+      .select("proj").as[Seq[Double]].collect()
+    for (c <- 0 until 2) {
+      val mu = white.map(_(c)).sum / n
+      val v = white.map(p => (p(c) - mu) * (p(c) - mu)).sum / n
+      assert(math.abs(v - 1.0) < 1e-4, s"whitened var[$c] = $v")
+    }
+  }
 }
