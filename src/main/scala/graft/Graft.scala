@@ -381,6 +381,20 @@ object Graft {
         k: Int = 3,
         iters: Int = 3
     ): DataFrame = ops.Vector.knnPagerank(embs, model, k, iters)
+    /** Duplicate-cluster representatives by graph centrality (frame
+      * must carry `list_id`): components pick the redundant sets,
+      * PageRank picks the exemplar to keep. */
+    def centralityRepresentatives(
+        threshold: Double,
+        k: Int = 3,
+        iters: Int = 3,
+        precomputedPairs: Option[DataFrame] = None
+    ): DataFrame = ops.Vector.centralityRepresentatives(embs,
+      threshold, k, iters, precomputedPairs)
+    /** Recall@k of this ranking (`query_id, vec_id, rank`) against
+      * the exact one — exact-integer ppm per query. */
+    def recallAtK(exact: DataFrame, k: Int): DataFrame =
+      ops.Vector.recallAtK(embs, exact, k)
     // PCA is fit-once, project-many: the fit reduces the corpus to an
     // exact-integer moment skeleton (one scan) + a driver eigensolve
     def pcaMoments: DataFrame = ops.Vector.pcaMomentsQ16(embs)

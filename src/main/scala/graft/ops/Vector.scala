@@ -1434,6 +1434,80 @@ object Vector {
     pr
   }
 
+  /** Centrality-ranked duplicate-cluster representative selection:
+    * SemDeDup connected components ([[semanticDedupAssigned]]) pick
+    * WHICH vectors are redundant; PageRank over the within-list kNN
+    * graph ([[knnPagerankAssigned]]) picks which copy to KEEP — the
+    * member most central to the corpus neighborhood, instead of the
+    * arbitrary min-id. The min-id rule keeps whatever ingestion
+    * order happened to put first; the centrality rule keeps the copy
+    * other documents are most similar to — the cluster's natural
+    * exemplar (the same upgrade `Text.dupClusterSurvivors` makes
+    * with the quality score, here in embedding space).
+    *
+    * Both inputs are session-shared materializations; the selection
+    * itself is one max-struct argmax per cluster (ties → lowest
+    * vec_id, encoded as max over (pr, -vec_id)) — the
+    * dupClusterSurvivors shape, exact and deterministic end to end
+    * because pr_q20 is an exact integer.
+    *
+    * Returns `(cluster, rep_id, rep_pr_q20, n_members)`.
+    */
+  def centralityRepresentatives(
+      assigned: DataFrame,
+      threshold: Double,
+      k: Int = 3,
+      iters: Int = 3,
+      precomputedPairs: Option[DataFrame] = None
+  ): DataFrame = {
+    val clusters = semanticDedupAssigned(assigned, threshold,
+      precomputedPairs)
+    val pr = knnPagerankAssigned(assigned, k, iters)
+    clusters
+      .join(pr, "vec_id")
+      .groupBy(col("cluster"))
+      .agg(
+        max(struct(col("pr_q20"), (-col("vec_id")).as("neg_id")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"),
+        (-col("best.neg_id")).as("rep_id"),
+        col("best.pr_q20").as("rep_pr_q20"),
+        col("n_members"))
+  }
+
+  /** Recall@k of an approximate ranking against the exact one — the
+    * evaluation operator every ANN serving stack needs next to its
+    * index (FAISS reports it; so should a Spark curation pipeline).
+    * Inputs are two rankings `(query_id, vec_id, rank)`; for each
+    * query, recall = |approx top-k ∩ exact top-k| / |exact top-k|
+    * (the denominator follows the exact side, so queries with fewer
+    * than k true neighbors — boundary lists, zero-norm exclusions —
+    * are scored against what exists; queries absent from the exact
+    * side emit no row). Reported as exact-integer ppm
+    * (`hits·10⁶ div n_exact`) so the whole evaluation hash-compares.
+    *
+    * Shape at scale: one join on (query_id, vec_id) + two
+    * map-side-combined counts — evaluation always runs on a sampled
+    * query set, so every side is query-set-sized, never corpus².
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = a.join(e, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_exact"),
+        expr("(coalesce(n_hits, 0L) * 1000000L) div n_exact")
+          .as("recall_ppm"))
+  }
+
   /** KMeans-quantizer form (fit offline with [[fitIvf]]). */
   def knnPagerank(
       embeddings: DataFrame,
@@ -1481,7 +1555,10 @@ object Vector {
       transform(col("embedding"),
         x => floor(x.cast("double") * 65536).cast("long")).as("xq"))
     val d = size(col("xq"))
-    val byI = xq
+    // persisted: the d-row aggregate feeds BOTH the pair explode and
+    // the broadcast first-moment side — without it Spark recomputes
+    // the shared subtree and the corpus is scanned twice
+    val byI = graft.Caches.track("vec", xq
       .select(posexplode(col("xq")).as(Seq("i", "xi")), col("xq"))
       .select(col("i"), col("xi"),
         // 1-based slice from i+1 keeps j >= i (0-based), self first
@@ -1490,7 +1567,7 @@ object Vector {
       .groupBy(col("i"))
       .agg(arrSum(col("prods")).as("sxy"),
         sum(col("xi")).as("sx_q16"),
-        count(lit(1)).as("n_vecs"))
+        count(lit(1)).as("n_vecs")))
     val m = byI.select(col("i").as("j"), col("sx_q16").as("sy_q16"))
     byI
       .select(col("i"), col("sx_q16"), col("n_vecs"),

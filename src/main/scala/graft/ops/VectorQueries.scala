@@ -274,6 +274,35 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         k = 3, iters = 3)
         .orderBy(col("vec_id"))),
+    // centrality-ranked duplicate-cluster representatives: SemDeDup
+    // components say WHICH vectors are redundant, PageRank says which
+    // copy to KEEP (the corpus-central exemplar, not the min id) —
+    // both inputs oracle-green fragments, the argmax exact on q20
+    // integers, so the composition hash-compares end to end
+    "q_vec_cluster_reps" -> ((s, d) =>
+      Vector.centralityRepresentatives(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        threshold = 0.4, k = 3, iters = 3,
+        precomputedPairs = Some(semPairs(s, d)))
+        .orderBy(col("cluster"))),
+    // recall@3 of the within-list kNN graph against the exact global
+    // ranking, on a 5% deterministic query sample — the quantizer-
+    // loss measurement the SemDeDup comparison discipline should
+    // ship with; exact-integer ppm, oracle-checked end to end
+    "q_vec_knn_recall" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Vector.recallAtK(
+        Vector.knnGraphAssigned(
+          embs.withColumn("list_id", col("label")), k = 3)
+          .filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("nbr_id").as("vec_id"), col("rank")),
+        Vector.batchTopK(embs,
+          embs.filter(col("vec_id") % 20 === 0), k = 3)
+          .select(col("query_id"), col("vec_id"), col("rank")),
+        k = 3)
+        .orderBy(col("query_id"))
+    }),
     // PCA moment skeleton: Σ xq_i·xq_j over the q16-quantized corpus
     // (exact longs, order-free) — the distributed half of the PCA
     // fit, hash-compared end to end; the d×d eigensolve consumes
@@ -576,6 +605,153 @@ object VectorQueries {
         |       FROM p2 LEFT JOIN c3 ON p2.vec_id = c3.vec_id)
         |SELECT vec_id, pr AS pr_q20 FROM p3
         |ORDER BY vec_id""".stripMargin,
+    // cluster representatives: ONE pairwise CTE (a.i-ordered unit
+    // sums, vec_id <>) feeds both the component edge set (< filter,
+    // >= 0.4) and the kNN ranking (rk <= 3) → reach components +
+    // the unrolled q20 PageRank → per-cluster argmax (pr DESC,
+    // vec_id) — every fragment is the proven twin of its Spark
+    // counterpart
+    "q_vec_cluster_reps" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |pr_ AS (SELECT vec_id AS vec_a, nbr_id AS vec_b FROM p
+        |        WHERE vec_id < nbr_id AND cos_sim >= 0.4),
+        |ce AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pr_
+        |  UNION ALL
+        |  SELECT vec_b, vec_a FROM pr_),
+        |reach(vec_id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT reach.vec_id, ce.dst
+        |  FROM reach JOIN ce ON reach.r = ce.src),
+        |comp AS (SELECT vec_id, MIN(r) AS cluster
+        |         FROM reach GROUP BY vec_id),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |e AS (SELECT vec_id AS src, nbr_id AS dst FROM r
+        |      WHERE rk <= 3),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM e
+        |       JOIN deg d ON e.src = d.src),
+        |p0 AS (SELECT vec_id, CAST(1048576 AS BIGINT) AS pr
+        |       FROM embeddings),
+        |c1 AS (SELECT ed.dst AS vec_id,
+        |         CAST(SUM(p.pr // ed.deg) AS BIGINT) AS s
+        |       FROM ed JOIN p0 p ON ed.src = p.vec_id
+        |       GROUP BY ed.dst),
+        |p1 AS (SELECT p0.vec_id,
+        |         CAST(157286 + (17 * COALESCE(c1.s, 0)) // 20
+        |           AS BIGINT) AS pr
+        |       FROM p0 LEFT JOIN c1 ON p0.vec_id = c1.vec_id),
+        |c2 AS (SELECT ed.dst AS vec_id,
+        |         CAST(SUM(p.pr // ed.deg) AS BIGINT) AS s
+        |       FROM ed JOIN p1 p ON ed.src = p.vec_id
+        |       GROUP BY ed.dst),
+        |p2 AS (SELECT p1.vec_id,
+        |         CAST(157286 + (17 * COALESCE(c2.s, 0)) // 20
+        |           AS BIGINT) AS pr
+        |       FROM p1 LEFT JOIN c2 ON p1.vec_id = c2.vec_id),
+        |c3 AS (SELECT ed.dst AS vec_id,
+        |         CAST(SUM(p.pr // ed.deg) AS BIGINT) AS s
+        |       FROM ed JOIN p2 p ON ed.src = p.vec_id
+        |       GROUP BY ed.dst),
+        |p3 AS (SELECT p2.vec_id,
+        |         CAST(157286 + (17 * COALESCE(c3.s, 0)) // 20
+        |           AS BIGINT) AS pr
+        |       FROM p2 LEFT JOIN c3 ON p2.vec_id = c3.vec_id),
+        |sel AS (
+        |  SELECT comp.cluster, p3.vec_id, p3.pr,
+        |    ROW_NUMBER() OVER (PARTITION BY comp.cluster
+        |      ORDER BY p3.pr DESC, p3.vec_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY comp.cluster) AS n_members
+        |  FROM comp JOIN p3 ON comp.vec_id = p3.vec_id)
+        |SELECT cluster, vec_id AS rep_id, pr AS rep_pr_q20, n_members
+        |FROM sel WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    // recall@3: approx side = the q_vec_knn_graph fragment restricted
+    // to the query sample, exact side = the q_vec_batch_topk raw-dot
+    // fragment; intersection counts and the ppm quotient are exact
+    // integers
+    "q_vec_knn_recall" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |pa AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id AND a.vec_id % 20 = 0
+        |  GROUP BY 1, 2),
+        |ra AS (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rk
+        |  FROM pa WHERE NOT isnan(cos_sim)),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |      FROM embeddings WHERE vec_id % 20 = 0),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |dots AS (
+        |  SELECT query_id, vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i) AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+        |  FROM pairs GROUP BY query_id, vec_id),
+        |re AS (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (na * nb) DESC, vec_id) AS rk
+        |  FROM dots),
+        |ex AS (SELECT query_id, vec_id FROM re WHERE rk <= 3),
+        |ap AS (SELECT query_id, vec_id FROM ra WHERE rk <= 3),
+        |h AS (SELECT ap.query_id, COUNT(*) AS n_hits
+        |      FROM ap JOIN ex USING (query_id, vec_id) GROUP BY 1),
+        |ne AS (SELECT query_id, COUNT(*) AS n_exact
+        |       FROM ex GROUP BY 1)
+        |SELECT ne.query_id,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  ne.n_exact,
+        |  CAST((COALESCE(h.n_hits, 0) * 1000000) // ne.n_exact
+        |    AS BIGINT) AS recall_ppm
+        |FROM ne LEFT JOIN h ON ne.query_id = h.query_id
+        |ORDER BY ne.query_id""".stripMargin,
     // PCA moment skeleton: q16 quantization (FLOOR(x·2^16) longs),
     // upper-triangle product sums + first moments — all exact
     // integer arithmetic on both engines

@@ -206,6 +206,8 @@ class GraftApiSpec extends SparkSpec {
       "knnPagerankAssigned" -> "knnPagerankAssigned",
       "knnPagerank" -> "knnPagerank",
       "pcaMomentsQ16" -> "pcaMoments",
+      "centralityRepresentatives" -> "centralityRepresentatives",
+      "recallAtK" -> "recallAtK",
       "pcaProject" -> "pcaProjected",
       "withZValue" -> "withZValue",
       "clusterByZOrder" -> "clusteredByZOrder",

@@ -644,6 +644,53 @@ class VectorSpec extends SparkSpec {
     assert(got(5L) == 157286L) // dangling: base term only
   }
 
+  test("centralityRepresentatives keeps the graph-central exemplar, " +
+      "not the min id") {
+    // hub (vec_id 9, deliberately NOT the min id) is every other
+    // member's nearest neighbor under k=1, so it collects all the
+    // in-edge mass and must be the representative; the min-id rule
+    // would have kept vec 1
+    val hub = Seq(
+      (1L, Array(0.995f, 0.1f, 0.0f), 0),
+      (2L, Array(0.995f, -0.1f, 0.0f), 0),
+      (3L, Array(0.995f, 0.0f, 0.1f), 0),
+      (9L, Array(1.0f, 0.0f, 0.0f), 0),
+      // second list: a singleton cluster is its own representative
+      (4L, Array(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("list_id", col("label"))
+    val reps = Vec.centralityRepresentatives(hub, threshold = 0.9,
+      k = 1, iters = 3)
+      .select("cluster", "rep_id", "n_members")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(reps(1L) == ((9L, 4L)), s"got $reps")
+    assert(reps(4L) == ((4L, 1L)))
+  }
+
+  test("recallAtK: intersection counts, exact-side denominator, " +
+      "missing queries score zero") {
+    val approx = Seq(
+      (10L, 1L, 1), (10L, 2L, 2), (10L, 3L, 3), // 2 of 3 right
+      (20L, 7L, 1), (20L, 8L, 2), (20L, 9L, 3), // 0 of 2 right
+      (30L, 5L, 1) // short approx list, 1 of 1 right
+    ).toDF("query_id", "vec_id", "rank")
+    val exact = Seq(
+      (10L, 1L, 1), (10L, 2L, 2), (10L, 4L, 3),
+      (20L, 1L, 1), (20L, 2L, 2), // only 2 true neighbors
+      (30L, 5L, 1),
+      (40L, 6L, 1) // query absent from approx → zero hits
+    ).toDF("query_id", "vec_id", "rank")
+    val got = Vec.recallAtK(approx, exact, 3)
+      .select("query_id", "n_hits", "n_exact", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((2L, 3L, 666666L)))
+    assert(got(20L) == ((0L, 2L, 0L)))
+    assert(got(30L) == ((1L, 1L, 1000000L)))
+    assert(got(40L) == ((0L, 1L, 0L)))
+  }
+
   // correlated rank-2 data in 4 dims: two latent factors a, b drive
   // all four coordinates, so PCA must find two dominant directions
   // and two (near-)zero eigenvalues

@@ -28,13 +28,19 @@ def norm(v):
 
 
 def main(out_dir, sf_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        # fresh connection per query with bounded threads: one
+        # long-lived 32-thread connection develops allocator
+        # fragmentation after ~100 heavy queries on this box and
+        # starts failing tiny allocations ("bad allocation") on
+        # queries that pass in isolation
+        con = duckdb.connect()
+        con.execute("SET threads=8")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
@@ -43,6 +49,8 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: exec error: {e}")
             n_bad += 1
             continue
+        finally:
+            con.close()
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
