@@ -80,6 +80,8 @@ object Graft {
     def redactPii: DataFrame = ops.Text.piiRedact(docs)
     def repetitionSignals: DataFrame = ops.Text.repetitionStats(docs)
     def qualityScored: DataFrame = ops.Text.qualityScore(docs)
+    /** Token-distribution Shannon entropy (exact q20 integers). */
+    def tokenEntropy: DataFrame = ops.Text.tokenEntropy(docs)
     /** Percentile/decile calibration of the quality score. */
     def qualityPercentiled: DataFrame =
       ops.Text.qualityPercentiles(docs)
@@ -516,5 +518,9 @@ object Graft {
         topN: Int = 20,
         nParts: Int = 200
     ): DataFrame = ops.Layout.keySkewProfile(df, keyCol, topN, nParts)
+    /** First-fit compaction bins over a (part_key, file_id, bytes)
+      * file-statistics frame. */
+    def compactionPlan(targetBytes: Long): DataFrame =
+      ops.Layout.compactionPlan(df, targetBytes)
   }
 }

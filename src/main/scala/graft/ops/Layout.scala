@@ -180,6 +180,59 @@ object Layout {
     * combine), a 1-row total broadcast onto it, TakeOrdered for the
     * top-N — no global sort, no single-partition window.
     */
+  /** Small-file compaction planning — the OPTIMIZE/bin-packing
+    * rewrite as a plain query over file statistics (the
+    * `(part_key, file_id, bytes)` frame a catalog LIST/DESCRIBE
+    * DETAIL provides): within each table partition, walk files in
+    * id order and cut a new target bin whenever the next file would
+    * overflow `targetBytes` — files are never split (a compactor
+    * rewrites whole files), an oversize file occupies a bin alone,
+    * and id order is preserved so a sort-ordered (e.g. Z-ordered)
+    * partition stays ordered after compaction. The data-dependent
+    * fill reset is the same recurrence as
+    * [[Text.packChunksFirstFit]] and uses the same machinery: hash-
+    * partition by `part_key`, sort within, one per-partition counter
+    * walk — deterministic under any partition count, pure integer
+    * math, exact linear-recursive-CTE oracle.
+    *
+    * Returns the input annotated with `(bin_id, bin_off)`; the
+    * compactor then rewrites each (part_key, bin_id) group as one
+    * file. Planning cost is one shuffle of the FILE LIST (≈ row per
+    * file — millions of rows for a 100 TB table, not the data).
+    */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1,
+      s"targetBytes must be positive, got $targetBytes")
+    val prepared = files
+      .select(col("part_key").cast("string").as("part_key"),
+        col("file_id").cast("long").as("file_id"),
+        col("bytes").cast("long").as("bytes"))
+      .repartition(col("part_key"))
+      .sortWithinPartitions(col("part_key"), col("file_id"))
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("part_key", "string", nullable = true)
+      .add("file_id", "long", nullable = false)
+      .add("bytes", "long", nullable = false)
+      .add("bin_id", "long", nullable = false)
+      .add("bin_off", "long", nullable = false)
+    prepared.mapPartitions { it =>
+      var cur: String = null
+      var started = false
+      var bin = 0L
+      var fill = 0L
+      it.map { r =>
+        val (pk, fid, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+        if (!started || pk != cur) {
+          started = true; cur = pk; bin = 0L; fill = 0L
+        }
+        if (fill > 0 && fill + n > targetBytes) { bin += 1; fill = 0L }
+        val off = fill
+        fill += n
+        org.apache.spark.sql.Row(pk, fid, n, bin, off)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   def keySkewProfile(
       df: DataFrame,
       keyCol: String,

@@ -37,7 +37,20 @@ object LayoutQueries {
     // that would level each key across 32 shuffle partitions
     "q_layout_skew" -> ((s, d) =>
       Layout.keySkewProfile(Tables.lineitem(s, d), "l_partkey",
-        topN = 20, nParts = 32))
+        topN = 20, nParts = 32)),
+    // small-file compaction plan over a file-statistics frame
+    // (documents stands in: part_key = lang, file_id = doc_id,
+    // bytes = n_chars — the operator's contract is any catalog
+    // LIST output); first-fit walk in id order per partition,
+    // 2000-byte target bins, exact linear-recursive-CTE twin
+    "q_layout_compaction" -> ((s, d) =>
+      Layout.compactionPlan(
+        Tables.documents(s, d).select(
+          col("lang").as("part_key"),
+          col("doc_id").as("file_id"),
+          col("n_chars").as("bytes")),
+        targetBytes = 2000L)
+        .orderBy(col("part_key"), col("file_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -98,6 +111,34 @@ object LayoutQueries {
         |  CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_factor
         |FROM byk, tot
         |ORDER BY cnt DESC, key
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    // the q_text_pack_firstfit recurrence over file stats: per
+    // part_key in file_id order, cut a bin when the next file would
+    // overflow 2000 bytes; files never split, oversize files alone
+    "q_layout_compaction" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT lang AS part_key, doc_id AS file_id,
+        |    CAST(n_chars AS BIGINT) AS bytes
+        |  FROM documents),
+        |o AS (
+        |  SELECT *, row_number() OVER (PARTITION BY part_key
+        |    ORDER BY file_id) AS rn
+        |  FROM f),
+        |s AS (
+        |  SELECT part_key, rn, file_id, bytes,
+        |    CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_off,
+        |    bytes AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.part_key, o.rn, o.file_id, o.bytes,
+        |    CASE WHEN s.fill > 0 AND s.fill + o.bytes > 2000
+        |         THEN s.bin_id + 1 ELSE s.bin_id END,
+        |    CASE WHEN s.fill > 0 AND s.fill + o.bytes > 2000
+        |         THEN CAST(0 AS BIGINT) ELSE s.fill END,
+        |    CASE WHEN s.fill > 0 AND s.fill + o.bytes > 2000
+        |         THEN o.bytes ELSE s.fill + o.bytes END
+        |  FROM s JOIN o ON o.part_key = s.part_key AND o.rn = s.rn + 1)
+        |SELECT part_key, file_id, bytes, bin_id, bin_off
+        |FROM s ORDER BY part_key, file_id""".stripMargin
   )
 }

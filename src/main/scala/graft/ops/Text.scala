@@ -2278,6 +2278,40 @@ object Text {
       .drop("__total")
   }
 
+  /** Token-distribution Shannon entropy per document — the diversity
+    * quality signal next to [[repetitionStats]]' top-token share: a
+    * keyword-stuffed or template page concentrates its mass on few
+    * tokens (low entropy), natural prose spreads it. Computed in the
+    * exact-integer q20 convention of [[unigramScore]]/bm25:
+    *
+    *   H = ln n − (1/n)·Σ_t c_t·ln c_t
+    *   entropy_q20 = ⌊ln(n)·2^20⌋ − (Σ_t c_t·⌊ln(c_t)·2^20⌋) div n
+    *
+    * — every column an exact integer (long sums commute; ln is
+    * floored per distinct count before the sum), so the whole output
+    * hash-compares. Bounds are exact in this arithmetic: a
+    * uniform-token doc scores exactly 0, an all-distinct doc exactly
+    * ⌊ln(n)·2^20⌋. Shape: one (doc, token) count with map-side
+    * combine, one per-doc agg — two narrow shuffles, nothing
+    * corpus-wide.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") *
+          floor(log(col("c").cast("double")) * (1L << 20)).cast("long"))
+          .as("sum_c_lnc_q20"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("sum_c_lnc_q20"),
+        (floor(log(col("n_tokens").cast("double")) * (1L << 20))
+          .cast("long") -
+          expr("sum_c_lnc_q20 div n_tokens")).as("entropy_q20"))
+
   /** Bigram conditional-LM document scoring — the next-order
     * companion of [[unigramScore]] (CCNet scores with a real LM; a
     * corpus bigram model is the strongest scorer derivable from the

@@ -256,6 +256,12 @@ object TextQueries {
             .otherwise(col("text")).as("text")),
         minDf = 50L)
         .orderBy(col("doc_id"))),
+    // token-distribution entropy (diversity quality signal) in the
+    // exact q20 integer convention — ln floored per distinct count,
+    // integer sums, integer div: the whole output hash-compares
+    "q_text_entropy" -> ((s, d) =>
+      Text.tokenEntropy(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "q_text_chunks" -> ((s, d) =>
       Text.chunkDocs(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
@@ -806,6 +812,25 @@ object TextQueries {
         |  CAST(b.n_blocks - COALESCE(k.n_kept, 0) AS INT) AS n_dropped
         |FROM base b LEFT JOIN k ON b.doc_id = k.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q_text_entropy" ->
+      """WITH occ AS (
+        |  SELECT doc_id,
+        |    UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, token, COUNT(*) AS c
+        |  FROM occ GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_distinct,
+        |    CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1048576)
+        |      AS BIGINT)) AS BIGINT) AS sum_c_lnc_q20
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct, sum_c_lnc_q20,
+        |  CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT)
+        |    - sum_c_lnc_q20 // n_tokens AS entropy_q20
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_text_boilerplate" ->
       """WITH pd AS (
         |  SELECT doc_id,

@@ -202,6 +202,7 @@ class GraftApiSpec extends SparkSpec {
       "bm25TopK" -> "bm25TopK",
       "bm25TopKQ20" -> "bm25TopKQ20",
       "removeBoilerplate" -> "boilerplateRemoved",
+      "tokenEntropy" -> "tokenEntropy",
       "matryoshkaTopK" -> "matryoshkaTopK",
       "knnPagerankAssigned" -> "knnPagerankAssigned",
       "knnPagerank" -> "knnPagerank",
@@ -212,7 +213,8 @@ class GraftApiSpec extends SparkSpec {
       "withZValue" -> "withZValue",
       "clusterByZOrder" -> "clusteredByZOrder",
       "rangeBoundaries" -> "rangeBoundaries",
-      "keySkewProfile" -> "keySkewProfile")
+      "keySkewProfile" -> "keySkewProfile",
+      "compactionPlan" -> "compactionPlan")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector) ++

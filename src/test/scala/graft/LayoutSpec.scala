@@ -138,4 +138,35 @@ class LayoutSpec extends SparkSpec {
       }.collect()
     assert(sortedWithin.forall(identity))
   }
+
+  test("compactionPlan: no-straddle bins per partition, oversize " +
+      "file alone, deterministic under repartitioning") {
+    import spark.implicits._
+    val files = Seq(
+      ("a", 1L, 800L), ("a", 2L, 900L),   // bin 0: 1700
+      ("a", 3L, 400L),                    // would overflow → bin 1
+      ("a", 4L, 5000L),                   // oversize → bin 2, alone
+      ("a", 5L, 100L),                    // bin 3 (4 left bin 2 full)
+      ("b", 6L, 1999L), ("b", 7L, 1L)     // exactly fills bin 0
+    ).toDF("part_key", "file_id", "bytes")
+    val expect = Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 800L)),
+      3L -> ((1L, 0L)), 4L -> ((2L, 0L)), 5L -> ((3L, 0L)),
+      6L -> ((0L, 0L)), 7L -> ((0L, 1999L)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Layout.compactionPlan(df, 2000L)
+        .select("file_id", "bin_id", "bin_off")
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(run(files) == expect)
+    assert(run(files.repartition(7)) == expect)
+    // every bin respects the target unless it holds one oversize file
+    val bins = Layout.compactionPlan(files, 2000L)
+      .groupBy("part_key", "bin_id")
+      .agg(sum("bytes").as("tot"), count(lit(1)).as("n"))
+      .collect()
+    bins.foreach { r =>
+      assert(r.getAs[Long]("tot") <= 2000L || r.getAs[Long]("n") == 1L)
+    }
+  }
 }

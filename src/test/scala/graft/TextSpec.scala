@@ -629,6 +629,27 @@ class TextSpec extends SparkSpec {
     assert(m(6L) == (("m m m", 2, 1)))
   }
 
+  test("tokenEntropy: exact q20 bounds and an in-memory replay") {
+    val d = Seq(
+      (1L, "a a a a"),          // uniform → exactly 0
+      (2L, "a b c d"),          // all distinct → exactly ⌊ln 4·2^20⌋
+      (3L, "a a b"),            // mixed → replay the integer formula
+      (4L, "solo")              // single token: ln 1 = 0 both ways
+    ).toDF("doc_id", "text")
+    val m = Text.tokenEntropy(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("entropy_q20"))))
+      .toMap
+    def lnq(x: Long): Long =
+      math.floor(math.log(x.toDouble) * (1L << 20)).toLong
+    assert(m(1L) == ((4L, 1L, 0L)))
+    assert(m(2L) == ((4L, 4L, lnq(4))))
+    // doc 3: n=3, counts {a:2, b:1} → ⌊ln3·q⌋ − (2·⌊ln2·q⌋) div 3
+    assert(m(3L) == ((3L, 2L, lnq(3) - (2 * lnq(2)) / 3)))
+    assert(m(4L) == ((1L, 1L, 0L)))
+  }
+
   test("removeBoilerplate drops frequent lines (normalized), keeps " +
       "rare ones, counts docs not occurrences") {
     val d = Seq(
