@@ -82,6 +82,10 @@ object Graft {
     def qualityScored: DataFrame = ops.Text.qualityScore(docs)
     /** Token-distribution Shannon entropy (exact q20 integers). */
     def tokenEntropy: DataFrame = ops.Text.tokenEntropy(docs)
+    /** Snapshot diff against a newer corpus version (by content
+      * hash): added / removed / changed / unchanged per doc_id. */
+    def corpusDiffTo(newDocs: DataFrame): DataFrame =
+      ops.Text.corpusDiff(docs, newDocs)
     /** Percentile/decile calibration of the quality score. */
     def qualityPercentiled: DataFrame =
       ops.Text.qualityPercentiles(docs)
@@ -397,6 +401,10 @@ object Graft {
       * the exact one — exact-integer ppm per query. */
     def recallAtK(exact: DataFrame, k: Int): DataFrame =
       ops.Vector.recallAtK(embs, exact, k)
+    /** Reciprocal-rank fusion of this `(id, rank)` frame with other
+      * rankings (exact q20 integers). */
+    def rrfFusedWith(others: Seq[DataFrame], k: Int, k0: Int = 60)
+        : DataFrame = ops.Vector.rrfFuse(embs +: others, k, k0)
     // PCA is fit-once, project-many: the fit reduces the corpus to an
     // exact-integer moment skeleton (one scan) + a driver eigensolve
     def pcaMoments: DataFrame = ops.Vector.pcaMomentsQ16(embs)

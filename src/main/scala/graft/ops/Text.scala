@@ -2278,6 +2278,27 @@ object Text {
       .drop("__total")
   }
 
+  /** Corpus snapshot diff — the audit step between two versions of a
+    * document table (curation is iterative; before re-running a
+    * 100 TB pipeline you want to know WHAT changed): per doc_id,
+    * `added` / `removed` / `changed` / `unchanged` by content hash,
+    * with both hashes kept for downstream attribution. One hash
+    * projection per side + one full-outer join on the id — the diff
+    * of two 100 TB snapshots moves two 16-byte-per-doc tables, never
+    * the text.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    oldDocs.select(col("doc_id"), md5(col("text")).as("old_hash"))
+      .join(
+        newDocs.select(col("doc_id"), md5(col("text")).as("new_hash")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_hash"), col("new_hash"))
+
   /** Token-distribution Shannon entropy per document — the diversity
     * quality signal next to [[repetitionStats]]' top-token share: a
     * keyword-stuffed or template page concentrates its mass on few

@@ -256,6 +256,20 @@ object TextQueries {
             .otherwise(col("text")).as("text")),
         minDf = 50L)
         .orderBy(col("doc_id"))),
+    // corpus snapshot diff: old = corpus minus the (doc_id % 11 == 3)
+    // slice, new = corpus minus the (% 13 == 5) slice with (% 17 == 2)
+    // texts edited — exercises all four statuses deterministically
+    "q_text_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.corpusDiff(
+        docs.filter(col("doc_id") % 11 =!= 3),
+        docs.filter(col("doc_id") % 13 =!= 5)
+          .select(col("doc_id"),
+            when(col("doc_id") % 17 === 2,
+              concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text")))
+        .orderBy(col("doc_id"))
+    }),
     // token-distribution entropy (diversity quality signal) in the
     // exact q20 integer convention — ln floored per distinct count,
     // integer sums, integer div: the whole output hash-compares
@@ -812,6 +826,23 @@ object TextQueries {
         |  CAST(b.n_blocks - COALESCE(k.n_kept, 0) AS INT) AS n_dropped
         |FROM base b LEFT JOIN k ON b.doc_id = k.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q_text_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS old_hash FROM documents
+        |  WHERE doc_id % 11 <> 3),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 2 THEN text || ' v2'
+        |             ELSE text END) AS new_hash
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.old_hash IS NULL THEN 'added'
+        |       WHEN n.new_hash IS NULL THEN 'removed'
+        |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_hash, n.new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_text_entropy" ->
       """WITH occ AS (
         |  SELECT doc_id,

@@ -1519,6 +1519,41 @@ object Vector {
           .as("recall_ppm"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the
+    * standard way to merge rankings from heterogeneous retrievers
+    * (BM25 lexical + embedding cosine is the canonical hybrid pair;
+    * scores are incomparable across systems, ranks are not):
+    *
+    *   rrf_score_q20(id) = Σ_systems ⌊2^20 / (k0 + rank_sys(id))⌋
+    *
+    * floored per system to an exact integer, so the fused ordering is
+    * engine- and partitioning-independent (same q20 discipline as
+    * the BM25 twin; the classic 1/(60+r) values are well within the
+    * 2^-20 grid). Inputs are `(id, rank)` frames — each system's
+    * top-N, so every side is query-result-sized; the fuse is one
+    * union + one map-side-combined agg + TakeOrdered. `n_systems`
+    * reports coverage (an id ranked by both systems is stronger
+    * evidence than a high rank in one).
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int,
+      k0: Int = 60
+  ): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: at least one ranking")
+    require(k >= 1, s"k must be positive, got $k")
+    require(k0 >= 0, s"k0 must be non-negative, got $k0")
+    rankings
+      .map(_.select(col("id"),
+        expr(s"1048576L div (${k0}L + rank)").as("s")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("id"))
+      .agg(sum(col("s")).as("rrf_score_q20"),
+        count(lit(1)).as("n_systems"))
+      .orderBy(col("rrf_score_q20").desc, col("id"))
+      .limit(k)
+  }
+
   /** KMeans-quantizer form (fit offline with [[fitIvf]]). */
   def knnPagerank(
       embeddings: DataFrame,

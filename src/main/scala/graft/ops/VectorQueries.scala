@@ -250,6 +250,28 @@ object VectorQueries {
       Vector.ivfPqTopK(Tables.embeddings(s, d), ivfPqModel(s, d), 0L,
         10, nProbe = 8, rescoreK = 100,
         precomputedIndex = Some(ivfPqIndexDf(s, d)))),
+    // hybrid rank fusion: BM25 lexical top-100 + cosine top-100
+    // merged by reciprocal-rank fusion in exact q20 integers —
+    // the canonical two-retriever hybrid, oracle-checked end to end
+    // (both input rankings are proven twins; the global rank windows
+    // run over 100-row result sets, not the corpus)
+    "q_vec_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = Text.bm25TopKQ20(Tables.documents(s, d),
+        Seq("spark", "window", "scan"), k = 100)
+        .select(col("doc_id").as("id"),
+          row_number().over(
+            Window.orderBy(col("score_q20").desc, col("doc_id")))
+            .as("rank"))
+      val sem = Vector.bruteForceTopK(Tables.embeddings(s, d),
+        0L, 100)
+        .select(col("vec_id").as("id"),
+          row_number().over(
+            Window.orderBy(col("cos_sim").desc, col("vec_id")))
+            .as("rank"))
+      Vector.rrfFuse(Seq(lex, sem), k = 20)
+        .orderBy(col("rrf_score_q20").desc, col("id"))
+    }),
     // Matryoshka truncated retrieval: prefix-cosine first pass
     // (16 of 64 dims) → exact-cosine rescore of the top-50 — the
     // MRL serving mode; no fitted artifact, so unlike PQ/IVF the
@@ -999,6 +1021,79 @@ object VectorQueries {
         |SELECT vec_id, label, approx_score, dot / (na * nb) AS cos_sim
         |FROM dots WHERE na > 0 AND nb > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // RRF: the q_text_bm25_topk fragment ranked + the
+    // q_vec_cosine_topk fragment ranked → per-system ⌊2^20/(60+r)⌋
+    // → integer sum, top-20
+    "q_vec_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+')
+        |         END AS tk
+        |  FROM documents),
+        |totals AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(len(tk)) AS total_len
+        |  FROM toks),
+        |post AS (
+        |  SELECT doc_id, CAST(len(tk) AS INT) AS dl, token,
+        |         COUNT(*) AS tf
+        |  FROM (SELECT doc_id, tk, UNNEST(tk) AS token FROM toks)
+        |  WHERE token IN ('spark', 'window', 'scan')
+        |  GROUP BY 1, 2, 3),
+        |dfs AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(FLOOR(ln(1e0 + (t.n_docs - d.df + 0.5e0) /
+        |        (d.df + 0.5e0)) *
+        |      (p.tf * 2.2e0) /
+        |      (p.tf + 1.2e0 * (0.25e0 + 0.75e0 *
+        |        (CAST(p.dl AS DOUBLE) * t.n_docs / t.total_len))) *
+        |      1048576e0) AS BIGINT) AS ts_q20
+        |  FROM post p JOIN dfs d ON p.token = d.token, totals t),
+        |lexTop AS (
+        |  SELECT doc_id, CAST(SUM(ts_q20) AS BIGINT) AS score_q20
+        |  FROM scored GROUP BY doc_id
+        |  ORDER BY score_q20 DESC, doc_id LIMIT 100),
+        |lex AS (
+        |  SELECT doc_id AS id,
+        |    ROW_NUMBER() OVER (ORDER BY score_q20 DESC, doc_id)
+        |      AS rank
+        |  FROM lexTop),
+        |q AS (SELECT embedding AS q_emb FROM embeddings
+        |      WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id,
+        |         CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |         UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |dots AS (
+        |  SELECT vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)
+        |      AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS norm_a,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |             ORDER BY i)) AS norm_b
+        |  FROM pairs GROUP BY vec_id),
+        |semTop AS (
+        |  SELECT vec_id, dot / (norm_a * norm_b) AS cos_sim
+        |  FROM dots WHERE norm_a > 0 AND norm_b > 0
+        |  ORDER BY cos_sim DESC, vec_id LIMIT 100),
+        |sem AS (
+        |  SELECT vec_id AS id,
+        |    ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM semTop),
+        |uni AS (
+        |  SELECT id, CAST(1048576 // (60 + rank) AS BIGINT) AS s
+        |  FROM lex
+        |  UNION ALL
+        |  SELECT id, CAST(1048576 // (60 + rank) AS BIGINT) AS s
+        |  FROM sem)
+        |SELECT id, CAST(SUM(s) AS BIGINT) AS rrf_score_q20,
+        |  COUNT(*) AS n_systems
+        |FROM uni GROUP BY id
+        |ORDER BY rrf_score_q20 DESC, id LIMIT 20""".stripMargin,
     // prefix cosine (i <= 16, ordered SUM — bitwise the same fold as
     // Spark's slice + decDot) → top-50 by (approx DESC, vec_id) →
     // exact-cosine rescore → top-10 (the q_vec_quantized_topk tail)

@@ -203,6 +203,8 @@ class GraftApiSpec extends SparkSpec {
       "bm25TopKQ20" -> "bm25TopKQ20",
       "removeBoilerplate" -> "boilerplateRemoved",
       "tokenEntropy" -> "tokenEntropy",
+      "corpusDiff" -> "corpusDiffTo",
+      "rrfFuse" -> "rrfFusedWith",
       "matryoshkaTopK" -> "matryoshkaTopK",
       "knnPagerankAssigned" -> "knnPagerankAssigned",
       "knnPagerank" -> "knnPagerank",

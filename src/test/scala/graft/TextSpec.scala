@@ -629,6 +629,20 @@ class TextSpec extends SparkSpec {
     assert(m(6L) == (("m m m", 2, 1)))
   }
 
+  test("corpusDiff labels all four statuses by content hash") {
+    val oldV = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will be removed")
+    ).toDF("doc_id", "text")
+    val newV = Seq(
+      (1L, "same text"), (2L, "changed text"), (4L, "brand new")
+    ).toDF("doc_id", "text")
+    val m = Text.corpusDiff(oldV, newV).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(m == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("tokenEntropy: exact q20 bounds and an in-memory replay") {
     val d = Seq(
       (1L, "a a a a"),          // uniform → exactly 0

@@ -644,6 +644,29 @@ class VectorSpec extends SparkSpec {
     assert(got(5L) == 157286L) // dangling: base term only
   }
 
+  test("rrfFuse matches the exact integer formula; both-system ids " +
+      "beat single-system ids at comparable ranks") {
+    def q(r: Long): Long = 1048576L / (60L + r)
+    val sysA = Seq((10L, 1), (11L, 2), (12L, 3))
+      .toDF("id", "rank")
+    val sysB = Seq((11L, 1), (13L, 2))
+      .toDF("id", "rank")
+    val got = Vec.rrfFuse(Seq(sysA, sysB), k = 10)
+      .select("id", "rrf_score_q20", "n_systems")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(11L) == ((q(2) + q(1), 2L))) // both systems
+    assert(got(10L) == ((q(1), 1L)))
+    assert(got(13L) == ((q(2), 1L)))
+    assert(got(12L) == ((q(3), 1L)))
+    // 11 (ranked by both) outscores every single-system id
+    assert(got(11L)._1 > got(10L)._1)
+    // deterministic order contract: (score desc, id)
+    val order = Vec.rrfFuse(Seq(sysA, sysB), k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(order.head == 11L)
+  }
+
   test("centralityRepresentatives keeps the graph-central exemplar, " +
       "not the min id") {
     // hub (vec_id 9, deliberately NOT the min id) is every other
