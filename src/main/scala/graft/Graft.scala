@@ -86,6 +86,9 @@ object Graft {
       * hash): added / removed / changed / unchanged per doc_id. */
     def corpusDiffTo(newDocs: DataFrame): DataFrame =
       ops.Text.corpusDiff(docs, newDocs)
+    /** Canonical normalization (control chars, whitespace, case,
+      * accent folding) — run before hashing/dedup. */
+    def normalized: DataFrame = ops.Text.normalizeText(docs)
     /** Percentile/decile calibration of the quality score. */
     def qualityPercentiled: DataFrame =
       ops.Text.qualityPercentiles(docs)

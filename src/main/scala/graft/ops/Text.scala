@@ -2278,6 +2278,35 @@ object Text {
       .drop("__total")
   }
 
+  /** Canonical text normalization — the cleaning pass every pipeline
+    * runs BEFORE hashing, deduplication, or shingling (two docs
+    * differing only in case, control characters, or whitespace runs
+    * are the same training datum, and every exact-hash operator
+    * downstream treats the normalized text as identity). Steps, in
+    * order: control characters (C0 + DEL) → space, whitespace runs
+    * collapsed to one space, trimmed, lowercased, common Latin-1
+    * accents folded (explicit `translate` table — a full NFKC pass
+    * needs ICU, which the oracle engine and the JVM disagree on;
+    * the explicit table is engine-exact). All regexes in the
+    * Java∩RE2 subset (the piiRedact discipline), so the whole
+    * transform is oracle-checkable. Pure scan-stage string ops —
+    * no shuffle, codegen end to end.
+    *
+    * Returns `(doc_id, norm_text, changed)`.
+    */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        translate(
+          lower(trim(regexp_replace(
+            regexp_replace(col("text"),
+              "[\\x00-\\x1f\\x7f]", " "),
+            "\\s+", " "))),
+          "áàâäéèêëíìîïóòôöúùûüñç",
+          "aaaaeeeeiiiioooouuuunc").as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        (col("norm_text") =!= col("text")).as("changed"))
+
   /** Corpus snapshot diff — the audit step between two versions of a
     * document table (curation is iterative; before re-running a
     * 100 TB pipeline you want to know WHAT changed): per doc_id,

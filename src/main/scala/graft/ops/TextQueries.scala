@@ -256,6 +256,21 @@ object TextQueries {
             .otherwise(col("text")).as("text")),
         minDf = 50L)
         .orderBy(col("doc_id"))),
+    // canonical normalization. The corpus is already clean ASCII, so
+    // the query PLANTS case/control/whitespace/accent damage on
+    // deterministic slices (the q_text_boilerplate convention) —
+    // every normalization step must fire on its slice and the clean
+    // remainder must pass through changed = false.
+    "q_text_normalize" -> ((s, d) =>
+      Text.normalizeText(
+        Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .when(col("doc_id") % 7 === 1,
+              concat(lit("\tmañana  café\u0001"), col("text")))
+            .when(col("doc_id") % 7 === 2,
+              regexp_replace(col("text"), " ", "   "))
+            .otherwise(col("text")).as("text")))
+        .orderBy(col("doc_id"))),
     // corpus snapshot diff: old = corpus minus the (doc_id % 11 == 3)
     // slice, new = corpus minus the (% 13 == 5) slice with (% 17 == 2)
     // texts edited — exercises all four statuses deterministically
@@ -826,6 +841,25 @@ object TextQueries {
         |  CAST(b.n_blocks - COALESCE(k.n_kept, 0) AS INT) AS n_dropped
         |FROM base b LEFT JOIN k ON b.doc_id = k.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q_text_normalize" ->
+      """WITH pd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+        |         WHEN doc_id % 7 = 1
+        |           THEN chr(9) || 'mañana  café' || chr(1) || text
+        |         WHEN doc_id % 7 = 2
+        |           THEN regexp_replace(text, ' ', '   ', 'g')
+        |         ELSE text END AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    translate(lower(trim(regexp_replace(regexp_replace(text,
+        |        '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))),
+        |      'áàâäéèêëíìîïóòôöúùûüñç',
+        |      'aaaaeeeeiiiioooouuuunc') AS norm_text
+        |  FROM pd)
+        |SELECT doc_id, norm_text, norm_text <> text AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_text_corpus_diff" ->
       """WITH o AS (
         |  SELECT doc_id, md5(text) AS old_hash FROM documents

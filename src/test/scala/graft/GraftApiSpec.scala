@@ -204,6 +204,7 @@ class GraftApiSpec extends SparkSpec {
       "removeBoilerplate" -> "boilerplateRemoved",
       "tokenEntropy" -> "tokenEntropy",
       "corpusDiff" -> "corpusDiffTo",
+      "normalizeText" -> "normalized",
       "rrfFuse" -> "rrfFusedWith",
       "matryoshkaTopK" -> "matryoshkaTopK",
       "knnPagerankAssigned" -> "knnPagerankAssigned",

@@ -582,6 +582,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("compactionPlan invariants on generated file lists: bins " +
+      "respect the target or hold one file; offsets reconstruct") {
+    val fileGen = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(1L, 3000L)))
+    forAll(fileGen, n = 10) { fs =>
+      val files = fs.zipWithIndex
+        .map { case ((pk, sz), i) => (pk, i.toLong, sz) }
+        .toDF("part_key", "file_id", "bytes")
+      val plan = graft.ops.Layout.compactionPlan(files, 2000L)
+        .collect()
+        .map(r => (r.getAs[String]("part_key"),
+          r.getAs[Long]("file_id"), r.getAs[Long]("bytes"),
+          r.getAs[Long]("bin_id"), r.getAs[Long]("bin_off")))
+      assert(plan.length == fs.length)
+      plan.groupBy(t => (t._1, t._4)).foreach { case (_, bin) =>
+        val tot = bin.map(_._3).sum
+        assert(tot <= 2000L || bin.length == 1)
+        // offsets are the prefix sums of the bin's files in id order
+        val sorted = bin.sortBy(_._2)
+        var acc = 0L
+        sorted.foreach { t => assert(t._5 == acc); acc += t._3 }
+      }
+      // bins are contiguous per partition: 0..maxBin all non-empty
+      plan.groupBy(_._1).foreach { case (_, part) =>
+        val bins = part.map(_._4).toSet
+        assert(bins == (0L to bins.max).toSet)
+      }
+    }
+  }
+
+  test("rrfFuse equals the in-memory formula for generated rankings") {
+    val rankingGen = Gen.zip(
+      Gen.someOf(0L to 15L).map(_.toList),
+      Gen.someOf(0L to 15L).map(_.toList))
+    forAll(rankingGen, n = 10) { case (idsA, idsB) =>
+      if (idsA.nonEmpty || idsB.nonEmpty) {
+        def rank(ids: List[Long]) = ids.zipWithIndex
+          .map { case (id, i) => (id, i + 1) }
+        val dfs = Seq(rank(idsA), rank(idsB))
+          .filter(_.nonEmpty).map(_.toDF("id", "rank"))
+        val got = graft.ops.Vector.rrfFuse(dfs, k = 32).collect()
+          .map(r => r.getAs[Long]("id") ->
+            r.getAs[Long]("rrf_score_q20")).toMap
+        val exp = (rank(idsA) ++ rank(idsB))
+          .groupBy(_._1)
+          .map { case (id, rs) =>
+            id -> rs.map(t => 1048576L / (60L + t._2)).sum
+          }
+        assert(got == exp)
+      }
+    }
+  }
+
   test("int8 quantization round-trip error is within one step") {
     val vecGen = Gen.listOfN(8,
       Gen.chooseNum(-1000, 1000).map(_ / 100.0f))

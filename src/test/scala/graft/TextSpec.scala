@@ -629,6 +629,33 @@ class TextSpec extends SparkSpec {
     assert(m(6L) == (("m m m", 2, 1)))
   }
 
+  test("normalizeText: control chars, whitespace runs, case, " +
+      "accents; idempotent; clean text unchanged") {
+    val d = Seq(
+      (1L, "Hello\tWorld\u0001!"),   // tab + control char
+      (2L, "  many   spaces  "),
+      (3L, "MiXeD Case"),
+      (4L, "café mañana"),
+      (5L, "already clean")
+    ).toDF("doc_id", "text")
+    val m = Text.normalizeText(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("norm_text"), r.getAs[Boolean]("changed"))))
+      .toMap
+    // \t and \u0001 each became a space; the collapse leaves the
+    // single space the control char turned into
+    assert(m(1L) == (("hello world !", true)))
+    assert(m(2L) == (("many spaces", true)))
+    assert(m(3L) == (("mixed case", true)))
+    assert(m(4L) == (("cafe manana", true)))
+    assert(m(5L) == (("already clean", false)))
+    // idempotence: normalizing normalized text is the identity
+    val once = Text.normalizeText(d)
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val twice = Text.normalizeText(once).collect()
+    assert(twice.forall(!_.getAs[Boolean]("changed")))
+  }
+
   test("corpusDiff labels all four statuses by content hash") {
     val oldV = Seq(
       (1L, "same text"), (2L, "will change"), (3L, "will be removed")
