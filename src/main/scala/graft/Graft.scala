@@ -89,6 +89,14 @@ object Graft {
     /** Canonical normalization (control chars, whitespace, case,
       * accent folding) — run before hashing/dedup. */
     def normalized: DataFrame = ops.Text.normalizeText(docs)
+    /** Audit a mixture recipe (ppm weights, token budget): available
+      * vs target tokens, epoch counts, oversampling flags. */
+    def mixtureEpochPlan(
+        weightsPpm: Seq[(String, Long)],
+        totalBudget: Long,
+        groupCol: String = "lang"
+    ): DataFrame =
+      ops.Text.mixtureEpochPlan(docs, weightsPpm, totalBudget, groupCol)
     /** Percentile/decile calibration of the quality score. */
     def qualityPercentiled: DataFrame =
       ops.Text.qualityPercentiles(docs)

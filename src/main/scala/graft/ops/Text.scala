@@ -1847,6 +1847,55 @@ object Text {
         col("cum_before"))
   }
 
+  /** Mixture epoch planning — the data-recipe table of a training
+    * run (the published LLaMA/Pile form: each source gets a mixture
+    * weight, and sources whose share exceeds their data are repeated
+    * for multiple epochs): given ppm weights per group and a total
+    * token budget, report per group the available tokens, the
+    * target, the implied epoch count, and whether the recipe
+    * oversamples it. Complements [[unimaxBudgets]] (which DERIVES an
+    * allocation under an epoch cap; this AUDITS a given recipe).
+    * All exact integers: `target = weight_ppm·budget div 10⁶`,
+    * `epochs_q20 = target·2^20 div avail` (null when the group has
+    * no data — a recipe row pointing at an empty group is a config
+    * error the `oversampled` flag surfaces). Long math is exact for
+    * budgets up to ~8·10¹² tokens (weight·budget < 2^63).
+    *
+    * Shape: one scan → per-group count/sum agg (groups-row result) →
+    * full-outer join with the (driver-literal) recipe — recipe rows
+    * with no data and data with no recipe row both surface.
+    */
+  def mixtureEpochPlan(
+      docs: DataFrame,
+      weightsPpm: Seq[(String, Long)],
+      totalBudget: Long,
+      groupCol: String = "lang"
+  ): DataFrame = {
+    require(weightsPpm.nonEmpty, "mixtureEpochPlan: empty recipe")
+    require(totalBudget >= 0,
+      s"totalBudget must be non-negative, got $totalBudget")
+    val session = docs.sparkSession
+    import session.implicits._
+    val w = weightsPpm.toDF("grp", "weight_ppm")
+    val avail = docs
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("avail_tokens"))
+    avail
+      .join(w, Seq("grp"), "full_outer")
+      .select(col("grp").as(groupCol),
+        coalesce(col("weight_ppm"), lit(0L)).as("weight_ppm"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"))
+      .withColumn("target_tokens",
+        expr(s"(weight_ppm * ${totalBudget}L) div 1000000"))
+      .withColumn("epochs_q20",
+        when(col("avail_tokens") > 0,
+          expr("(target_tokens * 1048576) div avail_tokens")))
+      .withColumn("oversampled",
+        col("target_tokens") > col("avail_tokens"))
+  }
+
   /** Deterministic train/val/test assignment — the reproducible-split
     * primitive every training pipeline needs: each doc's 60-bit md5
     * draw is compared against the cumulative split thresholds, so

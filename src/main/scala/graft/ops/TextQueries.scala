@@ -256,6 +256,16 @@ object TextQueries {
             .otherwise(col("text")).as("text")),
         minDf = 50L)
         .orderBy(col("doc_id"))),
+    // mixture epoch plan: a fixed 5-language recipe (plus one group
+    // with no data — 'ja' — to exercise the config-error surface)
+    // audited against the corpus at a 100k-token budget; exact
+    // integer arithmetic end to end
+    "q_text_mixture_epochs" -> ((s, d) =>
+      Text.mixtureEpochPlan(Tables.documents(s, d),
+        Seq("en" -> 450000L, "de" -> 200000L, "fr" -> 150000L,
+          "es" -> 100000L, "zh" -> 50000L, "ja" -> 50000L),
+        totalBudget = 100000L)
+        .orderBy(col("lang"))),
     // canonical normalization. The corpus is already clean ASCII, so
     // the query PLANTS case/control/whitespace/accent damage on
     // deterministic slices (the q_text_boilerplate convention) —
@@ -841,6 +851,37 @@ object TextQueries {
         |  CAST(b.n_blocks - COALESCE(k.n_kept, 0) AS INT) AS n_dropped
         |FROM base b LEFT JOIN k ON b.doc_id = k.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q_text_mixture_epochs" ->
+      """WITH w(grp, weight_ppm) AS (
+        |  VALUES ('en', CAST(450000 AS BIGINT)),
+        |         ('de', CAST(200000 AS BIGINT)),
+        |         ('fr', CAST(150000 AS BIGINT)),
+        |         ('es', CAST(100000 AS BIGINT)),
+        |         ('zh', CAST(50000 AS BIGINT)),
+        |         ('ja', CAST(50000 AS BIGINT))),
+        |a AS (
+        |  SELECT lang AS grp, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |      END) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY lang),
+        |j AS (
+        |  SELECT COALESCE(a.grp, w.grp) AS lang,
+        |    COALESCE(w.weight_ppm, 0) AS weight_ppm,
+        |    COALESCE(a.n_docs, 0) AS n_docs,
+        |    COALESCE(a.avail_tokens, 0) AS avail_tokens
+        |  FROM a FULL OUTER JOIN w ON a.grp = w.grp)
+        |SELECT lang, CAST(weight_ppm AS BIGINT) AS weight_ppm,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  avail_tokens,
+        |  CAST((weight_ppm * 100000) // 1000000 AS BIGINT)
+        |    AS target_tokens,
+        |  CASE WHEN avail_tokens > 0
+        |    THEN CAST(((weight_ppm * 100000) // 1000000 * 1048576)
+        |      // avail_tokens AS BIGINT) END AS epochs_q20,
+        |  (weight_ppm * 100000) // 1000000 > avail_tokens
+        |    AS oversampled
+        |FROM j ORDER BY lang""".stripMargin,
     "q_text_normalize" ->
       """WITH pd AS (
         |  SELECT doc_id,

@@ -205,6 +205,7 @@ class GraftApiSpec extends SparkSpec {
       "tokenEntropy" -> "tokenEntropy",
       "corpusDiff" -> "corpusDiffTo",
       "normalizeText" -> "normalized",
+      "mixtureEpochPlan" -> "mixtureEpochPlan",
       "rrfFuse" -> "rrfFusedWith",
       "matryoshkaTopK" -> "matryoshkaTopK",
       "knnPagerankAssigned" -> "knnPagerankAssigned",

@@ -629,6 +629,31 @@ class TextSpec extends SparkSpec {
     assert(m(6L) == (("m m m", 2, 1)))
   }
 
+  test("mixtureEpochPlan: exact targets/epochs, oversample flag, " +
+      "recipe-without-data and data-without-recipe rows surface") {
+    val d = Seq(
+      (1L, "a b c d", "en"), (2L, "e f g h", "en"),   // en: 8 tokens
+      (3L, "x y", "de"),                               // de: 2 tokens
+      (4L, "p q r", "xx")                              // no recipe row
+    ).toDF("doc_id", "text", "lang")
+    val m = Text.mixtureEpochPlan(d,
+      Seq("en" -> 500000L, "de" -> 400000L, "ja" -> 100000L),
+      totalBudget = 20L).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("avail_tokens"), r.getAs[Long]("target_tokens"),
+          Option(r.getAs[Any]("epochs_q20")).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("oversampled"))))
+      .toMap
+    // en: target 10 of 8 available → 1.25 epochs, oversampled
+    assert(m("en") == ((8L, 10L, Some(10L * 1048576L / 8L), true)))
+    // de: target 8 of 2 → 4 epochs
+    assert(m("de") == ((2L, 8L, Some(8L * 1048576L / 2L), true)))
+    // ja: recipe names a group with no data
+    assert(m("ja") == ((0L, 2L, None, true)))
+    // xx: data with no recipe row → target 0, kept for visibility
+    assert(m("xx") == ((3L, 0L, Some(0L), false)))
+  }
+
   test("normalizeText: control chars, whitespace runs, case, " +
       "accents; idempotent; clean text unchanged") {
     val d = Seq(
