@@ -89,6 +89,10 @@ object Graft {
     /** Canonical normalization (control chars, whitespace, case,
       * accent folding) — run before hashing/dedup. */
     def normalized: DataFrame = ops.Text.normalizeText(docs)
+    /** PSI quality-distribution drift of this corpus (as reference)
+      * against a newer version. */
+    def qualityDriftTo(cur: DataFrame, nBuckets: Int = 10): DataFrame =
+      ops.Text.qualityDrift(docs, cur, nBuckets)
     /** Audit a mixture recipe (ppm weights, token budget): available
       * vs target tokens, epoch counts, oversampling flags. */
     def mixtureEpochPlan(

@@ -1847,6 +1847,70 @@ object Text {
         col("cum_before"))
   }
 
+  /** Quality-distribution drift between two corpus versions —
+    * population stability index (PSI), the standard monitoring
+    * statistic for "did this refresh change the data?": bucket the
+    * quality score into `nBuckets` equal-width bins, Laplace-smooth
+    * (+1 per bin, the zero-bin convention), and report per bin
+    *
+    *   psi_term = (p̂_cur − p̂_ref) · ln(p̂_cur / p̂_ref)
+    *
+    * (total PSI = Σ terms; > 0.2 is the conventional "shifted"
+    * alarm). Determinism discipline: the ln rides the q20 convention
+    * on EXACT integer products — ln(p̂c/p̂r) =
+    * ⌊ln((c+1)(refT+nB))·2^20⌋ − ⌊ln((r+1)(curT+nB))·2^20⌋ — and
+    * psi_term is then fixed-order IEEE arithmetic on exact integers
+    * (the classifier-logit contract), so the whole table
+    * hash-compares. All nBuckets rows are emitted (a bin empty on
+    * both sides still carries the totals' smoothing mass).
+    *
+    * Shape: two corpus scans → two nBuckets-row count tables
+    * (map-side combined) → spine join + 1-row totals broadcast —
+    * nothing above nBuckets rows past the scans.
+    */
+  def qualityDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      nBuckets: Int = 10
+  ): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    def bucketCounts(d: DataFrame, as: String): DataFrame =
+      qualityScore(d)
+        .select(least(floor(col("quality") * nBuckets),
+          lit(nBuckets - 1)).cast("int").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val spine = ref.sparkSession.range(nBuckets.toLong)
+      .select(col("id").cast("int").as("bucket"))
+    // persisted: the 2·nBuckets-row joined table feeds both the
+    // totals aggregate and the output — without it both corpus
+    // aggregations run twice
+    val j = graft.Caches.track("text", spine
+      .join(bucketCounts(ref, "ref_cnt"), Seq("bucket"), "left")
+      .join(bucketCounts(cur, "cur_cnt"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt")))
+    val tot = j.agg(sum(col("ref_cnt")).as("ref_total"),
+      sum(col("cur_cnt")).as("cur_total"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("lnratio_q20",
+        floor(log(((col("cur_cnt") + 1) *
+          (col("ref_total") + nBuckets)).cast("double")) * (1L << 20))
+          .cast("long") -
+          floor(log(((col("ref_cnt") + 1) *
+            (col("cur_total") + nBuckets)).cast("double")) * (1L << 20))
+            .cast("long"))
+      .withColumn("psi_term",
+        ((col("cur_cnt") + 1).cast("double") /
+          (col("cur_total") + nBuckets) -
+          (col("ref_cnt") + 1).cast("double") /
+            (col("ref_total") + nBuckets)) *
+          (col("lnratio_q20").cast("double") / (1L << 20).toDouble))
+      .select(col("bucket"), col("ref_cnt"), col("cur_cnt"),
+        col("ref_total"), col("cur_total"), col("lnratio_q20"),
+        col("psi_term"))
+  }
+
   /** Mixture epoch planning — the data-recipe table of a training
     * run (the published LLaMA/Pile form: each source gets a mixture
     * weight, and sources whose share exceeds their data are repeated

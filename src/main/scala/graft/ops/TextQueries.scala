@@ -256,6 +256,23 @@ object TextQueries {
             .otherwise(col("text")).as("text")),
         minDf = 50L)
         .orderBy(col("doc_id"))),
+    // quality-distribution drift (PSI): ref = docs % 3 != 0, cur =
+    // docs % 3 != 1 with a planted stopword-stuffing edit on the
+    // % 5 == 0 slice — the drifted bins must light up; exact-integer
+    // ln skeleton + fixed-order IEEE psi terms, fully hash-compared
+    "q_text_quality_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.qualityDrift(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 =!= 1)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" the the the the the the")))
+              .otherwise(col("text")).as("text"),
+            col("lang"), col("source"), col("n_chars")),
+        nBuckets = 10)
+        .orderBy(col("bucket"))
+    }),
     // mixture epoch plan: a fixed 5-language recipe (plus one group
     // with no data — 'ja' — to exercise the config-error surface)
     // audited against the corpus at a 100k-token budget; exact
@@ -851,6 +868,66 @@ object TextQueries {
         |  CAST(b.n_blocks - COALESCE(k.n_kept, 0) AS INT) AS n_dropped
         |FROM base b LEFT JOIN k ON b.doc_id = k.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q_text_quality_drift" ->
+      s"""WITH refd AS (
+         |  SELECT doc_id, text, n_chars FROM documents
+         |  WHERE doc_id % 3 <> 0),
+         |curd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' the the the the the the'
+         |      ELSE text END AS text,
+         |    n_chars
+         |  FROM documents WHERE doc_id % 3 <> 1),
+         |rt0 AS (
+         |  SELECT n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM refd),
+         |rq AS (
+         |  SELECT LEAST(CAST(FLOOR((${qualityExprSql("toks")}
+         |    ) * 10) AS INT), 9) AS bucket
+         |  FROM rt0),
+         |rb AS (SELECT bucket, COUNT(*) AS refc FROM rq GROUP BY 1),
+         |ct0 AS (
+         |  SELECT n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM curd),
+         |cq AS (
+         |  SELECT LEAST(CAST(FLOOR((${qualityExprSql("toks")}
+         |    ) * 10) AS INT), 9) AS bucket
+         |  FROM ct0),
+         |cb AS (SELECT bucket, COUNT(*) AS curc FROM cq GROUP BY 1),
+         |spine AS (
+         |  SELECT CAST(UNNEST(generate_series(0, 9)) AS INT)
+         |    AS bucket),
+         |j AS (
+         |  SELECT spine.bucket,
+         |    CAST(COALESCE(rb.refc, 0) AS BIGINT) AS ref_cnt,
+         |    CAST(COALESCE(cb.curc, 0) AS BIGINT) AS cur_cnt
+         |  FROM spine LEFT JOIN rb USING (bucket)
+         |  LEFT JOIN cb USING (bucket)),
+         |t AS (
+         |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_total,
+         |    CAST(SUM(cur_cnt) AS BIGINT) AS cur_total
+         |  FROM j),
+         |l AS (
+         |  SELECT j.bucket, j.ref_cnt, j.cur_cnt,
+         |    t.ref_total, t.cur_total,
+         |    CAST(FLOOR(ln(CAST((j.cur_cnt + 1) * (t.ref_total + 10)
+         |      AS DOUBLE)) * 1048576) AS BIGINT)
+         |    - CAST(FLOOR(ln(CAST((j.ref_cnt + 1) * (t.cur_total + 10)
+         |      AS DOUBLE)) * 1048576) AS BIGINT) AS lnratio_q20
+         |  FROM j, t)
+         |SELECT bucket, ref_cnt, cur_cnt, ref_total, cur_total,
+         |  lnratio_q20,
+         |  (CAST(cur_cnt + 1 AS DOUBLE) / (cur_total + 10)
+         |   - CAST(ref_cnt + 1 AS DOUBLE) / (ref_total + 10))
+         |  * (CAST(lnratio_q20 AS DOUBLE) / 1048576.0) AS psi_term
+         |FROM l ORDER BY bucket""".stripMargin,
     "q_text_mixture_epochs" ->
       """WITH w(grp, weight_ppm) AS (
         |  VALUES ('en', CAST(450000 AS BIGINT)),

@@ -206,6 +206,7 @@ class GraftApiSpec extends SparkSpec {
       "corpusDiff" -> "corpusDiffTo",
       "normalizeText" -> "normalized",
       "mixtureEpochPlan" -> "mixtureEpochPlan",
+      "qualityDrift" -> "qualityDriftTo",
       "rrfFuse" -> "rrfFusedWith",
       "matryoshkaTopK" -> "matryoshkaTopK",
       "knnPagerankAssigned" -> "knnPagerankAssigned",

@@ -629,6 +629,44 @@ class TextSpec extends SparkSpec {
     assert(m(6L) == (("m m m", 2, 1)))
   }
 
+  test("qualityDrift: identical corpora give zero PSI terms; a " +
+      "shifted corpus lights up the moved bins; replay is exact") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 22L),
+      (2L, "epsilon zeta eta theta", "en", "s", 22L),
+      (3L, "iota kappa lambda mu", "en", "s", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val same = Text.qualityDrift(base, base, nBuckets = 4).collect()
+    same.foreach { r =>
+      // p̂ = q̂ per bin → both factors of every term are exactly 0
+      assert(r.getAs[Long]("lnratio_q20") == 0L)
+      assert(r.getAs[Double]("psi_term") == 0.0)
+    }
+    // stopword-stuffed version shifts quality upward (stop ratio up)
+    val shifted = base.select(col("doc_id"),
+      concat(col("text"), lit(" the the the the")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val drift = Text.qualityDrift(base, shifted, nBuckets = 4)
+      .collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("ref_cnt"), r.getAs[Long]("cur_cnt"),
+          r.getAs[Double]("psi_term"))))
+      .toMap
+    // counts moved between bins → at least one nonzero term, and the
+    // replay of the formula from the exact integers matches
+    assert(drift.values.exists(_._3 != 0.0))
+    val (rt, ct) = (3L, 3L)
+    drift.foreach { case (_, (rc, cc, psi)) =>
+      val ln = math.floor(math.log(((cc + 1) * (rt + 4)).toDouble) *
+        (1L << 20)).toLong -
+        math.floor(math.log(((rc + 1) * (ct + 4)).toDouble) *
+          (1L << 20)).toLong
+      val expected = ((cc + 1).toDouble / (ct + 4) -
+        (rc + 1).toDouble / (rt + 4)) * (ln.toDouble / (1L << 20))
+      assert(psi == expected)
+    }
+  }
+
   test("mixtureEpochPlan: exact targets/epochs, oversample flag, " +
       "recipe-without-data and data-without-recipe rows surface") {
     val d = Seq(
