@@ -402,6 +402,15 @@ object Graft {
         k: Int = 3,
         iters: Int = 3
     ): DataFrame = ops.Vector.knnPagerank(embs, model, k, iters)
+    /** Semi-supervised label propagation over the within-list kNN
+      * graph (frame must carry `list_id`; `seeds` = (vec_id, lab),
+      * clamped). */
+    def labelPropagationAssigned(
+        seeds: DataFrame,
+        k: Int = 3,
+        iters: Int = 3
+    ): DataFrame =
+      ops.Vector.labelPropagationAssigned(embs, seeds, k, iters)
     /** Duplicate-cluster representatives by graph centrality (frame
       * must carry `list_id`): components pick the redundant sets,
       * PageRank picks the exemplar to keep. */

@@ -1519,6 +1519,60 @@ object Vector {
           .as("recall_ppm"))
   }
 
+  /** Semi-supervised label propagation over the within-list kNN
+    * graph — the third graph operator next to connected components
+    * and PageRank, and the standard way to stretch a small set of
+    * human labels (domain, quality tier, topic) over an unlabeled
+    * corpus: each unlabeled vector adopts the MAJORITY label of its
+    * k nearest neighbors, iterated; seed labels are clamped (they
+    * are ground truth). Deterministic end to end: votes are integer
+    * counts, the argmax tie-breaks to the SMALLEST label, and a
+    * vector with no labeled neighbor stays unlabeled — so the whole
+    * fixpoint approximation is engine-exact and SQL-twinnable by
+    * unrolling (the PageRank contract).
+    *
+    * Shape at scale: the k·n edge list is persisted once (one
+    * Σ|list|² kNN join); each iteration is one edge⋈label join +
+    * one map-side-combined (node, label) count + one max-struct
+    * argmax — everything keyed by vec_id, nothing corpus-quadratic.
+    * `seeds` carries `(vec_id, lab)`; returns
+    * `(vec_id, lab nullable, is_seed)`.
+    */
+  def labelPropagationAssigned(
+      assigned: DataFrame,
+      seeds: DataFrame,
+      k: Int = 3,
+      iters: Int = 3
+  ): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val edges = graft.Caches.track("vec",
+      knnGraphAssigned(assigned, k)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+    val seedTbl = seeds.select(col("vec_id"), col("lab"))
+    var labels = seedTbl
+    for (_ <- 1 to iters) {
+      val adopted = edges
+        .join(labels.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("src"))
+        // argmax by (votes DESC, lab ASC): max over (votes, -lab)
+        .agg(max(struct(col("votes"), (-col("lab")).as("neg")))
+          .as("best"))
+        .select(col("src").as("vec_id"), (-col("best.neg")).as("lab"))
+        // clamp: a seed keeps its ground truth whatever the votes say
+        .join(seedTbl.select(col("vec_id")), Seq("vec_id"),
+          "left_anti")
+      labels = seedTbl.unionByName(adopted)
+    }
+    assigned.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .join(seedTbl.select(col("vec_id"), lit(true).as("is_seed")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("lab"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the
     * standard way to merge rankings from heterogeneous retrievers
     * (BM25 lexical + embedding cosine is the canonical hybrid pair;

@@ -325,6 +325,20 @@ object VectorQueries {
         k = 3)
         .orderBy(col("query_id"))
     }),
+    // semi-supervised label propagation: 4% of vectors seed their
+    // ground-truth label; 3 majority-vote iterations over the
+    // within-list kNN graph (lists COARSENED to label % 4 so five
+    // true labels share each list and votes genuinely disagree);
+    // integer votes + smallest-label tiebreak → exact unrolled twin
+    "q_vec_label_prop" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("list_id", col("label") % 4)
+      Vector.labelPropagationAssigned(e,
+        e.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id"), col("label").as("lab")),
+        k = 3, iters = 3)
+        .orderBy(col("vec_id"))
+    }),
     // PCA moment skeleton: Σ xq_i·xq_j over the q16-quantized corpus
     // (exact longs, order-free) — the distributed half of the PCA
     // fit, hash-compared end to end; the d×d eigensolve consumes
@@ -563,6 +577,71 @@ object VectorQueries {
         |  FROM p WHERE NOT isnan(cos_sim))
         |SELECT vec_id, nbr_id, cos_sim, "rank" FROM r
         |WHERE "rank" <= 3 ORDER BY vec_id, "rank"""".stripMargin,
+    // label propagation: knn edges over label%4 lists → seeds →
+    // three unrolled majority-vote rounds (votes DESC, lab ASC
+    // argmax; seeds clamped via NOT IN)
+    "q_vec_label_prop" ->
+      """WITH n AS (
+        |  SELECT vec_id, label % 4 AS lst,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label % 4),
+        |u AS (
+        |  SELECT e.vec_id, n.lst,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.lst = b.lst
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |e2 AS (SELECT vec_id AS src, nbr_id AS dst FROM r
+        |       WHERE rk <= 3),
+        |l0 AS (SELECT vec_id, CAST(label AS INT) AS lab
+        |       FROM embeddings WHERE vec_id % 25 = 0),
+        |v1 AS (SELECT e2.src, l.lab, COUNT(*) AS votes
+        |       FROM e2 JOIN l0 l ON e2.dst = l.vec_id GROUP BY 1, 2),
+        |a1 AS (SELECT src AS vec_id, lab FROM (
+        |         SELECT src, lab, ROW_NUMBER() OVER (
+        |           PARTITION BY src ORDER BY votes DESC, lab) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT * FROM l0 UNION ALL
+        |       SELECT a.vec_id, a.lab FROM a1 a
+        |       WHERE a.vec_id NOT IN (SELECT vec_id FROM l0)),
+        |v2 AS (SELECT e2.src, l.lab, COUNT(*) AS votes
+        |       FROM e2 JOIN l1 l ON e2.dst = l.vec_id GROUP BY 1, 2),
+        |a2 AS (SELECT src AS vec_id, lab FROM (
+        |         SELECT src, lab, ROW_NUMBER() OVER (
+        |           PARTITION BY src ORDER BY votes DESC, lab) AS rn
+        |         FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT * FROM l0 UNION ALL
+        |       SELECT a.vec_id, a.lab FROM a2 a
+        |       WHERE a.vec_id NOT IN (SELECT vec_id FROM l0)),
+        |v3 AS (SELECT e2.src, l.lab, COUNT(*) AS votes
+        |       FROM e2 JOIN l2 l ON e2.dst = l.vec_id GROUP BY 1, 2),
+        |a3 AS (SELECT src AS vec_id, lab FROM (
+        |         SELECT src, lab, ROW_NUMBER() OVER (
+        |           PARTITION BY src ORDER BY votes DESC, lab) AS rn
+        |         FROM v3) WHERE rn = 1),
+        |l3 AS (SELECT * FROM l0 UNION ALL
+        |       SELECT a.vec_id, a.lab FROM a3 a
+        |       WHERE a.vec_id NOT IN (SELECT vec_id FROM l0))
+        |SELECT e.vec_id, l3.lab,
+        |  e.vec_id % 25 = 0 AS is_seed
+        |FROM embeddings e LEFT JOIN l3 ON e.vec_id = l3.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     // PageRank: the q_vec_knn_graph edge fragment (k = 3), then the
     // exact q20 integer recurrence unrolled 3 iterations — DuckDB's
     // `//` on non-negative BIGINTs is the same floor division as

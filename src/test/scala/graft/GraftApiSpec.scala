@@ -213,6 +213,7 @@ class GraftApiSpec extends SparkSpec {
       "knnPagerank" -> "knnPagerank",
       "pcaMomentsQ16" -> "pcaMoments",
       "centralityRepresentatives" -> "centralityRepresentatives",
+      "labelPropagationAssigned" -> "labelPropagationAssigned",
       "recallAtK" -> "recallAtK",
       "pcaProject" -> "pcaProjected",
       "withZValue" -> "withZValue",

@@ -644,6 +644,48 @@ class VectorSpec extends SparkSpec {
     assert(got(5L) == 157286L) // dangling: base term only
   }
 
+  test("labelPropagationAssigned: seeds clamp, unlabeled adopt the " +
+      "neighbor majority, isolated nodes stay unlabeled") {
+    // one list: hub 9 seeded with label 7; satellites 1,2,3 point to
+    // the hub (k=1) and must adopt 7; the hub's own nearest is 1 —
+    // but seeds clamp, so 9 keeps 7 even after 1 is labeled.
+    // second list: 4 is alone (no edges) → stays unlabeled.
+    val vecs6 = Seq(
+      (1L, Array(0.995f, 0.1f, 0.0f), 0),
+      (2L, Array(0.995f, -0.1f, 0.0f), 0),
+      (3L, Array(0.995f, 0.0f, 0.1f), 0),
+      (9L, Array(1.0f, 0.0f, 0.0f), 0),
+      (4L, Array(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("list_id", col("label"))
+    val seeds = Seq((9L, 7)).toDF("vec_id", "lab")
+    val got = Vec.labelPropagationAssigned(vecs6, seeds, k = 1,
+      iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((Option(r.getAs[Any]("lab")).map(_.asInstanceOf[Int]),
+          r.getAs[Boolean]("is_seed"))))
+      .toMap
+    assert(got(9L) == ((Some(7), true)))
+    assert(got(1L) == ((Some(7), false)))
+    assert(got(2L) == ((Some(7), false)))
+    assert(got(3L) == ((Some(7), false)))
+    assert(got(4L) == ((None, false)))
+    // tie-break: two labeled neighbors with different labels and one
+    // vote each → the SMALLER label wins deterministically
+    val tie = Seq(
+      (10L, Array(1.0f, 0.0f), 0),
+      (11L, Array(0.9f, 0.1f), 0),   // seeded 5
+      (12L, Array(0.9f, -0.1f), 0)   // seeded 2
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("list_id", col("label"))
+    val tieSeeds = Seq((11L, 5), (12L, 2)).toDF("vec_id", "lab")
+    val t = Vec.labelPropagationAssigned(tie, tieSeeds, k = 2,
+      iters = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        Option(r.getAs[Any]("lab")).map(_.asInstanceOf[Int])).toMap
+    assert(t(10L) == Some(2))
+  }
+
   test("rrfFuse matches the exact integer formula; both-system ids " +
       "beat single-system ids at comparable ranks") {
     def q(r: Long): Long = 1048576L / (60L + r)

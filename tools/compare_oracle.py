@@ -36,12 +36,14 @@ def main(out_dir, sf_dir):
         # fragmentation after ~100 heavy queries on this box and
         # starts failing tiny allocations ("bad allocation") on
         # queries that pass in isolation
-        con = duckdb.connect()
-        con.execute("SET threads=8")
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con = None
         try:
+            con = duckdb.connect()
+            con.execute("SET threads=8")
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
             exp = con.execute(sql).fetchdf()
@@ -50,7 +52,8 @@ def main(out_dir, sf_dir):
             n_bad += 1
             continue
         finally:
-            con.close()
+            if con is not None:
+                con.close()
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
