@@ -2427,12 +2427,17 @@ object Text {
     * with both hashes kept for downstream attribution. One hash
     * projection per side + one full-outer join on the id — the diff
     * of two 100 TB snapshots moves two 16-byte-per-doc tables, never
-    * the text.
+    * the text. The hash is taken over `coalesce(text, '')`: a doc_id
+    * PRESENT with a NULL text still hashes (to the empty-string
+    * digest), so presence is decided by the join alone and a null
+    * text can never masquerade as an absent row.
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
-    oldDocs.select(col("doc_id"), md5(col("text")).as("old_hash"))
+    oldDocs.select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("old_hash"))
       .join(
-        newDocs.select(col("doc_id"), md5(col("text")).as("new_hash")),
+        newDocs.select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("new_hash")),
         Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("old_hash").isNull, lit("added"))

@@ -980,12 +980,12 @@ object TextQueries {
         |FROM n ORDER BY doc_id""".stripMargin,
     "q_text_corpus_diff" ->
       """WITH o AS (
-        |  SELECT doc_id, md5(text) AS old_hash FROM documents
-        |  WHERE doc_id % 11 <> 3),
+        |  SELECT doc_id, md5(COALESCE(text, '')) AS old_hash
+        |  FROM documents WHERE doc_id % 11 <> 3),
         |n AS (
         |  SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 17 = 2 THEN text || ' v2'
-        |             ELSE text END) AS new_hash
+        |    md5(COALESCE(CASE WHEN doc_id % 17 = 2 THEN text || ' v2'
+        |             ELSE text END, '')) AS new_hash
         |  FROM documents WHERE doc_id % 13 <> 5)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.old_hash IS NULL THEN 'added'

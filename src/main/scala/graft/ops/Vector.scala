@@ -1504,10 +1504,15 @@ object Vector {
     */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    // dedup both rank-filtered sides: a ranking that lists the same
+    // (query, vec) twice inside its top-k must count as ONE hit/one
+    // true neighbor, or recall_ppm can exceed 10^6
     val a = approx.filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
     val e = exact.filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
     val hits = a.join(e, Seq("query_id", "vec_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
@@ -1525,8 +1530,10 @@ object Vector {
     * human labels (domain, quality tier, topic) over an unlabeled
     * corpus: each unlabeled vector adopts the MAJORITY label of its
     * k nearest neighbors, iterated; seed labels are clamped (they
-    * are ground truth). Deterministic end to end: votes are integer
-    * counts, the argmax tie-breaks to the SMALLEST label, and a
+    * are ground truth). Labels may be ANY orderable type — numeric
+    * tiers or string domains/topics alike (the argmax never
+    * arithmetics the label). Deterministic end to end: votes are
+    * integer counts, the argmax tie-breaks to the SMALLEST label, and a
     * vector with no labeled neighbor stays unlabeled — so the whole
     * fixpoint approximation is engine-exact and SQL-twinnable by
     * unrolling (the PageRank contract).
@@ -1556,10 +1563,14 @@ object Vector {
         .groupBy(col("src"), col("lab"))
         .agg(count(lit(1)).as("votes"))
         .groupBy(col("src"))
-        // argmax by (votes DESC, lab ASC): max over (votes, -lab)
-        .agg(max(struct(col("votes"), (-col("lab")).as("neg")))
+        // argmax by (votes DESC, lab ASC): min over (-votes, lab).
+        // Only the VOTE count is negated (always a long); the label
+        // itself is compared natively, so any orderable label type —
+        // numeric tier, string domain/topic — works without a cast
+        // (max over (votes, -lab) would nullify string labels).
+        .agg(min(struct((-col("votes")).as("neg_votes"), col("lab")))
           .as("best"))
-        .select(col("src").as("vec_id"), (-col("best.neg")).as("lab"))
+        .select(col("src").as("vec_id"), col("best.lab").as("lab"))
         // clamp: a seed keeps its ground truth whatever the votes say
         .join(seedTbl.select(col("vec_id")), Seq("vec_id"),
           "left_anti")
@@ -1596,10 +1607,18 @@ object Vector {
   ): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: at least one ranking")
     require(k >= 1, s"k must be positive, got $k")
-    require(k0 >= 0, s"k0 must be non-negative, got $k0")
+    // k0 = 0 with a 0-based ranking would divide by zero (null under
+    // Spark's div, silently dropped by the sum while n_systems still
+    // counts the row); k0 >= 1 keeps every denominator positive for
+    // any rank >= 0
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
     rankings
-      .map(_.select(col("id"),
-        expr(s"1048576L div (${k0}L + rank)").as("s")))
+      // one row per id per system: a retriever that emits the same id
+      // twice must contribute its BEST rank once, not both — otherwise
+      // score and n_systems both double-count
+      .map(_.groupBy(col("id")).agg(min(col("rank")).as("rank"))
+        .select(col("id"),
+          expr(s"1048576L div (${k0}L + rank)").as("s")))
       .reduce(_.unionByName(_))
       .groupBy(col("id"))
       .agg(sum(col("s")).as("rrf_score_q20"),
@@ -1646,6 +1665,16 @@ object Vector {
     * combines map-side, so the single shuffle moves ≤ d arrays per
     * task — at 100 TB this is ONE pass and d²/2 longs, the classic
     * distributed-Gram reduction.
+    *
+    * Exactness bound: for unit-norm inputs |xq_i·xq_j| ≤ 2^32, so the
+    * long sum is exact while n·2^32 < 2^63 — i.e. up to ~2.1e9 vectors
+    * (embeddings with coordinates up to |x| ≤ m raise the per-row term
+    * to m²·2^32 and shrink the bound by m²). Past that, shard the
+    * corpus, run the skeleton per shard, and merge the shards'
+    * `sxy_q16` in decimal(38,0) — the skeleton is mergeable by
+    * construction (plain sums); alternatively drop to a q12 view
+    * (2^-12 is still below float32 embedding noise at d = 64) for
+    * 256× more headroom in one pass.
     */
   def pcaMomentsQ16(embeddings: DataFrame): DataFrame = {
     val arrSum = udaf(new graft.functions.LongArraySumAggregator,

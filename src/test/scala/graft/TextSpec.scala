@@ -731,6 +731,17 @@ class TextSpec extends SparkSpec {
       .toMap
     assert(m == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
+    // a doc_id PRESENT with a NULL text is matched by presence, not
+    // mistaken for an absent row: null-vs-text = changed,
+    // null-vs-null = unchanged, null only on one side ≠ added/removed
+    val oldN = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    val newN = Seq((1L, "now filled"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val n = Text.corpusDiff(oldN, newN).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(n == Map(1L -> "changed", 2L -> "unchanged"))
   }
 
   test("tokenEntropy: exact q20 bounds and an in-memory replay") {

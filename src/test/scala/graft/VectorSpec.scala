@@ -709,6 +709,73 @@ class VectorSpec extends SparkSpec {
     assert(order.head == 11L)
   }
 
+  test("labelPropagationAssigned works with STRING labels (orderable, " +
+      "never arithmetic'd)") {
+    // same hub fixture as the numeric test, seeded with a string
+    // label — the argmax compares labels natively, so domain/topic
+    // strings propagate exactly like numeric tiers
+    val vecs = Seq(
+      (1L, Array(0.995f, 0.1f, 0.0f), 0),
+      (2L, Array(0.995f, -0.1f, 0.0f), 0),
+      (9L, Array(1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("list_id", col("label"))
+    val seeds = Seq((9L, "news")).toDF("vec_id", "lab")
+    val got = Vec.labelPropagationAssigned(vecs, seeds, k = 1,
+      iters = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        Option(r.getAs[String]("lab"))).toMap
+    assert(got(1L) == Some("news"))
+    assert(got(2L) == Some("news"))
+    assert(got(9L) == Some("news"))
+    // string tie-break: one vote each for "blog" and "ads" → the
+    // lexicographically smallest label wins deterministically
+    val tie = Seq(
+      (10L, Array(1.0f, 0.0f), 0),
+      (11L, Array(0.9f, 0.1f), 0),
+      (12L, Array(0.9f, -0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("list_id", col("label"))
+    val tieSeeds = Seq((11L, "blog"), (12L, "ads")).toDF("vec_id", "lab")
+    val t = Vec.labelPropagationAssigned(tie, tieSeeds, k = 2,
+      iters = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        Option(r.getAs[String]("lab"))).toMap
+    assert(t(10L) == Some("ads"))
+  }
+
+  test("rrfFuse counts a duplicated id within one system once (best " +
+      "rank); k0 = 0 is rejected") {
+    def q(r: Long): Long = 1048576L / (60L + r)
+    val sysA = Seq((10L, 1), (10L, 3), (11L, 2)).toDF("id", "rank")
+    val sysB = Seq((11L, 1)).toDF("id", "rank")
+    val got = Vec.rrfFuse(Seq(sysA, sysB), k = 10)
+      .select("id", "rrf_score_q20", "n_systems")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // 10 appears twice in sysA: best rank (1) scores, once
+    assert(got(10L) == ((q(1), 1L)))
+    assert(got(11L) == ((q(2) + q(1), 2L)))
+    intercept[IllegalArgumentException] {
+      Vec.rrfFuse(Seq(sysA), k = 10, k0 = 0)
+    }
+  }
+
+  test("recallAtK dedups duplicate (query, vec) pairs — recall can " +
+      "never exceed 10^6 ppm") {
+    val approx = Seq(
+      (10L, 1L, 1), (10L, 1L, 2), (10L, 2L, 3) // dup pair (10,1)
+    ).toDF("query_id", "vec_id", "rank")
+    val exact = Seq(
+      (10L, 1L, 1), (10L, 2L, 2), (10L, 2L, 3) // dup pair (10,2)
+    ).toDF("query_id", "vec_id", "rank")
+    val got = Vec.recallAtK(approx, exact, 3)
+      .select("query_id", "n_hits", "n_exact", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((2L, 2L, 1000000L)))
+  }
+
   test("centralityRepresentatives keeps the graph-central exemplar, " +
       "not the min id") {
     // hub (vec_id 9, deliberately NOT the min id) is every other
