@@ -5,13 +5,24 @@ Reads each Verify output parquet under OUT_DIR, runs the matching
 oracle SQL from oracle_sql.json in DuckDB against the testdata parquet
 tables, sorts columns by name, and compares row-by-row values.
 
-Usage: compare_oracle.py OUT_DIR SF_DIR
+Usage: compare_oracle.py OUT_DIR SF_DIR [QUERY_NAME ...]
+
+With QUERY_NAME args, only those queries are compared (dev loop).
+
+DuckDB in this container sporadically throws "bad allocation" /
+"Out of Memory Error: Failed to allocate block of N bytes" on tiny
+allocations with >100 GB free — allocator state poisoned process-wide
+(a fresh connection in the same process still fails; the same query in
+a fresh process passes). Transient failures are therefore retried in a
+fresh SUBPROCESS, which clears them reliably.
 """
-import json, math, sys
+import json, math, multiprocessing, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+SUBPROCESS_RETRIES = 2
 
 
 def norm(v):
@@ -27,70 +38,98 @@ def norm(v):
     return v
 
 
-def main(out_dir, sf_dir):
+def compare_one(out_dir, sf_dir, name, sql):
+    """Run got-vs-oracle for one query; returns a one-line verdict.
+
+    Raises on DuckDB execution errors (caller decides about retries).
+    """
+    # fresh connection per query with bounded threads: one long-lived
+    # 32-thread connection develops allocator fragmentation after
+    # ~100 heavy queries on this box and starts failing tiny
+    # allocations on queries that pass in isolation
+    con = duckdb.connect()
+    try:
+        con.execute("SET threads=8")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+        got = con.execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        exp = con.execute(sql).fetchdf()
+    finally:
+        con.close()
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        return (f"FAIL {name}: columns {list(got.columns)} != "
+                f"{list(exp.columns)}", False)
+    if len(got) != len(exp):
+        return f"FAIL {name}: rows {len(got)} != {len(exp)}", False
+    for c in got.columns:
+        gv = [norm(x) for x in got[c].tolist()]
+        ev = [norm(x) for x in exp[c].tolist()]
+        for i, (g, e) in enumerate(zip(gv, ev)):
+            eq = (g == e) or (g is None and e is None) or \
+                (isinstance(g, float) and isinstance(e, float)
+                 and g == e)
+            # pandas NaT/None mixups
+            if not eq and str(g) == str(e):
+                eq = True
+            if not eq:
+                return (f"FAIL {name}: col {c} row {i}: "
+                        f"got {g!r} exp {e!r}", False)
+    return f"ok   {name} ({len(got)} rows)", True
+
+
+def _child(queue, out_dir, sf_dir, name, sql):
+    try:
+        queue.put(compare_one(out_dir, sf_dir, name, sql))
+    except Exception as e:
+        queue.put((f"FAIL {name}: exec error: {e}", False))
+
+
+def compare_in_subprocess(out_dir, sf_dir, name, sql):
+    ctx = multiprocessing.get_context("spawn")
+    queue = ctx.Queue()
+    p = ctx.Process(target=_child,
+                    args=(queue, out_dir, sf_dir, name, sql))
+    p.start()
+    try:
+        result = queue.get(timeout=300)
+    except Exception:
+        result = (f"FAIL {name}: subprocess timeout/crash", False)
+    p.join(10)
+    if p.is_alive():
+        p.terminate()
+    return result
+
+
+def main(out_dir, sf_dir, only):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
-        # fresh connection per query with bounded threads: one
-        # long-lived 32-thread connection develops allocator
-        # fragmentation after ~100 heavy queries on this box and
-        # starts failing tiny allocations ("bad allocation") on
-        # queries that pass in isolation
-        con = None
+        if only and name not in only:
+            continue
         try:
-            con = duckdb.connect()
-            con.execute("SET threads=8")
-            for t in TABLES:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"'{sf_dir}/{t}.parquet'")
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
-            exp = con.execute(sql).fetchdf()
+            line, ok = compare_one(out_dir, sf_dir, name, sql)
         except Exception as e:
-            print(f"FAIL {name}: exec error: {e}")
-            n_bad += 1
-            continue
-        finally:
-            if con is not None:
-                con.close()
-        got = got.reindex(sorted(got.columns), axis=1)
-        exp = exp.reindex(sorted(exp.columns), axis=1)
-        if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != "
-                  f"{list(exp.columns)}")
-            n_bad += 1
-            continue
-        if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
-            n_bad += 1
-            continue
-        bad = None
-        for c in got.columns:
-            gv = [norm(x) for x in got[c].tolist()]
-            ev = [norm(x) for x in exp[c].tolist()]
-            for i, (g, e) in enumerate(zip(gv, ev)):
-                eq = (g == e) or (g is None and e is None) or \
-                    (isinstance(g, float) and isinstance(e, float)
-                     and g == e)
-                # pandas NaT/None mixups
-                if not eq and str(g) == str(e):
-                    eq = True
-                if not eq:
-                    bad = (c, i, g, e)
-                    break
-            if bad:
-                break
-        if bad:
-            c, i, g, e = bad
-            print(f"FAIL {name}: col {c} row {i}: got {g!r} exp {e!r}")
-            n_bad += 1
-        else:
-            print(f"ok   {name} ({len(got)} rows)")
-            n_ok += 1
+            line, ok = f"FAIL {name}: exec error: {e}", False
+        # transient allocator failures: retry in a FRESH PROCESS —
+        # in-process retries inherit the poisoned allocator and keep
+        # failing; a clean process passes
+        attempt = 0
+        while (not ok and attempt < SUBPROCESS_RETRIES
+               and ("allocat" in line.lower()
+                    or "out of memory" in line.lower())):
+            line, ok = compare_in_subprocess(out_dir, sf_dir, name, sql)
+            attempt += 1
+        print(line, flush=True)
+        n_ok += ok
+        n_bad += not ok
     print(f"\n{n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
