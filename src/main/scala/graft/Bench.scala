@@ -123,18 +123,30 @@ object Bench {
           if (n < 0) Double.MaxValue else dt
         }
         if (toRetime(name)) {
-          val dt2 = sample()
           // This host shows bursty multi-minute noise windows:
           // identical runs of the same binary measured 30× apart (4 s
-          // vs 128 s, CPU steal ~6%). When the two samples STILL
-          // disagree by >2× and the better one is >2 s, take one
-          // tie-breaker so a single bad window can't set the number.
+          // vs 128 s, CPU steal ~6%), and back-to-back samples inside
+          // one window are CORRELATED — r9's official q_vec_neardup
+          // published 21.5 s (warm truth 1.4–1.8 s) because both
+          // best-of-2 samples hit the same window. So: keep sampling
+          // (up to 3 extra) while the valid samples of a still->2 s
+          // query disagree by >1.5×, and report the minimum.
           val dt1 = firstPass(name)
-          val dt3 =
-            if (math.min(dt1, dt2) > 2.0 &&
-                math.max(dt1, dt2) / math.min(dt1, dt2) > 2.0) sample()
-            else Double.MaxValue
-          retimes(name) = math.min(dt2, dt3)
+          var samples = List(dt1, sample()).filter(_ < Double.MaxValue)
+          var extra = 0
+          while (extra < 3 && samples.nonEmpty && samples.min > 2.0 &&
+              samples.max / samples.min > 1.5) {
+            val s = sample()
+            if (s < Double.MaxValue) samples ::= s
+            extra += 1
+          }
+          // dt1 participates in instability detection but pass-1
+          // already owns it; retimes carries the best NEW sample so a
+          // failed retime never replaces a valid first-pass number
+          (samples.filter(_ != dt1) match {
+            case Nil => None
+            case ss  => Some(ss.min)
+          }).foreach(retimes(name) = _)
         } else {
           // a sub-threshold cache build still has to RUN (warm state
           // for the family's retimed queries), just untimed
