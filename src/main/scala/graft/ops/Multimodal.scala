@@ -179,6 +179,44 @@ object Multimodal {
       }(enc)
   }
 
+  /** Paired-modality consistency gate — the LAION-400M curation rule
+    * for (text, image) training pairs: embed both sides with their
+    * respective encoders, keep pairs whose CROSS-MODAL cosine clears
+    * `tau` (a mismatched caption scores like a random pair and is
+    * dropped; LAION used CLIP similarity ≥ 0.3 at web scale). Inputs
+    * are two `(doc_id, feature)` frames — here produced by the
+    * [[extractFeatures]] stub encoder; a real CLIP text/image tower
+    * pair drops in with the same columns. Emits EVERY joined pair
+    * with its score and the keep verdict (`cross_cos`, `keep`) so the
+    * gate is auditable; docs missing either modality emit no row
+    * (there is no pair to train on). Zero-norm embeddings score NaN
+    * and are kept=false — the semanticSignatures guard, explicit
+    * because ANSI sessions would otherwise raise DIVIDE_BY_ZERO.
+    *
+    * Shape at scale: one doc_id equi-join + map-side arithmetic —
+    * embeddings are model-output-sized rows, the join is the shuffle
+    * a pairing fundamentally needs, and nothing is corpus-quadratic.
+    */
+  def pairConsistency(
+      textEmb: DataFrame,
+      imageEmb: DataFrame,
+      tau: Double = 0.9
+  ): DataFrame = {
+    val t = textEmb.select(col("doc_id"), col("feature").as("t_emb"))
+    val i = imageEmb.select(col("doc_id"), col("feature").as("i_emb"))
+    t.join(i, "doc_id")
+      .select(col("doc_id"),
+        when(Vector.decNorm(col("t_emb")) === 0.0 ||
+            Vector.decNorm(col("i_emb")) === 0.0, lit(Double.NaN))
+          .otherwise(Vector.decDot(col("t_emb"), col("i_emb")) /
+            (Vector.decNorm(col("t_emb")) *
+              Vector.decNorm(col("i_emb"))))
+          .as("cross_cos"))
+      .select(col("doc_id"), col("cross_cos"),
+        (!isnan(col("cross_cos")) && col("cross_cos") >= tau)
+          .as("keep"))
+  }
+
   /** 60-bit perceptual hash of the media payload — STUB: md5-derived
     * (the same deterministic stand-in contract as [[fakeDecode]]; a
     * real pHash — DCT of the decoded, downscaled image — drops in

@@ -49,6 +49,25 @@ object MultimodalQueries {
         .select(col("doc_id"),
           Vector.decNorm(col("feature")).as("l2_norm"))
         .orderBy(col("doc_id"))),
+    // paired-modality consistency gate (CLIP-score-style filter):
+    // text tower = stub encoder over the doc text; image tower = stub
+    // encoder over the doc's image bytes — stood in by the text, with
+    // a deterministic slice of captions MISMATCHED (prefixed payload
+    // ⇒ an unrelated embedding, scores like a random pair ≈ 0.75 for
+    // all-positive stub features, well under τ = 0.9) and another
+    // slice with no image at all (no pair → no row)
+    "q_mm_pair_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val imgDocs = docs.filter(col("doc_id") % 31 =!= 7)
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 4,
+            concat(lit("mismatched:"), col("text")))
+            .otherwise(col("text")).as("text"))
+      Multimodal.pairConsistency(
+        Multimodal.extractFeatures(docs),
+        Multimodal.extractFeatures(imgDocs), tau = 0.9)
+        .orderBy(col("doc_id"))
+    }),
     // perceptual-hash media near-dup: pigeonhole banding is exact, so
     // the brute-force n² hamming twin is the oracle (same contract as
     // q_text_simhash_neardup). The testdata has no byte-identical
@@ -105,6 +124,38 @@ object MultimodalQueries {
          |  CAST(ceil(width * scale) AS INT) AS out_w,
          |  CAST(ceil(height * scale) AS INT) AS out_h
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_mm_pair_filter" ->
+      """WITH im AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 4 THEN 'mismatched:' || text
+        |         ELSE text END AS itext
+        |  FROM documents WHERE doc_id % 31 <> 7),
+        |f AS (
+        |  SELECT d.doc_id, t.j,
+        |    CAST(CAST(CAST(('0x' || substr(
+        |        md5(d.text || ':' || CAST(t.j AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 16777216 AS DOUBLE) / 16777216.0 AS REAL)
+        |      AS x,
+        |    CAST(CAST(CAST(('0x' || substr(
+        |        md5(im.itext || ':' || CAST(t.j AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 16777216 AS DOUBLE) / 16777216.0 AS REAL)
+        |      AS y
+        |  FROM documents d JOIN im USING (doc_id),
+        |       generate_series(0, 15) AS t(j)),
+        |c AS (
+        |  -- ordered SUMs pin every fp fold to dimension order (the
+        |  -- q_mm_feature_norms contract)
+        |  SELECT doc_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY j)
+        |      AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY j)) AS nx,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |             ORDER BY j)) AS ny
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, dot / (nx * ny) AS cross_cos,
+        |  dot / (nx * ny) >= 0.9 AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_mm_feature_norms" ->
       """WITH f AS (
         |  SELECT d.doc_id,

@@ -73,6 +73,47 @@ class MultimodalSpec extends SparkSpec {
     assert(norms.forall(n => n > 0 && n < 4.0))   // 16 floats in [0,1)
   }
 
+  test("pairConsistency keeps matched pairs, drops planted mismatches, " +
+      "skips missing modalities, flags zero norms") {
+    val t = Seq(
+      (1L, Seq(1.0f, 0.0f)),      // matched: identical image emb
+      (2L, Seq(1.0f, 0.0f)),      // mismatched: orthogonal image emb
+      (3L, Seq(1.0f, 1.0f)),      // no image side → no row
+      (4L, Seq(0.0f, 0.0f)),      // zero norm → NaN, keep = false
+      (5L, Seq(3.0f, 4.0f))       // matched up to scale → cos = 1
+    ).toDF("doc_id", "feature")
+    val i = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (4L, Seq(1.0f, 0.0f)),
+      (5L, Seq(6.0f, 8.0f)),
+      (9L, Seq(1.0f, 0.0f))       // no text side → no row
+    ).toDF("doc_id", "feature")
+    val got = graft.ops.Multimodal.pairConsistency(t, i, tau = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("cross_cos"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 4L, 5L))
+    assert(got(1L) == ((1.0, true)))
+    assert(got(2L) == ((0.0, false)))
+    assert(got(4L)._1.isNaN && !got(4L)._2)
+    assert(math.abs(got(5L)._1 - 1.0) < 1e-12 && got(5L)._2)
+    // end-to-end through the stub encoders: a mismatched payload on
+    // the image side scores like a random pair (all-positive stub
+    // features concentrate near 0.75) and is dropped at τ = 0.9
+    val matchedT = Multimodal.extractFeatures(docs, dim = 16)
+    val mismatchedI = Multimodal.extractFeatures(
+      docs.select(col("doc_id"),
+        when(col("doc_id") === 3L, concat(lit("mismatched:"), col("text")))
+          .otherwise(col("text")).as("text")), dim = 16)
+    val e2e = graft.ops.Multimodal
+      .pairConsistency(matchedT, mismatchedI, tau = 0.9).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    assert(e2e(1L) && !e2e(3L))
+  }
+
   test("media near-dup: identical payloads pair at hamming 0, " +
       "banding equals brute force, distance budget respected") {
     val d = Seq(
