@@ -1413,15 +1413,17 @@ object Vector {
     require(iters >= 1, s"iters must be positive, got $iters")
     // Persisted exactly once: the edge list, so the Σ|list|² kNN
     // join runs a single time and every iteration joins against the
-    // cache. The pr lineage itself is left LAZY on purpose —
-    // iteration t's plan nominally re-derives t-1, but every leaf it
-    // touches is the cached edge table, so the recompute is a few
-    // in-memory joins; persisting each pr generation instead was
-    // MEASURED 5× slower end to end at sf0.1 (three extra
-    // materialization barriers outweigh re-running cheap cached-input
-    // joins; the dupClusters snapshot discipline pays off only past
-    // ~8 iterations, where O(iters²) replay would dominate — at the
-    // conventional 3 damped iterations it does not).
+    // cache. The pr lineage itself is left LAZY at the conventional
+    // iteration counts — iteration t's plan nominally re-derives t-1,
+    // but every leaf it touches is the cached edge table, so the
+    // recompute is a few in-memory joins; persisting each pr
+    // generation instead was MEASURED 5× slower end to end at sf0.1
+    // (three extra materialization barriers outweigh re-running cheap
+    // cached-input joins). Past ~8 iterations the O(iters²) replay
+    // flips the tradeoff, so deep runs truncate each generation to a
+    // lazy localCheckpoint (ENFORCED below, not just documented —
+    // the public API accepts any `iters`); the checkpoint blocks are
+    // registered for the session's family release.
     val edges = graft.Caches.track("vec",
       knnGraphAssigned(assigned, k)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
@@ -1441,8 +1443,31 @@ object Vector {
         .select(col("vec_id"),
           (lit(157286L) +
             expr("(17 * coalesce(s, 0L)) div 20")).as("pr_q20"))
+      if (iters > lazyLineageMaxIters) pr = truncateGeneration(pr)
     }
     pr
+  }
+
+  /** Iterations up to which the iterative graph operators
+    * ([[knnPagerankAssigned]], [[labelPropagationAssigned]]) leave
+    * per-generation lineage lazy (measured faster — see the
+    * persist-tradeoff note in knnPagerankAssigned); past this, each
+    * generation is truncated to a localCheckpoint so plan replay
+    * stays O(iters) instead of O(iters²).
+    */
+  val lazyLineageMaxIters = 8
+
+  /** Truncate one generation of an iterative frame to a LAZY
+    * localCheckpoint (materialized by the caller's next action, one
+    * job total — the dupClusters trick) and register its blocks for
+    * the vec-family release.
+    */
+  private def truncateGeneration(df: DataFrame): DataFrame = {
+    val snapped = df.localCheckpoint(eager = false)
+    graft.Caches.trackReleasable("vec")(() =>
+      org.apache.spark.sql.graftx.Bridge.leafRdd(snapped)
+        .foreach(_.unpersist(blocking = false)))
+    snapped
   }
 
   /** Centrality-ranked duplicate-cluster representative selection:
@@ -1575,6 +1600,10 @@ object Vector {
         .join(seedTbl.select(col("vec_id")), Seq("vec_id"),
           "left_anti")
       labels = seedTbl.unionByName(adopted)
+      // deep runs truncate per generation — the knnPagerankAssigned
+      // lineage discipline (lazy below the threshold, O(iters) above)
+      if (iters > lazyLineageMaxIters)
+        labels = truncateGeneration(labels)
     }
     assigned.select(col("vec_id"))
       .join(labels, Seq("vec_id"), "left")

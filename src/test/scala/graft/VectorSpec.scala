@@ -644,6 +644,46 @@ class VectorSpec extends SparkSpec {
     assert(got(5L) == 157286L) // dangling: base term only
   }
 
+  test("iterative graph ops run DEEP iteration counts to completion " +
+      "(per-generation truncation past the lazy-lineage threshold)") {
+    // iters = 10 > lazyLineageMaxIters exercises the localCheckpoint
+    // path end to end; values must still match the exact in-memory
+    // replay (truncation is a plan transform, never a value change)
+    val assigned = vecs.withColumn("list_id", col("label"))
+    val iters = Vec.lazyLineageMaxIters + 2
+    val edges = Vec.knnGraphAssigned(assigned, 2)
+      .select("vec_id", "nbr_id").as[(Long, Long)].collect()
+    val nodes = vecs.select("vec_id").as[Long].collect()
+    val deg = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.length.toLong
+    }
+    var pr = nodes.map(_ -> 1048576L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map
+        .empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => contrib(d0) += pr(s0) / deg(s0) }
+      pr = nodes.map(v => v -> (157286L + 17L * contrib(v) / 20L)).toMap
+    }
+    val got = Vec.knnPagerankAssigned(assigned, 2, iters)
+      .as[(Long, Long)].collect().toMap
+    assert(got == pr, s"got $got\nexp $pr")
+    // label propagation at the same depth: the hub fixture converges
+    // after round 1, so the deep run must return the same labels
+    val hub = Seq(
+      (1L, Array(0.995f, 0.1f, 0.0f), 0),
+      (2L, Array(0.995f, -0.1f, 0.0f), 0),
+      (9L, Array(1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .withColumn("list_id", col("label"))
+    val seeds = Seq((9L, 7)).toDF("vec_id", "lab")
+    val lp = Vec.labelPropagationAssigned(hub, seeds, k = 1,
+      iters = iters).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        Option(r.getAs[Any]("lab")).map(_.asInstanceOf[Int])).toMap
+    assert(lp == Map(1L -> Some(7), 2L -> Some(7), 9L -> Some(7)))
+    graft.Caches.release("vec")
+  }
+
   test("labelPropagationAssigned: seeds clamp, unlabeled adopt the " +
       "neighbor majority, isolated nodes stay unlabeled") {
     // one list: hub 9 seeded with label 7; satellites 1,2,3 point to
