@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// JUnit-XML reports from deleted suites linger in target/test-reports
+// and inflate naive tallies; clear the directory before each run so
+// the report set always mirrors the live suites.
+Test / testOptions += Tests.Setup { () =>
+  val dir = new java.io.File("target/test-reports")
+  Option(dir.listFiles).foreach(_.foreach(f => { f.delete(); () }))
+}
 run / fork := true
 // The driver parses the LAST stdout line of `runMain graft.Bench` as
 // JSON; sbt's trailing "[success] Total time..." line was breaking

@@ -45,6 +45,20 @@ class GraftApiSpec extends SparkSpec {
     assert(collisions.isEmpty, s"colliding query names: $collisions")
   }
 
+  /** At 148 queries / 137 oracles the registry is big enough that one
+    * silently dropped from a module map (or an oracle demoted to
+    * rows-only by a typo'd key) is invisible in review. Pin the exact
+    * split; adding an operator means bumping these two numbers in the
+    * same commit — a cheap, deliberate act. A drop in either without
+    * a bump fails here long before the driver's sweep would notice.
+    */
+  test("registry size is pinned: any drift fails deliberately") {
+    assert(SparkEntry.queries.size == 148,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 148")
+    assert(SparkEntry.oracleSql.size == 137,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 137")
+  }
+
   test("doc surface composes end to end") {
     assert(docs.dedupExact.count() == 2)
     assert(docs.dupGroups.columns.contains("n_dups"))
