@@ -86,11 +86,20 @@ object StreamBench {
     // Docs stream in deterministic doc_id order, quartered into
     // batches; the first (unmeasured) batch warms codegen and seeds
     // the store so the timed batches pay realistic state sizes.
-    val docs = Tables.documents(spark, sfDir)
+    // SPARK_GRAFT_STREAM_SCALE=k clones the corpus k× (unique ids, a
+    // per-clone text salt so clones are NOT exact dups and the gates
+    // do full work) — the amortization sweep the r9 verdict asked
+    // for: per-doc rate at 1.2k-doc batches vs 25k+-doc batches,
+    // isolating the fixed per-micro-batch planning term.
+    val scale = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE", "1").toInt
+    val baseDocs = Tables.documents(spark, sfDir)
       .select("doc_id", "text")
       .collect()
       .map(r => (r.getLong(0), r.getString(1)))
-      .sortBy(_._1)
+    val docs = (0 until scale).flatMap { c =>
+      baseDocs.map { case (id, t) =>
+        (id + c.toLong * 100000000L, if (c == 0) t else t + " #c" + c) }
+    }.sortBy(_._1).toArray
     val perDocBatch = docs.length / 4
     val docsIn = MemoryStream[(Long, String)]
     val store = new streaming.IngestPipeline.MemoryStore(spark)
@@ -117,7 +126,7 @@ object StreamBench {
       val n = docs.length - perDocBatch
       val line2 =
         s"""{"metric":"ingest_gate_docs_per_sec","value":${(n / dt).toLong},""" +
-          s""""docs":$n,"admitted":$admitted,"seconds":$dt,"batches":$timed,"sf":"$sfDir"}"""
+          s""""docs":$n,"admitted":$admitted,"seconds":$dt,"batches":$timed,"scale":$scale,"sf":"$sfDir"}"""
       println(line2)
       val out2 = new java.io.File(sys.env.getOrElse(
         "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
@@ -130,12 +139,21 @@ object StreamBench {
     // the accumulating unit-vector artifact store (offline metadata
     // assignment: list = stored label, the deployment form without a
     // quantizer in the loop). Same warm-batch protocol as the others.
-    val vecs = Tables.embeddings(spark, sfDir)
+    val baseVecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding", "label")
       .collect()
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).toArray, r.getInt(2)))
-      .sortBy(_._1)
+    // clones rotate the embedding by c dims: cheap, deterministic,
+    // norm-preserving, and far from the original in cosine — so the
+    // scaled gate admits them and the artifact store keeps growing
+    // (the realistic state-size regime), instead of rejecting every
+    // clone as an exact semantic dup.
+    val vecs = (0 until scale).flatMap { c =>
+      baseVecs.map { case (id, e, lab) =>
+        val r = c % math.max(1, e.length)
+        (id + c.toLong * 100000000L, e.drop(r) ++ e.take(r), lab) }
+    }.sortBy(_._1).toArray
     val perVecBatch = vecs.length / 4
     val vecsIn = MemoryStream[(Long, Array[Float], Int)]
     val semStore = new streaming.SemanticIngestPipeline.MemoryStore(spark)
@@ -164,7 +182,7 @@ object StreamBench {
       val n = vecs.length - perVecBatch
       val line3 =
         s"""{"metric":"semantic_gate_vecs_per_sec","value":${(n / dt).toLong},""" +
-          s""""vecs":$n,"admitted":$semAdmitted,"seconds":$dt,"batches":$timed,"sf":"$sfDir"}"""
+          s""""vecs":$n,"admitted":$semAdmitted,"seconds":$dt,"batches":$timed,"scale":$scale,"sf":"$sfDir"}"""
       println(line3)
       val out3 = new java.io.File(sys.env.getOrElse(
         "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
