@@ -89,6 +89,22 @@ object Graft {
     /** Canonical normalization (control chars, whitespace, case,
       * accent folding) — run before hashing/dedup. */
     def normalized: DataFrame = ops.Text.normalizeText(docs)
+    /** Flesch-style reading-ease signal (exact integer counts +
+      * milli-point score). */
+    def readabilityScored: DataFrame = ops.Text.readability(docs)
+    /** Out-of-vocabulary rate vs the corpus' top-V token vocabulary
+      * (exact integer ppm). */
+    def oovRated(vocabSize: Int): DataFrame =
+      ops.Text.oovRate(docs, vocabSize)
+    /** Per-source curation profile: docs, langs, exact-dup docs,
+      * token volume, mean length. */
+    def sourceProfiled: DataFrame = ops.Text.sourceProfile(docs)
+    /** Term-denylist gate (single compiled word-boundary regex);
+      * `keep = false` returns the rejected docs with the matched
+      * term. */
+    def blocklistFiltered(
+        terms: Seq[String], keep: Boolean = true): DataFrame =
+      ops.Text.blocklistFilter(docs, terms, keep)
     /** PSI quality-distribution drift of this corpus (as reference)
       * against a newer version. */
     def qualityDriftTo(cur: DataFrame, nBuckets: Int = 10): DataFrame =
@@ -425,6 +441,14 @@ object Graft {
       * the exact one — exact-integer ppm per query. */
     def recallAtK(exact: DataFrame, k: Int): DataFrame =
       ops.Vector.recallAtK(embs, exact, k)
+    /** Local clustering coefficient over the within-list kNN graph
+      * (frame must carry `list_id`; exact integer ppm). */
+    def triangleCoefficientAssigned(k: Int = 3): DataFrame =
+      ops.Vector.triangleCoefficientAssigned(embs, k)
+    /** Per-label centroid drift against another embedding snapshot
+      * (exact q16 integer skeleton + floor-ppm cosine). */
+    def centroidDriftTo(other: DataFrame): DataFrame =
+      ops.Vector.centroidDriftQ16(embs, other)
     /** Reciprocal-rank fusion of this `(id, rank)` frame with other
       * rankings (exact q20 integers). */
     def rrfFusedWith(others: Seq[DataFrame], k: Int, k0: Int = 60)

@@ -631,4 +631,32 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts")
       )
       .orderBy(col("l_returnflag"))
+
+  /** Cohort retention — the product-analytics table every event
+    * warehouse serves (cohort = a user's first active day; retention
+    * = distinct users of that cohort active again `offset` days
+    * later). Three narrow aggregations: distinct (user, day)
+    * activity — the only corpus-sized shuffle, with map-side
+    * combine; a per-user min for the cohort; a (cohort, offset)
+    * count-distinct whose key domain is #days·maxOffset. The
+    * self-attribution is a many-to-one join into the per-user cohort
+    * table on the already-shuffled user key — at 100 TB of events
+    * this is the canonical two-shuffle plan, nothing quadratic.
+    */
+  def cohortRetention(events: DataFrame, maxOffset: Int): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      // "day_offset", not "offset" — OFFSET is reserved in ANSI/the
+      // oracle engine and the name must match across both plans
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

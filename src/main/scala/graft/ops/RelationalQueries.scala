@@ -63,6 +63,11 @@ object RelationalQueries {
       setOps(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_scalar_funcs" -> ((s, d) => scalarFuncs(Tables.orders(s, d))),
     "q_events_per_day" -> ((s, d) => eventsPerDay(Tables.events(s, d))),
+    // cohort retention (first-active-day cohorts, 0..7-day offsets):
+    // two narrow aggregations + a many-to-one cohort join
+    "q_events_retention" -> ((s, d) =>
+      cohortRetention(Tables.events(s, d), maxOffset = 7)
+        .orderBy(col("cohort_day"), col("day_offset"))),
     "q_sliding_window" -> ((s, d) =>
       slidingWindowAgg(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) =>
@@ -300,6 +305,19 @@ object RelationalQueries {
       """SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day
+        |      FROM days GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, d.day) AS INT)
+        |    AS day_offset,
+        |  COUNT(DISTINCT d.user_id) AS n_users
+        |FROM days d JOIN c ON d.user_id = c.user_id
+        |WHERE date_diff('day', c.cohort_day, d.day) <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sliding_window" ->
       """WITH b AS (

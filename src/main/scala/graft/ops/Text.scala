@@ -2594,4 +2594,139 @@ object Text {
       .withColumn("waste_ratio",
         col("waste_tokens").cast("double") / col("padded_tokens"))
   }
+
+  /** Flesch-style readability signal in exact integer arithmetic —
+    * the reading-ease quality gate next to [[qualityScore]] (C4 and
+    * its descendants filter on sentence shape; reading-ease is the
+    * classical single-number form of that). Counts are regex-derived
+    * integers in the Java∩RE2 subset (the [[piiRedact]] discipline):
+    * sentences = runs of `[.!?]`, syllables ≈ vowel-group runs per
+    * lowercased text (the standard dictionary-free approximation),
+    * words = whitespace tokens. The score is the Flesch formula with
+    * milli-point coefficients evaluated in BIGINT floor division
+    * (`div` here, `//` in the oracle — identical on the non-negative
+    * operands these counts produce):
+    *
+    *   flesch_milli = 206835 − (1015·W) div S − (84600·Y) div W
+    *
+    * Pure scan-stage string work — no shuffle, whole-stage codegen;
+    * at 100 TB this runs at parquet-scan speed.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = greatest(size(tokens(col("text"))), lit(1)).cast("long")
+    val s = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+      lit(1)).cast("long")
+    val y = greatest(
+      size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0))),
+      lit(1)).cast("long")
+    docs.select(col("doc_id"),
+      w.as("n_words"), s.as("n_sents"), y.as("n_syll"))
+      .withColumn("flesch_milli",
+        lit(206835L) - expr("(1015 * n_words) div n_sents") -
+          expr("(84600 * n_syll) div n_words"))
+  }
+
+  /** Out-of-vocabulary rate against the corpus' own top-`vocabSize`
+    * token vocabulary — the tokenizer-fit signal of a training
+    * pipeline (a doc whose tokens mostly fall outside the vocab head
+    * will shatter into rare pieces under any tokenizer fitted on
+    * this corpus; high OOV is also the standard "wrong language /
+    * binary junk" tell). Vocabulary = the `vocabSize` most frequent
+    * tokens with a deterministic tie-break (count DESC, token ASC) —
+    * a row_number window over the aggregated token-frequency table,
+    * which is vocabulary-sized, NOT corpus-sized, so the window and
+    * the subsequent membership join broadcast. Per-doc rate is exact
+    * integer ppm: `oov_ppm = (10⁶·n_oov) div n_tokens` (0 for empty
+    * docs). Shape at scale: one token-frequency aggregation
+    * (map-side combine), one broadcast membership join on the
+    * exploded tokens, one per-doc re-aggregation — no corpus-wide
+    * shuffle beyond the frequency count every scorer here already
+    * pays.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("tf").desc, col("token"))))
+      .filter(col("rn") <= vocabSize)
+      .select(col("token"))
+    val perDoc = toks
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+        Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("n_oov"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("(1000000 * n_oov) div n_tokens")))
+  }
+
+  /** Per-source corpus profile — the curation dashboard's first
+    * table (web-scale pipelines budget, gate, and debug BY SOURCE:
+    * FineWeb/Dolma both publish exactly this shape): per `source`,
+    * doc count, distinct languages, exact-duplicate docs (content
+    * hash shared with ANY doc corpus-wide — cross-source dups count
+    * in both sources, which is the number an ops review wants), token
+    * volume, and mean length in exact milli-chars
+    * (`(1000·Σchars) div n`). Shape: one md5-groupBy for global dup
+    * counts joined back id→hash (many-to-one into an aggregated
+    * table), one per-source aggregation — two narrow shuffles,
+    * output rows = #sources.
+    */
+  def sourceProfile(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"), size(tokens(col("text"))).as("n_toks"),
+      md5(col("text").cast("binary")).as("h"))
+    val dupCounts = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_same"))
+    hashed.join(dupCounts, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("n_same") >= 2, 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("mean_chars_milli",
+        expr("(1000 * sum_chars) div n_docs"))
+  }
+
+  /** Blocklist gate — the URL/term-denylist filter every web-corpus
+    * pipeline runs first (C4's badwords filter, UT1 domain lists):
+    * drop documents containing any blocklisted term as a whole word.
+    * The list compiles into ONE alternation regex anchored by word
+    * boundaries (`\b(t1|t2|…)\b`, Java∩RE2 subset, terms
+    * regex-escaped) — a single scan-stage `rlike` per doc, codegen,
+    * zero joins and zero shuffles, which is the right shape for a
+    * list of thousands of terms at 100 TB (a broadcast join against
+    * the exploded token table would pay an explode for what one
+    * DFA-ish scan does for free). Emits the kept set by default;
+    * `keep = false` returns the rejected docs with the first matched
+    * term for audit.
+    */
+  def blocklistFilter(
+      docs: DataFrame,
+      terms: Seq[String],
+      keep: Boolean = true
+  ): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val pat = terms.map(java.util.regex.Pattern.quote)
+      .mkString("\\b(", "|", ")\\b")
+    val hit = lower(col("text")).rlike(pat)
+    if (keep) docs.filter(!hit)
+    else docs.filter(hit)
+      .withColumn("matched_term",
+        regexp_extract(lower(col("text")), pat, 1))
+  }
 }

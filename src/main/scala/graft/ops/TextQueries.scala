@@ -318,6 +318,27 @@ object TextQueries {
     "q_text_entropy" -> ((s, d) =>
       Text.tokenEntropy(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    // Flesch reading-ease: regex counts + milli-point score, all
+    // BIGINT floor division — scan-stage only, bitwise twin
+    "q_text_readability" -> ((s, d) =>
+      Text.readability(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    // OOV rate vs the corpus' own top-50 vocabulary (count DESC,
+    // token ASC tie-break) — exact integer ppm
+    "q_text_oov_rate" -> ((s, d) =>
+      Text.oovRate(Tables.documents(s, d), vocabSize = 50)
+        .orderBy(col("doc_id"))),
+    // per-source curation profile; dup counts are corpus-global
+    "q_text_source_profile" -> ((s, d) =>
+      Text.sourceProfile(Tables.documents(s, d))
+        .orderBy(col("source"))),
+    // denylist gate in audit form (rejected docs + matched term);
+    // terms chosen to actually hit the synthetic corpus
+    "q_text_blocklist" -> ((s, d) =>
+      Text.blocklistFilter(Tables.documents(s, d),
+        Seq("vector", "spark"), keep = false)
+        .select(col("doc_id"), col("matched_term"))
+        .orderBy(col("doc_id"))),
     "q_text_chunks" -> ((s, d) =>
       Text.chunkDocs(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
@@ -1014,6 +1035,76 @@ object TextQueries {
         |  CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT)
         |    - sum_c_lnc_q20 // n_tokens AS entropy_q20
         |FROM a ORDER BY doc_id""".stripMargin,
+    // readability: regex counts (runs of [.!?] / vowel groups) and
+    // the Flesch formula in BIGINT floor division — `//` == `div` on
+    // these non-negative operands
+    "q_text_readability" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    GREATEST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len($toksSql) END AS BIGINT), 1) AS n_words,
+         |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |      AS BIGINT), 1) AS n_sents,
+         |    GREATEST(CAST(len(regexp_extract_all(lower(text),
+         |      '[aeiouy]+')) AS BIGINT), 1) AS n_syll
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sents, n_syll,
+         |  206835 - (1015 * n_words) // n_sents
+         |         - (84600 * n_syll) // n_words AS flesch_milli
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // OOV vs the top-50 vocabulary; vocab tie-break (tf DESC, token
+    // ASC) pinned by row_number, rate in exact integer ppm
+    "q_text_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(CASE WHEN length(trim(text)) = 0
+         |    THEN CAST([] AS VARCHAR[]) ELSE $toksSql END) AS token
+         |  FROM documents),
+         |v AS (
+         |  SELECT token FROM (
+         |    SELECT token,
+         |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+         |    FROM toks GROUP BY token) WHERE rn <= 50),
+         |p AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_oov
+         |  FROM toks t LEFT JOIN v ON t.token = v.token
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  COALESCE(p.n_oov, 0) AS n_oov,
+         |  CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0
+         |       ELSE (1000000 * p.n_oov) // p.n_tokens END AS oov_ppm
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // per-source profile; n_dup_docs counts docs whose content hash
+    // repeats ANYWHERE in the corpus (cross-source dups count twice)
+    "q_text_source_profile" ->
+      s"""WITH ha AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len($toksSql) END AS BIGINT) AS n_toks,
+         |    md5(text) AS h
+         |  FROM documents),
+         |dc AS (SELECT h, COUNT(*) AS n_same FROM ha GROUP BY 1)
+         |SELECT ha.source, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT ha.lang) AS n_langs,
+         |  CAST(SUM(CASE WHEN dc.n_same >= 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(ha.n_toks) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(ha.n_chars) AS BIGINT) AS sum_chars,
+         |  (1000 * CAST(SUM(ha.n_chars) AS BIGINT)) // COUNT(*)
+         |    AS mean_chars_milli
+         |FROM ha JOIN dc ON ha.h = dc.h
+         |GROUP BY ha.source ORDER BY ha.source""".stripMargin,
+    // denylist audit form: \b(term|term)\b in the Java∩RE2 subset
+    "q_text_blocklist" ->
+      """SELECT doc_id,
+        |  regexp_extract(lower(text), '\b(vector|spark)\b', 1)
+        |    AS matched_term
+        |FROM documents
+        |WHERE regexp_matches(lower(text), '\b(vector|spark)\b')
+        |ORDER BY doc_id""".stripMargin,
     "q_text_boilerplate" ->
       """WITH pd AS (
         |  SELECT doc_id,

@@ -1850,4 +1850,94 @@ object Vector {
     embeddings.withColumn("cent", cent)
       .select(col("vec_id"), array(comps: _*).as("proj"))
   }
+
+  /** Local clustering coefficient over the within-list kNN graph —
+    * the graph-density quality signal that complements
+    * [[knnPagerankAssigned]] (centrality says "how connected"; the
+    * clustering coefficient says "how clique-like"): a vector whose
+    * neighbors are also each other's neighbors sits in a tight
+    * near-duplicate clump, one with a star-shaped neighborhood is a
+    * genuine hub. Edges come from [[knnGraphAssigned]] (same k, same
+    * list discipline), symmetrized to undirected support pairs
+    * (LEAST/GREATEST + distinct); triangles enumerate by the ordered
+    * two-hop join a<b<c, then attribute to all three corners.
+    * Exact integers end to end:
+    * `coeff_ppm = (2·10⁶·T) div (deg·(deg−1))`, 0 when deg < 2.
+    *
+    * Scale shape: |edges| ≤ k·n after symmetrization, and every
+    * vertex has degree ≤ 2k, so the two-hop join emits ≤ 2k rows per
+    * edge — O(k²·n) triangle candidates total, linear in corpus size
+    * for fixed k. Nothing touches an embedding after the kNN build.
+    */
+  def triangleCoefficientAssigned(
+      assigned: DataFrame, k: Int): DataFrame = {
+    val und = graft.Caches.track("vec",
+      knnGraphAssigned(assigned, k)
+        .select(least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b"))
+        .distinct())
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    val triPerV = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerV, Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_ppm",
+        when(col("degree") >= 2,
+          expr("(2000000 * n_tri) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Per-label centroid drift between two embedding snapshots — the
+    * embedding-space twin of `Text.qualityDrift` (re-embedding a
+    * corpus with a new encoder, or ingesting a new crawl, silently
+    * moves the geometry under every fitted quantizer/classifier;
+    * this is the audit that catches it). Each side reduces to
+    * per-(label, dim) SUMS of q16-quantized coordinates
+    * (`⌊x·2¹⁶⌋`, the [[pcaMomentsQ16]] convention) — exact longs,
+    * and cosine is scale-invariant so the centroid cosine equals the
+    * cosine of the dim-sum vectors, no division by n anywhere. The
+    * exact-integer skeleton (`dot_q`, `na2_q`, `nb2_q`, counts) is
+    * the hash-compared contract; `cos_ppm` = ⌊10⁶·dot/√(na2·nb2)⌋
+    * evaluates the SAME IEEE-double expression in both engines on
+    * those exact longs (floor, not round — no half-way mode to
+    * disagree on). Overflow bound documented like pcaMomentsQ16:
+    * per-label Σ|xq| < 2³¹ holds to ~2¹⁵ vectors/label/side at unit
+    * norm; beyond that, pre-aggregate per shard.
+    *
+    * Shape at scale: two scans (one per side) each reducing to
+    * #labels·d rows of longs, one broadcast-sized join on
+    * (label, dim), one #labels-row output. The drift of two 100 TB
+    * snapshots moves d longs per label, never a vector.
+    */
+  def centroidDriftQ16(a: DataFrame, b: DataFrame): DataFrame = {
+    def side(df: DataFrame, s: String): DataFrame = df
+      .select(col("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 65536).cast("long")))
+          .as(Seq("i", "xq")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("xq")).as(s"s$s"), count(lit(1)).as(s"n$s"))
+    side(a, "a").join(side(b, "b"), Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("sa") * col("sb")).as("dot_q"),
+        sum(col("sa") * col("sa")).as("na2_q"),
+        sum(col("sb") * col("sb")).as("nb2_q"))
+      .withColumn("cos_ppm",
+        when(col("na2_q") === 0 || col("nb2_q") === 0, lit(0L))
+          .otherwise(floor(
+            lit(1000000.0) * col("dot_q").cast("double") /
+              sqrt(col("na2_q").cast("double") *
+                col("nb2_q").cast("double"))).cast("long")))
+  }
 }

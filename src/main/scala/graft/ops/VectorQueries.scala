@@ -174,6 +174,24 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         k = 3)
         .orderBy(col("vec_id"), col("rank"))),
+    // local clustering coefficient over the same oracle-green edge
+    // set: symmetrized support pairs, ordered two-hop triangle join,
+    // exact integer ppm end to end
+    "q_vec_triangle_coeff" -> ((s, d) =>
+      Vector.triangleCoefficientAssigned(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        k = 3)
+        .orderBy(col("vec_id"))),
+    // per-label centroid drift between the even-/odd-id snapshot
+    // halves: exact q16 dim-sum skeleton, floor-ppm cosine evaluated
+    // on the same IEEE doubles in both engines
+    "q_vec_centroid_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Vector.centroidDriftQ16(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+        .orderBy(col("label"))
+    }),
     // D4-style density pruning over the same graph: mean top-k
     // neighbor cosine in rank order (deterministic fold, ordered-SUM
     // twin), keep = not overdense
@@ -577,6 +595,88 @@ object VectorQueries {
         |  FROM p WHERE NOT isnan(cos_sim))
         |SELECT vec_id, nbr_id, cos_sim, "rank" FROM r
         |WHERE "rank" <= 3 ORDER BY vec_id, "rank"""".stripMargin,
+    // clustering coefficient: the q_vec_knn_graph edge fragment,
+    // symmetrized (LEAST/GREATEST distinct), ordered two-hop
+    // triangle enumeration a<b<c, each triangle credited to all
+    // three corners; `//` == `div` on the non-negative operands
+    "q_vec_triangle_coeff" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |ed AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+        |         GREATEST(vec_id, nbr_id) AS b
+        |       FROM r WHERE rk <= 3),
+        |deg AS (SELECT v, COUNT(*) AS degree FROM (
+        |          SELECT a AS v FROM ed
+        |          UNION ALL SELECT b FROM ed) GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+        |        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tv AS (SELECT v, COUNT(*) AS n_tri FROM (
+        |         SELECT x AS v FROM tri
+        |         UNION ALL SELECT y FROM tri
+        |         UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT deg.v AS vec_id, deg.degree,
+        |  COALESCE(tv.n_tri, 0) AS n_tri,
+        |  CASE WHEN deg.degree >= 2
+        |       THEN (2000000 * COALESCE(tv.n_tri, 0))
+        |            // (deg.degree * (deg.degree - 1))
+        |       ELSE 0 END AS coeff_ppm
+        |FROM deg LEFT JOIN tv ON tv.v = deg.v
+        |ORDER BY vec_id""".stripMargin,
+    // centroid drift: q16 dim-sums per (label, dim) on each id-parity
+    // half; cosine of the sum vectors == cosine of the centroids
+    // (scale invariance), floor-ppm on identical IEEE doubles
+    "q_vec_centroid_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 65536)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings),
+        |a AS (SELECT label, i, CAST(SUM(xq) AS BIGINT) AS sa,
+        |        COUNT(*) AS na
+        |      FROM q WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |b AS (SELECT label, i, CAST(SUM(xq) AS BIGINT) AS sb,
+        |        COUNT(*) AS nb
+        |      FROM q WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+        |j AS (SELECT a.label, a.sa, a.na, b.sb, b.nb
+        |      FROM a JOIN b ON a.label = b.label AND a.i = b.i)
+        |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CAST(SUM(sa * sb) AS BIGINT) AS dot_q,
+        |  CAST(SUM(sa * sa) AS BIGINT) AS na2_q,
+        |  CAST(SUM(sb * sb) AS BIGINT) AS nb2_q,
+        |  CASE WHEN CAST(SUM(sa * sa) AS BIGINT) = 0
+        |         OR CAST(SUM(sb * sb) AS BIGINT) = 0 THEN 0
+        |       ELSE CAST(floor(1000000.0 *
+        |         CAST(SUM(sa * sb) AS DOUBLE) /
+        |         sqrt(CAST(SUM(sa * sa) AS DOUBLE) *
+        |              CAST(SUM(sb * sb) AS DOUBLE))) AS BIGINT)
+        |  END AS cos_ppm
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
     // label propagation: knn edges over label%4 lists → seeds →
     // three unrolled majority-vote rounds (votes DESC, lab ASC
     // argmax; seeds clamped via NOT IN)

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 148,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 148")
-    assert(SparkEntry.oracleSql.size == 137,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 137")
+    assert(SparkEntry.queries.size == 155,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 155")
+    assert(SparkEntry.oracleSql.size == 144,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 144")
   }
 
   test("doc surface composes end to end") {
@@ -219,6 +219,12 @@ class GraftApiSpec extends SparkSpec {
       "tokenEntropy" -> "tokenEntropy",
       "corpusDiff" -> "corpusDiffTo",
       "normalizeText" -> "normalized",
+      "readability" -> "readabilityScored",
+      "oovRate" -> "oovRated",
+      "sourceProfile" -> "sourceProfiled",
+      "blocklistFilter" -> "blocklistFiltered",
+      "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
+      "centroidDriftQ16" -> "centroidDriftTo",
       "mixtureEpochPlan" -> "mixtureEpochPlan",
       "qualityDrift" -> "qualityDriftTo",
       "rrfFuse" -> "rrfFusedWith",

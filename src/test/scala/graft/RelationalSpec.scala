@@ -87,4 +87,30 @@ class RelationalSpec extends SparkSpec {
     // ordered by score desc, member asc
     assert(out.map(_.getAs[Long]("member")).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("cohort retention: first-day cohorts, distinct-user offsets") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: cohort day0, returns day1 (twice that day — distinct!)
+      (1L, "2026-03-01 08:00:00"), (1L, "2026-03-02 09:00:00"),
+      (1L, "2026-03-02 21:00:00"),
+      // u2: cohort day0 only
+      (2L, "2026-03-01 12:00:00"),
+      // u3: cohort day1, returns day3 (offset 2)
+      (3L, "2026-03-02 10:00:00"), (3L, "2026-03-04 10:00:00"),
+      // u4: cohort day0, returns past maxOffset → dropped
+      (4L, "2026-03-01 01:00:00"), (4L, "2026-03-20 01:00:00")
+    ).toDF("user_id", "ts_s")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val out = Relational.cohortRetention(events, maxOffset = 7)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Int]("day_offset")) -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(out == Map(
+      ("2026-03-01", 0) -> 3L,   // u1, u2, u4
+      ("2026-03-01", 1) -> 1L,   // u1 (two events, one user)
+      ("2026-03-02", 0) -> 1L,   // u3
+      ("2026-03-02", 2) -> 1L))  // u3 on day 4
+  }
 }

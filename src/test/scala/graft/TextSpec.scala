@@ -1356,4 +1356,71 @@ class TextSpec extends SparkSpec {
     assert(b(64L) == ((1L, 64L, 0L)))     // n=64 exactly fills
     assert(b(128L) == ((1L, 65L, 63L)))   // n=65 → bucket 128
   }
+
+  test("readability: exact counts and integer Flesch score") {
+    val d = Seq(
+      (1L, "The cat sat. The dog ran!", "en", "s", 0L),
+      (2L, "", "en", "s", 0L)             // empty → all floors kick in
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Text.readability(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_sents"),
+          r.getAs[Long]("n_syll"), r.getAs[Long]("flesch_milli")))
+      .toMap
+    // 6 words, 2 sentence runs, 6 vowel groups (e,a,a,e,o,a):
+    // 206835 - (1015*6) div 2 - (84600*6) div 6 = 119190
+    assert(r(1L) == ((6L, 2L, 6L, 119190L)))
+    // empty text: every count floors to 1 → 206835 - 1015 - 84600
+    assert(r(2L) == ((1L, 1L, 1L, 121220L)))
+  }
+
+  test("oovRate: top-V vocab with deterministic tie-break, ppm") {
+    val d = Seq(
+      (1L, "x x y", "en", "s", 0L),
+      (2L, "x z", "en", "s", 0L),
+      (3L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // tf: x=3, y=1, z=1 → top-2 = {x, y} (tie y<z broken by token)
+    val out = Text.oovRate(d, vocabSize = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("oov_ppm"))).toMap
+    assert(out(1L) == ((3L, 0L, 0L)))
+    assert(out(2L) == ((2L, 1L, 500000L)))
+    assert(out(3L) == ((0L, 0L, 0L)))     // empty doc present, 0-filled
+  }
+
+  test("sourceProfile: corpus-global dup counts, per-source rollup") {
+    val d = Seq(
+      (1L, "same text here", "en", "a", 14L),
+      (2L, "same text here", "de", "b", 14L),  // cross-source dup
+      (3L, "unique alpha", "en", "a", 12L),
+      (4L, "unique beta words", "en", "b", 17L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.sourceProfile(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"),
+          r.getAs[Long]("n_dup_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("mean_chars_milli"))).toMap
+    // dup pair spans sources a/b → counts once in EACH profile
+    assert(out("a") == ((2L, 1L, 1L, 5L, 13000L)))
+    assert(out("b") == ((2L, 2L, 1L, 6L, 15500L)))
+  }
+
+  test("blocklistFilter: word-boundary gate, keep and audit forms") {
+    val d = Seq(
+      (1L, "a clean document", "en", "s", 0L),
+      (2L, "mentions Spark here", "en", "s", 0L),   // case-folded hit
+      (3L, "sparkling is fine", "en", "s", 0L),     // \b guards prefix
+      (4L, "vector soup", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val terms = Seq("vector", "spark")
+    val kept = Text.blocklistFilter(d, terms).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    val audit = Text.blocklistFilter(d, terms, keep = false)
+      .select("doc_id", "matched_term").as[(Long, String)]
+      .collect().toMap
+    assert(audit == Map(2L -> "spark", 4L -> "vector"))
+  }
 }

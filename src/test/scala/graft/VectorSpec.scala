@@ -958,4 +958,48 @@ class VectorSpec extends SparkSpec {
       assert(math.abs(v - 1.0) < 1e-4, s"whitened var[$c] = $v")
     }
   }
+
+  test("triangleCoefficient: K4 clump scores 1.0, far pairs score 0") {
+    // list 0: four mutually-near vectors — k=3 makes the kNN graph
+    // complete (K4): 4 triangles, each corner in 3, coeff exactly 1
+    val clump = Seq(
+      (0L, Array(1.0f, 0.00f)), (1L, Array(1.0f, 0.01f)),
+      (2L, Array(1.0f, 0.02f)), (3L, Array(1.0f, 0.03f)))
+    // list 1: two tight pairs far apart — the kNN still ranks all 3
+    // in-list others, but symmetrized support of a 4-clique is again
+    // complete, so isolate the pair case in its own 2-vector list
+    val pairA = Seq((10L, Array(0.0f, 1.0f)), (11L, Array(0.01f, 1.0f)))
+    val df = (clump.map { case (id, e) => (id, e, 0) } ++
+      pairA.map { case (id, e) => (id, e, 1) })
+      .toDF("vec_id", "embedding", "list_id")
+    val out = Vec.triangleCoefficientAssigned(df, k = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"),
+          r.getAs[Long]("coeff_ppm"))).toMap
+    for (id <- 0L to 3L)
+      assert(out(id) == ((3L, 3L, 1000000L)), s"vec $id: ${out(id)}")
+    // the isolated pair: degree 1, no triangle, coefficient 0
+    assert(out(10L) == ((1L, 0L, 0L)))
+    assert(out(11L) == ((1L, 0L, 0L)))
+  }
+
+  test("centroidDrift: identical halves cos 1, orthogonal cos 0") {
+    val a = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // label 0 side A: x-axis
+      (2L, Array(0.0f, 1.0f), 1))   // label 1 side A: y-axis
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq(
+      (1L, Array(1.0f, 0.0f), 0),   // label 0 side B: identical
+      (3L, Array(1.0f, 0.0f), 1))   // label 1 side B: orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val out = Vec.centroidDriftQ16(a, b).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("dot_q"), r.getAs[Long]("na2_q"),
+          r.getAs[Long]("nb2_q"), r.getAs[Long]("cos_ppm"))).toMap
+    val q = 65536L
+    // identical centroids: dot = na2 = nb2 = 2^32, cosine exactly 1
+    assert(out(0) == ((q * q, q * q, q * q, 1000000L)))
+    // orthogonal: dot 0, cosine exactly 0
+    assert(out(1) == ((0L, q * q, q * q, 0L)))
+  }
 }
