@@ -105,6 +105,14 @@ object Graft {
     def blocklistFiltered(
         terms: Seq[String], keep: Boolean = true): DataFrame =
       ops.Text.blocklistFilter(docs, terms, keep)
+    /** Leakage-safe split: the split draw keyed by near-dup cluster
+      * so no duplicate pair straddles the eval boundary. */
+    def leakageSafeSplitBy(
+        clusters: DataFrame,
+        splits: Seq[(String, Double)] =
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        salt: String = "split"
+    ): DataFrame = ops.Text.leakageSafeSplit(docs, clusters, splits, salt)
     /** PSI quality-distribution drift of this corpus (as reference)
       * against a newer version. */
     def qualityDriftTo(cur: DataFrame, nBuckets: Int = 10): DataFrame =
@@ -445,6 +453,11 @@ object Graft {
       * (frame must carry `list_id`; exact integer ppm). */
     def triangleCoefficientAssigned(k: Int = 3): DataFrame =
       ops.Vector.triangleCoefficientAssigned(embs, k)
+    /** Rounds-bounded k-core peel of the within-list kNN graph
+      * (frame must carry `list_id`): residual degree + membership. */
+    def kCoreAssigned(
+        k: Int = 3, coreK: Int = 2, rounds: Int = 3): DataFrame =
+      ops.Vector.kCoreAssigned(embs, k, coreK, rounds)
     /** Per-label centroid drift against another embedding snapshot
       * (exact q16 integer skeleton + floor-ppm cosine). */
     def centroidDriftTo(other: DataFrame): DataFrame =

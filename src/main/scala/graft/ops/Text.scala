@@ -2702,6 +2702,46 @@ object Text {
         expr("(1000 * sum_chars) div n_docs"))
   }
 
+  /** Leakage-safe train/val/test split — [[deterministicSplit]] with
+    * the draw keyed by NEAR-DUP CLUSTER instead of document: if two
+    * docs are (near-)duplicates, hashing doc_ids independently puts
+    * them on opposite sides of the eval boundary with probability
+    * 2·p·(1−p) — the classic silent eval-contamination bug. Keying
+    * the draw60 on `cluster_id` sends every member of a cluster to
+    * the same split by construction. `clusters` is any
+    * `(doc_id, cluster_id)` frame — [[dupClusters]] output for the
+    * MinHash pipeline, or an exact-dup grouping; docs absent from it
+    * are their own singleton cluster (coalesce to doc_id). Shape:
+    * one many-to-one join + scan-stage hash arithmetic — same cost
+    * as the unsafe split plus the join every cluster consumer pays.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "split"
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      "split fractions must be non-negative")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum to ${splits.map(_._2).sum} > 1")
+    val withCluster = docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val draw = draw60(
+      concat(col("cluster_id").cast("string"), lit(":" + salt)))
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(q60)
+    val assign = splits.zip(thresholds)
+      .foldRight(lit("held_out")) { case (((name, _), thr), els) =>
+        when(draw < thr, lit(name)).otherwise(els)
+      }
+    withCluster.select(col("doc_id"), col("cluster_id"),
+      assign.as("split"))
+  }
+
   /** Blocklist gate — the URL/term-denylist filter every web-corpus
     * pipeline runs first (C4's badwords filter, UT1 domain lists):
     * drop documents containing any blocklisted term as a whole word.

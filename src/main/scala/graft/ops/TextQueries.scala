@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -355,6 +356,16 @@ object TextQueries {
     "q_text_split" -> ((s, d) =>
       Text.deterministicSplit(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    // leakage-safe split: the draw keyed by (here) exact-dup cluster
+    // — every member of a cluster lands in the same split
+    "q_text_leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = docs.select(col("doc_id"),
+        min(col("doc_id")).over(
+          Window.partitionBy(md5(col("text").cast("binary"))))
+          .as("cluster_id"))
+      Text.leakageSafeSplit(docs, clusters).orderBy(col("doc_id"))
+    }),
     // sharded training-order shuffle: hash shard + within-shard rank,
     // all exact integer math over partitioned windows → oracle-exact
     "q_text_shuffle_shards" -> ((s, d) =>
@@ -1192,6 +1203,25 @@ object TextQueries {
          |       WHEN draw < ${cum(2)} THEN 'test'
          |       ELSE 'held_out' END AS split
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "q_text_leakage_split" -> {
+      val cum = Seq(0.9, 0.05, 0.05).scanLeft(0.0)(_ + _).tail
+        .map(Text.q60)
+      s"""WITH cl AS (
+         |  SELECT doc_id,
+         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+         |      || ':split'), 1, 15)) AS BIGINT) AS draw
+         |  FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN draw < ${cum(0)} THEN 'train'
+         |       WHEN draw < ${cum(1)} THEN 'val'
+         |       WHEN draw < ${cum(2)} THEN 'test'
+         |       ELSE 'held_out' END AS split
+         |FROM s ORDER BY doc_id""".stripMargin
     },
     "q_text_shuffle_shards" ->
       """WITH d AS (

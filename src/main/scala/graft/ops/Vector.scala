@@ -1870,9 +1870,11 @@ object Vector {
     * for fixed k. Nothing touches an embedding after the kNN build.
     */
   def triangleCoefficientAssigned(
-      assigned: DataFrame, k: Int): DataFrame = {
+      assigned: DataFrame,
+      k: Int,
+      precomputedKnn: Option[DataFrame] = None): DataFrame = {
     val und = graft.Caches.track("vec",
-      knnGraphAssigned(assigned, k)
+      precomputedKnn.getOrElse(knnGraphAssigned(assigned, k))
         .select(least(col("vec_id"), col("nbr_id")).as("a"),
           greatest(col("vec_id"), col("nbr_id")).as("b"))
         .distinct())
@@ -1895,6 +1897,71 @@ object Vector {
         when(col("degree") >= 2,
           expr("(2000000 * n_tri) div (degree * (degree - 1))"))
           .otherwise(lit(0L)))
+  }
+
+  /** Rounds-bounded k-core peel of the within-list kNN graph — the
+    * dense-core detector that pairs with [[triangleCoefficientAssigned]]
+    * (a high-coefficient vertex sits in SOME clique; a k-core member
+    * sits in a subgraph where EVERYONE keeps ≥ `coreK` neighbors
+    * after the loosely-attached shell is stripped — the standard
+    * "template farm / boilerplate hub" signature in near-dup
+    * analysis). Each round recomputes degrees on the surviving edge
+    * set and drops vertices below `coreK`; `rounds` is a fixed
+    * unroll (the [[knnPagerankAssigned]] convention — the peel
+    * converges geometrically on kNN graphs, and a bounded unroll is
+    * what the exact SQL twin can mirror). Past
+    * [[lazyLineageMaxIters]] rounds each generation truncates to a
+    * lazy localCheckpoint, same as the other iterative operators.
+    *
+    * Output: `(vec_id, core_degree, in_core)` — residual degree
+    * after the last peel, and membership (`core_degree >= coreK`).
+    * Exact integers; edge set ≤ k·n rows, each round two narrow
+    * aggregations + two semi-join-shaped filters.
+    */
+  def kCoreAssigned(
+      assigned: DataFrame,
+      k: Int = 3,
+      coreK: Int = 2,
+      rounds: Int = 3,
+      precomputedKnn: Option[DataFrame] = None
+  ): DataFrame = {
+    require(coreK >= 1, s"coreK must be positive, got $coreK")
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    var edges = graft.Caches.track("vec",
+      precomputedKnn.getOrElse(knnGraphAssigned(assigned, k))
+        .select(least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b"))
+        .distinct())
+    for (_ <- 1 to rounds) {
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val alive = deg.filter(col("deg") >= coreK).select(col("v"))
+      // UNLIKE the PageRank recurrence (one reference per
+      // generation, lazy lineage measured-optimal), each peel round
+      // references the previous edge set THREE times (twice through
+      // the degree union, once as the join probe), so the LOGICAL
+      // plan triples per round and Catalyst re-optimizes the whole
+      // tree at every broadcast-subtree job — measured 33 s for 3
+      // rounds on 500 vectors lazy, and persist alone doesn't help
+      // (caching is physical; planning still walks the full tree,
+      // 2→4 s/round growth at 2 k vectors). Truncating each
+      // generation to a lazy localCheckpoint keeps plans — and
+      // rounds — O(1).
+      edges = truncateGeneration(edges
+        .join(alive.withColumnRenamed("v", "a"), Seq("a"))
+        .join(alive.withColumnRenamed("v", "b"), Seq("b"))
+        .select(col("a"), col("b")))
+    }
+    val degF = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_degree"))
+    assigned.select(col("vec_id"))
+      .join(degF.withColumnRenamed("v", "vec_id"), Seq("vec_id"),
+        "left")
+      .select(col("vec_id"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+      .withColumn("in_core", col("core_degree") >= coreK)
   }
 
   /** Per-label centroid drift between two embedding snapshots — the

@@ -62,6 +62,17 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         0.4))
 
+  /** Within-list kNN graph (k = 3, list = stored label), shared by
+    * the graph family — q_vec_knn_graph projects it, the clustering
+    * coefficient and k-core consume it — so the Σ|list|² UDAF build
+    * runs once per session instead of once per graph query.
+    */
+  private[ops] def knnGraphDf(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("vec", ("knngraph", s, d))(
+      Vector.knnGraphAssigned(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        k = 3))
+
   /** Session-shared materializations for the bench's
     * cache-attribution lines (same contract as
     * `TextQueries.sharedCacheBuilders`). The IVF quantizer fit stays
@@ -79,7 +90,8 @@ object VectorQueries {
 
   val sharedCacheBuilders: Seq[(String, Q)] = Seq(
     "cache:vec:semantic_pairs" -> ((s, d) => semPairs(s, d)),
-    "cache:vec:ivfpq_index" -> ((s, d) => ivfPqIndexDf(s, d))
+    "cache:vec:ivfpq_index" -> ((s, d) => ivfPqIndexDf(s, d)),
+    "cache:vec:knn_graph" -> ((s, d) => knnGraphDf(s, d))
   )
 
   val queries: Map[String, Q] = Map(
@@ -170,17 +182,23 @@ object VectorQueries {
     // (list = stored label): exact cosine + per-vector rank window,
     // deterministic end to end, so the whole graph oracle-hashes
     "q_vec_knn_graph" -> ((s, d) =>
-      Vector.knnGraphAssigned(
+      knnGraphDf(s, d).orderBy(col("vec_id"), col("rank"))),
+    // rounds-bounded k-core peel over the session-shared edge set:
+    // degrees recomputed per round, below-coreK vertices dropped —
+    // exact integers, 3 unrolled rounds mirror the SQL twin
+    "q_vec_kcore" -> ((s, d) =>
+      Vector.kCoreAssigned(
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
-        k = 3)
-        .orderBy(col("vec_id"), col("rank"))),
+        k = 3, coreK = 2, rounds = 3,
+        precomputedKnn = Some(knnGraphDf(s, d)))
+        .orderBy(col("vec_id"))),
     // local clustering coefficient over the same oracle-green edge
     // set: symmetrized support pairs, ordered two-hop triangle join,
     // exact integer ppm end to end
     "q_vec_triangle_coeff" -> ((s, d) =>
       Vector.triangleCoefficientAssigned(
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
-        k = 3)
+        k = 3, precomputedKnn = Some(knnGraphDf(s, d)))
         .orderBy(col("vec_id"))),
     // per-label centroid drift between the even-/odd-id snapshot
     // halves: exact q16 dim-sum skeleton, floor-ppm cosine evaluated
@@ -595,6 +613,72 @@ object VectorQueries {
         |  FROM p WHERE NOT isnan(cos_sim))
         |SELECT vec_id, nbr_id, cos_sim, "rank" FROM r
         |WHERE "rank" <= 3 ORDER BY vec_id, "rank"""".stripMargin,
+    // k-core: the q_vec_knn_graph edge fragment symmetrized, then
+    // three unrolled peel rounds (degree -> alive >= 2 -> edge
+    // filter); all counts exact BIGINTs
+    "q_vec_kcore" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |-- MATERIALIZED: each e_r is referenced 3× by round r+1; left
+        |-- as inline views the expansion is 3^rounds copies of the
+        |-- whole kNN fragment (observed: 60 GB RSS, no completion)
+        |e0 AS MATERIALIZED (
+        |       SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+        |         GREATEST(vec_id, nbr_id) AS b
+        |       FROM r WHERE rk <= 3),
+        |d1 AS (SELECT v, COUNT(*) AS deg FROM (
+        |         SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+        |       GROUP BY 1),
+        |e1 AS MATERIALIZED (
+        |       SELECT e0.a, e0.b FROM e0
+        |       JOIN d1 x ON x.v = e0.a AND x.deg >= 2
+        |       JOIN d1 y ON y.v = e0.b AND y.deg >= 2),
+        |d2 AS (SELECT v, COUNT(*) AS deg FROM (
+        |         SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+        |       GROUP BY 1),
+        |e2 AS MATERIALIZED (
+        |       SELECT e1.a, e1.b FROM e1
+        |       JOIN d2 x ON x.v = e1.a AND x.deg >= 2
+        |       JOIN d2 y ON y.v = e1.b AND y.deg >= 2),
+        |d3 AS (SELECT v, COUNT(*) AS deg FROM (
+        |         SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+        |       GROUP BY 1),
+        |e3 AS MATERIALIZED (
+        |       SELECT e2.a, e2.b FROM e2
+        |       JOIN d3 x ON x.v = e2.a AND x.deg >= 2
+        |       JOIN d3 y ON y.v = e2.b AND y.deg >= 2),
+        |df AS (SELECT v, COUNT(*) AS core_degree FROM (
+        |         SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+        |       GROUP BY 1)
+        |SELECT emb.vec_id,
+        |  COALESCE(df.core_degree, 0) AS core_degree,
+        |  COALESCE(df.core_degree, 0) >= 2 AS in_core
+        |FROM embeddings emb LEFT JOIN df ON df.v = emb.vec_id
+        |ORDER BY emb.vec_id""".stripMargin,
     // clustering coefficient: the q_vec_knn_graph edge fragment,
     // symmetrized (LEAST/GREATEST distinct), ordered two-hop
     // triangle enumeration a<b<c, each triangle credited to all
@@ -626,7 +710,11 @@ object VectorQueries {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id
         |      ORDER BY cos_sim DESC, nbr_id) AS rk
         |  FROM p WHERE NOT isnan(cos_sim)),
-        |ed AS (SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+        |-- MATERIALIZED: ed feeds the degree union and the 3-way
+        |-- triangle self-join (5 references) — inline views would
+        |-- replicate the kNN fragment 5×
+        |ed AS MATERIALIZED (
+        |       SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
         |         GREATEST(vec_id, nbr_id) AS b
         |       FROM r WHERE rk <= 3),
         |deg AS (SELECT v, COUNT(*) AS degree FROM (

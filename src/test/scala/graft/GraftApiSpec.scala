@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 155,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 155")
-    assert(SparkEntry.oracleSql.size == 144,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 144")
+    assert(SparkEntry.queries.size == 157,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 157")
+    assert(SparkEntry.oracleSql.size == 146,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 146")
   }
 
   test("doc surface composes end to end") {
@@ -225,6 +225,8 @@ class GraftApiSpec extends SparkSpec {
       "blocklistFilter" -> "blocklistFiltered",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
       "centroidDriftQ16" -> "centroidDriftTo",
+      "kCoreAssigned" -> "kCoreAssigned",
+      "leakageSafeSplit" -> "leakageSafeSplitBy",
       "mixtureEpochPlan" -> "mixtureEpochPlan",
       "qualityDrift" -> "qualityDriftTo",
       "rrfFuse" -> "rrfFusedWith",

@@ -1407,6 +1407,33 @@ class TextSpec extends SparkSpec {
     assert(out("b") == ((2L, 2L, 1L, 6L, 15500L)))
   }
 
+  test("leakageSafeSplit: cluster members share a split; singletons " +
+      "fall back to their own id") {
+    val d = Seq(
+      (1L, "dup text", "en", "s", 8L), (2L, "dup text", "en", "s", 8L),
+      (3L, "solo one", "en", "s", 8L), (4L, "solo two", "en", "s", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // clusters: 1 and 2 are near-dups; 3 is listed as its own
+    // cluster; 4 is ABSENT from the cluster table entirely
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val out = Text.leakageSafeSplit(d, clusters).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    assert(out(1L)._2 == out(2L)._2, "dup pair split apart")
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L)
+    assert(out(4L)._1 == 4L)            // coalesce to own doc_id
+    // cluster-keyed draw == the plain split's draw on the same key:
+    // doc 3 (cluster == doc_id) must agree with deterministicSplit
+    val plain = Text.deterministicSplit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(out(3L)._2 == plain(3L))
+    assert(out(4L)._2 == plain(4L))
+    // and the dup pair inherits exactly the keeper's draw
+    assert(out(2L)._2 == plain(1L))
+  }
+
   test("blocklistFilter: word-boundary gate, keep and audit forms") {
     val d = Seq(
       (1L, "a clean document", "en", "s", 0L),

@@ -983,6 +983,28 @@ class VectorSpec extends SparkSpec {
     assert(out(11L) == ((1L, 0L, 0L)))
   }
 
+  test("kCore: triangle survives the peel, lone pair is stripped") {
+    // list 0: three mutually-near vectors — k=2 gives K3, every
+    // degree stays 2 through all rounds (a true 2-core)
+    val tri = Seq(
+      (0L, Array(1.0f, 0.00f)), (1L, Array(1.0f, 0.01f)),
+      (2L, Array(1.0f, 0.02f)))
+    // list 1: two vectors — one undirected edge, degree 1 < 2, both
+    // peeled in round 1
+    val pair = Seq((10L, Array(0.0f, 1.0f)), (11L, Array(0.01f, 1.0f)))
+    val df = (tri.map { case (id, e) => (id, e, 0) } ++
+      pair.map { case (id, e) => (id, e, 1) })
+      .toDF("vec_id", "embedding", "list_id")
+    val out = Vec.kCoreAssigned(df, k = 2, coreK = 2, rounds = 3)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("core_degree"), r.getAs[Boolean]("in_core")))
+      .toMap
+    for (id <- 0L to 2L) assert(out(id) == ((2L, true)), s"vec $id")
+    assert(out(10L) == ((0L, false)))
+    assert(out(11L) == ((0L, false)))
+  }
+
   test("centroidDrift: identical halves cos 1, orthogonal cos 0") {
     val a = Seq(
       (0L, Array(1.0f, 0.0f), 0),   // label 0 side A: x-axis
