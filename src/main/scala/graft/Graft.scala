@@ -99,6 +99,10 @@ object Graft {
     /** Per-source curation profile: docs, langs, exact-dup docs,
       * token volume, mean length. */
     def sourceProfiled: DataFrame = ops.Text.sourceProfile(docs)
+    /** Per-source n-gram diversity (template-farm detector, exact
+      * integer ppm). */
+    def ngramDiversityBySource(n: Int = 3): DataFrame =
+      ops.Text.ngramDiversity(docs, n)
     /** Term-denylist gate (single compiled word-boundary regex);
       * `keep = false` returns the rejected docs with the matched
       * term. */
@@ -462,6 +466,12 @@ object Graft {
       * (exact q16 integer skeleton + floor-ppm cosine). */
     def centroidDriftTo(other: DataFrame): DataFrame =
       ops.Vector.centroidDriftQ16(embs, other)
+    /** Per-label isotropy audit: mean pairwise dot without a pair
+      * join (exact q16 skeleton + floor-ppm). */
+    def isotropyAudit: DataFrame = ops.Vector.isotropyAuditQ16(embs)
+    /** Inverted-list balance audit (frame must carry `list_id`):
+      * occupancy, ppm share, imbalance vs perfect balance. */
+    def listBalance: DataFrame = ops.Vector.listBalance(embs)
     /** Reciprocal-rank fusion of this `(id, rank)` frame with other
       * rankings (exact q20 integers). */
     def rrfFusedWith(others: Seq[DataFrame], k: Int, k0: Int = 60)

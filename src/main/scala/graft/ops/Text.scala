@@ -2702,6 +2702,35 @@ object Text {
         expr("(1000 * sum_chars) div n_docs"))
   }
 
+  /** Per-source n-gram diversity — the repetitiveness profile that
+    * separates template/boilerplate farms from genuine prose at the
+    * SOURCE level (the corpus-curation counterpart of the per-doc
+    * [[repetitionStats]]): distinct trigrams over total trigram
+    * occurrences, in exact integer ppm. A source whose diversity is
+    * low is stamping the same phrases across documents — the
+    * signature self-BLEU catches on model output and C4-style audits
+    * catch on crawls. Shape: one trigram explode (the
+    * [[contamination]] shingle discipline) + one per-source
+    * aggregation with map-side combine; nothing pairwise anywhere.
+    */
+  def ngramDiversity(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    docs
+      .select(col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("source"),
+        explode(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(o => element_at(col("t"), i + o)): _*)))
+          .as("gram"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("gram")).as("n_distinct"))
+      .withColumn("diversity_ppm",
+        expr("(1000000 * n_distinct) div n_ngrams"))
+  }
+
   /** Leakage-safe train/val/test split — [[deterministicSplit]] with
     * the draw keyed by NEAR-DUP CLUSTER instead of document: if two
     * docs are (near-)duplicates, hashing doc_ids independently puts

@@ -333,6 +333,11 @@ object TextQueries {
     "q_text_source_profile" -> ((s, d) =>
       Text.sourceProfile(Tables.documents(s, d))
         .orderBy(col("source"))),
+    // per-source trigram diversity (template-farm detector) — exact
+    // integer ppm over explicit string trigrams
+    "q_text_ngram_diversity" -> ((s, d) =>
+      Text.ngramDiversity(Tables.documents(s, d))
+        .orderBy(col("source"))),
     // denylist gate in audit form (rejected docs + matched term);
     // terms chosen to actually hit the synthetic corpus
     "q_text_blocklist" -> ((s, d) =>
@@ -1108,6 +1113,20 @@ object TextQueries {
          |    AS mean_chars_milli
          |FROM ha JOIN dc ON ha.h = dc.h
          |GROUP BY ha.source ORDER BY ha.source""".stripMargin,
+    "q_text_ngram_diversity" ->
+      """WITH w AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |g AS (
+        |  SELECT source, UNNEST(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+        |  FROM w WHERE len(t) >= 3)
+        |SELECT source, COUNT(*) AS n_ngrams,
+        |  COUNT(DISTINCT gram) AS n_distinct,
+        |  (1000000 * COUNT(DISTINCT gram)) // COUNT(*)
+        |    AS diversity_ppm
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     // denylist audit form: \b(term|term)\b in the Java∩RE2 subset
     "q_text_blocklist" ->
       """SELECT doc_id,

@@ -1964,6 +1964,63 @@ object Vector {
       .withColumn("in_core", col("core_degree") >= coreK)
   }
 
+  /** Per-label isotropy audit — the embedding-geometry health check
+    * (Ethayarajh 2019: contextual embeddings are anisotropic; a
+    * collapsed/anisotropic space breaks cosine-based dedup and
+    * retrieval long before recall metrics notice). Mean pairwise dot
+    * needs no pair join: for q16-quantized coordinates,
+    * `Σ_{i≠j} x_i·x_j = ||Σx||² − Σ||x||²` — two exact-long
+    * reductions per label, one scan total. The exact-integer
+    * skeleton (`n`, `s2_q` = ‖dim-sum‖², `norm2_q` = Σ‖x‖²) is the
+    * hash contract; `aniso_ppm` = ⌊10⁶·(s2−norm2)/((n−1)·norm2)⌋ is
+    * the mean pairwise cosine for ~unit vectors (isotropic ≈ 0,
+    * collapsed → 10⁶), the same floored-IEEE convention as
+    * [[centroidDriftQ16]]. Overflow bound: per-label Σ|xq_d| < 2³¹
+    * (~2¹⁵ unit vectors/label); shard-and-merge beyond.
+    */
+  def isotropyAuditQ16(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 65536).cast("long")))
+          .as(Seq("i", "xq")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("xq")).as("s"), sum(col("xq") * col("xq")).as("q2"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        sum(col("s") * col("s")).as("s2_q"),
+        sum(col("q2")).as("norm2_q"))
+      .withColumn("aniso_ppm",
+        when(col("n") <= 1 || col("norm2_q") === 0, lit(0L))
+          .otherwise(floor(
+            lit(1000000.0) *
+              (col("s2_q") - col("norm2_q")).cast("double") /
+              ((col("n") - 1).cast("double") *
+                col("norm2_q").cast("double"))).cast("long")))
+
+  /** Inverted-list balance audit — the quantizer-health table for
+    * every IVF-family index here ([[assignLists]], [[ivfPqIndex]],
+    * the ingestion gates' list discipline): per list, occupancy,
+    * corpus share in exact ppm, and `imbalance_milli` =
+    * 1000·n·nLists/total (1000 = perfectly balanced; a 5000-milli
+    * list does 5× the within-list verify work of the mean — the
+    * EXACT quantity the Σ|list|² scale disciplines degrade by).
+    * One tiny aggregation + a broadcast of the 1-row total.
+    */
+  def listBalance(assigned: DataFrame): DataFrame = {
+    val counts = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val totals = counts.agg(
+      sum(col("n_vecs")).as("total"),
+      count(lit(1)).as("n_lists"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("list_id"), col("n_vecs"),
+        expr("(1000000 * n_vecs) div total").as("share_ppm"),
+        expr("(1000 * n_vecs * n_lists) div total")
+          .as("imbalance_milli"))
+  }
+
   /** Per-label centroid drift between two embedding snapshots — the
     * embedding-space twin of `Text.qualityDrift` (re-embedding a
     * corpus with a new encoder, or ingesting a new crawl, silently

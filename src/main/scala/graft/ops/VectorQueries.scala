@@ -200,6 +200,17 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         k = 3, precomputedKnn = Some(knnGraphDf(s, d)))
         .orderBy(col("vec_id"))),
+    // per-label isotropy audit: mean pairwise dot from two exact-long
+    // reductions (||Σx||² − Σ||x||²), no pair join anywhere
+    "q_vec_isotropy" -> ((s, d) =>
+      Vector.isotropyAuditQ16(Tables.embeddings(s, d))
+        .orderBy(col("label"))),
+    // inverted-list balance audit (list = stored label): occupancy,
+    // ppm share, imbalance vs perfect balance — exact integers
+    "q_vec_list_balance" -> ((s, d) =>
+      Vector.listBalance(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")))
+        .orderBy(col("list_id"))),
     // per-label centroid drift between the even-/odd-id snapshot
     // halves: exact q16 dim-sum skeleton, floor-ppm cosine evaluated
     // on the same IEEE doubles in both engines
@@ -735,6 +746,40 @@ object VectorQueries {
         |       ELSE 0 END AS coeff_ppm
         |FROM deg LEFT JOIN tv ON tv.v = deg.v
         |ORDER BY vec_id""".stripMargin,
+    "q_vec_isotropy" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 65536)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label, i, CAST(SUM(xq) AS BIGINT) AS s,
+        |    CAST(SUM(xq * xq) AS BIGINT) AS q2, COUNT(*) AS n
+        |  FROM q GROUP BY 1, 2),
+        |a AS (
+        |  SELECT label, MAX(n) AS n,
+        |    CAST(SUM(s * s) AS BIGINT) AS s2_q,
+        |    CAST(SUM(q2) AS BIGINT) AS norm2_q
+        |  FROM d GROUP BY 1)
+        |SELECT label, n, s2_q, norm2_q,
+        |  CASE WHEN n <= 1 OR norm2_q = 0 THEN 0
+        |       ELSE CAST(floor(1000000.0 *
+        |         CAST(s2_q - norm2_q AS DOUBLE) /
+        |         (CAST(n - 1 AS DOUBLE) * CAST(norm2_q AS DOUBLE)))
+        |         AS BIGINT)
+        |  END AS aniso_ppm
+        |FROM a ORDER BY label""".stripMargin,
+    "q_vec_list_balance" ->
+      """WITH c AS (
+        |  SELECT label AS list_id, COUNT(*) AS n_vecs
+        |  FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+        |        COUNT(*) AS n_lists FROM c)
+        |SELECT c.list_id, c.n_vecs,
+        |  (1000000 * c.n_vecs) // t.total AS share_ppm,
+        |  (1000 * c.n_vecs * t.n_lists) // t.total AS imbalance_milli
+        |FROM c, t ORDER BY c.list_id""".stripMargin,
     // centroid drift: q16 dim-sums per (label, dim) on each id-parity
     // half; cosine of the sum vectors == cosine of the centroids
     // (scale invariance), floor-ppm on identical IEEE doubles

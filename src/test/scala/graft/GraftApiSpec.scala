@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 157,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 157")
-    assert(SparkEntry.oracleSql.size == 146,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 146")
+    assert(SparkEntry.queries.size == 160,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 160")
+    assert(SparkEntry.oracleSql.size == 149,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 149")
   }
 
   test("doc surface composes end to end") {
@@ -227,6 +227,9 @@ class GraftApiSpec extends SparkSpec {
       "centroidDriftQ16" -> "centroidDriftTo",
       "kCoreAssigned" -> "kCoreAssigned",
       "leakageSafeSplit" -> "leakageSafeSplitBy",
+      "isotropyAuditQ16" -> "isotropyAudit",
+      "listBalance" -> "listBalance",
+      "ngramDiversity" -> "ngramDiversityBySource",
       "mixtureEpochPlan" -> "mixtureEpochPlan",
       "qualityDrift" -> "qualityDriftTo",
       "rrfFuse" -> "rrfFusedWith",

@@ -1407,6 +1407,25 @@ class TextSpec extends SparkSpec {
     assert(out("b") == ((2L, 2L, 1L, 6L, 15500L)))
   }
 
+  test("ngramDiversity: repeated trigrams lower the per-source ratio") {
+    val d = Seq(
+      // "a b c a b c": trigrams [a b c, b c a, c a b, a b c] →
+      // 4 total, 3 distinct
+      (1L, "a b c a b c", "en", "s1", 11L),
+      // all-distinct source: 2 trigrams, both unique
+      (2L, "v w x y", "en", "s2", 7L),
+      // too short for a trigram → source absent from the output
+      (3L, "p q", "en", "s3", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.ngramDiversity(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("diversity_ppm"))).toMap
+    assert(out("s1") == ((4L, 3L, 750000L)))
+    assert(out("s2") == ((2L, 2L, 1000000L)))
+    assert(!out.contains("s3"))
+  }
+
   test("leakageSafeSplit: cluster members share a split; singletons " +
       "fall back to their own id") {
     val d = Seq(

@@ -1005,6 +1005,33 @@ class VectorSpec extends SparkSpec {
     assert(out(11L) == ((0L, false)))
   }
 
+  test("isotropyAudit: collapsed label scores 1e6, orthogonal 0") {
+    val df = Seq(
+      // label 0: two identical unit vectors → mean pairwise dot 1
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      // label 1: orthogonal pair → mean pairwise dot 0
+      (2L, Array(1.0f, 0.0f), 1), (3L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Vec.isotropyAuditQ16(df).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("aniso_ppm"))).toMap
+    assert(out(0) == ((2L, 1000000L)))
+    assert(out(1) == ((2L, 0L)))
+  }
+
+  test("listBalance: exact shares and imbalance factors") {
+    val df = Seq(
+      (0L, 0), (1L, 0), (2L, 0),          // list 0: 3 vectors
+      (3L, 1))                            // list 1: 1 vector
+      .toDF("vec_id", "list_id")
+    val out = Vec.listBalance(df).collect()
+      .map(r => r.getAs[Int]("list_id") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("imbalance_milli"))).toMap
+    assert(out(0) == ((3L, 750000L, 1500L)))  // 1.5× the fair share
+    assert(out(1) == ((1L, 250000L, 500L)))
+  }
+
   test("centroidDrift: identical halves cos 1, orthogonal cos 0") {
     val a = Seq(
       (0L, Array(1.0f, 0.0f), 0),   // label 0 side A: x-axis
