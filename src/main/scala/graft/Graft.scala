@@ -469,6 +469,13 @@ object Graft {
     /** Per-label isotropy audit: mean pairwise dot without a pair
       * join (exact q16 skeleton + floor-ppm). */
     def isotropyAudit: DataFrame = ops.Vector.isotropyAuditQ16(embs)
+    /** Sign-binarized embeddings: 32 dims per BIGINT word (32×
+      * compression; Hamming ≈ angle by the sign-LSH bound). */
+    def binarized(dim: Int): DataFrame = ops.Vector.binarize(embs, dim)
+    /** Hamming top-k over the sign-binarized embeddings (binary
+      * retrieval first pass; rescore with exact cosine for recall). */
+    def binaryTopK(dim: Int, queryId: Long, k: Int): DataFrame =
+      ops.Vector.binaryTopK(embs, dim, queryId, k)
     /** Inverted-list balance audit (frame must carry `list_id`):
       * occupancy, ppm share, imbalance vs perfect balance. */
     def listBalance: DataFrame = ops.Vector.listBalance(embs)

@@ -1964,6 +1964,63 @@ object Vector {
       .withColumn("in_core", col("core_degree") >= coreK)
   }
 
+  /** Sign-binarized embeddings: each 32-dim block packs into one
+    * non-negative BIGINT word (bit j of word w set ⇔ coordinate
+    * 32·w+j > 0) — the 32-bits-per-float compression behind binary
+    * quantization in modern vector stores (faiss `IndexBinaryFlat`,
+    * the Hamming-prefilter deployment mode): a 64-dim float
+    * embedding becomes two longs, 32× smaller, and Hamming distance
+    * on the words approximates angle (sign-LSH guarantee — the
+    * [[simhash]] bound in embedding space). 32-bit blocks, not 64:
+    * bit 63 would make the word negative, and summed bit-weights
+    * overflow BIGINT in engines that check (the oracle does).
+    * Scan-stage arithmetic only.
+    */
+  def binarize(embeddings: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val nWords = (dim + 31) / 32
+    // bit weights are Scala-level constants (1L << j) — the whole
+    // word is one codegen'd sum of conditional literals, no
+    // shift-by-column anywhere
+    val wordCols = (0 until nWords).map { w =>
+      (0 until math.min(32, dim - w * 32)).map { j =>
+        when(element_at(col("embedding"), w * 32 + j + 1) > 0f,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    embeddings.select(col("vec_id"), array(wordCols: _*).as("words"))
+  }
+
+  /** Hamming top-k over [[binarize]]d embeddings — the binary
+    * retrieval first pass (rescore survivors with exact cosine where
+    * recall matters; [[matryoshkaTopK]] is the same envelope shape
+    * for prefix quantization). Distance =
+    * Σ_w bit_count(words[w] XOR q[w]) — pure codegen integer ops in
+    * the scan stage, top-k via TakeOrdered (`hamming` ASC, `vec_id`
+    * ASC tie-break), never a global sort. The 1-row query broadcasts.
+    */
+  def binaryTopK(
+      embeddings: DataFrame,
+      dim: Int,
+      queryId: Long,
+      k: Int
+  ): DataFrame = {
+    val bin = binarize(embeddings, dim)
+    val q = bin.filter(col("vec_id") === queryId)
+      .select(col("words").as("q_words"))
+    bin.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("words"), col("q_words"),
+            (a, b) => a.bitwiseXOR(b)),
+          lit(0L),
+          (acc, x) => acc + bit_count(x).cast("long"))
+          .as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label isotropy audit — the embedding-geometry health check
     * (Ethayarajh 2019: contextual embeddings are anisotropic; a
     * collapsed/anisotropic space breaks cosine-based dedup and

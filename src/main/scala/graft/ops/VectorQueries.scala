@@ -200,6 +200,11 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         k = 3, precomputedKnn = Some(knnGraphDf(s, d)))
         .orderBy(col("vec_id"))),
+    // binary-quantized retrieval: sign-packed 32-bit words + Hamming
+    // top-k — exact integers end to end
+    "q_vec_binary_topk" -> ((s, d) =>
+      Vector.binaryTopK(Tables.embeddings(s, d), dim = 64,
+        queryId = 0L, k = 10)),
     // per-label isotropy audit: mean pairwise dot from two exact-long
     // reductions (||Σx||² − Σ||x||²), no pair join anywhere
     "q_vec_isotropy" -> ((s, d) =>
@@ -746,6 +751,28 @@ object VectorQueries {
         |       ELSE 0 END AS coeff_ppm
         |FROM deg LEFT JOIN tv ON tv.v = deg.v
         |ORDER BY vec_id""".stripMargin,
+    "q_vec_binary_topk" ->
+      """WITH bits AS (
+        |  SELECT vec_id,
+        |    CAST((generate_subscripts(embedding, 1) - 1) // 32
+        |      AS INT) AS w,
+        |    CAST((generate_subscripts(embedding, 1) - 1) % 32
+        |      AS INT) AS j,
+        |    UNNEST(embedding) AS x
+        |  FROM embeddings),
+        |words AS (
+        |  SELECT vec_id, w,
+        |    CAST(SUM(CASE WHEN x > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+        |      AS word
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT a.vec_id,
+        |  CAST(SUM(bit_count(xor(a.word, q.word))) AS BIGINT)
+        |    AS hamming
+        |FROM words a JOIN words q
+        |  ON a.w = q.w AND q.vec_id = 0 AND a.vec_id <> 0
+        |GROUP BY 1
+        |ORDER BY hamming, a.vec_id LIMIT 10""".stripMargin,
     "q_vec_isotropy" ->
       """WITH q AS (
         |  SELECT vec_id, label,

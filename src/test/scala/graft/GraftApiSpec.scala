@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 160,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 160")
-    assert(SparkEntry.oracleSql.size == 149,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 149")
+    assert(SparkEntry.queries.size == 161,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 161")
+    assert(SparkEntry.oracleSql.size == 150,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 150")
   }
 
   test("doc surface composes end to end") {
@@ -228,6 +228,8 @@ class GraftApiSpec extends SparkSpec {
       "kCoreAssigned" -> "kCoreAssigned",
       "leakageSafeSplit" -> "leakageSafeSplitBy",
       "isotropyAuditQ16" -> "isotropyAudit",
+      "binarize" -> "binarized",
+      "binaryTopK" -> "binaryTopK",
       "listBalance" -> "listBalance",
       "ngramDiversity" -> "ngramDiversityBySource",
       "mixtureEpochPlan" -> "mixtureEpochPlan",

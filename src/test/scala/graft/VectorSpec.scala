@@ -1005,6 +1005,29 @@ class VectorSpec extends SparkSpec {
     assert(out(11L) == ((0L, false)))
   }
 
+  test("binarize + binaryTopK: sign words and Hamming order") {
+    val df = Seq(
+      (0L, Array(1.0f, -1.0f)), (1L, Array(0.5f, -0.5f)),
+      (2L, Array(-1.0f, 1.0f)), (3L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val words = Vec.binarize(df, dim = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Long](r.fieldIndex("words")).toList).toMap
+    assert(words(0L) == Seq(1L))          // bit 0 only
+    assert(words(2L) == Seq(2L))          // bit 1 only
+    assert(words(3L) == Seq(3L))          // both bits
+    val top = Vec.binaryTopK(df, dim = 2, queryId = 0L, k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("hamming")))
+    assert(top.toSeq == Seq((1L, 0L), (3L, 1L), (2L, 2L)))
+    // a 64-dim all-positive vector fills both words without overflow
+    val wide = Seq((9L, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val h = Vec.binarize(wide, dim = 64).collect().head
+    val w64 = h.getSeq[Long](h.fieldIndex("words")).toList
+    assert(w64 == List(0xFFFFFFFFL, 0xFFFFFFFFL))
+  }
+
   test("isotropyAudit: collapsed label scores 1e6, orthogonal 0") {
     val df = Seq(
       // label 0: two identical unit vectors → mean pairwise dot 1
