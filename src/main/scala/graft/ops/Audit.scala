@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality gates for ingestion at scale.
+  *
+  * A 100 TB training-data pipeline admits whole table snapshots, not
+  * rows — before a snapshot joins the corpus the operator question is
+  * "does this batch satisfy the contract?" (completeness, key
+  * uniqueness, value bounds, referential closure), answered by ONE
+  * pass over the data producing a tiny per-constraint report (the
+  * Deequ/expectations pattern). The reference has the per-row form of
+  * this idea — its demux drops envelopes that fail a schema check
+  * (`app/OdsBaseLogApp.scala` dirty-data branch); this is the
+  * table-level generalization.
+  *
+  * Everything here reduces to classic aggregates with map-side
+  * partials: the report's cost is one scan + one (tiny) shuffle
+  * regardless of table size, and the output is O(#checks) rows. The
+  * one exception is [[Audit.Uniqueness]], whose exact distinct-count
+  * plans as Spark's Expand (a second shuffle) — still one scan, and
+  * exactly what a key-integrity check must pay.
+  */
+object Audit {
+
+  /** One declarative constraint; `name` keys the report row. */
+  sealed trait Check { def name: String }
+
+  /** Non-null fraction of `column` must be >= `minRatio`. */
+  final case class Completeness(column: String, minRatio: Double)
+      extends Check {
+    val name = s"completeness:$column"
+  }
+
+  /** Distinct fraction of the key `columns` must be >= `minRatio`
+    * (1.0 = the columns form a unique key).
+    */
+  final case class Uniqueness(columns: Seq[String], minRatio: Double)
+      extends Check {
+    val name = s"uniqueness:${columns.mkString(",")}"
+  }
+
+  /** min(column) must be >= `lo`. */
+  final case class MinBound(column: String, lo: Double) extends Check {
+    val name = s"min:$column"
+  }
+
+  /** max(column) must be <= `hi`. */
+  final case class MaxBound(column: String, hi: Double) extends Check {
+    val name = s"max:$column"
+  }
+
+  /** Run the suite in one aggregation pass; one report row per check:
+    * (check_name, value, threshold, passed). `value` is the measured
+    * metric (a fraction for completeness/uniqueness, the extremum for
+    * bounds) — kept in the report so a failing gate says by how much.
+    */
+  def assertionReport(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "assertionReport: empty suite")
+    // stage 1: one agg row holding every raw metric the suite needs
+    // (dedup'd by slot name so two checks on one column share a slot)
+    val n = count(lit(1)).as("__n")
+    val raw: Seq[(String, Column)] = checks.map {
+      case Completeness(c, _) => s"__cnt_$c" -> count(col(c))
+      case Uniqueness(cs, _) =>
+        s"__uniq_${cs.mkString("_")}" ->
+          count_distinct(struct(cs.map(col): _*))
+      case MinBound(c, _) => s"__min_$c" -> min(col(c)).cast("double")
+      case MaxBound(c, _) => s"__max_$c" -> max(col(c)).cast("double")
+    }
+    val slots = raw.distinctBy(_._1).map { case (a, e) => e.as(a) }
+    val aggRow = df.agg(n, slots: _*)
+    // stage 2: per-check (name, value, threshold, passed) structs off
+    // the single agg row, exploded to the long-format report
+    val nD = col("__n").cast("double")
+    val rows: Seq[Column] = checks.map { ck =>
+      val (value, threshold, passed) = ck match {
+        case Completeness(c, r) =>
+          val v = col(s"__cnt_$c").cast("double") / nD
+          (v, lit(r), v >= r)
+        case Uniqueness(cs, r) =>
+          val v = col(s"__uniq_${cs.mkString("_")}").cast("double") / nD
+          (v, lit(r), v >= r)
+        case MinBound(c, lo) =>
+          val v = col(s"__min_$c"); (v, lit(lo), v >= lo)
+        case MaxBound(c, hi) =>
+          val v = col(s"__max_$c"); (v, lit(hi), v <= hi)
+      }
+      struct(lit(ck.name).as("check_name"), value.as("value"),
+        threshold.cast("double").as("threshold"), passed.as("passed"))
+    }
+    aggRow
+      .select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** Referential-closure check as one report row: the fraction of
+    * `df.column` values present in `ref.refColumn` must be >=
+    * `minRatio`. Shaped as a left join + agg so Catalyst picks
+    * broadcast for dimension-sized `ref` and a shuffle join beyond —
+    * either way one pass over the fact side. Null FKs count as
+    * unmatched (a null key cannot reference anything).
+    */
+  def referentialIntegrity(
+      df: DataFrame,
+      column: String,
+      ref: DataFrame,
+      refColumn: String,
+      minRatio: Double
+  ): DataFrame = {
+    val keys = ref.select(col(refColumn).as("__ref")).distinct()
+    val v = sum(when(col("__ref").isNotNull, 1L).otherwise(0L))
+      .cast("double") / count(lit(1)).cast("double")
+    df.select(col(column).as("__fk"))
+      .join(keys, col("__fk") === col("__ref"), "left")
+      .agg(v.as("value"))
+      .select(
+        lit(s"ri:$column->$refColumn").as("check_name"),
+        col("value"),
+        lit(minRatio).cast("double").as("threshold"),
+        (col("value") >= minRatio).as("passed"))
+  }
+
+  /** Day-over-day volume anomaly detection on an event stream: count
+    * per (event_type, day), then score each day against its trailing
+    * `lookback`-day window with a z-score. The monitoring read of the
+    * same feed the demux pipeline routes — a topic whose daily volume
+    * jumps >3 sigma is a breakage signal (upstream outage, bot storm,
+    * double-fire) that should gate downstream training-data pulls.
+    *
+    * Scale shape: the day-grain aggregate collapses the stream to
+    * (#types x #days) rows BEFORE the window, so the per-type sort is
+    * over day counts, never events. Trailing moments are exact
+    * integer sums; the z-score is formed per-row from those longs in
+    * a fixed op order and quantized to q20 (`z_q20 = floor(z*2^20)`)
+    * so the report is engine-invariant. Days with fewer than
+    * `minPrior` trailing observations (or zero variance) emit a null
+    * score instead of a fabricated one.
+    */
+  def eventAnomaly(
+      events: DataFrame,
+      lookback: Int = 7,
+      minPrior: Int = 3,
+      zThreshold: Double = 3.0
+  ): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    val scored = daily
+      .withColumn("t_n", count(col("n")).over(w))
+      .withColumn("t_sum", sum(col("n")).over(w))
+      .withColumn("t_sumsq", sum(col("n") * col("n")).over(w))
+    val nD = col("n").cast("double")
+    val tn = col("t_n").cast("double")
+    val mean = col("t_sum").cast("double") / tn
+    // var = E[x^2] - E[x]^2 over the trailing window, clamped at 0
+    // (FP cancellation can push an all-equal window epsilon-negative)
+    val variance =
+      greatest(col("t_sumsq").cast("double") / tn - mean * mean, lit(0.0))
+    val z = (nD - mean) / sqrt(variance)
+    val zq = when(col("t_n") >= minPrior && variance > 0.0,
+      floor(z * 1048576.0).cast("long"))
+    scored
+      .withColumn("z_q20", zq)
+      .withColumn("anomaly",
+        when(col("z_q20").isNotNull,
+          abs(col("z_q20")) > (zThreshold * 1048576.0).toLong)
+          .otherwise(lit(false)))
+      .select(col("event_type"), col("day"), col("n"), col("t_n"),
+        col("z_q20"), col("anomaly"))
+  }
+}

@@ -145,4 +145,34 @@ object Cdc {
       .agg(max_by(struct(cols: _*), order).as("__row"))
       .select(col("__row.*"))
   }
+
+  /** SCD Type-2 history build from a change feed: where [[lastWriteWins]]
+    * keeps only the newest row per key (the reference's Redis point
+    * upsert, `app/OdsBaseDbApp.scala:139-166`), this keeps EVERY
+    * version, stamped with its validity interval — the warehouse-side
+    * "slowly changing dimension" read of the same Maxwell stream.
+    *
+    * Each I/U row opens a version at its own `order` value and closes
+    * at the next change of any kind for that key (update, re-insert,
+    * or delete); a D tombstone closes its predecessor and emits no
+    * version of its own. `valid_to IS NULL` marks the current version
+    * — so a key whose last event is a delete has no current row, the
+    * same end-state [[compactWithTombstones]] produces.
+    *
+    * One shuffle on the key (the window partition); the per-key sort
+    * is the price of interval stamping and is exactly the work any
+    * SCD2 build must do. `order` must be unique per key (CDC
+    * offsets/ids are) — ties would make `lead` nondeterministic.
+    */
+  def scd2History(
+      df: DataFrame,
+      keys: Seq[Column],
+      order: Column
+  ): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order.asc)
+    df.withColumn("valid_from", order)
+      .withColumn("valid_to", lead(order, 1).over(w))
+      .filter(col("op") =!= "D")
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

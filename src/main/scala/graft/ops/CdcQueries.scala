@@ -146,6 +146,19 @@ object CdcQueries {
           col("op"))
       Cdc.compactWithTombstones(dims, Seq(col("uid")), col("id"))
         .orderBy(col("uid"))
+    }),
+    // SCD2: full versioned history of the same tombstone-aware dim
+    // feed — every I/U opens a version, the next change (or a delete)
+    // closes it; `valid_to IS NULL` marks the current version
+    "q_cdc_scd2" -> ((s, d) => {
+      val envD = Cdc.normalizeOpsWithDeletes(parsedEnv(s, d))
+      val dims = Cdc.routeMatching(envD, routing(s), "dim")
+        .select(
+          col("data")("uid").cast("long").as("uid"),
+          col("data")("id").cast("long").as("id"),
+          col("op"))
+      Cdc.scd2History(dims, Seq(col("uid")), col("id"))
+        .orderBy(col("uid"), col("valid_from"))
     })
   )
 
@@ -198,6 +211,24 @@ object CdcQueries {
         |  SELECT uid, id, op,
         |    ROW_NUMBER() OVER (PARTITION BY uid ORDER BY id DESC) AS rn
         |  FROM m WHERE src_table = 't2')
-        |WHERE rn = 1 AND op <> 'D' ORDER BY uid""".stripMargin
+        |WHERE rn = 1 AND op <> 'D' ORDER BY uid""".stripMargin,
+    "q_cdc_scd2" ->
+      """WITH m AS (
+        |  SELECT 't'||(user_id % 3) AS src_table,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'view' THEN 'I'
+        |         WHEN event_type = 'purchase' THEN 'U'
+        |         WHEN event_type = 'click' THEN 'D' END AS op,
+        |    event_id AS id, user_id AS uid
+        |  FROM events
+        |  WHERE event_type IN ('signup','view','purchase','click')),
+        |v AS (
+        |  SELECT uid, id, op, id AS valid_from,
+        |    LEAD(id) OVER (PARTITION BY uid ORDER BY id) AS valid_to
+        |  FROM m WHERE src_table = 't2')
+        |SELECT uid, id, op, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY uid, valid_from""".stripMargin
   )
 }

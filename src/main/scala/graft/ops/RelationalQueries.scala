@@ -63,6 +63,28 @@ object RelationalQueries {
       setOps(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_scalar_funcs" -> ((s, d) => scalarFuncs(Tables.orders(s, d))),
     "q_events_per_day" -> ((s, d) => eventsPerDay(Tables.events(s, d))),
+    // table-level data-quality gate: one-pass Deequ-style suite +
+    // a referential-closure row (mixed pass/fail by construction —
+    // the synth lineitem has duplicate (orderkey, linenumber) pairs
+    // and discounts above the 0.05 gate)
+    "q_quality_assertions" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Audit.assertionReport(li, Seq(
+        Audit.Completeness("l_shipdate", 1.0),
+        Audit.Uniqueness(Seq("l_orderkey", "l_linenumber"), 1.0),
+        Audit.MinBound("l_quantity", 1.0),
+        Audit.MaxBound("l_quantity", 50.0),
+        Audit.MaxBound("l_discount", 0.05),
+        Audit.MinBound("l_extendedprice", 0.0)))
+        .unionByName(Audit.referentialIntegrity(
+          li, "l_partkey", Tables.part(s, d), "p_partkey", 1.0))
+        .orderBy(col("check_name"))
+    }),
+    // day-over-day volume anomaly per event type (trailing-window
+    // z-score, exact integer moments, q20-quantized score)
+    "q_events_anomaly" -> ((s, d) =>
+      Audit.eventAnomaly(Tables.events(s, d))
+        .orderBy(col("event_type"), col("day"))),
     // cohort retention (first-active-day cohorts, 0..7-day offsets):
     // two narrow aggregations + a many-to-one cohort join
     "q_events_retention" -> ((s, d) =>
@@ -306,6 +328,77 @@ object RelationalQueries {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_quality_assertions" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n, COUNT(l_shipdate) AS c_ship,
+        |    COUNT(DISTINCT (l_orderkey, l_linenumber)) AS u_ol,
+        |    CAST(MIN(l_quantity) AS DOUBLE) AS min_q,
+        |    CAST(MAX(l_quantity) AS DOUBLE) AS max_q,
+        |    CAST(MAX(l_discount) AS DOUBLE) AS max_d,
+        |    CAST(MIN(l_extendedprice) AS DOUBLE) AS min_p
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT CAST(COUNT(*) FILTER (p.p_partkey IS NOT NULL)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey
+        |    FROM part) p ON l.l_partkey = p.p_partkey)
+        |SELECT * FROM (
+        |  SELECT 'completeness:l_shipdate' AS check_name,
+        |    CAST(c_ship AS DOUBLE) / CAST(n AS DOUBLE) AS value,
+        |    CAST(1.0 AS DOUBLE) AS threshold,
+        |    CAST(c_ship AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 AS passed
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'uniqueness:l_orderkey,l_linenumber',
+        |    CAST(u_ol AS DOUBLE) / CAST(n AS DOUBLE),
+        |    CAST(1.0 AS DOUBLE),
+        |    CAST(u_ol AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM m
+        |  UNION ALL
+        |  SELECT 'min:l_quantity', min_q, CAST(1.0 AS DOUBLE),
+        |    min_q >= 1.0 FROM m
+        |  UNION ALL
+        |  SELECT 'max:l_quantity', max_q, CAST(50.0 AS DOUBLE),
+        |    max_q <= 50.0 FROM m
+        |  UNION ALL
+        |  SELECT 'max:l_discount', max_d, CAST(0.05 AS DOUBLE),
+        |    max_d <= 0.05 FROM m
+        |  UNION ALL
+        |  SELECT 'min:l_extendedprice', min_p, CAST(0.0 AS DOUBLE),
+        |    min_p >= 0.0 FROM m
+        |  UNION ALL
+        |  SELECT 'ri:l_partkey->p_partkey', v, CAST(1.0 AS DOUBLE),
+        |    v >= 1.0 FROM r)
+        |ORDER BY check_name""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, n,
+        |    COUNT(n) OVER w AS t_n,
+        |    SUM(n) OVER w AS t_sum,
+        |    SUM(n * n) OVER w AS t_sumsq
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT event_type, day, n, t_n,
+        |    CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE) AS mean,
+        |    GREATEST(CAST(t_sumsq AS DOUBLE) / CAST(t_n AS DOUBLE)
+        |      - (CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE))
+        |        * (CAST(t_sum AS DOUBLE) / CAST(t_n AS DOUBLE)),
+        |      0.0) AS var
+        |  FROM t)
+        |SELECT event_type, day, n, t_n,
+        |  CASE WHEN t_n >= 3 AND var > 0.0 THEN
+        |    CAST(FLOOR((CAST(n AS DOUBLE) - mean) / SQRT(var)
+        |      * 1048576.0) AS BIGINT) END AS z_q20,
+        |  CASE WHEN t_n >= 3 AND var > 0.0 THEN
+        |    ABS(CAST(FLOOR((CAST(n AS DOUBLE) - mean) / SQRT(var)
+        |      * 1048576.0) AS BIGINT)) > 3145728
+        |    ELSE FALSE END AS anomaly
+        |FROM s ORDER BY event_type, day""".stripMargin,
     "q_events_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Audit
+
+/** Table-level data-quality gates: assertion suite semantics
+  * (pass/fail per constraint, single-pass plan), referential closure,
+  * and trailing-window volume anomaly detection.
+  */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assertion suite: per-check pass/fail with measured values") {
+    val df = Seq(
+      (1L, 1, Some("a"), 5.0),
+      (1L, 1, Some("b"), 7.0),  // duplicate (k1,k2) pair
+      (2L, 1, None, -1.0)       // null col, below min bound
+    ).toDF("k1", "k2", "s", "v")
+    val rep = Audit.assertionReport(df, Seq(
+      Audit.Completeness("s", 1.0),
+      Audit.Uniqueness(Seq("k1", "k2"), 1.0),
+      Audit.MinBound("v", 0.0),
+      Audit.MaxBound("v", 10.0)))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3)))
+      .toMap
+    assert(rep("completeness:s") == (2.0 / 3.0, false))
+    assert(rep("uniqueness:k1,k2") == (2.0 / 3.0, false))
+    assert(rep("min:v") == (-1.0, false))
+    assert(rep("max:v") == (7.0, true))
+  }
+
+  test("assertion suite runs as one pass: single scan of the input") {
+    val df = Seq((1L, 1, Some("a"), 5.0)).toDF("k1", "k2", "s", "v")
+    val plan = Audit.assertionReport(df, Seq(
+      Audit.Completeness("s", 1.0),
+      Audit.MinBound("v", 0.0),
+      Audit.MaxBound("v", 10.0)))
+      .queryExecution.executedPlan.toString
+    // without Uniqueness there is no Expand; all metrics ride one agg
+    assert(!plan.contains("Expand"))
+  }
+
+  test("referential integrity: fraction matched, null FK unmatched") {
+    val fact = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Audit.referentialIntegrity(fact, "fk", dim, "pk", 1.0)
+      .collect().head
+    assert(r.getAs[Double]("value") == 0.5) // 2 of 4 matched
+    assert(!r.getAs[Boolean]("passed"))
+  }
+
+  test("event anomaly: planted spike flagged, warmup rows null") {
+    // 10 steady days at 100 then a 10x spike; one event_type
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+    val rows = (0 until 10).flatMap { i =>
+      val n = if (i == 9) 1000 else 100 + (i % 2) // slight wiggle: var > 0
+      (0 until n).map(j => (i.toLong * 10000 + j, day(i), 1L, "view",
+        1.0, "{}"))
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val out = Audit.eventAnomaly(events).collect()
+      .map(r => r.getAs[Timestamp]("day") ->
+        (Option(r.getAs[java.lang.Long]("z_q20")),
+          r.getAs[Boolean]("anomaly"))).toMap
+    // day 0: no trailing window -> null score, not anomalous
+    assert(out(day(0)) == ((None, false)))
+    // steady mid-range day: scored, small z, not anomalous
+    val (zMid, aMid) = out(day(5))
+    assert(zMid.isDefined && !aMid && math.abs(zMid.get) < (3L << 20))
+    // the spike: scored and flagged
+    val (zSpike, aSpike) = out(day(9))
+    assert(zSpike.isDefined && aSpike && zSpike.get > (3L << 20))
+  }
+}

@@ -75,4 +75,27 @@ class CdcSpec extends SparkSpec {
     assert(r.getAs[String]("old_value") == "1")
     assert(r.getAs[String]("new_value") == "2")
   }
+
+  test("SCD2: versions chained, delete closes, current flagged") {
+    val df = Seq(
+      ("k1", 1L, "I"), ("k1", 3L, "U"), ("k1", 5L, "D"), // ends deleted
+      ("k2", 2L, "I"), ("k2", 4L, "U"),                  // current = v4
+      ("k3", 6L, "I")                                    // single current
+    ).toDF("k", "seq", "op")
+    val out = Cdc.scd2History(df, Seq(col("k")), col("seq"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Boolean]("is_current")))
+      .toSet
+    assert(out == Set(
+      ("k1", 1L, 1L, Some(3L), false),
+      ("k1", 3L, 3L, Some(5L), false), // closed by the tombstone
+      ("k2", 2L, 2L, Some(4L), false),
+      ("k2", 4L, 4L, None, true),
+      ("k3", 6L, 6L, None, true)))
+    // no version row for deletes, and a deleted key has no current row
+    assert(!out.exists { case (k, _, _, _, cur) => k == "k1" && cur })
+  }
 }
