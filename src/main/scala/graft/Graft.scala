@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.ml.clustering.KMeansModel
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** User-facing fluent surface: every operator family as extension
   * syntax on plain DataFrames, so adopting the library is
@@ -109,6 +109,12 @@ object Graft {
     def blocklistFiltered(
         terms: Seq[String], keep: Boolean = true): DataFrame =
       ops.Text.blocklistFilter(docs, terms, keep)
+    /** Asymmetric shingle-containment pairs (fragment-in-page). */
+    def containmentPairs(threshold: Double): DataFrame =
+      ops.Text.containmentPairs(docs, threshold)
+    /** Weighted sample-without-replacement (Efraimidis–Spirakis). */
+    def weightedSample(k: Int, weight: Column): DataFrame =
+      ops.Text.weightedSample(docs, k, weight)
     /** Leakage-safe split: the split draw keyed by near-dup cluster
       * so no duplicate pair straddles the eval boundary. */
     def leakageSafeSplitBy(
@@ -479,6 +485,9 @@ object Graft {
     /** Inverted-list balance audit (frame must carry `list_id`):
       * occupancy, ppm share, imbalance vs perfect balance. */
     def listBalance: DataFrame = ops.Vector.listBalance(embs)
+    /** Diagonal-Mahalanobis outlier top-k (encoder-failure screen). */
+    def mahalanobisOutliers(k: Int): DataFrame =
+      ops.Vector.mahalanobisOutliers(embs, k)
     /** Reciprocal-rank fusion of this `(id, rank)` frame with other
       * rankings (exact q20 integers). */
     def rrfFusedWith(others: Seq[DataFrame], k: Int, k0: Int = 60)

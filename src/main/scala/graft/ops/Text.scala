@@ -2798,4 +2798,107 @@ object Text {
       .withColumn("matched_term",
         regexp_extract(lower(col("text")), pat, 1))
   }
+
+  /** Asymmetric shingle-containment pairs: emit (doc_a, doc_b) where
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold — "a is
+    * (mostly) contained in b". The dedup relation [[jaccardExactPairs]]
+    * can't see: a paragraph quoted inside a much larger page has tiny
+    * Jaccard (the union is page-sized) but containment ~1, and
+    * quote/wrapper inclusion is exactly what training-data curation
+    * must catch before the small fragment and its containing page both
+    * enter the corpus as "distinct" documents.
+    *
+    * Scale shape is the prefix-filter discipline, adapted: containment
+    * >= t forces |A∩B| >= t·n_a, so if the first
+    * `n_a - ceil(t*n_a) + 1` shingles of A (in the global rare-first
+    * order) all miss B, the pair cannot qualify — lossless pruning,
+    * same argument as the Jaccard prefix. Asymmetry costs one side:
+    * A's prefix joins against B's FULL shingle list (no length filter
+    * applies — B may be arbitrarily larger), so candidates are bounded
+    * by Σ_tok df_prefix(tok)·df(tok) instead of Σ df_prefix². Rare-
+    * first ordering keeps that sum dominated by low-df shingles; ids
+    * only ride the join, sets re-attach after pair dedup.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold in (0,1], got $threshold")
+    val toks = graft.Caches.track("text", docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("raw_toks"),
+        col("text"))
+      .filter(size(col("raw_toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          graft.functions.tokenShingles(col("text"), 3),
+          s => xxhash64(s))).as("toks")))
+    val df_ = toks
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = graft.Caches.track("text", toks
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        explode(col("toks")).as("tok"))
+      .join(df_, "tok")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+        .as("ord"))
+      .select(col("doc_id"), col("n"),
+        transform(col("ord"), _.getField("tok")).as("toks_ord"),
+        (col("n") - ceil(lit(threshold) * col("n")) + 1)
+          .cast("int").as("plen")))
+    val prefixA = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("toks_ord"), lit(1), col("plen"))).as("tok"))
+    val allB = ordered.select(col("doc_id"),
+      explode(col("toks_ord")).as("tok"))
+    val cand = prefixA.as("a").join(allB.as("b"), "tok")
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = ordered.select(col("doc_id"), col("toks_ord"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        size(col("toks_ord")).as("na"), col("toks_ord").as("ta")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("toks_ord").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Weighted sample-without-replacement, the Efraimidis–Spirakis
+    * one-pass form: each doc draws a deterministic uniform u from
+    * md5(doc_id) and gets key = ln(u)/w (order-equivalent to the
+    * textbook u^(1/w)); the k largest keys are the sample. Heavier
+    * docs draw systematically larger keys, so inclusion probability
+    * is proportional to weight — the standard way to turn per-doc
+    * quality/size weights into an actual training subset without a
+    * global sort over anything but the top-k frontier.
+    *
+    * Scale shape: embarrassingly parallel scoring + distributed top-k
+    * (per-partition heads, k-row merge) — no full sort, no shuffle of
+    * the corpus. Keys are quantized to q20 longs (the repo's ln
+    * convention) so selection and output are engine-invariant;
+    * doc_id breaks ties deterministically. Weight floor of 1 keeps
+    * zero-weight rows drawable-but-last rather than division traps.
+    */
+  def weightedSample(
+      docs: DataFrame,
+      k: Int,
+      weight: Column,
+      salt: String = "wsamp"
+  ): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    // u in (0, 1]: (draw60 + 1) / 2^60 — never 0, so ln is finite
+    val u = (draw60(concat(col("doc_id").cast("string"),
+      lit(":" + salt))) + 1).cast("double") / lit(1L << 60).cast("double")
+    docs
+      .withColumn("w", greatest(weight.cast("double"), lit(1.0)))
+      .withColumn("key_q20",
+        floor(log(u) / col("w") * (1L << 20)).cast("long"))
+      .select(col("doc_id"), col("w"), col("key_q20"))
+      .orderBy(col("key_q20").desc, col("doc_id"))
+      .limit(k)
+  }
 }

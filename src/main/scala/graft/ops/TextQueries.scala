@@ -182,6 +182,14 @@ object TextQueries {
     // proves the pruning drops nothing on real data
     "q_text_jaccard_exact" -> ((s, d) =>
       jacPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    // asymmetric containment (|A∩B|/|A|): catches fragment-in-page
+    // inclusion that Jaccard's union denominator hides
+    "q_text_containment" -> ((s, d) =>
+      Text.containmentPairs(Tables.documents(s, d), 0.7)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // Efraimidis–Spirakis weighted sample (w = n_chars, q20 keys)
+    "q_text_weighted_sample" -> ((s, d) =>
+      Text.weightedSample(Tables.documents(s, d), 100, col("n_chars"))),
     // pairwise dedup → dedup GROUPS: connected components (min
     // reachable doc_id) over the exact-jaccard pair graph; oracle is
     // a DuckDB recursive CTE over the same edges
@@ -724,6 +732,28 @@ object TextQueries {
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // same candidate skeleton, asymmetric predicate: every ordered
+    // pair sharing a shingle, kept when inter/|A| clears the gate
+    "q_text_containment" ->
+      s"""WITH ${jacPairsSqlOver("documents", "a.doc_id <> b.doc_id")}
+         |SELECT doc_a, doc_b, na, inter,
+         |  CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+         |FROM p
+         |WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_text_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS w,
+        |    CAST(FLOOR(
+        |      ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |            || ':wsamp'), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+        |         / CAST(1152921504606846976 AS DOUBLE))
+        |      / GREATEST(CAST(n_chars AS DOUBLE), 1.0)
+        |      * 1048576) AS BIGINT) AS key_q20
+        |  FROM documents)
+        |SELECT doc_id, w, key_q20 FROM d
+        |ORDER BY key_q20 DESC, doc_id LIMIT 100""".stripMargin,
     // ids-only candidate set; same exact-pair oracle as the verified
     // queries below (see the recall note at the queries entry)
     "q_text_minhash_neardup" ->

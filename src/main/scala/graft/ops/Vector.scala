@@ -2121,4 +2121,52 @@ object Vector {
               sqrt(col("na2_q").cast("double") *
                 col("nb2_q").cast("double"))).cast("long")))
   }
+
+  /** Diagonal-Mahalanobis embedding outliers: score each vector by
+    * Σ_i (xq_i − μ_i)²/σ_i² over the q16-quantized view and keep the
+    * top `k` — the curation gate that catches encoder failures (junk
+    * pages, truncated inputs, wrong-modality content embed far from
+    * the data cloud along SOME axis even when their norm looks
+    * normal). Diagonal covariance is the deliberate scale choice: the
+    * full-Σ score needs the inverse of [[pcaMomentsQ16]]'s Gram
+    * matrix (an offline fit), while the diagonal needs only d
+    * (mean, variance) pairs — one aggregation, no fit, and the score
+    * it produces is the standard first-pass anomaly signal.
+    *
+    * Pipeline: one scan reduces the corpus to d rows of exact long
+    * moments (map-side partials; |xq| ≤ 2^16-ish keeps Σxq² exact to
+    * ~2^30 vectors at unit norm); those d rows broadcast back and
+    * every vector scores map-side — per-dim z² quantized to q20
+    * longs (deterministic IEEE chain both engines), summed in any
+    * order. Zero-variance dims are excluded on both engine and
+    * oracle sides (they carry no anomaly information and would
+    * divide by zero). Top-k is per-partition heads + k-row merge,
+    * never a full sort.
+    */
+  def mahalanobisOutliers(embeddings: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
+    val xq = embeddings.select(col("vec_id"),
+      posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * 65536).cast("long")))
+        .as(Seq("i", "xq")))
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / nD
+    val variance = col("ss").cast("double") / nD - mean * mean
+    val stats = xq
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"),
+        sum(col("xq") * col("xq")).as("ss"))
+      .select(col("i"), mean.as("mean"), variance.as("variance"))
+      .filter(col("variance") > 0.0)
+    val dx = col("xq").cast("double") - col("mean")
+    xq.join(broadcast(stats), "i")
+      .select(col("vec_id"),
+        floor(dx * dx / col("variance") * (1L << 20))
+          .cast("long").as("z2_q20"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("z2_q20")).as("score_q20"),
+        count(lit(1)).as("n_dims"))
+      .orderBy(col("score_q20").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -106,6 +106,10 @@ object VectorQueries {
         .select(col("vec_id"), col("label"),
           Vector.decNorm(col("embedding")).as("l2_norm"))
         .orderBy(col("vec_id"))),
+    // diagonal-Mahalanobis outliers: exact long moments -> broadcast
+    // stats -> q20 per-dim z-squared, top-25 by summed score
+    "q_vec_outlier" -> ((s, d) =>
+      Vector.mahalanobisOutliers(Tables.embeddings(s, d), 25)),
     // rows-only (LSH not ANSI-SQL-expressible):
     "q_vec_ann_lsh" -> ((s, d) =>
       Vector.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
@@ -559,6 +563,34 @@ object VectorQueries {
         |FROM (SELECT vec_id, label, UNNEST(embedding) AS x
         |      FROM embeddings)
         |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
+    "q_vec_outlier" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 65536)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT i, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS s,
+        |    CAST(SUM(xq * xq) AS BIGINT) AS ss
+        |  FROM x GROUP BY i),
+        |st AS (
+        |  SELECT i,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS variance
+        |  FROM m),
+        |z AS (
+        |  SELECT x.vec_id,
+        |    CAST(FLOOR((CAST(x.xq AS DOUBLE) - st.mean)
+        |      * (CAST(x.xq AS DOUBLE) - st.mean) / st.variance
+        |      * 1048576.0) AS BIGINT) AS z2
+        |  FROM x JOIN st USING (i) WHERE st.variance > 0.0)
+        |SELECT vec_id, CAST(SUM(z2) AS BIGINT) AS score_q20,
+        |  COUNT(*) AS n_dims
+        |FROM z GROUP BY vec_id
+        |ORDER BY score_q20 DESC, vec_id LIMIT 25""".stripMargin,
     "q_vec_quantize_int8" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 161,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 161")
-    assert(SparkEntry.oracleSql.size == 150,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 150")
+    assert(SparkEntry.queries.size == 167,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 167")
+    assert(SparkEntry.oracleSql.size == 156,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 156")
   }
 
   test("doc surface composes end to end") {
@@ -223,6 +223,9 @@ class GraftApiSpec extends SparkSpec {
       "oovRate" -> "oovRated",
       "sourceProfile" -> "sourceProfiled",
       "blocklistFilter" -> "blocklistFiltered",
+      "containmentPairs" -> "containmentPairs",
+      "weightedSample" -> "weightedSample",
+      "mahalanobisOutliers" -> "mahalanobisOutliers",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
       "centroidDriftQ16" -> "centroidDriftTo",
       "kCoreAssigned" -> "kCoreAssigned",

@@ -1469,4 +1469,41 @@ class TextSpec extends SparkSpec {
       .collect().toMap
     assert(audit == Map(2L -> "spark", 4L -> "vector"))
   }
+
+  test("containmentPairs: fragment-in-page found despite tiny jaccard") {
+    val frag = "alpha beta gamma delta epsilon zeta"
+    val page = frag + " " + (1 to 80).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, frag, "en", "s", frag.length.toLong),
+      (2L, page, "en", "s", page.length.toLong),
+      (3L, "totally unrelated words in this one here", "en", "s", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.containmentPairs(d, 0.9)
+      .select("doc_a", "doc_b", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fragment is contained in the page; the reverse direction
+    // and the unrelated doc must not appear
+    assert(out == Set((1L, 2L)))
+    // sanity: the SAME pair is invisible to symmetric jaccard at 0.5
+    val jac = Text.jaccardExactPairs(d, 0.5)
+      .select("doc_a", "doc_b").collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("weightedSample: k rows, deterministic, weight-biased") {
+    val docs = (1L to 200L).map { i =>
+      // doc 1..10 heavy (w=100000), rest weight 1
+      val w = if (i <= 10) 100000L else 1L
+      (i, s"doc $i", "en", "s", w)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = Text.weightedSample(docs, 20, col("n_chars"))
+      .select("doc_id").as[Long].collect()
+    val s2 = Text.weightedSample(docs, 20, col("n_chars"))
+      .select("doc_id").as[Long].collect()
+    assert(s1.length == 20 && s1.sameElements(s2)) // deterministic
+    // all 10 heavy docs make a 20-slot sample vs 190 light ones:
+    // P(miss any one) ~ (1-0.5)^something tiny with 1e5:1 odds
+    assert((1L to 10L).forall(s1.contains), s"heavy docs missing: " +
+      (1L to 10L).filterNot(s1.contains).mkString(","))
+  }
 }

@@ -1074,4 +1074,22 @@ class VectorSpec extends SparkSpec {
     // orthogonal: dot 0, cosine exactly 0
     assert(out(1) == ((0L, q * q, q * q, 0L)))
   }
+
+  test("mahalanobisOutliers: planted outlier first, const dim excluded") {
+    // tight cloud around (0.5, 0.5) with one far point; dim 2 constant
+    val cloud = (0L until 40L).map { i =>
+      val eps = (i % 5).toFloat * 0.01f
+      (i, Array(0.5f + eps, 0.5f - eps, 7.0f), 0)
+    }
+    val planted = Seq((99L, Array(-3.0f, 4.0f, 7.0f), 1))
+    val df = (cloud ++ planted).toDF("vec_id", "embedding", "label")
+    val out = Vec.mahalanobisOutliers(df, 3).collect()
+    // the planted vector dominates the score ranking
+    assert(out.head.getAs[Long]("vec_id") == 99L)
+    // the constant dimension contributes nothing: 2 scored dims only
+    assert(out.forall(_.getAs[Long]("n_dims") == 2L))
+    // scores are monotone in rank order (top-k contract)
+    val scores = out.map(_.getAs[Long]("score_q20"))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
 }
