@@ -112,6 +112,17 @@ object Graft {
     /** Asymmetric shingle-containment pairs (fragment-in-page). */
     def containmentPairs(threshold: Double): DataFrame =
       ops.Text.containmentPairs(docs, threshold)
+    /** Canonical rare-first ordered shingle table — build (and
+      * persist) once, feed every prefix-filter pair predicate. */
+    def orderedShingles: DataFrame = ops.Text.orderedShingles(docs)
+    /** Jaccard pairs over a prebuilt [[orderedShingles]] table (the
+      * receiver IS the ordered table). */
+    def jaccardPairsOverOrdered(threshold: Double): DataFrame =
+      ops.Text.jaccardPairsOverOrdered(docs, threshold)
+    /** Containment pairs over a prebuilt [[orderedShingles]] table
+      * (the receiver IS the ordered table). */
+    def containmentPairsOverOrdered(threshold: Double): DataFrame =
+      ops.Text.containmentPairsOverOrdered(docs, threshold)
     /** Weighted sample-without-replacement (Efraimidis–Spirakis). */
     def weightedSample(k: Int, weight: Column): DataFrame =
       ops.Text.weightedSample(docs, k, weight)

@@ -790,7 +790,17 @@ object Text {
     * collisions, and the string-space oracle compare would surface
     * any collision as a value mismatch.
     */
-  def jaccardExactPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Shared rare-first ordered shingle table: (doc_id, n, toks_ord)
+    * with toks_ord sorted by ascending corpus df (ties by hash) — the
+    * canonical representation every prefix-filter consumer
+    * ([[jaccardExactPairs]], [[containmentPairs]]) derives its prefix
+    * from. Split out so one session builds it ONCE and feeds every
+    * threshold/predicate variant; the per-consumer `plen` is a cheap
+    * map-side column over this table, but the shingle transform, the
+    * df aggregation, and the canonical sort (the expensive shuffles)
+    * are threshold-independent.
+    */
+  def orderedShingles(docs: DataFrame): DataFrame = {
     // shingles staged behind two Project barriers: `tokens` (a split)
     // must not get inlined into the per-element lambda (lambda HOF
     // bodies are excluded from subexpression elimination). The
@@ -815,7 +825,7 @@ object Text {
       .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // canonical rare-first token order per doc: sort (df, tok) structs
-    val ordered = toks
+    toks
       .select(col("doc_id"), size(col("toks")).as("n"),
         explode(col("toks")).as("tok"))
       .join(df_, "tok")
@@ -823,14 +833,29 @@ object Text {
       .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
         .as("ord"))
       .select(col("doc_id"), col("n"),
-        transform(col("ord"), _.getField("tok")).as("toks_ord"),
-        (col("n") - ceil(lit(threshold) * col("n")) + 1)
-          .cast("int").as("plen"))
+        transform(col("ord"), _.getField("tok")).as("toks_ord"))
+  }
+
+  def jaccardExactPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsOverOrdered(
+      graft.Caches.track("text", orderedShingles(docs)), threshold)
+
+  /** [[jaccardExactPairs]] over a prebuilt (ideally persisted)
+    * [[orderedShingles]] table — the form a session computing several
+    * pair predicates should call, so the shingle/sort shuffles
+    * amortize across consumers.
+    */
+  def jaccardPairsOverOrdered(
+      orderedShingleTable: DataFrame,
+      threshold: Double
+  ): DataFrame = {
     // the ordered-shingle table feeds four plan legs (two prefix
-    // self-join sides + two verify set fetches) — persist it so the
-    // shuffle-heavy ordering chain materializes once; released with
-    // the text family
-    val orderedC = graft.Caches.track("text", ordered)
+    // self-join sides + two verify set fetches) — callers persist it
+    // so the shuffle-heavy ordering chain materializes once; the
+    // prefix length is this consumer's threshold-derived view
+    val orderedC = orderedShingleTable
+      .withColumn("plen",
+        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
     // candidates: ids only through the join; token arrays re-attached
     // after dedup so wide rows never multiply across candidate pairs.
     // The set size rides along for the PPJoin LENGTH filter below —
@@ -2819,32 +2844,23 @@ object Text {
     * first ordering keeps that sum dominated by low-df shingles; ids
     * only ride the join, sets re-attach after pair dedup.
     */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame =
+    containmentPairsOverOrdered(
+      graft.Caches.track("text", orderedShingles(docs)), threshold)
+
+  /** [[containmentPairs]] over a prebuilt [[orderedShingles]] table —
+    * shares the shingle/sort shuffles with every other prefix-filter
+    * consumer in the session.
+    */
+  def containmentPairsOverOrdered(
+      orderedShingleTable: DataFrame,
+      threshold: Double
+  ): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"containment threshold in (0,1], got $threshold")
-    val toks = graft.Caches.track("text", docs
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("raw_toks"),
-        col("text"))
-      .filter(size(col("raw_toks")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(
-          graft.functions.tokenShingles(col("text"), 3),
-          s => xxhash64(s))).as("toks")))
-    val df_ = toks
-      .select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = graft.Caches.track("text", toks
-      .select(col("doc_id"), size(col("toks")).as("n"),
-        explode(col("toks")).as("tok"))
-      .join(df_, "tok")
-      .groupBy(col("doc_id"), col("n"))
-      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
-        .as("ord"))
-      .select(col("doc_id"), col("n"),
-        transform(col("ord"), _.getField("tok")).as("toks_ord"),
-        (col("n") - ceil(lit(threshold) * col("n")) + 1)
-          .cast("int").as("plen")))
+    val ordered = orderedShingleTable
+      .withColumn("plen",
+        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
     val prefixA = ordered.select(col("doc_id"), col("n"),
       explode(slice(col("toks_ord"), lit(1), col("plen"))).as("tok"))
     val allB = ordered.select(col("doc_id"),

@@ -22,13 +22,21 @@ object TextQueries {
     graft.Caches.persisted("text", (s, d))(
       Text.minhashCandidates(Tables.documents(s, d), 0.2))
 
+  /** Rare-first ordered shingle table, shared by every prefix-filter
+    * pair predicate (jaccard AND containment) — the shingle/df/sort
+    * shuffles run once per session.
+    */
+  private def ordShingles(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("text", ("ordsh", s, d))(
+      Text.orderedShingles(Tables.documents(s, d)))
+
   /** Exact shingle-jaccard pairs, shared by the pair query and the
     * cluster query (the cluster query consumes the pair graph — one
     * materialization per session, released with the family).
     */
   private def jacPairs(s: SparkSession, d: String): DataFrame =
     graft.Caches.persisted("text", ("jac", s, d))(
-      Text.jaccardExactPairs(Tables.documents(s, d), 0.5))
+      Text.jaccardPairsOverOrdered(ordShingles(s, d), 0.5))
 
   /** Converged cluster assignment, shared by the cluster query and
     * the survivor-policy query (label propagation runs once per
@@ -65,6 +73,7 @@ object TextQueries {
     */
   val sharedCacheBuilders: Seq[(String, Q)] = Seq(
     "cache:text:minhash_candidates" -> ((s, d) => candidates(s, d)),
+    "cache:text:ordered_shingles" -> ((s, d) => ordShingles(s, d)),
     "cache:text:jac_pairs" -> ((s, d) => jacPairs(s, d)),
     "cache:text:dup_clusters" -> ((s, d) => clusterAssign(s, d)),
     "cache:text:bpe_merges" -> ((s, d) => learnedMerges(s, d)),
@@ -185,7 +194,7 @@ object TextQueries {
     // asymmetric containment (|A∩B|/|A|): catches fragment-in-page
     // inclusion that Jaccard's union denominator hides
     "q_text_containment" -> ((s, d) =>
-      Text.containmentPairs(Tables.documents(s, d), 0.7)
+      Text.containmentPairsOverOrdered(ordShingles(s, d), 0.7)
         .orderBy(col("doc_a"), col("doc_b"))),
     // Efraimidis–Spirakis weighted sample (w = n_chars, q20 keys)
     "q_text_weighted_sample" -> ((s, d) =>

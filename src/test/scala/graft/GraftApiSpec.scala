@@ -224,6 +224,9 @@ class GraftApiSpec extends SparkSpec {
       "sourceProfile" -> "sourceProfiled",
       "blocklistFilter" -> "blocklistFiltered",
       "containmentPairs" -> "containmentPairs",
+      "orderedShingles" -> "orderedShingles",
+      "jaccardPairsOverOrdered" -> "jaccardPairsOverOrdered",
+      "containmentPairsOverOrdered" -> "containmentPairsOverOrdered",
       "weightedSample" -> "weightedSample",
       "mahalanobisOutliers" -> "mahalanobisOutliers",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
