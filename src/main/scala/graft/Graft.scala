@@ -126,6 +126,12 @@ object Graft {
     /** Weighted sample-without-replacement (Efraimidis–Spirakis). */
     def weightedSample(k: Int, weight: Column): DataFrame =
       ops.Text.weightedSample(docs, k, weight)
+    /** Per-doc tf-idf keywords (q20-integer idf, per-doc top-k). */
+    def tfidfKeywords(k: Int): DataFrame =
+      ops.Text.tfidfKeywords(docs, k)
+    /** Quality-curriculum phase assignment (exact-rank twin). */
+    def curriculumPhases(nPhases: Int = 3): DataFrame =
+      ops.Text.curriculumPhases(docs, nPhases)
     /** Leakage-safe split: the split draw keyed by near-dup cluster
       * so no duplicate pair straddles the eval boundary. */
     def leakageSafeSplitBy(

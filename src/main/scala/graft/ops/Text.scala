@@ -2917,4 +2917,68 @@ object Text {
       .orderBy(col("key_q20").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Per-document tf-idf keyword extraction: the `k` highest
+    * tf·idf tokens of each doc — the cheap, model-free doc
+    * descriptor curation pipelines use for topic sampling audits,
+    * cluster labeling, and per-source drift spot checks. idf is the
+    * corpus-level ln(N/df) in the repo's q20-integer convention, so
+    * the score (`tf · ⌊ln(N/df)·2²⁰⌋`, an exact long product) is
+    * engine-invariant and order-free.
+    *
+    * Shape at scale: one (doc, token) tf aggregation, one token df
+    * aggregation (both map-side-combining), a many-to-one join into
+    * the df table, then a per-doc top-k window — the only per-doc
+    * sort, over that doc's DISTINCT tokens. Nothing global except
+    * the token df table, which is vocabulary-sized.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"keywords per doc must be positive, got $k")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val total = docs.filter(length(trim(col("text"))) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df_, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("idf_q20",
+        floor(log(col("n_docs").cast("double") /
+          col("df").cast("double")) * (1L << 20)).cast("long"))
+      .withColumn("score_q20", col("tf") * col("idf_q20"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q20").desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score_q20"), col("rank"))
+  }
+
+  /** Curriculum phase assignment: rank the corpus by quality
+    * (descending — highest-quality docs first) and cut it into
+    * `nPhases` contiguous, near-equal phases, the standard
+    * quality-curriculum schedule (phase 1 trains first). Exact-rank
+    * form: `phase = ((rank-1)·nPhases) div N + 1` on a total
+    * (quality, doc_id) order, so assignment is deterministic and has
+    * a bit-exact SQL twin — this is the calibration-scale twin, same
+    * contract as [[qualityDecileThresholdsExact]]. The 100 TB path
+    * assigns map-side against the broadcast sketch thresholds of
+    * [[qualityDecileThresholds]] instead of ranking globally; this
+    * exact form is what verifies that path's cut points.
+    */
+  def curriculumPhases(docs: DataFrame, nPhases: Int = 3): DataFrame = {
+    require(nPhases > 0, s"phase count must be positive, got $nPhases")
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+    q.withColumn("rank", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(
+        Window.partitionBy()))
+      .withColumn("phase",
+        expr(s"CAST(((rank - 1) * $nPhases) div n_docs AS INT) + 1"))
+      .select(col("doc_id"), col("quality"), col("rank"), col("phase"))
+  }
 }

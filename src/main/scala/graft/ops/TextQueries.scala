@@ -199,6 +199,14 @@ object TextQueries {
     // Efraimidis–Spirakis weighted sample (w = n_chars, q20 keys)
     "q_text_weighted_sample" -> ((s, d) =>
       Text.weightedSample(Tables.documents(s, d), 100, col("n_chars"))),
+    // per-doc tf-idf keyword extraction (q20-integer idf, top-5)
+    "q_text_tfidf_keywords" -> ((s, d) =>
+      Text.tfidfKeywords(Tables.documents(s, d), 5)
+        .orderBy(col("doc_id"), col("rank"))),
+    // quality-curriculum phase assignment (exact-rank twin)
+    "q_text_curriculum" -> ((s, d) =>
+      Text.curriculumPhases(Tables.documents(s, d), 3)
+        .orderBy(col("rank"))),
     // pairwise dedup → dedup GROUPS: connected components (min
     // reachable doc_id) over the exact-jaccard pair graph; oracle is
     // a DuckDB recursive CTE over the same edges
@@ -750,6 +758,57 @@ object TextQueries {
          |FROM p
          |WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_text_tfidf_keywords" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, UNNEST($toksSql) AS token
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents
+         |      WHERE len(trim(text)) > 0),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+         |    tf.tf * CAST(FLOOR(ln(CAST(n.n_docs AS DOUBLE)
+         |      / CAST(dfx.df AS DOUBLE)) * 1048576) AS BIGINT)
+         |      AS score_q20
+         |  FROM tf JOIN dfx USING (token) CROSS JOIN n),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score_q20 DESC, token) AS rnk
+         |  FROM sc)
+         |SELECT doc_id, token, tf, df, score_q20,
+         |  CAST(rnk AS INT) AS rank
+         |FROM r WHERE rnk <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "q_text_curriculum" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS uniq_ratio,
+         |    CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 AS len_score
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id,
+         |    stopword_ratio * 0.25 + uniq_ratio * 0.5
+         |      + len_score * 0.25 AS quality
+         |  FROM r),
+         |rk AS (
+         |  SELECT doc_id, quality,
+         |    ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS rnk,
+         |    COUNT(*) OVER () AS n_docs
+         |  FROM q)
+         |SELECT doc_id, quality, CAST(rnk AS INT) AS rank,
+         |  CAST(((rnk - 1) * 3) // n_docs AS INT) + 1 AS phase
+         |FROM rk ORDER BY rank""".stripMargin,
     "q_text_weighted_sample" ->
       """WITH d AS (
         |  SELECT doc_id,

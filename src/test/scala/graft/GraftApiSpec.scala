@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 167,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 167")
-    assert(SparkEntry.oracleSql.size == 156,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 156")
+    assert(SparkEntry.queries.size == 169,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 169")
+    assert(SparkEntry.oracleSql.size == 158,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 158")
   }
 
   test("doc surface composes end to end") {
@@ -228,6 +228,8 @@ class GraftApiSpec extends SparkSpec {
       "jaccardPairsOverOrdered" -> "jaccardPairsOverOrdered",
       "containmentPairsOverOrdered" -> "containmentPairsOverOrdered",
       "weightedSample" -> "weightedSample",
+      "tfidfKeywords" -> "tfidfKeywords",
+      "curriculumPhases" -> "curriculumPhases",
       "mahalanobisOutliers" -> "mahalanobisOutliers",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
       "centroidDriftQ16" -> "centroidDriftTo",

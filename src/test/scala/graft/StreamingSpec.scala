@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{CdcPipeline, EventTimeOps, IngestPipeline, LogPipeline, SemanticIngestPipeline, Sessionize}
+import graft.streaming.{CdcPipeline, EventTimeOps, IngestPipeline, LogPipeline, QualityGatePipeline, SemanticIngestPipeline, Sessionize}
 
 /** Streaming-semantics tests (SURVEY §5 item 4): MemoryStream →
   * identical pipelines → processAllAvailable, plus watermark/late
@@ -539,6 +539,48 @@ class StreamingSpec extends SparkSpec {
         .collect().map(key).sorted
       val got = spark.table("cdc_chunks_out").collect().map(key).sorted
       assert(want.nonEmpty && got.sameElements(want))
+    } finally sq.stop()
+  }
+
+  test("streaming quality gate: clean batch admitted whole, " +
+      "contract-breaking batch quarantined with its report") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Audit
+    val checks = Seq(
+      Audit.Completeness("text", 1.0),
+      Audit.Uniqueness(Seq("doc_id"), 1.0),
+      Audit.MinBound("n_chars", 1.0))
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val rejected = scala.collection.mutable.ArrayBuffer[Long]()
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    val reports = scala.collection.mutable.ArrayBuffer[Int]()
+    val in = MemoryStream[(Long, Option[String], Long)]
+    val sq = QualityGatePipeline.start(
+      in.toDF().toDF("doc_id", "text", "n_chars"), checks,
+      df => admitted ++= df.select("doc_id").collect().map(_.getLong(0)),
+      (df, rep) => {
+        rejected ++= df.select("doc_id").collect().map(_.getLong(0))
+        failures ++= rep.filter(!_.getAs[Boolean]("passed"))
+          .map(_.getAs[String]("check_name"))
+      },
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("qgate-ck").toString,
+      reportSink = rep => reports += rep.size,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(0))
+    try {
+      // batch 1: clean
+      in.addData(Seq((1L, Some("good doc"), 8L), (2L, Some("fine"), 4L)))
+      sq.processAllAvailable()
+      // batch 2: null text + duplicate key → both checks fail
+      in.addData(Seq((3L, None, 5L), (3L, Some("dup id"), 6L)))
+      sq.processAllAvailable()
+      assert(admitted.toSet == Set(1L, 2L))
+      assert(rejected.toSet == Set(3L))
+      assert(failures.toSet ==
+        Set("completeness:text", "uniqueness:doc_id"))
+      // every batch reported the full suite, admitted or not
+      assert(reports.toSeq == Seq(3, 3))
     } finally sq.stop()
   }
 }

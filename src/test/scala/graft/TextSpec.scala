@@ -1506,4 +1506,42 @@ class TextSpec extends SparkSpec {
     assert((1L to 10L).forall(s1.contains), s"heavy docs missing: " +
       (1L to 10L).filterNot(s1.contains).mkString(","))
   }
+
+  test("tfidfKeywords: rare distinguishing term outranks common one") {
+    val d = Seq(
+      (1L, "shared shared shared zebra", "en", "s", 26L),
+      (2L, "shared words again here", "en", "s", 23L),
+      (3L, "shared words one more", "en", "s", 21L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.tfidfKeywords(d, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        r.getAs[String]("token")).toMap
+    // doc 1: 'zebra' (df=1) beats 'shared' (df=3) even at tf 1 vs 3
+    assert(out((1L, 1)) == "zebra")
+    // 'shared' appears in every doc -> idf 0 -> score 0, ranked by
+    // score first so any df<3 token beats it
+    val all = Text.tfidfKeywords(d, 10).collect()
+    assert(all.filter(_.getAs[String]("token") == "shared")
+      .forall(_.getAs[Long]("score_q20") == 0L))
+    // per-doc top-k contract: no doc exceeds k rows, ranks contiguous
+    val perDoc = Text.tfidfKeywords(d, 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.values.forall(rs =>
+      rs.length <= 2 && rs.map(_.getAs[Int]("rank")).sorted
+        .sameElements(1 to rs.length)))
+  }
+
+  test("curriculumPhases: near-equal contiguous phases, quality-sorted") {
+    val docs = (1L to 9L).map { i =>
+      // vary n_chars so len_score (and quality) differ per doc
+      (i, s"document number $i with text", "en", "s", i * 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.curriculumPhases(docs, 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    val phases = out.map(_.getAs[Int]("phase"))
+    assert(phases.sameElements(Array(1, 1, 1, 2, 2, 2, 3, 3, 3)))
+    // rank order == descending quality
+    val quals = out.map(_.getAs[Double]("quality"))
+    assert(quals.sameElements(quals.sorted.reverse))
+  }
 }
