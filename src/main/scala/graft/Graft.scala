@@ -132,6 +132,8 @@ object Graft {
     /** Quality-curriculum phase assignment (exact-rank twin). */
     def curriculumPhases(nPhases: Int = 3): DataFrame =
       ops.Text.curriculumPhases(docs, nPhases)
+    /** Corpus Zipf audit: OLS log-log rank-frequency slope. */
+    def zipfAudit: DataFrame = ops.Text.zipfAudit(docs)
     /** Leakage-safe split: the split draw keyed by near-dup cluster
       * so no duplicate pair straddles the eval boundary. */
     def leakageSafeSplitBy(

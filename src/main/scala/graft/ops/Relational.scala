@@ -487,6 +487,55 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Last-touch conversion attribution: for every conversion event,
+    * the most recent qualifying touch by the SAME user within
+    * `windowMs` — the event-time credit assignment every
+    * funnel/campaign readout runs, and (for an LLM-data pipeline)
+    * the interaction-mining shape that links an outcome event back
+    * to the preceding context event it should train against.
+    *
+    * One shuffle on user_id, then per-user sorted windows: the touch
+    * candidate is `last(touch-struct, ignoreNulls)` over rows
+    * strictly before the conversion in (ts, event_id) order — the
+    * single-pass merge of both event roles, NOT a touches×conversions
+    * join (which explodes on active users). The attribution window
+    * is applied after the scan: a too-old touch nulls out rather
+    * than letting an unbounded lookback claim credit. Deterministic:
+    * (ts, event_id) is a total order, so same-ts events resolve the
+    * same way in any engine.
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      convType: String = "purchase",
+      touchTypes: Seq[String] = Seq("click", "view"),
+      windowMs: Long = 3L * 24 * 3600 * 1000
+  ): DataFrame = {
+    require(windowMs > 0, s"attribution window must be positive")
+    require(!touchTypes.contains(convType),
+      "conversion type cannot also be a touch type")
+    val tagged = events
+      .filter(col("event_type").isin(convType +: touchTypes: _*))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin(touchTypes: _*),
+      struct(col("ms").as("t_ms"), col("event_id").as("t_id"),
+        col("event_type").as("t_type")))
+    val scanned = tagged
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+    val inWindow = col("last_touch").isNotNull &&
+      col("ms") - col("last_touch.t_ms") <= windowMs
+    scanned.select(
+      col("event_id"), col("user_id"), col("ms").as("conv_ms"),
+      when(inWindow, col("last_touch.t_id")).as("touch_event_id"),
+      when(inWindow, col("last_touch.t_type")).as("touch_type"),
+      when(inWindow, col("ms") - col("last_touch.t_ms")).as("gap_ms"),
+      inWindow.as("attributed"))
+  }
+
   /** Discrete percentiles per group via rank windows (PERCENTILE_DISC
     * semantics made explicit: value at row ceil(p·n) of the sorted
     * group — no interpolation arithmetic, so results are

@@ -85,6 +85,11 @@ object RelationalQueries {
     "q_events_anomaly" -> ((s, d) =>
       Audit.eventAnomaly(Tables.events(s, d))
         .orderBy(col("event_type"), col("day"))),
+    // last-touch attribution: purchase credited to the latest
+    // click/view by the same user within a 3-day window
+    "q_events_attribution" -> ((s, d) =>
+      lastTouchAttribution(Tables.events(s, d))
+        .orderBy(col("event_id"))),
     // cohort retention (first-active-day cohorts, 0..7-day offsets):
     // two narrow aggregations + a many-to-one cohort join
     "q_events_retention" -> ((s, d) =>
@@ -369,6 +374,32 @@ object RelationalQueries {
         |  SELECT 'ri:l_partkey->p_partkey', v, CAST(1.0 AS DOUBLE),
         |    v >= 1.0 FROM r)
         |ORDER BY check_name""".stripMargin,
+    "q_events_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click', 'view')),
+        |s AS (
+        |  SELECT event_id, user_id, ms, event_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN ms END IGNORE NULLS) OVER w AS t_ms,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_id END IGNORE NULLS) OVER w AS t_id,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS) OVER w AS t_type
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT *,
+        |    (t_ms IS NOT NULL AND ms - t_ms <= 259200000) AS ok
+        |  FROM s WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ms AS conv_ms,
+        |  CASE WHEN ok THEN t_id END AS touch_event_id,
+        |  CASE WHEN ok THEN t_type END AS touch_type,
+        |  CASE WHEN ok THEN ms - t_ms END AS gap_ms,
+        |  ok AS attributed
+        |FROM c ORDER BY event_id""".stripMargin,
     "q_events_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, DATE_TRUNC('day', ts) AS day,

@@ -2958,6 +2958,47 @@ object Text {
         col("score_q20"), col("rank"))
   }
 
+  /** Corpus Zipf audit: fit the log-log slope of the token
+    * rank-frequency curve — the single-number corpus-health signal
+    * that separates natural language (slope ≈ −1) from template
+    * farms (flat head, slope → 0) and boilerplate floods (cliff,
+    * slope ≪ −1). Drifting slope between snapshots means the source
+    * mix changed even when volume did not.
+    *
+    * One unigram aggregation, a vocabulary-sized global rank (same
+    * contract as the BPE/unigram tables: the VOCABULARY sorts, never
+    * the corpus), then an order-free exact reduction: ln(rank) and
+    * ln(count) quantized to q10 longs per vocab row (q10 keeps
+    * Σ xq·yq < 2^63 to ~10^9 vocab rows), OLS slope formed from the
+    * five exact sums in a fixed double op chain, quantized to q20.
+    * Engine-invariant end to end; zero/degenerate variance emits a
+    * null slope instead of dividing by zero.
+    */
+  def zipfAudit(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("token"))
+    val q10 = (1L << 10).toDouble
+    val sums = counts
+      .withColumn("r", row_number().over(w))
+      .select(col("c"),
+        floor(log(col("r").cast("double")) * q10).cast("long").as("xq"),
+        floor(log(col("c").cast("double")) * q10).cast("long").as("yq"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("n_tokens"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"))
+    val nD = col("n_vocab").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    sums.withColumn("slope_q20",
+      when(den > 0.0,
+        floor(num / den * (1L << 20)).cast("long")))
+  }
+
   /** Curriculum phase assignment: rank the corpus by quality
     * (descending — highest-quality docs first) and cut it into
     * `nPhases` contiguous, near-equal phases, the standard

@@ -207,6 +207,9 @@ object TextQueries {
     "q_text_curriculum" -> ((s, d) =>
       Text.curriculumPhases(Tables.documents(s, d), 3)
         .orderBy(col("rank"))),
+    // corpus Zipf audit: OLS log-log slope of rank-frequency
+    "q_text_zipf" -> ((s, d) =>
+      Text.zipfAudit(Tables.documents(s, d))),
     // pairwise dedup → dedup GROUPS: connected components (min
     // reachable doc_id) over the exact-jaccard pair graph; oracle is
     // a DuckDB recursive CTE over the same edges
@@ -809,6 +812,38 @@ object TextQueries {
          |SELECT doc_id, quality, CAST(rnk AS INT) AS rank,
          |  CAST(((rnk - 1) * 3) // n_docs AS INT) + 1 AS phase
          |FROM rk ORDER BY rank""".stripMargin,
+    "q_text_zipf" ->
+      s"""WITH c AS (
+         |  SELECT token, COUNT(*) AS c
+         |  FROM (SELECT UNNEST($toksSql) AS token
+         |        FROM documents WHERE len(trim(text)) > 0)
+         |  GROUP BY token),
+         |r AS (
+         |  SELECT c,
+         |    CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER
+         |      (ORDER BY c DESC, token) AS DOUBLE)) * 1024.0)
+         |      AS BIGINT) AS xq,
+         |    CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1024.0)
+         |      AS BIGINT) AS yq
+         |  FROM c),
+         |m AS (
+         |  SELECT COUNT(*) AS n_vocab, CAST(SUM(c) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(SUM(xq) AS BIGINT) AS sx,
+         |    CAST(SUM(yq) AS BIGINT) AS sy,
+         |    CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+         |    CAST(SUM(xq * xq) AS BIGINT) AS sxx
+         |  FROM r)
+         |SELECT n_vocab, n_tokens, sx, sy, sxy, sxx,
+         |  CASE WHEN CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 THEN
+         |    CAST(FLOOR(
+         |      (CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * 1048576) AS BIGINT) END AS slope_q20
+         |FROM m""".stripMargin,
     "q_text_weighted_sample" ->
       """WITH d AS (
         |  SELECT doc_id,

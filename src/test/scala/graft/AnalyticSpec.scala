@@ -129,4 +129,54 @@ class AnalyticSpec extends SparkSpec {
     val expected = (('a'.toLong * 257 + 'b') * 257) + 'c'
     assert(h == expected)
   }
+
+  test("lastTouchAttribution: latest touch wins, window bounds credit") {
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    def tDay(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val events = Seq(
+      // user 1: click then view then purchase → view (latest) wins
+      (1L, t(1), 1L, "click", 0.0, "{}"),
+      (2L, t(2), 1L, "view", 0.0, "{}"),
+      (3L, t(3), 1L, "purchase", 9.0, "{}"),
+      // user 2: touch 5 days before purchase → outside 3-day window
+      (4L, tDay(1), 2L, "click", 0.0, "{}"),
+      (5L, tDay(6), 2L, "purchase", 9.0, "{}"),
+      // user 3: purchase with no touch at all
+      (6L, t(4), 3L, "purchase", 9.0, "{}"),
+      // user 1 again: later purchase still credits the same view
+      (7L, t(5), 1L, "purchase", 9.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ops.Relational.lastTouchAttribution(events)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("touch_event_id")).map(_.toLong),
+          Option(r.getAs[String]("touch_type")),
+          r.getAs[Boolean]("attributed"))).toMap
+    assert(out(3L) == ((Some(2L), Some("view"), true)))
+    assert(out(5L) == ((None, None, false)))   // stale touch: no credit
+    assert(out(6L) == ((None, None, false)))   // touchless conversion
+    assert(out(7L) == ((Some(2L), Some("view"), true)))
+    assert(out.size == 4)                      // conversions only
+  }
+
+  test("zipfAudit: zipfy corpus slopes negative; flat corpus near 0") {
+    // 'a' 16x, 'b' 8x, 'c' 4x, 'd' 2x, 'e' 1x → clearly negative slope
+    val zipfy = Seq((1L,
+      ("a " * 16 + "b " * 8 + "c " * 4 + "d " * 2 + "e").trim,
+      "en", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = graft.ops.Text.zipfAudit(zipfy).collect().head
+    assert(s1.getAs[Long]("n_vocab") == 5L)
+    assert(s1.getAs[Long]("n_tokens") == 31L)
+    assert(s1.getAs[Long]("slope_q20") < -(1L << 19)) // < -0.5
+    // every token equally frequent → y constant → slope exactly 0
+    val flat = Seq((1L, "u v w x y z", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s2 = graft.ops.Text.zipfAudit(flat).collect().head
+    assert(s2.getAs[Long]("slope_q20") == 0L)
+    // single-token vocabulary: no x variance → null, not a crash
+    val one = Seq((1L, "solo", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.ops.Text.zipfAudit(one).collect()
+      .head.isNullAt(s2.fieldIndex("slope_q20")))
+  }
 }

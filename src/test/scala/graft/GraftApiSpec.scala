@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 169,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 169")
-    assert(SparkEntry.oracleSql.size == 158,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 158")
+    assert(SparkEntry.queries.size == 171,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 171")
+    assert(SparkEntry.oracleSql.size == 160,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 160")
   }
 
   test("doc surface composes end to end") {
@@ -230,6 +230,7 @@ class GraftApiSpec extends SparkSpec {
       "weightedSample" -> "weightedSample",
       "tfidfKeywords" -> "tfidfKeywords",
       "curriculumPhases" -> "curriculumPhases",
+      "zipfAudit" -> "zipfAudit",
       "mahalanobisOutliers" -> "mahalanobisOutliers",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
       "centroidDriftQ16" -> "centroidDriftTo",
