@@ -507,6 +507,9 @@ object Graft {
     /** Diagonal-Mahalanobis outlier top-k (encoder-failure screen). */
     def mahalanobisOutliers(k: Int): DataFrame =
       ops.Vector.mahalanobisOutliers(embs, k)
+    /** Density-weighted coreset sample (grid-lattice ES draw). */
+    def coresetSample(k: Int): DataFrame =
+      ops.Vector.coresetSample(embs, k)
     /** Reciprocal-rank fusion of this `(id, rank)` frame with other
       * rankings (exact q20 integers). */
     def rrfFusedWith(others: Seq[DataFrame], k: Int, k0: Int = 60)

@@ -2122,6 +2122,43 @@ object Vector {
                 col("nb2_q").cast("double"))).cast("long")))
   }
 
+  /** Density-weighted coreset sampling: draw `k` vectors with
+    * inclusion probability ∝ 1/cell_count over the [[gridDensity]]
+    * lattice — the embedding-space coverage sample (dense regions
+    * contribute representatives, sparse regions keep theirs) that a
+    * diversity-first data mix wants where uniform sampling
+    * oversamples the modes. The Efraimidis–Spirakis key with
+    * w = 1/cell_count simplifies to ln(u)·cell_count — exact op
+    * chain, q20-quantized, deterministic via the md5 uniform — so
+    * the selected set is engine-invariant and reproducible.
+    *
+    * Scale shape: [[gridDensity]]'s lattice counts are
+    * O(g^gridDims) rows broadcast back to the corpus, scoring is
+    * map-side, selection is the distributed top-k frontier. No
+    * global sort, no pairwise anything — the lattice stands in for
+    * the pairwise-distance coverage objective (greedy k-center is
+    * inherently sequential and does not distribute).
+    */
+  def coresetSample(
+      embeddings: DataFrame,
+      k: Int,
+      gridDims: Int = 4,
+      g: Int = 4,
+      salt: String = "coreset"
+  ): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (Text.draw60(concat(col("vec_id").cast("string"),
+      lit(":" + salt))) + 1).cast("double") /
+      lit(1L << 60).cast("double")
+    gridDensity(embeddings, gridDims, g)
+      .withColumn("key_q20",
+        floor(log(u) * col("cell_count").cast("double") * (1L << 20))
+          .cast("long"))
+      .select(col("vec_id"), col("cell_count"), col("key_q20"))
+      .orderBy(col("key_q20").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Diagonal-Mahalanobis embedding outliers: score each vector by
     * Σ_i (xq_i − μ_i)²/σ_i² over the q16-quantized view and keep the
     * top `k` — the curation gate that catches encoder failures (junk

@@ -110,6 +110,9 @@ object VectorQueries {
     // stats -> q20 per-dim z-squared, top-25 by summed score
     "q_vec_outlier" -> ((s, d) =>
       Vector.mahalanobisOutliers(Tables.embeddings(s, d), 25)),
+    // density-weighted coreset: 1/cell_count ES draw over the grid
+    "q_vec_coreset_sample" -> ((s, d) =>
+      Vector.coresetSample(Tables.embeddings(s, d), 100)),
     // rows-only (LSH not ANSI-SQL-expressible):
     "q_vec_ann_lsh" -> ((s, d) =>
       Vector.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
@@ -1588,6 +1591,42 @@ object VectorQueries {
         |      FROM u GROUP BY 1, 2, 3, 4)
         |SELECT u.vec_id, u.c0, u.c1, u.c2, u.c3, c.cell_count
         |FROM u JOIN c USING (c0, c1, c2, c3)
-        |ORDER BY u.vec_id""".stripMargin
+        |ORDER BY u.vec_id""".stripMargin,
+    "q_vec_coreset_sample" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id),
+        |u AS (
+        |  SELECT e.vec_id,
+        |    CAST(FLOOR(CAST(e.embedding[1] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c0,
+        |    CAST(FLOOR(CAST(e.embedding[2] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c1,
+        |    CAST(FLOOR(CAST(e.embedding[3] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c2,
+        |    CAST(FLOOR(CAST(e.embedding[4] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c3
+        |  FROM embeddings e JOIN n USING (vec_id)),
+        |c AS (SELECT c0, c1, c2, c3, COUNT(*) AS cell_count
+        |      FROM u GROUP BY 1, 2, 3, 4),
+        |d AS (
+        |  SELECT u.vec_id, c.cell_count
+        |  FROM u JOIN c USING (c0, c1, c2, c3)),
+        |s AS (
+        |  SELECT vec_id, cell_count,
+        |    CAST(FLOOR(
+        |      ln(CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+        |            || ':coreset'), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+        |         / CAST(1152921504606846976 AS DOUBLE))
+        |      * CAST(cell_count AS DOUBLE) * 1048576) AS BIGINT)
+        |      AS key_q20
+        |  FROM d)
+        |SELECT vec_id, cell_count, key_q20 FROM s
+        |ORDER BY key_q20 DESC, vec_id LIMIT 100""".stripMargin
   )
 }

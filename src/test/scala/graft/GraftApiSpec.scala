@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 171,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 171")
-    assert(SparkEntry.oracleSql.size == 160,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 160")
+    assert(SparkEntry.queries.size == 172,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 172")
+    assert(SparkEntry.oracleSql.size == 161,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 161")
   }
 
   test("doc surface composes end to end") {
@@ -232,6 +232,7 @@ class GraftApiSpec extends SparkSpec {
       "curriculumPhases" -> "curriculumPhases",
       "zipfAudit" -> "zipfAudit",
       "mahalanobisOutliers" -> "mahalanobisOutliers",
+      "coresetSample" -> "coresetSample",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
       "centroidDriftQ16" -> "centroidDriftTo",
       "kCoreAssigned" -> "kCoreAssigned",

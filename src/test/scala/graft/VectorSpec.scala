@@ -1075,6 +1075,28 @@ class VectorSpec extends SparkSpec {
     assert(out(1) == ((0L, q * q, q * q, 0L)))
   }
 
+  test("coresetSample: sparse-region vectors favored over dense mode") {
+    // 40 vectors piled in one cell, 4 spread in distinct cells
+    val dense = (0L until 40L).map(i =>
+      (i, Array(1.0f, 0.01f * (i % 3), 0.0f, 0.0f), 0))
+    val sparse = Seq(
+      (100L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (101L, Array(0.0f, -1.0f, 0.0f, 0.0f), 1),
+      (102L, Array(0.0f, 0.0f, -1.0f, 0.0f), 1),
+      (103L, Array(0.0f, 0.0f, 0.0f, -1.0f), 1))
+    val df = (dense ++ sparse).toDF("vec_id", "embedding", "label")
+    val picked = Vec.coresetSample(df, 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(picked.size == 8)
+    // each sparse singleton has weight ~40x a dense member; all make it
+    assert(Set(100L, 101L, 102L, 103L).subsetOf(picked),
+      s"sparse cells not covered: $picked")
+    // deterministic
+    val again = Vec.coresetSample(df, 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == picked)
+  }
+
   test("mahalanobisOutliers: planted outlier first, const dim excluded") {
     // tight cloud around (0.5, 0.5) with one far point; dim 2 constant
     val cloud = (0L until 40L).map { i =>
