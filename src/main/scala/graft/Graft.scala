@@ -134,6 +134,11 @@ object Graft {
       ops.Text.curriculumPhases(docs, nPhases)
     /** Corpus Zipf audit: OLS log-log rank-frequency slope. */
     def zipfAudit: DataFrame = ops.Text.zipfAudit(docs)
+    /** Language-ID confusion matrix (label x guess, exact ppm). */
+    def langConfusion: DataFrame = ops.Text.langConfusion(docs)
+    /** Dedup impact histogram (the receiver IS a cluster
+      * assignment, e.g. [[dupClusters]]' output). */
+    def dedupImpact: DataFrame = ops.Text.dedupImpact(docs)
     /** Leakage-safe split: the split draw keyed by near-dup cluster
       * so no duplicate pair straddles the eval boundary. */
     def leakageSafeSplitBy(

@@ -2958,6 +2958,43 @@ object Text {
         col("score_q20"), col("rank"))
   }
 
+  /** Language-ID confusion matrix: cross-tab of the labeled `lang`
+    * column against [[langGuess]]'s n-gram-marker guess, with exact
+    * per-label ppm shares — the eval readout that turns the per-doc
+    * guesser into a monitored component (a drifting confusion row
+    * means a source started shipping mislabeled or code-mixed text).
+    * Two tiny aggregations over the guess frame; output is
+    * #labels × #guesses rows.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val m = langGuess(docs)
+      .groupBy(col("lang_label"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+    val tot = m.groupBy(col("lang_label"))
+      .agg(sum(col("n")).as("label_total"))
+    m.join(tot, "lang_label")
+      .withColumn("share_ppm", expr("(n * 1000000) div label_total"))
+      .select(col("lang_label"), col("lang_guess"), col("n"),
+        col("label_total"), col("share_ppm"))
+  }
+
+  /** Dedup impact summary: the cluster-size histogram of a
+    * [[dupClusters]] assignment plus the doc-removal accounting a
+    * curation report leads with (how many near-dup groups, of what
+    * size, how many docs a keep-one policy deletes). Two
+    * cluster-count-sized aggregations; the corpus is never
+    * rescanned — this audits the ASSIGNMENT artifact.
+    */
+  def dedupImpact(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removed"))
+
   /** Corpus Zipf audit: fit the log-log slope of the token
     * rank-frequency curve — the single-number corpus-health signal
     * that separates natural language (slope ≈ −1) from template

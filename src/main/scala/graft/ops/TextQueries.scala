@@ -210,6 +210,14 @@ object TextQueries {
     // corpus Zipf audit: OLS log-log slope of rank-frequency
     "q_text_zipf" -> ((s, d) =>
       Text.zipfAudit(Tables.documents(s, d))),
+    // language-ID confusion matrix (label x guess, exact ppm)
+    "q_text_lang_confusion" -> ((s, d) =>
+      Text.langConfusion(Tables.documents(s, d))
+        .orderBy(col("lang_label"), col("lang_guess"))),
+    // dedup impact: cluster-size histogram over the shared assignment
+    "q_text_dedup_impact" -> ((s, d) =>
+      Text.dedupImpact(clusterAssign(s, d))
+        .orderBy(col("cluster_size"))),
     // pairwise dedup → dedup GROUPS: connected components (min
     // reachable doc_id) over the exact-jaccard pair graph; oracle is
     // a DuckDB recursive CTE over the same edges
@@ -812,6 +820,64 @@ object TextQueries {
          |SELECT doc_id, quality, CAST(rnk AS INT) AS rank,
          |  CAST(((rnk - 1) * 3) // n_docs AS INT) + 1 AS phase
          |FROM rk ORDER BY rank""".stripMargin,
+    "q_text_lang_confusion" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS lang_label,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang_label,
+         |    CAST(len(list_filter(toks, x ->
+         |      list_contains(['the','and','of','is'], x))) AS INT) AS c_en,
+         |    CAST(len(list_filter(toks, x ->
+         |      list_contains(['der','und','die','nicht'], x))) AS INT) AS c_de,
+         |    CAST(len(list_filter(toks, x ->
+         |      list_contains(['el','los','que','y'], x))) AS INT) AS c_es,
+         |    CAST(len(list_filter(toks, x ->
+         |      list_contains(['le','les','et','est'], x))) AS INT) AS c_fr
+         |  FROM t),
+         |g AS (
+         |  SELECT lang_label,
+         |    CASE WHEN c_en + c_de + c_es + c_fr = 0 THEN 'und'
+         |         WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr
+         |           THEN 'en'
+         |         WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |         WHEN c_es >= c_fr THEN 'es'
+         |         ELSE 'fr' END AS lang_guess
+         |  FROM c),
+         |m AS (
+         |  SELECT lang_label, lang_guess, COUNT(*) AS n
+         |  FROM g GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT lang_label, CAST(SUM(n) AS BIGINT) AS label_total
+         |  FROM m GROUP BY 1)
+         |SELECT m.lang_label, m.lang_guess, m.n, tot.label_total,
+         |  (m.n * 1000000) // tot.label_total AS share_ppm
+         |FROM m JOIN tot USING (lang_label)
+         |ORDER BY lang_label, lang_guess""".stripMargin,
+    "q_text_dedup_impact" ->
+      s"""WITH RECURSIVE $jacPairsSql,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |    WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.dst
+         |  FROM reach JOIN e ON reach.r = e.src),
+         |asg AS (SELECT doc_id, MIN(r) AS cluster
+         |        FROM reach GROUP BY doc_id),
+         |cs AS (SELECT cluster, COUNT(*) AS cluster_size
+         |       FROM asg GROUP BY cluster)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removed
+         |FROM cs GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin,
     "q_text_zipf" ->
       s"""WITH c AS (
          |  SELECT token, COUNT(*) AS c

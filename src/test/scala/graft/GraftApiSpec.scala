@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 172,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 172")
-    assert(SparkEntry.oracleSql.size == 161,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 161")
+    assert(SparkEntry.queries.size == 174,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 174")
+    assert(SparkEntry.oracleSql.size == 163,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 163")
   }
 
   test("doc surface composes end to end") {
@@ -231,6 +231,8 @@ class GraftApiSpec extends SparkSpec {
       "tfidfKeywords" -> "tfidfKeywords",
       "curriculumPhases" -> "curriculumPhases",
       "zipfAudit" -> "zipfAudit",
+      "langConfusion" -> "langConfusion",
+      "dedupImpact" -> "dedupImpact",
       "mahalanobisOutliers" -> "mahalanobisOutliers",
       "coresetSample" -> "coresetSample",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",

@@ -1531,6 +1531,36 @@ class TextSpec extends SparkSpec {
         .sameElements(1 to rs.length)))
   }
 
+  test("langConfusion: diagonal hit, mislabel cell, und row, exact ppm") {
+    val d = Seq(
+      (1L, "the cat and the dog is here", "en", "s", 27L), // en→en
+      (2L, "the raven and the crow of it", "de", "s", 28L),// de→en miss
+      (3L, "der hund und die katze nicht", "de", "s", 28L),// de→de
+      (4L, "zzz qqq", "fr", "s", 7L)                       // fr→und
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.langConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("label_total"),
+          r.getAs[Long]("share_ppm"))).toMap
+    assert(out(("en", "en")) == ((1L, 1L, 1000000L)))
+    assert(out(("de", "en")) == ((1L, 2L, 500000L)))
+    assert(out(("de", "de")) == ((1L, 2L, 500000L)))
+    assert(out(("fr", "und")) == ((1L, 1L, 1000000L)))
+    assert(out.size == 4)
+  }
+
+  test("dedupImpact: histogram + keep-one removal accounting") {
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L),
+      (5L, 1L)).toDF("doc_id", "cluster")
+    val out = Text.dedupImpact(assign).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_removed"))).toMap
+    assert(out(1L) == ((2L, 2L, 0L)))  // two singletons, nothing removed
+    assert(out(3L) == ((1L, 3L, 2L)))  // one triple, keep-one drops 2
+    assert(out.size == 2)
+  }
+
   test("curriculumPhases: near-equal contiguous phases, quality-sorted") {
     val docs = (1L to 9L).map { i =>
       // vary n_chars so len_score (and quality) differ per doc
