@@ -515,6 +515,9 @@ object Graft {
     /** Density-weighted coreset sample (grid-lattice ES draw). */
     def coresetSample(k: Int): DataFrame =
       ops.Vector.coresetSample(embs, k)
+    /** MRR + nDCG@k of this ranking (the receiver) vs exact truth. */
+    def rankingMetricsAgainst(truth: DataFrame, k: Int): DataFrame =
+      ops.Vector.rankingMetrics(embs, truth, k)
     /** Reciprocal-rank fusion of this `(id, rank)` frame with other
       * rankings (exact q20 integers). */
     def rrfFusedWith(others: Seq[DataFrame], k: Int, k0: Int = 60)

@@ -2122,6 +2122,60 @@ object Vector {
                 col("nb2_q").cast("double"))).cast("long")))
   }
 
+  /** Graded ranking-quality metrics (MRR + nDCG@k) of any
+    * approximate ranking against the exact one — the IR-standard
+    * companions of [[recallAtK]]: recall says WHETHER the true
+    * neighbors appear, nDCG says whether they appear IN ORDER, and
+    * MRR says how deep the single best item sank. Relevance is
+    * graded by the exact side's rank (`rel = k − rank + 1`), the
+    * usual convention when ground truth is itself a ranking.
+    *
+    * Arithmetic contract: per-position DCG gains are
+    * `⌊rel·2^20 / log2(rank+1)⌋` longs (the q20 floor absorbs libm
+    * ulp), DCG/IDCG are order-free long sums, and the final
+    * nDCG/MRR are pure integer divisions — the whole table
+    * hash-compares. Query-result-sized throughout: both inputs are
+    * top-k frames, joins are per-query k-row, never corpus-sized.
+    * Queries whose exact top-1 misses the approximate list get
+    * `rr_q20 = 0` (and missing overlap degrades DCG to 0) rather
+    * than dropping out.
+    */
+  def rankingMetrics(
+      ranked: DataFrame,
+      truth: DataFrame,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"evaluation depth must be positive, got $k")
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        (lit(k) - col("rank") + 1).as("rel"),
+        col("rank").as("t_rank"))
+    val r = ranked.filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    val gains = r.join(t, Seq("query_id", "vec_id"))
+      .select(col("query_id"),
+        floor(col("rel").cast("double") * 1048576.0 /
+          log2(col("rank") + 1)).cast("long").as("gain_q20"),
+        when(col("t_rank") === 1, col("rank")).as("top_rank"))
+    val dcg = gains.groupBy(col("query_id"))
+      .agg(sum(col("gain_q20")).as("dcg_raw"),
+        min(col("top_rank")).as("rank_of_top"))
+    val idcg = t
+      .select(col("query_id"),
+        floor(col("rel").cast("double") * 1048576.0 /
+          log2(col("t_rank") + 1)).cast("long").as("g"))
+      .groupBy(col("query_id")).agg(sum(col("g")).as("idcg_q20"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .withColumn("dcg_q20", coalesce(col("dcg_raw"), lit(0L)))
+      .withColumn("ndcg_ppm", expr("(dcg_q20 * 1000000) div idcg_q20"))
+      .withColumn("rr_q20",
+        when(col("rank_of_top").isNotNull,
+          expr("CAST(1048576 AS BIGINT) div CAST(rank_of_top AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .select(col("query_id"), col("dcg_q20"), col("idcg_q20"),
+        col("ndcg_ppm"), col("rr_q20"))
+  }
+
   /** Density-weighted coreset sampling: draw `k` vectors with
     * inclusion probability ∝ 1/cell_count over the [[gridDensity]]
     * lattice — the embedding-space coverage sample (dense regions

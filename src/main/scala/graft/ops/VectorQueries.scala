@@ -113,6 +113,21 @@ object VectorQueries {
     // density-weighted coreset: 1/cell_count ES draw over the grid
     "q_vec_coreset_sample" -> ((s, d) =>
       Vector.coresetSample(Tables.embeddings(s, d), 100)),
+    // MRR + nDCG of the within-list kNN ranking vs exact top-k —
+    // order-sensitive companion of q_vec_knn_recall, shared kNN cache
+    "q_vec_ranking_metrics" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      Vector.rankingMetrics(
+        knnGraphDf(s, d)
+          .filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("nbr_id").as("vec_id"), col("rank")),
+        Vector.batchTopK(embs,
+          embs.filter(col("vec_id") % 20 === 0), k = 3)
+          .select(col("query_id"), col("vec_id"), col("rank")),
+        k = 3)
+        .orderBy(col("query_id"))
+    }),
     // rows-only (LSH not ANSI-SQL-expressible):
     "q_vec_ann_lsh" -> ((s, d) =>
       Vector.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
@@ -1148,6 +1163,84 @@ object VectorQueries {
         |    AS BIGINT) AS recall_ppm
         |FROM ne LEFT JOIN h ON ne.query_id = h.query_id
         |ORDER BY ne.query_id""".stripMargin,
+    // same approx/exact ranking fragments as q_vec_knn_recall,
+    // reduced to graded order-sensitive metrics instead of set recall
+    "q_vec_ranking_metrics" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |pa AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id <> b.vec_id AND a.vec_id % 20 = 0
+        |  GROUP BY 1, 2),
+        |ra AS (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rk
+        |  FROM pa WHERE NOT isnan(cos_sim)),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |      FROM embeddings WHERE vec_id % 20 = 0),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |dots AS (
+        |  SELECT query_id, vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i) AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+        |  FROM pairs GROUP BY query_id, vec_id),
+        |re AS (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dot / (na * nb) DESC, vec_id) AS rk
+        |  FROM dots),
+        |ex AS (SELECT query_id, vec_id, rk AS t_rank,
+        |         3 - rk + 1 AS rel
+        |       FROM re WHERE rk <= 3),
+        |ap AS (SELECT query_id, vec_id, rk AS rank
+        |       FROM ra WHERE rk <= 3),
+        |g AS (
+        |  SELECT ap.query_id,
+        |    CAST(FLOOR(CAST(ex.rel AS DOUBLE) * 1048576.0
+        |      / log2(ap.rank + 1)) AS BIGINT) AS gain_q20,
+        |    CASE WHEN ex.t_rank = 1 THEN ap.rank END AS top_rank
+        |  FROM ap JOIN ex USING (query_id, vec_id)),
+        |dcg AS (
+        |  SELECT query_id, CAST(SUM(gain_q20) AS BIGINT) AS dcg_raw,
+        |    MIN(top_rank) AS rank_of_top
+        |  FROM g GROUP BY 1),
+        |idcg AS (
+        |  SELECT query_id,
+        |    CAST(SUM(CAST(FLOOR(CAST(rel AS DOUBLE) * 1048576.0
+        |      / log2(t_rank + 1)) AS BIGINT)) AS BIGINT) AS idcg_q20
+        |  FROM ex GROUP BY 1)
+        |SELECT idcg.query_id,
+        |  COALESCE(dcg.dcg_raw, CAST(0 AS BIGINT)) AS dcg_q20,
+        |  idcg.idcg_q20,
+        |  CAST((COALESCE(dcg.dcg_raw, CAST(0 AS BIGINT)) * 1000000)
+        |    // idcg.idcg_q20 AS BIGINT) AS ndcg_ppm,
+        |  CASE WHEN dcg.rank_of_top IS NOT NULL
+        |    THEN CAST(1048576 AS BIGINT)
+        |      // CAST(dcg.rank_of_top AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS rr_q20
+        |FROM idcg LEFT JOIN dcg ON idcg.query_id = dcg.query_id
+        |ORDER BY idcg.query_id""".stripMargin,
     // PCA moment skeleton: q16 quantization (FLOOR(x·2^16) longs),
     // upper-triangle product sums + first moments — all exact
     // integer arithmetic on both engines

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 174,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 174")
-    assert(SparkEntry.oracleSql.size == 163,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 163")
+    assert(SparkEntry.queries.size == 175,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 175")
+    assert(SparkEntry.oracleSql.size == 164,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 164")
   }
 
   test("doc surface composes end to end") {
@@ -235,6 +235,7 @@ class GraftApiSpec extends SparkSpec {
       "dedupImpact" -> "dedupImpact",
       "mahalanobisOutliers" -> "mahalanobisOutliers",
       "coresetSample" -> "coresetSample",
+      "rankingMetrics" -> "rankingMetricsAgainst",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
       "centroidDriftQ16" -> "centroidDriftTo",
       "kCoreAssigned" -> "kCoreAssigned",

@@ -1075,6 +1075,28 @@ class VectorSpec extends SparkSpec {
     assert(out(1) == ((0L, q * q, q * q, 0L)))
   }
 
+  test("rankingMetrics: perfect order, inverted order, missing top") {
+    def frame(rows: Seq[(Long, Long, Int)]) =
+      rows.toDF("query_id", "vec_id", "rank")
+    val truth = frame(Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)))
+    // perfect: ranked == truth → ndcg 1e6, rr = 2^20
+    val perfect = Vec.rankingMetrics(truth, truth, 3).collect().head
+    assert(perfect.getAs[Long]("ndcg_ppm") == 1000000L)
+    assert(perfect.getAs[Long]("rr_q20") == 1048576L)
+    // inverted: worst order of the same set → ndcg < 1e6, rr = 2^20/3
+    val inv = frame(Seq((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3)))
+    val r2 = Vec.rankingMetrics(inv, truth, 3).collect().head
+    assert(r2.getAs[Long]("ndcg_ppm") < 1000000L)
+    assert(r2.getAs[Long]("ndcg_ppm") > 0L)
+    assert(r2.getAs[Long]("rr_q20") == 1048576L / 3)
+    // disjoint ranking: nothing relevant retrieved
+    val miss = frame(Seq((1L, 90L, 1), (1L, 91L, 2), (1L, 92L, 3)))
+    val r3 = Vec.rankingMetrics(miss, truth, 3).collect().head
+    assert(r3.getAs[Long]("ndcg_ppm") == 0L)
+    assert(r3.getAs[Long]("rr_q20") == 0L)
+    assert(r3.getAs[Long]("idcg_q20") == perfect.getAs[Long]("idcg_q20"))
+  }
+
   test("coresetSample: sparse-region vectors favored over dense mode") {
     // 40 vectors piled in one cell, 4 spread in distinct cells
     val dense = (0L until 40L).map(i =>
