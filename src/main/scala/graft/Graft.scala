@@ -404,6 +404,10 @@ object Graft {
       ops.Vector.batchTopK(embs, queries, k)
     def annTopK(queryId: Long, k: Int, nPlanes: Int = 16): DataFrame =
       ops.Vector.annTopK(embs, queryId, k, nPlanes)
+    /** Multi-probe LSH top-k (query bucket + Hamming-1 probes). */
+    def annTopKMultiProbe(
+        queryId: Long, k: Int, nPlanes: Int = 16): DataFrame =
+      ops.Vector.annTopKMultiProbe(embs, queryId, k, nPlanes)
     def cosineNearDups(threshold: Double): DataFrame =
       ops.Vector.cosineNearDup(embs, threshold)
     /** n² verification twin — guarded to small inputs; see

@@ -283,6 +283,51 @@ object Vector {
       .limit(k)
   }
 
+  /** Multi-probe sign-LSH top-k: like [[annTopK]] but the query also
+    * probes every bucket at Hamming distance 1 from its own (the
+    * nPlanes single-bit flips) — the standard recall knob (Lv et al.,
+    * "Multi-Probe LSH", VLDB 2007): a true neighbor that lands just
+    * across ONE hyperplane is recovered without adding hash tables
+    * or re-bucketing the corpus. Candidate volume grows from one
+    * bucket's occupancy to (nPlanes+1) buckets' — still a vanishing
+    * corpus fraction for the usual nPlanes (8 → 9/256 of buckets
+    * probed on average) — and the probe set is a broadcast literal,
+    * so the scan stays one filter + one broadcast join. The spec
+    * measures the recall gain against single-probe on planted
+    * across-one-plane neighbors.
+    */
+  def annTopKMultiProbe(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nPlanes: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = embeddings
+      .withColumn("bucket", lshBucket(col("embedding"), planes))
+    // query bucket + its nPlanes Hamming-1 neighbors, exploded so the
+    // probe set rides the (1-row) broadcast side of the join
+    val probes = array(
+      (col("q_bucket") +:
+        (0 until nPlanes).map(b =>
+          col("q_bucket").bitwiseXOR(lit(1L << b)))): _*)
+    val q = bucketed
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+      .select(col("q_emb"), explode(probes).as("probe"))
+    bucketed
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("bucket") === col("probe"))
+      .select(
+        col("vec_id"), col("label"),
+        cosine(col("embedding"), col("q_emb")).as("cos_sim")
+      )
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch exact top-k cosine: EVERY query vector against the
     * corpus in one pass — the offline evaluation / retrieval-index
     * build shape (single-query [[bruteForceTopK]] is the

@@ -131,6 +131,10 @@ object VectorQueries {
     // rows-only (LSH not ANSI-SQL-expressible):
     "q_vec_ann_lsh" -> ((s, d) =>
       Vector.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
+    // rows-only (same contract): Hamming-1 multi-probe recall knob
+    "q_vec_ann_lsh_mp" -> ((s, d) =>
+      Vector.annTopKMultiProbe(Tables.embeddings(s, d), 0L, 10,
+        nPlanes = 4)),
     "q_vec_ann_ivf" -> ((s, d) =>
       Vector.ivfTopK(Tables.embeddings(s, d), ivfModel(s, d), 0L, 10)),
     "q_vec_feature_knn" -> ((s, d) =>

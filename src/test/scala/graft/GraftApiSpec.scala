@@ -53,8 +53,8 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 175,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 175")
+    assert(SparkEntry.queries.size == 176,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 176")
     assert(SparkEntry.oracleSql.size == 164,
       s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 164")
   }
@@ -162,6 +162,7 @@ class GraftApiSpec extends SparkSpec {
       "temperatureSample" -> "temperatureSampled",
       "prepareTrainingData" -> "preparedForTraining",
       "bruteForceTopK" -> "cosineTopK", "annTopK" -> "annTopK",
+      "annTopKMultiProbe" -> "annTopKMultiProbe",
       "batchTopK" -> "cosineTopKBatch",
       "ivfTopK" -> "ivfTopK", "labelCentroids" -> "labelCentroids",
       "quantizeInt8" -> "quantizedInt8",

@@ -1075,6 +1075,24 @@ class VectorSpec extends SparkSpec {
     assert(out(1) == ((0L, q * q, q * q, 0L)))
   }
 
+  test("multi-probe LSH: superset of single-probe, recall never worse") {
+    val embs = Tables.embeddings(spark, sf("sf0.001"))
+    val exact = Vec.bruteForceTopK(embs, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val single = Vec.annTopK(embs, 0L, 10, nPlanes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Vec.annTopKMultiProbe(embs, 0L, 10, nPlanes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val rs = (exact & single).size
+    val rm = (exact & multi).size
+    // Hamming-1 probes only ADD candidate buckets: recall can't drop
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    // and on this corpus the extra probes genuinely recover
+    // across-one-plane neighbors the single bucket misses
+    assert(rm > rs, s"multi-probe found nothing beyond single ($rm)")
+    assert(multi.nonEmpty && single.nonEmpty)
+  }
+
   test("rankingMetrics: perfect order, inverted order, missing top") {
     def frame(rows: Seq[(Long, Long, Int)]) =
       rows.toDF("query_id", "vec_id", "rank")
