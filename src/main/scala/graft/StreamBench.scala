@@ -189,6 +189,54 @@ object StreamBench {
       java.nio.file.Files.writeString(out3.toPath,
         java.nio.file.Files.readString(out3.toPath) + line3 + "\n")
     } finally semGate.stop()
+
+    // Fourth surface: the streaming batch-level QUALITY gate — docs/s
+    // through QualityGatePipeline micro-batches (one-pass assertion
+    // suite per batch, batch-level admit/quarantine). The suite here
+    // mirrors the registered q_quality_assertions shape: completeness
+    // + key uniqueness + a bound. Reuses the ingest-gate's scaled doc
+    // stream; same warm-batch protocol.
+    val qgChecks = Seq(
+      ops.Audit.Completeness("text", 1.0),
+      ops.Audit.Uniqueness(Seq("doc_id"), 1.0),
+      ops.Audit.MinBound("n_chars", 0.0))
+    val qgIn = MemoryStream[(Long, String)]
+    var qgAdmitted = 0L
+    var qgRejected = 0L
+    val qgate = streaming.QualityGatePipeline.start(
+      qgIn.toDF().toDF("doc_id", "text")
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text"))),
+      qgChecks,
+      df => qgAdmitted += df.count(),
+      (df, _) => qgRejected += df.count(),
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-qgate-bench").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      qgIn.addData(docs.take(perDocBatch))
+      qgate.processAllAvailable()
+      val t0 = System.nanoTime()
+      var i = perDocBatch
+      var timed = 0
+      while (i < docs.length) {
+        qgIn.addData(docs.slice(i, i + perDocBatch))
+        qgate.processAllAvailable()
+        i += perDocBatch
+        timed += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = docs.length - perDocBatch
+      val line4 =
+        s"""{"metric":"quality_gate_docs_per_sec","value":${(n / dt).toLong},""" +
+          s""""docs":$n,"admitted":$qgAdmitted,"rejected":$qgRejected,"seconds":$dt,"batches":$timed,"scale":$scale,"sf":"$sfDir"}"""
+      println(line4)
+      val out4 = new java.io.File(sys.env.getOrElse(
+        "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+      java.nio.file.Files.writeString(out4.toPath,
+        java.nio.file.Files.readString(out4.toPath) + line4 + "\n")
+    } finally qgate.stop()
     spark.stop()
   }
 }
