@@ -522,6 +522,9 @@ object Graft {
     /** MRR + nDCG@k of this ranking (the receiver) vs exact truth. */
     def rankingMetricsAgainst(truth: DataFrame, k: Int): DataFrame =
       ops.Vector.rankingMetrics(embs, truth, k)
+    /** Chunk→doc mean pooling (exact q16 long-format sums). */
+    def meanPooledBy(group: Column): DataFrame =
+      ops.Vector.meanPool(embs, group)
     /** Reciprocal-rank fusion of this `(id, rank)` frame with other
       * rankings (exact q20 integers). */
     def rrfFusedWith(others: Seq[DataFrame], k: Int, k0: Int = 60)

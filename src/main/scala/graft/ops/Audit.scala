@@ -173,4 +173,51 @@ object Audit {
       .select(col("event_type"), col("day"), col("n"), col("t_n"),
         col("z_q20"), col("anomaly"))
   }
+
+  /** Robust twin of [[eventAnomaly]]: score each day's volume against
+    * the per-type MEDIAN and MAD instead of mean/σ — a single real
+    * outage day inflates the trailing σ enough to mask the next one
+    * (masking), where median/MAD barely move. Exact-rank medians
+    * (PERCENTILE_DISC semantics: the value at row ⌈n/2⌉ of the sorted
+    * group — no interpolation, engine-exact), integer deviations,
+    * and the modified z-score ⌊0.6745·dev·2^20⌋ div MAD in longs, so
+    * the whole report hash-compares. Zero-MAD types (perfectly
+    * constant volume) emit null scores, not fabricated ones.
+    *
+    * Scale shape: both median passes sort DAY COUNTS per type (the
+    * day-grain aggregate again collapses the stream first); the
+    * frame entering the windows is #types × #days rows.
+    */
+  def eventAnomalyRobust(
+      events: DataFrame,
+      threshold: Double = 3.5
+  ): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    def medianOf(df: DataFrame, valueCol: String, as: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col(valueCol), col("day"))
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__cnt",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("__rn") === ceil(col("__cnt") / 2.0),
+          col(valueCol))).as(as))
+    }
+    val med = medianOf(daily, "n", "med")
+    val dev = daily.join(med, "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = medianOf(dev, "dev", "mad")
+    val z = expr(s"(CAST(floor(0.6745 * dev * 1048576.0) AS BIGINT))" +
+      s" div mad")
+    dev.join(mad, "event_type")
+      .withColumn("z_q20", when(col("mad") > 0, z))
+      .withColumn("anomaly",
+        when(col("z_q20").isNotNull,
+          abs(col("z_q20")) > (threshold * 1048576.0).toLong)
+          .otherwise(lit(false)))
+      .select(col("event_type"), col("day"), col("n"), col("med"),
+        col("dev"), col("mad"), col("z_q20"), col("anomaly"))
+  }
 }

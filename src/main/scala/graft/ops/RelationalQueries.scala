@@ -90,6 +90,10 @@ object RelationalQueries {
     "q_events_attribution" -> ((s, d) =>
       lastTouchAttribution(Tables.events(s, d))
         .orderBy(col("event_id"))),
+    // robust (median/MAD) volume anomaly twin — masking-resistant
+    "q_events_robust_anomaly" -> ((s, d) =>
+      Audit.eventAnomalyRobust(Tables.events(s, d))
+        .orderBy(col("event_type"), col("day"))),
     // cohort retention (first-active-day cohorts, 0..7-day offsets):
     // two narrow aggregations + a many-to-one cohort join
     "q_events_retention" -> ((s, d) =>
@@ -400,6 +404,45 @@ object RelationalQueries {
         |  CASE WHEN ok THEN ms - t_ms END AS gap_ms,
         |  ok AS attributed
         |FROM c ORDER BY event_id""".stripMargin,
+    "q_events_robust_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT event_type, day, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY n, day) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM daily),
+        |med AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = CEIL(cnt / 2.0) THEN n END) AS med
+        |  FROM r1 GROUP BY 1),
+        |dev AS (
+        |  SELECT d.event_type, d.day, d.n, m.med,
+        |    ABS(d.n - m.med) AS dev
+        |  FROM daily d JOIN med m USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, day, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY dev, day) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = CEIL(cnt / 2.0) THEN dev END) AS mad
+        |  FROM r2 GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n, d.med, d.dev, m.mad,
+        |  CASE WHEN m.mad > 0 THEN
+        |    CAST(FLOOR(0.6745 * d.dev * 1048576.0) AS BIGINT)
+        |      // m.mad END AS z_q20,
+        |  CASE WHEN m.mad > 0 THEN
+        |    ABS(CAST(FLOOR(0.6745 * d.dev * 1048576.0) AS BIGINT)
+        |      // m.mad) > 3670016
+        |    ELSE FALSE END AS anomaly
+        |FROM dev d JOIN mad m USING (event_type)
+        |ORDER BY d.event_type, d.day""".stripMargin,
     "q_events_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, DATE_TRUNC('day', ts) AS day,

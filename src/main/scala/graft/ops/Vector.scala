@@ -2167,6 +2167,31 @@ object Vector {
                 col("nb2_q").cast("double"))).cast("long")))
   }
 
+  /** Chunk→document embedding pooling: mean of the member vectors
+    * per group, the standard reduction when retrieval indexes
+    * chunk-level embeddings but dedup/curation decisions are made
+    * per document. Emitted in long format — one row per (group, dim)
+    * with the exact q16 member sum, the member count, and the mean
+    * formed from those two exact longs in one division — so the
+    * pooled representation itself hash-compares and downstream
+    * cosine on pooled vectors is reproducible.
+    *
+    * Shape at scale: one explode + one map-side-combining aggregation
+    * on (group, dim); d longs per group cross the shuffle, never
+    * member vectors. Σ|xq| per (group, dim) stays exact to ~2^46
+    * members at unit norm.
+    */
+  def meanPool(vectors: DataFrame, groupCol: Column): DataFrame =
+    vectors
+      .select(groupCol.as("group_id"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 65536).cast("long")))
+          .as(Seq("i", "xq")))
+      .groupBy(col("group_id"), col("i"))
+      .agg(sum(col("xq")).as("sum_q16"), count(lit(1)).as("n_members"))
+      .withColumn("mean_q16",
+        col("sum_q16").cast("double") / col("n_members").cast("double"))
+
   /** Graded ranking-quality metrics (MRR + nDCG@k) of any
     * approximate ranking against the exact one — the IR-standard
     * companions of [[recallAtK]]: recall says WHETHER the true

@@ -113,6 +113,12 @@ object VectorQueries {
     // density-weighted coreset: 1/cell_count ES draw over the grid
     "q_vec_coreset_sample" -> ((s, d) =>
       Vector.coresetSample(Tables.embeddings(s, d), 100)),
+    // chunk->doc mean pooling (synthetic 50-group mapping: the
+    // registry's stand-in for a chunk->doc id table, same scaffolding
+    // convention as the CDC envelope synthesis)
+    "q_vec_doc_pool" -> ((s, d) =>
+      Vector.meanPool(Tables.embeddings(s, d), col("vec_id") % 50)
+        .orderBy(col("group_id"), col("i"))),
     // MRR + nDCG of the within-list kNN ranking vs exact top-k —
     // order-sensitive companion of q_vec_knn_recall, shared kNN cache
     "q_vec_ranking_metrics" -> ((s, d) => {
@@ -585,6 +591,18 @@ object VectorQueries {
         |FROM (SELECT vec_id, label, UNNEST(embedding) AS x
         |      FROM embeddings)
         |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
+    "q_vec_doc_pool" ->
+      """WITH x AS (
+        |  SELECT vec_id % 50 AS group_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 65536)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings)
+        |SELECT group_id, i, CAST(SUM(xq) AS BIGINT) AS sum_q16,
+        |  COUNT(*) AS n_members,
+        |  CAST(SUM(xq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_q16
+        |FROM x GROUP BY 1, 2 ORDER BY group_id, i""".stripMargin,
     "q_vec_outlier" ->
       """WITH x AS (
         |  SELECT vec_id,

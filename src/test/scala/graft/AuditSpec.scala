@@ -51,6 +51,34 @@ class AuditSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("passed"))
   }
 
+  test("robust anomaly: spike flagged, masking resisted, zero-MAD null") {
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+    // 'view': steady ~100 with wiggle, one 10x spike on day 9
+    val view = (0 until 10).flatMap { i =>
+      val n = if (i == 9) 1000 else 100 + (i % 3)
+      (0 until n).map(j =>
+        (i.toLong * 100000 + j, day(i), 1L, "view", 1.0, "{}"))
+    }
+    // 'click': perfectly constant -> MAD 0 -> null score every day
+    val click = (0 until 10).flatMap { i =>
+      (0 until 50).map(j =>
+        (900000L + i * 1000 + j, day(i), 2L, "click", 1.0, "{}"))
+    }
+    val events = (view ++ click).toDF("event_id", "ts", "user_id",
+      "event_type", "value", "props")
+    val out = graft.ops.Audit.eventAnomalyRobust(events).collect()
+      .map(r => (r.getString(0), r.getAs[Timestamp]("day")) ->
+        (Option(r.getAs[java.lang.Long]("z_q20")),
+          r.getAs[Boolean]("anomaly"))).toMap
+    val (zs, as_) = out(("view", day(9)))
+    assert(zs.isDefined && as_, "spike not flagged by robust score")
+    // steady days under threshold despite the spike inflating any
+    // mean/sigma estimate (the masking case MAD resists)
+    assert(!out(("view", day(3)))._2)
+    // constant series: MAD 0 -> null score, not fabricated
+    assert(out(("click", day(5))) == ((None, false)))
+  }
+
   test("event anomaly: planted spike flagged, warmup rows null") {
     // 10 steady days at 100 then a 10x spike; one event_type
     def day(i: Int) = Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")

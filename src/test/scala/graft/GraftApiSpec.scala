@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 176,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 176")
-    assert(SparkEntry.oracleSql.size == 164,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 164")
+    assert(SparkEntry.queries.size == 178,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 178")
+    assert(SparkEntry.oracleSql.size == 166,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 166")
   }
 
   test("doc surface composes end to end") {
@@ -237,6 +237,7 @@ class GraftApiSpec extends SparkSpec {
       "mahalanobisOutliers" -> "mahalanobisOutliers",
       "coresetSample" -> "coresetSample",
       "rankingMetrics" -> "rankingMetricsAgainst",
+      "meanPool" -> "meanPooledBy",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
       "centroidDriftQ16" -> "centroidDriftTo",
       "kCoreAssigned" -> "kCoreAssigned",

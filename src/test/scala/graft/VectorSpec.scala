@@ -1075,6 +1075,26 @@ class VectorSpec extends SparkSpec {
     assert(out(1) == ((0L, q * q, q * q, 0L)))
   }
 
+  test("meanPool: exact q16 sums and means per (group, dim)") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0),   // group 0: mean (0.5, 0.5)
+      (2L, Array(-1.0f, -1.0f), 1)  // group 1: itself
+    ).toDF("vec_id", "embedding", "label")
+    val out = Vec.meanPool(df, col("vec_id") % 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getAs[Long]("sum_q16"), r.getAs[Long]("n_members"),
+          r.getAs[Double]("mean_q16"))).toMap
+    val q = 65536L
+    // group 0 = vec 0 and 2: dim0 1.0 + (-1.0) = 0, dim1 0 + (-1)
+    assert(out((0L, 0)) == ((0L, 2L, 0.0)))
+    assert(out((0L, 1)) == ((-q, 2L, -q / 2.0)))
+    // group 1 = vec 1 alone
+    assert(out((1L, 0)) == ((0L, 1L, 0.0)))
+    assert(out((1L, 1)) == ((q, 1L, q.toDouble)))
+  }
+
   test("multi-probe LSH: superset of single-probe, recall never worse") {
     val embs = Tables.embeddings(spark, sf("sf0.001"))
     val exact = Vec.bruteForceTopK(embs, 0L, 10)
