@@ -635,6 +635,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: any weights -> exactly min(k, n) rows, " +
+      "deterministic, keys sorted") {
+    val wGen = Gen.listOfN(12, Gen.chooseNum(0L, 5000L))
+    forAll(wGen, n = 15) { ws =>
+      val docs = ws.zipWithIndex.map { case (w, i) =>
+        (i.toLong, s"d$i", "en", "s", w)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = Text.weightedSample(docs, 5, col("n_chars")).collect()
+      assert(out.length == math.min(5, ws.length))
+      val keys = out.map(_.getAs[Long]("key_q20"))
+      assert(keys.sameElements(keys.sorted.reverse)) // best-first
+      val again = Text.weightedSample(docs, 5, col("n_chars"))
+        .collect().map(_.getAs[Long]("doc_id"))
+      assert(again.sameElements(out.map(_.getAs[Long]("doc_id"))))
+    }
+  }
+
+  test("rankingMetrics: nDCG in [0, 1e6], rr in {0} u [2^20/k, 2^20]") {
+    val permGen = Gen.listOfN(4, Gen.chooseNum(0, 9)).map(_.distinct)
+    forAll(permGen, n = 15) { ids =>
+      val truth = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3))
+        .toDF("query_id", "vec_id", "rank")
+      val ranked = ids.zipWithIndex
+        .map { case (v, i) => (1L, 100L + v, i + 1) }
+        .toDF("query_id", "vec_id", "rank")
+      val rows = graft.ops.Vector.rankingMetrics(ranked, truth, 3)
+        .collect()
+      rows.foreach { r =>
+        val ndcg = r.getAs[Long]("ndcg_ppm")
+        val rr = r.getAs[Long]("rr_q20")
+        assert(ndcg >= 0L && ndcg <= 1000000L)
+        assert(rr == 0L || (rr >= 1048576L / 3 && rr <= 1048576L))
+      }
+    }
+  }
+
   test("int8 quantization round-trip error is within one step") {
     val vecGen = Gen.listOfN(8,
       Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
