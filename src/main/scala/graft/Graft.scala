@@ -126,6 +126,9 @@ object Graft {
     /** Weighted sample-without-replacement (Efraimidis–Spirakis). */
     def weightedSample(k: Int, weight: Column): DataFrame =
       ops.Text.weightedSample(docs, k, weight)
+    /** Cross-source containment provenance matrix over a pair set. */
+    def sourceContainment(pairs: DataFrame): DataFrame =
+      ops.Text.sourceContainment(docs, pairs)
     /** Per-doc tf-idf keywords (q20-integer idf, per-doc top-k). */
     def tfidfKeywords(k: Int): DataFrame =
       ops.Text.tfidfKeywords(docs, k)

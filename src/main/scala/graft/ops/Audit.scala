@@ -174,6 +174,29 @@ object Audit {
         col("z_q20"), col("anomaly"))
   }
 
+  /** Day-over-day volume deltas per event type — the plain movement
+    * report next to the anomaly scores: previous day's count, the
+    * absolute delta, and the relative change in exact integer ppm
+    * (`(n - prev)·10^6 div prev`). First day per type has no
+    * predecessor and reports nulls. Day-grain aggregate first, so
+    * the lag window sorts day counts, never events.
+    */
+  def eventVolumeDeltas(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta", col("n") - col("prev_n"))
+      // integer-div the MAGNITUDE and re-sign: Spark `div` truncates
+      // toward zero while DuckDB `//` floors, so only non-negative
+      // operands are engine-equivalent (the repo's div convention)
+      .withColumn("delta_ppm",
+        expr("CAST(sign(delta) AS BIGINT) * " +
+          "((abs(delta) * 1000000) div prev_n)"))
+  }
+
   /** Robust twin of [[eventAnomaly]]: score each day's volume against
     * the per-type MEDIAN and MAD instead of mean/σ — a single real
     * outage day inflates the trailing σ enough to mask the next one

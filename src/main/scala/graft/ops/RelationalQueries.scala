@@ -94,6 +94,10 @@ object RelationalQueries {
     "q_events_robust_anomaly" -> ((s, d) =>
       Audit.eventAnomalyRobust(Tables.events(s, d))
         .orderBy(col("event_type"), col("day"))),
+    // day-over-day volume movement (exact signed ppm deltas)
+    "q_events_deltas" -> ((s, d) =>
+      Audit.eventVolumeDeltas(Tables.events(s, d))
+        .orderBy(col("event_type"), col("day"))),
     // cohort retention (first-active-day cohorts, 0..7-day offsets):
     // two narrow aggregations + a many-to-one cohort join
     "q_events_retention" -> ((s, d) =>
@@ -404,6 +408,20 @@ object RelationalQueries {
         |  CASE WHEN ok THEN ms - t_ms END AS gap_ms,
         |  ok AS attributed
         |FROM c ORDER BY event_id""".stripMargin,
+    "q_events_deltas" ->
+      """WITH daily AS (
+        |  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, n,
+        |    LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS prev_n
+        |  FROM daily)
+        |SELECT event_type, day, n, prev_n, n - prev_n AS delta,
+        |  CAST(SIGN(n - prev_n) AS BIGINT)
+        |    * ((ABS(n - prev_n) * 1000000) // prev_n) AS delta_ppm
+        |FROM l ORDER BY event_type, day""".stripMargin,
     "q_events_robust_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, DATE_TRUNC('day', ts) AS day,

@@ -2883,6 +2883,28 @@ object Text {
       .filter(col("containment") >= threshold)
   }
 
+  /** Cross-source containment matrix: how many (fragment, page)
+    * containment relations point from one source into another — the
+    * provenance readout of [[containmentPairs]] (a source whose docs
+    * are routinely CONTAINED in another source's docs is a scraper /
+    * mirror / quote farm; the reverse direction is an aggregator).
+    * One broadcast-able doc→source attribution join per side of the
+    * (already small) pair set, then a #sources² aggregation.
+    */
+  def sourceContainment(
+      docs: DataFrame,
+      pairs: DataFrame
+  ): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b")), "doc_b")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Weighted sample-without-replacement, the Efraimidis–Spirakis
     * one-pass form: each doc draws a deterministic uniform u from
     * md5(doc_id) and gets key = ln(u)/w (order-equivalent to the

@@ -199,6 +199,12 @@ object TextQueries {
     // Efraimidis–Spirakis weighted sample (w = n_chars, q20 keys)
     "q_text_weighted_sample" -> ((s, d) =>
       Text.weightedSample(Tables.documents(s, d), 100, col("n_chars"))),
+    // provenance matrix over the containment pairs (shared ordered-
+    // shingle table -> tiny pair set -> #sources^2 aggregation)
+    "q_text_source_containment" -> ((s, d) =>
+      Text.sourceContainment(Tables.documents(s, d),
+        Text.containmentPairsOverOrdered(ordShingles(s, d), 0.7))
+        .orderBy(col("source_a"), col("source_b"))),
     // per-doc tf-idf keyword extraction (q20-integer idf, top-5)
     "q_text_tfidf_keywords" -> ((s, d) =>
       Text.tfidfKeywords(Tables.documents(s, d), 5)
@@ -820,6 +826,19 @@ object TextQueries {
          |SELECT doc_id, quality, CAST(rnk AS INT) AS rank,
          |  CAST(((rnk - 1) * 3) // n_docs AS INT) + 1 AS phase
          |FROM rk ORDER BY rank""".stripMargin,
+    "q_text_source_containment" ->
+      s"""WITH ${jacPairsSqlOver("documents", "a.doc_id <> b.doc_id")},
+         |cp AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.7),
+         |sa AS (SELECT doc_id, source FROM documents)
+         |SELECT xa.source AS source_a, xb.source AS source_b,
+         |  COUNT(*) AS n_pairs
+         |FROM cp
+         |JOIN sa xa ON cp.doc_a = xa.doc_id
+         |JOIN sa xb ON cp.doc_b = xb.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin,
     "q_text_lang_confusion" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang AS lang_label,

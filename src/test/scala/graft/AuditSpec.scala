@@ -51,6 +51,24 @@ class AuditSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("passed"))
   }
 
+  test("volume deltas: signed exact ppm, first day null") {
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+    val rows = Seq((0, 100), (1, 150), (2, 75)).flatMap { case (i, n) =>
+      (0 until n).map(j => (i.toLong * 1000 + j, day(i), 1L, "view",
+        1.0, "{}"))
+    }
+    val out = graft.ops.Audit.eventVolumeDeltas(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")).collect()
+      .map(r => r.getAs[Timestamp]("day") ->
+        (Option(r.getAs[java.lang.Long]("delta")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("delta_ppm")).map(_.toLong)))
+      .toMap
+    assert(out(day(0)) == ((None, None)))          // no predecessor
+    assert(out(day(1)) == ((Some(50L), Some(500000L))))   // +50%
+    assert(out(day(2)) == ((Some(-75L), Some(-500000L)))) // -50%
+  }
+
   test("robust anomaly: spike flagged, masking resisted, zero-MAD null") {
     def day(i: Int) = Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
     // 'view': steady ~100 with wiggle, one 10x spike on day 9

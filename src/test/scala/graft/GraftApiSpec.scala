@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 178,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 178")
-    assert(SparkEntry.oracleSql.size == 166,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 166")
+    assert(SparkEntry.queries.size == 180,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 180")
+    assert(SparkEntry.oracleSql.size == 168,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 168")
   }
 
   test("doc surface composes end to end") {
@@ -225,6 +225,7 @@ class GraftApiSpec extends SparkSpec {
       "sourceProfile" -> "sourceProfiled",
       "blocklistFilter" -> "blocklistFiltered",
       "containmentPairs" -> "containmentPairs",
+      "sourceContainment" -> "sourceContainment",
       "orderedShingles" -> "orderedShingles",
       "jaccardPairsOverOrdered" -> "jaccardPairsOverOrdered",
       "containmentPairsOverOrdered" -> "containmentPairsOverOrdered",

@@ -1507,6 +1507,24 @@ class TextSpec extends SparkSpec {
       (1L to 10L).filterNot(s1.contains).mkString(","))
   }
 
+  test("sourceContainment: direction-aware provenance counts") {
+    val frag = "alpha beta gamma delta epsilon zeta"
+    val page = frag + " " + (1 to 80).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, frag, "en", "mirror", frag.length.toLong),
+      (2L, page, "en", "origin", page.length.toLong),
+      (3L, frag + " eta", "en", "mirror", 44L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Text.containmentPairs(d, 0.8)
+    val out = Text.sourceContainment(d, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_pairs")).toMap
+    // fragments (mirror) contained in the page (origin), and in each
+    // other — but origin is contained in nothing
+    assert(out.get(("mirror", "origin")).exists(_ >= 1L))
+    assert(!out.keySet.exists(_._1 == "origin"))
+  }
+
   test("tfidfKeywords: rare distinguishing term outranks common one") {
     val d = Seq(
       (1L, "shared shared shared zebra", "en", "s", 26L),
