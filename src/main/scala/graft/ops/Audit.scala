@@ -215,9 +215,13 @@ object Audit {
       events: DataFrame,
       threshold: Double = 3.5
   ): DataFrame = {
-    val daily = events
+    // persisted: the day-grain aggregate feeds the median pass AND
+    // the deviation join (and `dev` feeds the MAD pass and the final
+    // join) — unpersisted, the event-stream scan would replay per
+    // consumer; released with the events family
+    val daily = graft.Caches.track("events", events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     def medianOf(df: DataFrame, valueCol: String, as: String): DataFrame = {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col(valueCol), col("day"))
@@ -229,8 +233,8 @@ object Audit {
           col(valueCol))).as(as))
     }
     val med = medianOf(daily, "n", "med")
-    val dev = daily.join(med, "event_type")
-      .withColumn("dev", abs(col("n") - col("med")))
+    val dev = graft.Caches.track("events", daily.join(med, "event_type")
+      .withColumn("dev", abs(col("n") - col("med"))))
     val mad = medianOf(dev, "dev", "mad")
     val z = expr(s"(CAST(floor(0.6745 * dev * 1048576.0) AS BIGINT))" +
       s" div mad")

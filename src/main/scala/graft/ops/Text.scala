@@ -2956,10 +2956,13 @@ object Text {
     */
   def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"keywords per doc must be positive, got $k")
-    val tf = docs
+    // persisted: the tf table feeds BOTH the df aggregation and the
+    // attribution join — unpersisted, the corpus-wide explode+agg
+    // would run twice (two scans at 100 TB); released with the family
+    val tf = graft.Caches.track("text", docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val df_ = tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
     val total = docs.filter(length(trim(col("text"))) > 0)

@@ -2306,10 +2306,13 @@ object Vector {
     */
   def mahalanobisOutliers(embeddings: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"top-k must be positive, got $k")
-    val xq = embeddings.select(col("vec_id"),
+    // persisted: the exploded q16 frame feeds BOTH the moment
+    // aggregation and the scoring join — unpersisted, the corpus
+    // explode would run twice; released with the vec family
+    val xq = graft.Caches.track("vec", embeddings.select(col("vec_id"),
       posexplode(transform(col("embedding"),
         x => floor(x.cast("double") * 65536).cast("long")))
-        .as(Seq("i", "xq")))
+        .as(Seq("i", "xq"))))
     val nD = col("n").cast("double")
     val mean = col("s").cast("double") / nD
     val variance = col("ss").cast("double") / nD - mean * mean
