@@ -2992,9 +2992,11 @@ object Text {
     * #labels × #guesses rows.
     */
   def langConfusion(docs: DataFrame): DataFrame = {
-    val m = langGuess(docs)
+    // persisted: the (tiny) matrix feeds the label-total agg AND the
+    // final join — unpersisted, the corpus-wide guess scan replays
+    val m = graft.Caches.track("text", langGuess(docs)
       .groupBy(col("lang_label"), col("lang_guess"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val tot = m.groupBy(col("lang_label"))
       .agg(sum(col("n")).as("label_total"))
     m.join(tot, "lang_label")

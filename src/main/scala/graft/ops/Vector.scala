@@ -2216,10 +2216,13 @@ object Vector {
       k: Int
   ): DataFrame = {
     require(k > 0, s"evaluation depth must be positive, got $k")
-    val t = truth.filter(col("rank") <= k)
+    // persisted: the graded truth feeds the DCG join AND the IDCG
+    // aggregation — unpersisted, the caller's (possibly corpus-scan)
+    // truth ranking would compute twice
+    val t = graft.Caches.track("vec", truth.filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"),
         (lit(k) - col("rank") + 1).as("rel"),
-        col("rank").as("t_rank"))
+        col("rank").as("t_rank")))
     val r = ranked.filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("rank"))
     val gains = r.join(t, Seq("query_id", "vec_id"))
