@@ -597,6 +597,12 @@ object Graft {
       * `list_id` assignment column). */
     def knnGraphAssigned(k: Int): DataFrame =
       ops.Vector.knnGraphAssigned(embs, k)
+    /** Newman modularity of the `community` column on the within-list
+      * kNN graph (pass lists coarser than communities — see
+      * ops.Vector.modularityAssigned).
+      */
+    def modularityAssigned(k: Int): DataFrame =
+      ops.Vector.modularityAssigned(embs, k)
     /** kNN graph via the fitted coarse quantizer. */
     def knnGraph(model: KMeansModel, k: Int): DataFrame =
       ops.Vector.knnGraph(embs, model, k)

@@ -27,6 +27,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalQueries.queries ++
+      ops.AffinityQueries.queries ++
       ops.DemuxQueries.queries ++
       ops.CdcQueries.queries ++
       ops.TextQueries.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracle ++
+      ops.AffinityQueries.oracle ++
       ops.DemuxQueries.oracle ++
       ops.CdcQueries.oracle ++
       ops.TextQueries.oracle ++

@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Association-mining, sequence-model, governance, and skew-diagnosis
+  * operators — the "what does the warehouse tell the pipeline owner"
+  * family. Like everything in `ops`, each is a pure
+  * `DataFrame => DataFrame` built from Catalyst operators (no UDFs, no
+  * driver collects), and every derived metric rides exact integer
+  * arithmetic (ppm / milli / q20 fixed point with documented overflow
+  * bounds) so the DuckDB oracle hash-compares bitwise.
+  */
+object Affinity {
+
+  // --- Market-basket association ------------------------------------
+
+  /** Market-basket pair association over the order fact: for every
+    * pair of parts co-occurring in an order, the co-occurrence count,
+    * per-item counts, exact integer support (ppm of orders) and lift
+    * (milli): `lift = P(a,b) / (P(a)·P(b))`, i.e.
+    * `pair_ct · n_orders / (ct_a · ct_b)`.
+    *
+    * Shape at scale: the basket table is `distinct(order, item)` —
+    * one shuffle on the order key; the pair generation is a
+    * self-join co-partitioned on that same key, so no second
+    * shuffle, and the per-order pair fan-out is bounded by
+    * (items-per-order)², a data constant (TPC-H ~7, retail baskets
+    * ~tens) — never corpus-quadratic. Item counts join back as an
+    * aggregated #items-row table (broadcast-able after aggregation
+    * even when the raw fact is 100 TB). The min-support filter runs
+    * on the reducer BEFORE the count joins, so the long tail of
+    * 1-occurrence pairs never leaves the pair aggregation.
+    *
+    * Overflow bound (documented, per the pcaMomentsQ16 convention):
+    * `pair_ct · n_orders · 1000 < 2^63` — holds to ~3·10⁹ orders
+    * with pair supports up to ~3·10⁶; beyond that lift the factors
+    * to DECIMAL(38,0).
+    */
+  def basketLift(lineitem: DataFrame, minPairCount: Long): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1")
+    val baskets = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val itemCt = baskets.groupBy(col("pk"))
+      .agg(count(lit(1)).as("item_ct"))
+    val nOrders = baskets.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("pair_ct"))
+      .filter(col("pair_ct") >= minPairCount)
+      .join(itemCt.withColumnRenamed("pk", "part_a")
+        .withColumnRenamed("item_ct", "ct_a"), "part_a")
+      .join(itemCt.withColumnRenamed("pk", "part_b")
+        .withColumnRenamed("item_ct", "ct_b"), "part_b")
+      .crossJoin(nOrders)
+      .select(col("part_a"), col("part_b"), col("pair_ct"),
+        col("ct_a"), col("ct_b"), col("n_orders"),
+        expr("pair_ct * 1000000 div n_orders").as("support_ppm"),
+        expr("pair_ct * n_orders * 1000 div (ct_a * ct_b)")
+          .as("lift_milli"))
+      .orderBy(col("pair_ct").desc, col("part_a"), col("part_b"))
+  }
+
+  // --- Sequence modelling -------------------------------------------
+
+  /** First-order Markov transition matrix over the event stream: for
+    * each user's events ordered by `(ts, event_id)` (the event id
+    * breaks same-timestamp ties deterministically), count
+    * `event_type → next event_type` transitions and emit the exact
+    * integer row-conditional probability in ppm
+    * (`ct · 10⁶ div src_total`, all operands non-negative so
+    * truncating div == floor in both engines).
+    *
+    * Shape at scale: ONE shuffle on `user_id` feeds the lead()
+    * window (per-user partitions, sort bounded by per-user activity
+    * — skewed power users are a window-sort cost, not a blow-up),
+    * then the transition aggregation reduces to a
+    * #event-types² -row matrix; the src-total attach is a broadcast
+    * join into that tiny frame.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("ct"))
+    val totals = trans.groupBy(col("src"))
+      .agg(sum(col("ct")).as("src_total"))
+    trans.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"), col("ct"), col("src_total"),
+        expr("ct * 1000000 div src_total").as("p_ppm"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  // --- Privacy / governance -----------------------------------------
+
+  /** k-anonymity audit over a quasi-identifier tuple — the standard
+    * re-identification risk gate before a dataset export: group the
+    * customer table by `(nation, market segment, account-balance
+    * bucket of `bucketCents`)` and flag every equivalence class
+    * smaller than `k` (those rows are re-identifiable by an
+    * adversary who knows the quasi-identifiers).
+    *
+    * The balance bucket is computed on exact cents
+    * (`round(bal·100)` → BIGINT) shifted by +$10,000 before the
+    * integer divide, because Spark's `div` truncates toward zero
+    * while the audit needs floor semantics and TPC-H balances go to
+    * −$999.99 — on the shifted non-negative domain truncation IS
+    * floor, in both engines.
+    *
+    * One groupBy on the QI tuple; output is one row per equivalence
+    * class — the aggregation's key domain, not the table size.
+    */
+  def kAnonymityRisk(customer: DataFrame, k: Long,
+      bucketCents: Long = 500000L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(bucketCents >= 1, s"bucketCents must be >= 1")
+    customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(cast(round(c_acctbal * 100) as bigint) + 1000000) " +
+          s"div $bucketCents").as("acct_bucket"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("acct_bucket"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"),
+        col("acct_bucket"))
+  }
+
+  // --- Entity resolution --------------------------------------------
+
+  /** Token-blocked fuzzy entity resolution over part names — the
+    * blocking + verify shape of every record-linkage pipeline
+    * (dedupe/Magellan): candidate pairs are generated only WITHIN a
+    * block (here: two parts sharing their RAREST name token — the
+    * signature token with the smallest document frequency, token
+    * string as the deterministic tie-break), then verified with the
+    * exact Levenshtein distance on the full name.
+    *
+    * Rarest-token blocking is the discipline that keeps this linear:
+    * candidates cost Σ(block size)², and block sizes track the df of
+    * RARE tokens (frequent tokens never become anyone's signature) —
+    * the same Σ|list|² bound as the IVF/minhash families. A name pair
+    * must share its rarest token to be found; that recall loss is the
+    * documented cost of not going quadratic, identical to minhash
+    * banding. `maxBlock` is the hard skew guard behind that bound:
+    * when the vocabulary is too small for the corpus (measured on
+    * TPC-H part names: 20 k parts over a 92-color vocabulary
+    * concentrate into 15 signature blocks, 18 M candidates), blocks
+    * past the cap are DROPPED — an explicit, size-bounded recall
+    * loss in place of a silent quadratic blow-up. Callers with
+    * degenerate vocabularies should also slice first (the registered
+    * query resolves within one brand); at true corpus scale the
+    * output to keep is [[Text.dupClusters]]-style components, not
+    * the raw pair list, which grows n² on duplicate-heavy data no
+    * matter how the candidates are found.
+    *
+    * Returns verified pairs `(part_a, part_b, block_token, dist)`
+    * with `dist <= maxDist`, `part_a < part_b`.
+    */
+  def fuzzyNameMatch(part: DataFrame, maxDist: Int,
+      maxBlock: Long = 500L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val toks = part
+      .select(col("p_partkey"), col("p_name"),
+        explode(array_distinct(split(col("p_name"), " ")))
+          .as("token"))
+    val df_ = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    // per-part signature = lexicographically-min (df, token) pair;
+    // struct min gives the argmin without a window over the token
+    // explosion
+    val sig0 = toks.join(df_, "token")
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(min(struct(col("df"), col("token"))).as("s"))
+      .select(col("p_partkey"), col("p_name"),
+        col("s.token").as("block_token"))
+    // skew guard: drop whole blocks past the cap (see docstring)
+    val blockSz = sig0.groupBy(col("block_token"))
+      .agg(count(lit(1)).as("block_sz"))
+    val sig = sig0.join(broadcast(blockSz), "block_token")
+      .filter(col("block_sz") <= maxBlock)
+      .select(col("p_partkey"), col("p_name"), col("block_token"))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.block_token") === col("b.block_token") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("part_a"),
+        col("b.p_partkey").as("part_b"),
+        col("a.block_token").as("block_token"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  // --- Shuffle-skew diagnosis ---------------------------------------
+
+  /** Join/aggregation-key skew advisor — the diagnostic run before
+    * picking a salting factor (see Relational.saltedAgg): per-key
+    * frequencies of `key` reduced to the heavy-hitter head, annotated
+    * with the global distribution stats a partition planner needs:
+    * total rows, distinct keys, exact median key count (lower
+    * median: element at row ⌈n/2⌉ of counts ordered (ct, key)),
+    * mean count in milli, the max/mean skew ratio in milli, and the
+    * recommended salt-bucket count `⌈max_ct / med_ct⌉` (spread the
+    * hottest key over enough reducers that its buckets look like a
+    * median key).
+    *
+    * Scale shape: the count table is #keys-sized, never the fact
+    * size. The median is NOT a global sort of it — counts compress
+    * to a (#distinct count values)-row frequency table first (key
+    * multiplicities cluster hard, so that table is tiny) and the
+    * median falls out of one cumulative window over it; the
+    * heavy-hitter head is orderBy+limit, which Spark executes as
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def skewAdvisor(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("ct"))
+    // lower median of the count distribution: smallest ct whose
+    // cumulative key-frequency reaches ceil(n_keys / 2)
+    val ctFreq = counts.groupBy(col("ct"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("cum",
+        sum(col("freq")).over(
+          Window.orderBy(col("ct"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val med = ctFreq
+      .crossJoin(counts.agg(count(lit(1)).as("nk")))
+      .filter(col("cum") >= expr("(nk + 1) div 2"))
+      .agg(min(col("ct")).as("med_ct"))
+    val stats = counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("ct")).as("total_rows"),
+        max(col("ct")).as("max_ct"))
+      .crossJoin(med)
+    counts
+      .orderBy(col("ct").desc, col("key")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("ct").desc, col("key"))))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("ct"),
+        col("n_keys"), col("total_rows"), col("max_ct"), col("med_ct"),
+        expr("total_rows * 1000 div n_keys").as("avg_ct_milli"),
+        expr("max_ct * 1000 * n_keys div total_rows")
+          .as("skew_milli"),
+        expr("(max_ct + med_ct - 1) div med_ct").as("salt_rec"))
+      .orderBy(col("rank"))
+  }
+}

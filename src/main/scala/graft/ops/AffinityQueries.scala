@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Registry half of the affinity/governance family (see [[Affinity]]):
+  * named queries + DuckDB oracle SQL, same bitwise-stability rules as
+  * RelationalQueries (exact integer metrics, total ORDER BY, aliases
+  * identical on both sides, int-width-sensitive scalars cast to the
+  * Spark width in the SQL).
+  */
+object AffinityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // market-basket pair association: exact integer support (ppm of
+    // orders) + lift (milli) over co-ordered part pairs
+    "q_basket_lift" -> ((s, d) =>
+      Affinity.basketLift(Tables.lineitem(s, d), minPairCount = 2L)),
+    // first-order Markov next-event matrix with exact ppm
+    // row-conditional probabilities
+    "q_events_markov" -> ((s, d) =>
+      Affinity.markovTransitions(Tables.events(s, d))),
+    // k-anonymity audit over (nation, segment, $5000 balance bucket)
+    "q_kanon_risk" -> ((s, d) =>
+      Affinity.kAnonymityRisk(Tables.customer(s, d), k = 5L)),
+    // rarest-token-blocked entity resolution, Levenshtein-verified;
+    // resolved within one brand — TPC-H's 92-word name vocabulary
+    // makes corpus-global blocking degenerate (see the op docstring)
+    "q_fuzzy_match" -> ((s, d) =>
+      Affinity.fuzzyNameMatch(
+        Tables.part(s, d).filter(col("p_brand") === "Brand#11"),
+        maxDist = 2)),
+    // aggregation-key skew diagnosis over the event stream's user key
+    "q_skew_advisor" -> ((s, d) =>
+      Affinity.skewAdvisor(Tables.events(s, d), col("user_id"),
+        topK = 5))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_basket_lift" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ic AS (SELECT pk, COUNT(*) AS item_ct FROM b GROUP BY 1),
+        |no AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM b),
+        |p AS (
+        |  SELECT a.pk AS part_a, b2.pk AS part_b, COUNT(*) AS pair_ct
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, pair_ct,
+        |  ca.item_ct AS ct_a, cb.item_ct AS ct_b, no.n_orders,
+        |  pair_ct * 1000000 // no.n_orders AS support_ppm,
+        |  pair_ct * no.n_orders * 1000 // (ca.item_ct * cb.item_ct)
+        |    AS lift_milli
+        |FROM p
+        |JOIN ic ca ON p.part_a = ca.pk
+        |JOIN ic cb ON p.part_b = cb.pk
+        |CROSS JOIN no
+        |WHERE pair_ct >= 2
+        |ORDER BY pair_ct DESC, part_a, part_b""".stripMargin,
+    "q_events_markov" ->
+      """WITH t AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (
+        |  SELECT src, dst, COUNT(*) AS ct
+        |  FROM t WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |s AS (
+        |  SELECT src, CAST(SUM(ct) AS BIGINT) AS src_total
+        |  FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, c.ct, s.src_total,
+        |  c.ct * 1000000 // s.src_total AS p_ppm
+        |FROM c JOIN s USING (src)
+        |ORDER BY src, dst""".stripMargin,
+    "q_kanon_risk" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 500000
+        |    AS acct_bucket,
+        |  COUNT(*) AS group_size,
+        |  COUNT(*) < 5 AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_fuzzy_match" ->
+      """WITH pp AS (
+        |  SELECT p_partkey, p_name FROM part
+        |  WHERE p_brand = 'Brand#11'),
+        |t AS (
+        |  SELECT p_partkey, p_name,
+        |    UNNEST(list_distinct(string_split(p_name, ' '))) AS token
+        |  FROM pp),
+        |tdf AS (SELECT token, COUNT(*) AS df FROM t GROUP BY 1),
+        |sig0 AS (
+        |  SELECT p_partkey, p_name, token AS block_token FROM (
+        |    SELECT t.p_partkey, t.p_name, t.token,
+        |      ROW_NUMBER() OVER (PARTITION BY t.p_partkey
+        |        ORDER BY tdf.df, t.token) AS rn
+        |    FROM t JOIN tdf USING (token))
+        |  WHERE rn = 1),
+        |bs AS (
+        |  SELECT block_token, COUNT(*) AS block_sz
+        |  FROM sig0 GROUP BY 1),
+        |sig AS (
+        |  SELECT s.p_partkey, s.p_name, s.block_token
+        |  FROM sig0 s JOIN bs USING (block_token)
+        |  WHERE bs.block_sz <= 500)
+        |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+        |  a.block_token,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM sig a JOIN sig b
+        |  ON a.block_token = b.block_token
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY part_a, part_b""".stripMargin,
+    "q_skew_advisor" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, COUNT(*) AS ct
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT ct, COUNT(*) AS freq FROM c GROUP BY 1),
+        |cum AS (
+        |  SELECT ct, SUM(freq) OVER (ORDER BY ct) AS cum FROM f),
+        |nk AS (SELECT COUNT(*) AS nk FROM c),
+        |med AS (
+        |  SELECT MIN(ct) AS med_ct FROM cum CROSS JOIN nk
+        |  WHERE cum >= (nk + 1) // 2),
+        |st AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(ct) AS BIGINT)
+        |    AS total_rows, MAX(ct) AS max_ct FROM c),
+        |top AS (
+        |  SELECT key, ct,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY ct DESC, key) AS INT)
+        |      AS "rank"
+        |  FROM c ORDER BY ct DESC, key LIMIT 5)
+        |SELECT "rank", key, ct, n_keys, total_rows, max_ct, med_ct,
+        |  total_rows * 1000 // n_keys AS avg_ct_milli,
+        |  max_ct * 1000 * n_keys // total_rows AS skew_milli,
+        |  (max_ct + med_ct - 1) // med_ct AS salt_rec
+        |FROM top CROSS JOIN st CROSS JOIN med
+        |ORDER BY "rank"""".stripMargin
+  )
+}

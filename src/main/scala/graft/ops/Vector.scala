@@ -2336,4 +2336,76 @@ object Vector {
       .orderBy(col("score_q20").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Newman modularity of a community assignment, evaluated on the
+    * within-list kNN graph — the clustering-quality audit that closes
+    * the graph family: PageRank/label-prop PRODUCE structure,
+    * modularity GRADES it (`Q = Σ_c [e_c/m − (d_c/2m)²]` — fraction
+    * of edges inside community c minus the fraction a
+    * degree-preserving random graph would put there; Q ≈ 0 means the
+    * communities are no better than chance).
+    *
+    * `assigned` carries `(vec_id, embedding, list_id, community)`.
+    * Pass a list assignment COARSER than the community (e.g. a
+    * 4-bucket quantizer over 8 communities) or every kNN edge is
+    * intra-community by construction and Q degenerates to its
+    * maximum — the audit only informs when the graph can cross
+    * community lines.
+    *
+    * Fixed-point discipline: per community,
+    * `intra_q20 = e_c·2²⁰ div m` and
+    * `deg_q20 = h² div 2²⁰` with `h = d_c·2²⁰ div 2m` — the double
+    * floor keeps every operand in a long for ANY m (h ≤ 2²⁰ since
+    * d_c ≤ 2m, so h² ≤ 2⁴⁰; e_c and d_c stay under 2^63/2²⁰ ≈
+    * 8.8·10¹² edges) at the cost of ≤ 2 q20 units vs the
+    * exactly-floored square — an audit metric, not a ranking key,
+    * and both engines compute the identical expression. Both
+    * divisions have non-negative operands (truncation == floor);
+    * the subtraction happens after.
+    *
+    * Shape at scale: symmetrized edge list ≤ k·n rows; degrees and
+    * per-community sums are two narrow aggregations; community
+    * attribution is a many-to-one join on vec_id into the
+    * already-aggregated vertex frame. Output: one row per community
+    * + the m/graph-level columns on each row.
+    */
+  def modularityAssigned(
+      assigned: DataFrame,
+      k: Int,
+      precomputedKnn: Option[DataFrame] = None): DataFrame = {
+    val und = graft.Caches.track("vec",
+      precomputedKnn.getOrElse(
+          knnGraphAssigned(assigned.drop("community"), k))
+        .select(least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b"))
+        .distinct())
+    val comm = assigned.select(col("vec_id"), col("community"))
+    val m = und.agg(count(lit(1)).as("m"))
+    // vertex degrees on the symmetrized graph, with communities
+    val deg = und.select(col("a").as("vec_id"))
+      .unionAll(und.select(col("b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+      .join(comm, "vec_id")
+    val dC = deg.groupBy(col("community"))
+      .agg(sum(col("degree")).as("d_c"))
+    // intra-community edge counts: both endpoints in c
+    val eC = und
+      .join(comm.withColumnRenamed("vec_id", "a")
+        .withColumnRenamed("community", "comm_a"), "a")
+      .join(comm.withColumnRenamed("vec_id", "b")
+        .withColumnRenamed("community", "comm_b"), "b")
+      .filter(col("comm_a") === col("comm_b"))
+      .groupBy(col("comm_a").as("community"))
+      .agg(count(lit(1)).as("e_c"))
+    dC.join(eC, Seq("community"), "left")
+      .select(col("community"), col("d_c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"))
+      .crossJoin(broadcast(m))
+      .withColumn("intra_q20", expr("e_c * 1048576 div m"))
+      .withColumn("deg_q20",
+        expr("((d_c * 1048576 div (2 * m)) * " +
+          "(d_c * 1048576 div (2 * m))) div 1048576"))
+      .withColumn("term_q20", col("intra_q20") - col("deg_q20"))
+      .orderBy(col("community"))
+  }
 }

@@ -232,6 +232,16 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         k = 3, precomputedKnn = Some(knnGraphDf(s, d)))
         .orderBy(col("vec_id"))),
+    // Newman modularity of the label communities on a 4-bucket
+    // (label % 4) kNN graph — coarser lists than communities so
+    // cross-community edges exist and Q is non-vacuous; exact q20
+    // fixed point with the documented double-floor square
+    "q_vec_modularity" -> ((s, d) =>
+      Vector.modularityAssigned(
+        Tables.embeddings(s, d)
+          .withColumn("list_id", col("label") % 4)
+          .withColumn("community", col("label")),
+        k = 3)),
     // binary-quantized retrieval: sign-packed 32-bit words + Hamming
     // top-k — exact integers end to end
     "q_vec_binary_topk" -> ((s, d) =>
@@ -701,6 +711,67 @@ object VectorQueries {
         |  FROM p WHERE NOT isnan(cos_sim))
         |SELECT vec_id, nbr_id, cos_sim, "rank" FROM r
         |WHERE "rank" <= 3 ORDER BY vec_id, "rank"""".stripMargin,
+    // modularity: the knn-graph fragment on COARSER label%4 lists,
+    // symmetrized, then per-community exact q20 terms (h = d_c·2^20
+    // div 2m; deg term = h² div 2^20 — the documented double floor)
+    "q_vec_modularity" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label % 4 = b.label % 4
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |e AS (
+        |  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+        |    GREATEST(vec_id, nbr_id) AS b
+        |  FROM r WHERE rk <= 3),
+        |mm AS (SELECT COUNT(*) AS m FROM e),
+        |deg AS (
+        |  SELECT v AS vec_id, COUNT(*) AS degree FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY 1),
+        |comm AS (SELECT vec_id, label AS community FROM embeddings),
+        |dc AS (
+        |  SELECT c.community, CAST(SUM(d.degree) AS BIGINT) AS d_c
+        |  FROM deg d JOIN comm c USING (vec_id) GROUP BY 1),
+        |ec AS (
+        |  SELECT ca.community, COUNT(*) AS e_c
+        |  FROM e
+        |  JOIN comm ca ON e.a = ca.vec_id
+        |  JOIN comm cb ON e.b = cb.vec_id
+        |  WHERE ca.community = cb.community
+        |  GROUP BY 1)
+        |SELECT dc.community, dc.d_c,
+        |  CAST(COALESCE(ec.e_c, 0) AS BIGINT) AS e_c, mm.m,
+        |  COALESCE(ec.e_c, 0) * 1048576 // mm.m AS intra_q20,
+        |  ((dc.d_c * 1048576 // (2 * mm.m)) *
+        |   (dc.d_c * 1048576 // (2 * mm.m))) // 1048576 AS deg_q20,
+        |  COALESCE(ec.e_c, 0) * 1048576 // mm.m
+        |    - ((dc.d_c * 1048576 // (2 * mm.m)) *
+        |       (dc.d_c * 1048576 // (2 * mm.m))) // 1048576
+        |    AS term_q20
+        |FROM dc LEFT JOIN ec USING (community) CROSS JOIN mm
+        |ORDER BY community""".stripMargin,
     // k-core: the q_vec_knn_graph edge fragment symmetrized, then
     // three unrolled peel rounds (degree -> alive >= 2 -> edge
     // filter); all counts exact BIGINTs

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.Affinity
+
+/** Planted-data semantics for the affinity/governance family
+  * (ops/Affinity.scala): every metric hand-computed on a corpus small
+  * enough to verify by eye, including each operator's documented
+  * blind spot.
+  */
+class AffinitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("basketLift: counts, support, lift hand-computed; lift>1000 iff attraction") {
+    // 4 orders: {1,2}, {1,2}, {1,3}, {2}; item cts: 1→3, 2→3, 3→1
+    val li = Seq(
+      (10L, 1L), (10L, 2L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L),
+      (13L, 2L), (13L, 2L) // duplicate line collapses in the basket
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Affinity.basketLift(li, minPairCount = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(6), r.getLong(7))).toList
+    // pair (1,2): ct 2 of 4 orders → support 500000 ppm;
+    // lift = 2·4/(3·3) = 8/9 → 888 milli (slight repulsion);
+    // pair (1,3): ct 1 → support 250000; lift = 1·4/(3·1) → 1333
+    assert(out === List(
+      (1L, 2L, 2L, 500000L, 888L),
+      (1L, 3L, 1L, 250000L, 1333L)))
+  }
+
+  test("markovTransitions: ppm rows sum ≤ 1e6 per src; ties broken by event_id") {
+    val ev = Seq(
+      // user 7: a→b→b (same ts for the b,b pair — event_id orders them)
+      (1L, "2024-01-01 00:00:00", 7L, "a"),
+      (2L, "2024-01-01 00:00:01", 7L, "b"),
+      (3L, "2024-01-01 00:00:02", 7L, "b"),
+      // user 8: a→c
+      (4L, "2024-01-01 00:00:00", 8L, "a"),
+      (5L, "2024-01-01 00:00:05", 8L, "c")
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Affinity.markovTransitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(4))).toList
+    assert(out === List(
+      ("a", "b", 1L, 500000L),
+      ("a", "c", 1L, 500000L),
+      ("b", "b", 1L, 1000000L)))
+  }
+
+  test("kAnonymityRisk: small QI classes flagged, larger ones pass") {
+    val rows = (1 to 6).map(i => (i.toLong, 1L, "AUTO", 100.0)) ++
+      Seq((7L, 1L, "AUTO", 7000.0), (8L, 2L, "STEEL", -500.0))
+    val cust = rows.toDF("c_custkey", "c_nationkey", "c_mktsegment",
+      "c_acctbal")
+    val out = Affinity.kAnonymityRisk(cust, k = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toList
+    // $100 → (10000+1000000) div 500000 = 2; $7000 → cents 700000 → 3;
+    // −$500 → cents −50000 → 950000 div 500000 = 1
+    assert(out === List(
+      (1L, "AUTO", 2L, 6L, false),
+      (1L, "AUTO", 3L, 1L, true),
+      (2L, "STEEL", 1L, 1L, true)))
+  }
+
+  test("fuzzyNameMatch: near-identical names found via shared rarest token; pairs not sharing it are the documented miss") {
+    val parts = Seq(
+      (1L, "azure coral mint"),
+      (2L, "azure coral mints"),   // dist 1 to part 1, same rarest token
+      (3L, "plum coral mint"),     // near part 1 but rarest token differs
+      (4L, "azure navy teal"),     // shares 'azure' with 1 but far
+      (5L, "plum navy snow")
+    ).toDF("p_partkey", "p_name")
+    // dfs: azure 3, coral 3, mint 2, mints 1, plum 2, navy 2, teal 1,
+    // snow 1 → signatures: 1→mint, 2→mints, 3→mint, 4→teal, 5→snow
+    val out = Affinity.fuzzyNameMatch(parts, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3))).toList
+    // (1,3) share signature 'mint', dist("azure coral mint",
+    // "plum coral mint") = 4 > 2 → rejected by verify; (1,2) have
+    // different signatures (mint vs mints) → blocking miss, the
+    // documented recall cost of not going quadratic
+    assert(out === Nil)
+    val loose = Affinity.fuzzyNameMatch(parts, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toList
+    assert(loose === List((1L, 3L, 4)))
+    // skew guard: three identical names form one size-3 block; with
+    // maxBlock = 2 the whole block drops — explicit recall loss, no
+    // quadratic candidate set
+    val trio = Seq((7L, "zz yy"), (8L, "zz yy"), (9L, "zz yy"))
+      .toDF("p_partkey", "p_name")
+    assert(Affinity.fuzzyNameMatch(trio, maxDist = 2).collect()
+      .length == 3)
+    assert(Affinity.fuzzyNameMatch(trio, maxDist = 2, maxBlock = 2L)
+      .collect().isEmpty)
+  }
+
+  test("skewAdvisor: hot key ranked first; median, skew ratio, salt hand-checked") {
+    // key 1: 8 rows; keys 2..5: 2 rows each → n_keys 5, total 16,
+    // max 8, counts sorted (2,2,2,2,8) → median 2
+    val df = (Seq.fill(8)(1L) ++ (2L to 5L).flatMap(k => Seq(k, k)))
+      .toDF("k")
+    val out = Affinity.skewAdvisor(df, col("k"), topK = 2).collect()
+    val top = out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(top.toList === List((1, 1L, 8L), (2, 2L, 2L)))
+    val r0 = out.head
+    assert(r0.getLong(3) == 5L && r0.getLong(4) == 16L) // n_keys, total
+    assert(r0.getLong(6) == 2L)                         // med_ct
+    // avg = 16·1000 div 5 = 3200; skew = 8·1000·5 div 16 = 2500;
+    // salt = ceil(8/2) = 4
+    assert(r0.getLong(7) == 3200L && r0.getLong(8) == 2500L &&
+      r0.getLong(9) == 4L)
+  }
+
+  test("modularityAssigned: perfect split scores high Q, mixed split near zero") {
+    // 6 vertices, two triangles {1,2,3} and {4,5,6}: m = 6
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("vec_id", "nbr_id")
+    def comm(f: Long => Long) =
+      (1L to 6L).map(v => (v, f(v))).toDF("vec_id", "community")
+    def q(assignment: org.apache.spark.sql.DataFrame): Double =
+      ops.Vector.modularityAssigned(assignment, k = 3,
+          precomputedKnn = Some(edges))
+        .agg(sum(col("term_q20"))).head.getLong(0) / 1048576.0
+    // perfect communities: Q = Σ [3/6 − (6/12)²] = 2·(0.5 − 0.25) = 0.5
+    val good = q(comm(v => if (v <= 3) 0L else 1L))
+    assert(math.abs(good - 0.5) < 0.001, s"good=$good")
+    // alternating assignment cuts both triangles: e_c: c0={1,3,5}
+    // keeps (1,3) only, c1={2,4,6} keeps (4,6) → Q = 2/6 − 0.5 ≈ −0.17
+    val bad = q(comm(v => v % 2))
+    assert(bad < -0.1 && bad < good, s"bad=$bad")
+  }
+}

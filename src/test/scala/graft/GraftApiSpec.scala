@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 180,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 180")
-    assert(SparkEntry.oracleSql.size == 168,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 168")
+    assert(SparkEntry.queries.size == 186,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 186")
+    assert(SparkEntry.oracleSql.size == 174,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 174")
   }
 
   test("doc surface composes end to end") {
@@ -208,6 +208,7 @@ class GraftApiSpec extends SparkSpec {
       "dsirResample" -> "dsirResampled",
       "classifierScore" -> "classifierScored",
       "knnGraphAssigned" -> "knnGraphAssigned",
+      "modularityAssigned" -> "modularityAssigned",
       "knnGraph" -> "knnGraph",
       "densityPrune" -> "densityPruned",
       "hardNegativesAssigned" -> "hardNegatives",
