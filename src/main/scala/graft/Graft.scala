@@ -277,6 +277,9 @@ object Graft {
     ): DataFrame = ops.Text.contamination(docs, evalDocs, n, minHits)
     def docFrequency(minDf: Long = 1L): DataFrame =
       ops.Text.docFrequency(docs, minDf)
+    /** Corpus-derived stopword list with cumulative mass coverage. */
+    def stopwordsDiscovered(minDfPpm: Long): DataFrame =
+      ops.Text.stopwordDiscovery(docs, minDfPpm)
     /** BM25 integer postings skeleton for a literal query. */
     def bm25Postings(queryTokens: Seq[String]): DataFrame =
       ops.Text.bm25Postings(docs, queryTokens)

@@ -258,4 +258,52 @@ object Affinity {
         expr("(max_ct + med_ct - 1) div med_ct").as("salt_rec"))
       .orderBy(col("rank"))
   }
+
+  /** Pointwise mutual information between event types over the user
+    * population — [[basketLift]]'s information-theoretic twin on the
+    * behavioral axis (lift asks "how much more often than chance do
+    * a and b co-occur in a basket"; PMI answers in log space over
+    * users): for each unordered type pair,
+    * `pmi = ln( n_ab·N / (n_a·n_b) )`, assembled from per-operand
+    * ⌊ln·2²⁰⌋ integers (the q20 convention — floored lns combine by
+    * integer +/−, so the whole column hash-compares). The
+    * co-occurrence unit is the USER-DAY, not the whole user history:
+    * over a long horizon every active user touches every type and
+    * the statistic saturates; a bounded unit is what keeps PMI
+    * informative (the same reason word PMI windows, rather than
+    * whole-document co-occurrence).
+    *
+    * Shape at scale: `distinct(user, day, type)` is the one
+    * corpus-sized shuffle (map-side combined); the self-join is
+    * co-partitioned on its key with per-unit fan-out ≤ #types²;
+    * everything after is #types²-sized with broadcast attaches.
+    */
+  def eventPmi(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), to_date(col("ts")).as("d"),
+      col("event_type")).distinct()
+    val single = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val nUnits = ut.select(col("user_id"), col("d")).distinct()
+      .agg(count(lit(1)).as("n_units"))
+    def lnq20(c: Column): Column =
+      floor(log(c.cast("double")) * (1L << 20)).cast("long")
+    ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.d") === col("b.d") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(single.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n", "n_a")), "type_a")
+      .join(broadcast(single.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n", "n_b")), "type_b")
+      .crossJoin(broadcast(nUnits))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        col("n_a"), col("n_b"), col("n_units"),
+        (lnq20(col("n_ab")) + lnq20(col("n_units")) -
+          lnq20(col("n_a")) - lnq20(col("n_b"))).as("pmi_q20"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -36,7 +36,10 @@ object AffinityQueries {
     // aggregation-key skew diagnosis over the event stream's user key
     "q_skew_advisor" -> ((s, d) =>
       Affinity.skewAdvisor(Tables.events(s, d), col("user_id"),
-        topK = 5))
+        topK = 5)),
+    // event-type PMI over user-day co-occurrence units, q20 ln terms
+    "q_events_pmi" -> ((s, d) =>
+      Affinity.eventPmi(Tables.events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -77,6 +80,34 @@ object AffinityQueries {
         |  c.ct * 1000000 // s.src_total AS p_ppm
         |FROM c JOIN s USING (src)
         |ORDER BY src, dst""".stripMargin,
+    "q_events_pmi" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+        |  FROM events),
+        |s AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+        |nu AS (
+        |  SELECT COUNT(*) AS n_units FROM (
+        |    SELECT DISTINCT user_id, d FROM ut)),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_ab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.d = b.d
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+        |  nu.n_units,
+        |  CAST(FLOOR(ln(CAST(n_ab AS DOUBLE)) * 1048576) AS BIGINT)
+        |  + CAST(FLOOR(ln(CAST(nu.n_units AS DOUBLE)) * 1048576)
+        |      AS BIGINT)
+        |  - CAST(FLOOR(ln(CAST(sa.n AS DOUBLE)) * 1048576) AS BIGINT)
+        |  - CAST(FLOOR(ln(CAST(sb.n AS DOUBLE)) * 1048576) AS BIGINT)
+        |    AS pmi_q20
+        |FROM p
+        |JOIN s sa ON p.type_a = sa.event_type
+        |JOIN s sb ON p.type_b = sb.event_type
+        |CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_kanon_risk" ->
       """SELECT c_nationkey, c_mktsegment,
         |  (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 500000

@@ -647,6 +647,63 @@ object Relational {
       .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
   }
 
+  /** Conversion-latency distribution for the [[funnel]]'s completing
+    * users: per user that finished view → click → purchase (same
+    * stage semantics — first view, first click after it, first
+    * purchase after that), the three latencies in exact epoch-ms
+    * (`click_ms` = first-click − first-view, `purchase_ms` =
+    * first-purchase − first-click, `total_ms`), reduced to discrete
+    * percentiles (PERCENTILE_DISC: value at row ⌈p·n⌉ of the sorted
+    * metric, (value, user) total order — engine-exact, no
+    * interpolation arithmetic).
+    *
+    * Shape: the funnel's monotone-shrinking stage joins, then ONE
+    * window per metric over the 3×(converting users) unpivoted rows
+    * — converters, not events, so the window input is the funnel's
+    * smallest frame.
+    */
+  def funnelLatency(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val lat = v.join(c, "user_id").join(p, "user_id")
+      .select(col("user_id"),
+        (unix_millis(col("c_ts")) - unix_millis(col("v_ts")))
+          .as("click_ms"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts")))
+          .as("purchase_ms"),
+        (unix_millis(col("p_ts")) - unix_millis(col("v_ts")))
+          .as("total_ms"))
+      .select(col("user_id"), explode(map(
+        lit("click_ms"), col("click_ms"),
+        lit("purchase_ms"), col("purchase_ms"),
+        lit("total_ms"), col("total_ms"))).as(Seq("metric", "val")))
+    val w = Window.partitionBy(col("metric"))
+      .orderBy(col("val"), col("user_id"))
+    lat
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("metric"))))
+      .groupBy(col("metric"))
+      .agg(
+        max(col("cnt")).as("n_users"),
+        max(when(col("rn") === ceil(col("cnt") * 0.25), col("val")))
+          .as("p25"),
+        max(when(col("rn") === ceil(col("cnt") * 0.5), col("val")))
+          .as("p50"),
+        max(when(col("rn") === ceil(col("cnt") * 0.9), col("val")))
+          .as("p90"),
+        max(col("val")).as("max_v"))
+      .orderBy(col("metric"))
+  }
+
   /** Two-phase salted aggregation — the standard hot-key mitigation
     * when one group key dominates (AQE skew-join covers joins; skewed
     * groupBy needs this): phase 1 aggregates on (key, salt) spreading

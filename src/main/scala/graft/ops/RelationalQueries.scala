@@ -113,6 +113,10 @@ object RelationalQueries {
     "q_pivot_status" -> ((s, d) => pivotStatus(Tables.orders(s, d))),
     "q_json_funcs" -> ((s, d) => jsonFuncs(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    // conversion-latency PERCENTILE_DISC stats per funnel stage —
+    // exact epoch-ms integers, (value, user) total order
+    "q_events_funnel_time" -> ((s, d) =>
+      funnelLatency(Tables.events(s, d))),
     "q_date_funcs" -> ((s, d) => dateFuncs(Tables.orders(s, d))),
     // the operator returns real arrays; the registered check projects
     // them to CSV (fixed-point cents) because the driver's comparator
@@ -686,6 +690,44 @@ object RelationalQueries {
         |SELECT (SELECT COUNT(*) FROM v) AS n_view,
         |       (SELECT COUNT(*) FROM c) AS n_click_after_view,
         |       (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin,
+    "q_events_funnel_time" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |  GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT v.user_id,
+        |    epoch_ms(c.c_ts) - epoch_ms(v.v_ts) AS click_ms,
+        |    epoch_ms(p.p_ts) - epoch_ms(c.c_ts) AS purchase_ms,
+        |    epoch_ms(p.p_ts) - epoch_ms(v.v_ts) AS total_ms
+        |  FROM v JOIN c USING (user_id) JOIN p USING (user_id)),
+        |u AS (
+        |  SELECT user_id, 'click_ms' AS metric, click_ms AS val
+        |    FROM lat
+        |  UNION ALL SELECT user_id, 'purchase_ms', purchase_ms
+        |    FROM lat
+        |  UNION ALL SELECT user_id, 'total_ms', total_ms FROM lat),
+        |r AS (
+        |  SELECT metric, val,
+        |    ROW_NUMBER() OVER (PARTITION BY metric
+        |      ORDER BY val, user_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY metric) AS cnt
+        |  FROM u)
+        |SELECT metric, MAX(cnt) AS n_users,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.25) THEN val END) AS p25,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN val END) AS p50,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.9) THEN val END) AS p90,
+        |  MAX(val) AS max_v
+        |FROM r GROUP BY metric ORDER BY metric""".stripMargin,
     "q_sql_top_nations" ->
       """SELECT n_name, COUNT(*) AS n_customers,
         |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)

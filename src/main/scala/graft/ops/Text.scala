@@ -589,6 +589,47 @@ object Text {
       .drop("__total")
   }
 
+  /** Corpus-derived stopword discovery — the data-driven replacement
+    * for a hand-curated stopword list (quality ratios, BM25 pruning,
+    * and shingle filters all consume one): tokens whose document
+    * ratio reaches `minDfPpm` (df·10⁶ div N ≥ threshold, exact
+    * integer ppm), annotated with the cumulative share of the TOTAL
+    * corpus token mass the list covers when consumed in
+    * (df desc, token) order — the number that tells you "the top 12
+    * stopwords are 38% of every scan".
+    *
+    * Shape at scale: one explode+groupBy shuffle (the
+    * [[docFrequency]] shape, map-side combined); the ppm filter cuts
+    * to the candidate head BEFORE the cumulative window, and the
+    * candidate count is structurally ≤ 10⁶/minDfPpm · (tokens per
+    * doc) — a threshold-bounded constant, so the unpartitioned
+    * cumulative window orders dozens of rows, never the vocabulary.
+    */
+  def stopwordDiscovery(docs: DataFrame, minDfPpm: Long): DataFrame = {
+    require(minDfPpm >= 1 && minDfPpm <= 1000000,
+      s"minDfPpm must be in [1, 1e6], got $minDfPpm")
+    val ne = docs.filter(length(trim(col("text"))) > 0)
+    val totals = ne
+      .select(explode(tokens(col("text"))).as("t"))
+      .agg(count(lit(1)).as("corpus_tf"))
+      .crossJoin(ne.agg(count(lit(1)).as("n_docs")))
+    val stats = ne
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total"))
+    stats.crossJoin(broadcast(totals))
+      .withColumn("df_ppm", expr("df * 1000000 div n_docs"))
+      .filter(col("df_ppm") >= minDfPpm)
+      .withColumn("cum_mass_ppm",
+        expr("sum(tf_total) over (order by df desc, token " +
+          "rows between unbounded preceding and current row) " +
+          "* 1000000 div corpus_tf"))
+      .select(col("token"), col("df"), col("df_ppm"), col("tf_total"),
+        col("n_docs"), col("corpus_tf"), col("cum_mass_ppm"))
+      .orderBy(col("df").desc, col("token"))
+  }
+
   /** BM25 postings skeleton for a literal query: one row per
     * (matching doc, query term) with the exact integer statistics
     * the score needs — tf, doc length, per-term df, corpus size and

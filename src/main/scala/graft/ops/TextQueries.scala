@@ -168,6 +168,11 @@ object TextQueries {
       Text.docFrequency(Tables.documents(s, d), minDf = 50L)
         .select(col("token"), col("df"), col("tf_total"))
         .orderBy(col("token"))),
+    // corpus-derived stopword list (df-ratio >= 50%) with exact-ppm
+    // cumulative token-mass coverage in (df desc, token) order
+    "q_text_stopwords" -> ((s, d) =>
+      Text.stopwordDiscovery(Tables.documents(s, d),
+        minDfPpm = 500000L)),
     // BM25 integer skeleton (tf/dl/df/N/total_len per matching
     // doc-term) — fully hash-compared; the ln(idf) score and top-k
     // live in bm25TopK, pinned bitwise by TextSpec (the doc_freq
@@ -682,6 +687,28 @@ object TextQueries {
          |FROM tok GROUP BY token
          |HAVING COUNT(DISTINCT doc_id) >= 50
          |ORDER BY token""".stripMargin,
+    "q_text_stopwords" ->
+      s"""WITH ne AS (
+         |  SELECT * FROM documents WHERE len(trim(text)) > 0),
+         |tok AS (
+         |  SELECT doc_id, UNNEST($toksSql) AS token FROM ne),
+         |tot AS (
+         |  SELECT (SELECT COUNT(*) FROM tok) AS corpus_tf,
+         |         (SELECT COUNT(*) FROM ne) AS n_docs),
+         |s AS (
+         |  SELECT token, COUNT(DISTINCT doc_id) AS df,
+         |    COUNT(*) AS tf_total
+         |  FROM tok GROUP BY 1),
+         |f AS (
+         |  SELECT s.token, s.df, s.df * 1000000 // tot.n_docs
+         |      AS df_ppm, s.tf_total, tot.n_docs, tot.corpus_tf
+         |  FROM s CROSS JOIN tot
+         |  WHERE s.df * 1000000 // tot.n_docs >= 500000)
+         |SELECT token, df, df_ppm, tf_total, n_docs, corpus_tf,
+         |  SUM(tf_total) OVER (ORDER BY df DESC, token
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    * 1000000 // corpus_tf AS cum_mass_ppm
+         |FROM f ORDER BY df DESC, token""".stripMargin,
     "q_text_bm25" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

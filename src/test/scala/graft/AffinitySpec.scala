@@ -117,6 +117,32 @@ class AffinitySpec extends SparkSpec {
       r0.getLong(9) == 4L)
   }
 
+  test("eventPmi: types co-occurring beyond chance score positive, avoiding types negative") {
+    // 4 user-days: {a,b} together twice, c alone twice → (a,b)
+    // attract (pmi = ln(2·4/(2·2)) = ln 2 > 0); (a,c) never co-occur
+    // (no row); planted (b,c) once over inflated singles goes negative
+    val ev = Seq(
+      (1L, "2024-01-01 01:00:00", 1L, "a"),
+      (2L, "2024-01-01 02:00:00", 1L, "b"),
+      (3L, "2024-01-02 01:00:00", 2L, "a"),
+      (4L, "2024-01-02 02:00:00", 2L, "b"),
+      (5L, "2024-01-03 01:00:00", 3L, "c"),
+      (6L, "2024-01-04 01:00:00", 4L, "c"),
+      (7L, "2024-01-03 02:00:00", 3L, "b")
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Affinity.eventPmi(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(6))).toList
+    // units: (1,d1),(2,d2),(3,d3),(4,d4) → N=4; n_a=2, n_b=3, n_c=2
+    // (a,b): ln(2·4/(2·3)) = ln(4/3) > 0; (b,c): ln(1·4/(3·2)) < 0
+    val ab = out.find(t => t._1 == "a" && t._2 == "b").get
+    val bc = out.find(t => t._1 == "b" && t._2 == "c").get
+    assert(ab._3 == 2L && ab._4 > 0, s"ab=$ab")
+    assert(bc._3 == 1L && bc._4 < 0, s"bc=$bc")
+    assert(!out.exists(t => t._1 == "a" && t._2 == "c"))
+  }
+
   test("modularityAssigned: perfect split scores high Q, mixed split near zero") {
     // 6 vertices, two triangles {1,2,3} and {4,5,6}: m = 6
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),

@@ -179,4 +179,27 @@ class AnalyticSpec extends SparkSpec {
     assert(graft.ops.Text.zipfAudit(one).collect()
       .head.isNullAt(s2.fieldIndex("slope_q20")))
   }
+
+  test("funnelLatency: exact per-stage ms percentiles over completing users only") {
+    // user 1 completes in 60s + 120s; user 2 completes in 10s + 20s;
+    // user 3 views only → excluded
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:01:00", 1L, "click"),
+      (3L, "2024-01-01 00:03:00", 1L, "purchase"),
+      (4L, "2024-01-01 00:00:00", 2L, "view"),
+      (5L, "2024-01-01 00:00:10", 2L, "click"),
+      (6L, "2024-01-01 00:00:30", 2L, "purchase"),
+      (7L, "2024-01-01 00:00:00", 3L, "view")
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Relational.funnelLatency(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5))).toList
+    // n=2 → p25 row ceil(0.5)=1 (min), p50 row 1, max = slower user
+    assert(out === List(
+      ("click_ms", 2L, 10000L, 10000L, 60000L),
+      ("purchase_ms", 2L, 20000L, 20000L, 120000L),
+      ("total_ms", 2L, 30000L, 30000L, 180000L)))
+  }
 }

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 186,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 186")
-    assert(SparkEntry.oracleSql.size == 174,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 174")
+    assert(SparkEntry.queries.size == 189,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 189")
+    assert(SparkEntry.oracleSql.size == 177,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 177")
   }
 
   test("doc surface composes end to end") {
@@ -151,6 +151,7 @@ class GraftApiSpec extends SparkSpec {
       "curationPipeline" -> "curated",
       "contamination" -> "contaminationAgainst",
       "docFrequency" -> "docFrequency",
+      "stopwordDiscovery" -> "stopwordsDiscovered",
       "rollingFingerprint" -> "rollingFingerprinted",
       "winnowFingerprint" -> "winnowFingerprinted",
       "simhashes" -> "simhashed",

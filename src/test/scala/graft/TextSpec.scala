@@ -1592,4 +1592,22 @@ class TextSpec extends SparkSpec {
     val quals = out.map(_.getAs[Double]("quality"))
     assert(quals.sameElements(quals.sorted.reverse))
   }
+
+  test("stopwordDiscovery: df-ratio gate, cumulative mass in (df desc, token) order") {
+    // 'the' in 4/4 docs (8 of 14 tokens), 'cat' in 2/4, 'rare' in 1/4
+    val docs = Seq(
+      (1L, "the the cat sat"), (2L, "the the cat ran"),
+      (3L, "the the rare"), (4L, "the the dog")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Text.stopwordDiscovery(docs, minDfPpm = 500000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(6))).toList
+    // the: df 4 → 1e6 ppm, tf 8, cum 8·1e6 div 14 = 571428;
+    // cat: df 2 → 500000 ppm (>= gate), cum (8+2)·1e6 div 14 = 714285;
+    // rare/sat/ran/dog: df 1 → 250000 ppm, excluded
+    assert(out === List(
+      ("the", 4L, 1000000L, 571428L),
+      ("cat", 2L, 500000L, 714285L)))
+  }
 }
