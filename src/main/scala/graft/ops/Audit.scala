@@ -247,4 +247,28 @@ object Audit {
       .select(col("event_type"), col("day"), col("n"), col("med"),
         col("dev"), col("mad"), col("z_q20"), col("anomaly"))
   }
+
+  /** Feed-freshness audit — the staleness gate run before trusting a
+    * multi-feed warehouse snapshot (a feed whose newest row lags the
+    * table's high-water mark is late, stuck, or dead upstream): per
+    * `feed` key, event count, newest timestamp in exact epoch-ms,
+    * lag behind the global max, and the stale flag at `maxLagMs`.
+    * Two narrow max-aggregations (per-feed + global, both map-side
+    * combined) and a broadcast 1-row attach — nothing leaves the
+    * reducers but #feeds rows.
+    */
+  def freshness(events: DataFrame, key: Column,
+      maxLagMs: Long): DataFrame = {
+    require(maxLagMs >= 0, s"maxLagMs must be >= 0, got $maxLagMs")
+    val per = events.groupBy(key.as("feed"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_millis(col("ts"))).as("last_ms"))
+    val global = events.agg(
+      max(unix_millis(col("ts"))).as("global_ms"))
+    per.crossJoin(broadcast(global))
+      .select(col("feed"), col("n_events"), col("last_ms"),
+        (col("global_ms") - col("last_ms")).as("lag_ms"))
+      .withColumn("stale", col("lag_ms") > maxLagMs)
+      .orderBy(col("feed"))
+  }
 }

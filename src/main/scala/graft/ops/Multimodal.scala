@@ -112,6 +112,30 @@ object Multimodal {
         least(col("n_frames"), lit(32)).as("frames_to_sample")
       )
 
+  /** Per-source modality-mix audit — the dataset-composition table a
+    * multimodal training recipe starts from (how much image vs audio
+    * vs video vs text does each source contribute, and does a crawl
+    * refresh shift it): decoded media types joined back to the doc's
+    * source, reduced to (source × media_type) counts with the exact
+    * ppm share of each source. One decode pass + one many-to-one id
+    * join + one aggregation whose key domain is #sources × 4; the
+    * share attach is a window over that aggregated frame, never the
+    * corpus.
+    */
+  def modalityMix(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    decodeMeta(docs)
+      .filter(col("ok"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("media_type"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("src_total", sum(col("n_docs")).over(w))
+      .withColumn("share_ppm",
+        expr("n_docs * 1000000 div src_total"))
+      .orderBy(col("source"), col("media_type"))
+  }
+
   /** Resize planning over decoded metadata — pure metadata math (the
     * shape a curation step computes before invoking the codec):
     * scale to fit a 336×336 training tile preserving aspect.

@@ -42,6 +42,9 @@ object MultimodalQueries {
       Multimodal.resizePlan(
         Multimodal.decodeMeta(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
+    // per-source modality composition with exact ppm shares
+    "q_mm_modality_mix" -> ((s, d) =>
+      Multimodal.modalityMix(Tables.documents(s, d))),
     // feature extraction composed with vector math: per-media-feature
     // L2 norm (stubbed encoder; plumbing + composition under test)
     "q_mm_feature_norms" -> ((s, d) =>
@@ -107,6 +110,21 @@ object MultimodalQueries {
         |  md5(text) AS payload_md5,
         |  lower(substring(hex(encode(text)), 1, 8)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_modality_mix" ->
+      s"""WITH $decodedCte,
+         |j AS (
+         |  SELECT d2.source, dec.media_type
+         |  FROM decoded dec JOIN documents d2 USING (doc_id)),
+         |a AS (
+         |  SELECT source, media_type, COUNT(*) AS n_docs
+         |  FROM j GROUP BY 1, 2),
+         |t AS (
+         |  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_total
+         |  FROM a GROUP BY 1)
+         |SELECT a.source, a.media_type, a.n_docs, t.src_total,
+         |  a.n_docs * 1000000 // t.src_total AS share_ppm
+         |FROM a JOIN t USING (source)
+         |ORDER BY source, media_type""".stripMargin,
     "q_mm_decode_meta" ->
       s"""WITH $decodedCte
          |SELECT doc_id, media_type, width, height,

@@ -91,6 +91,11 @@ object RelationalQueries {
       lastTouchAttribution(Tables.events(s, d))
         .orderBy(col("event_id"))),
     // robust (median/MAD) volume anomaly twin — masking-resistant
+    // per-feed staleness vs the snapshot high-water mark, exact
+    // epoch-ms lags, stale flag at 30 min
+    "q_events_freshness" -> ((s, d) =>
+      Audit.freshness(Tables.events(s, d), col("event_type"),
+        maxLagMs = 1800000L)),
     "q_events_robust_anomaly" -> ((s, d) =>
       Audit.eventAnomalyRobust(Tables.events(s, d))
         .orderBy(col("event_type"), col("day"))),
@@ -426,6 +431,17 @@ object RelationalQueries {
         |  CAST(SIGN(n - prev_n) AS BIGINT)
         |    * ((ABS(n - prev_n) * 1000000) // prev_n) AS delta_ppm
         |FROM l ORDER BY event_type, day""".stripMargin,
+    "q_events_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type AS feed, COUNT(*) AS n_events,
+        |    MAX(epoch_ms(ts)) AS last_ms
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT MAX(epoch_ms(ts)) AS global_ms FROM events)
+        |SELECT feed, n_events, last_ms,
+        |  g.global_ms - last_ms AS lag_ms,
+        |  g.global_ms - last_ms > 1800000 AS stale
+        |FROM per CROSS JOIN g
+        |ORDER BY feed""".stripMargin,
     "q_events_robust_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, DATE_TRUNC('day', ts) AS day,

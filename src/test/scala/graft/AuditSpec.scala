@@ -120,4 +120,21 @@ class AuditSpec extends SparkSpec {
     val (zSpike, aSpike) = out(day(9))
     assert(zSpike.isDefined && aSpike && zSpike.get > (3L << 20))
   }
+
+  test("freshness: lag vs high-water mark exact, stale flag at threshold") {
+    val ev = Seq(
+      ("a", "2024-01-02 00:00:00"), ("a", "2024-01-02 01:00:00"),
+      ("b", "2024-01-01 23:00:00"), // 2h behind → stale at 1h
+      ("c", "2024-01-02 00:30:01")  // 29m59s behind → fresh at 30m
+    ).toDF("event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Audit.freshness(ev, col("event_type"),
+        maxLagMs = 1800000L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(3), r.getBoolean(4))).toList
+    assert(out === List(
+      ("a", 2L, 0L, false),
+      ("b", 1L, 7200000L, true),
+      ("c", 1L, 1799000L, false)))
+  }
 }

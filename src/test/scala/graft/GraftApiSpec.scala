@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 189,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 189")
-    assert(SparkEntry.oracleSql.size == 177,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 177")
+    assert(SparkEntry.queries.size == 191,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 191")
+    assert(SparkEntry.oracleSql.size == 179,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 179")
   }
 
   test("doc surface composes end to end") {

@@ -136,4 +136,27 @@ class MultimodalSpec extends SparkSpec {
       Set((1L, 2L), (1L, 5L), (2L, 5L)))
     assert(banded.forall(_._3 == 0))
   }
+
+  test("modalityMix: per-source counts partition the decoded docs, shares sum to ~1e6") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"doc body number $i with payload", if (i <= 25) "web"
+       else "books")).toDF("doc_id", "text", "source")
+    val out = Multimodal.modalityMix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(4)))
+    // counts partition each source's decoded docs exactly
+    assert(out.filter(_._1 == "web").map(_._3).sum == 25L)
+    assert(out.filter(_._1 == "books").map(_._3).sum == 15L)
+    // ppm shares sum to 1e6 up to one floor unit per modality row
+    Seq("web", "books").foreach { src =>
+      val rows = out.filter(_._1 == src)
+      val tot = rows.map(_._4).sum
+      assert(tot <= 1000000L && tot > 1000000L - rows.length,
+        s"$src shares=$tot")
+    }
+    // deterministic: same input, same mix
+    assert(Multimodal.modalityMix(docs).collect().toSeq ==
+      Multimodal.modalityMix(docs).collect().toSeq)
+  }
 }

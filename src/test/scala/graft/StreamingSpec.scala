@@ -583,4 +583,49 @@ class StreamingSpec extends SparkSpec {
       assert(reports.toSeq == Seq(3, 3))
     } finally sq.stop()
   }
+
+  test("rate limit: per-key window cap, state across batches, == batch replay") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.RateLimit
+    val in = MemoryStream[RateLimit.Event]
+    val q = RateLimit.rateLimit(in.toDS(), capacity = 2,
+      windowMs = 10000L)
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    val t0 = 1_000_000_000L // away from the initial 0 watermark
+    try {
+      // window w: user 1 sends 3 → third rejected; user 2 fine
+      in.addData(
+        RateLimit.Event(1L, t0 + 1000L, 1.0),
+        RateLimit.Event(1L, t0 + 2000L, 2.0),
+        RateLimit.Event(1L, t0 + 3000L, 3.0),
+        RateLimit.Event(2L, t0 + 5000L, 4.0))
+      q.processAllAvailable()
+      // same window, next micro-batch: the used=2 state carries, so
+      // user 1's 4th row is rejected too; next window re-admits
+      in.addData(
+        RateLimit.Event(1L, t0 + 4000L, 5.0),
+        RateLimit.Event(1L, t0 + 12000L, 6.0))
+      q.processAllAvailable()
+      val out = spark.table("rate_out").as[RateLimit.Decision]
+        .collect().sortBy(d => (d.user_id, d.ts)).toList
+      assert(out.map(d => (d.user_id, d.ts - t0, d.admitted)) == List(
+        (1L, 1000L, true), (1L, 2000L, true), (1L, 3000L, false),
+        (1L, 4000L, false), (1L, 12000L, true),
+        (2L, 5000L, true)))
+      // batch replay of the SAME in-order feed decides identically
+      import spark.implicits._
+      val batchIn = Seq(
+        (1L, t0 + 1000L, 1.0), (1L, t0 + 2000L, 2.0),
+        (1L, t0 + 3000L, 3.0), (1L, t0 + 4000L, 5.0),
+        (1L, t0 + 12000L, 6.0), (2L, t0 + 5000L, 4.0)
+      ).toDF("user_id", "ts", "value")
+      val b = RateLimit.rateLimitBatch(batchIn, capacity = 2,
+          windowMs = 10000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1) - t0,
+          r.getBoolean(3))).sortBy(t => (t._1, t._2)).toList
+      assert(b == out.map(d => (d.user_id, d.ts - t0, d.admitted)))
+    } finally q.stop()
+  }
 }
