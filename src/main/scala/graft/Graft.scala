@@ -657,6 +657,9 @@ object Graft {
     ): DataFrame = ops.Layout.clusterByZOrder(df, cols, bits, numPartitions)
     def rangeBoundaries(colName: String, nRanges: Int): DataFrame =
       ops.Layout.rangeBoundaries(df, colName, nRanges)
+    /** Data-skipping audit: this frame as per-file stats vs `preds`. */
+    def pruneAudit(preds: DataFrame): DataFrame =
+      ops.Layout.pruneAudit(df, preds)
     def keySkewProfile(
         keyCol: String,
         topN: Int = 20,

@@ -251,4 +251,38 @@ object Layout {
       .orderBy(col("cnt").desc, col("key"))
       .limit(topN)
   }
+
+  /** Data-skipping (partition-prune) audit — the number that justifies
+    * a re-clustering: given per-file column statistics
+    * `(layout, file_id, min_v, max_v, n_rows)` and a set of range
+    * predicates `(pred_id, p_lo, p_hi)`, count for each
+    * (layout, predicate) how many files a min/max-pruning scanner
+    * must open (`[min_v, max_v] ∩ [p_lo, p_hi] ≠ ∅` — the parquet
+    * row-group / Delta file-stats skipping rule) and how many rows
+    * those files hold. `skip_ppm` is the exact fraction of files
+    * skipped: the same query against an insertion-ordered layout vs
+    * a range-clustered one is the before/after of
+    * [[rangeBoundaries]]/[[clusterByZOrder]], measured instead of
+    * asserted.
+    *
+    * Shape at scale: operates on the FILE-STATS frame (catalog-sized,
+    * like [[compactionPlan]]), cross-joined with the
+    * #predicates-row broadcast — rows never participate. Building
+    * the stats frame is one groupBy(file) min/max/count.
+    */
+  def pruneAudit(fileStats: DataFrame, preds: DataFrame): DataFrame = {
+    val hit = col("max_v") >= col("p_lo") && col("min_v") <= col("p_hi")
+    fileStats.crossJoin(broadcast(preds))
+      .groupBy(col("layout"), col("pred_id"), col("p_lo"),
+        col("p_hi"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("total_rows"),
+        count(when(hit, lit(1))).as("files_scanned"),
+        sum(when(hit, col("n_rows")).otherwise(lit(0L)))
+          .as("rows_scanned"))
+      .withColumn("skip_ppm",
+        expr("(n_files - files_scanned) * 1000000 div n_files"))
+      .orderBy(col("layout"), col("pred_id"))
+  }
 }

@@ -27,6 +27,38 @@ object LayoutQueries {
         // sort leaves tie rows in engine-dependent positions
         .orderBy(col("z_value"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"))),
+    // data-skipping audit: the SAME range predicates against
+    // insertion-ordered vs range-clustered file layouts of orders —
+    // min/max pruning measured (files/rows scanned, exact skip ppm),
+    // the before/after number that justifies clustering
+    "q_layout_prune_audit" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val ins = o
+        .groupBy(expr("o_orderkey div 512").as("file_id"))
+        .agg(min(col("o_totalprice")).as("min_v"),
+          max(col("o_totalprice")).as("max_v"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit("insertion"))
+      val bounds = Layout.rangeBoundaries(o, "o_totalprice", 64)
+      val clustered = o
+        .crossJoin(broadcast(bounds))
+        .filter(col("upper_bound") >= col("o_totalprice"))
+        .groupBy(col("o_orderkey"), col("o_totalprice"))
+        .agg(min(col("range_id")).as("file_id"))
+        .groupBy(col("file_id"))
+        .agg(min(col("o_totalprice")).as("min_v"),
+          max(col("o_totalprice")).as("max_v"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit("range_clustered"))
+      val preds = Seq(
+        (1, 100000.0, 120000.0),
+        (2, 0.0, 100000.0),
+        (3, 400000.0, 600000.0)
+      ).toDF("pred_id", "p_lo", "p_hi")
+      Layout.pruneAudit(ins.unionByName(clustered), preds)
+    }),
     // exact range-partition boundaries (16 balanced ranges of orders
     // by o_totalprice) computed from the value histogram — the
     // reproducible form of repartitionByRange's sampled planning
@@ -86,6 +118,60 @@ object LayoutQueries {
     // (cum-cnt, cum] bounds exactly the ranges whose ceil targets
     // fall inside it (DuckDB's generate_series yields an empty list
     // when lo > hi, matching the Spark side's hi >= lo filter)
+    "q_layout_prune_audit" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders),
+        |a AS (
+        |  SELECT o_orderkey // 512 AS file_id,
+        |    MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v,
+        |    COUNT(*) AS n_rows
+        |  FROM o GROUP BY 1),
+        |hist AS (
+        |  SELECT o_totalprice AS value, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |cum AS (
+        |  SELECT value, cnt, SUM(cnt) OVER (ORDER BY value) AS cum,
+        |         SUM(cnt) OVER () AS n_rows
+        |  FROM hist),
+        |bounds AS (
+        |  SELECT CAST(UNNEST(generate_series(
+        |           CAST((cum - cnt) * 64 // n_rows + 1 AS BIGINT),
+        |           CAST(cum * 64 // n_rows AS BIGINT))) AS INTEGER)
+        |         AS range_id,
+        |         value AS upper_bound
+        |  FROM cum),
+        |asg AS (
+        |  SELECT o.o_orderkey, o.o_totalprice,
+        |    MIN(b.range_id) AS file_id
+        |  FROM o JOIN bounds b ON b.upper_bound >= o.o_totalprice
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT file_id, MIN(o_totalprice) AS min_v,
+        |    MAX(o_totalprice) AS max_v, COUNT(*) AS n_rows
+        |  FROM asg GROUP BY 1),
+        |fs AS (
+        |  SELECT 'insertion' AS layout, file_id, min_v, max_v, n_rows
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'range_clustered', file_id, min_v, max_v, n_rows
+        |  FROM c),
+        |p AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 100000.0, 120000.0),
+        |    (2, 0.0, 100000.0),
+        |    (3, 400000.0, 600000.0)) AS t(pred_id, p_lo, p_hi))
+        |SELECT layout, pred_id, p_lo, p_hi,
+        |  COUNT(*) AS n_files,
+        |  CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |  COUNT(*) FILTER (max_v >= p_lo AND min_v <= p_hi)
+        |    AS files_scanned,
+        |  CAST(SUM(CASE WHEN max_v >= p_lo AND min_v <= p_hi
+        |    THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  (COUNT(*) - COUNT(*) FILTER (max_v >= p_lo
+        |    AND min_v <= p_hi)) * 1000000 // COUNT(*) AS skip_ppm
+        |FROM fs CROSS JOIN p
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY layout, pred_id""".stripMargin,
     "q_layout_range_bounds" ->
       """WITH hist AS (
         |  SELECT o_totalprice AS value, COUNT(*) AS cnt

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 191,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 191")
-    assert(SparkEntry.oracleSql.size == 179,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 179")
+    assert(SparkEntry.queries.size == 192,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 192")
+    assert(SparkEntry.oracleSql.size == 180,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 180")
   }
 
   test("doc surface composes end to end") {
@@ -265,7 +265,8 @@ class GraftApiSpec extends SparkSpec {
       "clusterByZOrder" -> "clusteredByZOrder",
       "rangeBoundaries" -> "rangeBoundaries",
       "keySkewProfile" -> "keySkewProfile",
-      "compactionPlan" -> "compactionPlan")
+      "compactionPlan" -> "compactionPlan",
+      "pruneAudit" -> "pruneAudit")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector) ++

@@ -169,4 +169,27 @@ class LayoutSpec extends SparkSpec {
       assert(r.getAs[Long]("tot") <= 2000L || r.getAs[Long]("n") == 1L)
     }
   }
+
+  test("pruneAudit: interval-overlap scan rule, exact skip ppm per layout") {
+    import spark.implicits._
+    // clustered: tight disjoint ranges; scattered: every file spans all
+    val stats = Seq(
+      ("tight", 1L, 0.0, 9.0, 100L), ("tight", 2L, 10.0, 19.0, 100L),
+      ("tight", 3L, 20.0, 29.0, 100L), ("tight", 4L, 30.0, 39.0, 100L),
+      ("wide", 1L, 0.0, 39.0, 200L), ("wide", 2L, 0.0, 39.0, 200L)
+    ).toDF("layout", "file_id", "min_v", "max_v", "n_rows")
+    val preds = Seq((1, 12.0, 18.0), (2, 9.0, 20.0))
+      .toDF("pred_id", "p_lo", "p_hi")
+    val out = Layout.pruneAudit(stats, preds).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(4),
+        r.getLong(6), r.getLong(7), r.getLong(8))).toList
+    assert(out === List(
+      // pred 1 [12,18]: tight hits only file 2 → skip 750000 ppm
+      ("tight", 1, 4L, 1L, 100L, 750000L),
+      // pred 2 [9,20]: boundary-inclusive — files 1 (max=9), 2, 3
+      // (min=20) all intersect
+      ("tight", 2, 4L, 3L, 300L, 250000L),
+      ("wide", 1, 2L, 2L, 400L, 0L),
+      ("wide", 2, 2L, 2L, 400L, 0L)))
+  }
 }
