@@ -150,6 +150,31 @@ object CdcQueries {
     // SCD2: full versioned history of the same tombstone-aware dim
     // feed — every I/U opens a version, the next change (or a delete)
     // closes it; `valid_to IS NULL` marks the current version
+    // incremental view maintenance: stored (key, sum, count) view +
+    // synthesized I/U/D delta == the oracle's full recompute of the
+    // post-delta state — maintenance ≡ recompute, hash-checked
+    "q_cdc_view_maintenance" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("key"),
+        col("o_totalprice").as("v"), col("o_orderkey"))
+      val base = o.filter(expr("o_orderkey % 10 != 0"))
+      val baseAgg = base.groupBy(col("key"))
+        .agg(sum(col("v").cast("decimal(18,4)")).as("sum_v"),
+          count(lit(1)).as("n_rows"))
+      val inserts = o.filter(expr("o_orderkey % 10 = 0"))
+        .select(col("key"), lit("I").as("op"), col("v"),
+          lit(null).cast("double").as("old_v"))
+      val updates = base.filter(expr("o_orderkey % 7 = 3"))
+        .select(col("key"), lit("U").as("op"),
+          (col("v") + 10.0).as("v"), col("v").as("old_v"))
+      val deletes = base
+        .filter(expr("o_orderkey % 7 != 3 and o_orderkey % 13 = 5"))
+        .select(col("key"), lit("D").as("op"), col("v"),
+          lit(null).cast("double").as("old_v"))
+      Cdc.maintainSumCount(baseAgg,
+          inserts.unionByName(updates).unionByName(deletes))
+        .orderBy(col("key"))
+    }),
     "q_cdc_scd2" -> ((s, d) => {
       val envD = Cdc.normalizeOpsWithDeletes(parsedEnv(s, d))
       val dims = Cdc.routeMatching(envD, routing(s), "dim")
@@ -212,6 +237,24 @@ object CdcQueries {
         |    ROW_NUMBER() OVER (PARTITION BY uid ORDER BY id DESC) AS rn
         |  FROM m WHERE src_table = 't2')
         |WHERE rn = 1 AND op <> 'D' ORDER BY uid""".stripMargin,
+    "q_cdc_view_maintenance" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS key, o_totalprice AS v,
+        |    o_orderkey
+        |  FROM orders),
+        |fin AS (
+        |  SELECT key, v + 10 AS v FROM o
+        |  WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT key, v FROM o
+        |  WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 3
+        |    AND o_orderkey % 13 <> 5
+        |  UNION ALL
+        |  SELECT key, v FROM o WHERE o_orderkey % 10 = 0)
+        |SELECT key, COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_v
+        |FROM fin GROUP BY key ORDER BY key""".stripMargin,
     "q_cdc_scd2" ->
       """WITH m AS (
         |  SELECT 't'||(user_id % 3) AS src_table,

@@ -98,4 +98,20 @@ class CdcSpec extends SparkSpec {
     // no version row for deletes, and a deleted key has no current row
     assert(!out.exists { case (k, _, _, _, cur) => k == "k1" && cur })
   }
+
+  test("maintainSumCount: I/U/D adjustments, new group appears, emptied group drops") {
+    // base view: a = (2 rows, 30.0), b = (1 row, 5.0)
+    val base = Seq(("a", 30.0, 2L), ("b", 5.0, 1L))
+      .toDF("key", "sum_v", "n_rows")
+    val delta = Seq(
+      ("a", "I", 10.0, None),         // a: +10, +1
+      ("a", "U", 12.0, Some(20.0)),   // a: 20 → 12, count unchanged
+      ("b", "D", 5.0, None),          // b emptied → dropped
+      ("c", "I", 7.5, None)           // new group appears
+    ).toDF("key", "op", "v", "old_v")
+    val out = Cdc.maintainSumCount(base, delta).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toList
+    assert(out === List(("a", 3L, 32.0), ("c", 1L, 7.5)))
+  }
 }
