@@ -176,6 +176,37 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** MERGE-INTO semantics for a keyed snapshot — the row-level
+    * sibling of [[maintainSumCount]] (that one maintains an
+    * AGGREGATE; this one maintains the TABLE): apply a CDC delta
+    * batch to a unique-keyed base snapshot, producing the post-delta
+    * snapshot. Within the batch the LAST op per key wins (`order` —
+    * CDC offsets/ids — must be unique per key, the
+    * [[lastWriteWinsAgg]] contract, so U-then-D nets to absent and
+    * D-then-I nets to the re-inserted row); keys untouched by the
+    * delta pass through by anti-join.
+    *
+    * `delta` carries the base's payload columns plus `op` and the
+    * order column. Cost shape: one delta-keyed compaction + one
+    * base-vs-(compacted delta keys) anti-join on the snapshot key —
+    * the join the storage layer (Delta/Iceberg MERGE, the HBase
+    * upsert K5 models) executes; nothing rescans more than the base
+    * once.
+    */
+  def applySnapshot(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      order: Column
+  ): DataFrame = {
+    val last = lastWriteWinsAgg(delta, keys.map(col), order)
+    val survivors = base.join(
+      last.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = last.filter(col("op") =!= "D")
+      .select(base.columns.map(col).toSeq: _*)
+    survivors.unionByName(upserts)
+  }
+
   /** Incremental materialized-view maintenance for SUM/COUNT
     * aggregates — the operation that lets a 100 TB warehouse serve an
     * up-to-date aggregate WITHOUT rescanning the fact: given the

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -150,6 +150,42 @@ object CdcQueries {
     // SCD2: full versioned history of the same tombstone-aware dim
     // feed — every I/U opens a version, the next change (or a delete)
     // closes it; `valid_to IS NULL` marks the current version
+    // MERGE INTO: base snapshot + I/U/D delta (incl. U-then-D and
+    // D-then-I sequences) == the oracle's recomputed post-delta
+    // state, row for row
+    "q_cdc_merge_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("val"))
+      val base = o.filter(expr("k % 10 != 0"))
+      def delta(cond: String, op: String, v: Column, seq: Int) =
+        o.filter(expr(cond)).select(col("k"), col("prio"),
+          v.as("val"), lit(op).as("op"), lit(seq).as("seq"))
+      val inB = "k % 10 != 0"
+      val changes =
+        delta("k % 10 = 0", "I", col("val"), 1)
+          .unionByName(delta(s"$inB and k % 7 = 3", "U",
+            col("val") + 10.0, 1))
+          .unionByName(delta(
+            s"$inB and k % 7 != 3 and k % 13 = 5", "D", col("val"), 1))
+          // U then D in one batch → net delete
+          .unionByName(delta(
+            s"$inB and k % 7 != 3 and k % 13 != 5 and k % 17 = 2",
+            "U", col("val") + 99.0, 1))
+          .unionByName(delta(
+            s"$inB and k % 7 != 3 and k % 13 != 5 and k % 17 = 2",
+            "D", col("val"), 2))
+          // D then I in one batch → net re-insert with new value
+          .unionByName(delta(
+            s"$inB and k % 7 != 3 and k % 13 != 5 and k % 17 != 2 " +
+              "and k % 19 = 3", "D", col("val"), 1))
+          .unionByName(delta(
+            s"$inB and k % 7 != 3 and k % 13 != 5 and k % 17 != 2 " +
+              "and k % 19 = 3", "I", col("val") + 7.0, 2))
+      Cdc.applySnapshot(base, changes, Seq("k"), col("seq"))
+        .orderBy(col("k"))
+    }),
     // incremental view maintenance: stored (key, sum, count) view +
     // synthesized I/U/D delta == the oracle's full recompute of the
     // post-delta state — maintenance ≡ recompute, hash-checked
@@ -237,6 +273,24 @@ object CdcQueries {
         |    ROW_NUMBER() OVER (PARTITION BY uid ORDER BY id DESC) AS rn
         |  FROM m WHERE src_table = 't2')
         |WHERE rn = 1 AND op <> 'D' ORDER BY uid""".stripMargin,
+    "q_cdc_merge_apply" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    o_totalprice AS val
+        |  FROM orders)
+        |SELECT k, prio, val FROM o
+        |WHERE k % 10 <> 0 AND k % 7 <> 3 AND k % 13 <> 5
+        |  AND k % 17 <> 2 AND k % 19 <> 3
+        |UNION ALL
+        |SELECT k, prio, val FROM o WHERE k % 10 = 0
+        |UNION ALL
+        |SELECT k, prio, val + 10 AS val FROM o
+        |WHERE k % 10 <> 0 AND k % 7 = 3
+        |UNION ALL
+        |SELECT k, prio, val + 7 AS val FROM o
+        |WHERE k % 10 <> 0 AND k % 7 <> 3 AND k % 13 <> 5
+        |  AND k % 17 <> 2 AND k % 19 = 3
+        |ORDER BY k""".stripMargin,
     "q_cdc_view_maintenance" ->
       """WITH o AS (
         |  SELECT o_orderpriority AS key, o_totalprice AS v,

@@ -114,4 +114,19 @@ class CdcSpec extends SparkSpec {
       .sortBy(_._1).toList
     assert(out === List(("a", 3L, 32.0), ("c", 1L, 7.5)))
   }
+
+  test("applySnapshot: last op per key wins — U-then-D deletes, D-then-I reinstates") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "payload")
+    val delta = Seq(
+      (2L, "b2", "U", 1), (2L, "b2", "D", 2),   // net delete
+      (3L, "c", "D", 1), (3L, "c9", "I", 2),    // net reinstate
+      (4L, "d5", "U", 1),                       // plain update
+      (5L, "e", "I", 1)                         // plain insert
+    ).toDF("k", "payload", "op", "seq")
+    val out = Cdc.applySnapshot(base, delta, Seq("k"), col("seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toList
+    assert(out === List((1L, "a"), (3L, "c9"), (4L, "d5"), (5L, "e")))
+  }
 }

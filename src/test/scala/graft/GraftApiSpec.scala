@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 193,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 193")
-    assert(SparkEntry.oracleSql.size == 181,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 181")
+    assert(SparkEntry.queries.size == 194,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 194")
+    assert(SparkEntry.oracleSql.size == 182,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 182")
   }
 
   test("doc surface composes end to end") {
