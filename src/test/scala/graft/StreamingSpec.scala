@@ -628,4 +628,53 @@ class StreamingSpec extends SparkSpec {
       assert(b == out.map(d => (d.user_id, d.ts - t0, d.admitted)))
     } finally q.stop()
   }
+
+  test("materialized view maintained across micro-batches == recompute; parquet store matches memory store") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.MaterializedViewPipeline
+    import graft.streaming.MaterializedViewPipeline.{MemoryViewStore, ParquetViewStore}
+    val in = MemoryStream[(String, String, Double, Option[Double])]
+    val mem = new MemoryViewStore(spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-mv-ckpt").toString
+    val q = MaterializedViewPipeline.start(
+      in.toDF().toDF("key", "op", "v", "old_v"), mem, ckpt)
+    def viewOf(s: MaterializedViewPipeline.ViewStore) =
+      s.view.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toList
+    try {
+      in.addData(("a", "I", 10.0, None), ("a", "I", 20.0, None),
+        ("b", "I", 5.0, None))
+      q.processAllAvailable()
+      assert(viewOf(mem) == List(("a", 2L, 30.0), ("b", 1L, 5.0)))
+      // batch 2: update against the STORED view state, plus a delete
+      in.addData(("a", "U", 25.0, Some(20.0)), ("b", "D", 5.0, None),
+        ("c", "I", 1.5, None))
+      q.processAllAvailable()
+      assert(viewOf(mem) ==
+        List(("a", 2L, 35.0), ("c", 1L, 1.5)))
+      // batch 3: empty a entirely
+      in.addData(("a", "D", 10.0, None), ("a", "D", 25.0, None))
+      q.processAllAvailable()
+      assert(viewOf(mem) == List(("c", 1L, 1.5)))
+    } finally q.stop()
+    // the distributed store replays the same deltas to the same view
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mv-store").toString
+    val pq = new ParquetViewStore(spark, dir)
+    import spark.implicits._
+    Seq(
+      Seq(("a", "I", 10.0, None), ("a", "I", 20.0, None),
+        ("b", "I", 5.0, None)),
+      Seq(("a", "U", 25.0, Some(20.0)), ("b", "D", 5.0, None),
+        ("c", "I", 1.5, None)),
+      Seq(("a", "D", 10.0, Option.empty[Double]),
+        ("a", "D", 25.0, None))
+    ).foreach { batch =>
+      MaterializedViewPipeline.processBatch(
+        batch.toDF("key", "op", "v", "old_v"), pq)
+    }
+    assert(viewOf(pq) == List(("c", 1L, 1.5)))
+  }
 }
