@@ -606,6 +606,9 @@ object Graft {
       */
     def modularityAssigned(k: Int): DataFrame =
       ops.Vector.modularityAssigned(embs, k)
+    /** Nearest-centroid margin audit of the `label` clustering. */
+    def centroidMarginAudit: DataFrame =
+      ops.Vector.centroidMarginAudit(embs)
     /** kNN graph via the fitted coarse quantizer. */
     def knnGraph(model: KMeansModel, k: Int): DataFrame =
       ops.Vector.knnGraph(embs, model, k)

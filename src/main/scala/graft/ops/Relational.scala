@@ -704,6 +704,47 @@ object Relational {
       .orderBy(col("metric"))
   }
 
+  /** Rolling active users — the DAU/WAU/MAU board every event
+    * warehouse serves: for every calendar day in the data's span
+    * (a `sequence()` spine, so event-free days report zeros instead
+    * of vanishing), the exact distinct-user counts over the trailing
+    * 1/7/28-day windows plus the DAU/MAU "stickiness" ratio in ppm.
+    *
+    * Shape at scale: events reduce to day-grain `distinct(day,
+    * user)` FIRST (the cohortRetention discipline — the only
+    * corpus-sized shuffle, map-side combined); the spine join then
+    * fans each active user-day out to ≤ 28 spine days, so the
+    * window aggregation is 28× the user-day table, never the event
+    * count — and COUNT(DISTINCT) runs per spine day over that
+    * bounded frame.
+    */
+  def rollingActiveUsers(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val spine = ud
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)"))
+        .as("day"))
+    spine.as("s")
+      .join(ud.as("u"),
+        datediff(col("s.day"), col("u.day")).between(0, 27),
+        "left")
+      .groupBy(col("s.day").as("day"))
+      .agg(
+        countDistinct(when(
+          datediff(col("s.day"), col("u.day")) === 0,
+          col("u.user_id"))).as("dau"),
+        countDistinct(when(
+          datediff(col("s.day"), col("u.day")) <= 6,
+          col("u.user_id"))).as("wau"),
+        countDistinct(col("u.user_id")).as("mau"))
+      .withColumn("stickiness_ppm",
+        when(col("mau") > 0, expr("dau * 1000000 div mau"))
+          .otherwise(lit(0L)))
+      .orderBy(col("day"))
+  }
+
   /** Two-phase salted aggregation — the standard hot-key mitigation
     * when one group key dominates (AQE skew-join covers joins; skewed
     * groupBy needs this): phase 1 aggregates on (key, salt) spreading

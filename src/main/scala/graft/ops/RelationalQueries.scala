@@ -122,6 +122,9 @@ object RelationalQueries {
     // exact epoch-ms integers, (value, user) total order
     "q_events_funnel_time" -> ((s, d) =>
       funnelLatency(Tables.events(s, d))),
+    // calendar-spine DAU/WAU/MAU with exact ppm stickiness
+    "q_events_rolling_active" -> ((s, d) =>
+      rollingActiveUsers(Tables.events(s, d))),
     "q_date_funcs" -> ((s, d) => dateFuncs(Tables.orders(s, d))),
     // the operator returns real arrays; the registered check projects
     // them to CSV (fixed-point cents) because the driver's comparator
@@ -431,6 +434,29 @@ object RelationalQueries {
         |  CAST(SIGN(n - prev_n) AS BIGINT)
         |    * ((ABS(n - prev_n) * 1000000) // prev_n) AS delta_ppm
         |FROM l ORDER BY event_type, day""".stripMargin,
+    "q_events_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+        |spine AS (
+        |  SELECT CAST(UNNEST(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (
+        |  SELECT s.day, u.user_id,
+        |    date_diff('day', u.day, s.day) AS dd
+        |  FROM spine s LEFT JOIN ud u
+        |    ON date_diff('day', u.day, s.day) BETWEEN 0 AND 27)
+        |SELECT day,
+        |  COUNT(DISTINCT user_id) FILTER (dd = 0) AS dau,
+        |  COUNT(DISTINCT user_id) FILTER (dd <= 6) AS wau,
+        |  COUNT(DISTINCT user_id) AS mau,
+        |  CASE WHEN COUNT(DISTINCT user_id) > 0
+        |    THEN COUNT(DISTINCT user_id) FILTER (dd = 0)
+        |      * 1000000 // COUNT(DISTINCT user_id)
+        |    ELSE 0 END AS stickiness_ppm
+        |FROM j GROUP BY day ORDER BY day""".stripMargin,
     "q_events_freshness" ->
       """WITH per AS (
         |  SELECT event_type AS feed, COUNT(*) AS n_events,

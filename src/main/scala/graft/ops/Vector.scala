@@ -2337,6 +2337,73 @@ object Vector {
       .limit(k)
   }
 
+  /** Nearest-centroid margin audit — the geometric clustering-quality
+    * check beside [[modularityAssigned]]'s topological one (modularity
+    * grades the partition against the GRAPH; this grades it against
+    * the SPACE): per label, how many member vectors score closer to a
+    * DIFFERENT label's centroid than their own, and the mean score
+    * margin. The silhouette idea, integer-exact: vector-to-centroid
+    * affinity is `s_c = (Σ_j ⌊x_j·2¹⁶⌋ · sumq16_cj) div n_c` — the
+    * exact-q16 mean-dot of [[labelCentroids]]' skeleton (units
+    * ≈ 2³² × mean dot; margins compare within one vector, so the
+    * common scale cancels) — and `margin = s_own − max_other s_c`.
+    * Negative margin = the vector sits in another cluster's field:
+    * a mislabel, a boundary point, or a collapsing centroid.
+    *
+    * Shape at scale: centroids are an L×d integer table (broadcast);
+    * scoring is one broadcast join + map-side combine grouped per
+    * (vector, candidate label) — L·d work per vector, nothing
+    * pairwise. Overflow bound (documented, pcaMomentsQ16
+    * convention): per-dim products reach n_c·2³², so
+    * d·n_c·2³² < 2⁶³ holds to ~10⁸ vectors per label at d = 64;
+    * beyond that lift the products to DECIMAL(38,0).
+    *
+    * Output per label: `(label, members, n_misassigned,
+    * misassigned_ppm, mean_margin)`.
+    */
+  def centroidMarginAudit(embeddings: DataFrame): DataFrame = {
+    val cent = labelCentroids(embeddings)
+      .select(col("label").as("c_label"), col("pos"),
+        col("sum_q16"), col("n_vecs").as("c_n"))
+    val scores = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xq16",
+        floor(col("x").cast("double") * 65536).cast("long"))
+      .join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(sum(col("xq16") * col("sum_q16")).as("num"),
+        max(col("c_n")).as("c_n"))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        // num goes negative (components do); floor-divide via the
+        // positive-remainder identity so truncating `div` (Spark)
+        // and flooring `//` (oracle) see an exactly-divisible
+        // numerator and agree
+        expr("(num - ((num % c_n) + c_n) % c_n) div c_n").as("s"))
+    val margins = scores
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("c_label") === col("label"), col("s"))).as("own"),
+        max(when(col("c_label") =!= col("label"), col("s")))
+          .as("best_other"))
+      .select(col("label"),
+        (col("own") - col("best_other")).as("margin"))
+    margins.groupBy(col("label"))
+      .agg(count(lit(1)).as("members"),
+        count(when(col("margin") < 0, lit(1))).as("n_misassigned"),
+        sum(col("margin")).as("sum_margin"))
+      .select(col("label"), col("members"), col("n_misassigned"),
+        expr("n_misassigned * 1000000 div members")
+          .as("misassigned_ppm"),
+        // margins can be negative and div truncates toward zero, so
+        // floor-divide in pure integer arithmetic: subtract the
+        // positive remainder ((a % n) + n) % n first — identical in
+        // both engines, no doubles involved
+        expr("(sum_margin - ((sum_margin % members) + members) " +
+          "% members) div members").as("mean_margin"))
+      .orderBy(col("label"))
+  }
+
   /** Newman modularity of a community assignment, evaluated on the
     * within-list kNN graph — the clustering-quality audit that closes
     * the graph family: PageRank/label-prop PRODUCE structure,

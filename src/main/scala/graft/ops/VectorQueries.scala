@@ -242,6 +242,11 @@ object VectorQueries {
           .withColumn("list_id", col("label") % 4)
           .withColumn("community", col("label")),
         k = 3)),
+    // geometric twin of the modularity audit: per label, members
+    // scoring closer to a foreign centroid (exact-q16 mean-dot,
+    // floor-division identity on the negative path)
+    "q_vec_centroid_margin" -> ((s, d) =>
+      Vector.centroidMarginAudit(Tables.embeddings(s, d))),
     // binary-quantized retrieval: sign-packed 32-bit words + Hamming
     // top-k — exact integers end to end
     "q_vec_binary_topk" -> ((s, d) =>
@@ -583,6 +588,40 @@ object VectorQueries {
         |SELECT vec_id, 0 AS label, dot / (norm_a * norm_b) AS cos_sim
         |FROM dots WHERE norm_a > 0 AND norm_b > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vec_centroid_margin" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT)
+        |      AS pos,
+        |    CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 65536)
+        |      AS BIGINT) AS xq16
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, pos,
+        |    CAST(SUM(xq16) AS BIGINT) AS sum_q16,
+        |    COUNT(*) AS c_n
+        |  FROM ex GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT vec_id, label, c_label,
+        |    (num - ((num % c_n) + c_n) % c_n) // c_n AS s
+        |  FROM (
+        |    SELECT e.vec_id, e.label, c.c_label,
+        |      CAST(SUM(e.xq16 * c.sum_q16) AS BIGINT) AS num,
+        |      MAX(c.c_n) AS c_n
+        |    FROM ex e JOIN cent c USING (pos)
+        |    GROUP BY 1, 2, 3)),
+        |m AS (
+        |  SELECT vec_id, label,
+        |    MAX(CASE WHEN c_label = label THEN s END)
+        |      - MAX(CASE WHEN c_label <> label THEN s END) AS margin
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT label, COUNT(*) AS members,
+        |  COUNT(*) FILTER (margin < 0) AS n_misassigned,
+        |  COUNT(*) FILTER (margin < 0) * 1000000 // COUNT(*)
+        |    AS misassigned_ppm,
+        |  (SUM(margin) - ((SUM(margin) % COUNT(*)) + COUNT(*))
+        |    % COUNT(*)) // COUNT(*) AS mean_margin
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "q_vec_label_centroid" ->
       """SELECT label, pos,
         |  CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT))

@@ -202,4 +202,21 @@ class AnalyticSpec extends SparkSpec {
       ("purchase_ms", 2L, 20000L, 20000L, 120000L),
       ("total_ms", 2L, 30000L, 30000L, 180000L)))
   }
+
+  test("rollingActiveUsers: calendar spine keeps empty days; windows and stickiness exact") {
+    // users 1,2 on Jan 1; user 1 on Jan 3; Jan 2 has no events but
+    // must still report (spine), with dau=0 and trailing actives
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-03 09:00:00")
+    ).toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Relational.rollingActiveUsers(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(out === List(
+      ("2024-01-01", 2L, 2L, 2L, 1000000L),
+      ("2024-01-02", 0L, 2L, 2L, 0L),
+      ("2024-01-03", 1L, 2L, 2L, 500000L)))
+  }
 }

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 194,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 194")
-    assert(SparkEntry.oracleSql.size == 182,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 182")
+    assert(SparkEntry.queries.size == 196,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 196")
+    assert(SparkEntry.oracleSql.size == 184,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 184")
   }
 
   test("doc surface composes end to end") {
@@ -210,6 +210,7 @@ class GraftApiSpec extends SparkSpec {
       "classifierScore" -> "classifierScored",
       "knnGraphAssigned" -> "knnGraphAssigned",
       "modularityAssigned" -> "modularityAssigned",
+      "centroidMarginAudit" -> "centroidMarginAudit",
       "knnGraph" -> "knnGraph",
       "densityPrune" -> "densityPruned",
       "hardNegativesAssigned" -> "hardNegatives",

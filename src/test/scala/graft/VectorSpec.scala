@@ -1174,4 +1174,25 @@ class VectorSpec extends SparkSpec {
     val scores = out.map(_.getAs[Long]("score_q20"))
     assert(scores.sameElements(scores.sorted.reverse))
   }
+
+  test("centroidMarginAudit: separated clusters all positive; planted mislabel flagged") {
+    import spark.implicits._
+    // cluster 0 near +x, cluster 1 near +y; vec 99 sits in cluster
+    // 1's field but carries label 0 → the one misassignment
+    val embs = Seq(
+      (1L, Array(1.0f, 0.1f), 0), (2L, Array(0.9f, 0.0f), 0),
+      (3L, Array(1.0f, -0.1f), 0),
+      (11L, Array(0.1f, 1.0f), 1), (12L, Array(0.0f, 0.9f), 1),
+      (13L, Array(-0.1f, 1.0f), 1),
+      (99L, Array(0.05f, 0.95f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Vec.centroidMarginAudit(embs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).toList
+    val l0 = out.find(_._1 == 0).get
+    val l1 = out.find(_._1 == 1).get
+    assert(l0._2 == 4L && l0._3 == 1L, s"l0=$l0") // 99 misassigned
+    assert(l1._2 == 3L && l1._3 == 0L, s"l1=$l1")
+    assert(l1._4 > 0, s"separated cluster mean margin: ${l1._4}")
+  }
 }
