@@ -280,6 +280,9 @@ object Graft {
     /** Corpus-derived stopword list with cumulative mass coverage. */
     def stopwordsDiscovered(minDfPpm: Long): DataFrame =
       ops.Text.stopwordDiscovery(docs, minDfPpm)
+    /** Near-dup threshold tuning curve (pairs per jaccard decile). */
+    def dedupThresholdCurve(baseThreshold: Double = 0.5): DataFrame =
+      ops.Text.dedupThresholdCurve(docs, baseThreshold)
     /** BM25 integer postings skeleton for a literal query. */
     def bm25Postings(queryTokens: Seq[String]): DataFrame =
       ops.Text.bm25Postings(docs, queryTokens)

@@ -259,6 +259,50 @@ object Affinity {
       .orderBy(col("rank"))
   }
 
+  /** Gini coefficient of per-key activity — the single-number
+    * concentration audit beside [[skewAdvisor]]'s head profile (the
+    * advisor names the heavy keys; Gini says how unequal the WHOLE
+    * distribution is, 0 = uniform, →1 = one key owns everything):
+    * `G = (2·Σᵢ i·xᵢ − (n+1)·T) / (n·T)` over the counts sorted
+    * ascending, reported in floor-ppm.
+    *
+    * The rank-weighted sum never sorts the keys: counts compress to
+    * the (distinct count value → frequency) table first, and a block
+    * of `f` keys sharing count `ct` after `c` predecessors
+    * contributes `ct·(f·c + f·(f+1)/2)` — the whole Σᵢ i·xᵢ falls
+    * out of one cumulative window over that compressed table (the
+    * [[skewAdvisor]] median discipline). Overflow bound (documented,
+    * pcaMomentsQ16 convention): block terms reach ct·n², so
+    * max_ct·n² < 2⁶³ — holds to ~10⁹ keys at typical activity; the
+    * final ratio is evaluated in double from exact long inputs
+    * (identical IEEE expression in both engines).
+    */
+  def giniConcentration(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("ct"))
+    val freq = counts.groupBy(col("ct")).agg(count(lit(1)).as("f"))
+    // c = keys strictly before this block in (ct asc) order
+    val c = sum(col("f")).over(Window.orderBy(col("ct"))
+      .rowsBetween(Window.unboundedPreceding, -1))
+    freq
+      .withColumn("cum_before", coalesce(c, lit(0L)))
+      .select(
+        col("ct"), col("f"), col("cum_before"),
+        expr("ct * (f * cum_before + f * (f + 1) div 2)")
+          .as("block_ix"),
+        (col("ct") * col("f")).as("block_t"))
+      .agg(
+        sum(col("f")).as("n_keys"),
+        sum(col("block_t")).as("total"),
+        sum(col("block_ix")).as("sum_ix"))
+      .withColumn("gini_ppm",
+        floor((lit(2.0) * col("sum_ix").cast("double") -
+          (col("n_keys") + 1L).cast("double") *
+            col("total").cast("double")) /
+          (col("n_keys").cast("double") * col("total").cast("double"))
+          * 1000000.0).cast("long"))
+  }
+
   /** Pointwise mutual information between event types over the user
     * population — [[basketLift]]'s information-theoretic twin on the
     * behavioral axis (lift asks "how much more often than chance do

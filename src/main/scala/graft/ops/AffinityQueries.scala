@@ -39,7 +39,13 @@ object AffinityQueries {
         topK = 5)),
     // event-type PMI over user-day co-occurrence units, q20 ln terms
     "q_events_pmi" -> ((s, d) =>
-      Affinity.eventPmi(Tables.events(s, d)))
+      Affinity.eventPmi(Tables.events(s, d))),
+    // Gini concentration of per-user event activity
+    "q_events_gini" -> ((s, d) =>
+      Affinity.giniConcentration(Tables.events(s, d), col("user_id"))),
+    // RFM quintile segmentation of the customer base
+    "q_rfm_segments" -> ((s, d) =>
+      Relational.rfmSegments(Tables.orders(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -80,6 +86,58 @@ object AffinityQueries {
         |  c.ct * 1000000 // s.src_total AS p_ppm
         |FROM c JOIN s USING (src)
         |ORDER BY src, dst""".stripMargin,
+    "q_events_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS ct FROM events GROUP BY 1),
+        |fr AS (SELECT ct, COUNT(*) AS f FROM c GROUP BY 1),
+        |cb AS (
+        |  SELECT ct, f,
+        |    COALESCE(SUM(f) OVER (ORDER BY ct
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM fr),
+        |b AS (
+        |  SELECT ct, f, cum_before,
+        |    ct * (f * cum_before + f * (f + 1) // 2) AS block_ix,
+        |    ct * f AS block_t
+        |  FROM cb)
+        |SELECT CAST(SUM(f) AS BIGINT) AS n_keys,
+        |  CAST(SUM(block_t) AS BIGINT) AS total,
+        |  CAST(SUM(block_ix) AS BIGINT) AS sum_ix,
+        |  CAST(FLOOR((2.0 * CAST(SUM(block_ix) AS DOUBLE)
+        |      - CAST(SUM(f) + 1 AS DOUBLE)
+        |        * CAST(SUM(block_t) AS DOUBLE))
+        |    / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(block_t) AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS gini_ppm
+        |FROM b""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey,
+        |    MAX(o_orderdate) AS last_order, COUNT(*) AS frequency,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      AS VARCHAR) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |snap AS (SELECT MAX(o_orderdate) AS snap_day FROM orders),
+        |sc AS (
+        |  SELECT p.custkey, p.last_order, p.frequency, p.monetary,
+        |    CAST(date_diff('day', last_order, snap_day) AS BIGINT)
+        |      AS recency_days
+        |  FROM per p CROSS JOIN snap),
+        |r AS (
+        |  SELECT *, COUNT(*) OVER () AS n_c,
+        |    ROW_NUMBER() OVER (ORDER BY recency_days DESC, custkey)
+        |      AS rn_r,
+        |    ROW_NUMBER() OVER (ORDER BY frequency, custkey) AS rn_f,
+        |    ROW_NUMBER() OVER (ORDER BY monetary, custkey) AS rn_m
+        |  FROM sc)
+        |SELECT custkey, recency_days, frequency, monetary,
+        |  (5 * (rn_r - 1)) // n_c + 1 AS r_score,
+        |  (5 * (rn_f - 1)) // n_c + 1 AS f_score,
+        |  (5 * (rn_m - 1)) // n_c + 1 AS m_score,
+        |  ((5 * (rn_r - 1)) // n_c + 1) * 100
+        |    + ((5 * (rn_f - 1)) // n_c + 1) * 10
+        |    + ((5 * (rn_m - 1)) // n_c + 1) AS segment
+        |FROM r ORDER BY custkey""".stripMargin,
     "q_events_pmi" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type

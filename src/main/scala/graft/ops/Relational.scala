@@ -704,6 +704,53 @@ object Relational {
       .orderBy(col("metric"))
   }
 
+  /** RFM customer segmentation — the classic marketing-warehouse
+    * table (recency / frequency / monetary quintile scores per
+    * customer, segment code `r·100 + f·10 + m`): recency = days
+    * behind the snapshot's newest order, frequency = order count,
+    * monetary = exact-decimal spend. Quintiles are exact rank cuts
+    * (`(5·(rank−1)) div n + 1` over a (metric, custkey) total
+    * order — the q_text_curriculum deterministic-cut convention;
+    * rank ascends toward "better", so score 5 = best on every
+    * axis).
+    *
+    * One aggregation to #customers rows, then three rank windows
+    * over that frame — the [[topOrdersPerCustomer]] window-cost
+    * class, on the aggregate (not the fact). Output is
+    * per-customer; at 100 TB the same frame feeds a segment-level
+    * rollup.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    val snap = orders.agg(max(col("o_orderdate")).as("snap_day"))
+    val scored = per.crossJoin(broadcast(snap))
+      .withColumn("recency_days",
+        datediff(col("snap_day"), col("last_order")).cast("long"))
+    scored
+      // better = later in rank order on each axis; n rides a
+      // count-over-all window on the SAME single-partition frame the
+      // rank windows already use (no eager driver count)
+      .withColumn("n_c", count(lit(1)).over(
+        Window.partitionBy()))
+      .withColumn("rn_r", row_number().over(
+        Window.orderBy(col("recency_days").desc, col("custkey"))))
+      .withColumn("rn_f", row_number().over(
+        Window.orderBy(col("frequency"), col("custkey"))))
+      .withColumn("rn_m", row_number().over(
+        Window.orderBy(col("monetary"), col("custkey"))))
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        expr("(5 * (rn_r - 1)) div n_c + 1").as("r_score"),
+        expr("(5 * (rn_f - 1)) div n_c + 1").as("f_score"),
+        expr("(5 * (rn_m - 1)) div n_c + 1").as("m_score"))
+      .withColumn("segment",
+        expr("r_score * 100 + f_score * 10 + m_score"))
+      .orderBy(col("custkey"))
+  }
+
   /** Rolling active users — the DAU/WAU/MAU board every event
     * warehouse serves: for every calendar day in the data's span
     * (a `sequence()` spine, so event-free days report zeros instead

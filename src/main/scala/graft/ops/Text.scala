@@ -881,6 +881,31 @@ object Text {
     jaccardPairsOverOrdered(
       graft.Caches.track("text", orderedShingles(docs)), threshold)
 
+  /** Near-dup threshold tuning curve — what a dedup owner looks at
+    * BEFORE picking the Jaccard cutoff: the pair count per similarity
+    * decile at-or-above `baseThreshold`, with the cumulative
+    * pairs-removed-if-cut-here column (descending cumsum). Decile =
+    * ⌊jaccard·10⌋ on the exact inter/union double, so the bucketing
+    * is engine-identical. Costs one [[jaccardExactPairs]] pass at the
+    * LOWEST threshold under consideration (candidates are complete
+    * down to `baseThreshold` by the prefix-filter guarantee); the
+    * curve itself is a ≤6-row aggregation + window.
+    */
+  def dedupThresholdCurve(
+      docs: DataFrame, baseThreshold: Double = 0.5): DataFrame =
+    jaccardExactPairs(docs, baseThreshold)
+      .withColumn("bucket", floor(col("jaccard") * 10).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pairs_at_or_above",
+        sum(col("n_pairs")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bucket").desc)
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)))
+      .orderBy(col("bucket"))
+
   /** [[jaccardExactPairs]] over a prebuilt (ideally persisted)
     * [[orderedShingles]] table — the form a session computing several
     * pair predicates should call, so the shingle/sort shuffles

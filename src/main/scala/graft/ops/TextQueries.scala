@@ -196,6 +196,10 @@ object TextQueries {
     // proves the pruning drops nothing on real data
     "q_text_jaccard_exact" -> ((s, d) =>
       jacPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+    // threshold-tuning curve: pair counts per jaccard decile >= 0.5
+    // with descending cumulative removal counts
+    "q_text_dedup_curve" -> ((s, d) =>
+      Text.dedupThresholdCurve(Tables.documents(s, d), 0.5)),
     // asymmetric containment (|A∩B|/|A|): catches fragment-in-page
     // inclusion that Jaccard's union denominator hides
     "q_text_containment" -> ((s, d) =>
@@ -793,6 +797,17 @@ object TextQueries {
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_text_dedup_curve" ->
+      s"""WITH $jacPairsSql,
+         |bk AS (
+         |  SELECT CAST(FLOOR(jaccard * 10) AS INT) AS bucket
+         |  FROM jac WHERE jaccard >= 0.5),
+         |g AS (SELECT bucket, COUNT(*) AS n_pairs FROM bk GROUP BY 1)
+         |SELECT bucket, n_pairs,
+         |  SUM(n_pairs) OVER (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS pairs_at_or_above
+         |FROM g ORDER BY bucket""".stripMargin,
     // same candidate skeleton, asymmetric predicate: every ordered
     // pair sharing a shingle, kept when inter/|A| clears the gate
     "q_text_containment" ->

@@ -143,6 +143,22 @@ class AffinitySpec extends SparkSpec {
     assert(!out.exists(t => t._1 == "a" && t._2 == "c"))
   }
 
+  test("giniConcentration: uniform near 0, concentrated high, hand value exact") {
+    // uniform: 4 keys × 2 rows → G = 0
+    val uni = (1L to 4L).flatMap(k => Seq(k, k)).toDF("k")
+    val g0 = graft.ops.Affinity.giniConcentration(uni, col("k"))
+      .head
+    assert(g0.getAs[Long]("n_keys") == 4L &&
+      g0.getAs[Long]("gini_ppm") == 0L)
+    // counts (1,1,6): sorted Σi·x = 1+2+18 = 21, T = 8, n = 3 →
+    // G = (42 − 4·8)/(3·8) = 10/24 → 416666 ppm floored
+    val skewed = (Seq(1L, 2L) ++ Seq.fill(6)(3L)).toDF("k")
+    val g1 = graft.ops.Affinity.giniConcentration(skewed, col("k"))
+      .head
+    assert(g1.getAs[Long]("sum_ix") == 21L)
+    assert(g1.getAs[Long]("gini_ppm") == 416666L)
+  }
+
   test("modularityAssigned: perfect split scores high Q, mixed split near zero") {
     // 6 vertices, two triangles {1,2,3} and {4,5,6}: m = 6
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),

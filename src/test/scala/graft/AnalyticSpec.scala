@@ -203,6 +203,26 @@ class AnalyticSpec extends SparkSpec {
       ("total_ms", 2L, 30000L, 30000L, 180000L)))
   }
 
+  test("rfmSegments: quintile cuts exact, best customer scores 555") {
+    // 5 customers with strictly increasing recency/frequency/spend
+    // alignment: customer 5 newest + most orders + biggest spend
+    val rows = (1 to 5).flatMap { c =>
+      (1 to c).map(i => (c.toLong, s"2024-01-0$c", 100.0 * c,
+        c * 100L + i))
+    }
+    val orders = rows.toDF("o_custkey", "d", "o_totalprice",
+        "o_orderkey")
+      .withColumn("o_orderdate", to_date(col("d"))).drop("d")
+    val out = Relational.rfmSegments(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7))).toList
+    // n=5 → quintile = rank itself; cust 5 is rank 5 on every axis
+    assert(out === List(
+      (1L, 1L, 1L, 1L, 111L), (2L, 2L, 2L, 2L, 222L),
+      (3L, 3L, 3L, 3L, 333L), (4L, 4L, 4L, 4L, 444L),
+      (5L, 5L, 5L, 5L, 555L)))
+  }
+
   test("rollingActiveUsers: calendar spine keeps empty days; windows and stickiness exact") {
     // users 1,2 on Jan 1; user 1 on Jan 3; Jan 2 has no events but
     // must still report (spine), with dau=0 and trailing actives

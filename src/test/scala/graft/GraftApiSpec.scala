@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 196,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 196")
-    assert(SparkEntry.oracleSql.size == 184,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 184")
+    assert(SparkEntry.queries.size == 199,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 199")
+    assert(SparkEntry.oracleSql.size == 187,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 187")
   }
 
   test("doc surface composes end to end") {
@@ -152,6 +152,7 @@ class GraftApiSpec extends SparkSpec {
       "contamination" -> "contaminationAgainst",
       "docFrequency" -> "docFrequency",
       "stopwordDiscovery" -> "stopwordsDiscovered",
+      "dedupThresholdCurve" -> "dedupThresholdCurve",
       "rollingFingerprint" -> "rollingFingerprinted",
       "winnowFingerprint" -> "winnowFingerprinted",
       "simhashes" -> "simhashed",

@@ -1593,6 +1593,19 @@ class TextSpec extends SparkSpec {
     assert(quals.sameElements(quals.sorted.reverse))
   }
 
+  test("dedupThresholdCurve: decile buckets and descending cumulative removal") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // vs 2: shingles {abc,bcd,cde} ∩
+      (2L, "a b c d x"),      //   {abc,bcd,cdx} → j = 2/4 = 0.5
+      (3L, "p q r s t"),
+      (4L, "p q r s t")       // j = 1.0 with 3
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Text.dedupThresholdCurve(docs, 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(out === List((5, 1L, 2L), (10, 1L, 1L)))
+  }
+
   test("stopwordDiscovery: df-ratio gate, cumulative mass in (df desc, token) order") {
     // 'the' in 4/4 docs (8 of 14 tokens), 'cat' in 2/4, 'rare' in 1/4
     val docs = Seq(
