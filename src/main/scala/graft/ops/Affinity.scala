@@ -259,6 +259,47 @@ object Affinity {
       .orderBy(col("rank"))
   }
 
+  /** Session-path mining — the "how do users actually move" table
+    * behind funnel design (funnels test a HYPOTHESIZED order; path
+    * mining reports the observed ones): per user-day session, the
+    * path string of the first `maxLen` event types in (ts, event_id)
+    * order, reduced to the top-`topK` paths with counts and an
+    * exact ppm share of all sessions, plus whether the path
+    * converts (contains a purchase).
+    *
+    * Determinism: events collect per session as (ts, event_id, type)
+    * structs and `array_sort` orders them totally before the path
+    * string is built — collect order never matters. Shape at scale:
+    * one shuffle on the session key (map-side combine on the
+    * collect), sessions-sized frame after; the head is
+    * orderBy+limit = TakeOrdered. Per-session array is capped by
+    * the session's own event count; `maxLen` truncation bounds the
+    * path string.
+    */
+  def eventPaths(events: DataFrame, maxLen: Int = 5,
+      topK: Int = 10): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, "maxLen and topK must be >= 1")
+    val paths = events
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        struct(col("ts"), col("event_id"),
+          col("event_type")).as("e"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(
+        array_join(
+          slice(transform(col("es"), e => e("event_type")),
+            1, maxLen), ">").as("path"))
+    val total = paths.agg(count(lit(1)).as("n_sessions"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n * 1000000 div n_sessions"))
+      .withColumn("converts",
+        col("path").contains("purchase"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Gini coefficient of per-key activity — the single-number
     * concentration audit beside [[skewAdvisor]]'s head profile (the
     * advisor names the heavy keys; Gini says how unequal the WHOLE

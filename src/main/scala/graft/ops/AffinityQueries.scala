@@ -45,7 +45,11 @@ object AffinityQueries {
       Affinity.giniConcentration(Tables.events(s, d), col("user_id"))),
     // RFM quintile segmentation of the customer base
     "q_rfm_segments" -> ((s, d) =>
-      Relational.rfmSegments(Tables.orders(s, d)))
+      Relational.rfmSegments(Tables.orders(s, d))),
+    // observed user-day paths (first 5 events, total order), top-10
+    // with exact ppm share and conversion flag
+    "q_events_paths" -> ((s, d) =>
+      Affinity.eventPaths(Tables.events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -86,6 +90,20 @@ object AffinityQueries {
         |  c.ct * 1000000 // s.src_total AS p_ppm
         |FROM c JOIN s USING (src)
         |ORDER BY src, dst""".stripMargin,
+    "q_events_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    array_to_string(
+        |      list(event_type ORDER BY ts, event_id)[1:5], '>')
+        |      AS path
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT COUNT(*) AS n_sessions FROM s),
+        |g AS (SELECT path, COUNT(*) AS n FROM s GROUP BY 1)
+        |SELECT path, n, t.n_sessions,
+        |  n * 1000000 // t.n_sessions AS share_ppm,
+        |  contains(path, 'purchase') AS converts
+        |FROM g CROSS JOIN t
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "q_events_gini" ->
       """WITH c AS (
         |  SELECT user_id, COUNT(*) AS ct FROM events GROUP BY 1),

@@ -34,6 +34,37 @@ object Export {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Export integrity manifest — the artifact that travels WITH a
+    * training-data delivery so the consumer can verify it without
+    * trusting the pipe: per partition value, the row count, payload
+    * byte volume, and an order-independent content checksum
+    * (commutative sum of a per-row 60-bit MD5 integer, reduced mod
+    * 1e9+7 per row so the BIGINT sum is exact in both engines —
+    * documented bound n < 9·10⁹ rows/partition; the md5-integer
+    * convention is [[Multimodal.md5_60]]'s, bit-identical across
+    * engines). A re-read export whose manifest reproduces is intact
+    * row-for-row regardless of file order — which is exactly what a
+    * parallel 100 TB copy scrambles.
+    *
+    * One scan + one groupBy(partition) with map-side combine.
+    */
+  def manifest(
+      df: DataFrame,
+      partition: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column
+  ): DataFrame =
+    df.select(partition.as("part"), id.as("__id"),
+        payload.as("__pay"))
+      .select(col("part"), length(col("__pay")).as("len"),
+        expr("conv(substr(md5(concat(__id, ':', __pay)), 1, 15), " +
+          "16, 10)").cast("long").as("h"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("len").cast("long")).as("payload_bytes"),
+        sum(col("h") % 1000000007L).as("checksum"))
+      .orderBy(col("part"))
+
   /** Read a partitioned export back; `filterLang` demonstrates that
     * the partition predicate prunes directories (PartitionFilters in
     * the scan, zero rows read from other langs).

@@ -27,6 +27,11 @@ object LayoutQueries {
         // sort leaves tie rows in engine-dependent positions
         .orderBy(col("z_value"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"))),
+    // export-integrity manifest over the lang-partitioned delivery:
+    // counts, byte volume, order-independent md5-int checksum
+    "q_export_manifest" -> ((s, d) =>
+      Export.manifest(Tables.documents(s, d), col("lang"),
+        col("doc_id"), col("text"))),
     // data-skipping audit: the SAME range predicates against
     // insertion-ordered vs range-clustered file layouts of orders —
     // min/max pruning measured (files/rows scanned, exact skip ppm),
@@ -118,6 +123,14 @@ object LayoutQueries {
     // (cum-cnt, cum] bounds exactly the ranges whose ceil targets
     // fall inside it (DuckDB's generate_series yields an empty list
     // when lo > hi, matching the Spark side's hi >= lo filter)
+    "q_export_manifest" ->
+      """SELECT lang AS part, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT)
+        |    AS payload_bytes,
+        |  CAST(SUM(CAST(('0x' || substr(md5(doc_id || ':' || text),
+        |    1, 15)) AS BIGINT) % 1000000007) AS BIGINT) AS checksum
+        |FROM documents
+        |GROUP BY lang ORDER BY part""".stripMargin,
     "q_layout_prune_audit" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_totalprice FROM orders),

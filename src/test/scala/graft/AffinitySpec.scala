@@ -143,6 +143,34 @@ class AffinitySpec extends SparkSpec {
     assert(!out.exists(t => t._1 == "a" && t._2 == "c"))
   }
 
+  test("eventPaths: total-order paths, maxLen truncation, shares exact") {
+    val ev = Seq(
+      // user 1 day 1: v > c > p (same-ts tie broken by event_id)
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:00:00", 1L, "click"),
+      (3L, "2024-01-01 11:00:00", 1L, "purchase"),
+      // user 2 day 1: v > c — no purchase
+      (4L, "2024-01-01 09:00:00", 2L, "view"),
+      (5L, "2024-01-01 09:30:00", 2L, "click"),
+      // user 1 day 2: 7 views → truncated to 5
+      (6L, "2024-01-02 01:00:00", 1L, "view"),
+      (7L, "2024-01-02 02:00:00", 1L, "view"),
+      (8L, "2024-01-02 03:00:00", 1L, "view"),
+      (9L, "2024-01-02 04:00:00", 1L, "view"),
+      (10L, "2024-01-02 05:00:00", 1L, "view"),
+      (11L, "2024-01-02 06:00:00", 1L, "view"),
+      (12L, "2024-01-02 07:00:00", 1L, "view")
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Affinity.eventPaths(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getBoolean(4))).toList
+    assert(out.toSet === Set(
+      ("view>click>purchase", 1L, 333333L, true),
+      ("view>click", 1L, 333333L, false),
+      ("view>view>view>view>view", 1L, 333333L, false)))
+  }
+
   test("giniConcentration: uniform near 0, concentrated high, hand value exact") {
     // uniform: 4 keys × 2 rows → G = 0
     val uni = (1L to 4L).flatMap(k => Seq(k, k)).toDF("k")

@@ -41,4 +41,27 @@ class ExportSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") &&
       plan.contains(s"lang"))
   }
+
+  test("manifest: order-independent checksum; any row change moves it") {
+    import spark.implicits._
+    val a = Seq((1L, "en", "alpha"), (2L, "en", "beta"),
+      (3L, "fr", "gamma")).toDF("doc_id", "lang", "text")
+    val shuffled = Seq((3L, "fr", "gamma"), (2L, "en", "beta"),
+      (1L, "en", "alpha")).toDF("doc_id", "lang", "text")
+      .repartition(3)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Export.manifest(df, col("lang"), col("doc_id"), col("text"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toList
+    val base = m(a)
+    assert(base == m(shuffled)) // row/partition order never matters
+    assert(base.map(_._1) == List("en", "fr"))
+    assert(base.head._2 == 2L && base.head._3 == 9L) // alpha+beta
+    // a single-character payload change moves that partition's sum
+    val tampered = Seq((1L, "en", "alphA"), (2L, "en", "beta"),
+      (3L, "fr", "gamma")).toDF("doc_id", "lang", "text")
+    val t = m(tampered)
+    assert(t.head._4 != base.head._4)
+    assert(t(1)._4 == base(1)._4) // untouched partition unchanged
+  }
 }
