@@ -248,6 +248,38 @@ object Audit {
         col("dev"), col("mad"), col("z_q20"), col("anomaly"))
   }
 
+  /** One-pass column profile — the "what is actually in this table"
+    * report run before writing assertions ([[assertionReport]]
+    * checks EXPECTATIONS; this DISCOVERS them): per listed column,
+    * null count, exact distinct count, and min/max rendered as
+    * strings, all from a single aggregation over one scan, unpivoted
+    * to a row per column.
+    *
+    * The exact distinct counts make this the one Expand-plan member
+    * beside the uniqueness check (documented there): #cols × the
+    * scan feeds the partial aggregation — the price of exactness;
+    * swap approx_count_distinct in at 100 TB when ±2% is
+    * acceptable. Min/max stringification is engine-stable for
+    * integral, string, and date columns — profile doubles through
+    * a decimal cast upstream if they must appear here.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")))
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    df.agg(allAggs.head, allAggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_v, max_v)")
+      .orderBy(col("col_name"))
+  }
+
   /** Feed-freshness audit — the staleness gate run before trusting a
     * multi-feed warehouse snapshot (a feed whose newest row lags the
     * table's high-water mark is late, stuck, or dead upstream): per

@@ -91,6 +91,12 @@ object RelationalQueries {
       lastTouchAttribution(Tables.events(s, d))
         .orderBy(col("event_id"))),
     // robust (median/MAD) volume anomaly twin — masking-resistant
+    // one-pass column profile of orders (nulls/distinct/min/max per
+    // column, engine-stable string rendering)
+    "q_profile_orders" -> ((s, d) =>
+      Audit.columnProfile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate"))),
     // per-feed staleness vs the snapshot high-water mark, exact
     // epoch-ms lags, stale flag at 30 min
     "q_events_freshness" -> ((s, d) =>
@@ -457,6 +463,42 @@ object RelationalQueries {
         |      * 1000000 // COUNT(DISTINCT user_id)
         |    ELSE 0 END AS stickiness_ppm
         |FROM j GROUP BY day ORDER BY day""".stripMargin,
+    "q_profile_orders" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_v,
+        |    COUNT(*) AS n_rows
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS VARCHAR),
+        |    CAST(MAX(o_custkey) AS VARCHAR), COUNT(*)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR),
+        |    CAST(MAX(o_orderstatus) AS VARCHAR), COUNT(*)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |    COUNT(*) - COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    CAST(MIN(o_orderpriority) AS VARCHAR),
+        |    CAST(MAX(o_orderpriority) AS VARCHAR), COUNT(*)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+        |    COUNT(DISTINCT o_orderdate),
+        |    CAST(MIN(o_orderdate) AS VARCHAR),
+        |    CAST(MAX(o_orderdate) AS VARCHAR), COUNT(*)
+        |  FROM orders)
+        |SELECT n_rows, col_name, n_nulls, n_distinct, min_v, max_v
+        |FROM p ORDER BY col_name""".stripMargin,
     "q_events_freshness" ->
       """WITH per AS (
         |  SELECT event_type AS feed, COUNT(*) AS n_events,

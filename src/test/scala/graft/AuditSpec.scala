@@ -121,6 +121,18 @@ class AuditSpec extends SparkSpec {
     assert(zSpike.isDefined && aSpike && zSpike.get > (3L << 20))
   }
 
+  test("columnProfile: nulls, exact distincts, min/max per column from one pass") {
+    val df = Seq(
+      (Some(3L), "b"), (Some(1L), "a"), (None, "a"), (Some(3L), "c")
+    ).toDF("num", "s")
+    val out = Audit.columnProfile(df, Seq("num", "s")).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toList
+    assert(out === List(
+      ("num", 4L, 1L, 2L, "1", "3"),
+      ("s", 4L, 0L, 3L, "a", "c")))
+  }
+
   test("freshness: lag vs high-water mark exact, stale flag at threshold") {
     val ev = Seq(
       ("a", "2024-01-02 00:00:00"), ("a", "2024-01-02 01:00:00"),

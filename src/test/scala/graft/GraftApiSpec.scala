@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 201,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 201")
-    assert(SparkEntry.oracleSql.size == 189,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 189")
+    assert(SparkEntry.queries.size == 202,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 202")
+    assert(SparkEntry.oracleSql.size == 190,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 190")
   }
 
   test("doc surface composes end to end") {
