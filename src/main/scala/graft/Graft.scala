@@ -283,6 +283,9 @@ object Graft {
     /** Near-dup threshold tuning curve (pairs per jaccard decile). */
     def dedupThresholdCurve(baseThreshold: Double = 0.5): DataFrame =
       ops.Text.dedupThresholdCurve(docs, baseThreshold)
+    /** Heaps-law vocabulary-growth curve over doc-rank buckets. */
+    def vocabGrowth(nBuckets: Int = 10): DataFrame =
+      ops.Text.vocabGrowth(docs, nBuckets)
     /** BM25 integer postings skeleton for a literal query. */
     def bm25Postings(queryTokens: Seq[String]): DataFrame =
       ops.Text.bm25Postings(docs, queryTokens)

@@ -704,6 +704,39 @@ object Relational {
       .orderBy(col("metric"))
   }
 
+  /** Customer-cohort lifetime-value curve — the finance table behind
+    * every retention model: customers cohorted by first-order YEAR,
+    * revenue accumulated by order age in years since that first
+    * order; the cumulative column is the LTV curve read across a
+    * cohort row. Exact decimal revenue throughout ([[dsum]]); the
+    * cumulative window runs over the (#cohorts × max-age) aggregated
+    * grid, never orders.
+    *
+    * Same two-shuffle shape as [[cohortRetention]]: per-customer
+    * first-order aggregation, then a many-to-one attribution join on
+    * the already-shuffled customer key into the (cohort, age)
+    * aggregation.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val first = orders.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_order"))
+    orders.join(first, "o_custkey")
+      .select(year(col("first_order")).as("cohort_year"),
+        (year(col("o_orderdate")) - year(col("first_order")))
+          .as("age_years"),
+        col("o_totalprice"))
+      .groupBy(col("cohort_year"), col("age_years"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("cum_revenue",
+        sum(col("revenue").cast("decimal(18,4)")).over(
+          Window.partitionBy(col("cohort_year"))
+            .orderBy(col("age_years"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .orderBy(col("cohort_year"), col("age_years"))
+  }
+
   /** RFM customer segmentation — the classic marketing-warehouse
     * table (recency / frequency / monetary quintile scores per
     * customer, segment code `r·100 + f·10 + m`): recency = days

@@ -131,6 +131,9 @@ object RelationalQueries {
     // calendar-spine DAU/WAU/MAU with exact ppm stickiness
     "q_events_rolling_active" -> ((s, d) =>
       rollingActiveUsers(Tables.events(s, d))),
+    // first-order-year cohorts × order age, exact-decimal LTV curve
+    "q_orders_cohort_ltv" -> ((s, d) =>
+      cohortLtv(Tables.orders(s, d))),
     "q_date_funcs" -> ((s, d) => dateFuncs(Tables.orders(s, d))),
     // the operator returns real arrays; the registered check projects
     // them to CSV (fixed-point cents) because the driver's comparator
@@ -440,6 +443,26 @@ object RelationalQueries {
         |  CAST(SIGN(n - prev_n) AS BIGINT)
         |    * ((ABS(n - prev_n) * 1000000) // prev_n) AS delta_ppm
         |FROM l ORDER BY event_type, day""".stripMargin,
+    "q_orders_cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT o_custkey, MIN(o_orderdate) AS first_order
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(year(f.first_order) AS INT) AS cohort_year,
+        |    CAST(year(o.o_orderdate) - year(f.first_order) AS INT)
+        |      AS age_years,
+        |    o.o_totalprice
+        |  FROM orders o JOIN f USING (o_custkey)),
+        |g AS (
+        |  SELECT cohort_year, age_years, COUNT(*) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_d
+        |  FROM j GROUP BY 1, 2)
+        |SELECT cohort_year, age_years, n_orders,
+        |  CAST(CAST(rev_d AS VARCHAR) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(rev_d) OVER (PARTITION BY cohort_year
+        |    ORDER BY age_years ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS cum_revenue
+        |FROM g ORDER BY cohort_year, age_years""".stripMargin,
     "q_events_rolling_active" ->
       """WITH ud AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id

@@ -589,6 +589,57 @@ object Text {
       .drop("__total")
   }
 
+  /** Heaps-law vocabulary-growth audit — the curve that says whether
+    * more data still buys new words (natural corpora grow vocabulary
+    * ∝ tokensᵝ, β≈0.5; a template farm flattens immediately; OCR
+    * noise never flattens): non-empty docs split into `nBuckets`
+    * equal ranks in doc_id order, and per bucket the token volume
+    * plus the count of tokens whose FIRST occurrence (min doc_id)
+    * falls there — cumulative columns give the (tokens seen, vocab
+    * seen) curve.
+    *
+    * Shape at scale: token first-occurrences are one explode +
+    * min-aggregation (map-side combined); the doc-rank bucket is a
+    * deterministic exact-rank cut over the DOC frame (the
+    * q_text_curriculum convention — a #docs window, not a token
+    * window), and everything after is nBuckets-sized.
+    */
+  def vocabGrowth(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val ne = docs.filter(length(trim(col("text"))) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+    val ranked = ne.select(col("doc_id"), tokens(col("text"))
+        .as("toks"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("bucket",
+        expr(s"((rn - 1) * $nBuckets) div nd"))
+    val perDoc = ranked.select(col("doc_id"), col("bucket"),
+      size(col("toks")).cast("long").as("n_toks"))
+    val firstOcc = ranked
+      .select(col("bucket"), col("doc_id"),
+        explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(min(struct(col("doc_id"), col("bucket"))).as("f"))
+      .groupBy(col("f.bucket").as("bucket"))
+      .agg(count(lit(1)).as("new_vocab"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    perDoc.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks"))
+        .as("n_tokens"))
+      .join(firstOcc, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_vocab"), lit(0L)).as("new_vocab"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wb))
+      .withColumn("cum_vocab", sum(col("new_vocab")).over(wb))
+      .orderBy(col("bucket"))
+  }
+
   /** Corpus-derived stopword discovery — the data-driven replacement
     * for a hand-curated stopword list (quality ratios, BM25 pruning,
     * and shingle filters all consume one): tokens whose document

@@ -173,6 +173,10 @@ object TextQueries {
     "q_text_stopwords" -> ((s, d) =>
       Text.stopwordDiscovery(Tables.documents(s, d),
         minDfPpm = 500000L)),
+    // Heaps-law curve: new-vocabulary per doc-rank decile with
+    // cumulative (tokens, vocab) columns
+    "q_text_vocab_growth" -> ((s, d) =>
+      Text.vocabGrowth(Tables.documents(s, d), nBuckets = 10)),
     // BM25 integer skeleton (tf/dl/df/N/total_len per matching
     // doc-term) — fully hash-compared; the ln(idf) score and top-k
     // live in bm25TopK, pinned bitwise by TextSpec (the doc_freq
@@ -691,6 +695,40 @@ object TextQueries {
          |FROM tok GROUP BY token
          |HAVING COUNT(DISTINCT doc_id) >= 50
          |ORDER BY token""".stripMargin,
+    "q_text_vocab_growth" ->
+      s"""WITH ne AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |r AS (
+         |  SELECT doc_id, toks,
+         |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         |    COUNT(*) OVER () AS nd
+         |  FROM ne),
+         |rb AS (
+         |  SELECT doc_id, toks, ((rn - 1) * 10) // nd AS bucket
+         |  FROM r),
+         |pd AS (
+         |  SELECT bucket, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+         |  FROM rb GROUP BY 1),
+         |fo AS (
+         |  SELECT bucket, COUNT(*) AS new_vocab FROM (
+         |    SELECT token, arg_min(bucket, doc_id) AS bucket
+         |    FROM (SELECT doc_id, bucket, UNNEST(toks) AS token
+         |          FROM rb)
+         |    GROUP BY token)
+         |  GROUP BY bucket)
+         |SELECT p.bucket, p.n_docs, p.n_tokens,
+         |  CAST(COALESCE(fo.new_vocab, 0) AS BIGINT) AS new_vocab,
+         |  SUM(p.n_tokens) OVER (ORDER BY p.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS cum_tokens,
+         |  SUM(CAST(COALESCE(fo.new_vocab, 0) AS BIGINT))
+         |    OVER (ORDER BY p.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS cum_vocab
+         |FROM pd p LEFT JOIN fo USING (bucket)
+         |ORDER BY bucket""".stripMargin,
     "q_text_stopwords" ->
       s"""WITH ne AS (
          |  SELECT * FROM documents WHERE len(trim(text)) > 0),

@@ -203,6 +203,22 @@ class AnalyticSpec extends SparkSpec {
       ("total_ms", 2L, 30000L, 30000L, 180000L)))
   }
 
+  test("cohortLtv: cohort attribution by first order, cumulative exact") {
+    val orders = Seq(
+      (1L, "1994-01-10", 10.0), (1L, "1995-06-01", 20.0),
+      (1L, "1996-02-01", 40.0),
+      (2L, "1995-03-01", 5.0), (2L, "1995-08-01", 7.0)
+    ).toDF("o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("d"))).drop("d")
+    val out = Relational.cohortLtv(orders).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    assert(out === List(
+      (1994, 0, 1L, 10.0, 10.0), (1994, 1, 1L, 20.0, 30.0),
+      (1994, 2, 1L, 40.0, 70.0),
+      (1995, 0, 2L, 12.0, 12.0)))
+  }
+
   test("rfmSegments: quintile cuts exact, best customer scores 555") {
     // 5 customers with strictly increasing recency/frequency/spend
     // alignment: customer 5 newest + most orders + biggest spend

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 202,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 202")
-    assert(SparkEntry.oracleSql.size == 190,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 190")
+    assert(SparkEntry.queries.size == 204,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 204")
+    assert(SparkEntry.oracleSql.size == 192,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 192")
   }
 
   test("doc surface composes end to end") {
@@ -153,6 +153,7 @@ class GraftApiSpec extends SparkSpec {
       "docFrequency" -> "docFrequency",
       "stopwordDiscovery" -> "stopwordsDiscovered",
       "dedupThresholdCurve" -> "dedupThresholdCurve",
+      "vocabGrowth" -> "vocabGrowth",
       "rollingFingerprint" -> "rollingFingerprinted",
       "winnowFingerprint" -> "winnowFingerprinted",
       "simhashes" -> "simhashed",

@@ -1593,6 +1593,21 @@ class TextSpec extends SparkSpec {
     assert(quals.sameElements(quals.sorted.reverse))
   }
 
+  test("vocabGrowth: repetitive tail stops minting vocabulary; cumulative exact") {
+    // 4 docs, 2 buckets: first half introduces all words, second
+    // half repeats them — new_vocab must go to zero
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "alpha gamma"), (4L, "beta delta")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Text.vocabGrowth(docs, nBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    assert(out === List(
+      (0L, 2L, 4L, 4L, 4L, 4L),
+      (1L, 2L, 4L, 0L, 8L, 4L)))
+  }
+
   test("dedupThresholdCurve: decile buckets and descending cumulative removal") {
     val docs = Seq(
       (1L, "a b c d e"),      // vs 2: shingles {abc,bcd,cde} ∩
