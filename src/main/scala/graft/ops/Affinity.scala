@@ -279,16 +279,25 @@ object Affinity {
   def eventPaths(events: DataFrame, maxLen: Int = 5,
       topK: Int = 10): DataFrame = {
     require(maxLen >= 1 && topK >= 1, "maxLen and topK must be >= 1")
+    // rank-filter BEFORE collecting: a power user's monster session
+    // must spill through the window sort, not accumulate a
+    // million-struct array in one aggregation buffer — only maxLen
+    // structs per session ever reach collect_list
+    val w = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts"), col("event_id"))
     val paths = events
       .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxLen)
+      .select(col("user_id"), col("d"),
         struct(col("ts"), col("event_id"),
           col("event_type")).as("e"))
       .groupBy(col("user_id"), col("d"))
       .agg(array_sort(collect_list(col("e"))).as("es"))
       .select(
-        array_join(
-          slice(transform(col("es"), e => e("event_type")),
-            1, maxLen), ">").as("path"))
+        array_join(transform(col("es"), e => e("event_type")), ">")
+          .as("path"))
     val total = paths.agg(count(lit(1)).as("n_sessions"))
     paths.groupBy(col("path"))
       .agg(count(lit(1)).as("n"))

@@ -265,6 +265,10 @@ object Audit {
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
+    // names are spliced into a stack() expression — restrict to
+    // plain identifiers so a dotted/quoted name can't mis-parse
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"columnProfile needs plain identifier column names, got '$c'"))
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
       countDistinct(col(c)).as(s"${c}__nd"),

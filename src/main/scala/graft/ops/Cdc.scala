@@ -238,9 +238,14 @@ object Cdc {
     val dec = (c: Column) => c.cast("decimal(18,4)")
     val d = delta
       .select(col("key"),
+        // unknown ops FAIL the job rather than silently skew the
+        // view (a null adjustment would vanish inside sum())
         when(col("op") === "I", dec(col("v")))
           .when(col("op") === "D", -dec(col("v")))
-          .otherwise(dec(col("v")) - dec(col("old_v"))).as("dv"),
+          .when(col("op") === "U", dec(col("v")) - dec(col("old_v")))
+          .otherwise(raise_error(concat(lit("maintainSumCount: " +
+            "unknown op "), col("op"))).cast("decimal(18,4)"))
+          .as("dv"),
         when(col("op") === "I", lit(1L))
           .when(col("op") === "D", lit(-1L))
           .otherwise(lit(0L)).as("dn"))

@@ -115,6 +115,19 @@ class CdcSpec extends SparkSpec {
     assert(out === List(("a", 3L, 32.0), ("c", 1L, 7.5)))
   }
 
+  test("maintainSumCount: unknown delta op fails loudly, never skews silently") {
+    val base = Seq(("a", 10.0, 1L)).toDF("key", "sum_v", "n_rows")
+    val bad = Seq(("a", "X", 5.0, Option.empty[Double]))
+      .toDF("key", "op", "v", "old_v")
+    val ex = intercept[Exception] {
+      Cdc.maintainSumCount(base, bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("unknown op")))
+  }
+
   test("applySnapshot: last op per key wins — U-then-D deletes, D-then-I reinstates") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
       .toDF("k", "payload")

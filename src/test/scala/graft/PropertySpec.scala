@@ -686,4 +686,43 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("incremental view maintenance == recompute for random I/U/D feeds") {
+    // ops applied in sequence per key against an initially-empty
+    // view; U always carries the current value, D the stored one
+    val opsGen = Gen.listOf(Gen.zip(Gen.choose(0, 3), // key space
+      Gen.choose(1, 99))) // payload cents
+    forAll(opsGen, n = 12) { events =>
+      // replay driver-side to build a CONSISTENT delta + final state
+      val state = scala.collection.mutable.Map[Int, Double]()
+      val delta = scala.collection.mutable.ListBuffer[
+        (String, String, Double, Option[Double])]()
+      events.foreach { case (k, cents) =>
+        val v = cents / 4.0
+        state.get(k) match {
+          case None =>
+            state(k) = v
+            delta += ((s"k$k", "I", v, None))
+          case Some(old) if cents % 3 == 0 =>
+            state.remove(k)
+            delta += ((s"k$k", "D", old, None))
+          case Some(old) =>
+            state(k) = v
+            delta += ((s"k$k", "U", v, Some(old)))
+        }
+      }
+      if (delta.nonEmpty) {
+        val base = Seq.empty[(String, Double, Long)]
+          .toDF("key", "sum_v", "n_rows")
+        val out = Cdc.maintainSumCount(base,
+            delta.toSeq.toDF("key", "op", "v", "old_v"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+          .toMap
+        val expected = state.map { case (k, v) => s"k$k" -> (1L, v) }
+        assert(out == expected.toMap,
+          s"delta=$delta out=$out expected=$expected")
+      }
+    }
+  }
 }
