@@ -259,6 +259,55 @@ object Affinity {
       .orderBy(col("rank"))
   }
 
+  /** Two-proportion A/B conversion test — the experimentation
+    * readout: users split into arms by a deterministic hash of the
+    * user key (`assign` column precomputed by the caller — here any
+    * boolean), conversion = at least one `convEvent`; emits per-arm
+    * exact counts and ppm rates, the rate difference, and the pooled
+    * two-proportion z statistic in milli (computed in
+    * identical-IEEE doubles from the exact counts — the gini
+    * convention; all decisions downstream should re-derive
+    * significance from the exact counts, which is why they are the
+    * payload and z is a convenience).
+    *
+    * One distinct(user, converted?) aggregation (map-side combined)
+    * then arithmetic over a 2-row frame.
+    */
+  def abConversionLift(events: DataFrame, assignB: Column,
+      convEvent: String, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === convEvent, 1L)
+        .otherwise(0L)) >= minCount, 1L).otherwise(0L).as("conv"))
+      .withColumn("arm", when(assignB, lit("B")).otherwise(lit("A")))
+    // one conditional aggregation — an arms-then-filter fork would
+    // recompute the per-user pass once per arm
+    perUser.agg(
+        count(when(col("arm") === "A", lit(1))).as("n_a"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(lit(0L)))
+          .as("conv_a"),
+        count(when(col("arm") === "B", lit(1))).as("n_b"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(lit(0L)))
+          .as("conv_b"))
+      .withColumn("rate_a_ppm", expr("conv_a * 1000000 div n_a"))
+      .withColumn("rate_b_ppm", expr("conv_b * 1000000 div n_b"))
+      .withColumn("diff_ppm", col("rate_b_ppm") - col("rate_a_ppm"))
+      .withColumn("z_milli",
+        floor(
+          (col("conv_b").cast("double") / col("n_b").cast("double") -
+            col("conv_a").cast("double") / col("n_a").cast("double"))
+          / sqrt(
+            ((col("conv_a") + col("conv_b")).cast("double") /
+              (col("n_a") + col("n_b")).cast("double")) *
+            (lit(1.0) -
+              (col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")) *
+            (lit(1.0) / col("n_a").cast("double") +
+              lit(1.0) / col("n_b").cast("double")))
+          * 1000.0).cast("long"))
+  }
+
   /** Session-path mining — the "how do users actually move" table
     * behind funnel design (funnels test a HYPOTHESIZED order; path
     * mining reports the observed ones): per user-day session, the

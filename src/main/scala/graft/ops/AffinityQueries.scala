@@ -49,7 +49,15 @@ object AffinityQueries {
     // observed user-day paths (first 5 events, total order), top-10
     // with exact ppm share and conversion flag
     "q_events_paths" -> ((s, d) =>
-      Affinity.eventPaths(Tables.events(s, d)))
+      Affinity.eventPaths(Tables.events(s, d))),
+    // two-proportion A/B readout: arms by user parity, conversion =
+    // >= 14 purchases; exact counts + IEEE z in milli
+    "q_events_ab_lift" -> ((s, d) =>
+      Affinity.abConversionLift(Tables.events(s, d),
+        col("user_id") % 2 === 1, "purchase", minCount = 14L)),
+    // weekday seasonal baseline + per-day deviation in exact milli
+    "q_events_dow_baseline" -> ((s, d) =>
+      Audit.dowBaseline(Tables.events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -90,6 +98,57 @@ object AffinityQueries {
         |  c.ct * 1000000 // s.src_total AS p_ppm
         |FROM c JOIN s USING (src)
         |ORDER BY src, dst""".stripMargin,
+    "q_events_ab_lift" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN COUNT(*) FILTER (event_type = 'purchase') >= 14
+        |      THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN user_id % 2 = 1 THEN 'B' ELSE 'A' END AS arm
+        |  FROM events GROUP BY user_id),
+        |ar AS (
+        |  SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+        |  FROM pu GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    (SELECT n FROM ar WHERE arm = 'A') AS n_a,
+        |    (SELECT c FROM ar WHERE arm = 'A') AS conv_a,
+        |    (SELECT n FROM ar WHERE arm = 'B') AS n_b,
+        |    (SELECT c FROM ar WHERE arm = 'B') AS conv_b)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  conv_a * 1000000 // n_a AS rate_a_ppm,
+        |  conv_b * 1000000 // n_b AS rate_b_ppm,
+        |  conv_b * 1000000 // n_b - conv_a * 1000000 // n_a
+        |    AS diff_ppm,
+        |  CAST(FLOOR(
+        |    (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |    / sqrt(
+        |      (CAST(conv_a + conv_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |          / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE)
+        |        + 1.0 / CAST(n_b AS DOUBLE)))
+        |    * 1000.0) AS BIGINT) AS z_milli
+        |FROM w""".stripMargin,
+    "q_events_dow_baseline" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type, day, n,
+        |    CAST(isodow(day) - 1 AS INT) AS dow
+        |  FROM daily),
+        |base AS (
+        |  SELECT event_type, dow, CAST(SUM(n) AS BIGINT)
+        |    AS total_dow, COUNT(*) AS n_days_dow
+        |  FROM dd GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.dow, d.n,
+        |  b.total_dow * 1000 // b.n_days_dow AS expected_milli,
+        |  d.n * 1000 * b.n_days_dow // b.total_dow - 1000
+        |    AS dev_milli
+        |FROM dd d JOIN base b USING (event_type, dow)
+        |ORDER BY event_type, day""".stripMargin,
     "q_events_paths" ->
       """WITH s AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d,

@@ -248,6 +248,36 @@ object Audit {
         col("dev"), col("mad"), col("z_q20"), col("anomaly"))
   }
 
+  /** Day-of-week seasonal baseline — the monitoring layer the plain
+    * trailing-window detectors ([[eventAnomaly]],
+    * [[eventAnomalyRobust]]) are blind to: weekly seasonality makes
+    * every Saturday look like an anomaly against a Mon–Fri window.
+    * Per (event_type, weekday 0=Mon), the mean daily count in exact
+    * milli over the observed days of that weekday; per (type, day),
+    * the deviation from that baseline in milli
+    * (`n·1000·n_days_dow div total_dow − 1000`, so +250 = 25 % above
+    * a typical same-weekday day).
+    *
+    * Day-grain counts FIRST (the eventAnomaly discipline — windows
+    * and joins see days, never events); the baseline table is
+    * #types × 7 rows, attached by broadcast.
+    */
+  def dowBaseline(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", weekday(col("day")).cast("int"))
+    val base = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("total_dow"),
+        count(lit(1)).as("n_days_dow"))
+    daily.join(broadcast(base), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        expr("total_dow * 1000 div n_days_dow").as("expected_milli"),
+        expr("n * 1000 * n_days_dow div total_dow - 1000")
+          .as("dev_milli"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** One-pass column profile — the "what is actually in this table"
     * report run before writing assertions ([[assertionReport]]
     * checks EXPECTATIONS; this DISCOVERS them): per listed column,

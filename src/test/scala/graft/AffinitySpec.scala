@@ -171,6 +171,25 @@ class AffinitySpec extends SparkSpec {
       ("view>view>view>view>view", 1L, 333333L, false)))
   }
 
+  test("abConversionLift: exact arm counts/rates, z sign follows the lift") {
+    // arm A (even users): 1 of 2 converts; arm B (odd): 2 of 2
+    val ev = Seq(
+      (1L, 2L, "purchase"), (2L, 2L, "view"),   // user 2: converts
+      (3L, 4L, "view"),                          // user 4: no
+      (4L, 1L, "purchase"), (5L, 3L, "purchase")
+    ).map { case (e, u, t) =>
+      (e, u, t, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Affinity.abConversionLift(ev,
+      col("user_id") % 2 === 1, "purchase").head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("conv_a") == 1L)
+    assert(r.getAs[Long]("n_b") == 2L && r.getAs[Long]("conv_b") == 2L)
+    assert(r.getAs[Long]("rate_a_ppm") == 500000L)
+    assert(r.getAs[Long]("rate_b_ppm") == 1000000L)
+    assert(r.getAs[Long]("diff_ppm") == 500000L)
+    assert(r.getAs[Long]("z_milli") > 0)
+  }
+
   test("giniConcentration: uniform near 0, concentrated high, hand value exact") {
     // uniform: 4 keys × 2 rows → G = 0
     val uni = (1L to 4L).flatMap(k => Seq(k, k)).toDF("k")

@@ -121,6 +121,27 @@ class AuditSpec extends SparkSpec {
     assert(zSpike.isDefined && aSpike && zSpike.get > (3L << 20))
   }
 
+  test("dowBaseline: weekday-typical days read 0 deviation, the off-pattern day lights up") {
+    // Mondays 2024-01-01/08 carry 10 events each; Monday 01-15
+    // carries 20 → its dev vs the 3-Monday mean (13333 milli·10⁻³ ≈
+    // 13.3) is +500 milli; the quiet Mondays read −250
+    def day(d: String, n: Int, base: Long) =
+      (1 to n).map(i => (base + i, s"$d 12:00:00", 1L, "view"))
+    val ev = (day("2024-01-01", 10, 100) ++ day("2024-01-08", 10, 200)
+      ++ day("2024-01-15", 20, 300))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Audit.dowBaseline(ev).collect()
+      .map(r => (r.getDate(1).toString, r.getInt(2), r.getLong(3),
+        r.getLong(5))).toList
+    // dow 0 (Monday); expected_milli = 40000 div 3 = 13333
+    // dev: 10·1000·3 div 40 − 1000 = −250; 20·1000·3 div 40 = +500
+    assert(out === List(
+      ("2024-01-01", 0, 10L, -250L),
+      ("2024-01-08", 0, 10L, -250L),
+      ("2024-01-15", 0, 20L, 500L)))
+  }
+
   test("columnProfile: nulls, exact distincts, min/max per column from one pass") {
     val df = Seq(
       (Some(3L), "b"), (Some(1L), "a"), (None, "a"), (Some(3L), "c")

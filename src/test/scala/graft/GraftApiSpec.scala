@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 204,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 204")
-    assert(SparkEntry.oracleSql.size == 192,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 192")
+    assert(SparkEntry.queries.size == 206,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 206")
+    assert(SparkEntry.oracleSql.size == 194,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 194")
   }
 
   test("doc surface composes end to end") {
