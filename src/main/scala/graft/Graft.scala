@@ -615,6 +615,9 @@ object Graft {
     /** Nearest-centroid margin audit of the `label` clustering. */
     def centroidMarginAudit: DataFrame =
       ops.Vector.centroidMarginAudit(embs)
+    /** PSI drift of this snapshot vs `cur` over the unit-sphere grid. */
+    def embeddingDriftTo(cur: DataFrame): DataFrame =
+      ops.Vector.embeddingDriftPsi(embs, cur)
     /** kNN graph via the fitted coarse quantizer. */
     def knnGraph(model: KMeansModel, k: Int): DataFrame =
       ops.Vector.knnGraph(embs, model, k)

@@ -2337,6 +2337,63 @@ object Vector {
       .limit(k)
   }
 
+  /** Embedding-distribution drift (PSI over the unit-sphere grid) —
+    * the vector-space twin of `Text.qualityDrift` and the
+    * encoder-swap / corpus-shift alarm the scalar monitors can't
+    * see: both snapshots histogram into the [[gridDensity]] lattice
+    * (first `gridDims` unit components, `g` buckets each), and each
+    * occupied cell contributes the smoothed PSI term
+    * `(p_cur − p_ref)·ln(p_cur/p_ref)` with the ln in the exact q20
+    * convention (add-1 smoothing over `g^gridDims` cells, floored
+    * lns combined by integer subtraction — the hash-compared
+    * column; `psi_term` is the audit-readable double view).
+    *
+    * Shape at scale: two cell-count aggregations (map-side
+    * combined, ≤ g^gridDims + observed-cells rows each) and a
+    * cell-keyed full-outer join of the two count tables — corpora
+    * never meet, only their histograms.
+    */
+  def embeddingDriftPsi(
+      ref: DataFrame,
+      cur: DataFrame,
+      gridDims: Int = 4,
+      g: Int = 4
+  ): DataFrame = {
+    require(gridDims >= 1 && g >= 1, "gridDims and g must be >= 1")
+    val cellCols = (0 until gridDims).map(i => s"c$i")
+    def cells(df: DataFrame, as: String) = {
+      val cs = (0 until gridDims).map(i =>
+        floor(element_at(col("unit"), i + 1) * g).cast("int")
+          .as(s"c$i"))
+      unitized(df).select(cs: _*)
+        .groupBy(cellCols.map(col): _*)
+        .agg(count(lit(1)).as(as))
+    }
+    val smooth = math.pow(g.toDouble, gridDims.toDouble).toLong
+    val j = cells(ref, "ref_cnt")
+      .join(cells(cur, "cur_cnt"), cellCols, "full_outer")
+      .select(cellCols.map(c => coalesce(col(c), lit(0)).as(c)) ++
+        Seq(coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+          coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt")): _*)
+    val tot = j.agg(sum(col("ref_cnt")).as("ref_total"),
+      sum(col("cur_cnt")).as("cur_total"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("lnratio_q20",
+        floor(log(((col("cur_cnt") + 1) *
+          (col("ref_total") + smooth)).cast("double")) * (1L << 20))
+          .cast("long") -
+          floor(log(((col("ref_cnt") + 1) *
+            (col("cur_total") + smooth)).cast("double")) * (1L << 20))
+            .cast("long"))
+      .withColumn("psi_term",
+        ((col("cur_cnt") + 1).cast("double") /
+          (col("cur_total") + smooth) -
+          (col("ref_cnt") + 1).cast("double") /
+            (col("ref_total") + smooth)) *
+          (col("lnratio_q20").cast("double") / (1L << 20).toDouble))
+      .orderBy(cellCols.map(col): _*)
+  }
+
   /** Nearest-centroid margin audit — the geometric clustering-quality
     * check beside [[modularityAssigned]]'s topological one (modularity
     * grades the partition against the GRAPH; this grades it against

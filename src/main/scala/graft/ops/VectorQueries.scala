@@ -247,6 +247,19 @@ object VectorQueries {
     // floor-division identity on the negative path)
     "q_vec_centroid_margin" -> ((s, d) =>
       Vector.centroidMarginAudit(Tables.embeddings(s, d))),
+    // embedding-distribution PSI over the unit-sphere grid; planted
+    // drift = first component negated for the vec_id%5 slice
+    // (norm-preserving, so the unit arithmetic stays bitwise)
+    "q_vec_drift_psi" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cur = e.withColumn("embedding",
+        when(col("vec_id") % 5 === 0,
+          concat(array(-element_at(col("embedding"), 1)),
+            slice(col("embedding"), lit(2),
+              size(col("embedding")) - 1)))
+          .otherwise(col("embedding")))
+      Vector.embeddingDriftPsi(e, cur)
+    }),
     // binary-quantized retrieval: sign-packed 32-bit words + Hamming
     // top-k — exact integers end to end
     "q_vec_binary_topk" -> ((s, d) =>
@@ -588,6 +601,62 @@ object VectorQueries {
         |SELECT vec_id, 0 AS label, dot / (norm_a * norm_b) AS cos_sim
         |FROM dots WHERE norm_a > 0 AND norm_b > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vec_drift_psi" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id),
+        |u AS (
+        |  SELECT e.vec_id,
+        |    CAST(e.embedding[1] AS DOUBLE) / n.nrm AS u0,
+        |    CAST(e.embedding[2] AS DOUBLE) / n.nrm AS u1,
+        |    CAST(e.embedding[3] AS DOUBLE) / n.nrm AS u2,
+        |    CAST(e.embedding[4] AS DOUBLE) / n.nrm AS u3
+        |  FROM embeddings e JOIN n USING (vec_id)),
+        |rc AS (
+        |  SELECT CAST(FLOOR(u0 * 4) AS INT) AS c0,
+        |    CAST(FLOOR(u1 * 4) AS INT) AS c1,
+        |    CAST(FLOOR(u2 * 4) AS INT) AS c2,
+        |    CAST(FLOOR(u3 * 4) AS INT) AS c3, COUNT(*) AS ref_cnt
+        |  FROM u GROUP BY 1, 2, 3, 4),
+        |cc AS (
+        |  SELECT CAST(FLOOR(CASE WHEN vec_id % 5 = 0 THEN -u0
+        |      ELSE u0 END * 4) AS INT) AS c0,
+        |    CAST(FLOOR(u1 * 4) AS INT) AS c1,
+        |    CAST(FLOOR(u2 * 4) AS INT) AS c2,
+        |    CAST(FLOOR(u3 * 4) AS INT) AS c3, COUNT(*) AS cur_cnt
+        |  FROM u GROUP BY 1, 2, 3, 4),
+        |j AS (
+        |  SELECT COALESCE(r.c0, c.c0) AS c0,
+        |    COALESCE(r.c1, c.c1) AS c1,
+        |    COALESCE(r.c2, c.c2) AS c2,
+        |    COALESCE(r.c3, c.c3) AS c3,
+        |    COALESCE(ref_cnt, 0) AS ref_cnt,
+        |    COALESCE(cur_cnt, 0) AS cur_cnt
+        |  FROM rc r FULL OUTER JOIN cc c
+        |    ON r.c0 = c.c0 AND r.c1 = c.c1 AND r.c2 = c.c2
+        |    AND r.c3 = c.c3),
+        |t AS (
+        |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ref_total,
+        |    CAST(SUM(cur_cnt) AS BIGINT) AS cur_total
+        |  FROM j),
+        |lr AS (
+        |  SELECT j.*, t.ref_total, t.cur_total,
+        |    CAST(FLOOR(ln(CAST((cur_cnt + 1) * (ref_total + 256)
+        |      AS DOUBLE)) * 1048576) AS BIGINT)
+        |    - CAST(FLOOR(ln(CAST((ref_cnt + 1) * (cur_total + 256)
+        |      AS DOUBLE)) * 1048576) AS BIGINT) AS lnratio_q20
+        |  FROM j CROSS JOIN t)
+        |SELECT c0, c1, c2, c3, ref_cnt, cur_cnt, ref_total,
+        |  cur_total, lnratio_q20,
+        |  (CAST(cur_cnt + 1 AS DOUBLE) / (cur_total + 256)
+        |    - CAST(ref_cnt + 1 AS DOUBLE) / (ref_total + 256))
+        |    * (CAST(lnratio_q20 AS DOUBLE) / 1048576.0) AS psi_term
+        |FROM lr ORDER BY c0, c1, c2, c3""".stripMargin,
     "q_vec_centroid_margin" ->
       """WITH ex AS (
         |  SELECT vec_id, label,

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 206,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 206")
-    assert(SparkEntry.oracleSql.size == 194,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 194")
+    assert(SparkEntry.queries.size == 207,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 207")
+    assert(SparkEntry.oracleSql.size == 195,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 195")
   }
 
   test("doc surface composes end to end") {
@@ -213,6 +213,7 @@ class GraftApiSpec extends SparkSpec {
       "knnGraphAssigned" -> "knnGraphAssigned",
       "modularityAssigned" -> "modularityAssigned",
       "centroidMarginAudit" -> "centroidMarginAudit",
+      "embeddingDriftPsi" -> "embeddingDriftTo",
       "knnGraph" -> "knnGraph",
       "densityPrune" -> "densityPruned",
       "hardNegativesAssigned" -> "hardNegatives",

@@ -1175,6 +1175,26 @@ class VectorSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("embeddingDriftPsi: identical snapshots read zero; a shifted slice lights up") {
+    import spark.implicits._
+    val embs = (1L to 80L).map(i =>
+      (i, Array(0.6f + (i % 7) * 0.05f, 0.3f, 0.2f + (i % 3) * 0.1f,
+        0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val same = Vec.embeddingDriftPsi(embs, embs).collect()
+    assert(same.forall(_.getAs[Long]("lnratio_q20") == 0L))
+    assert(same.forall(_.getAs[Double]("psi_term") == 0.0))
+    // shift: negate the first component for a quarter of vectors
+    val cur = embs.withColumn("embedding",
+      when(col("vec_id") % 4 === 0,
+        concat(array(-element_at(col("embedding"), 1)),
+          slice(col("embedding"), lit(2),
+            size(col("embedding")) - 1)))
+        .otherwise(col("embedding")))
+    val drift = Vec.embeddingDriftPsi(embs, cur).collect()
+      .map(_.getAs[Double]("psi_term")).sum
+    assert(drift > 0.05, s"psi=$drift")
+  }
+
   test("centroidMarginAudit: separated clusters all positive; planted mislabel flagged") {
     import spark.implicits._
     // cluster 0 near +x, cluster 1 near +y; vec 99 sits in cluster
