@@ -237,6 +237,53 @@ object StreamBench {
       java.nio.file.Files.writeString(out4.toPath,
         java.nio.file.Files.readString(out4.toPath) + line4 + "\n")
     } finally qgate.stop()
+
+    // Fifth surface: the continuously-maintained materialized view —
+    // CDC delta rows/s through MaterializedViewPipeline micro-batches
+    // (per batch: stored-view read + exact-decimal merge + versioned
+    // replace). Synthetic delta stream: inserts keyed over a bounded
+    // key domain with periodic updates/deletes, so the view stays
+    // key-domain-sized while every batch exercises all three op
+    // paths.
+    val mvIn = MemoryStream[(String, String, Double, Option[Double])]
+    val mvStore = new streaming.MaterializedViewPipeline
+      .MemoryViewStore(spark)
+    val mvQ = streaming.MaterializedViewPipeline.start(
+      mvIn.toDF().toDF("key", "op", "v", "old_v"), mvStore,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-mv-bench").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      val perMvBatch = 2000 * scale
+      val nMvBatches = 4
+      def mvBatch(b: Int): Seq[(String, String, Double, Option[Double])] =
+        (0 until perMvBatch).map { i =>
+          val k = s"k${(b * 31 + i) % 500}"
+          val v = ((i % 997) + 1) / 4.0
+          (i % 10) match {
+            case 0 if b > 0 => (k, "D", v, None)
+            case 1 if b > 0 => (k, "U", v, Some(v / 2))
+            case _          => (k, "I", v, None)
+          }
+        }
+      mvIn.addData(mvBatch(0)) // warm batch
+      mvQ.processAllAvailable()
+      val t0 = System.nanoTime()
+      (1 to nMvBatches).foreach { b =>
+        mvIn.addData(mvBatch(b))
+        mvQ.processAllAvailable()
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = perMvBatch.toLong * nMvBatches
+      val line5 =
+        s"""{"metric":"mv_maintenance_deltas_per_sec","value":${(n / dt).toLong},""" +
+          s""""deltas":$n,"view_rows":${mvStore.view.count()},"seconds":$dt,"batches":$nMvBatches,"scale":$scale,"sf":"$sfDir"}"""
+      println(line5)
+      val out5 = new java.io.File(sys.env.getOrElse(
+        "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+      java.nio.file.Files.writeString(out5.toPath,
+        java.nio.file.Files.readString(out5.toPath) + line5 + "\n")
+    } finally mvQ.stop()
     spark.stop()
   }
 }
