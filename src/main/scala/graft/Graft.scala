@@ -286,6 +286,9 @@ object Graft {
     /** Heaps-law vocabulary-growth curve over doc-rank buckets. */
     def vocabGrowth(nBuckets: Int = 10): DataFrame =
       ops.Text.vocabGrowth(docs, nBuckets)
+    /** Per-language chars/token fertility proxy. */
+    def compressionRatio: DataFrame =
+      ops.Text.compressionRatio(docs)
     /** BM25 integer postings skeleton for a literal query. */
     def bm25Postings(queryTokens: Seq[String]): DataFrame =
       ops.Text.bm25Postings(docs, queryTokens)

@@ -704,6 +704,29 @@ object Relational {
       .orderBy(col("metric"))
   }
 
+  /** TPC-H Q12 shape on the testdata's schema — shipping service
+    * analysis: per order-priority class, lineitems shipped LATE
+    * (more than `lateDays` after the order date) vs on time, with
+    * the exact ppm late rate. The canonical conditional-count
+    * aggregation: one joined fact scan, CASE counts, no second
+    * pass; the orders side prunes to two columns before the join.
+    */
+  def shippingDelayAnalysis(lineitem: DataFrame, orders: DataFrame,
+      lateDays: Int = 90): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(datediff(col("l_shipdate"), col("o_orderdate"))
+          > lateDays, lit(1))).as("late_count"),
+        count(when(datediff(col("l_shipdate"), col("o_orderdate"))
+          <= lateDays, lit(1))).as("ontime_count"))
+      .withColumn("late_ppm",
+        expr("late_count * 1000000 div (late_count + ontime_count)"))
+      .orderBy(col("o_orderpriority"))
+
   /** Customer-cohort lifetime-value curve — the finance table behind
     * every retention model: customers cohorted by first-order YEAR,
     * revenue accumulated by order age in years since that first

@@ -134,6 +134,10 @@ object RelationalQueries {
     // first-order-year cohorts × order age, exact-decimal LTV curve
     "q_orders_cohort_ltv" -> ((s, d) =>
       cohortLtv(Tables.orders(s, d))),
+    // TPC-H Q12 shape: late vs on-time lineitems per priority class
+    "q_shipping_delay" -> ((s, d) =>
+      shippingDelayAnalysis(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
     "q_date_funcs" -> ((s, d) => dateFuncs(Tables.orders(s, d))),
     // the operator returns real arrays; the registered check projects
     // them to CSV (fixed-point cents) because the driver's comparator
@@ -443,6 +447,21 @@ object RelationalQueries {
         |  CAST(SIGN(n - prev_n) AS BIGINT)
         |    * ((ABS(n - prev_n) * 1000000) // prev_n) AS delta_ppm
         |FROM l ORDER BY event_type, day""".stripMargin,
+    "q_shipping_delay" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (date_diff('day', o_orderdate, l_shipdate)
+        |    > 90) AS late_count,
+        |  COUNT(*) FILTER (date_diff('day', o_orderdate, l_shipdate)
+        |    <= 90) AS ontime_count,
+        |  COUNT(*) FILTER (date_diff('day', o_orderdate, l_shipdate)
+        |    > 90) * 1000000
+        |    // (COUNT(*) FILTER (date_diff('day', o_orderdate,
+        |         l_shipdate) > 90)
+        |       + COUNT(*) FILTER (date_diff('day', o_orderdate,
+        |         l_shipdate) <= 90)) AS late_ppm
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_orders_cohort_ltv" ->
       """WITH f AS (
         |  SELECT o_custkey, MIN(o_orderdate) AS first_order

@@ -589,6 +589,25 @@ object Text {
       .drop("__total")
   }
 
+  /** Tokenizer-fertility proxy per language — the chars-per-token
+    * ratio that decides how a fixed token budget translates into
+    * text volume per language (the sampling-weight correction every
+    * multilingual mixture needs): per lang, total characters, total
+    * whitespace tokens, and the exact milli chars/token ratio. One
+    * scan, #langs-row output.
+    */
+  def compressionRatio(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("lang"), length(col("text")).cast("long")
+        .as("chars"), size(tokens(col("text"))).cast("long")
+        .as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars"))
+        .as("n_chars"), sum(col("toks")).as("n_tokens"))
+      .withColumn("chars_per_token_milli",
+        expr("n_chars * 1000 div n_tokens"))
+      .orderBy(col("lang"))
+
   /** Heaps-law vocabulary-growth audit — the curve that says whether
     * more data still buys new words (natural corpora grow vocabulary
     * ∝ tokensᵝ, β≈0.5; a template farm flattens immediately; OCR

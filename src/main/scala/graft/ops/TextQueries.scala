@@ -177,6 +177,9 @@ object TextQueries {
     // cumulative (tokens, vocab) columns
     "q_text_vocab_growth" -> ((s, d) =>
       Text.vocabGrowth(Tables.documents(s, d), nBuckets = 10)),
+    // tokenizer-fertility proxy: exact milli chars/token per lang
+    "q_text_compression" -> ((s, d) =>
+      Text.compressionRatio(Tables.documents(s, d))),
     // BM25 integer skeleton (tf/dl/df/N/total_len per matching
     // doc-term) — fully hash-compared; the ln(idf) score and top-k
     // live in bm25TopK, pinned bitwise by TextSpec (the doc_freq
@@ -695,6 +698,17 @@ object TextQueries {
          |FROM tok GROUP BY token
          |HAVING COUNT(DISTINCT doc_id) >= 50
          |ORDER BY token""".stripMargin,
+    "q_text_compression" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT)
+         |    AS n_chars,
+         |  CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) * 1000
+         |    // CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT)
+         |    AS chars_per_token_milli
+         |FROM documents WHERE len(trim(text)) > 0
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_vocab_growth" ->
       s"""WITH ne AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

@@ -203,6 +203,20 @@ class AnalyticSpec extends SparkSpec {
       ("total_ms", 2L, 30000L, 30000L, 180000L)))
   }
 
+  test("shippingDelayAnalysis: boundary day is on time, ppm exact") {
+    val li = Seq((1L, "1995-04-02"), (1L, "1995-04-01"),
+      (2L, "1995-02-01")).toDF("l_orderkey", "sd")
+      .withColumn("l_shipdate", to_date(col("sd"))).drop("sd")
+    val o = Seq((1L, "1995-01-01", "1-URGENT"),
+      (2L, "1995-01-01", "1-URGENT"))
+      .toDF("o_orderkey", "od", "o_orderpriority")
+      .withColumn("o_orderdate", to_date(col("od"))).drop("od")
+    val r = Relational.shippingDelayAnalysis(li, o).head
+    // Apr 1 = day 90 exactly → on time; Apr 2 = 91 → late
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (1L, 2L, 333333L))
+  }
+
   test("cohortLtv: cohort attribution by first order, cumulative exact") {
     val orders = Seq(
       (1L, "1994-01-10", 10.0), (1L, "1995-06-01", 20.0),

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 207,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 207")
-    assert(SparkEntry.oracleSql.size == 195,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 195")
+    assert(SparkEntry.queries.size == 209,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 209")
+    assert(SparkEntry.oracleSql.size == 197,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 197")
   }
 
   test("doc surface composes end to end") {
@@ -154,6 +154,7 @@ class GraftApiSpec extends SparkSpec {
       "stopwordDiscovery" -> "stopwordsDiscovered",
       "dedupThresholdCurve" -> "dedupThresholdCurve",
       "vocabGrowth" -> "vocabGrowth",
+      "compressionRatio" -> "compressionRatio",
       "rollingFingerprint" -> "rollingFingerprinted",
       "winnowFingerprint" -> "winnowFingerprinted",
       "simhashes" -> "simhashed",

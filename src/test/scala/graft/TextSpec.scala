@@ -1593,6 +1593,19 @@ class TextSpec extends SparkSpec {
     assert(quals.sameElements(quals.sorted.reverse))
   }
 
+  test("compressionRatio: exact chars/token per lang; empty docs excluded") {
+    val docs = Seq(
+      (1L, "abc de", "en"), (2L, "x", "en"), (3L, "  ", "fr"),
+      (4L, "abcdefgh ij", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ops.Text.compressionRatio(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // en: chars 6+1=7, toks 2+1=3 → 2333 milli; fr: 11 chars 2 toks
+    assert(out === List(
+      ("en", 2L, 7L, 3L, 2333L), ("fr", 1L, 11L, 2L, 5500L)))
+  }
+
   test("vocabGrowth: repetitive tail stops minting vocabulary; cumulative exact") {
     // 4 docs, 2 buckets: first half introduces all words, second
     // half repeats them — new_vocab must go to zero
