@@ -727,6 +727,76 @@ object Relational {
         expr("late_count * 1000000 div (late_count + ontime_count)"))
       .orderBy(col("o_orderpriority"))
 
+  /** TPC-H Q17 shape — small-quantity revenue via a decorrelated
+    * per-group average: revenue of brand lineitems whose quantity is
+    * under 20 % of that PART's average quantity, divided by 7 (the
+    * "lost revenue if we stop small shipments" number). The
+    * correlated scalar subquery (`l_quantity < 0.2 · avg per part`)
+    * decorrelates into one per-part aggregate joined back
+    * many-to-one — the plan Catalyst produces for the subquery form
+    * too, written explicitly; the brand filter prunes the part side
+    * before either scan of lineitem.
+    *
+    * The threshold average is [[davg]] (exact decimal sum / count →
+    * correctly-rounded double), so the 0.2·avg comparison is
+    * bitwise identical in any engine.
+    */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String): DataFrame = {
+    val parts = part.filter(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    val li = lineitem.join(broadcast(parts),
+      col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("ap"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(count(lit(1)).as("n_small"),
+        (dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total
+    * lineitem quantity exceeds `minQty`, with the customer attached.
+    * The grouped-HAVING + semi-join-back plan: the quantity
+    * aggregation runs once on the fact, survivors (a tiny frame)
+    * join back to orders/customer many-to-one.
+    */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, minQty: Double): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TPC-H Q22 shape — idle wealthy customers: customers whose
+    * balance beats the average POSITIVE balance and who have placed
+    * no order since `sinceDate` (every synthetic customer has SOME
+    * order, so "idle" is recency-scoped — the same two nested
+    * subqueries, decorrelated: scalar aggregate broadcast + filtered
+    * anti join + group), counted per nation with their total
+    * balance.
+    */
+  def idleCustomers(customer: DataFrame, orders: DataFrame,
+      sinceDate: String): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    customer.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_orderdate") >= lit(sinceDate)
+          .cast("date"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Customer-cohort lifetime-value curve — the finance table behind
     * every retention model: customers cohorted by first-order YEAR,
     * revenue accumulated by order age in years since that first

@@ -138,6 +138,18 @@ object RelationalQueries {
     "q_shipping_delay" -> ((s, d) =>
       shippingDelayAnalysis(Tables.lineitem(s, d),
         Tables.orders(s, d))),
+    // TPC-H Q17 shape: decorrelated per-part average threshold
+    "q_small_qty_revenue" -> ((s, d) =>
+      smallQuantityRevenue(Tables.lineitem(s, d), Tables.part(s, d),
+        "Brand#11")),
+    // TPC-H Q18 shape: grouped-HAVING large orders joined back
+    "q_large_orders" -> ((s, d) =>
+      largeOrders(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), minQty = 250.0)),
+    // TPC-H Q22 shape: scalar-avg filter + recency anti join
+    "q_idle_customers" -> ((s, d) =>
+      idleCustomers(Tables.customer(s, d), Tables.orders(s, d),
+        "2000-01-01")),
     "q_date_funcs" -> ((s, d) => dateFuncs(Tables.orders(s, d))),
     // the operator returns real arrays; the registered check projects
     // them to CSV (fixed-point cents) because the driver's comparator
@@ -447,6 +459,52 @@ object RelationalQueries {
         |  CAST(SIGN(n - prev_n) AS BIGINT)
         |    * ((ABS(n - prev_n) * 1000000) // prev_n) AS delta_ppm
         |FROM l ORDER BY event_type, day""".stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH pp AS (
+        |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+        |li AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |  FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey),
+        |a AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |      AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+        |  FROM li GROUP BY 1)
+        |SELECT COUNT(*) AS n_small,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM li JOIN a USING (l_partkey)
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |      AS VARCHAR) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |    AS VARCHAR) AS DOUBLE) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_idle_customers" ->
+      """WITH ab AS (
+        |  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |    AS VARCHAR) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= DATE '2000-01-01')
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |    AS VARCHAR) AS DOUBLE) AS totacctbal
+        |FROM customer CROSS JOIN ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q_shipping_delay" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (date_diff('day', o_orderdate, l_shipdate)

@@ -203,6 +203,42 @@ class AnalyticSpec extends SparkSpec {
       ("total_ms", 2L, 30000L, 30000L, 180000L)))
   }
 
+  test("smallQuantityRevenue / largeOrders / idleCustomers: decorrelated shapes hand-checked") {
+    // Q17: part 1 qtys (1, 10, 10) → avg 7, 0.2·avg = 1.4 → only
+    // qty 1 is small; its price 100 → avg_yearly 100/7
+    val li = Seq((1L, 1L, 1.0, 100.0), (2L, 1L, 10.0, 5.0),
+      (3L, 1L, 10.0, 5.0), (4L, 2L, 1.0, 9.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "Brand#11"), (2L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+    val q17 = Relational.smallQuantityRevenue(li, part, "Brand#11")
+      .head
+    assert(q17.getLong(0) == 1L &&
+      math.abs(q17.getDouble(1) - 100.0 / 7.0) < 1e-12)
+    // Q18: order 10 qty 30 > 25; order 11 qty 20 stays out
+    val li2 = Seq((10L, 12.0), (10L, 18.0), (11L, 20.0))
+      .toDF("l_orderkey", "l_quantity")
+    val o = Seq((10L, 1L, "1995-01-01", 500.0),
+      (11L, 1L, "1995-01-02", 300.0))
+      .toDF("o_orderkey", "o_custkey", "od", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("od"))).drop("od")
+    val cust = Seq((1L, "Customer#1", 0L, 100.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val q18 = Relational.largeOrders(li2, o, cust, minQty = 25.0)
+      .collect()
+    assert(q18.length == 1 && q18.head.getLong(2) == 10L &&
+      q18.head.getDouble(5) == 30.0)
+    // Q22: avg positive balance = (100+300)/2 = 200; cust 2 (300)
+    // beats it and has no recent order; cust 1 ordered recently
+    val cust2 = Seq((1L, "a", 0L, 100.0), (2L, "b", 4L, 300.0),
+      (3L, "c", 0L, -50.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val q22 = Relational.idleCustomers(cust2, o, "1995-01-01")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toList
+    assert(q22 === List((4L, 1L, 300.0)))
+  }
+
   test("shippingDelayAnalysis: boundary day is on time, ppm exact") {
     val li = Seq((1L, "1995-04-02"), (1L, "1995-04-01"),
       (2L, "1995-02-01")).toDF("l_orderkey", "sd")
