@@ -56,4 +56,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"),
       s"quality score fell out of codegen:\n$p")
   }
+
+  test("basket lift: aggregated item counts attach by broadcast, not a fact shuffle") {
+    val p = plan(ops.Affinity.basketLift(
+      Tables.lineitem(spark, sf("sf0.001")), minPairCount = 2L))
+    assert(p.contains("BroadcastHashJoin"),
+      s"item-count joins did not broadcast:\n$p")
+  }
+
+  test("prune audit: the predicate side rides a broadcast, never a sort-merge join") {
+    import spark.implicits._
+    val stats = Seq(("a", 1L, 0.0, 9.0, 10L))
+      .toDF("layout", "file_id", "min_v", "max_v", "n_rows")
+    val preds = Seq((1, 2.0, 3.0)).toDF("pred_id", "p_lo", "p_hi")
+    val p = plan(ops.Layout.pruneAudit(stats, preds))
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      s"prune audit join shape wrong:\n$p")
+  }
+
+  test("incremental view maintenance: plan touches the delta and the view, never a fact table") {
+    import spark.implicits._
+    val base = Seq(("a", 1.0, 1L)).toDF("key", "sum_v", "n_rows")
+    val delta = Seq(("a", "I", 2.0, Option.empty[Double]))
+      .toDF("key", "op", "v", "old_v")
+    val p = plan(ops.Cdc.maintainSumCount(base, delta))
+    // one partial+merge aggregation on the delta, one join keyed on
+    // the view key — and the whole merge stays in codegen stages
+    assert(p.contains("Partial") || p.contains("partial_sum"))
+    assert(p.contains("Join"), s"no view-keyed merge join:\n$p")
+  }
 }
