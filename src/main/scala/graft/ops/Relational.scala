@@ -797,6 +797,41 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Repeat-purchase interval distribution — the retention clock
+    * (how long until a customer comes back): per customer, gaps in
+    * days between CONSECUTIVE orders ((o_orderdate, o_orderkey)
+    * total order), reduced to discrete percentiles over all gaps
+    * (PERCENTILE_DISC at ⌈p·n⌉, (gap, custkey, orderkey) total
+    * order — engine-exact). One shuffle on the customer key for the
+    * lag window; the percentile window runs over the gaps frame
+    * (#orders − #customers rows), the same exact-rank discipline as
+    * [[groupPercentiles]].
+    */
+  def repeatPurchaseIntervals(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev")).cast("long")
+          .as("gap_days"))
+    val wr = Window.orderBy(col("gap_days"), col("o_custkey"),
+      col("o_orderkey"))
+    gaps
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .agg(
+        max(col("cnt")).as("n_gaps"),
+        max(when(col("rn") === ceil(col("cnt") * 0.25),
+          col("gap_days"))).as("p25"),
+        max(when(col("rn") === ceil(col("cnt") * 0.5),
+          col("gap_days"))).as("p50"),
+        max(when(col("rn") === ceil(col("cnt") * 0.9),
+          col("gap_days"))).as("p90"),
+        max(col("gap_days")).as("max_gap"))
+  }
+
   /** Customer-cohort lifetime-value curve — the finance table behind
     * every retention model: customers cohorted by first-order YEAR,
     * revenue accumulated by order age in years since that first

@@ -138,6 +138,9 @@ object RelationalQueries {
     "q_shipping_delay" -> ((s, d) =>
       shippingDelayAnalysis(Tables.lineitem(s, d),
         Tables.orders(s, d))),
+    // repeat-purchase gap percentiles (PERCENTILE_DISC, total order)
+    "q_orders_repeat_interval" -> ((s, d) =>
+      repeatPurchaseIntervals(Tables.orders(s, d))),
     // TPC-H Q17 shape: decorrelated per-part average threshold
     "q_small_qty_revenue" -> ((s, d) =>
       smallQuantityRevenue(Tables.lineitem(s, d), Tables.part(s, d),
@@ -459,6 +462,30 @@ object RelationalQueries {
         |  CAST(SIGN(n - prev_n) AS BIGINT)
         |    * ((ABS(n - prev_n) * 1000000) // prev_n) AS delta_ppm
         |FROM l ORDER BY event_type, day""".stripMargin,
+    "q_orders_repeat_interval" ->
+      """WITH g AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(date_diff('day', LAG(o_orderdate) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey), o_orderdate)
+        |      AS BIGINT) AS gap_days
+        |  FROM orders),
+        |gg AS (SELECT * FROM g WHERE gap_days IS NOT NULL),
+        |r AS (
+        |  SELECT gap_days,
+        |    ROW_NUMBER() OVER (ORDER BY gap_days, o_custkey,
+        |      o_orderkey) AS rn,
+        |    COUNT(*) OVER () AS cnt
+        |  FROM gg)
+        |SELECT MAX(cnt) AS n_gaps,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.25) THEN gap_days END)
+        |    AS p25,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN gap_days END)
+        |    AS p50,
+        |  MAX(CASE WHEN rn = CEIL(cnt * 0.9) THEN gap_days END)
+        |    AS p90,
+        |  MAX(gap_days) AS max_gap
+        |FROM r""".stripMargin,
     "q_small_qty_revenue" ->
       """WITH pp AS (
         |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),

@@ -203,6 +203,21 @@ class AnalyticSpec extends SparkSpec {
       ("total_ms", 2L, 30000L, 30000L, 180000L)))
   }
 
+  test("repeatPurchaseIntervals: per-customer consecutive gaps, disc percentiles exact") {
+    // cust 1: gaps 10, 20; cust 2: gap 5 → sorted (5, 10, 20)
+    val o = Seq(
+      (1L, 1L, "1995-01-01"), (2L, 1L, "1995-01-11"),
+      (3L, 1L, "1995-01-31"),
+      (4L, 2L, "1995-03-01"), (5L, 2L, "1995-03-06"),
+      (6L, 3L, "1995-05-01") // single order → no gap
+    ).toDF("o_orderkey", "o_custkey", "od")
+      .withColumn("o_orderdate", to_date(col("od"))).drop("od")
+    val r = Relational.repeatPurchaseIntervals(o).head
+    // n=3: p25 row 1 → 5; p50 row 2 → 10; p90 row 3 → 20
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (3L, 5L, 10L, 20L, 20L))
+  }
+
   test("smallQuantityRevenue / largeOrders / idleCustomers: decorrelated shapes hand-checked") {
     // Q17: part 1 qtys (1, 10, 10) → avg 7, 0.2·avg = 1.4 → only
     // qty 1 is small; its price 100 → avg_yearly 100/7
