@@ -227,6 +227,31 @@ object Relational {
       .orderBy(col("user_id"), col("seq"))
   }
 
+  /** Distribution-function window surface — the remaining ANSI
+    * window family next to [[eventWindowFuncs]]' navigation set:
+    * percent_rank / cume_dist (rational doubles from identical rank
+    * integers — engine-exact), ntile buckets, and first/last value
+    * over an explicit running frame, per nation over supplier
+    * balances.
+    */
+  def supplierDistributionFuncs(supplier: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    supplier
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("min_so_far", first(col("s_acctbal")).over(wf))
+      .withColumn("cur", last(col("s_acctbal")).over(wf))
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+        col("pct_rank"), col("cume"), col("quartile"),
+        col("min_so_far"), col("cur"))
+      .orderBy(col("s_nationkey"), col("s_acctbal"),
+        col("s_suppkey"))
+  }
+
   /** rank/dense_rank with range frame aggregation. */
   def rankSuppliers(supplier: DataFrame, nation: DataFrame): DataFrame = {
     val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))

@@ -138,6 +138,9 @@ object RelationalQueries {
     "q_shipping_delay" -> ((s, d) =>
       shippingDelayAnalysis(Tables.lineitem(s, d),
         Tables.orders(s, d))),
+    // distribution window functions per nation over balances
+    "q_window_distribution_funcs" -> ((s, d) =>
+      supplierDistributionFuncs(Tables.supplier(s, d))),
     // repeat-purchase gap percentiles (PERCENTILE_DISC, total order)
     "q_orders_repeat_interval" -> ((s, d) =>
       repeatPurchaseIntervals(Tables.orders(s, d))),
@@ -462,6 +465,19 @@ object RelationalQueries {
         |  CAST(SIGN(n - prev_n) AS BIGINT)
         |    * ((ABS(n - prev_n) * 1000000) // prev_n) AS delta_ppm
         |FROM l ORDER BY event_type, day""".stripMargin,
+    "q_window_distribution_funcs" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  first_value(s_acctbal) OVER (w ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS min_so_far,
+        |  last_value(s_acctbal) OVER (w ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS cur
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey
+        |  ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_nationkey, s_acctbal, s_suppkey""".stripMargin,
     "q_orders_repeat_interval" ->
       """WITH g AS (
         |  SELECT o_custkey, o_orderkey,

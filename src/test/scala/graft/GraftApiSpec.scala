@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 213,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 213")
-    assert(SparkEntry.oracleSql.size == 201,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 201")
+    assert(SparkEntry.queries.size == 214,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 214")
+    assert(SparkEntry.oracleSql.size == 202,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 202")
   }
 
   test("doc surface composes end to end") {

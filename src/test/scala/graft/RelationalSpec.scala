@@ -113,4 +113,21 @@ class RelationalSpec extends SparkSpec {
       ("2026-03-02", 0) -> 1L,   // u3
       ("2026-03-02", 2) -> 1L))  // u3 on day 4
   }
+
+  test("supplierDistributionFuncs: ntile balance, pct_rank endpoints, running first/last") {
+    import spark.implicits._
+    val sup = (1L to 8L).map(i => (i, 0L, i * 10.0))
+      .toDF("s_suppkey", "s_nationkey", "s_acctbal")
+    val out = graft.ops.Relational.supplierDistributionFuncs(sup)
+      .collect()
+    assert(out.head.getDouble(3) == 0.0 &&
+      out.last.getDouble(3) == 1.0)          // percent_rank endpoints
+    assert(out.last.getDouble(4) == 1.0)     // cume_dist top
+    // ntile(4) over 8 rows → exactly 2 per quartile
+    assert(out.groupBy(_.getInt(5)).view.mapValues(_.length).toMap ==
+      Map(1 -> 2, 2 -> 2, 3 -> 2, 4 -> 2))
+    assert(out.forall(_.getDouble(6) == 10.0)) // running first
+    assert(out.map(r => (r.getDouble(2), r.getDouble(7)))
+      .forall { case (bal, cur) => bal == cur }) // running last
+  }
 }
