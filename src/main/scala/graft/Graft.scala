@@ -621,6 +621,9 @@ object Graft {
     /** PSI drift of this snapshot vs `cur` over the unit-sphere grid. */
     def embeddingDriftTo(cur: DataFrame): DataFrame =
       ops.Vector.embeddingDriftPsi(embs, cur)
+    /** SQ8 reconstruction-error audit per vector. */
+    def quantizationDistortion: DataFrame =
+      ops.Vector.quantizationDistortion(embs)
     /** kNN graph via the fitted coarse quantizer. */
     def knnGraph(model: KMeansModel, k: Int): DataFrame =
       ops.Vector.knnGraph(embs, model, k)

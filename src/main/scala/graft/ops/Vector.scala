@@ -467,6 +467,40 @@ object Vector {
             .otherwise(floor(x.cast("double") / col("max_abs") * 127)
               .cast("int"))).as("qvec"))
 
+  /** SQ8 quantization-distortion audit — the error side of the
+    * memory/quality trade [[quantizeInt8]] makes ([[recallAtK]]
+    * measures the SERVING effect; this measures the RAW
+    * reconstruction error): per vector, the exact squared
+    * reconstruction error of the int8 round-trip
+    * (`x − ⌊x/s·127⌋·s/127`), summed in ⌊·2²⁰⌋ fixed point per
+    * dimension (identical-IEEE double arithmetic off the floor-exact
+    * int8 codes, floored per dim so the sum is order-free), plus the
+    * vector's energy in the same convention — err/energy is the
+    * relative-distortion readout. One scan, map-side only.
+    */
+  def quantizationDistortion(embeddings: DataFrame): DataFrame =
+    quantizeInt8(embeddings)
+      .join(embeddings.select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .select(col("vec_id"), col("scale"),
+        aggregate(
+          zip_with(col("embedding"), col("qvec"), (x, q) => {
+            val err = x.cast("double") -
+              q.cast("double") * col("scale") / 127.0
+            floor(err * err * (1L << 20)).cast("long")
+          }),
+          lit(0L), (acc, e) => acc + e).as("sq_err_q20"),
+        aggregate(
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * x.cast("double") * (1L << 20))
+              .cast("long")),
+          lit(0L), (acc, e) => acc + e).as("energy_q20"))
+      .withColumn("rel_err_ppm",
+        when(col("energy_q20") > 0,
+          expr("sq_err_q20 * 1000000 div energy_q20"))
+          .otherwise(lit(0L)))
+      .orderBy(col("vec_id"))
+
   /** SQ8 retrieval with exact rescore — the quantized serving
     * pattern the int8 corpus exists for: rank every candidate by the
     * INTEGER dot product of the stored int8 vectors (descaled by the

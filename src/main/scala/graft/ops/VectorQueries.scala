@@ -247,6 +247,10 @@ object VectorQueries {
     // floor-division identity on the negative path)
     "q_vec_centroid_margin" -> ((s, d) =>
       Vector.centroidMarginAudit(Tables.embeddings(s, d))),
+    // SQ8 reconstruction-error audit: per-dim floored q20 squared
+    // errors + energy, exact ppm relative distortion
+    "q_vec_sq8_distortion" -> ((s, d) =>
+      Vector.quantizationDistortion(Tables.embeddings(s, d))),
     // embedding-distribution PSI over the unit-sphere grid; planted
     // drift = first component negated for the vec_id%5 slice
     // (norm-preserving, so the unit arithmetic stays bitwise)
@@ -601,6 +605,45 @@ object VectorQueries {
         |SELECT vec_id, 0 AS label, dot / (norm_a * norm_b) AS cos_sim
         |FROM dots WHERE norm_a > 0 AND norm_b > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vec_sq8_distortion" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, max_abs AS scale, embedding,
+        |    list_transform(embedding, x ->
+        |      CAST(CASE WHEN max_abs = 0 THEN 0
+        |        ELSE FLOOR(CAST(x AS DOUBLE) / max_abs * 127)
+        |        END AS BIGINT)) AS qvec
+        |  FROM m)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(list_transform(
+        |    generate_series(1, len(embedding)), i ->
+        |      CAST(FLOOR((CAST(embedding[i] AS DOUBLE)
+        |          - qvec[i] * scale / 127.0)
+        |        * (CAST(embedding[i] AS DOUBLE)
+        |          - qvec[i] * scale / 127.0)
+        |        * 1048576) AS BIGINT))) AS BIGINT) AS sq_err_q20,
+        |  CAST(list_sum(list_transform(embedding, x ->
+        |    CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      * 1048576) AS BIGINT))) AS BIGINT) AS energy_q20,
+        |  CASE WHEN CAST(list_sum(list_transform(embedding, x ->
+        |      CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |        * 1048576) AS BIGINT))) AS BIGINT) > 0
+        |    THEN CAST(list_sum(list_transform(
+        |        generate_series(1, len(embedding)), i ->
+        |          CAST(FLOOR((CAST(embedding[i] AS DOUBLE)
+        |              - qvec[i] * scale / 127.0)
+        |            * (CAST(embedding[i] AS DOUBLE)
+        |              - qvec[i] * scale / 127.0)
+        |            * 1048576) AS BIGINT))) AS BIGINT) * 1000000
+        |      // CAST(list_sum(list_transform(embedding, x ->
+        |        CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |          * 1048576) AS BIGINT))) AS BIGINT)
+        |    ELSE 0 END AS rel_err_ppm
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_vec_drift_psi" ->
       """WITH n AS (
         |  SELECT vec_id,

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 214,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 214")
-    assert(SparkEntry.oracleSql.size == 202,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 202")
+    assert(SparkEntry.queries.size == 215,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 215")
+    assert(SparkEntry.oracleSql.size == 203,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 203")
   }
 
   test("doc surface composes end to end") {
@@ -215,6 +215,7 @@ class GraftApiSpec extends SparkSpec {
       "modularityAssigned" -> "modularityAssigned",
       "centroidMarginAudit" -> "centroidMarginAudit",
       "embeddingDriftPsi" -> "embeddingDriftTo",
+      "quantizationDistortion" -> "quantizationDistortion",
       "knnGraph" -> "knnGraph",
       "densityPrune" -> "densityPruned",
       "hardNegativesAssigned" -> "hardNegatives",

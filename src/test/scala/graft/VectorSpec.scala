@@ -1175,6 +1175,26 @@ class VectorSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("quantizationDistortion: zero vec reads zero; error bounded by one quant step per dim") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.5f, -0.25f, 0.125f)),
+      (3L, Array(0.003f, 0.9f, 0.1f, -0.7f))
+    ).toDF("vec_id", "embedding")
+    val out = Vec.quantizationDistortion(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    val z = out.find(_._1 == 1L).get
+    assert(z._2 == 0L && z._4 == 0L)
+    // per-dim error < scale/127 → sq_err_q20 < 4·(scale/127)²·2^20
+    out.filter(_._1 != 1L).foreach { case (id, err, energy, rel) =>
+      assert(err >= 0 && err < (4.0 * math.pow(1.0 / 127, 2)
+        * (1L << 20)).toLong + 4, s"vec $id err=$err")
+      assert(rel >= 0 && rel < 1000000L)
+    }
+  }
+
   test("embeddingDriftPsi: identical snapshots read zero; a shifted slice lights up") {
     import spark.implicits._
     val embs = (1L to 80L).map(i =>
