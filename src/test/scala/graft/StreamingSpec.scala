@@ -677,4 +677,26 @@ class StreamingSpec extends SparkSpec {
     }
     assert(viewOf(pq) == List(("c", 1L, 1.5)))
   }
+
+  test("idempotent sink: a replayed batch replaces its partition, never duplicates") {
+    import spark.implicits._
+    import graft.streaming.IdempotentSink
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-txn-sink").toString
+    IdempotentSink.write(Seq((1L, "a"), (2L, "b"))
+      .toDF("id", "payload"), 0L, dir)
+    IdempotentSink.write(Seq((3L, "c")).toDF("id", "payload"),
+      1L, dir)
+    // failure-window replay: batch 1 delivered again
+    IdempotentSink.write(Seq((3L, "c")).toDF("id", "payload"),
+      1L, dir)
+    val rows = IdempotentSink.readAll(spark, dir)
+      .select("id", "payload", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).toList
+    assert(rows == List((1L, "a", 0), (2L, "b", 0), (3L, "c", 1)),
+      s"rows=$rows")
+    // untouched partitions survive a replay of another batch
+    assert(rows.count(_._3 == 0) == 2)
+  }
 }
