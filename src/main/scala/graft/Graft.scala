@@ -624,6 +624,11 @@ object Graft {
     /** SQ8 reconstruction-error audit per vector. */
     def quantizationDistortion: DataFrame =
       ops.Vector.quantizationDistortion(embs)
+    /** IVF nprobe→recall tuning curve against the exact top-k. */
+    def nprobeRecallCurve(
+        model: org.apache.spark.ml.clustering.KMeansModel,
+        queryId: Long, k: Int, probes: Seq[Int]): DataFrame =
+      ops.Vector.nprobeRecallCurve(embs, model, queryId, k, probes)
     /** kNN graph via the fitted coarse quantizer. */
     def knnGraph(model: KMeansModel, k: Int): DataFrame =
       ops.Vector.knnGraph(embs, model, k)

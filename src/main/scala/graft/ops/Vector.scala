@@ -467,6 +467,37 @@ object Vector {
             .otherwise(floor(x.cast("double") / col("max_abs") * 127)
               .cast("int"))).as("qvec"))
 
+  /** IVF nprobe→recall tuning curve — the table an operator reads
+    * before fixing the serving nprobe (the FAISS tuning loop as a
+    * first-class query): for each probe count, the exact-integer
+    * recall of [[ivfTopK]] against the brute-force top-k. Probing
+    * every list MUST read 10⁶ ppm (full-probe IVF ranks the whole
+    * corpus by the same cosine order — asserted by the spec), which
+    * anchors the curve's top end. One brute-force pass + one probed
+    * pass per entry, all query-result-sized frames.
+    */
+  def nprobeRecallCurve(
+      embeddings: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      queryId: Long,
+      k: Int,
+      probes: Seq[Int]
+  ): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      "probes must be non-empty positives")
+    val exact = bruteForceTopK(embeddings, queryId, k)
+      .select(col("vec_id"))
+    probes.map { p =>
+      ivfTopK(embeddings, model, queryId, k, nProbe = p)
+        .select(col("vec_id"))
+        .join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit(p).as("nprobe"), col("n_hits"), col("n_exact"),
+          expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
   /** SQ8 quantization-distortion audit — the error side of the
     * memory/quality trade [[quantizeInt8]] makes ([[recallAtK]]
     * measures the SERVING effect; this measures the RAW

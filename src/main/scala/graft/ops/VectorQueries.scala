@@ -143,6 +143,11 @@ object VectorQueries {
         nPlanes = 4)),
     "q_vec_ann_ivf" -> ((s, d) =>
       Vector.ivfTopK(Tables.embeddings(s, d), ivfModel(s, d), 0L, 10)),
+    // nprobe→recall tuning curve (rows-only: the IVF family
+    // contract); nprobe=16 probes every list and must read 1e6 ppm
+    "q_vec_nprobe_curve" -> ((s, d) =>
+      Vector.nprobeRecallCurve(Tables.embeddings(s, d),
+        ivfModel(s, d), 0L, 10, Seq(1, 2, 4, 16))),
     "q_vec_feature_knn" -> ((s, d) =>
       // media features → brute-force cosine neighbors: the multimodal
       // feature column flowing through the similarity operator

@@ -53,8 +53,8 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 215,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 215")
+    assert(SparkEntry.queries.size == 216,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 216")
     assert(SparkEntry.oracleSql.size == 203,
       s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 203")
   }
@@ -216,6 +216,7 @@ class GraftApiSpec extends SparkSpec {
       "centroidMarginAudit" -> "centroidMarginAudit",
       "embeddingDriftPsi" -> "embeddingDriftTo",
       "quantizationDistortion" -> "quantizationDistortion",
+      "nprobeRecallCurve" -> "nprobeRecallCurve",
       "knnGraph" -> "knnGraph",
       "densityPrune" -> "densityPruned",
       "hardNegativesAssigned" -> "hardNegatives",

@@ -1175,6 +1175,18 @@ class VectorSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("nprobeRecallCurve: recall non-decreasing in nprobe, full probe reads 1e6") {
+    val embs = Tables.embeddings(spark, sf("sf0.001"))
+    val model = Vec.fitIvf(embs, nLists = 4)
+    val curve = Vec.nprobeRecallCurve(embs, model, 0L, 5,
+      Seq(1, 2, 4)).collect()
+      .map(r => (r.getInt(0), r.getLong(3))).toList
+    assert(curve.map(_._1) == List(1, 2, 4))
+    assert(curve.map(_._2) == curve.map(_._2).sorted,
+      s"recall not monotone: $curve")
+    assert(curve.last._2 == 1000000L, s"full probe: $curve")
+  }
+
   test("quantizationDistortion: zero vec reads zero; error bounded by one quant step per dim") {
     import spark.implicits._
     val embs = Seq(
