@@ -798,6 +798,39 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** TPC-H Q21 shape — suppliers who ALONE kept multi-supplier
+    * orders waiting: per order, the set of suppliers and the set of
+    * LATE suppliers (ship > order date + `lateDays`); an order
+    * counts against supplier s when s is late, at least one other
+    * supplier participated (EXISTS), and no OTHER supplier was late
+    * (NOT EXISTS). Both correlated subqueries decorrelate into ONE
+    * per-order aggregate (`n_suppliers`, `n_late`, plus the argmax
+    * late supplier) — the order qualifies iff `n_suppliers > 1 AND
+    * n_late = 1`, and the blamed supplier is the single late one.
+    * One shuffle on the order key; the blame table is
+    * qualifying-orders-sized.
+    */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+      lateDays: Int = 90, topK: Int = 10): DataFrame = {
+    val li = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) > lateDays)
+          .as("late"))
+    val perOrder = li
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(when(col("late"), col("l_suppkey")))
+          .as("n_late"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_suppliers") > 1 && col("n_late") === 1)
+    perOrder.groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(topK)
+  }
+
   /** TPC-H Q22 shape — idle wealthy customers: customers whose
     * balance beats the average POSITIVE balance and who have placed
     * no order since `sinceDate` (every synthetic customer has SOME

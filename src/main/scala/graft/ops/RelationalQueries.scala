@@ -156,6 +156,10 @@ object RelationalQueries {
     "q_idle_customers" -> ((s, d) =>
       idleCustomers(Tables.customer(s, d), Tables.orders(s, d),
         "2000-01-01")),
+    // TPC-H Q21 shape: EXISTS/NOT-EXISTS decorrelated into one
+    // per-order aggregate
+    "q_waiting_suppliers" -> ((s, d) =>
+      waitingSuppliers(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q_date_funcs" -> ((s, d) => dateFuncs(Tables.orders(s, d))),
     // the operator returns real arrays; the registered check projects
     // them to CSV (fixed-point cents) because the driver's comparator
@@ -532,6 +536,23 @@ object RelationalQueries {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_waiting_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    date_diff('day', o_orderdate, l_shipdate) > 90 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |po AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END)
+        |      AS n_late,
+        |    MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |  FROM li GROUP BY 1)
+        |SELECT late_supp AS s_suppkey, COUNT(*) AS numwait
+        |FROM po WHERE n_suppliers > 1 AND n_late = 1
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 10""".stripMargin,
     "q_idle_customers" ->
       """WITH ab AS (
         |  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))

@@ -203,6 +203,25 @@ class AnalyticSpec extends SparkSpec {
       ("total_ms", 2L, 30000L, 30000L, 180000L)))
   }
 
+  test("waitingSuppliers: blames only the sole late supplier of multi-supplier orders") {
+    val o = Seq((1L, "1995-01-01"), (2L, "1995-01-01"),
+      (3L, "1995-01-01"))
+      .toDF("o_orderkey", "od")
+      .withColumn("o_orderdate", to_date(col("od"))).drop("od")
+    val li = Seq(
+      // order 1: supplier 7 late, supplier 8 on time → blame 7
+      (1L, 7L, "1995-06-01"), (1L, 8L, "1995-02-01"),
+      // order 2: both late → no single culprit, excluded
+      (2L, 7L, "1995-06-01"), (2L, 9L, "1995-07-01"),
+      // order 3: single-supplier late → EXISTS fails, excluded
+      (3L, 7L, "1995-06-01")
+    ).toDF("l_orderkey", "l_suppkey", "sd")
+      .withColumn("l_shipdate", to_date(col("sd"))).drop("sd")
+    val out = Relational.waitingSuppliers(li, o).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(out === List((7L, 1L)))
+  }
+
   test("repeatPurchaseIntervals: per-customer consecutive gaps, disc percentiles exact") {
     // cust 1: gaps 10, 20; cust 2: gap 5 → sorted (5, 10, 20)
     val o = Seq(

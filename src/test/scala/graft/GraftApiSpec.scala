@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 216,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 216")
-    assert(SparkEntry.oracleSql.size == 203,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 203")
+    assert(SparkEntry.queries.size == 217,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 217")
+    assert(SparkEntry.oracleSql.size == 204,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 204")
   }
 
   test("doc surface composes end to end") {
