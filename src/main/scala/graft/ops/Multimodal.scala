@@ -112,6 +112,37 @@ object Multimodal {
         least(col("n_frames"), lit(32)).as("frames_to_sample")
       )
 
+  /** Audio segmentation planning — the audio twin of
+    * [[frameSamplePlan]] (video samples frames; audio models consume
+    * fixed-length windows): for decoded audio payloads, emit one row
+    * per `windowS`-second chunk with `overlapS` seconds of overlap
+    * (the Whisper-style 30 s/stride recipe). Duration derives from
+    * the stub metadata (`n_frames` seconds — a real decoder reports
+    * duration; the chunk arithmetic downstream is identical), chunk
+    * starts are `i·(windowS−overlapS)`, and the plan stops when a
+    * window's start passes the end — all integer arithmetic, one
+    * Generate per payload, no UDF.
+    */
+  def audioChunkPlan(decoded: DataFrame, windowS: Int = 30,
+      overlapS: Int = 5): DataFrame = {
+    require(windowS > overlapS && overlapS >= 0,
+      s"need windowS > overlapS >= 0, got $windowS/$overlapS")
+    val stride = windowS - overlapS
+    decoded
+      .filter(col("ok") && col("media_type") === "audio")
+      .select(col("doc_id"), col("n_frames").cast("long")
+        .as("duration_s"))
+      .select(col("doc_id"), col("duration_s"),
+        explode(sequence(lit(0L),
+          greatest(expr(s"(duration_s - 1) div $stride"), lit(0L))))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("duration_s"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_s"),
+        least(col("chunk_idx") * stride + windowS,
+          col("duration_s")).as("end_s"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Per-source modality-mix audit — the dataset-composition table a
     * multimodal training recipe starts from (how much image vs audio
     * vs video vs text does each source contribute, and does a crawl

@@ -45,6 +45,11 @@ object MultimodalQueries {
     // per-source modality composition with exact ppm shares
     "q_mm_modality_mix" -> ((s, d) =>
       Multimodal.modalityMix(Tables.documents(s, d))),
+    // Whisper-style 30s/5s-overlap audio window plan from decoded
+    // durations — integer arithmetic, one Generate per payload
+    "q_mm_audio_chunks" -> ((s, d) =>
+      Multimodal.audioChunkPlan(
+        Multimodal.decodeMeta(Tables.documents(s, d)))),
     // feature extraction composed with vector math: per-media-feature
     // L2 norm (stubbed encoder; plumbing + composition under test)
     "q_mm_feature_norms" -> ((s, d) =>
@@ -110,6 +115,20 @@ object MultimodalQueries {
         |  md5(text) AS payload_md5,
         |  lower(substring(hex(encode(text)), 1, 8)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_audio_chunks" ->
+      s"""WITH $decodedCte,
+         |a AS (
+         |  SELECT doc_id, CAST(n_frames AS BIGINT) AS duration_s
+         |  FROM decoded WHERE media_type = 'audio'),
+         |c AS (
+         |  SELECT doc_id, duration_s,
+         |    UNNEST(generate_series(0,
+         |      GREATEST((duration_s - 1) // 25, 0))) AS chunk_idx
+         |  FROM a)
+         |SELECT doc_id, duration_s, chunk_idx,
+         |  chunk_idx * 25 AS start_s,
+         |  LEAST(chunk_idx * 25 + 30, duration_s) AS end_s
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_mm_modality_mix" ->
       s"""WITH $decodedCte,
          |j AS (

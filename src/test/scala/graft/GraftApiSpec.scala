@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 217,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 217")
-    assert(SparkEntry.oracleSql.size == 204,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 204")
+    assert(SparkEntry.queries.size == 218,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 218")
+    assert(SparkEntry.oracleSql.size == 205,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 205")
   }
 
   test("doc surface composes end to end") {

@@ -137,6 +137,23 @@ class MultimodalSpec extends SparkSpec {
     assert(banded.forall(_._3 == 0))
   }
 
+  test("audioChunkPlan: full coverage, fixed overlap, tail clipped") {
+    import spark.implicits._
+    // 70 s → chunks at 0, 25, 50: [0,30] [25,55] [50,70]
+    val decoded = Seq(
+      (1L, "audio", 0, 0, 70, true),
+      (2L, "audio", 0, 0, 10, true),  // shorter than one window
+      (3L, "video", 0, 0, 99, true)   // not audio → no rows
+    ).toDF("doc_id", "media_type", "width", "height", "n_frames",
+      "ok")
+    val out = Multimodal.audioChunkPlan(decoded).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(out === List(
+      (1L, 0L, 0L, 30L), (1L, 1L, 25L, 55L), (1L, 2L, 50L, 70L),
+      (2L, 0L, 0L, 10L)))
+  }
+
   test("modalityMix: per-source counts partition the decoded docs, shares sum to ~1e6") {
     import spark.implicits._
     val docs = (1L to 40L).map(i =>

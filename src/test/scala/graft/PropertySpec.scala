@@ -687,6 +687,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshot MERGE apply == sequential replay for random op feeds") {
+    val opsGen = Gen.listOf(Gen.zip(Gen.choose(0, 3),
+      Gen.choose(0, 2), Gen.choose(1, 99)))
+    forAll(opsGen, n = 10) { events =>
+      // driver-side replay is the semantic reference
+      val state = scala.collection.mutable.Map[Int, String]()
+      val delta = scala.collection.mutable.ListBuffer[
+        (Long, String, String, Int)]()
+      events.zipWithIndex.foreach { case ((k, opSel, pay), seq) =>
+        val p = s"p$pay"
+        opSel match {
+          case 0 => state(k) = p; delta += ((k.toLong, p, "I", seq))
+          case 1 => state(k) = p; delta += ((k.toLong, p, "U", seq))
+          case _ =>
+            state.remove(k); delta += ((k.toLong, p, "D", seq))
+        }
+      }
+      if (delta.nonEmpty) {
+        val base = Seq((9L, "base")).toDF("k", "payload")
+        val out = Cdc.applySnapshot(base,
+            delta.toSeq.toDF("k", "payload", "op", "seq"),
+            Seq("k"), col("seq"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+        val expected = state.map { case (k, v) => k.toLong -> v }
+          .toMap + (9L -> "base")
+        assert(out == expected, s"delta=$delta")
+      }
+    }
+  }
+
   test("incremental view maintenance == recompute for random I/U/D feeds") {
     // ops applied in sequence per key against an initially-empty
     // view; U always carries the current value, D the stored one
