@@ -289,6 +289,9 @@ object Graft {
     /** Per-language chars/token fertility proxy. */
     def compressionRatio: DataFrame =
       ops.Text.compressionRatio(docs)
+    /** Per-source PII risk rollup over the redaction counts. */
+    def piiRiskBySource: DataFrame =
+      ops.Text.piiRiskBySource(docs)
     /** BM25 integer postings skeleton for a literal query. */
     def bm25Postings(queryTokens: Seq[String]): DataFrame =
       ops.Text.bm25Postings(docs, queryTokens)
@@ -624,6 +627,9 @@ object Graft {
     /** SQ8 reconstruction-error audit per vector. */
     def quantizationDistortion: DataFrame =
       ops.Vector.quantizationDistortion(embs)
+    /** Per-tier index byte budget for this corpus. */
+    def indexMemoryBudget(pqM: Int = 8): DataFrame =
+      ops.Vector.indexMemoryBudget(embs, pqM)
     /** IVF nprobe→recall tuning curve against the exact top-k. */
     def nprobeRecallCurve(
         model: org.apache.spark.ml.clustering.KMeansModel,

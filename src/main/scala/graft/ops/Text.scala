@@ -1618,6 +1618,27 @@ object Text {
         .as("n_long_nums"))
   }
 
+  /** Per-source PII risk rollup — the governance summary over
+    * [[piiRedact]]'s per-doc counts (the per-doc table says WHAT to
+    * scrub; this says WHICH FEEDS leak): per source, docs with at
+    * least one hit (exact ppm rate) and total hits per PII class.
+    * One scan through the redact projection + a #sources-row
+    * aggregation.
+    */
+  def piiRiskBySource(docs: DataFrame): DataFrame =
+    piiRedact(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_emails") + col("n_urls") +
+          col("n_long_nums") > 0, lit(1))).as("docs_with_pii"),
+        sum(col("n_emails").cast("long")).as("total_emails"),
+        sum(col("n_urls").cast("long")).as("total_urls"),
+        sum(col("n_long_nums").cast("long")).as("total_long_nums"))
+      .withColumn("pii_doc_ppm",
+        expr("docs_with_pii * 1000000 div n_docs"))
+      .orderBy(col("source"))
+
   /** Repetition signals (the Gopher-style quality filters): duplicate
     * bigram mass and most-frequent-token share. Entirely per-row
     * array math in the scan stage; the quadratic top-token fold is

@@ -434,6 +434,9 @@ object TextQueries {
     "q_text_shuffle_shards" -> ((s, d) =>
       Text.trainingShuffleShards(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    // governance rollup of the per-doc PII counts: which feeds leak
+    "q_text_pii_summary" -> ((s, d) =>
+      Text.piiRiskBySource(Tables.documents(s, d))),
     "q_text_pii" -> ((s, d) =>
       Text.piiRedact(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // decontamination: docs vs a deterministic held-out slice
@@ -1580,6 +1583,26 @@ object TextQueries {
         |WHERE sh.doc_id % 50 <> 0
         |GROUP BY sh.doc_id HAVING COUNT(*) >= 5
         |ORDER BY sh.doc_id""".stripMargin,
+    "q_text_pii_summary" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+        |      AS BIGINT) AS n_urls,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{7,}'))
+        |      AS BIGINT) AS n_long_nums
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (n_emails + n_urls + n_long_nums > 0)
+        |    AS docs_with_pii,
+        |  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+        |  CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+        |  CAST(SUM(n_long_nums) AS BIGINT) AS total_long_nums,
+        |  COUNT(*) FILTER (n_emails + n_urls + n_long_nums > 0)
+        |    * 1000000 // COUNT(*) AS pii_doc_ppm
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "q_text_pii" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,

@@ -467,6 +467,33 @@ object Vector {
             .otherwise(floor(x.cast("double") / col("max_abs") * 127)
               .cast("int"))).as("qvec"))
 
+  /** Index memory-budget report — the capacity-planning table behind
+    * the quantization tiers ([[quantizeInt8]]/SQ8, [[binarize]],
+    * [[pqEncode]]): per storage tier, the exact byte footprint for
+    * THIS corpus (n, d measured from the data) and the milli
+    * compression ratio vs fp32. SQ8 = d bytes + an 8-byte scale per
+    * vector; binary = one 8-byte word per 32 dims; PQ = `pqM` code
+    * bytes per vector. Pure arithmetic over a 1-row count aggregate.
+    */
+  def indexMemoryBudget(embeddings: DataFrame,
+      pqM: Int = 8): DataFrame = {
+    require(pqM >= 1, s"pqM must be >= 1, got $pqM")
+    embeddings
+      .agg(count(lit(1)).as("n"),
+        max(size(col("embedding"))).cast("long").as("d"))
+      .selectExpr("n", "d",
+        s"""stack(4,
+           | 'binary', n * ((d + 31) div 32) * 8,
+           | 'fp32', n * d * 4,
+           | 'pq', n * ${pqM}L,
+           | 'sq8', n * d + n * 8) AS (tier, bytes)""".stripMargin)
+      .withColumn("ratio_vs_fp32_milli",
+        expr("(n * d * 4) * 1000 div bytes"))
+      .select(col("tier"), col("bytes"), col("n").as("n_vectors"),
+        col("d").as("dim"), col("ratio_vs_fp32_milli"))
+      .orderBy(col("tier"))
+  }
+
   /** IVF nprobe→recall tuning curve — the table an operator reads
     * before fixing the serving nprobe (the FAISS tuning loop as a
     * first-class query): for each probe count, the exact-integer

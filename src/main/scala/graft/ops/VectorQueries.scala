@@ -256,6 +256,9 @@ object VectorQueries {
     // errors + energy, exact ppm relative distortion
     "q_vec_sq8_distortion" -> ((s, d) =>
       Vector.quantizationDistortion(Tables.embeddings(s, d))),
+    // capacity planning: exact byte budgets per quantization tier
+    "q_vec_index_budget" -> ((s, d) =>
+      Vector.indexMemoryBudget(Tables.embeddings(s, d))),
     // embedding-distribution PSI over the unit-sphere grid; planted
     // drift = first component negated for the vec_id%5 slice
     // (norm-preserving, so the unit arithmetic stays bitwise)
@@ -610,6 +613,20 @@ object VectorQueries {
         |SELECT vec_id, 0 AS label, dot / (norm_a * norm_b) AS cos_sim
         |FROM dots WHERE norm_a > 0 AND norm_b > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vec_index_budget" ->
+      """WITH s AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(MAX(len(embedding)) AS BIGINT) AS d
+        |  FROM embeddings),
+        |t AS (
+        |  SELECT 'binary' AS tier, n * ((d + 31) // 32) * 8
+        |    AS bytes, n, d FROM s
+        |  UNION ALL SELECT 'fp32', n * d * 4, n, d FROM s
+        |  UNION ALL SELECT 'pq', n * 8, n, d FROM s
+        |  UNION ALL SELECT 'sq8', n * d + n * 8, n, d FROM s)
+        |SELECT tier, bytes, n AS n_vectors, d AS dim,
+        |  (n * d * 4) * 1000 // bytes AS ratio_vs_fp32_milli
+        |FROM t ORDER BY tier""".stripMargin,
     "q_vec_sq8_distortion" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 218,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 218")
-    assert(SparkEntry.oracleSql.size == 205,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 205")
+    assert(SparkEntry.queries.size == 220,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 220")
+    assert(SparkEntry.oracleSql.size == 207,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 207")
   }
 
   test("doc surface composes end to end") {
@@ -217,6 +217,8 @@ class GraftApiSpec extends SparkSpec {
       "embeddingDriftPsi" -> "embeddingDriftTo",
       "quantizationDistortion" -> "quantizationDistortion",
       "nprobeRecallCurve" -> "nprobeRecallCurve",
+      "indexMemoryBudget" -> "indexMemoryBudget",
+      "piiRiskBySource" -> "piiRiskBySource",
       "knnGraph" -> "knnGraph",
       "densityPrune" -> "densityPruned",
       "hardNegativesAssigned" -> "hardNegatives",

@@ -1593,6 +1593,21 @@ class TextSpec extends SparkSpec {
     assert(quals.sameElements(quals.sorted.reverse))
   }
 
+  test("piiRiskBySource: leaking feed flagged with exact ppm, clean feed zero") {
+    val docs = Seq(
+      (1L, "contact me a@b.com or 12345678", "crawl"),
+      (2L, "clean text here", "crawl"),
+      (3L, "nothing sensitive", "books"),
+      (4L, "also clean", "crawl")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.Text.piiRiskBySource(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5), r.getLong(6))).toList
+    assert(out === List(
+      ("books", 1L, 0L, 0L, 0L, 0L),
+      ("crawl", 3L, 1L, 1L, 1L, 333333L)))
+  }
+
   test("compressionRatio: exact chars/token per lang; empty docs excluded") {
     val docs = Seq(
       (1L, "abc de", "en"), (2L, "x", "en"), (3L, "  ", "fr"),

@@ -1175,6 +1175,19 @@ class VectorSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("indexMemoryBudget: tier bytes exact, ratios ordered binary > sq8 > fp32") {
+    import spark.implicits._
+    val embs = (1L to 100L).map(i => (i, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Vec.indexMemoryBudget(embs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4)))
+      .toMap
+    assert(out("fp32") == (100L * 64 * 4, 1000L))
+    assert(out("sq8") == (100L * 64 + 800L, 25600L * 1000 / 7200))
+    assert(out("binary") == (100L * 2 * 8, 16000L))
+    assert(out("pq") == (800L, 32000L))
+  }
+
   test("nprobeRecallCurve: recall non-decreasing in nprobe, full probe reads 1e6") {
     val embs = Tables.embeddings(spark, sf("sf0.001"))
     val model = Vec.fitIvf(embs, nLists = 4)
