@@ -292,6 +292,9 @@ object Graft {
     /** Per-source PII risk rollup over the redaction counts. */
     def piiRiskBySource: DataFrame =
       ops.Text.piiRiskBySource(docs)
+    /** Per-doc 3-gram novelty of this batch vs `corpus`. */
+    def noveltyAgainst(corpus: DataFrame): DataFrame =
+      ops.Text.ngramNovelty(docs, corpus)
     /** BM25 integer postings skeleton for a literal query. */
     def bm25Postings(queryTokens: Seq[String]): DataFrame =
       ops.Text.bm25Postings(docs, queryTokens)

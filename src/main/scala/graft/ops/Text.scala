@@ -1618,6 +1618,53 @@ object Text {
         .as("n_long_nums"))
   }
 
+  /** Batch-vs-corpus n-gram novelty — the "is this crawl adding
+    * anything" score an ingestion owner reads before paying for a
+    * refresh (the dual of contamination: contamination asks how much
+    * of the batch is ALREADY KNOWN against an eval set; novelty asks
+    * how much is NEW against the serving corpus): per new doc, its
+    * distinct 3-gram count, how many are unseen in the corpus, and
+    * the exact ppm novelty. Docs under the shingle width score 0
+    * over 0 shingles (emitted with novelty 0 — a 2-token doc has no
+    * 3-gram identity to be novel with).
+    *
+    * Shape at scale: the corpus reduces to its DISTINCT-shingle
+    * vocabulary once (aggregated, far smaller than the corpus; store
+    * it as an artifact for incremental runs like the ingest gates'
+    * seen stores); the batch explodes once and left-joins that
+    * vocabulary on the shingle key — batch-sized work against an
+    * aggregated table, nothing pairwise.
+    */
+  def ngramNovelty(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 2),
+          zip_with(
+            slice(col("toks"), lit(2), size(col("toks")) - 2),
+            slice(col("toks"), lit(3), size(col("toks")) - 2),
+            (b, c) => concat_ws(" ", b, c)),
+          (a, bc) => concat_ws(" ", a, bc)))).as("sh"))
+    val seen = shingles(corpus).select(col("sh")).distinct()
+      .withColumn("__seen", lit(1))
+    val scored = shingles(newDocs)
+      .join(seen, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("__seen").isNull, lit(1))).as("n_unseen"))
+      .withColumn("novelty_ppm",
+        expr("n_unseen * 1000000 div n_shingles"))
+    newDocs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("novelty_ppm"), lit(0L)).as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source PII risk rollup — the governance summary over
     * [[piiRedact]]'s per-doc counts (the per-doc table says WHAT to
     * scrub; this says WHICH FEEDS leak): per source, docs with at

@@ -437,6 +437,13 @@ object TextQueries {
     // governance rollup of the per-doc PII counts: which feeds leak
     "q_text_pii_summary" -> ((s, d) =>
       Text.piiRiskBySource(Tables.documents(s, d))),
+    // batch novelty vs corpus: new batch = the doc_id%10 slice,
+    // corpus = the rest; exact ppm unseen-3-gram rate per new doc
+    "q_text_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.ngramNovelty(docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+    }),
     "q_text_pii" -> ((s, d) =>
       Text.piiRedact(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // decontamination: docs vs a deterministic held-out slice
@@ -1583,6 +1590,32 @@ object TextQueries {
         |WHERE sh.doc_id % 50 <> 0
         |GROUP BY sh.doc_id HAVING COUNT(*) >= 5
         |ORDER BY sh.doc_id""".stripMargin,
+    "q_text_novelty" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, $toksSql AS w, doc_id % 10 = 0 AS is_new
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |sh AS (
+         |  SELECT doc_id, is_new,
+         |    UNNEST(list_distinct(list_transform(
+         |      generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+         |      AS sh
+         |  FROM t0 WHERE len(w) >= 3),
+         |seen AS (
+         |  SELECT DISTINCT sh FROM sh WHERE NOT is_new),
+         |scored AS (
+         |  SELECT n.doc_id, COUNT(*) AS n_shingles,
+         |    COUNT(*) FILTER (seen.sh IS NULL) AS n_unseen
+         |  FROM sh n LEFT JOIN seen ON n.sh = seen.sh
+         |  WHERE n.is_new GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(s.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(s.n_unseen, 0) AS BIGINT) AS n_unseen,
+         |  CAST(COALESCE(s.n_unseen * 1000000 // s.n_shingles, 0)
+         |    AS BIGINT) AS novelty_ppm
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN scored s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_text_pii_summary" ->
       """WITH p AS (
         |  SELECT doc_id, source,

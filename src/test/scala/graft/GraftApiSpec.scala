@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 220,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 220")
-    assert(SparkEntry.oracleSql.size == 207,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 207")
+    assert(SparkEntry.queries.size == 221,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 221")
+    assert(SparkEntry.oracleSql.size == 208,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 208")
   }
 
   test("doc surface composes end to end") {
@@ -219,6 +219,7 @@ class GraftApiSpec extends SparkSpec {
       "nprobeRecallCurve" -> "nprobeRecallCurve",
       "indexMemoryBudget" -> "indexMemoryBudget",
       "piiRiskBySource" -> "piiRiskBySource",
+      "ngramNovelty" -> "noveltyAgainst",
       "knnGraph" -> "knnGraph",
       "densityPrune" -> "densityPruned",
       "hardNegativesAssigned" -> "hardNegatives",

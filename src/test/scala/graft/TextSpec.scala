@@ -1593,6 +1593,23 @@ class TextSpec extends SparkSpec {
     assert(quals.sameElements(quals.sorted.reverse))
   }
 
+  test("ngramNovelty: repeated batch reads 0, fresh batch 1e6, short docs emit zeros") {
+    val corpus = Seq((100L, "a b c d"), (101L, "x y z w"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c d"),     // all 3-grams seen → 0 ppm
+      (2L, "p q r s"),     // all fresh → 1e6 ppm
+      (3L, "a b c q"),     // "a b c" seen, "b c q" fresh → 500000
+      (4L, "too short")    // < 3 tokens → zeros
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Text.ngramNovelty(batch, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(out === List(
+      (1L, 2L, 0L, 0L), (2L, 2L, 2L, 1000000L),
+      (3L, 2L, 1L, 500000L), (4L, 0L, 0L, 0L)))
+  }
+
   test("piiRiskBySource: leaking feed flagged with exact ppm, clean feed zero") {
     val docs = Seq(
       (1L, "contact me a@b.com or 12345678", "crawl"),
