@@ -633,6 +633,9 @@ object Graft {
     /** Per-tier index byte budget for this corpus. */
     def indexMemoryBudget(pqM: Int = 8): DataFrame =
       ops.Vector.indexMemoryBudget(embs, pqM)
+    /** Byte-identical duplicate vector groups (q16 identity). */
+    def exactDupVectors(minDups: Long = 2L): DataFrame =
+      ops.Vector.exactDupVectors(embs, minDups)
     /** IVF nprobe→recall tuning curve against the exact top-k. */
     def nprobeRecallCurve(
         model: org.apache.spark.ml.clustering.KMeansModel,

@@ -278,6 +278,43 @@ object Audit {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Seasonal-naive forecast backtest — the accuracy floor every
+    * fancier volume forecast must beat, measured on the data's own
+    * last day: forecast(type, last day) = exact-milli mean of the
+    * PRIOR same-weekday daily counts, scored against the actual with
+    * an exact-milli absolute percentage error. All integer
+    * arithmetic off day-grain counts ([[dowBaseline]] shapes); types
+    * whose last day has no prior same-weekday history emit null
+    * forecast rather than a fabricated one.
+    */
+  def seasonalNaiveBacktest(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", weekday(col("day")).cast("int"))
+    val last = daily.groupBy(col("event_type"))
+      .agg(max(col("day")).as("last_day"))
+    val hist = daily.as("d")
+      .join(last.as("l"), Seq("event_type"))
+      .filter(col("d.day") < col("l.last_day") &&
+        col("d.dow") === weekday(col("l.last_day")).cast("int"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("hist_total"),
+        count(lit(1)).as("hist_days"))
+    daily.join(last, Seq("event_type"))
+      .filter(col("day") === col("last_day"))
+      .join(hist, Seq("event_type"), "left")
+      .select(col("event_type"), col("last_day"), col("n")
+        .as("actual"),
+        expr("hist_total * 1000 div hist_days").as("forecast_milli"))
+      .withColumn("ape_milli",
+        when(col("forecast_milli").isNotNull && col("actual") > 0,
+          expr("abs(actual * 1000 - forecast_milli) * 1000 " +
+            "div (actual * 1000)"))
+          .otherwise(lit(null).cast("long")))
+      .orderBy(col("event_type"))
+  }
+
   /** One-pass column profile — the "what is actually in this table"
     * report run before writing assertions ([[assertionReport]]
     * checks EXPECTATIONS; this DISCOVERS them): per listed column,

@@ -91,6 +91,9 @@ object RelationalQueries {
       lastTouchAttribution(Tables.events(s, d))
         .orderBy(col("event_id"))),
     // robust (median/MAD) volume anomaly twin — masking-resistant
+    // seasonal-naive backtest: last day vs prior same-weekday mean
+    "q_events_forecast_backtest" -> ((s, d) =>
+      Audit.seasonalNaiveBacktest(Tables.events(s, d))),
     // one-pass column profile of orders (nulls/distinct/min/max per
     // column, engine-stable string rendering)
     "q_profile_orders" -> ((s, d) =>
@@ -627,6 +630,36 @@ object RelationalQueries {
         |      * 1000000 // COUNT(DISTINCT user_id)
         |    ELSE 0 END AS stickiness_ppm
         |FROM j GROUP BY day ORDER BY day""".stripMargin,
+    "q_events_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type, day, n,
+        |    CAST(isodow(day) - 1 AS INT) AS dow
+        |  FROM daily),
+        |lastd AS (
+        |  SELECT event_type, MAX(day) AS last_day
+        |  FROM dd GROUP BY 1),
+        |hist AS (
+        |  SELECT d.event_type,
+        |    CAST(SUM(d.n) AS BIGINT) AS hist_total,
+        |    COUNT(*) AS hist_days
+        |  FROM dd d JOIN lastd l USING (event_type)
+        |  WHERE d.day < l.last_day
+        |    AND d.dow = CAST(isodow(l.last_day) - 1 AS INT)
+        |  GROUP BY 1)
+        |SELECT d.event_type, l.last_day, d.n AS actual,
+        |  h.hist_total * 1000 // h.hist_days AS forecast_milli,
+        |  CASE WHEN h.hist_days IS NOT NULL AND d.n > 0
+        |    THEN abs(d.n * 1000 - h.hist_total * 1000
+        |      // h.hist_days) * 1000 // (d.n * 1000)
+        |    ELSE NULL END AS ape_milli
+        |FROM dd d
+        |JOIN lastd l ON d.event_type = l.event_type
+        |  AND d.day = l.last_day
+        |LEFT JOIN hist h ON d.event_type = h.event_type
+        |ORDER BY d.event_type""".stripMargin,
     "q_profile_orders" ->
       """WITH p AS (
         |  SELECT 'o_orderkey' AS col_name,

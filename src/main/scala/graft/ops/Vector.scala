@@ -467,6 +467,29 @@ object Vector {
             .otherwise(floor(x.cast("double") / col("max_abs") * 127)
               .cast("int"))).as("qvec"))
 
+  /** Exact-duplicate embedding groups — the byte-identical dedup run
+    * BEFORE any ANN machinery (re-encoded shards and doubled crawl
+    * records produce exact vector copies; deduping them first shrinks
+    * every downstream index): vectors group by the md5 of their
+    * q16-integerized component string (floor(x·2¹⁶) — the
+    * engine-stable identity used across the q16 family; raw float
+    * rendering differs across engines, integers don't), keep-lowest
+    * id, emit groups with at least `minDups` members. One
+    * scan + one hash-keyed aggregation.
+    */
+  def exactDupVectors(embeddings: DataFrame,
+      minDups: Long = 2L): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        md5(array_join(transform(col("embedding"), x =>
+          floor(x.cast("double") * 65536).cast("long")
+            .cast("string")), ",")).as("vec_hash"))
+      .groupBy(col("vec_hash"))
+      .agg(min(col("vec_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") >= minDups)
+      .orderBy(col("vec_hash"))
+
   /** Index memory-budget report — the capacity-planning table behind
     * the quantization tiers ([[quantizeInt8]]/SQ8, [[binarize]],
     * [[pqEncode]]): per storage tier, the exact byte footprint for

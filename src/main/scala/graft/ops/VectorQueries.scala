@@ -259,6 +259,16 @@ object VectorQueries {
     // capacity planning: exact byte budgets per quantization tier
     "q_vec_index_budget" -> ((s, d) =>
       Vector.indexMemoryBudget(Tables.embeddings(s, d))),
+    // exact-duplicate embedding groups over a planted duplicated
+    // slice (every 50th vector re-added under a shifted id — the
+    // phash-query planting convention; the corpus has no natural
+    // byte-identical vectors so an unplanted result would be vacuous)
+    "q_vec_exact_dup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Vector.exactDupVectors(e.unionByName(
+        e.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L)))
+    }),
     // embedding-distribution PSI over the unit-sphere grid; planted
     // drift = first component negated for the vec_id%5 slice
     // (norm-preserving, so the unit arithmetic stays bitwise)
@@ -613,6 +623,21 @@ object VectorQueries {
         |SELECT vec_id, 0 AS label, dot / (norm_a * norm_b) AS cos_sim
         |FROM dots WHERE norm_a > 0 AND norm_b > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_vec_exact_dup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |h AS (
+        |  SELECT vec_id,
+        |    md5(array_to_string(list_transform(embedding, x ->
+        |      CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 65536) AS BIGINT)
+        |        AS VARCHAR)), ',')) AS vec_hash
+        |  FROM e)
+        |SELECT vec_hash, MIN(vec_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM h GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY vec_hash""".stripMargin,
     "q_vec_index_budget" ->
       """WITH s AS (
         |  SELECT COUNT(*) AS n,

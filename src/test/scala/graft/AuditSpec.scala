@@ -121,6 +121,26 @@ class AuditSpec extends SparkSpec {
     assert(zSpike.isDefined && aSpike && zSpike.get > (3L << 20))
   }
 
+  test("seasonalNaiveBacktest: prior same-weekday mean, exact APE; no-history null") {
+    // Mondays: 10, 12 events, then last Monday actual 22 →
+    // forecast 11000 milli; APE = |22000−11000|·1000 div 22000 = 500
+    def day(d: String, n: Int, base: Long, t: String) =
+      (1 to n).map(i => (base + i, s"$d 12:00:00", 1L, t))
+    val ev = (day("2024-01-01", 10, 100, "view")
+      ++ day("2024-01-08", 12, 200, "view")
+      ++ day("2024-01-15", 22, 300, "view")
+      ++ day("2024-01-02", 7, 400, "click")) // single day → no hist
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Audit.seasonalNaiveBacktest(ev).collect()
+      .map(r => (r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toList
+    assert(out === List(
+      ("click", 7L, -1L, -1L),
+      ("view", 22L, 11000L, 500L)))
+  }
+
   test("dowBaseline: weekday-typical days read 0 deviation, the off-pattern day lights up") {
     // Mondays 2024-01-01/08 carry 10 events each; Monday 01-15
     // carries 20 → its dev vs the 3-Monday mean (13333 milli·10⁻³ ≈

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 221,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 221")
-    assert(SparkEntry.oracleSql.size == 208,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 208")
+    assert(SparkEntry.queries.size == 223,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 223")
+    assert(SparkEntry.oracleSql.size == 210,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 210")
   }
 
   test("doc surface composes end to end") {
@@ -218,6 +218,7 @@ class GraftApiSpec extends SparkSpec {
       "quantizationDistortion" -> "quantizationDistortion",
       "nprobeRecallCurve" -> "nprobeRecallCurve",
       "indexMemoryBudget" -> "indexMemoryBudget",
+      "exactDupVectors" -> "exactDupVectors",
       "piiRiskBySource" -> "piiRiskBySource",
       "ngramNovelty" -> "noveltyAgainst",
       "knnGraph" -> "knnGraph",

@@ -1175,6 +1175,19 @@ class VectorSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("exactDupVectors: q16-identical grouped, near-identical separated") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(0.5f, 0.25f)), (2L, Array(0.5f, 0.25f)),
+      (3L, Array(0.5f, 0.2500001f)), // differs below fp32 print, but
+                                     // q16 floor ALSO equal → grouped
+      (4L, Array(0.5f, 0.26f))
+    ).toDF("vec_id", "embedding")
+    val out = Vec.exactDupVectors(embs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toList
+    assert(out === List((1L, 3L))) // keep 1, group of {1,2,3}
+  }
+
   test("indexMemoryBudget: tier bytes exact, ratios ordered binary > sq8 > fp32") {
     import spark.implicits._
     val embs = (1L to 100L).map(i => (i, Array.fill(64)(0.5f)))
