@@ -207,6 +207,58 @@ object Cdc {
     survivors.unionByName(upserts)
   }
 
+  /** CDC delta consistency audit — the trust check run BEFORE
+    * [[applySnapshot]]/[[maintainSumCount]] consume an untrusted
+    * feed (their docstrings state the delta-matches-base
+    * precondition; this measures it): per violation class, how many
+    * delta ops break the contract —
+    *  - `insert_on_present`: a key's FIRST delta op is I but the key
+    *    already exists in the base;
+    *  - `modify_on_absent`: first op is U or D but the key is not in
+    *    the base;
+    *  - `bad_sequence`: within a key's (order-sorted) op run, I
+    *    follows a live row (I/U without an intervening D) or U/D
+    *    follows a D.
+    * One shuffle on the delta key (first-op window + lag share it),
+    * one broadcast-shaped join against the base's key projection;
+    * output is 3 rows of counts regardless of feed size.
+    */
+  def deltaConsistencyAudit(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      order: Column
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.asc)
+    val seq = delta.withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col("op"), 1).over(w))
+    val withBase = seq.join(
+      base.select(keys.map(col): _*).distinct()
+        .withColumn("__in_base", lit(1)),
+      keys, "left")
+    val flags = withBase.select(
+      when(col("__rn") === 1 && col("op") === "I" &&
+        col("__in_base").isNotNull, 1L).otherwise(0L)
+        .as("insert_on_present"),
+      when(col("__rn") === 1 && col("op").isin("U", "D") &&
+        col("__in_base").isNull, 1L).otherwise(0L)
+        .as("modify_on_absent"),
+      when((col("__prev").isin("I", "U") && col("op") === "I") ||
+        (col("__prev") === "D" && col("op").isin("U", "D")), 1L)
+        .otherwise(0L).as("bad_sequence"))
+    flags.agg(
+        sum(col("insert_on_present")).as("insert_on_present"),
+        sum(col("modify_on_absent")).as("modify_on_absent"),
+        sum(col("bad_sequence")).as("bad_sequence"))
+      .selectExpr(
+        """stack(3,
+          | 'bad_sequence', bad_sequence,
+          | 'insert_on_present', insert_on_present,
+          | 'modify_on_absent', modify_on_absent)
+          | AS (violation, n)""".stripMargin)
+      .orderBy(col("violation"))
+  }
+
   /** Incremental materialized-view maintenance for SUM/COUNT
     * aggregates — the operation that lets a 100 TB warehouse serve an
     * up-to-date aggregate WITHOUT rescanning the fact: given the

@@ -150,6 +150,24 @@ object CdcQueries {
     // SCD2: full versioned history of the same tombstone-aware dim
     // feed — every I/U opens a version, the next change (or a delete)
     // closes it; `valid_to IS NULL` marks the current version
+    // CDC delta linter: planted contract violations (I on present,
+    // U on absent, op after delete) counted per class
+    "q_cdc_delta_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val base = o.filter(expr("k % 10 != 0"))
+      def mk(cond: String, op: String, seq: Int) =
+        o.filter(expr(cond)).select(col("k"), lit(op).as("op"),
+          lit(seq).as("seq"))
+      val delta = mk("k % 10 = 0", "I", 1)
+        .unionByName(mk("k % 10 = 0 and k % 13 = 1", "U", 0))
+        .unionByName(mk("k % 10 != 0 and k % 11 = 7", "I", 5))
+        .unionByName(mk("k % 10 != 0 and k % 7 = 3", "U", 1))
+        .unionByName(
+          mk("k % 10 != 0 and k % 7 != 3 and k % 17 = 4", "D", 1))
+        .unionByName(
+          mk("k % 10 != 0 and k % 7 != 3 and k % 17 = 4", "U", 2))
+      Cdc.deltaConsistencyAudit(base, delta, Seq("k"), col("seq"))
+    }),
     // MERGE INTO: base snapshot + I/U/D delta (incl. U-then-D and
     // D-then-I sequences) == the oracle's recomputed post-delta
     // state, row for row
@@ -273,6 +291,51 @@ object CdcQueries {
         |    ROW_NUMBER() OVER (PARTITION BY uid ORDER BY id DESC) AS rn
         |  FROM m WHERE src_table = 't2')
         |WHERE rn = 1 AND op <> 'D' ORDER BY uid""".stripMargin,
+    "q_cdc_delta_audit" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |delta AS (
+        |  SELECT k, 'I' AS op, 1 AS seq FROM o WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', 0 FROM o
+        |  WHERE k % 10 = 0 AND k % 13 = 1
+        |  UNION ALL
+        |  SELECT k, 'I', 5 FROM o
+        |  WHERE k % 10 <> 0 AND k % 11 = 7
+        |  UNION ALL
+        |  SELECT k, 'U', 1 FROM o WHERE k % 10 <> 0 AND k % 7 = 3
+        |  UNION ALL
+        |  SELECT k, 'D', 1 FROM o
+        |  WHERE k % 10 <> 0 AND k % 7 <> 3 AND k % 17 = 4
+        |  UNION ALL
+        |  SELECT k, 'U', 2 FROM o
+        |  WHERE k % 10 <> 0 AND k % 7 <> 3 AND k % 17 = 4),
+        |seqd AS (
+        |  SELECT k, op, seq,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq) AS rn,
+        |    LAG(op) OVER (PARTITION BY k ORDER BY seq) AS prev
+        |  FROM delta),
+        |wb AS (
+        |  SELECT s.*, b.k IS NOT NULL AS in_base
+        |  FROM seqd s LEFT JOIN
+        |    (SELECT DISTINCT k FROM o WHERE k % 10 <> 0) b
+        |    USING (k)),
+        |f AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN rn = 1 AND op = 'I' AND in_base
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS insert_on_present,
+        |    CAST(SUM(CASE WHEN rn = 1 AND op IN ('U','D')
+        |      AND NOT in_base THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS modify_on_absent,
+        |    CAST(SUM(CASE WHEN (prev IN ('I','U') AND op = 'I')
+        |      OR (prev = 'D' AND op IN ('U','D'))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_sequence
+        |  FROM wb)
+        |SELECT 'bad_sequence' AS violation, bad_sequence AS n FROM f
+        |UNION ALL
+        |SELECT 'insert_on_present', insert_on_present FROM f
+        |UNION ALL
+        |SELECT 'modify_on_absent', modify_on_absent FROM f
+        |ORDER BY violation""".stripMargin,
     "q_cdc_merge_apply" ->
       """WITH o AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS prio,

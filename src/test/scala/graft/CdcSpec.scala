@@ -128,6 +128,26 @@ class CdcSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("unknown op")))
   }
 
+  test("deltaConsistencyAudit: each violation class counted, clean feed reads zeros") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "payload")
+    val delta = Seq(
+      (1L, "I", 1),            // I on present → insert_on_present
+      (3L, "U", 1),            // U on absent → modify_on_absent
+      (2L, "D", 1), (2L, "U", 2), // U after D → bad_sequence
+      (4L, "I", 1), (4L, "U", 2)  // clean insert-then-update
+    ).toDF("k", "op", "seq")
+    val out = Cdc.deltaConsistencyAudit(base, delta, Seq("k"),
+        col("seq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("bad_sequence" -> 1L,
+      "insert_on_present" -> 1L, "modify_on_absent" -> 1L))
+    val clean = Cdc.deltaConsistencyAudit(base,
+      Seq((2L, "U", 1), (5L, "I", 1)).toDF("k", "op", "seq"),
+      Seq("k"), col("seq"))
+      .collect().map(_.getLong(1)).sum
+    assert(clean == 0L)
+  }
+
   test("applySnapshot: last op per key wins — U-then-D deletes, D-then-I reinstates") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
       .toDF("k", "payload")
