@@ -52,6 +52,21 @@ object Audit {
     val name = s"max:$column"
   }
 
+  /** Fraction of rows satisfying the SQL predicate must be >=
+    * `minRatio` — the cross-field invariant the single-column checks
+    * can't express (`l_shipdate >= o_orderdate`,
+    * `end_s > start_s`, ...). Rows where the predicate evaluates
+    * null count as failing (an unknown invariant is not a satisfied
+    * one).
+    */
+  final case class Predicate(exprSql: String, minRatio: Double)
+      extends Check {
+    val name = s"predicate:$exprSql"
+  }
+
+  private def predSlot(exprSql: String): String =
+    s"__pred_${Integer.toHexString(exprSql.hashCode)}"
+
   /** Run the suite in one aggregation pass; one report row per check:
     * (check_name, value, threshold, passed). `value` is the measured
     * metric (a fraction for completeness/uniqueness, the extremum for
@@ -69,6 +84,9 @@ object Audit {
           count_distinct(struct(cs.map(col): _*))
       case MinBound(c, _) => s"__min_$c" -> min(col(c)).cast("double")
       case MaxBound(c, _) => s"__max_$c" -> max(col(c)).cast("double")
+      case Predicate(p, _) =>
+        predSlot(p) ->
+          count(when(coalesce(expr(p), lit(false)), lit(1)))
     }
     val slots = raw.distinctBy(_._1).map { case (a, e) => e.as(a) }
     val aggRow = df.agg(n, slots: _*)
@@ -87,6 +105,9 @@ object Audit {
           val v = col(s"__min_$c"); (v, lit(lo), v >= lo)
         case MaxBound(c, hi) =>
           val v = col(s"__max_$c"); (v, lit(hi), v <= hi)
+        case Predicate(p, r) =>
+          val v = col(predSlot(p)).cast("double") / nD
+          (v, lit(r), v >= r)
       }
       struct(lit(ck.name).as("check_name"), value.as("value"),
         threshold.cast("double").as("threshold"), passed.as("passed"))

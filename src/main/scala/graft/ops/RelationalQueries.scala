@@ -91,6 +91,18 @@ object RelationalQueries {
       lastTouchAttribution(Tables.events(s, d))
         .orderBy(col("event_id"))),
     // robust (median/MAD) volume anomaly twin — masking-resistant
+    // cross-field Predicate checks over the joined order/lineitem
+    // frame: one invariant that holds, one planted to fail
+    "q_quality_predicates" -> ((s, d) => {
+      val j = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+      Audit.assertionReport(j, Seq(
+        Audit.Predicate("l_shipdate >= o_orderdate", 1.0),
+        Audit.Predicate("l_quantity <= 40.0", 1.0),
+        Audit.Predicate("l_extendedprice > 0.0", 1.0)))
+        .orderBy(col("check_name"))
+    }),
     // seasonal-naive backtest: last day vs prior same-weekday mean
     "q_events_forecast_backtest" -> ((s, d) =>
       Audit.seasonalNaiveBacktest(Tables.events(s, d))),
@@ -630,6 +642,32 @@ object RelationalQueries {
         |      * 1000000 // COUNT(DISTINCT user_id)
         |    ELSE 0 END AS stickiness_ppm
         |FROM j GROUP BY day ORDER BY day""".stripMargin,
+    "q_quality_predicates" ->
+      """WITH j AS (
+        |  SELECT * FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(*) FILTER (COALESCE(l_shipdate >= o_orderdate,
+        |      FALSE)) AS p1,
+        |    COUNT(*) FILTER (COALESCE(l_quantity <= 40.0, FALSE))
+        |      AS p2,
+        |    COUNT(*) FILTER (COALESCE(l_extendedprice > 0.0, FALSE))
+        |      AS p3
+        |  FROM j)
+        |SELECT 'predicate:l_extendedprice > 0.0' AS check_name,
+        |  CAST(p3 AS DOUBLE) / n AS value,
+        |  1.0 AS threshold, CAST(p3 AS DOUBLE) / n >= 1.0 AS passed
+        |FROM m
+        |UNION ALL
+        |SELECT 'predicate:l_quantity <= 40.0',
+        |  CAST(p2 AS DOUBLE) / n, 1.0,
+        |  CAST(p2 AS DOUBLE) / n >= 1.0 FROM m
+        |UNION ALL
+        |SELECT 'predicate:l_shipdate >= o_orderdate',
+        |  CAST(p1 AS DOUBLE) / n, 1.0,
+        |  CAST(p1 AS DOUBLE) / n >= 1.0 FROM m
+        |ORDER BY check_name""".stripMargin,
     "q_events_forecast_backtest" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

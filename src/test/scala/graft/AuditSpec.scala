@@ -121,6 +121,23 @@ class AuditSpec extends SparkSpec {
     assert(zSpike.isDefined && aSpike && zSpike.get > (3L << 20))
   }
 
+  test("Predicate check: cross-field invariant measured, nulls count as failing") {
+    val df = Seq((Some(1L), 2L), (Some(3L), 2L), (None, 5L))
+      .toDF("a", "b")
+    val out = Audit.assertionReport(df, Seq(
+        Audit.Predicate("a <= b", 0.3),
+        Audit.Predicate("b > 0", 1.0)))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3)))
+      .toMap
+    // a<=b holds for (1,2) only; (3,2) fails, (null,5) counts as
+    // failing → 1/3 measured, >= 0.3 passes
+    val (v1, p1) = out("predicate:a <= b")
+    assert(math.abs(v1 - 1.0 / 3.0) < 1e-12 && p1)
+    val (v2, p2) = out("predicate:b > 0")
+    assert(v2 == 1.0 && p2)
+  }
+
   test("seasonalNaiveBacktest: prior same-weekday mean, exact APE; no-history null") {
     // Mondays: 10, 12 events, then last Monday actual 22 →
     // forecast 11000 milli; APE = |22000−11000|·1000 div 22000 = 500

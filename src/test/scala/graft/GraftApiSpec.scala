@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 224,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 224")
-    assert(SparkEntry.oracleSql.size == 211,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 211")
+    assert(SparkEntry.queries.size == 225,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 225")
+    assert(SparkEntry.oracleSql.size == 212,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 212")
   }
 
   test("doc surface composes end to end") {
