@@ -584,6 +584,33 @@ class StreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("streaming quality gate enforces cross-field Predicate checks per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Audit
+    val checks = Seq(Audit.Predicate("n_chars = length(text)", 1.0))
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val rejected = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String, Long)]
+    val sq = QualityGatePipeline.start(
+      in.toDF().toDF("doc_id", "text", "n_chars"), checks,
+      df => admitted ++= df.select("doc_id").collect()
+        .map(_.getLong(0)),
+      (df, _) => rejected ++= df.select("doc_id").collect()
+        .map(_.getLong(0)),
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("qgate-pred-ck").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(0))
+    try {
+      in.addData(Seq((1L, "abcd", 4L)))           // consistent
+      sq.processAllAvailable()
+      in.addData(Seq((2L, "abcd", 99L)))          // length lies
+      sq.processAllAvailable()
+      assert(admitted.toList == List(1L) && rejected.toList ==
+        List(2L))
+    } finally sq.stop()
+  }
+
   test("rate limit: per-key window cap, state across batches, == batch replay") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
