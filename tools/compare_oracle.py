@@ -16,7 +16,14 @@ allocations with >100 GB free — allocator state poisoned process-wide
 a fresh process passes). Transient failures are therefore retried in a
 fresh SUBPROCESS, which clears them reliably.
 """
-import json, math, multiprocessing, sys
+import json, math, multiprocessing, os, subprocess, sys
+# PRELOAD the multiprocessing C extensions at module import, while the
+# process map table is still small: after ~200 DuckDB connection
+# cycles the process nears vm.max_map_count and any LAZY dlopen
+# (importing _multiprocessing inside the retry path) dies with
+# "failed to map segment" — preloading makes the retry machinery
+# immune to late-run map exhaustion.
+import multiprocessing.queues  # noqa: F401  (forces _multiprocessing)
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -90,27 +97,60 @@ def _child(queue, out_dir, sf_dir, name, sql):
 
 
 def compare_in_subprocess(out_dir, sf_dir, name, sql):
-    ctx = multiprocessing.get_context("spawn")
-    queue = ctx.Queue()
-    p = ctx.Process(target=_child,
-                    args=(queue, out_dir, sf_dir, name, sql))
-    p.start()
     try:
-        result = queue.get(timeout=300)
-    except Exception:
-        result = (f"FAIL {name}: subprocess timeout/crash", False)
-    p.join(10)
-    if p.is_alive():
-        p.terminate()
-    return result
+        ctx = multiprocessing.get_context("spawn")
+        queue = ctx.Queue()
+        p = ctx.Process(target=_child,
+                        args=(queue, out_dir, sf_dir, name, sql))
+        p.start()
+        try:
+            result = queue.get(timeout=300)
+        except Exception:
+            result = (f"FAIL {name}: subprocess timeout/crash", False)
+        p.join(10)
+        if p.is_alive():
+            p.terminate()
+        return result
+    except Exception as e:  # never let retry machinery kill the run
+        return f"FAIL {name}: retry-spawn error: {e}", False
+
+
+CHUNK = 60
 
 
 def main(out_dir, sf_dir, only):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = [n for n in sorted(oracle) if not only or n in only]
+    # Big sweeps recycle the process every CHUNK queries: each chunk
+    # runs in a fresh interpreter (this same script with an explicit
+    # query list), capping DuckDB's memory-map accumulation — the
+    # full-registry run otherwise exhausts the map table around
+    # query ~200 and dies mid-sweep.
+    if len(names) > CHUNK and not os.environ.get("GRAFT_CMP_CHILD"):
+        n_ok = n_bad = 0
+        env = dict(os.environ, GRAFT_CMP_CHILD="1")
+        for i in range(0, len(names), CHUNK):
+            chunk = names[i:i + CHUNK]
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 out_dir, sf_dir] + chunk,
+                capture_output=True, text=True, env=env)
+            body = r.stdout.strip().splitlines()
+            for line in body:
+                if line.startswith(("ok ", "FAIL")):
+                    print(line, flush=True)
+                    n_ok += line.startswith("ok ")
+                    n_bad += line.startswith("FAIL")
+            if r.returncode not in (0, 1):
+                print(f"FAIL chunk {i // CHUNK}: runner rc="
+                      f"{r.returncode}: {r.stderr[-500:]}",
+                      flush=True)
+                n_bad += 1
+        print(f"\n{n_ok} ok, {n_bad} fail")
+        return 1 if n_bad else 0
     n_ok = n_bad = 0
-    for name, sql in sorted(oracle.items()):
-        if only and name not in only:
-            continue
+    for name in names:
+        sql = oracle[name]
         try:
             line, ok = compare_one(out_dir, sf_dir, name, sql)
         except Exception as e:
