@@ -695,6 +695,9 @@ object Graft {
     /** Data-skipping audit: this frame as per-file stats vs `preds`. */
     def pruneAudit(preds: DataFrame): DataFrame =
       ops.Layout.pruneAudit(df, preds)
+    /** 2-D (rectangle-predicate) form of the data-skipping audit. */
+    def pruneAudit2D(preds: DataFrame): DataFrame =
+      ops.Layout.pruneAudit2D(df, preds)
     def keySkewProfile(
         keyCol: String,
         topN: Int = 20,

@@ -270,6 +270,30 @@ object Layout {
     * #predicates-row broadcast — rows never participate. Building
     * the stats frame is one groupBy(file) min/max/count.
     */
+  /** Two-dimensional form of [[pruneAudit]] — the measurement that
+    * justifies Z-ORDER specifically (a single-column sort prunes one
+    * predicate dimension and scrambles the other; interleaved bits
+    * prune BOTH): per-file stats carry min/max of two columns, each
+    * predicate is a rectangle, and a file scans iff both intervals
+    * overlap. Same catalog-sized × broadcast shape as the 1-D audit.
+    */
+  def pruneAudit2D(fileStats: DataFrame, preds: DataFrame): DataFrame = {
+    val hit =
+      col("max_a") >= col("a_lo") && col("min_a") <= col("a_hi") &&
+        col("max_b") >= col("b_lo") && col("min_b") <= col("b_hi")
+    fileStats.crossJoin(broadcast(preds))
+      .groupBy(col("layout"), col("pred_id"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("total_rows"),
+        count(when(hit, lit(1))).as("files_scanned"),
+        sum(when(hit, col("n_rows")).otherwise(lit(0L)))
+          .as("rows_scanned"))
+      .withColumn("skip_ppm",
+        expr("(n_files - files_scanned) * 1000000 div n_files"))
+      .orderBy(col("layout"), col("pred_id"))
+  }
+
   def pruneAudit(fileStats: DataFrame, preds: DataFrame): DataFrame = {
     val hit = col("max_v") >= col("p_lo") && col("min_v") <= col("p_hi")
     fileStats.crossJoin(broadcast(preds))

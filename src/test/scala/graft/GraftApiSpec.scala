@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 225,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 225")
-    assert(SparkEntry.oracleSql.size == 212,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 212")
+    assert(SparkEntry.queries.size == 226,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 226")
+    assert(SparkEntry.oracleSql.size == 213,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 213")
   }
 
   test("doc surface composes end to end") {
@@ -277,7 +277,8 @@ class GraftApiSpec extends SparkSpec {
       "rangeBoundaries" -> "rangeBoundaries",
       "keySkewProfile" -> "keySkewProfile",
       "compactionPlan" -> "compactionPlan",
-      "pruneAudit" -> "pruneAudit")
+      "pruneAudit" -> "pruneAudit",
+      "pruneAudit2D" -> "pruneAudit2D")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector) ++

@@ -170,6 +170,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("pruneAudit2D: rectangle overlap requires BOTH dimensions") {
+    import spark.implicits._
+    val stats = Seq(
+      // file 1 matches dim a but not b; file 2 matches both
+      ("L", 1L, 0L, 10L, 50L, 60L, 100L),
+      ("L", 2L, 0L, 10L, 0L, 10L, 100L)
+    ).toDF("layout", "file_id", "min_a", "max_a", "min_b", "max_b",
+      "n_rows")
+    val preds = Seq((1, 5L, 6L, 5L, 6L))
+      .toDF("pred_id", "a_lo", "a_hi", "b_lo", "b_hi")
+    val r = Layout.pruneAudit2D(stats, preds).head
+    assert(r.getLong(4) == 1L && r.getLong(6) == 500000L,
+      s"row=$r") // only file 2 scans → 50% skipped
+  }
+
   test("pruneAudit: interval-overlap scan rule, exact skip ppm per layout") {
     import spark.implicits._
     // clustered: tight disjoint ranges; scattered: every file spans all
