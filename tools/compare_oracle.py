@@ -127,25 +127,49 @@ def main(out_dir, sf_dir, only):
     # full-registry run otherwise exhausts the map table around
     # query ~200 and dies mid-sweep.
     if len(names) > CHUNK and not os.environ.get("GRAFT_CMP_CHILD"):
-        n_ok = n_bad = 0
         env = dict(os.environ, GRAFT_CMP_CHILD="1")
-        for i in range(0, len(names), CHUNK):
-            chunk = names[i:i + CHUNK]
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 out_dir, sf_dir] + chunk,
-                capture_output=True, text=True, env=env)
-            body = r.stdout.strip().splitlines()
-            for line in body:
-                if line.startswith(("ok ", "FAIL")):
-                    print(line, flush=True)
-                    n_ok += line.startswith("ok ")
-                    n_bad += line.startswith("FAIL")
-            if r.returncode not in (0, 1):
-                print(f"FAIL chunk {i // CHUNK}: runner rc="
-                      f"{r.returncode}: {r.stderr[-500:]}",
-                      flush=True)
-                n_bad += 1
+        results = {}
+
+        def run_chunked(todo, size):
+            for i in range(0, len(todo), size):
+                chunk = todo[i:i + size]
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     out_dir, sf_dir] + chunk,
+                    capture_output=True, text=True, env=env)
+                seen = set()
+                for line in r.stdout.strip().splitlines():
+                    if line.startswith(("ok ", "FAIL")):
+                        qn = line.split()[1].rstrip(":")
+                        results[qn] = line
+                        seen.add(qn)
+                for qn in chunk:
+                    if qn not in seen:
+                        results[qn] = (f"FAIL {qn}: chunk runner "
+                                       f"died rc={r.returncode}: "
+                                       f"{r.stderr[-300:]}")
+
+        run_chunked(names, CHUNK)
+        # transient-failure retry lives HERE, in the parent: when the
+        # allocator poisoning strikes inside a chunk child, every
+        # later query in that child fails and the CHILD cannot even
+        # spawn its own retry (ENOMEM) — a fresh small chunk from the
+        # parent clears all of it
+        TRANSIENT = ("allocat", "out of memory", "retry-spawn",
+                     "subprocess timeout", "chunk runner died")
+        for _ in range(2):
+            retry = [qn for qn, line in results.items()
+                     if line.startswith("FAIL")
+                     and any(t in line.lower() for t in TRANSIENT)]
+            if not retry:
+                break
+            run_chunked(sorted(retry), 20)
+        n_ok = n_bad = 0
+        for qn in names:
+            line = results.get(qn, f"FAIL {qn}: no result")
+            print(line, flush=True)
+            n_ok += line.startswith("ok ")
+            n_bad += line.startswith("FAIL")
         print(f"\n{n_ok} ok, {n_bad} fail")
         return 1 if n_bad else 0
     n_ok = n_bad = 0
