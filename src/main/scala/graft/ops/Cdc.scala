@@ -207,6 +207,41 @@ object Cdc {
     survivors.unionByName(upserts)
   }
 
+  /** Keyed snapshot diff — `Text.corpusDiff`'s relational sibling and
+    * the inverse direction of the CDC family (CDC APPLIES a known
+    * delta; this RECOVERS the delta between two snapshots when no
+    * change feed exists — migration checks, backfill verification,
+    * vendor-feed regression): rows hash over their `payload` columns
+    * (md5 of a unit-separated concat with an explicit null sentinel,
+    * so NULL ≠ empty-string and column boundaries can't alias), the
+    * two hash projections full-outer join on the key, and each key
+    * classifies added / removed / changed / unchanged. Emits the
+    * per-status counts — diffs move 16-byte hashes, never rows.
+    */
+  def snapshotDiff(
+      a: DataFrame,
+      b: DataFrame,
+      keys: Seq[String],
+      payload: Seq[String]
+  ): DataFrame = {
+    require(payload.nonEmpty, "snapshotDiff: empty payload column list")
+    def hashed(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+
+        md5(concat_ws("\u001f",
+          payload.map(c => coalesce(col(c).cast("string"),
+            lit("\u0000"))): _*)).as(as): _*)
+    hashed(a, "a_hash")
+      .join(hashed(b, "b_hash"), keys, "full_outer")
+      .select(
+        when(col("a_hash").isNull, "added")
+          .when(col("b_hash").isNull, "removed")
+          .when(col("a_hash") === col("b_hash"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
   /** CDC delta consistency audit — the trust check run BEFORE
     * [[applySnapshot]]/[[maintainSumCount]] consume an untrusted
     * feed (their docstrings state the delta-matches-base

@@ -150,6 +150,20 @@ object CdcQueries {
     // SCD2: full versioned history of the same tombstone-aware dim
     // feed — every I/U opens a version, the next change (or a delete)
     // closes it; `valid_to IS NULL` marks the current version
+    // keyed snapshot diff: planted adds/removes/changes recovered as
+    // status counts (corpusDiff's relational sibling)
+    "q_orders_diff" -> ((s, d) => {
+      val a = Tables.orders(s, d)
+      val b = a.filter(expr("o_orderkey % 13 != 5"))
+        .withColumn("o_totalprice",
+          when(expr("o_orderkey % 7 = 3"), col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(a.filter(expr("o_orderkey % 10 = 0"))
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      Cdc.snapshotDiff(a, b, Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+    }),
     // CDC delta linter: planted contract violations (I on present,
     // U on absent, op after delete) counted per class
     "q_cdc_delta_audit" -> ((s, d) => {
@@ -291,6 +305,43 @@ object CdcQueries {
         |    ROW_NUMBER() OVER (PARTITION BY uid ORDER BY id DESC) AS rn
         |  FROM m WHERE src_table = 't2')
         |WHERE rn = 1 AND op <> 'D' ORDER BY uid""".stripMargin,
+    "q_orders_diff" ->
+      """WITH a AS (SELECT * FROM orders),
+        |b AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 <> 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ha AS (
+        |  SELECT o_orderkey, md5(concat_ws(chr(31),
+        |    COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+        |    COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
+        |    COALESCE(CAST(o_totalprice AS VARCHAR), chr(0)),
+        |    COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)),
+        |    COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0))))
+        |    AS a_hash
+        |  FROM a),
+        |hb AS (
+        |  SELECT o_orderkey, md5(concat_ws(chr(31),
+        |    COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+        |    COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
+        |    COALESCE(CAST(o_totalprice AS VARCHAR), chr(0)),
+        |    COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)),
+        |    COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0))))
+        |    AS b_hash
+        |  FROM b)
+        |SELECT CASE WHEN a_hash IS NULL THEN 'added'
+        |    WHEN b_hash IS NULL THEN 'removed'
+        |    WHEN a_hash = b_hash THEN 'unchanged'
+        |    ELSE 'changed' END AS status,
+        |  COUNT(*) AS n
+        |FROM ha FULL OUTER JOIN hb USING (o_orderkey)
+        |GROUP BY 1 ORDER BY status""".stripMargin,
     "q_cdc_delta_audit" ->
       """WITH o AS (SELECT o_orderkey AS k FROM orders),
         |delta AS (

@@ -128,6 +128,21 @@ class CdcSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("unknown op")))
   }
 
+  test("snapshotDiff: all four statuses, null payload distinct from empty string") {
+    val a = Seq((1L, Some("x"), 1.0), (2L, Some("y"), 2.0),
+      (3L, Some("z"), 3.0), (5L, Option.empty[String], 5.0))
+      .toDF("k", "s", "v")
+    val b = Seq((1L, Some("x"), 1.0),          // unchanged
+      (2L, Some("y"), 9.0),                    // changed
+      (4L, Some("w"), 4.0),                    // added (3 removed)
+      (5L, Some(""), 5.0))                     // null → "" IS a change
+      .toDF("k", "s", "v")
+    val out = Cdc.snapshotDiff(a, b, Seq("k"), Seq("s", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 2L, "unchanged" -> 1L), s"out=$out")
+  }
+
   test("deltaConsistencyAudit: each violation class counted, clean feed reads zeros") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "payload")
     val delta = Seq(

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 226,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 226")
-    assert(SparkEntry.oracleSql.size == 213,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 213")
+    assert(SparkEntry.queries.size == 227,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 227")
+    assert(SparkEntry.oracleSql.size == 214,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 214")
   }
 
   test("doc surface composes end to end") {
