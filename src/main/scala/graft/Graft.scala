@@ -295,6 +295,9 @@ object Graft {
     /** Per-doc 3-gram novelty of this batch vs `corpus`. */
     def noveltyAgainst(corpus: DataFrame): DataFrame =
       ops.Text.ngramNovelty(docs, corpus)
+    /** Chars-vs-tokens Pearson per source (filter redundancy). */
+    def signalCorrelation: DataFrame =
+      ops.Text.signalCorrelation(docs)
     /** BM25 integer postings skeleton for a literal query. */
     def bm25Postings(queryTokens: Seq[String]): DataFrame =
       ops.Text.bm25Postings(docs, queryTokens)

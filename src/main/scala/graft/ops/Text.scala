@@ -1618,6 +1618,46 @@ object Text {
         .as("n_long_nums"))
   }
 
+  /** Quality-signal correlation — the redundancy diagnostic run over
+    * a filter stack (two signals correlated at 0.95 are one filter
+    * paying twice): per source, the Pearson correlation of two
+    * integer signals (here chars vs whitespace tokens), computed
+    * from SIX exact long moments (n, Σx, Σy, Σxy, Σx², Σy² — all
+    * order-free integer sums, map-side combined) with the single
+    * floating-point step at the very end (identical-IEEE expression
+    * off identical longs — the gini convention), floored to milli.
+    * Degenerate sources (zero variance in either signal) read null
+    * rather than a fabricated coefficient.
+    *
+    * Overflow bound (documented): Σx² reaches n·max(x)² — holds to
+    * ~10⁹ docs at 100 k-char documents; lift to DECIMAL(38,0)
+    * beyond.
+    */
+  def signalCorrelation(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        length(col("text")).cast("long").as("x"),
+        size(tokens(col("text"))).cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_milli",
+        when(expr("n * sxx - sx * sx") > 0 &&
+          expr("n * syy - sy * sy") > 0,
+          floor(
+            (col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              / sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))
+              * 1000.0).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .orderBy(col("source"))
+
   /** Batch-vs-corpus n-gram novelty — the "is this crawl adding
     * anything" score an ingestion owner reads before paying for a
     * refresh (the dual of contamination: contamination asks how much

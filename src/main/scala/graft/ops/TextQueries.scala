@@ -437,6 +437,10 @@ object TextQueries {
     // governance rollup of the per-doc PII counts: which feeds leak
     "q_text_pii_summary" -> ((s, d) =>
       Text.piiRiskBySource(Tables.documents(s, d))),
+    // filter-redundancy diagnostic: chars-vs-tokens Pearson per
+    // source from six exact long moments
+    "q_text_signal_corr" -> ((s, d) =>
+      Text.signalCorrelation(Tables.documents(s, d))),
     // batch novelty vs corpus: new batch = the doc_id%10 slice,
     // corpus = the rest; exact ppm unseen-3-gram rate per new doc
     "q_text_novelty" -> ((s, d) => {
@@ -1590,6 +1594,30 @@ object TextQueries {
         |WHERE sh.doc_id % 50 <> 0
         |GROUP BY sh.doc_id HAVING COUNT(*) >= 5
         |ORDER BY sh.doc_id""".stripMargin,
+    "q_text_signal_corr" ->
+      s"""WITH m AS (
+         |  SELECT source, COUNT(*) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM (
+         |    SELECT source,
+         |      CAST(length(text) AS BIGINT) AS x,
+         |      CAST(len($toksSql) AS BIGINT) AS y
+         |    FROM documents WHERE len(trim(text)) > 0)
+         |  GROUP BY 1)
+         |SELECT source, n, sx, sy, sxy, sxx, syy,
+         |  CASE WHEN n * sxx - sx * sx > 0
+         |      AND n * syy - sy * sy > 0
+         |    THEN CAST(FLOOR(
+         |      CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+         |      * 1000.0) AS BIGINT)
+         |    ELSE NULL END AS corr_milli
+         |FROM m ORDER BY source""".stripMargin,
     "q_text_novelty" ->
       s"""WITH t0 AS (
          |  SELECT doc_id, $toksSql AS w, doc_id % 10 = 0 AS is_new

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 227,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 227")
-    assert(SparkEntry.oracleSql.size == 214,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 214")
+    assert(SparkEntry.queries.size == 228,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 228")
+    assert(SparkEntry.oracleSql.size == 215,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 215")
   }
 
   test("doc surface composes end to end") {
@@ -221,6 +221,7 @@ class GraftApiSpec extends SparkSpec {
       "exactDupVectors" -> "exactDupVectors",
       "piiRiskBySource" -> "piiRiskBySource",
       "ngramNovelty" -> "noveltyAgainst",
+      "signalCorrelation" -> "signalCorrelation",
       "knnGraph" -> "knnGraph",
       "densityPrune" -> "densityPruned",
       "hardNegativesAssigned" -> "hardNegatives",

@@ -1593,6 +1593,21 @@ class TextSpec extends SparkSpec {
     assert(quals.sameElements(quals.sorted.reverse))
   }
 
+  test("signalCorrelation: perfect linear reads 1000, constant signal reads null") {
+    val docs = Seq(
+      (1L, "a", "lin"), (2L, "ab cd", "lin"), (3L, "ab cd ef", "lin"),
+      (4L, "xx", "flat"), (5L, "yy", "flat")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.Text.signalCorrelation(docs).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toMap
+    // lin: (chars, tokens) = (1,1),(5,2),(8,3) → r ≈ 0.997 → 997
+    assert(out("lin").exists(v => v >= 990L && v <= 1000L),
+      s"lin=${out("lin")}")
+    // flat: token count constant (1,1) → zero variance → null
+    assert(out("flat").isEmpty)
+  }
+
   test("ngramNovelty: repeated batch reads 0, fresh batch 1e6, short docs emit zeros") {
     val corpus = Seq((100L, "a b c d"), (101L, "x y z w"))
       .toDF("doc_id", "text")
