@@ -53,10 +53,47 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 228,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 228")
-    assert(SparkEntry.oracleSql.size == 215,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 215")
+    assert(SparkEntry.queries.size == 230,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 230")
+    assert(SparkEntry.oracleSql.size == 217,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 217")
+  }
+
+  /** The size pin catches net drift; this pins the DIRECTION that
+    * weakens evidence invisibly — a query silently losing its oracle
+    * (typo'd key, module refactor) drops it to the driver's weaker
+    * rows-only check without changing any behavior a spec sees. The
+    * rows-only set is a deliberate, individually-adjudicated contract
+    * (each entry is non-SQL-expressible: sketch internals, fitted
+    * k-means/LSH model artifacts, iterative BPE argmax — SURVEY
+    * §2.7); growing it requires editing this list in the same commit.
+    */
+  test("rows-only (oracle-less) query set is pinned exactly") {
+    val rowsOnly =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set(
+      "q_approx_distinct", "q_text_bpe_encode", "q_text_bpe_merges",
+      "q_text_cms_tokens", "q_text_quality_thresholds",
+      "q_text_rolling_fp", "q_vec_ann_ivf", "q_vec_ann_lsh",
+      "q_vec_ann_lsh_mp", "q_vec_ivfpq_topk", "q_vec_nprobe_curve",
+      "q_vec_pca_project", "q_vec_pq_topk")
+    assert(rowsOnly == expected,
+      s"rows-only drift: +${rowsOnly -- expected} -${expected -- rowsOnly}")
+  }
+
+  /** Sweep-integrity canaries: constant values, constant hash. If a
+    * driver correctness row for either canary is ever red, the sweep
+    * itself corrupted (the r7/r9/r10 DuckDB allocator-exhaustion
+    * mode), not the engine. `q_zz_canary` carries the low-allocation
+    * preamble so its green row also witnesses the preamble mechanism
+    * end-to-end; `q_aa_canary` stays preamble-free as the control.
+    */
+  test("canaries bracket the sorted registry and stay constant") {
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    assert(names.head == "q_aa_canary" && names.last == "q_zz_canary")
+    assert(SparkEntry.oracleSql("q_zz_canary")
+      .startsWith("SET threads=2;"))
+    assert(!SparkEntry.oracleSql("q_aa_canary").contains("SET "))
   }
 
   test("doc surface composes end to end") {
