@@ -695,6 +695,14 @@ object Graft {
     ): DataFrame = ops.Layout.clusterByZOrder(df, cols, bits, numPartitions)
     def rangeBoundaries(colName: String, nRanges: Int): DataFrame =
       ops.Layout.rangeBoundaries(df, colName, nRanges)
+    /** Exact rank-quantile boundaries of a unique key, no global
+      * window (two-pass coarse-cell order statistic). */
+    def exactKeyQuantiles(
+        keyCol: String,
+        nRanges: Int,
+        coarseCells: Int = 1024
+    ): DataFrame =
+      ops.Layout.exactKeyQuantiles(df, keyCol, nRanges, coarseCells)
     /** Data-skipping audit: this frame as per-file stats vs `preds`. */
     def pruneAudit(preds: DataFrame): DataFrame =
       ops.Layout.pruneAudit(df, preds)

@@ -352,8 +352,11 @@ object Affinity {
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))
       .withColumn("share_ppm", expr("n * 1000000 div n_sessions"))
+      // whole-segment match, not substring: a 'purchase_intent'
+      // event type (or any '>'-boundary artifact) must not read as
+      // a conversion (r10 advisor)
       .withColumn("converts",
-        col("path").contains("purchase"))
+        array_contains(split(col("path"), ">"), "purchase"))
       .orderBy(col("n").desc, col("path"))
       .limit(topK)
   }

@@ -160,7 +160,7 @@ object AffinityQueries {
         |g AS (SELECT path, COUNT(*) AS n FROM s GROUP BY 1)
         |SELECT path, n, t.n_sessions,
         |  n * 1000000 // t.n_sessions AS share_ppm,
-        |  contains(path, 'purchase') AS converts
+        |  list_contains(str_split(path, '>'), 'purchase') AS converts
         |FROM g CROSS JOIN t
         |ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "q_events_gini" ->

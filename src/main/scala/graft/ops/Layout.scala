@@ -166,6 +166,88 @@ object Layout {
         col("value").as("upper_bound"))
   }
 
+  /** Exact quantile boundaries of a (near-)unique KEY column without
+    * any global sort or full-table window — the scale path for exact
+    * rank cuts ([[rangeBoundaries]] covers the value-HISTOGRAM case;
+    * for a unique key like `doc_id` the histogram IS the table, so
+    * its single-partition cumulative window would see every row).
+    * Returns `(range_id, upper_bound)` where `upper_bound` is the
+    * key at exact global rank `ceil((range_id+1)*N/nRanges)`
+    * (1-based ranks, `range_id` 0-based) — identical to what
+    * `ROW_NUMBER() OVER (ORDER BY key)` would select, proven by the
+    * rank identity in [[Text.vocabGrowth]]'s scaladoc.
+    *
+    * Two-pass exact-rank scheme (the classic distributed
+    * order-statistic): pass 1 maps each key to one of ≤
+    * `coarseCells+1` equi-width cells (`(key-min) div w`, monotone in
+    * key, pure map-side) and counts per cell — a partial-aggregated
+    * groupBy whose output is bounded by `coarseCells`, so the
+    * cumulative window over CELLS is bounded and cheap. Each of the
+    * `nRanges` target ranks lands in exactly one cell with a known
+    * intra-cell offset. Pass 2 re-scans ONLY the rows of the ≤
+    * `nRanges` hit cells (broadcast semi-join on cell id), ranks
+    * within each cell (`partitionBy(cell)` — every partition holds
+    * ~N/coarseCells rows, never the table), and picks the offset row.
+    *
+    * Exactness under duplicates: `upper_bound` is the VALUE at the
+    * target rank under any stable order, and equal keys share a
+    * value, so the result is deterministic even for a non-unique key;
+    * only the derived bucket-by-`<` assignment needs uniqueness to
+    * equal a strict rank cut. Assumes `max-min` fits in a long (any
+    * surrogate id / timestamp does).
+    */
+  def exactKeyQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      nRanges: Int,
+      coarseCells: Int = 1024
+  ): DataFrame = {
+    require(nRanges >= 1, s"nRanges must be >= 1, got $nRanges")
+    require(coarseCells >= 1,
+      s"coarseCells must be >= 1, got $coarseCells")
+    val key = col(keyCol).cast("long")
+    val stats = df.agg(
+      min(key).as("minv"), max(key).as("maxv"),
+      count(lit(1)).as("nd"))
+    // cell width: ceil-ish so cell ids stay in [0, coarseCells]; the
+    // +1 keeps w >= 1 when all keys are equal
+    val withCell = df.select(key.as("k"))
+      .crossJoin(broadcast(stats))
+      .select(col("k"),
+        ldiv(col("k") - col("minv"),
+          ldiv(col("maxv") - col("minv"), lit(coarseCells)) + 1L)
+          .as("cell"))
+    val cellHist = withCell.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    // bounded window: ≤ coarseCells+1 rows by construction
+    val cellCum = cellHist.select(col("cell"), col("cnt"),
+      sum(col("cnt")).over(Window.orderBy(col("cell"))).as("cum"))
+    // target rank of range b (0-based): ceil((b+1)*N/nRanges)
+    val targets = stats.filter(col("nd") > 0)
+      .select(explode(sequence(lit(0), lit(nRanges - 1))).as("rid"),
+        col("nd"))
+      .select(col("rid"),
+        ldiv((col("rid") + 1L) * col("nd") + (nRanges - 1),
+          lit(nRanges)).as("r"))
+    // `tcell` (not `cell`) so the pass-2 joins against frames sharing
+    // withCell's lineage never hit ambiguous-attribute resolution
+    val placed = cellCum.join(broadcast(targets),
+        col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
+      .select(col("rid"), col("cell").as("tcell"),
+        (col("r") - (col("cum") - col("cnt"))).as("off"))
+    // pass 2: rank only inside the hit cells
+    val hitCells = placed.select(col("tcell")).distinct()
+    val inCell = withCell.join(broadcast(hitCells),
+        col("cell") === col("tcell"), "leftsemi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("k"))))
+    inCell.join(broadcast(placed),
+        col("cell") === col("tcell") && col("rn") === col("off"))
+      .select(col("rid").cast("int").as("range_id"),
+        col("k").as("upper_bound"))
+      .orderBy(col("range_id"))
+  }
+
   /** Heavy-hitter / skew profile of a key column: the `topN` heaviest
     * keys with exact counts, parts-per-million share, and the salt
     * factor that would level each one across `nParts` shuffle
@@ -252,24 +334,6 @@ object Layout {
       .limit(topN)
   }
 
-  /** Data-skipping (partition-prune) audit — the number that justifies
-    * a re-clustering: given per-file column statistics
-    * `(layout, file_id, min_v, max_v, n_rows)` and a set of range
-    * predicates `(pred_id, p_lo, p_hi)`, count for each
-    * (layout, predicate) how many files a min/max-pruning scanner
-    * must open (`[min_v, max_v] ∩ [p_lo, p_hi] ≠ ∅` — the parquet
-    * row-group / Delta file-stats skipping rule) and how many rows
-    * those files hold. `skip_ppm` is the exact fraction of files
-    * skipped: the same query against an insertion-ordered layout vs
-    * a range-clustered one is the before/after of
-    * [[rangeBoundaries]]/[[clusterByZOrder]], measured instead of
-    * asserted.
-    *
-    * Shape at scale: operates on the FILE-STATS frame (catalog-sized,
-    * like [[compactionPlan]]), cross-joined with the
-    * #predicates-row broadcast — rows never participate. Building
-    * the stats frame is one groupBy(file) min/max/count.
-    */
   /** Two-dimensional form of [[pruneAudit]] — the measurement that
     * justifies Z-ORDER specifically (a single-column sort prunes one
     * predicate dimension and scrambles the other; interleaved bits
@@ -294,6 +358,24 @@ object Layout {
       .orderBy(col("layout"), col("pred_id"))
   }
 
+  /** Data-skipping (partition-prune) audit — the number that justifies
+    * a re-clustering: given per-file column statistics
+    * `(layout, file_id, min_v, max_v, n_rows)` and a set of range
+    * predicates `(pred_id, p_lo, p_hi)`, count for each
+    * (layout, predicate) how many files a min/max-pruning scanner
+    * must open (`[min_v, max_v] ∩ [p_lo, p_hi] ≠ ∅` — the parquet
+    * row-group / Delta file-stats skipping rule) and how many rows
+    * those files hold. `skip_ppm` is the exact fraction of files
+    * skipped: the same query against an insertion-ordered layout vs
+    * a range-clustered one is the before/after of
+    * [[rangeBoundaries]]/[[clusterByZOrder]], measured instead of
+    * asserted.
+    *
+    * Shape at scale: operates on the FILE-STATS frame (catalog-sized,
+    * like [[compactionPlan]]), cross-joined with the
+    * #predicates-row broadcast — rows never participate. Building
+    * the stats frame is one groupBy(file) min/max/count.
+    */
   def pruneAudit(fileStats: DataFrame, preds: DataFrame): DataFrame = {
     val hit = col("max_v") >= col("p_lo") && col("min_v") <= col("p_hi")
     fileStats.crossJoin(broadcast(preds))

@@ -108,6 +108,12 @@ object LayoutQueries {
     "q_layout_range_bounds" -> ((s, d) =>
       Layout.rangeBoundaries(Tables.orders(s, d), "o_totalprice", 16)
         .orderBy(col("range_id"))),
+    // exact rank-quantile boundaries of a UNIQUE key (o_orderkey,
+    // 12 ranges) via the two-pass coarse-cell scheme — no global
+    // window anywhere in the plan; ROW_NUMBER twin in the oracle
+    // re-proves exactness every sweep
+    "q_layout_key_quantiles" -> ((s, d) =>
+      Layout.exactKeyQuantiles(Tables.orders(s, d), "o_orderkey", 12)),
     // heavy-hitter profile of lineitem.l_partkey with the salt factor
     // that would level each key across 32 shuffle partitions
     "q_layout_skew" -> ((s, d) =>
@@ -296,6 +302,19 @@ object LayoutQueries {
         |       AS range_id,
         |       value AS upper_bound
         |FROM cum
+        |ORDER BY range_id""".stripMargin,
+    "q_layout_key_quantiles" ->
+      """WITH r AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        |t AS (
+        |  SELECT CAST(x AS INTEGER) AS range_id,
+        |    ((x + 1) * nd + 11) // 12 AS r
+        |  FROM range(12) s(x)
+        |  CROSS JOIN (SELECT COUNT(*) AS nd FROM orders) n)
+        |SELECT t.range_id, r.k AS upper_bound
+        |FROM t JOIN r ON r.rn = t.r
         |ORDER BY range_id""".stripMargin,
     "q_layout_skew" ->
       """WITH byk AS (

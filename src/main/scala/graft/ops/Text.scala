@@ -618,23 +618,33 @@ object Text {
     * seen) curve.
     *
     * Shape at scale: token first-occurrences are one explode +
-    * min-aggregation (map-side combined); the doc-rank bucket is a
-    * deterministic exact-rank cut over the DOC frame (the
-    * q_text_curriculum convention — a #docs window, not a token
-    * window), and everything after is nBuckets-sized.
+    * min-aggregation (map-side combined); the doc-rank decile cut is
+    * derived from [[Layout.exactKeyQuantiles]] boundary doc_ids
+    * (two bounded passes, no global window — the r10 global
+    * `row_number` was this operator's one scale-killer), and
+    * everything after is nBuckets-sized.
+    *
+    * Exactness of the boundary form (doc_id unique): with rn the
+    * 1-based doc_id rank and ub_b the doc_id at rank
+    * ceil((b+1)·nd/nB), `ub_b < doc_id(rn)` ⟺ `(b+1)·nd ≤ (rn-1)·nB`
+    * ⟺ `b+1 ≤ (rn-1)·nB div nd`, so
+    * `#{b : ub_b < doc_id} = (rn-1)·nB div nd` — exactly the window
+    * form's bucket. The DuckDB oracle keeps the ROW_NUMBER form, so
+    * the driver's hash-compare re-proves the identity every sweep.
     */
   def vocabGrowth(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val ne = docs.filter(length(trim(col("text"))) > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("doc_id"))
+    // nBuckets boundary doc_ids → one sorted array in a 1-row frame,
+    // broadcast onto the doc scan; bucket = #{boundaries < doc_id}
+    val barr = Layout
+      .exactKeyQuantiles(ne.select(col("doc_id")), "doc_id", nBuckets)
+      .agg(sort_array(collect_list(col("upper_bound"))).as("bs"))
     val ranked = ne.select(col("doc_id"), tokens(col("text"))
         .as("toks"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("nd", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .crossJoin(broadcast(barr))
       .withColumn("bucket",
-        expr(s"((rn - 1) * $nBuckets) div nd"))
+        expr("size(filter(bs, x -> x < doc_id))").cast("long"))
     val perDoc = ranked.select(col("doc_id"), col("bucket"),
       size(col("toks")).cast("long").as("n_toks"))
     val firstOcc = ranked

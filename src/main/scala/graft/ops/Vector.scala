@@ -2456,12 +2456,16 @@ object Vector {
     * the vector-space twin of `Text.qualityDrift` and the
     * encoder-swap / corpus-shift alarm the scalar monitors can't
     * see: both snapshots histogram into the [[gridDensity]] lattice
-    * (first `gridDims` unit components, `g` buckets each), and each
-    * occupied cell contributes the smoothed PSI term
-    * `(p_cur − p_ref)·ln(p_cur/p_ref)` with the ln in the exact q20
-    * convention (add-1 smoothing over `g^gridDims` cells, floored
-    * lns combined by integer subtraction — the hash-compared
-    * column; `psi_term` is the audit-readable double view).
+    * (first `gridDims` unit components, `floor(u·g)` over u ∈
+    * [-1, 1] — so 2g cells per dimension, (2g)^gridDims lattice
+    * cells), and each occupied cell contributes the smoothed PSI
+    * term `(p_cur − p_ref)·ln(p_cur/p_ref)` with the ln in the
+    * exact q20 convention (add-1 smoothing over the (2g)^gridDims
+    * lattice so smoothed cell masses normalize over the REAL cell
+    * count — the r10 advisor caught the g^gridDims constant
+    * undercounting the lattice 2^gridDims-fold; floored lns
+    * combined by integer subtraction — the hash-compared column;
+    * `psi_term` is the audit-readable double view).
     *
     * Shape at scale: two cell-count aggregations (map-side
     * combined, ≤ g^gridDims + observed-cells rows each) and a
@@ -2484,7 +2488,9 @@ object Vector {
         .groupBy(cellCols.map(col): _*)
         .agg(count(lit(1)).as(as))
     }
-    val smooth = math.pow(g.toDouble, gridDims.toDouble).toLong
+    // add-1 smoothing mass = one pseudo-count per LATTICE cell; unit
+    // components span [-1,1], so floor(u*g) takes 2g values per dim
+    val smooth = math.pow(2.0 * g, gridDims.toDouble).toLong
     val j = cells(ref, "ref_cnt")
       .join(cells(cur, "cur_cnt"), cellCols, "full_outer")
       .select(cellCols.map(c => coalesce(col(c), lit(0)).as(c)) ++

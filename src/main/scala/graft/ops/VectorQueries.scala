@@ -736,15 +736,15 @@ object VectorQueries {
         |  FROM j),
         |lr AS (
         |  SELECT j.*, t.ref_total, t.cur_total,
-        |    CAST(FLOOR(ln(CAST((cur_cnt + 1) * (ref_total + 256)
+        |    CAST(FLOOR(ln(CAST((cur_cnt + 1) * (ref_total + 4096)
         |      AS DOUBLE)) * 1048576) AS BIGINT)
-        |    - CAST(FLOOR(ln(CAST((ref_cnt + 1) * (cur_total + 256)
+        |    - CAST(FLOOR(ln(CAST((ref_cnt + 1) * (cur_total + 4096)
         |      AS DOUBLE)) * 1048576) AS BIGINT) AS lnratio_q20
         |  FROM j CROSS JOIN t)
         |SELECT c0, c1, c2, c3, ref_cnt, cur_cnt, ref_total,
         |  cur_total, lnratio_q20,
-        |  (CAST(cur_cnt + 1 AS DOUBLE) / (cur_total + 256)
-        |    - CAST(ref_cnt + 1 AS DOUBLE) / (ref_total + 256))
+        |  (CAST(cur_cnt + 1 AS DOUBLE) / (cur_total + 4096)
+        |    - CAST(ref_cnt + 1 AS DOUBLE) / (ref_total + 4096))
         |    * (CAST(lnratio_q20 AS DOUBLE) / 1048576.0) AS psi_term
         |FROM lr ORDER BY c0, c1, c2, c3""".stripMargin,
     "q_vec_centroid_margin" ->

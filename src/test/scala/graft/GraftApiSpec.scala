@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 230,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 230")
-    assert(SparkEntry.oracleSql.size == 217,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 217")
+    assert(SparkEntry.queries.size == 231,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 231")
+    assert(SparkEntry.oracleSql.size == 218,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 218")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -313,6 +313,7 @@ class GraftApiSpec extends SparkSpec {
       "withZValue" -> "withZValue",
       "clusterByZOrder" -> "clusteredByZOrder",
       "rangeBoundaries" -> "rangeBoundaries",
+      "exactKeyQuantiles" -> "exactKeyQuantiles",
       "keySkewProfile" -> "keySkewProfile",
       "compactionPlan" -> "compactionPlan",
       "pruneAudit" -> "pruneAudit",

@@ -103,6 +103,52 @@ class LayoutSpec extends SparkSpec {
     assert(bounds.last._2 === sortedVals.last)
   }
 
+  test("exactKeyQuantiles equals the ROW_NUMBER cut on unique, " +
+      "negative, and duplicate keys") {
+    import spark.implicits._
+    // exact-rank reference on a local sort
+    def ref(keys: Seq[Long], n: Int): Seq[(Int, Long)] = {
+      val s = keys.sorted
+      val nd = s.length.toLong
+      (0 until n).map(b =>
+        b -> s((((b + 1) * nd + n - 1) / n - 1).toInt))
+    }
+    def got(keys: Seq[Long], n: Int, cells: Int = 7): Seq[(Int, Long)] =
+      Layout.exactKeyQuantiles(keys.toDF("k"), "k", n, cells)
+        .orderBy("range_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // unique shuffled keys incl. negatives, awkward cell count
+    val uniq = scala.util.Random.shuffle(
+      (-50L to 49L).toVector)
+    assert(got(uniq, 10) === ref(uniq, 10))
+    assert(got(uniq, 3) === ref(uniq, 3))
+    // nRanges > distinct cells exercises multi-target-per-cell
+    assert(got(uniq, 10, cells = 2) === ref(uniq, 10))
+    // duplicates: value-at-rank is still well-defined
+    val dup = Seq(5L, 5L, 5L, 1L, 1L, 9L, 9L, 9L, 9L, 2L)
+    assert(got(dup, 4) === ref(dup, 4))
+    // all keys equal: every boundary is that key (w=1 path)
+    assert(got(Seq.fill(9)(7L), 3) === Seq(0 -> 7L, 1 -> 7L, 2 -> 7L))
+    // fewer rows than ranges: ranks still land (repeated boundaries)
+    assert(got(Seq(10L, 20L), 4) === ref(Seq(10L, 20L), 4))
+    // empty input: empty result, no crash
+    assert(Layout.exactKeyQuantiles(
+      Seq.empty[Long].toDF("k"), "k", 4).count() === 0L)
+  }
+
+  test("exactKeyQuantiles plan has no unpartitioned window over the " +
+      "input rows") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("k")
+    val plan = Layout.exactKeyQuantiles(df, "k", 10)
+      .queryExecution.executedPlan.toString
+    // the only WindowExecs allowed partition by cell / run over the
+    // bounded cell histogram; a global `Window.orderBy(k)` over the
+    // raw rows would print as an empty partition spec on column k
+    assert(!plan.contains("row_number() windowspecdefinition(k#"),
+      s"global row_number over raw rows in:\n$plan")
+  }
+
   test("keySkewProfile matches a Scala recount and orders by weight") {
     val prof = Layout.keySkewProfile(docs, "l_suppkey",
       topN = 10, nParts = 32).collect()

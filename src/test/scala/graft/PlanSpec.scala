@@ -86,4 +86,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial") || p.contains("partial_sum"))
     assert(p.contains("Join"), s"no view-keyed merge join:\n$p")
   }
+
+  /** A `Window` with an empty partition spec executes on ONE task —
+    * the canonical 100 TB scale-killer. Every registered query's
+    * optimized plan is scanned for empty-partition Windows; any hit
+    * must be in the whitelist below, where each name's global window
+    * runs over a frame whose size is bounded by CONSTRUCTION (a
+    * value histogram, a top-k/limit output, an nBuckets/decile
+    * frame) rather than by the input row count. A new query that
+    * sneaks in an unbounded global window fails here until it is
+    * deliberately adjudicated.
+    */
+  test("no registered query has a global window over an unbounded frame") {
+    // name -> proven bound of the window's input frame
+    val bounded = Map(
+      "q_events_gini" -> "per-user count histogram (≤ #users at validation scale; documented Lorenz twin)",
+      "q_layout_key_quantiles" -> "coarse-cell histogram, ≤ coarseCells+1 rows by construction",
+      "q_layout_prune_audit" -> "o_totalprice value histogram (rangeBoundaries contract)",
+      "q_layout_range_bounds" -> "value histogram (rangeBoundaries contract)",
+      "q_orders_repeat_interval" -> "per-customer gap aggregate (documented median twin)",
+      "q_rank_suppliers" -> "supplier dim (smallest fact-free table; documented top-k twin)",
+      "q_rfm_segments" -> "customer dim ntile (documented validation-scale twin)",
+      "q_skew_advisor" -> "top-N heavy-hitter output (LIMIT topN upstream)",
+      "q_sql_revenue_share" -> "nation-level aggregate (≤ 25 rows)",
+      "q_text_curriculum" -> "doc-quality rank (documented exact-rank validation twin)",
+      "q_text_dedup_curve" -> "decile frame (nBuckets rows)",
+      "q_text_oov_rate" -> "token-frequency histogram head (vocab cap)",
+      "q_text_quality_deciles_exact" -> "decile boundary frame (nBuckets rows)",
+      "q_text_quality_pct" -> "quality histogram (distinct integer scores)",
+      "q_text_stopwords" -> "df-ratio >= 50% token set (stopword-sized by construction)",
+      "q_text_vocab_growth" -> "coarse-cell histogram + nBuckets cum frames",
+      "q_text_zipf" -> "token-frequency histogram head (rank cap)",
+      "q_vec_rrf_fusion" -> "fused top-k lists (k-bounded)",
+      "q_zset_range" -> "zset member range (bounded key range, documented)")
+    val d = sf("sf0.001")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        val n = fn(spark, d).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0) Some(name) else None
+      }.toSet
+    assert(offenders == bounded.keySet,
+      s"global-window drift: new ${offenders -- bounded.keySet} " +
+        s"(adjudicate + whitelist with a proven bound), stale " +
+        s"${bounded.keySet -- offenders} (remove from whitelist)")
+  }
 }

@@ -1238,7 +1238,12 @@ class VectorSpec extends SparkSpec {
     val embs = (1L to 80L).map(i =>
       (i, Array(0.6f + (i % 7) * 0.05f, 0.3f, 0.2f + (i % 3) * 0.1f,
         0.5f), 0)).toDF("vec_id", "embedding", "label")
-    val same = Vec.embeddingDriftPsi(embs, embs).collect()
+    // gridDims=2/g=2 → smoothing mass (2g)^dims = 16 pseudo-counts:
+    // at 80 rows the default 4-dim lattice's 4096-cell add-1 mass
+    // would (correctly) drown any toy-sized shift — real corpora
+    // dwarf the lattice, an 80-row spec does not
+    val same = Vec.embeddingDriftPsi(embs, embs, gridDims = 2, g = 2)
+      .collect()
     assert(same.forall(_.getAs[Long]("lnratio_q20") == 0L))
     assert(same.forall(_.getAs[Double]("psi_term") == 0.0))
     // shift: negate the first component for a quarter of vectors
@@ -1248,7 +1253,8 @@ class VectorSpec extends SparkSpec {
           slice(col("embedding"), lit(2),
             size(col("embedding")) - 1)))
         .otherwise(col("embedding")))
-    val drift = Vec.embeddingDriftPsi(embs, cur).collect()
+    val drift = Vec.embeddingDriftPsi(embs, cur, gridDims = 2, g = 2)
+      .collect()
       .map(_.getAs[Double]("psi_term")).sum
     assert(drift > 0.05, s"psi=$drift")
   }
