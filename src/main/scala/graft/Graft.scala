@@ -42,6 +42,21 @@ object Graft {
     def dupGroups: DataFrame = ops.Text.exactDupGroups(docs)
     def nearDupCandidates(threshold: Double): DataFrame =
       ops.Text.minhashCandidates(docs, threshold)
+    /** Cohen's kappa agreement of two boolean keep-columns on this
+      * frame — chance-corrected filter-redundancy audit. */
+    def filterAgreementKappa(
+        aCol: String = "keep_a",
+        bCol: String = "keep_b"
+    ): DataFrame = ops.Text.filterAgreementKappa(docs, aCol, bCol)
+    /** (bands, rows) LSH layout frontier in exact q20 math — pure
+      * configuration math, the corpus is only the session source. */
+    def lshTuningCurve(
+        configs: Seq[(Int, Int)] = Seq(
+          (128, 1), (64, 2), (32, 4), (16, 8), (8, 16), (4, 32),
+          (16, 2), (16, 4), (8, 4)),
+        jStepMilli: Int = 25
+    ): DataFrame =
+      ops.Text.lshTuningCurve(docs.sparkSession, configs, jStepMilli)
     def jaccardPairs(threshold: Double): DataFrame =
       ops.Text.jaccardExactPairs(docs, threshold)
     def clusterSurvivors(clusters: DataFrame): DataFrame =

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.apache.spark.sql.functions._
 
 /** Scratch profiling main — rewrite freely (see verify skill). */
 object Prof {
@@ -13,19 +13,16 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, d).queryExecution.optimizedPlan
-        val globals = plan.collect {
-          case w: Window if w.partitionSpec.isEmpty => w
-        }
-        if (globals.nonEmpty)
-          println(s"GLOBALWIN $name n=${globals.size}")
-      } catch { case e: Throwable =>
-        println(s"PLANERR $name ${e.getMessage.take(80)}")
-      }
-    }
+    import spark.implicits._
+    val n = args.headOption.map(_.toInt).getOrElse(10000)
+    // path graph 0-1-2-...-n: worst-case diameter
+    val pairs = (0L until n.toLong - 1)
+      .map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val t0 = System.nanoTime()
+    val out = ops.Text.dupClusters(docs, pairs, maxIter = 25)
+    val bad = out.filter(col("cluster") =!= 0L).count()
+    println(s"PATH n=$n wrong=$bad t=${(System.nanoTime - t0) / 1e9}s")
     spark.stop()
   }
 }

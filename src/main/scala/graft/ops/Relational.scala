@@ -1032,6 +1032,38 @@ object Relational {
         sum(col("partial_n")).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Salted shuffle JOIN — [[saltedAgg]]'s sibling for the join side
+    * of the hot-key problem, the manual form of what AQE's skew-join
+    * does for sort-merge spills (AQE splits oversized partitions
+    * AFTER materialization; salting levels the exchange itself, and
+    * works where AQE can't see the skew — e.g. a shuffled-hash join
+    * or a key whose rows are wide rather than many): the skewed side
+    * gets a per-row salt `pmod(xxhash64(whole row), buckets)` — any
+    * per-row spreading works, the salt never reaches the output —
+    * and the dimension side replicates once per bucket, so each hot
+    * key's rows land on `buckets` reducers instead of one. Join on
+    * `keys :+ salt`, inner, then the salt drops. The result is
+    * row-identical to the plain join (the oracle IS the unsalted
+    * join — semantics proven, only the exchange shape changes);
+    * replication cost = buckets × |dim|, the trade every skew
+    * mitigation prices.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    require(keys.nonEmpty && saltBuckets >= 1,
+      "need join keys and >= 1 salt bucket")
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(struct(skewed.columns.map(col): _*)),
+        lit(saltBuckets)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
   /** Sketch surface: approx_count_distinct (HLL++) next to the exact
     * count — rows-only (sketch estimates are engine-specific), the
     * mergeable-sketch pattern that replaces exact distinct at 100 TB.

@@ -216,6 +216,21 @@ object RelationalQueries {
             _.cast("string"))).as("top_orders_csv"))
         .orderBy(col("o_orderpriority"))),
     "q_salted_agg" -> ((s, d) => saltedAgg(Tables.lineitem(s, d))),
+    // salted shuffle join must be row-identical to the plain join —
+    // the oracle IS the unsalted form; the merge hint keeps the dim
+    // off the broadcast path so the salted exchange actually runs
+    // (RelationalSpec asserts the salt reaches the join keys)
+    "q_salted_join_agg" -> ((s, d) =>
+      saltedJoin(Tables.lineitem(s, d),
+        Tables.part(s, d)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+          .hint("merge"),
+        Seq("l_partkey"), saltBuckets = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,4)"))
+            .cast("double").as("sum_qty"))
+        .orderBy(col("p_brand"))),
     // SQL frontend (the reference has none — spark-sql was a declared
     // but unused dependency): TPC-H Q6 as a pure SQL string over a
     // registered view, same Catalyst plan as the DataFrame form.
@@ -1078,6 +1093,16 @@ object RelationalQueries {
         |  AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // salted shuffle join: row-identical to the plain join — oracle
+    // is the unsalted form (only the exchange shape differs)
+    "q_salted_join_agg" ->
+      """SELECT p.p_brand,
+        |  COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4)))
+        |    AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
     // salted two-phase agg must equal the direct group-by (mergeable
     // partials) — the oracle IS the direct form
     "q_salted_agg" ->

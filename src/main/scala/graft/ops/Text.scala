@@ -269,6 +269,96 @@ object Text {
   val LshBands     = 8
   val LshRows: Int = MinhashPerms / LshBands
 
+  /** Exact long floor-division (SQL `div`) — nonneg operands here. */
+  private def ldivT(a: Column, b: Column): Column =
+    call_function("div", a.cast("long"), b.cast("long"))
+
+  /** q20 fixed-point integer power by square-and-multiply: x and the
+    * result are probabilities in ⌊p·2²⁰⌋ longs, every square/multiply
+    * floors back to q20 — eight unrolled bits cover any exponent
+    * ≤ 255 (a 128-band layout is on the default grid), all operands
+    * stay ≤ 2⁴⁰, and the identical chain replays in ANSI SQL, so the
+    * curve hash-compares bitwise (the pow/exp route would ride libm
+    * and differ per engine).
+    */
+  private val Q20PowBits = 8
+
+  /** One square-and-multiply pass over NAMED `acc`/`pw` columns
+    * (projection per bit): a single nested-Column formulation doubles
+    * the `acc` subtree per bit (it appears in both `when` branches) —
+    * a 2⁸ expression blowup that cost ~13 s of analysis/codegen for a
+    * 369-row frame. Named steps keep the tree linear; CollapseProject
+    * leaves multiply-referenced non-cheap aliases alone.
+    */
+  private def q20powSteps(df0: DataFrame, eCol: String): DataFrame = {
+    val one = lit(1L << 20)
+    var df = df0
+    for (bit <- 0 until Q20PowBits) {
+      df = df.withColumn("acc",
+        when(shiftright(col(eCol).cast("int"), bit) % 2 === 1,
+          ldivT(col("acc") * col("pw"), one)).otherwise(col("acc")))
+      if (bit < Q20PowBits - 1)
+        df = df.withColumn("pw", ldivT(col("pw") * col("pw"), one))
+    }
+    df
+  }
+
+  /** MinHash LSH (bands, rows) tuning frontier — the minhash sibling
+    * of `Vector.nprobeRecallCurve`, closing the tuning-loop family:
+    * for each candidate layout the full collision-probability curve
+    * `p(j) = 1 − (1 − j^r)^b` over a milli-jaccard grid, in the
+    * exact q20 convention ([[q20pow]] — engine-bitwise, no libm),
+    * plus `s50_milli`, the smallest grid jaccard whose collision
+    * probability reaches 1/2 (the analytic `(1/b)^(1/r)` midpoint,
+    * located on the grid instead of computed through pow). Read it
+    * before picking a layout: bands buy recall left of the midpoint,
+    * rows buy precision right of it, b·r is the signature budget.
+    * The r7 default [[LshBands]]×[[LshRows]] = 8×4 sits at
+    * s50 = 550–600 milli — exactly the ≥ 0.5 near-dup contract
+    * `minhashCandidates` enforces.
+    *
+    * Shape at scale: pure configuration math — #configs × grid rows
+    * total; nothing reads the corpus.
+    */
+  def lshTuningCurve(
+      spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[(Int, Int)] = Seq(
+        (128, 1), (64, 2), (32, 4), (16, 8), (8, 16), (4, 32),
+        (16, 2), (16, 4), (8, 4)),
+      jStepMilli: Int = 25
+  ): DataFrame = {
+    require(configs.nonEmpty && configs.forall {
+      case (b, r) => b >= 1 && b <= 255 && r >= 1 && r <= 255
+    }, "each (bands, rows) must be in [1, 255] (8-bit q20pow)")
+    require(1000 % jStepMilli == 0, "grid step must divide 1000")
+    import spark.implicits._
+    val cfg = configs.toDF("bands", "rows_per_band")
+    val grid = spark.range(0, 1001, jStepMilli)
+      .select(col("id").as("j_milli"))
+    val one = lit(1L << 20)
+    val inner = q20powSteps(
+      cfg.crossJoin(grid)
+        .withColumn("x_q20", ldivT(col("j_milli") * one, lit(1000L)))
+        .withColumn("acc", one)
+        .withColumn("pw", col("x_q20")),
+      "rows_per_band")
+    val curve = q20powSteps(
+      inner.withColumn("pw", one - col("acc"))
+        .withColumn("acc", one),
+      "bands")
+      .withColumn("p_q20", one - col("acc"))
+      .drop("acc", "pw", "x_q20")
+    val s50 = curve.groupBy(col("bands"), col("rows_per_band"))
+      .agg(min(when(col("p_q20") >= lit(1L << 19), col("j_milli")))
+        .as("s50_milli"))
+    curve
+      .join(broadcast(s50), Seq("bands", "rows_per_band"))
+      .select(col("bands"), col("rows_per_band"),
+        (col("bands") * col("rows_per_band")).as("sig_size"),
+        col("j_milli"), col("p_q20"), col("s50_milli"))
+      .orderBy(col("bands"), col("rows_per_band"), col("j_milli"))
+  }
+
   /** Token 3-shingles as strings (docs shorter than 3 tokens get their
     * full token string as a single shingle).
     */
@@ -1067,7 +1157,7 @@ object Text {
   def dupClusters(
       docs: DataFrame,
       pairs: DataFrame,
-      maxIter: Int = 20,
+      maxIter: Int = 64,
       checkpointDir: Option[String] = None,
       cacheFamily: String = "text"
   ): DataFrame = {
@@ -1093,7 +1183,11 @@ object Text {
       if (checkpointDir.isDefined)
         Bridge.leafRdd(snapped)
           .foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
-      snapped
+      // drop the checkpoint leaf's inherited stats: with the
+      // pointer-jump's double reference the carried sizeInBytes
+      // estimate SQUARES per round and Catalyst's BigInt stats walk
+      // goes exponential (see Bridge.statsResetLeaf)
+      Bridge.statsResetLeaf(snapped)
     }
     def releaseSnapshot(df: DataFrame): Unit =
       Bridge.leafRdd(df).foreach { r =>
@@ -1131,14 +1225,35 @@ object Text {
       // previous separate isEmpty action re-joined next against
       // labels, paying two extra scheduled jobs per round in a
       // latency-bound loop
-      val next = snapshot(labels
+      val prop = labels
         .join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(labels("doc_id"),
           least(labels("cluster"),
             coalesce(col("nbr_min"), labels("cluster"))).as("cluster"),
-          (col("nbr_min") < labels("cluster")).as("changed")))
+          coalesce(col("nbr_min") < labels("cluster"), lit(false))
+            .as("p_changed"))
+      // POINTER-JUMP the propagated labels: cluster ← cluster(cluster)
+      // (valid because cluster values are always graph-node ids, so
+      // the lookup never misses; the min only ever decreases). Plain
+      // min-propagation needs ~diameter rounds — r11's ScaleBench
+      // k=10 corpus grew a giant τ-tail component whose diameter blew
+      // the 20-round cap. With the jump, the known-min's reach
+      // roughly doubles per round, so rounds scale with log(diameter)
+      // — path-halving, the standard distributed-CC acceleration —
+      // for one extra label-sized self-join per round.
+      val jmp = prop.select(col("doc_id").as("c_id"),
+        col("cluster").as("c_cluster"))
+      val next = snapshot(prop
+        .join(jmp, prop("cluster") === jmp("c_id"), "left")
+        .select(prop("doc_id"),
+          coalesce(col("c_cluster"), prop("cluster")).as("cluster"),
+          (col("p_changed") ||
+            coalesce(col("c_cluster") < prop("cluster"), lit(false)))
+            .as("changed")))
       converged = next.filter(col("changed")).count() == 0L
       mark(s"round $it count")
+      if (debug) System.err.println("[dupClusters] plan nodes=" +
+        next.queryExecution.logical.collectLeaves().size)
       // the superseded round's checkpoint blocks are released as soon
       // as the successor is materialized — left alone they pile up
       // until GC-driven ContextCleaner cleanup (r3's dominant bench
@@ -1150,8 +1265,12 @@ object Text {
     }
     edges.unpersist(blocking = false)
     // a truncated iteration would return silently-wrong clusters —
-    // fail loudly instead (maxIter bounds rounds ≈ graph diameter;
-    // real dedup graphs converge in single digits)
+    // fail loudly instead. With the pointer-jump, rounds scale with
+    // log(diameter) (measured: a 2,000-node path converges in 11
+    // rounds where plain propagation needs 2,000; the k=10 ScaleBench
+    // giant tail component — 50k nodes — in 34), so the 64-round
+    // default covers ~1.5^64 ≈ 10^11-node components with slack;
+    // real dedup graphs converge in single digits
     require(converged,
       s"dupClusters did not converge within $maxIter rounds")
     // the converged snapshot backs the returned frame through a
@@ -1643,6 +1762,61 @@ object Text {
     * ~10⁹ docs at 100 k-char documents; lift to DECIMAL(38,0)
     * beyond.
     */
+  /** Cohen's kappa agreement between two binary keep-filters — the
+    * policy-level filter-redundancy audit beside
+    * [[signalCorrelation]]'s signal-level one (correlated SCORES can
+    * still disagree at their thresholds, and two filters that agree
+    * at kappa≈1 are one filter's cost for two filters' spend; kappa
+    * near 0 = independent decisions, negative = systematic
+    * opposition). Chance-corrected: `kappa = (p_o − p_e)/(1 − p_e)`
+    * with p_e from the marginals.
+    *
+    * Input: any frame with two boolean columns. Output one row —
+    * the 2×2 confusion counts (the hash-compared skeleton), exact
+    * ppm observed/chance agreement, and `kappa_milli` by pure
+    * integer arithmetic over the counts:
+    * `1000·(n·(n11+n00) − peN) div (n² − peN)` with
+    * `peN = a1·b1 + a0·b0` — negative-capable; INTEGER `div` (Spark)
+    * and integer `//` (DuckDB) both truncate toward zero (measured:
+    * -7//2 = -3 — DuckDB floors only on DOUBLE operands), so plain
+    * division is already engine-identical on the negative path.
+    * NULL when both filters are constant
+    * (p_e = 1, kappa undefined). Overflow bound (basketLift
+    * convention): n² < 2⁶³ holds to ~3·10⁹ rows; beyond, lift the
+    * products to DECIMAL(38,0).
+    *
+    * Shape at scale: ONE conditional aggregation pass — five longs
+    * cross the network, never rows.
+    */
+  def filterAgreementKappa(
+      flags: DataFrame,
+      aCol: String = "keep_a",
+      bCol: String = "keep_b"
+  ): DataFrame = {
+    val a = col(aCol)
+    val b = col(bCol)
+    flags.agg(
+        count(lit(1)).as("n"),
+        count(when(a && b, lit(1))).as("n11"),
+        count(when(a && !b, lit(1))).as("n10"),
+        count(when(!a && b, lit(1))).as("n01"),
+        count(when(!a && !b, lit(1))).as("n00"))
+      // peN = a1·b1 + a0·b0 (chance-agreement numerator over n²).
+      // The milli division truncates toward zero in BOTH engines
+      // (Spark `div` and DuckDB `//` are C-style; measured -7//2=-3),
+      // so the negative path needs no floor identity — it needs the
+      // SAME truncation, which is the default.
+      .withColumn("__peN", expr(
+        "(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"))
+      .withColumn("__num", expr("1000 * (n * (n11 + n00) - __peN)"))
+      .withColumn("__den", expr("n * n - __peN"))
+      .withColumn("po_ppm", expr("(n11 + n00) * 1000000 div n"))
+      .withColumn("pe_ppm", expr("__peN * 1000000 div (n * n)"))
+      .withColumn("kappa_milli", expr(
+        "CASE WHEN __den = 0 THEN NULL ELSE __num div __den END"))
+      .drop("__peN", "__num", "__den")
+  }
+
   def signalCorrelation(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("source"),

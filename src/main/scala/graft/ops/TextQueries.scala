@@ -80,7 +80,73 @@ object TextQueries {
     "cache:text:seen_sigs" -> ((s, d) => seenSigs(s, d))
   )
 
+  /** ANSI twin of [[Text.q20pow]]'s square-and-multiply chain: eight
+    * unrolled CTE steps, each one loop iteration (acc multiplies by
+    * the PRE-square pw when the exponent bit is set, then pw
+    * squares), all floored q20 integer math — bitwise identical to
+    * the Spark column chain by construction.
+    */
+  private def q20powChainSql(
+      tag: String, from: String, keep: String, e: String): String =
+    (0 until 8).map { bit =>
+      val prev = if (bit == 0) from else s"$tag${bit - 1}"
+      s"""$tag$bit AS (
+         |  SELECT $keep,
+         |    CASE WHEN ($e // ${1 << bit}) % 2 = 1
+         |      THEN (acc * pw) // 1048576 ELSE acc END AS acc,
+         |    (pw * pw) // 1048576 AS pw
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+
+  private val lshTuningOracle: String = {
+    val keep = "bands, rows_per_band, j_milli"
+    s"""WITH cfg(bands, rows_per_band) AS (
+       |  VALUES (128, 1), (64, 2), (32, 4), (16, 8), (8, 16),
+       |    (4, 32), (16, 2), (16, 4), (8, 4)),
+       |g AS (
+       |  SELECT CAST(x AS BIGINT) AS j_milli
+       |  FROM range(0, 1001, 25) t(x)),
+       |r_in AS (
+       |  SELECT bands, rows_per_band, j_milli,
+       |    CAST(1048576 AS BIGINT) AS acc,
+       |    (j_milli * 1048576) // 1000 AS pw
+       |  FROM cfg CROSS JOIN g),
+       |${q20powChainSql("r", "r_in", keep, "rows_per_band")},
+       |q_pre AS (
+       |  SELECT $keep, 1048576 - acc AS pw FROM r7),
+       |q_in AS (
+       |  SELECT *, CAST(1048576 AS BIGINT) AS acc FROM q_pre),
+       |${q20powChainSql("q", "q_in", keep, "bands")},
+       |curve AS (
+       |  SELECT $keep, 1048576 - acc AS p_q20 FROM q7),
+       |s50 AS (
+       |  SELECT bands, rows_per_band,
+       |    MIN(CASE WHEN p_q20 >= 524288 THEN j_milli END)
+       |      AS s50_milli
+       |  FROM curve GROUP BY 1, 2)
+       |SELECT c.bands, c.rows_per_band,
+       |  c.bands * c.rows_per_band AS sig_size,
+       |  c.j_milli, c.p_q20, s.s50_milli
+       |FROM curve c JOIN s50 s USING (bands, rows_per_band)
+       |ORDER BY bands, rows_per_band, j_milli""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    // (bands, rows) LSH layout frontier: exact q20 collision curve
+    // + on-grid s-curve midpoint per layout — pure config math
+    "q_text_lsh_tuning" -> ((s, _) => Text.lshTuningCurve(s)),
+    // Cohen's kappa between the heuristic quality gate (quality >=
+    // .5) and the logistic classifier gate (logit >= 0, the
+    // q_text_classifier model) — are two filter passes buying two
+    // decisions or one? One conditional agg, 5 longs out
+    "q_text_filter_kappa" -> ((s, d) => {
+      val q = Text.qualityScore(Tables.documents(s, d))
+      Text.filterAgreementKappa(q.select(
+        (col("quality") >= 0.5).as("keep_a"),
+        ((lit(0.25) + col("stopword_ratio") * 1.5 +
+          col("uniq_ratio") * -2.0 + col("len_score") * 0.75) >= 0.0)
+          .as("keep_b")))
+    }),
     "q_text_exact_dup_groups" -> ((s, d) =>
       Text.exactDupGroups(Tables.documents(s, d))
         .orderBy(col("text_hash"))),
@@ -617,6 +683,52 @@ object TextQueries {
        |    + CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 * 0.25""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_text_lsh_tuning" -> lshTuningOracle,
+    "q_text_filter_kappa" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS uniq_ratio,
+         |    CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 AS len_score
+         |  FROM t),
+         |f AS (
+         |  SELECT
+         |    stopword_ratio * 0.25 + uniq_ratio * 0.5
+         |      + len_score * 0.25 >= 0.5 AS keep_a,
+         |    0.25 + stopword_ratio * 1.5 + uniq_ratio * -2.0
+         |      + len_score * 0.75 >= 0.0 AS keep_b
+         |  FROM r),
+         |c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COUNT(CASE WHEN keep_a AND keep_b THEN 1 END)
+         |      AS BIGINT) AS n11,
+         |    CAST(COUNT(CASE WHEN keep_a AND NOT keep_b THEN 1 END)
+         |      AS BIGINT) AS n10,
+         |    CAST(COUNT(CASE WHEN NOT keep_a AND keep_b THEN 1 END)
+         |      AS BIGINT) AS n01,
+         |    CAST(COUNT(CASE WHEN NOT keep_a AND NOT keep_b THEN 1
+         |      END) AS BIGINT) AS n00
+         |  FROM f),
+         |k AS (
+         |  SELECT *, (n11 + n10) * (n11 + n01)
+         |    + (n01 + n00) * (n10 + n00) AS pen
+         |  FROM c)
+         |SELECT n, n11, n10, n01, n00,
+         |  (n11 + n00) * 1000000 // n AS po_ppm,
+         |  pen * 1000000 // (n * n) AS pe_ppm,
+         |  CASE WHEN n * n - pen = 0 THEN NULL
+         |    ELSE (1000 * (n * (n11 + n00) - pen)) // (n * n - pen)
+         |  END AS kappa_milli
+         |FROM k""".stripMargin,
     "q_text_exact_dup_groups" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_dups

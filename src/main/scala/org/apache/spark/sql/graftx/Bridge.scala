@@ -32,4 +32,32 @@ object Bridge {
       case l: LogicalRDD => Some(l.rdd)
       case _             => None
     }
+
+  /** Rebuild a checkpointed Dataset's `LogicalRDD` leaf WITHOUT the
+    * inherited statistics. `Dataset.checkpoint`/`localCheckpoint`
+    * call `LogicalRDD.rewriteStatsAndConstraints`, which copies the
+    * PRE-truncation plan's estimated `sizeInBytes` into the leaf. In
+    * an iterative operator whose round plan references the previous
+    * snapshot more than once (e.g. a pointer-jump self-join), that
+    * estimate is a PRODUCT of the previous leaf's estimate with
+    * itself — it squares every round, its BigInt digit count doubles,
+    * and round planning goes exponential in Catalyst's stats walk
+    * (measured: dupClusters rounds 16→23 at 0.8 s → 284 s, main
+    * thread pinned in `BigInteger.multiplyToomCook3` under
+    * `SizeInBytesOnlyStatsPlanVisitor`). Dropping `originStats`
+    * resets the leaf to `defaultSizeInBytes` — constant per round;
+    * inside a loop every join is keyed on the snapshot anyway, so
+    * nothing useful is lost.
+    */
+  def statsResetLeaf(ds: Dataset[_]): org.apache.spark.sql.DataFrame =
+    ds.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val session = ds.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        org.apache.spark.sql.classic.Dataset.ofRows(session,
+          LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+            l.outputOrdering, l.isStreaming, l.stream)(
+            session, None, None))
+      case _ => ds.toDF()
+    }
 }

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 231,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 231")
-    assert(SparkEntry.oracleSql.size == 218,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 218")
+    assert(SparkEntry.queries.size == 234,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 234")
+    assert(SparkEntry.oracleSql.size == 221,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 221")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -314,6 +314,8 @@ class GraftApiSpec extends SparkSpec {
       "clusterByZOrder" -> "clusteredByZOrder",
       "rangeBoundaries" -> "rangeBoundaries",
       "exactKeyQuantiles" -> "exactKeyQuantiles",
+      "lshTuningCurve" -> "lshTuningCurve",
+      "filterAgreementKappa" -> "filterAgreementKappa",
       "keySkewProfile" -> "keySkewProfile",
       "compactionPlan" -> "compactionPlan",
       "pruneAudit" -> "pruneAudit",

@@ -130,4 +130,32 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(r => (r.getDouble(2), r.getDouble(7)))
       .forall { case (bal, cur) => bal == cur }) // running last
   }
+
+  test("saltedJoin: row-identical to the plain join, salt reaches " +
+      "the exchange, hot key spreads over buckets") {
+    import spark.implicits._
+    // hot key 1 (12 rows) + tail keys; dim has extras (inner drops)
+    val fact = ((1 to 12).map(i => (1L, s"v$i")) ++
+      Seq((2L, "a"), (3L, "b"))).toDF("k", "payload")
+    val dim = Seq((1L, "one"), (2L, "two"), (3L, "three"),
+      (9L, "unmatched")).toDF("k", "name")
+    val joined = ops.Relational.saltedJoin(fact, dim.hint("merge"),
+      Seq("k"), saltBuckets = 4)
+    val plain = fact.join(dim, Seq("k"))
+    assert(joined.collect().map(_.toSeq).toSet ===
+      plain.collect().map(_.toSeq).toSet)
+    assert(joined.count() === 14L)
+    // the salt must be a join key in the physical plan (the whole
+    // point — the exchange partitions on (k, salt), not k alone)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"salt column optimized away:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"dim side broadcast despite merge hint:\n$p")
+    // the hot key's 12 rows actually spread: > 1 distinct salt value
+    val salts = fact.filter(col("k") === 1L)
+      .withColumn("s", pmod(xxhash64(struct(col("k"), col("payload"))),
+        lit(4)).cast("int"))
+      .select("s").distinct().count()
+    assert(salts > 1L, "hot key landed in a single salt bucket")
+  }
 }

@@ -1698,4 +1698,65 @@ class TextSpec extends SparkSpec {
       ("the", 4L, 1000000L, 571428L),
       ("cat", 2L, 500000L, 714285L)))
   }
+
+  test("filterAgreementKappa: hand 2x2, perfect opposition, " +
+      "constant-filter NULL") {
+    def kap(cells: Seq[(Boolean, Boolean)]) =
+      graft.ops.Text.filterAgreementKappa(
+        cells.toDF("keep_a", "keep_b")).collect().head
+    // n=10: n11=4 n10=1 n01=2 n00=3 → po=.7, pe=(5·6+5·4)/100=.5,
+    // kappa=(.7-.5)/.5=.4
+    val r = kap(Seq.fill(4)((true, true)) ++ Seq.fill(1)((true, false))
+      ++ Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false)))
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) === (4L, 1L, 2L, 3L))
+    assert(r.getAs[Long]("po_ppm") === 700000L)
+    assert(r.getAs[Long]("pe_ppm") === 500000L)
+    assert(r.getAs[Long]("kappa_milli") === 400L)
+    // perfect opposition: kappa = -1 exactly (negative floor path)
+    val opp = kap(Seq.fill(2)((true, false)) ++ Seq.fill(2)((false, true)))
+    assert(opp.getAs[Long]("kappa_milli") === -1000L)
+    // both filters constant: pe = 1, kappa undefined → NULL
+    val const = kap(Seq.fill(3)((true, true)))
+    assert(const.isNullAt(const.fieldIndex("kappa_milli")))
+  }
+
+  test("lshTuningCurve: q20 curve tracks 1-(1-j^r)^b; 8x4 default " +
+      "midpoint lands on the >= 0.5 near-dup contract") {
+    val rows = graft.ops.Text.lshTuningCurve(spark).collect()
+    val q20 = (1L << 20).toDouble
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bands")
+      val rp = r.getAs[Int]("rows_per_band")
+      val j = r.getAs[Long]("j_milli") / 1000.0
+      val p = r.getAs[Long]("p_q20") / q20
+      val ref = 1.0 - math.pow(1.0 - math.pow(j, rp.toDouble),
+        b.toDouble)
+      // floors lose < 2^-20 per square/multiply; 12 steps stay
+      // within 5e-3 absolutely everywhere on the grid
+      assert(math.abs(p - ref) < 5e-3, s"($b,$rp) j=$j: $p vs $ref")
+      assert(r.getAs[Int]("sig_size") === b * rp)
+    }
+    // per-config: p monotone non-decreasing in j, endpoints exact
+    rows.groupBy(r => (r.getAs[Int]("bands"),
+        r.getAs[Int]("rows_per_band")))
+      .foreach { case (_, rs) =>
+        val ps = rs.sortBy(_.getAs[Long]("j_milli"))
+          .map(_.getAs[Long]("p_q20"))
+        assert(ps.head === 0L && ps.last === (1L << 20))
+        assert(ps.zip(ps.tail).forall { case (a, c) => a <= c })
+      }
+    val s50 = rows.map(r => (r.getAs[Int]("bands"),
+        r.getAs[Int]("rows_per_band")) -> r.getAs[Long]("s50_milli"))
+      .toMap
+    // the shipped 8x4 layout: analytic midpoint (1/8)^(1/4) = .5946,
+    // first grid point with p >= 1/2 is 550 (p(.55) = .536) — inside
+    // minhashCandidates' >= 0.5 confirm threshold, i.e. the banding
+    // recalls where the verifier keeps
+    assert(s50((8, 4)) === 550L)
+    // at a fixed 128-hash budget, rows buy precision: the midpoint
+    // moves right monotonically as rows grow
+    assert(s50((128, 1)) < s50((32, 4)) &&
+      s50((32, 4)) < s50((8, 16)) && s50((8, 16)) < s50((4, 32)))
+  }
 }

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Round self-check artifact: triplicate adjudication of disputed
+queries + full-battery summary.
+
+The r10 driver artifact carried 4 hash-mismatch rows that did not
+reproduce under the identical recipe (and 22 tail OOMs) — classic
+sweep self-corruption. This tool makes the adjudication PROVABLE:
+for each named query it reruns the DuckDB compare N times in fresh
+subprocesses, records the md5 of the column-sorted value matrix of
+BOTH sides each time, and emits SELFCHECK_r<N>.json. Identical
+spark/oracle hashes across all runs = the engine result is stable
+and equal; any driver-side red row for these queries is then
+attributable to the sweep, not the engine (see also the
+q_aa_canary / q_zz_canary constant probes).
+
+Usage: selfcheck.py OUT_DIR SF_DIR ROUND [QUERY ...]
+(defaults to the four r10-disputed queries + both canaries)
+"""
+import hashlib, json, subprocess, sys
+
+DEFAULT = ["q_text_dedup_curve", "q_text_stopwords",
+           "q_text_vocab_growth", "q_vec_centroid_margin",
+           "q_aa_canary", "q_zz_canary"]
+
+CHILD = r"""
+import hashlib, json, math, sys
+import duckdb
+out_dir, sf_dir, name, sql = sys.argv[1:5]
+con = duckdb.connect()
+con.execute("SET threads=4")
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+def mat(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    def n(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        if hasattr(v, "tolist") and not hasattr(v, "upper"):
+            return repr([n(x) for x in v.tolist()])
+        return repr(v)
+    rows = [[n(v) for v in row] for row in df.itertuples(index=False)]
+    return hashlib.md5(json.dumps(
+        [list(df.columns)] + rows).encode()).hexdigest()
+got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+exp = con.execute(sql).fetchdf()
+print(json.dumps({"spark_md5": mat(got), "oracle_md5": mat(exp),
+                  "rows": len(got), "oracle_rows": len(exp)}))
+"""
+
+
+def main():
+    out_dir, sf_dir, rnd = sys.argv[1:4]
+    queries = sys.argv[4:] or DEFAULT
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    report = {}
+    for name in queries:
+        runs = []
+        for i in range(3):
+            p = subprocess.run(
+                [sys.executable, "-c", CHILD, out_dir, sf_dir, name,
+                 sqls[name]], capture_output=True, text=True)
+            if p.returncode != 0:
+                runs.append({"err": p.stderr.strip()[-300:]})
+            else:
+                runs.append(json.loads(p.stdout))
+        ok = (all("err" not in r for r in runs) and
+              len({r["spark_md5"] for r in runs}) == 1 and
+              len({r["oracle_md5"] for r in runs}) == 1 and
+              runs[0]["spark_md5"] is not None and
+              all(r["spark_md5"] == r["oracle_md5"] for r in runs))
+        report[name] = {"runs": runs, "stable_and_equal": ok}
+        print(f"{'ok  ' if ok else 'FAIL'} {name}")
+    path = f"SELFCHECK_r{rnd}.json"
+    json.dump(report, open(path, "w"), indent=1)
+    print(f"wrote {path}")
+    sys.exit(0 if all(v["stable_and_equal"] for v in report.values())
+             else 1)
+
+
+if __name__ == "__main__":
+    main()
