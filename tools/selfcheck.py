@@ -34,11 +34,23 @@ for t in ["region","nation","customer","supplier","part","orders",
 def mat(df):
     df = df.reindex(sorted(df.columns), axis=1)
     def n(v):
-        if isinstance(v, float):
-            return "NaN" if math.isnan(v) else repr(v)
+        # numpy arrays -> python lists, numpy scalars -> python
+        # scalars BEFORE repr: engines disagree on dtype (int32 vs
+        # int64) and numpy 2 reprs carry the dtype name
         if hasattr(v, "tolist") and not hasattr(v, "upper"):
-            return repr([n(x) for x in v.tolist()])
-        return repr(v)
+            v = v.tolist()
+        if isinstance(v, list):
+            return repr([n(x) for x in v])
+        if isinstance(v, float):
+            # a nullable BIGINT comes back float64 from one engine and
+            # int64 from the other; the compare's Python == treats
+            # 25 == 25.0 — canonicalize integral floats the same way
+            if math.isnan(v):
+                return "NaN"
+            return repr(int(v)) if v.is_integer() else repr(v)
+        if isinstance(v, int):
+            return repr(v)
+        return repr(str(v))
     rows = [[n(v) for v in row] for row in df.itertuples(index=False)]
     return hashlib.md5(json.dumps(
         [list(df.columns)] + rows).encode()).hexdigest()
