@@ -42,6 +42,9 @@ object Graft {
     def dupGroups: DataFrame = ops.Text.exactDupGroups(docs)
     def nearDupCandidates(threshold: Double): DataFrame =
       ops.Text.minhashCandidates(docs, threshold)
+    /** Good-Turing counts-of-counts smoothing table with exact-ppm
+      * unseen-mass estimate. */
+    def goodTuring: DataFrame = ops.Text.goodTuring(docs)
     /** Cohen's kappa agreement of two boolean keep-columns on this
       * frame — chance-corrected filter-redundancy audit. */
     def filterAgreementKappa(

@@ -395,4 +395,52 @@ object Audit {
       .withColumn("stale", col("lag_ms") > maxLagMs)
       .orderBy(col("feed"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic on a numeric
+    * column — the whole-DISTRIBUTION member of the drift family
+    * (`Text.qualityDrift`/`embeddingDriftPsi` compare binned masses,
+    * which a bin-width choice can blur; KS is binning-free:
+    * `D = max_x |ECDF_ref(x) − ECDF_cur(x)|`). Emitted exactly in
+    * integer arithmetic: `d_num = max_v |n_cur·cum_ref(v) −
+    * n_ref·cum_cur(v)|` over the MERGED distinct values, so
+    * `D = d_num/(n_ref·n_cur)` and `ks_ppm = d_num·10⁶ div
+    * (n_ref·n_cur)` hash-compares; `at_value` is the smallest value
+    * attaining the max (deterministic tie-break). Overflow bound
+    * (kappa convention): n_ref·n_cur < 2⁶³ — to ~3·10⁹ rows a side.
+    *
+    * Shape at scale: one groupBy(value) histogram per side (map-side
+    * combined), a histogram-keyed full-outer join, and a cumulative
+    * window over the MERGED VALUE HISTOGRAM — the rangeBoundaries
+    * posture: bounded by the distinct-value count, the rows
+    * themselves never sort. For a truly continuous high-cardinality
+    * column, quantize upstream (the histogram IS the table there).
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame,
+      colName: String): DataFrame = {
+    val h1 = ref.groupBy(col(colName).as("v"))
+      .agg(count(lit(1)).as("c1"))
+    val h2 = cur.groupBy(col(colName).as("v"))
+      .agg(count(lit(1)).as("c2"))
+    val m = h1.join(h2, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = m.agg(sum(col("c1")).as("n_ref"),
+      sum(col("c2")).as("n_cur"))
+    // bounded window: merged distinct values only (histogram-sized)
+    val w = Window.orderBy(col("v"))
+    val d = m
+      .select(col("v"), sum(col("c1")).over(w).as("cum1"),
+        sum(col("c2")).over(w).as("cum2"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("n_ref"), col("n_cur"),
+        abs(col("n_cur") * col("cum1") - col("n_ref") * col("cum2"))
+          .as("dn"))
+    d.groupBy(col("n_ref"), col("n_cur"))
+      .agg(max(col("dn")).as("d_num"),
+        (-max(struct(col("dn"), (-col("v")).as("nv")))("nv"))
+          .as("at_value"))
+      .select(col("n_ref"), col("n_cur"), col("d_num"),
+        expr("d_num * 1000000 div (n_ref * n_cur)").as("ks_ppm"),
+        col("at_value"))
+  }
 }

@@ -216,6 +216,20 @@ object RelationalQueries {
             _.cast("string"))).as("top_orders_csv"))
         .orderBy(col("o_orderpriority"))),
     "q_salted_agg" -> ((s, d) => saltedAgg(Tables.lineitem(s, d))),
+    // exact two-sample KS on DOLLAR-quantized o_totalprice between
+    // the even/odd orderkey halves — quantizing upstream keeps the
+    // merged value histogram domain-bounded (≤ max price dollars)
+    // at any corpus size, per ksDrift's documented contract
+    "q_orders_ks_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("double")
+            .as("price_dollars"))
+      Audit.ksDrift(
+        o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 === 1),
+        "price_dollars")
+    }),
     // salted shuffle join must be row-identical to the plain join —
     // the oracle IS the unsalted form; the merge hint keeps the dim
     // off the broadcast path so the salted exchange actually runs
@@ -1093,6 +1107,35 @@ object RelationalQueries {
         |  AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q_orders_ks_drift" ->
+      """WITH h1 AS (
+        |  SELECT FLOOR(o_totalprice) AS v, COUNT(*) AS c1 FROM orders
+        |  WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        |h2 AS (
+        |  SELECT FLOOR(o_totalprice) AS v, COUNT(*) AS c2 FROM orders
+        |  WHERE o_orderkey % 2 = 1 GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(h1.v, h2.v) AS v,
+        |    CAST(COALESCE(c1, 0) AS BIGINT) AS c1,
+        |    CAST(COALESCE(c2, 0) AS BIGINT) AS c2
+        |  FROM h1 FULL OUTER JOIN h2 ON h1.v = h2.v),
+        |t AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n_ref,
+        |    CAST(SUM(c2) AS BIGINT) AS n_cur FROM m),
+        |c AS (
+        |  SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1,
+        |    SUM(c2) OVER (ORDER BY v) AS cum2 FROM m),
+        |d AS (
+        |  SELECT v,
+        |    ABS(t.n_cur * c.cum1 - t.n_ref * c.cum2) AS dn,
+        |    t.n_ref, t.n_cur
+        |  FROM c CROSS JOIN t)
+        |SELECT n_ref, n_cur, CAST(MAX(dn) AS BIGINT) AS d_num,
+        |  CAST(MAX(dn) AS BIGINT) * 1000000 // (n_ref * n_cur)
+        |    AS ks_ppm,
+        |  MIN(CASE WHEN dn = (SELECT MAX(dn) FROM d) THEN v END)
+        |    AS at_value
+        |FROM d GROUP BY n_ref, n_cur""".stripMargin,
     // salted shuffle join: row-identical to the plain join — oracle
     // is the unsalted form (only the exchange shape differs)
     "q_salted_join_agg" ->

@@ -3466,6 +3466,46 @@ object Text {
     * Engine-invariant end to end; zero/degenerate variance emits a
     * null slope instead of dividing by zero.
     */
+  /** Good–Turing frequency smoothing table — the LM-smoothing
+    * companion of [[zipfAudit]] (Zipf grades the rank-frequency
+    * SHAPE; Good–Turing prices the UNSEEN): from the counts-of-counts
+    * frame `S(c) = #tokens observed exactly c times`, the adjusted
+    * count `c* = (c+1)·S(c+1)/S(c)` per frequency class (exact
+    * milli), and the leave-one-out unseen-mass estimate
+    * `p₀ = S(1)/T` in exact ppm — the number that says how much
+    * probability a unigram LM built on this corpus should reserve
+    * for words it has never seen (high p₀ = open vocabulary /
+    * noisy OCR; near-zero = closed template vocabulary). `s_next = 0`
+    * classes emit `c_star_milli = 0` (the classic estimator is
+    * undefined there; downstream smoothers interpolate).
+    *
+    * Shape at scale: one token tf aggregation (vocabulary-sized,
+    * map-side combined), a counts-of-counts aggregation over the
+    * VOCABULARY (output ≤ max tf rows — tiny), a shifted self-join
+    * and 1-row broadcast on that tiny frame. The corpus is scanned
+    * once.
+    */
+  def goodTuring(docs: DataFrame): DataFrame = {
+    val tf = docs.filter(length(trim(col("text"))) > 0)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val cc = tf.groupBy(col("c")).agg(count(lit(1)).as("s_c"))
+    val tot = cc.agg(
+      sum(col("c") * col("s_c")).as("total"),
+      coalesce(sum(when(col("c") === 1, col("s_c"))), lit(0L))
+        .as("n1"))
+    val nxt = cc.select((col("c") - 1).as("c"),
+      col("s_c").as("s_next"))
+    cc.join(nxt, Seq("c"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("c"), col("s_c"),
+        coalesce(col("s_next"), lit(0L)).as("s_next"),
+        expr("(c + 1) * coalesce(s_next, 0) * 1000 div s_c")
+          .as("c_star_milli"),
+        expr("n1 * 1000000 div total").as("p0_ppm"))
+      .orderBy(col("c"))
+  }
+
   def zipfAudit(docs: DataFrame): DataFrame = {
     val counts = docs
       .select(explode(tokens(col("text"))).as("token"))

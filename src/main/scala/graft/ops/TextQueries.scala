@@ -135,6 +135,22 @@ object TextQueries {
     // (bands, rows) LSH layout frontier: exact q20 collision curve
     // + on-grid s-curve midpoint per layout — pure config math
     "q_text_lsh_tuning" -> ((s, _) => Text.lshTuningCurve(s)),
+    // Good-Turing counts-of-counts table: adjusted counts c* in
+    // exact milli + unseen-mass p0 in exact ppm — the LM-smoothing
+    // number that says how open this corpus's vocabulary is
+    "q_text_good_turing" -> ((s, d) =>
+      Text.goodTuring(Tables.documents(s, d))),
+    // exact KS between the two doc_id-parity halves' MILLI-quantized
+    // quality scores — quantizing keeps the merged histogram at
+    // <= 1001 values regardless of corpus size (ksDrift's contract)
+    "q_text_quality_ks" -> ((s, d) => {
+      val q = Text.qualityScore(Tables.documents(s, d))
+        .select(col("doc_id"),
+          floor(col("quality") * 1000).cast("long").as("q_milli"))
+      Audit.ksDrift(
+        q.filter(col("doc_id") % 2 === 0),
+        q.filter(col("doc_id") % 2 === 1), "q_milli")
+    }),
     // Cohen's kappa between the heuristic quality gate (quality >=
     // .5) and the logistic classifier gate (logit >= 0, the
     // q_text_classifier model) — are two filter passes buying two
@@ -684,6 +700,76 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q_text_lsh_tuning" -> lshTuningOracle,
+    "q_text_good_turing" ->
+      s"""WITH tok AS (
+         |  SELECT UNNEST($toksSql) AS token FROM documents
+         |  WHERE len(trim(text)) > 0),
+         |tf AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+         |cc AS (
+         |  SELECT c, CAST(COUNT(*) AS BIGINT) AS s_c
+         |  FROM tf GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(SUM(c * s_c) AS BIGINT) AS total,
+         |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN s_c END), 0)
+         |      AS BIGINT) AS n1
+         |  FROM cc)
+         |SELECT cc.c, cc.s_c,
+         |  CAST(COALESCE(nx.s_c, 0) AS BIGINT) AS s_next,
+         |  (cc.c + 1) * CAST(COALESCE(nx.s_c, 0) AS BIGINT) * 1000
+         |    // cc.s_c AS c_star_milli,
+         |  t.n1 * 1000000 // t.total AS p0_ppm
+         |FROM cc LEFT JOIN cc nx ON nx.c = cc.c + 1
+         |CROSS JOIN t
+         |ORDER BY cc.c""".stripMargin,
+    "q_text_quality_ks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS uniq_ratio,
+         |    CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 AS len_score
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(FLOOR((stopword_ratio * 0.25 + uniq_ratio * 0.5
+         |      + len_score * 0.25) * 1000) AS BIGINT) AS v
+         |  FROM r),
+         |h1 AS (
+         |  SELECT v, COUNT(*) AS c1 FROM q
+         |  WHERE doc_id % 2 = 0 GROUP BY 1),
+         |h2 AS (
+         |  SELECT v, COUNT(*) AS c2 FROM q
+         |  WHERE doc_id % 2 = 1 GROUP BY 1),
+         |m AS (
+         |  SELECT COALESCE(h1.v, h2.v) AS v,
+         |    CAST(COALESCE(c1, 0) AS BIGINT) AS c1,
+         |    CAST(COALESCE(c2, 0) AS BIGINT) AS c2
+         |  FROM h1 FULL OUTER JOIN h2 ON h1.v = h2.v),
+         |tt AS (
+         |  SELECT CAST(SUM(c1) AS BIGINT) AS n_ref,
+         |    CAST(SUM(c2) AS BIGINT) AS n_cur FROM m),
+         |c AS (
+         |  SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1,
+         |    SUM(c2) OVER (ORDER BY v) AS cum2 FROM m),
+         |d AS (
+         |  SELECT v,
+         |    ABS(tt.n_cur * c.cum1 - tt.n_ref * c.cum2) AS dn,
+         |    tt.n_ref, tt.n_cur
+         |  FROM c CROSS JOIN tt)
+         |SELECT n_ref, n_cur, CAST(MAX(dn) AS BIGINT) AS d_num,
+         |  CAST(MAX(dn) AS BIGINT) * 1000000 // (n_ref * n_cur)
+         |    AS ks_ppm,
+         |  MIN(CASE WHEN dn = (SELECT MAX(dn) FROM d) THEN v END)
+         |    AS at_value
+         |FROM d GROUP BY n_ref, n_cur""".stripMargin,
     "q_text_filter_kappa" ->
       s"""WITH t AS (
          |  SELECT doc_id, n_chars,

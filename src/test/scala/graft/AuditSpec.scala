@@ -207,4 +207,25 @@ class AuditSpec extends SparkSpec {
       ("b", 1L, 7200000L, true),
       ("c", 1L, 1799000L, false)))
   }
+
+  test("ksDrift: identical reads 0, disjoint reads 1, shift reads " +
+      "the exact ECDF gap with min-value tie-break") {
+    import spark.implicits._
+    def ks(a: Seq[Double], b: Seq[Double]) =
+      graft.ops.Audit.ksDrift(a.toDF("x"), b.toDF("x"), "x")
+        .collect().head
+    val same = ks(Seq(1, 2, 3), Seq(1, 2, 3))
+    assert(same.getAs[Long]("d_num") === 0L)
+    assert(same.getAs[Long]("ks_ppm") === 0L)
+    // disjoint supports: D = 1 at the ref side's last value
+    val disj = ks(Seq(1, 1, 2), Seq(3, 3, 4))
+    assert(disj.getAs[Long]("ks_ppm") === 1000000L)
+    assert(disj.getAs[Double]("at_value") === 2.0)
+    // unit shift of a 4-point grid: D = 1/4, max attained at every
+    // interior value -> at_value is the SMALLEST (deterministic)
+    val shift = ks(Seq(1, 2, 3, 4), Seq(2, 3, 4, 5))
+    assert(shift.getAs[Long]("d_num") === 4L)
+    assert(shift.getAs[Long]("ks_ppm") === 250000L)
+    assert(shift.getAs[Double]("at_value") === 1.0)
+  }
 }

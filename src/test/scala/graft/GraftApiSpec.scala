@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 234,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 234")
-    assert(SparkEntry.oracleSql.size == 221,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 221")
+    assert(SparkEntry.queries.size == 237,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 237")
+    assert(SparkEntry.oracleSql.size == 224,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 224")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -316,6 +316,7 @@ class GraftApiSpec extends SparkSpec {
       "exactKeyQuantiles" -> "exactKeyQuantiles",
       "lshTuningCurve" -> "lshTuningCurve",
       "filterAgreementKappa" -> "filterAgreementKappa",
+      "goodTuring" -> "goodTuring",
       "keySkewProfile" -> "keySkewProfile",
       "compactionPlan" -> "compactionPlan",
       "pruneAudit" -> "pruneAudit",

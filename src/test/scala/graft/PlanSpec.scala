@@ -104,6 +104,8 @@ class PlanSpec extends SparkSpec {
       "q_layout_key_quantiles" -> "coarse-cell histogram, ≤ coarseCells+1 rows by construction",
       "q_layout_prune_audit" -> "o_totalprice value histogram (rangeBoundaries contract)",
       "q_layout_range_bounds" -> "value histogram (rangeBoundaries contract)",
+      "q_orders_ks_drift" -> "dollar-quantized price histogram (domain-bounded at any corpus size)",
+      "q_text_quality_ks" -> "milli-quantized quality histogram (<= 1001 values by construction)",
       "q_orders_repeat_interval" -> "per-customer gap aggregate (documented median twin)",
       "q_rank_suppliers" -> "supplier dim (smallest fact-free table; documented top-k twin)",
       "q_rfm_segments" -> "customer dim ntile (documented validation-scale twin)",

@@ -1699,6 +1699,23 @@ class TextSpec extends SparkSpec {
       ("cat", 2L, 500000L, 714285L)))
   }
 
+  test("goodTuring: hand counts-of-counts, c* milli, unseen mass ppm") {
+    import spark.implicits._
+    // tf: a=3 b=2 c=2 d=1 -> S(1)=1 S(2)=2 S(3)=1, T=8, N1=1
+    val docs = Seq((1L, "a a a b b c"), (2L, "c d"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Text.goodTuring(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(out === List(
+      // c=1: c* = 2·S(2)/S(1) = 4.0 -> 4000 milli
+      (1L, 1L, 2L, 4000L, 125000L),
+      // c=2: c* = 3·S(3)/S(2) = 1.5 -> 1500 milli
+      (2L, 2L, 1L, 1500L, 125000L),
+      // c=3: S(4)=0 -> estimator undefined, emitted 0
+      (3L, 1L, 0L, 0L, 125000L)))
+  }
+
   test("filterAgreementKappa: hand 2x2, perfect opposition, " +
       "constant-filter NULL") {
     def kap(cells: Seq[(Boolean, Boolean)]) =
