@@ -87,6 +87,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), s"no view-keyed merge join:\n$p")
   }
 
+  test("per-group top-k: rank filter pushes into WindowGroupLimit on both shuffle sides") {
+    // the property that makes grouped top-k scale: Spark's
+    // InferWindowGroupLimit turns `rank <= k` into a partial
+    // WindowGroupLimit BEFORE the exchange (each map task forwards at
+    // most k rows per group) plus a final one after — without it the
+    // full per-group row sets cross the shuffle just to be discarded
+    val p = plan(ops.Relational.topOrdersPerCustomer(
+      Tables.orders(spark, sf("sf0.001")), 3))
+    val hits = "WindowGroupLimit".r.findAllIn(p).length
+    assert(hits >= 2, s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
   /** A `Window` with an empty partition spec executes on ONE task —
     * the canonical 100 TB scale-killer. Every registered query's
     * optimized plan is scanned for empty-partition Windows; any hit
