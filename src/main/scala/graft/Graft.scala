@@ -713,6 +713,15 @@ object Graft {
     ): DataFrame = ops.Layout.clusterByZOrder(df, cols, bits, numPartitions)
     def rangeBoundaries(colName: String, nRanges: Int): DataFrame =
       ops.Layout.rangeBoundaries(df, colName, nRanges)
+    /** 2-D Hilbert clustering value — the better-locality sibling of
+      * withZValue (consecutive indexes are always grid neighbors). */
+    def withHilbertValue(
+        colX: String,
+        colY: String,
+        bits: Int = 16,
+        ranges: Option[Map[String, (Long, Long)]] = None
+    ): DataFrame =
+      ops.Layout.withHilbertValue(df, colX, colY, bits, ranges)
     /** Exact rank-quantile boundaries of a unique key, no global
       * window (two-pass coarse-cell order statistic). */
     def exactKeyQuantiles(

@@ -95,6 +95,97 @@ object Layout {
       .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
   }
 
+  /** Append a 2-D HILBERT-curve clustering value over `(colX, colY)`
+    * — the space-filling curve with strictly better locality than
+    * [[withZValue]]'s Z-order (consecutive Hilbert indexes are always
+    * GRID NEIGHBORS; Z-order takes long diagonal jumps at power-of-2
+    * boundaries, so a rectangle predicate touches more distinct index
+    * runs — the reason modern clustering engines moved from Z to
+    * Hilbert). Columns equi-width bucket to `2^bits` cells exactly as
+    * in withZValue (same overflow guard), then the classic xy2d walk
+    * runs as `bits` unrolled per-step projections of pure long
+    * arithmetic (`d += s²·(3·rx ⊕ ry)` + conditional flip/swap) —
+    * named columns per step, NOT one nested Column (the lshTuningCurve
+    * lesson: self-referencing nested `when`s double the expression
+    * tree per step), and the identical chain replays in ANSI SQL, so
+    * `hilbert_value` hash-compares bitwise.
+    *
+    * Shape at scale: one 1-row min/max broadcast + map-side integer
+    * math — identical cost profile to withZValue; `bits` ≤ 16 steps
+    * of codegen'd projections.
+    */
+  def withHilbertValue(
+      df: DataFrame,
+      colX: String,
+      colY: String,
+      bits: Int = 16,
+      ranges: Option[Map[String, (Long, Long)]] = None
+  ): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62,
+      s"hilbert: 2 x $bits bits must fit 62 output bits")
+    val cols = Seq(colX, colY)
+    val withMm = ranges match {
+      case Some(r) =>
+        cols.foldLeft(df) { (d, c) =>
+          val (mn, mx) = r(c)
+          d.withColumn(s"__mn_$c", lit(mn))
+            .withColumn(s"__mx_$c", lit(mx))
+        }
+      case None =>
+        val aggExprs = cols.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"__mn_$c"),
+          max(col(c)).cast("long").as(s"__mx_$c")))
+        df.crossJoin(broadcast(df.agg(aggExprs.head, aggExprs.tail: _*)))
+    }
+    val width = 1L << bits
+    val maxSpan = Long.MaxValue >> bits
+    def bucket(c: String): Column = {
+      val span = col(s"__mx_$c").cast("decimal(20,0)") -
+        col(s"__mn_$c").cast("decimal(20,0)")
+      when(span <= lit(maxSpan),
+        ldiv((col(c).cast("long") - col(s"__mn_$c")) * width,
+          col(s"__mx_$c") - col(s"__mn_$c") + 1L))
+        .otherwise(raise_error(concat(
+          lit(s"hilbert: span of '$c' ("),
+          coalesce(span.cast("string"), lit("null — all-NULL column?")),
+          lit(s") exceeds ${maxSpan} = Long.MaxValue >> $bits; " +
+            "reduce bits or pre-bucket via rangeBoundaries")))
+          .cast("long"))
+    }
+    var cur = withMm
+      .withColumn("__hx", bucket(colX))
+      .withColumn("__hy", bucket(colY))
+      .withColumn("__hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L))
+            .otherwise(lit(0L)))
+        .withColumn("__hd", col("__hd") +
+          lit(s * s) * (col("__rx") * 3L).bitwiseXOR(col("__ry")))
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(s - 1) - col("__hy"))
+              .otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(s - 1) - col("__hx"))
+              .otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .drop("__hx", "__hy", "__rx", "__ry")
+        .withColumnRenamed("__nx", "__hx")
+        .withColumnRenamed("__ny", "__hy")
+    }
+    cur.withColumn("hilbert_value", col("__hd"))
+      .drop("__hx", "__hy", "__hd")
+      .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+  }
+
   /** Cluster `df` for writing: z-value over `cols`, range-partition
     * on it (so files tile the z-curve), sort within partitions (so
     * row groups tile it too). Downstream parquet min-max pruning then

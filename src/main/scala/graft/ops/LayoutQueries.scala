@@ -114,6 +114,16 @@ object LayoutQueries {
     // re-proves exactness every sweep
     "q_layout_key_quantiles" -> ((s, d) =>
       Layout.exactKeyQuantiles(Tables.orders(s, d), "o_orderkey", 12)),
+    // 2-D Hilbert clustering value over (l_partkey, l_suppkey), 8
+    // bits/dim — the better-locality sibling of q_layout_zorder;
+    // bit-identical xy2d walk replayed in the oracle
+    "q_layout_hilbert" -> ((s, d) =>
+      Layout.withHilbertValue(Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey", bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("hilbert_value"))
+        .orderBy(col("hilbert_value"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))),
     // heavy-hitter profile of lineitem.l_partkey with the salt factor
     // that would level each key across 32 shuffle partitions
     "q_layout_skew" -> ((s, d) =>
@@ -134,7 +144,50 @@ object LayoutQueries {
         .orderBy(col("part_key"), col("file_id")))
   )
 
+  /** ANSI twin of [[Layout.withHilbertValue]]'s xy2d walk: one CTE
+    * per bit from the top (each = the Spark chain's per-step
+    * projection; the inner subquery computes the quadrant bits from
+    * the INPUT hx/hy so the outer swap/flip reads pre-step values,
+    * exactly like the named-column Spark steps).
+    */
+  private def hilbertChainSql(bits: Int, keep: String): String =
+    ((bits - 1) to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == bits - 1) "h_in" else s"h${i + 1}"
+      s"""h$i AS (
+         |  SELECT $keep,
+         |    hd + ${s * s} * xor(3 * rx, ry) AS hd,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+         |      THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+         |      THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy
+         |  FROM (SELECT *,
+         |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM $prev) t)""".stripMargin
+    }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "q_layout_hilbert" -> {
+      val keep = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
+      s"""WITH mm AS (
+         |  SELECT MIN(l_partkey) AS mn1, MAX(l_partkey) AS mx1,
+         |         MIN(l_suppkey) AS mn2, MAX(l_suppkey) AS mx2
+         |  FROM lineitem),
+         |h_in AS (
+         |  SELECT $keep,
+         |    CAST((CAST(l_partkey - mn1 AS BIGINT) * 256)
+         |         // (mx1 - mn1 + 1) AS BIGINT) AS hx,
+         |    CAST((CAST(l_suppkey - mn2 AS BIGINT) * 256)
+         |         // (mx2 - mn2 + 1) AS BIGINT) AS hy,
+         |    CAST(0 AS BIGINT) AS hd
+         |  FROM lineitem, mm),
+         |${hilbertChainSql(8, keep)}
+         |SELECT $keep, CAST(hd AS BIGINT) AS hilbert_value
+         |FROM h0
+         |ORDER BY hilbert_value, l_orderkey, l_linenumber,
+         |  l_partkey, l_suppkey""".stripMargin
+    },
     // same equi-width bucket + interleave in SQL: bit b of bucket 1
     // lands at position 2b, of bucket 2 at 2b+1 (column-major,
     // little-endian by bit — ZOrderInterleave's layout)

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 237,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 237")
-    assert(SparkEntry.oracleSql.size == 224,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 224")
+    assert(SparkEntry.queries.size == 238,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 238")
+    assert(SparkEntry.oracleSql.size == 225,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 225")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -311,6 +311,7 @@ class GraftApiSpec extends SparkSpec {
       "recallAtK" -> "recallAtK",
       "pcaProject" -> "pcaProjected",
       "withZValue" -> "withZValue",
+      "withHilbertValue" -> "withHilbertValue",
       "clusterByZOrder" -> "clusteredByZOrder",
       "rangeBoundaries" -> "rangeBoundaries",
       "exactKeyQuantiles" -> "exactKeyQuantiles",

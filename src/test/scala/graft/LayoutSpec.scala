@@ -103,6 +103,79 @@ class LayoutSpec extends SparkSpec {
     assert(bounds.last._2 === sortedVals.last)
   }
 
+  test("hilbert value matches the xy2d reference, is bijective, and " +
+      "consecutive indexes are always grid neighbors (beats z-order)") {
+    import spark.implicits._
+    def ref(x0: Long, y0: Long, bits: Int): Long = {
+      var x = x0; var y = y0; var d = 0L
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val bits = 5
+    val n = 1L << bits
+    val cells = (for (x <- 0L until n; y <- 0L until n) yield (x, y))
+    // identity bucketing: ranges pinned to the grid itself
+    val got = Layout.withHilbertValue(cells.toDF("x", "y"), "x", "y",
+        bits, ranges = Some(Map("x" -> (0L, n - 1), "y" -> (0L, n - 1))))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Long]("hilbert_value"))).toMap
+    cells.foreach { case (x, y) =>
+      assert(got((x, y)) === ref(x, y, bits), s"($x,$y)")
+    }
+    assert(got.values.toSet.size === cells.size) // bijective on grid
+    // locality: walking the curve, every step moves to a grid
+    // NEIGHBOR — the property z-order lacks (its power-of-2 seams
+    // take diagonal jumps), and the reason a rectangle predicate
+    // touches fewer index runs under hilbert
+    val byD = got.map(_.swap)
+    val hilbertJumps = (0L until n * n - 1).count { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(hilbertJumps === 0)
+    val zByD = cells.map { case (x, y) =>
+      var z = 0L
+      for (b <- 0 until bits) {
+        z |= ((x >> b) & 1L) << (2 * b); z |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      z -> (x, y)
+    }.toMap
+    val zJumps = (0L until n * n - 1).count { d =>
+      val (x1, y1) = zByD(d); val (x2, y2) = zByD(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(zJumps > 0, "z-order unexpectedly had perfect locality")
+    // the operational payoff, measured: a rectangle predicate covers
+    // FEWER CONTIGUOUS INDEX RUNS under hilbert (each run = one range
+    // read / row-group span a scanner opens). 50 deterministic 8x8
+    // rectangles on the 32x32 grid: hilbert needs ~40% fewer runs.
+    // (Coarse file counts are a wash at this grid size — the curve's
+    // win is run structure, which is what survives to IO.)
+    def runsFor(f: (Long, Long) => Long): Int = {
+      val rng = new scala.util.Random(1)
+      (0 until 50).map { _ =>
+        val x0 = rng.nextInt(24); val y0 = rng.nextInt(24)
+        val idx = (for (x <- x0 until x0 + 8; y <- y0 until y0 + 8)
+          yield f(x.toLong, y.toLong)).sorted
+        1 + idx.zip(idx.tail).count { case (a, b) => b != a + 1 }
+      }.sum
+    }
+    val hRuns = runsFor((x, y) => got((x, y)))
+    val zRuns = runsFor((x, y) => zByD.map(_.swap).apply((x, y)))
+    assert(hRuns < (zRuns * 3) / 4,
+      s"hilbert runs $hRuns not < 75% of z-order runs $zRuns")
+  }
+
   test("exactKeyQuantiles equals the ROW_NUMBER cut on unique, " +
       "negative, and duplicate keys") {
     import spark.implicits._
