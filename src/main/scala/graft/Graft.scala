@@ -722,6 +722,15 @@ object Graft {
         ranges: Option[Map[String, (Long, Long)]] = None
     ): DataFrame =
       ops.Layout.withHilbertValue(df, colX, colY, bits, ranges)
+    /** Write-side Hilbert clustering: range-partition + sort on the
+      * hilbert value so files and row groups tile the curve. */
+    def clusteredByHilbert(
+        colX: String,
+        colY: String,
+        bits: Int = 16,
+        numPartitions: Int = 0
+    ): DataFrame =
+      ops.Layout.clusterByHilbert(df, colX, colY, bits, numPartitions)
     /** Exact rank-quantile boundaries of a unique key, no global
       * window (two-pass coarse-cell order statistic). */
     def exactKeyQuantiles(

@@ -186,6 +186,26 @@ object Layout {
       .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
   }
 
+  /** Cluster `df` for writing along the Hilbert curve —
+    * [[clusterByZOrder]]'s shape with [[withHilbertValue]]'s better
+    * run structure: range-partition on `hilbert_value` (files tile
+    * the curve), sort within partitions (row groups tile it too).
+    */
+  def clusterByHilbert(
+      df: DataFrame,
+      colX: String,
+      colY: String,
+      bits: Int = 16,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    val h = withHilbertValue(df, colX, colY, bits)
+    val parted =
+      if (numPartitions > 0)
+        h.repartitionByRange(numPartitions, col("hilbert_value"))
+      else h.repartitionByRange(col("hilbert_value"))
+    parted.sortWithinPartitions("hilbert_value")
+  }
+
   /** Cluster `df` for writing: z-value over `cols`, range-partition
     * on it (so files tile the z-curve), sort within partitions (so
     * row groups tile it too). Downstream parquet min-max pruning then

@@ -237,16 +237,29 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         k = 3, precomputedKnn = Some(knnGraphDf(s, d)))
         .orderBy(col("vec_id"))),
-    // Newman modularity of the label communities on a 4-bucket
+    // Newman modularity of the label communities on a coarse
     // (label % 4) kNN graph — coarser lists than communities so
     // cross-community edges exist and Q is non-vacuous; exact q20
-    // fixed point with the documented double-floor square
-    "q_vec_modularity" -> ((s, d) =>
+    // fixed point with the documented double-floor square. Lists
+    // SUB-DIVIDE by vec_id so list size stays ~1250 at any corpus
+    // (m = max(1, n div 1250) sublists per bucket, label-independent
+    // so each sublist still mixes communities): Sigma |list|^2 =
+    // n·1250/4, linear — the listBalance growth lever enforced in
+    // the query itself (r11 ScaleBench measured alpha 1.58 with the
+    // fixed 4-list rule)
+    "q_vec_modularity" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val m = e.agg(greatest(lit(1L),
+        expr("count(*) div 1250")).as("__m"))
       Vector.modularityAssigned(
-        Tables.embeddings(s, d)
-          .withColumn("list_id", col("label") % 4)
-          .withColumn("community", col("label")),
-        k = 3)),
+        e.crossJoin(broadcast(m))
+          .withColumn("list_id",
+            (col("label") % 4) * lit(1000L) +
+              pmod(col("vec_id"), col("__m")))
+          .withColumn("community", col("label"))
+          .drop("__m"),
+        k = 3)
+    }),
     // geometric twin of the modularity audit: per label, members
     // scoring closer to a foreign centroid (exact-q16 mean-dot,
     // floor-division identity on the negative path)
@@ -927,11 +940,16 @@ object VectorQueries {
         |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
         |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
         |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |mt AS (
+        |  SELECT GREATEST(1, COUNT(*) // 1250) AS m
+        |  FROM embeddings),
         |p AS (
         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
-        |  FROM u a JOIN u b
-        |    ON a.i = b.i AND a.label % 4 = b.label % 4
+        |  FROM u a CROSS JOIN mt JOIN u b
+        |    ON a.i = b.i
+        |    AND (a.label % 4) * 1000 + a.vec_id % mt.m
+        |      = (b.label % 4) * 1000 + b.vec_id % mt.m
         |    AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |r AS (

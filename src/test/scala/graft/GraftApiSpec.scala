@@ -312,6 +312,7 @@ class GraftApiSpec extends SparkSpec {
       "pcaProject" -> "pcaProjected",
       "withZValue" -> "withZValue",
       "withHilbertValue" -> "withHilbertValue",
+      "clusterByHilbert" -> "clusteredByHilbert",
       "clusterByZOrder" -> "clusteredByZOrder",
       "rangeBoundaries" -> "rangeBoundaries",
       "exactKeyQuantiles" -> "exactKeyQuantiles",

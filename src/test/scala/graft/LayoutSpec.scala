@@ -176,6 +176,21 @@ class LayoutSpec extends SparkSpec {
       s"hilbert runs $hRuns not < 75% of z-order runs $zRuns")
   }
 
+  test("clusterByHilbert round-trips rows and sorts by hilbert " +
+      "value within partitions") {
+    val li = docs.select("l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey")
+    val out = Layout.clusterByHilbert(li, "l_partkey", "l_suppkey",
+      bits = 8, numPartitions = 4)
+    assert(out.count() === li.count())
+    val sortedWithin = out.select("hilbert_value").rdd
+      .mapPartitions { it =>
+        val vs = it.map(_.getLong(0)).toSeq
+        Iterator(vs == vs.sorted)
+      }.collect()
+    assert(sortedWithin.forall(identity))
+  }
+
   test("exactKeyQuantiles equals the ROW_NUMBER cut on unique, " +
       "negative, and duplicate keys") {
     import spark.implicits._
