@@ -1623,7 +1623,14 @@ object Vector {
     * the vec-family release.
     */
   private def truncateGeneration(df: DataFrame): DataFrame = {
-    val snapped = df.localCheckpoint(eager = false)
+    // statsResetLeaf: localCheckpoint copies the PRE-truncation
+    // plan's sizeInBytes estimate into the leaf, so generation N's
+    // estimate is a PRODUCT over generation N-1's — digits grow with
+    // every generation and Catalyst's BigInt stats walk turns
+    // iteration superlinear (the dupClusters r11 lesson; label_prop
+    // measured alpha 1.4 at ScaleBench k=10 before this)
+    val snapped = org.apache.spark.sql.graftx.Bridge
+      .statsResetLeaf(df.localCheckpoint(eager = false))
     graft.Caches.trackReleasable("vec")(() =>
       org.apache.spark.sql.graftx.Bridge.leafRdd(snapped)
         .foreach(_.unpersist(blocking = false)))

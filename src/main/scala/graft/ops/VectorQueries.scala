@@ -476,12 +476,22 @@ object VectorQueries {
     // ground-truth label; 3 majority-vote iterations over the
     // within-list kNN graph (lists COARSENED to label % 4 so five
     // true labels share each list and votes genuinely disagree);
-    // integer votes + smallest-label tiebreak → exact unrolled twin
+    // integer votes + smallest-label tiebreak → exact unrolled twin.
+    // Lists sub-divide by vec_id past 1250 vectors/bucket (the
+    // q_vec_modularity list-size rule: m = max(1, n div 1250)
+    // label-independent sublists, m = 1 at oracle validation SFs) so
+    // the graph build's Σ|list|² stays linear in n
     "q_vec_label_prop" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .withColumn("list_id", col("label") % 4)
+      val e0 = Tables.embeddings(s, d)
+      val m = e0.agg(greatest(lit(1L),
+        expr("count(*) div 1250")).as("__m"))
+      val e = e0.crossJoin(broadcast(m))
+        .withColumn("list_id",
+          (col("label") % 4) * lit(1000L) +
+            pmod(col("vec_id"), col("__m")))
+        .drop("__m")
       Vector.labelPropagationAssigned(e,
-        e.filter(col("vec_id") % 25 === 0)
+        e0.filter(col("vec_id") % 25 === 0)
           .select(col("vec_id"), col("label").as("lab")),
         k = 3, iters = 3)
         .orderBy(col("vec_id"))
@@ -1200,15 +1210,19 @@ object VectorQueries {
     // three unrolled majority-vote rounds (votes DESC, lab ASC
     // argmax; seeds clamped via NOT IN)
     "q_vec_label_prop" ->
-      """WITH n AS (
-        |  SELECT vec_id, label % 4 AS lst,
+      """WITH mt AS (
+        |  SELECT GREATEST(1, COUNT(*) // 1250) AS m
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id,
+        |    (label % 4) * 1000 + vec_id % mt.m AS lst,
         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
         |             ORDER BY i)) AS nrm
         |  FROM (SELECT vec_id, label,
         |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
         |          UNNEST(embedding) AS x
-        |        FROM embeddings)
-        |  GROUP BY vec_id, label % 4),
+        |        FROM embeddings) CROSS JOIN mt
+        |  GROUP BY vec_id, (label % 4) * 1000 + vec_id % mt.m),
         |u AS (
         |  SELECT e.vec_id, n.lst,
         |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
