@@ -27,10 +27,13 @@ object SparkEntry {
 
   /** Sweep-integrity canaries (SURVEY §2.8). The round-10 driver
     * artifact lost its alphabetical TAIL — 22 contiguous `err` rows
-    * (DuckDB "Failed to allocate block" on 500-row inputs) plus 4
-    * non-reproducing hash mismatches, all re-run green under the
-    * identical recipe: the compare process degrades over a ~230-
-    * connection sweep, it does not find real divergences. These two
+    * (DuckDB "Failed to allocate block" on 500-row inputs, cured by
+    * the low-allocation preamble in r11) plus 4 hash mismatches that
+    * r11 root-caused to a real repo bug (un-CAST SUM -> HUGEINT ->
+    * fetchdf float64; fixed r12). The canaries adjudicate which mode
+    * a red row is: green canaries + persistent hash-fail = real
+    * engine/oracle divergence; red canary = sweep self-corruption.
+    * These two
     * constant queries bracket the sorted registry (`q_aa…` first,
     * `q_zz…` last); their values never change, so a red canary row
     * PROVES the sweep self-corrupted rather than the engine being
@@ -92,8 +95,10 @@ object SparkEntry {
     "q_vec_semantic_pairs", "q_vec_sq8_distortion",
     "q_vec_triangle_coeff", "q_waiting_suppliers",
     "q_window_distribution_funcs", "q_zset_range",
-    // the four r10 hash-mismatch rows (also tail-adjacent, also
-    // non-reproducing) + the tail canary
+    // the four r10/r11 hash-mismatch rows (tail-adjacent; the
+    // mismatches turned out to be a real HUGEINT typing bug, fixed
+    // r12 — the preamble stays since they are still tail rows) +
+    // the tail canary
     "q_text_dedup_curve", "q_text_stopwords", "q_text_vocab_growth",
     "q_vec_centroid_margin", "q_zz_canary")
 

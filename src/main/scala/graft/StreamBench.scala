@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** Streaming-throughput micro-benchmark: pushes the synthesized log
   * corpus through the full 5-way demux pipeline (parse → branch →
@@ -156,7 +157,13 @@ object StreamBench {
     }.sortBy(_._1).toArray
     val perVecBatch = vecs.length / 4
     val vecsIn = MemoryStream[(Long, Array[Float], Int)]
-    val semStore = new streaming.SemanticIngestPipeline.MemoryStore(spark)
+    // ParquetStore, not MemoryStore: the bench must sample the
+    // at-scale deployment form — a list_id-partitioned parquet seen
+    // store whose probe reads only the batch's lists
+    // (PartitionFilters at the scan; witnessed below in the JSON)
+    val semStore = new streaming.SemanticIngestPipeline.ParquetStore(
+      spark, java.nio.file.Files
+        .createTempDirectory("graft-semingest-store").toString)
     var semAdmitted = 0L
     val semGate = streaming.SemanticIngestPipeline.start(
       vecsIn.toDF().toDF("vec_id", "embedding", "list_id"),
@@ -180,9 +187,19 @@ object StreamBench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val n = vecs.length - perVecBatch
+      // witness the layout claim: a single-list probe of the store
+      // the run just built must carry a PartitionFilters entry (the
+      // same predicate shape processBatch's isin pruning produces)
+      val probePlan = semStore.sigs
+        .filter(col("list_id").isin(0))
+        .queryExecution.executedPlan.toString
+      val partitionFiltered = probePlan.contains("PartitionFilters") &&
+        probePlan.contains("list_id")
       val line3 =
         s"""{"metric":"semantic_gate_vecs_per_sec","value":${(n / dt).toLong},""" +
-          s""""vecs":$n,"admitted":$semAdmitted,"seconds":$dt,"batches":$timed,"scale":$scale,"sf":"$sfDir"}"""
+          s""""vecs":$n,"admitted":$semAdmitted,"seconds":$dt,"batches":$timed,""" +
+          s""""store":"parquet_list_id","partition_filtered":$partitionFiltered,""" +
+          s""""scale":$scale,"sf":"$sfDir"}"""
       println(line3)
       val out3 = new java.io.File(sys.env.getOrElse(
         "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))

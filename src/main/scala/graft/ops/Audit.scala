@@ -414,12 +414,25 @@ object Audit {
     * posture: bounded by the distinct-value count, the rows
     * themselves never sort. For a truly continuous high-cardinality
     * column, quantize upstream (the histogram IS the table there).
+    *
+    * NULL contract: an ECDF is undefined at NULL, so null rows are
+    * EXCLUDED from both sides (and from n_ref/n_cur) before the
+    * histograms. Without the filter, two half-broken behaviors
+    * compose silently: null group keys never match in the full-outer
+    * join (each side's null row sees the other as 0) and Spark's
+    * `Window.orderBy` sorts NULLS FIRST while SQL twins typically
+    * sort NULLS LAST — cumulative sums then diverge between engines
+    * whenever nulls are present. Callers who care how MUCH mass is
+    * null should compare null fractions separately (a completeness
+    * check, not a distribution drift).
     */
   def ksDrift(ref: DataFrame, cur: DataFrame,
       colName: String): DataFrame = {
-    val h1 = ref.groupBy(col(colName).as("v"))
+    val h1 = ref.filter(col(colName).isNotNull)
+      .groupBy(col(colName).as("v"))
       .agg(count(lit(1)).as("c1"))
-    val h2 = cur.groupBy(col(colName).as("v"))
+    val h2 = cur.filter(col(colName).isNotNull)
+      .groupBy(col(colName).as("v"))
       .agg(count(lit(1)).as("c2"))
     val m = h1.join(h2, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),

@@ -296,9 +296,17 @@ object Layout {
     * cumulative window over CELLS is bounded and cheap. Each of the
     * `nRanges` target ranks lands in exactly one cell with a known
     * intra-cell offset. Pass 2 re-scans ONLY the rows of the ≤
-    * `nRanges` hit cells (broadcast semi-join on cell id), ranks
-    * within each cell (`partitionBy(cell)` — every partition holds
-    * ~N/coarseCells rows, never the table), and picks the offset row.
+    * `nRanges` hit cells (broadcast semi-join on cell id), RE-SPLITS
+    * each hit cell by its own local min/max into another
+    * `coarseCells` subcells, ranks within `(cell, subcell)` (every
+    * partition holds ~N/coarseCells² rows on spread keys), and picks
+    * the offset row. The local re-split is what makes the operator
+    * robust to CLUSTERED keys: with dense ids plus one far outlier
+    * stretching the global range, pass 1 lands nearly all rows in
+    * one cell — but that cell's local range excludes the outlier, so
+    * the refinement grid spreads the mass before any row_number runs
+    * (one extra bounded-window stage; selected keys are the exact
+    * global-rank elements with or without refinement).
     *
     * Exactness under duplicates: `upper_bound` is the VALUE at the
     * target rank under any stable order, and equal keys share a
@@ -346,14 +354,52 @@ object Layout {
         col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
       .select(col("rid"), col("cell").as("tcell"),
         (col("r") - (col("cum") - col("cnt"))).as("off"))
-    // pass 2: rank only inside the hit cells
+    // pass 2: refine WITHIN the hit cells before any row_number. The
+    // equi-width pass-1 grid assumes the key range is roughly
+    // occupied; a clustered key (dense ids + one far outlier
+    // stretching max−min) lands nearly all rows in ONE cell, and
+    // ranking that cell directly would be the single-task near-global
+    // sort this operator exists to avoid. So each hit cell is
+    // re-split by its own LOCAL min/max into coarseCells subcells —
+    // the outlier no longer stretches the local range, so the dense
+    // mass spreads — and the rank window partitions by
+    // (cell, subcell): ≤ n/coarseCells² rows per task on uniform
+    // keys, and degenerate-clustered inputs are cured by the local
+    // re-scale. Refinement is behavior-neutral at ANY size: the
+    // selected key is the exact global-rank element either way.
     val hitCells = placed.select(col("tcell")).distinct()
     val inCell = withCell.join(broadcast(hitCells),
         col("cell") === col("tcell"), "leftsemi")
+    val cellStats = inCell.groupBy(col("cell"))
+      .agg(min(col("k")).as("cmin"), max(col("k")).as("cmax"))
+    val subbed = inCell.join(broadcast(cellStats), "cell")
+      .select(col("k"), col("cell"),
+        ldiv(col("k") - col("cmin"),
+          ldiv(col("cmax") - col("cmin"), lit(coarseCells)) + 1L)
+          .as("sub"))
+    // bounded window: ≤ coarseCells+1 rows per hit cell
+    val subCum = subbed.groupBy(col("cell"), col("sub"))
+      .agg(count(lit(1)).as("scnt"))
+      .select(col("cell"), col("sub"), col("scnt"),
+        sum(col("scnt")).over(Window.partitionBy(col("cell"))
+          .orderBy(col("sub"))).as("scum"))
+    val placed2 = subCum.join(broadcast(placed),
+        col("cell") === col("tcell") &&
+          col("off") > col("scum") - col("scnt") &&
+          col("off") <= col("scum"))
+      .select(col("rid"), col("cell").as("tcell2"),
+        col("sub").as("tsub"),
+        (col("off") - (col("scum") - col("scnt"))).as("off2"))
+    val hitSubs = placed2.select(col("tcell2"), col("tsub")).distinct()
+    val inSub = subbed.join(broadcast(hitSubs),
+        col("cell") === col("tcell2") && col("sub") === col("tsub"),
+        "leftsemi")
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("cell")).orderBy(col("k"))))
-    inCell.join(broadcast(placed),
-        col("cell") === col("tcell") && col("rn") === col("off"))
+        Window.partitionBy(col("cell"), col("sub"))
+          .orderBy(col("k"))))
+    inSub.join(broadcast(placed2),
+        col("cell") === col("tcell2") && col("sub") === col("tsub") &&
+          col("rn") === col("off2"))
       .select(col("rid").cast("int").as("range_id"),
         col("k").as("upper_bound"))
       .orderBy(col("range_id"))

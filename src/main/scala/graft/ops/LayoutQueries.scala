@@ -65,6 +65,43 @@ object LayoutQueries {
           .unionByName(stats("f_z", "zorder")),
         preds)
     }),
+    // Hilbert prune audit: the SAME rectangle predicates against
+    // insertion-ordered, Z-ORDERED, and HILBERT layouts of lineitem —
+    // closes the layout family's measurement loop: q_layout_hilbert
+    // proves the curve's locality (zero non-neighbor steps),
+    // this measures what that locality BUYS a min/max-pruning
+    // scanner vs the Z-curve on identical file granularity
+    "q_layout_hilbert_prune" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val both = Layout.withHilbertValue(
+        Layout.withZValue(li, Seq("l_partkey", "l_suppkey"), bits = 8),
+        "l_partkey", "l_suppkey", bits = 8)
+      val asg = both.select(
+        col("l_partkey"), col("l_suppkey"),
+        expr("l_orderkey div 1024").as("f_ins"),
+        expr("z_value div 1024").as("f_z"),
+        expr("hilbert_value div 1024").as("f_h"))
+      def stats(fcol: String, tag: String) = asg
+        .groupBy(col(fcol).as("file_id"))
+        .agg(min(col("l_partkey")).as("min_a"),
+          max(col("l_partkey")).as("max_a"),
+          min(col("l_suppkey")).as("min_b"),
+          max(col("l_suppkey")).as("max_b"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit(tag))
+      val preds = Seq(
+        (1, 10L, 30L, 0L, 1000000000L),   // partkey-narrow
+        (2, 0L, 1000000000L, 2L, 5L),     // suppkey-narrow
+        (3, 10L, 30L, 2L, 5L)             // both narrow
+      ).toDF("pred_id", "a_lo", "a_hi", "b_lo", "b_hi")
+      Layout.pruneAudit2D(
+        stats("f_ins", "insertion")
+          .unionByName(stats("f_z", "zorder"))
+          .unionByName(stats("f_h", "hilbert")),
+        preds)
+    }),
     // export-integrity manifest over the lang-partitioned delivery:
     // counts, byte volume, order-independent md5-int checksum
     "q_export_manifest" -> ((s, d) =>
@@ -279,6 +316,75 @@ object LayoutQueries {
         |FROM fs CROSS JOIN p
         |GROUP BY 1, 2
         |ORDER BY layout, pred_id""".stripMargin,
+    // the zorder_prune skeleton + the hilbert walk on the SAME
+    // buckets (b1/b2 ride the chain's keep-list so the Z interleave
+    // reads the identical quantization the walk consumed)
+    "q_layout_hilbert_prune" -> {
+      val keep = "l_orderkey, l_partkey, l_suppkey, b1, b2"
+      s"""WITH mm AS (
+         |  SELECT MIN(l_partkey) AS mn1, MAX(l_partkey) AS mx1,
+         |         MIN(l_suppkey) AS mn2, MAX(l_suppkey) AS mx2
+         |  FROM lineitem),
+         |h_in AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey,
+         |    CAST((CAST(l_partkey - mn1 AS BIGINT) * 256)
+         |         // (mx1 - mn1 + 1) AS BIGINT) AS b1,
+         |    CAST((CAST(l_suppkey - mn2 AS BIGINT) * 256)
+         |         // (mx2 - mn2 + 1) AS BIGINT) AS b2,
+         |    CAST((CAST(l_partkey - mn1 AS BIGINT) * 256)
+         |         // (mx1 - mn1 + 1) AS BIGINT) AS hx,
+         |    CAST((CAST(l_suppkey - mn2 AS BIGINT) * 256)
+         |         // (mx2 - mn2 + 1) AS BIGINT) AS hy,
+         |    CAST(0 AS BIGINT) AS hd
+         |  FROM lineitem, mm),
+         |${hilbertChainSql(8, keep)},
+         |br AS (SELECT ROW_NUMBER() OVER () AS rid, * FROM h0),
+         |z AS (
+         |  SELECT rid, l_orderkey, l_partkey, l_suppkey, hd,
+         |    SUM((((b1 >> i) & 1) << (2 * i)) +
+         |        (((b2 >> i) & 1) << (2 * i + 1))) AS z_value
+         |  FROM br, generate_series(0, 7) AS g(i)
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |asg AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    l_orderkey // 1024 AS f_ins,
+         |    CAST(z_value AS BIGINT) // 1024 AS f_z,
+         |    CAST(hd AS BIGINT) // 1024 AS f_h
+         |  FROM z),
+         |fs AS (
+         |  SELECT 'insertion' AS layout, f_ins AS file_id,
+         |    MIN(l_partkey) AS min_a, MAX(l_partkey) AS max_a,
+         |    MIN(l_suppkey) AS min_b, MAX(l_suppkey) AS max_b,
+         |    COUNT(*) AS n_rows
+         |  FROM asg GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'zorder', f_z, MIN(l_partkey), MAX(l_partkey),
+         |    MIN(l_suppkey), MAX(l_suppkey), COUNT(*)
+         |  FROM asg GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'hilbert', f_h, MIN(l_partkey), MAX(l_partkey),
+         |    MIN(l_suppkey), MAX(l_suppkey), COUNT(*)
+         |  FROM asg GROUP BY 1, 2),
+         |p AS (
+         |  SELECT * FROM (VALUES
+         |    (1, 10, 30, 0, 1000000000),
+         |    (2, 0, 1000000000, 2, 5),
+         |    (3, 10, 30, 2, 5))
+         |    AS t(pred_id, a_lo, a_hi, b_lo, b_hi))
+         |SELECT layout, pred_id, COUNT(*) AS n_files,
+         |  CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         |  COUNT(*) FILTER (max_a >= a_lo AND min_a <= a_hi
+         |    AND max_b >= b_lo AND min_b <= b_hi) AS files_scanned,
+         |  CAST(SUM(CASE WHEN max_a >= a_lo AND min_a <= a_hi
+         |    AND max_b >= b_lo AND min_b <= b_hi THEN n_rows
+         |    ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |  (COUNT(*) - COUNT(*) FILTER (max_a >= a_lo
+         |    AND min_a <= a_hi AND max_b >= b_lo AND min_b <= b_hi))
+         |    * 1000000 // COUNT(*) AS skip_ppm
+         |FROM fs CROSS JOIN p
+         |GROUP BY 1, 2
+         |ORDER BY layout, pred_id""".stripMargin
+    },
     "q_export_manifest" ->
       """SELECT lang AS part, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT)

@@ -1038,8 +1038,13 @@ object Relational {
     * AFTER materialization; salting levels the exchange itself, and
     * works where AQE can't see the skew — e.g. a shuffled-hash join
     * or a key whose rows are wide rather than many): the skewed side
-    * gets a per-row salt `pmod(xxhash64(whole row), buckets)` — any
-    * per-row spreading works, the salt never reaches the output —
+    * gets a per-row ROUND-ROBIN salt `pmod(monotonically_increasing_
+    * id(), buckets)` — position-based, NOT a hash of the row's
+    * values: a value hash strands a hot key whose rows are exact
+    * duplicates (the degenerate hot-key case) in one bucket, while
+    * position spreads any multiplicity uniformly. The salt never
+    * reaches the output, so its partition-layout dependence is
+    * invisible (the join result is row-identical under any salt) —
     * and the dimension side replicates once per bucket, so each hot
     * key's rows land on `buckets` reducers instead of one. Join on
     * `keys :+ salt`, inner, then the salt drops. The result is
@@ -1057,8 +1062,8 @@ object Relational {
     require(keys.nonEmpty && saltBuckets >= 1,
       "need join keys and >= 1 salt bucket")
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)),
-        lit(saltBuckets)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
+        .cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

@@ -946,13 +946,13 @@ object TextQueries {
          |  GROUP BY bucket)
          |SELECT p.bucket, p.n_docs, p.n_tokens,
          |  CAST(COALESCE(fo.new_vocab, 0) AS BIGINT) AS new_vocab,
-         |  SUM(p.n_tokens) OVER (ORDER BY p.bucket
+         |  CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS cum_tokens,
-         |  SUM(CAST(COALESCE(fo.new_vocab, 0) AS BIGINT))
+         |    AS BIGINT) AS cum_tokens,
+         |  CAST(SUM(CAST(COALESCE(fo.new_vocab, 0) AS BIGINT))
          |    OVER (ORDER BY p.bucket
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS cum_vocab
+         |    AS BIGINT) AS cum_vocab
          |FROM pd p LEFT JOIN fo USING (bucket)
          |ORDER BY bucket""".stripMargin,
     "q_text_stopwords" ->
@@ -973,9 +973,9 @@ object TextQueries {
          |  FROM s CROSS JOIN tot
          |  WHERE s.df * 1000000 // tot.n_docs >= 500000)
          |SELECT token, df, df_ppm, tf_total, n_docs, corpus_tf,
-         |  SUM(tf_total) OVER (ORDER BY df DESC, token
+         |  CAST(SUM(tf_total) OVER (ORDER BY df DESC, token
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    * 1000000 // corpus_tf AS cum_mass_ppm
+         |    * 1000000 // corpus_tf AS BIGINT) AS cum_mass_ppm
          |FROM f ORDER BY df DESC, token""".stripMargin,
     "q_text_bm25" ->
       s"""WITH toks AS (
@@ -1068,9 +1068,9 @@ object TextQueries {
          |  FROM jac WHERE jaccard >= 0.5),
          |g AS (SELECT bucket, COUNT(*) AS n_pairs FROM bk GROUP BY 1)
          |SELECT bucket, n_pairs,
-         |  SUM(n_pairs) OVER (ORDER BY bucket DESC
+         |  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS pairs_at_or_above
+         |    AS BIGINT) AS pairs_at_or_above
          |FROM g ORDER BY bucket""".stripMargin,
     // same candidate skeleton, asymmetric predicate: every ordered
     // pair sharing a shingle, kept when inter/|A| clears the gate

@@ -62,16 +62,46 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         0.4))
 
-  /** Within-list kNN graph (k = 3, list = stored label), shared by
-    * the graph family — q_vec_knn_graph projects it, the clustering
+  /** Embeddings with the scale-capped within-label sublist id: each
+    * label bucket SUB-DIVIDES into m = max(1, n div 1250) vec_id
+    * sublists (m = 1 at the oracle validation SFs, so list_id =
+    * label exactly there), keeping every within-list pair build at
+    * Σ|list|² ≈ n·1250 — linear in n at any corpus size instead of
+    * the n²/|labels| a raw label list gives (r11 ScaleBench measured
+    * α = 1.33 on the raw-label kNN-graph cache). The composite
+    * `label * m + pmod(vec_id, m)` is collision-free for ANY m
+    * (pmod < m ⇒ each label owns the disjoint range
+    * [label·m, label·m + m)); a fixed-stride variant like `* 1000`
+    * silently merges buckets once m ≥ the stride.
+    */
+  private[graft] def sublisted(s: SparkSession, d: String): DataFrame =
+    sublistCapped(Tables.embeddings(s, d))
+
+  /** The sublist rule on any `(vec_id, label, …)` frame — separated
+    * from the registry plumbing so the collision-free property is
+    * directly spec-testable at m > 1 (no validation corpus is big
+    * enough to leave the m = 1 regime).
+    */
+  private[graft] def sublistCapped(
+      e: DataFrame, cap: Long = 1250L): DataFrame = {
+    val m = e.agg(greatest(lit(1L),
+      expr(s"count(*) div $cap")).as("__m"))
+    e.crossJoin(broadcast(m))
+      .withColumn("list_id",
+        col("label") * col("__m") + pmod(col("vec_id"), col("__m")))
+      .drop("__m")
+  }
+
+  /** Within-list kNN graph (k = 3, list = the [[sublisted]]
+    * scale-capped label sublist — identically the stored label at
+    * validation SFs), shared by the graph family — q_vec_knn_graph
+    * projects it, recall/ranking sample it, the clustering
     * coefficient and k-core consume it — so the Σ|list|² UDAF build
     * runs once per session instead of once per graph query.
     */
   private[ops] def knnGraphDf(s: SparkSession, d: String): DataFrame =
     graft.Caches.persisted("vec", ("knngraph", s, d))(
-      Vector.knnGraphAssigned(
-        Tables.embeddings(s, d).withColumn("list_id", col("label")),
-        k = 3))
+      Vector.knnGraphAssigned(sublisted(s, d), k = 3))
 
   /** Session-shared materializations for the bench's
     * cache-attribution lines (same contract as
@@ -176,9 +206,22 @@ object VectorQueries {
     // (floor-adjacent cos 0.41-0.51), so the exact-twin oracle goes
     // red below 32 bands — the ~2s bench premium IS the price of the
     // oracle-green contract, not an oversight.
+    // r12 scale-honesty (the r11 verdict's alpha=2.34 item): tau=0.4
+    // sits inside the bulk cosine distribution, where the TRUE pair
+    // count is ~n² — so the registered config is the PRODUCTION form:
+    // bits/band grows 2·log2(n/2000) past 2000 vectors (expected
+    // candidate volume ~linear; recall price = the lshTuningCurve
+    // frontier) and each left endpoint emits at most its 8 hardest
+    // pairs (output ≤ 8n). Raising tau instead was measured and
+    // rejected: >= 0.5 leaves 0-1 pairs at the validation SFs — a
+    // vacuous oracle. At n <= 2000 with the non-binding cap (max
+    // pairs/vector is 3 at both validation SFs) this is bit-identical
+    // to the r11 recall-1 audit config, so the exact twin stays the
+    // oracle; q_vec_neardup_exact remains the tau=0.4 exact
+    // validation-scale query.
     "q_vec_neardup" -> ((s, d) =>
       Vector.cosineNearDup(Tables.embeddings(s, d), 0.4, nBands = 32,
-        bitsPerBand = 4)
+        bitsPerBand = 4, maxPairsPerVector = 8, bitsRefN = 2000L)
         .orderBy(col("vec_a"), col("vec_b"))),
     // exact n² twin (oracle-checked): the verification baseline the
     // banded-LSH path is measured against
@@ -224,8 +267,7 @@ object VectorQueries {
     // degrees recomputed per round, below-coreK vertices dropped —
     // exact integers, 3 unrolled rounds mirror the SQL twin
     "q_vec_kcore" -> ((s, d) =>
-      Vector.kCoreAssigned(
-        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+      Vector.kCoreAssigned(sublisted(s, d),
         k = 3, coreK = 2, rounds = 3,
         precomputedKnn = Some(knnGraphDf(s, d)))
         .orderBy(col("vec_id"))),
@@ -233,8 +275,7 @@ object VectorQueries {
     // set: symmetrized support pairs, ordered two-hop triangle join,
     // exact integer ppm end to end
     "q_vec_triangle_coeff" -> ((s, d) =>
-      Vector.triangleCoefficientAssigned(
-        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+      Vector.triangleCoefficientAssigned(sublisted(s, d),
         k = 3, precomputedKnn = Some(knnGraphDf(s, d)))
         .orderBy(col("vec_id"))),
     // Newman modularity of the label communities on a coarse
@@ -246,7 +287,9 @@ object VectorQueries {
     // so each sublist still mixes communities): Sigma |list|^2 =
     // n·1250/4, linear — the listBalance growth lever enforced in
     // the query itself (r11 ScaleBench measured alpha 1.58 with the
-    // fixed 4-list rule)
+    // fixed 4-list rule). Composite (label%4)·m + pmod(vec_id, m) is
+    // collision-free for ANY m — the r11 `* 1000` stride silently
+    // merged buckets once m >= 1000 (advisor catch, fixed r12).
     "q_vec_modularity" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val m = e.agg(greatest(lit(1L),
@@ -254,7 +297,7 @@ object VectorQueries {
       Vector.modularityAssigned(
         e.crossJoin(broadcast(m))
           .withColumn("list_id",
-            (col("label") % 4) * lit(1000L) +
+            (col("label") % 4) * col("__m") +
               pmod(col("vec_id"), col("__m")))
           .withColumn("community", col("label"))
           .drop("__m"),
@@ -325,8 +368,7 @@ object VectorQueries {
     // neighbor cosine in rank order (deterministic fold, ordered-SUM
     // twin), keep = not overdense
     "q_vec_density_prune" -> ((s, d) =>
-      Vector.densityPrune(
-        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+      Vector.densityPrune(sublisted(s, d),
         k = 3, maxMeanCos = 0.2)
         .orderBy(col("vec_id"))),
     // hard-negative mining: group = the doc's source (negatives must
@@ -334,7 +376,7 @@ object VectorQueries {
     // cosine + deterministic top-k, oracle-exact end to end
     "q_vec_hard_negatives" -> ((s, d) =>
       Vector.hardNegativesAssigned(
-        Tables.embeddings(s, d).withColumn("list_id", col("label"))
+        sublisted(s, d)
           .join(Tables.documents(s, d)
             .select(col("doc_id").as("vec_id"),
               col("source").as("group")), "vec_id"),
@@ -439,8 +481,7 @@ object VectorQueries {
     // 3-iteration fixpoint approximation hash-compares against an
     // unrolled SQL twin over the same oracle-green edge set
     "q_vec_pagerank" -> ((s, d) =>
-      Vector.knnPagerankAssigned(
-        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+      Vector.knnPagerankAssigned(sublisted(s, d),
         k = 3, iters = 3)
         .orderBy(col("vec_id"))),
     // centrality-ranked duplicate-cluster representatives: SemDeDup
@@ -449,8 +490,7 @@ object VectorQueries {
     // both inputs oracle-green fragments, the argmax exact on q20
     // integers, so the composition hash-compares end to end
     "q_vec_cluster_reps" -> ((s, d) =>
-      Vector.centralityRepresentatives(
-        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+      Vector.centralityRepresentatives(sublisted(s, d),
         threshold = 0.4, k = 3, iters = 3,
         precomputedPairs = Some(semPairs(s, d)))
         .orderBy(col("cluster"))),
@@ -461,8 +501,7 @@ object VectorQueries {
     "q_vec_knn_recall" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       Vector.recallAtK(
-        Vector.knnGraphAssigned(
-          embs.withColumn("list_id", col("label")), k = 3)
+        knnGraphDf(s, d)
           .filter(col("vec_id") % 20 === 0)
           .select(col("vec_id").as("query_id"),
             col("nbr_id").as("vec_id"), col("rank")),
@@ -487,7 +526,7 @@ object VectorQueries {
         expr("count(*) div 1250")).as("__m"))
       val e = e0.crossJoin(broadcast(m))
         .withColumn("list_id",
-          (col("label") % 4) * lit(1000L) +
+          (col("label") % 4) * col("__m") +
             pmod(col("vec_id"), col("__m")))
         .drop("__m")
       Vector.labelPropagationAssigned(e,
@@ -552,6 +591,10 @@ object VectorQueries {
         |  GROUP BY 1, 2)
         |SELECT vec_a, vec_b, cos_sim FROM p
         |WHERE cos_sim >= 0.4
+        |-- per-left-endpoint cap mirror (non-binding at validation
+        |-- SFs: max pairs/vector there is 3)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a
+        |  ORDER BY cos_sim DESC, vec_b) <= 8
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q_vec_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings
@@ -801,8 +844,8 @@ object VectorQueries {
         |  COUNT(*) FILTER (margin < 0) AS n_misassigned,
         |  COUNT(*) FILTER (margin < 0) * 1000000 // COUNT(*)
         |    AS misassigned_ppm,
-        |  (SUM(margin) - ((SUM(margin) % COUNT(*)) + COUNT(*))
-        |    % COUNT(*)) // COUNT(*) AS mean_margin
+        |  CAST((SUM(margin) - ((SUM(margin) % COUNT(*)) + COUNT(*))
+        |    % COUNT(*)) // COUNT(*) AS BIGINT) AS mean_margin
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "q_vec_label_centroid" ->
       """SELECT label, pos,
@@ -922,6 +965,11 @@ object VectorQueries {
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
+        |    -- scale-capped sublist rule (m = 1 at validation SFs)
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
         |    AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |r AS (
@@ -958,8 +1006,8 @@ object VectorQueries {
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a CROSS JOIN mt JOIN u b
         |    ON a.i = b.i
-        |    AND (a.label % 4) * 1000 + a.vec_id % mt.m
-        |      = (b.label % 4) * 1000 + b.vec_id % mt.m
+        |    AND (a.label % 4) * mt.m + a.vec_id % mt.m
+        |      = (b.label % 4) * mt.m + b.vec_id % mt.m
         |    AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |r AS (
@@ -1021,6 +1069,11 @@ object VectorQueries {
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
+        |    -- scale-capped sublist rule (m = 1 at validation SFs)
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
         |    AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |r AS (
@@ -1088,6 +1141,11 @@ object VectorQueries {
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
+        |    -- scale-capped sublist rule (m = 1 at validation SFs)
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
         |    AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |r AS (
@@ -1215,14 +1273,14 @@ object VectorQueries {
         |  FROM embeddings),
         |n AS (
         |  SELECT vec_id,
-        |    (label % 4) * 1000 + vec_id % mt.m AS lst,
+        |    (label % 4) * mt.m + vec_id % mt.m AS lst,
         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
         |             ORDER BY i)) AS nrm
         |  FROM (SELECT vec_id, label,
         |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
         |          UNNEST(embedding) AS x
         |        FROM embeddings) CROSS JOIN mt
-        |  GROUP BY vec_id, (label % 4) * 1000 + vec_id % mt.m),
+        |  GROUP BY vec_id, (label % 4) * mt.m + vec_id % mt.m),
         |u AS (
         |  SELECT e.vec_id, n.lst,
         |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
@@ -1299,6 +1357,11 @@ object VectorQueries {
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
+        |    -- scale-capped sublist rule (m = 1 at validation SFs)
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
         |    AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |r AS (
@@ -1365,6 +1428,11 @@ object VectorQueries {
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
+        |    -- scale-capped sublist rule (m = 1 at validation SFs)
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
         |    AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |pr_ AS (SELECT vec_id AS vec_a, nbr_id AS vec_b FROM p
@@ -1448,6 +1516,11 @@ object VectorQueries {
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
+        |    -- scale-capped sublist rule (m = 1 at validation SFs)
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
         |    AND a.vec_id <> b.vec_id AND a.vec_id % 20 = 0
         |  GROUP BY 1, 2),
         |ra AS (
@@ -1508,6 +1581,11 @@ object VectorQueries {
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
+        |    -- scale-capped sublist rule (m = 1 at validation SFs)
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
         |    AND a.vec_id <> b.vec_id AND a.vec_id % 20 = 0
         |  GROUP BY 1, 2),
         |ra AS (
@@ -1610,6 +1688,11 @@ object VectorQueries {
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
+        |    -- scale-capped sublist rule (m = 1 at validation SFs)
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
         |    AND a.source <> b.source
         |  GROUP BY 1, 2),
         |r AS (
@@ -1639,6 +1722,11 @@ object VectorQueries {
         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
         |  FROM u a JOIN u b
         |    ON a.i = b.i AND a.label = b.label
+        |    -- scale-capped sublist rule (m = 1 at validation SFs)
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
         |    AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |r AS (

@@ -228,4 +228,25 @@ class AuditSpec extends SparkSpec {
     assert(shift.getAs[Long]("ks_ppm") === 250000L)
     assert(shift.getAs[Double]("at_value") === 1.0)
   }
+
+  test("ksDrift null contract: null rows are excluded from both " +
+      "sides and the counts") {
+    import spark.implicits._
+    def ks(a: Seq[Option[Double]], b: Seq[Option[Double]]) =
+      graft.ops.Audit.ksDrift(a.toDF("x"), b.toDF("x"), "x")
+        .collect().head
+    // nulls on either/both sides: result identical to the null-free
+    // twin (ECDF is undefined at NULL; mass excluded, not matched)
+    val clean = ks(Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)),
+      Seq(Some(2.0), Some(3.0), Some(4.0), Some(5.0)))
+    val dirty = ks(
+      Seq(Some(1.0), None, Some(2.0), Some(3.0), Some(4.0), None),
+      Seq(None, Some(2.0), Some(3.0), Some(4.0), Some(5.0)))
+    assert(dirty.getAs[Long]("n_ref") === 4L)
+    assert(dirty.getAs[Long]("n_cur") === 4L)
+    assert(dirty.getAs[Long]("d_num") === clean.getAs[Long]("d_num"))
+    assert(dirty.getAs[Long]("ks_ppm") === clean.getAs[Long]("ks_ppm"))
+    assert(dirty.getAs[Double]("at_value") ===
+      clean.getAs[Double]("at_value"))
+  }
 }

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 238,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 238")
-    assert(SparkEntry.oracleSql.size == 225,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 225")
+    assert(SparkEntry.queries.size == 239,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 239")
+    assert(SparkEntry.oracleSql.size == 226,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 226")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -94,6 +94,108 @@ class GraftApiSpec extends SparkSpec {
     assert(SparkEntry.oracleSql("q_zz_canary")
       .startsWith("SET threads=2;"))
     assert(!SparkEntry.oracleSql("q_aa_canary").contains("SET "))
+  }
+
+  /** The preamble changes driver behavior invisibly (a multi-statement
+    * SET prefix before the oracle): a query silently gaining or losing
+    * it would alter how the driver's DuckDB runs that oracle with no
+    * other observable diff. Pin the exact membership — editing the
+    * preambled set must be a deliberate same-commit act, like the
+    * size/rows-only pins above.
+    */
+  test("preambled oracle set is pinned exactly") {
+    val pre = "SET threads=2; SET memory_limit='2GB'; "
+    val actual = SparkEntry.oracleSql.collect {
+      case (k, v) if v.startsWith(pre) => k
+    }.toSet
+    val expected = Set(
+      "q_vec_cluster_reps", "q_vec_coreset_sample", "q_vec_cosine_topk",
+      "q_vec_density_prune", "q_vec_doc_pool", "q_vec_drift_psi",
+      "q_vec_knn_recall", "q_vec_label_prop", "q_vec_mmr_topk",
+      "q_vec_modularity", "q_vec_neardup", "q_vec_pagerank",
+      "q_vec_ranking_metrics", "q_vec_rrf_fusion",
+      "q_vec_semantic_contamination", "q_vec_semantic_dedup",
+      "q_vec_semantic_pairs", "q_vec_sq8_distortion",
+      "q_vec_triangle_coeff", "q_waiting_suppliers",
+      "q_window_distribution_funcs", "q_zset_range",
+      "q_text_dedup_curve", "q_text_stopwords", "q_text_vocab_growth",
+      "q_vec_centroid_margin", "q_zz_canary")
+    assert(actual == expected,
+      s"preambled drift: +${actual -- expected} -${expected -- actual}")
+    // and no oracle carries a partial/other SET prefix
+    val strays = SparkEntry.oracleSql.collect {
+      case (k, v) if v.startsWith("SET ") && !v.startsWith(pre) => k
+    }
+    assert(strays.isEmpty, s"unexpected SET prefix: $strays")
+  }
+
+  /** DuckDB widens SUM(BIGINT) to HUGEINT and duckdb-python fetchdf()
+    * maps HUGEINT to float64 (5 -> 5.0), so an un-CAST SUM-derived
+    * column in an oracle's FINAL projection hash-mismatches against
+    * the Spark int64 side even when every value is equal — the exact
+    * r10/r11 bug on dedup_curve/stopwords/vocab_growth/centroid_margin.
+    * Lint: in the last top-level SELECT of every oracle, any
+    * projection chunk containing SUM( must also contain CAST( (crude
+    * by design — it flags the whole chunk, which is how all four
+    * historical bugs presented).
+    */
+  test("no un-CAST SUM in any oracle's final projection") {
+    def lastTopLevelSelect(sql: String): Int = {
+      var depth = 0; var last = -1; var i = 0
+      val up = sql.toUpperCase
+      while (i < up.length) {
+        up.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && up.startsWith("SELECT", i) &&
+              (i == 0 || !up.charAt(i - 1).isLetterOrDigit)) last = i
+        }
+        i += 1
+      }
+      last
+    }
+    def projectionChunks(sql: String): Seq[String] = {
+      val start = lastTopLevelSelect(sql)
+      if (start < 0) return Nil
+      val region0 = sql.substring(start + 6)
+      val up = region0.toUpperCase
+      var depth = 0; var cut = region0.length; var i = 0
+      while (i < up.length && cut == region0.length) {
+        up.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && up.startsWith("FROM", i) &&
+              !up.charAt(i - 1).isLetterOrDigit &&
+              (i + 4 >= up.length || !up.charAt(i + 4).isLetterOrDigit))
+              cut = i
+        }
+        i += 1
+      }
+      val region = region0.substring(0, cut)
+      val out = scala.collection.mutable.Buffer[String]()
+      val cur = new StringBuilder
+      depth = 0
+      region.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case c => cur += c
+      }
+      out += cur.result()
+      out.toSeq
+    }
+    val sumRe = "(?i)\\bSUM\\s*\\(".r
+    val offenders = SparkEntry.oracleSql.toSeq.flatMap { case (k, sql) =>
+      projectionChunks(sql).collect {
+        case ch if sumRe.findFirstIn(ch).isDefined &&
+          !ch.toUpperCase.contains("CAST") =>
+          s"$k: ${ch.trim.replaceAll("\\s+", " ").take(80)}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"un-CAST SUM in final projection (HUGEINT hazard): $offenders")
   }
 
   test("doc surface composes end to end") {

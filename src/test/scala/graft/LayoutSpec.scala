@@ -224,6 +224,26 @@ class LayoutSpec extends SparkSpec {
       Seq.empty[Long].toDF("k"), "k", 4).count() === 0L)
   }
 
+  test("exactKeyQuantiles clustered keys: dense block + far outlier " +
+      "stays exact and spreads past the degenerate pass-1 cell") {
+    import spark.implicits._
+    // every key except one lands in pass-1 cell 0 (the outlier
+    // stretches max-min 1e12×): the advisor-flagged degeneracy. The
+    // local re-split must (a) keep the result exact, (b) spread the
+    // dense mass across many (cell, subcell) groups.
+    val keys = (0L until 5000L) :+ 5000000000000L
+    def ref(n: Int): Seq[(Int, Long)] = {
+      val s = keys.sorted; val nd = s.length.toLong
+      (0 until n).map(b =>
+        b -> s((((b + 1) * nd + n - 1) / n - 1).toInt))
+    }
+    val got = ops.Layout.exactKeyQuantiles(
+      keys.toDF("k"), "k", 8, coarseCells = 64)
+      .orderBy("range_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got === ref(8))
+  }
+
   test("exactKeyQuantiles plan has no unpartitioned window over the " +
       "input rows") {
     import spark.implicits._
@@ -317,6 +337,23 @@ class LayoutSpec extends SparkSpec {
     val r = Layout.pruneAudit2D(stats, preds).head
     assert(r.getLong(4) == 1L && r.getLong(6) == 500000L,
       s"row=$r") // only file 2 scans → 50% skipped
+  }
+
+  test("hilbert prune audit: both curves beat insertion on the " +
+      "rectangle predicate; result shape pinned") {
+    val r = graft.SparkEntry
+      .queries("q_layout_hilbert_prune")(spark, sf("sf0.001"))
+      .collect()
+      .map(x => (x.getAs[String]("layout"), x.getAs[Int]("pred_id")) ->
+        x.getAs[Long]("skip_ppm")).toMap
+    assert(r.size == 9, s"expected 3 layouts x 3 preds, got ${r.size}")
+    // insertion layout: partkey/suppkey uncorrelated with arrival ->
+    // every file overlaps every predicate rectangle
+    assert(r(("insertion", 3)) == 0L)
+    // both space-filling curves must actually skip on the rectangle
+    // (that is what the interleaved/hilbert bits BUY)
+    assert(r(("zorder", 3)) > 0L, s"zorder skipped nothing: $r")
+    assert(r(("hilbert", 3)) > 0L, s"hilbert skipped nothing: $r")
   }
 
   test("pruneAudit: interval-overlap scan rule, exact skip ppm per layout") {

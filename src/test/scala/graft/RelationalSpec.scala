@@ -152,10 +152,32 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"dim side broadcast despite merge hint:\n$p")
     // the hot key's 12 rows actually spread: > 1 distinct salt value
+    // (position-based round-robin — mirrors the operator's salt)
     val salts = fact.filter(col("k") === 1L)
-      .withColumn("s", pmod(xxhash64(struct(col("k"), col("payload"))),
-        lit(4)).cast("int"))
+      .withColumn("s", pmod(monotonically_increasing_id(), lit(4L))
+        .cast("int"))
       .select("s").distinct().count()
     assert(salts > 1L, "hot key landed in a single salt bucket")
+  }
+
+  test("saltedJoin: EXACT-DUPLICATE hot-key rows still join " +
+      "correctly and spread (the value-hash degenerate case)") {
+    import spark.implicits._
+    // 64 byte-identical rows of one key: a value-derived salt maps
+    // them all to ONE bucket (the r11-advised flaw); the position
+    // salt must spread them and keep the join row-identical
+    val fact = Seq.fill(64)((1L, "same")).toDF("k", "payload")
+    val dim = Seq((1L, "one")).toDF("k", "name")
+    val joined = ops.Relational.saltedJoin(fact, dim.hint("merge"),
+      Seq("k"), saltBuckets = 8)
+    assert(joined.count() === 64L)
+    assert(joined.select("name").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("one"))
+    // spreading witness on the duplicated frame itself
+    val spread = fact
+      .withColumn("s", pmod(monotonically_increasing_id(), lit(8L)))
+      .select("s").distinct().count()
+    assert(spread > 1L,
+      "identical duplicate rows landed in a single salt bucket")
   }
 }

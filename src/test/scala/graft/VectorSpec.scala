@@ -115,6 +115,40 @@ class VectorSpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("cosineNearDup scale levers: per-vector cap binds; adaptive " +
+      "bits still find exact dups; both neutral when non-binding") {
+    import spark.implicits._
+    // three identical vectors (cos = 1 pairwise) + an unrelated one
+    val fam = Seq(
+      (1L, Array(1.0f, 0.2f, 0.0f), 0),
+      (2L, Array(1.0f, 0.2f, 0.0f), 0),
+      (3L, Array(1.0f, 0.2f, 0.0f), 0),
+      (9L, Array(0.0f, 0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val full = pairs(Vec.cosineNearDup(fam, 0.95,
+      nBands = 4, bitsPerBand = 1, dim = 3))
+    assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // cap = 1: each LEFT endpoint keeps its single hardest pair
+    // (cos ties break to the lower vec_b — the aggregator's policy)
+    val capped = pairs(Vec.cosineNearDup(fam, 0.95,
+      nBands = 4, bitsPerBand = 1, dim = 3, maxPairsPerVector = 1))
+    assert(capped == Set((1L, 2L), (2L, 3L)), s"capped=$capped")
+    // adaptive bits (bitsRefN = 1 -> +2·log2(4) = 4 extra bits):
+    // exact duplicates collide in every band at ANY bit width, so
+    // the identical family survives the stricter hashing
+    val adaptive = pairs(Vec.cosineNearDup(fam, 0.95,
+      nBands = 4, bitsPerBand = 1, dim = 3, bitsRefN = 1L))
+    assert(adaptive == full, s"adaptive=$adaptive")
+    // non-binding levers = bit-identical to the plain config (the
+    // oracle-neutrality contract the registered query relies on)
+    val neutral = pairs(Vec.cosineNearDup(fam, 0.95,
+      nBands = 4, bitsPerBand = 1, dim = 3, maxPairsPerVector = 8,
+      bitsRefN = 1000L))
+    assert(neutral == full)
+  }
+
   test("int8 quantization: max-abs scale, floor semantics, zero guard") {
     val v = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f), 0),
@@ -1257,6 +1291,45 @@ class VectorSpec extends SparkSpec {
       .collect()
       .map(_.getAs[Double]("psi_term")).sum
     assert(drift > 0.05, s"psi=$drift")
+  }
+
+  test("scale-capped sublist assignment: collision-free across label" +
+      " buckets, size-capped, label-pure") {
+    import spark.implicits._
+    // 2600 rows, 10 labels, cap 1250 -> m = 2 sublists per label:
+    // past the m = 1 regime, so a cross-bucket collision (the r11
+    // `* 1000`-stride flaw class, visible only once m reaches the
+    // stride — here exercised by the general injectivity of
+    // label·m + pmod) or a size blowup would show.
+    // block labels (i div 260), NOT i % 10: modular labels correlate
+    // with pmod(vec_id, m) and collapse each bucket to one sublist
+    val e = (0L until 2600L).map(i => (i, i / 260)).toDF("vec_id", "label")
+    val stats = ops.VectorQueries.sublistCapped(e)
+      .groupBy(col("list_id"))
+      .agg(countDistinct(col("label")).as("n_labels"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(stats.forall(_.getAs[Long]("n_labels") == 1L),
+      "a sublist mixes labels: cross-bucket collision")
+    assert(stats.length == 20, s"expected 10 labels x m=2 sublists," +
+      s" got ${stats.length}")
+    assert(stats.forall(_.getAs[Long]("n") <= 1250L),
+      s"sublist exceeds cap: ${stats.map(_.getAs[Long]("n")).max}")
+    // the advisor's exact flaw: with a fixed 1000 stride, m = 1024
+    // merges label buckets; the composite must not (injectivity for
+    // m >= 1000 — 10240 sublists over 10 labels stays label-pure)
+    val big = (0L until 10240L).map(i => (i, i / 1024)).toDF("vec_id", "label")
+    val bigStats = ops.VectorQueries.sublistCapped(big, cap = 10L)
+      .groupBy(col("list_id"))
+      .agg(countDistinct(col("label")).as("n_labels"))
+      .collect()
+    assert(bigStats.forall(_.getAs[Long]("n_labels") == 1L),
+      "m >= 1000: cross-bucket collision (the fixed-stride flaw)")
+    // m = 1 regime (validation SFs): list_id degenerates to label
+    val small = ops.VectorQueries
+      .sublisted(spark, sf("sf0.01"))
+    assert(small.filter(col("list_id") =!= col("label")).count() == 0,
+      "m=1 must leave list_id == label (oracle-neutral regime)")
   }
 
   test("centroidMarginAudit: separated clusters all positive; planted mislabel flagged") {

@@ -73,6 +73,19 @@ def compare_one(out_dir, sf_dir, name, sql):
                 f"{list(exp.columns)}", False)
     if len(got) != len(exp):
         return f"FAIL {name}: rows {len(got)} != {len(exp)}", False
+    # STRICT dtype lint (always on): an int-kind column on one side
+    # vs a float-kind column on the other fails even when every value
+    # compares equal under Python ==. This is the exact class the
+    # driver's value hash detects (DuckDB HUGEINT -> fetchdf float64,
+    # 5 vs 5.0) and that r10/r11 tooling normalized away. Running the
+    # full battery through this compare is the registry-wide lint.
+    for c in got.columns:
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        if {gk, ek} == {"i", "f"} or {gk, ek} == {"u", "f"}:
+            return (f"FAIL {name}: col {c} dtype kind mismatch: "
+                    f"spark {got[c].dtype} vs oracle {exp[c].dtype} "
+                    f"(un-CAST aggregate in oracle final projection?)",
+                    False)
     for c in got.columns:
         gv = [norm(x) for x in got[c].tolist()]
         ev = [norm(x) for x in exp[c].tolist()]

@@ -2,9 +2,11 @@
 """Round self-check artifact: triplicate adjudication of disputed
 queries + full-battery summary.
 
-The r10 driver artifact carried 4 hash-mismatch rows that did not
-reproduce under the identical recipe (and 22 tail OOMs) — classic
-sweep self-corruption. This tool makes the adjudication PROVABLE:
+History: the r10/r11 "4 non-reproducing hash mismatches" turned out
+to be a REAL repo bug (un-CAST SUM -> DuckDB HUGEINT -> fetchdf
+float64) that this tool's old integral-float canonicalization masked.
+The hash below is now byte-faithful to the representation, like the
+driver's. This tool makes stability adjudication PROVABLE:
 for each named query it reruns the DuckDB compare N times in fresh
 subprocesses, records the md5 of the column-sorted value matrix of
 BOTH sides each time, and emits SELFCHECK_r<N>.json. Identical
@@ -42,12 +44,14 @@ def mat(df):
         if isinstance(v, list):
             return repr([n(x) for x in v])
         if isinstance(v, float):
-            # a nullable BIGINT comes back float64 from one engine and
-            # int64 from the other; the compare's Python == treats
-            # 25 == 25.0 — canonicalize integral floats the same way
+            # BYTE-FAITHFUL: do NOT canonicalize integral floats back
+            # to ints. The r10/r11 driver hash-fails were caused by
+            # DuckDB HUGEINT->float64 (5 -> 5.0); the old int(v)
+            # normalization here masked exactly that for two rounds.
+            # The driver's hash sees the representation — so must we.
             if math.isnan(v):
                 return "NaN"
-            return repr(int(v)) if v.is_integer() else repr(v)
+            return repr(v)
         if isinstance(v, int):
             return repr(v)
         return repr(str(v))
