@@ -62,6 +62,14 @@ object Graft {
       ops.Text.lshTuningCurve(docs.sparkSession, configs, jStepMilli)
     def jaccardPairs(threshold: Double): DataFrame =
       ops.Text.jaccardExactPairs(docs, threshold)
+    /** Measured banded-MinHash recall per exact-jaccard decile vs a
+      * complete `truthPairs` ground truth (md5 hash family). */
+    def minhashRecallAudit(
+        truthPairs: DataFrame,
+        bands: Int = ops.Text.LshBands,
+        rows: Int = ops.Text.LshRows
+    ): DataFrame =
+      ops.Text.minhashRecallAudit(docs, truthPairs, bands, rows)
     def clusterSurvivors(clusters: DataFrame): DataFrame =
       ops.Text.dupClusterSurvivors(docs, clusters)
     def scrubbedDuplicateBlocks(blockTokens: Int = 20): DataFrame =

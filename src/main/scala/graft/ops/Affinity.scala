@@ -136,6 +136,62 @@ object Affinity {
         col("acct_bucket"))
   }
 
+  /** l-diversity audit — the attribute-disclosure companion of
+    * [[kAnonymityRisk]] (k-anonymity bounds RE-IDENTIFICATION; it says
+    * nothing about an adversary who locates a victim's equivalence
+    * class and reads the sensitive attribute off it because every row
+    * in the class shares one value). For each quasi-identifier
+    * equivalence class, audit the distribution of a sensitive column:
+    *
+    *  - `l_distinct` — distinct sensitive values in the class;
+    *    `meets_l` = `l_distinct >= l` (distinct l-diversity).
+    *  - `top_count` / `top_ppm` — the modal sensitive value's
+    *    frequency (ties broken by value asc, so the pick is
+    *    deterministic in both engines): how confidently the adversary
+    *    guesses after locating the class.
+    *  - `meets_recursive` — recursive (c,l)-diversity
+    *    (Machanavajjhala et al.): with class frequencies
+    *    r₁ ≥ r₂ ≥ … ≥ r_m (value asc tie-break), require
+    *    `r₁ < c · (r_l + r_{l+1} + … + r_m)` — the most common value
+    *    must not dominate the tail beyond the l-th rank. Pure integer
+    *    counts, no division, engine-exact.
+    *
+    * Scale shape: one groupBy on (QI, sensitive) — map-side partial
+    * aggregation over the table — then one groupBy on QI over the
+    * VALUE-DOMAIN-sized intermediate with a rank window partitioned
+    * by QI (frames bounded by the sensitive-attribute cardinality,
+    * never the table). Output is one row per equivalence class.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int, c: Long = 3L): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    require(c >= 1, s"c must be >= 1, got $c")
+    val qi = qiCols.map(col)
+    val vc = df
+      .groupBy((qi :+ col(sensitiveCol).as("__sens")): _*)
+      .agg(count(lit(1)).as("__ct"))
+    val w = Window.partitionBy(qiCols.map(col): _*)
+      .orderBy(col("__ct").desc, col("__sens").asc)
+    vc.withColumn("__rk", row_number().over(w))
+      .groupBy(qi: _*)
+      .agg(
+        sum(col("__ct")).as("group_size"),
+        count(lit(1)).as("l_distinct"),
+        max(when(col("__rk") === 1, col("__ct")).otherwise(lit(0L)))
+          .as("top_count"),
+        sum(when(col("__rk") >= l, col("__ct")).otherwise(lit(0L)))
+          .as("__tail"))
+      .select(
+        (qiCols.map(col) ++ Seq(
+          col("group_size"), col("l_distinct"), col("top_count"),
+          expr("top_count * 1000000 div group_size").as("top_ppm"),
+          (col("l_distinct") >= l).as("meets_l"),
+          (col("top_count") < lit(c) * col("__tail"))
+            .as("meets_recursive"))): _*)
+      .orderBy(qiCols.map(col): _*)
+  }
+
   // --- Entity resolution --------------------------------------------
 
   /** Token-blocked fuzzy entity resolution over part names — the

@@ -26,6 +26,17 @@ object AffinityQueries {
     // k-anonymity audit over (nation, segment, $5000 balance bucket)
     "q_kanon_risk" -> ((s, d) =>
       Affinity.kAnonymityRisk(Tables.customer(s, d), k = 5L)),
+    // l-diversity audit: market segment as the sensitive attribute
+    // within (nation, $5000 balance bucket) equivalence classes —
+    // distinct-l at l=3 plus recursive (2,3)-diversity
+    "q_kanon_ldiversity" -> ((s, d) =>
+      Affinity.lDiversity(
+        Tables.customer(s, d).select(col("c_nationkey"),
+          expr("(cast(round(c_acctbal * 100) as bigint) + 1000000) " +
+            "div 500000").as("acct_bucket"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "acct_bucket"), "c_mktsegment",
+        l = 3, c = 2L)),
     // rarest-token-blocked entity resolution, Levenshtein-verified;
     // resolved within one brand — TPC-H's 92-word name vocabulary
     // makes corpus-global blocking degenerate (see the op docstring)
@@ -252,6 +263,34 @@ object AffinityQueries {
         |FROM customer
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_kanon_ldiversity" ->
+      """WITH b AS (
+        |  SELECT c_nationkey,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000)
+        |      // 500000 AS acct_bucket,
+        |    c_mktsegment
+        |  FROM customer),
+        |vc AS (
+        |  SELECT c_nationkey, acct_bucket, c_mktsegment AS sens,
+        |    COUNT(*) AS ct
+        |  FROM b GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY c_nationkey, acct_bucket
+        |    ORDER BY ct DESC, sens) AS rk
+        |  FROM vc)
+        |SELECT c_nationkey, acct_bucket,
+        |  CAST(SUM(ct) AS BIGINT) AS group_size,
+        |  COUNT(*) AS l_distinct,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN ct ELSE 0 END) AS BIGINT)
+        |    AS top_count,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN ct ELSE 0 END) * 1000000
+        |    // SUM(ct) AS BIGINT) AS top_ppm,
+        |  COUNT(*) >= 3 AS meets_l,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN ct ELSE 0 END) AS BIGINT) <
+        |    2 * CAST(SUM(CASE WHEN rk >= 3 THEN ct ELSE 0 END)
+        |      AS BIGINT) AS meets_recursive
+        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_fuzzy_match" ->
       """WITH pp AS (
         |  SELECT p_partkey, p_name FROM part

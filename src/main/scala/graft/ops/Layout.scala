@@ -324,10 +324,30 @@ object Layout {
     require(nRanges >= 1, s"nRanges must be >= 1, got $nRanges")
     require(coarseCells >= 1,
       s"coarseCells must be >= 1, got $coarseCells")
+    // The three aggregate outputs below are each consumed by 2+ later
+    // stages. Left lazy, every reference re-derives the FULL input
+    // scan, and the references chain (placed→cellHist→stats, …), so
+    // the recompute tree multiplies to ~8 input scans per action —
+    // measured as the 2× q_text_vocab_growth regression when the
+    // pass-2 re-split landed. Truncating just these aggregates to
+    // lazy local checkpoints caps the plan at 4 input scans (stats,
+    // cellHist, and one per pass-2 leg); everything downstream of a
+    // snapped leaf is parameter-bounded (≤ coarseCells+1, ≤ nRanges,
+    // ≤ nRanges·(coarseCells+1) rows — KB-sized blocks). The bounded
+    // global windows stay OUTSIDE the snaps so PlanSpec's
+    // empty-partition-Window guard still sees and adjudicates them.
+    def snap(d: DataFrame): DataFrame = {
+      val s = org.apache.spark.sql.graftx.Bridge
+        .statsResetLeaf(d.localCheckpoint(eager = false))
+      graft.Caches.trackReleasable("layout")(() =>
+        org.apache.spark.sql.graftx.Bridge.leafRdd(s)
+          .foreach(_.unpersist(blocking = false)))
+      s
+    }
     val key = col(keyCol).cast("long")
-    val stats = df.agg(
+    val stats = snap(df.agg(
       min(key).as("minv"), max(key).as("maxv"),
-      count(lit(1)).as("nd"))
+      count(lit(1)).as("nd")))
     // cell width: ceil-ish so cell ids stay in [0, coarseCells]; the
     // +1 keeps w >= 1 when all keys are equal
     val withCell = df.select(key.as("k"))
@@ -336,8 +356,13 @@ object Layout {
         ldiv(col("k") - col("minv"),
           ldiv(col("maxv") - col("minv"), lit(coarseCells)) + 1L)
           .as("cell"))
-    val cellHist = withCell.groupBy(col("cell"))
-      .agg(count(lit(1)).as("cnt"))
+    // ONE pass-1 scan serves both the rank placement (cnt) and the
+    // pass-2 local re-split widths (cmin/cmax) — deriving cell
+    // min/max separately would re-scan the input for values this
+    // groupBy already visits
+    val cellHist = snap(withCell.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("k")).as("cmin"), max(col("k")).as("cmax")))
     // bounded window: ≤ coarseCells+1 rows by construction
     val cellCum = cellHist.select(col("cell"), col("cnt"),
       sum(col("cnt")).over(Window.orderBy(col("cell"))).as("cum"))
@@ -370,16 +395,17 @@ object Layout {
     val hitCells = placed.select(col("tcell")).distinct()
     val inCell = withCell.join(broadcast(hitCells),
         col("cell") === col("tcell"), "leftsemi")
-    val cellStats = inCell.groupBy(col("cell"))
-      .agg(min(col("k")).as("cmin"), max(col("k")).as("cmax"))
+    val cellStats = cellHist.join(broadcast(hitCells),
+        col("cell") === col("tcell"), "leftsemi")
+      .select(col("cell"), col("cmin"), col("cmax"))
     val subbed = inCell.join(broadcast(cellStats), "cell")
       .select(col("k"), col("cell"),
         ldiv(col("k") - col("cmin"),
           ldiv(col("cmax") - col("cmin"), lit(coarseCells)) + 1L)
           .as("sub"))
     // bounded window: ≤ coarseCells+1 rows per hit cell
-    val subCum = subbed.groupBy(col("cell"), col("sub"))
-      .agg(count(lit(1)).as("scnt"))
+    val subCum = snap(subbed.groupBy(col("cell"), col("sub"))
+      .agg(count(lit(1)).as("scnt")))
       .select(col("cell"), col("sub"), col("scnt"),
         sum(col("scnt")).over(Window.partitionBy(col("cell"))
           .orderBy(col("sub"))).as("scum"))

@@ -112,6 +112,42 @@ object Multimodal {
         least(col("n_frames"), lit(32)).as("frames_to_sample")
       )
 
+  /** Per-frame sampling plan for video payloads — the row-level form
+    * of [[frameSamplePlan]] (which only sizes the budget): emit one
+    * row per frame a downstream extractor should decode, uniformly
+    * spread over the clip by exact integer arithmetic. With
+    * `n = n_frames` and `k = min(n, maxFrames)` frames sampled, slot
+    * `p ∈ [0, k)` maps to `frame_idx = ⌊p·(n−1)/(k−1)⌋` (endpoints
+    * included; for `k ≤ n` consecutive slots differ by ≥ 1, so
+    * indices never repeat — the numerator steps by `n−1 ≥ k−1`), and
+    * `pos_ppm = frame_idx·10⁶ div n` locates the frame for
+    * timestamp-free consumers (the stub metadata has no fps; a real
+    * decoder multiplies by `1000/fps` for ts_ms — the plan arithmetic
+    * is unchanged).
+    *
+    * Scale shape: filter + one Generate per video row (fan-out
+    * bounded by `maxFrames`), no shuffle, no UDF — the plan COLUMN
+    * computation stays in whole-stage codegen and the real decode
+    * happens downstream in the [[decodeMeta]]-style mapPartitions
+    * batch (E2: per-partition codec init).
+    */
+  def frameSampleIndices(decoded: DataFrame,
+      maxFrames: Int = 32): DataFrame = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    decoded
+      .filter(col("ok") && col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        least(col("n_frames").cast("long"), lit(maxFrames.toLong))
+          .as("frames_sampled"))
+      .select(col("doc_id"), col("n_frames"), col("frames_sampled"),
+        explode(sequence(lit(0L), col("frames_sampled") - 1))
+          .as("frame_pos"))
+      .withColumn("frame_idx",
+        expr("(frame_pos * (n_frames - 1)) " +
+          "div greatest(frames_sampled - 1, 1)"))
+      .withColumn("pos_ppm", expr("frame_idx * 1000000 div n_frames"))
+  }
+
   /** Audio segmentation planning — the audio twin of
     * [[frameSamplePlan]] (video samples frames; audio models consume
     * fixed-length windows): for decoded audio payloads, emit one row

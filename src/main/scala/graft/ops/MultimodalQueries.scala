@@ -50,6 +50,12 @@ object MultimodalQueries {
     "q_mm_audio_chunks" -> ((s, d) =>
       Multimodal.audioChunkPlan(
         Multimodal.decodeMeta(Tables.documents(s, d)))),
+    // per-frame uniform sampling plan for video payloads (<= 32
+    // frames/clip, exact integer spread with both endpoints)
+    "q_mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleIndices(
+        Multimodal.decodeMeta(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("frame_pos"))),
     // feature extraction composed with vector math: per-media-feature
     // L2 norm (stubbed encoder; plumbing + composition under test)
     "q_mm_feature_norms" -> ((s, d) =>
@@ -151,6 +157,24 @@ object MultimodalQueries {
          |  LEAST(n_frames, 32) AS frames_to_sample
          |FROM decoded WHERE media_type IN ('image', 'video')
          |ORDER BY doc_id""".stripMargin,
+    "q_mm_frame_sample" ->
+      s"""WITH $decodedCte,
+         |v AS (
+         |  SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+         |    LEAST(CAST(n_frames AS BIGINT), 32) AS frames_sampled
+         |  FROM decoded WHERE media_type = 'video'),
+         |e AS (
+         |  SELECT doc_id, n_frames, frames_sampled,
+         |    UNNEST(generate_series(0, frames_sampled - 1))
+         |      AS frame_pos
+         |  FROM v)
+         |SELECT doc_id, n_frames, frames_sampled, frame_pos,
+         |  (frame_pos * (n_frames - 1))
+         |    // GREATEST(frames_sampled - 1, 1) AS frame_idx,
+         |  (frame_pos * (n_frames - 1))
+         |    // GREATEST(frames_sampled - 1, 1) * 1000000
+         |    // n_frames AS pos_ppm
+         |FROM e ORDER BY doc_id, frame_pos""".stripMargin,
     "q_mm_resize_plan" ->
       s"""WITH $decodedCte,
          |s AS (

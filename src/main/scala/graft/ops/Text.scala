@@ -472,6 +472,82 @@ object Text {
       .filter(col("jaccard_est") >= threshold)
   }
 
+  /** MEASURED MinHash-LSH recall audit — the empirical closure of
+    * [[lshTuningCurve]]'s analytic frontier: for every exact-Jaccard
+    * decile in `truthPairs`, what fraction of the TRUE pairs does a
+    * (bands × rows) banded MinHash candidate join actually catch on
+    * this corpus. The tuning curve predicts `1−(1−j^r)^b`; this
+    * measures it, pair by pair, against ground truth — the audit a
+    * dedup owner runs on a corpus SAMPLE before trusting a banding
+    * layout at 100 TB (the truth leg is an exact pair join; complete
+    * truth at a low threshold is exactly the cost LSH exists to
+    * avoid, so the contract is sample-then-extrapolate, like
+    * `knnRecall` on the vector side).
+    *
+    * The signature family here is md5-based — `h_i(s) = md5int(
+    * "<i>:<shingle>")`, band hash = md5int of the ':'-joined row
+    * minima — NOT the xxhash64 family the production
+    * [[minhashCandidates]] path uses, because md5 is the one hash
+    * both engines compute bit-identically (`conv(substr(md5(x),1,15),
+    * 16,10)` / `('0x'||substr(md5(x),1,15))::BIGINT` — the
+    * winnowFingerprint precedent), which is what makes the MEASURED
+    * recall oracle-checkable end to end. Both families are uniform
+    * hashes, so banded recall is distributionally identical; the
+    * layout (bands, rows) is what's under audit, not the mixer.
+    *
+    * `truthPairs` must be a COMPLETE (doc_a, doc_b, jaccard) pair set
+    * at-or-above its own threshold ([[jaccardExactPairs]] rows —
+    * callers share the session pair graph). Output: one row per
+    * decile `⌊10·jaccard⌋` with exact `n_true`, `n_caught`, and
+    * integer `recall_ppm` — all engine-exact.
+    *
+    * Scale shape: the signature pass is a per-doc map (nPerms md5
+    * per shingle, no shuffle); banding is the same ids-only
+    * self-join as [[minhashCandidates]]; the decile rollup is
+    * domain-bounded (≤ 10 rows). The banded table is tiny
+    * (docs × bands) and persists for its two join legs.
+    */
+  def minhashRecallAudit(
+      docs: DataFrame,
+      truthPairs: DataFrame,
+      bands: Int = LshBands,
+      rows: Int = LshRows
+  ): DataFrame = {
+    require(bands >= 1 && rows >= 1, "need bands >= 1 and rows >= 1")
+    val nPerms = bands * rows
+    def md5Int(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    // per-permutation minima as NAMED columns (the expression-blowup
+    // rule: iterative math as flat projections, never nested trees)
+    var sig = docShingles(docs)
+    for (i <- 0 until nPerms)
+      sig = sig.withColumn(s"__m$i",
+        array_min(transform(col("sh"),
+          s => md5Int(concat(lit(s"$i:"), s)))))
+    val banded = graft.Caches.track("text", sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        md5Int(concat_ws(":", (0 until rows).map(r =>
+          col(s"__m${b * rows + r}").cast("string")): _*))
+      }: _*)).as(Seq("band_idx", "band_hash"))))
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    truthPairs
+      .withColumn("decile", floor(col("jaccard") * 10).cast("int"))
+      .join(cands.withColumn("__hit", lit(1L)),
+        Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+      .withColumn("recall_ppm",
+        expr("n_caught * 1000000 div n_true"))
+      .orderBy(col("decile"))
+  }
+
   /** The persisted-signature table the incremental near-dup gate
     * consumes: one row per (>= 3-token) doc with the MinHash
     * signature (`MinhashPerms` longs — what the LSH bands derive
@@ -725,10 +801,19 @@ object Text {
   def vocabGrowth(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val ne = docs.filter(length(trim(col("text"))) > 0)
+    // exactKeyQuantiles scans its input 4× (stats + histogram + two
+    // pass-2 legs); feed it a truncated doc_id-only frame so those
+    // scans hit an 8-byte/row cached projection instead of
+    // re-reading + re-trimming the text column each time
+    val ids = org.apache.spark.sql.graftx.Bridge.statsResetLeaf(
+      ne.select(col("doc_id")).localCheckpoint(eager = false))
+    graft.Caches.trackReleasable("text")(() =>
+      org.apache.spark.sql.graftx.Bridge.leafRdd(ids)
+        .foreach(_.unpersist(blocking = false)))
     // nBuckets boundary doc_ids → one sorted array in a 1-row frame,
     // broadcast onto the doc scan; bucket = #{boundaries < doc_id}
     val barr = Layout
-      .exactKeyQuantiles(ne.select(col("doc_id")), "doc_id", nBuckets)
+      .exactKeyQuantiles(ids, "doc_id", nBuckets)
       .agg(sort_array(collect_list(col("upper_bound"))).as("bs"))
     val ranked = ne.select(col("doc_id"), tokens(col("text"))
         .as("toks"))

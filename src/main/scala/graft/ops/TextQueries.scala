@@ -289,6 +289,12 @@ object TextQueries {
     // with descending cumulative removal counts
     "q_text_dedup_curve" -> ((s, d) =>
       Text.dedupThresholdCurve(Tables.documents(s, d), 0.5)),
+    // MEASURED banded-MinHash recall per exact-jaccard decile (the
+    // empirical closure of q_text_lsh_tuning's analytic curve; md5
+    // hash family so both engines compute the identical signatures);
+    // truth = the session-shared exact pair graph at >= 0.5
+    "q_text_minhash_recall" -> ((s, d) =>
+      Text.minhashRecallAudit(Tables.documents(s, d), jacPairs(s, d))),
     // asymmetric containment (|A∩B|/|A|): catches fragment-in-page
     // inclusion that Jaccard's union denominator hides
     "q_text_containment" -> ((s, d) =>
@@ -977,6 +983,42 @@ object TextQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    * 1000000 // corpus_tf AS BIGINT) AS cum_mass_ppm
          |FROM f ORDER BY df DESC, token""".stripMargin,
+    // the measured-recall twin: same jac truth CTE, plus a full
+    // md5-family MinHash+banding replica (engine-identical md5int),
+    // left-joined truth-vs-candidates rolled up per decile
+    "q_text_minhash_recall" ->
+      s"""WITH $jacPairsSql,
+         |mh AS (
+         |  SELECT x.doc_id, pr.pi,
+         |    MIN(CAST(('0x' || substr(md5(
+         |      CAST(pr.pi AS VARCHAR) || ':' || x.tok), 1, 15))
+         |      AS BIGINT)) AS m
+         |  FROM i x CROSS JOIN
+         |    (SELECT UNNEST(generate_series(0, 31)) AS pi) pr
+         |  GROUP BY 1, 2),
+         |bh AS (
+         |  SELECT doc_id, pi // 4 AS band_idx,
+         |    CAST(('0x' || substr(md5(
+         |      string_agg(CAST(m AS VARCHAR), ':' ORDER BY pi)),
+         |      1, 15)) AS BIGINT) AS band_hash
+         |  FROM mh GROUP BY doc_id, pi // 4),
+         |cand AS (
+         |  SELECT DISTINCT la.doc_id AS doc_a, rb.doc_id AS doc_b
+         |  FROM bh la JOIN bh rb ON la.band_idx = rb.band_idx
+         |    AND la.band_hash = rb.band_hash
+         |    AND la.doc_id < rb.doc_id),
+         |tr AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(FLOOR(jaccard * 10) AS INT) AS decile
+         |  FROM jac WHERE jaccard >= 0.5)
+         |SELECT decile, COUNT(*) AS n_true,
+         |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_caught,
+         |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM tr LEFT JOIN cand c
+         |  ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b
+         |GROUP BY decile ORDER BY decile""".stripMargin,
     "q_text_bm25" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

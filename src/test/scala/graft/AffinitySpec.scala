@@ -67,6 +67,30 @@ class AffinitySpec extends SparkSpec {
       (2L, "STEEL", 1L, 1L, true)))
   }
 
+  test("lDiversity: distinct-l and recursive (c,l) verdicts on hand " +
+      "groups — skewed, homogeneous, and uniform classes") {
+    // group 1: sens x×3, y×1, z×1 → l_distinct 3, top 3,
+    //   recursive (2,3): r1=3 < 2·(r3)=2·1? no → false
+    // group 2: x×2 homogeneous → l_distinct 1, meets_l false,
+    //   tail from rank 3 empty → false
+    // group 3: x,y,z uniform → top 1 < 2·(r3=1)=2 → true
+    val rows = Seq(
+      (1L, "x"), (1L, "x"), (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "x"),
+      (3L, "x"), (3L, "y"), (3L, "z"))
+    val df = rows.toDF("grp", "sens")
+    val out = Affinity.lDiversity(df, Seq("grp"), "sens", l = 3, c = 2L)
+      .collect().map(r => (r.getAs[Long]("grp"),
+        r.getAs[Long]("group_size"), r.getAs[Long]("l_distinct"),
+        r.getAs[Long]("top_count"), r.getAs[Long]("top_ppm"),
+        r.getAs[Boolean]("meets_l"),
+        r.getAs[Boolean]("meets_recursive"))).toList
+    assert(out === List(
+      (1L, 5L, 3L, 3L, 600000L, true, false),
+      (2L, 2L, 1L, 2L, 1000000L, false, false),
+      (3L, 3L, 3L, 1L, 333333L, true, true)))
+  }
+
   test("fuzzyNameMatch: near-identical names found via shared rarest token; pairs not sharing it are the documented miss") {
     val parts = Seq(
       (1L, "azure coral mint"),

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 239,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 239")
-    assert(SparkEntry.oracleSql.size == 226,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 226")
+    assert(SparkEntry.queries.size == 242,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 242")
+    assert(SparkEntry.oracleSql.size == 229,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 229")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -419,6 +419,7 @@ class GraftApiSpec extends SparkSpec {
       "rangeBoundaries" -> "rangeBoundaries",
       "exactKeyQuantiles" -> "exactKeyQuantiles",
       "lshTuningCurve" -> "lshTuningCurve",
+      "minhashRecallAudit" -> "minhashRecallAudit",
       "filterAgreementKappa" -> "filterAgreementKappa",
       "goodTuring" -> "goodTuring",
       "keySkewProfile" -> "keySkewProfile",

@@ -176,4 +176,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.modalityMix(docs).collect().toSeq ==
       Multimodal.modalityMix(docs).collect().toSeq)
   }
+
+  test("frameSampleIndices: exact uniform spread with both endpoints, " +
+      "distinct indices, cap binds, non-video excluded") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media_type", StringType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("n_frames", IntegerType), StructField("ok", BooleanType)))
+    val decoded = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "video", 640, 480, 1, true),     // single frame
+        Row(2L, "video", 640, 480, 5, true),     // k = n: every frame
+        Row(3L, "video", 640, 480, 100, true),   // cap binds: k = 32
+        Row(4L, "image", 640, 480, 50, true),    // not video
+        Row(5L, "video", 640, 480, 10, false))), // decode failed
+      schema)
+    val out = Multimodal.frameSampleIndices(decoded, maxFrames = 32)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("frame_pos"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("pos_ppm")))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    // n=1: one frame, idx 0
+    assert(byDoc(1L).toSeq == Seq((1L, 0L, 0L, 0L)))
+    // k = n = 5: indices are exactly 0..4
+    assert(byDoc(2L).map(_._3).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // cap binds: 32 rows, endpoints 0 and n-1, strictly increasing
+    val d3 = byDoc(3L).sortBy(_._2).map(_._3).toSeq
+    assert(d3.length == 32 && d3.head == 0L && d3.last == 99L)
+    assert(d3.zip(d3.tail).forall { case (a, b) => a < b },
+      s"indices must be strictly increasing: $d3")
+    // the exact integer formula: idx = pos*(n-1) div (k-1)
+    assert(d3 == (0 until 32).map(p => p.toLong * 99 / 31).toSeq)
+    // pos_ppm = idx*1e6 div n
+    assert(byDoc(3L).forall(r => r._4 == r._3 * 1000000L / 100))
+  }
 }

@@ -413,6 +413,49 @@ class TextSpec extends SparkSpec {
     assert(math.abs(incMid.toDouble / nMid - expected) < 0.25)
   }
 
+  test("minhashRecallAudit: measured per-decile recall tracks the " +
+      "analytic curve on the planted fixture; high-j decile near 1") {
+    // Same planted construction as the adversarial fixture above
+    // (j = 25/51 ≈ 0.490 mid pairs → decile 4; j = 0.9 → decile 9),
+    // but audited through the md5-family measured-recall operator —
+    // the registered q_text_minhash_recall machinery — with truth
+    // complete at 0.45 so the mid decile is IN the audit.
+    val nMid = 40
+    val nHigh = 10
+    def doc(pair: Int, side: Char, k: Int): String =
+      ((0 until (if (side == 'a') 40 else k)).map(j => s"p${pair}a$j")
+        ++ (if (side == 'a') Seq.empty
+            else (k until 40).map(j => s"p${pair}b$j")))
+        .mkString(" ")
+    val rows =
+      (0 until nMid).flatMap(i => Seq(
+        (2L * i, doc(i, 'a', 27)), (2L * i + 1, doc(i, 'b', 27)))) ++
+      (0 until nHigh).flatMap(i => Seq(
+        (1000L + 2 * i, doc(100 + i, 'a', 38)),
+        (1000L + 2 * i + 1, doc(100 + i, 'b', 38))))
+    val fixture = rows.toDF("doc_id", "text")
+    val truth = Text.jaccardExactPairs(fixture, 0.45)
+    val audit = Text.minhashRecallAudit(fixture, truth)
+      .collect().map(r => r.getAs[Int]("decile") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_caught"),
+          r.getAs[Long]("recall_ppm"))).toMap
+    // decile 4 holds exactly the planted mid pairs, decile 9 the
+    // high pairs (disjoint per-pair vocabularies — no stray pairs)
+    assert(audit.keySet == Set(4, 9), s"unexpected deciles: $audit")
+    assert(audit(4)._1 == nMid && audit(9)._1 == nHigh)
+    // measured mid-decile recall near the analytic 1-(1-j^4)^8 ≈ .38
+    val expected = 1 - math.pow(1 - math.pow(25.0 / 51.0, 4), 8)
+    val midRecall = audit(4)._2.toDouble / nMid
+    assert(audit(4)._2 > 0 && audit(4)._2 < nMid,
+      s"mid recall must be strictly partial: $audit")
+    assert(math.abs(midRecall - expected) < 0.25,
+      s"measured $midRecall far from curve $expected")
+    // high-j pairs all collide (curve: .9998 at j=.9)
+    assert(audit(9)._3 == 1000000L, s"high-j decile must be full: $audit")
+    // recall_ppm is the exact integer ratio
+    assert(audit(4)._3 == audit(4)._2 * 1000000L / nMid)
+  }
+
   test("incrementalDedup: batch-internal + against-seen, bloom exact") {
     val seen = Seq(
       (100L, "already ingested content", "en", "s", 24L)
