@@ -407,6 +407,9 @@ object Graft {
     def unigramScored: DataFrame = ops.Text.unigramScore(docs)
     /** Bigram conditional-LM scoring (word-salad detector). */
     def bigramScored: DataFrame = ops.Text.bigramScore(docs)
+    /** Jelinek–Mercer-smoothed bigram cross-entropy (ppm-exact). */
+    def bigramCrossEntropy(lambdaPpm: Long = 700000L): DataFrame =
+      ops.Text.bigramCrossEntropy(docs, lambdaPpm)
     /** Pairwise token-set Jaccard between sources. */
     def sourceOverlap: DataFrame = ops.Text.sourceOverlap(docs)
     /** Power-of-2 length buckets with padding-waste accounting. */
@@ -541,6 +544,10 @@ object Graft {
       * (frame must carry `list_id`; exact integer ppm). */
     def triangleCoefficientAssigned(k: Int = 3): DataFrame =
       ops.Vector.triangleCoefficientAssigned(embs, k)
+    /** Common-neighbor link prediction over the kNN graph. */
+    def linkPredictionAssigned(k: Int = 3,
+        topN: Int = 100): DataFrame =
+      ops.Vector.linkPredictionAssigned(embs, k, topN)
     /** Rounds-bounded k-core peel of the within-list kNN graph
       * (frame must carry `list_id`): residual degree + membership. */
     def kCoreAssigned(

@@ -192,6 +192,83 @@ object Affinity {
       .orderBy(qiCols.map(col): _*)
   }
 
+  /** t-closeness audit — the distribution-level completion of the
+    * [[kAnonymityRisk]] / [[lDiversity]] trio (l-diversity counts
+    * DISTINCT sensitive values; a class can hold l distinct values
+    * and still leak if their mix is far from the population's — the
+    * skewness/similarity attacks of Li et al., "t-Closeness: Privacy
+    * Beyond k-Anonymity and l-Diversity", ICDE 2007). For each
+    * quasi-identifier equivalence class, measure the distance between
+    * the class's sensitive-value distribution and the GLOBAL one; for
+    * a nominal attribute the paper's EMD reduces to total variation,
+    * `TV = Σ_v |p_class(v) − p_global(v)| / 2`.
+    *
+    * Exact integer form: per-value shares are truncated ppm
+    * (`ct·10⁶ div n_class`, `gct·10⁶ div N` — identical truncation in
+    * both engines), and values ABSENT from a class contribute their
+    * full global share via the identity
+    * `Σ_{v∉class} gppm_v = (Σ_domain gppm_v) − Σ_{v∈class} gppm_v`,
+    * so the sum never needs a domain-completing outer join. `tv_ppm`
+    * is exact over the ppm-quantized shares (quantization error
+    * ≤ #values ppm, far below any useful t).
+    *
+    * Rows with a NULL sensitive value are excluded (documented
+    * contract, as in `Audit.ksDrift` — a null would silently drop in
+    * the share join and skew every total).
+    *
+    * Scale shape: ONE groupBy on (QI, sensitive) over the table; the
+    * per-class totals ride a QI-partitioned window over that
+    * class×value-sized frame (frames bounded by the sensitive-value
+    * cardinality, never the table), the global distribution derives
+    * from the same frame (truncated to a lazy local checkpoint so
+    * its three consumers don't re-scan the input) and broadcasts
+    * back, and the output is one row per equivalence class.
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, tPpm: Long = 200000L): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    require(tPpm >= 0 && tPpm <= 1000000L,
+      s"tPpm must be in [0, 1000000], got $tPpm")
+    val qi = qiCols.map(col)
+    // the single input scan; everything below derives from this leaf
+    val cls = org.apache.spark.sql.graftx.Bridge.statsResetLeaf(
+      df.filter(col(sensitiveCol).isNotNull)
+        .groupBy((qi :+ col(sensitiveCol).as("__sens")): _*)
+        .agg(count(lit(1)).as("__ct"))
+        .localCheckpoint(eager = false))
+    graft.Caches.trackReleasable("kanon")(() =>
+      org.apache.spark.sql.graftx.Bridge.leafRdd(cls)
+        .foreach(_.unpersist(blocking = false)))
+    val glob = cls.groupBy(col("__sens"))
+      .agg(sum(col("__ct")).as("__gct"))
+    val gshare = glob
+      .crossJoin(broadcast(glob.agg(sum(col("__gct")).as("__n"))))
+      .select(col("__sens"),
+        expr("__gct * 1000000 div __n").as("__gppm"))
+    // Σ_domain gppm — a constant ≤ 10⁶ (truncation loses ≤ 1 ppm per
+    // value), carried alongside for the absent-value identity
+    val gq = gshare.agg(sum(col("__gppm")).as("__gsum"))
+    val wc = Window.partitionBy(qiCols.map(col): _*)
+    cls
+      .withColumn("__nc", sum(col("__ct")).over(wc))
+      .join(broadcast(gshare), "__sens")
+      .crossJoin(broadcast(gq))
+      .groupBy(qi: _*)
+      .agg(
+        max(col("__nc")).as("group_size"),
+        count(lit(1)).as("n_values"),
+        sum(expr("abs(__ct * 1000000 div __nc - __gppm)")).as("__dsum"),
+        sum(col("__gppm")).as("__psum"),
+        max(col("__gsum")).as("__gs"))
+      .withColumn("tv_ppm",
+        expr("(__dsum + __gs - __psum) div 2"))
+      .select(
+        (qiCols.map(col) ++ Seq(
+          col("group_size"), col("n_values"), col("tv_ppm"),
+          (col("tv_ppm") <= tPpm).as("meets_t"))): _*)
+      .orderBy(qiCols.map(col): _*)
+  }
+
   // --- Entity resolution --------------------------------------------
 
   /** Token-blocked fuzzy entity resolution over part names — the

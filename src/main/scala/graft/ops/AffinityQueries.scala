@@ -37,6 +37,17 @@ object AffinityQueries {
           col("c_mktsegment")),
         Seq("c_nationkey", "acct_bucket"), "c_mktsegment",
         l = 3, c = 2L)),
+    // t-closeness audit: total-variation distance between each
+    // (nation, $5000 bucket) class's segment mix and the global one,
+    // exact truncated-ppm shares, t = 0.2
+    "q_kanon_tcloseness" -> ((s, d) =>
+      Affinity.tCloseness(
+        Tables.customer(s, d).select(col("c_nationkey"),
+          expr("(cast(round(c_acctbal * 100) as bigint) + 1000000) " +
+            "div 500000").as("acct_bucket"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "acct_bucket"), "c_mktsegment",
+        tPpm = 200000L)),
     // rarest-token-blocked entity resolution, Levenshtein-verified;
     // resolved within one brand — TPC-H's 92-word name vocabulary
     // makes corpus-global blocking degenerate (see the op docstring)
@@ -291,6 +302,40 @@ object AffinityQueries {
         |    2 * CAST(SUM(CASE WHEN rk >= 3 THEN ct ELSE 0 END)
         |      AS BIGINT) AS meets_recursive
         |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_kanon_tcloseness" ->
+      """WITH b AS (
+        |  SELECT c_nationkey,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000)
+        |      // 500000 AS acct_bucket,
+        |    c_mktsegment AS sens
+        |  FROM customer WHERE c_mktsegment IS NOT NULL),
+        |cls AS (
+        |  SELECT c_nationkey, acct_bucket, sens, COUNT(*) AS ct
+        |  FROM b GROUP BY 1, 2, 3),
+        |gl AS (
+        |  SELECT sens, CAST(SUM(ct) AS BIGINT) AS gct
+        |  FROM cls GROUP BY 1),
+        |gt AS (SELECT CAST(SUM(gct) AS BIGINT) AS n FROM gl),
+        |gs AS (
+        |  SELECT sens, gct * 1000000 // n AS gppm
+        |  FROM gl CROSS JOIN gt),
+        |gq AS (SELECT CAST(SUM(gppm) AS BIGINT) AS gsum FROM gs),
+        |enr AS (
+        |  SELECT c.c_nationkey, c.acct_bucket, c.ct, g.gppm,
+        |    CAST(SUM(c.ct) OVER (
+        |      PARTITION BY c.c_nationkey, c.acct_bucket) AS BIGINT)
+        |      AS nc
+        |  FROM cls c JOIN gs g USING (sens)),
+        |agg AS (
+        |  SELECT c_nationkey, acct_bucket,
+        |    CAST(MAX(nc) AS BIGINT) AS group_size,
+        |    COUNT(*) AS n_values,
+        |    CAST((SUM(ABS(ct * 1000000 // nc - gppm))
+        |      + MAX(gsum) - SUM(gppm)) // 2 AS BIGINT) AS tv_ppm
+        |  FROM enr CROSS JOIN gq GROUP BY 1, 2)
+        |SELECT c_nationkey, acct_bucket, group_size, n_values,
+        |  tv_ppm, tv_ppm <= 200000 AS meets_t
+        |FROM agg ORDER BY 1, 2""".stripMargin,
     "q_fuzzy_match" ->
       """WITH pp AS (
         |  SELECT p_partkey, p_name FROM part

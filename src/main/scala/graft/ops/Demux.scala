@@ -182,6 +182,39 @@ object Demux {
   def toJsonValue(branch: DataFrame): DataFrame =
     branch.select(to_json(struct(col("*"))).as("value"))
 
+  /** Envelope schema-drift audit — the check a demux pipeline runs
+    * BEFORE trusting its `from_json` schema (a producer quietly
+    * adding, renaming, or branch-gating a top-level key is the #1
+    * silent breaker of T2-style parsing: `from_json` just nulls what
+    * it doesn't know). Per top-level JSON key observed in the raw
+    * stream: the number of lines carrying it, its presence rate in
+    * ppm, and whether the key is in the EXPECTED contract set —
+    * unexpected keys are producer drift to quarantine-and-alert on;
+    * expected keys with a collapsed presence rate are branch
+    * starvation (e.g. a broken upstream filter dropping every
+    * `start` record).
+    *
+    * Scale shape: one `json_object_keys` projection + explode per
+    * line (map-side, no parse of the VALUES — key enumeration is a
+    * linear token scan), one partial-aggregated groupBy bounded by
+    * the key domain, a 1-row total broadcast. Output is
+    * key-domain-sized.
+    */
+  def keyProfile(raw: DataFrame,
+      expectedKeys: Seq[String]): DataFrame = {
+    require(expectedKeys.nonEmpty, "need a non-empty contract set")
+    val total = raw.agg(count(lit(1)).as("__total"))
+    raw.select(explode(json_object_keys(col("value")))
+        .as("json_key"))
+      .groupBy(col("json_key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("json_key"), col("n_rows"),
+        expr("n_rows * 1000000 div __total").as("present_ppm"),
+        col("json_key").isin(expectedKeys: _*).as("expected"))
+      .orderBy(col("json_key"))
+  }
+
   /** ALL FIVE branches in literally one pass: per input row, build an
     * array of (topic, value) elements — err short-circuit, page,
     * per-display, per-action, start — and explode it. The union-of-

@@ -66,7 +66,13 @@ object DemuxQueries {
           col("entry"), col("open_ad_id"))),
     "q_demux_err" -> ((s, d) =>
       Demux.errors(parsed(s, d))
-        .orderBy(col("ts"), col("mid"), col("error_code"), col("msg")))
+        .orderBy(col("ts"), col("mid"), col("error_code"), col("msg"))),
+    // top-level envelope key profile vs the T4 contract set — the
+    // synth's err key (deliberately absent from the contract) is the
+    // planted producer-drift hit the audit must flag
+    "q_demux_key_profile" -> ((s, d) =>
+      Demux.keyProfile(synthLines(s, d),
+        Seq("common", "page", "displays", "actions", "start", "ts")))
   )
 
   /** Shared SQL fragment: the common-field derivations (must stay in
@@ -146,6 +152,37 @@ object DemuxQueries {
          |  CAST(k AS BIGINT) AS error_code,
          |  'boom_'||k AS msg,
          |  ems AS ts
-         |FROM e ORDER BY ems, mid, error_code, msg""".stripMargin
+         |FROM e ORDER BY ems, mid, error_code, msg""".stripMargin,
+    // key-presence arithmetic in lockstep with GmallSynth's branch
+    // gating (page on 4 types incl. error; displays/actions/start on
+    // one type each; common/ts unconditional; err on error only)
+    "q_demux_key_profile" ->
+      """WITH c AS (
+        |  SELECT COUNT(*) AS n_total,
+        |    COUNT(CASE WHEN event_type IN
+        |      ('view','click','purchase','error') THEN 1 END) AS n_page,
+        |    COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+        |      AS n_displays,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS n_actions,
+        |    COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+        |      AS n_start,
+        |    COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_err
+        |  FROM events),
+        |k AS (
+        |  SELECT 'common' AS json_key, n_total AS n_rows,
+        |    TRUE AS expected FROM c
+        |  UNION ALL SELECT 'ts', n_total, TRUE FROM c
+        |  UNION ALL SELECT 'page', n_page, TRUE FROM c
+        |  UNION ALL SELECT 'displays', n_displays, TRUE FROM c
+        |  UNION ALL SELECT 'actions', n_actions, TRUE FROM c
+        |  UNION ALL SELECT 'start', n_start, TRUE FROM c
+        |  UNION ALL SELECT 'err', n_err, FALSE FROM c)
+        |SELECT json_key, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_rows * 1000000 // n_total AS BIGINT) AS present_ppm,
+        |  expected
+        |FROM k CROSS JOIN (SELECT n_total FROM c) t
+        |WHERE n_rows > 0
+        |ORDER BY json_key""".stripMargin
   )
 }

@@ -148,6 +148,78 @@ object Multimodal {
       .withColumn("pos_ppm", expr("frame_idx * 1000000 div n_frames"))
   }
 
+  /** Aspect-ratio bucket ladder — every (w, h) pair of `tile`
+    * multiples with `w·h ≤ budget²`, both sides in
+    * `[minSide, maxSide]`, and h maximal for its w (the bucket set
+    * vision-training pipelines batch by, so a batch never mixes
+    * shapes and nothing is center-cropped to a square). Deterministic
+    * and parameter-bounded (≲ a few dozen rows), computed at plan
+    * time — a literal table in BOTH engines, which is what makes the
+    * assignment below oracle-checkable.
+    */
+  def aspectLadder(budget: Int = 512, tile: Int = 64,
+      minSide: Int = 320, maxSide: Int = 1024): Seq[(Int, Int)] =
+    (minSide to maxSide by tile).flatMap { w =>
+      val h = math.min(
+        (budget.toLong * budget / w / tile).toInt * tile, maxSide)
+      if (h >= minSide) Some((w, h)) else None
+    }
+
+  /** Aspect-ratio bucketed batch plan — the vision-side sibling of
+    * `Text.packGreedy` (text packs token budgets; image/video
+    * training packs SHAPES): assign every decoded visual to the
+    * [[aspectLadder]] bucket with the closest aspect ratio and roll
+    * up per-bucket batch counts. The distance is exact-integer ppm,
+    * `|w·bh − h·bw|·10⁶ div (h·bh)` (= ⌊|w/h − bw/bh|·10⁶⌋ by
+    * cross-multiplication — no floats), with deterministic
+    * `(dist, bw, bh)` tie-break. Per bucket: `n_media`, full+partial
+    * `n_batches = ⌈n/batchSize⌉`, the last batch's `last_fill_ppm`
+    * (the padding-waste signal — many near-empty tail batches means
+    * the ladder is too fine for the corpus), and `max_dist_ppm` (the
+    * worst stretch any member suffers when resized into the bucket).
+    *
+    * Scale shape: filter + a ≤-few-dozen-row broadcast cross join +
+    * one min(struct) groupBy per doc + a ladder-bounded rollup — no
+    * window over media rows, no shuffle wider than one row per
+    * visual.
+    */
+  def aspectBucketPlan(decoded: DataFrame, batchSize: Int = 64,
+      budget: Int = 512, tile: Int = 64, minSide: Int = 320,
+      maxSide: Int = 1024): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val ladder = aspectLadder(budget, tile, minSide, maxSide)
+    require(ladder.nonEmpty, "empty aspect ladder")
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    val ldf = ladder.toDF("bw", "bh")
+    val assigned = decoded
+      .filter(col("ok") && col("media_type").isin("image", "video"))
+      .select(col("doc_id"), col("width").cast("long").as("w"),
+        col("height").cast("long").as("h"))
+      .crossJoin(broadcast(ldf))
+      .select(col("doc_id"), col("bw"), col("bh"),
+        expr("abs(w * bh - h * bw) * 1000000 div (h * bh)")
+          .as("dist_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("dist_ppm"), col("bw"), col("bh")))
+        .as("pick"))
+      .select(col("pick.bw").as("bw"), col("pick.bh").as("bh"),
+        col("pick.dist_ppm").as("dist_ppm"))
+    assigned.groupBy(col("bw"), col("bh"))
+      .agg(count(lit(1)).as("n_media"),
+        max(col("dist_ppm")).as("max_dist_ppm"))
+      .select(col("bw"), col("bh"),
+        expr("cast(bw as bigint) * 1000000 div bh").as("aspect_ppm"),
+        col("n_media"),
+        expr(s"(n_media + ${batchSize - 1}) div $batchSize")
+          .as("n_batches"),
+        expr(s"(n_media - ((n_media + ${batchSize - 1}) div " +
+          s"$batchSize - 1) * $batchSize) * 1000000 div $batchSize")
+          .as("last_fill_ppm"),
+        col("max_dist_ppm"))
+      .orderBy(col("bw"), col("bh"))
+  }
+
   /** Audio segmentation planning — the audio twin of
     * [[frameSamplePlan]] (video samples frames; audio models consume
     * fixed-length windows): for decoded audio payloads, emit one row

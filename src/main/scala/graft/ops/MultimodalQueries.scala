@@ -56,6 +56,12 @@ object MultimodalQueries {
       Multimodal.frameSampleIndices(
         Multimodal.decodeMeta(Tables.documents(s, d)))
         .orderBy(col("doc_id"), col("frame_pos"))),
+    // aspect-ratio bucketed batch plan: ladder assignment by exact
+    // ppm aspect distance, per-bucket batch counts + tail fill
+    "q_mm_aspect_buckets" -> ((s, d) =>
+      Multimodal.aspectBucketPlan(
+        Multimodal.decodeMeta(Tables.documents(s, d)),
+        batchSize = 64)),
     // feature extraction composed with vector math: per-media-feature
     // L2 norm (stubbed encoder; plumbing + composition under test)
     "q_mm_feature_norms" -> ((s, d) =>
@@ -175,6 +181,37 @@ object MultimodalQueries {
          |    // GREATEST(frames_sampled - 1, 1) * 1000000
          |    // n_frames AS pos_ppm
          |FROM e ORDER BY doc_id, frame_pos""".stripMargin,
+    "q_mm_aspect_buckets" -> {
+      val ladderSql = Multimodal.aspectLadder()
+        .map { case (w, h) => s"($w, $h)" }.mkString(", ")
+      s"""WITH $decodedCte,
+         |l(bw, bh) AS (VALUES $ladderSql),
+         |a AS (
+         |  SELECT doc_id, CAST(width AS BIGINT) AS w,
+         |    CAST(height AS BIGINT) AS h
+         |  FROM decoded WHERE media_type IN ('image', 'video')),
+         |sc AS (
+         |  SELECT doc_id, bw, bh,
+         |    ABS(w * bh - h * bw) * 1000000 // (h * bh) AS dist_ppm
+         |  FROM a CROSS JOIN l),
+         |pk AS (
+         |  SELECT doc_id, bw, bh, dist_ppm,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY dist_ppm, bw, bh) AS rk
+         |  FROM sc),
+         |g AS (
+         |  SELECT bw, bh, COUNT(*) AS n_media,
+         |    CAST(MAX(dist_ppm) AS BIGINT) AS max_dist_ppm
+         |  FROM pk WHERE rk = 1 GROUP BY 1, 2)
+         |SELECT bw, bh,
+         |  CAST(bw AS BIGINT) * 1000000 // bh AS aspect_ppm,
+         |  n_media,
+         |  (n_media + 63) // 64 AS n_batches,
+         |  (n_media - ((n_media + 63) // 64 - 1) * 64) * 1000000
+         |    // 64 AS last_fill_ppm,
+         |  max_dist_ppm
+         |FROM g ORDER BY bw, bh""".stripMargin
+    },
     "q_mm_resize_plan" ->
       s"""WITH $decodedCte,
          |s AS (

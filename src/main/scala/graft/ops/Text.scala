@@ -2929,6 +2929,85 @@ object Text {
       .drop("__total")
   }
 
+  /** SMOOTHED bigram-LM cross-entropy scoring — the
+    * Jelinek–Mercer-interpolated upgrade of [[bigramScore]] (which
+    * scores raw MLE `−ln(c_vw/c_v)`: correct on seen transitions but
+    * a filter wants the model every LM deployment actually uses —
+    * interpolated with the successor-unigram marginal, so rare
+    * contexts back off instead of spiking, and the interpolated
+    * probability itself becomes an exact-integer, hash-checkable
+    * column rather than a ln-only artifact). The model, in exact ppm
+    * integers:
+    * `p(w|v) = λ·c(vw)/c(v) + (1−λ)·c(·w)/N` with both terms
+    * truncated ppm (`lambdaPpm·c_vw div c_v +
+    * (10⁶−lambdaPpm)·c_w div N`, floored at 1 ppm so a frequent
+    * context can never truncate a SEEN bigram to probability zero),
+    * where `c(·w)` / `N` are successor-marginal and total counts off
+    * the bigram table itself.
+    *
+    * Per doc, over its bigram OCCURRENCES:
+    *  - `n_bigrams`, `sum_p_ppm`, `min_p_ppm` — exact integers (the
+    *    hash-compared skeleton; min_p_ppm is the doc's most
+    *    surprising transition, sum/n the mean fluency);
+    *  - `ce_q20` = Σ ct·(⌊ln 10⁶·2²⁰⌋ − ⌊ln(p_ppm)·2²⁰⌋) and
+    *    `avg_ce_milli` (milli-nats per bigram) — the cross-entropy
+    *    itself, accumulated as floored q20 INTEGERS so the sum is
+    *    partition-order-deterministic; like [[unigramScore]]'s
+    *    ln-columns, the ln-derived pair rides the last-ulp libm
+    *    caveat, so the registered query projects it away and the
+    *    spec covers it against a Scala replay instead.
+    *
+    * Shape at scale: one tokenize+explode pass combined per doc
+    * BEFORE the shuffle (repetitive docs shrink), persisted once for
+    * its two consumers (model build + scoring); the model tables are
+    * bigram-domain-sized with model-sized joins; scoring is ONE
+    * bigram-keyed join plus a per-doc aggregation. Nothing
+    * re-shuffles the corpus twice and nothing driver-side exceeds a
+    * 1-row total.
+    */
+  def bigramCrossEntropy(docs: DataFrame,
+      lambdaPpm: Long = 700000L): DataFrame = {
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1000000], got $lambdaPpm")
+    val muPpm = 1000000L - lambdaPpm
+    val inst = graft.Caches.track("text", docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(
+            element_at(col("toks"), i + 1).as("v"),
+            element_at(col("toks"), i + 2).as("w")))).as("bg"))
+      .select(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
+      .groupBy(col("doc_id"), col("v"), col("w"))
+      .agg(count(lit(1)).as("ct")))
+    val big = graft.Caches.track("text",
+      inst.groupBy(col("v"), col("w")).agg(sum(col("ct")).as("c_vw")))
+    val cv = big.groupBy(col("v")).agg(sum(col("c_vw")).as("c_v"))
+    val cw = big.groupBy(col("w")).agg(sum(col("c_vw")).as("c_w"))
+    val nt = big.agg(sum(col("c_vw")).as("n_big"))
+    val model = big.join(cv, "v").join(cw, "w")
+      .crossJoin(broadcast(nt))
+      .select(col("v"), col("w"),
+        greatest(
+          expr(s"$lambdaPpm * c_vw div c_v + $muPpm * c_w div n_big"),
+          lit(1L)).as("p_ppm"))
+    val lnMillionQ20 =
+      math.floor(math.log(1000000.0) * (1L << 20)).toLong
+    inst.join(model, Seq("v", "w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("ct")).as("n_bigrams"),
+        sum(col("ct") * col("p_ppm")).as("sum_p_ppm"),
+        min(col("p_ppm")).as("min_p_ppm"),
+        sum(col("ct") * (lit(lnMillionQ20) -
+          floor(log(col("p_ppm").cast("double")) * (1L << 20))
+            .cast("long"))).as("ce_q20"))
+      .withColumn("avg_ce_milli",
+        expr("ce_q20 * 1000 div (n_bigrams * 1048576)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical text normalization — the cleaning pass every pipeline
     * runs BEFORE hashing, deduplication, or shingling (two docs
     * differing only in case, control characters, or whitespace runs

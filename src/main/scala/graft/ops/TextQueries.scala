@@ -645,6 +645,15 @@ object TextQueries {
         .select(col("doc_id"), col("n_pairs"), col("sum_pair_tf"),
           col("min_pair_tf"))
         .orderBy(col("doc_id"))),
+    // Jelinek-Mercer-interpolated bigram LM: the smoothed p_ppm
+    // probability is itself an exact integer, so the skeleton hashes
+    // the WHOLE model (counts + interpolation); the ln-derived
+    // ce_q20/avg_ce_milli pair is spec-tested (q_text_unigram split)
+    "q_text_bigram_ce" -> ((s, d) =>
+      Text.bigramCrossEntropy(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_p_ppm"),
+          col("min_p_ppm"))
+        .orderBy(col("doc_id"))),
     // UniMax waterfilling allocation + admission, end to end: the
     // 18000-token budget makes the smallest language cap-limited and
     // the rest share-limited, so both branches of the recurrence are
@@ -2274,6 +2283,46 @@ object TextQueries {
         |SELECT f.doc_id, f.win_fp, g.n_docs, g.keep_doc_id
         |FROM f JOIN g USING (win_fp)
         |ORDER BY f.doc_id""".stripMargin,
+    "q_text_bigram_ce" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+        |    AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |bg0 AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i])) AS v,
+        |    UNNEST(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i + 1])) AS w
+        |  FROM t WHERE len(toks) >= 2),
+        |inst AS (
+        |  SELECT doc_id, v, w, COUNT(*) AS ct
+        |  FROM bg0 GROUP BY 1, 2, 3),
+        |big AS (
+        |  SELECT v, w, CAST(SUM(ct) AS BIGINT) AS c_vw
+        |  FROM inst GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v
+        |  FROM big GROUP BY 1),
+        |cw AS (
+        |  SELECT w, CAST(SUM(c_vw) AS BIGINT) AS c_w
+        |  FROM big GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c_vw) AS BIGINT) AS n_big FROM big),
+        |m AS (
+        |  SELECT b.v, b.w,
+        |    GREATEST(700000 * b.c_vw // cv.c_v
+        |      + 300000 * cw.c_w // nt.n_big, 1) AS p_ppm
+        |  FROM big b JOIN cv USING (v) JOIN cw USING (w)
+        |  CROSS JOIN nt),
+        |agg AS (
+        |  SELECT i.doc_id,
+        |    CAST(SUM(i.ct) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(i.ct * m.p_ppm) AS BIGINT) AS sum_p_ppm,
+        |    CAST(MIN(m.p_ppm) AS BIGINT) AS min_p_ppm
+        |  FROM inst i JOIN m ON i.v = m.v AND i.w = m.w
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams, sum_p_ppm, min_p_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_text_unigram" ->
       s"""WITH t AS (
          |  SELECT doc_id, UNNEST($toksSql) AS token

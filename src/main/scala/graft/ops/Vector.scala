@@ -2106,6 +2106,63 @@ object Vector {
           .otherwise(lit(0L)))
   }
 
+  /** Common-neighbor link prediction over the within-list kNN graph —
+    * the standard graph-side augmentation audit for retrieval/
+    * contrastive training data (two documents that share many
+    * graph neighbors but are NOT yet linked are the candidate
+    * positives worth labeling next — and conversely, a flood of
+    * high-score non-edges means the kNN `k` truncated real
+    * structure). For every 2-hop pair `(a, b)` that is NOT an edge:
+    * `common_nbrs` (shared-neighbor count), both degrees, and
+    * neighbor-set Jaccard `common·10⁶ div (deg_a + deg_b − common)`
+    * — pure integer counts over the SAME session-shared undirected
+    * edge set as [[triangleCoefficientAssigned]] /
+    * [[kCoreAssigned]]. Returns the top `topN` by
+    * `(common desc, jaccard desc, pair asc)` — a deterministic
+    * total order.
+    *
+    * Scale shape: the symmetrized edge list self-joins on the middle
+    * vertex — Σ deg² rows, and degree is ≤ 2k by construction, so
+    * the blowup is ≤ 4k²·n (linear in n for fixed k); the non-edge
+    * filter is a broadcast-able anti join on the edge set; the
+    * top-N is TakeOrdered (no global sort).
+    */
+  def linkPredictionAssigned(
+      assigned: DataFrame,
+      k: Int,
+      topN: Int = 100,
+      precomputedKnn: Option[DataFrame] = None): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val und = graft.Caches.track("vec",
+      precomputedKnn.getOrElse(knnGraphAssigned(assigned, k))
+        .select(least(col("vec_id"), col("nbr_id")).as("a"),
+          greatest(col("vec_id"), col("nbr_id")).as("b"))
+        .distinct())
+    val sym = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val two = sym.as("e1")
+      .join(sym.as("e2"), col("e1.w") === col("e2.v") &&
+        col("e1.v") < col("e2.w"))
+      .select(col("e1.v").as("va"), col("e2.w").as("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("common_nbrs"))
+    val cand = two.join(und,
+      col("va") === col("a") && col("vb") === col("b"), "left_anti")
+    cand
+      .join(deg.select(col("v").as("va"), col("degree").as("deg_a")),
+        "va")
+      .join(deg.select(col("v").as("vb"), col("degree").as("deg_b")),
+        "vb")
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        col("common_nbrs"), col("deg_a"), col("deg_b"),
+        expr("common_nbrs * 1000000 div " +
+          "(deg_a + deg_b - common_nbrs)").as("jaccard_ppm"))
+      .orderBy(col("common_nbrs").desc, col("jaccard_ppm").desc,
+        col("vec_a"), col("vec_b"))
+      .limit(topN)
+  }
+
   /** Rounds-bounded k-core peel of the within-list kNN graph — the
     * dense-core detector that pairs with [[triangleCoefficientAssigned]]
     * (a high-coefficient vertex sits in SOME clique; a k-core member

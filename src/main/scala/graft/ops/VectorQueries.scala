@@ -278,6 +278,13 @@ object VectorQueries {
       Vector.triangleCoefficientAssigned(sublisted(s, d),
         k = 3, precomputedKnn = Some(knnGraphDf(s, d)))
         .orderBy(col("vec_id"))),
+    // common-neighbor link prediction over the session-shared edge
+    // set: top-100 non-edges by (common desc, neighbor-set jaccard
+    // desc, pair) — exact integer counts end to end
+    "q_vec_link_pred" -> ((s, d) =>
+      Vector.linkPredictionAssigned(sublisted(s, d),
+        k = 3, topN = 100,
+        precomputedKnn = Some(knnGraphDf(s, d)))),
     // Newman modularity of the label communities on a coarse
     // (label % 4) kNN graph — coarser lists than communities so
     // cross-community edges exist and Q is non-vacuous; exact q20
@@ -1178,6 +1185,66 @@ object VectorQueries {
         |       ELSE 0 END AS coeff_ppm
         |FROM deg LEFT JOIN tv ON tv.v = deg.v
         |ORDER BY vec_id""".stripMargin,
+    // the same kNN edge-set CTE stack as q_vec_triangle_coeff, then
+    // 2-hop common-neighbor counts on the symmetrized list with a
+    // non-edge anti filter and a deterministic top-100
+    "q_vec_link_pred" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |ed AS MATERIALIZED (
+        |       SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+        |         GREATEST(vec_id, nbr_id) AS b
+        |       FROM r WHERE rk <= 3),
+        |sym AS (SELECT a AS v, b AS w FROM ed
+        |        UNION ALL SELECT b, a FROM ed),
+        |deg AS (SELECT v, COUNT(*) AS degree FROM sym GROUP BY 1),
+        |two AS (
+        |  SELECT e1.v AS va, e2.w AS vb, COUNT(*) AS common_nbrs
+        |  FROM sym e1 JOIN sym e2
+        |    ON e1.w = e2.v AND e1.v < e2.w
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT t.va, t.vb, t.common_nbrs FROM two t
+        |  LEFT JOIN ed ON ed.a = t.va AND ed.b = t.vb
+        |  WHERE ed.a IS NULL)
+        |SELECT c.va AS vec_a, c.vb AS vec_b, c.common_nbrs,
+        |  da.degree AS deg_a, db.degree AS deg_b,
+        |  CAST(c.common_nbrs * 1000000 //
+        |    (da.degree + db.degree - c.common_nbrs) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM cand c
+        |JOIN deg da ON da.v = c.va
+        |JOIN deg db ON db.v = c.vb
+        |ORDER BY c.common_nbrs DESC, jaccard_ppm DESC, vec_a, vec_b
+        |LIMIT 100""".stripMargin,
     "q_vec_binary_topk" ->
       """WITH bits AS (
         |  SELECT vec_id,

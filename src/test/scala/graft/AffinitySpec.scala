@@ -91,6 +91,34 @@ class AffinitySpec extends SparkSpec {
       (3L, 3L, 3L, 1L, 333333L, true, true)))
   }
 
+  test("tCloseness: exact truncated-ppm total variation vs the " +
+      "global mix; absent values, truncation, boundary, null rows") {
+    // global (non-null rows): x=8, y=4, z=3, N=15 →
+    // gppm x=533333, y=266666, z=200000, gsum=999999
+    val rows = Seq(
+      (1L, "x"), (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"), (2L, "z"), (2L, "z"),
+      (3L, "x"), (3L, "x"), (3L, "y"), (3L, "z"),
+      (5L, "x"), (5L, "x"), (5L, "y")) ++
+      Seq((4L, null.asInstanceOf[String])) // excluded by contract
+    val df = rows.toDF("grp", "sens")
+    val out = Affinity.tCloseness(df, Seq("grp"), "sens",
+      tPpm = 200000L)
+      .collect().map(r => (r.getAs[Long]("grp"),
+        r.getAs[Long]("group_size"), r.getAs[Long]("n_values"),
+        r.getAs[Long]("tv_ppm"), r.getAs[Boolean]("meets_t"))).toList
+    assert(out === List(
+      // g1 {x:3,y:1}: d=216667+16666, missing z adds 200000 → 216666
+      (1L, 4L, 2L, 216666L, false),
+      // g2 {x:1,y:1,z:2}: 283333+16666+300000 → 299999
+      (2L, 4L, 3L, 299999L, false),
+      // g3 {x:2,y:1,z:1}: 33333+16666+50000 → 49999
+      (3L, 4L, 3L, 49999L, true),
+      // g5 {x:2,y:1}, n=3: truncation (666666, 333333) →
+      // 133333+66667+200000 = exactly t — boundary meets
+      (5L, 3L, 2L, 200000L, true)))
+  }
+
   test("fuzzyNameMatch: near-identical names found via shared rarest token; pairs not sharing it are the documented miss") {
     val parts = Seq(
       (1L, "azure coral mint"),

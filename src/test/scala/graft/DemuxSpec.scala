@@ -166,4 +166,28 @@ class DemuxSpec extends SparkSpec {
     assert(Demux.pages(parsed).count() == 1)
     assert(Demux.errors(parsed).count() == 1)
   }
+
+  test("keyProfile: per-key presence counts/ppm; unexpected keys " +
+      "flagged; keys never observed are absent") {
+    val lines = Seq(
+      """{"common":{"mid":"m1"},"page":{"page_id":"p1"},"ts":1}""",
+      """{"common":{"mid":"m2"},"page":{"page_id":"p2"},"ts":2}""",
+      """{"common":{"mid":"m3"},"start":{"entry":"e0"},"ts":3}""",
+      """{"common":{"mid":"m4"},"rogue":{"x":1},"ts":4}"""
+    ).toDF("value")
+    val out = Demux.keyProfile(lines,
+      Seq("common", "page", "displays", "actions", "start", "ts"))
+      .collect().map(r => r.getAs[String]("json_key") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("present_ppm"),
+          r.getAs[Boolean]("expected"))).toMap
+    assert(out === Map(
+      "common" -> ((4L, 1000000L, true)),
+      "ts" -> ((4L, 1000000L, true)),
+      "page" -> ((2L, 500000L, true)),
+      "start" -> ((1L, 250000L, true)),
+      // drift: present but not in the contract
+      "rogue" -> ((1L, 250000L, false))))
+    // displays/actions never observed -> no zero-count rows
+    assert(!out.contains("displays") && !out.contains("actions"))
+  }
 }

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 242,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 242")
-    assert(SparkEntry.oracleSql.size == 229,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 229")
+    assert(SparkEntry.queries.size == 247,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 247")
+    assert(SparkEntry.oracleSql.size == 234,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 234")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -318,6 +318,7 @@ class GraftApiSpec extends SparkSpec {
       "semanticDedupAssigned" -> "semanticDedupedAssigned",
       "unigramScore" -> "unigramScored",
       "bigramScore" -> "bigramScored",
+      "bigramCrossEntropy" -> "bigramCrossEntropy",
       "sourceOverlap" -> "sourceOverlap",
       "lengthBuckets" -> "lengthBucketed",
       "gridDensity" -> "gridDensity",
@@ -393,6 +394,7 @@ class GraftApiSpec extends SparkSpec {
       "rankingMetrics" -> "rankingMetricsAgainst",
       "meanPool" -> "meanPooledBy",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
+      "linkPredictionAssigned" -> "linkPredictionAssigned",
       "centroidDriftQ16" -> "centroidDriftTo",
       "kCoreAssigned" -> "kCoreAssigned",
       "leakageSafeSplit" -> "leakageSafeSplitBy",

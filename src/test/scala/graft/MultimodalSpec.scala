@@ -177,6 +177,45 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.modalityMix(docs).collect().toSeq)
   }
 
+  test("aspectBucketPlan: ladder contents, exact ppm assignment, " +
+      "batch/tail accounting, non-visual exclusion") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the default ladder is the budget arithmetic, verbatim
+    assert(Multimodal.aspectLadder() == Seq(
+      (320, 768), (384, 640), (448, 576), (512, 512),
+      (576, 448), (640, 384), (704, 320), (768, 320)))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media_type", StringType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("n_frames", IntegerType), StructField("ok", BooleanType)))
+    val decoded = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", 640, 480, 1, true),   // 4:3 -> (576,448)
+        Row(2L, "image", 500, 500, 1, true),   // square -> (512,512)
+        Row(3L, "video", 320, 704, 10, true),  // tall -> (320,768)
+        Row(4L, "image", 512, 512, 1, true),   // exact -> dist 0
+        Row(5L, "image", 510, 510, 1, true),   // square -> (512,512)
+        Row(6L, "audio", 0, 0, 1, true),       // not visual
+        Row(7L, "image", 640, 480, 1, false))),// decode failed
+      schema)
+    val out = Multimodal.aspectBucketPlan(decoded, batchSize = 2)
+      .collect().map(r => (r.getAs[Int]("bw"), r.getAs[Int]("bh")) ->
+        (r.getAs[Long]("aspect_ppm"), r.getAs[Long]("n_media"),
+          r.getAs[Long]("n_batches"), r.getAs[Long]("last_fill_ppm"),
+          r.getAs[Long]("max_dist_ppm"))).toMap
+    assert(out.keySet == Set((320, 768), (512, 512), (576, 448)))
+    // hand cross-multiplication: (640,480) vs (576,448):
+    // |640*448-480*576|*1e6/(480*448) = 10240e6/215040 = 47619
+    assert(out((576, 448)) ===
+      ((1285714L, 1L, 1L, 500000L, 47619L)))
+    // three squares: 500x500 dist |500*512-500*512|=0? no:
+    // |500*512 - 500*512| = 0 -> all square inputs dist 0
+    assert(out((512, 512)) === ((1000000L, 3L, 2L, 500000L, 0L)))
+    // (320,704): |320*768-704*320|*1e6/(704*768) = 37878
+    assert(out((320, 768)) === ((416666L, 1L, 1L, 500000L, 37878L)))
+  }
+
   test("frameSampleIndices: exact uniform spread with both endpoints, " +
       "distinct indices, cap binds, non-video excluded") {
     import org.apache.spark.sql.Row

@@ -456,6 +456,40 @@ class TextSpec extends SparkSpec {
     assert(audit(4)._3 == audit(4)._2 * 1000000L / nMid)
   }
 
+  test("bigramCrossEntropy: interpolated ppm model and q20 ce match " +
+      "a hand replay; deterministic contexts at lambda=1 give ce 0") {
+    // model over the corpus: big (a,b):3 (b,a):1 (c,c):1;
+    // cv a:3 b:1 c:1; successor-marginal cw b:3 a:1 c:1; N=5
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "c c"),
+      (4L, "solo"), (5L, " ")).toDF("doc_id", "text")
+    def lq(x: Long): Long =
+      math.floor(math.log(x.toDouble) * (1L << 20)).toLong
+    val l6 = lq(1000000L)
+    // p(a,b) = 700000*3 div 3 + 300000*3 div 5 = 880000
+    // p(b,a) = p(c,c) = 700000 + 60000 = 760000
+    val out = Text.bigramCrossEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_p_ppm"),
+          r.getAs[Long]("min_p_ppm"), r.getAs[Long]("ce_q20"),
+          r.getAs[Long]("avg_ce_milli"))).toMap
+    // docs 4 (single token) and 5 (blank) are excluded
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val ce1 = 2 * (l6 - lq(880000L)) + (l6 - lq(760000L))
+    assert(out(1L) === ((3L, 2520000L, 760000L, ce1,
+      ce1 * 1000 / (3 * 1048576))))
+    assert(out(2L) === ((1L, 880000L, 880000L, l6 - lq(880000L),
+      (l6 - lq(880000L)) * 1000 / 1048576)))
+    assert(out(3L) === ((1L, 760000L, 760000L, l6 - lq(760000L),
+      (l6 - lq(760000L)) * 1000 / 1048576)))
+    // lambda = 1 (pure MLE): every context here is deterministic
+    // (a always -> b, b -> a, c -> c), so p_ppm = 1e6 and ce = 0
+    val mle = Text.bigramCrossEntropy(docs, lambdaPpm = 1000000L)
+      .collect().map(r => (r.getAs[Long]("min_p_ppm"),
+        r.getAs[Long]("ce_q20"))).toSet
+    assert(mle === Set((1000000L, 0L)))
+  }
+
   test("incrementalDedup: batch-internal + against-seen, bloom exact") {
     val seen = Seq(
       (100L, "already ingested content", "en", "s", 24L)

@@ -1017,6 +1017,30 @@ class VectorSpec extends SparkSpec {
     assert(out(11L) == ((1L, 0L, 0L)))
   }
 
+  test("linkPrediction: common-neighbor counts, jaccard, edge " +
+      "exclusion and ordering on a hand graph") {
+    // planted edge list (precomputedKnn bypasses the cosine build):
+    // 1-2, 1-3, 2-3, 2-4, 3-4, 4-5 → degrees 1:2 2:3 3:3 4:3 5:1.
+    // Non-edge 2-hop pairs: (1,4) common {2,3}; (2,5) and (3,5)
+    // common {4}; (1,5) shares nothing.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("vec_id", "nbr_id")
+    val out = Vec.linkPredictionAssigned(
+      spark.emptyDataFrame, k = 3, topN = 100,
+      precomputedKnn = Some(edges)).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Long]("common_nbrs"), r.getAs[Long]("deg_a"),
+        r.getAs[Long]("deg_b"), r.getAs[Long]("jaccard_ppm"))).toList
+    assert(out === List(
+      (1L, 4L, 2L, 2L, 3L, 666666L),   // 2e6 div (2+3-2)
+      (2L, 5L, 1L, 3L, 1L, 333333L),
+      (3L, 5L, 1L, 3L, 1L, 333333L)))
+    // topN truncates the deterministic order
+    assert(Vec.linkPredictionAssigned(spark.emptyDataFrame, k = 3,
+      topN = 1, precomputedKnn = Some(edges)).collect()
+      .map(_.getAs[Long]("vec_a")).toList === List(1L))
+  }
+
   test("kCore: triangle survives the peel, lone pair is stripped") {
     // list 0: three mutually-near vectors — k=2 gives K3, every
     // degree stays 2 through all rounds (a true 2-core)
