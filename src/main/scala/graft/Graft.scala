@@ -82,6 +82,11 @@ object Graft {
       ops.Text.dupClusters(docs, pairs)
     def chunked(window: Int = 50, stride: Int = 40): DataFrame =
       ops.Text.chunkDocs(docs, window, stride)
+    /** Sentence-aware greedy chunking: cuts at `[.!?]` sentence
+      * boundaries, row-local HOF fold — no shuffle until the rollup.
+      */
+    def sentenceChunked(budgetTokens: Int = 48): DataFrame =
+      ops.Text.sentenceChunks(docs, budgetTokens)
     /** Content-defined chunking: boundaries from a sliding-window
       * hash mask, robust to upstream edits.
       */
@@ -769,5 +774,10 @@ object Graft {
       * file-statistics frame. */
     def compactionPlan(targetBytes: Long): DataFrame =
       ops.Layout.compactionPlan(df, targetBytes)
+    /** Per-file stabbing depth over (file_id, min_v, max_v, n_rows)
+      * stats — the predicate-free clustering metric. */
+    def fileOverlapDepth(
+        groupCols: Seq[String] = Seq("layout")
+    ): DataFrame = ops.Layout.fileOverlapDepth(df, groupCols)
   }
 }

@@ -66,6 +66,72 @@ object Affinity {
       .orderBy(col("pair_ct").desc, col("part_a"), col("part_b"))
   }
 
+  /** Frequent 3-itemsets with lift — [[basketLift]]'s pairs extended
+    * one Apriori level: items below `minItemCt` support are pruned
+    * BEFORE the cubic candidate join (the Apriori property: no
+    * infrequent item can appear in a frequent triple), then triples
+    * materialize as a three-way self-join on the basket key with the
+    * `item_a < item_b < item_c` canonical ordering, and only triples
+    * with `triple_ct >= minTripleCt` survive to the lift arithmetic.
+    *
+    * `lift = P(abc) / (P(a)·P(b)·P(c))` is computed EXACTLY as
+    * `triple_ct·N²·1000 div (ct_a·ct_b·ct_c)` — the numerator is up
+    * to count³-sized, so it runs in DECIMAL(38,0) (HUGEINT on the
+    * oracle side) and narrows back to BIGINT milli units: at
+    * N = 1.5e9 baskets the intermediate is ~1e30, inside DECIMAL(38)
+    * headroom where BIGINT would overflow.
+    *
+    * Shape at scale: the two support filters bound the join — each
+    * self-join leg carries only frequent items, and the candidate
+    * row count is Σ_basket C(k_b, 3) over FREQUENT items per basket;
+    * the groupBy partial-aggregates map-side. Baskets: any
+    * `(basket_id, item)` frame (duplicates are collapsed first).
+    */
+  def frequentTriples(
+      baskets: DataFrame,
+      minItemCt: Long = 2,
+      minTripleCt: Long = 2
+  ): DataFrame = {
+    require(minItemCt >= 1 && minTripleCt >= 1,
+      s"support thresholds must be >= 1, got $minItemCt/$minTripleCt")
+    val b = baskets
+      .select(col("basket_id").as("bk"), col("item").as("it"))
+      .distinct()
+    val nBaskets = b.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCt = b.groupBy(col("it"))
+      .agg(count(lit(1)).as("item_ct"))
+      .filter(col("item_ct") >= minItemCt)
+    val fb = b.join(itemCt, "it")
+      .select(col("bk"), col("it"))
+    fb.as("a")
+      .join(fb.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .join(fb.as("c"),
+        col("a.bk") === col("c.bk") && col("b.it") < col("c.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"),
+        col("c.it").as("item_c"))
+      .agg(count(lit(1)).as("triple_ct"))
+      .filter(col("triple_ct") >= minTripleCt)
+      .join(itemCt.select(col("it").as("item_a"),
+        col("item_ct").as("ct_a")), "item_a")
+      .join(itemCt.select(col("it").as("item_b"),
+        col("item_ct").as("ct_b")), "item_b")
+      .join(itemCt.select(col("it").as("item_c"),
+        col("item_ct").as("ct_c")), "item_c")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("item_c"),
+        col("triple_ct"), col("ct_a"), col("ct_b"), col("ct_c"),
+        col("n_baskets"),
+        expr("triple_ct * 1000000 div n_baskets").as("support_ppm"),
+        expr("""CAST(CAST(triple_ct AS DECIMAL(38,0)) * n_baskets
+          * n_baskets * 1000
+          div (CAST(ct_a AS DECIMAL(38,0)) * ct_b * ct_c)
+          AS BIGINT)""").as("lift_milli"))
+      .orderBy(col("triple_ct").desc, col("item_a"), col("item_b"),
+        col("item_c"))
+  }
+
   // --- Sequence modelling -------------------------------------------
 
   /** First-order Markov transition matrix over the event stream: for

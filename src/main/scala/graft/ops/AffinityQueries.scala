@@ -19,6 +19,18 @@ object AffinityQueries {
     // orders) + lift (milli) over co-ordered part pairs
     "q_basket_lift" -> ((s, d) =>
       Affinity.basketLift(Tables.lineitem(s, d), minPairCount = 2L)),
+    // Apriori 3-itemsets over (order, part-brand) baskets — brands
+    // make a 25-value item domain whose triples have healthy support
+    // at every validation SF (thresholds low enough that sf0.001
+    // still emits rows, high enough that the prune is exercised)
+    "q_basket_triples" -> ((s, d) =>
+      Affinity.frequentTriples(
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket_id"),
+            col("p_brand").as("item")),
+        minItemCt = 20L, minTripleCt = 5L)),
     // first-order Markov next-event matrix with exact ppm
     // row-conditional probabilities
     "q_events_markov" -> ((s, d) =>
@@ -104,6 +116,44 @@ object AffinityQueries {
         |CROSS JOIN no
         |WHERE pair_ct >= 2
         |ORDER BY pair_ct DESC, part_a, part_b""".stripMargin,
+    // NOTE the pairs-first CTE shape: flattening the three fb legs
+    // into one FROM lets DuckDB's join reorderer pick the b2×c pair
+    // first — whose ONLY predicate is the `b2.it < c.it` inequality,
+    // a 55k×55k blockwise join with ~1.5e9 intermediate rows at
+    // sf0.01 (measured: minutes + tens of GB vs 0.5 s for this form,
+    // where every adjacent pair of relations shares a bk equality)
+    "q_basket_triples" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b),
+        |ic AS (
+        |  SELECT it, COUNT(*) AS item_ct FROM b GROUP BY 1
+        |  HAVING COUNT(*) >= 20),
+        |fb AS (SELECT b.bk, b.it FROM b JOIN ic ON b.it = ic.it),
+        |p2 AS (
+        |  SELECT a.bk, a.it AS ia, b2.it AS ib
+        |  FROM fb a JOIN fb b2 ON a.bk = b2.bk AND a.it < b2.it),
+        |t AS (
+        |  SELECT ia AS item_a, ib AS item_b, c.it AS item_c,
+        |    COUNT(*) AS triple_ct
+        |  FROM p2 JOIN fb c ON p2.bk = c.bk AND p2.ib < c.it
+        |  GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) >= 5)
+        |SELECT item_a, item_b, item_c, triple_ct,
+        |  ca.item_ct AS ct_a, cb.item_ct AS ct_b,
+        |  cc.item_ct AS ct_c, nb.n_baskets,
+        |  triple_ct * 1000000 // nb.n_baskets AS support_ppm,
+        |  CAST(CAST(triple_ct AS HUGEINT) * nb.n_baskets
+        |    * nb.n_baskets * 1000
+        |    // (CAST(ca.item_ct AS HUGEINT) * cb.item_ct
+        |       * cc.item_ct) AS BIGINT) AS lift_milli
+        |FROM t
+        |JOIN ic ca ON t.item_a = ca.it
+        |JOIN ic cb ON t.item_b = cb.it
+        |JOIN ic cc ON t.item_c = cc.it
+        |CROSS JOIN nb
+        |ORDER BY triple_ct DESC, item_a, item_b, item_c""".stripMargin,
     "q_events_markov" ->
       """WITH t AS (
         |  SELECT event_type AS src,

@@ -456,4 +456,70 @@ object Audit {
         expr("d_num * 1000000 div (n_ref * n_cur)").as("ks_ppm"),
         col("at_value"))
   }
+
+  /** Exact first-significant-digit distributions (hardcoded
+    * `floor(log10(1+1/d)·1e6)` — shared verbatim with SQL twins so
+    * both engines join the same literals; truncated sum = 999995).
+    */
+  val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+    5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L,
+    9 -> 45757L)
+
+  /** Benford first-digit audit — the classic anomaly screen for
+    * "organically grown" numeric columns (amounts, populations,
+    * transaction totals): their first significant digits follow
+    * `P(d) = log10(1+1/d)`, and fabricated / truncated / defaulted
+    * data visibly doesn't. Per group: observed vs expected ppm per
+    * digit 1–9 and the group's total-variation deviation
+    * `tvd_ppm = Σ|obs−exp| div 2` — in exact truncated-integer ppm,
+    * like [[ksDrift]]'s cross-multiplied statistic.
+    *
+    * Contract: rows with NULL or `value < 1` are excluded (the first
+    * significant digit of a sub-unit value needs decimal-shift state
+    * this stays deliberately free of); the first digit is taken from
+    * `floor(value)` — an explicit FLOOR, because a bare
+    * decimal→integer CAST truncates in Spark but ROUNDS in DuckDB.
+    * Digits a group never produced still enter the TVD with their
+    * full expected mass, via a groups × 9-digit domain completion
+    * (`groupCols` are therefore expected to be low-cardinality
+    * dimensions — the completed domain is dims×9 rows).
+    *
+    * Shape at scale: one partial-aggregated scan of the data down to
+    * (group, digit) counts, then all arithmetic on the ≤ 9·|groups|
+    * rollup: a broadcast 9-row literal join and two domain-bounded
+    * windows. No data-sized shuffle beyond the count groupBy.
+    */
+  def benfordAudit(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grp = groupCols.map(col)
+    val digit = substring(floor(col(valueCol)).cast("long")
+      .cast("string"), 1, 1).cast("int")
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .groupBy(grp :+ digit.as("digit"): _*)
+      .agg(count(lit(1)).as("n"))
+    val groups = counts.select(grp: _*).distinct()
+    val benford = benfordPpm.toDF("digit", "benford_ppm")
+    val domain = groups.crossJoin(broadcast(benford))
+    val full = domain.join(counts, groupCols :+ "digit", "left")
+      .select(grp ++ Seq(col("digit"), col("benford_ppm"),
+        coalesce(col("n"), lit(0L)).as("n")): _*)
+    val wg = Window.partitionBy(grp: _*)
+    full
+      .withColumn("total", sum(col("n")).over(wg))
+      .withColumn("obs_ppm",
+        when(col("total") > 0,
+          expr("n * 1000000 div total")).otherwise(lit(0L)))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .withColumn("dev_sum", sum(col("dev_ppm")).over(wg))
+      .select(grp ++ Seq(col("digit"), col("n"), col("total"),
+        col("obs_ppm"), col("benford_ppm"), col("dev_ppm"),
+        expr("dev_sum div 2").as("tvd_ppm")): _*)
+  }
 }

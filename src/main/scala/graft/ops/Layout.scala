@@ -574,4 +574,59 @@ object Layout {
         expr("(n_files - files_scanned) * 1000000 div n_files"))
       .orderBy(col("layout"), col("pred_id"))
   }
+
+  /** Per-file interval-overlap (stabbing) depth — the clustering
+    * metric OPTIMIZE/ZORDER maintenance decisions rest on: for each
+    * file, how many files' `[min_v, max_v]` key ranges cover the
+    * point `min_v` — i.e. how many files a point lookup landing at
+    * this file's low boundary must read. A perfectly range-clustered
+    * layout has depth 1 everywhere; an insertion-ordered layout on a
+    * non-insertion key has depth ≈ #files. Where [[pruneAudit]]
+    * measures skipping against a FIXED predicate set, this is the
+    * predicate-free intrinsic: max depth bounds the worst point
+    * query over ALL keys.
+    *
+    * Exact boundary sweep, no pairwise interval join: per DISTINCT
+    * boundary value `v`, count starts (`s`) and ends (`e`); the
+    * stabbing depth at `v` is
+    * `cum(s)|≤v − cum(e)|<v  =  cum(s)|≤v − cum(e)|≤v + e_v`
+    * (ends exactly at `v` still cover `v`, starts exactly at `v` all
+    * count — two files sharing a `min_v` each see the other), and
+    * each file reads its depth back with a join on `min_v`. Working
+    * per distinct value makes boundary ties exact with no
+    * order-within-tie ambiguity.
+    *
+    * Shape at scale: 2 events per FILE (catalog-sized, the
+    * [[compactionPlan]] contract — millions of rows for a 100 TB
+    * table, never the data), one window per layout group over the
+    * distinct-boundary stream, one catalog-sized join back.
+    * NULL-boundary rows are excluded by contract.
+    */
+  def fileOverlapDepth(
+      fileStats: DataFrame,
+      groupCols: Seq[String] = Seq("layout")
+  ): DataFrame = {
+    val grp = groupCols.map(col)
+    val base = fileStats
+      .filter(col("min_v").isNotNull && col("max_v").isNotNull)
+      .select(grp ++ Seq(col("file_id"), col("min_v"), col("max_v"),
+        col("n_rows")): _*)
+    val events = base
+      .select(grp ++ Seq(col("min_v").as("v"), lit(1L).as("delta")): _*)
+      .unionByName(base.select(
+        grp ++ Seq(col("max_v").as("v"), lit(-1L).as("delta")): _*))
+    val perV = events
+      .groupBy(grp :+ col("v"): _*)
+      .agg(count(when(col("delta") === 1, lit(1))).as("s"),
+        count(when(col("delta") === -1, lit(1))).as("e"))
+    val w = Window.partitionBy(grp: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val depthAt = perV
+      .select(grp ++ Seq(col("v").as("min_v"),
+        (sum(col("s")).over(w) - sum(col("e")).over(w) + col("e"))
+          .as("depth")): _*)
+    base.join(depthAt, groupCols :+ "min_v")
+      .select(grp ++ Seq(col("file_id"), col("min_v"), col("max_v"),
+        col("n_rows"), col("depth")): _*)
+  }
 }

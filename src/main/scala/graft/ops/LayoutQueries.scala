@@ -161,6 +161,31 @@ object LayoutQueries {
           col("l_partkey"), col("l_suppkey"), col("hilbert_value"))
         .orderBy(col("hilbert_value"), col("l_orderkey"),
           col("l_linenumber"), col("l_partkey"), col("l_suppkey"))),
+    // per-file stabbing depth of insertion-ordered vs key-sorted
+    // synthetic files of lineitem on l_partkey — the predicate-free
+    // clustering metric (depth ~ #files vs depth ~ 1-2); exact
+    // boundary sweep, windows only over the distinct-boundary stream
+    "q_layout_overlap_depth" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val mm = li.agg(min(col("l_partkey")).as("mn_p"),
+        max(col("l_partkey")).as("mx_p"))
+      val asg = li.crossJoin(broadcast(mm)).select(
+        col("l_partkey"),
+        expr("l_orderkey div 1024").as("f_ins"),
+        expr("(l_partkey - mn_p) * 64 div (mx_p - mn_p + 1)")
+          .as("f_sort"))
+      def stats(fcol: String, tag: String) = asg
+        .groupBy(col(fcol).as("file_id"))
+        .agg(min(col("l_partkey")).as("min_v"),
+          max(col("l_partkey")).as("max_v"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit(tag))
+      Layout.fileOverlapDepth(
+        stats("f_ins", "insertion")
+          .unionByName(stats("f_sort", "partkey_sorted")))
+        .orderBy(col("layout"), col("file_id"))
+    }),
     // heavy-hitter profile of lineitem.l_partkey with the salt factor
     // that would level each key across 32 shuffle partitions
     "q_layout_skew" -> ((s, d) =>
@@ -475,6 +500,48 @@ object LayoutQueries {
         |SELECT t.range_id, r.k AS upper_bound
         |FROM t JOIN r ON r.rn = t.r
         |ORDER BY range_id""".stripMargin,
+    "q_layout_overlap_depth" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |mm AS (
+        |  SELECT MIN(l_partkey) AS mn_p, MAX(l_partkey) AS mx_p
+        |  FROM li),
+        |asg AS (
+        |  SELECT l_partkey, l_orderkey // 1024 AS f_ins,
+        |    (l_partkey - mm.mn_p) * 64 // (mm.mx_p - mm.mn_p + 1)
+        |      AS f_sort
+        |  FROM li CROSS JOIN mm),
+        |st AS (
+        |  SELECT 'insertion' AS layout, f_ins AS file_id,
+        |    MIN(l_partkey) AS min_v, MAX(l_partkey) AS max_v,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM asg GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'partkey_sorted', f_sort, MIN(l_partkey),
+        |    MAX(l_partkey), CAST(COUNT(*) AS BIGINT)
+        |  FROM asg GROUP BY 2),
+        |ev AS (
+        |  SELECT layout, min_v AS v, 1 AS delta FROM st
+        |  UNION ALL
+        |  SELECT layout, max_v, -1 FROM st),
+        |pv AS (
+        |  SELECT layout, v,
+        |    CAST(COUNT(CASE WHEN delta = 1 THEN 1 END) AS BIGINT)
+        |      AS s,
+        |    CAST(COUNT(CASE WHEN delta = -1 THEN 1 END) AS BIGINT)
+        |      AS e
+        |  FROM ev GROUP BY 1, 2),
+        |da AS (
+        |  SELECT layout, v AS min_v,
+        |    CAST(SUM(s) OVER (PARTITION BY layout ORDER BY v)
+        |      AS BIGINT)
+        |    - CAST(SUM(e) OVER (PARTITION BY layout ORDER BY v)
+        |      AS BIGINT) + e AS depth
+        |  FROM pv)
+        |SELECT st.layout, st.file_id, st.min_v, st.max_v, st.n_rows,
+        |  da.depth
+        |FROM st JOIN da
+        |  ON st.layout = da.layout AND st.min_v = da.min_v
+        |ORDER BY st.layout, st.file_id""".stripMargin,
     "q_layout_skew" ->
       """WITH byk AS (
         |  SELECT l_partkey AS key, COUNT(*) AS cnt

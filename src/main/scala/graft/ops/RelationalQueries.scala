@@ -230,6 +230,13 @@ object RelationalQueries {
         o.filter(col("o_orderkey") % 2 === 1),
         "price_dollars")
     }),
+    // Benford first-digit audit on o_totalprice per priority class:
+    // all arithmetic happens on the 5×9 (group, digit) rollup; the
+    // only data-sized stage is the count groupBy
+    "q_orders_benford" -> ((s, d) =>
+      Audit.benfordAudit(Tables.orders(s, d), "o_totalprice",
+        Seq("o_orderpriority"))
+        .orderBy(col("o_orderpriority"), col("digit"))),
     // salted shuffle join must be row-identical to the plain join —
     // the oracle IS the unsalted form; the merge hint keeps the dim
     // off the broadcast path so the salted exchange actually runs
@@ -1136,6 +1143,45 @@ object RelationalQueries {
         |  MIN(CASE WHEN dn = (SELECT MAX(dn) FROM d) THEN v END)
         |    AS at_value
         |FROM d GROUP BY n_ref, n_cur""".stripMargin,
+    "q_orders_benford" ->
+      """WITH b(digit, benford_ppm) AS (
+        |  VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+        |         (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+        |         (9, 45757)),
+        |c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT o_orderpriority FROM c),
+        |dom AS (
+        |  SELECT g.o_orderpriority, b.digit,
+        |    CAST(b.benford_ppm AS BIGINT) AS benford_ppm
+        |  FROM g CROSS JOIN b),
+        |f AS (
+        |  SELECT dom.o_orderpriority, dom.digit, dom.benford_ppm,
+        |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM dom LEFT JOIN c
+        |    ON dom.o_orderpriority = c.o_orderpriority
+        |   AND dom.digit = c.digit),
+        |w AS (
+        |  SELECT o_orderpriority, digit, n, benford_ppm,
+        |    CAST(SUM(n) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS total
+        |  FROM f),
+        |o AS (
+        |  SELECT o_orderpriority, digit, n, total, benford_ppm,
+        |    CASE WHEN total > 0 THEN n * 1000000 // total
+        |         ELSE CAST(0 AS BIGINT) END AS obs_ppm
+        |  FROM w),
+        |dv AS (
+        |  SELECT *, ABS(obs_ppm - benford_ppm) AS dev_ppm FROM o)
+        |SELECT o_orderpriority, digit, n, total, obs_ppm,
+        |  benford_ppm, dev_ppm,
+        |  CAST(SUM(dev_ppm) OVER (PARTITION BY o_orderpriority)
+        |    AS BIGINT) // 2 AS tvd_ppm
+        |FROM dv ORDER BY o_orderpriority, digit""".stripMargin,
     // salted shuffle join: row-identical to the plain join — oracle
     // is the unsalted form (only the exchange shape differs)
     "q_salted_join_agg" ->

@@ -1487,6 +1487,72 @@ object Text {
           col("col.end") - col("col.start") + 1).as("chunk_text"))
   }
 
+  /** Sentence-aware greedy chunking — the RAG-style splitter that
+    * cuts at sentence boundaries instead of mid-sentence (the
+    * retrieval-index sibling of [[chunkDocs]]'s fixed token window):
+    * sentences are the non-empty segments of `[.!?]\s+`-split text
+    * (terminal punctuation consumed; both engines scan the same
+    * regex left-to-right so segmentation is bit-identical), packed
+    * greedily in order — a chunk closes when the NEXT sentence would
+    * push it past `budgetTokens`; a sentence longer than the budget
+    * occupies a chunk alone. The data-dependent fill reset is the
+    * [[packChunksFirstFit]] recurrence, but here the recurrence is
+    * ROW-LOCAL — a document's sentences live in one array, so a
+    * single `aggregate` HOF fold assigns chunk ids with zero shuffle
+    * and zero mapPartitions (the lambda is evaluated per element at
+    * runtime, not unrolled — no 2^n expression blow-up); only the
+    * final per-chunk rollup shuffles, keyed by (doc_id, chunk_id)
+    * with map-side combine. Pure integer math end to end → exact
+    * linear-recursive-CTE oracle.
+    */
+  def sentenceChunks(
+      docs: DataFrame,
+      budgetTokens: Int = 48
+  ): DataFrame = {
+    require(budgetTokens >= 1,
+      s"budgetTokens must be positive, got $budgetTokens")
+    val sents = filter(
+      transform(split(trim(col("text")), "[.!?]\\s+"), s => trim(s)),
+      s => length(s) > 0)
+    // per-sentence token counts; sentences are non-empty after trim,
+    // so a bare whitespace split never yields the [""] edge case
+    val nToks = transform(col("sents"),
+      s => size(split(s, "\\s+")).cast("bigint"))
+    // greedy fold: acc = (open chunk id, its fill, per-sentence chunk
+    // assignments); first sentence always lands in chunk 0 (fill=0
+    // takes the extend branch), matching the oracle's recursion base
+    val asg = aggregate(
+      col("nt"),
+      struct(lit(0L).as("chunk"), lit(0L).as("fill"),
+        array().cast("array<bigint>").as("asg")),
+      (acc, n) => when(
+        acc.getField("fill") > 0 &&
+          acc.getField("fill") + n > budgetTokens,
+        struct((acc.getField("chunk") + 1).as("chunk"),
+          n.as("fill"),
+          concat(acc.getField("asg"),
+            array(acc.getField("chunk") + 1)).as("asg")))
+        .otherwise(
+          struct(acc.getField("chunk").as("chunk"),
+            (acc.getField("fill") + n).as("fill"),
+            concat(acc.getField("asg"),
+              array(acc.getField("chunk"))).as("asg"))),
+      acc => acc.getField("asg"))
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), sents.as("sents"))
+      .filter(size(col("sents")) > 0)
+      .select(col("doc_id"), nToks.as("nt"))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("nt"), asg.as("chunk"))))
+      .select(col("doc_id"), col("pos"),
+        col("col.nt").as("n_tok"), col("col.chunk").as("chunk_id"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("pos")).cast("int").as("first_sent"))
+  }
+
   /** Pack chunk rows into fixed-token-budget training sequences —
     * the concat-and-cut step between chunking and batching: the chunk
     * stream is (conceptually) concatenated in (doc_id, chunk_id)

@@ -494,6 +494,12 @@ object TextQueries {
     "q_text_chunks" -> ((s, d) =>
       Text.chunkDocs(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
+    // sentence-aware greedy chunking: the data-dependent fill reset
+    // runs as a row-local HOF fold; oracle replays it as a linear
+    // recursive CTE over (doc_id, sentence_pos)
+    "q_text_sentence_chunks" -> ((s, d) =>
+      Text.sentenceChunks(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
     // content-defined chunking: cut ends are a pure per-position
     // hash predicate (no greedy state) → exact SQL twin
     "q_text_content_chunks" -> ((s, d) =>
@@ -1746,6 +1752,40 @@ object TextQueries {
         |    COALESCE(kept.n_kept, 0) AS INT) AS n_dropped
         |FROM pd LEFT JOIN kept ON pd.doc_id = kept.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+    "q_text_sentence_chunks" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '[.!?]\s+') AS ss
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |u AS (
+        |  SELECT doc_id, ss,
+        |    UNNEST(generate_series(1, len(ss))) AS i
+        |  FROM raw),
+        |sents AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+        |      AS pos,
+        |    CAST(len(regexp_split_to_array(trim(ss[i]), '\s+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM u WHERE length(trim(ss[i])) > 0),
+        |walk AS (
+        |  SELECT doc_id, pos, n_tok,
+        |    CAST(0 AS BIGINT) AS chunk, n_tok AS fill
+        |  FROM sents WHERE pos = 0
+        |  UNION ALL
+        |  SELECT s.doc_id, s.pos, s.n_tok,
+        |    CASE WHEN w.fill + s.n_tok > 48
+        |         THEN w.chunk + 1 ELSE w.chunk END,
+        |    CASE WHEN w.fill + s.n_tok > 48
+        |         THEN s.n_tok ELSE w.fill + s.n_tok END
+        |  FROM walk w JOIN sents s
+        |    ON s.doc_id = w.doc_id AND s.pos = w.pos + 1)
+        |SELECT doc_id, chunk AS chunk_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sentences,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(MIN(pos) AS INT) AS first_sent
+        |FROM walk GROUP BY doc_id, chunk
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_text_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -277,4 +277,38 @@ class AffinitySpec extends SparkSpec {
     val bad = q(comm(v => v % 2))
     assert(bad < -0.1 && bad < good, s"bad=$bad")
   }
+
+  test("frequentTriples: Apriori prune, canonical order, exact lift") {
+    // baskets 1-3 all hold {a,b,c}; d appears once (below support 2)
+    // and basket 1 repeats item a (must collapse before counting)
+    val baskets = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"), (3L, "c"), (3L, "d"))
+      .toDF("basket_id", "item")
+    val out = graft.ops.Affinity
+      .frequentTriples(baskets, minItemCt = 2, minTripleCt = 2)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[String]("item_a"), r.getAs[String]("item_b"),
+      r.getAs[String]("item_c")) === (("a", "b", "c")))
+    assert(r.getAs[Long]("triple_ct") === 3L)
+    // N=3 baskets, all counts 3: support 1e6, lift exactly 1.000
+    assert(r.getAs[Long]("support_ppm") === 1000000L)
+    assert(r.getAs[Long]("lift_milli") === 1000L)
+  }
+
+  test("frequentTriples: infrequent item never enters a triple even " +
+      "when the triple itself would pass support") {
+    // {x,y,z} co-occur twice but z's total count is 2 < minItemCt 3
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, "y"))
+      .toDF("basket_id", "item")
+    val out = graft.ops.Affinity
+      .frequentTriples(baskets, minItemCt = 3, minTripleCt = 2)
+    assert(out.count() === 0L)
+  }
 }

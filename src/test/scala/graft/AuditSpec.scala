@@ -249,4 +249,44 @@ class AuditSpec extends SparkSpec {
     assert(dirty.getAs[Double]("at_value") ===
       clean.getAs[Double]("at_value"))
   }
+
+  test("benfordAudit: exact ppm per digit, domain completion for " +
+      "absent digits, sub-1/null exclusion") {
+    val df = Seq(
+      Some(1.0), Some(19.5), Some(100.0),   // digit 1 three times
+      Some(2.0), Some(250.0),                // digit 2 twice
+      Some(9.99),                            // digit 9 (FLOOR, not round)
+      Some(0.5), None                        // excluded: <1 and null
+    ).toDF("v")
+    val rows = graft.ops.Audit.benfordAudit(df, "v").collect()
+    assert(rows.length === 9)                 // full 1-9 domain
+    val byDigit = rows.map(r => r.getAs[Int]("digit") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("obs_ppm"))).toMap
+    assert(byDigit(1) === ((3L, 500000L)))
+    assert(byDigit(2) === ((2L, 333333L)))
+    assert(byDigit(9) === ((1L, 166666L)))
+    assert(byDigit(3) === ((0L, 0L)))         // absent digit, full dev
+    // TVD identical on every row of the group and equals half the
+    // sum of absolute deviations vs the hardcoded Benford table
+    val devs = rows.map(r => math.abs(r.getAs[Long]("obs_ppm") -
+      r.getAs[Long]("benford_ppm"))).sum
+    assert(rows.map(_.getAs[Long]("tvd_ppm")).distinct.toSeq ===
+      Seq(devs / 2))
+  }
+
+  test("benfordAudit: groups complete independently and a " +
+      "Benford-faithful group scores a small TVD") {
+    val faithful = (1 to 9).flatMap { d =>
+      // counts proportional to log10(1+1/d) out of 1000
+      val n = math.round(math.log10(1.0 + 1.0 / d) * 1000).toInt
+      Seq.fill(n)(("good", d * 10.0))
+    }
+    val flat = (1 to 9).map(d => ("flat", d * 10.0))
+    val df = (faithful ++ flat).toDF("g", "v")
+    val tvd = graft.ops.Audit.benfordAudit(df, "v", Seq("g"))
+      .select("g", "tvd_ppm").distinct().collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("tvd_ppm")).toMap
+    assert(tvd("good") < 2000L, s"faithful group TVD ${tvd("good")}")
+    assert(tvd("flat") > 200000L, s"flat group TVD ${tvd("flat")}")
+  }
 }

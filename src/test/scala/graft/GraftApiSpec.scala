@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 247,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 247")
-    assert(SparkEntry.oracleSql.size == 234,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 234")
+    assert(SparkEntry.queries.size == 251,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 251")
+    assert(SparkEntry.oracleSql.size == 238,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 238")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -329,6 +329,7 @@ class GraftApiSpec extends SparkSpec {
       "bpeLearnMerges" -> "bpeMergesLearned",
       "bpeEncode" -> "bpeEncoded",
       "contentDefinedChunks" -> "contentChunked",
+      "sentenceChunks" -> "sentenceChunked",
       "tokenFrequencySketch" -> "tokenFrequencySketched",
       "packChunksFirstFit" -> "packedChunksFirstFit",
       "qualityPercentiles" -> "qualityPercentiled",
@@ -427,7 +428,8 @@ class GraftApiSpec extends SparkSpec {
       "keySkewProfile" -> "keySkewProfile",
       "compactionPlan" -> "compactionPlan",
       "pruneAudit" -> "pruneAudit",
-      "pruneAudit2D" -> "pruneAudit2D")
+      "pruneAudit2D" -> "pruneAudit2D",
+      "fileOverlapDepth" -> "fileOverlapDepth")
     // internal staging / differential-test references, not user ops
     val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector) ++

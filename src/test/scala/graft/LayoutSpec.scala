@@ -378,4 +378,36 @@ class LayoutSpec extends SparkSpec {
       ("wide", 1, 2L, 2L, 400L, 0L),
       ("wide", 2, 2L, 2L, 400L, 0L)))
   }
+
+  test("fileOverlapDepth: chained overlaps, boundary ties, and the " +
+      "disjoint file read depth 1") {
+    import spark.implicits._
+    // f1 [0,10], f2 [5,15] (overlaps f1), f3 [10,20] (starts exactly
+    // at f1 max: end-at-v still covers v), f4 [30,40] disjoint
+    val stats = Seq(
+      ("L", 1L, 0L, 10L, 100L), ("L", 2L, 5L, 15L, 100L),
+      ("L", 3L, 10L, 20L, 100L), ("L", 4L, 30L, 40L, 100L))
+      .toDF("layout", "file_id", "min_v", "max_v", "n_rows")
+    val d = graft.ops.Layout.fileOverlapDepth(stats)
+      .collect().map(r => r.getAs[Long]("file_id") ->
+        r.getAs[Long]("depth")).toMap
+    // at 0: only f1; at 5: f1,f2; at 10: f1 ends AT 10 + f2 + f3 = 3
+    assert(d === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
+  test("fileOverlapDepth: shared min_v ties count each other; null " +
+      "boundaries drop; groups independent") {
+    import spark.implicits._
+    val stats = Seq(
+      ("A", 1L, Some(0L), Some(10L), 10L),
+      ("A", 2L, Some(0L), Some(10L), 10L),   // same min_v as f1
+      ("A", 3L, Some(50L), Some(60L), 10L),
+      ("A", 4L, None, Some(9L), 10L),        // null min_v: excluded
+      ("B", 5L, Some(0L), Some(10L), 10L))   // other group: depth 1
+    .toDF("layout", "file_id", "min_v", "max_v", "n_rows")
+    val rows = graft.ops.Layout.fileOverlapDepth(stats).collect()
+    val d = rows.map(r => r.getAs[Long]("file_id") ->
+      r.getAs[Long]("depth")).toMap
+    assert(d === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 5L -> 1L))
+  }
 }

@@ -1853,4 +1853,30 @@ class TextSpec extends SparkSpec {
     assert(s50((128, 1)) < s50((32, 4)) &&
       s50((32, 4)) < s50((8, 16)) && s50((8, 16)) < s50((4, 32)))
   }
+
+  test("sentenceChunks: greedy fill cuts at sentence boundaries, " +
+      "oversize sentence occupies a chunk alone") {
+    val docs = Seq(
+      // sentences of 3,3,3,1 tokens; budget 6: chunks (0,1) and (2,3)
+      (1L, "a b c. d e f! g h i? j"),
+      // 3-token sentence over budget 2: alone in its chunk; then 1,1
+      (2L, "w x y. z. q!"),
+      (3L, "   "),                       // whitespace-only: dropped
+      (4L, "single")                     // one sentence, no terminator
+    ).toDF("doc_id", "text")
+    def chunks(budget: Int) = graft.ops.Text
+      .sentenceChunks(docs, budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_tokens"),
+          r.getAs[Int]("first_sent"))).toMap
+    val c6 = chunks(6)
+    assert(c6((1L, 0L)) === ((2L, 6L, 0)))
+    assert(c6((1L, 1L)) === ((2L, 4L, 2)))
+    assert(c6((4L, 0L)) === ((1L, 1L, 0)))
+    assert(!c6.keySet.exists(_._1 == 3L))
+    val c2 = chunks(2)
+    // doc 2 under budget 2: [w x y] alone, then [z, q] pack together
+    assert(c2((2L, 0L)) === ((1L, 3L, 0)))
+    assert(c2((2L, 1L)) === ((2L, 2L, 1)))
+  }
 }
