@@ -651,4 +651,72 @@ object Affinity {
           lnq20(col("n_a")) - lnq20(col("n_b"))).as("pmi_q20"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** Cramér's V association between two categorical columns — the
+    * "are these two dimensions redundant?" audit (segment vs
+    * priority, shipmode vs returnflag, lang vs source): the
+    * chi-square contingency statistic normalized to [0, 1] so it
+    * compares across tables of different size and shape.
+    *
+    * Exactness convention: per contingency cell the observed and
+    * expected masses quantize to ppm — `obs_ppm = o·10⁶ div N`,
+    * `exp_ppm = r_a·c_b·10⁶ div N²` (DECIMAL(38,0)/HUGEINT
+    * intermediates: r·c·10⁶ ~ 10³⁰ at N = 10¹² where BIGINT·BIGINT
+    * overflows) — and the per-cell term is
+    * `(obs_ppm − exp_ppm)² div max(exp_ppm, 1)`, so
+    * `chi2_n_ppm = Σ terms` is the EXACT integer form of
+    * 10⁶·(χ²/N) over the ppm-quantized masses (the quantization is
+    * the documented contract, same posture as [[Audit.ksDrift]]'s
+    * value histogram). `v_milli =
+    * ⌊√(chi2_n_ppm / (10⁶·min(|A|−1, |B|−1)))·1000⌋` rides IEEE
+    * sqrt — correctly rounded per IEEE-754, hence engine-identical
+    * on integer inputs (stronger than the libm-ln q20 convention
+    * [[eventPmi]] already hashes).
+    *
+    * Shape at scale: one partial-aggregated scan to the observed
+    * contingency rollup, then a |A|×|B| domain completion (absent
+    * cells owe their full expected mass — the [[Audit.benfordAudit]]
+    * posture) and rollup-sized windows. NULL categories are excluded
+    * (a NULL level would silently vanish from the windows'
+    * partitions anyway — better an explicit contract).
+    */
+  def cramersV(
+      df: DataFrame,
+      aCol: String,
+      bCol: String
+  ): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    // domain completion (the benfordAudit posture): a cell the data
+    // never produced still owes its full expected mass to chi2 —
+    // without it sparse contingencies underestimate the association
+    val aTot = cells.groupBy(col("a")).agg(sum(col("o")).as("r_a"))
+    val bTot = cells.groupBy(col("b")).agg(sum(col("o")).as("c_b"))
+    val full = aTot.crossJoin(broadcast(bTot))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val w = Window.partitionBy()
+    full
+      .withColumn("n", sum(col("o")).over(w))
+      .withColumn("n_a", size(collect_set(col("a")).over(w)).cast("long"))
+      .withColumn("n_b", size(collect_set(col("b")).over(w)).cast("long"))
+      .withColumn("obs_ppm", expr("o * 1000000 div n"))
+      .withColumn("exp_ppm",
+        expr("""CAST(CAST(r_a AS DECIMAL(38,0)) * c_b * 1000000
+          div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""))
+      .withColumn("term_ppm",
+        expr("""(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
+          div greatest(exp_ppm, CAST(1 AS BIGINT))"""))
+      .withColumn("chi2_n_ppm", sum(col("term_ppm")).over(w))
+      .withColumn("v_milli",
+        floor(sqrt(col("chi2_n_ppm").cast("double") /
+          (greatest(least(col("n_a"), col("n_b")) - 1L, lit(1L))
+            .cast("double") * 1e6)) * 1000.0).cast("long"))
+      .select(col("a"), col("b"), col("o"), col("r_a"), col("c_b"),
+        col("n"), col("n_a"), col("n_b"), col("obs_ppm"),
+        col("exp_ppm"), col("term_ppm"), col("chi2_n_ppm"),
+        col("v_milli"))
+  }
 }

@@ -31,6 +31,16 @@ object AffinityQueries {
           .select(col("l_orderkey").as("basket_id"),
             col("p_brand").as("item")),
         minItemCt = 20L, minTripleCt = 5L)),
+    // Cramér's V association between returnflag and linestatus — the
+    // dimension-redundancy audit on the 3x2 contingency rollup (both
+    // TPC-H flags derive from date arithmetic, so the association is
+    // real and strong); the
+    // chi2_n_ppm skeleton is exact ppm-quantized integer arithmetic,
+    // v_milli rides IEEE-correctly-rounded sqrt
+    "q_li_cramers_v" -> ((s, d) =>
+      Affinity.cramersV(Tables.lineitem(s, d),
+        "l_returnflag", "l_linestatus")
+        .orderBy(col("a"), col("b"))),
     // first-order Markov next-event matrix with exact ppm
     // row-conditional probabilities
     "q_events_markov" -> ((s, d) =>
@@ -91,7 +101,13 @@ object AffinityQueries {
         col("user_id") % 2 === 1, "purchase", minCount = 14L)),
     // weekday seasonal baseline + per-day deviation in exact milli
     "q_events_dow_baseline" -> ((s, d) =>
-      Audit.dowBaseline(Tables.events(s, d)))
+      Audit.dowBaseline(Tables.events(s, d))),
+    // two-sided CUSUM level-shift detector over the daily event
+    // count, allowance 10% / threshold 400% of the mean — the
+    // reset-at-zero recurrence as two windows over the day rollup
+    "q_events_cusum" -> ((s, d) =>
+      Audit.cusumShift(Tables.events(s, d))
+        .orderBy(col("d")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,6 +170,51 @@ object AffinityQueries {
         |JOIN ic cc ON t.item_c = cc.it
         |CROSS JOIN nb
         |ORDER BY triple_ct DESC, item_a, item_b, item_c""".stripMargin,
+    "q_li_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |-- domain completion: absent cells owe full expected mass
+        |at AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r_a
+        |  FROM cells GROUP BY 1),
+        |bt AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c_b
+        |  FROM cells GROUP BY 1),
+        |fl AS (
+        |  SELECT at.a, bt.b, at.r_a, bt.c_b,
+        |    CAST(COALESCE(cells.o, 0) AS BIGINT) AS o
+        |  FROM at CROSS JOIN bt
+        |  LEFT JOIN cells ON cells.a = at.a AND cells.b = bt.b),
+        |d AS (
+        |  SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+        |  FROM cells),
+        |w AS (
+        |  SELECT a, b, o, r_a, c_b,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM fl),
+        |x AS (
+        |  SELECT w.*, d.n_a, d.n_b,
+        |    o * 1000000 // n AS obs_ppm,
+        |    CAST(CAST(r_a AS HUGEINT) * c_b * 1000000
+        |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS exp_ppm
+        |  FROM w CROSS JOIN d),
+        |y AS (
+        |  SELECT *, (obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)
+        |    // GREATEST(exp_ppm, 1) AS term_ppm
+        |  FROM x),
+        |z AS (
+        |  SELECT *, CAST(SUM(term_ppm) OVER () AS BIGINT)
+        |    AS chi2_n_ppm
+        |  FROM y)
+        |SELECT a, b, o, r_a, c_b, n, n_a, n_b, obs_ppm, exp_ppm,
+        |  term_ppm, chi2_n_ppm,
+        |  CAST(FLOOR(SQRT(CAST(chi2_n_ppm AS DOUBLE)
+        |    / (CAST(GREATEST(LEAST(n_a, n_b) - 1, 1) AS DOUBLE)
+        |      * 1000000.0)) * 1000.0) AS BIGINT) AS v_milli
+        |FROM z ORDER BY a, b""".stripMargin,
     "q_events_markov" ->
       """WITH t AS (
         |  SELECT event_type AS src,
@@ -441,6 +502,36 @@ object AffinityQueries {
         |  max_ct * 1000 * n_keys // total_rows AS skew_milli,
         |  (max_ct + med_ct - 1) // med_ct AS salt_rec
         |FROM top CROSS JOIN st CROSS JOIN med
-        |ORDER BY "rank"""".stripMargin
+        |ORDER BY "rank"""".stripMargin,
+    "q_events_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(x) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily),
+        |b AS (
+        |  SELECT d, x, total // n_days AS mean_x,
+        |    ((total // n_days) * 100) // 1000 AS allow_k,
+        |    ((total // n_days) * 4000) // 1000 AS thresh_h
+        |  FROM daily CROSS JOIN t),
+        |p AS (
+        |  SELECT *,
+        |    CAST(SUM(x - mean_x - allow_k) OVER (ORDER BY d)
+        |      AS BIGINT) AS p_hi,
+        |    CAST(SUM(mean_x - x - allow_k) OVER (ORDER BY d)
+        |      AS BIGINT) AS p_lo
+        |  FROM b),
+        |s AS (
+        |  SELECT *,
+        |    p_hi - LEAST(0, MIN(p_hi) OVER (ORDER BY d)) AS s_hi,
+        |    p_lo - LEAST(0, MIN(p_lo) OVER (ORDER BY d)) AS s_lo
+        |  FROM p)
+        |SELECT d, x, mean_x, thresh_h, s_hi, s_lo,
+        |  s_hi > thresh_h AS alarm_hi,
+        |  s_lo > thresh_h AS alarm_lo
+        |FROM s ORDER BY d""".stripMargin
   )
 }

@@ -522,4 +522,221 @@ object Audit {
         col("obs_ppm"), col("benford_ppm"), col("dev_ppm"),
         expr("dev_sum div 2").as("tvd_ppm")): _*)
   }
+
+  /** Two-sided CUSUM level-shift detector over the daily event-count
+    * series — the sequential member of the drift family ([[ksDrift]]
+    * compares two STATIC snapshots; CUSUM watches ONE ordered series
+    * and flags the day a sustained shift becomes undeniable, the
+    * Page 1954 statistic every feed-health monitor reimplements):
+    * upward `s_hi(d) = max(0, s_hi(d−1) + x_d − mean − k)` and the
+    * mirrored downward `s_lo`, alarm when either exceeds `h`, with
+    * allowance `k` and threshold `h` expressed in milli of the mean
+    * daily count so the detector is scale-free.
+    *
+    * The reset-at-zero recurrence needs NO recursion: with
+    * `y_d = x_d − mean − k` and prefix sums `P_d = Σ_{j≤d} y_j`,
+    * `s_d = P_d − min(0, min_{j≤d} P_j)` exactly — so the whole
+    * detector is two running-sum/running-min windows over the DAY
+    * rollup, and the oracle twin is plain window SQL (no recursive
+    * CTE). All arithmetic is exact integers (mean, k, h floor-divide;
+    * deviations are exact counts).
+    *
+    * Shape at scale: one partial-aggregated scan to the per-day
+    * rollup; the unpartitioned windows run over #days rows —
+    * calendar-bounded at any corpus size (the ksDrift histogram
+    * posture). NULL timestamps are excluded by contract.
+    */
+  def cusumShift(
+      events: DataFrame,
+      kMilli: Long = 100L,
+      hMilli: Long = 4000L
+  ): DataFrame = {
+    require(kMilli >= 0 && hMilli > 0,
+      s"allowance/threshold must be >= 0 / > 0, got $kMilli/$hMilli")
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(sum(col("x")).as("total"),
+      count(lit(1)).as("n_days"))
+    val base = daily.crossJoin(broadcast(tot))
+      .withColumn("mean_x", expr("total div n_days"))
+      .withColumn("allow_k", expr(s"(mean_x * $kMilli) div 1000"))
+      .withColumn("thresh_h", expr(s"(mean_x * $hMilli) div 1000"))
+    // bounded window: day rollup only (calendar-sized)
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("p_hi",
+        sum(col("x") - col("mean_x") - col("allow_k")).over(w))
+      .withColumn("p_lo",
+        sum(col("mean_x") - col("x") - col("allow_k")).over(w))
+      .withColumn("s_hi",
+        col("p_hi") - least(lit(0L), min(col("p_hi")).over(w)))
+      .withColumn("s_lo",
+        col("p_lo") - least(lit(0L), min(col("p_lo")).over(w)))
+      .select(col("d"), col("x"), col("mean_x"), col("thresh_h"),
+        col("s_hi"), col("s_lo"),
+        (col("s_hi") > col("thresh_h")).as("alarm_hi"),
+        (col("s_lo") > col("thresh_h")).as("alarm_lo"))
+  }
+
+  /** Spearman rank correlation between two integer-valued columns —
+    * the monotone-association audit ("does doc length predict token
+    * count / quality / dup rate?") computed WITHOUT a global per-row
+    * rank sort: each column collapses to its value histogram, the
+    * tie-averaged rank of every distinct value is assembled there
+    * (`rank2(v) = 2·cum_below + ct + 1`, twice the midrank so it
+    * stays integer), and quantizes to a ppm rank percentile
+    * `r_ppm = rank2·10⁶ div 2n`. The correlation is then Pearson
+    * over the per-row (rx_ppm, ry_ppm) pairs, assembled from the
+    * OBSERVED (x, y) pair rollup with the rank tables attached by
+    * broadcast — the data is scanned once for the rollup and never
+    * again.
+    *
+    * Exactness convention: the moment sums run in DECIMAL(38,0)
+    * (ct·rx·ry ~ 10²⁴ per term at n = 10¹²) and every emitted moment
+    * is floor-divided by n back into bounded ppm/ppm² integers
+    * (`e_xy_pp2 ≤ 10¹²`), so the skeleton hash-compares at any scale;
+    * `rho_milli = ⌊cov·1000/√(var_x·var_y)⌋` rides IEEE sqrt/divide
+    * on those bounded integers (deterministic across engines;
+    * NULL when either variance is 0). The div-before-combine
+    * quantization is the documented contract — both engines apply
+    * the identical floor order.
+    *
+    * Contract: both columns integer-valued with BOUNDED domains
+    * (quantize upstream — histograms and the pair rollup are
+    * domain-sized, the ksDrift posture); NULL in either column
+    * excludes the row.
+    */
+  def spearmanRho(
+      df: DataFrame,
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+    val pairs = base.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("ct"))
+    def rankTable(vc: String, rName: String) = {
+      val hist = pairs.groupBy(col(vc))
+        .agg(sum(col("ct")).as("c"))
+      // bounded window: distinct-value histogram only
+      val w = Window.orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum(col("c")).as("n"))
+      hist
+        .withColumn("cum_le", sum(col("c")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col(vc),
+          expr("(2 * (cum_le - c) + c + 1) * 1000000 div (2 * n)")
+            .as(rName),
+          col("n"))
+    }
+    val xr = rankTable("x", "rx_ppm").drop("n")
+    val yr = rankTable("y", "ry_ppm")
+    pairs
+      .join(broadcast(xr), "x")
+      .join(broadcast(yr), "y")
+      .agg(
+        max(col("n")).as("n"),
+        sum(col("ct") * col("rx_ppm")).cast("decimal(38,0)")
+          .as("sx"),
+        sum(col("ct") * col("ry_ppm")).cast("decimal(38,0)")
+          .as("sy"),
+        sum(col("ct").cast("decimal(38,0)") * col("rx_ppm") *
+          col("ry_ppm")).as("sxy"),
+        sum(col("ct").cast("decimal(38,0)") * col("rx_ppm") *
+          col("rx_ppm")).as("sx2"),
+        sum(col("ct").cast("decimal(38,0)") * col("ry_ppm") *
+          col("ry_ppm")).as("sy2"))
+      .select(col("n"),
+        expr("CAST(sx div n AS BIGINT)").as("mean_rx_ppm"),
+        expr("CAST(sy div n AS BIGINT)").as("mean_ry_ppm"),
+        expr("CAST(sxy div n AS BIGINT)").as("e_xy_pp2"),
+        expr("CAST(sx2 div n AS BIGINT)").as("e_x2_pp2"),
+        expr("CAST(sy2 div n AS BIGINT)").as("e_y2_pp2"))
+      .withColumn("cov_pp2",
+        expr("e_xy_pp2 - mean_rx_ppm * mean_ry_ppm"))
+      .withColumn("var_x_pp2",
+        expr("e_x2_pp2 - mean_rx_ppm * mean_rx_ppm"))
+      .withColumn("var_y_pp2",
+        expr("e_y2_pp2 - mean_ry_ppm * mean_ry_ppm"))
+      .withColumn("rho_milli",
+        when(col("var_x_pp2") > 0 && col("var_y_pp2") > 0,
+          floor(col("cov_pp2").cast("double") * 1000.0 /
+            sqrt(col("var_x_pp2").cast("double") *
+              col("var_y_pp2").cast("double"))).cast("long")))
+  }
+
+  /** Exact tie-corrected ROC-AUC of an integer score against a 0/1
+    * label — the rank statistic behind every "does the quality
+    * classifier actually separate?" audit, computed WITHOUT a global
+    * per-row sort: the data collapses to a per-(group, score) count
+    * rollup first, and the Mann–Whitney pair count is assembled on
+    * that rollup with bounded windows — `auc2 = Σ_v pos_v ·
+    * (2·neg_below(v) + neg_v)` (each tied (pos, neg) pair counts
+    * once, each strictly-ordered pair twice), so
+    * `AUC = auc2 / (2·P·N)` and `auc_ppm = auc2·10⁶ div (2·P·N)` is
+    * an exact integer. The `auc2` sum runs in DECIMAL(38,0)
+    * (HUGEINT on the oracle side): at P = N = 10¹² the numerator is
+    * ~10³⁰ — far past BIGINT, inside DECIMAL(38) headroom.
+    *
+    * Each rollup row also carries its ROC point under the
+    * "predict positive when score ≥ v" sweep: `tpr_ppm`/`fpr_ppm`
+    * are the positive/negative mass at or above v — the audit-
+    * readable curve the scalar AUC summarizes. One-class groups
+    * (P = 0 or N = 0) emit NULL for the undefined ratios instead of
+    * failing the whole report.
+    *
+    * Contract: `scoreCol` must be integer-valued with a BOUNDED
+    * domain (quantize upstream — the rollup and its windows are
+    * domain-sized, the ksDrift posture); `labelCol` is 0/1; NULL
+    * score or label rows are excluded. `groupCols` should be
+    * low-cardinality dimensions; with groups the windows partition
+    * by group (no global window at all).
+    *
+    * Shape at scale: one partial-aggregated scan to the
+    * (group × score) rollup, then windows over rollup rows only.
+    */
+  def rocAuc(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    val grp = groupCols.map(col)
+    val counts = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(grp :+ col(scoreCol).cast("long").as("score"): _*)
+      .agg(
+        sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("pos_at"),
+        sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("neg_at"))
+    val wAsc = Window.partitionBy(grp: _*).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(grp: _*)
+    counts
+      .withColumn("cum_pos_le", sum(col("pos_at")).over(wAsc))
+      .withColumn("cum_neg_le", sum(col("neg_at")).over(wAsc))
+      .withColumn("n_pos", sum(col("pos_at")).over(wAll))
+      .withColumn("n_neg", sum(col("neg_at")).over(wAll))
+      .withColumn("auc2",
+        sum((col("pos_at") *
+          (lit(2L) * (col("cum_neg_le") - col("neg_at")) +
+            col("neg_at"))).cast("decimal(38,0)")).over(wAll))
+      .select(grp ++ Seq(
+        col("score"), col("pos_at"), col("neg_at"),
+        when(col("n_pos") > 0,
+          expr("""(n_pos - (cum_pos_le - pos_at)) * 1000000
+            div n_pos""")).as("tpr_ppm"),
+        when(col("n_neg") > 0,
+          expr("""(n_neg - (cum_neg_le - neg_at)) * 1000000
+            div n_neg""")).as("fpr_ppm"),
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("""CAST(auc2 * 1000000
+            div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)
+            AS BIGINT)""")).as("auc_ppm")): _*)
+  }
 }

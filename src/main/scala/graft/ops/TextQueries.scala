@@ -151,6 +151,29 @@ object TextQueries {
         q.filter(col("doc_id") % 2 === 0),
         q.filter(col("doc_id") % 2 === 1), "q_milli")
     }),
+    // Spearman rank correlation between capped doc length and capped
+    // token count — monotone-association audit on ppm-quantized
+    // midranks; histograms and the pair rollup are domain-bounded
+    "q_text_spearman" -> ((s, d) =>
+      Audit.spearmanRho(
+        Tables.documents(s, d)
+          .select(least(col("n_chars"), lit(2000L)).as("len_c"),
+            least(when(length(trim(col("text"))) === 0, 0)
+              .otherwise(size(split(trim(col("text")), "\\s+"))),
+              lit(400)).as("tok_c")),
+        "len_c", "tok_c")),
+    // exact tie-corrected ROC-AUC of the capped-length score against
+    // the en/non-en label, per source: does "longer doc" predict
+    // "English" on this corpus? Windows partition by source over the
+    // (source x <= 2001 score values) rollup — never the docs
+    "q_text_quality_auc" -> ((s, d) =>
+      Audit.rocAuc(
+        Tables.documents(s, d)
+          .select(col("source"),
+            least(col("n_chars"), lit(2000L)).as("score"),
+            (col("lang") === "en").cast("int").as("is_en")),
+        "score", "is_en", Seq("source"))
+        .orderBy(col("source"), col("score"))),
     // Cohen's kappa between the heuristic quality gate (quality >=
     // .5) and the logistic classifier gate (logit >= 0, the
     // q_text_classifier model) — are two filter passes buying two
@@ -742,6 +765,107 @@ object TextQueries {
          |FROM cc LEFT JOIN cc nx ON nx.c = cc.c + 1
          |CROSS JOIN t
          |ORDER BY cc.c""".stripMargin,
+    "q_text_spearman" ->
+      """WITH base AS (
+        |  SELECT LEAST(n_chars, 2000) AS x,
+        |    LEAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |      END, 400) AS y
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM base GROUP BY 1, 2),
+        |xh AS (SELECT x, CAST(SUM(ct) AS BIGINT) AS c
+        |  FROM pairs GROUP BY 1),
+        |yh AS (SELECT y, CAST(SUM(ct) AS BIGINT) AS c
+        |  FROM pairs GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM pairs),
+        |xr AS (
+        |  SELECT x,
+        |    (2 * (CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) - c)
+        |      + c + 1) * 1000000 // (2 * nt.n) AS rx_ppm
+        |  FROM xh CROSS JOIN nt),
+        |yr AS (
+        |  SELECT y,
+        |    (2 * (CAST(SUM(c) OVER (ORDER BY y) AS BIGINT) - c)
+        |      + c + 1) * 1000000 // (2 * nt.n) AS ry_ppm
+        |  FROM yh CROSS JOIN nt),
+        |m AS (
+        |  SELECT nt.n AS n,
+        |    CAST(SUM(ct * rx_ppm) AS HUGEINT) AS sx,
+        |    CAST(SUM(ct * ry_ppm) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(ct AS HUGEINT) * rx_ppm * ry_ppm)
+        |      AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(ct AS HUGEINT) * rx_ppm * rx_ppm)
+        |      AS HUGEINT) AS sx2,
+        |    CAST(SUM(CAST(ct AS HUGEINT) * ry_ppm * ry_ppm)
+        |      AS HUGEINT) AS sy2
+        |  FROM pairs JOIN xr USING (x) JOIN yr USING (y)
+        |  CROSS JOIN nt GROUP BY 1),
+        |e AS (
+        |  SELECT n,
+        |    CAST(sx // n AS BIGINT) AS mean_rx_ppm,
+        |    CAST(sy // n AS BIGINT) AS mean_ry_ppm,
+        |    CAST(sxy // n AS BIGINT) AS e_xy_pp2,
+        |    CAST(sx2 // n AS BIGINT) AS e_x2_pp2,
+        |    CAST(sy2 // n AS BIGINT) AS e_y2_pp2
+        |  FROM m),
+        |v AS (
+        |  SELECT *,
+        |    e_xy_pp2 - mean_rx_ppm * mean_ry_ppm AS cov_pp2,
+        |    e_x2_pp2 - mean_rx_ppm * mean_rx_ppm AS var_x_pp2,
+        |    e_y2_pp2 - mean_ry_ppm * mean_ry_ppm AS var_y_pp2
+        |  FROM e)
+        |SELECT n, mean_rx_ppm, mean_ry_ppm, e_xy_pp2, e_x2_pp2,
+        |  e_y2_pp2, cov_pp2, var_x_pp2, var_y_pp2,
+        |  CASE WHEN var_x_pp2 > 0 AND var_y_pp2 > 0 THEN
+        |    CAST(FLOOR(CAST(cov_pp2 AS DOUBLE) * 1000.0
+        |      / SQRT(CAST(var_x_pp2 AS DOUBLE)
+        |        * CAST(var_y_pp2 AS DOUBLE))) AS BIGINT)
+        |  END AS rho_milli
+        |FROM v""".stripMargin,
+    "q_text_quality_auc" ->
+      """WITH base AS (
+        |  SELECT source, LEAST(n_chars, 2000) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, score,
+        |    CAST(SUM(CASE WHEN is_en <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos_at,
+        |    CAST(SUM(CASE WHEN is_en = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS neg_at
+        |  FROM base GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, score, pos_at, neg_at,
+        |    CAST(SUM(pos_at) OVER (PARTITION BY source
+        |      ORDER BY score) AS BIGINT) AS cum_pos_le,
+        |    CAST(SUM(neg_at) OVER (PARTITION BY source
+        |      ORDER BY score) AS BIGINT) AS cum_neg_le,
+        |    CAST(SUM(pos_at) OVER (PARTITION BY source)
+        |      AS BIGINT) AS n_pos,
+        |    CAST(SUM(neg_at) OVER (PARTITION BY source)
+        |      AS BIGINT) AS n_neg
+        |  FROM c),
+        |a AS (
+        |  SELECT *,
+        |    CAST(SUM(CAST(pos_at * (2 * (cum_neg_le - neg_at)
+        |      + neg_at) AS HUGEINT)) OVER (PARTITION BY source)
+        |      AS HUGEINT) AS auc2
+        |  FROM w)
+        |SELECT source, score, pos_at, neg_at,
+        |  CASE WHEN n_pos > 0 THEN
+        |    (n_pos - (cum_pos_le - pos_at)) * 1000000 // n_pos
+        |  END AS tpr_ppm,
+        |  CASE WHEN n_neg > 0 THEN
+        |    (n_neg - (cum_neg_le - neg_at)) * 1000000 // n_neg
+        |  END AS fpr_ppm,
+        |  n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(auc2 * 1000000
+        |      // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT)
+        |  END AS auc_ppm
+        |FROM a ORDER BY source, score""".stripMargin,
     "q_text_quality_ks" ->
       s"""WITH t AS (
          |  SELECT doc_id, n_chars,

@@ -299,6 +299,55 @@ class AffinitySpec extends SparkSpec {
     assert(r.getAs[Long]("lift_milli") === 1000L)
   }
 
+  test("cramersV: perfect association scores 1000 milli, " +
+      "independence scores 0, absent cells complete") {
+    // perfect 2x2: x always pairs with 1, y always with 2
+    val perfect = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2))
+      .toDF("u", "v")
+    val pRows = graft.ops.Affinity.cramersV(perfect, "u", "v")
+      .collect()
+    assert(pRows.length === 4)           // 2x2 completed domain
+    assert(pRows.map(_.getAs[Long]("v_milli")).distinct.toSeq ===
+      Seq(1000L))
+    val zero = pRows.filter(r => r.getAs[Long]("o") === 0L)
+    assert(zero.length === 2)            // (x,2) and (y,1) completed
+    assert(zero.forall(_.getAs[Long]("term_ppm") === 250000L))
+    // independent 2x2: every cell equally likely
+    val indep = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2))
+      .toDF("u", "v")
+    val iRows = graft.ops.Affinity.cramersV(indep, "u", "v")
+      .collect()
+    assert(iRows.map(_.getAs[Long]("chi2_n_ppm")).distinct.toSeq ===
+      Seq(0L))
+    assert(iRows.map(_.getAs[Long]("v_milli")).distinct.toSeq ===
+      Seq(0L))
+  }
+
+  test("cramersV: exact ppm arithmetic on a hand 2x2 with skewed " +
+      "margins and null rows excluded") {
+    // o: (x,1)=3 (x,2)=1 (y,1)=1 (y,2)=3, N=8; r_x=4, c_1=4
+    val df = Seq(
+      Some("x") -> Some(1), Some("x") -> Some(1),
+      Some("x") -> Some(1), Some("x") -> Some(2),
+      Some("y") -> Some(1), Some("y") -> Some(2),
+      Some("y") -> Some(2), Some("y") -> Some(2),
+      None -> Some(1), Some("x") -> None)
+      .map { case (a, b) => (a, b) }.toDF("u", "v")
+    val rows = graft.ops.Affinity.cramersV(df, "u", "v").collect()
+    val cell = rows.map(r => (r.getAs[String]("a"),
+      r.getAs[Int]("b")) -> r).toMap
+    val x1 = cell(("x", 1))
+    assert(x1.getAs[Long]("n") === 8L)
+    assert(x1.getAs[Long]("obs_ppm") === 375000L)   // 3/8
+    assert(x1.getAs[Long]("exp_ppm") === 250000L)   // 4*4/64
+    // (125000^2) div 250000 = 62500, identical in all 4 cells
+    assert(rows.map(_.getAs[Long]("term_ppm")).distinct.toSeq ===
+      Seq(62500L))
+    assert(x1.getAs[Long]("chi2_n_ppm") === 250000L)
+    // V = sqrt(0.25 / 1) = 0.5
+    assert(x1.getAs[Long]("v_milli") === 500L)
+  }
+
   test("frequentTriples: infrequent item never enters a triple even " +
       "when the triple itself would pass support") {
     // {x,y,z} co-occur twice but z's total count is 2 < minItemCt 3

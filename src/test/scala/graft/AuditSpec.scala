@@ -274,6 +274,102 @@ class AuditSpec extends SparkSpec {
       Seq(devs / 2))
   }
 
+  test("spearmanRho: perfect monotone / inverse / classic 0.5 " +
+      "fixtures, tie-degenerate NULL, null-row exclusion") {
+    def rho(xs: Seq[Long], ys: Seq[Long]): Option[Long] = {
+      val r = graft.ops.Audit
+        .spearmanRho(xs.zip(ys).toDF("x", "y"), "x", "y")
+        .collect().head
+      if (r.isNullAt(r.fieldIndex("rho_milli"))) None
+      else Some(r.getAs[Long]("rho_milli"))
+    }
+    assert(rho(Seq(1, 2, 3, 4), Seq(10, 20, 30, 40)) === Some(1000L))
+    assert(rho(Seq(1, 2, 3, 4), Seq(40, 30, 20, 10)) === Some(-1000L))
+    // [1,2,3] vs [1,3,2]: textbook Spearman 1/2
+    assert(rho(Seq(1, 2, 3), Seq(1, 3, 2)) === Some(500L))
+    // monotone but nonlinear values: rank correlation ignores spacing
+    assert(rho(Seq(1, 2, 3, 4), Seq(1, 100, 101, 1000000)) ===
+      Some(1000L))
+    // a constant column has zero rank variance -> undefined
+    assert(rho(Seq(1, 2, 3), Seq(7, 7, 7)) === None)
+    // null rows drop entirely (both columns)
+    val withNulls = Seq(
+      (Some(1L), Some(10L)), (Some(2L), Some(20L)),
+      (Some(3L), Some(30L)), (None, Some(99L)), (Some(9L), None))
+      .toDF("x", "y")
+    val r = graft.ops.Audit.spearmanRho(withNulls, "x", "y")
+      .collect().head
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("rho_milli") === 1000L)
+  }
+
+  test("cusumShift: windowed closed form equals the direct " +
+      "recurrence, and a planted level shift raises alarm_hi") {
+    // 4 quiet days at 10 then 2 shifted days at 100:
+    // mean = 240 div 6 = 40, k = 4 (100 milli), h = 40 (1000 milli)
+    val counts = Seq(10, 10, 10, 10, 100, 100)
+    val rows = counts.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(s"2024-03-0${i + 1} 12:00:00")
+    }
+    val df = rows.toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val out = graft.ops.Audit.cusumShift(df, 100L, 1000L)
+      .orderBy(col("d")).collect()
+    assert(out.length === 6)
+    assert(out.forall(_.getAs[Long]("mean_x") === 40L))
+    // direct recurrence replay with mean 40, k 4
+    var (sh, sl) = (0L, 0L)
+    val expect = counts.map { x =>
+      sh = math.max(0L, sh + x - 40 - 4)
+      sl = math.max(0L, sl + 40 - x - 4)
+      (sh, sl)
+    }
+    assert(out.map(r => (r.getAs[Long]("s_hi"),
+      r.getAs[Long]("s_lo"))).toSeq === expect)
+    // the shift is flagged on its first day, not before
+    assert(out.map(_.getAs[Boolean]("alarm_hi")).toSeq ===
+      Seq(false, false, false, false, true, true))
+  }
+
+  test("rocAuc: hand-computed tie-corrected AUC, ROC points, " +
+      "perfect separation, and one-class NULLs") {
+    // group g: neg scores {1,2}, pos scores {2,3} -> AUC = 7/8
+    // group p: pos {10,11} / neg {1} perfectly separated -> AUC = 1
+    // group z: positives only -> fpr/auc NULL
+    val df = Seq(
+      ("g", 1L, 0), ("g", 2L, 0), ("g", 2L, 1), ("g", 3L, 1),
+      ("p", 1L, 0), ("p", 10L, 1), ("p", 11L, 1),
+      ("z", 5L, 1), ("z", 6L, 1))
+      .toDF("src", "score", "y")
+    val rows = graft.ops.Audit.rocAuc(df, "score", "y", Seq("src"))
+      .collect()
+    val byKey = rows.map(r => (r.getAs[String]("src"),
+      r.getAs[Long]("score")) -> r).toMap
+    assert(byKey(("g", 1L)).getAs[Long]("auc_ppm") === 875000L)
+    assert(byKey(("p", 1L)).getAs[Long]("auc_ppm") === 1000000L)
+    // ROC point at g/score=2 (predict positive when score >= 2):
+    // tpr = 2/2, fpr = 1/2
+    assert(byKey(("g", 2L)).getAs[Long]("tpr_ppm") === 1000000L)
+    assert(byKey(("g", 2L)).getAs[Long]("fpr_ppm") === 500000L)
+    // one-class group: defined ratios still emit, undefined are NULL
+    val z = byKey(("z", 5L))
+    assert(z.getAs[Long]("tpr_ppm") === 1000000L)
+    assert(z.isNullAt(z.fieldIndex("fpr_ppm")))
+    assert(z.isNullAt(z.fieldIndex("auc_ppm")))
+  }
+
+  test("rocAuc: all-tied scores give AUC exactly 1/2 and nulls in " +
+      "score/label rows are excluded") {
+    val df = Seq(
+      (Some(7L), Some(1)), (Some(7L), Some(0)), (Some(7L), Some(1)),
+      (Some(7L), Some(0)), (None, Some(1)), (Some(9L), None))
+      .toDF("score", "y")
+    val rows = graft.ops.Audit.rocAuc(df, "score", "y").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("n_pos") === 2L)
+    assert(rows.head.getAs[Long]("n_neg") === 2L)
+    assert(rows.head.getAs[Long]("auc_ppm") === 500000L)
+  }
+
   test("benfordAudit: groups complete independently and a " +
       "Benford-faithful group scores a small TVD") {
     val faithful = (1 to 9).flatMap { d =>

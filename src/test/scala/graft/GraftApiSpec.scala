@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 251,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 251")
-    assert(SparkEntry.oracleSql.size == 238,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 238")
+    assert(SparkEntry.queries.size == 255,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 255")
+    assert(SparkEntry.oracleSql.size == 242,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 242")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

@@ -112,8 +112,10 @@ class PlanSpec extends SparkSpec {
   test("no registered query has a global window over an unbounded frame") {
     // name -> proven bound of the window's input frame
     val bounded = Map(
+      "q_events_cusum" -> "per-day count rollup (calendar-bounded at any corpus size)",
       "q_events_gini" -> "per-user count histogram (≤ #users at validation scale; documented Lorenz twin)",
       "q_layout_key_quantiles" -> "coarse-cell histogram, ≤ coarseCells+1 rows by construction",
+      "q_li_cramers_v" -> "completed |A|×|B| contingency rollup (3×2 returnflag×linestatus; category-domain-bounded at any corpus size)",
       "q_layout_prune_audit" -> "o_totalprice value histogram (rangeBoundaries contract)",
       "q_layout_range_bounds" -> "value histogram (rangeBoundaries contract)",
       "q_orders_ks_drift" -> "dollar-quantized price histogram (domain-bounded at any corpus size)",
@@ -128,6 +130,7 @@ class PlanSpec extends SparkSpec {
       "q_text_oov_rate" -> "token-frequency histogram head (vocab cap)",
       "q_text_quality_deciles_exact" -> "decile boundary frame (nBuckets rows)",
       "q_text_quality_pct" -> "quality histogram (distinct integer scores)",
+      "q_text_spearman" -> "two capped-value histograms (≤ 2001 / ≤ 401 rows by construction)",
       "q_text_stopwords" -> "df-ratio >= 50% token set (stopword-sized by construction)",
       "q_text_vocab_growth" -> "coarse-cell histogram + nBuckets cum frames",
       "q_text_zipf" -> "token-frequency histogram head (rank cap)",
