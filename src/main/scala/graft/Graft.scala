@@ -300,6 +300,23 @@ object Graft {
         rates: Seq[(String, Double)] =
           Seq("short" -> 0.2, "medium" -> 0.5, "long" -> 1.0)
     ): DataFrame = ops.Text.stratifiedSample(docs, rates)
+    /** Leave-one-source-out influence of each source on the corpus
+      * mean of `valueCol`, exact milli.
+      */
+    def sourceInfluenced(
+        groupCol: String = "source",
+        valueCol: String = "n_chars"
+    ): DataFrame =
+      ops.Text.sourceInfluence(docs, groupCol, valueCol)
+    /** Neyman variance-optimal per-stratum budget split with exact
+      * largest-remainder rounding (Σ n_alloc = budget).
+      */
+    def neymanAllocated(
+        budget: Long,
+        stratumCol: String = "source",
+        valueCol: String = "n_chars"
+    ): DataFrame =
+      ops.Text.neymanAllocation(docs, stratumCol, valueCol, budget)
     def curated: DataFrame = ops.Text.curationPipeline(docs)
     def contaminationAgainst(
         evalDocs: DataFrame,

@@ -33,11 +33,21 @@ object ScaleBench {
     * sample of the verdict) — the queries whose scale posture is
     * worth a measurement.
     */
-  val targets: Seq[String] = Seq(
+  val defaultTargets: Seq[String] = Seq(
     "q_text_prepare_semantic", "q_vec_neardup", "q_text_prepare",
     "q_vec_kcore", "q_waiting_suppliers", "q_profile_orders",
     "q_vec_modularity", "q_vec_cluster_reps", "q_vec_label_prop",
     "q_basket_lift")
+
+  /** `SPARK_GRAFT_SCALE_TARGETS` (comma list) narrows a run to the
+    * named entries — the dev loop for auditing ONE new operator's
+    * exponent without re-running the whole battery;
+    * `SPARK_GRAFT_SCALE_CACHES=0` skips the shared-cache builder
+    * timing when no selected target consumes a family cache.
+    */
+  def targets: Seq[String] = sys.env.get("SPARK_GRAFT_SCALE_TARGETS")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(defaultTargets)
 
   private val ID_OFF = 100000000L
 
@@ -131,8 +141,11 @@ object ScaleBench {
       val dir = s"$work/k$k"
       System.err.println(s"[scalebench] materializing k=$k at $dir")
       materialize(spark, sfDir, dir, k)
-      val builders = ops.TextQueries.sharedCacheBuilders ++
-        ops.VectorQueries.sharedCacheBuilders
+      val builders =
+        if (sys.env.get("SPARK_GRAFT_SCALE_CACHES").contains("0"))
+          Seq.empty
+        else ops.TextQueries.sharedCacheBuilders ++
+          ops.VectorQueries.sharedCacheBuilders
       // shared family caches are timed as their own entries (their
       // build cost scales too and should be attributed once, not
       // folded into every consumer). SAMPLED like the targets: each
@@ -183,8 +196,10 @@ object ScaleBench {
     val kLo = ks.min
     val kHi = ks.max
     val reported = targets ++
-      (ops.TextQueries.sharedCacheBuilders ++
-        ops.VectorQueries.sharedCacheBuilders).map(_._1)
+      (if (sys.env.get("SPARK_GRAFT_SCALE_CACHES").contains("0"))
+        Seq.empty
+      else (ops.TextQueries.sharedCacheBuilders ++
+        ops.VectorQueries.sharedCacheBuilders).map(_._1))
     val perQuery = reported.map { name =>
       val ts = ks.map { k =>
         val cell = times((name, k))

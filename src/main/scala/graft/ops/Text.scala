@@ -2923,6 +2923,118 @@ object Text {
       .select(col("doc_id"), col(groupCol), col("n_group"))
   }
 
+  /** Leave-one-source-out (jackknife) influence of each source on a
+    * corpus-level mean — the "which feed moves the metric" audit
+    * that turns a single corpus average into an attribution table:
+    * for every source h, the mean the corpus WOULD have without it,
+    * `mean_without = (Σx − Σx_h)·1000 div (n − n_h)` in exact milli,
+    * and `influence_milli = mean_without − mean_all` (positive ⇒
+    * dropping the source RAISES the metric ⇒ the source drags it
+    * down). The jackknife form needs no second scan: one
+    * partial-aggregated rollup to per-source (n_h, Σx_h) plus a
+    * 1-row broadcast of the global sums gives every leave-one-out
+    * mean simultaneously.
+    *
+    * Overflow bound (kappa convention): `Σx·1000 < 2⁶³` — with
+    * x ≤ 2000 that is ~4.6·10¹² rows; quantize or cap upstream.
+    * A single-source corpus emits NULL for its undefined
+    * leave-one-out mean. NULL source or value rows are excluded.
+    */
+  def sourceInfluence(
+      docs: DataFrame,
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val per = docs
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col(valueCol).cast("long")).as("sum_h"))
+    val tot = per.agg(sum(col("n_h")).as("n"),
+      sum(col("sum_h")).as("sum_all"))
+    per.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_h"), col("sum_h"), col("n"),
+        expr("sum_all * 1000 div n").as("mean_all_milli"),
+        when(col("n") > col("n_h"),
+          expr("(sum_all - sum_h) * 1000 div (n - n_h)"))
+          .as("mean_without_milli"))
+      .withColumn("influence_milli",
+        col("mean_without_milli") - col("mean_all_milli"))
+  }
+
+  /** Neyman optimal allocation of a sampling budget across strata —
+    * the variance-minimizing refinement of [[stratifiedSample]]'s
+    * fixed rates: stratum h receives `n_h ∝ N_h·σ_h`, so
+    * high-variance strata are oversampled and near-constant strata
+    * barely sampled (THE textbook answer to "how many docs per
+    * source should the eval sample take?").
+    *
+    * Exactness: per stratum one partial-aggregated scan yields
+    * `N_h`, `Σx`, `Σx²`; the variance numerator
+    * `s2_num = N_h·Σx² − (Σx)²` runs in DECIMAL(38,0) (HUGEINT on
+    * the oracle side — ~10³⁰ at N = 10¹² with x ≤ 2000) and the
+    * Neyman weight is `w_h = ⌊√(s2_num div max(N_h−1, 1))⌋`
+    * (= N_h·σ_h exactly up to the floor; IEEE sqrt on an integer —
+    * correctly rounded, engine-identical). The budget splits by
+    * largest-remainder rounding: `base_h = B·w_h div Σw` and the
+    * `B − Σbase` leftover units go to the strata with the largest
+    * `(B·w_h) mod Σw`, ties by stratum name — so `Σ n_alloc = B`
+    * EXACTLY, both engines agreeing on every unit.
+    *
+    * Shape at scale: everything after the scan is |strata|-sized
+    * (the rank window runs over strata rows only). Degenerate
+    * strata (σ = 0, e.g. a single-doc source) get weight 0 and rely
+    * on the remainder pass; an all-zero-weight corpus splits the
+    * budget by the name-ordered remainder rule alone.
+    */
+  def neymanAllocation(
+      docs: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val strata = docs
+      .filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(valueCol).cast("long")).as("sum_x"),
+        sum(col(valueCol).cast("long") * col(valueCol).cast("long"))
+          .cast("decimal(38,0)").as("sum_x2"))
+      .withColumn("s2_num",
+        expr("""CAST(n_docs AS DECIMAL(38,0)) * sum_x2
+          - CAST(sum_x AS DECIMAL(38,0)) * sum_x"""))
+      .withColumn("w",
+        floor(sqrt(expr(
+          "CAST(s2_num div greatest(n_docs - 1, CAST(1 AS BIGINT)) AS DOUBLE)")))
+          .cast("long"))
+    val tot = strata.agg(sum(col("w")).as("sum_w"),
+      count(lit(1)).as("n_strata"))
+    val based = strata.crossJoin(broadcast(tot))
+      .withColumn("base",
+        when(col("sum_w") > 0,
+          expr(s"CAST(CAST($budget AS DECIMAL(38,0)) * w div sum_w" +
+            " AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("sum_w") > 0,
+          expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * w) % sum_w" +
+            " AS BIGINT)")).otherwise(lit(0L)))
+    // |strata|-sized window: leftover units by largest remainder,
+    // ties broken by stratum name so both engines hand out the same
+    // units
+    val wRank = Window.orderBy(col("rem").desc, col("stratum"))
+    based
+      .withColumn("leftover",
+        lit(budget) - sum(col("base")).over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("extra",
+        when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("stratum"), col("n_docs"), col("sum_x"),
+        expr("CAST(sum_x2 AS BIGINT)").as("sum_x2"),
+        col("w"), col("base"), col("rem"), col("extra"),
+        (col("base") + col("extra")).as("n_alloc"))
+  }
+
   def stratifiedSample(
       docs: DataFrame,
       rates: Seq[(String, Double)] =

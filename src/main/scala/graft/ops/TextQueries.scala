@@ -151,6 +151,26 @@ object TextQueries {
         q.filter(col("doc_id") % 2 === 0),
         q.filter(col("doc_id") % 2 === 1), "q_milli")
     }),
+    // leave-one-source-out influence of each source on the corpus
+    // mean capped length — exact milli attribution from one rollup
+    // plus a 1-row global broadcast
+    "q_text_source_influence" -> ((s, d) =>
+      Text.sourceInfluence(
+        Tables.documents(s, d)
+          .select(col("source"),
+            least(col("n_chars"), lit(2000L)).as("len_c")),
+        "source", "len_c")
+        .orderBy(col("grp"))),
+    // Neyman optimal allocation of a 1000-doc eval budget across
+    // sources by capped-length variance: n_h proportional to N_h*s_h
+    // with exact largest-remainder rounding (sum n_alloc = 1000)
+    "q_text_neyman_alloc" -> ((s, d) =>
+      Text.neymanAllocation(
+        Tables.documents(s, d)
+          .select(col("source"),
+            least(col("n_chars"), lit(2000L)).as("len_c")),
+        "source", "len_c", budget = 1000L)
+        .orderBy(col("stratum"))),
     // Spearman rank correlation between capped doc length and capped
     // token count — monotone-association audit on ppm-quantized
     // midranks; histograms and the pair rollup are domain-bounded
@@ -765,6 +785,68 @@ object TextQueries {
          |FROM cc LEFT JOIN cc nx ON nx.c = cc.c + 1
          |CROSS JOIN t
          |ORDER BY cc.c""".stripMargin,
+    "q_text_source_influence" ->
+      """WITH per AS (
+        |  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_h,
+        |    CAST(SUM(LEAST(n_chars, 2000)) AS BIGINT) AS sum_h
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(n_h) AS BIGINT) AS n,
+        |    CAST(SUM(sum_h) AS BIGINT) AS sum_all
+        |  FROM per),
+        |m AS (
+        |  SELECT per.*, t.n,
+        |    t.sum_all * 1000 // t.n AS mean_all_milli,
+        |    CASE WHEN t.n > per.n_h THEN
+        |      (t.sum_all - per.sum_h) * 1000 // (t.n - per.n_h)
+        |    END AS mean_without_milli
+        |  FROM per CROSS JOIN t)
+        |SELECT grp, n_h, sum_h, n, mean_all_milli,
+        |  mean_without_milli,
+        |  mean_without_milli - mean_all_milli AS influence_milli
+        |FROM m ORDER BY grp""".stripMargin,
+    "q_text_neyman_alloc" ->
+      """WITH s AS (
+        |  SELECT source AS stratum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(LEAST(n_chars, 2000)) AS BIGINT) AS sum_x,
+        |    CAST(SUM(CAST(LEAST(n_chars, 2000) AS HUGEINT)
+        |      * LEAST(n_chars, 2000)) AS HUGEINT) AS sum_x2
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT *, CAST(n_docs AS HUGEINT) * sum_x2
+        |    - CAST(sum_x AS HUGEINT) * sum_x AS s2_num
+        |  FROM s),
+        |wt AS (
+        |  SELECT *, CAST(FLOOR(SQRT(CAST(s2_num
+        |    // GREATEST(n_docs - 1, 1) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM v),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w FROM wt),
+        |b AS (
+        |  SELECT wt.*, t.sum_w,
+        |    CASE WHEN t.sum_w > 0 THEN
+        |      CAST(CAST(1000 AS HUGEINT) * wt.w // t.sum_w AS BIGINT)
+        |    ELSE 0 END AS base,
+        |    CASE WHEN t.sum_w > 0 THEN
+        |      CAST((CAST(1000 AS HUGEINT) * wt.w) % t.sum_w AS BIGINT)
+        |    ELSE 0 END AS rem
+        |  FROM wt CROSS JOIN t),
+        |l AS (
+        |  SELECT *,
+        |    1000 - CAST(SUM(base) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk
+        |  FROM b),
+        |f AS (
+        |  SELECT *, CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS extra
+        |  FROM l)
+        |SELECT stratum, n_docs, sum_x, CAST(sum_x2 AS BIGINT)
+        |  AS sum_x2, w, base, rem, extra, base + extra AS n_alloc
+        |FROM f ORDER BY stratum""".stripMargin,
     "q_text_spearman" ->
       """WITH base AS (
         |  SELECT LEAST(n_chars, 2000) AS x,

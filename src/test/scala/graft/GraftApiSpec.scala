@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 255,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 255")
-    assert(SparkEntry.oracleSql.size == 242,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 242")
+    assert(SparkEntry.queries.size == 257,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 257")
+    assert(SparkEntry.oracleSql.size == 244,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 244")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -287,6 +287,8 @@ class GraftApiSpec extends SparkSpec {
       "ngramJaccard" -> "ngramJaccardOver",
       "fingerprint" -> "fingerprinted",
       "stratifiedSample" -> "stratifiedSample",
+      "neymanAllocation" -> "neymanAllocated",
+      "sourceInfluence" -> "sourceInfluenced",
       "curationPipeline" -> "curated",
       "contamination" -> "contaminationAgainst",
       "docFrequency" -> "docFrequency",

@@ -1854,6 +1854,57 @@ class TextSpec extends SparkSpec {
       s50((32, 4)) < s50((8, 16)) && s50((8, 16)) < s50((4, 32)))
   }
 
+  test("sourceInfluence: leave-one-out milli means, sign semantics, " +
+      "single-source NULL") {
+    // A: {10,10} B: {40} C: {40} -> mean_all = 100*1000/5... wait:
+    // n=4, sum=100 -> mean 25000 milli; without A: 80/2=40000
+    // (influence +15000, A drags the metric down); without B:
+    // 60/3=20000 (influence -5000)
+    val docs = Seq(("A", 10L), ("A", 10L), ("B", 40L), ("C", 40L))
+      .toDF("src", "x")
+    val out = graft.ops.Text.sourceInfluence(docs, "src", "x")
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("mean_all_milli"),
+          r.getAs[Long]("mean_without_milli"),
+          r.getAs[Long]("influence_milli"))).toMap
+    assert(out("A") === ((25000L, 40000L, 15000L)))
+    assert(out("B") === ((25000L, 20000L, -5000L)))
+    assert(out("C") === ((25000L, 20000L, -5000L)))
+    // one source only: leave-one-out undefined
+    val solo = Seq(("A", 7L)).toDF("src", "x")
+    val r = graft.ops.Text.sourceInfluence(solo, "src", "x")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("mean_without_milli")))
+    assert(r.isNullAt(r.fieldIndex("influence_milli")))
+  }
+
+  test("neymanAllocation: variance-proportional split, exact " +
+      "largest-remainder rounding, zero-variance strata") {
+    // A: {0,10} w=10; B: {5,5,5} w=0; C: {0,20} w=20; sum_w=30
+    // budget 10: base A=3 (rem 10), B=0, C=6 (rem 20) -> C gets the
+    // leftover unit
+    val docs = Seq(
+      ("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L), ("B", 5L),
+      ("C", 0L), ("C", 20L)).toDF("src", "x")
+    val out = graft.ops.Text
+      .neymanAllocation(docs, "src", "x", budget = 10L)
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("w"), r.getAs[Long]("base"),
+          r.getAs[Long]("n_alloc"))).toMap
+    assert(out("A") === ((10L, 3L, 3L)))
+    assert(out("B") === ((0L, 0L, 0L)))
+    assert(out("C") === ((20L, 6L, 7L)))
+    assert(out.values.map(_._3).sum === 10L)
+    // all-constant corpus: weights all 0, budget splits by the
+    // name-ordered remainder rule, still summing exactly to budget
+    val const = Seq(("A", 5L), ("B", 5L), ("C", 5L)).toDF("src", "x")
+    val c = graft.ops.Text
+      .neymanAllocation(const, "src", "x", budget = 2L)
+      .collect().map(r => r.getAs[String]("stratum") ->
+        r.getAs[Long]("n_alloc")).toMap
+    assert(c === Map("A" -> 1L, "B" -> 1L, "C" -> 0L))
+  }
+
   test("sentenceChunks: greedy fill cuts at sentence boundaries, " +
       "oversize sentence occupies a chunk alone") {
     val docs = Seq(
