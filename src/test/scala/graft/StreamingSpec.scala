@@ -726,4 +726,46 @@ class StreamingSpec extends SparkSpec {
     // untouched partitions survive a replay of another batch
     assert(rows.count(_._3 == 0) == 2)
   }
+
+  test("streaming CUSUM monitor matches the batch closed form " +
+      "across micro-batches and keeps feeds independent") {
+    import graft.streaming.CusumMonitor
+    import graft.streaming.CusumMonitor.{Bucket, CusumOut}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    // the AuditSpec planted series: mean 40, k=4 (100 milli),
+    // h=40 (1000 milli); shift lands on buckets 5-6
+    val counts = Seq(10L, 10L, 10L, 10L, 100L, 100L)
+    val in = MemoryStream[Bucket]
+    val q = CusumMonitor
+      .monitor(in.toDS(), meanX = 40L, kMilli = 100L, hMilli = 1000L)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: state must carry across the boundary;
+      // a second quiet feed proves keyed isolation
+      in.addData(counts.take(3).zipWithIndex.map { case (x, i) =>
+        Bucket("main", i.toLong, x) } ++
+        Seq(Bucket("quiet", 0L, 40L)))
+      q.processAllAvailable()
+      in.addData(counts.drop(3).zipWithIndex.map { case (x, i) =>
+        Bucket("main", (i + 3).toLong, x) } ++
+        Seq(Bucket("quiet", 1L, 40L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum_out").as[CusumOut].collect()
+    val main = got.filter(_.feed == "main").sortBy(_.bucket)
+    // batch twin: direct recurrence with the same parameters
+    var (sh, sl) = (0L, 0L)
+    val expect = counts.map { x =>
+      sh = math.max(0L, sh + x - 40 - 4)
+      sl = math.max(0L, sl + 40 - x - 4)
+      (sh, sl, sh > 40, sl > 40)
+    }
+    assert(main.map(o =>
+      (o.s_hi, o.s_lo, o.alarm_hi, o.alarm_lo)).toSeq === expect)
+    // the quiet feed never alarms and never inherits main's state
+    val quiet = got.filter(_.feed == "quiet").sortBy(_.bucket)
+    assert(quiet.forall(o => o.s_hi == 0L && !o.alarm_hi && !o.alarm_lo))
+  }
 }
