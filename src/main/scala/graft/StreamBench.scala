@@ -301,6 +301,48 @@ object StreamBench {
       java.nio.file.Files.writeString(out5.toPath,
         java.nio.file.Files.readString(out5.toPath) + line5 + "\n")
     } finally mvQ.stop()
+
+    // Sixth surface: the per-feed CUSUM monitor — bucket rows/s
+    // through the keyed flatMapGroupsWithState recurrence. Synthetic
+    // stream: a bounded feed domain (state stays feed-sized) with
+    // monotone per-feed buckets and a planted shift on one feed so
+    // the alarm path executes.
+    {
+      implicit val s = spark
+      val cuIn = MemoryStream[streaming.CusumMonitor.Bucket]
+      val cuQ = streaming.CusumMonitor
+        .monitor(cuIn.toDS(), meanX = 100L)
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val feeds = 200
+        val perBatch = 5000 * scale
+        val nCuBatches = 4
+        def cuBatch(b: Int): Seq[streaming.CusumMonitor.Bucket] =
+          (0 until perBatch).map { i =>
+            val f = i % feeds
+            val x = if (f == 0) 500L else 100L + (i % 7) - 3
+            streaming.CusumMonitor.Bucket(
+              s"f$f", (b.toLong * perBatch + i) / feeds, x)
+          }
+        cuIn.addData(cuBatch(0)) // warm batch
+        cuQ.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nCuBatches).foreach { b =>
+          cuIn.addData(cuBatch(b))
+          cuQ.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = perBatch.toLong * nCuBatches
+        val line6 =
+          s"""{"metric":"cusum_monitor_buckets_per_sec","value":${(n / dt).toLong},""" +
+            s""""buckets":$n,"feeds":$feeds,"seconds":$dt,"batches":$nCuBatches,"scale":$scale,"sf":"$sfDir"}"""
+        println(line6)
+        val out6 = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(out6.toPath,
+          java.nio.file.Files.readString(out6.toPath) + line6 + "\n")
+      } finally cuQ.stop()
+    }
     spark.stop()
   }
 }
