@@ -614,6 +614,12 @@ object Graft {
     def fitPca: ops.Vector.PcaModel = ops.Vector.fitPca(embs)
     /** Project (optionally whiten) onto the top-k components —
       * scan-stage serving arithmetic, no MLlib. */
+    /** Fit-free JL ±1 sign projection to `outDims`. */
+    def randomProjected(outDims: Int = 16): DataFrame =
+      ops.Vector.randomProjection(embs, outDims)
+    /** Measured JL distortion on adjacent-id pairs (ratio_ppm ≈ 1e6). */
+    def jlDistortionAudit(outDims: Int = 16): DataFrame =
+      ops.Vector.jlDistortion(embs, outDims)
     def pcaProjected(
         model: ops.Vector.PcaModel,
         k: Int,

@@ -2030,6 +2030,97 @@ object Vector {
     * sqrt(eigenvalue_c) (skipped for eigenvalues ≤ 1e-12: a
     * zero-variance direction has nothing to whiten).
     */
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (d × k),
+    * derived from MD5 parity of `"i:j:jl"` so BOTH engines use the
+    * IDENTICAL matrix — the Spark side folds it in as literal arrays,
+    * the SQL twin joins the same values as a VALUES table (the
+    * benfordPpm shared-literal pattern; [[jlSignsSql]] renders it).
+    */
+  def jlSigns(d: Int, k: Int): IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until d).map(i => (0 until k).map { j =>
+      val h = md.digest(s"$i:$j:jl".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1 else -1
+    })
+  }
+
+  /** The same matrix as a `(i, j, sgn)` VALUES body for the oracle. */
+  def jlSignsSql(d: Int, k: Int): String =
+    jlSigns(d, k).zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.map { case (s, j) => s"($i, $j, $s)" }
+    }.mkString(", ")
+
+  /** Random (sign) projection — the fit-free member of the
+    * dimensionality-reduction family: where [[pcaProject]] needs a
+    * moments pass and an eigendecomposition, the JL projection
+    * `y_j = Σ_i x_i·s_ij` with a FIXED ±1 matrix preserves pairwise
+    * distances in expectation (`E[‖y_a−y_b‖²] = k·‖a−b‖²` for ±1
+    * signs) with no training data at all — the right sketch when the
+    * corpus is too big or too fresh to fit against. Per output dim
+    * the fold runs in array order (the [[decDot]] determinism
+    * contract), so the doubles hash-compare against the SQL twin's
+    * `SUM(... ORDER BY i)`.
+    *
+    * Shape at scale: scan-stage arithmetic only — k literal-array
+    * folds per row, no shuffle, no fit, embarrassingly parallel.
+    */
+  def randomProjection(
+      embeddings: DataFrame,
+      outDims: Int = 16,
+      dims: Int = 64
+  ): DataFrame = {
+    require(outDims >= 1 && dims >= 1,
+      s"dims must be positive, got $outDims/$dims")
+    val signs = jlSigns(dims, outDims)
+    val comps = (0 until outDims).map { j =>
+      val sLit = array((0 until dims).map(i =>
+        lit(signs(i)(j).toDouble)): _*)
+      aggregate(
+        zip_with(col("embedding"), sLit,
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v).as(s"p$j")
+    }
+    embeddings.select(col("vec_id"), array(comps: _*).as("proj"))
+  }
+
+  /** Measured JL distortion on deterministic adjacent-id pairs —
+    * the audit that closes [[randomProjection]]'s loop the way
+    * `minhashRecallAudit` closes the LSH frontier: per pair
+    * (2m, 2m+1), the original squared distance, the projected
+    * squared distance, and `ratio_ppm = ⌊d2_proj·10⁶/(k·d2_orig)⌋`
+    * — the JL guarantee says the ratios concentrate around 10⁶.
+    * Zero-distance pairs emit NULL ratio. The pair join is an
+    * id-equality join (no similarity search); every fold is
+    * array-ordered, so the whole audit hash-compares.
+    */
+  def jlDistortion(
+      embeddings: DataFrame,
+      outDims: Int = 16,
+      dims: Int = 64
+  ): DataFrame = {
+    val proj = randomProjection(embeddings, outDims, dims)
+    val withProj = embeddings.select(col("vec_id"), col("embedding"))
+      .join(proj, "vec_id")
+    def d2(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b,
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    withProj.as("a")
+      .filter(col("vec_id") % 2 === 0)
+      .join(withProj.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_a"),
+        col("b.vec_id").as("vec_id_b"),
+        d2(col("a.embedding"), col("b.embedding")).as("d2_orig"),
+        d2(col("a.proj"), col("b.proj")).as("d2_proj"))
+      .withColumn("ratio_ppm",
+        when(col("d2_orig") > 0,
+          floor(col("d2_proj") * 1e6 /
+            (lit(outDims.toDouble) * col("d2_orig"))).cast("long")))
+  }
+
   def pcaProject(
       embeddings: DataFrame,
       model: PcaModel,

@@ -555,6 +555,12 @@ object VectorQueries {
     // k-means entries); VectorSpec pins orthonormality, the
     // projected-covariance ≡ diag(eigenvalues) identity, whitened
     // unit variance, and bitwise determinism under repartitioning.
+    // fit-free JL sign projection + measured distortion on
+    // adjacent-id pairs: ratio_ppm concentrates around 1e6 (the JL
+    // guarantee), every fold array-ordered so doubles hash-compare
+    "q_vec_jl_distortion" -> ((s, d) =>
+      Vector.jlDistortion(Tables.embeddings(s, d))
+        .orderBy(col("vec_id_a"))),
     "q_vec_pca_project" -> ((s, d) =>
       Vector.pcaProject(Tables.embeddings(s, d), pcaModel(s, d),
         k = 8, whiten = true)
@@ -603,6 +609,40 @@ object VectorQueries {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a
         |  ORDER BY cos_sim DESC, vec_b) <= 8
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // the (i, j, sgn) VALUES body is rendered from the SAME Scala
+    // matrix the Spark side folds in as literals — shared-literal
+    // determinism, no per-engine hashing
+    "q_vec_jl_distortion" ->
+      s"""WITH s(i, j, sgn) AS (VALUES ${Vector.jlSignsSql(64, 16)}),
+         |e AS (
+         |  SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS i,
+         |    CAST(UNNEST(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT e.vec_id, s.j,
+         |    SUM(e.x * s.sgn ORDER BY e.i) AS pj
+         |  FROM e JOIN s ON e.i = s.i
+         |  GROUP BY e.vec_id, s.j),
+         |d2o AS (
+         |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |    SUM((a.x - b.x) * (a.x - b.x) ORDER BY a.i) AS d2_orig
+         |  FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id AND a.i = b.i
+         |  WHERE a.vec_id % 2 = 0
+         |  GROUP BY 1, 2),
+         |d2p AS (
+         |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |    SUM((a.pj - b.pj) * (a.pj - b.pj) ORDER BY a.j) AS d2_proj
+         |  FROM p a JOIN p b ON a.vec_id + 1 = b.vec_id AND a.j = b.j
+         |  WHERE a.vec_id % 2 = 0
+         |  GROUP BY 1, 2)
+         |SELECT d2o.vec_id_a, d2o.vec_id_b, d2o.d2_orig, d2p.d2_proj,
+         |  CASE WHEN d2o.d2_orig > 0 THEN
+         |    CAST(FLOOR(d2p.d2_proj * 1e6 / (16.0 * d2o.d2_orig))
+         |      AS BIGINT)
+         |  END AS ratio_ppm
+         |FROM d2o JOIN d2p USING (vec_id_a, vec_id_b)
+         |ORDER BY vec_id_a""".stripMargin,
     "q_vec_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings
          |           WHERE vec_id = 0),

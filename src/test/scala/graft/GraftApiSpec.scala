@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 257,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 257")
-    assert(SparkEntry.oracleSql.size == 244,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 244")
+    assert(SparkEntry.queries.size == 258,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 258")
+    assert(SparkEntry.oracleSql.size == 245,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 245")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -417,6 +417,8 @@ class GraftApiSpec extends SparkSpec {
       "labelPropagationAssigned" -> "labelPropagationAssigned",
       "recallAtK" -> "recallAtK",
       "pcaProject" -> "pcaProjected",
+      "randomProjection" -> "randomProjected",
+      "jlDistortion" -> "jlDistortionAudit",
       "withZValue" -> "withZValue",
       "withHilbertValue" -> "withHilbertValue",
       "clusterByHilbert" -> "clusteredByHilbert",

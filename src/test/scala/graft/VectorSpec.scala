@@ -1376,4 +1376,49 @@ class VectorSpec extends SparkSpec {
     assert(l1._2 == 3L && l1._3 == 0L, s"l1=$l1")
     assert(l1._4 > 0, s"separated cluster mean margin: ${l1._4}")
   }
+
+  test("jlDistortion: basis-vs-zero pair hits ratio_ppm exactly 1e6, " +
+      "identical pair emits NULL, sign matrix is deterministic") {
+    val d = 8
+    val k = 4
+    // pair (0,1): e_0 vs zero vector -> d2_orig = 1 and
+    // d2_proj = sum_j s_0j^2 = k exactly -> ratio = k*1e6/(k*1)
+    val e0 = Array.tabulate(d)(i => if (i == 0) 1f else 0f)
+    val z = Array.fill(d)(0f)
+    val embs = Seq((0L, e0), (1L, z), (2L, e0), (3L, e0))
+      .toDF("vec_id", "embedding")
+    val out = Vec.jlDistortion(embs, outDims = k, dims = d)
+      .collect().map(r => r.getAs[Long]("vec_id_a") -> r).toMap
+    assert(out(0L).getAs[Double]("d2_orig") === 1.0)
+    assert(out(0L).getAs[Double]("d2_proj") === k.toDouble)
+    assert(out(0L).getAs[Long]("ratio_ppm") === 1000000L)
+    // pair (2,3): identical vectors -> zero distance, NULL ratio
+    assert(out(2L).getAs[Double]("d2_orig") === 0.0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("ratio_ppm")))
+    // the MD5-parity matrix is pure: same inputs, same signs
+    assert(Vec.jlSigns(16, 8) === Vec.jlSigns(16, 8))
+    assert(Vec.jlSigns(16, 8).flatten.forall(s => s == 1 || s == -1))
+  }
+
+  test("jlDistortion: ratios concentrate around 1e6 on a spread of " +
+      "deterministic integer vectors") {
+    val d = 64
+    val embs = (0L until 40L).map { id =>
+      (id, Array.tabulate(d)(i =>
+        (((id / 2) * 31 + i * 7) % 13).toFloat - 6f))
+    }.toDF("vec_id", "embedding")
+    // adjacent pairs share id/2, so each pair differs only via the
+    // vec bodies being IDENTICAL -> force distinct: shift odd rows
+    val shifted = embs.withColumn("embedding",
+      when(col("vec_id") % 2 === 1,
+        transform(col("embedding"), x => x + lit(1.0f)))
+        .otherwise(col("embedding")))
+    val ratios = Vec.jlDistortion(shifted, outDims = 16, dims = d)
+      .collect().map(_.getAs[Long]("ratio_ppm"))
+    assert(ratios.length === 20)
+    // constant-shift pairs: d2_orig = 64; JL ratios stay within a
+    // loose concentration band (the guarantee is in expectation)
+    assert(ratios.forall(r => r > 100000L && r < 4000000L),
+      s"ratios=${ratios.toSeq}")
+  }
 }
