@@ -652,6 +652,86 @@ object Affinity {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Theil T inequality index with its between/within-group
+    * decomposition — [[giniConcentration]]'s DECOMPOSABLE sibling
+    * (Gini says how unequal the token budget is; Theil additionally
+    * says WHERE the inequality lives: across sources, or inside
+    * them — the property Gini famously lacks):
+    * `T = Σ_i (x_i/X)·ln(x_i/μ)`, split exactly as
+    * `T = T_within + T_between` with
+    * `T_within = Σ_g (X_g/X)·T_g` and
+    * `T_between = Σ_g (X_g/X)·ln(μ_g/μ)`.
+    *
+    * Integer scheme (the [[eventPmi]] q20 convention): every ln is
+    * `⌊ln(integer)·2²⁰⌋` of a COUNT or SUM — never of a rational —
+    * via `ln(v/μ_g) = ln v + ln n_g − ln X_g`, so all terms combine
+    * by integer ±/× and the emitted q20 columns hash-compare. The
+    * value column must be a positive bounded integer (quantize
+    * upstream; rows with `x < 1` are excluded — ln needs mass), and
+    * per-group sums of `ct·v·lnq20` run in DECIMAL(38,0)/HUGEINT
+    * (~10²² at 10¹² rows). The exact-real decomposition identity
+    * holds up to q20 floor drift; the spec checks it within
+    * tolerance while each COLUMN is exactly defined in both engines.
+    *
+    * Shape at scale: one scan to the (group × bounded value)
+    * histogram; group rollups and a 1-row global broadcast after.
+    */
+  def theilDecomposition(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    def lnq20(c: Column): Column =
+      floor(log(c.cast("double")) * (1L << 20)).cast("long")
+    val hist = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(valueCol) >= 1)
+      .groupBy(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("ct"))
+    val per = hist.groupBy(col("grp"))
+      .agg(sum(col("ct")).as("n_g"),
+        sum(col("ct") * col("v")).as("sum_g"))
+    val tot = per.agg(sum(col("n_g")).as("n"),
+      sum(col("sum_g")).as("sum_all"))
+    // per-group Theil: Σ ct·v·(ln v + ln n_g − ln X_g) div X_g
+    val tg = hist.join(per, "grp")
+      .select(col("grp"),
+        (col("ct").cast("decimal(38,0)") * col("v") *
+          (lnq20(col("v")) + lnq20(col("n_g")) -
+            lnq20(col("sum_g")))).as("num"))
+      .groupBy(col("grp"))
+      .agg(sum(col("num")).as("num_g"))
+    val g = per.join(tg, "grp").crossJoin(broadcast(tot))
+      .withColumn("t_g_q20",
+        expr("CAST(num_g div sum_g AS BIGINT)"))
+      .withColumn("share_ppm",
+        expr("""CAST(CAST(sum_g AS DECIMAL(38,0)) * 1000000
+          div sum_all AS BIGINT)"""))
+      .withColumn("between_q20",
+        lnq20(col("sum_g")) - lnq20(col("n_g")) -
+          lnq20(col("sum_all")) + lnq20(col("n")))
+    // global decomposition attached to every row (benford posture):
+    // rollup-sized aggregations only
+    val roll = g.select(
+      (col("sum_g").cast("decimal(38,0)") * col("t_g_q20"))
+        .as("w_num"),
+      (col("sum_g").cast("decimal(38,0)") * col("between_q20"))
+        .as("b_num"),
+      col("sum_all"))
+      .groupBy(col("sum_all"))
+      .agg(sum(col("w_num")).as("w_sum"), sum(col("b_num")).as("b_sum"))
+      .select(
+        expr("CAST(w_sum div sum_all AS BIGINT)").as("t_within_q20"),
+        expr("CAST(b_sum div sum_all AS BIGINT)").as("t_between_q20"))
+    g.crossJoin(broadcast(roll))
+      .select(col("grp"), col("n_g"), col("sum_g"), col("share_ppm"),
+        col("t_g_q20"), col("between_q20"), col("t_within_q20"),
+        col("t_between_q20"),
+        (col("t_within_q20") + col("t_between_q20"))
+          .as("t_total_q20"))
+  }
+
   /** Cramér's V association between two categorical columns — the
     * "are these two dimensions redundant?" audit (segment vs
     * priority, shipmode vs returnflag, lang vs source): the

@@ -151,6 +151,16 @@ object TextQueries {
         q.filter(col("doc_id") % 2 === 0),
         q.filter(col("doc_id") % 2 === 1), "q_milli")
     }),
+    // Theil T inequality of the capped-length budget with its exact
+    // between/within source decomposition — q20 lns of COUNTS/SUMS
+    // only (eventPmi convention), histogram-rollup shaped
+    "q_text_theil" -> ((s, d) =>
+      Affinity.theilDecomposition(
+        Tables.documents(s, d)
+          .select(col("source"),
+            least(col("n_chars"), lit(2000L)).as("len_c")),
+        "source", "len_c")
+        .orderBy(col("grp"))),
     // leave-one-source-out influence of each source on the corpus
     // mean capped length — exact milli attribution from one rollup
     // plus a 1-row global broadcast
@@ -785,6 +795,58 @@ object TextQueries {
          |FROM cc LEFT JOIN cc nx ON nx.c = cc.c + 1
          |CROSS JOIN t
          |ORDER BY cc.c""".stripMargin,
+    "q_text_theil" ->
+      """WITH hist AS (
+        |  SELECT source AS grp,
+        |    CAST(LEAST(n_chars, 2000) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND LEAST(n_chars, 2000) >= 1
+        |  GROUP BY 1, 2),
+        |per AS (
+        |  SELECT grp, CAST(SUM(ct) AS BIGINT) AS n_g,
+        |    CAST(SUM(ct * v) AS BIGINT) AS sum_g
+        |  FROM hist GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(sum_g) AS BIGINT) AS sum_all
+        |  FROM per),
+        |tg AS (
+        |  SELECT h.grp, CAST(SUM(CAST(h.ct AS HUGEINT) * h.v * (
+        |      CAST(FLOOR(LN(CAST(h.v AS DOUBLE)) * 1048576)
+        |        AS BIGINT)
+        |      + CAST(FLOOR(LN(CAST(p.n_g AS DOUBLE)) * 1048576)
+        |        AS BIGINT)
+        |      - CAST(FLOOR(LN(CAST(p.sum_g AS DOUBLE)) * 1048576)
+        |        AS BIGINT))) AS HUGEINT) AS num_g
+        |  FROM hist h JOIN per p USING (grp) GROUP BY 1),
+        |g AS (
+        |  SELECT p.grp, p.n_g, p.sum_g,
+        |    CAST(CAST(p.sum_g AS HUGEINT) * 1000000 // tt.sum_all
+        |      AS BIGINT) AS share_ppm,
+        |    CAST(t.num_g // p.sum_g AS BIGINT) AS t_g_q20,
+        |    CAST(FLOOR(LN(CAST(p.sum_g AS DOUBLE)) * 1048576)
+        |      AS BIGINT)
+        |    - CAST(FLOOR(LN(CAST(p.n_g AS DOUBLE)) * 1048576)
+        |      AS BIGINT)
+        |    - CAST(FLOOR(LN(CAST(tt.sum_all AS DOUBLE)) * 1048576)
+        |      AS BIGINT)
+        |    + CAST(FLOOR(LN(CAST(tt.n AS DOUBLE)) * 1048576)
+        |      AS BIGINT) AS between_q20,
+        |    tt.sum_all
+        |  FROM per p JOIN tg t USING (grp) CROSS JOIN tot tt),
+        |roll AS (
+        |  SELECT
+        |    CAST(SUM(CAST(sum_g AS HUGEINT) * t_g_q20) // sum_all
+        |      AS BIGINT) AS t_within_q20,
+        |    CAST(SUM(CAST(sum_g AS HUGEINT) * between_q20) // sum_all
+        |      AS BIGINT) AS t_between_q20
+        |  FROM g GROUP BY sum_all)
+        |SELECT grp, n_g, sum_g, share_ppm, t_g_q20, between_q20,
+        |  r.t_within_q20, r.t_between_q20,
+        |  r.t_within_q20 + r.t_between_q20 AS t_total_q20
+        |FROM g CROSS JOIN roll r ORDER BY grp""".stripMargin,
     "q_text_source_influence" ->
       """WITH per AS (
         |  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_h,

@@ -299,6 +299,39 @@ class AffinitySpec extends SparkSpec {
     assert(r.getAs[Long]("lift_milli") === 1000L)
   }
 
+  test("theilDecomposition: equal-value group scores ~0, single " +
+      "group has zero between term, q20 total tracks the real Theil") {
+    val docs = Seq(
+      ("A", 5L), ("A", 5L), ("A", 5L), ("A", 5L),   // equal: T_A = 0
+      ("B", 1L), ("B", 7L), ("B", 2L), ("B", 14L))  // unequal
+      .toDF("src", "x")
+    val rows = graft.ops.Affinity
+      .theilDecomposition(docs, "src", "x").collect()
+    val byG = rows.map(r => r.getAs[String]("grp") -> r).toMap
+    assert(math.abs(byG("A").getAs[Long]("t_g_q20")) <= 4L)
+    assert(byG("B").getAs[Long]("t_g_q20") > 100000L) // clearly > 0
+    // identity vs a double-precision reference of the DIRECT Theil
+    val xs = Seq(5.0, 5.0, 5.0, 5.0, 1.0, 7.0, 2.0, 14.0)
+    val mu = xs.sum / xs.length
+    val tRef = xs.map(x => x / xs.sum * math.log(x / mu)).sum
+    val tGot = byG("A").getAs[Long]("t_total_q20").toDouble /
+      (1L << 20)
+    assert(math.abs(tGot - tRef) < 1e-3, s"got $tGot want $tRef")
+    // within + between = total by construction; both components
+    // carry real mass here
+    assert(byG("A").getAs[Long]("t_between_q20") > 0L)
+    assert(byG("A").getAs[Long]("t_within_q20") > 0L)
+    // single-group corpus: between term exactly 0 (the four lnq20
+    // terms cancel symbolically)
+    val solo = Seq(("S", 3L), ("S", 9L)).toDF("src", "x")
+    val sRow = graft.ops.Affinity
+      .theilDecomposition(solo, "src", "x").collect().head
+    assert(sRow.getAs[Long]("between_q20") === 0L)
+    assert(sRow.getAs[Long]("t_between_q20") === 0L)
+    assert(sRow.getAs[Long]("t_total_q20") ===
+      sRow.getAs[Long]("t_within_q20"))
+  }
+
   test("cramersV: perfect association scores 1000 milli, " +
       "independence scores 0, absent cells complete") {
     // perfect 2x2: x always pairs with 1, y always with 2
