@@ -580,6 +580,93 @@ object Audit {
         (col("s_lo") > col("thresh_h")).as("alarm_lo"))
   }
 
+  /** Leave-one-group-out ROC-AUC influence — the data-valuation
+    * member of the audit family (`Text.sourceInfluence` asks how a
+    * source moves a MEAN; this asks how it moves the classifier's
+    * separability): for every group g, the corpus-level AUC computed
+    * WITHOUT g's rows, and `influence_ppm = auc_without − auc_all`
+    * (positive ⇒ dropping the source IMPROVES separation ⇒ the
+    * source is hurting the signal). No per-group rescan: the
+    * (group × score) count rollup plus the per-score global rollup
+    * give every excluded histogram by subtraction
+    * (`pos_ex = pos_s − pos_g` over the groups × scores completed
+    * domain), and each group's Mann–Whitney sum runs as a window
+    * PARTITIONED by group over score-domain-bounded frames — same
+    * DECIMAL(38,0) `auc2` convention as [[rocAuc]].
+    *
+    * Contract as [[rocAuc]]: bounded integer score, 0/1 label, NULLs
+    * excluded; `groupCol` low-cardinality (the completed domain is
+    * |groups| × |scores|). Groups whose exclusion leaves one class
+    * empty emit NULL.
+    */
+  def rocAucInfluence(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      groupCol: String
+  ): DataFrame = {
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        col(scoreCol).cast("long").as("score"),
+        col(labelCol).as("y"))
+    val cg = base.groupBy(col("grp"), col("score"))
+      .agg(sum(when(col("y") =!= 0, 1L).otherwise(0L)).as("pos_g"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("neg_g"))
+    val cs = cg.groupBy(col("score"))
+      .agg(sum(col("pos_g")).as("pos_s"), sum(col("neg_g")).as("neg_s"))
+    // global AUC over the score histogram (bounded window)
+    val wS = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAllS = Window.partitionBy()
+    val glob = cs
+      .withColumn("cum_neg_le", sum(col("neg_s")).over(wS))
+      .withColumn("p", sum(col("pos_s")).over(wAllS))
+      .withColumn("nn", sum(col("neg_s")).over(wAllS))
+      .withColumn("auc2",
+        sum(col("pos_s").cast("decimal(38,0)") *
+          (lit(2L) * (col("cum_neg_le") - col("neg_s")) +
+            col("neg_s"))).over(wAllS))
+      .select(col("p"), col("nn"), col("auc2")).limit(1)
+      .select(
+        when(col("p") > 0 && col("nn") > 0,
+          expr("""CAST(auc2 * 1000000
+            div (CAST(2 AS DECIMAL(38,0)) * p * nn) AS BIGINT)"""))
+          .as("auc_all_ppm"))
+    // groups × scores completed domain, excluded histograms by
+    // subtraction, one partitioned window pass for every group
+    val domain = cg.select(col("grp")).distinct()
+      .crossJoin(cs)
+    val ex = domain.join(cg, Seq("grp", "score"), "left")
+      .select(col("grp"), col("score"),
+        (col("pos_s") - coalesce(col("pos_g"), lit(0L))).as("pos_ex"),
+        (col("neg_s") - coalesce(col("neg_g"), lit(0L))).as("neg_ex"))
+    val wG = Window.partitionBy(col("grp")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAllG = Window.partitionBy(col("grp"))
+    ex
+      .withColumn("cum_neg_le", sum(col("neg_ex")).over(wG))
+      .withColumn("p", sum(col("pos_ex")).over(wAllG))
+      .withColumn("nn", sum(col("neg_ex")).over(wAllG))
+      .withColumn("auc2",
+        sum(col("pos_ex").cast("decimal(38,0)") *
+          (lit(2L) * (col("cum_neg_le") - col("neg_ex")) +
+            col("neg_ex"))).over(wAllG))
+      .groupBy(col("grp"))
+      .agg(max(col("p")).as("n_pos_ex"), max(col("nn")).as("n_neg_ex"),
+        max(col("auc2")).as("auc2_ex"))
+      .crossJoin(broadcast(glob))
+      .select(col("grp"), col("n_pos_ex"), col("n_neg_ex"),
+        when(col("n_pos_ex") > 0 && col("n_neg_ex") > 0,
+          expr("""CAST(auc2_ex * 1000000
+            div (CAST(2 AS DECIMAL(38,0)) * n_pos_ex * n_neg_ex)
+            AS BIGINT)""")).as("auc_without_ppm"),
+        col("auc_all_ppm"))
+      .withColumn("influence_ppm",
+        col("auc_without_ppm") - col("auc_all_ppm"))
+  }
+
   /** Spearman rank correlation between two integer-valued columns —
     * the monotone-association audit ("does doc length predict token
     * count / quality / dup rate?") computed WITHOUT a global per-row
@@ -722,9 +809,9 @@ object Audit {
       .withColumn("n_pos", sum(col("pos_at")).over(wAll))
       .withColumn("n_neg", sum(col("neg_at")).over(wAll))
       .withColumn("auc2",
-        sum((col("pos_at") *
+        sum(col("pos_at").cast("decimal(38,0)") *
           (lit(2L) * (col("cum_neg_le") - col("neg_at")) +
-            col("neg_at"))).cast("decimal(38,0)")).over(wAll))
+            col("neg_at"))).over(wAll))
       .select(grp ++ Seq(
         col("score"), col("pos_at"), col("neg_at"),
         when(col("n_pos") > 0,

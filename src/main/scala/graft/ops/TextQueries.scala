@@ -192,6 +192,17 @@ object TextQueries {
               .otherwise(size(split(trim(col("text")), "\\s+"))),
               lit(400)).as("tok_c")),
         "len_c", "tok_c")),
+    // leave-one-source-out AUC influence: which source hurts the
+    // length->English separability? excluded histograms by
+    // subtraction, one partitioned window pass for all sources
+    "q_text_auc_influence" -> ((s, d) =>
+      Audit.rocAucInfluence(
+        Tables.documents(s, d)
+          .select(col("source"),
+            least(col("n_chars"), lit(2000L)).as("score"),
+            (col("lang") === "en").cast("int").as("is_en")),
+        "score", "is_en", "source")
+        .orderBy(col("grp"))),
     // exact tie-corrected ROC-AUC of the capped-length score against
     // the en/non-en label, per source: does "longer doc" predict
     // "English" on this corpus? Windows partition by source over the
@@ -968,6 +979,76 @@ object TextQueries {
         |        * CAST(var_y_pp2 AS DOUBLE))) AS BIGINT)
         |  END AS rho_milli
         |FROM v""".stripMargin,
+    "q_text_auc_influence" ->
+      """WITH base AS (
+        |  SELECT source AS grp, LEAST(n_chars, 2000) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |cg AS (
+        |  SELECT grp, score,
+        |    CAST(SUM(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos_g,
+        |    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS neg_g
+        |  FROM base GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT score, CAST(SUM(pos_g) AS BIGINT) AS pos_s,
+        |    CAST(SUM(neg_g) AS BIGINT) AS neg_s
+        |  FROM cg GROUP BY 1),
+        |ga AS (
+        |  SELECT score, pos_s, neg_s,
+        |    CAST(SUM(neg_s) OVER (ORDER BY score) AS BIGINT)
+        |      AS cum_neg_le,
+        |    CAST(SUM(pos_s) OVER () AS BIGINT) AS p,
+        |    CAST(SUM(neg_s) OVER () AS BIGINT) AS nn
+        |  FROM cs),
+        |gt AS (
+        |  SELECT MAX(p) AS p, MAX(nn) AS nn,
+        |    CAST(SUM(CAST(pos_s AS HUGEINT)
+        |      * (2 * (cum_neg_le - neg_s) + neg_s)) AS HUGEINT)
+        |      AS auc2
+        |  FROM ga),
+        |gl AS (
+        |  SELECT CASE WHEN p > 0 AND nn > 0 THEN
+        |    CAST(auc2 * 1000000 // (CAST(2 AS HUGEINT) * p * nn)
+        |      AS BIGINT)
+        |  END AS auc_all_ppm FROM gt),
+        |dom AS (
+        |  SELECT g.grp, cs.score, cs.pos_s, cs.neg_s
+        |  FROM (SELECT DISTINCT grp FROM cg) g CROSS JOIN cs),
+        |ex AS (
+        |  SELECT dom.grp, dom.score,
+        |    dom.pos_s - COALESCE(cg.pos_g, 0) AS pos_ex,
+        |    dom.neg_s - COALESCE(cg.neg_g, 0) AS neg_ex
+        |  FROM dom LEFT JOIN cg
+        |    ON dom.grp = cg.grp AND dom.score = cg.score),
+        |w AS (
+        |  SELECT grp, score, pos_ex, neg_ex,
+        |    CAST(SUM(neg_ex) OVER (PARTITION BY grp ORDER BY score)
+        |      AS BIGINT) AS cum_neg_le,
+        |    CAST(SUM(pos_ex) OVER (PARTITION BY grp) AS BIGINT) AS p,
+        |    CAST(SUM(neg_ex) OVER (PARTITION BY grp) AS BIGINT) AS nn
+        |  FROM ex),
+        |agg AS (
+        |  SELECT grp, CAST(MAX(p) AS BIGINT) AS n_pos_ex,
+        |    CAST(MAX(nn) AS BIGINT) AS n_neg_ex,
+        |    CAST(SUM(CAST(pos_ex AS HUGEINT)
+        |      * (2 * (cum_neg_le - neg_ex) + neg_ex)) AS HUGEINT)
+        |      AS auc2_ex
+        |  FROM w GROUP BY 1),
+        |f AS (
+        |  SELECT grp, n_pos_ex, n_neg_ex,
+        |    CASE WHEN n_pos_ex > 0 AND n_neg_ex > 0 THEN
+        |      CAST(auc2_ex * 1000000
+        |        // (CAST(2 AS HUGEINT) * n_pos_ex * n_neg_ex)
+        |        AS BIGINT)
+        |    END AS auc_without_ppm,
+        |    gl.auc_all_ppm
+        |  FROM agg CROSS JOIN gl)
+        |SELECT grp, n_pos_ex, n_neg_ex, auc_without_ppm,
+        |  auc_all_ppm, auc_without_ppm - auc_all_ppm AS influence_ppm
+        |FROM f ORDER BY grp""".stripMargin,
     "q_text_quality_auc" ->
       """WITH base AS (
         |  SELECT source, LEAST(n_chars, 2000) AS score,
@@ -993,9 +1074,9 @@ object TextQueries {
         |  FROM c),
         |a AS (
         |  SELECT *,
-        |    CAST(SUM(CAST(pos_at * (2 * (cum_neg_le - neg_at)
-        |      + neg_at) AS HUGEINT)) OVER (PARTITION BY source)
-        |      AS HUGEINT) AS auc2
+        |    CAST(SUM(CAST(pos_at AS HUGEINT)
+        |      * (2 * (cum_neg_le - neg_at) + neg_at))
+        |      OVER (PARTITION BY source) AS HUGEINT) AS auc2
         |  FROM w)
         |SELECT source, score, pos_at, neg_at,
         |  CASE WHEN n_pos > 0 THEN

@@ -274,6 +274,33 @@ class AuditSpec extends SparkSpec {
       Seq(devs / 2))
   }
 
+  test("rocAucInfluence: dropping the noise group raises AUC, " +
+      "dropping the signal group destroys it") {
+    // A separates perfectly (pos@10/neg@1), B anti-separates
+    val df = Seq(
+      ("A", 10L, 1), ("A", 10L, 1), ("A", 1L, 0), ("A", 1L, 0),
+      ("B", 1L, 1), ("B", 10L, 0))
+      .toDF("src", "score", "y")
+    val out = graft.ops.Audit
+      .rocAucInfluence(df, "score", "y", "src")
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    // global: pos {10,10,1}, neg {1,1,10} -> auc2 = 12, AUC = 2/3
+    assert(out("A").getAs[Long]("auc_all_ppm") === 666666L)
+    // without A only B remains: AUC exactly 0
+    assert(out("A").getAs[Long]("auc_without_ppm") === 0L)
+    assert(out("A").getAs[Long]("influence_ppm") === -666666L)
+    // without B, A separates perfectly
+    assert(out("B").getAs[Long]("auc_without_ppm") === 1000000L)
+    assert(out("B").getAs[Long]("influence_ppm") === 333334L)
+    // a group whose exclusion empties one class -> NULL
+    val oneSided = Seq(("A", 5L, 1), ("B", 7L, 0), ("B", 2L, 1))
+      .toDF("src", "score", "y")
+    val r = graft.ops.Audit
+      .rocAucInfluence(oneSided, "score", "y", "src")
+      .collect().map(x => x.getAs[String]("grp") -> x).toMap
+    assert(r("B").isNullAt(r("B").fieldIndex("auc_without_ppm")))
+  }
+
   test("spearmanRho: perfect monotone / inverse / classic 0.5 " +
       "fixtures, tie-degenerate NULL, null-row exclusion") {
     def rho(xs: Seq[Long], ys: Seq[Long]): Option[Long] = {

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 259,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 259")
-    assert(SparkEntry.oracleSql.size == 246,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 246")
+    assert(SparkEntry.queries.size == 260,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 260")
+    assert(SparkEntry.oracleSql.size == 247,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 247")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
