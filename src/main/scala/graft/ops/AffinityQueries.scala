@@ -107,7 +107,12 @@ object AffinityQueries {
     // reset-at-zero recurrence as two windows over the day rollup
     "q_events_cusum" -> ((s, d) =>
       Audit.cusumShift(Tables.events(s, d))
-        .orderBy(col("d")))
+        .orderBy(col("d"))),
+    // Fano factor (variance/mean) of daily counts per event type —
+    // the overdispersion screen (~1000 milli = Poisson-like)
+    "q_events_burstiness" -> ((s, d) =>
+      Audit.burstiness(Tables.events(s, d))
+        .orderBy(col("event_type")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -532,6 +537,24 @@ object AffinityQueries {
         |SELECT d, x, mean_x, thresh_h, s_hi, s_lo,
         |  s_hi > thresh_h AS alarm_hi,
         |  s_lo > thresh_h AS alarm_lo
-        |FROM s ORDER BY d""".stripMargin
+        |FROM s ORDER BY d""".stripMargin,
+    "q_events_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sum_x,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sum_x2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sum_x,
+        |  CAST(sum_x * 1000 // n_days AS BIGINT) AS mean_milli,
+        |  CASE WHEN n_days > 1 AND sum_x > 0 THEN
+        |    CAST((CAST(n_days AS HUGEINT) * sum_x2
+        |      - CAST(sum_x AS HUGEINT) * sum_x) * 1000
+        |      // (CAST(n_days - 1 AS HUGEINT) * sum_x) AS BIGINT)
+        |  END AS fano_milli
+        |FROM a ORDER BY event_type""".stripMargin
   )
 }

@@ -580,6 +580,96 @@ object Audit {
         (col("s_lo") > col("thresh_h")).as("alarm_lo"))
   }
 
+  /** Burstiness (Fano factor / index of dispersion) of the daily
+    * event count per type — the overdispersion audit that separates
+    * organic traffic from bot storms and double-fires: a Poisson
+    * feed has variance ≈ mean (`fano_milli ≈ 1000`); bursty feeds
+    * run far above, metronomic synthetic feeds far below. Computed
+    * exactly: `fano = s²/μ = (n·Σx² − (Σx)²) div ((n−1)·Σx)` over
+    * the (type × day) rollup, with the squares in DECIMAL(38,0)
+    * (a 10¹¹-events/day feed squares past BIGINT). Types with one
+    * day or zero mean emit NULL.
+    *
+    * Shape at scale: one partial-aggregated scan to (type, day),
+    * one rollup-sized agg per type — calendar-bounded, no windows.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    val daily = events.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sum_x"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sum_x2"))
+      .select(col("event_type"), col("n_days"), col("sum_x"),
+        expr("CAST(sum_x * 1000 div n_days AS BIGINT)")
+          .as("mean_milli"),
+        when(col("n_days") > 1 && col("sum_x") > 0,
+          expr("""CAST((CAST(n_days AS DECIMAL(38,0)) * sum_x2
+            - CAST(sum_x AS DECIMAL(38,0)) * sum_x) * 1000
+            div (CAST(n_days - 1 AS DECIMAL(38,0)) * sum_x)
+            AS BIGINT)""")).as("fano_milli"))
+  }
+
+  /** Exact winsorized mean per group — the robust-mean audit for
+    * heavy-tailed metrics (a handful of bot sessions or billing
+    * errors should not move the reported average): values below the
+    * `loPpm` percentile clip UP to it, above `hiPpm` clip DOWN, and
+    * the mean is taken over the clipped column — all EXACTLY, on the
+    * per-group value histogram, no per-row sort: the clip points are
+    * `v_lo = min{v : cum(v) ≥ ⌈n·loPpm/10⁶⌉}` (and likewise `v_hi`),
+    * and the winsorized sum assembles from three histogram slices
+    * (mass below pays `v_lo`, inside pays itself, above pays
+    * `v_hi`).
+    *
+    * Contract: integer-valued bounded-domain column (quantize
+    * upstream — the histogram is value-domain-sized, the ksDrift
+    * posture); NULLs excluded; `0 ≤ loPpm ≤ hiPpm ≤ 10⁶`. Overflow
+    * (kappa convention): `Σv·1000 < 2⁶³`.
+    */
+  def winsorizedMean(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil,
+      loPpm: Long = 50000L,
+      hiPpm: Long = 950000L
+  ): DataFrame = {
+    require(loPpm >= 0 && loPpm <= hiPpm && hiPpm <= 1000000L,
+      s"percentile bounds invalid: $loPpm/$hiPpm")
+    val grp = groupCols.map(col)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(grp :+ col(valueCol).cast("long").as("v"): _*)
+      .agg(count(lit(1)).as("ct"))
+    val wAsc = Window.partitionBy(grp: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(grp: _*)
+    val ranked = hist
+      .withColumn("cum_le", sum(col("ct")).over(wAsc))
+      .withColumn("n", sum(col("ct")).over(wAll))
+      .withColumn("k_lo",
+        expr(s"(n * $loPpm + 999999) div 1000000"))
+      .withColumn("k_hi",
+        expr(s"(n * $hiPpm + 999999) div 1000000"))
+      .withColumn("v_lo",
+        min(when(col("cum_le") >= col("k_lo"), col("v"))).over(wAll))
+      .withColumn("v_hi",
+        min(when(col("cum_le") >= col("k_hi"), col("v"))).over(wAll))
+    ranked
+      .groupBy(grp: _*)
+      .agg(max(col("n")).as("n"),
+        max(col("v_lo")).as("v_lo"), max(col("v_hi")).as("v_hi"),
+        sum((col("ct") * col("v")).cast("decimal(38,0)"))
+          .as("raw_sum"),
+        sum((col("ct") *
+          greatest(least(col("v"), col("v_hi")), col("v_lo")))
+          .cast("decimal(38,0)")).as("wins_sum"))
+      .select(grp ++ Seq(col("n"), col("v_lo"), col("v_hi"),
+        expr("CAST(raw_sum * 1000 div n AS BIGINT)")
+          .as("raw_mean_milli"),
+        expr("CAST(wins_sum * 1000 div n AS BIGINT)")
+          .as("wins_mean_milli")): _*)
+  }
+
   /** Leave-one-group-out ROC-AUC influence — the data-valuation
     * member of the audit family (`Text.sourceInfluence` asks how a
     * source moves a MEAN; this asks how it moves the classifier's

@@ -230,6 +230,16 @@ object RelationalQueries {
         o.filter(col("o_orderkey") % 2 === 1),
         "price_dollars")
     }),
+    // exact winsorized mean of dollar-quantized order prices per
+    // priority (5%/95% clip points from the per-group value
+    // histogram, no per-row sort) vs the raw mean
+    "q_orders_winsorized" -> ((s, d) =>
+      Audit.winsorizedMean(
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"),
+            floor(col("o_totalprice")).cast("long").as("price_d")),
+        "price_d", Seq("o_orderpriority"))
+        .orderBy(col("o_orderpriority"))),
     // Benford first-digit audit on o_totalprice per priority class:
     // all arithmetic happens on the 5×9 (group, digit) rollup; the
     // only data-sized stage is the count groupBy
@@ -1143,6 +1153,40 @@ object RelationalQueries {
         |  MIN(CASE WHEN dn = (SELECT MAX(dn) FROM d) THEN v END)
         |    AS at_value
         |FROM d GROUP BY n_ref, n_cur""".stripMargin,
+    "q_orders_winsorized" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority,
+        |    CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |    CAST(SUM(ct) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY v) AS BIGINT) AS cum_le,
+        |    CAST(SUM(ct) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS n
+        |  FROM h),
+        |k AS (
+        |  SELECT *, (n * 50000 + 999999) // 1000000 AS k_lo,
+        |    (n * 950000 + 999999) // 1000000 AS k_hi
+        |  FROM r),
+        |c AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN cum_le >= k_lo THEN v END)
+        |      OVER (PARTITION BY o_orderpriority) AS v_lo,
+        |    MIN(CASE WHEN cum_le >= k_hi THEN v END)
+        |      OVER (PARTITION BY o_orderpriority) AS v_hi
+        |  FROM k)
+        |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(v_lo) AS BIGINT) AS v_lo,
+        |  CAST(MAX(v_hi) AS BIGINT) AS v_hi,
+        |  CAST(CAST(SUM(ct * v) AS HUGEINT) * 1000 // MAX(n)
+        |    AS BIGINT) AS raw_mean_milli,
+        |  CAST(CAST(SUM(ct * GREATEST(LEAST(v, v_hi), v_lo))
+        |    AS HUGEINT) * 1000 // MAX(n) AS BIGINT)
+        |    AS wins_mean_milli
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_orders_benford" ->
       """WITH b(digit, benford_ppm) AS (
         |  VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910),

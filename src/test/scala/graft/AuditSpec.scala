@@ -274,6 +274,50 @@ class AuditSpec extends SparkSpec {
       Seq(devs / 2))
   }
 
+  test("burstiness: metronomic feed scores 0, bursty feed far " +
+      "above 1000 milli, single-day type NULL") {
+    // flat: 4 days x 5 events; bursty: 3 quiet days + 1 spike;
+    // solo: one day only (variance undefined)
+    def rows(tp: String, perDay: Seq[Int]) =
+      perDay.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n)((tp, s"2024-04-0${i + 1} 08:00:00"))
+      }
+    val df = (rows("flat", Seq(5, 5, 5, 5)) ++
+      rows("burst", Seq(1, 1, 1, 37)) ++
+      rows("solo", Seq(9)))
+      .toDF("event_type", "s")
+      .select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    val out = graft.ops.Audit.burstiness(df)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("flat").getAs[Long]("fano_milli") === 0L)
+    // burst: n=4, sum=40, sum_x2=1372; (4*1372-1600)*1000/(3*40)
+    // = 3888000/120 = 32400
+    assert(out("burst").getAs[Long]("fano_milli") === 32400L)
+    assert(out("burst").getAs[Long]("mean_milli") === 10000L)
+    val solo = out("solo")
+    assert(solo.isNullAt(solo.fieldIndex("fano_milli")))
+  }
+
+  test("winsorizedMean: exact clip points from the histogram, " +
+      "outlier crushed, degenerate tails clip nothing") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L),
+      ("g", 100L)).toDF("grp", "x")
+    // 20/80: k_lo=1 -> v_lo=1, k_hi=4 -> v_hi=4; clipped sum 14
+    val r = graft.ops.Audit
+      .winsorizedMean(df, "x", Seq("grp"), 200000L, 800000L)
+      .collect().head
+    assert(r.getAs[Long]("v_lo") === 1L)
+    assert(r.getAs[Long]("v_hi") === 4L)
+    assert(r.getAs[Long]("raw_mean_milli") === 22000L)
+    assert(r.getAs[Long]("wins_mean_milli") === 2800L)
+    // default 5/95 with n=5: k_hi=5 -> v_hi=max -> nothing clips
+    val d = graft.ops.Audit
+      .winsorizedMean(df, "x", Seq("grp"))
+      .collect().head
+    assert(d.getAs[Long]("wins_mean_milli") ===
+      d.getAs[Long]("raw_mean_milli"))
+  }
+
   test("rocAucInfluence: dropping the noise group raises AUC, " +
       "dropping the signal group destroys it") {
     // A separates perfectly (pos@10/neg@1), B anti-separates
