@@ -111,6 +111,8 @@ object Graft {
     def redactPii: DataFrame = ops.Text.piiRedact(docs)
     def repetitionSignals: DataFrame = ops.Text.repetitionStats(docs)
     def qualityScored: DataFrame = ops.Text.qualityScore(docs)
+    /** Gopher/MassiveText rule-bundle gate: exact ppm/milli flags. */
+    def gopherRuled: DataFrame = ops.Text.gopherRules(docs)
     /** Token-distribution Shannon entropy (exact q20 integers). */
     def tokenEntropy: DataFrame = ops.Text.tokenEntropy(docs)
     /** Snapshot diff against a newer corpus version (by content

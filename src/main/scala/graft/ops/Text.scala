@@ -2923,6 +2923,56 @@ object Text {
       .select(col("doc_id"), col(groupCol), col("n_group"))
   }
 
+  /** Gopher-style rule-based quality gate — the MassiveText/Gopher
+    * filter bundle as one per-doc flag table, the deterministic
+    * sibling of [[qualityScore]]'s blended score and
+    * [[classifierScore]]'s learned gate (production curation runs
+    * ALL THREE and audits their agreement via
+    * [[filterAgreementKappa]]): mean word length must sit in
+    * [3, 10] characters, the symbol budget (`#` plus literal `...`
+    * runs) must stay under 10% of words, at least 80% of words must
+    * carry an alphabetic character, and at least 2 stopword hits
+    * must appear (the "is this prose at all" floor). Everything is
+    * exact integer ppm/milli arithmetic over whitespace tokens —
+    * scan-stage only, no shuffle, no model.
+    *
+    * Empty / whitespace-only docs are excluded (no words to judge —
+    * gate them on length upstream).
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nW = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val nHash = length(col("text")) -
+      length(expr("replace(text, '#', '')"))
+    val nEll = (length(col("text")) -
+      length(expr("replace(text, '...', '')"))) / 3
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      .cast("long")
+    val nStop = size(filter(toks,
+      t => array_contains(lit(stopwords.toArray), lower(t))))
+      .cast("long")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), nW.as("n_words"), sumLen.as("sum_len"),
+        (nHash + nEll).cast("long").as("n_symbols"),
+        nAlpha.as("n_alpha"), nStop.as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        expr("sum_len * 1000 div n_words").as("mean_wlen_milli"),
+        expr("n_symbols * 1000000 div n_words").as("symbol_ppm"),
+        expr("n_alpha * 1000000 div n_words").as("alpha_ppm"),
+        col("n_stop"))
+      .withColumn("pass_wlen",
+        col("mean_wlen_milli") >= 3000 && col("mean_wlen_milli") <= 10000)
+      .withColumn("pass_symbol", col("symbol_ppm") < 100000)
+      .withColumn("pass_alpha", col("alpha_ppm") >= 800000)
+      .withColumn("pass_stop", col("n_stop") >= 2)
+      .withColumn("pass_gopher",
+        col("pass_wlen") && col("pass_symbol") &&
+          col("pass_alpha") && col("pass_stop"))
+  }
+
   /** Leave-one-source-out (jackknife) influence of each source on a
     * corpus-level mean — the "which feed moves the metric" audit
     * that turns a single corpus average into an attribution table:

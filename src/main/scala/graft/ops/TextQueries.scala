@@ -151,6 +151,12 @@ object TextQueries {
         q.filter(col("doc_id") % 2 === 0),
         q.filter(col("doc_id") % 2 === 1), "q_milli")
     }),
+    // Gopher/MassiveText rule-bundle gate: exact ppm/milli flags per
+    // doc, scan-stage only — the deterministic third opinion next to
+    // the blended score and the learned classifier
+    "q_text_gopher_rules" -> ((s, d) =>
+      Text.gopherRules(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     // Theil T inequality of the capped-length budget with its exact
     // between/within source decomposition — q20 lns of COUNTS/SUMS
     // only (eventPmi convention), histogram-rollup shaped
@@ -806,6 +812,43 @@ object TextQueries {
          |FROM cc LEFT JOIN cc nx ON nx.c = cc.c + 1
          |CROSS JOIN t
          |ORDER BY cc.c""".stripMargin,
+    "q_text_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, x -> length(x)))
+         |      AS BIGINT) AS sum_len,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |      + (length(text) - length(replace(text, '...', '')))
+         |        // 3 AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(toks,
+         |      x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+         |      AS n_alpha,
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, lower(x)))) AS BIGINT)
+         |      AS n_stop
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id, n_words,
+         |    sum_len * 1000 // n_words AS mean_wlen_milli,
+         |    n_symbols * 1000000 // n_words AS symbol_ppm,
+         |    n_alpha * 1000000 // n_words AS alpha_ppm,
+         |    n_stop
+         |  FROM r)
+         |SELECT doc_id, n_words, mean_wlen_milli, symbol_ppm,
+         |  alpha_ppm, n_stop,
+         |  mean_wlen_milli >= 3000 AND mean_wlen_milli <= 10000
+         |    AS pass_wlen,
+         |  symbol_ppm < 100000 AS pass_symbol,
+         |  alpha_ppm >= 800000 AS pass_alpha,
+         |  n_stop >= 2 AS pass_stop,
+         |  (mean_wlen_milli >= 3000 AND mean_wlen_milli <= 10000)
+         |    AND symbol_ppm < 100000 AND alpha_ppm >= 800000
+         |    AND n_stop >= 2 AS pass_gopher
+         |FROM m ORDER BY doc_id""".stripMargin,
     "q_text_theil" ->
       """WITH hist AS (
         |  SELECT source AS grp,

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 262,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 262")
-    assert(SparkEntry.oracleSql.size == 249,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 249")
+    assert(SparkEntry.queries.size == 263,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 263")
+    assert(SparkEntry.oracleSql.size == 250,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 250")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -282,6 +282,7 @@ class GraftApiSpec extends SparkSpec {
       "piiRedact" -> "redactPii",
       "repetitionStats" -> "repetitionSignals",
       "qualityScore" -> "qualityScored", "langGuess" -> "langGuessed",
+      "gopherRules" -> "gopherRuled",
       "tokenStats" -> "tokenStats",
       "bpeTokenStats" -> "bpeTokenCounts",
       "ngramJaccard" -> "ngramJaccardOver",

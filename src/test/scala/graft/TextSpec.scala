@@ -1854,6 +1854,35 @@ class TextSpec extends SparkSpec {
       s50((32, 4)) < s50((8, 16)) && s50((8, 16)) < s50((4, 32)))
   }
 
+  test("gopherRules: each rule trips independently on a planted doc, " +
+      "prose passes all four") {
+    val docs = Seq(
+      // healthy prose: the/and stopwords, alpha words, no symbols
+      (1L, "the quick brown fox jumps over the lazy dog and runs"),
+      // symbol storm: '#'s and '...' runs blow the 10% budget
+      (2L, "the # price # is # up # and # more # ... # ... the end"),
+      // short words: mean word length below 3000 milli
+      (3L, "a b c d e f g h is the"),
+      // numbers only: alpha ratio and stopword floor both fail
+      (4L, "12 34 56 78 90 11 22 33"),
+      (5L, "   ")                         // whitespace-only: dropped
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Text.gopherRules(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(5L))
+    val ok = out(1L)
+    assert(ok.getAs[Boolean]("pass_gopher"))
+    assert(ok.getAs[Long]("n_stop") >= 2L)
+    assert(!out(2L).getAs[Boolean]("pass_symbol"))
+    assert(out(2L).getAs[Boolean]("pass_stop"))
+    assert(!out(3L).getAs[Boolean]("pass_wlen"))
+    assert(!out(4L).getAs[Boolean]("pass_alpha"))
+    assert(!out(4L).getAs[Boolean]("pass_stop"))
+    assert(!out(4L).getAs[Boolean]("pass_gopher"))
+    // exact arithmetic spot check: doc 3 has 10 words, 13 chars
+    assert(out(3L).getAs[Long]("mean_wlen_milli") === 1300L)
+  }
+
   test("sourceInfluence: leave-one-out milli means, sign semantics, " +
       "single-source NULL") {
     // A: {10,10} B: {40} C: {40} -> mean_all = 100*1000/5... wait:
