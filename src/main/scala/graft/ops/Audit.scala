@@ -580,6 +580,49 @@ object Audit {
         (col("s_lo") > col("thresh_h")).as("alarm_lo"))
   }
 
+  /** Functional-dependency audit — does column A determine column
+    * B? The schema-governance primitive behind "can we normalize
+    * this out / trust this as a lookup key": for the candidate FD
+    * `lhs → rhs`, the minimum number of rows that would have to
+    * change for it to hold exactly (per lhs value, everything
+    * outside the majority rhs is a violation:
+    * `violations = Σ_a (n_a − max_b n_{a,b})`), plus the violating
+    * key count and the exact violation ppm. `holds` means zero
+    * violations. NULLs in either column are excluded (SQL FDs are
+    * defined over non-null tuples here; count null mass separately
+    * with a completeness check).
+    *
+    * Shape at scale: one partial-aggregated scan to the
+    * (lhs, rhs) pair rollup, a rollup-sized groupBy to per-lhs
+    * majorities, one aggregate row out. No windows, no joins.
+    */
+  def fdAudit(
+      df: DataFrame,
+      lhs: String,
+      rhs: String
+  ): DataFrame = {
+    val pairs = df
+      .filter(col(lhs).isNotNull && col(rhs).isNotNull)
+      .groupBy(col(lhs).as("a"), col(rhs).as("b"))
+      .agg(count(lit(1)).as("ct"))
+    pairs.groupBy(col("a"))
+      .agg(sum(col("ct")).as("n_a"), max(col("ct")).as("max_b"),
+        count(lit(1)).as("n_b_distinct"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n_a")).as("n_rows"),
+        sum(col("n_a") - col("max_b")).as("violations"),
+        sum(when(col("n_b_distinct") > 1, 1L).otherwise(0L))
+          .as("violating_keys"))
+      .select(
+        lit(s"$lhs->$rhs").as("fd"),
+        col("n_rows"), col("n_keys"), col("violating_keys"),
+        col("violations"),
+        expr("""CAST(CAST(violations AS DECIMAL(38,0)) * 1000000
+          div n_rows AS BIGINT)""").as("violation_ppm"),
+        (col("violations") === 0L).as("holds"))
+  }
+
   /** Burstiness (Fano factor / index of dispersion) of the daily
     * event count per type — the overdispersion audit that separates
     * organic traffic from bot storms and double-fires: a Poisson

@@ -230,6 +230,17 @@ object RelationalQueries {
         o.filter(col("o_orderkey") % 2 === 1),
         "price_dollars")
     }),
+    // functional-dependency audit: the key FD
+    // c_custkey -> c_mktsegment holds (zero repair distance) while
+    // c_nationkey -> c_mktsegment fails with a measured violation
+    // ppm — both candidates in one union
+    "q_cust_fd" -> ((s, d) =>
+      Audit.fdAudit(Tables.customer(s, d), "c_custkey",
+          "c_mktsegment")
+        .unionByName(
+          Audit.fdAudit(Tables.customer(s, d), "c_nationkey",
+            "c_mktsegment"))
+        .orderBy(col("fd"))),
     // exact winsorized mean of dollar-quantized order prices per
     // priority (5%/95% clip points from the per-group value
     // histogram, no per-row sort) vs the raw mean
@@ -1153,6 +1164,38 @@ object RelationalQueries {
         |  MIN(CASE WHEN dn = (SELECT MAX(dn) FROM d) THEN v END)
         |    AS at_value
         |FROM d GROUP BY n_ref, n_cur""".stripMargin,
+    "q_cust_fd" ->
+      """WITH fd AS (
+        |  SELECT 'c_custkey->c_mktsegment' AS fd,
+        |    CAST(c_custkey AS VARCHAR) AS a, c_mktsegment AS b
+        |  FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'c_nationkey->c_mktsegment',
+        |    CAST(c_nationkey AS VARCHAR), c_mktsegment
+        |  FROM customer
+        |  WHERE c_nationkey IS NOT NULL
+        |    AND c_mktsegment IS NOT NULL),
+        |pairs AS (
+        |  SELECT fd, a, b, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM fd GROUP BY 1, 2, 3),
+        |perA AS (
+        |  SELECT fd, a, CAST(SUM(ct) AS BIGINT) AS n_a,
+        |    CAST(MAX(ct) AS BIGINT) AS max_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_b_distinct
+        |  FROM pairs GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(n_a) AS BIGINT) AS n_rows,
+        |    CAST(SUM(n_a - max_b) AS BIGINT) AS violations,
+        |    CAST(SUM(CASE WHEN n_b_distinct > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violating_keys
+        |  FROM perA GROUP BY 1)
+        |SELECT fd, n_rows, n_keys, violating_keys, violations,
+        |  CAST(CAST(violations AS HUGEINT) * 1000000 // n_rows
+        |    AS BIGINT) AS violation_ppm,
+        |  violations = 0 AS holds
+        |FROM agg ORDER BY fd""".stripMargin,
     "q_orders_winsorized" ->
       """WITH h AS (
         |  SELECT o_orderpriority,

@@ -274,6 +274,31 @@ class AuditSpec extends SparkSpec {
       Seq(devs / 2))
   }
 
+  test("fdAudit: exact repair distance, violating-key count, " +
+      "holds flag, null exclusion") {
+    // a=1 maps to x,x,y (majority x, 1 violation); a=2 clean;
+    // a=3 ties 1-1 (majority either way -> 1 violation)
+    val df = Seq(
+      (Some(1), Some("x")), (Some(1), Some("x")), (Some(1), Some("y")),
+      (Some(2), Some("z")), (Some(2), Some("z")),
+      (Some(3), Some("p")), (Some(3), Some("q")),
+      (None, Some("w")), (Some(9), None))
+      .toDF("a0", "b0")
+    val r = graft.ops.Audit.fdAudit(df, "a0", "b0").collect().head
+    assert(r.getAs[String]("fd") === "a0->b0")
+    assert(r.getAs[Long]("n_rows") === 7L)
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("violating_keys") === 2L)
+    assert(r.getAs[Long]("violations") === 2L)
+    assert(r.getAs[Long]("violation_ppm") === 285714L)
+    assert(!r.getAs[Boolean]("holds"))
+    // an exact FD holds with zero violations
+    val clean = Seq((1, "m"), (1, "m"), (2, "n")).toDF("a0", "b0")
+    val c = graft.ops.Audit.fdAudit(clean, "a0", "b0").collect().head
+    assert(c.getAs[Boolean]("holds"))
+    assert(c.getAs[Long]("violations") === 0L)
+  }
+
   test("burstiness: metronomic feed scores 0, bursty feed far " +
       "above 1000 milli, single-day type NULL") {
     // flat: 4 days x 5 events; bursty: 3 quiet days + 1 spike;

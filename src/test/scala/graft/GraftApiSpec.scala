@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 263,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 263")
-    assert(SparkEntry.oracleSql.size == 250,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 250")
+    assert(SparkEntry.queries.size == 264,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 264")
+    assert(SparkEntry.oracleSql.size == 251,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 251")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
