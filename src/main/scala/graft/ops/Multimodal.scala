@@ -292,6 +292,56 @@ object Multimodal {
         ceil(col("width") * col("scale")).cast("int").as("out_w"),
         ceil(col("height") * col("scale")).cast("int").as("out_h"))
 
+  /** Deterministic per-epoch augmentation schedule — the
+    * reproducibility primitive of a vision training pipeline: every
+    * (image, epoch) pair gets its horizontal-flip bit, crop window,
+    * and rotation bucket from the md5-60 draw of `"doc:epoch:aug"`,
+    * so any worker (or a re-run months later) regenerates the
+    * IDENTICAL augmentation stream with no stored state and no RNG
+    * — the same engine-bitwise md5 family that makes the decode
+    * stubs oracle-checkable. The crop keeps `cropKeepPpm` of each
+    * side and slides the window by a draw-derived fraction of the
+    * slack; `rot_bucket ∈ {-1, 0, 1}` (90° steps). Exact integer
+    * arithmetic end to end.
+    *
+    * Shape at scale: scan-stage only — an `explode` over the
+    * epoch sequence (k rows per image) and per-row hashing; no
+    * shuffle, no state.
+    */
+  def augmentationPlan(
+      decoded: DataFrame,
+      epochs: Int = 2,
+      cropKeepPpm: Long = 900000L
+  ): DataFrame = {
+    require(epochs >= 1 && cropKeepPpm >= 1 && cropKeepPpm <= 1000000L,
+      s"epochs/cropKeepPpm invalid: $epochs/$cropKeepPpm")
+    decoded
+      .filter(col("ok") && col("width") > 0 && col("height") > 0)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .withColumn("epoch",
+        explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("draw", expr(
+        """CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',
+          CAST(epoch AS STRING), ':aug')), 1, 15), 16, 10)
+          AS BIGINT)"""))
+      .withColumn("hflip", expr("draw % 2 = 1"))
+      .withColumn("off_x_ppm", expr("(draw div 2) % 1000001"))
+      .withColumn("off_y_ppm",
+        expr("(draw div 2 div 1000001) % 1000001"))
+      .withColumn("rot_bucket",
+        expr("CAST((draw div 2 div 1000001 div 1000001) % 3 - 1 AS INT)"))
+      .withColumn("crop_w", expr(s"width * $cropKeepPpm div 1000000"))
+      .withColumn("crop_h", expr(s"height * $cropKeepPpm div 1000000"))
+      .withColumn("crop_x",
+        expr("(width - crop_w) * off_x_ppm div 1000000"))
+      .withColumn("crop_y",
+        expr("(height - crop_h) * off_y_ppm div 1000000"))
+      .select(col("doc_id"), col("epoch"), col("width"),
+        col("height"), col("hflip"), col("crop_x"), col("crop_y"),
+        col("crop_w"), col("crop_h"), col("rot_bucket"))
+  }
+
   // === STUB ==========================================================
   /** Deterministic FAKE feature extractor: derives a `dim`-float
     * embedding from per-dimension MD5s of the payload (`payload:j` →

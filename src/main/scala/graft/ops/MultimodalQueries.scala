@@ -42,6 +42,12 @@ object MultimodalQueries {
       Multimodal.resizePlan(
         Multimodal.decodeMeta(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
+    // deterministic per-epoch augmentation schedule from md5-60
+    // draws: any worker regenerates the identical stream statelessly
+    "q_mm_augment_plan" -> ((s, d) =>
+      Multimodal.augmentationPlan(
+        Multimodal.decodeMeta(Tables.documents(s, d)), epochs = 2)
+        .orderBy(col("doc_id"), col("epoch"))),
     // per-source modality composition with exact ppm shares
     "q_mm_modality_mix" -> ((s, d) =>
       Multimodal.modalityMix(Tables.documents(s, d))),
@@ -222,6 +228,32 @@ object MultimodalQueries {
          |  CAST(ceil(width * scale) AS INT) AS out_w,
          |  CAST(ceil(height * scale) AS INT) AS out_h
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_mm_augment_plan" ->
+      s"""WITH $decodedCte,
+         |e AS (
+         |  SELECT d.doc_id, CAST(d.width AS BIGINT) AS width,
+         |    CAST(d.height AS BIGINT) AS height,
+         |    CAST(UNNEST(generate_series(0, 1)) AS INT) AS epoch
+         |  FROM decoded d),
+         |dr AS (
+         |  SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |    || ':' || CAST(epoch AS VARCHAR) || ':aug'), 1, 15))
+         |    AS BIGINT) AS draw
+         |  FROM e),
+         |p AS (
+         |  SELECT *, draw % 2 = 1 AS hflip,
+         |    (draw // 2) % 1000001 AS off_x_ppm,
+         |    (draw // 2 // 1000001) % 1000001 AS off_y_ppm,
+         |    CAST((draw // 2 // 1000001 // 1000001) % 3 - 1 AS INT)
+         |      AS rot_bucket,
+         |    width * 900000 // 1000000 AS crop_w,
+         |    height * 900000 // 1000000 AS crop_h
+         |  FROM dr)
+         |SELECT doc_id, epoch, width, height, hflip,
+         |  (width - crop_w) * off_x_ppm // 1000000 AS crop_x,
+         |  (height - crop_h) * off_y_ppm // 1000000 AS crop_y,
+         |  crop_w, crop_h, rot_bucket
+         |FROM p ORDER BY doc_id, epoch""".stripMargin,
     "q_mm_pair_filter" ->
       """WITH im AS (
         |  SELECT doc_id,

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 264,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 264")
-    assert(SparkEntry.oracleSql.size == 251,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 251")
+    assert(SparkEntry.queries.size == 265,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 265")
+    assert(SparkEntry.oracleSql.size == 252,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 252")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

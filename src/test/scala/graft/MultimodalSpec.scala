@@ -252,4 +252,42 @@ class MultimodalSpec extends SparkSpec {
     // pos_ppm = idx*1e6 div n
     assert(byDoc(3L).forall(r => r._4 == r._3 * 1000000L / 100))
   }
+
+  test("augmentationPlan: stateless determinism, crop windows stay " +
+      "in-bounds, epochs differ, both flip branches occur") {
+    import spark.implicits._
+    val decoded = (1L to 40L).map(i =>
+      (i, (i * 37 % 1920 + 1).toInt, (i * 53 % 1080 + 1).toInt, true))
+      .toDF("doc_id", "width", "height", "ok")
+    def plan() = graft.ops.Multimodal
+      .augmentationPlan(decoded, epochs = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("epoch")) -> r)
+      .toMap
+    val p1 = plan()
+    assert(p1.size === 120)
+    // regenerating yields the identical schedule — no stored state
+    val p2 = plan()
+    assert(p1.keySet === p2.keySet)
+    assert(p1.keys.forall { k =>
+      val (a, b) = (p1(k), p2(k))
+      a.getAs[Long]("crop_x") == b.getAs[Long]("crop_x") &&
+        a.getAs[Boolean]("hflip") == b.getAs[Boolean]("hflip") &&
+        a.getAs[Int]("rot_bucket") == b.getAs[Int]("rot_bucket")
+    })
+    // geometry invariants
+    assert(p1.values.forall { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (cx, cy) = (r.getAs[Long]("crop_x"), r.getAs[Long]("crop_y"))
+      val (cw, ch) = (r.getAs[Long]("crop_w"), r.getAs[Long]("crop_h"))
+      cx >= 0 && cy >= 0 && cx + cw <= w && cy + ch <= h &&
+        Set(-1, 0, 1)(r.getAs[Int]("rot_bucket"))
+    })
+    // epochs draw independently: some doc flips differently by epoch
+    assert((1L to 40L).exists { d =>
+      p1((d, 0)).getAs[Boolean]("hflip") !=
+        p1((d, 1)).getAs[Boolean]("hflip")
+    })
+    val flips = p1.values.map(_.getAs[Boolean]("hflip")).toSeq
+    assert(flips.contains(true) && flips.contains(false))
+  }
 }
