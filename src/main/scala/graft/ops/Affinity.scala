@@ -652,6 +652,56 @@ object Affinity {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * information-theoretic twin of [[cramersV]] (chi-square asks
+    * "how far from independence"; MI asks "how many nats does
+    * knowing A buy about B" — the quantity that decides whether a
+    * metadata column is worth conditioning a sampler or a mixture
+    * plan on): per observed cell the pointwise MI in the exact
+    * [[eventPmi]] q20 convention —
+    * `pmi = ln n_ab + ln N − ln n_a − ln n_b`, every ln a
+    * `⌊ln(integer count)·2²⁰⌋`, combined by integer ± — and the
+    * corpus MI as the count-weighted average
+    * `mi_q20 = Σ n_ab·pmi_q20 div N` (DECIMAL(38,0)/HUGEINT
+    * weighted sum), attached to every row (the benfordAudit
+    * posture). Absent cells contribute exactly zero mass to MI, so
+    * unlike chi-square NO domain completion is needed — the
+    * observed-cell rollup is the whole computation.
+    *
+    * Shape at scale: ONE scan to the |A|·|B|-bounded cell rollup;
+    * margins, the total, and the weighted MI all assemble as
+    * windows OVER THE ROLLUP (the [[cramersV]] shape — a margin
+    * groupBy per side would re-execute the scan once per branch,
+    * measured 10× slower at sf0.1). NULL categories excluded.
+    */
+  def categoricalMutualInfo(
+      df: DataFrame,
+      aCol: String,
+      bCol: String
+  ): DataFrame = {
+    def lnq20(c: Column): Column =
+      floor(log(c.cast("double")) * (1L << 20)).cast("long")
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val wA = Window.partitionBy(col("a"))
+    val wB = Window.partitionBy(col("b"))
+    val w = Window.partitionBy()
+    cells
+      .withColumn("n_a", sum(col("n_ab")).over(wA))
+      .withColumn("n_b", sum(col("n_ab")).over(wB))
+      .withColumn("n", sum(col("n_ab")).over(w))
+      .withColumn("pmi_q20",
+        lnq20(col("n_ab")) + lnq20(col("n")) -
+          lnq20(col("n_a")) - lnq20(col("n_b")))
+      .withColumn("mi_q20",
+        expr("""CAST(SUM(CAST(n_ab AS DECIMAL(38,0)) * pmi_q20)
+          OVER () div n AS BIGINT)"""))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n"), col("pmi_q20"), col("mi_q20"))
+  }
+
   /** Theil T inequality index with its between/within-group
     * decomposition — [[giniConcentration]]'s DECOMPOSABLE sibling
     * (Gini says how unequal the token budget is; Theil additionally

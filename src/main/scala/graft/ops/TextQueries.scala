@@ -151,6 +151,13 @@ object TextQueries {
         q.filter(col("doc_id") % 2 === 0),
         q.filter(col("doc_id") % 2 === 1), "q_milli")
     }),
+    // mutual information between source and lang in exact q20
+    // integer lns — how many nats does the source buy about the
+    // language (whether conditioning samplers on source is worth it)
+    "q_text_source_lang_mi" -> ((s, d) =>
+      Affinity.categoricalMutualInfo(
+        Tables.documents(s, d), "source", "lang")
+        .orderBy(col("a"), col("b"))),
     // Gopher/MassiveText rule-bundle gate: exact ppm/milli flags per
     // doc, scan-stage only — the deterministic third opinion next to
     // the blended score and the learned classifier
@@ -812,6 +819,38 @@ object TextQueries {
          |FROM cc LEFT JOIN cc nx ON nx.c = cc.c + 1
          |CROSS JOIN t
          |ORDER BY cc.c""".stripMargin,
+    "q_text_source_lang_mi" ->
+      """WITH cells AS (
+        |  SELECT source AS a, lang AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |at AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a
+        |  FROM cells GROUP BY 1),
+        |bt AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cells),
+        |sc AS (
+        |  SELECT cells.a, cells.b, cells.n_ab, at.n_a, bt.n_b, t.n,
+        |    CAST(FLOOR(LN(CAST(cells.n_ab AS DOUBLE)) * 1048576)
+        |      AS BIGINT)
+        |    + CAST(FLOOR(LN(CAST(t.n AS DOUBLE)) * 1048576)
+        |      AS BIGINT)
+        |    - CAST(FLOOR(LN(CAST(at.n_a AS DOUBLE)) * 1048576)
+        |      AS BIGINT)
+        |    - CAST(FLOOR(LN(CAST(bt.n_b AS DOUBLE)) * 1048576)
+        |      AS BIGINT) AS pmi_q20
+        |  FROM cells
+        |  JOIN at ON cells.a = at.a
+        |  JOIN bt ON cells.b = bt.b
+        |  CROSS JOIN t),
+        |mi AS (
+        |  SELECT CAST(SUM(CAST(n_ab AS HUGEINT) * pmi_q20)
+        |    // MAX(n) AS BIGINT) AS mi_q20
+        |  FROM sc)
+        |SELECT a, b, n_ab, n_a, n_b, n, pmi_q20, mi.mi_q20
+        |FROM sc CROSS JOIN mi ORDER BY a, b""".stripMargin,
     "q_text_gopher_rules" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $toksSql AS toks

@@ -299,6 +299,38 @@ class AffinitySpec extends SparkSpec {
     assert(r.getAs[Long]("lift_milli") === 1000L)
   }
 
+  test("categoricalMutualInfo: independence gives ~0, perfect " +
+      "coupling gives ln|A|, q20 matches a double reference") {
+    // independent 2x2 (every cell once): MI exactly 0 up to floor
+    val indep = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2))
+      .toDF("u", "v")
+    val i = graft.ops.Affinity.categoricalMutualInfo(indep, "u", "v")
+      .collect()
+    assert(math.abs(i.head.getAs[Long]("mi_q20")) <= 4L)
+    // perfect coupling over 2 symbols: MI = ln 2
+    val coupled = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2))
+      .toDF("u", "v")
+    val c = graft.ops.Affinity
+      .categoricalMutualInfo(coupled, "u", "v").collect()
+    val ln2q20 = math.floor(math.log(2.0) * (1 << 20)).toLong
+    assert(math.abs(c.head.getAs[Long]("mi_q20") - ln2q20) <= 4L)
+    // skewed hand case vs a double reference
+    val df = Seq(("x", 1), ("x", 1), ("x", 2), ("y", 2), ("y", 2))
+      .toDF("u", "v")
+    val rows = graft.ops.Affinity
+      .categoricalMutualInfo(df, "u", "v").collect()
+    val ref = {
+      // (n_a, n_b) per cell (x,1), (x,2), (y,2) with n_ab 2,1,2; N=5
+      val cells = Seq((3.0, 2.0), (3.0, 3.0), (2.0, 3.0))
+      val ns = Seq(2.0, 1.0, 2.0)
+      ns.zip(cells).map { case (nab, (na, nb)) =>
+        nab / 5.0 * math.log(nab * 5.0 / (na * nb))
+      }.sum
+    }
+    val got = rows.head.getAs[Long]("mi_q20").toDouble / (1 << 20)
+    assert(math.abs(got - ref) < 1e-3, s"got $got want $ref")
+  }
+
   test("theilDecomposition: equal-value group scores ~0, single " +
       "group has zero between term, q20 total tracks the real Theil") {
     val docs = Seq(

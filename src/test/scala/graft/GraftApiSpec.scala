@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 265,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 265")
-    assert(SparkEntry.oracleSql.size == 252,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 252")
+    assert(SparkEntry.queries.size == 266,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 266")
+    assert(SparkEntry.oracleSql.size == 253,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 253")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

@@ -132,6 +132,7 @@ class PlanSpec extends SparkSpec {
       "q_text_oov_rate" -> "token-frequency histogram head (vocab cap)",
       "q_text_quality_deciles_exact" -> "decile boundary frame (nBuckets rows)",
       "q_text_quality_pct" -> "quality histogram (distinct integer scores)",
+      "q_text_source_lang_mi" -> "observed |sources|×|langs| cell rollup (category-domain-bounded)",
       "q_text_spearman" -> "two capped-value histograms (≤ 2001 / ≤ 401 rows by construction)",
       "q_text_stopwords" -> "df-ratio >= 50% token set (stopword-sized by construction)",
       "q_text_vocab_growth" -> "coarse-cell histogram + nBuckets cum frames",
