@@ -577,6 +577,15 @@ object Graft {
     def kCoreAssigned(
         k: Int = 3, coreK: Int = 2, rounds: Int = 3): DataFrame =
       ops.Vector.kCoreAssigned(embs, k, coreK, rounds)
+    /** Newman degree assortativity of a precomputed kNN edge list
+      * (this frame must carry `vec_id`/`nbr_id`): pure-integer
+      * Pearson over both-orientation endpoint degrees. */
+    def degreeAssortativity(): DataFrame =
+      ops.Vector.degreeAssortativity(embs)
+    /** HITS hubs/authorities in q20 fixed point over a precomputed
+      * kNN edge list (this frame = edges; `nodes` = id domain). */
+    def hitsScores(nodes: DataFrame): DataFrame =
+      ops.Vector.hitsScores(embs, nodes)
     /** Per-label centroid drift against another embedding snapshot
       * (exact q16 integer skeleton + floor-ppm cosine). */
     def centroidDriftTo(other: DataFrame): DataFrame =

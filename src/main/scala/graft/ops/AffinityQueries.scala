@@ -112,6 +112,12 @@ object AffinityQueries {
     // the overdispersion screen (~1000 milli = Poisson-like)
     "q_events_burstiness" -> ((s, d) =>
       Audit.burstiness(Tables.events(s, d))
+        .orderBy(col("event_type"))),
+    // freshness-decayed event mix: per-day half-life weights as
+    // exact ppm integers (power-of-two decay), the recency-weighted
+    // sampling mix vs raw volume
+    "q_events_decay_mix" -> ((s, d) =>
+      Audit.freshnessDecay(Tables.events(s, d), maxAgeDays = 20)
         .orderBy(col("event_type")))
   )
 
@@ -555,6 +561,25 @@ object AffinityQueries {
         |      - CAST(sum_x AS HUGEINT) * sum_x) * 1000
         |      // (CAST(n_days - 1 AS HUGEINT) * sum_x) AS BIGINT)
         |  END AS fano_milli
-        |FROM a ORDER BY event_type""".stripMargin
+        |FROM a ORDER BY event_type""".stripMargin,
+    // per-day half-life freshness weights: 10^6 // 2^min(age,20) is
+    // an exact integer in both engines; value mass decays per
+    // element with C-style truncation (Spark div ≡ DuckDB //)
+    "q_events_decay_mix" ->
+      """WITH mx AS (
+        |  SELECT MAX(CAST(ts AS DATE)) AS asof_d FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    1000000 // (CAST(1 AS BIGINT) << CAST(LEAST(
+        |      date_diff('day', CAST(ts AS DATE), mx.asof_d), 20)
+        |      AS INT)) AS w_ppm,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_milli
+        |  FROM events, mx)
+        |SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(w_ppm) AS BIGINT) AS weight_ppm,
+        |  CAST(SUM(v_milli * w_ppm // 1000000) AS BIGINT)
+        |    AS decayed_value_milli
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -959,4 +959,210 @@ object Audit {
             div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)
             AS BIGINT)""")).as("auc_ppm")): _*)
   }
+
+  /** Exact reliability diagram (calibration curve) for a fixed-point
+    * score in `[0, 2^scaleBits)` against a 0/1 label — the hard term
+    * of the Murphy Brier decomposition. Bins the score into `nBins`
+    * equal-width buckets and emits, per bin, the exact integer
+    * evidence (count, label sum, score mass) plus the squared
+    * calibration gap `(mean predicted − observed rate)²` in q20 fixed
+    * point; the corpus reliability term is then `Σ n_k·gap_k² / N`,
+    * derivable from these integers without any further scan. The gap
+    * is computed entirely from per-bin integer sums with the
+    * cross-multiplied-before-divide discipline (DECIMAL(38,0)
+    * promotion first — BIGINT² × 2^20 overflows at corpus scale, the
+    * rocAuc lesson), so Spark and the SQL twin truncate identically.
+    *
+    * Shape at scale: one partial-aggregated scan → nBins rows. The
+    * cost profile equals a `count(*)` at 100 TB; no window, no join.
+    */
+  def reliabilityBins(
+      df: DataFrame,
+      scoreScaledCol: String,
+      labelCol: String,
+      scaleBits: Int,
+      nBins: Int
+  ): DataFrame = {
+    val scale = 1L << scaleBits
+    require(scale % nBins == 0, s"nBins must divide 2^$scaleBits")
+    val width = scale / nBins
+    df.select(
+        expr(s"CAST($scoreScaledCol AS BIGINT) div $width").as("bin"),
+        col(labelCol).cast("long").as("y"),
+        col(scoreScaledCol).cast("long").as("sc"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("sum_label"),
+        sum(col("sc")).as("sum_score_scaled"))
+      .withColumn("gap_sq_q20", expr(
+        s"""CAST((CAST(sum_score_scaled AS DECIMAL(38,0))
+           | - CAST($scale AS DECIMAL(38,0)) * sum_label)
+           | * (CAST(sum_score_scaled AS DECIMAL(38,0))
+           | - CAST($scale AS DECIMAL(38,0)) * sum_label)
+           | * 1048576
+           | div (CAST($scale AS DECIMAL(38,0)) * $scale * n * n)
+           | AS BIGINT)""".stripMargin))
+  }
+
+  /** Fleiss' kappa for `raterCols.size` binary raters over one item
+    * set — the multi-rater generalization of the pairwise Cohen's
+    * kappa ([[graft.ops.Text.filterAgreementKappa]]): with three or
+    * more quality gates in a curation stack, pairwise kappas miss
+    * coalitions (A agrees with B, B with C, yet the panel is noise).
+    * Per item the vote count k yields `k² + (n−k)² − n` agreeing
+    * rater pairs; three corpus integers (N, ΣA, ΣK) close the form:
+    *
+    *   kappa = (A·(Nn)² − Nn(n−1)·(K² + (Nn−K)²))
+    *         / (Nn(n−1)·((Nn)² − K² − (Nn−K)²))
+    *
+    * emitted as q20 fixed point via DECIMAL(38,0) cross-multiply.
+    * NULL when the chance-agreement denominator is zero (unanimous
+    * raters on every item). One scan, one 1-row reduce — the same
+    * cost as a count(*) regardless of corpus size.
+    */
+  def fleissKappa(df: DataFrame, raterCols: Seq[String]): DataFrame = {
+    val n = raterCols.size
+    require(n >= 2, "fleissKappa needs at least 2 raters")
+    val k = raterCols.map(c => col(c).cast("int")).reduce(_ + _)
+    df.select(k.cast("long").as("k"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(expr(s"k * k + ($n - k) * ($n - k) - $n"))
+          .as("pairs_agree"),
+        sum(col("k")).as("keeps"))
+      .withColumn("kappa_q20", expr(
+        s"""CASE WHEN CAST(n_items AS DECIMAL(38,0)) * $n * ${n - 1}
+           |   * ((CAST($n AS DECIMAL(38,0)) * n_items)
+           |        * ($n * n_items)
+           |      - CAST(keeps AS DECIMAL(38,0)) * keeps
+           |      - (CAST($n AS DECIMAL(38,0)) * n_items - keeps)
+           |        * ($n * n_items - keeps)) = 0 THEN NULL
+           | ELSE CAST(
+           |   (CAST(pairs_agree AS DECIMAL(38,0))
+           |      * ($n * n_items) * ($n * n_items)
+           |    - CAST(n_items AS DECIMAL(38,0)) * $n * ${n - 1}
+           |      * (CAST(keeps AS DECIMAL(38,0)) * keeps
+           |         + (CAST($n AS DECIMAL(38,0)) * n_items - keeps)
+           |           * ($n * n_items - keeps)))
+           |   * 1048576
+           |   div (CAST(n_items AS DECIMAL(38,0)) * $n * ${n - 1}
+           |     * ((CAST($n AS DECIMAL(38,0)) * n_items)
+           |          * ($n * n_items)
+           |        - CAST(keeps AS DECIMAL(38,0)) * keeps
+           |        - (CAST($n AS DECIMAL(38,0)) * n_items - keeps)
+           |          * ($n * n_items - keeps)))
+           |   AS BIGINT) END""".stripMargin))
+      .select(col("n_items").as("n_docs"), col("pairs_agree"),
+        col("keeps"), col("kappa_q20"))
+  }
+
+  /** Blocking-key audit for pairwise dedup: before running an O(Σb²)
+    * within-block comparison, measure what the key buys — pair
+    * completeness (fraction of ground-truth duplicate pairs that
+    * share a block; misses are unrecoverable) against reduction ratio
+    * (fraction of the C(N,2) full cross product the key prunes; this
+    * is the compute saved). Both are pure group-size counting:
+    * `Σ C(g,2)` over the truth key, the block key, and their
+    * conjunction — three partial-aggregated scans, six integers out,
+    * no pair is ever materialized, so the audit itself stays linear
+    * however bad the key is.
+    */
+  def blockingEval(
+      df: DataFrame,
+      truthKey: Column,
+      blockKey: Column
+  ): DataFrame = {
+    val base = df.select(truthKey.as("tk"), blockKey.as("bk"))
+    def pairSum(keys: Seq[String], out: String): DataFrame =
+      base.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as(out))
+    base.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(pairSum(Seq("tk"), "true_pairs"))
+      .crossJoin(pairSum(Seq("bk"), "cand_pairs"))
+      .crossJoin(pairSum(Seq("tk", "bk"), "covered_pairs"))
+      .select(col("n_rows"), col("true_pairs"), col("cand_pairs"),
+        col("covered_pairs"),
+        expr("""CASE WHEN true_pairs = 0 THEN NULL
+          ELSE covered_pairs * 1000000 div true_pairs END""")
+          .as("completeness_ppm"),
+        expr("""CASE WHEN n_rows < 2 THEN NULL
+          ELSE 1000000 - CAST(CAST(cand_pairs AS DECIMAL(38,0))
+            * 2000000 div (CAST(n_rows AS DECIMAL(38,0))
+            * (n_rows - 1)) AS BIGINT) END""")
+          .as("reduction_ppm"))
+  }
+
+  /** Deterministic half-sample (multiplier) bootstrap for the mean of
+    * an integer metric: replicate b keeps row i iff the MD5 parity of
+    * `id_b` is odd — multiplier weights in {0,2} have mean 1 and
+    * variance 1 (Poisson(1)'s first two moments), which is the
+    * double-or-nothing member of the multiplier-bootstrap family, and
+    * the hash makes every replicate exactly reproducible in both
+    * engines (the md5-family convention). Emits the full replicate
+    * table — per replicate the selected count, integer value sum, and
+    * truncated milli mean — so the caller reads any CI directly off
+    * the `reps` ordered means. Cost: ONE scan fanned ×reps on the map
+    * side, `reps` rows out, no shuffle wider than the replicate
+    * count; at 100 TB the fan-out stays embarrassingly parallel
+    * (no row ever leaves its partition before the rollup).
+    */
+  def halfSampleBootstrap(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      reps: Int = 32
+  ): DataFrame = {
+    require(reps >= 1, s"reps must be positive, got $reps")
+    df.select(col(idCol).as("__id"),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("rep",
+        explode(sequence(lit(0L), lit(reps - 1L))))
+      .withColumn("__p", expr(
+        """CAST(conv(substr(md5(concat(CAST(__id AS STRING), '_',
+          | CAST(rep AS STRING))), 1, 15), 16, 10) AS BIGINT)
+          | % 2""".stripMargin))
+      .groupBy(col("rep"))
+      .agg(
+        sum(col("__p")).as("n_sel"),
+        sum(col("__p") * col("__v")).as("sum_val"))
+      .withColumn("mean_milli", expr(
+        """CASE WHEN n_sel = 0 THEN NULL
+          | ELSE sum_val * 1000 div n_sel END""".stripMargin))
+  }
+
+  /** Freshness-decayed event mix: each event's weight halves per day
+    * of age relative to the newest event in the batch
+    * (`w = 10^6 div 2^min(age, maxAgeDays)` ppm — the power-of-two
+    * half-life keeps the weight an exact integer), then one rollup
+    * per event type gives the recency-weighted sampling mix a
+    * training pipeline feeds its data loader: raw volume says what a
+    * source HAS, decayed weight says what it has been producing
+    * LATELY. Value mass decays per element
+    * (`floor(value·1000) · w div 10^6` — truncation toward zero, the
+    * same C-style semantics in Spark `div` and the SQL twin's `//`)
+    * so the aggregate is an exact BIGINT. One scan + one broadcast
+    * 1-row max; no window.
+    */
+  def freshnessDecay(
+      events: DataFrame,
+      maxAgeDays: Int = 20
+  ): DataFrame = {
+    val asof = events.agg(max(to_date(col("ts"))).as("asof_d"))
+    events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_milli"))
+      .crossJoin(broadcast(asof))
+      .withColumn("w_ppm", expr(
+        s"""1000000 div shiftleft(CAST(1 AS BIGINT),
+           | CAST(LEAST(datediff(asof_d, d), $maxAgeDays)
+           | AS INT))""".stripMargin))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("w_ppm")).as("weight_ppm"),
+        sum(expr("v_milli * w_ppm div 1000000"))
+          .as("decayed_value_milli"))
+  }
 }

@@ -776,7 +776,48 @@ object TextQueries {
     // power-of-2 length bucketing: integer bit arithmetic end to end
     "q_text_length_buckets" -> ((s, d) =>
       Text.lengthBuckets(Tables.documents(s, d))
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+    // exact reliability diagram of the "longer ⇒ more likely
+    // English" score: 16 bins over an 11-bit capped length,
+    // per-bin integer evidence + q20 squared calibration gap (the
+    // Brier reliability term's per-bin contribution)
+    "q_text_reliability" -> ((s, d) =>
+      Audit.reliabilityBins(
+        Tables.documents(s, d).select(
+          least(col("n_chars"), lit(2047L)).as("score_scaled"),
+          (col("lang") === "en").cast("long").as("is_en")),
+        "score_scaled", "is_en", scaleBits = 11, nBins = 16)
+        .orderBy(col("bin"))),
+    // Fleiss' kappa across THREE quality gates (heuristic, logistic
+    // classifier, token-count rule) — the panel-level agreement the
+    // pairwise q_text_filter_kappa cannot see
+    "q_text_fleiss_kappa" -> ((s, d) => {
+      val q = Text.qualityScore(Tables.documents(s, d))
+      Audit.fleissKappa(q.select(
+        (col("quality") >= 0.5).as("keep_a"),
+        ((lit(0.25) + col("stopword_ratio") * 1.5 +
+          col("uniq_ratio") * -2.0 + col("len_score") * 0.75) >= 0.0)
+          .as("keep_b"),
+        (col("n_tokens").between(12, 300) &&
+          col("stopword_ratio") >= 0.05).as("keep_c")),
+        Seq("keep_a", "keep_b", "keep_c"))
+    }),
+    // blocking-key audit: does (lang, length-bucket) blocking keep
+    // the template-duplicate pairs (identical 40-char head) while
+    // pruning the cross product? pair completeness vs reduction
+    // ratio, pure group-size counting — no pair materialized
+    "q_text_blocking_eval" -> ((s, d) =>
+      Audit.blockingEval(Tables.documents(s, d),
+        truthKey = substring(col("text"), 1, 40),
+        blockKey = concat_ws("|", col("lang"),
+          expr("CAST(n_chars div 32 AS STRING)")))),
+    // deterministic half-sample bootstrap of mean tokens/doc: 32
+    // md5-parity replicates; any CI reads off the ordered means
+    "q_text_bootstrap_mean" -> ((s, d) =>
+      Audit.halfSampleBootstrap(
+        Text.tokenStats(Tables.documents(s, d)),
+        "doc_id", "n_tokens", reps = 32)
+        .orderBy(col("rep")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1267,6 +1308,130 @@ object TextQueries {
          |    ELSE (1000 * (n * (n11 + n00) - pen)) // (n * n - pen)
          |  END AS kappa_milli
          |FROM k""".stripMargin,
+    // per-bin integer evidence + q20 gap² — HUGEINT promoted BEFORE
+    // the square×2^20 product (BIGINT overflows at corpus scale),
+    // narrowed back for the hash compare
+    "q_text_reliability" ->
+      """WITH b AS (
+        |  SELECT LEAST(n_chars, 2047) AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT sc // 128 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sum_label,
+        |    CAST(SUM(sc) AS BIGINT) AS sum_score_scaled
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n, sum_label, sum_score_scaled,
+        |  CAST((CAST(sum_score_scaled AS HUGEINT) - 2048 * sum_label)
+        |    * (CAST(sum_score_scaled AS HUGEINT) - 2048 * sum_label)
+        |    * 1048576
+        |    // (CAST(2048 AS HUGEINT) * 2048 * n * n) AS BIGINT)
+        |    AS gap_sq_q20
+        |FROM a ORDER BY bin""".stripMargin,
+    // three-rater Fleiss' kappa; per-item vote count k gives
+    // k²+(3−k)²−3 agreeing pairs; the closed form divides exact
+    // HUGEINT cross-products (truncation toward zero, same as Spark
+    // div), narrowed back to BIGINT
+    "q_text_fleiss_kappa" ->
+      s"""WITH t AS (
+         |  SELECT n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT len(toks) AS n_tokens,
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS uniq_ratio,
+         |    CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 AS len_score
+         |  FROM t),
+         |f AS (
+         |  SELECT CAST(
+         |      CASE WHEN stopword_ratio * 0.25 + uniq_ratio * 0.5
+         |           + len_score * 0.25 >= 0.5 THEN 1 ELSE 0 END
+         |    + CASE WHEN 0.25 + stopword_ratio * 1.5
+         |           + uniq_ratio * -2.0
+         |           + len_score * 0.75 >= 0.0 THEN 1 ELSE 0 END
+         |    + CASE WHEN n_tokens BETWEEN 12 AND 300
+         |           AND stopword_ratio >= 0.05 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS k
+         |  FROM r),
+         |c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(k * k + (3 - k) * (3 - k) - 3) AS BIGINT)
+         |      AS pairs_agree,
+         |    CAST(SUM(k) AS BIGINT) AS keeps
+         |  FROM f)
+         |SELECT n_docs, pairs_agree, keeps,
+         |  CASE WHEN CAST(n_docs AS HUGEINT) * 3 * 2
+         |      * ((CAST(3 AS HUGEINT) * n_docs) * (3 * n_docs)
+         |         - CAST(keeps AS HUGEINT) * keeps
+         |         - (CAST(3 AS HUGEINT) * n_docs - keeps)
+         |           * (3 * n_docs - keeps)) = 0 THEN NULL
+         |  ELSE CAST(
+         |    (CAST(pairs_agree AS HUGEINT)
+         |       * (3 * n_docs) * (3 * n_docs)
+         |     - CAST(n_docs AS HUGEINT) * 3 * 2
+         |       * (CAST(keeps AS HUGEINT) * keeps
+         |          + (CAST(3 AS HUGEINT) * n_docs - keeps)
+         |            * (3 * n_docs - keeps)))
+         |    * 1048576
+         |    // (CAST(n_docs AS HUGEINT) * 3 * 2
+         |       * ((CAST(3 AS HUGEINT) * n_docs) * (3 * n_docs)
+         |          - CAST(keeps AS HUGEINT) * keeps
+         |          - (CAST(3 AS HUGEINT) * n_docs - keeps)
+         |            * (3 * n_docs - keeps)))
+         |    AS BIGINT) END AS kappa_q20
+         |FROM c""".stripMargin,
+    // blocking audit: Σ C(g,2) over truth key / block key / both;
+    // completeness and reduction are integer ppm divisions
+    "q_text_blocking_eval" ->
+      """WITH d AS (
+        |  SELECT substr(text, 1, 40) AS tk,
+        |    lang || '|' || CAST(n_chars // 32 AS VARCHAR) AS bk
+        |  FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM d),
+        |t AS (SELECT COALESCE(CAST(SUM(c * (c - 1) // 2) AS BIGINT),
+        |        0) AS true_pairs
+        |      FROM (SELECT COUNT(*) AS c FROM d GROUP BY tk)),
+        |b AS (SELECT COALESCE(CAST(SUM(c * (c - 1) // 2) AS BIGINT),
+        |        0) AS cand_pairs
+        |      FROM (SELECT COUNT(*) AS c FROM d GROUP BY bk)),
+        |cv AS (SELECT COALESCE(CAST(SUM(c * (c - 1) // 2) AS BIGINT),
+        |        0) AS covered_pairs
+        |      FROM (SELECT COUNT(*) AS c FROM d GROUP BY tk, bk))
+        |SELECT n_rows, true_pairs, cand_pairs, covered_pairs,
+        |  CASE WHEN true_pairs = 0 THEN NULL
+        |       ELSE covered_pairs * 1000000 // true_pairs
+        |  END AS completeness_ppm,
+        |  CASE WHEN n_rows < 2 THEN NULL
+        |       ELSE 1000000 - CAST(CAST(cand_pairs AS HUGEINT)
+        |         * 2000000 // (CAST(n_rows AS HUGEINT) * (n_rows - 1))
+        |         AS BIGINT)
+        |  END AS reduction_ppm
+        |FROM nn, t, b, cv""".stripMargin,
+    // md5-parity multiplier bootstrap: replicate b keeps doc i iff
+    // hash(id_b) is odd — bit-identical selection in both engines
+    "q_text_bootstrap_mean" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS n_tok
+         |  FROM documents),
+         |w AS (
+         |  SELECT g.i AS rep, t.n_tok,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+         |       || CAST(g.i AS VARCHAR)), 1, 15))::BIGINT % 2 AS p
+         |  FROM t, generate_series(0, 31) AS g(i))
+         |SELECT rep, CAST(SUM(p) AS BIGINT) AS n_sel,
+         |  CAST(SUM(p * n_tok) AS BIGINT) AS sum_val,
+         |  CASE WHEN SUM(p) = 0 THEN NULL
+         |       ELSE CAST(SUM(p * n_tok) * 1000 // SUM(p) AS BIGINT)
+         |  END AS mean_milli
+         |FROM w GROUP BY rep ORDER BY rep""".stripMargin,
     "q_text_exact_dup_groups" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_dups

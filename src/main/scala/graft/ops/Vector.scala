@@ -2848,4 +2848,89 @@ object Vector {
       .withColumn("term_q20", col("intra_q20") - col("deg_q20"))
       .orderBy(col("community"))
   }
+
+  /** Degree assortativity of the symmetrized kNN graph — do
+    * well-connected vectors link to other well-connected vectors
+    * (hub-cores, r > 0) or to the periphery (star topology, r < 0)?
+    * A strongly disassortative dedup graph means a few template
+    * exemplars dominate every neighborhood, which biases any
+    * sample-by-neighbor curation step. Newman's r over the
+    * both-orientations edge list makes the two marginals identical,
+    * so Pearson closes in PURE integers (no sqrt):
+    * `r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)` with M = 2·|E|,
+    * x,y the endpoint degrees — exact milli out, DECIMAL(38,0)
+    * cross-products (degree sums square past BIGINT at graph scale).
+    * Consumes the session-shared kNN graph: one distinct + one
+    * small self-join on the k·n edge list, never the n² build.
+    */
+  def degreeAssortativity(knn: DataFrame): DataFrame = {
+    val und = graft.Caches.track("vec", knn
+      .select(least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .distinct())
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.withColumnRenamed("v", "a")
+        .withColumnRenamed("deg", "deg_a"), "a")
+      .join(deg.withColumnRenamed("v", "b")
+        .withColumnRenamed("deg", "deg_b"), "b")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("deg_a") + col("deg_b")).as("sum_deg"),
+        sum(lit(2L) * col("deg_a") * col("deg_b")).as("sum_prod"),
+        sum(col("deg_a") * col("deg_a") +
+          col("deg_b") * col("deg_b")).as("sum_sq"))
+      .withColumn("assort_milli", expr(
+        """CASE WHEN 2 * n_edges * CAST(sum_sq AS DECIMAL(38,0))
+          |   - CAST(sum_deg AS DECIMAL(38,0)) * sum_deg = 0
+          | THEN NULL
+          | ELSE CAST((2 * n_edges * CAST(sum_prod AS DECIMAL(38,0))
+          |     - CAST(sum_deg AS DECIMAL(38,0)) * sum_deg) * 1000
+          |   div (2 * n_edges * CAST(sum_sq AS DECIMAL(38,0))
+          |     - CAST(sum_deg AS DECIMAL(38,0)) * sum_deg)
+          |   AS BIGINT) END""".stripMargin))
+  }
+
+  /** HITS hubs/authorities on the DIRECTED kNN graph in q20 integer
+    * fixed point — normalize-by-max instead of the L2 norm keeps
+    * every iterate an exact integer (`v·2^20 div max`), so the
+    * unrolled SQL twin reproduces the recurrence bit-for-bit (the
+    * knnPagerank discipline). Two meaningful half-steps past the
+    * uniform start (out-degree is constant k, so h₁ degenerates to
+    * uniform): a₁ ∝ in-degree, h₂ = who points at well-pointed-to
+    * vectors, a₂ = who is pointed at by those hubs. In a dedup/
+    * curation graph the authority tail ranks canonical exemplars;
+    * near-zero hubs mark vectors whose neighborhoods are noise.
+    * Cost: two edge-list joins + three 1-row maxima — linear in
+    * k·n, never n².
+    */
+  def hitsScores(knn: DataFrame, nodes: DataFrame): DataFrame = {
+    val e = knn.select(col("vec_id"), col("nbr_id"))
+    val q20 = 1048576L
+    val ind = e.groupBy(col("nbr_id").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val a1 = ind
+      .crossJoin(broadcast(ind.agg(max(col("c")).as("m"))))
+      .select(col("v"), expr(s"c * $q20 div m").as("a"))
+    val h2r = e.join(a1, e("nbr_id") === a1("v"), "left")
+      .groupBy(col("vec_id").as("v"))
+      .agg(sum(coalesce(col("a"), lit(0L))).as("hr"))
+    val h2 = h2r
+      .crossJoin(broadcast(h2r.agg(max(col("hr")).as("m"))))
+      .select(col("v"), expr(s"hr * $q20 div m").as("h"))
+    val a2r = e.join(h2, e("vec_id") === h2("v"), "left")
+      .groupBy(col("nbr_id").as("v"))
+      .agg(sum(coalesce(col("h"), lit(0L))).as("ar"))
+    val a2 = a2r
+      .crossJoin(broadcast(a2r.agg(max(col("ar")).as("m"))))
+      .select(col("v"), expr(s"ar * $q20 div m").as("a"))
+    nodes.select(col("vec_id"))
+      .join(h2.withColumnRenamed("v", "vec_id"), Seq("vec_id"), "left")
+      .join(a2.withColumnRenamed("v", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("h"), lit(0L)).as("hub_q20"),
+        coalesce(col("a"), lit(0L)).as("auth_q20"))
+  }
 }

@@ -285,6 +285,16 @@ object VectorQueries {
       Vector.linkPredictionAssigned(sublisted(s, d),
         k = 3, topN = 100,
         precomputedKnn = Some(knnGraphDf(s, d)))),
+    // Newman degree assortativity of the symmetrized edge set:
+    // both-orientations convention makes the marginals equal, so
+    // Pearson closes in pure integers — no sqrt, exact milli
+    "q_vec_assortativity" -> ((s, d) =>
+      Vector.degreeAssortativity(knnGraphDf(s, d))),
+    // HITS hubs/authorities in q20 fixed point (normalize-by-max):
+    // a1 ∝ in-degree, h2 and a2 unrolled identically in the twin
+    "q_vec_hits" -> ((s, d) =>
+      Vector.hitsScores(knnGraphDf(s, d), Tables.embeddings(s, d))
+        .orderBy(col("vec_id"))),
     // Newman modularity of the label communities on a coarse
     // (label % 4) kNN graph — coarser lists than communities so
     // cross-community edges exist and Q is non-vacuous; exact q20
@@ -1225,6 +1235,120 @@ object VectorQueries {
         |       ELSE 0 END AS coeff_ppm
         |FROM deg LEFT JOIN tv ON tv.v = deg.v
         |ORDER BY vec_id""".stripMargin,
+    // same kNN edge CTE stack, then Newman r over both-orientations
+    // endpoint degrees — pure-integer Pearson (equal marginals)
+    "q_vec_assortativity" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |ed AS MATERIALIZED (
+        |       SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+        |         GREATEST(vec_id, nbr_id) AS b
+        |       FROM r WHERE rk <= 3),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |          SELECT a AS v FROM ed
+        |          UNION ALL SELECT b FROM ed) GROUP BY 1),
+        |j AS (SELECT da.deg AS deg_a, db.deg AS deg_b
+        |      FROM ed JOIN deg da ON da.v = ed.a
+        |      JOIN deg db ON db.v = ed.b),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |        CAST(SUM(deg_a + deg_b) AS BIGINT) AS sum_deg,
+        |        CAST(SUM(2 * deg_a * deg_b) AS BIGINT) AS sum_prod,
+        |        CAST(SUM(deg_a * deg_a + deg_b * deg_b) AS BIGINT)
+        |          AS sum_sq
+        |      FROM j)
+        |SELECT n_edges, sum_deg, sum_prod, sum_sq,
+        |  CASE WHEN 2 * n_edges * CAST(sum_sq AS HUGEINT)
+        |       - CAST(sum_deg AS HUGEINT) * sum_deg = 0 THEN NULL
+        |  ELSE CAST((2 * n_edges * CAST(sum_prod AS HUGEINT)
+        |       - CAST(sum_deg AS HUGEINT) * sum_deg) * 1000
+        |    // (2 * n_edges * CAST(sum_sq AS HUGEINT)
+        |       - CAST(sum_deg AS HUGEINT) * sum_deg)
+        |    AS BIGINT) END AS assort_milli
+        |FROM s""".stripMargin,
+    // same kNN edge CTE stack, then the q20 normalize-by-max HITS
+    // recurrence unrolled: a1 ∝ in-degree, h2, a2 — exact integers
+    "q_vec_hits" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, nbr_id FROM r WHERE rk <= 3),
+        |ind AS (SELECT nbr_id AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM e GROUP BY 1),
+        |mi AS (SELECT MAX(c) AS m FROM ind),
+        |a1 AS (SELECT v, c * 1048576 // m AS a FROM ind, mi),
+        |h2r AS (SELECT e.vec_id AS v,
+        |          CAST(SUM(COALESCE(a1.a, 0)) AS BIGINT) AS hr
+        |        FROM e LEFT JOIN a1 ON a1.v = e.nbr_id GROUP BY 1),
+        |mh AS (SELECT MAX(hr) AS m FROM h2r),
+        |h2 AS (SELECT v, hr * 1048576 // m AS h FROM h2r, mh),
+        |a2r AS (SELECT e.nbr_id AS v,
+        |          CAST(SUM(COALESCE(h2.h, 0)) AS BIGINT) AS ar
+        |        FROM e LEFT JOIN h2 ON h2.v = e.vec_id GROUP BY 1),
+        |ma AS (SELECT MAX(ar) AS m FROM a2r),
+        |a2 AS (SELECT v, ar * 1048576 // m AS a FROM a2r, ma)
+        |SELECT emb.vec_id,
+        |  COALESCE(h2.h, 0) AS hub_q20,
+        |  COALESCE(a2.a, 0) AS auth_q20
+        |FROM embeddings emb
+        |LEFT JOIN h2 ON h2.v = emb.vec_id
+        |LEFT JOIN a2 ON a2.v = emb.vec_id
+        |ORDER BY emb.vec_id""".stripMargin,
     // the same kNN edge-set CTE stack as q_vec_triangle_coeff, then
     // 2-hop common-neighbor counts on the symmetrized list with a
     // non-edge anti filter and a deterministic top-100

@@ -481,4 +481,96 @@ class AuditSpec extends SparkSpec {
     assert(tvd("good") < 2000L, s"faithful group TVD ${tvd("good")}")
     assert(tvd("flat") > 200000L, s"flat group TVD ${tvd("flat")}")
   }
+
+  test("reliabilityBins: hand-computed q20 gaps per bin") {
+    // scale 2^3 = 8, 4 bins of width 2
+    val df = Seq((0L, 0L), (1L, 1L), (6L, 0L), (7L, 1L))
+      .toDF("sc", "y")
+    val bins = Audit.reliabilityBins(df, "sc", "y",
+      scaleBits = 3, nBins = 4)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_label"),
+          r.getAs[Long]("sum_score_scaled"),
+          r.getAs[Long]("gap_sq_q20"))).toMap
+    // bin 0: p̄ = 1/16, ō = 1/2 → gap² = (7/16)² → q20 = 200704
+    assert(bins(0L) == ((2L, 1L, 1L, 200704L)))
+    // bin 3: p̄ = 13/16, ō = 1/2 → gap² = (5/16)² → q20 = 102400
+    assert(bins(3L) == ((2L, 1L, 13L, 102400L)))
+  }
+
+  test("fleissKappa: perfect panel = q20 unity; unanimity on a " +
+      "single answer = NULL (zero chance denominator)") {
+    val perfect = Seq((true, true, true), (false, false, false))
+      .toDF("a", "b", "c")
+    val r1 = Audit.fleissKappa(perfect, Seq("a", "b", "c")).collect()
+    assert(r1.head.getAs[Long]("pairs_agree") === 12L)
+    assert(r1.head.getAs[Long]("kappa_q20") === 1048576L)
+    val unanimous = Seq((true, true, true), (true, true, true))
+      .toDF("a", "b", "c")
+    val r2 = Audit.fleissKappa(unanimous, Seq("a", "b", "c"))
+      .collect()
+    assert(r2.head.isNullAt(r2.head.fieldIndex("kappa_q20")))
+    // one split item: N=2, A = 6 + (4+1-3) = 8, K = 3+2 = 5
+    val mixed = Seq((true, true, true), (true, true, false))
+      .toDF("a", "b", "c")
+    val r3 = Audit.fleissKappa(mixed, Seq("a", "b", "c")).collect()
+    assert(r3.head.getAs[Long]("pairs_agree") === 8L)
+    // num = 8·36 − 12·(25+1) = −24; den = 12·(36−25−1) = 120
+    // → kappa_q20 = trunc(−24·2^20/120) = −209715
+    assert(r3.head.getAs[Long]("kappa_q20") === -209715L)
+  }
+
+  test("blockingEval: completeness and reduction from planted " +
+      "group structure") {
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("c", "y"))
+      .toDF("truth", "blk")
+    val r = Audit.blockingEval(df, col("truth"), col("blk"))
+      .collect().head
+    assert(r.getAs[Long]("true_pairs") === 1L)
+    assert(r.getAs[Long]("cand_pairs") === 3L)
+    assert(r.getAs[Long]("covered_pairs") === 1L)
+    assert(r.getAs[Long]("completeness_ppm") === 1000000L)
+    // 1 − 3/C(4,2) = 1 − 1/2
+    assert(r.getAs[Long]("reduction_ppm") === 500000L)
+  }
+
+  test("freshnessDecay: power-of-two half-life weights, capped age, " +
+      "per-element truncating value decay") {
+    val df = Seq(
+      ("click", Timestamp.valueOf("2024-01-30 12:00:00"), 2.5),
+      ("click", Timestamp.valueOf("2024-01-29 08:00:00"), 2.5),
+      ("view", Timestamp.valueOf("2024-01-01 00:00:00"), 1000.0)
+    ).toDF("event_type", "ts", "value")
+    val m = Audit.freshnessDecay(df, maxAgeDays = 20)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("weight_ppm"),
+          r.getAs[Long]("decayed_value_milli"))).toMap
+    // click: ages 0 and 1 → 10^6 + 5·10^5; values 2500·w div 10^6
+    assert(m("click") == ((2L, 1500000L, 2500L + 1250L)))
+    // view: age 29 capped at 20 → 10^6 div 2^20 = 0 ppm
+    assert(m("view") == ((1L, 0L, 0L)))
+  }
+
+  test("halfSampleBootstrap: deterministic replicates, exact " +
+      "mean arithmetic, honest selection parity") {
+    val df = (1L to 100L).map(i => (i, 7L)).toDF("id", "v")
+    val runA = Audit.halfSampleBootstrap(df, "id", "v", reps = 8)
+      .orderBy(col("rep")).collect()
+    assert(runA.length === 8)
+    runA.foreach { r =>
+      val nSel = r.getAs[Long]("n_sel")
+      // P(all-in or all-out) = 2^-99 — a failure here means the
+      // hash is not splitting
+      assert(nSel > 0L && nSel < 100L)
+      assert(r.getAs[Long]("sum_val") === nSel * 7L)
+      assert(r.getAs[Long]("mean_milli") === 7000L)
+    }
+    // bit-identical reproducibility (pure hash, no RNG state)
+    val runB = Audit.halfSampleBootstrap(df, "id", "v", reps = 8)
+      .orderBy(col("rep")).collect()
+    assert(runA.map(_.toSeq).toSeq == runB.map(_.toSeq).toSeq)
+    // replicates differ from each other (the hash mixes rep into
+    // the selection)
+    assert(runA.map(_.getAs[Long]("n_sel")).distinct.length > 1)
+  }
 }

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 266,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 266")
-    assert(SparkEntry.oracleSql.size == 253,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 253")
+    assert(SparkEntry.queries.size == 273,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 273")
+    assert(SparkEntry.oracleSql.size == 260,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 260")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -401,6 +401,8 @@ class GraftApiSpec extends SparkSpec {
       "linkPredictionAssigned" -> "linkPredictionAssigned",
       "centroidDriftQ16" -> "centroidDriftTo",
       "kCoreAssigned" -> "kCoreAssigned",
+      "degreeAssortativity" -> "degreeAssortativity",
+      "hitsScores" -> "hitsScores",
       "leakageSafeSplit" -> "leakageSafeSplitBy",
       "isotropyAuditQ16" -> "isotropyAudit",
       "binarize" -> "binarized",

@@ -1421,4 +1421,32 @@ class VectorSpec extends SparkSpec {
     assert(ratios.forall(r => r > 100000L && r < 4000000L),
       s"ratios=${ratios.toSeq}")
   }
+
+  test("degreeAssortativity: perfect star = -1000 milli; " +
+      "degree-regular graph = NULL (zero variance)") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("vec_id", "nbr_id")
+    val r1 = Vec.degreeAssortativity(star).collect().head
+    assert(r1.getAs[Long]("n_edges") === 3L)
+    assert(r1.getAs[Long]("assort_milli") === -1000L)
+    // C4 cycle: every degree 2 -> zero degree variance -> NULL
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("vec_id", "nbr_id")
+    val r2 = Vec.degreeAssortativity(cycle).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("assort_milli")))
+  }
+
+  test("hitsScores: hand-unrolled q20 recurrence on a 3-node graph") {
+    val edges = Seq((0L, 1L), (2L, 1L), (1L, 2L))
+      .toDF("vec_id", "nbr_id")
+    val nodes = Seq(0L, 1L, 2L).toDF("vec_id")
+    val m = Vec.hitsScores(edges, nodes).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("hub_q20"), r.getAs[Long]("auth_q20"))).toMap
+    // a1: {1: 2^20, 2: 2^19}; h2: {0: 2^20, 2: 2^20, 1: 2^19};
+    // a2 raw: {1: 2^21, 2: 2^19} -> normalized {1: 2^20, 2: 2^18}
+    assert(m(0L) == ((1048576L, 0L)))
+    assert(m(1L) == ((524288L, 1048576L)))
+    assert(m(2L) == ((1048576L, 262144L)))
+  }
 }
