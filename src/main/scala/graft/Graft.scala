@@ -577,6 +577,10 @@ object Graft {
     def kCoreAssigned(
         k: Int = 3, coreK: Int = 2, rounds: Int = 3): DataFrame =
       ops.Vector.kCoreAssigned(embs, k, coreK, rounds)
+    /** Simplified (centroid) silhouette per label cluster: q16-exact
+      * centroids, ordered dim folds, exact milli aggregates. */
+    def silhouetteByLabel(): DataFrame =
+      ops.Vector.silhouetteSimplified(embs)
     /** Newman degree assortativity of a precomputed kNN edge list
       * (this frame must carry `vec_id`/`nbr_id`): pure-integer
       * Pearson over both-orientation endpoint degrees. */

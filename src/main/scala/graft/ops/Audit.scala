@@ -1094,6 +1094,38 @@ object Audit {
           .as("reduction_ppm"))
   }
 
+  /** Herfindahl–Hirschman concentration of a categorical key, per
+    * group: `HHI = Σ (c_k/N)²` in exact ppm (squares promoted to
+    * DECIMAL(38,0) — a 10¹²-row corpus squares past BIGINT), plus
+    * the effective key count `1/HHI` in milli — "this lang draws
+    * from 20 sources but EFFECTIVELY 2.1 of them" is the sampling-
+    * diversity fact a mixture planner needs before trusting per-
+    * source quotas. Two partial-aggregated rollups, |groups| rows
+    * out, no window.
+    */
+  def concentrationHHI(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    val grp = groupCols.map(col)
+    df.groupBy(grp :+ col(keyCol).as("__k"): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(grp: _*)
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("__c2"))
+      .withColumn("hhi_ppm", expr(
+        """CAST(__c2 * 1000000
+          | div (CAST(n_rows AS DECIMAL(38,0)) * n_rows)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("eff_keys_milli", expr(
+        """CASE WHEN hhi_ppm = 0 THEN NULL
+          | ELSE 1000000000 div hhi_ppm END""".stripMargin))
+      .drop("__c2")
+  }
+
   /** Deterministic half-sample (multiplier) bootstrap for the mean of
     * an integer metric: replicate b keeps row i iff the MD5 parity of
     * `id_b` is odd — multiplier weights in {0,2} have mean 1 and

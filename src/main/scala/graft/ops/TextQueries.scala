@@ -817,7 +817,13 @@ object TextQueries {
       Audit.halfSampleBootstrap(
         Text.tokenStats(Tables.documents(s, d)),
         "doc_id", "n_tokens", reps = 32)
-        .orderBy(col("rep")))
+        .orderBy(col("rep"))),
+    // source concentration per lang: exact ppm HHI + effective
+    // source count — the diversity fact behind per-source quotas
+    "q_text_source_hhi" -> ((s, d) =>
+      Audit.concentrationHHI(Tables.documents(s, d),
+        "source", Seq("lang"))
+        .orderBy(col("lang")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1432,6 +1438,27 @@ object TextQueries {
          |       ELSE CAST(SUM(p * n_tok) * 1000 // SUM(p) AS BIGINT)
          |  END AS mean_milli
          |FROM w GROUP BY rep ORDER BY rep""".stripMargin,
+    // exact ppm HHI over (lang, source) counts; effective source
+    // count is one integer division of the ppm
+    "q_text_source_hhi" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |a AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2
+        |  FROM c GROUP BY 1)
+        |SELECT lang, n_keys, n_rows,
+        |  CAST(c2 * 1000000 // (CAST(n_rows AS HUGEINT) * n_rows)
+        |    AS BIGINT) AS hhi_ppm,
+        |  CASE WHEN CAST(c2 * 1000000
+        |      // (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT) = 0
+        |    THEN NULL
+        |    ELSE 1000000000 // CAST(c2 * 1000000
+        |      // (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT)
+        |  END AS eff_keys_milli
+        |FROM a ORDER BY lang""".stripMargin,
     "q_text_exact_dup_groups" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_dups

@@ -2893,6 +2893,60 @@ object Vector {
           |   AS BIGINT) END""".stripMargin))
   }
 
+  /** Simplified (centroid) silhouette per label cluster — the
+    * clustering-quality score that needs no pairwise distances:
+    * `s = (b − a) / max(a, b)` with `a` the distance to the OWN
+    * label centroid and `b` the distance to the nearest OTHER
+    * centroid, so cost is n·L folds instead of n² pairs (L = #labels,
+    * broadcast). Determinism discipline: centroids derive from exact
+    * q16 integer sums (`Σ⌊x·2^16⌋ / (n·2^16)` — one IEEE division of
+    * two exact integers per dim, the labelCentroids skeleton), the
+    * squared distance folds the dim array IN ORDER (the decDot
+    * contract ≡ `SUM(... ORDER BY i)`), sqrt is correctly rounded,
+    * and the per-vector score floors to milli BEFORE the per-label
+    * sum — so the aggregate is an exact BIGINT in both engines.
+    * Single-cluster corpora (no other centroid) score 0 by
+    * convention, as does a vector sitting exactly on both centroids.
+    */
+  def silhouetteSimplified(embeddings: DataFrame): DataFrame = {
+    val cent = embeddings
+      .select(col("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 65536).cast("long")))
+          .as(Seq("i", "xq")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"),
+        (col("sq").cast("double") / (col("n") * 65536.0)).as("c"))))
+        .as("pairs"))
+      .select(col("label").as("c_label"),
+        transform(col("pairs"), p => p("c")).as("centroid"))
+    embeddings
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("c_label") === col("label"), col("d2")))
+          .as("d2_own"),
+        min(when(col("c_label") =!= col("label"), col("d2")))
+          .as("d2_other"))
+      .withColumn("a", sqrt(col("d2_own")))
+      .withColumn("b", sqrt(col("d2_other")))
+      .withColumn("s_milli",
+        when(col("b").isNull || greatest(col("a"), col("b")) === 0.0,
+          lit(0L))
+          .otherwise(floor(lit(1000.0) * (col("b") - col("a")) /
+            greatest(col("a"), col("b"))).cast("long")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("s_milli")).as("sum_s_milli"))
+      .withColumn("mean_s_milli", expr("sum_s_milli div n_vecs"))
+  }
+
   /** HITS hubs/authorities on the DIRECTED kNN graph in q20 integer
     * fixed point — normalize-by-max instead of the L2 norm keeps
     * every iterate an exact integer (`v·2^20 div max`), so the

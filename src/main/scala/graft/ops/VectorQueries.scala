@@ -295,6 +295,12 @@ object VectorQueries {
     "q_vec_hits" -> ((s, d) =>
       Vector.hitsScores(knnGraphDf(s, d), Tables.embeddings(s, d))
         .orderBy(col("vec_id"))),
+    // simplified silhouette per label: q16-exact centroids, ordered
+    // dim folds, per-vector milli floor BEFORE the label sum — n·L
+    // folds, never n² pairs
+    "q_vec_silhouette" -> ((s, d) =>
+      Vector.silhouetteSimplified(Tables.embeddings(s, d))
+        .orderBy(col("label"))),
     // Newman modularity of the label communities on a coarse
     // (label % 4) kNN graph — coarser lists than communities so
     // cross-community edges exist and Q is non-vacuous; exact q20
@@ -1293,6 +1299,47 @@ object VectorQueries {
         |       - CAST(sum_deg AS HUGEINT) * sum_deg)
         |    AS BIGINT) END AS assort_milli
         |FROM s""".stripMargin,
+    // q16-exact centroids per label, ordered-fold distances, milli
+    // floor per vector before the label rollup
+    "q_vec_silhouette" ->
+      """WITH qx AS (
+        |  SELECT label, CAST(generate_subscripts(embedding, 1)
+        |      AS INT) AS i,
+        |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 65536)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, i,
+        |    CAST(SUM(xq) AS DOUBLE) / (COUNT(*) * 65536.0) AS c
+        |  FROM qx GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT vec_id, label,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |d2 AS (
+        |  SELECT ex.vec_id, ex.label, cent.c_label,
+        |    SUM((ex.x - cent.c) * (ex.x - cent.c) ORDER BY ex.i)
+        |      AS d2
+        |  FROM ex JOIN cent ON cent.i = ex.i
+        |  GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    sqrt(MAX(CASE WHEN c_label = label THEN d2 END)) AS a,
+        |    sqrt(MIN(CASE WHEN c_label <> label THEN d2 END)) AS b
+        |  FROM d2 GROUP BY 1, 2),
+        |s AS (
+        |  SELECT label,
+        |    CASE WHEN b IS NULL OR GREATEST(a, b) = 0.0 THEN 0
+        |         ELSE CAST(floor(1000.0 * (b - a) / GREATEST(a, b))
+        |           AS BIGINT)
+        |    END AS s_milli
+        |  FROM ab)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(s_milli) AS BIGINT) AS sum_s_milli,
+        |  CAST(CAST(SUM(s_milli) AS BIGINT) // COUNT(*) AS BIGINT)
+        |    AS mean_s_milli
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
     // same kNN edge CTE stack, then the q20 normalize-by-max HITS
     // recurrence unrolled: a1 ∝ in-degree, h2, a2 — exact integers
     "q_vec_hits" ->

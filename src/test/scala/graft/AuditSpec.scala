@@ -573,4 +573,18 @@ class AuditSpec extends SparkSpec {
     // the selection)
     assert(runA.map(_.getAs[Long]("n_sel")).distinct.length > 1)
   }
+
+  test("concentrationHHI: exact ppm squares and effective keys") {
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"),
+      ("fr", "x")).toDF("lang", "src")
+    val m = Audit.concentrationHHI(df, "src", Seq("lang"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("hhi_ppm"), r.getAs[Long]("eff_keys_milli")))
+      .toMap
+    // en: (9+1)/16 = 625000 ppm → effective 1.6 keys
+    assert(m("en") == ((2L, 4L, 625000L, 1600L)))
+    // fr: single key → HHI 1, effective exactly 1
+    assert(m("fr") == ((1L, 1L, 1000000L, 1000L)))
+  }
 }

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 273,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 273")
-    assert(SparkEntry.oracleSql.size == 260,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 260")
+    assert(SparkEntry.queries.size == 275,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 275")
+    assert(SparkEntry.oracleSql.size == 262,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 262")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -403,6 +403,7 @@ class GraftApiSpec extends SparkSpec {
       "kCoreAssigned" -> "kCoreAssigned",
       "degreeAssortativity" -> "degreeAssortativity",
       "hitsScores" -> "hitsScores",
+      "silhouetteSimplified" -> "silhouetteByLabel",
       "leakageSafeSplit" -> "leakageSafeSplitBy",
       "isotropyAuditQ16" -> "isotropyAudit",
       "binarize" -> "binarized",

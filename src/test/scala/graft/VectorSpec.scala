@@ -1449,4 +1449,24 @@ class VectorSpec extends SparkSpec {
     assert(m(1L) == ((524288L, 1048576L)))
     assert(m(2L) == ((1048576L, 262144L)))
   }
+
+  test("silhouetteSimplified: hand-computed two-cluster geometry; " +
+      "single cluster scores 0 by convention") {
+    val embs = Seq(
+      (0L, Array(0f, 0f), 0), (1L, Array(2f, 0f), 0),
+      (2L, Array(10f, 0f), 1), (3L, Array(12f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Vec.silhouetteSimplified(embs).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_s_milli"),
+          r.getAs[Long]("mean_s_milli"))).toMap
+    // centroids (1,0) and (11,0): per vector a=1 and b∈{9,11} →
+    // s = ⌊1000·10/11⌋ + ⌊1000·8/9⌋ = 909 + 888 per label
+    assert(m(0) == ((2L, 1797L, 898L)))
+    assert(m(1) == ((2L, 1797L, 898L)))
+    val solo = Seq((0L, Array(0f, 0f), 0), (1L, Array(2f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Vec.silhouetteSimplified(solo).collect()
+    assert(r.length === 1 && r.head.getAs[Long]("sum_s_milli") === 0L)
+  }
 }
