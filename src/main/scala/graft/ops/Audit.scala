@@ -1094,6 +1094,33 @@ object Audit {
           .as("reduction_ppm"))
   }
 
+  /** Component-size profile of a cluster/component assignment (the
+    * output shape of the dedup family — `(id, cluster)` rows): how
+    * much of the corpus sits in singletons vs a giant component is
+    * THE health read on a near-dup graph before acting on it (a
+    * giant component usually means the threshold is inside the bulk
+    * similarity mass, and min-id representatives would collapse real
+    * diversity). Two rollups — cluster → size, size → (clusters,
+    * members) — plus a broadcast 1-row total for the exact ppm
+    * share; output is bounded by the number of DISTINCT sizes,
+    * so the profile costs two small shuffles at any corpus scale.
+    */
+  def componentSizeProfile(
+      components: DataFrame,
+      clusterCol: String
+  ): DataFrame = {
+    val sizes = components.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("sz"))
+    val tot = sizes.agg(sum(col("sz")).as("n_total"))
+    sizes.groupBy(col("sz").as("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_members"))
+      .crossJoin(broadcast(tot))
+      .select(col("size"), col("n_clusters"), col("n_members"),
+        expr("n_members * 1000000 div n_total").as("members_ppm"),
+        col("n_total"))
+  }
+
   /** Herfindahl–Hirschman concentration of a categorical key, per
     * group: `HHI = Σ (c_k/N)²` in exact ppm (squares promoted to
     * DECIMAL(38,0) — a 10¹²-row corpus squares past BIGINT), plus

@@ -1109,4 +1109,34 @@ object Relational {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Daily open-order backlog by interval sweep: an order is open
+    * from its order date until the day its LAST lineitem ships, so
+    * the per-day backlog is the running sum of +1/−1 boundary deltas
+    * — the classic concurrent-interval count, computed without ever
+    * joining orders to days (a day-range explode would be rows ×
+    * avg-duration; the sweep is two boundary rows per order, rolled
+    * up per day BEFORE the cumulative pass, so the global window
+    * runs over the calendar, not the fact table). Orders with no
+    * lineitems never opened a shipment obligation and are excluded
+    * by the inner join.
+    */
+  def orderBacklog(orders: DataFrame, lineitem: DataFrame)
+      : DataFrame = {
+    val life = orders
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .join(
+        lineitem.groupBy(col("l_orderkey"))
+          .agg(max(to_date(col("l_shipdate"))).as("close_d")),
+        col("o_orderkey") === col("l_orderkey"))
+    val deltas = life.select(col("od").as("d"), lit(1L).as("dl"))
+      .unionAll(life.select(col("close_d").as("d"), lit(-1L).as("dl")))
+      .groupBy(col("d")).agg(sum(col("dl")).as("delta"))
+    deltas
+      .withColumn("open_orders",
+        sum(col("delta")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+            .rowsBetween(org.apache.spark.sql.expressions
+              .Window.unboundedPreceding, 0)))
+  }
 }

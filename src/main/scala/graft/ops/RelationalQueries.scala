@@ -149,6 +149,11 @@ object RelationalQueries {
     // first-order-year cohorts × order age, exact-decimal LTV curve
     "q_orders_cohort_ltv" -> ((s, d) =>
       cohortLtv(Tables.orders(s, d))),
+    // daily open-order backlog: +1/−1 interval sweep rolled up per
+    // day BEFORE the calendar-bounded cumulative window
+    "q_orders_backlog" -> ((s, d) =>
+      orderBacklog(Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy(col("d"))),
     // TPC-H Q12 shape: late vs on-time lineitems per priority class
     "q_shipping_delay" -> ((s, d) =>
       shippingDelayAnalysis(Tables.lineitem(s, d),
@@ -656,6 +661,24 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_orders_backlog" ->
+      """WITH life AS (
+        |  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od,
+        |    MAX(CAST(l.l_shipdate AS DATE)) AS close_d
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |ev AS (
+        |  SELECT od AS d, CAST(1 AS BIGINT) AS dl FROM life
+        |  UNION ALL
+        |  SELECT close_d, CAST(-1 AS BIGINT) FROM life),
+        |dd AS (
+        |  SELECT d, CAST(SUM(dl) AS BIGINT) AS delta
+        |  FROM ev GROUP BY 1)
+        |SELECT d, delta,
+        |  CAST(SUM(delta) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS open_orders
+        |FROM dd ORDER BY d""".stripMargin,
     "q_orders_cohort_ltv" ->
       """WITH f AS (
         |  SELECT o_custkey, MIN(o_orderdate) AS first_order

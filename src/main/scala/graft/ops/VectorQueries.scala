@@ -301,6 +301,16 @@ object VectorQueries {
     "q_vec_silhouette" -> ((s, d) =>
       Vector.silhouetteSimplified(Tables.embeddings(s, d))
         .orderBy(col("label"))),
+    // size histogram of the SemDeDup components: singleton vs giant
+    // mass is the threshold-health read before acting on the graph
+    "q_vec_component_sizes" -> ((s, d) =>
+      graft.ops.Audit.componentSizeProfile(
+        Vector.semanticDedupAssigned(
+          Tables.embeddings(s, d)
+            .withColumn("list_id", col("label")),
+          0.4, precomputedPairs = Some(semPairs(s, d))),
+        "cluster")
+        .orderBy(col("size"))),
     // Newman modularity of the label communities on a coarse
     // (label % 4) kNN graph — coarser lists than communities so
     // cross-community edges exist and Q is non-vacuous; exact q20
@@ -1299,6 +1309,52 @@ object VectorQueries {
         |       - CAST(sum_deg AS HUGEINT) * sum_deg)
         |    AS BIGINT) END AS assort_milli
         |FROM s""".stripMargin,
+    // the q_vec_semantic_dedup recursive-component stack + the size
+    // rollup: exact integer histogram with ppm corpus share
+    "q_vec_component_sizes" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT vec_a, vec_b FROM p WHERE cos_sim >= 0.4),
+        |e AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pr
+        |  UNION ALL
+        |  SELECT vec_b, vec_a FROM pr),
+        |reach(vec_id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT reach.vec_id, e.dst
+        |  FROM reach JOIN e ON reach.r = e.src),
+        |comp AS (
+        |  SELECT vec_id, MIN(r) AS cluster FROM reach GROUP BY 1),
+        |sz AS (
+        |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM comp GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_total FROM sz)
+        |SELECT sz AS size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(sz) AS BIGINT) AS n_members,
+        |  CAST(SUM(sz) AS BIGINT) * 1000000 // n_total AS members_ppm,
+        |  n_total
+        |FROM sz, tot GROUP BY sz, n_total
+        |ORDER BY size""".stripMargin,
     // q16-exact centroids per label, ordered-fold distances, milli
     // floor per vector before the label rollup
     "q_vec_silhouette" ->

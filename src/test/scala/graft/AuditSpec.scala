@@ -587,4 +587,17 @@ class AuditSpec extends SparkSpec {
     // fr: single key → HHI 1, effective exactly 1
     assert(m("fr") == ((1L, 1L, 1000000L, 1000L)))
   }
+
+  test("componentSizeProfile: histogram + exact ppm corpus share") {
+    // clusters: {1,1,1}, {2,2,2}, {3}, {4} → sizes 3×2, 1×2
+    val comps = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L),
+      (21L, 2L), (22L, 2L), (30L, 3L), (40L, 4L))
+      .toDF("id", "cluster")
+    val m = Audit.componentSizeProfile(comps, "cluster")
+      .collect().map(r => r.getAs[Long]("size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("members_ppm"))).toMap
+    assert(m(1L) == ((2L, 2L, 250000L)))
+    assert(m(3L) == ((2L, 6L, 750000L)))
+  }
 }

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 275,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 275")
-    assert(SparkEntry.oracleSql.size == 262,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 262")
+    assert(SparkEntry.queries.size == 277,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 277")
+    assert(SparkEntry.oracleSql.size == 264,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 264")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

@@ -118,6 +118,7 @@ class PlanSpec extends SparkSpec {
       "q_li_cramers_v" -> "completed |A|×|B| contingency rollup (3×2 returnflag×linestatus; category-domain-bounded at any corpus size)",
       "q_layout_prune_audit" -> "o_totalprice value histogram (rangeBoundaries contract)",
       "q_layout_range_bounds" -> "value histogram (rangeBoundaries contract)",
+      "q_orders_backlog" -> "per-day boundary-delta rollup (calendar-bounded at any corpus size)",
       "q_orders_ks_drift" -> "dollar-quantized price histogram (domain-bounded at any corpus size)",
       "q_text_quality_ks" -> "milli-quantized quality histogram (<= 1001 values by construction)",
       "q_orders_repeat_interval" -> "per-customer gap aggregate (documented median twin)",

@@ -180,4 +180,24 @@ class RelationalSpec extends SparkSpec {
     assert(spread > 1L,
       "identical duplicate rows landed in a single salt bucket")
   }
+
+  test("orderBacklog: interval sweep counts concurrent open orders") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    // order 1 open d1..d3, order 2 open d2..d3, order 3 never ships
+    // a lineitem (excluded)
+    val orders = Seq((1L, ts("2024-01-01")), (2L, ts("2024-01-02")),
+      (3L, ts("2024-01-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq((1L, ts("2024-01-02")), (1L, ts("2024-01-03")),
+      (2L, ts("2024-01-03")))
+      .toDF("l_orderkey", "l_shipdate")
+    val m = Relational.orderBacklog(orders, li).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString ->
+        (r.getAs[Long]("delta"), r.getAs[Long]("open_orders"))).toMap
+    assert(m("2024-01-01") == ((1L, 1L)))   // order 1 opens
+    assert(m("2024-01-02") == ((1L, 2L)))   // order 2 opens
+    assert(m("2024-01-03") == ((-2L, 0L)))  // both close
+  }
 }
