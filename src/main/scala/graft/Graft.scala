@@ -111,6 +111,10 @@ object Graft {
     def redactPii: DataFrame = ops.Text.piiRedact(docs)
     def repetitionSignals: DataFrame = ops.Text.repetitionStats(docs)
     def qualityScored: DataFrame = ops.Text.qualityScore(docs)
+    /** Per-source percentile-rank calibration of the quality score
+      * (exact milli rank position inside each source). */
+    def qualityRankNormalized: DataFrame =
+      ops.Text.qualityRankNormalize(docs)
     /** Gopher/MassiveText rule-bundle gate: exact ppm/milli flags. */
     def gopherRuled: DataFrame = ops.Text.gopherRules(docs)
     /** Token-distribution Shannon entropy (exact q20 integers). */

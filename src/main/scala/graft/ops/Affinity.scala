@@ -849,4 +849,28 @@ object Affinity {
         col("exp_ppm"), col("term_ppm"), col("chi2_n_ppm"),
         col("v_milli"))
   }
+
+  /** Hour-of-day load shape per event type — the capacity-planning
+    * read of a feed (share of each type's traffic per hour in exact
+    * ppm, plus the peak-to-mean ratio in milli: ~1000 = flat,
+    * 24000 = everything in one hour). Two rollups and one broadcast
+    * join; output bounded by types × 24 at any corpus size, and the
+    * peak/mean closes from the per-type rollup's own integers — no
+    * window at all.
+    */
+  def hourlyLoadProfile(events: DataFrame): DataFrame = {
+    val hourly = events
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val totals = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_type"), max(col("n")).as("peak"),
+        count(lit(1)).as("n_hours"))
+    hourly.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("hr"), col("n"),
+        expr("n * 1000000 div n_type").as("share_ppm"),
+        expr("peak * n_hours * 1000 div n_type")
+          .as("peak_to_mean_milli"))
+  }
 }

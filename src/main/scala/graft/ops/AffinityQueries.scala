@@ -118,7 +118,12 @@ object AffinityQueries {
     // sampling mix vs raw volume
     "q_events_decay_mix" -> ((s, d) =>
       Audit.freshnessDecay(Tables.events(s, d), maxAgeDays = 20)
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+    // hour-of-day load shape per type: exact ppm share +
+    // peak-to-mean milli, types×24 rows, no window
+    "q_events_hourly_profile" -> ((s, d) =>
+      Affinity.hourlyLoadProfile(Tables.events(s, d))
+        .orderBy(col("event_type"), col("hr")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -580,6 +585,22 @@ object AffinityQueries {
         |  CAST(SUM(w_ppm) AS BIGINT) AS weight_ppm,
         |  CAST(SUM(v_milli * w_ppm // 1000000) AS BIGINT)
         |    AS decayed_value_milli
-        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_hourly_profile" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(date_part('hour', ts) AS BIGINT) AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type,
+        |    CAST(MAX(n) AS BIGINT) AS peak,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hours
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hr, h.n,
+        |  h.n * 1000000 // t.n_type AS share_ppm,
+        |  t.peak * t.n_hours * 1000 // t.n_type AS peak_to_mean_milli
+        |FROM h JOIN t USING (event_type)
+        |ORDER BY event_type, hr""".stripMargin
   )
 }

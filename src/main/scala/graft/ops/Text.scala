@@ -1968,6 +1968,33 @@ object Text {
       .drop("__peN", "__num", "__den")
   }
 
+  /** Per-source percentile-rank normalization of the quality score —
+    * the calibration step before a GLOBAL quality threshold: raw
+    * scores are not comparable across sources (boilerplate-heavy
+    * sources compress the range), so each doc gets its rank position
+    * INSIDE its source as exact milli (0 = source's worst,
+    * 1000 = best, midpoint for a singleton source). Deterministic
+    * total order (quality, doc_id); windows partition by source, so
+    * the pass scales with the largest source, never the corpus.
+    */
+  def qualityRankNormalize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality"), col("doc_id"))
+    q.select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col("source")))
+          .cast("long"))
+      .withColumn("pct_milli", expr(
+        """CASE WHEN n_src = 1 THEN 500
+          | ELSE (rk - 1) * 1000 div (n_src - 1) END""".stripMargin))
+      .select(col("doc_id"), col("source"), col("rk"), col("n_src"),
+        col("pct_milli"))
+  }
+
   def signalCorrelation(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("source"),

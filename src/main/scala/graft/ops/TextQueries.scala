@@ -823,7 +823,12 @@ object TextQueries {
     "q_text_source_hhi" -> ((s, d) =>
       Audit.concentrationHHI(Tables.documents(s, d),
         "source", Seq("lang"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+    // per-source percentile-rank quality calibration: exact milli
+    // rank position inside each source, windows partition by source
+    "q_text_quality_rank_norm" -> ((s, d) =>
+      Text.qualityRankNormalize(Tables.documents(s, d))
+        .orderBy(col("doc_id")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1438,6 +1443,31 @@ object TextQueries {
          |       ELSE CAST(SUM(p * n_tok) * 1000 // SUM(p) AS BIGINT)
          |  END AS mean_milli
          |FROM w GROUP BY rep ORDER BY rep""".stripMargin,
+    // the shared quality expression ranked inside each source:
+    // ROW_NUMBER over the deterministic (quality, doc_id) order
+    "q_text_quality_rank_norm" ->
+      s"""WITH qt AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    ${qualityExprSql("toks")}
+         |      AS quality
+         |  FROM qt),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality, doc_id) AS BIGINT) AS rk,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+         |      AS n_src
+         |  FROM q)
+         |SELECT doc_id, source, rk, n_src,
+         |  CASE WHEN n_src = 1 THEN 500
+         |       ELSE (rk - 1) * 1000 // (n_src - 1) END AS pct_milli
+         |FROM r ORDER BY doc_id""".stripMargin,
     // exact ppm HHI over (lang, source) counts; effective source
     // count is one integer division of the ppm
     "q_text_source_hhi" ->

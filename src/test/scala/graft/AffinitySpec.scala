@@ -425,4 +425,24 @@ class AffinitySpec extends SparkSpec {
       .frequentTriples(baskets, minItemCt = 3, minTripleCt = 2)
     assert(out.count() === 0L)
   }
+
+  test("hourlyLoadProfile: exact shares and peak-to-mean per type") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // spiky: 3 events at hour 2, 1 at hour 5; flat: 2 at each of
+    // hours 0 and 1
+    val ev = (Seq.fill(3)(("spiky", ts(2))) :+ ("spiky", ts(5))) ++
+      Seq(("flat", ts(0)), ("flat", ts(0)),
+        ("flat", ts(1)), ("flat", ts(1)))
+    val m = Affinity.hourlyLoadProfile(
+      ev.toDF("event_type", "ts"))
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("hr")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("peak_to_mean_milli"))).toMap
+    assert(m(("spiky", 2L)) == ((3L, 750000L, 1500L)))
+    assert(m(("spiky", 5L)) == ((1L, 250000L, 1500L)))
+    // flat: peak 2 · 2 hours / 4 events = exactly 1000 milli
+    assert(m(("flat", 0L)) == ((2L, 500000L, 1000L)))
+  }
 }

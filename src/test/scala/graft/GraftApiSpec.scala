@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 277,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 277")
-    assert(SparkEntry.oracleSql.size == 264,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 264")
+    assert(SparkEntry.queries.size == 279,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 279")
+    assert(SparkEntry.oracleSql.size == 266,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 266")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -282,6 +282,7 @@ class GraftApiSpec extends SparkSpec {
       "piiRedact" -> "redactPii",
       "repetitionStats" -> "repetitionSignals",
       "qualityScore" -> "qualityScored", "langGuess" -> "langGuessed",
+      "qualityRankNormalize" -> "qualityRankNormalized",
       "gopherRules" -> "gopherRuled",
       "tokenStats" -> "tokenStats",
       "bpeTokenStats" -> "bpeTokenCounts",

@@ -1959,4 +1959,27 @@ class TextSpec extends SparkSpec {
     assert(c2((2L, 0L)) === ((1L, 3L, 0)))
     assert(c2((2L, 1L)) === ((2L, 2L, 1)))
   }
+
+  test("qualityRankNormalize: per-source milli ranks, singleton " +
+      "midpoint, deterministic tie order") {
+    // s1: three docs with strictly increasing quality via length;
+    // s2: a singleton
+    val docs = Seq(
+      (1L, "the a of to in is and an the a", "en", "s1", 30L),
+      (2L, "purely unique tokens here now", "en", "s1", 29L),
+      (3L, "the the the the the the the the", "en", "s1", 31L),
+      (4L, "alone in its source", "en", "s2", 19L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = graft.ops.Text.qualityRankNormalize(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rk"), r.getAs[Long]("n_src"),
+          r.getAs[Long]("pct_milli"))).toMap
+    // ranks are a permutation of 1..3 with milli {0, 500, 1000}
+    val s1 = Seq(1L, 2L, 3L).map(m)
+    assert(s1.map(_._1).sorted == Seq(1L, 2L, 3L))
+    assert(s1.map(_._3).sorted == Seq(0L, 500L, 1000L))
+    assert(s1.forall(_._2 == 3L))
+    // singleton source sits at the midpoint by convention
+    assert(m(4L) == ((1L, 1L, 500L)))
+  }
 }
