@@ -115,6 +115,10 @@ object Graft {
       * (exact milli rank position inside each source). */
     def qualityRankNormalized: DataFrame =
       ops.Text.qualityRankNormalize(docs)
+    /** Windowed co-occurrence PMI top-N (exact q20-ln integers). */
+    def windowCooccurrencePmi(window: Int = 5,
+        minPairCount: Long = 5L, topN: Int = 50): DataFrame =
+      ops.Text.windowCooccurrencePmi(docs, window, minPairCount, topN)
     /** Gopher/MassiveText rule-bundle gate: exact ppm/milli flags. */
     def gopherRuled: DataFrame = ops.Text.gopherRules(docs)
     /** Token-distribution Shannon entropy (exact q20 integers). */

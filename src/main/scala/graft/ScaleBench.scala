@@ -90,6 +90,18 @@ object ScaleBench {
             else regexp_replace(col("text"), "(\\S+)", "$1~" + c)))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
+    // events clone with offset event/user ids and the CALENDAR kept
+    // fixed — the 100 TB direction for a feed is more events per
+    // day, not more days; day/hour-rollup operators must absorb k×
+    // rows into the same bounded calendar frame. Read through
+    // Tables.events so the physical timestamp layout is normalized
+    // before the clone write.
+    val ev = graft.Tables.events(spark, sfDir)
+    clones(ev, (df, c) => df
+        .withColumn("event_id", col("event_id") + lit(c * ID_OFF))
+        .withColumn("user_id", col("user_id") + lit(c * ID_OFF)))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
     // per-clone deterministic SIGN-FLIP pattern: with s_j ∈ {±1}
     // fixed per clone, in-clone dot products are EXACTLY preserved
     // (s_j² = 1 → the dup/knn structure replicates k× bit-for-bit)

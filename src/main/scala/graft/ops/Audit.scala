@@ -1121,6 +1121,57 @@ object Audit {
         col("n_total"))
   }
 
+  /** One-way ANOVA F statistic for an integer metric across groups —
+    * "does the group explain the metric's variance" as one exact
+    * number (the Theil decomposition's variance-space sibling; chi-
+    * square/Cramér's V answer it for categorical outcomes, this for
+    * a numeric one). Sum-of-squares identities over per-group
+    * (n, Σx, Σx²) rollups; the only non-integer step, S_g²/n_g, is
+    * pinned as a per-group q20 floor (`S_g²·2²⁰ div n_g`, DECIMAL/
+    * HUGEINT promoted before the square) so both engines replicate
+    * the statistic bit-for-bit:
+    * `SSB_q20 = Σ_g ⌊S_g²·2²⁰/n_g⌋ − ⌊S²·2²⁰/N⌋`,
+    * `SSW_q20 = (Σx²)·2²⁰ − Σ_g ⌊…⌋`,
+    * `F_milli = SSB·(N−k)·1000 div (SSW·(k−1))`. One scan to the
+    * group rollup, k rows reduced to one — count(*) cost at 100 TB.
+    */
+  def anovaF(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String
+  ): DataFrame = {
+    val g = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("s2_g"))
+    g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"),
+        sum(col("s2_g")).as("sum_x2"),
+        sum(expr(
+          """CAST(s_g AS DECIMAL(38,0)) * s_g * 1048576
+            | div n_g""".stripMargin)).as("a_q20"))
+      .withColumn("ssb_q20", expr(
+        """a_q20 - CAST(s AS DECIMAL(38,0)) * s * 1048576 div n"""))
+      .withColumn("ssw_q20",
+        expr("CAST(sum_x2 AS DECIMAL(38,0)) * 1048576 - a_q20"))
+      .select(col("k"), col("n"),
+        col("ssb_q20").cast("decimal(38,0)").as("ssb_q20"),
+        col("ssw_q20").cast("decimal(38,0)").as("ssw_q20"))
+      .withColumn("f_milli", expr(
+        """CASE WHEN k < 2 OR n <= k OR ssw_q20 <= 0 THEN NULL
+          | ELSE CAST(ssb_q20 * (n - k) * 1000
+          |   div (ssw_q20 * (k - 1)) AS BIGINT) END""".stripMargin))
+      .select(col("k"), col("n"),
+        expr("CAST(ssb_q20 div 1048576 AS BIGINT)").as("ssb_int"),
+        expr("CAST(ssw_q20 div 1048576 AS BIGINT)").as("ssw_int"),
+        col("f_milli"))
+  }
+
   /** Herfindahl–Hirschman concentration of a categorical key, per
     * group: `HHI = Σ (c_k/N)²` in exact ppm (squares promoted to
     * DECIMAL(38,0) — a 10¹²-row corpus squares past BIGINT), plus

@@ -1995,6 +1995,59 @@ object Text {
         col("pct_milli"))
   }
 
+  /** Windowed token co-occurrence PMI — the distributional-semantics
+    * signal (which token pairs travel together beyond chance) that
+    * adjacency bigrams miss: every unordered pair within `window`
+    * positions counts one observation, marginals and the total live
+    * in the SAME pair space, and the pointwise MI closes in the
+    * exact eventPmi q20-ln convention
+    * (`⌊ln n_ab⌋ + ⌊ln T⌋ − ⌊ln n_a⌋ − ⌊ln n_b⌋`, every ln of an
+    * INTEGER count). The position self-join is bounded by
+    * construction — each position pairs with at most `window`
+    * successors, so the pair table is |tokens|·window, linear in the
+    * corpus, and the global top-N plans as TakeOrdered (no
+    * unpartitioned window). `minPairCount` keeps the ln out of the
+    * noise floor.
+    */
+  def windowCooccurrencePmi(
+      docs: DataFrame,
+      window: Int = 5,
+      minPairCount: Long = 5L,
+      topN: Int = 50
+  ): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+    val pairs = graft.Caches.track("text", pos.as("a")
+      .join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.i") < col("b.i") &&
+          col("b.i") - col("a.i") <= window)
+      .select(least(col("a.tok"), col("b.tok")).as("ta"),
+        greatest(col("a.tok"), col("b.tok")).as("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab")))
+    val marg = pairs.select(col("ta").as("t"), col("n_ab"))
+      .unionAll(pairs.select(col("tb").as("t"), col("n_ab")))
+      .groupBy(col("t")).agg(sum(col("n_ab")).as("n_t"))
+    val tot = pairs.agg(sum(col("n_ab")).as("n_pairs_total"))
+    def lnq20(c: Column): Column =
+      floor(log(c.cast("double")) * (1L << 20)).cast("long")
+    pairs.filter(col("n_ab") >= minPairCount)
+      .join(marg.withColumnRenamed("t", "ta")
+        .withColumnRenamed("n_t", "n_a_pairs"), "ta")
+      .join(marg.withColumnRenamed("t", "tb")
+        .withColumnRenamed("n_t", "n_b_pairs"), "tb")
+      .crossJoin(broadcast(tot))
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a_pairs"),
+        col("n_b_pairs"), col("n_pairs_total"),
+        (lnq20(col("n_ab")) + lnq20(col("n_pairs_total")) -
+          lnq20(col("n_a_pairs")) - lnq20(col("n_b_pairs")))
+          .as("pmi_q20"))
+      .orderBy(col("pmi_q20").desc, col("ta"), col("tb"))
+      .limit(topN)
+  }
+
   def signalCorrelation(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("source"),

@@ -828,7 +828,16 @@ object TextQueries {
     // rank position inside each source, windows partition by source
     "q_text_quality_rank_norm" -> ((s, d) =>
       Text.qualityRankNormalize(Tables.documents(s, d))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // windowed co-occurrence PMI top-50: pair space bounded by
+    // |tokens|·window, exact q20-ln integers, TakeOrdered top-N
+    "q_text_cooc_pmi" -> ((s, d) =>
+      Text.windowCooccurrencePmi(Tables.documents(s, d),
+        window = 5, minPairCount = 5L, topN = 50)),
+    // one-way ANOVA F of doc length across languages: exact
+    // sum-of-squares identities, per-group q20 floors pinned
+    "q_text_len_anova" -> ((s, d) =>
+      Audit.anovaF(Tables.documents(s, d), "n_chars", "lang"))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1443,6 +1452,86 @@ object TextQueries {
          |       ELSE CAST(SUM(p * n_tok) * 1000 // SUM(p) AS BIGINT)
          |  END AS mean_milli
          |FROM w GROUP BY rep ORDER BY rep""".stripMargin,
+    // positions self-join bounded by the window; marginals and the
+    // total live in the SAME pair space; q20-ln integer PMI
+    "q_text_cooc_pmi" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id,
+         |    CAST(generate_subscripts(toks, 1) AS INT) AS i,
+         |    UNNEST(toks) AS tok
+         |  FROM t),
+         |pairs AS (
+         |  SELECT LEAST(a.tok, b.tok) AS ta,
+         |    GREATEST(a.tok, b.tok) AS tb,
+         |    CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM pos a JOIN pos b
+         |    ON a.doc_id = b.doc_id AND a.i < b.i
+         |    AND b.i - a.i <= 5
+         |  GROUP BY 1, 2),
+         |marg AS (
+         |  SELECT t, CAST(SUM(n_ab) AS BIGINT) AS n_t FROM (
+         |    SELECT ta AS t, n_ab FROM pairs
+         |    UNION ALL SELECT tb, n_ab FROM pairs)
+         |  GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(n_ab) AS BIGINT) AS n_pairs_total
+         |  FROM pairs)
+         |SELECT p.ta, p.tb, p.n_ab,
+         |  ma.n_t AS n_a_pairs, mb.n_t AS n_b_pairs,
+         |  tot.n_pairs_total,
+         |  CAST(floor(ln(CAST(p.n_ab AS DOUBLE)) * 1048576)
+         |    AS BIGINT)
+         |  + CAST(floor(ln(CAST(tot.n_pairs_total AS DOUBLE))
+         |      * 1048576) AS BIGINT)
+         |  - CAST(floor(ln(CAST(ma.n_t AS DOUBLE)) * 1048576)
+         |      AS BIGINT)
+         |  - CAST(floor(ln(CAST(mb.n_t AS DOUBLE)) * 1048576)
+         |      AS BIGINT) AS pmi_q20
+         |FROM pairs p
+         |JOIN marg ma ON ma.t = p.ta
+         |JOIN marg mb ON mb.t = p.tb
+         |CROSS JOIN tot
+         |WHERE p.n_ab >= 5
+         |ORDER BY pmi_q20 DESC, ta, tb
+         |LIMIT 50""".stripMargin,
+    // per-group q20 floors pinned as part of the statistic; HUGEINT
+    // promoted before every square
+    "q_text_len_anova" ->
+      """WITH g AS (
+        |  SELECT lang AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s_g,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+        |      AS s2_g
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS s,
+        |    CAST(SUM(s2_g) AS HUGEINT) AS sum_x2,
+        |    CAST(SUM(CAST(s_g AS HUGEINT) * s_g * 1048576 // n_g)
+        |      AS HUGEINT) AS a_q20
+        |  FROM g),
+        |u AS (
+        |  SELECT k, n,
+        |    a_q20 - CAST(s AS HUGEINT) * s * 1048576 // n AS ssb_q20,
+        |    sum_x2 * 1048576 - a_q20 AS ssw_q20
+        |  FROM t)
+        |SELECT k, n,
+        |  CAST(ssb_q20 // 1048576 AS BIGINT) AS ssb_int,
+        |  CAST(ssw_q20 // 1048576 AS BIGINT) AS ssw_int,
+        |  CASE WHEN k < 2 OR n <= k OR ssw_q20 <= 0 THEN NULL
+        |       ELSE CAST(ssb_q20 * (n - k) * 1000
+        |         // (ssw_q20 * (k - 1)) AS BIGINT)
+        |  END AS f_milli
+        |FROM u""".stripMargin,
     // the shared quality expression ranked inside each source:
     // ROW_NUMBER over the deterministic (quality, doc_id) order
     "q_text_quality_rank_norm" ->

@@ -588,6 +588,20 @@ class AuditSpec extends SparkSpec {
     assert(m("fr") == ((1L, 1L, 1000000L, 1000L)))
   }
 
+  test("anovaF: hand sum-of-squares; zero within-variance is NULL") {
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 10L), ("b", 12L))
+      .toDF("g", "x")
+    val r = Audit.anovaF(df, "x", "g").collect().head
+    // SSB = 100, SSW = 4, F = (100/1)/(4/2) = 50
+    assert(r.getAs[Long]("ssb_int") === 100L)
+    assert(r.getAs[Long]("ssw_int") === 4L)
+    assert(r.getAs[Long]("f_milli") === 50000L)
+    val degenerate = Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L))
+      .toDF("g", "x")
+    val r2 = Audit.anovaF(degenerate, "x", "g").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("f_milli")))
+  }
+
   test("componentSizeProfile: histogram + exact ppm corpus share") {
     // clusters: {1,1,1}, {2,2,2}, {3}, {4} → sizes 3×2, 1×2
     val comps = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L),

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 279,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 279")
-    assert(SparkEntry.oracleSql.size == 266,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 266")
+    assert(SparkEntry.queries.size == 281,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 281")
+    assert(SparkEntry.oracleSql.size == 268,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 268")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -283,6 +283,7 @@ class GraftApiSpec extends SparkSpec {
       "repetitionStats" -> "repetitionSignals",
       "qualityScore" -> "qualityScored", "langGuess" -> "langGuessed",
       "qualityRankNormalize" -> "qualityRankNormalized",
+      "windowCooccurrencePmi" -> "windowCooccurrencePmi",
       "gopherRules" -> "gopherRuled",
       "tokenStats" -> "tokenStats",
       "bpeTokenStats" -> "bpeTokenCounts",

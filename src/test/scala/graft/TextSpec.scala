@@ -1982,4 +1982,24 @@ class TextSpec extends SparkSpec {
     // singleton source sits at the midpoint by convention
     assert(m(4L) == ((1L, 1L, 500L)))
   }
+
+  test("windowCooccurrencePmi: hand-counted pair space and q20 lns") {
+    // "x y x y x y": 15 within-5 pairs → (x,x)=3, (y,y)=3, (x,y)=9;
+    // marginals both 15, total 15; minPairCount=5 keeps only (x,y)
+    val docs = Seq((1L, "x y x y x y", "en", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ops.Text
+      .windowCooccurrencePmi(docs, window = 5, minPairCount = 5L,
+        topN = 50).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getAs[String]("ta"), r.getAs[String]("tb")) == ("x", "y"))
+    assert(r.getAs[Long]("n_ab") === 9L)
+    assert(r.getAs[Long]("n_a_pairs") === 15L)
+    assert(r.getAs[Long]("n_pairs_total") === 15L)
+    def lnq20(v: Long) =
+      math.floor(math.log(v.toDouble) * (1L << 20)).toLong
+    assert(r.getAs[Long]("pmi_q20") ===
+      lnq20(9L) + lnq20(15L) - lnq20(15L) - lnq20(15L))
+  }
 }
