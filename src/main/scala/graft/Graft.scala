@@ -119,6 +119,13 @@ object Graft {
     def windowCooccurrencePmi(window: Int = 5,
         minPairCount: Long = 5L, topN: Int = 50): DataFrame =
       ops.Text.windowCooccurrencePmi(docs, window, minPairCount, topN)
+    /** Source-pair TF-IDF cosine matrix (integer weights, exact
+      * DECIMAL dots/norms, milli cosine). */
+    def sourceTfidfCosine(): DataFrame =
+      ops.Text.sourceTfidfCosine(docs)
+    /** Church/Gale token burstiness (cf/df milli, top-N). */
+    def tokenBurstiness(minDf: Long = 3L, topN: Int = 50): DataFrame =
+      ops.Text.tokenBurstiness(docs, minDf, topN)
     /** Gopher/MassiveText rule-bundle gate: exact ppm/milli flags. */
     def gopherRuled: DataFrame = ops.Text.gopherRules(docs)
     /** Token-distribution Shannon entropy (exact q20 integers). */

@@ -2048,6 +2048,78 @@ object Text {
       .limit(topN)
   }
 
+  /** Source-pair TF-IDF cosine similarity — the corpus-comparison
+    * matrix ("which sources say the same things") that vocabulary
+    * Jaccard ([[sourceOverlap]]) flattens: weights = tf ×
+    * (⌊ln N⌋_q20 − ⌊ln df⌋_q20), ALL integers (the ln-of-integer
+    * convention — no ln of a rational is ever taken), so sparse dot
+    * products and norms are exact DECIMAL(38,0) sums in any
+    * aggregation order; the only IEEE steps are the final
+    * correctly-rounded sqrt/divide into cos_milli. Cost: one token
+    * scan, a vocab-keyed self-join of |sources|·|vocab| weight rows,
+    * |sources|² rows out — scales with vocabulary, not corpus rows.
+    * The raw q40-scaled dot is emitted descaled by 2⁴⁰ so the
+    * skeleton stays in BIGINT at any corpus size.
+    */
+  def sourceTfidfCosine(docs: DataFrame): DataFrame = {
+    def lnq20(c: Column): Column =
+      floor(log(c.cast("double")) * (1L << 20)).cast("long")
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = graft.Caches.track("text", tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("source"), col("tok"),
+        (col("tf") * (lnq20(col("n_docs")) - lnq20(col("df"))))
+          .as("w")))
+    val norms = w.groupBy(col("source"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("nrm2"))
+    w.as("a").join(w.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("dot"))
+      .join(broadcast(norms.select(col("source").as("source_a"),
+        col("nrm2").as("nrm2_a"))), "source_a")
+      .join(broadcast(norms.select(col("source").as("source_b"),
+        col("nrm2").as("nrm2_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        expr("CAST(dot div 1099511627776 AS BIGINT)").as("dot_int"),
+        when(col("nrm2_a") === 0 || col("nrm2_b") === 0, lit(null))
+          .otherwise(floor(lit(1000.0) * col("dot").cast("double") /
+            (sqrt(col("nrm2_a").cast("double")) *
+              sqrt(col("nrm2_b").cast("double")))).cast("long"))
+          .as("cos_milli"))
+  }
+
+  /** Token burstiness — collection frequency over document frequency
+    * (Church/Gale): a token whose occurrences pile into few docs
+    * (names, boilerplate markers, spam tokens) scores high; function
+    * words sit near 1000 milli. Exact integer ratio of two counts
+    * from one token scan; `minDf` keeps hapax noise out and the
+    * global top-N plans as TakeOrdered.
+    */
+  def tokenBurstiness(
+      docs: DataFrame,
+      minDf: Long = 3L,
+      topN: Int = 50
+  ): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cf"),
+        countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("tok"), col("cf"), col("df"),
+        expr("cf * 1000 div df").as("burst_milli"))
+      .orderBy(col("burst_milli").desc, col("tok"))
+      .limit(topN)
+
   def signalCorrelation(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("source"),

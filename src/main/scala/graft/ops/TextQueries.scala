@@ -837,7 +837,16 @@ object TextQueries {
     // one-way ANOVA F of doc length across languages: exact
     // sum-of-squares identities, per-group q20 floors pinned
     "q_text_len_anova" -> ((s, d) =>
-      Audit.anovaF(Tables.documents(s, d), "n_chars", "lang"))
+      Audit.anovaF(Tables.documents(s, d), "n_chars", "lang")),
+    // source-pair tf-idf cosine: integer weights (tf × q20-ln idf),
+    // exact DECIMAL dots/norms, one IEEE sqrt/divide at the end
+    "q_text_source_tfidf_cos" -> ((s, d) =>
+      Text.sourceTfidfCosine(Tables.documents(s, d))
+        .orderBy(col("source_a"), col("source_b"))),
+    // Church/Gale token burstiness: cf/df exact milli, top-50
+    "q_text_token_burstiness" -> ((s, d) =>
+      Text.tokenBurstiness(Tables.documents(s, d),
+        minDf = 3L, topN = 50))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1500,6 +1509,66 @@ object TextQueries {
          |WHERE p.n_ab >= 5
          |ORDER BY pmi_q20 DESC, ta, tb
          |LIMIT 50""".stripMargin,
+    // integer tf-idf weights (ln of integer counts only), HUGEINT
+    // dots/norms, q40 descale for the BIGINT skeleton
+    "q_text_source_tfidf_cos" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, source, UNNEST(toks) AS tok FROM t),
+         |tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY 1, 2),
+         |dfq AS (SELECT tok,
+         |          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |        FROM tk GROUP BY 1),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+         |       FROM documents),
+         |w AS (
+         |  SELECT tf.source, tf.tok,
+         |    tf.tf * (CAST(floor(ln(CAST(nd.n_docs AS DOUBLE))
+         |        * 1048576) AS BIGINT)
+         |      - CAST(floor(ln(CAST(dfq.df AS DOUBLE)) * 1048576)
+         |        AS BIGINT)) AS w
+         |  FROM tf JOIN dfq USING (tok) CROSS JOIN nd),
+         |nr AS (SELECT source,
+         |         CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT)
+         |           AS nrm2
+         |       FROM w GROUP BY 1),
+         |d AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_common,
+         |    CAST(SUM(CAST(a.w AS HUGEINT) * b.w) AS HUGEINT) AS dot
+         |  FROM w a JOIN w b
+         |    ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT d.source_a, d.source_b, d.n_common,
+         |  CAST(d.dot // 1099511627776 AS BIGINT) AS dot_int,
+         |  CASE WHEN na.nrm2 = 0 OR nb.nrm2 = 0 THEN NULL
+         |       ELSE CAST(floor(1000.0 * CAST(d.dot AS DOUBLE) /
+         |         (sqrt(CAST(na.nrm2 AS DOUBLE))
+         |          * sqrt(CAST(nb.nrm2 AS DOUBLE)))) AS BIGINT)
+         |  END AS cos_milli
+         |FROM d JOIN nr na ON na.source = d.source_a
+         |JOIN nr nb ON nb.source = d.source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+    // cf/df exact milli ratio, deterministic top-50
+    "q_text_token_burstiness" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf,
+         |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |      FROM tk GROUP BY 1)
+         |SELECT tok, cf, df, cf * 1000 // df AS burst_milli
+         |FROM c WHERE df >= 3
+         |ORDER BY burst_milli DESC, tok LIMIT 50""".stripMargin,
     // per-group q20 floors pinned as part of the statistic; HUGEINT
     // promoted before every square
     "q_text_len_anova" ->

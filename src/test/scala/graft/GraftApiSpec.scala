@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 281,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 281")
-    assert(SparkEntry.oracleSql.size == 268,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 268")
+    assert(SparkEntry.queries.size == 283,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 283")
+    assert(SparkEntry.oracleSql.size == 270,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 270")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -284,6 +284,8 @@ class GraftApiSpec extends SparkSpec {
       "qualityScore" -> "qualityScored", "langGuess" -> "langGuessed",
       "qualityRankNormalize" -> "qualityRankNormalized",
       "windowCooccurrencePmi" -> "windowCooccurrencePmi",
+      "sourceTfidfCosine" -> "sourceTfidfCosine",
+      "tokenBurstiness" -> "tokenBurstiness",
       "gopherRules" -> "gopherRuled",
       "tokenStats" -> "tokenStats",
       "bpeTokenStats" -> "bpeTokenCounts",

@@ -2002,4 +2002,46 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Long]("pmi_q20") ===
       lnq20(9L) + lnq20(15L) - lnq20(15L) - lnq20(15L))
   }
+
+  test("sourceTfidfCosine: identical sources read 1000 milli, " +
+      "disjoint sources share nothing") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1", "en", 16L),
+      (2L, "alpha beta gamma", "s2", "en", 16L),
+      (3L, "delta epsilon zeta", "s3", "en", 18L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val m = graft.ops.Text.sourceTfidfCosine(docs).collect()
+      .map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("cos_milli"))).toMap
+    // s1 and s2 carry identical weight vectors → cosine 1 up to the
+    // floor: sqrt(x)·sqrt(x) may exceed x by an ulp, so the milli
+    // floor legitimately reads 999 or 1000
+    assert(m(("s1", "s2"))._1 === 3L)
+    assert(m(("s1", "s2"))._2 >= 999L && m(("s1", "s2"))._2 <= 1000L)
+    // s3 shares no token with s1 → no output row (inner token join)
+    assert(!m.contains(("s1", "s3")))
+  }
+
+  test("tokenBurstiness: bursty token outranks the even spread") {
+    // "spam" 9 occurrences in 3 docs (3000 milli); "the" once per
+    // doc in 4 docs (1000 milli); "rare" in 2 docs → filtered by
+    // minDf = 3
+    val docs = Seq(
+      (1L, "the spam spam spam rare", "en", "s1", 23L),
+      (2L, "the spam spam spam rare", "en", "s1", 23L),
+      (3L, "the spam spam spam", "en", "s1", 18L),
+      (4L, "the plain words here", "en", "s1", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ops.Text
+      .tokenBurstiness(docs, minDf = 3L, topN = 10).collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("cf"), r.getAs[Long]("df"),
+          r.getAs[Long]("burst_milli"))).toMap
+    assert(rows("spam") == ((9L, 3L, 3000L)))
+    assert(rows("the") == ((4L, 4L, 1000L)))
+    assert(!rows.contains("rare"))
+  }
 }
