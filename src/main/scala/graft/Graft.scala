@@ -126,6 +126,11 @@ object Graft {
     /** Church/Gale token burstiness (cf/df milli, top-N). */
     def tokenBurstiness(minDf: Long = 3L, topN: Int = 50): DataFrame =
       ops.Text.tokenBurstiness(docs, minDf, topN)
+    /** Template-head registry: shared prefixes with doc/source
+      * reach (the boilerplate-template precursor). */
+    def templateHeads(headLen: Int = 40, minDocs: Long = 2L,
+        topN: Int = 50): DataFrame =
+      ops.Text.templateHeads(docs, headLen, minDocs, topN)
     /** Gopher/MassiveText rule-bundle gate: exact ppm/milli flags. */
     def gopherRuled: DataFrame = ops.Text.gopherRules(docs)
     /** Token-distribution Shannon entropy (exact q20 integers). */

@@ -343,6 +343,46 @@ object StreamBench {
           java.nio.file.Files.readString(out6.toPath) + line6 + "\n")
       } finally cuQ.stop()
     }
+
+    // Seventh surface: the per-feed freshness-decay monitor — day
+    // rows/s through the one-long-of-state halving recurrence.
+    // Bounded feed domain, monotone per-feed days, mixed gaps so the
+    // shift path executes.
+    {
+      implicit val s = spark
+      val dcIn = MemoryStream[streaming.DecayMonitor.DayCount]
+      val dcQ = streaming.DecayMonitor.monitor(dcIn.toDS())
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val feeds = 200
+        val perBatch = 5000 * scale
+        val nDcBatches = 4
+        def dcBatch(b: Int): Seq[streaming.DecayMonitor.DayCount] =
+          (0 until perBatch).map { i =>
+            val f = i % feeds
+            streaming.DecayMonitor.DayCount(
+              s"f$f", (b.toLong * perBatch + i) / feeds,
+              10L + (i % 5))
+          }
+        dcIn.addData(dcBatch(0)) // warm batch
+        dcQ.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nDcBatches).foreach { b =>
+          dcIn.addData(dcBatch(b))
+          dcQ.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = perBatch.toLong * nDcBatches
+        val line7 =
+          s"""{"metric":"decay_monitor_days_per_sec","value":${(n / dt).toLong},""" +
+            s""""days":$n,"feeds":$feeds,"seconds":$dt,"batches":$nDcBatches,"scale":$scale,"sf":"$sfDir"}"""
+        println(line7)
+        val out7 = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(out7.toPath,
+          java.nio.file.Files.readString(out7.toPath) + line7 + "\n")
+      } finally dcQ.stop()
+    }
     spark.stop()
   }
 }

@@ -123,7 +123,19 @@ object AffinityQueries {
     // peak-to-mean milli, types×24 rows, no window
     "q_events_hourly_profile" -> ((s, d) =>
       Affinity.hourlyLoadProfile(Tables.events(s, d))
-        .orderBy(col("event_type"), col("hr")))
+        .orderBy(col("event_type"), col("hr"))),
+    // weekly-seasonality strength as ANOVA R²'s F form: daily counts
+    // grouped by day-of-week (group labels never emitted, so the
+    // Spark-1..7 vs DuckDB-0..6 dow numbering is immaterial)
+    "q_events_dow_anova" -> ((s, d) =>
+      Audit.anovaF(
+        Tables.events(s, d)
+          .filter(col("ts").isNotNull)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .select(dayofweek(col("day")).cast("string").as("dow"),
+            col("x")),
+        "x", "dow"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -601,6 +613,38 @@ object AffinityQueries {
         |  h.n * 1000000 // t.n_type AS share_ppm,
         |  t.peak * t.n_hours * 1000 // t.n_type AS peak_to_mean_milli
         |FROM h JOIN t USING (event_type)
-        |ORDER BY event_type, hr""".stripMargin
+        |ORDER BY event_type, hr""".stripMargin,
+    // the q_text_len_anova statistic over (dow -> daily count)
+    "q_events_dow_anova" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT dayofweek(day) AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(x) AS BIGINT) AS s_g,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2_g
+        |  FROM daily GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS s,
+        |    CAST(SUM(s2_g) AS HUGEINT) AS sum_x2,
+        |    CAST(SUM(CAST(s_g AS HUGEINT) * s_g * 1048576 // n_g)
+        |      AS HUGEINT) AS a_q20
+        |  FROM g),
+        |u AS (
+        |  SELECT k, n,
+        |    a_q20 - CAST(s AS HUGEINT) * s * 1048576 // n AS ssb_q20,
+        |    sum_x2 * 1048576 - a_q20 AS ssw_q20
+        |  FROM t)
+        |SELECT k, n,
+        |  CAST(ssb_q20 // 1048576 AS BIGINT) AS ssb_int,
+        |  CAST(ssw_q20 // 1048576 AS BIGINT) AS ssw_int,
+        |  CASE WHEN k < 2 OR n <= k OR ssw_q20 <= 0 THEN NULL
+        |       ELSE CAST(ssb_q20 * (n - k) * 1000
+        |         // (ssw_q20 * (k - 1)) AS BIGINT)
+        |  END AS f_milli
+        |FROM u""".stripMargin
   )
 }

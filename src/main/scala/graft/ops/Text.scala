@@ -2120,6 +2120,31 @@ object Text {
       .orderBy(col("burst_milli").desc, col("tok"))
       .limit(topN)
 
+  /** Template-head mining — the cheap precursor to span-level
+    * boilerplate removal: documents sharing an exact `headLen`-char
+    * prefix are instances of one generation template (the ground
+    * truth [[graft.ops.Audit.blockingEval]] audits against), and the
+    * registry of heads with `n_docs ≥ minDocs` tells a curation
+    * owner which templates dominate and whether they cross sources.
+    * One scan, one rollup keyed by the head, TakeOrdered top-N by
+    * (n_docs desc, head) — never a pair join.
+    */
+  def templateHeads(
+      docs: DataFrame,
+      headLen: Int = 40,
+      minDocs: Long = 2L,
+      topN: Int = 50
+  ): DataFrame =
+    docs
+      .select(substring(col("text"), 1, headLen).as("head"),
+        col("source"))
+      .groupBy(col("head"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("head"))
+      .limit(topN)
+
   def signalCorrelation(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("source"),

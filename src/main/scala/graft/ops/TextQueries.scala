@@ -846,7 +846,12 @@ object TextQueries {
     // Church/Gale token burstiness: cf/df exact milli, top-50
     "q_text_token_burstiness" -> ((s, d) =>
       Text.tokenBurstiness(Tables.documents(s, d),
-        minDf = 3L, topN = 50))
+        minDf = 3L, topN = 50)),
+    // template-head registry: shared 40-char prefixes with doc and
+    // source reach — the blockingEval ground truth, listed
+    "q_text_template_heads" -> ((s, d) =>
+      Text.templateHeads(Tables.documents(s, d),
+        headLen = 40, minDocs = 2L, topN = 50))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1554,6 +1559,16 @@ object TextQueries {
          |FROM d JOIN nr na ON na.source = d.source_a
          |JOIN nr nb ON nb.source = d.source_b
          |ORDER BY source_a, source_b""".stripMargin,
+    // head rollup + deterministic top-50
+    "q_text_template_heads" ->
+      """WITH h AS (
+        |  SELECT substr(text, 1, 40) AS head,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM documents GROUP BY 1)
+        |SELECT head, n_docs, n_sources FROM h
+        |WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, head LIMIT 50""".stripMargin,
     // cf/df exact milli ratio, deterministic top-50
     "q_text_token_burstiness" ->
       s"""WITH t AS (

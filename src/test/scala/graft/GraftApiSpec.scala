@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 283,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 283")
-    assert(SparkEntry.oracleSql.size == 270,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 270")
+    assert(SparkEntry.queries.size == 285,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 285")
+    assert(SparkEntry.oracleSql.size == 272,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 272")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -286,6 +286,7 @@ class GraftApiSpec extends SparkSpec {
       "windowCooccurrencePmi" -> "windowCooccurrencePmi",
       "sourceTfidfCosine" -> "sourceTfidfCosine",
       "tokenBurstiness" -> "tokenBurstiness",
+      "templateHeads" -> "templateHeads",
       "gopherRules" -> "gopherRuled",
       "tokenStats" -> "tokenStats",
       "bpeTokenStats" -> "bpeTokenCounts",

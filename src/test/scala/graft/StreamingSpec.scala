@@ -768,4 +768,30 @@ class StreamingSpec extends SparkSpec {
     val quiet = got.filter(_.feed == "quiet").sortBy(_.bucket)
     assert(quiet.forall(o => o.s_hi == 0L && !o.alarm_hi && !o.alarm_lo))
   }
+
+  test("DecayMonitor: halving recurrence across micro-batch " +
+      "boundaries and day gaps; keyed isolation") {
+    import graft.streaming.DecayMonitor
+    import graft.streaming.DecayMonitor.{DayCount, DecayOut}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    // days 0,1,3 (gap of 2), counts 2,1,4; a second feed stays flat
+    val in = MemoryStream[DayCount]
+    val q = DecayMonitor.monitor(in.toDS())
+      .writeStream.format("memory").queryName("decay_out")
+      .outputMode("append").start()
+    try {
+      in.addData(DayCount("main", 0L, 2L), DayCount("other", 0L, 1L))
+      q.processAllAvailable()
+      in.addData(DayCount("main", 1L, 1L), DayCount("main", 3L, 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("decay_out").as[DecayOut].collect()
+    val main = got.filter(_.feed == "main").sortBy(_.day)
+      .map(_.decayed_weight_ppm).toSeq
+    // direct fold: 2e6; 2e6>>1 + 1e6 = 2e6; 2e6>>2 + 4e6 = 4.5e6
+    assert(main === Seq(2000000L, 2000000L, 4500000L))
+    val other = got.filter(_.feed == "other")
+    assert(other.map(_.decayed_weight_ppm).toSeq === Seq(1000000L))
+  }
 }

@@ -2044,4 +2044,21 @@ class TextSpec extends SparkSpec {
     assert(rows("the") == ((4L, 4L, 1000L)))
     assert(!rows.contains("rare"))
   }
+
+  test("templateHeads: shared prefixes surface with source reach; " +
+      "singletons filtered") {
+    val head = "TEMPLATE: weekly status report for team"  // 39 chars
+    val docs = Seq(
+      (1L, head + " alpha tail", "en", "s1", 50L),
+      (2L, head + " beta tail", "en", "s2", 49L),
+      (3L, "completely different document body", "en", "s1", 34L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ops.Text
+      .templateHeads(docs, headLen = 40, minDocs = 2L, topN = 10)
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("head") === (head + " ").take(40))
+    assert(rows.head.getAs[Long]("n_docs") === 2L)
+    assert(rows.head.getAs[Long]("n_sources") === 2L)
+  }
 }
