@@ -131,6 +131,10 @@ object Graft {
     def templateHeads(headLen: Int = 40, minDocs: Long = 2L,
         topN: Int = 50): DataFrame =
       ops.Text.templateHeads(docs, headLen, minDocs, topN)
+    /** Quality-filter yield curve: doc/token mass kept per
+      * value-bucket threshold (exact ppm). */
+    def filterYieldCurve(): DataFrame =
+      ops.Text.filterYieldCurve(docs)
     /** Gopher/MassiveText rule-bundle gate: exact ppm/milli flags. */
     def gopherRuled: DataFrame = ops.Text.gopherRules(docs)
     /** Token-distribution Shannon entropy (exact q20 integers). */
@@ -610,6 +614,9 @@ object Graft {
       * kNN edge list (this frame = edges; `nodes` = id domain). */
     def hitsScores(nodes: DataFrame): DataFrame =
       ops.Vector.hitsScores(embs, nodes)
+    /** Directed-edge reciprocity of a precomputed kNN edge list. */
+    def edgeReciprocity(): DataFrame =
+      ops.Vector.edgeReciprocity(embs)
     /** Per-label centroid drift against another embedding snapshot
       * (exact q16 integer skeleton + floor-ppm cosine). */
     def centroidDriftTo(other: DataFrame): DataFrame =

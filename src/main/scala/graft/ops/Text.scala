@@ -2145,6 +2145,38 @@ object Text {
       .orderBy(col("n_docs").desc, col("head"))
       .limit(topN)
 
+  /** Quality-filter yield curve — the cost side of a threshold
+    * decision the decile table doesn't show: per quality VALUE
+    * bucket (`⌊quality·10⌋`, engine-identical on the exact double),
+    * the doc and token mass, plus the cumulative mass retained if
+    * the gate cut BELOW this bucket — so "a 0.5 threshold keeps 61%
+    * of tokens from 48% of docs" reads off one row. Buckets are
+    * value-defined (≤ 11 by construction), so the cumulative window
+    * runs over a constant frame, never the corpus; one scan + one
+    * tiny rollup.
+    */
+  def filterYieldCurve(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityScore(docs)
+    val b = q.select(
+        floor(col("quality") * 10).cast("int").as("bucket"),
+        col("n_tokens").cast("long").as("t"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = b.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    b.withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("cum_docs"), col("cum_tokens"),
+        expr("cum_docs * 1000000 div tot_docs").as("docs_kept_ppm"),
+        expr("cum_tokens * 1000000 div tot_tokens")
+          .as("tokens_kept_ppm"))
+  }
+
   def signalCorrelation(docs: DataFrame): DataFrame =
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("source"),

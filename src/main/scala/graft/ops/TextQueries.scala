@@ -851,7 +851,12 @@ object TextQueries {
     // source reach — the blockingEval ground truth, listed
     "q_text_template_heads" -> ((s, d) =>
       Text.templateHeads(Tables.documents(s, d),
-        headLen = 40, minDocs = 2L, topN = 50))
+        headLen = 40, minDocs = 2L, topN = 50)),
+    // filter yield curve: per quality value-bucket, doc/token mass
+    // kept if the gate cut below it — ≤11 bucket rows by value
+    "q_text_filter_yield" -> ((s, d) =>
+      Text.filterYieldCurve(Tables.documents(s, d))
+        .orderBy(col("bucket")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1559,6 +1564,38 @@ object TextQueries {
          |FROM d JOIN nr na ON na.source = d.source_a
          |JOIN nr nb ON nb.source = d.source_b
          |ORDER BY source_a, source_b""".stripMargin,
+    // value-bucketed yield curve: cumulative window over <= 11 rows
+    "q_text_filter_yield" ->
+      s"""WITH qt AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT CAST(floor((${qualityExprSql("toks")}) * 10)
+         |      AS INT) AS bucket,
+         |    CAST(len(toks) AS BIGINT) AS t
+         |  FROM qt),
+         |b AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(t) AS BIGINT) AS n_tokens
+         |  FROM q GROUP BY 1),
+         |c AS (
+         |  SELECT *,
+         |    CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM b),
+         |t2 AS (
+         |  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+         |  FROM b)
+         |SELECT bucket, n_docs, n_tokens, cum_docs, cum_tokens,
+         |  cum_docs * 1000000 // tot_docs AS docs_kept_ppm,
+         |  cum_tokens * 1000000 // tot_tokens AS tokens_kept_ppm
+         |FROM c, t2 ORDER BY bucket""".stripMargin,
     // head rollup + deterministic top-50
     "q_text_template_heads" ->
       """WITH h AS (

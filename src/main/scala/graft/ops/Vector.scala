@@ -2947,6 +2947,28 @@ object Vector {
       .withColumn("mean_s_milli", expr("sum_s_milli div n_vecs"))
   }
 
+  /** Edge reciprocity of the directed kNN graph — the fraction of
+    * "a ranks b in its top-k" edges where b returns the favor. Low
+    * reciprocity marks hub-dominated neighborhoods (everyone points
+    * at the exemplar, the exemplar points elsewhere), which is the
+    * same pathology [[degreeAssortativity]] reads from degrees but
+    * localized to edge level; together they are the graph-shape
+    * panel. One self-join of the k·n edge list on the reversed pair,
+    * three integers out.
+    */
+  def edgeReciprocity(knn: DataFrame): DataFrame = {
+    val e = graft.Caches.track("vec",
+      knn.select(col("vec_id"), col("nbr_id")))
+    val recip = e.as("a").join(e.as("b"),
+        col("a.vec_id") === col("b.nbr_id") &&
+          col("a.nbr_id") === col("b.vec_id"))
+      .agg(count(lit(1)).as("n_recip"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip))
+      .select(col("n_edges"), col("n_recip"),
+        expr("n_recip * 1000000 div n_edges").as("reciprocity_ppm"))
+  }
+
   /** HITS hubs/authorities on the DIRECTED kNN graph in q20 integer
     * fixed point — normalize-by-max instead of the L2 norm keeps
     * every iterate an exact integer (`v·2^20 div max`), so the

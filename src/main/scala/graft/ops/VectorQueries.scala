@@ -301,6 +301,10 @@ object VectorQueries {
     "q_vec_silhouette" -> ((s, d) =>
       Vector.silhouetteSimplified(Tables.embeddings(s, d))
         .orderBy(col("label"))),
+    // directed-edge reciprocity of the kNN graph: the edge-level
+    // hub-pathology read beside q_vec_assortativity's degree one
+    "q_vec_reciprocity" -> ((s, d) =>
+      Vector.edgeReciprocity(knnGraphDf(s, d))),
     // size histogram of the SemDeDup components: singleton vs giant
     // mass is the threshold-health read before acting on the graph
     "q_vec_component_sizes" -> ((s, d) =>
@@ -1251,6 +1255,48 @@ object VectorQueries {
         |       ELSE 0 END AS coeff_ppm
         |FROM deg LEFT JOIN tv ON tv.v = deg.v
         |ORDER BY vec_id""".stripMargin,
+    // same kNN edge CTE stack, then the reversed-pair self-join
+    "q_vec_reciprocity" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, nbr_id FROM r WHERE rk <= 3),
+        |rc AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+        |  FROM e a JOIN e b
+        |    ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id),
+        |te AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_edges, n_recip,
+        |  n_recip * 1000000 // n_edges AS reciprocity_ppm
+        |FROM te, rc""".stripMargin,
     // same kNN edge CTE stack, then Newman r over both-orientations
     // endpoint degrees — pure-integer Pearson (equal marginals)
     "q_vec_assortativity" ->

@@ -128,6 +128,7 @@ class PlanSpec extends SparkSpec {
       "q_sql_revenue_share" -> "nation-level aggregate (≤ 25 rows)",
       "q_text_curriculum" -> "doc-quality rank (documented exact-rank validation twin)",
       "q_text_dedup_curve" -> "decile frame (nBuckets rows)",
+      "q_text_filter_yield" -> "quality value-bucket frame (<= 11 rows by construction)",
       "q_text_auc_influence" -> "global score histogram (≤ 2001 values; the per-group windows partition by source)",
       "q_text_neyman_alloc" -> "per-stratum rollup (|sources| rows; remainder-rank window is strata-bounded)",
       "q_text_oov_rate" -> "token-frequency histogram head (vocab cap)",

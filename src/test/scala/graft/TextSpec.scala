@@ -2061,4 +2061,28 @@ class TextSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_docs") === 2L)
     assert(rows.head.getAs[Long]("n_sources") === 2L)
   }
+
+  test("filterYieldCurve: cumulative mass retained above each " +
+      "quality bucket, exact ppm") {
+    // two docs in distinct buckets: totals and cumulative columns
+    // must close exactly
+    val docs = Seq(
+      (1L, "the a of to in is and an", "en", "s1", 24L),     // stopword-heavy
+      (2L, "unique distinct tokens entirely here", "en", "s1", 36L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ops.Text.filterYieldCurve(docs).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    val totDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val totToks = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(totDocs === 2L && totToks === 13L)
+    // the lowest bucket's cumulative covers everything → 10^6 ppm
+    val lowest = rows.head
+    assert(lowest.getAs[Long]("cum_docs") === 2L)
+    assert(lowest.getAs[Long]("docs_kept_ppm") === 1000000L)
+    assert(lowest.getAs[Long]("tokens_kept_ppm") === 1000000L)
+    // the highest bucket keeps only itself
+    val highest = rows.last
+    assert(highest.getAs[Long]("cum_docs") ===
+      highest.getAs[Long]("n_docs"))
+  }
 }

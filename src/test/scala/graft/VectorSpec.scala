@@ -1469,4 +1469,14 @@ class VectorSpec extends SparkSpec {
     val r = Vec.silhouetteSimplified(solo).collect()
     assert(r.length === 1 && r.head.getAs[Long]("sum_s_milli") === 0L)
   }
+
+  test("edgeReciprocity: counts mutual directed pairs exactly") {
+    // 0<->1 mutual, 2->0 unrequited: 2 of 3 edges reciprocated
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L))
+      .toDF("vec_id", "nbr_id")
+    val r = Vec.edgeReciprocity(edges).collect().head
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("n_recip") === 2L)
+    assert(r.getAs[Long]("reciprocity_ppm") === 666666L)
+  }
 }
