@@ -30,6 +30,9 @@ import duckdb
 out_dir, sf_dir, name, sql = sys.argv[1:5]
 con = duckdb.connect()
 con.execute("SET threads=4")
+# long queries (recursive CTEs) trip the ASCII progress bar ON
+# STDOUT, corrupting the one-line JSON protocol
+con.execute("SET enable_progress_bar=false")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -79,7 +82,10 @@ def main():
             if p.returncode != 0:
                 runs.append({"err": p.stderr.strip()[-300:]})
             else:
-                runs.append(json.loads(p.stdout))
+                # parse the LAST stdout line: belt-and-braces against any
+                # engine chatter that slips past the progress-bar off switch
+                runs.append(json.loads(
+                    p.stdout.strip().splitlines()[-1]))
         ok = (all("err" not in r for r in runs) and
               len({r["spark_md5"] for r in runs}) == 1 and
               len({r["oracle_md5"] for r in runs}) == 1 and
