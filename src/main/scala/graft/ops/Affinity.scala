@@ -850,6 +850,34 @@ object Affinity {
         col("v_milli"))
   }
 
+  /** Per-user hour-of-day entropy — the bot screen: a human's
+    * activity clumps into waking hours (low entropy), a scripted
+    * client spreads uniformly (entropy → ln 24). Exact q20 integers
+    * end to end in the eventPmi ln-of-integer convention:
+    * `H·N = Σ_h c_h·(⌊ln N⌋ − ⌊ln c_h⌋)`, divided back by N with the
+    * shared truncation. Per-user rollup → per-user output (the audit
+    * table is user-domain-sized, like the Gini input); no window.
+    */
+  def userHourEntropy(events: DataFrame): DataFrame = {
+    def lnq20(c: Column): Column =
+      floor(log(c.cast("double")) * (1L << 20)).cast("long")
+    val uh = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val tot = uh.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_hours"))
+    uh.join(tot, "user_id")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_hours")).as("n_hours"),
+        sum(col("c") * (lnq20(col("n_events")) - lnq20(col("c"))))
+          .as("__hn"))
+      .withColumn("entropy_q20", expr("__hn div n_events"))
+      .drop("__hn")
+  }
+
   /** Hour-of-day load shape per event type — the capacity-planning
     * read of a feed (share of each type's traffic per hour in exact
     * ppm, plus the peak-to-mean ratio in milli: ~1000 = flat,

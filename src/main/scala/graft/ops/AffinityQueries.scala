@@ -124,6 +124,11 @@ object AffinityQueries {
     "q_events_hourly_profile" -> ((s, d) =>
       Affinity.hourlyLoadProfile(Tables.events(s, d))
         .orderBy(col("event_type"), col("hr"))),
+    // per-user hour-entropy bot screen: q20 ln-of-integer counts,
+    // user-domain-sized output, no window
+    "q_events_user_entropy" -> ((s, d) =>
+      Affinity.userHourEntropy(Tables.events(s, d))
+        .orderBy(col("user_id"))),
     // weekly-seasonality strength as ANOVA R²'s F form: daily counts
     // grouped by day-of-week (group labels never emitted, so the
     // Spark-1..7 vs DuckDB-0..6 dow numbering is immaterial)
@@ -614,6 +619,28 @@ object AffinityQueries {
         |  t.peak * t.n_hours * 1000 // t.n_type AS peak_to_mean_milli
         |FROM h JOIN t USING (event_type)
         |ORDER BY event_type, hr""".stripMargin,
+    // q20 ln-of-integer entropy per user
+    "q_events_user_entropy" ->
+      """WITH uh AS (
+        |  SELECT user_id, CAST(date_part('hour', ts) AS BIGINT)
+        |      AS hr,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hours
+        |  FROM uh GROUP BY 1)
+        |SELECT uh.user_id, t.n_events, t.n_hours,
+        |  CAST(SUM(uh.c *
+        |    (CAST(floor(ln(CAST(t.n_events AS DOUBLE)) * 1048576)
+        |       AS BIGINT)
+        |     - CAST(floor(ln(CAST(uh.c AS DOUBLE)) * 1048576)
+        |       AS BIGINT))) AS BIGINT) // t.n_events AS entropy_q20
+        |FROM uh JOIN t USING (user_id)
+        |GROUP BY uh.user_id, t.n_events, t.n_hours
+        |ORDER BY uh.user_id""".stripMargin,
     // the q_text_len_anova statistic over (dow -> daily count)
     "q_events_dow_anova" ->
       """WITH daily AS (

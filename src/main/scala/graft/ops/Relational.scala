@@ -1110,6 +1110,41 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Discount elasticity of order quantity — the exact least-squares
+    * slope of quantity (milli) against the discount level (centi):
+    * does a deeper discount actually move volume, as one number with
+    * its full integer evidence. The discount domain is a small fixed
+    * grid (0.00–0.10 by cents), so x is an exact small integer
+    * (round, not floor — 0.03·100 sits BELOW 3 in binary and floor
+    * would mis-bucket it); y floors to milli per row; all five
+    * regression sums are exact (the Σxy cross term DECIMAL-promoted),
+    * and the slope closes by one integer division. One
+    * partial-aggregated scan, one row out.
+    */
+  def discountElasticity(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_discount").isNotNull &&
+        col("l_quantity").isNotNull)
+      .select(
+        expr("CAST(round(l_discount * 100, 0) AS INT)").as("x"),
+        expr("CAST(floor(l_quantity * 1000) AS BIGINT)").as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("long")).as("sum_x"),
+        sum(col("y")).as("sum_y"),
+        sum((col("x") * col("x")).cast("long")).as("sum_xx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("__sxy"))
+      .withColumn("sum_xy", expr("CAST(__sxy AS BIGINT)"))
+      .withColumn("slope_qty_milli_per_centi", expr(
+        """CASE WHEN CAST(n AS DECIMAL(38,0)) * sum_xx
+          |   - CAST(sum_x AS DECIMAL(38,0)) * sum_x = 0 THEN NULL
+          | ELSE CAST((CAST(n AS DECIMAL(38,0)) * __sxy
+          |     - CAST(sum_x AS DECIMAL(38,0)) * sum_y)
+          |   div (CAST(n AS DECIMAL(38,0)) * sum_xx
+          |     - CAST(sum_x AS DECIMAL(38,0)) * sum_x)
+          |   AS BIGINT) END""".stripMargin))
+      .drop("__sxy")
+
   /** Daily open-order backlog by interval sweep: an order is open
     * from its order date until the day its LAST lineitem ships, so
     * the per-day backlog is the running sum of +1/−1 boundary deltas

@@ -154,6 +154,10 @@ object RelationalQueries {
     "q_orders_backlog" -> ((s, d) =>
       orderBacklog(Tables.orders(s, d), Tables.lineitem(s, d))
         .orderBy(col("d"))),
+    // exact least-squares slope of quantity (milli) on discount
+    // (centi grid): the does-the-discount-move-volume audit
+    "q_li_discount_elasticity" -> ((s, d) =>
+      discountElasticity(Tables.lineitem(s, d))),
     // TPC-H Q12 shape: late vs on-time lineitems per priority class
     "q_shipping_delay" -> ((s, d) =>
       shippingDelayAnalysis(Tables.lineitem(s, d),
@@ -661,6 +665,29 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_li_discount_elasticity" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_discount * 100, 0) AS INT) AS x,
+        |    CAST(floor(l_quantity * 1000) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sum_x,
+        |    CAST(SUM(y) AS BIGINT) AS sum_y,
+        |    CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM b)
+        |SELECT n, sum_x, sum_y, sum_xx,
+        |  CAST(sxy AS BIGINT) AS sum_xy,
+        |  CASE WHEN CAST(n AS HUGEINT) * sum_xx
+        |       - CAST(sum_x AS HUGEINT) * sum_x = 0 THEN NULL
+        |  ELSE CAST((CAST(n AS HUGEINT) * sxy
+        |      - CAST(sum_x AS HUGEINT) * sum_y)
+        |    // (CAST(n AS HUGEINT) * sum_xx
+        |      - CAST(sum_x AS HUGEINT) * sum_x)
+        |    AS BIGINT) END AS slope_qty_milli_per_centi
+        |FROM s""".stripMargin,
     "q_orders_backlog" ->
       """WITH life AS (
         |  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od,

@@ -445,4 +445,23 @@ class AffinitySpec extends SparkSpec {
     // flat: peak 2 · 2 hours / 4 events = exactly 1000 milli
     assert(m(("flat", 0L)) == ((2L, 500000L, 1000L)))
   }
+
+  test("userHourEntropy: two even hours read ln2 in q20 floors; " +
+      "single-hour user reads zero") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:15:00")
+    val ev = Seq(
+      (1L, ts(9)), (1L, ts(9)), (1L, ts(21)), (1L, ts(21)),
+      (2L, ts(3)), (2L, ts(3)), (2L, ts(3))
+    ).toDF("user_id", "ts")
+    val m = Affinity.userHourEntropy(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_hours"),
+          r.getAs[Long]("entropy_q20"))).toMap
+    def lnq20(v: Long) =
+      math.floor(math.log(v.toDouble) * (1L << 20)).toLong
+    // H·N = Σ c·(⌊ln4⌋−⌊ln2⌋) = 4·(⌊ln4⌋−⌊ln2⌋); ÷4 back
+    assert(m(1L) == ((4L, 2L, lnq20(4L) - lnq20(2L))))
+    assert(m(2L) == ((3L, 1L, 0L)))
+  }
 }

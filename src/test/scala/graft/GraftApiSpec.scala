@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 287,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 287")
-    assert(SparkEntry.oracleSql.size == 274,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 274")
+    assert(SparkEntry.queries.size == 289,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 289")
+    assert(SparkEntry.oracleSql.size == 276,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 276")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

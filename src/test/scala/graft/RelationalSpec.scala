@@ -200,4 +200,23 @@ class RelationalSpec extends SparkSpec {
     assert(m("2024-01-02") == ((1L, 2L)))   // order 2 opens
     assert(m("2024-01-03") == ((-2L, 0L)))  // both close
   }
+
+  test("discountElasticity: exact two-point slope; flat discount " +
+      "grid is NULL; 0.03 rounds to centi 3") {
+    import spark.implicits._
+    val li = Seq((0.00, 1.0), (0.10, 3.0))
+      .toDF("l_discount", "l_quantity")
+    val r = Relational.discountElasticity(li).collect().head
+    // slope = (3000-1000)/(10-0) = 200 milli qty per centi
+    assert(r.getAs[Long]("slope_qty_milli_per_centi") === 200L)
+    val flat = Seq((0.05, 1.0), (0.05, 9.0))
+      .toDF("l_discount", "l_quantity")
+    val r2 = Relational.discountElasticity(flat).collect().head
+    assert(r2.isNullAt(
+      r2.fieldIndex("slope_qty_milli_per_centi")))
+    // the binary-representation trap: 0.03*100 < 3 in doubles
+    val tricky = Seq((0.03, 1.0)).toDF("l_discount", "l_quantity")
+    assert(Relational.discountElasticity(tricky).collect()
+      .head.getAs[Long]("sum_x") === 3L)
+  }
 }
