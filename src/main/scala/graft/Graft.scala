@@ -617,6 +617,10 @@ object Graft {
     /** Directed-edge reciprocity of a precomputed kNN edge list. */
     def edgeReciprocity(): DataFrame =
       ops.Vector.edgeReciprocity(embs)
+    /** Per-label purity of a precomputed kNN edge list (this frame =
+      * edges; `labeled` = (vec_id, label)). */
+    def knnLabelPurity(labeled: DataFrame): DataFrame =
+      ops.Vector.knnLabelPurity(embs, labeled)
     /** Per-label centroid drift against another embedding snapshot
       * (exact q16 integer skeleton + floor-ppm cosine). */
     def centroidDriftTo(other: DataFrame): DataFrame =

@@ -75,6 +75,25 @@ object Cdc {
           .otherwise(lit(null).cast("string")))
       .filter(col("op").isNotNull)
 
+  /** Per-table CDC op-mix audit — the churn profile of a feed
+    * (inserts grow a table, updates/deletes REWRITE it): operation
+    * counts and the rewrite share in exact ppm, per source table.
+    * A dimension whose churn_ppm drifts up is the first sign its
+    * upstream started full-row refreshing — the LWW upsert then
+    * burns write amplification for no information. One conditional
+    * rollup, |tables| rows out.
+    */
+  def opMixAudit(normalized: DataFrame): DataFrame =
+    normalized
+      .groupBy(col("table").as("src_table"))
+      .agg(
+        count(lit(1)).as("n_ops"),
+        count(when(col("op") === "I", lit(1))).as("n_insert"),
+        count(when(col("op") === "U", lit(1))).as("n_update"),
+        count(when(col("op") === "D", lit(1))).as("n_delete"))
+      .withColumn("churn_ppm", expr(
+        "(n_update + n_delete) * 1000000 div n_ops"))
+
   /** Keyed compaction honoring tombstones: newest row per key wins,
     * and if the newest is a delete the key disappears entirely —
     * the materialized-view semantics of a keyed store fed by CDC.

@@ -99,6 +99,11 @@ object CdcQueries {
   val queries: Map[String, Q] = Map(
     // T10+T11: normalize op types (click/error rows must be dropped),
     // derive the dynamic topic column.
+    // per-table op mix: the churn profile (rewrite share) of the
+    // CDC feed — one conditional rollup, |tables| rows
+    "q_cdc_op_mix" -> ((s, d) =>
+      Cdc.opMixAudit(normalized(s, d))
+        .orderBy(col("src_table"))),
     "q_cdc_route" -> ((s, d) =>
       Cdc.withTopic(normalized(s, d))
         .select(
@@ -266,6 +271,20 @@ object CdcQueries {
       |  WHERE event_type IN ('signup','view','purchase'))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_op_mix" ->
+      s"""$base
+         |SELECT src_table,
+         |  CAST(COUNT(*) AS BIGINT) AS n_ops,
+         |  CAST(COUNT(CASE WHEN op = 'I' THEN 1 END) AS BIGINT)
+         |    AS n_insert,
+         |  CAST(COUNT(CASE WHEN op = 'U' THEN 1 END) AS BIGINT)
+         |    AS n_update,
+         |  CAST(COUNT(CASE WHEN op = 'D' THEN 1 END) AS BIGINT)
+         |    AS n_delete,
+         |  (COUNT(CASE WHEN op = 'U' THEN 1 END)
+         |   + COUNT(CASE WHEN op = 'D' THEN 1 END)) * 1000000
+         |    // COUNT(*) AS churn_ppm
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cdc_route" ->
       s"""$base
          |SELECT src_table, op, UPPER(src_table)||'_'||op AS topic, id

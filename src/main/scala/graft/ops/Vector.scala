@@ -2969,6 +2969,30 @@ object Vector {
         expr("n_recip * 1000000 div n_edges").as("reciprocity_ppm"))
   }
 
+  /** Label purity of the directed kNN graph — per label, the
+    * fraction of its members' top-k edges that stay inside the
+    * label. The embedding-space label-consistency read that decides
+    * whether label-conditioned sampling or label-propagation can be
+    * trusted on this corpus (purity near the 1/L chance floor means
+    * labels and geometry disagree). Two broadcast-sized label
+    * attaches on the k·n edge list, |labels| rows out.
+    */
+  def knnLabelPurity(knn: DataFrame, labeled: DataFrame): DataFrame = {
+    val lab = labeled.select(col("vec_id"), col("label"))
+    knn.select(col("vec_id"), col("nbr_id"))
+      .join(lab.select(col("vec_id"), col("label").as("label_a")),
+        "vec_id")
+      .join(lab.select(col("vec_id").as("nbr_id"),
+        col("label").as("label_b")), "nbr_id")
+      .groupBy(col("label_a").as("label"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        count(when(col("label_a") === col("label_b"), lit(1)))
+          .as("n_same"))
+      .withColumn("purity_ppm",
+        expr("n_same * 1000000 div n_edges"))
+  }
+
   /** HITS hubs/authorities on the DIRECTED kNN graph in q20 integer
     * fixed point — normalize-by-max instead of the L2 norm keeps
     * every iterate an exact integer (`v·2^20 div max`), so the

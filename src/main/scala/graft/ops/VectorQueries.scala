@@ -305,6 +305,24 @@ object VectorQueries {
     // hub-pathology read beside q_vec_assortativity's degree one
     "q_vec_reciprocity" -> ((s, d) =>
       Vector.edgeReciprocity(knnGraphDf(s, d))),
+    // label purity of the COARSE (label % 4) kNN graph — the
+    // label-sublisted shared graph is within-label by construction,
+    // so purity is only meaningful on lists where labels mix (the
+    // label_prop/modularity coarsening, same 1250-cap sublist rule)
+    "q_vec_knn_purity" -> ((s, d) => {
+      val e0 = Tables.embeddings(s, d)
+      val m = e0.agg(greatest(lit(1L),
+        expr("count(*) div 1250")).as("__m"))
+      val e = e0.crossJoin(broadcast(m))
+        .withColumn("list_id",
+          (col("label") % 4) * col("__m") +
+            pmod(col("vec_id"), col("__m")))
+        .drop("__m")
+      Vector.knnLabelPurity(
+        Vector.knnGraphAssigned(e, k = 3),
+        e0.select(col("vec_id"), col("label")))
+        .orderBy(col("label"))
+    }),
     // size histogram of the SemDeDup components: singleton vs giant
     // mass is the threshold-health read before acting on the graph
     "q_vec_component_sizes" -> ((s, d) =>
@@ -1255,6 +1273,51 @@ object VectorQueries {
         |       ELSE 0 END AS coeff_ppm
         |FROM deg LEFT JOIN tv ON tv.v = deg.v
         |ORDER BY vec_id""".stripMargin,
+    // coarse (label % 4) kNN stack, then per-label same-label edge
+    // shares
+    "q_vec_knn_purity" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |mt AS (
+        |  SELECT GREATEST(1, COUNT(*) // 1250) AS m
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a CROSS JOIN mt JOIN u b
+        |    ON a.i = b.i
+        |    AND (a.label % 4) * mt.m + a.vec_id % mt.m
+        |      = (b.label % 4) * mt.m + b.vec_id % mt.m
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |e AS (SELECT vec_id, nbr_id FROM r WHERE rk <= 3)
+        |SELECT la.label AS label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |  CAST(COUNT(CASE WHEN la.label = lb.label THEN 1 END)
+        |    AS BIGINT) AS n_same,
+        |  COUNT(CASE WHEN la.label = lb.label THEN 1 END)
+        |    * 1000000 // COUNT(*) AS purity_ppm
+        |FROM e
+        |JOIN embeddings la ON la.vec_id = e.vec_id
+        |JOIN embeddings lb ON lb.vec_id = e.nbr_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same kNN edge CTE stack, then the reversed-pair self-join
     "q_vec_reciprocity" ->
       """WITH n AS (

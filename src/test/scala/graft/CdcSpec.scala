@@ -177,4 +177,18 @@ class CdcSpec extends SparkSpec {
       .sortBy(_._1).toList
     assert(out === List((1L, "a"), (3L, "c9"), (4L, "d5"), (5L, "e")))
   }
+
+  test("opMixAudit: per-table op counts and exact churn share") {
+    val rows = Seq(
+      ("t0", "I"), ("t0", "I"), ("t0", "U"), ("t0", "D"),
+      ("t1", "I")
+    ).toDF("table", "op")
+    val m = Cdc.opMixAudit(rows).collect()
+      .map(r => r.getAs[String]("src_table") ->
+        (r.getAs[Long]("n_ops"), r.getAs[Long]("n_insert"),
+          r.getAs[Long]("n_update"), r.getAs[Long]("n_delete"),
+          r.getAs[Long]("churn_ppm"))).toMap
+    assert(m("t0") == ((4L, 2L, 1L, 1L, 500000L)))
+    assert(m("t1") == ((1L, 1L, 0L, 0L, 0L)))
+  }
 }

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 289,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 289")
-    assert(SparkEntry.oracleSql.size == 276,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 276")
+    assert(SparkEntry.queries.size == 291,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 291")
+    assert(SparkEntry.oracleSql.size == 278,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 278")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -410,6 +410,7 @@ class GraftApiSpec extends SparkSpec {
       "kCoreAssigned" -> "kCoreAssigned",
       "degreeAssortativity" -> "degreeAssortativity",
       "hitsScores" -> "hitsScores",
+      "knnLabelPurity" -> "knnLabelPurity",
       "silhouetteSimplified" -> "silhouetteByLabel",
       "leakageSafeSplit" -> "leakageSafeSplitBy",
       "isotropyAuditQ16" -> "isotropyAudit",

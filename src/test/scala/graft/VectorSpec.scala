@@ -1470,6 +1470,20 @@ class VectorSpec extends SparkSpec {
     assert(r.length === 1 && r.head.getAs[Long]("sum_s_milli") === 0L)
   }
 
+  test("knnLabelPurity: same-label edge shares per label") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L))
+      .toDF("vec_id", "nbr_id")
+    val labeled = Seq((0L, 7), (1L, 7), (2L, 9))
+      .toDF("vec_id", "label")
+    val m = Vec.knnLabelPurity(edges, labeled).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_edges"), r.getAs[Long]("n_same"),
+          r.getAs[Long]("purity_ppm"))).toMap
+    // label 7 sources: 0->1 same, 0->2 cross, 1->0 same → 2/3
+    assert(m(7) == ((3L, 2L, 666666L)))
+    assert(m(9) == ((1L, 0L, 0L)))
+  }
+
   test("edgeReciprocity: counts mutual directed pairs exactly") {
     // 0<->1 mutual, 2->0 unrequited: 2 of 3 edges reciprocated
     val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L))
