@@ -621,6 +621,10 @@ object Graft {
       * edges; `labeled` = (vec_id, label)). */
     def knnLabelPurity(labeled: DataFrame): DataFrame =
       ops.Vector.knnLabelPurity(embs, labeled)
+    /** In-degree histogram + orphan coverage of a precomputed kNN
+      * edge list (this frame = edges; `nodes` = id domain). */
+    def inDegreeHistogram(nodes: DataFrame): DataFrame =
+      ops.Vector.inDegreeHistogram(embs, nodes)
     /** Per-label centroid drift against another embedding snapshot
       * (exact q16 integer skeleton + floor-ppm cosine). */
     def centroidDriftTo(other: DataFrame): DataFrame =

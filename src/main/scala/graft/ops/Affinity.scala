@@ -850,6 +850,34 @@ object Affinity {
         col("v_milli"))
   }
 
+  /** Sample-ratio mismatch for a 50/50 experiment split — the
+    * first-line A/B hygiene check (an SRM invalidates the experiment
+    * before any lift is read): with a fair coin the two arms'
+    * user counts satisfy `chi² = (n_a − n_b)²/N`, exact in milli by
+    * one integer division (DECIMAL-promoted square — arm counts at
+    * corpus scale square past BIGINT). `srm_suspect` applies the
+    * 1-dof 95% line (3.841) as the documented integer threshold
+    * 3841 milli. One distinct + one rollup.
+    */
+  def sampleRatioMismatch(
+      events: DataFrame,
+      assignB: Column
+  ): DataFrame =
+    events
+      .select(col("user_id")).distinct()
+      .select(when(assignB, lit(1L)).otherwise(lit(0L)).as("b"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("b")).as("n_b"))
+      .withColumn("n_a", expr("n_users - n_b"))
+      .withColumn("srm_chi2_milli", expr(
+        """CASE WHEN n_users = 0 THEN NULL
+          | ELSE CAST((CAST(n_a AS DECIMAL(38,0)) - n_b)
+          |   * (CAST(n_a AS DECIMAL(38,0)) - n_b) * 1000
+          |   div n_users AS BIGINT) END""".stripMargin))
+      .withColumn("srm_suspect", col("srm_chi2_milli") > 3841L)
+      .select(col("n_users"), col("n_a"), col("n_b"),
+        col("srm_chi2_milli"), col("srm_suspect"))
+
   /** Per-user hour-of-day entropy — the bot screen: a human's
     * activity clumps into waking hours (low entropy), a scripted
     * client spreads uniformly (entropy → ln 24). Exact q20 integers

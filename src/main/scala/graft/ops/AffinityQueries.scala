@@ -124,6 +124,11 @@ object AffinityQueries {
     "q_events_hourly_profile" -> ((s, d) =>
       Affinity.hourlyLoadProfile(Tables.events(s, d))
         .orderBy(col("event_type"), col("hr"))),
+    // 50/50 sample-ratio mismatch on the ab_lift split: exact milli
+    // chi-square, 1-dof 95% line as the documented 3841 threshold
+    "q_events_srm" -> ((s, d) =>
+      Affinity.sampleRatioMismatch(Tables.events(s, d),
+        col("user_id") % 2 === 1)),
     // per-user hour-entropy bot screen: q20 ln-of-integer counts,
     // user-domain-sized output, no window
     "q_events_user_entropy" -> ((s, d) =>
@@ -619,6 +624,24 @@ object AffinityQueries {
         |  t.peak * t.n_hours * 1000 // t.n_type AS peak_to_mean_milli
         |FROM h JOIN t USING (event_type)
         |ORDER BY event_type, hr""".stripMargin,
+    "q_events_srm" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_users, n_users - n_b AS n_a, n_b,
+        |  CASE WHEN n_users = 0 THEN NULL
+        |    ELSE CAST((CAST(n_users - n_b AS HUGEINT) - n_b)
+        |      * (CAST(n_users - n_b AS HUGEINT) - n_b) * 1000
+        |      // n_users AS BIGINT) END AS srm_chi2_milli,
+        |  CASE WHEN n_users = 0 THEN NULL
+        |    ELSE CAST((CAST(n_users - n_b AS HUGEINT) - n_b)
+        |      * (CAST(n_users - n_b AS HUGEINT) - n_b) * 1000
+        |      // n_users AS BIGINT) > 3841 END AS srm_suspect
+        |FROM s""".stripMargin,
     // q20 ln-of-integer entropy per user
     "q_events_user_entropy" ->
       """WITH uh AS (

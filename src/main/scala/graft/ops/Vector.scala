@@ -2993,6 +2993,32 @@ object Vector {
         expr("n_same * 1000000 div n_edges"))
   }
 
+  /** In-degree histogram of the directed kNN graph, with the orphan
+    * count — vectors NOBODY ranks in their top-k. Orphans are the
+    * quantizer's blind spots (a neighbor-based sampler or
+    * propagation step simply never reaches them), so the orphan ppm
+    * is the coverage guarantee such a step silently assumes. One
+    * rollup to in-degrees, an anti-join for degree 0, one histogram
+    * rollup; output bounded by the distinct-degree count.
+    */
+  def inDegreeHistogram(knn: DataFrame, nodes: DataFrame)
+      : DataFrame = {
+    val ind = knn.groupBy(col("nbr_id").as("vec_id"))
+      .agg(count(lit(1)).as("deg"))
+    val orphans = nodes.select(col("vec_id"))
+      .join(ind, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(0L).as("deg"), col("n"))
+    val hist = ind.groupBy(col("deg"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(orphans)
+      .filter(col("n") > 0)
+    val tot = nodes.agg(count(lit(1)).as("n_vecs"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("deg"), col("n"),
+        expr("n * 1000000 div n_vecs").as("share_ppm"))
+  }
+
   /** HITS hubs/authorities on the DIRECTED kNN graph in q20 integer
     * fixed point — normalize-by-max instead of the L2 norm keeps
     * every iterate an exact integer (`v·2^20 div max`), so the

@@ -305,6 +305,13 @@ object VectorQueries {
     // hub-pathology read beside q_vec_assortativity's degree one
     "q_vec_reciprocity" -> ((s, d) =>
       Vector.edgeReciprocity(knnGraphDf(s, d))),
+    // in-degree histogram + orphan (never-ranked) coverage of the
+    // shared kNN graph: the blind-spot ppm a neighbor-based sampler
+    // silently assumes is zero
+    "q_vec_degree_hist" -> ((s, d) =>
+      Vector.inDegreeHistogram(knnGraphDf(s, d),
+        Tables.embeddings(s, d))
+        .orderBy(col("deg"))),
     // label purity of the COARSE (label % 4) kNN graph — the
     // label-sublisted shared graph is within-label by construction,
     // so purity is only meaningful on lists where labels mix (the
@@ -1273,6 +1280,57 @@ object VectorQueries {
         |       ELSE 0 END AS coeff_ppm
         |FROM deg LEFT JOIN tv ON tv.v = deg.v
         |ORDER BY vec_id""".stripMargin,
+    // label-sublisted kNN stack (the shared-graph build), in-degree
+    // rollup + degree-0 completion from the embeddings domain
+    "q_vec_degree_hist" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |e AS (SELECT vec_id, nbr_id FROM r WHERE rk <= 3),
+        |ind AS (
+        |  SELECT nbr_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1),
+        |hist AS (
+        |  SELECT deg, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ind GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(0 AS BIGINT),
+        |    CAST((SELECT COUNT(*) FROM embeddings emb
+        |          WHERE NOT EXISTS (SELECT 1 FROM ind
+        |                            WHERE ind.vec_id = emb.vec_id))
+        |      AS BIGINT)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |        FROM embeddings)
+        |SELECT deg, n, n * 1000000 // n_vecs AS share_ppm
+        |FROM hist, tot WHERE n > 0
+        |ORDER BY deg""".stripMargin,
     // coarse (label % 4) kNN stack, then per-label same-label edge
     // shares
     "q_vec_knn_purity" ->

@@ -464,4 +464,24 @@ class AffinitySpec extends SparkSpec {
     assert(m(1L) == ((4L, 2L, lnq20(4L) - lnq20(2L))))
     assert(m(2L) == ((3L, 1L, 0L)))
   }
+
+  test("sampleRatioMismatch: exact chi-square and the 3841 line") {
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 10 even users vs 2 odd: chi2 = (10-2)²/12 = 5333 milli
+    val ev = ((2L to 20L by 2L) ++ Seq(1L, 3L))
+      .map(u => (u, t)).toDF("user_id", "ts")
+    val r = Affinity.sampleRatioMismatch(ev,
+      col("user_id") % 2 === 1).collect().head
+    assert(r.getAs[Long]("n_a") === 10L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("srm_chi2_milli") === 5333L)
+    assert(r.getAs[Boolean]("srm_suspect"))
+    // a perfect split never trips the line
+    val fair = (1L to 20L).map(u => (u, t)).toDF("user_id", "ts")
+    val r2 = Affinity.sampleRatioMismatch(fair,
+      col("user_id") % 2 === 1).collect().head
+    assert(r2.getAs[Long]("srm_chi2_milli") === 0L)
+    assert(!r2.getAs[Boolean]("srm_suspect"))
+  }
 }

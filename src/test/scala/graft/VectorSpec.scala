@@ -1470,6 +1470,19 @@ class VectorSpec extends SparkSpec {
     assert(r.length === 1 && r.head.getAs[Long]("sum_s_milli") === 0L)
   }
 
+  test("inDegreeHistogram: degree buckets plus the orphan row") {
+    // node 1 chosen twice, node 2 once; nodes 0 and 3 never chosen
+    val edges = Seq((0L, 1L), (2L, 1L), (1L, 2L))
+      .toDF("vec_id", "nbr_id")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("vec_id")
+    val m = Vec.inDegreeHistogram(edges, nodes).collect()
+      .map(r => r.getAs[Long]("deg") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("share_ppm"))).toMap
+    assert(m(0L) == ((2L, 500000L)))
+    assert(m(1L) == ((1L, 250000L)))
+    assert(m(2L) == ((1L, 250000L)))
+  }
+
   test("knnLabelPurity: same-label edge shares per label") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L))
       .toDF("vec_id", "nbr_id")
