@@ -625,6 +625,10 @@ object Graft {
       * edge list (this frame = edges; `nodes` = id domain). */
     def inDegreeHistogram(nodes: DataFrame): DataFrame =
       ops.Vector.inDegreeHistogram(embs, nodes)
+    /** Within-list cosine-mass histogram (frame must carry
+      * `list_id`): where the bulk similarity sits. */
+    def cosineHistogram(nBuckets: Int = 40): DataFrame =
+      ops.Vector.cosineHistogram(embs, nBuckets)
     /** Per-label centroid drift against another embedding snapshot
       * (exact q16 integer skeleton + floor-ppm cosine). */
     def centroidDriftTo(other: DataFrame): DataFrame =

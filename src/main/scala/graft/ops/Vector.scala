@@ -2993,6 +2993,38 @@ object Vector {
         expr("n_same * 1000000 div n_edges"))
   }
 
+  /** Within-list cosine-mass histogram — the evidence a near-dup
+    * threshold should be placed WITH: where the bulk of the pairwise
+    * similarity distribution sits (a tau inside the bulk makes the
+    * true pair count itself grow ~n², and no engine survives that —
+    * the r11 adjudication this op turns into a measured fact).
+    * Exact cosine over the same within-list pair discipline as the
+    * dedup family (Σ|list|² bounded by the sublist rule), bucketed
+    * by `⌊(cos+1)·nBuckets/2⌋` on the exact double so both engines
+    * bucket identically; ≤ nBuckets+1 rows out with exact ppm mass.
+    */
+  def cosineHistogram(
+      assigned: DataFrame,
+      nBuckets: Int = 40
+  ): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val u = graft.Caches.track("vec",
+      semanticSignaturesAssigned(assigned))
+    val b = u.as("l").join(u.as("r"),
+        col("l.list_id") === col("r.list_id") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(decDot(col("l.unit"), col("r.unit")).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .select(floor((col("cos_sim") + 1.0) * (nBuckets / 2.0))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+    b.crossJoin(broadcast(
+        b.agg(sum(col("n_pairs")).as("n_total"))))
+      .select(col("bucket"), col("n_pairs"),
+        expr("n_pairs * 1000000 div n_total").as("mass_ppm"))
+  }
+
   /** In-degree histogram of the directed kNN graph, with the orphan
     * count — vectors NOBODY ranks in their top-k. Orphans are the
     * quantizer's blind spots (a neighbor-based sampler or

@@ -305,6 +305,12 @@ object VectorQueries {
     // hub-pathology read beside q_vec_assortativity's degree one
     "q_vec_reciprocity" -> ((s, d) =>
       Vector.edgeReciprocity(knnGraphDf(s, d))),
+    // within-list cosine-mass histogram: WHERE the bulk similarity
+    // sits — the measured fact behind near-dup tau placement (the
+    // r11 output-bound adjudication, turned into an operator)
+    "q_vec_cos_histogram" -> ((s, d) =>
+      Vector.cosineHistogram(sublisted(s, d), nBuckets = 40)
+        .orderBy(col("bucket"))),
     // in-degree histogram + orphan (never-ranked) coverage of the
     // shared kNN graph: the blind-spot ppm a neighbor-based sampler
     // silently assumes is zero
@@ -1280,6 +1286,43 @@ object VectorQueries {
         |       ELSE 0 END AS coeff_ppm
         |FROM deg LEFT JOIN tv ON tv.v = deg.v
         |ORDER BY vec_id""".stripMargin,
+    // the within-list pair fragment, bucketed on the exact double
+    "q_vec_cos_histogram" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |b AS (
+        |  SELECT CAST(floor((cos_sim + 1.0) * 20.0) AS BIGINT)
+        |      AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM p WHERE NOT isnan(cos_sim)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM b)
+        |SELECT bucket, n_pairs,
+        |  n_pairs * 1000000 // n_total AS mass_ppm
+        |FROM b, t ORDER BY bucket""".stripMargin,
     // label-sublisted kNN stack (the shared-graph build), in-degree
     // rollup + degree-0 completion from the embeddings domain
     "q_vec_degree_hist" ->

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 293,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 293")
-    assert(SparkEntry.oracleSql.size == 280,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 280")
+    assert(SparkEntry.queries.size == 294,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 294")
+    assert(SparkEntry.oracleSql.size == 281,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 281")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -412,6 +412,7 @@ class GraftApiSpec extends SparkSpec {
       "hitsScores" -> "hitsScores",
       "knnLabelPurity" -> "knnLabelPurity",
       "inDegreeHistogram" -> "inDegreeHistogram",
+      "cosineHistogram" -> "cosineHistogram",
       "silhouetteSimplified" -> "silhouetteByLabel",
       "leakageSafeSplit" -> "leakageSafeSplitBy",
       "isotropyAuditQ16" -> "isotropyAudit",

@@ -1470,6 +1470,20 @@ class VectorSpec extends SparkSpec {
     assert(r.length === 1 && r.head.getAs[Long]("sum_s_milli") === 0L)
   }
 
+  test("cosineHistogram: identical pairs land in the top bucket, " +
+      "orthogonal pairs at the midpoint, exact ppm mass") {
+    val embs = Seq(
+      (0L, Array(1f, 0f), 0L), (1L, Array(1f, 0f), 0L),
+      (2L, Array(0f, 1f), 0L)
+    ).toDF("vec_id", "embedding", "list_id")
+    val m = Vec.cosineHistogram(embs, nBuckets = 40).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("mass_ppm"))).toMap
+    // (0,1): cos 1 → bucket 40; (0,2),(1,2): cos 0 → bucket 20
+    assert(m(40L) == ((1L, 333333L)))
+    assert(m(20L) == ((2L, 666666L)))
+  }
+
   test("inDegreeHistogram: degree buckets plus the orphan row") {
     // node 1 chosen twice, node 2 once; nodes 0 and 3 never chosen
     val edges = Seq((0L, 1L), (2L, 1L), (1L, 2L))
