@@ -629,6 +629,9 @@ object Graft {
       * `list_id`): where the bulk similarity sits. */
     def cosineHistogram(nBuckets: Int = 40): DataFrame =
       ops.Vector.cosineHistogram(embs, nBuckets)
+    /** Pairwise label-centroid cosine separation matrix. */
+    def centroidSeparation(): DataFrame =
+      ops.Vector.centroidSeparation(embs)
     /** Per-label centroid drift against another embedding snapshot
       * (exact q16 integer skeleton + floor-ppm cosine). */
     def centroidDriftTo(other: DataFrame): DataFrame =
@@ -798,6 +801,12 @@ object Graft {
     * range-boundary planning, key-skew profiling.
     */
   implicit class LayoutOps(private val df: DataFrame) extends AnyVal {
+    /** Insertion-order correlation of a column vs a sequence key
+      * (clustering-factor audit; bucketed lag windows). */
+    def insertionOrderCorrelation(seqCol: String, valCol: String,
+        bucketSize: Long = 1024L): DataFrame =
+      ops.Layout.insertionOrderCorrelation(df, seqCol, valCol,
+        bucketSize)
     def withZValue(
         cols: Seq[String],
         bits: Int = 16,

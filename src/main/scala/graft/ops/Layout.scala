@@ -629,4 +629,36 @@ object Layout {
       .select(grp ++ Seq(col("file_id"), col("min_v"), col("max_v"),
         col("n_rows"), col("depth")): _*)
   }
+
+  /** Insertion-order correlation (the Oracle clustering-factor
+    * idea): how value-ordered a column already arrives when read in
+    * sequence-key order — near 10⁶ ppm means range predicates on the
+    * column prune well WITHOUT a rewrite, near the random baseline
+    * (~500k for a continuous column) means a Z-order/Hilbert rewrite
+    * buys real skipping. Adjacency is evaluated INSIDE sequence
+    * buckets (`seq div bucketSize`) so the lag window partitions —
+    * the ~1/bucketSize boundary pairs are excluded by construction,
+    * which is the documented price of never sorting globally.
+    */
+  def insertionOrderCorrelation(
+      df: DataFrame,
+      seqCol: String,
+      valCol: String,
+      bucketSize: Long = 1024L
+  ): DataFrame = {
+    require(bucketSize >= 2,
+      s"bucketSize must be >= 2, got $bucketSize")
+    val w = Window
+      .partitionBy(expr(s"CAST($seqCol AS BIGINT) div $bucketSize"))
+      .orderBy(col(seqCol))
+    df.select(col(seqCol), col(valCol).as("__v"))
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      .agg(
+        count(col("__prev")).as("n_pairs"),
+        count(when(col("__v") >= col("__prev"), lit(1)))
+          .as("n_ordered"))
+      .withColumn("ordered_ppm", expr(
+        """CASE WHEN n_pairs = 0 THEN NULL
+          | ELSE n_ordered * 1000000 div n_pairs END""".stripMargin))
+  }
 }

@@ -191,6 +191,13 @@ object LayoutQueries {
     "q_layout_skew" -> ((s, d) =>
       Layout.keySkewProfile(Tables.lineitem(s, d), "l_partkey",
         topN = 20, nParts = 32)),
+    // insertion-order correlation of o_orderdate: does the column
+    // arrive value-ordered (prunes without a rewrite) or random
+    // (a clustering rewrite buys real skipping)? bucketed lag
+    // windows, boundary pairs excluded by construction
+    "q_layout_order_corr" -> ((s, d) =>
+      Layout.insertionOrderCorrelation(Tables.orders(s, d),
+        "o_orderkey", "o_orderdate", bucketSize = 1024L)),
     // small-file compaction plan over a file-statistics frame
     // (documents stands in: part_key = lang, file_id = doc_id,
     // bytes = n_chars — the operator's contract is any catalog
@@ -542,6 +549,23 @@ object LayoutQueries {
         |FROM st JOIN da
         |  ON st.layout = da.layout AND st.min_v = da.min_v
         |ORDER BY st.layout, st.file_id""".stripMargin,
+    "q_layout_order_corr" ->
+      """WITH b AS (
+        |  SELECT o_orderdate AS v,
+        |    LAG(o_orderdate) OVER (
+        |      PARTITION BY CAST(o_orderkey AS BIGINT) // 1024
+        |      ORDER BY o_orderkey) AS prev
+        |  FROM orders),
+        |s AS (
+        |  SELECT CAST(COUNT(prev) AS BIGINT) AS n_pairs,
+        |    CAST(COUNT(CASE WHEN v >= prev THEN 1 END) AS BIGINT)
+        |      AS n_ordered
+        |  FROM b)
+        |SELECT n_pairs, n_ordered,
+        |  CASE WHEN n_pairs = 0 THEN NULL
+        |       ELSE n_ordered * 1000000 // n_pairs
+        |  END AS ordered_ppm
+        |FROM s""".stripMargin,
     "q_layout_skew" ->
       """WITH byk AS (
         |  SELECT l_partkey AS key, COUNT(*) AS cnt

@@ -2993,6 +2993,47 @@ object Vector {
         expr("n_same * 1000000 div n_edges"))
   }
 
+  /** Pairwise label-centroid separation matrix — the third panel of
+    * the clustering-quality read ([[silhouetteSimplified]] scores
+    * members against centroids, [[centroidDriftQ16]] tracks one
+    * label over time; this says WHICH label pairs crowd each other).
+    * Centroids derive from the exact q16 integer skeleton; the
+    * pairwise dot and both norms fold the dim arrays IN ORDER
+    * (decDot contract) and the milli cosine floors once at the end.
+    * L² rows out of an L-row broadcast self-join — label-domain
+    * work, independent of corpus size after the one centroid scan.
+    */
+  def centroidSeparation(embeddings: DataFrame): DataFrame = {
+    val cent = embeddings
+      .select(col("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 65536).cast("long")))
+          .as(Seq("i", "xq")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"),
+        (col("sq").cast("double") / (col("n") * 65536.0)).as("c"))))
+        .as("pairs"))
+      .select(col("label"),
+        transform(col("pairs"), p => p("c")).as("centroid"))
+    def fold(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+    cent.as("a").join(broadcast(cent.as("b")),
+        col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"),
+        col("b.label").as("label_b"),
+        fold(col("a.centroid"), col("b.centroid")).as("dot"),
+        fold(col("a.centroid"), col("a.centroid")).as("n2a"),
+        fold(col("b.centroid"), col("b.centroid")).as("n2b"))
+      .select(col("label_a"), col("label_b"),
+        when(col("n2a") === 0.0 || col("n2b") === 0.0, lit(null))
+          .otherwise(floor(lit(1000.0) * col("dot") /
+            (sqrt(col("n2a")) * sqrt(col("n2b")))).cast("long"))
+          .as("cos_milli"))
+  }
+
   /** Within-list cosine-mass histogram — the evidence a near-dup
     * threshold should be placed WITH: where the bulk of the pairwise
     * similarity distribution sits (a tau inside the bulk makes the

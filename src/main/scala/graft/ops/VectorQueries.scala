@@ -311,6 +311,12 @@ object VectorQueries {
     "q_vec_cos_histogram" -> ((s, d) =>
       Vector.cosineHistogram(sublisted(s, d), nBuckets = 40)
         .orderBy(col("bucket"))),
+    // pairwise centroid cosine matrix: which label pairs crowd each
+    // other — the third clustering-quality panel beside silhouette
+    // and centroid margin; label-domain work after one scan
+    "q_vec_centroid_sep" -> ((s, d) =>
+      Vector.centroidSeparation(Tables.embeddings(s, d))
+        .orderBy(col("label_a"), col("label_b"))),
     // in-degree histogram + orphan (never-ranked) coverage of the
     // shared kNN graph: the blind-spot ppm a neighbor-based sampler
     // silently assumes is zero
@@ -1286,6 +1292,33 @@ object VectorQueries {
         |       ELSE 0 END AS coeff_ppm
         |FROM deg LEFT JOIN tv ON tv.v = deg.v
         |ORDER BY vec_id""".stripMargin,
+    // q16 centroid skeleton, ordered-fold pair dots/norms, one
+    // milli floor at the end
+    "q_vec_centroid_sep" ->
+      """WITH qx AS (
+        |  SELECT label, CAST(generate_subscripts(embedding, 1)
+        |      AS INT) AS i,
+        |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 65536)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, i,
+        |    CAST(SUM(xq) AS DOUBLE) / (COUNT(*) * 65536.0) AS c
+        |  FROM qx GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    SUM(a.c * b.c ORDER BY a.i) AS dot,
+        |    SUM(a.c * a.c ORDER BY a.i) AS n2a,
+        |    SUM(b.c * b.c ORDER BY a.i) AS n2b
+        |  FROM cent a JOIN cent b
+        |    ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  CASE WHEN n2a = 0.0 OR n2b = 0.0 THEN NULL
+        |       ELSE CAST(floor(1000.0 * dot / (sqrt(n2a)
+        |         * sqrt(n2b))) AS BIGINT)
+        |  END AS cos_milli
+        |FROM pr ORDER BY label_a, label_b""".stripMargin,
     // the within-list pair fragment, bucketed on the exact double
     "q_vec_cos_histogram" ->
       """WITH n AS (

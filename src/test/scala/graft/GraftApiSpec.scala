@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 294,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 294")
-    assert(SparkEntry.oracleSql.size == 281,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 281")
+    assert(SparkEntry.queries.size == 296,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 296")
+    assert(SparkEntry.oracleSql.size == 283,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 283")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -413,6 +413,8 @@ class GraftApiSpec extends SparkSpec {
       "knnLabelPurity" -> "knnLabelPurity",
       "inDegreeHistogram" -> "inDegreeHistogram",
       "cosineHistogram" -> "cosineHistogram",
+      "centroidSeparation" -> "centroidSeparation",
+      "insertionOrderCorrelation" -> "insertionOrderCorrelation",
       "silhouetteSimplified" -> "silhouetteByLabel",
       "leakageSafeSplit" -> "leakageSafeSplitBy",
       "isotropyAuditQ16" -> "isotropyAudit",

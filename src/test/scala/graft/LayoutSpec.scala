@@ -410,4 +410,23 @@ class LayoutSpec extends SparkSpec {
       r.getAs[Long]("depth")).toMap
     assert(d === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 5L -> 1L))
   }
+
+  test("insertionOrderCorrelation: sorted column reads 1e6, " +
+      "reversed reads 0; bucket boundaries excluded") {
+    import spark.implicits._
+    val asc = (1L to 8L).map(k => (k, k * 10L)).toDF("seq", "v")
+    val r1 = graft.ops.Layout
+      .insertionOrderCorrelation(asc, "seq", "v", bucketSize = 4L)
+      .collect().head
+    // 8 rows in buckets {0: seq 1-3, 1: 4-7, 2: 8} → 2+3+0 = ...
+    // seq 1..3 -> bucket 0 (2 pairs), 4..7 -> bucket 1 (3 pairs),
+    // 8 -> bucket 2 (0 pairs): 5 pairs total, all ordered
+    assert(r1.getAs[Long]("n_pairs") === 5L)
+    assert(r1.getAs[Long]("ordered_ppm") === 1000000L)
+    val desc = (1L to 8L).map(k => (k, -k * 10L)).toDF("seq", "v")
+    val r2 = graft.ops.Layout
+      .insertionOrderCorrelation(desc, "seq", "v", bucketSize = 4L)
+      .collect().head
+    assert(r2.getAs[Long]("ordered_ppm") === 0L)
+  }
 }

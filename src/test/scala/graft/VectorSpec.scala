@@ -1470,6 +1470,21 @@ class VectorSpec extends SparkSpec {
     assert(r.length === 1 && r.head.getAs[Long]("sum_s_milli") === 0L)
   }
 
+  test("centroidSeparation: orthogonal label centroids read -1..0, " +
+      "parallel labels read 999+") {
+    val embs = Seq(
+      (0L, Array(4f, 0f), 0), (1L, Array(2f, 0f), 0),   // centroid (3,0)
+      (2L, Array(0f, 5f), 1),                           // centroid (0,5)
+      (3L, Array(6f, 0f), 2)                            // centroid (6,0)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Vec.centroidSeparation(embs).collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+        r.getAs[Long]("cos_milli")).toMap
+    assert(m((0, 1)) === 0L)                  // orthogonal
+    assert(m((0, 2)) >= 999L)                 // parallel, ulp floor
+    assert(m((1, 2)) === 0L)
+  }
+
   test("cosineHistogram: identical pairs land in the top bucket, " +
       "orthogonal pairs at the midpoint, exact ppm mass") {
     val embs = Seq(
