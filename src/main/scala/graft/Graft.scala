@@ -135,6 +135,10 @@ object Graft {
       * value-bucket threshold (exact ppm). */
     def filterYieldCurve(): DataFrame =
       ops.Text.filterYieldCurve(docs)
+    /** Duplicate-cluster quality bias over a precomputed cluster
+      * assignment: is dedup also a quality filter? */
+    def dupQualityBias(clusters: DataFrame): DataFrame =
+      ops.Text.dupQualityBias(clusters, docs)
     /** Gopher/MassiveText rule-bundle gate: exact ppm/milli flags. */
     def gopherRuled: DataFrame = ops.Text.gopherRules(docs)
     /** Token-distribution Shannon entropy (exact q20 integers). */

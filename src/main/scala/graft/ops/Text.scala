@@ -4051,6 +4051,31 @@ object Text {
         (col("cluster_size") * col("n_clusters")).as("n_docs"),
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_removed"))
 
+  /** Duplicate-cluster quality bias — joins the two facts every
+    * dedup decision should see together: ARE the duplicated
+    * documents the low-quality ones? Per cluster size, the exact
+    * milli quality mass (per-doc floor BEFORE the rollup, so the
+    * aggregate hashes); a falling mean-quality curve over size says
+    * dedup doubles as a quality filter, a flat one says the
+    * templates being removed are as good as the rest (and the
+    * keep-one policy should weigh quality, not min-id). Two keyed
+    * joins on the cluster assignment — no pair work beyond what
+    * the dedup already paid.
+    */
+  def dupQualityBias(clusters: DataFrame, docs: DataFrame)
+      : DataFrame = {
+    val q = qualityScore(docs)
+      .select(col("doc_id"),
+        floor(col("quality") * 1000).cast("long").as("q_milli"))
+    val sz = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sz, "cluster").join(q, "doc_id")
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q_milli")).as("sum_q_milli"))
+      .withColumn("mean_q_milli", expr("sum_q_milli div n_docs"))
+  }
+
   /** Corpus Zipf audit: fit the log-log slope of the token
     * rank-frequency curve — the single-number corpus-health signal
     * that separates natural language (slope ≈ −1) from template

@@ -856,7 +856,13 @@ object TextQueries {
     // kept if the gate cut below it — ≤11 bucket rows by value
     "q_text_filter_yield" -> ((s, d) =>
       Text.filterYieldCurve(Tables.documents(s, d))
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+    // dup-cluster quality bias: is dedup ALSO a quality filter?
+    // per-size exact milli quality mass over the shared assignment
+    "q_text_dup_quality_bias" -> ((s, d) =>
+      Text.dupQualityBias(clusterAssign(s, d),
+        Tables.documents(s, d))
+        .orderBy(col("cluster_size")))
   )
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2191,6 +2197,43 @@ object TextQueries {
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the dup_clusters component stack + the shared quality
+    // expression: per-doc milli floor BEFORE the size rollup
+    "q_text_dup_quality_bias" ->
+      s"""WITH RECURSIVE $jacPairsSql,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |    WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.dst
+         |  FROM reach JOIN e ON reach.r = e.src),
+         |comp AS (
+         |  SELECT doc_id, MIN(r) AS cluster
+         |  FROM reach GROUP BY doc_id),
+         |sz AS (
+         |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1),
+         |qt AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(floor((${qualityExprSql("toks")}) * 1000)
+         |      AS BIGINT) AS q_milli
+         |  FROM qt)
+         |SELECT sz.cluster_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(q.q_milli) AS BIGINT) AS sum_q_milli,
+         |  CAST(SUM(q.q_milli) AS BIGINT) // COUNT(*) AS mean_q_milli
+         |FROM comp JOIN sz USING (cluster) JOIN q USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_dup_clusters" ->
       s"""WITH RECURSIVE $jacPairsSql,
          |e AS (

@@ -2062,6 +2062,28 @@ class TextSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_sources") === 2L)
   }
 
+  test("dupQualityBias: per-size exact quality mass with per-doc " +
+      "milli floors") {
+    // clusters: {1,2} (size 2) and {3} (singleton)
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "cluster")
+    val docs = Seq(
+      (1L, "the a of to", "en", "s1", 11L),
+      (2L, "the a of to", "en", "s1", 11L),
+      (3L, "unique words entirely here", "en", "s1", 26L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = graft.ops.Text.dupQualityBias(clusters, docs).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_q_milli"),
+          r.getAs[Long]("mean_q_milli"))).toMap
+    // identical docs → identical floors, so the sum is exactly
+    // twice the truncated mean
+    assert(m(2L)._1 === 2L)
+    assert(m(2L)._2 === 2L * m(2L)._3)
+    assert(m(1L)._1 === 1L)
+    assert(m(1L)._2 === m(1L)._3)
+  }
+
   test("filterYieldCurve: cumulative mass retained above each " +
       "quality bucket, exact ppm") {
     // two docs in distinct buckets: totals and cumulative columns
