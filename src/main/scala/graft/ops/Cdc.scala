@@ -94,6 +94,31 @@ object Cdc {
       .withColumn("churn_ppm", expr(
         "(n_update + n_delete) * 1000000 div n_ops"))
 
+  /** Hot-key profile of a CDC feed — the top keys by change volume
+    * with their exact ppm share. A keyed sink (LWW dim upsert,
+    * MERGE target) serializes per key, so one key absorbing percents
+    * of the feed IS the write bottleneck; the profile names it
+    * before the sink does. One rollup + TakeOrdered top-N (never a
+    * global sort), same shape as the layout skew advisor.
+    */
+  def hotKeys(
+      normalized: DataFrame,
+      keyCol: String,
+      topN: Int = 20
+  ): DataFrame = {
+    val byKey = normalized.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_changes"))
+    byKey
+      .crossJoin(broadcast(
+        byKey.agg(sum(col("n_changes")).as("n_total"),
+          count(lit(1)).as("n_keys"))))
+      .select(col("key"), col("n_changes"), col("n_total"),
+        col("n_keys"),
+        expr("n_changes * 1000000 div n_total").as("share_ppm"))
+      .orderBy(col("n_changes").desc, col("key"))
+      .limit(topN)
+  }
+
   /** Keyed compaction honoring tombstones: newest row per key wins,
     * and if the newest is a delete the key disappears entirely —
     * the materialized-view semantics of a keyed store fed by CDC.

@@ -104,6 +104,13 @@ object CdcQueries {
     "q_cdc_op_mix" -> ((s, d) =>
       Cdc.opMixAudit(normalized(s, d))
         .orderBy(col("src_table"))),
+    // hot keys by change volume: the keyed-sink write bottleneck,
+    // named before the sink serializes on it — top-20, exact ppm
+    "q_cdc_hot_keys" -> ((s, d) =>
+      Cdc.hotKeys(
+        normalized(s, d).select(
+          col("data")("uid").cast("long").as("uid")),
+        "uid", topN = 20)),
     "q_cdc_route" -> ((s, d) =>
       Cdc.withTopic(normalized(s, d))
         .select(
@@ -285,6 +292,19 @@ object CdcQueries {
          |   + COUNT(CASE WHEN op = 'D' THEN 1 END)) * 1000000
          |    // COUNT(*) AS churn_ppm
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cdc_hot_keys" ->
+      s"""$base,
+         |byk AS (
+         |  SELECT uid AS key, CAST(COUNT(*) AS BIGINT) AS n_changes
+         |  FROM m GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(SUM(n_changes) AS BIGINT) AS n_total,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys
+         |  FROM byk)
+         |SELECT key, n_changes, n_total, n_keys,
+         |  n_changes * 1000000 // n_total AS share_ppm
+         |FROM byk, t
+         |ORDER BY n_changes DESC, key LIMIT 20""".stripMargin,
     "q_cdc_route" ->
       s"""$base
          |SELECT src_table, op, UPPER(src_table)||'_'||op AS topic, id

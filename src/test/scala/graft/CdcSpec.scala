@@ -191,4 +191,18 @@ class CdcSpec extends SparkSpec {
     assert(m("t0") == ((4L, 2L, 1L, 1L, 500000L)))
     assert(m("t1") == ((1L, 1L, 0L, 0L, 0L)))
   }
+
+  test("hotKeys: top keys by change volume with exact ppm share") {
+    val rows = (Seq.fill(3)(7L) ++ Seq(8L, 9L)).toDF("uid")
+    val out = Cdc.hotKeys(rows, "uid", topN = 2).collect()
+    assert(out.length === 2)
+    val top = out.head
+    assert(top.getAs[Long]("key") === 7L)
+    assert(top.getAs[Long]("n_changes") === 3L)
+    assert(top.getAs[Long]("n_total") === 5L)
+    assert(top.getAs[Long]("n_keys") === 3L)
+    assert(top.getAs[Long]("share_ppm") === 600000L)
+    // deterministic tie-break: 8 before 9
+    assert(out(1).getAs[Long]("key") === 8L)
+  }
 }
