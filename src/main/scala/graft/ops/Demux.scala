@@ -283,4 +283,32 @@ object Demux {
         concat(errArr, pageArr, dispArr, actArr, startArr)).as("tv"))
       .select(col("tv.topic").as("topic"), col("tv.value").as("value"))
   }
+
+  /** DWS page-traffic rollup over the demuxed page stream — the
+    * summary layer the reference's warehouse builds downstream of
+    * its DWD demux: per page, views, unique visitors (exact
+    * distinct mid — the key-integrity cost a UV metric must pay),
+    * dwell mass and truncated mean dwell. One rollup,
+    * |pages| rows.
+    */
+  def pageStats(pages: DataFrame): DataFrame =
+    pages.groupBy(col("page_id"))
+      .agg(count(lit(1)).as("n_views"),
+        countDistinct(col("mid")).as("n_visitors"),
+        sum(col("during_time")).as("sum_during"))
+      .withColumn("avg_during_milli",
+        expr("sum_during * 1000 div n_views"))
+
+  /** DWS daily unique visitors from the page stream (the classic
+    * first-visit-dedup DAU read): per event-time day, visits and
+    * exact distinct mids. `ts` is the envelope's epoch millis;
+    * the day derives in session UTC.
+    */
+  def dailyUv(pages: DataFrame): DataFrame =
+    pages
+      .select(expr("CAST(timestamp_millis(ts) AS DATE)").as("d"),
+        col("mid"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_visits"),
+        countDistinct(col("mid")).as("n_uv"))
 }

@@ -72,7 +72,15 @@ object DemuxQueries {
     // planted producer-drift hit the audit must flag
     "q_demux_key_profile" -> ((s, d) =>
       Demux.keyProfile(synthLines(s, d),
-        Seq("common", "page", "displays", "actions", "start", "ts")))
+        Seq("common", "page", "displays", "actions", "start", "ts"))),
+    // DWS page-traffic rollup: views, exact UV, dwell mass per page
+    "q_demux_page_stats" -> ((s, d) =>
+      Demux.pageStats(Demux.pages(parsed(s, d)))
+        .orderBy(col("page_id"))),
+    // DWS daily unique visitors (first-visit dedup DAU)
+    "q_demux_uv_daily" -> ((s, d) =>
+      Demux.dailyUv(Demux.pages(parsed(s, d)))
+        .orderBy(col("d")))
   )
 
   /** Shared SQL fragment: the common-field derivations (must stay in
@@ -156,6 +164,23 @@ object DemuxQueries {
     // key-presence arithmetic in lockstep with GmallSynth's branch
     // gating (page on 4 types incl. error; displays/actions/start on
     // one type each; common/ts unconditional; err on error only)
+    "q_demux_page_stats" ->
+      s"""${withK("event_type IN ('view','click','purchase')")}
+         |SELECT 'p'||(k % 10) AS page_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_views,
+         |  CAST(COUNT(DISTINCT 'mid_'||user_id) AS BIGINT)
+         |    AS n_visitors,
+         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_during,
+         |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) * 1000
+         |    // COUNT(*) AS BIGINT) AS avg_during_milli
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_demux_uv_daily" ->
+      s"""${withK("event_type IN ('view','click','purchase')")}
+         |SELECT CAST(ts AS DATE) AS d,
+         |  CAST(COUNT(*) AS BIGINT) AS n_visits,
+         |  CAST(COUNT(DISTINCT 'mid_'||user_id) AS BIGINT) AS n_uv
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_demux_key_profile" ->
       """WITH c AS (
         |  SELECT COUNT(*) AS n_total,

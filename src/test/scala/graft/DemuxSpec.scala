@@ -190,4 +190,27 @@ class DemuxSpec extends SparkSpec {
     // displays/actions never observed -> no zero-count rows
     assert(!out.contains("displays") && !out.contains("actions"))
   }
+
+  test("pageStats + dailyUv: DWS rollups with exact UV and " +
+      "truncated mean dwell") {
+    // same page twice from two mids, second page once from one mid
+    val l1 = pageJson
+    val l2 = pageJson.replace("\"mid\":\"mid_1\"", "\"mid\":\"mid_2\"")
+    val l3 = pageJson
+      .replace("\"page_id\":\"detail\"", "\"page_id\":\"home2\"")
+      .replace("\"during_time\":1200", "\"during_time\":99")
+    val pages = Demux.pages(parsedOf(l1, l2, l3))
+    val st = Demux.pageStats(pages).collect()
+      .map(r => r.getAs[String]("page_id") ->
+        (r.getAs[Long]("n_views"), r.getAs[Long]("n_visitors"),
+          r.getAs[Long]("sum_during"),
+          r.getAs[Long]("avg_during_milli"))).toMap
+    assert(st("detail") == ((2L, 2L, 2400L, 1200000L)))
+    assert(st("home2") == ((1L, 1L, 99L, 99000L)))
+    val uv = Demux.dailyUv(pages).collect()
+    // all three rows share ts 1690000005000 → one day, 2 distinct mids
+    assert(uv.length === 1)
+    assert(uv.head.getAs[Long]("n_visits") === 3L)
+    assert(uv.head.getAs[Long]("n_uv") === 2L)
+  }
 }
