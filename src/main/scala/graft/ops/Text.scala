@@ -2002,12 +2002,16 @@ object Text {
     * in the SAME pair space, and the pointwise MI closes in the
     * exact eventPmi q20-ln convention
     * (`⌊ln n_ab⌋ + ⌊ln T⌋ − ⌊ln n_a⌋ − ⌊ln n_b⌋`, every ln of an
-    * INTEGER count). The position self-join is bounded by
-    * construction — each position pairs with at most `window`
-    * successors, so the pair table is |tokens|·window, linear in the
-    * corpus, and the global top-N plans as TakeOrdered (no
-    * unpartitioned window). `minPairCount` keeps the ln out of the
-    * noise floor.
+    * INTEGER count). The position self-join is bounded in CANDIDATE
+    * ENUMERATION, not just output: positions bucket by `i div
+    * window` and the left side joins on (doc_id, bucket) twice (own
+    * bucket and bucket+1 — any successor within `window` positions
+    * lives in one of the two), so the hash join probes O(window)
+    * rows per position even on one pathological long document,
+    * instead of the len² a bare doc_id equi-key would enumerate.
+    * Pair table stays |tokens|·window and the global top-N plans as
+    * TakeOrdered (no unpartitioned window). `minPairCount` keeps the
+    * ln out of the noise floor.
     */
   def windowCooccurrencePmi(
       docs: DataFrame,
@@ -2019,9 +2023,13 @@ object Text {
     val pos = docs
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("i", "tok")))
-    val pairs = graft.Caches.track("text", pos.as("a")
+      .withColumn("bkt", expr(s"i div $window"))
+    val pairs = graft.Caches.track("text", pos
+      .withColumn("jb", explode(array(col("bkt"), col("bkt") + 1)))
+      .as("a")
       .join(pos.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
+          col("a.jb") === col("b.bkt") &&
           col("a.i") < col("b.i") &&
           col("b.i") - col("a.i") <= window)
       .select(least(col("a.tok"), col("b.tok")).as("ta"),

@@ -809,7 +809,10 @@ object TextQueries {
     "q_text_blocking_eval" -> ((s, d) =>
       Audit.blockingEval(Tables.documents(s, d),
         truthKey = substring(col("text"), 1, 40),
-        blockKey = concat_ws("|", col("lang"),
+        // coalesce: concat_ws SKIPS a NULL lang (key degrades to the
+        // bare bucket) while the twin's || propagates NULL — an empty
+        // sentinel keeps the block key NULL-stable and engine-equal
+        blockKey = concat_ws("|", coalesce(col("lang"), lit("")),
           expr("CAST(n_chars div 32 AS STRING)")))),
     // deterministic half-sample bootstrap of mean tokens/doc: 32
     // md5-parity replicates; any CI reads off the ordered means
@@ -1436,7 +1439,8 @@ object TextQueries {
     "q_text_blocking_eval" ->
       """WITH d AS (
         |  SELECT substr(text, 1, 40) AS tk,
-        |    lang || '|' || CAST(n_chars // 32 AS VARCHAR) AS bk
+        |    COALESCE(lang, '') || '|'
+        |      || CAST(n_chars // 32 AS VARCHAR) AS bk
         |  FROM documents),
         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM d),
         |t AS (SELECT COALESCE(CAST(SUM(c * (c - 1) // 2) AS BIGINT),

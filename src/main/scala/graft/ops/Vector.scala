@@ -2878,10 +2878,18 @@ object Vector {
         .withColumnRenamed("deg", "deg_b"), "b")
       .agg(
         count(lit(1)).as("n_edges"),
-        sum(col("deg_a") + col("deg_b")).as("sum_deg"),
-        sum(lit(2L) * col("deg_a") * col("deg_b")).as("sum_prod"),
-        sum(col("deg_a") * col("deg_a") +
-          col("deg_b") * col("deg_b")).as("sum_sq"))
+        // promote BEFORE the products: on the hub/star graphs this
+        // op exists to detect, deg ~ n and Σ(deg²) ~ n³ wraps a
+        // BIGINT sum silently while the DuckDB twin's HUGEINT does
+        // not — DECIMAL(38,0) inside the aggregate keeps both
+        // engines exact at graph scale
+        sum((col("deg_a") + col("deg_b")).cast("decimal(38,0)"))
+          .as("sum_deg"),
+        sum(lit(2L) * col("deg_a").cast("decimal(38,0)") *
+          col("deg_b")).as("sum_prod"),
+        sum(col("deg_a").cast("decimal(38,0)") * col("deg_a") +
+          col("deg_b").cast("decimal(38,0)") * col("deg_b"))
+          .as("sum_sq"))
       .withColumn("assort_milli", expr(
         """CASE WHEN 2 * n_edges * CAST(sum_sq AS DECIMAL(38,0))
           |   - CAST(sum_deg AS DECIMAL(38,0)) * sum_deg = 0

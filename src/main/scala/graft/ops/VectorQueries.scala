@@ -1538,10 +1538,13 @@ object VectorQueries {
         |      FROM ed JOIN deg da ON da.v = ed.a
         |      JOIN deg db ON db.v = ed.b),
         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
-        |        CAST(SUM(deg_a + deg_b) AS BIGINT) AS sum_deg,
-        |        CAST(SUM(2 * deg_a * deg_b) AS BIGINT) AS sum_prod,
-        |        CAST(SUM(deg_a * deg_a + deg_b * deg_b) AS BIGINT)
-        |          AS sum_sq
+        |        CAST(SUM(CAST(deg_a AS HUGEINT) + deg_b)
+        |          AS DECIMAL(38,0)) AS sum_deg,
+        |        CAST(SUM(2 * CAST(deg_a AS HUGEINT) * deg_b)
+        |          AS DECIMAL(38,0)) AS sum_prod,
+        |        CAST(SUM(CAST(deg_a AS HUGEINT) * deg_a
+        |               + CAST(deg_b AS HUGEINT) * deg_b)
+        |          AS DECIMAL(38,0)) AS sum_sq
         |      FROM j)
         |SELECT n_edges, sum_deg, sum_prod, sum_sq,
         |  CASE WHEN 2 * n_edges * CAST(sum_sq AS HUGEINT)

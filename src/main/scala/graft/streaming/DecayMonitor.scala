@@ -24,8 +24,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Input contract: pre-bucketed day counts `(feed, day, n)` arriving
   * in per-feed day order across micro-batches (the watermarked
   * windowed-count shape); intra-batch disorder is absorbed by a
-  * per-batch day sort. Day gaps ≥ 63 clear the mass outright
-  * (shifting past the long width).
+  * per-batch day sort. A row that still violates the contract AFTER
+  * the sort (its day precedes the state's last day — a cross-batch
+  * regression) is DROPPED, never folded: clamping it would move
+  * `lastDay` backward and make the next in-order row re-halve mass
+  * already added for newer days, silently corrupting state. Day
+  * gaps ≥ 63 clear the mass outright (shifting past the long
+  * width).
   *
   * Shape at scale: state is 2 longs per feed, bounded by the feed
   * domain; each micro-batch shuffles only its own day rows.
@@ -49,14 +54,22 @@ object DecayMonitor {
          state: GroupState[DecayState]) =>
           var st = state.getOption.getOrElse(
             DecayState(0L, Long.MinValue))
-          val out = rows.toSeq.sortBy(_.day).map { r =>
-            val gap =
-              if (st.lastDay == Long.MinValue) 0L
-              else math.max(0L, r.day - st.lastDay)
-            val carried = if (gap >= 63L) 0L else st.w >> gap.toInt
-            val w = carried + r.n * 1000000L
-            st = DecayState(w, r.day)
-            DecayOut(feed, r.day, r.n, w)
+          val out = rows.toSeq.sortBy(_.day).flatMap { r =>
+            if (st.lastDay != Long.MinValue && r.day < st.lastDay) {
+              // contract violation (cross-batch day regression):
+              // drop rather than clamp — see the input-contract
+              // scaladoc paragraph
+              None
+            } else {
+              val gap =
+                if (st.lastDay == Long.MinValue) 0L
+                else r.day - st.lastDay
+              val carried =
+                if (gap >= 63L) 0L else st.w >> gap.toInt
+              val w = carried + r.n * 1000000L
+              st = DecayState(w, r.day)
+              Some(DecayOut(feed, r.day, r.n, w))
+            }
           }
           state.update(st)
           out.iterator

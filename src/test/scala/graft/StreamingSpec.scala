@@ -794,4 +794,33 @@ class StreamingSpec extends SparkSpec {
     val other = got.filter(_.feed == "other")
     assert(other.map(_.decayed_weight_ppm).toSeq === Seq(1000000L))
   }
+
+  test("DecayMonitor: cross-batch day regression is dropped, not " +
+      "clamped — no retroactive re-halving of newer mass") {
+    import graft.streaming.DecayMonitor
+    import graft.streaming.DecayMonitor.{DayCount, DecayOut}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DayCount]
+    val q = DecayMonitor.monitor(in.toDS())
+      .writeStream.format("memory").queryName("decay_late")
+      .outputMode("append").start()
+    try {
+      in.addData(DayCount("f", 5L, 2L))
+      q.processAllAvailable()
+      // day 3 arrives AFTER state is at day 5: must be dropped;
+      // a clamped fold would reset lastDay to 3 and the next day-6
+      // row would halve 3 times instead of once
+      in.addData(DayCount("f", 3L, 9L))
+      q.processAllAvailable()
+      in.addData(DayCount("f", 6L, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("decay_late").as[DecayOut].collect()
+      .sortBy(_.day)
+    assert(got.map(_.day).toSeq === Seq(5L, 6L))
+    // 2e6 at day 5; day 6: 2e6 >> 1 + 1e6 = 2e6 (NOT 2e6 >> 3 + 1e6)
+    assert(got.map(_.decayed_weight_ppm).toSeq ===
+      Seq(2000000L, 2000000L))
+  }
 }
