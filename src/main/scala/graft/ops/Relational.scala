@@ -1069,6 +1069,61 @@ object Relational {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Hot-list-driven PARTIAL salted join — [[saltedJoin]] prices its
+    * skew insurance at `buckets × |dim|` replication because it
+    * salts EVERY row; at a 100 TB dim that premium dwarfs the skew
+    * it cures. This variant salts only the rows of a known hot-key
+    * list (the [[graft.ops.Affinity.skewAdvisor]] head, or AQE skew
+    * stats exported from a prior run): the broadcast hot list splits
+    * both sides into a hot slice and a residual, the hot fact rows
+    * take the position round-robin salt (same rationale as
+    * [[saltedJoin]] — a value hash strands exact-duplicate hot rows),
+    * the hot DIM rows alone replicate per bucket (topK × buckets
+    * rows, constant-sized — not |dim| × buckets), the residual joins
+    * entirely plain, and the union restores the row-identical plain
+    * join. No hot key ever funnels into a single reducer partition:
+    * its fact rows carry `buckets` distinct salt values into the
+    * exchange, which partitions on (keys, salt).
+    *
+    * Contract: `hotKeys` holds the join-key columns (extra columns
+    * dropped) and must be SMALL (it broadcasts twice); keys share
+    * names across `skewed` and `dim` as in [[saltedJoin]]. NULL join
+    * keys route to the residual branch, where the inner join drops
+    * them — exactly the plain join's semantics. `forceShuffle`
+    * merge-hints the dim side of both final joins — the demonstration
+    * (and spec) switch, since at oracle SFs Catalyst would broadcast
+    * the dim slices and no exchange would exist to salt; production
+    * leaves it false and lets size pick the strategy.
+    */
+  def skewJoin(
+      skewed: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      hotKeys: DataFrame,
+      saltBuckets: Int = 16,
+      forceShuffle: Boolean = false
+  ): DataFrame = {
+    require(keys.nonEmpty && saltBuckets >= 1,
+      "need join keys and >= 1 salt bucket")
+    val hot = broadcast(
+      hotKeys.select(keys.map(col): _*).distinct()
+        .withColumn("__hot", lit(true)))
+    val fTagged = skewed.join(hot, keys, "left")
+    val hotF = fTagged.filter(col("__hot") === true).drop("__hot")
+      .withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
+          .cast("int"))
+    val resF = fTagged.filter(col("__hot").isNull).drop("__hot")
+    val dTagged = dim.join(hot, keys, "left")
+    val hotD = dTagged.filter(col("__hot") === true).drop("__hot")
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
+    val resD = dTagged.filter(col("__hot").isNull).drop("__hot")
+    def h(df: DataFrame) = if (forceShuffle) df.hint("merge") else df
+    hotF.join(h(hotD), keys :+ "__salt").drop("__salt")
+      .unionByName(resF.join(h(resD), keys))
+  }
+
   /** Sketch surface: approx_count_distinct (HLL++) next to the exact
     * count — rows-only (sketch estimates are engine-specific), the
     * mergeable-sketch pattern that replaces exact distinct at 100 TB.

@@ -282,6 +282,27 @@ object RelationalQueries {
           sum(col("l_quantity").cast("decimal(18,4)"))
             .cast("double").as("sum_qty"))
         .orderBy(col("p_brand"))),
+    // PARTIAL salted join: only the skewAdvisor head's keys salt (hot
+    // fact rows round-robin, hot DIM slice alone replicates per
+    // bucket), residual joins plain, union restores the plain join —
+    // the oracle IS the direct join, same as q_salted_join_agg
+    // (salting is plan-only); forceShuffle keeps the salted exchange
+    // real at oracle SF where the dim would otherwise broadcast
+    "q_salted_join" -> ((s, d) =>
+      Relational.skewJoin(
+        Tables.lineitem(s, d),
+        Tables.part(s, d)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        Seq("l_partkey"),
+        hotKeys = Affinity.skewAdvisor(Tables.lineitem(s, d),
+          col("l_partkey"), topK = 5)
+          .select(col("key").as("l_partkey")),
+        saltBuckets = 8, forceShuffle = true)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,4)"))
+            .cast("double").as("sum_qty"))
+        .orderBy(col("p_brand"))),
     // SQL frontend (the reference has none — spark-sql was a declared
     // but unused dependency): TPC-H Q6 as a pure SQL string over a
     // registered view, same Catalyst plan as the DataFrame form.
@@ -1322,6 +1343,16 @@ object RelationalQueries {
     // salted shuffle join: row-identical to the plain join — oracle
     // is the unsalted form (only the exchange shape differs)
     "q_salted_join_agg" ->
+      """SELECT p.p_brand,
+        |  COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4)))
+        |    AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
+    // partial (hot-list) salted join: row-identical to the plain
+    // join — identical direct-join oracle as q_salted_join_agg
+    "q_salted_join" ->
       """SELECT p.p_brand,
         |  COUNT(*) AS n_items,
         |  CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4)))

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 300,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 300")
-    assert(SparkEntry.oracleSql.size == 287,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 287")
+    assert(SparkEntry.queries.size == 301,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 301")
+    assert(SparkEntry.oracleSql.size == 288,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 288")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

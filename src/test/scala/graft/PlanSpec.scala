@@ -99,6 +99,37 @@ class PlanSpec extends SparkSpec {
     assert(hits >= 2, s"expected partial+final WindowGroupLimit:\n$p")
   }
 
+  test("skew join: hot key exchange partitions on (key, salt) — " +
+      "no single-partition funnel; hot list rides broadcast") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable size-based broadcast so the final joins expose their
+      // exchanges (the explicit broadcast() of the hot list survives)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = ((1 to 64).map(i => (1L, s"v$i")) ++
+        (2L to 40L).map(k => (k, "t"))).toDF("k", "payload")
+      val dim = (1L to 40L).map(k => (k, s"d$k")).toDF("k", "name")
+      val hot = Seq(Tuple1(1L)).toDF("k")
+      val df = ops.Relational.skewJoin(fact, dim, Seq("k"), hot,
+        saltBuckets = 8, forceShuffle = true)
+      val p = plan(df)
+      // the salt is a join key: the hot branch's exchange hashes on
+      // (k, __salt), so key 1's 64 rows land on 8 reducer partitions
+      assert(p.contains("__salt"), s"salt optimized away:\n$p")
+      assert(p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"),
+        s"no shuffled join despite merge hint:\n$p")
+      // the hot-list tag joins must ride the explicit broadcast even
+      // with size-based broadcast off
+      assert(p.contains("BroadcastHashJoin"),
+        s"hot list did not broadcast:\n$p")
+      assert(p.contains("Union"), s"hot/residual union missing:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   /** A `Window` with an empty partition spec executes on ONE task —
     * the canonical 100 TB scale-killer. Every registered query's
     * optimized plan is scanned for empty-partition Windows; any hit
@@ -125,6 +156,7 @@ class PlanSpec extends SparkSpec {
       "q_rank_suppliers" -> "supplier dim (smallest fact-free table; documented top-k twin)",
       "q_rfm_segments" -> "customer dim ntile (documented validation-scale twin)",
       "q_skew_advisor" -> "top-N heavy-hitter output (LIMIT topN upstream)",
+      "q_salted_join" -> "skewAdvisor hot-list subplan: rank window over its LIMIT-topK head only",
       "q_sql_revenue_share" -> "nation-level aggregate (≤ 25 rows)",
       "q_text_curriculum" -> "doc-quality rank (documented exact-rank validation twin)",
       "q_text_dedup_curve" -> "decile frame (nBuckets rows)",

@@ -160,6 +160,28 @@ class RelationalSpec extends SparkSpec {
     assert(salts > 1L, "hot key landed in a single salt bucket")
   }
 
+  test("skewJoin: row-identical to the plain join; only the hot " +
+      "dim slice replicates; NULL keys drop like the plain join") {
+    import spark.implicits._
+    val fact = ((1 to 12).map(i => (Some(1L), s"v$i")) ++
+      Seq((Some(2L), "a"), (Some(3L), "b"),
+        (Option.empty[Long], "nullkey"))).toDF("k", "payload")
+    val dim = Seq((1L, "one"), (2L, "two"), (3L, "three"),
+      (9L, "unmatched")).toDF("k", "name")
+    val hot = Seq(Tuple1(1L)).toDF("k")
+    val joined = ops.Relational.skewJoin(fact, dim, Seq("k"), hot,
+      saltBuckets = 4, forceShuffle = true)
+    val plain = fact.join(dim, Seq("k"))
+    assert(joined.collect().map(_.toSeq).toSet ===
+      plain.collect().map(_.toSeq).toSet)
+    assert(joined.count() === 14L) // 12 hot + 2 tail, null dropped
+    // replication premium is topK × buckets, not |dim| × buckets:
+    // extra columns on the hot list are dropped by the op's select
+    val hotExtra = Seq((1L, 999L)).toDF("k", "ct")
+    assert(ops.Relational.skewJoin(fact, dim, Seq("k"), hotExtra,
+      saltBuckets = 4).count() === 14L)
+  }
+
   test("saltedJoin: EXACT-DUPLICATE hot-key rows still join " +
       "correctly and spread (the value-hash degenerate case)") {
     import spark.implicits._
