@@ -313,8 +313,10 @@ object TextQueries {
       Text.simhashes(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "q_text_bpe_tokens" -> ((s, d) =>
       Text.bpeTokenStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
-    // rows-only: rolling-hash fingerprint (custom expression, no ANSI
-    // equivalent)
+    // Rabin-Karp rolling fingerprint — oracle-backed since r14: the
+    // 64-bit-wraparound polynomial hash replays exactly in HUGEINT
+    // (powers-of-257 mod 2^64 as literals, one signed fold per
+    // window) — see the oracle entry
     "q_text_rolling_fp" -> ((s, d) =>
       Text.rollingFingerprint(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
@@ -3232,6 +3234,68 @@ object TextQueries {
         |  FROM f GROUP BY win_fp)
         |SELECT f.doc_id, f.win_fp, g.n_docs, g.keep_doc_id
         |FROM f JOIN g USING (win_fp)
+        |ORDER BY f.doc_id""".stripMargin,
+    // Rabin-Karp rolling-min fingerprint, EXACT twin (r13 verdict
+    // item 5 — formerly rows-only): the 64-bit-wraparound polynomial
+    // hash replays in HUGEINT with the 32 base-257 powers mod 2^64
+    // as literals; per window, SUM(byte_j * pw[wl-j]) then ONE
+    // (x + 2^63) % 2^64 - 2^63 fold maps the residue to Spark's
+    // signed-long value before the min. Bytes come from
+    // hex(encode(text)) so both engines hash identical UTF-8;
+    // docs of <= 32 bytes (incl. empty -> 0) hash as one window.
+    "q_text_rolling_fp" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n,
+        |    LEAST(octet_length(encode(text)), 32) AS wl,
+        |    [CAST(1 AS HUGEINT), CAST(257 AS HUGEINT),
+        |     CAST(66049 AS HUGEINT), CAST(16974593 AS HUGEINT),
+        |     CAST(4362470401 AS HUGEINT),
+        |     CAST(1121154893057 AS HUGEINT),
+        |     CAST(288136807515649 AS HUGEINT),
+        |     CAST(74051159531521793 AS HUGEINT),
+        |     CAST(584403925891549185 AS HUGEINT),
+        |     CAST(2617856364451727617 AS HUGEINT),
+        |     CAST(8706299010550139393 AS HUGEINT),
+        |     CAST(5462812792530078465 AS HUGEINT),
+        |     CAST(1990338078304242689 AS HUGEINT),
+        |     CAST(13454796134032477441 AS HUGEINT),
+        |     CAST(8341464662660550145 AS HUGEINT),
+        |     CAST(3934105753453399809 AS HUGEINT),
+        |     CAST(14940998657207963649 AS HUGEINT),
+        |     CAST(2913887570859921665 AS HUGEINT),
+        |     CAST(10999342762617803265 AS HUGEINT),
+        |     CAST(4479246715214041857 AS HUGEINT),
+        |     CAST(7468273240016557057 AS HUGEINT),
+        |     CAST(884839018461795585 AS HUGEINT),
+        |     CAST(6042698860166845953 AS HUGEINT),
+        |     CAST(3447104871277074177 AS HUGEINT),
+        |     CAST(462236380149585921 AS HUGEINT),
+        |     CAST(8114285256186272001 AS HUGEINT),
+        |     CAST(889230510692571649 AS HUGEINT),
+        |     CAST(7171312363476294401 AS HUGEINT),
+        |     CAST(16799614116162051073 AS HUGEINT),
+        |     CAST(962714605612047617 AS HUGEINT),
+        |     CAST(7609980684072066561 AS HUGEINT),
+        |     CAST(410163993308634881 AS HUGEINT)] AS pwl
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    COALESCE(list_min(list_transform(
+        |      generate_series(1, GREATEST(n - 31, 1)),
+        |      p -> CAST((list_sum(list_transform(
+        |          generate_series(0, wl - 1),
+        |          j -> CAST(CAST(('0x'
+        |              || substr(hx, 2 * (p + j) - 1, 2)) AS BIGINT)
+        |            AS HUGEINT) * pwl[wl - j]))
+        |          + 9223372036854775808) % 18446744073709551616
+        |          - 9223372036854775808 AS BIGINT))), 0) AS roll_fp
+        |  FROM d0),
+        |g AS (SELECT roll_fp, COUNT(*) AS n_docs,
+        |        MIN(doc_id) AS keep_doc_id
+        |      FROM f GROUP BY roll_fp)
+        |SELECT f.doc_id, f.roll_fp, g.n_docs, g.keep_doc_id
+        |FROM f JOIN g USING (roll_fp)
         |ORDER BY f.doc_id""".stripMargin,
     "q_text_bigram_ce" ->
       """WITH t AS (

@@ -55,8 +55,8 @@ class GraftApiSpec extends SparkSpec {
   test("registry size is pinned: any drift fails deliberately") {
     assert(SparkEntry.queries.size == 301,
       s"queries registry drifted: ${SparkEntry.queries.size} != 301")
-    assert(SparkEntry.oracleSql.size == 288,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 288")
+    assert(SparkEntry.oracleSql.size == 289,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 289")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -74,7 +74,7 @@ class GraftApiSpec extends SparkSpec {
     val expected = Set(
       "q_approx_distinct", "q_text_bpe_encode", "q_text_bpe_merges",
       "q_text_cms_tokens", "q_text_quality_thresholds",
-      "q_text_rolling_fp", "q_vec_ann_ivf", "q_vec_ann_lsh",
+      "q_vec_ann_ivf", "q_vec_ann_lsh",
       "q_vec_ann_lsh_mp", "q_vec_ivfpq_topk", "q_vec_nprobe_curve",
       "q_vec_pca_project", "q_vec_pq_topk")
     assert(rowsOnly == expected,
