@@ -383,6 +383,47 @@ object StreamBench {
           java.nio.file.Files.readString(out7.toPath) + line7 + "\n")
       } finally dcQ.stop()
     }
+
+    // Eighth surface: the CDC hot-key monitor — RAW change rows/s
+    // through the per-key decayed-mass recurrence (the continuous
+    // form of Cdc.hotKeys). Zipf-ish skewed key draw over a bounded
+    // domain (key 0 absorbs ~20% of the feed — the write-bottleneck
+    // shape the monitor exists to surface), one day per batch so the
+    // halving path executes every micro-batch.
+    {
+      implicit val s = spark
+      val hkIn = MemoryStream[streaming.HotKeyMonitor.Change]
+      val hkQ = streaming.HotKeyMonitor.monitor(hkIn.toDS())
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val keys = 500
+        val perBatch = 5000 * scale
+        val nHkBatches = 4
+        def hkBatch(b: Int): Seq[streaming.HotKeyMonitor.Change] =
+          (0 until perBatch).map { i =>
+            // every 5th row hits key 0; the rest spread uniformly
+            val k = if (i % 5 == 0) 0 else 1 + (i * 7919) % (keys - 1)
+            streaming.HotKeyMonitor.Change(s"k$k", b.toLong)
+          }
+        hkIn.addData(hkBatch(0)) // warm batch
+        hkQ.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nHkBatches).foreach { b =>
+          hkIn.addData(hkBatch(b))
+          hkQ.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = perBatch.toLong * nHkBatches
+        val line8 =
+          s"""{"metric":"hotkey_monitor_changes_per_sec","value":${(n / dt).toLong},""" +
+            s""""changes":$n,"keys":$keys,"seconds":$dt,"batches":$nHkBatches,"scale":$scale,"sf":"$sfDir"}"""
+        println(line8)
+        val out8 = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(out8.toPath,
+          java.nio.file.Files.readString(out8.toPath) + line8 + "\n")
+      } finally hkQ.stop()
+    }
     spark.stop()
   }
 }

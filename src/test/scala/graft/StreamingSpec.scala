@@ -795,6 +795,41 @@ class StreamingSpec extends SparkSpec {
     assert(other.map(_.decayed_weight_ppm).toSeq === Seq(1000000L))
   }
 
+  test("HotKeyMonitor: raw CDC rows bucket per batch, mass halves " +
+      "across days, hot key dominates, keyed isolation") {
+    import graft.streaming.HotKeyMonitor
+    import graft.streaming.HotKeyMonitor.{Change, HotOut}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = HotKeyMonitor.monitor(in.toDS())
+      .writeStream.format("memory").queryName("hotkey_out")
+      .outputMode("append").start()
+    try {
+      // day 0: hot key 6 changes, cold key 1 — raw rows, unbucketed
+      in.addData(Seq.fill(6)(Change("hot", 0L)) :+ Change("cold", 0L): _*)
+      q.processAllAvailable()
+      // days 1 and 3 in ONE batch (intra-batch day sort) + a same-day
+      // 0 straggler (equal day folds at gap 0 — only a REGRESSION
+      // drops, which the DecayMonitor spec covers)
+      in.addData(Change("hot", 1L), Change("hot", 1L),
+        Change("hot", 3L), Change("hot", 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hotkey_out").as[HotOut].collect()
+    val hot = got.filter(_.key == "hot")
+      .sortBy(r => (r.day, r.decayed_changes_ppm))
+    // direct fold: 6e6 (day 0 b1); 6e6 + 1e6 (day 0 b2, gap 0);
+    // 7e6>>1 + 2e6 = 5.5e6 (day 1); 5.5e6>>2 + 1e6 = 2.375e6 (day 3)
+    assert(hot.map(_.day).toSeq === Seq(0L, 0L, 1L, 3L))
+    assert(hot.map(_.decayed_changes_ppm).toSeq ===
+      Seq(6000000L, 7000000L, 5500000L, 2375000L))
+    val cold = got.filter(_.key == "cold")
+    assert(cold.map(_.decayed_changes_ppm).toSeq === Seq(1000000L))
+    // the live ranking read: hot's mass dwarfs cold's at every emit
+    assert(hot.forall(_.decayed_changes_ppm > 1000000L))
+  }
+
   test("DecayMonitor: cross-batch day regression is dropped, not " +
       "clamped — no retroactive re-halving of newer mass") {
     import graft.streaming.DecayMonitor
