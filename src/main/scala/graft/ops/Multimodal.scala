@@ -480,4 +480,39 @@ object Multimodal {
           .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Media dedup survivors — the component/survivor pass that
+    * completes the multimodal dedup loop the text side already has
+    * ([[graft.ops.Text.dupClusters]] →
+    * [[graft.ops.Text.dupClusterSurvivors]]): connected components
+    * over the [[mediaNearDup]] pair graph (pointer-jumped min-label
+    * propagation, shared implementation), then ONE max-struct
+    * aggregation per cluster keeping the LARGEST payload (the
+    * best-resolution proxy a byte-opaque pipeline has; a real decode
+    * would rank on width×height through the same struct), ties to
+    * the lowest doc_id. Singletons survive as their own cluster, so
+    * the output is the full post-dedup media corpus manifest.
+    */
+  def mediaDupSurvivors(
+      docs: DataFrame,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val pairs = mediaNearDup(docs, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Text.dupClusters(docs, pairs)
+    val bytes = withPayload(docs).select(col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"))
+    clusters
+      .join(bytes, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(
+        max(struct(col("n_bytes"), (-col("doc_id")).as("neg_id")))
+          .as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"),
+        (-col("__best.neg_id")).cast("long").as("survivor_doc_id"),
+        col("__best.n_bytes").as("best_bytes"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+  }
 }

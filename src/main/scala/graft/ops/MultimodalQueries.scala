@@ -107,6 +107,18 @@ object MultimodalQueries {
       Multimodal.mediaNearDup(docs.unionByName(planted),
         maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    // the component/survivor pass over the same planted-clone corpus
+    // (r13 verdict item 8): phash pair graph → connected components
+    // → keep the largest payload per cluster (ties lowest doc_id) —
+    // the multimodal twin of q_text_cluster_survivors
+    "q_mm_dup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Multimodal.mediaDupSurvivors(docs.unionByName(planted),
+        maxHamming = 3)
+        .orderBy(col("cluster"))
     })
   )
 
@@ -127,6 +139,49 @@ object MultimodalQueries {
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // components over the phash pair graph (min reachable doc_id,
+    // the q_text_dup_clusters recursion) + largest-payload survivor
+    "q_mm_dup_survivors" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |      AS phash
+        |  FROM d),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT reach.doc_id, e.dst
+        |  FROM reach JOIN e ON reach.r = e.src),
+        |cl AS (SELECT doc_id, MIN(r) AS cluster
+        |       FROM reach GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |      FROM d),
+        |s AS (SELECT cl.cluster, b.n_bytes, b.doc_id
+        |      FROM cl JOIN b USING (doc_id)),
+        |g AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+        |      FROM s GROUP BY cluster),
+        |w AS (SELECT cluster, doc_id AS survivor_doc_id,
+        |        n_bytes AS best_bytes,
+        |        ROW_NUMBER() OVER (PARTITION BY cluster
+        |          ORDER BY n_bytes DESC, doc_id) AS rk
+        |      FROM s)
+        |SELECT w.cluster, w.survivor_doc_id, w.best_bytes,
+        |  g.n_members, g.n_members - 1 AS n_dropped
+        |FROM w JOIN g USING (cluster) WHERE w.rk = 1
+        |ORDER BY cluster""".stripMargin,
     "q_mm_payload_stats" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

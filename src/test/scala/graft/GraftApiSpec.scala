@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 301,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 301")
-    assert(SparkEntry.oracleSql.size == 289,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 289")
+    assert(SparkEntry.queries.size == 302,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 302")
+    assert(SparkEntry.oracleSql.size == 290,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 290")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
