@@ -625,6 +625,11 @@ object Graft {
       * edges; `labeled` = (vec_id, label)). */
     def knnLabelPurity(labeled: DataFrame): DataFrame =
       ops.Vector.knnLabelPurity(embs, labeled)
+    /** Per-label cut conductance of a precomputed kNN edge list
+      * (this frame = edges; `labeled` = (vec_id, label)): cut edges
+      * over min-side volume, exact ppm. */
+    def labelConductance(labeled: DataFrame): DataFrame =
+      ops.Vector.labelConductance(embs, labeled)
     /** In-degree histogram + orphan coverage of a precomputed kNN
       * edge list (this frame = edges; `nodes` = id domain). */
     def inDegreeHistogram(nodes: DataFrame): DataFrame =
@@ -811,6 +816,10 @@ object Graft {
         bucketSize: Long = 1024L): DataFrame =
       ops.Layout.insertionOrderCorrelation(df, seqCol, valCol,
         bucketSize)
+    /** MVCC snapshot resolution over an add/remove file log (this
+      * frame = the log: file_id, op 'A'/'R', version, n_rows). */
+    def snapshotLiveFiles(asOfVersion: Long): DataFrame =
+      ops.Layout.snapshotLiveFiles(df, asOfVersion)
     def withZValue(
         cols: Seq[String],
         bits: Int = 16,

@@ -1275,4 +1275,141 @@ object Audit {
         sum(expr("v_milli * w_ppm div 1000000"))
           .as("decayed_value_milli"))
   }
+
+  /** Join-cardinality estimator audit — the planner's containment
+    * assumption `|A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B)` scored
+    * against the ACTUAL join size. At 100 TB the estimate decides
+    * broadcast-vs-shuffle and partition counts; a key whose error
+    * blows past ~2× (correlated keys, hidden skew) is exactly where
+    * hand-tuning (hot-list salting, explicit hints) pays, so the
+    * audit NAMES those keys from stats already computed in one scan
+    * per side plus the join's own count — nothing new is shuffled
+    * beyond the join being audited. Exact integers throughout
+    * (`est = n_a·n_b div max(ndv)`, error in signed ppm vs actual);
+    * the n_a·n_b product promotes to DECIMAL(38,0) before the div
+    * (fact×fact row products square past BIGINT).
+    */
+  def joinCardinalityAudit(
+      a: DataFrame,
+      b: DataFrame,
+      aKey: String,
+      bKey: String,
+      label: String
+  ): DataFrame = {
+    val sa = a.agg(count(lit(1)).as("n_a"),
+      countDistinct(col(aKey)).as("ndv_a"))
+    val sb = b.agg(count(lit(1)).as("n_b"),
+      countDistinct(col(bKey)).as("ndv_b"))
+    val actual = a.select(col(aKey).as("__k"))
+      .join(b.select(col(bKey).as("__k")), "__k")
+      .agg(count(lit(1)).as("n_actual"))
+    sa.crossJoin(sb).crossJoin(actual)
+      .select(lit(label).as("join_label"),
+        col("n_a"), col("n_b"), col("ndv_a"), col("ndv_b"),
+        expr("""CAST(CAST(n_a AS DECIMAL(38,0)) * n_b
+               | div GREATEST(ndv_a, ndv_b) AS BIGINT)"""
+          .stripMargin).as("n_est"),
+        col("n_actual"))
+      .withColumn("err_ppm", expr(
+        """CASE WHEN n_actual = 0 THEN NULL
+          | ELSE (n_est - n_actual) * 1000000 div n_actual
+          | END""".stripMargin))
+  }
+
+  /** Single change-point location by binary segmentation over a
+    * per-group daily count series — WHERE a level shift happened,
+    * the question the CUSUM audit (did one happen) and the z-score
+    * anomaly (is today odd) both leave open. For each candidate
+    * split k the between-segment sum-of-squares gain is
+    * `(S_L·n − S·n_L)² / (n_L·(n−n_L))` (n = #days, S = total; the
+    * common 1/n factor drops out of the argmax), floored to q20 —
+    * `gain_q20 = ⌊num²·2²⁰ / den⌋` with num² promoted to
+    * DECIMAL(38,0) (num ≤ S·n; the q20 product stays inside 38
+    * digits up to S·n ≈ 3·10¹⁴ — a 10¹²-events/day feed, documented
+    * bound) — so the argmax compares exact integers and ties break
+    * on the earlier day identically in both engines. Cost: one
+    * calendar-bounded rollup per group, a prefix sum over it, a
+    * |days|-row argmax — count(*)-grade at any corpus size.
+    */
+  def binaryChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val cum = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s_l", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("s", sum(col("x")).over(
+        Window.partitionBy(col("event_type"))))
+    cum
+      .filter(col("i") < col("n")) // split AFTER day i: left = 1..i
+      .withColumn("gain_q20", expr(
+        """CAST(CAST((s_l * n - s * i) AS DECIMAL(38,0))
+          |   * (s_l * n - s * i) * 1048576
+          | div (i * (n - i)) AS BIGINT)""".stripMargin))
+      .groupBy(col("event_type"))
+      .agg(max_by(struct(col("d"), col("i"), col("s_l"),
+          col("gain_q20")),
+        struct(col("gain_q20"), (-col("i")).as("neg_i"))).as("__b"),
+        max(col("n")).as("n_days"), max(col("s")).as("n_events"))
+      .select(col("event_type"),
+        col("__b.d").as("split_day"),
+        col("__b.i").as("n_left"),
+        (col("n_days") - col("__b.i")).as("n_right"),
+        col("__b.gain_q20").as("gain_q20"),
+        expr("__b.s_l * 1000 div __b.i").as("mean_left_milli"),
+        expr("(n_events - __b.s_l) * 1000 div (n_days - __b.i)")
+          .as("mean_right_milli"))
+  }
+
+  /** Mann–Whitney U rank test between two groups on an INTEGER
+    * metric — the nonparametric two-sample comparison beside
+    * [[anovaF]] (which assumes variance decomposition is meaningful)
+    * and the KS drift audit (which compares whole CDFs): U answers
+    * "does one group stochastically dominate", and U/(n₁n₂) IS the
+    * AUC of the metric as a group classifier — the effect size a
+    * filter audit actually wants. All integer by the DOUBLED-midrank
+    * convention: a tied block of t values with `below` smaller
+    * values has midrank `below + (t+1)/2`, so 2·midrank = 2·below +
+    * t + 1 is exact; `2R₁ = Σ_v c₁ᵥ·(2·belowᵥ + tᵥ + 1)` and
+    * `2U₁ = 2R₁ − n₁(n₁+1)` never leave BIGINT (bounded by 2n² —
+    * DECIMAL-promote at n > 3·10⁹ rows per cell, documented not
+    * expected). No per-row ranking window: the cumulative runs over
+    * the VALUE HISTOGRAM (distinct metric values), the same
+    * bounded-frame discipline as the skew advisor's median.
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      groupA: String,
+      groupB: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("g").isin(groupA, groupB))
+    val hist = rows.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"),
+        count(when(col("g") === groupA, lit(1))).as("c_a"))
+    val cum = hist.withColumn("below",
+      coalesce(sum(col("t")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum
+      .agg(
+        sum(col("t")).as("n_total"),
+        sum(col("c_a")).as("n_a"),
+        sum(col("c_a") * (lit(2L) * col("below") + col("t") + 1L))
+          .as("r2_a"))
+      .select(col("n_a"), (col("n_total") - col("n_a")).as("n_b"),
+        col("r2_a"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
+      .select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"),
+        (lit(2L) * col("n_a") * col("n_b") - col("u2_a")).as("u2_b"),
+        expr("u2_a * 1000000 div (2 * n_a * n_b)").as("auc_ppm"))
+  }
 }

@@ -111,6 +111,23 @@ object CdcQueries {
         normalized(s, d).select(
           col("data")("uid").cast("long").as("uid")),
         "uid", topN = 20)),
+    // replica checksum validation: per-bucket (count, md5-60 sum)
+    // fingerprints of a source dim vs a drifted replica (planted:
+    // custkey%97 mutated, custkey%131 missing) — the
+    // pt-table-checksum shape, only |buckets| rows ever meet
+    "q_cdc_checksum_diff" -> ((s, d) => {
+      val src = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val dst = Tables.customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(131L)) =!= 0L)
+        .select(col("c_custkey"), col("c_name"),
+          when(pmod(col("c_custkey"), lit(97L)) === 0L,
+            lit("DRIFTED")).otherwise(col("c_mktsegment"))
+            .as("c_mktsegment"))
+      Cdc.checksumDiff(src, dst, "c_custkey",
+        Seq("c_custkey", "c_name", "c_mktsegment"), nBuckets = 32)
+        .orderBy(col("bucket"))
+    }),
     "q_cdc_route" -> ((s, d) =>
       Cdc.withTopic(normalized(s, d))
         .select(
@@ -309,6 +326,40 @@ object CdcQueries {
       s"""$base
          |SELECT src_table, op, UPPER(src_table)||'_'||op AS topic, id
          |FROM m ORDER BY id""".stripMargin,
+    // md5-60 row hashes summed per bucket in HUGEINT -> DECIMAL(38,0)
+    "q_cdc_checksum_diff" ->
+      """WITH src AS (
+        |  SELECT c_custkey % 32 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_src,
+        |    CAST(SUM(CAST(CAST(('0x' || substr(md5(
+        |      c_custkey::VARCHAR || '|' || c_name || '|'
+        |        || c_mktsegment), 1, 15)) AS BIGINT) AS HUGEINT))
+        |      AS DECIMAL(38,0)) AS sum_src
+        |  FROM customer GROUP BY 1),
+        |dst0 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 97 = 0 THEN 'DRIFTED'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 131 <> 0),
+        |dst AS (
+        |  SELECT c_custkey % 32 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_dst,
+        |    CAST(SUM(CAST(CAST(('0x' || substr(md5(
+        |      c_custkey::VARCHAR || '|' || c_name || '|'
+        |        || c_mktsegment), 1, 15)) AS BIGINT) AS HUGEINT))
+        |      AS DECIMAL(38,0)) AS sum_dst
+        |  FROM dst0 GROUP BY 1)
+        |SELECT COALESCE(src.bucket, dst.bucket) AS bucket,
+        |  COALESCE(n_src, 0) AS n_src,
+        |  COALESCE(n_dst, 0) AS n_dst,
+        |  COALESCE(sum_src, CAST(0 AS DECIMAL(38,0))) AS sum_src,
+        |  COALESCE(sum_dst, CAST(0 AS DECIMAL(38,0))) AS sum_dst,
+        |  COALESCE(n_src, 0) = COALESCE(n_dst, 0)
+        |    AND COALESCE(sum_src, CAST(0 AS DECIMAL(38,0)))
+        |      = COALESCE(sum_dst, CAST(0 AS DECIMAL(38,0)))
+        |    AS is_match
+        |FROM src FULL OUTER JOIN dst ON src.bucket = dst.bucket
+        |ORDER BY bucket""".stripMargin,
     "q_cdc_fact_semi" ->
       s"""$base
          |SELECT src_table, op, id FROM m

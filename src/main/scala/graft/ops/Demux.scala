@@ -311,4 +311,48 @@ object Demux {
       .groupBy(col("d"))
       .agg(count(lit(1)).as("n_visits"),
         countDistinct(col("mid")).as("n_uv"))
+
+  /** DWS referrer-chain sessionization — the session rebuild the
+    * page log supports WITHOUT a session id or a gap heuristic (the
+    * gap form is [[graft.ops.Relational]]'s q_sessionize): a session
+    * continues while the referrer chain is intact (this row's
+    * `last_page_id` equals the previous row's `page_id`); a null
+    * referrer or a broken chain starts a new one — the reference's
+    * warehouse entry/bounce analysis over its DWD page stream. Per
+    * entry page: sessions, bounce (single-page) ppm, pages/session
+    * and dwell in exact milli. Determinism: rows order per mid by
+    * (ts, page_item) — page_item carries the unique event id in this
+    * corpus, making the per-mid order total; windows partition by
+    * mid, so the pass scales with the busiest device, never the
+    * corpus.
+    */
+  def sessionStats(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("mid"))
+      .orderBy(col("ts"), col("page_item"))
+    val seg = pages
+      .withColumn("__prev", lag(col("page_id"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("last_page_id").isNull ||
+          col("last_page_id") =!= col("__prev"), 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val per = seg.groupBy(col("mid"), col("__sess"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("during_time")).as("sum_during"),
+        min(struct(col("ts"), col("page_item"), col("page_id")))
+          .as("__first"))
+      .select(col("n_pages"), col("sum_during"),
+        col("__first.page_id").as("entry_page"))
+    per.groupBy(col("entry_page"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_pages") === 1, lit(1))).as("n_bounces"),
+        sum(col("n_pages")).as("sum_pages"),
+        sum(col("sum_during")).as("sum_during"))
+      .select(col("entry_page"), col("n_sessions"), col("n_bounces"),
+        col("sum_pages"), col("sum_during"),
+        expr("n_bounces * 1000000 div n_sessions").as("bounce_ppm"),
+        expr("sum_pages * 1000 div n_sessions")
+          .as("pages_per_session_milli"))
+  }
 }

@@ -80,7 +80,13 @@ object DemuxQueries {
     // DWS daily unique visitors (first-visit dedup DAU)
     "q_demux_uv_daily" -> ((s, d) =>
       Demux.dailyUv(Demux.pages(parsed(s, d)))
-        .orderBy(col("d")))
+        .orderBy(col("d"))),
+    // DWS referrer-chain sessionization: entry-page sessions, bounce
+    // ppm, pages/session milli (no sid, no gap heuristic — the chain
+    // break IS the boundary)
+    "q_demux_sessions" -> ((s, d) =>
+      Demux.sessionStats(Demux.pages(parsed(s, d)))
+        .orderBy(col("entry_page")))
   )
 
   /** Shared SQL fragment: the common-field derivations (must stay in
@@ -181,6 +187,48 @@ object DemuxQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_visits,
          |  CAST(COUNT(DISTINCT 'mid_'||user_id) AS BIGINT) AS n_uv
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // referrer-chain segmentation: per-mid (ts, page_item) order,
+    // break on null/broken chain, cumulative breaks = session id
+    "q_demux_sessions" ->
+      s"""${withK("event_type IN ('view','click','purchase')")},
+         |p AS (
+         |  SELECT 'mid_'||user_id AS mid,
+         |    'p'||(k % 10) AS page_id,
+         |    'p'||(k % 7) AS last_page_id,
+         |    CAST(event_id AS VARCHAR) AS page_item,
+         |    CAST(FLOOR(value * 100) AS BIGINT) AS during_time,
+         |    ems AS ts
+         |  FROM e),
+         |o AS (
+         |  SELECT *, LAG(page_id) OVER (PARTITION BY mid
+         |    ORDER BY ts, page_item) AS prev_page
+         |  FROM p),
+         |b AS (
+         |  SELECT *, CASE WHEN prev_page IS NULL
+         |      OR last_page_id IS NULL
+         |      OR last_page_id <> prev_page THEN 1 ELSE 0 END AS brk
+         |  FROM o),
+         |sg AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY mid
+         |    ORDER BY ts, page_item ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM b),
+         |per AS (
+         |  SELECT mid, sess,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pages,
+         |    CAST(SUM(during_time) AS BIGINT) AS sum_during,
+         |    FIRST(page_id ORDER BY ts, page_item) AS entry_page
+         |  FROM sg GROUP BY mid, sess)
+         |SELECT entry_page,
+         |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(COUNT(CASE WHEN n_pages = 1 THEN 1 END) AS BIGINT)
+         |    AS n_bounces,
+         |  CAST(SUM(n_pages) AS BIGINT) AS sum_pages,
+         |  CAST(SUM(sum_during) AS BIGINT) AS sum_during,
+         |  COUNT(CASE WHEN n_pages = 1 THEN 1 END) * 1000000
+         |    // COUNT(*) AS bounce_ppm,
+         |  CAST(SUM(n_pages) AS BIGINT) * 1000 // COUNT(*)
+         |    AS pages_per_session_milli
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_demux_key_profile" ->
       """WITH c AS (
         |  SELECT COUNT(*) AS n_total,

@@ -661,4 +661,29 @@ object Layout {
         """CASE WHEN n_pairs = 0 THEN NULL
           | ELSE n_ordered * 1000000 div n_pairs END""".stripMargin))
   }
+
+  /** Snapshot resolution over an append-only add/remove file log —
+    * the MVCC read every lakehouse table format performs before any
+    * scan: a file is LIVE at `asOfVersion` iff its latest log entry
+    * at-or-before that version is an add (a later re-add after a
+    * remove — the compaction-rewrite case — revives it; a remove
+    * after `asOfVersion` is invisible, which is what makes the read
+    * a consistent time travel). One filter + one max_by per file_id
+    * over the LOG (metadata-sized — millions of entries for a
+    * 100 TB table, never data-sized), no window. Output: the live
+    * manifest (file_id, the version that made it live, n_rows),
+    * the scan list a planner would hand to the reader.
+    */
+  def snapshotLiveFiles(
+      log: DataFrame,
+      asOfVersion: Long
+  ): DataFrame =
+    log.filter(col("version") <= asOfVersion)
+      .groupBy(col("file_id"))
+      .agg(
+        max_by(col("op"), col("version")).as("__last_op"),
+        max(col("version")).as("live_version"),
+        max(col("n_rows")).as("n_rows"))
+      .filter(col("__last_op") === "A")
+      .select(col("file_id"), col("live_version"), col("n_rows"))
 }

@@ -203,6 +203,29 @@ object LayoutQueries {
     // bytes = n_chars — the operator's contract is any catalog
     // LIST output); first-fit walk in id order per partition,
     // 2000-byte target bins, exact linear-recursive-CTE twin
+    // MVCC snapshot read over a synthesized add/remove file log:
+    // every part is a file added at v = partkey%50; every third is
+    // removed at v_add+1+(partkey%29); every ninth re-added (the
+    // compaction-rewrite revival) at v_add+40 — resolve live set as
+    // of version 45
+    "q_layout_snapshot" -> ((s, d) => {
+      val base = Tables.part(s, d).select(
+        col("p_partkey").as("file_id"),
+        (col("p_size").cast("long") * 1000L).as("n_rows"),
+        pmod(col("p_partkey"), lit(50L)).as("v_add"))
+      val log = base
+        .select(col("file_id"), lit("A").as("op"),
+          col("v_add").as("version"), col("n_rows"))
+        .unionByName(base.filter(pmod(col("file_id"), lit(3L)) === 0)
+          .select(col("file_id"), lit("R").as("op"),
+            (col("v_add") + 1L + pmod(col("file_id"), lit(29L)))
+              .as("version"), col("n_rows")))
+        .unionByName(base.filter(pmod(col("file_id"), lit(9L)) === 0)
+          .select(col("file_id"), lit("A").as("op"),
+            (col("v_add") + 40L).as("version"), col("n_rows")))
+      Layout.snapshotLiveFiles(log, asOfVersion = 45L)
+        .orderBy(col("file_id"))
+    }),
     "q_layout_compaction" -> ((s, d) =>
       Layout.compactionPlan(
         Tables.documents(s, d).select(
@@ -580,6 +603,30 @@ object LayoutQueries {
     // the q_text_pack_firstfit recurrence over file stats: per
     // part_key in file_id order, cut a bin when the next file would
     // overflow 2000 bytes; files never split, oversize files alone
+    "q_layout_snapshot" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS file_id,
+        |    CAST(p_size AS BIGINT) * 1000 AS n_rows,
+        |    p_partkey % 50 AS v_add
+        |  FROM part),
+        |lg AS (
+        |  SELECT file_id, 'A' AS op, v_add AS version, n_rows
+        |  FROM base
+        |  UNION ALL
+        |  SELECT file_id, 'R', v_add + 1 + (file_id % 29), n_rows
+        |  FROM base WHERE file_id % 3 = 0
+        |  UNION ALL
+        |  SELECT file_id, 'A', v_add + 40, n_rows
+        |  FROM base WHERE file_id % 9 = 0),
+        |res AS (
+        |  SELECT file_id,
+        |    FIRST(op ORDER BY version DESC) AS last_op,
+        |    CAST(MAX(version) AS BIGINT) AS live_version,
+        |    CAST(MAX(n_rows) AS BIGINT) AS n_rows
+        |  FROM lg WHERE version <= 45 GROUP BY file_id)
+        |SELECT file_id, live_version, n_rows
+        |FROM res WHERE last_op = 'A'
+        |ORDER BY file_id""".stripMargin,
     "q_layout_compaction" ->
       """WITH RECURSIVE f AS (
         |  SELECT lang AS part_key, doc_id AS file_id,

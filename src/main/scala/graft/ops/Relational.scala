@@ -1124,6 +1124,45 @@ object Relational {
       .unionByName(resF.join(h(resD), keys))
   }
 
+  /** Revenue concentration (Pareto) curve — cumulative revenue share
+    * at customer-rank decile boundaries, the "do 10% of customers
+    * carry 80% of revenue" read (the order-side sibling of the event
+    * Gini). Exact end to end: per-customer revenue in DECIMAL(18,4),
+    * rank and running sum over (revenue desc, custkey) — a window
+    * over the CUSTOMER-AGGREGATE table, the RFM-precedent frame
+    * (customer-domain-sized, never fact-sized) — and the ppm share
+    * divides in integer space (both decimals scale to 10⁴ units and
+    * DECIMAL(38,0) before the div, so no engine rounding rule is
+    * ever consulted). Output: `nBuckets` rows.
+    */
+  def revenueConcentration(
+      orders: DataFrame,
+      nBuckets: Int = 10
+  ): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+    val stats = per.agg(count(lit(1)).as("n_cust"),
+      sum(col("rev")).as("total_rev"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    per
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr(s"least((rk - 1) * $nBuckets div n_cust, $nBuckets - 1)"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rk")).as("rk_end"), max(col("cum")).as("__cum"))
+      .crossJoin(broadcast(stats))
+      .select(col("bucket"), col("rk_end"),
+        col("__cum").cast("string").cast("double").as("cum_rev"),
+        expr("""CAST(CAST(__cum * 10000 AS DECIMAL(38,0)) * 1000000
+               | div CAST(total_rev * 10000 AS DECIMAL(38,0))
+               | AS BIGINT)""".stripMargin).as("cum_share_ppm"))
+      .orderBy(col("bucket"))
+  }
+
   /** Sketch surface: approx_count_distinct (HLL++) next to the exact
     * count — rows-only (sketch estimates are engine-specific), the
     * mergeable-sketch pattern that replaces exact distinct at 100 TB.

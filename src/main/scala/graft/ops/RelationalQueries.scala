@@ -112,6 +112,26 @@ object RelationalQueries {
       Audit.columnProfile(Tables.orders(s, d),
         Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate"))),
+    // Pareto/concentration curve: cumulative revenue share at
+    // customer-rank decile boundaries — integer-space ppm, the
+    // customer-domain window (RFM precedent)
+    "q_orders_pareto" -> ((s, d) =>
+      Relational.revenueConcentration(Tables.orders(s, d))),
+    // planner-audit: containment-assumption estimate vs actual join
+    // cardinality for the two canonical fact joins
+    "q_li_join_card_est" -> ((s, d) =>
+      Audit.joinCardinalityAudit(Tables.lineitem(s, d),
+        Tables.orders(s, d), "l_orderkey", "o_orderkey",
+        "lineitem_orders")
+        .unionByName(Audit.joinCardinalityAudit(
+          Tables.lineitem(s, d), Tables.part(s, d),
+          "l_partkey", "p_partkey", "lineitem_part"))
+        .orderBy(col("join_label"))),
+    // binary-segmentation change-point per event type: argmax of the
+    // exact q20 between-segment gain over the daily series
+    "q_events_changepoint" -> ((s, d) =>
+      Audit.binaryChangepoint(Tables.events(s, d))
+        .orderBy(col("event_type"))),
     // per-feed staleness vs the snapshot high-water mark, exact
     // epoch-ms lags, stale flag at 30 min
     "q_events_freshness" -> ((s, d) =>
@@ -303,6 +323,37 @@ object RelationalQueries {
           sum(col("l_quantity").cast("decimal(18,4)"))
             .cast("double").as("sum_qty"))
         .orderBy(col("p_brand"))),
+    // SQL frontend, market-share shape (TPC-H Q8 family): one
+    // nation's revenue share inside each region-year, exact decimal
+    // sums and integer-space ppm
+    "q_sql_market_share" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CASE WHEN n_name = 'CHINA'
+                   THEN CAST(o_totalprice AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS STRING)
+                 AS DOUBLE) AS cn_revenue,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                 AS STRING) AS DOUBLE) AS total_revenue,
+               CAST(CAST(SUM(CASE WHEN n_name = 'CHINA'
+                     THEN CAST(o_totalprice AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000
+                   AS DECIMAL(38,0)) * 1000000
+                 div CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                   * 10000 AS DECIMAL(38,0)) AS BIGINT)
+                 AS cn_share_ppm
+        FROM orders_v
+        JOIN customer_v ON o_custkey = c_custkey
+        JOIN nation_v ON c_nationkey = n_nationkey
+        JOIN region_v ON n_regionkey = r_regionkey
+        GROUP BY r_name, year(o_orderdate)
+        ORDER BY r_name, o_year""")
+    }),
     // SQL frontend (the reference has none — spark-sql was a declared
     // but unused dependency): TPC-H Q6 as a pure SQL string over a
     // registered view, same Catalyst plan as the DataFrame form.
@@ -1360,6 +1411,127 @@ object RelationalQueries {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY p.p_brand
         |ORDER BY p.p_brand""".stripMargin,
+    // decile boundaries of the customer rank; integer-space ppm
+    // share (both decimals scale to 10^4 units before the div)
+    "q_orders_pareto" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |         SUM(rev) AS total_rev FROM per),
+        |r AS (
+        |  SELECT rev,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey)
+        |      AS BIGINT) AS rk,
+        |    SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM per),
+        |g AS (
+        |  SELECT LEAST((r.rk - 1) * 10 // st.n_cust, 9) AS bucket,
+        |    MAX(r.rk) AS rk_end, MAX(r.cum) AS cum
+        |  FROM r, st GROUP BY 1)
+        |SELECT g.bucket, CAST(g.rk_end AS BIGINT) AS rk_end,
+        |  CAST(CAST(g.cum AS VARCHAR) AS DOUBLE) AS cum_rev,
+        |  -- HUGEINT (not DECIMAL) operands: DuckDB's // on DECIMALs
+        |  -- ROUNDS the quotient; integer // integer floors like
+        |  -- Spark's div
+        |  CAST(CAST(CAST(g.cum * 10000 AS DECIMAL(38,0)) AS HUGEINT)
+        |      * 1000000
+        |    // CAST(CAST(st.total_rev * 10000 AS DECIMAL(38,0))
+        |      AS HUGEINT)
+        |    AS BIGINT) AS cum_share_ppm
+        |FROM g, st ORDER BY bucket""".stripMargin,
+    // containment-assumption estimate vs the actual join count
+    "q_li_join_card_est" ->
+      """WITH lo AS (
+        |  SELECT 'lineitem_orders' AS join_label,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_a,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_b,
+        |    (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |       FROM lineitem) AS ndv_a,
+        |    (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |       FROM orders) AS ndv_b,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |      AS n_actual),
+        |lp AS (
+        |  SELECT 'lineitem_part' AS join_label,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_a,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM part) AS n_b,
+        |    (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+        |       FROM lineitem) AS ndv_a,
+        |    (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT)
+        |       FROM part) AS ndv_b,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |       JOIN part p ON l.l_partkey = p.p_partkey)
+        |      AS n_actual),
+        |u AS (SELECT * FROM lo UNION ALL SELECT * FROM lp)
+        |SELECT join_label, n_a, n_b, ndv_a, ndv_b,
+        |  CAST(CAST(n_a AS HUGEINT) * n_b
+        |    // GREATEST(ndv_a, ndv_b) AS BIGINT) AS n_est,
+        |  n_actual,
+        |  CASE WHEN n_actual = 0 THEN NULL
+        |    ELSE (CAST(CAST(n_a AS HUGEINT) * n_b
+        |        // GREATEST(ndv_a, ndv_b) AS BIGINT) - n_actual)
+        |      * 1000000 // n_actual END AS err_ppm
+        |FROM u ORDER BY join_label""".stripMargin,
+    // argmax of the exact q20 between-segment gain; ties to the
+    // earlier split day
+    "q_events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, d, x,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_l,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |g AS (
+        |  SELECT event_type, d, i, s_l, n, s,
+        |    CAST(CAST((s_l * n - s * i) AS HUGEINT)
+        |        * (s_l * n - s * i) * 1048576
+        |      // (i * (n - i)) AS BIGINT) AS gain_q20,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(CAST((s_l * n - s * i) AS HUGEINT)
+        |          * (s_l * n - s * i) * 1048576
+        |        // (i * (n - i)) AS BIGINT) DESC, i) AS rk
+        |  FROM c WHERE i < n)
+        |SELECT event_type, d AS split_day, i AS n_left,
+        |  n - i AS n_right, gain_q20,
+        |  s_l * 1000 // i AS mean_left_milli,
+        |  (s - s_l) * 1000 // (n - i) AS mean_right_milli
+        |FROM g WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // market share: one nation's revenue inside each region-year
+    "q_sql_market_share" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(CAST(SUM(CASE WHEN n_name = 'CHINA'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR)
+        |    AS DOUBLE) AS cn_revenue,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS VARCHAR) AS DOUBLE) AS total_revenue,
+        |  CAST(CAST(CAST(SUM(CASE WHEN n_name = 'CHINA'
+        |        THEN CAST(o_totalprice AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000
+        |      AS DECIMAL(38,0)) AS HUGEINT) * 1000000
+        |    // CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      * 10000 AS DECIMAL(38,0)) AS HUGEINT) AS BIGINT)
+        |    AS cn_share_ppm
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, year(o_orderdate)
+        |ORDER BY r_name, o_year""".stripMargin,
     // salted two-phase agg must equal the direct group-by (mergeable
     // partials) — the oracle IS the direct form
     "q_salted_agg" ->

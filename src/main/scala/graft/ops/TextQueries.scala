@@ -843,6 +843,13 @@ object TextQueries {
     // sum-of-squares identities, per-group q20 floors pinned
     "q_text_len_anova" -> ((s, d) =>
       Audit.anovaF(Tables.documents(s, d), "n_chars", "lang")),
+    // Mann-Whitney U of doc length en-vs-de: doubled-midrank
+    // convention keeps rank sums integer under ties; auc_ppm is the
+    // U/(n1*n2) effect size. Cumulative over the n_chars VALUE
+    // histogram, never a per-row rank window
+    "q_text_mwu" -> ((s, d) =>
+      Audit.mannWhitneyU(Tables.documents(s, d),
+        col("lang"), col("n_chars"), "en", "de")),
     // source-pair tf-idf cosine: integer weights (tf × q20-ln idf),
     // exact DECIMAL dots/norms, one IEEE sqrt/divide at the end
     "q_text_source_tfidf_cos" -> ((s, d) =>
@@ -1633,6 +1640,34 @@ object TextQueries {
          |SELECT tok, cf, df, cf * 1000 // df AS burst_milli
          |FROM c WHERE df >= 3
          |ORDER BY burst_milli DESC, tok LIMIT 50""".stripMargin,
+    // doubled-midrank identity: 2*midrank of a tied block = 2*below
+    // + t + 1, so rank sums stay integer; U/(n1 n2) = AUC in ppm
+    "q_text_mwu" ->
+      """WITH r AS (
+        |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |h AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(COUNT(*) FILTER (WHERE g = 'en') AS BIGINT) AS c_a
+        |  FROM r GROUP BY v),
+        |c AS (
+        |  SELECT v, t, c_a,
+        |    COALESCE(CAST(SUM(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS below
+        |  FROM h),
+        |a AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+        |    CAST(SUM(c_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(c_a * (2 * below + t + 1)) AS BIGINT) AS r2_a
+        |  FROM c)
+        |SELECT n_a, n_total - n_a AS n_b, r2_a,
+        |  r2_a - n_a * (n_a + 1) AS u2_a,
+        |  2 * n_a * (n_total - n_a) - (r2_a - n_a * (n_a + 1))
+        |    AS u2_b,
+        |  (r2_a - n_a * (n_a + 1)) * 1000000
+        |    // (2 * n_a * (n_total - n_a)) AS auc_ppm
+        |FROM a""".stripMargin,
     // per-group q20 floors pinned as part of the statistic; HUGEINT
     // promoted before every square
     "q_text_len_anova" ->

@@ -2901,6 +2901,56 @@ object Vector {
           |   AS BIGINT) END""".stripMargin))
   }
 
+  /** Per-label cut conductance of the symmetrized kNN graph —
+    * `φ(S) = cut(S) / min(vol(S), vol(V∖S))`: how leaky each label's
+    * neighborhood boundary is (φ → 0: the label is a near-isolated
+    * cluster; φ → 1: its members' neighbors are mostly OUTSIDE the
+    * label — the spectral-partitioning read beside [[modularity]]'s
+    * global score and [[degreeAssortativity]]'s degree mixing). Pure
+    * integer counting over the session-shared edge list: degrees,
+    * per-label volumes (Σ deg over members), per-label cut-edge
+    * counts (exactly one endpoint inside), ppm out — no float ever.
+    * Vertices absent from the graph contribute zero volume (they
+    * have no edges by construction). Cost: two small joins on the
+    * k·n edge list, never n².
+    */
+  def labelConductance(
+      knn: DataFrame,
+      embeddings: DataFrame
+  ): DataFrame = {
+    val und = graft.Caches.track("vec", knn
+      .select(least(col("vec_id"), col("nbr_id")).as("a"),
+        greatest(col("vec_id"), col("nbr_id")).as("b"))
+      .distinct())
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    val e = und
+      .join(lab.withColumnRenamed("vec_id", "a")
+        .withColumnRenamed("label", "la"), "a")
+      .join(lab.withColumnRenamed("vec_id", "b")
+        .withColumnRenamed("label", "lb"), "b")
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val vol = lab.join(deg.withColumnRenamed("v", "vec_id"), "vec_id")
+      .groupBy(col("label")).agg(sum(col("deg")).as("vol"))
+    val cut = e.filter(col("la") =!= col("lb"))
+      .select(col("la").as("label"))
+      .unionAll(e.filter(col("la") =!= col("lb"))
+        .select(col("lb").as("label")))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_cut"))
+    val m2 = und.agg((count(lit(1)) * 2L).as("vol_total"))
+    vol
+      .join(cut, Seq("label"), "left")
+      .select(col("label"), col("vol"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"))
+      .crossJoin(broadcast(m2))
+      .withColumn("phi_ppm", expr(
+        """CASE WHEN LEAST(vol, vol_total - vol) = 0 THEN NULL
+          | ELSE n_cut * 1000000 div LEAST(vol, vol_total - vol)
+          | END""".stripMargin))
+      .orderBy(col("label"))
+  }
+
   /** Simplified (centroid) silhouette per label cluster — the
     * clustering-quality score that needs no pairwise distances:
     * `s = (b − a) / max(a, b)` with `a` the distance to the OWN

@@ -290,6 +290,12 @@ object VectorQueries {
     // Pearson closes in pure integers — no sqrt, exact milli
     "q_vec_assortativity" -> ((s, d) =>
       Vector.degreeAssortativity(knnGraphDf(s, d))),
+    // per-label cut conductance of the same shared graph: cut edges
+    // over min(vol, vol-complement) — pure integer counting, the
+    // spectral-partitioning read beside modularity/assortativity
+    "q_vec_conductance" -> ((s, d) =>
+      Vector.labelConductance(knnGraphDf(s, d),
+        Tables.embeddings(s, d))),
     // HITS hubs/authorities in q20 fixed point (normalize-by-max):
     // a1 ∝ in-degree, h2 and a2 unrolled identically in the twin
     "q_vec_hits" -> ((s, d) =>
@@ -1555,6 +1561,69 @@ object VectorQueries {
         |       - CAST(sum_deg AS HUGEINT) * sum_deg)
         |    AS BIGINT) END AS assort_milli
         |FROM s""".stripMargin,
+    // same kNN edge stack; per-label cut/volume counting in pure
+    // integers (conductance = cut / min(vol, vol_total - vol))
+    "q_vec_conductance" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |ed AS MATERIALIZED (
+        |       SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+        |         GREATEST(vec_id, nbr_id) AS b
+        |       FROM r WHERE rk <= 3),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |el AS (
+        |  SELECT ed.a, ed.b, la.label AS la, lb.label AS lb
+        |  FROM ed JOIN lab la ON la.vec_id = ed.a
+        |  JOIN lab lb ON lb.vec_id = ed.b),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |          SELECT a AS v FROM ed
+        |          UNION ALL SELECT b FROM ed) GROUP BY 1),
+        |vol AS (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS vol
+        |        FROM lab l JOIN deg d ON d.v = l.vec_id GROUP BY 1),
+        |cut AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cut
+        |        FROM (SELECT la AS label FROM el WHERE la <> lb
+        |              UNION ALL
+        |              SELECT lb FROM el WHERE la <> lb) GROUP BY 1),
+        |m2 AS (SELECT CAST(COUNT(*) * 2 AS BIGINT) AS vol_total
+        |       FROM ed)
+        |SELECT vol.label AS label, vol.vol AS vol,
+        |  COALESCE(cut.n_cut, 0) AS n_cut, m2.vol_total,
+        |  CASE WHEN LEAST(vol.vol, m2.vol_total - vol.vol) = 0
+        |    THEN NULL
+        |    ELSE COALESCE(cut.n_cut, 0) * 1000000
+        |      // LEAST(vol.vol, m2.vol_total - vol.vol)
+        |  END AS phi_ppm
+        |FROM vol LEFT JOIN cut ON cut.label = vol.label
+        |CROSS JOIN m2
+        |ORDER BY label""".stripMargin,
     // the q_vec_semantic_dedup recursive-component stack + the size
     // rollup: exact integer histogram with ppm corpus share
     "q_vec_component_sizes" ->

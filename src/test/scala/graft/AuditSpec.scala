@@ -602,6 +602,80 @@ class AuditSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("f_milli")))
   }
 
+  test("mannWhitneyU: doubled midranks under ties; AUC extremes") {
+    // a = {1, 2, 2}, b = {2, 4}: ranks 1, (2,3,4 tied -> mid 3), 5
+    // 2R_a = 2 + 6 + 6 = 14; 2U_a = 14 - 3*4 = 2; 2U_b = 2*3*2-2=10
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 2L),
+      ("b", 4L)).toDF("g", "v")
+    val r = Audit.mannWhitneyU(df, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("r2_a") === 14L)
+    assert(r.getAs[Long]("u2_a") === 2L)
+    assert(r.getAs[Long]("u2_b") === 10L)
+    // U identity: u2_a + u2_b = 2 n_a n_b
+    assert(r.getAs[Long]("u2_a") + r.getAs[Long]("u2_b") === 12L)
+    assert(r.getAs[Long]("auc_ppm") === 2L * 1000000L / 12L)
+    // complete separation: every b above every a -> AUC = 0 for a
+    val sep = Seq(("a", 1L), ("a", 2L), ("b", 9L), ("b", 10L))
+      .toDF("g", "v")
+    val r2 = Audit.mannWhitneyU(sep, col("g"), col("v"), "a", "b")
+      .collect().head
+    assert(r2.getAs[Long]("auc_ppm") === 0L)
+    // and reversed roles -> AUC = 1e6
+    val r3 = Audit.mannWhitneyU(sep, col("g"), col("v"), "b", "a")
+      .collect().head
+    assert(r3.getAs[Long]("auc_ppm") === 1000000L)
+  }
+
+  test("joinCardinalityAudit: exact under the containment " +
+      "assumption's own premises; signed error when violated") {
+    // uniform fan-out: 2 fact rows per key, dim unique per key ->
+    // est = 6*3/max(3,3) = 6 = actual
+    val fact = Seq(1L, 1L, 2L, 2L, 3L, 3L).toDF("k")
+    val dim = Seq(1L, 2L, 3L).toDF("j")
+    val r = Audit.joinCardinalityAudit(fact, dim, "k", "j", "u")
+      .collect().head
+    assert(r.getAs[Long]("n_est") === 6L)
+    assert(r.getAs[Long]("n_actual") === 6L)
+    assert(r.getAs[Long]("err_ppm") === 0L)
+    // correlation violation: fact only hits one dim key of many ->
+    // estimate undershoots actual? dim keys 1..6, fact all on key 1
+    val fact2 = Seq(1L, 1L, 1L, 1L).toDF("k")
+    val dim2 = (1L to 6L).toDF("j")
+    val r2 = Audit.joinCardinalityAudit(fact2, dim2, "k", "j", "s")
+      .collect().head
+    // est = 4*6/6 = 4 = actual here (single-key fact); now dim with
+    // duplicates on the hot key: actual doubles, est does not
+    val dim3 = Seq(1L, 1L, 2L, 3L, 4L, 5L).toDF("j")
+    val r3 = Audit.joinCardinalityAudit(fact2, dim3, "k", "j", "d")
+      .collect().head
+    assert(r2.getAs[Long]("err_ppm") === 0L)
+    assert(r3.getAs[Long]("n_actual") === 8L)
+    assert(r3.getAs[Long]("n_est") === 4L) // 4*6 div max(1,5)=5 -> 4
+    assert(r3.getAs[Long]("err_ppm") === -500000L)
+  }
+
+  test("binaryChangepoint: planted level shift found at its day; " +
+      "tie breaks to the earlier day") {
+    import java.sql.Timestamp
+    // type s: 10/day for 4 days then 50/day for 3 days -> split after
+    // day 4 (i = 4)
+    val rows = (1 to 4).flatMap(day => Seq.fill(10)(("s", day))) ++
+      (5 to 7).flatMap(day => Seq.fill(50)(("s", day)))
+    val df = rows.map { case (t, day) =>
+      (t, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), 1.0)
+    }.toDF("event_type", "ts", "value")
+    val r = ops.Audit.binaryChangepoint(df).collect().head
+    assert(r.getAs[java.sql.Date]("split_day").toString ===
+      "2024-01-04")
+    assert(r.getAs[Long]("n_left") === 4L)
+    assert(r.getAs[Long]("n_right") === 3L)
+    assert(r.getAs[Long]("mean_left_milli") === 10000L)
+    assert(r.getAs[Long]("mean_right_milli") === 50000L)
+  }
+
   test("componentSizeProfile: histogram + exact ppm corpus share") {
     // clusters: {1,1,1}, {2,2,2}, {3}, {4} → sizes 3×2, 1×2
     val comps = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L),

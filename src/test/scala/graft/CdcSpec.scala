@@ -205,4 +205,26 @@ class CdcSpec extends SparkSpec {
     // deterministic tie-break: 8 before 9
     assert(out(1).getAs[Long]("key") === 8L)
   }
+
+  test("checksumDiff: identical tables all-match; a mutated row and " +
+      "a missing row flag exactly their buckets") {
+    import spark.implicits._
+    val src = (1L to 20L).map(k => (k, s"n$k", s"seg${k % 3}"))
+      .toDF("k", "name", "seg")
+    val same = Cdc.checksumDiff(src, src, "k",
+      Seq("k", "name", "seg"), nBuckets = 4).collect()
+    assert(same.length === 4 && same.forall(_.getAs[Boolean]("is_match")))
+    // mutate k=6 (bucket 2), drop k=9 (bucket 1)
+    val dst = src.filter(col("k") =!= 9L)
+      .withColumn("seg",
+        when(col("k") === 6L, "MUT").otherwise(col("seg")))
+    val diff = Cdc.checksumDiff(src, dst, "k",
+      Seq("k", "name", "seg"), nBuckets = 4).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Boolean]("is_match"),
+          r.getAs[Long]("n_src"), r.getAs[Long]("n_dst"))).toMap
+    assert(!diff(2L)._1 && diff(2L)._2 === diff(2L)._3) // sum differs
+    assert(!diff(1L)._1 && diff(1L)._3 === diff(1L)._2 - 1)
+    assert(diff(0L)._1 && diff(3L)._1)
+  }
 }

@@ -213,4 +213,26 @@ class DemuxSpec extends SparkSpec {
     assert(uv.head.getAs[Long]("n_visits") === 3L)
     assert(uv.head.getAs[Long]("n_uv") === 2L)
   }
+
+  test("sessionStats: chain break and null referrer start sessions; " +
+      "intact chain continues one; bounce counted on 1-page sessions") {
+    // mid m1: home(null ref) -> detail(ref home, intact) |
+    //   cart(ref 'other', BROKEN -> new session, 1 page = bounce)
+    // mid m2: one page with non-null ref (first row starts a session)
+    val rows = Seq(
+      ("m1", "home", None, "e1", 100L, 1000L),
+      ("m1", "detail", Some("home"), "e2", 200L, 2000L),
+      ("m1", "cart", Some("other"), "e3", 300L, 3000L),
+      ("m2", "promo", Some("x"), "e4", 50L, 1000L)
+    ).toDF("mid", "page_id", "last_page_id", "page_item",
+      "during_time", "ts")
+    val st = Demux.sessionStats(rows).collect()
+      .map(r => r.getAs[String]("entry_page") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounces"),
+          r.getAs[Long]("sum_pages"), r.getAs[Long]("bounce_ppm"),
+          r.getAs[Long]("pages_per_session_milli"))).toMap
+    assert(st("home") == ((1L, 0L, 2L, 0L, 2000L)))
+    assert(st("cart") == ((1L, 1L, 1L, 1000000L, 1000L)))
+    assert(st("promo") == ((1L, 1L, 1L, 1000000L, 1000L)))
+  }
 }

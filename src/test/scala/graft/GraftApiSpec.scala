@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 302,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 302")
-    assert(SparkEntry.oracleSql.size == 290,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 290")
+    assert(SparkEntry.queries.size == 311,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 311")
+    assert(SparkEntry.oracleSql.size == 299,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 299")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -411,6 +411,8 @@ class GraftApiSpec extends SparkSpec {
       "degreeAssortativity" -> "degreeAssortativity",
       "hitsScores" -> "hitsScores",
       "knnLabelPurity" -> "knnLabelPurity",
+      "labelConductance" -> "labelConductance",
+      "snapshotLiveFiles" -> "snapshotLiveFiles",
       "inDegreeHistogram" -> "inDegreeHistogram",
       "cosineHistogram" -> "cosineHistogram",
       "centroidSeparation" -> "centroidSeparation",

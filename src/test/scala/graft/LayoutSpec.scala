@@ -429,4 +429,21 @@ class LayoutSpec extends SparkSpec {
       .collect().head
     assert(r2.getAs[Long]("ordered_ppm") === 0L)
   }
+
+  test("snapshotLiveFiles: latest-op-wins MVCC resolve — removed " +
+      "stays dead, re-add revives, future ops invisible") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "A", 5L, 100L),              // plain live
+      (2L, "A", 5L, 100L), (2L, "R", 7L, 100L), // removed -> dead
+      (3L, "A", 5L, 100L), (3L, "R", 7L, 100L),
+      (3L, "A", 9L, 100L),              // re-added -> live at v9
+      (4L, "A", 5L, 100L), (4L, "R", 50L, 100L), // removed AFTER asOf
+      (5L, "A", 60L, 100L)              // added after asOf -> absent
+    ).toDF("file_id", "op", "version", "n_rows")
+    val live = graft.ops.Layout.snapshotLiveFiles(log, 45L)
+      .collect().map(r => r.getAs[Long]("file_id") ->
+        r.getAs[Long]("live_version")).toMap
+    assert(live === Map(1L -> 5L, 3L -> 9L, 4L -> 5L))
+  }
 }

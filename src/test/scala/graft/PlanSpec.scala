@@ -156,6 +156,8 @@ class PlanSpec extends SparkSpec {
       "q_rank_suppliers" -> "supplier dim (smallest fact-free table; documented top-k twin)",
       "q_rfm_segments" -> "customer dim ntile (documented validation-scale twin)",
       "q_skew_advisor" -> "top-N heavy-hitter output (LIMIT topN upstream)",
+      "q_orders_pareto" -> "customer-aggregate frame (customer domain, the RFM precedent)",
+      "q_text_mwu" -> "cumulative over the n_chars VALUE histogram (distinct metric values)",
       "q_salted_join" -> "skewAdvisor hot-list subplan: rank window over its LIMIT-topK head only",
       "q_sql_revenue_share" -> "nation-level aggregate (≤ 25 rows)",
       "q_text_curriculum" -> "doc-quality rank (documented exact-rank validation twin)",

@@ -160,6 +160,21 @@ class RelationalSpec extends SparkSpec {
     assert(salts > 1L, "hot key landed in a single salt bucket")
   }
 
+  test("revenueConcentration: cumulative share at rank-bucket " +
+      "boundaries, exact ppm") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 40.0), (2L, 30.0), (3L, 20.0), (4L, 10.0),
+      (1L, 0.0) // second order same customer folds into rank 1
+    ).toDF("o_custkey", "o_totalprice")
+    val r = ops.Relational.revenueConcentration(orders, nBuckets = 2)
+      .collect().map(x => x.getAs[Long]("bucket") ->
+        (x.getAs[Long]("rk_end"), x.getAs[Double]("cum_rev"),
+          x.getAs[Long]("cum_share_ppm"))).toMap
+    assert(r(0L) == ((2L, 70.0, 700000L)))
+    assert(r(1L) == ((4L, 100.0, 1000000L)))
+  }
+
   test("skewJoin: row-identical to the plain join; only the hot " +
       "dim slice replicates; NULL keys drop like the plain join") {
     import spark.implicits._

@@ -1535,4 +1535,28 @@ class VectorSpec extends SparkSpec {
     assert(r.getAs[Long]("n_recip") === 2L)
     assert(r.getAs[Long]("reciprocity_ppm") === 666666L)
   }
+
+  test("labelConductance: hand-computed path graph; single-spanning " +
+      "label reads NULL phi; edgeless vertices carry no volume") {
+    // path 1-2-3-4, labels A={1,2}, B={3,4}; vertex 5 (label C) has
+    // no edges. deg: 1,2,2,1; vol_A = vol_B = 3; vol_total = 6;
+    // the one cut edge (2-3) counts once per side
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("vec_id", "nbr_id")
+    val labeled = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"),
+      (5L, "C")).toDF("vec_id", "label")
+    val m = Vec.labelConductance(edges, labeled).collect()
+      .map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("vol"), r.getAs[Long]("n_cut"),
+          Option(r.getAs[Any]("phi_ppm")))).toMap
+    assert(m("A") == ((3L, 1L, Some(333333L))))
+    assert(m("B") == ((3L, 1L, Some(333333L))))
+    assert(!m.contains("C")) // no incident edges -> no volume row
+    // one label spans the whole graph: min side volume 0 -> NULL
+    val mono = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"))
+      .toDF("vec_id", "label")
+    val r2 = Vec.labelConductance(edges, mono).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("phi_ppm")))
+    graft.Caches.release("vec")
+  }
 }
