@@ -1276,6 +1276,84 @@ object Audit {
           .as("decayed_value_milli"))
   }
 
+  /** Watermark delay planner — the measurement behind every
+    * `withWatermark` call: per feed, how far events actually arrive
+    * BEHIND the high-water mark, read off the stream's own arrival
+    * order (`arrivalCol` — an ingest sequence; here the event id):
+    * `delay = running_max(ts) − ts` per row, then exact lower
+    * permil quantiles of the delay distribution (p50/p95/p999 and
+    * the max). Set the watermark at ≥ p999 and you quantifiably drop
+    * ≤ 0.1% of events as late; the gap between p999 and max is the
+    * tail the business decides about. All integer epoch-ms; the
+    * quantiles come off the per-feed delay VALUE histogram
+    * (`min delay with cum·1000 ≥ p·n` — one partitioned cumulative,
+    * no global sort), the [[mannWhitneyU]] histogram discipline.
+    */
+  def watermarkPlan(
+      events: DataFrame,
+      arrivalCol: String = "event_id"
+  ): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val delays = events
+      .select(col("event_type"), col(arrivalCol),
+        expr("CAST(unix_millis(ts) AS BIGINT)").as("tms"))
+      .withColumn("delay_ms", max(col("tms")).over(w) - col("tms"))
+    val h = delays.groupBy(col("event_type"), col("delay_ms"))
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("cum", sum(col("ct")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("delay_ms"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("ct")).over(
+        Window.partitionBy(col("event_type"))))
+    h.groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_events"),
+        sum(when(col("delay_ms") > 0, col("ct")).otherwise(0L))
+          .as("n_late"),
+        min(when(col("cum") * 1000 >= lit(500L) * col("n"),
+          col("delay_ms"))).as("p50_delay_ms"),
+        min(when(col("cum") * 1000 >= lit(950L) * col("n"),
+          col("delay_ms"))).as("p95_delay_ms"),
+        min(when(col("cum") * 1000 >= lit(999L) * col("n"),
+          col("delay_ms"))).as("p999_delay_ms"),
+        max(col("delay_ms")).as("max_delay_ms"))
+      .withColumn("late_ppm",
+        expr("n_late * 1000000 div n_events"))
+  }
+
+  /** Broadcast-vs-shuffle advisor — the size estimate behind the
+    * single most consequential join decision at 100 TB, computed
+    * from the table itself instead of guessed: estimated in-memory
+    * bytes = Σ per row (16 B object overhead + 8 B per fixed-width
+    * column + the exact octet length of each string column), split
+    * out so the advice is auditable. `recommend` is 'broadcast'
+    * below the threshold (driver + per-executor copy affordable),
+    * 'shuffle' above. One scan, one row out per call — run it over
+    * every dimension table and the plan hints write themselves.
+    */
+  def broadcastAdvisor(
+      df: DataFrame,
+      label: String,
+      thresholdBytes: Long = 10L * 1024 * 1024
+  ): DataFrame = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name)
+    val nFixed = df.schema.fields.length - stringCols.length
+    val rowBytes = stringCols
+      .map(c => octet_length(col(c)).cast("long"))
+      .foldLeft(lit(16L + 8L * nFixed))(_ + _)
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(rowBytes).as("est_bytes"))
+      .select(lit(label).as("table_label"), col("n_rows"),
+        col("est_bytes"),
+        lit(thresholdBytes).as("threshold_bytes"),
+        when(col("est_bytes") < thresholdBytes, "broadcast")
+          .otherwise("shuffle").as("recommend"))
+  }
+
   /** Join-cardinality estimator audit — the planner's containment
     * assumption `|A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B)` scored
     * against the ACTUAL join size. At 100 TB the estimate decides

@@ -220,6 +220,40 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Point-in-time (as-of) lookup against an [[scd2History]] table —
+    * the fact-enrichment read SCD2 exists to serve: each fact row
+    * picks the dimension version whose validity interval contains
+    * its own `asOf` stamp (`valid_from <= asOf < valid_to`, open
+    * current version = null `valid_to`). LEFT join — a fact probing
+    * a deleted gap (after a D closed a version, before any re-insert
+    * opens one) or an unkeyed dimension keeps its row with null
+    * version columns and `matched = false`, which is exactly the
+    * data-quality signal a warehouse wants surfaced, not dropped.
+    *
+    * Shape at scale: one equi-shuffle on the dimension key; the
+    * interval predicate rides the join condition, and versions per
+    * key are bounded by that key's change count — never a
+    * corpus-cross range join.
+    */
+  def pointInTimeLookup(
+      history: DataFrame,
+      facts: DataFrame,
+      keys: Seq[String],
+      asOf: Column
+  ): DataFrame = {
+    val hk = keys.zipWithIndex.foldLeft(history) {
+      case (df, (k, i)) => df.withColumnRenamed(k, s"__hk_$i")
+    }
+    val cond = keys.zipWithIndex.map { case (k, i) =>
+      col(k) === col(s"__hk_$i")
+    }.reduce(_ && _) &&
+      col("valid_from") <= asOf &&
+      (col("valid_to").isNull || asOf < col("valid_to"))
+    facts.join(hk, cond, "left")
+      .drop(keys.indices.map(i => s"__hk_$i"): _*)
+      .withColumn("matched", col("valid_from").isNotNull)
+  }
+
   /** MERGE-INTO semantics for a keyed snapshot — the row-level
     * sibling of [[maintainSumCount]] (that one maintains an
     * AGGREGATE; this one maintains the TABLE): apply a CDC delta

@@ -281,6 +281,29 @@ object CdcQueries {
           col("op"))
       Cdc.scd2History(dims, Seq(col("uid")), col("id"))
         .orderBy(col("uid"), col("valid_from"))
+    }),
+    // point-in-time enrichment against the SCD2 history: error
+    // events (NOT part of the CDC feed) probe the dim state as of
+    // their own event_id — deleted gaps and never-keyed uids keep
+    // their row unmatched (the data-quality read)
+    "q_cdc_scd2_asof" -> ((s, d) => {
+      val envD = Cdc.normalizeOpsWithDeletes(parsedEnv(s, d))
+      val dims = Cdc.routeMatching(envD, routing(s), "dim")
+        .select(
+          col("data")("uid").cast("long").as("uid"),
+          col("data")("id").cast("long").as("id"),
+          col("op"))
+      val hist = Cdc.scd2History(dims, Seq(col("uid")), col("id"))
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("uid"),
+          col("event_id").as("asof"))
+      Cdc.pointInTimeLookup(hist, facts, Seq("uid"), col("asof"))
+        .select(col("uid"), col("asof"),
+          col("id").as("version_id"), col("op").as("version_op"),
+          col("valid_from"), col("valid_to"), col("is_current"),
+          col("matched"))
+        .orderBy(col("uid"), col("asof"))
     })
   )
 
@@ -530,6 +553,35 @@ object CdcQueries {
         |SELECT uid, id, op, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
         |FROM v WHERE op <> 'D'
-        |ORDER BY uid, valid_from""".stripMargin
+        |ORDER BY uid, valid_from""".stripMargin,
+    // the scd2 stack + interval-containment LEFT join from the
+    // error-event probe set
+    "q_cdc_scd2_asof" ->
+      """WITH m AS (
+        |  SELECT 't'||(user_id % 3) AS src_table,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'view' THEN 'I'
+        |         WHEN event_type = 'purchase' THEN 'U'
+        |         WHEN event_type = 'click' THEN 'D' END AS op,
+        |    event_id AS id, user_id AS uid
+        |  FROM events
+        |  WHERE event_type IN ('signup','view','purchase','click')),
+        |v0 AS (
+        |  SELECT uid, id, op, id AS valid_from,
+        |    LEAD(id) OVER (PARTITION BY uid ORDER BY id) AS valid_to
+        |  FROM m WHERE src_table = 't2'),
+        |v AS (SELECT * FROM v0 WHERE op <> 'D'),
+        |f AS (
+        |  SELECT user_id AS uid, event_id AS asof FROM events
+        |  WHERE event_type = 'error')
+        |SELECT f.uid, f.asof, v.id AS version_id,
+        |  v.op AS version_op, v.valid_from, v.valid_to,
+        |  CASE WHEN v.valid_from IS NULL THEN NULL
+        |    ELSE v.valid_to IS NULL END AS is_current,
+        |  v.valid_from IS NOT NULL AS matched
+        |FROM f LEFT JOIN v ON v.uid = f.uid
+        |  AND v.valid_from <= f.asof
+        |  AND (v.valid_to IS NULL OR f.asof < v.valid_to)
+        |ORDER BY f.uid, f.asof""".stripMargin
   )
 }

@@ -65,6 +65,40 @@ object Export {
         sum(col("h") % 1000000007L).as("checksum"))
       .orderBy(col("part"))
 
+  /** Byte-budgeted shard manifest — the WebDataset/tar-shard
+    * assignment a training-data export runs last: within each
+    * `partition` (source/lang — shards don't cross it, which is also
+    * what keeps the running sum a PARTITIONED window, never global),
+    * docs pack in id order into shards of ~`budgetBytes`; a doc is
+    * assigned by the shard of its END byte (`(cum − 1) div budget`),
+    * so shards overflow by at most one document and never split one
+    * — the contract a sequential tar writer needs. Output: one
+    * manifest row per shard with exact byte/doc counts and the
+    * id range a reader seeks by.
+    */
+  def shardManifest(
+      df: DataFrame,
+      partition: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column,
+      budgetBytes: Long = 1L << 20
+  ): DataFrame = {
+    require(budgetBytes >= 1, s"budget must be >= 1, got $budgetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col("__id"))
+    df.select(partition.as("part"), id.as("__id"),
+        octet_length(payload).cast("long").as("bytes"))
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("shard_id",
+        expr(s"GREATEST(cum - 1, 0) div $budgetBytes"))
+      .groupBy(col("part"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bytes")).as("shard_bytes"),
+        min(col("__id")).as("first_id"),
+        max(col("__id")).as("last_id"))
+      .orderBy(col("part"), col("shard_id"))
+  }
+
   /** Read a partitioned export back; `filterLang` demonstrates that
     * the partition predicate prunes directories (PartitionFilters in
     * the scan, zero rows read from other langs).

@@ -107,6 +107,12 @@ object LayoutQueries {
     "q_export_manifest" -> ((s, d) =>
       Export.manifest(Tables.documents(s, d), col("lang"),
         col("doc_id"), col("text"))),
+    // byte-budgeted shard manifest (WebDataset-style): docs pack in
+    // id order into ~8 KiB shards within each lang; a doc never
+    // splits, shards never cross the partition
+    "q_export_shards" -> ((s, d) =>
+      Export.shardManifest(Tables.documents(s, d), col("lang"),
+        col("doc_id"), col("text"), budgetBytes = 8192L)),
     // data-skipping audit: the SAME range predicates against
     // insertion-ordered vs range-clustered file layouts of orders —
     // min/max pruning measured (files/rows scanned, exact skip ppm),
@@ -448,6 +454,23 @@ object LayoutQueries {
         |    1, 15)) AS BIGINT) % 1000000007) AS BIGINT) AS checksum
         |FROM documents
         |GROUP BY lang ORDER BY part""".stripMargin,
+    "q_export_shards" ->
+      """WITH b AS (
+        |  SELECT lang AS part, doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT part, doc_id, bytes,
+        |    SUM(bytes) OVER (PARTITION BY part ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b)
+        |SELECT part, CAST(GREATEST(cum - 1, 0) // 8192 AS BIGINT)
+        |  AS shard_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(bytes) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+        |FROM c GROUP BY 1, 2
+        |ORDER BY part, shard_id""".stripMargin,
     "q_layout_prune_audit" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_totalprice FROM orders),

@@ -1124,6 +1124,58 @@ object Relational {
       .unionByName(resF.join(h(resD), keys))
   }
 
+  /** Hierarchy closure — (id, root, depth) for every node of a
+    * parent-pointer table (`parent` null marks roots), the recursive
+    * capability (BOM explosion, org rollup, category trees) ANSI
+    * engines express as `WITH RECURSIVE` and Spark has no native
+    * operator for. Pointer DOUBLING, not single-step walking: each
+    * round joins every open node's known ancestor to THAT node's
+    * current entry, so known-ancestor distance doubles and rounds
+    * scale with log(depth) — the dupClusters discipline, with
+    * per-round localCheckpoint truncating the growing lineage. A
+    * node whose chain leaves the table (dangling parent) fails the
+    * convergence require rather than looping silently.
+    */
+  def hierarchyClosure(
+      edges: DataFrame,
+      maxRounds: Int = 64
+  ): DataFrame = {
+    var cur = edges
+      .select(col("id"),
+        coalesce(col("parent"), col("id")).as("anc"),
+        when(col("parent").isNull, lit(0L)).otherwise(lit(1L))
+          .as("depth"),
+        col("parent").isNull.as("done"))
+      .localCheckpoint(true)
+    var open = cur.filter(!col("done")).count()
+    var it = 0
+    while (it < maxRounds && open > 0) {
+      val anc = cur.select(col("id").as("anc"),
+        col("anc").as("__anc2"), col("depth").as("__d2"),
+        col("done").as("__done2"))
+      // left join: a DANGLING anc (chain leaves the table) keeps its
+      // row open instead of silently dropping it — the convergence
+      // require below then names the failure
+      val next = cur.filter(!col("done"))
+        .join(anc, Seq("anc"), "left")
+        .select(col("id"),
+          coalesce(col("__anc2"), col("anc")).as("anc"),
+          (col("depth") + coalesce(col("__d2"), lit(0L)))
+            .as("depth"),
+          coalesce(col("__done2"), lit(false)).as("done"))
+        .unionByName(cur.filter(col("done")))
+        .localCheckpoint(true)
+      cur.unpersist(blocking = false)
+      cur = next
+      open = cur.filter(!col("done")).count()
+      it += 1
+    }
+    require(open == 0,
+      s"hierarchyClosure: $open nodes unresolved after $maxRounds " +
+        "doubling rounds (dangling parent or depth > 2^rounds)")
+    cur.select(col("id"), col("anc").as("root"), col("depth"))
+  }
+
   /** Revenue concentration (Pareto) curve — cumulative revenue share
     * at customer-rank decile boundaries, the "do 10% of customers
     * carry 80% of revenue" read (the order-side sibling of the event

@@ -132,6 +132,37 @@ object RelationalQueries {
     "q_events_changepoint" -> ((s, d) =>
       Audit.binaryChangepoint(Tables.events(s, d))
         .orderBy(col("event_type"))),
+    // watermark delay planner: per-type arrival lateness off the
+    // event_id ingest order — exact permil quantiles of
+    // running_max(ts) - ts, the number withWatermark should be set to
+    "q_events_watermark_plan" -> ((s, d) =>
+      Audit.watermarkPlan(Tables.events(s, d))
+        .orderBy(col("event_type"))),
+    // broadcast-vs-shuffle advisor over the dim tables (threshold
+    // 100 KB so BOTH branches appear at oracle SF: customer/part
+    // read shuffle, nation/region broadcast)
+    "q_dim_broadcast_advisor" -> ((s, d) =>
+      Seq(
+        Audit.broadcastAdvisor(Tables.nation(s, d), "nation",
+          thresholdBytes = 100000L),
+        Audit.broadcastAdvisor(Tables.region(s, d), "region",
+          thresholdBytes = 100000L),
+        Audit.broadcastAdvisor(Tables.customer(s, d), "customer",
+          thresholdBytes = 100000L),
+        Audit.broadcastAdvisor(Tables.part(s, d), "part",
+          thresholdBytes = 100000L))
+        .reduce(_.unionByName(_))
+        .orderBy(col("table_label"))),
+    // recursive capability: hierarchy closure (root + depth) over
+    // the div-10 parent chain of part — pointer doubling, log-depth
+    // rounds, the WITH RECURSIVE twin proves it exact
+    "q_part_hierarchy" -> ((s, d) => {
+      val edges = Tables.part(s, d).select(
+        col("p_partkey").as("id"),
+        when(expr("p_partkey div 10") === 0L, lit(null))
+          .otherwise(expr("p_partkey div 10")).as("parent"))
+      Relational.hierarchyClosure(edges).orderBy(col("id"))
+    }),
     // per-feed staleness vs the snapshot high-water mark, exact
     // epoch-ms lags, stale flag at 30 min
     "q_events_freshness" -> ((s, d) =>
@@ -1509,6 +1540,83 @@ object RelationalQueries {
         |  s_l * 1000 // i AS mean_left_milli,
         |  (s - s_l) * 1000 // (n - i) AS mean_right_milli
         |FROM g WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // same running-max lateness + histogram-quantile mechanics
+    "q_events_watermark_plan" ->
+      """WITH d AS (
+        |  SELECT event_type, event_id,
+        |    CAST(epoch_ms(ts) AS BIGINT) AS tms
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    MAX(tms) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) - tms AS delay_ms
+        |  FROM d),
+        |h AS (
+        |  SELECT event_type, delay_ms, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM r GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *, SUM(ct) OVER (PARTITION BY event_type
+        |      ORDER BY delay_ms ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(ct) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type,
+        |  CAST(MAX(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN delay_ms > 0 THEN ct ELSE 0 END)
+        |    AS BIGINT) AS n_late,
+        |  CAST(MIN(CASE WHEN cum * 1000 >= 500 * n
+        |    THEN delay_ms END) AS BIGINT) AS p50_delay_ms,
+        |  CAST(MIN(CASE WHEN cum * 1000 >= 950 * n
+        |    THEN delay_ms END) AS BIGINT) AS p95_delay_ms,
+        |  CAST(MIN(CASE WHEN cum * 1000 >= 999 * n
+        |    THEN delay_ms END) AS BIGINT) AS p999_delay_ms,
+        |  CAST(MAX(delay_ms) AS BIGINT) AS max_delay_ms,
+        |  CAST(SUM(CASE WHEN delay_ms > 0 THEN ct ELSE 0 END)
+        |    * 1000000 // MAX(n) AS BIGINT) AS late_ppm
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // per-table est bytes spelled out column by column (the op
+    // derives the same expression from the schema)
+    "q_dim_broadcast_advisor" ->
+      """WITH u AS (
+        |  SELECT 'nation' AS table_label,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(16 + 16 + octet_length(encode(n_name)))
+        |      AS BIGINT) AS est_bytes
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'region', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(16 + 8 + octet_length(encode(r_name)))
+        |      AS BIGINT)
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(16 + 24 + octet_length(encode(c_name))
+        |      + octet_length(encode(c_mktsegment))) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'part', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(16 + 24 + octet_length(encode(p_name))
+        |      + octet_length(encode(p_brand))
+        |      + octet_length(encode(p_type))) AS BIGINT)
+        |  FROM part)
+        |SELECT table_label, n_rows, est_bytes,
+        |  CAST(100000 AS BIGINT) AS threshold_bytes,
+        |  CASE WHEN est_bytes < 100000 THEN 'broadcast'
+        |    ELSE 'shuffle' END AS recommend
+        |FROM u ORDER BY table_label""".stripMargin,
+    // WITH RECURSIVE twin of the pointer-doubling closure
+    "q_part_hierarchy" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS id,
+        |    CASE WHEN p_partkey // 10 = 0 THEN NULL
+        |      ELSE p_partkey // 10 END AS parent
+        |  FROM part),
+        |walk(id, root, depth) AS (
+        |  SELECT id, id, CAST(0 AS BIGINT) FROM e
+        |  WHERE parent IS NULL
+        |  UNION ALL
+        |  SELECT e.id, w.root, w.depth + 1
+        |  FROM e JOIN walk w ON e.parent = w.id)
+        |SELECT id, root, depth FROM walk ORDER BY id""".stripMargin,
     // market share: one nation's revenue inside each region-year
     "q_sql_market_share" ->
       """SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,

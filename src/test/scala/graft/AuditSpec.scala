@@ -602,6 +602,41 @@ class AuditSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("f_milli")))
   }
 
+  test("watermarkPlan: running-max lateness, exact lower quantiles, " +
+      "in-order feed reads all-zero") {
+    import java.sql.Timestamp
+    def t(ms: Long) = new Timestamp(ms)
+    // type a arrives (by event_id) with ts: 100, 300, 200, 400 ->
+    // delays 0, 0, 100, 0; type b strictly in order -> all zero
+    val df = Seq(
+      ("a", 1L, t(100L)), ("a", 2L, t(300L)), ("a", 3L, t(200L)),
+      ("a", 4L, t(400L)),
+      ("b", 5L, t(10L)), ("b", 6L, t(20L))
+    ).toDF("event_type", "event_id", "ts")
+    val m = Audit.watermarkPlan(df).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_late"), r.getAs[Long]("p50_delay_ms"),
+          r.getAs[Long]("p999_delay_ms"),
+          r.getAs[Long]("max_delay_ms"),
+          r.getAs[Long]("late_ppm"))).toMap
+    // a: delays {0,0,0,100}; p50 at cum>=2 -> 0; p999 at cum>=3.996
+    // -> 100; late 1/4 = 250000 ppm
+    assert(m("a") == ((1L, 0L, 100L, 100L, 250000L)))
+    assert(m("b") == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("broadcastAdvisor: exact byte model, both recommendations") {
+    val df = Seq((1L, "abcd"), (2L, "ef")).toDF("k", "s")
+    // rows: 16 + 8 + 4 = 28 and 16 + 8 + 2 = 26 -> 54 bytes
+    val r = Audit.broadcastAdvisor(df, "t", thresholdBytes = 100L)
+      .collect().head
+    assert(r.getAs[Long]("est_bytes") === 54L)
+    assert(r.getAs[String]("recommend") === "broadcast")
+    val r2 = Audit.broadcastAdvisor(df, "t", thresholdBytes = 54L)
+      .collect().head
+    assert(r2.getAs[String]("recommend") === "shuffle") // not <
+  }
+
   test("mannWhitneyU: doubled midranks under ties; AUC extremes") {
     // a = {1, 2, 2}, b = {2, 4}: ranks 1, (2,3,4 tied -> mid 3), 5
     // 2R_a = 2 + 6 + 6 = 14; 2U_a = 14 - 3*4 = 2; 2U_b = 2*3*2-2=10

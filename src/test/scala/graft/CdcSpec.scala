@@ -206,6 +206,26 @@ class CdcSpec extends SparkSpec {
     assert(out(1).getAs[Long]("key") === 8L)
   }
 
+  test("pointInTimeLookup: version containment, deleted gap and " +
+      "unknown key stay unmatched, current version open-ended") {
+    import spark.implicits._
+    // key 1: I@10 (closed by D@20), I@30 current. key 2: none.
+    val feed = Seq((1L, 10L, "I"), (1L, 20L, "D"), (1L, 30L, "I"))
+      .toDF("uid", "id", "op")
+    val hist = Cdc.scd2History(feed, Seq(col("uid")), col("id"))
+    val facts = Seq((1L, 15L), (1L, 25L), (1L, 99L), (2L, 15L))
+      .toDF("uid", "asof")
+    val out = Cdc.pointInTimeLookup(hist, facts, Seq("uid"),
+      col("asof")).collect()
+      .map(r => (r.getAs[Long]("uid"), r.getAs[Long]("asof")) ->
+        (r.getAs[Boolean]("matched"), Option(r.getAs[Any]("id"))))
+      .toMap
+    assert(out((1L, 15L)) == ((true, Some(10L)))) // inside [10,20)
+    assert(out((1L, 25L)) == ((false, None)))     // deleted gap
+    assert(out((1L, 99L)) == ((true, Some(30L)))) // open current
+    assert(out((2L, 15L)) == ((false, None)))     // unkeyed dim
+  }
+
   test("checksumDiff: identical tables all-match; a mutated row and " +
       "a missing row flag exactly their buckets") {
     import spark.implicits._

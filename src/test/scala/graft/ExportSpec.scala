@@ -64,4 +64,25 @@ class ExportSpec extends SparkSpec {
     assert(t.head._4 != base.head._4)
     assert(t(1)._4 == base(1)._4) // untouched partition unchanged
   }
+
+  test("shardManifest: end-byte assignment — shards overflow by at " +
+      "most one doc, never split one, never cross partitions") {
+    import spark.implicits._
+    // budget 10: docs of 4,4,4 -> cum 4,8,12 -> shards 0,0,1;
+    // an oversized doc (25) gets its own shard by its end byte
+    val docs = Seq(
+      (1L, "en", "aaaa"), (2L, "en", "bbbb"), (3L, "en", "cccc"),
+      (4L, "en", "d" * 25), (5L, "fr", "ee")
+    ).toDF("doc_id", "lang", "text")
+    val m = graft.ops.Export.shardManifest(docs, col("lang"),
+      col("doc_id"), col("text"), budgetBytes = 10L)
+      .collect().map(r => (r.getAs[String]("part"),
+        r.getAs[Long]("shard_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_bytes"),
+          r.getAs[Long]("first_id"), r.getAs[Long]("last_id"))).toMap
+    assert(m(("en", 0L)) == ((2L, 8L, 1L, 2L)))
+    assert(m(("en", 1L)) == ((1L, 4L, 3L, 3L)))  // cum 12 -> shard 1
+    assert(m(("en", 3L)) == ((1L, 25L, 4L, 4L))) // cum 37 -> shard 3
+    assert(m(("fr", 0L)) == ((1L, 2L, 5L, 5L)))  // partition isolated
+  }
 }

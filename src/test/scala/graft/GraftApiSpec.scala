@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 311,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 311")
-    assert(SparkEntry.oracleSql.size == 299,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 299")
+    assert(SparkEntry.queries.size == 316,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 316")
+    assert(SparkEntry.oracleSql.size == 304,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 304")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

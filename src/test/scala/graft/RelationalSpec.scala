@@ -160,6 +160,29 @@ class RelationalSpec extends SparkSpec {
     assert(salts > 1L, "hot key landed in a single salt bucket")
   }
 
+  test("hierarchyClosure: chain depth + root via pointer doubling; " +
+      "forest keeps trees apart; dangling parent fails loudly") {
+    import spark.implicits._
+    // chain 1<-2<-3<-4<-5 and separate root 10<-11
+    val edges = Seq(
+      (1L, Option.empty[Long]), (2L, Some(1L)), (3L, Some(2L)),
+      (4L, Some(3L)), (5L, Some(4L)),
+      (10L, None), (11L, Some(10L))
+    ).toDF("id", "parent")
+    val out = ops.Relational.hierarchyClosure(edges).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("root"), r.getAs[Long]("depth"))).toMap
+    assert(out(1L) == ((1L, 0L)) && out(5L) == ((1L, 4L)))
+    assert(out(3L) == ((1L, 2L)) && out(11L) == ((10L, 1L)))
+    assert(out.size === 7)
+    // dangling parent: node 7 points at absent 99 -> require fires
+    val bad = Seq((7L, Some(99L))).toDF("id", "parent")
+    val e = intercept[IllegalArgumentException] {
+      ops.Relational.hierarchyClosure(bad, maxRounds = 4).collect()
+    }
+    assert(e.getMessage.contains("unresolved"))
+  }
+
   test("revenueConcentration: cumulative share at rank-bucket " +
       "boundaries, exact ppm") {
     import spark.implicits._
