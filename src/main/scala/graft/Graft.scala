@@ -82,6 +82,14 @@ object Graft {
       ops.Text.dupClusters(docs, pairs)
     def chunked(window: Int = 50, stride: Int = 40): DataFrame =
       ops.Text.chunkDocs(docs, window, stride)
+    /** Chunk-level dedup profile: per doc, corpus-novel vs already-
+      * seen context windows. */
+    def chunkDedup(window: Int = 50, stride: Int = 40): DataFrame =
+      ops.Text.chunkDedup(docs, window, stride)
+    /** Hill tail index of the doc-length distribution (top-k,
+      * exact q20 ln terms). */
+    def lengthTailIndex(k: Int = 100): DataFrame =
+      ops.Text.lengthTailIndex(docs, k)
     /** Sentence-aware greedy chunking: cuts at `[.!?]` sentence
       * boundaries, row-local HOF fold — no shuffle until the rollup.
       */
@@ -630,6 +638,11 @@ object Graft {
       * over min-side volume, exact ppm. */
     def labelConductance(labeled: DataFrame): DataFrame =
       ops.Vector.labelConductance(embs, labeled)
+    /** BFS depth histogram from `sourceId` over a precomputed kNN
+      * edge list (this frame = edges; `nodes` = id domain). */
+    def bfsDepths(nodes: DataFrame, sourceId: Long,
+        maxDepth: Int = 6): DataFrame =
+      ops.Vector.bfsDepths(embs, nodes, sourceId, maxDepth)
     /** In-degree histogram + orphan coverage of a precomputed kNN
       * edge list (this frame = edges; `nodes` = id domain). */
     def inDegreeHistogram(nodes: DataFrame): DataFrame =

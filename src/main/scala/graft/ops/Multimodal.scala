@@ -481,6 +481,43 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hamming histogram over the banded candidate pairs — WHERE the
+    * pHash similarity mass sits, the measurement behind placing
+    * [[mediaNearDup]]'s `maxHamming` (the media twin of the vec
+    * family's cosine histogram / tau-placement read): a threshold
+    * inside the candidate bulk means the banding is doing the
+    * filtering, not the threshold. Same pigeonhole band join as the
+    * dedup op, NO hamming cap — every same-band pair counts once,
+    * bucketed by its exact distance.
+    */
+  def hammingHistogram(docs: DataFrame, nBands: Int = 4): DataFrame = {
+    require(nBands >= 1 && 60 % nBands == 0,
+      s"nBands $nBands must divide the 60-bit hash")
+    val bandBits = 60 / nBands
+    val sigs = mediaPhash(docs)
+    val banded = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until nBands).map(i => struct(
+        lit(i).as("band"),
+        shiftright(col("phash"), i * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bits") === col("r.bits") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.phash").as("ph_a"), col("r.phash").as("ph_b"))
+      .distinct()
+      .select(bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
+        .cast("int").as("hamming"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
   /** Media dedup survivors — the component/survivor pass that
     * completes the multimodal dedup loop the text side already has
     * ([[graft.ops.Text.dupClusters]] →

@@ -108,6 +108,14 @@ object MultimodalQueries {
         maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // hamming histogram over the banded candidates: where the pHash
+    // similarity mass sits (the maxHamming-placement read)
+    "q_mm_hamming_histogram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Multimodal.hammingHistogram(docs.unionByName(planted))
+    }),
     // the component/survivor pass over the same planted-clone corpus
     // (r13 verdict item 8): phash pair graph → connected components
     // → keep the largest payload per cluster (ties lowest doc_id) —
@@ -139,6 +147,27 @@ object MultimodalQueries {
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // banded candidates spelled as the 4-band OR; exact hamming
+    "q_mm_hamming_histogram" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |      AS phash
+        |  FROM d)
+        |SELECT CAST(bit_count(xor(a.phash, b.phash)) AS INT)
+        |    AS hamming,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE ((a.phash >> 0) & 32767) = ((b.phash >> 0) & 32767)
+        |   OR ((a.phash >> 15) & 32767) = ((b.phash >> 15) & 32767)
+        |   OR ((a.phash >> 30) & 32767) = ((b.phash >> 30) & 32767)
+        |   OR ((a.phash >> 45) & 32767) = ((b.phash >> 45) & 32767)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // components over the phash pair graph (min reachable doc_id,
     // the q_text_dup_clusters recursion) + largest-payload survivor
     "q_mm_dup_survivors" ->

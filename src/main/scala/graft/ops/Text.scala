@@ -1415,6 +1415,70 @@ object Text {
         (col("n_members") - 1).as("n_dropped"))
   }
 
+  /** Hill tail-index of the document-length distribution — IS the
+    * length tail power-law (α ≈ 1–2: heavy tail, a few giant docs
+    * dominate byte budgets and shard packing; α large: thin tail)?
+    * The standard Hill estimator over the k largest lengths with
+    * x₍ₖ₎ as the threshold: `1/α = (1/k)·Σ(ln xᵢ − ln x_min)`. Exact
+    * by the ln-of-INTEGER q20 convention (every ln argument is a
+    * char count; `⌊ln x·2²⁰⌋` floors identically in both engines),
+    * α emitted as `k·1000·2²⁰ div hill_sum`. Top-k is TakeOrdered —
+    * no global sort, no window.
+    */
+  def lengthTailIndex(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def lnq20(c: Column): Column =
+      floor(log(c.cast("double")) * (1L << 20)).cast("long")
+    val top = docs.filter(col("n_chars") > 0)
+      .select(col("n_chars").cast("long").as("x"))
+      .orderBy(col("x").desc).limit(k)
+    top.agg(count(lit(1)).as("k_used"), min(col("x")).as("x_min"),
+        sum(lnq20(col("x"))).as("__sum_ln"))
+      .select(col("k_used"), col("x_min"),
+        (col("__sum_ln") - col("k_used") * lnq20(col("x_min")))
+          .as("hill_sum_q20"))
+      .withColumn("alpha_milli", expr(
+        """CASE WHEN hill_sum_q20 = 0 THEN NULL
+          | ELSE k_used * 1048576000 div hill_sum_q20
+          | END""".stripMargin))
+  }
+
+  /** Chunk-level dedup profile — dedup at the granularity training
+    * actually consumes: after [[chunkDocs]] splits the corpus into
+    * context windows, identical chunk TEXT recurring anywhere in the
+    * corpus (boilerplate, licenses, templated sections) is
+    * redundancy document-level dedup cannot see. First occurrence
+    * wins by the deterministic (doc_id, chunk_id) order; per doc,
+    * how many of its chunks are corpus-novel vs already seen — the
+    * keep/trim signal a chunk-dedup pass acts on. Cost: the chunk
+    * scan plus ONE md5-keyed aggregation (first-owner per distinct
+    * chunk) and a rejoin; chunk text never shuffles twice (the
+    * 60-bit md5 int is the join key).
+    */
+  def chunkDedup(
+      docs: DataFrame,
+      window: Int = 50,
+      stride: Int = 40
+  ): DataFrame = {
+    val ch = chunkDocs(docs, window, stride)
+      .select(col("doc_id"), col("chunk_id"),
+        expr("CAST(conv(substr(md5(chunk_text), 1, 15), 16, 10) " +
+          "AS BIGINT)").as("h"))
+    val first = ch.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__f"))
+      .select(col("h"), col("__f.doc_id").as("first_doc"),
+        col("__f.chunk_id").as("first_chunk"))
+    ch.join(first, "h")
+      .withColumn("is_first",
+        col("doc_id") === col("first_doc") &&
+          col("chunk_id") === col("first_chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("is_first"), lit(1))).as("n_novel"))
+      .withColumn("dup_ppm", expr(
+        "(n_chunks - n_novel) * 1000000 div n_chunks"))
+  }
+
   /** Fixed token-window chunks with overlap (`window` tokens every
     * `stride`): the context-window splitting step of a training-data
     * pipeline. Pure per-row array math — sequence + explode + slice

@@ -843,6 +843,15 @@ object TextQueries {
     // sum-of-squares identities, per-group q20 floors pinned
     "q_text_len_anova" -> ((s, d) =>
       Audit.anovaF(Tables.documents(s, d), "n_chars", "lang")),
+    // chunk-level dedup profile: per doc, corpus-novel vs already-
+    // seen context windows (first occurrence by (doc_id, chunk_id))
+    "q_text_chunk_dedup" -> ((s, d) =>
+      Text.chunkDedup(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    // Hill tail index of the doc-length distribution over the top-k
+    // lengths — exact ln-of-integer q20 terms, TakeOrdered top-k
+    "q_text_tail_index" -> ((s, d) =>
+      Text.lengthTailIndex(Tables.documents(s, d))),
     // Mann-Whitney U of doc length en-vs-de: doubled-midrank
     // convention keeps rank sums integer under ties; auc_ppm is the
     // U/(n1*n2) effect size. Cumulative over the n_chars VALUE
@@ -1640,6 +1649,58 @@ object TextQueries {
          |SELECT tok, cf, df, cf * 1000 // df AS burst_milli
          |FROM c WHERE df >= 3
          |ORDER BY burst_milli DESC, tok LIMIT 50""".stripMargin,
+    // the q_text_chunks window arithmetic + md5-60 first-owner pass
+    "q_text_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(generate_series(0, len(toks) - 1, 40)) AS start
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+        |    CAST(('0x' || substr(md5(array_to_string(
+        |      toks[start + 1 : start + 50], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM c),
+        |f AS (
+        |  SELECT h,
+        |    FIRST(doc_id ORDER BY doc_id, chunk_id) AS fd,
+        |    FIRST(chunk_id ORDER BY doc_id, chunk_id) AS fc
+        |  FROM ch GROUP BY h),
+        |j AS (
+        |  SELECT ch.doc_id,
+        |    (ch.doc_id = f.fd AND ch.chunk_id = f.fc) AS is_first
+        |  FROM ch JOIN f USING (h))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(CASE WHEN is_first THEN 1 END) AS BIGINT)
+        |    AS n_novel,
+        |  (COUNT(*) - COUNT(CASE WHEN is_first THEN 1 END))
+        |    * 1000000 // COUNT(*) AS dup_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // top-k lengths + exact q20 ln terms; alpha from the integer div
+    "q_text_tail_index" ->
+      """WITH top AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE n_chars > 0 ORDER BY x DESC LIMIT 100),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+        |    CAST(MIN(x) AS BIGINT) AS x_min,
+        |    CAST(SUM(CAST(FLOOR(ln(x) * 1048576) AS BIGINT))
+        |      AS BIGINT) AS sum_ln
+        |  FROM top)
+        |SELECT k_used, x_min,
+        |  sum_ln - k_used * CAST(FLOOR(ln(x_min) * 1048576)
+        |    AS BIGINT) AS hill_sum_q20,
+        |  CASE WHEN sum_ln - k_used * CAST(FLOOR(ln(x_min)
+        |      * 1048576) AS BIGINT) = 0 THEN NULL
+        |    ELSE k_used * 1048576000
+        |      // (sum_ln - k_used * CAST(FLOOR(ln(x_min) * 1048576)
+        |        AS BIGINT))
+        |  END AS alpha_milli
+        |FROM a""".stripMargin,
     // doubled-midrank identity: 2*midrank of a tied block = 2*below
     // + t + 1, so rank sums stay integer; U/(n1 n2) = AUC in ppm
     "q_text_mwu" ->

@@ -2901,6 +2901,55 @@ object Vector {
           |   AS BIGINT) END""".stripMargin))
   }
 
+  /** BFS depth histogram from a source vector over the symmetrized
+    * kNN graph — the reachability/diameter read (how many hops until
+    * the neighborhood saturates; a long tail of far vertices means
+    * the dedup graph is a chain, not a ball). Frontier expansion for
+    * `maxDepth` rounds — rounds equal the DEPTH EXPLORED by
+    * definition of BFS (not a convergence hope like the pointer
+    * loops), each round one join frontier⋈edges + one anti-join
+    * against the visited set, lineage truncated per round. Output:
+    * one row per depth 0..maxDepth with the vertex count, plus a
+    * `depth = -1` row counting vertices of `nodes` never reached
+    * within the budget.
+    */
+  def bfsDepths(
+      knn: DataFrame,
+      nodes: DataFrame,
+      sourceId: Long,
+      maxDepth: Int = 6
+  ): DataFrame = {
+    val spark = knn.sparkSession
+    import spark.implicits._
+    val e = knn.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .unionAll(knn.select(col("nbr_id").as("src"),
+        col("vec_id").as("dst")))
+      .distinct()
+    var visited = Seq((sourceId, 0)).toDF("v", "depth")
+      .localCheckpoint(true)
+    var frontier = visited
+    var d = 0
+    while (d < maxDepth && frontier.limit(1).count() > 0) {
+      val next = frontier
+        .join(e, col("v") === col("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited.select(col("v")), Seq("v"), "left_anti")
+        .withColumn("depth", lit(d + 1))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+      d += 1
+    }
+    val hist = visited.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val unreached = nodes.select(col("vec_id").as("v"))
+      .join(visited.select(col("v")), Seq("v"), "left_anti")
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(lit(-1).as("depth"), col("n_vecs"))
+      .filter(col("n_vecs") > 0)
+    hist.unionByName(unreached).orderBy(col("depth"))
+  }
+
   /** Per-label cut conductance of the symmetrized kNN graph —
     * `φ(S) = cut(S) / min(vol(S), vol(V∖S))`: how leaky each label's
     * neighborhood boundary is (φ → 0: the label is a near-isolated

@@ -296,6 +296,11 @@ object VectorQueries {
     "q_vec_conductance" -> ((s, d) =>
       Vector.labelConductance(knnGraphDf(s, d),
         Tables.embeddings(s, d))),
+    // BFS depth histogram from vec 0 over the shared graph: the
+    // reachability/diameter read; depth -1 row = never reached
+    "q_vec_bfs_depths" -> ((s, d) =>
+      Vector.bfsDepths(knnGraphDf(s, d), Tables.embeddings(s, d),
+        sourceId = 0L, maxDepth = 6)),
     // HITS hubs/authorities in q20 fixed point (normalize-by-max):
     // a1 ∝ in-degree, h2 and a2 unrolled identically in the twin
     "q_vec_hits" -> ((s, d) =>
@@ -1561,6 +1566,61 @@ object VectorQueries {
         |       - CAST(sum_deg AS HUGEINT) * sum_deg)
         |    AS BIGINT) END AS assort_milli
         |FROM s""".stripMargin,
+    // same kNN edge stack symmetrized + depth-capped recursive walk;
+    // MIN(d) per vertex is the BFS distance within the cap
+    "q_vec_bfs_depths" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |ed AS MATERIALIZED (
+        |       SELECT vec_id AS a, nbr_id AS b
+        |       FROM r WHERE rk <= 3),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a AS src, b AS dst FROM ed
+        |  UNION SELECT b, a FROM ed),
+        |walk(v, dd) AS (
+        |  SELECT CAST(0 AS BIGINT) AS v, 0 AS dd
+        |  UNION
+        |  SELECT e.dst, walk.dd + 1
+        |  FROM walk JOIN e ON e.src = walk.v WHERE walk.dd < 6),
+        |dist AS (SELECT v, MIN(dd) AS depth FROM walk GROUP BY v),
+        |h AS (SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |      FROM dist GROUP BY depth),
+        |un AS (
+        |  SELECT -1 AS depth, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |  FROM embeddings
+        |  WHERE vec_id NOT IN (SELECT v FROM dist)
+        |  HAVING COUNT(*) > 0)
+        |SELECT depth, n_vecs FROM h
+        |UNION ALL SELECT depth, n_vecs FROM un
+        |ORDER BY depth""".stripMargin,
     // same kNN edge stack; per-label cut/volume counting in pure
     // integers (conductance = cut / min(vol, vol_total - vol))
     "q_vec_conductance" ->

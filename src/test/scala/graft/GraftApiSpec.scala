@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 316,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 316")
-    assert(SparkEntry.oracleSql.size == 304,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 304")
+    assert(SparkEntry.queries.size == 320,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 320")
+    assert(SparkEntry.oracleSql.size == 308,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 308")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -413,6 +413,9 @@ class GraftApiSpec extends SparkSpec {
       "knnLabelPurity" -> "knnLabelPurity",
       "labelConductance" -> "labelConductance",
       "snapshotLiveFiles" -> "snapshotLiveFiles",
+      "chunkDedup" -> "chunkDedup",
+      "lengthTailIndex" -> "lengthTailIndex",
+      "bfsDepths" -> "bfsDepths",
       "inDegreeHistogram" -> "inDegreeHistogram",
       "cosineHistogram" -> "cosineHistogram",
       "centroidSeparation" -> "centroidSeparation",

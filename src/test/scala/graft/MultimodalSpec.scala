@@ -290,4 +290,32 @@ class MultimodalSpec extends SparkSpec {
     val flips = p1.values.map(_.getAs[Boolean]("hflip")).toSeq
     assert(flips.contains(true) && flips.contains(false))
   }
+
+  test("hammingHistogram: byte-identical payloads land at hamming 0 " +
+      "exactly once; histogram mass equals the candidate pair count") {
+    val docs = Seq((1L, "alpha"), (2L, "alpha"), (3L, "alpha"),
+      (4L, "wholly different payload")).toDF("doc_id", "text")
+    val h = graft.ops.Multimodal.hammingHistogram(docs).collect()
+      .map(r => r.getAs[Int]("hamming") -> r.getAs[Long]("n_pairs"))
+      .toMap
+    // the three identical docs form C(3,2)=3 pairs at distance 0,
+    // counted ONCE each despite matching all 4 bands
+    assert(h(0) === 3L)
+    // doc 4 pairs only if a random band collides — whatever appears
+    // must be strictly positive-distance
+    assert(h.keys.filter(_ != 0).forall(_ > 0))
+  }
+
+  test("mediaDupSurvivors: identical payloads cluster; largest " +
+      "payload wins, ties to lowest doc_id; singleton survives") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "unique text"))
+      .toDF("doc_id", "text")
+    val m = graft.ops.Multimodal.mediaDupSurvivors(docs).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("survivor_doc_id"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("n_dropped"))).toMap
+    assert(m(1L) == ((1L, 2L, 1L))) // equal bytes -> lowest id
+    assert(m(3L) == ((3L, 1L, 0L)))
+    graft.Caches.release("text")
+  }
 }

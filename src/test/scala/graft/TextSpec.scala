@@ -2107,4 +2107,43 @@ class TextSpec extends SparkSpec {
     assert(highest.getAs[Long]("cum_docs") ===
       highest.getAs[Long]("n_docs"))
   }
+
+  test("chunkDedup: repeated chunk text counts novel only at its " +
+      "first (doc_id, chunk_id); self-repetition inside a doc too") {
+    // window 3 / stride 3 → non-overlapping 3-token chunks.
+    // doc 1: "a b c d e f" → chunks [a b c], [d e f] (both novel)
+    // doc 2: "a b c x y z" → [a b c] SEEN, [x y z] novel
+    // doc 3: "q q q q q q" → [q q q] novel, [q q q] dup of itself
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x y z"), (3L, "q q q q q q")
+    ).toDF("doc_id", "text")
+    val m = Text.chunkDedup(docs, window = 3, stride = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("dup_ppm"))).toMap
+    assert(m(1L) == ((2L, 2L, 0L)))
+    assert(m(2L) == ((2L, 1L, 500000L)))
+    assert(m(3L) == ((2L, 1L, 500000L)))
+  }
+
+  test("lengthTailIndex: exact Pareto sample reproduces its alpha; " +
+      "constant lengths read NULL") {
+    // x_i = floor(1000 / i) for i = 1..k is Pareto(alpha = 1)-ish;
+    // just pin the exact integer identity on a tiny hand set:
+    // lengths {8, 4, 2}: ln terms q20 of 8,4,2; hill = (ln8 - ln2)
+    // + (ln4 - ln2) + 0 = ln4 + ln2 = 3 ln2 (in q20 floors)
+    val docs = Seq((1L, 8L), (2L, 4L), (3L, 2L))
+      .toDF("doc_id", "n_chars")
+    val r = Text.lengthTailIndex(docs, k = 3).collect().head
+    def lnq20(x: Double) = math.floor(math.log(x) * (1L << 20)).toLong
+    val expect = lnq20(8) + lnq20(4) + lnq20(2) - 3 * lnq20(2)
+    assert(r.getAs[Long]("k_used") === 3L)
+    assert(r.getAs[Long]("x_min") === 2L)
+    assert(r.getAs[Long]("hill_sum_q20") === expect)
+    assert(r.getAs[Long]("alpha_milli") ===
+      3L * 1048576000L / expect)
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("doc_id", "n_chars")
+    val r2 = Text.lengthTailIndex(const, k = 2).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("alpha_milli")))
+  }
 }

@@ -1536,6 +1536,25 @@ class VectorSpec extends SparkSpec {
     assert(r.getAs[Long]("reciprocity_ppm") === 666666L)
   }
 
+  test("bfsDepths: layered counts on a path; cap leaves the tail " +
+      "unreached; symmetrization walks edges backwards") {
+    // directed edges 0->1, 2->1, 2->3, 3->4: symmetrized path
+    // 0-1-2-3-4 → depths 0,1,2,3,4 from source 0
+    val edges = Seq((0L, 1L), (2L, 1L), (2L, 3L), (3L, 4L))
+      .toDF("vec_id", "nbr_id")
+    val nodes = (0L to 5L).toDF("vec_id") // 5 is isolated
+    val m = Vec.bfsDepths(edges, nodes, sourceId = 0L, maxDepth = 6)
+      .collect().map(r => r.getAs[Int]("depth") ->
+        r.getAs[Long]("n_vecs")).toMap
+    assert(m === Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L,
+      -1 -> 1L))
+    // cap at 2: depths 0,1,2 reached; 3,4 and the isolate unreached
+    val m2 = Vec.bfsDepths(edges, nodes, sourceId = 0L, maxDepth = 2)
+      .collect().map(r => r.getAs[Int]("depth") ->
+        r.getAs[Long]("n_vecs")).toMap
+    assert(m2 === Map(0 -> 1L, 1 -> 1L, 2 -> 1L, -1 -> 3L))
+  }
+
   test("labelConductance: hand-computed path graph; single-spanning " +
       "label reads NULL phi; edgeless vertices carry no volume") {
     // path 1-2-3-4, labels A={1,2}, B={3,4}; vertex 5 (label C) has
