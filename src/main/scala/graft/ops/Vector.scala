@@ -2921,22 +2921,29 @@ object Vector {
   ): DataFrame = {
     val spark = knn.sparkSession
     import spark.implicits._
+    // edges materialized ONCE; per round exactly two jobs (the
+    // eager checkpoint of the new frontier and its count) — visited
+    // stays a plain union of the ≤ maxDepth checkpointed frontiers,
+    // so no third materialization per round
     val e = knn.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
       .unionAll(knn.select(col("nbr_id").as("src"),
         col("vec_id").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var visited = Seq((sourceId, 0)).toDF("v", "depth")
       .localCheckpoint(true)
     var frontier = visited
+    var fcount = 1L
     var d = 0
-    while (d < maxDepth && frontier.limit(1).count() > 0) {
+    while (d < maxDepth && fcount > 0) {
       val next = frontier
         .join(e, col("v") === col("src"))
         .select(col("dst").as("v")).distinct()
         .join(visited.select(col("v")), Seq("v"), "left_anti")
         .withColumn("depth", lit(d + 1))
         .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
+      fcount = next.count()
+      visited = visited.unionByName(next)
       frontier = next
       d += 1
     }
