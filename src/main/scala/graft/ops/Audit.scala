@@ -1276,6 +1276,65 @@ object Audit {
           .as("decayed_value_milli"))
   }
 
+  /** Daily-series autocorrelation at fixed lags — does today's
+    * volume predict tomorrow's (lag 1) and is there a weekly cycle
+    * (lag 7)? The Pearson r over (xₜ, xₜ₊ₗ) pairs of each feed's
+    * calendar-bounded daily counts, in the [[spearmanRho]] moment
+    * discipline: counts scale to MILLI before the moments (the
+    * floor-div-n bias is then ≤ 10⁻³ of a count unit — on raw small
+    * counts it can flip a covariance sign), Σx/Σy/Σxy/Σx²/Σy² exact
+    * in DECIMAL(38,0), means and second moments pinned as
+    * floor-div-n integers, and only the final r_milli touches IEEE
+    * (sqrt/divide of identical exact integers → identical double in
+    * both engines). Pairs come from ONE calendar self-join per lag
+    * on (feed, day+lag) equi keys — |days|-sized work per feed.
+    * Documented bound: the BIGINT moment skeleton is exact to
+    * ~3·10⁶ events/day/feed (mean_milli² ≤ 2⁶³); past that, drop
+    * the milli scaling — at such volumes the raw floor-div bias is
+    * already < 10⁻⁶ relative.
+    */
+  def dailyAutocorrelation(
+      events: DataFrame,
+      lags: Seq[Int] = Seq(1, 7)
+  ): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg((count(lit(1)) * 1000L).as("x"))
+    val a = daily
+      .withColumn("lag", explode(array(lags.map(lit): _*)))
+      .withColumn("jd", expr("date_add(d, lag)"))
+      .select(col("event_type"), col("lag"), col("x"), col("jd"))
+    val b = daily.select(col("event_type"), col("d").as("jd"),
+      col("x").as("y"))
+    a.join(b, Seq("event_type", "jd"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sx2"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("sy2"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        expr("CAST(sx div n_pairs AS BIGINT)").as("mean_x_milli"),
+        expr("CAST(sy div n_pairs AS BIGINT)").as("mean_y_milli"),
+        expr("CAST(sxy div n_pairs AS BIGINT)").as("e_xy_m2"),
+        expr("CAST(sx2 div n_pairs AS BIGINT)").as("e_x2_m2"),
+        expr("CAST(sy2 div n_pairs AS BIGINT)").as("e_y2_m2"))
+      .withColumn("cov_m2",
+        expr("e_xy_m2 - mean_x_milli * mean_y_milli"))
+      .withColumn("var_x_m2",
+        expr("e_x2_m2 - mean_x_milli * mean_x_milli"))
+      .withColumn("var_y_m2",
+        expr("e_y2_m2 - mean_y_milli * mean_y_milli"))
+      .withColumn("r_milli",
+        when(col("var_x_m2") > 0 && col("var_y_m2") > 0,
+          floor(col("cov_m2").cast("double") * 1000.0 /
+            sqrt(col("var_x_m2").cast("double") *
+              col("var_y_m2").cast("double"))).cast("long")))
+  }
+
   /** Watermark delay planner — the measurement behind every
     * `withWatermark` call: per feed, how far events actually arrive
     * BEHIND the high-water mark, read off the stream's own arrival

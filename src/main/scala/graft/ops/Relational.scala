@@ -1124,6 +1124,72 @@ object Relational {
       .unionByName(resF.join(h(resD), keys))
   }
 
+  /** Gaps-and-islands over per-user activity days — the classic
+    * consecutive-run reconstruction (`day − row_number` is constant
+    * exactly inside a run of consecutive days): islands of
+    * uninterrupted daily activity per user, rolled up to the island
+    * LENGTH histogram — the engagement-streak read (how much of the
+    * user base is on 1-day islands vs week-long streaks). Windows
+    * partition by user; the histogram is calendar-bounded. Exact
+    * ppm of user-days carried by each streak length.
+    */
+  def activityIslands(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val isl = ud
+      .withColumn("grp",
+        expr("datediff(d, DATE '1970-01-01')") -
+          row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    val tot = isl.agg(sum(col("len")).as("n_user_days"))
+    isl.groupBy(col("len"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("len")).as("n_days"))
+      .crossJoin(broadcast(tot))
+      .select(col("len"), col("n_islands"), col("n_days"),
+        expr("n_days * 1000000 div n_user_days").as("days_ppm"))
+      .orderBy(col("len"))
+  }
+
+  /** Weighted lower percentiles per group — quantity-weighted price
+    * quantiles (what price does the MEDIAN UNIT move at — row
+    * percentiles answer the median line item instead, a different
+    * and usually wrong question for revenue work). Same
+    * value-histogram discipline as the MWU/watermark quantiles:
+    * per-group (value, Σw) rollup, one partitioned cumulative, and
+    * `q(p) = min value with cum_w·1000 ≥ p·total_w` — exact under
+    * integer weights, no global sort.
+    */
+  def weightedPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      permils: Seq[Int] = Seq(250, 500, 750, 900)
+  ): DataFrame = {
+    require(permils.forall(p => p >= 1 && p <= 1000),
+      "permils must be in [1, 1000]")
+    val h = df.select(col(groupCol).as("g"),
+        col(valueCol).as("v"), col(weightCol).cast("long").as("wt"))
+      .groupBy(col("g"), col("v")).agg(sum(col("wt")).as("w"))
+    val cum = h
+      .withColumn("cw", sum(col("w")).over(
+        Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("w")).over(
+        Window.partitionBy(col("g"))))
+    val aggs = permils.map(p =>
+      min(when(col("cw") * 1000 >= lit(p.toLong) * col("tw"),
+        col("v"))).as(s"p$p")) :+
+      max(col("tw")).as("total_weight")
+    cum.groupBy(col("g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(groupCol))
+  }
+
   /** Hierarchy closure — (id, root, depth) for every node of a
     * parent-pointer table (`parent` null marks roots), the recursive
     * capability (BOM explosion, org rollup, category trees) ANSI

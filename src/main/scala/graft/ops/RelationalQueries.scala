@@ -132,6 +132,20 @@ object RelationalQueries {
     "q_events_changepoint" -> ((s, d) =>
       Audit.binaryChangepoint(Tables.events(s, d))
         .orderBy(col("event_type"))),
+    // lag-1/lag-7 autocorrelation of the daily series: exact moment
+    // skeleton, IEEE only at the final r_milli (spearman discipline)
+    "q_events_autocorr" -> ((s, d) =>
+      Audit.dailyAutocorrelation(Tables.events(s, d))
+        .orderBy(col("event_type"), col("lag"))),
+    // gaps-and-islands: consecutive-activity streak histogram via
+    // the day - row_number constant-run key
+    "q_events_activity_islands" -> ((s, d) =>
+      Relational.activityIslands(Tables.events(s, d))),
+    // quantity-weighted price percentiles per returnflag — the
+    // median UNIT, not the median line item
+    "q_li_weighted_percentiles" -> ((s, d) =>
+      Relational.weightedPercentiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", "l_quantity")),
     // watermark delay planner: per-type arrival lateness off the
     // event_id ingest order — exact permil quantiles of
     // running_max(ts) - ts, the number withWatermark should be set to
@@ -1540,6 +1554,93 @@ object RelationalQueries {
         |  s_l * 1000 // i AS mean_left_milli,
         |  (s - s_l) * 1000 // (n - i) AS mean_right_milli
         |FROM g WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // calendar self-join per lag; HUGEINT moments floor-div'd to the
+    // pinned integer skeleton; IEEE only inside the final r_milli
+    "q_events_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) * 1000 AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, l.lag, x, d + l.lag AS jd
+        |  FROM daily, (SELECT UNNEST([1, 7]) AS lag) l),
+        |p AS (
+        |  SELECT a.event_type, a.lag, a.x, b.x AS y
+        |  FROM a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.d = a.jd),
+        |m AS (
+        |  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT)
+        |      AS n_pairs,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sx2,
+        |    SUM(CAST(y AS HUGEINT) * y) AS sy2
+        |  FROM p GROUP BY 1, 2),
+        |k AS (
+        |  SELECT event_type, lag, n_pairs,
+        |    CAST(sx // n_pairs AS BIGINT) AS mean_x_milli,
+        |    CAST(sy // n_pairs AS BIGINT) AS mean_y_milli,
+        |    CAST(sxy // n_pairs AS BIGINT) AS e_xy_m2,
+        |    CAST(sx2 // n_pairs AS BIGINT) AS e_x2_m2,
+        |    CAST(sy2 // n_pairs AS BIGINT) AS e_y2_m2
+        |  FROM m)
+        |SELECT event_type, lag, n_pairs, mean_x_milli, mean_y_milli,
+        |  e_xy_m2, e_x2_m2, e_y2_m2,
+        |  e_xy_m2 - mean_x_milli * mean_y_milli AS cov_m2,
+        |  e_x2_m2 - mean_x_milli * mean_x_milli AS var_x_m2,
+        |  e_y2_m2 - mean_y_milli * mean_y_milli AS var_y_m2,
+        |  CASE WHEN e_x2_m2 - mean_x_milli * mean_x_milli > 0
+        |      AND e_y2_m2 - mean_y_milli * mean_y_milli > 0
+        |    THEN CAST(FLOOR(CAST(e_xy_m2
+        |        - mean_x_milli * mean_y_milli AS DOUBLE) * 1000.0
+        |      / sqrt(CAST(e_x2_m2 - mean_x_milli * mean_x_milli
+        |          AS DOUBLE)
+        |        * CAST(e_y2_m2 - mean_y_milli * mean_y_milli
+        |          AS DOUBLE)))
+        |      AS BIGINT)
+        |  END AS r_milli
+        |FROM k ORDER BY event_type, lag""".stripMargin,
+    // day - row_number constant-run island key + length histogram
+    "q_events_activity_islands" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id,
+        |    CAST(d - DATE '1970-01-01' AS BIGINT)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS grp
+        |  FROM ud),
+        |isl AS (
+        |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM i GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(len) AS BIGINT) AS n_user_days
+        |      FROM isl)
+        |SELECT len, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(len) AS BIGINT) AS n_days,
+        |  CAST(SUM(len) AS BIGINT) * 1000000 // t.n_user_days
+        |    AS days_ppm
+        |FROM isl, t GROUP BY len, t.n_user_days
+        |ORDER BY len""".stripMargin,
+    // weighted lower quantiles off the per-group value histogram
+    "q_li_weighted_percentiles" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *, SUM(w) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    SUM(w) OVER (PARTITION BY g) AS tw
+        |  FROM h)
+        |SELECT g AS l_returnflag,
+        |  MIN(CASE WHEN cw * 1000 >= 250 * tw THEN v END) AS p250,
+        |  MIN(CASE WHEN cw * 1000 >= 500 * tw THEN v END) AS p500,
+        |  MIN(CASE WHEN cw * 1000 >= 750 * tw THEN v END) AS p750,
+        |  MIN(CASE WHEN cw * 1000 >= 900 * tw THEN v END) AS p900,
+        |  CAST(MAX(tw) AS BIGINT) AS total_weight
+        |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin,
     // same running-max lateness + histogram-quantile mechanics
     "q_events_watermark_plan" ->
       """WITH d AS (

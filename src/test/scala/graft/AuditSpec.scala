@@ -602,6 +602,33 @@ class AuditSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("f_milli")))
   }
 
+  test("dailyAutocorrelation: alternating series reads strongly " +
+      "negative at lag 1, perfectly positive at lag 2; constant " +
+      "series reads NULL") {
+    import java.sql.Timestamp
+    // 8 days alternating 2/4 events per day
+    val rows = (1 to 8).flatMap { day =>
+      val n = if (day % 2 == 1) 2 else 4
+      Seq.fill(n)(("t",
+        Timestamp.valueOf(f"2024-03-$day%02d 08:00:00"), 1.0))
+    } ++ (1 to 4).flatMap { day =>
+      Seq.fill(3)(("const",
+        Timestamp.valueOf(f"2024-03-$day%02d 08:00:00"), 1.0))
+    }
+    val df = rows.toDF("event_type", "ts", "value")
+    val m = Audit.dailyAutocorrelation(df, lags = Seq(1, 2))
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Int]("lag")) ->
+        Option(r.getAs[Any]("r_milli")).map(_.asInstanceOf[Long]))
+      .toMap
+    // alternation: lag 1 near -1000, lag 2 near +1000 (floor-div
+    // noise keeps it off the exact pole, but the sign and magnitude
+    // are unambiguous)
+    assert(m(("t", 1)).exists(_ < -900L))
+    assert(m(("t", 2)).exists(_ > 900L))
+    assert(m(("const", 1)).isEmpty) // zero variance -> NULL
+  }
+
   test("watermarkPlan: running-max lateness, exact lower quantiles, " +
       "in-order feed reads all-zero") {
     import java.sql.Timestamp

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 320,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 320")
-    assert(SparkEntry.oracleSql.size == 308,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 308")
+    assert(SparkEntry.queries.size == 323,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 323")
+    assert(SparkEntry.oracleSql.size == 311,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 311")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

@@ -160,6 +160,42 @@ class RelationalSpec extends SparkSpec {
     assert(salts > 1L, "hot key landed in a single salt bucket")
   }
 
+  test("activityIslands: consecutive runs split on gaps; histogram " +
+      "mass closes over all user-days") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // user 1: days 1,2,3 then 7,8 (islands 3 and 2)
+    // user 2: days 1 and 5 (two 1-islands); dup events same day fold
+    val rows = Seq((1L, 1), (1L, 2), (1L, 3), (1L, 7), (1L, 8),
+      (2L, 1), (2L, 1), (2L, 5))
+    val df = rows.map { case (u, day) =>
+      (u, Timestamp.valueOf(f"2024-05-$day%02d 10:00:00"), "view")
+    }.toDF("user_id", "ts", "event_type")
+    val m = ops.Relational.activityIslands(df).collect()
+      .map(r => r.getAs[Long]("len") ->
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("n_days"),
+          r.getAs[Long]("days_ppm"))).toMap
+    assert(m(1L) == ((2L, 2L, 285714L))) // 2 of 7 user-days
+    assert(m(2L) == ((1L, 2L, 285714L)))
+    assert(m(3L) == ((1L, 3L, 428571L)))
+    assert(m.values.map(_._2).sum === 7L)
+  }
+
+  test("weightedPercentiles: weight shifts the quantile away from " +
+      "the row median; total weight exact") {
+    import spark.implicits._
+    // values 1..4, weights 1,1,1,7: row-median is 2/3 but the
+    // weighted p500 is 4 (7 of 10 units sit there)
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 1L),
+      ("g", 4.0, 7L)).toDF("k", "v", "w")
+    val r = ops.Relational.weightedPercentiles(df, "k", "v", "w")
+      .collect().head
+    assert(r.getAs[Double]("p250") === 3.0) // cum 3 >= 2.5
+    assert(r.getAs[Double]("p500") === 4.0)
+    assert(r.getAs[Double]("p900") === 4.0)
+    assert(r.getAs[Long]("total_weight") === 10L)
+  }
+
   test("hierarchyClosure: chain depth + root via pointer doubling; " +
       "forest keeps trees apart; dangling parent fails loudly") {
     import spark.implicits._
