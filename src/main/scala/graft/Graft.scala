@@ -80,6 +80,10 @@ object Graft {
       ops.Text.removeBoilerplate(docs, minDf)
     def dupClusters(pairs: DataFrame): DataFrame =
       ops.Text.dupClusters(docs, pairs)
+    /** Source-pair duplicate matrix over a precomputed near-dup
+      * pair graph: who copies from whom. */
+    def sourceDupMatrix(pairs: DataFrame): DataFrame =
+      ops.Text.sourceDupMatrix(docs, pairs)
     def chunked(window: Int = 50, stride: Int = 40): DataFrame =
       ops.Text.chunkDocs(docs, window, stride)
     /** Chunk-level dedup profile: per doc, corpus-novel vs already-

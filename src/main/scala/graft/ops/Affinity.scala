@@ -402,6 +402,29 @@ object Affinity {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** Entity-resolution capstone — the composed ER pipeline over the
+    * part catalog: rarest-token blocking → in-block Levenshtein
+    * verification ([[fuzzyNameMatch]]) → connected components over
+    * the verified pair graph (the shared
+    * [[graft.ops.Text.dupClusters]] propagation — ER output at scale
+    * IS components, never the n²-prone raw pair list) → entity-size
+    * profile ([[graft.ops.Audit.componentSizeProfile]]). One line of
+    * output per entity size with exact ppm of the catalog — the
+    * dedup-rate read an MDM pipeline reports.
+    */
+  def entityResolution(
+      part: DataFrame,
+      maxDist: Int = 2,
+      cacheFamily: String = "part"
+  ): DataFrame = {
+    val pairs = fuzzyNameMatch(part, maxDist)
+      .select(col("part_a").as("doc_a"), col("part_b").as("doc_b"))
+    val ids = part.select(col("p_partkey").as("doc_id"))
+    val clusters = Text.dupClusters(ids, pairs,
+      cacheFamily = cacheFamily)
+    Audit.componentSizeProfile(clusters, "cluster")
+  }
+
   // --- Shuffle-skew diagnosis ---------------------------------------
 
   /** Join/aggregation-key skew advisor — the diagnostic run before

@@ -81,6 +81,11 @@ object AffinityQueries {
     "q_skew_advisor" -> ((s, d) =>
       Affinity.skewAdvisor(Tables.events(s, d), col("user_id"),
         topK = 5)),
+    // ER capstone: block -> verify -> components -> entity-size
+    // profile over the whole part catalog
+    "q_part_entity_resolution" -> ((s, d) =>
+      Affinity.entityResolution(Tables.part(s, d))
+        .orderBy(col("size"))),
     // event-type PMI over user-day co-occurrence units, q20 ln terms
     "q_events_pmi" -> ((s, d) =>
       Affinity.eventPmi(Tables.events(s, d))),
@@ -485,6 +490,51 @@ object AffinityQueries {
         |SELECT c_nationkey, acct_bucket, group_size, n_values,
         |  tv_ppm, tv_ppm <= 200000 AS meets_t
         |FROM agg ORDER BY 1, 2""".stripMargin,
+    // whole-catalog fuzzy pairs -> recursive components -> profile
+    "q_part_entity_resolution" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT p_partkey, p_name,
+        |    UNNEST(list_distinct(string_split(p_name, ' '))) AS token
+        |  FROM part),
+        |tdf AS (SELECT token, COUNT(*) AS df FROM t GROUP BY 1),
+        |sig0 AS (
+        |  SELECT p_partkey, p_name, token AS block_token FROM (
+        |    SELECT t.p_partkey, t.p_name, t.token,
+        |      ROW_NUMBER() OVER (PARTITION BY t.p_partkey
+        |        ORDER BY tdf.df, t.token) AS rn
+        |    FROM t JOIN tdf USING (token))
+        |  WHERE rn = 1),
+        |bs AS (
+        |  SELECT block_token, COUNT(*) AS block_sz
+        |  FROM sig0 GROUP BY 1),
+        |sig AS (
+        |  SELECT s.p_partkey, s.p_name, s.block_token
+        |  FROM sig0 s JOIN bs USING (block_token)
+        |  WHERE bs.block_sz <= 500),
+        |pr AS (
+        |  SELECT a.p_partkey AS da, b.p_partkey AS db
+        |  FROM sig a JOIN sig b
+        |    ON a.block_token = b.block_token
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |e AS (SELECT da AS src, db AS dst FROM pr
+        |      UNION ALL SELECT db, da FROM pr),
+        |reach(id, r) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz
+        |          FROM cl GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_total
+        |        FROM sizes)
+        |SELECT sz AS size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(sz) AS BIGINT) AS n_members,
+        |  CAST(SUM(sz) AS BIGINT) * 1000000 // tot.n_total
+        |    AS members_ppm,
+        |  tot.n_total
+        |FROM sizes, tot GROUP BY sz, tot.n_total
+        |ORDER BY size""".stripMargin,
     "q_fuzzy_match" ->
       """WITH pp AS (
         |  SELECT p_partkey, p_name FROM part

@@ -312,6 +312,29 @@ object Demux {
       .agg(count(lit(1)).as("n_visits"),
         countDistinct(col("mid")).as("n_uv"))
 
+  /** DWS item exposure→action conversion — the CTR read joining the
+    * two exploded streams the demux produced (T6 displays, T7
+    * actions): per item, how many exposures, how many actions, and
+    * the exact ppm conversion. Both sides reduce to item rollups
+    * BEFORE the join (|items|-sized tables meet, not event streams);
+    * items acted on without a logged display keep a zero-exposure
+    * row (the instrumentation-gap signal), via the full outer join.
+    */
+  def itemCtr(displays: DataFrame, actions: DataFrame): DataFrame = {
+    val shows = displays.groupBy(col("display_item").as("item"))
+      .agg(count(lit(1)).as("n_displays"))
+    val acts = actions.groupBy(col("action_item").as("item"))
+      .agg(count(lit(1)).as("n_actions"))
+    shows.join(acts, Seq("item"), "full_outer")
+      .select(col("item"),
+        coalesce(col("n_displays"), lit(0L)).as("n_displays"),
+        coalesce(col("n_actions"), lit(0L)).as("n_actions"))
+      .withColumn("ctr_ppm", expr(
+        """CASE WHEN n_displays = 0 THEN NULL
+          | ELSE n_actions * 1000000 div n_displays END"""
+          .stripMargin))
+  }
+
   /** DWS referrer-chain sessionization — the session rebuild the
     * page log supports WITHOUT a session id or a gap heuristic (the
     * gap form is [[graft.ops.Relational]]'s q_sessionize): a session

@@ -86,7 +86,16 @@ object DemuxQueries {
     // break IS the boundary)
     "q_demux_sessions" -> ((s, d) =>
       Demux.sessionStats(Demux.pages(parsed(s, d)))
-        .orderBy(col("entry_page")))
+        .orderBy(col("entry_page"))),
+    // DWS item exposure->action conversion: page views of an item vs
+    // actions on it (purchase events convert their own page row;
+    // view/click pages stay at 0)
+    "q_demux_item_ctr" -> ((s, d) =>
+      Demux.itemCtr(
+        Demux.pages(parsed(s, d))
+          .select(col("page_item").as("display_item")),
+        Demux.actions(parsed(s, d)))
+        .orderBy(col("item")))
   )
 
   /** Shared SQL fragment: the common-field derivations (must stay in
@@ -187,6 +196,33 @@ object DemuxQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_visits,
          |  CAST(COUNT(DISTINCT 'mid_'||user_id) AS BIGINT) AS n_uv
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exposures = page rows per item; actions from the purchase
+    // explode; full outer keeps action-only items at 0 exposure
+    "q_demux_item_ctr" ->
+      """WITH ep AS (
+        |  SELECT event_id,
+        |    COALESCE(CAST(json_extract_string(props, '$.k') AS INT),
+        |      0) AS k
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS item FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |a AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS item
+        |  FROM (SELECT *, UNNEST(range(0, (k % 2) + 1)) AS i
+        |        FROM ep)),
+        |ds AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_displays
+        |       FROM d GROUP BY 1),
+        |ac AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_actions
+        |       FROM a GROUP BY 1)
+        |SELECT COALESCE(ds.item, ac.item) AS item,
+        |  COALESCE(n_displays, 0) AS n_displays,
+        |  COALESCE(n_actions, 0) AS n_actions,
+        |  CASE WHEN COALESCE(n_displays, 0) = 0 THEN NULL
+        |    ELSE COALESCE(n_actions, 0) * 1000000 // n_displays
+        |  END AS ctr_ppm
+        |FROM ds FULL OUTER JOIN ac ON ds.item = ac.item
+        |ORDER BY item""".stripMargin,
     // referrer-chain segmentation: per-mid (ts, page_item) order,
     // break on null/broken chain, cumulative breaks = session id
     "q_demux_sessions" ->

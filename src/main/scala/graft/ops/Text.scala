@@ -1415,6 +1415,35 @@ object Text {
         (col("n_members") - 1).as("n_dropped"))
   }
 
+  /** Source-pair duplicate matrix — WHO copies from WHOM: the
+    * near-dup pair graph (any pair builder: exact-jaccard, minhash,
+    * semantic) projected onto the source dimension, one row per
+    * unordered source pair with the pair count and its ppm share of
+    * all dup pairs. A heavy off-diagonal cell is cross-source
+    * syndication (dedup before mixing, or the mixture double-counts
+    * it); a heavy diagonal is within-source boilerplate. Costs two
+    * doc_id-keyed joins on the ALREADY-PAID pair graph — no new pair
+    * work.
+    */
+  def sourceDupMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val tagged = pairs
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+    val counts = tagged.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    counts
+      .crossJoin(broadcast(
+        counts.agg(sum(col("n_pairs")).as("n_total"))))
+      .withColumn("share_ppm",
+        expr("n_pairs * 1000000 div n_total"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Hill tail-index of the document-length distribution — IS the
     * length tail power-law (α ≈ 1–2: heavy tail, a few giant docs
     * dominate byte budgets and shard packing; α large: thin tail)?

@@ -843,6 +843,10 @@ object TextQueries {
     // sum-of-squares identities, per-group q20 floors pinned
     "q_text_len_anova" -> ((s, d) =>
       Audit.anovaF(Tables.documents(s, d), "n_chars", "lang")),
+    // source-pair duplicate matrix over the shared exact-jaccard
+    // pair graph: who copies from whom (syndication vs boilerplate)
+    "q_text_source_dup_matrix" -> ((s, d) =>
+      Text.sourceDupMatrix(Tables.documents(s, d), jacPairs(s, d))),
     // chunk-level dedup profile: per doc, corpus-novel vs already-
     // seen context windows (first occurrence by (doc_id, chunk_id))
     "q_text_chunk_dedup" -> ((s, d) =>
@@ -1649,6 +1653,25 @@ object TextQueries {
          |SELECT tok, cf, df, cf * 1000 // df AS burst_milli
          |FROM c WHERE df >= 3
          |ORDER BY burst_milli DESC, tok LIMIT 50""".stripMargin,
+    // the shared jac pair space projected onto (source_a, source_b)
+    "q_text_source_dup_matrix" ->
+      s"""WITH $jacPairsSql,
+         |pr AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         |src AS (SELECT doc_id, source FROM documents),
+         |tg AS (
+         |  SELECT LEAST(sa.source, sb.source) AS source_a,
+         |    GREATEST(sa.source, sb.source) AS source_b
+         |  FROM pr JOIN src sa ON sa.doc_id = pr.doc_a
+         |  JOIN src sb ON sb.doc_id = pr.doc_b),
+         |sdm AS (
+         |  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT)
+         |    AS n_pairs
+         |  FROM tg GROUP BY 1, 2),
+         |sdt AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total
+         |        FROM sdm)
+         |SELECT sdm.source_a, sdm.source_b, sdm.n_pairs, sdt.n_total,
+         |  sdm.n_pairs * 1000000 // sdt.n_total AS share_ppm
+         |FROM sdm, sdt ORDER BY source_a, source_b""".stripMargin,
     // the q_text_chunks window arithmetic + md5-60 first-owner pass
     "q_text_chunk_dedup" ->
       """WITH t AS (

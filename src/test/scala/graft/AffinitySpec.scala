@@ -484,4 +484,23 @@ class AffinitySpec extends SparkSpec {
     assert(r2.getAs[Long]("srm_chi2_milli") === 0L)
     assert(!r2.getAs[Boolean]("srm_suspect"))
   }
+
+  test("entityResolution: blocked fuzzy pairs resolve to entities; " +
+      "size profile mass closes over the catalog") {
+    // blocking keys on the RAREST token, so near-dups must share
+    // their rarest token to block together: 'rare' (df 2) blocks
+    // parts 1-2 (edit distance 1); parts 3-4 block on their own
+    // argmin token and verify at distance 0 (identical names)
+    val part = Seq(
+      (1L, "rare com1 com2"), (2L, "rare com1 com3"),
+      (3L, "com1 com2 com3"), (4L, "com1 com2 com3")
+    ).toDF("p_partkey", "p_name")
+    val m = Affinity.entityResolution(part).collect()
+      .map(r => r.getAs[Long]("size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("members_ppm"))).toMap
+    assert(m(2L) == ((2L, 4L, 1000000L)))
+    assert(!m.contains(1L))
+    graft.Caches.release("part")
+  }
 }

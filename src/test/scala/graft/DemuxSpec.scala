@@ -214,6 +214,21 @@ class DemuxSpec extends SparkSpec {
     assert(uv.head.getAs[Long]("n_uv") === 2L)
   }
 
+  test("itemCtr: exposures and actions rollup before the join; " +
+      "action-only items keep a zero-exposure NULL-ctr row") {
+    val displays = Seq("i1", "i1", "i1", "i2")
+      .map(Tuple1(_)).toDF("display_item")
+    val actions = Seq("i1", "i3", "i3")
+      .map(Tuple1(_)).toDF("action_item")
+    val m = Demux.itemCtr(displays, actions).collect()
+      .map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("n_displays"), r.getAs[Long]("n_actions"),
+          Option(r.getAs[Any]("ctr_ppm")))).toMap
+    assert(m("i1") == ((3L, 1L, Some(333333L))))
+    assert(m("i2") == ((1L, 0L, Some(0L))))
+    assert(m("i3") == ((0L, 2L, None))) // instrumentation gap
+  }
+
   test("sessionStats: chain break and null referrer start sessions; " +
       "intact chain continues one; bounce counted on 1-page sessions") {
     // mid m1: home(null ref) -> detail(ref home, intact) |

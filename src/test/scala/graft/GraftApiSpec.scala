@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 323,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 323")
-    assert(SparkEntry.oracleSql.size == 311,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 311")
+    assert(SparkEntry.queries.size == 326,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 326")
+    assert(SparkEntry.oracleSql.size == 314,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 314")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -414,6 +414,7 @@ class GraftApiSpec extends SparkSpec {
       "labelConductance" -> "labelConductance",
       "snapshotLiveFiles" -> "snapshotLiveFiles",
       "chunkDedup" -> "chunkDedup",
+      "sourceDupMatrix" -> "sourceDupMatrix",
       "lengthTailIndex" -> "lengthTailIndex",
       "bfsDepths" -> "bfsDepths",
       "inDegreeHistogram" -> "inDegreeHistogram",

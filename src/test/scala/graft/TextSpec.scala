@@ -2108,6 +2108,21 @@ class TextSpec extends SparkSpec {
       highest.getAs[Long]("n_docs"))
   }
 
+  test("sourceDupMatrix: pairs project onto unordered source pairs; " +
+      "diagonal = within-source boilerplate") {
+    val docs = Seq((1L, "web"), (2L, "web"), (3L, "books"),
+      (4L, "books")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val m = Text.sourceDupMatrix(docs, pairs).collect()
+      .map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("share_ppm"))).toMap
+    assert(m(("web", "web")) == ((1L, 250000L)))
+    assert(m(("books", "web")) == ((2L, 500000L))) // least/greatest
+    assert(m(("books", "books")) == ((1L, 250000L)))
+  }
+
   test("chunkDedup: repeated chunk text counts novel only at its " +
       "first (doc_id, chunk_id); self-repetition inside a doc too") {
     // window 3 / stride 3 → non-overlapping 3-token chunks.
