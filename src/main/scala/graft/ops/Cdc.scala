@@ -431,6 +431,49 @@ object Cdc {
         col("sum_dec").cast("double").as("sum_v"))
   }
 
+  /** CDC sequence-gap detection — binlog/offset integrity from the
+    * id stream itself: per table, the observed ids split into
+    * consecutive-run islands (`id − row_number` constant-run key, the
+    * gaps-and-islands trick) and the profile reports how much of the
+    * [min, max] span is MISSING plus the largest single hole — the
+    * first question after any replication incident ("did we lose a
+    * range, or scattered rows?"). Per-table windows over the
+    * DISTINCT id set; islands are |gaps|-sized, never row-sized.
+    */
+  def sequenceGaps(
+      normalized: DataFrame,
+      tableCol: String = "table",
+      idExpr: Column => Column = _ ("id")
+  ): DataFrame = {
+    val ids = normalized
+      .select(col(tableCol).as("src_table"),
+        idExpr(col("data")).cast("long").as("id"))
+      .distinct()
+    val w = Window.partitionBy(col("src_table")).orderBy(col("id"))
+    val isl = ids
+      .withColumn("grp", col("id") - row_number().over(w))
+      .groupBy(col("src_table"), col("grp"))
+      .agg(min(col("id")).as("run_start"),
+        max(col("id")).as("run_end"),
+        count(lit(1)).as("run_len"))
+    val wi = Window.partitionBy(col("src_table"))
+      .orderBy(col("run_start"))
+    isl
+      .withColumn("next_start", lead(col("run_start"), 1).over(wi))
+      .groupBy(col("src_table"))
+      .agg(
+        sum(col("run_len")).as("n_ids"),
+        min(col("run_start")).as("min_id"),
+        max(col("run_end")).as("max_id"),
+        count(lit(1)).as("n_islands"),
+        max(when(col("next_start").isNotNull,
+          col("next_start") - col("run_end") - 1)).as("largest_gap"))
+      .withColumn("n_missing",
+        expr("max_id - min_id + 1 - n_ids"))
+      .withColumn("missing_ppm",
+        expr("n_missing * 1000000 div (max_id - min_id + 1)"))
+  }
+
   /** Replica checksum validation — "is the CDC-maintained copy still
     * byte-equal to the source" answered WITHOUT shipping rows: both
     * sides reduce to per-bucket (row count, 60-bit-row-hash sum)

@@ -111,6 +111,11 @@ object CdcQueries {
         normalized(s, d).select(
           col("data")("uid").cast("long").as("uid")),
         "uid", topN = 20)),
+    // binlog-gap integrity: per table, islands of consecutive ids,
+    // missing span ppm, largest single hole
+    "q_cdc_seq_gaps" -> ((s, d) =>
+      Cdc.sequenceGaps(normalized(s, d))
+        .orderBy(col("src_table"))),
     // replica checksum validation: per-bucket (count, md5-60 sum)
     // fingerprints of a source dim vs a drifted replica (planted:
     // custkey%97 mutated, custkey%131 missing) — the
@@ -349,6 +354,39 @@ object CdcQueries {
       s"""$base
          |SELECT src_table, op, UPPER(src_table)||'_'||op AS topic, id
          |FROM m ORDER BY id""".stripMargin,
+    // gaps-and-islands over the per-table DISTINCT id stream
+    "q_cdc_seq_gaps" ->
+      s"""$base,
+         |ids AS (SELECT DISTINCT src_table, id FROM m),
+         |i AS (
+         |  SELECT src_table, id,
+         |    id - ROW_NUMBER() OVER (PARTITION BY src_table
+         |      ORDER BY id) AS grp
+         |  FROM ids),
+         |isl AS (
+         |  SELECT src_table, grp,
+         |    CAST(MIN(id) AS BIGINT) AS run_start,
+         |    CAST(MAX(id) AS BIGINT) AS run_end,
+         |    CAST(COUNT(*) AS BIGINT) AS run_len
+         |  FROM i GROUP BY 1, 2),
+         |x AS (
+         |  SELECT *, LEAD(run_start) OVER (PARTITION BY src_table
+         |    ORDER BY run_start) AS next_start
+         |  FROM isl)
+         |SELECT src_table, CAST(SUM(run_len) AS BIGINT) AS n_ids,
+         |  CAST(MIN(run_start) AS BIGINT) AS min_id,
+         |  CAST(MAX(run_end) AS BIGINT) AS max_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+         |  CAST(MAX(CASE WHEN next_start IS NOT NULL
+         |    THEN next_start - run_end - 1 END) AS BIGINT)
+         |    AS largest_gap,
+         |  CAST(MAX(run_end) - MIN(run_start) + 1 - SUM(run_len)
+         |    AS BIGINT) AS n_missing,
+         |  CAST(MAX(run_end) - MIN(run_start) + 1 - SUM(run_len)
+         |    AS BIGINT) * 1000000
+         |    // CAST(MAX(run_end) - MIN(run_start) + 1 AS BIGINT)
+         |    AS missing_ppm
+         |FROM x GROUP BY src_table ORDER BY src_table""".stripMargin,
     // md5-60 row hashes summed per bucket in HUGEINT -> DECIMAL(38,0)
     "q_cdc_checksum_diff" ->
       """WITH src AS (

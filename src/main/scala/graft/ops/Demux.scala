@@ -312,6 +312,27 @@ object Demux {
       .agg(count(lit(1)).as("n_visits"),
         countDistinct(col("mid")).as("n_uv"))
 
+  /** DWS new-vs-returning daily mix — the acquisition read off the
+    * envelope's `is_new` flag: per event-time day, visits and exact
+    * distinct devices on each side plus the new-device ppm share of
+    * UV. One rollup beside [[dailyUv]]; the flag is taken per
+    * (day, mid) as MAX (a device that flips mid-day counts as new
+    * that day — the standard first-touch convention).
+    */
+  def newUserShare(pages: DataFrame): DataFrame = {
+    val dm = pages
+      .select(expr("CAST(timestamp_millis(ts) AS DATE)").as("d"),
+        col("mid"),
+        (col("is_new") === "1").cast("int").as("nu"))
+      .groupBy(col("d"), col("mid"))
+      .agg(count(lit(1)).as("n_visits"), max(col("nu")).as("nu"))
+    dm.groupBy(col("d"))
+      .agg(sum(col("n_visits")).as("n_visits"),
+        count(lit(1)).as("n_uv"),
+        sum(col("nu").cast("long")).as("n_new_uv"))
+      .withColumn("new_ppm", expr("n_new_uv * 1000000 div n_uv"))
+  }
+
   /** DWS item exposure→action conversion — the CTR read joining the
     * two exploded streams the demux produced (T6 displays, T7
     * actions): per item, how many exposures, how many actions, and

@@ -87,6 +87,11 @@ object DemuxQueries {
     "q_demux_sessions" -> ((s, d) =>
       Demux.sessionStats(Demux.pages(parsed(s, d)))
         .orderBy(col("entry_page"))),
+    // DWS new-vs-returning daily mix off is_new (first-touch max per
+    // device-day), exact new-device ppm of UV
+    "q_demux_new_users" -> ((s, d) =>
+      Demux.newUserShare(Demux.pages(parsed(s, d)))
+        .orderBy(col("d"))),
     // DWS item exposure->action conversion: page views of an item vs
     // actions on it (purchase events convert their own page row;
     // view/click pages stay at 0)
@@ -196,6 +201,18 @@ object DemuxQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_visits,
          |  CAST(COUNT(DISTINCT 'mid_'||user_id) AS BIGINT) AS n_uv
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_demux_new_users" ->
+      s"""${withK("event_type IN ('view','click','purchase')")},
+         |dm AS (
+         |  SELECT CAST(ts AS DATE) AS d, 'mid_'||user_id AS mid,
+         |    CAST(COUNT(*) AS BIGINT) AS n_visits,
+         |    CAST(MAX(user_id % 2) AS INT) AS nu
+         |  FROM e GROUP BY 1, 2)
+         |SELECT d, CAST(SUM(n_visits) AS BIGINT) AS n_visits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_uv,
+         |  CAST(SUM(nu) AS BIGINT) AS n_new_uv,
+         |  CAST(SUM(nu) AS BIGINT) * 1000000 // COUNT(*) AS new_ppm
+         |FROM dm GROUP BY d ORDER BY d""".stripMargin,
     // exposures = page rows per item; actions from the purchase
     // explode; full outer keeps action-only items at 0 exposure
     "q_demux_item_ctr" ->

@@ -206,6 +206,25 @@ class CdcSpec extends SparkSpec {
     assert(out(1).getAs[Long]("key") === 8L)
   }
 
+  test("sequenceGaps: holes and spans per table; contiguous table " +
+      "reads zero missing and NULL largest gap; dup ids fold") {
+    import spark.implicits._
+    // t0: ids 1,2,3, 7,8, 10 (two holes: 4-6 len 3, 9 len 1)
+    // t1: 5,6,7 contiguous (7 duplicated)
+    val rows = (Seq(1L, 2L, 3L, 7L, 8L, 10L).map(("t0", _)) ++
+      Seq(5L, 6L, 7L, 7L).map(("t1", _)))
+      .map { case (t, i) => (t, Map("id" -> i.toString)) }
+      .toDF("table", "data")
+    val m = Cdc.sequenceGaps(rows).collect()
+      .map(r => r.getAs[String]("src_table") ->
+        (r.getAs[Long]("n_ids"), r.getAs[Long]("n_islands"),
+          r.getAs[Long]("n_missing"),
+          Option(r.getAs[Any]("largest_gap")),
+          r.getAs[Long]("missing_ppm"))).toMap
+    assert(m("t0") == ((6L, 3L, 4L, Some(3L), 400000L)))
+    assert(m("t1") == ((3L, 1L, 0L, None, 0L)))
+  }
+
   test("pointInTimeLookup: version containment, deleted gap and " +
       "unknown key stay unmatched, current version open-ended") {
     import spark.implicits._

@@ -214,6 +214,27 @@ class DemuxSpec extends SparkSpec {
     assert(uv.head.getAs[Long]("n_uv") === 2L)
   }
 
+  test("newUserShare: first-touch max per device-day; exact new-UV " +
+      "ppm; visits and UV both counted") {
+    // day 1: mid a new (2 visits, one row flag 0 — max wins), mid b
+    // returning; day 2: mid b returning only
+    val day1 = 1690000000000L
+    val day2 = day1 + 86400000L
+    val rows = Seq(
+      ("a", "1", day1), ("a", "0", day1 + 1000), ("b", "0", day1),
+      ("b", "0", day2)
+    ).toDF("mid", "is_new", "ts")
+    val m = Demux.newUserShare(rows).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString ->
+        (r.getAs[Long]("n_visits"), r.getAs[Long]("n_uv"),
+          r.getAs[Long]("n_new_uv"), r.getAs[Long]("new_ppm")))
+      .toMap
+    assert(m.size === 2)
+    val v = m.values.toSeq.sortBy(-_._1)
+    assert(v.head == ((3L, 2L, 1L, 500000L))) // day 1
+    assert(v.last == ((1L, 1L, 0L, 0L)))      // day 2
+  }
+
   test("itemCtr: exposures and actions rollup before the join; " +
       "action-only items keep a zero-exposure NULL-ctr row") {
     val displays = Seq("i1", "i1", "i1", "i2")

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 326,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 326")
-    assert(SparkEntry.oracleSql.size == 314,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 314")
+    assert(SparkEntry.queries.size == 328,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 328")
+    assert(SparkEntry.oracleSql.size == 316,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 316")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
