@@ -99,6 +99,47 @@ class PlanSpec extends SparkSpec {
     assert(hits >= 2, s"expected partial+final WindowGroupLimit:\n$p")
   }
 
+  test("runtime bloom filter: a selective dim filter injects a " +
+      "probe-side row filter before the fact shuffle") {
+    // the 100 TB lever: a filtered orders side should cut the
+    // lineitem scan's shuffle volume via an injected bloom filter,
+    // not shuffle all fact rows just to drop them at the join. Size
+    // thresholds are lowered to fire at test SF — the PLAN property
+    // (InjectRuntimeFilter rewrites the probe side) is what's pinned.
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        -> spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold"
+        -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // creation threshold is a MAX (build side must be small
+      // enough); application threshold is a MIN (probe scan must be
+      // big enough to be worth filtering) — at test SF only the MIN
+      // needs lowering
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // broadcast joins reuse the build side directly; force the
+      // shuffle shape the filter exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = sf("sf0.001")
+      val df = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")))
+      val p = df.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(p.contains("bloom"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("skew join: hot key exchange partitions on (key, salt) — " +
       "no single-partition funnel; hot list rides broadcast") {
     import spark.implicits._
