@@ -94,6 +94,10 @@ object Graft {
       * exact q20 ln terms). */
     def lengthTailIndex(k: Int = 100): DataFrame =
       ops.Text.lengthTailIndex(docs, k)
+    /** Tokenizer fertility per language: tokens per MB-byte plus
+      * token/byte corpus shares. */
+    def tokenFertility(): DataFrame =
+      ops.Text.tokenFertility(docs)
     /** Sentence-aware greedy chunking: cuts at `[.!?]` sentence
       * boundaries, row-local HOF fold — no shuffle until the rollup.
       */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -479,6 +479,39 @@ object Multimodal {
         bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
           .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Payload nibble entropy — a compressibility proxy for opaque
+    * media bytes a pipeline can compute without decoding anything:
+    * Shannon entropy over the payload's 16 hex-nibble frequencies
+    * (max 4 bits/nibble — already-compressed media sits near it,
+    * text/padding far below; the store-raw vs recompress routing
+    * signal). Exact in the q20-ln convention: per doc, each nibble
+    * count contributes `c·(⌊ln n⌋_q20 − ⌊ln c⌋_q20)`, every ln of an
+    * INTEGER, summed exactly and emitted as entropy mass plus the
+    * per-byte milli-bits rate (one IEEE-free integer div; ln2 scale
+    * pinned as the q20 constant 726817). Map-side only.
+    */
+  def payloadEntropy(docs: DataFrame): DataFrame = {
+    val ln2q20 = 726817L // floor(ln 2 * 2^20)
+    def lnq20(c: Column): Column =
+      floor(log(c.cast("double")) * (1L << 20)).cast("long")
+    val nib = withPayload(docs)
+      .select(col("doc_id"),
+        explode(split(lower(hex(col("payload"))), "")).as("nib"))
+      .filter(col("nib") =!= "")
+      .groupBy(col("doc_id"), col("nib"))
+      .agg(count(lit(1)).as("c"))
+    val tot = nib.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    nib.join(tot, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_nibbles"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(col("c") * (lnq20(col("n")) - lnq20(col("c"))))
+          .as("h_mass_q20"))
+      .withColumn("bits_per_nibble_milli",
+        expr(s"h_mass_q20 * 1000 div (n_nibbles * $ln2q20)"))
   }
 
   /** Hamming histogram over the banded candidate pairs — WHERE the

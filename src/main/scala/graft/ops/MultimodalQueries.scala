@@ -108,6 +108,11 @@ object MultimodalQueries {
         maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // payload nibble entropy: decode-free compressibility proxy,
+    // exact q20-ln mass + milli-bits per nibble
+    "q_mm_payload_entropy" -> ((s, d) =>
+      Multimodal.payloadEntropy(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     // hamming histogram over the banded candidates: where the pHash
     // similarity mass sits (the maxHamming-placement read)
     "q_mm_hamming_histogram" -> ((s, d) => {
@@ -147,6 +152,33 @@ object MultimodalQueries {
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // per-nibble counts -> exact q20-ln entropy mass; ln2 pinned as
+    // the q20 constant 726817
+    "q_mm_payload_entropy" ->
+      """WITH hx AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS h
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, UNNEST(range(1, length(h) + 1)) AS i, h
+        |  FROM hx),
+        |cnt AS (
+        |  SELECT doc_id, substr(h, i, 1) AS nib,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM pos GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |  FROM cnt GROUP BY 1)
+        |SELECT t.doc_id, t.n AS n_nibbles, t.n_distinct,
+        |  CAST(SUM(c.c * (CAST(FLOOR(ln(t.n) * 1048576) AS BIGINT)
+        |    - CAST(FLOOR(ln(c.c) * 1048576) AS BIGINT))) AS BIGINT)
+        |    AS h_mass_q20,
+        |  CAST(SUM(c.c * (CAST(FLOOR(ln(t.n) * 1048576) AS BIGINT)
+        |    - CAST(FLOOR(ln(c.c) * 1048576) AS BIGINT))) AS BIGINT)
+        |    * 1000 // (t.n * 726817) AS bits_per_nibble_milli
+        |FROM cnt c JOIN tot t USING (doc_id)
+        |GROUP BY t.doc_id, t.n, t.n_distinct
+        |ORDER BY t.doc_id""".stripMargin,
     // banded candidates spelled as the 4-band OR; exact hamming
     "q_mm_hamming_histogram" ->
       """WITH d AS (

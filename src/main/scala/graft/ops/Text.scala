@@ -1415,6 +1415,36 @@ object Text {
         (col("n_members") - 1).as("n_dropped"))
   }
 
+  /** Tokenizer fertility per language — tokens per kilobyte of
+    * UTF-8, the number that converts a byte budget into a token
+    * budget per language (CJK languages tokenize at a fraction of
+    * Latin-script fertility under whitespace-ish tokenizers, so a
+    * byte-balanced mixture is NOT token-balanced — this table is the
+    * conversion). Exact integers: Σ tokens·10⁶ div Σ bytes per lang,
+    * plus each language's share of corpus tokens and bytes side by
+    * side (the imbalance read). One scan, |langs| rows.
+    */
+  def tokenFertility(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"))
+    per
+      .crossJoin(broadcast(per.agg(
+        sum(col("n_tokens")).as("tot_tokens"),
+        sum(col("n_bytes")).as("tot_bytes"))))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_bytes"),
+        expr("n_tokens * 1000000 div n_bytes")
+          .as("tokens_per_mb_byte"),
+        expr("n_tokens * 1000000 div tot_tokens").as("token_ppm"),
+        expr("n_bytes * 1000000 div tot_bytes").as("byte_ppm"))
+      .orderBy(col("lang"))
+  }
+
   /** Source-pair duplicate matrix — WHO copies from WHOM: the
     * near-dup pair graph (any pair builder: exact-jaccard, minhash,
     * semantic) projected onto the source dimension, one row per

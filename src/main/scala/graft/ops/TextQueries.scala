@@ -847,6 +847,10 @@ object TextQueries {
     // pair graph: who copies from whom (syndication vs boilerplate)
     "q_text_source_dup_matrix" -> ((s, d) =>
       Text.sourceDupMatrix(Tables.documents(s, d), jacPairs(s, d))),
+    // tokenizer fertility: tokens per MB-byte per lang + token/byte
+    // share side by side (byte-balanced != token-balanced)
+    "q_text_fertility" -> ((s, d) =>
+      Text.tokenFertility(Tables.documents(s, d))),
     // chunk-level dedup profile: per doc, corpus-novel vs already-
     // seen context windows (first occurrence by (doc_id, chunk_id))
     "q_text_chunk_dedup" -> ((s, d) =>
@@ -1653,6 +1657,24 @@ object TextQueries {
          |SELECT tok, cf, df, cf * 1000 // df AS burst_milli
          |FROM c WHERE df >= 3
          |ORDER BY burst_milli DESC, tok LIMIT 50""".stripMargin,
+    // exact integer fertility and share columns
+    "q_text_fertility" ->
+      s"""WITH per AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len($toksSql) END) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(octet_length(encode(text))) AS BIGINT)
+         |      AS n_bytes
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         |        CAST(SUM(n_bytes) AS BIGINT) AS tot_bytes
+         |      FROM per)
+         |SELECT per.lang, per.n_docs, per.n_tokens, per.n_bytes,
+         |  per.n_tokens * 1000000 // per.n_bytes
+         |    AS tokens_per_mb_byte,
+         |  per.n_tokens * 1000000 // t.tot_tokens AS token_ppm,
+         |  per.n_bytes * 1000000 // t.tot_bytes AS byte_ppm
+         |FROM per, t ORDER BY lang""".stripMargin,
     // the shared jac pair space projected onto (source_a, source_b)
     "q_text_source_dup_matrix" ->
       s"""WITH $jacPairsSql,

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 328,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 328")
-    assert(SparkEntry.oracleSql.size == 316,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 316")
+    assert(SparkEntry.queries.size == 330,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 330")
+    assert(SparkEntry.oracleSql.size == 318,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 318")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -415,6 +415,7 @@ class GraftApiSpec extends SparkSpec {
       "snapshotLiveFiles" -> "snapshotLiveFiles",
       "chunkDedup" -> "chunkDedup",
       "sourceDupMatrix" -> "sourceDupMatrix",
+      "tokenFertility" -> "tokenFertility",
       "lengthTailIndex" -> "lengthTailIndex",
       "bfsDepths" -> "bfsDepths",
       "inDegreeHistogram" -> "inDegreeHistogram",

@@ -306,6 +306,26 @@ class MultimodalSpec extends SparkSpec {
     assert(h.keys.filter(_ != 0).forall(_ > 0))
   }
 
+  test("payloadEntropy: constant payload reads zero bits; uniform " +
+      "nibbles read the 4-bit ceiling (floor-q20 exact)") {
+    // 'UU' = 0x5555 -> nibbles all '5' -> H = 0
+    // 0x0123456789abcdef... needs binary; use text whose UTF-8 hex
+    // covers nibbles unevenly and pin the q20 identity by hand for
+    // the 2-symbol case: 'U(' = 0x5528 -> nibbles 5,5,2,8 ->
+    // c={5:2, 2:1, 8:1}, n=4
+    val docs = Seq((1L, "UU"), (2L, "U(")).toDF("doc_id", "text")
+    val m = graft.ops.Multimodal.payloadEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_nibbles"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("h_mass_q20"),
+          r.getAs[Long]("bits_per_nibble_milli"))).toMap
+    assert(m(1L) == ((4L, 1L, 0L, 0L)))
+    def lnq20(x: Double) = math.floor(math.log(x) * (1L << 20)).toLong
+    val mass = 2 * (lnq20(4) - lnq20(2)) + 2 * (lnq20(4) - lnq20(1))
+    assert(m(2L)._3 === mass)
+    assert(m(2L)._4 === mass * 1000 / (4 * 726817L))
+  }
+
   test("mediaDupSurvivors: identical payloads cluster; largest " +
       "payload wins, ties to lowest doc_id; singleton survives") {
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "unique text"))

@@ -830,6 +830,36 @@ class StreamingSpec extends SparkSpec {
     assert(hot.forall(_.decayed_changes_ppm > 1000000L))
   }
 
+  test("HotKeyMonitor ≡ Cdc.hotKeys on a single-day feed: the " +
+      "monitor's final masses rank keys identically to the batch " +
+      "profile's counts") {
+    import graft.streaming.HotKeyMonitor
+    import graft.streaming.HotKeyMonitor.{Change, HotOut}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val feed = Seq.fill(5)("k7") ++ Seq.fill(3)("k8") ++ Seq("k9")
+    val in = MemoryStream[Change]
+    val q = HotKeyMonitor.monitor(in.toDS())
+      .writeStream.format("memory").queryName("hk_diff")
+      .outputMode("append").start()
+    try {
+      in.addData(feed.map(Change(_, 0L)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val monitorRank = spark.table("hk_diff").as[HotOut].collect()
+      .sortBy(r => (-r.decayed_changes_ppm, r.key)).map(_.key).toSeq
+    val batchRank = graft.ops.Cdc.hotKeys(
+      feed.map(k => Tuple1(k)).toDF("uid"), "uid", topN = 3)
+      .collect().map(_.getAs[String]("key")).toSeq
+    assert(monitorRank === batchRank)
+    // and the single-day mass is exactly count * 1e6 ppm
+    val mass = spark.table("hk_diff").as[HotOut].collect()
+      .map(r => r.key -> r.decayed_changes_ppm).toMap
+    assert(mass === Map("k7" -> 5000000L, "k8" -> 3000000L,
+      "k9" -> 1000000L))
+  }
+
   test("DecayMonitor: cross-batch day regression is dropped, not " +
       "clamped — no retroactive re-halving of newer mass") {
     import graft.streaming.DecayMonitor

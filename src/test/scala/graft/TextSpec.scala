@@ -2108,6 +2108,22 @@ class TextSpec extends SparkSpec {
       highest.getAs[Long]("n_docs"))
   }
 
+  test("tokenFertility: exact tokens-per-MB-byte; multibyte text " +
+      "lowers fertility; shares close to 1e6") {
+    // 'aa bb' = 2 tokens / 5 bytes; the zh doc is 2 tokens of 3-byte
+    // CJK chars (2 tokens / 7 bytes)
+    val docs = Seq((1L, "en", "aa bb"), (2L, "zh", "中 文"))
+      .toDF("doc_id", "lang", "text")
+    val m = Text.tokenFertility(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bytes"),
+          r.getAs[Long]("tokens_per_mb_byte"),
+          r.getAs[Long]("token_ppm"), r.getAs[Long]("byte_ppm")))
+      .toMap
+    assert(m("en") == ((2L, 5L, 400000L, 500000L, 416666L)))
+    assert(m("zh") == ((2L, 7L, 285714L, 500000L, 583333L)))
+  }
+
   test("sourceDupMatrix: pairs project onto unordered source pairs; " +
       "diagonal = within-source boilerplate") {
     val docs = Seq((1L, "web"), (2L, "web"), (3L, "books"),
