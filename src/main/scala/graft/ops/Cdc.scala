@@ -431,6 +431,32 @@ object Cdc {
         col("sum_dec").cast("double").as("sum_v"))
   }
 
+  /** Concurrent-writer conflict detection — BEFORE two delta batches
+    * merge into one keyed target, which keys do they both touch and
+    * how badly: per conflicting key, each side's op count and sorted
+    * distinct-op set, classified `delete_conflict` (either side
+    * deletes — order decides existence) vs `update_conflict`
+    * (last-writer-wins loses one side's update). The read a
+    * multi-writer MERGE coordinator takes to decide serialize vs
+    * auto-retry. Two key-rollups + one inner join — only the
+    * conflicting keys ever materialize.
+    */
+  def conflictingKeys(
+      a: DataFrame,
+      b: DataFrame,
+      keys: Seq[String]
+  ): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"n_ops_$tag"),
+          array_sort(collect_set(col("op"))).as(s"ops_$tag"))
+    side(a, "a").join(side(b, "b"), keys)
+      .withColumn("conflict_type",
+        when(array_contains(col("ops_a"), "D") ||
+          array_contains(col("ops_b"), "D"), "delete_conflict")
+          .otherwise("update_conflict"))
+  }
+
   /** CDC sequence-gap detection — binlog/offset integrity from the
     * id stream itself: per table, the observed ids split into
     * consecutive-run islands (`id − row_number` constant-run key, the

@@ -111,6 +111,19 @@ object CdcQueries {
         normalized(s, d).select(
           col("data")("uid").cast("long").as("uid")),
         "uid", topN = 20)),
+    // multi-writer conflict detection: the even-id and odd-id halves
+    // of the feed as two concurrent delta batches over the same uid
+    // keyspace — per conflicting uid, both sides' op profiles
+    "q_cdc_apply_conflicts" -> ((s, d) => {
+      val n = Cdc.normalizeOpsWithDeletes(parsedEnv(s, d)).select(
+        col("data")("uid").cast("long").as("uid"),
+        col("data")("id").cast("long").as("id"), col("op"))
+      Cdc.conflictingKeys(
+        n.filter(pmod(col("id"), lit(2L)) === 0L),
+        n.filter(pmod(col("id"), lit(2L)) === 1L),
+        Seq("uid"))
+        .orderBy(col("uid"))
+    }),
     // binlog-gap integrity: per table, islands of consecutive ids,
     // missing span ppm, largest single hole
     "q_cdc_seq_gaps" -> ((s, d) =>
@@ -354,6 +367,30 @@ object CdcQueries {
       s"""$base
          |SELECT src_table, op, UPPER(src_table)||'_'||op AS topic, id
          |FROM m ORDER BY id""".stripMargin,
+    // even/odd id halves as two writers; op profiles per shared uid
+    "q_cdc_apply_conflicts" ->
+      """WITH m AS (
+        |  SELECT user_id AS uid, event_id AS id,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'view' THEN 'I'
+        |         WHEN event_type = 'purchase' THEN 'U'
+        |         WHEN event_type = 'click' THEN 'D' END AS op
+        |  FROM events
+        |  WHERE event_type IN ('signup','view','purchase','click')),
+        |a AS (
+        |  SELECT uid, CAST(COUNT(*) AS BIGINT) AS n_ops_a,
+        |    list_sort(list(DISTINCT op)) AS ops_a
+        |  FROM m WHERE id % 2 = 0 GROUP BY uid),
+        |b AS (
+        |  SELECT uid, CAST(COUNT(*) AS BIGINT) AS n_ops_b,
+        |    list_sort(list(DISTINCT op)) AS ops_b
+        |  FROM m WHERE id % 2 = 1 GROUP BY uid)
+        |SELECT a.uid, a.n_ops_a, a.ops_a, b.n_ops_b, b.ops_b,
+        |  CASE WHEN list_contains(a.ops_a, 'D')
+        |      OR list_contains(b.ops_b, 'D')
+        |    THEN 'delete_conflict' ELSE 'update_conflict'
+        |  END AS conflict_type
+        |FROM a JOIN b USING (uid) ORDER BY a.uid""".stripMargin,
     // gaps-and-islands over the per-table DISTINCT id stream
     "q_cdc_seq_gaps" ->
       s"""$base,

@@ -312,6 +312,33 @@ object Demux {
       .agg(count(lit(1)).as("n_visits"),
         countDistinct(col("mid")).as("n_uv"))
 
+  /** Error rate by app version — the release-health read joining the
+    * demuxed error stream back to the device→version map the page
+    * stream carries (the error envelope itself has no version — the
+    * T3 quarantine ships only mid/code/msg, so the attribution IS a
+    * join): per version, devices, devices that errored (exact ppm),
+    * total errors. Both sides reduce to per-mid rollups before the
+    * join — |devices|-sized tables meet, never event streams.
+    */
+  def errorsByVersion(
+      errors: DataFrame,
+      pages: DataFrame
+  ): DataFrame = {
+    val vmap = pages.groupBy(col("mid"))
+      .agg(max(col("version_code")).as("version_code"))
+    val em = errors.groupBy(col("mid"))
+      .agg(count(lit(1)).as("__n_err"))
+    vmap.join(em, Seq("mid"), "left")
+      .groupBy(col("version_code"))
+      .agg(count(lit(1)).as("n_devices"),
+        count(when(col("__n_err").isNotNull, lit(1)))
+          .as("n_err_devices"),
+        sum(coalesce(col("__n_err"), lit(0L))).as("n_errors"))
+      .withColumn("err_device_ppm",
+        expr("n_err_devices * 1000000 div n_devices"))
+      .orderBy(col("version_code"))
+  }
+
   /** DWS new-vs-returning daily mix — the acquisition read off the
     * envelope's `is_new` flag: per event-time day, visits and exact
     * distinct devices on each side plus the new-device ppm share of

@@ -92,6 +92,11 @@ object DemuxQueries {
     "q_demux_new_users" -> ((s, d) =>
       Demux.newUserShare(Demux.pages(parsed(s, d)))
         .orderBy(col("d"))),
+    // release health: the error stream carries no version — join it
+    // back to the page stream's device->version map
+    "q_demux_err_by_version" -> ((s, d) =>
+      Demux.errorsByVersion(Demux.errors(parsed(s, d)),
+        Demux.pages(parsed(s, d)))),
     // DWS item exposure->action conversion: page views of an item vs
     // actions on it (purchase events convert their own page row;
     // view/click pages stay at 0)
@@ -201,6 +206,25 @@ object DemuxQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_visits,
          |  CAST(COUNT(DISTINCT 'mid_'||user_id) AS BIGINT) AS n_uv
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_demux_err_by_version" ->
+      """WITH pv AS (
+        |  SELECT 'mid_'||user_id AS mid,
+        |    MAX('v'||(user_id % 9)) AS version_code
+        |  FROM events
+        |  WHERE event_type IN ('view','click','purchase')
+        |  GROUP BY 1),
+        |em AS (
+        |  SELECT 'mid_'||user_id AS mid,
+        |    CAST(COUNT(*) AS BIGINT) AS ne
+        |  FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT version_code, CAST(COUNT(*) AS BIGINT) AS n_devices,
+        |  CAST(COUNT(CASE WHEN ne IS NOT NULL THEN 1 END)
+        |    AS BIGINT) AS n_err_devices,
+        |  CAST(SUM(COALESCE(ne, 0)) AS BIGINT) AS n_errors,
+        |  COUNT(CASE WHEN ne IS NOT NULL THEN 1 END) * 1000000
+        |    // COUNT(*) AS err_device_ppm
+        |FROM pv LEFT JOIN em USING (mid)
+        |GROUP BY version_code ORDER BY version_code""".stripMargin,
     "q_demux_new_users" ->
       s"""${withK("event_type IN ('view','click','purchase')")},
          |dm AS (

@@ -206,6 +206,25 @@ class CdcSpec extends SparkSpec {
     assert(out(1).getAs[Long]("key") === 8L)
   }
 
+  test("conflictingKeys: only shared keys surface; delete beats " +
+      "update in classification; op sets sorted distinct") {
+    import spark.implicits._
+    val a = Seq((1L, "I"), (1L, "U"), (2L, "U"), (3L, "I"))
+      .toDF("k", "op")
+    val b = Seq((1L, "U"), (2L, "D"), (2L, "U"), (9L, "I"))
+      .toDF("k", "op")
+    val m = Cdc.conflictingKeys(a, b, Seq("k")).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_ops_a"), r.getAs[Seq[String]]("ops_a"),
+          r.getAs[Long]("n_ops_b"), r.getAs[Seq[String]]("ops_b"),
+          r.getAs[String]("conflict_type"))).toMap
+    assert(m.keySet === Set(1L, 2L)) // 3 and 9 are single-writer
+    assert(m(1L) == ((2L, Seq("I", "U"), 1L, Seq("U"),
+      "update_conflict")))
+    assert(m(2L) == ((1L, Seq("U"), 2L, Seq("D", "U"),
+      "delete_conflict")))
+  }
+
   test("sequenceGaps: holes and spans per table; contiguous table " +
       "reads zero missing and NULL largest gap; dup ids fold") {
     import spark.implicits._

@@ -214,6 +214,21 @@ class DemuxSpec extends SparkSpec {
     assert(uv.head.getAs[Long]("n_uv") === 2L)
   }
 
+  test("errorsByVersion: error stream attributes through the page " +
+      "stream's device map; error-free versions read zero") {
+    val pages = Seq(("m1", "v1"), ("m1", "v1"), ("m2", "v1"),
+      ("m3", "v2")).toDF("mid", "version_code")
+    val errors = Seq("m1", "m1", "m9").map(Tuple1(_)).toDF("mid")
+    val m = Demux.errorsByVersion(errors, pages).collect()
+      .map(r => r.getAs[String]("version_code") ->
+        (r.getAs[Long]("n_devices"), r.getAs[Long]("n_err_devices"),
+          r.getAs[Long]("n_errors"),
+          r.getAs[Long]("err_device_ppm"))).toMap
+    // m9 has no page rows -> unattributable, dropped by the join
+    assert(m("v1") == ((2L, 1L, 2L, 500000L)))
+    assert(m("v2") == ((1L, 0L, 0L, 0L)))
+  }
+
   test("newUserShare: first-touch max per device-day; exact new-UV " +
       "ppm; visits and UV both counted") {
     // day 1: mid a new (2 visits, one row flag 0 — max wins), mid b
