@@ -1124,6 +1124,44 @@ object Relational {
       .unionByName(resF.join(h(resD), keys))
   }
 
+  /** Pricing waterfall per order-year — revenue decomposed the way
+    * finance reads it: gross extended price, the discount give-back,
+    * net (post-discount), the tax add, and charged (net + tax), each
+    * an exact DECIMAL sum cast to double through the canonical
+    * string round-trip, plus the discount give-back in exact ppm of
+    * gross (integer-space div — both operands scale to 10⁴ units and
+    * DECIMAL(38,0) first). One scan, |years| rows.
+    */
+  def pricingWaterfall(lineitem: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,4)")
+    def out(c: Column) = c.cast("string").cast("double")
+    lineitem
+      .groupBy(expr("CAST(year(l_shipdate) AS INT)").as("ship_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).as("__gross"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .as("__disc"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))) *
+          dec(col("l_tax"))).as("__tax"))
+      .select(col("ship_year"), col("n_items"),
+        out(col("__gross")).as("gross"),
+        out(col("__disc")).as("discount_giveback"),
+        out(col("__gross") - col("__disc")).as("net"),
+        out(col("__tax")).as("tax_add"),
+        out(col("__gross") - col("__disc") + col("__tax"))
+          .as("charged"),
+        // 10^8 scaling: the discount product carries scale 8, so the
+        // DECIMAL(38,0) cast must see an integral value (a scale-4
+        // shift would ROUND, and engines disagree on boundary ties)
+        expr("""CAST(CAST(__disc * 100000000 AS DECIMAL(38,0))
+               |  * 1000000 div CAST(__gross * 100000000
+               |  AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("discount_ppm"))
+      .orderBy(col("ship_year"))
+  }
+
   /** Gaps-and-islands over per-user activity days — the classic
     * consecutive-run reconstruction (`day − row_number` is constant
     * exactly inside a run of consecutive days): islands of

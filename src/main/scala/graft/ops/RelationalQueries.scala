@@ -146,6 +146,10 @@ object RelationalQueries {
     "q_li_weighted_percentiles" -> ((s, d) =>
       Relational.weightedPercentiles(Tables.lineitem(s, d),
         "l_returnflag", "l_extendedprice", "l_quantity")),
+    // pricing waterfall per ship-year: gross -> discount giveback ->
+    // net -> tax -> charged, exact decimal sums + integer-space ppm
+    "q_li_pricing_waterfall" -> ((s, d) =>
+      Relational.pricingWaterfall(Tables.lineitem(s, d))),
     // watermark delay planner: per-type arrival lateness off the
     // event_id ingest order — exact permil quantiles of
     // running_max(ts) - ts, the number withWatermark should be set to
@@ -1623,6 +1627,32 @@ object RelationalQueries {
         |    AS days_ppm
         |FROM isl, t GROUP BY len, t.n_user_days
         |ORDER BY len""".stripMargin,
+    // exact decimal sums; ppm via 10^8-scaled HUGEINT operands (the
+    // discount product carries scale 8)
+    "q_li_pricing_waterfall" ->
+      """WITH a AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |    CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS g,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * CAST(l_discount AS DECIMAL(18,4))) AS dsc,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * (CAST(1 AS DECIMAL(18,4))
+        |        - CAST(l_discount AS DECIMAL(18,4)))
+        |      * CAST(l_tax AS DECIMAL(18,4))) AS tx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ship_year, n_items,
+        |  CAST(CAST(g AS VARCHAR) AS DOUBLE) AS gross,
+        |  CAST(CAST(dsc AS VARCHAR) AS DOUBLE)
+        |    AS discount_giveback,
+        |  CAST(CAST(g - dsc AS VARCHAR) AS DOUBLE) AS net,
+        |  CAST(CAST(tx AS VARCHAR) AS DOUBLE) AS tax_add,
+        |  CAST(CAST(g - dsc + tx AS VARCHAR) AS DOUBLE) AS charged,
+        |  CAST(CAST(CAST(dsc * 100000000 AS DECIMAL(38,0))
+        |      AS HUGEINT) * 1000000
+        |    // CAST(CAST(g * 100000000 AS DECIMAL(38,0)) AS HUGEINT)
+        |    AS BIGINT) AS discount_ppm
+        |FROM a ORDER BY ship_year""".stripMargin,
     // weighted lower quantiles off the per-group value histogram
     "q_li_weighted_percentiles" ->
       """WITH h AS (

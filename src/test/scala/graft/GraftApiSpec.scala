@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 332,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 332")
-    assert(SparkEntry.oracleSql.size == 320,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 320")
+    assert(SparkEntry.queries.size == 333,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 333")
+    assert(SparkEntry.oracleSql.size == 321,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 321")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

@@ -181,6 +181,25 @@ class RelationalSpec extends SparkSpec {
     assert(m.values.map(_._2).sum === 7L)
   }
 
+  test("pricingWaterfall: decomposition identities hold exactly on " +
+      "a hand-priced year") {
+    import spark.implicits._
+    import java.sql.Date
+    val li = Seq(
+      (100.0, 0.10, 0.05, Date.valueOf("2024-03-01")),
+      (200.0, 0.00, 0.10, Date.valueOf("2024-06-01"))
+    ).toDF("l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+    val r = ops.Relational.pricingWaterfall(li).collect().head
+    assert(r.getAs[Int]("ship_year") === 2024)
+    assert(r.getAs[Double]("gross") === 300.0)
+    assert(r.getAs[Double]("discount_giveback") === 10.0)
+    assert(r.getAs[Double]("net") === 290.0)
+    // tax: 90*0.05 + 200*0.10 = 4.5 + 20 = 24.5
+    assert(r.getAs[Double]("tax_add") === 24.5)
+    assert(r.getAs[Double]("charged") === 314.5)
+    assert(r.getAs[Long]("discount_ppm") === 33333L) // 10/300
+  }
+
   test("weightedPercentiles: weight shifts the quantile away from " +
       "the row median; total weight exact") {
     import spark.implicits._
