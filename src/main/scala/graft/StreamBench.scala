@@ -402,7 +402,11 @@ object StreamBench {
         def hkBatch(b: Int): Seq[streaming.HotKeyMonitor.Change] =
           (0 until perBatch).map { i =>
             // every 5th row hits key 0; the rest spread uniformly
-            val k = if (i % 5 == 0) 0 else 1 + (i * 7919) % (keys - 1)
+            // (residue in Long: i*7919 overflows Int past scale ~55,
+            // which would flip residues negative and reshape the
+            // intended distribution)
+            val k = if (i % 5 == 0) 0
+              else 1 + (i.toLong * 7919L % (keys - 1)).toInt
             streaming.HotKeyMonitor.Change(s"k$k", b.toLong)
           }
         hkIn.addData(hkBatch(0)) // warm batch
@@ -423,6 +427,52 @@ object StreamBench {
         java.nio.file.Files.writeString(out8.toPath,
           java.nio.file.Files.readString(out8.toPath) + line8 + "\n")
       } finally hkQ.stop()
+    }
+
+    // Ninth surface: the CDC sequence-gap monitor — raw id rows/s
+    // through the per-table island fold (the continuous form of
+    // Cdc.sequenceGaps). The feed is the realistic binlog shape the
+    // state bound relies on: mostly-contiguous ids per table with a
+    // planted hole every 97 ids, so islands accumulate but stay far
+    // under the cap while every batch exercises extend+open+profile.
+    {
+      implicit val s = spark
+      val sgIn = MemoryStream[streaming.SeqGapMonitor.IdRow]
+      val sgQ = streaming.SeqGapMonitor.monitor(sgIn.toDS())
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val tables = 8
+        val perBatch = 5000 * scale
+        val nSgBatches = 4
+        def sgBatch(b: Int): Seq[streaming.SeqGapMonitor.IdRow] =
+          (0 until perBatch).map { i =>
+            val t = i % tables
+            val seq = (b.toLong * perBatch + i) / tables
+            // plant a 1-id hole at every 97th position: ids advance
+            // by 2 across each boundary, so each table accumulates
+            // one real island per 97-run (hundreds at scale 20 —
+            // exercising the island fold without tripping the cap)
+            val id = seq + seq / 97
+            streaming.SeqGapMonitor.IdRow(s"t$t", id)
+          }
+        sgIn.addData(sgBatch(0)) // warm batch
+        sgQ.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nSgBatches).foreach { b =>
+          sgIn.addData(sgBatch(b))
+          sgQ.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = perBatch.toLong * nSgBatches
+        val line9 =
+          s"""{"metric":"seqgap_monitor_ids_per_sec","value":${(n / dt).toLong},""" +
+            s""""ids":$n,"tables":$tables,"seconds":$dt,"batches":$nSgBatches,"scale":$scale,"sf":"$sfDir"}"""
+        println(line9)
+        val out9 = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(out9.toPath,
+          java.nio.file.Files.readString(out9.toPath) + line9 + "\n")
+      } finally sgQ.stop()
     }
     spark.stop()
   }

@@ -1401,8 +1401,12 @@ object Audit {
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
       .map(_.name)
     val nFixed = df.schema.fields.length - stringCols.length
+    // NULL strings count as 0 bytes: un-coalesced, one NULL column
+    // voids the whole row's term and sum() silently drops it —
+    // underestimating est_bytes on nullable dims can flip the exact
+    // decision this op exists to get right
     val rowBytes = stringCols
-      .map(c => octet_length(col(c)).cast("long"))
+      .map(c => coalesce(octet_length(col(c)).cast("long"), lit(0L)))
       .foldLeft(lit(16L + 8L * nFixed))(_ + _)
     df.agg(count(lit(1)).as("n_rows"),
         sum(rowBytes).as("est_bytes"))

@@ -439,7 +439,11 @@ object Cdc {
     * (last-writer-wins loses one side's update). The read a
     * multi-writer MERGE coordinator takes to decide serialize vs
     * auto-retry. Two key-rollups + one inner join — only the
-    * conflicting keys ever materialize.
+    * conflicting keys ever materialize. The op profile ships as a
+    * sorted CSV string, not array<string>: the set is tiny and
+    * ordered, the CSV is semantically identical, and array columns in
+    * a final schema crash the driver gate's pandas row sort
+    * (unhashable numpy.ndarray — the r14 red row).
     */
   def conflictingKeys(
       a: DataFrame,
@@ -449,11 +453,13 @@ object Cdc {
     def side(df: DataFrame, tag: String): DataFrame =
       df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as(s"n_ops_$tag"),
-          array_sort(collect_set(col("op"))).as(s"ops_$tag"))
+          array_join(array_sort(collect_set(col("op"))), ",")
+            .as(s"ops_$tag"))
     side(a, "a").join(side(b, "b"), keys)
       .withColumn("conflict_type",
-        when(array_contains(col("ops_a"), "D") ||
-          array_contains(col("ops_b"), "D"), "delete_conflict")
+        when(array_contains(split(col("ops_a"), ","), "D") ||
+          array_contains(split(col("ops_b"), ","), "D"),
+          "delete_conflict")
           .otherwise("update_conflict"))
   }
 
@@ -511,13 +517,29 @@ object Cdc {
     * (engine-identical by the repo convention); the bucket sum
     * promotes to DECIMAL(38,0) BEFORE aggregation so a bucket of any
     * size stays exact (2⁶⁰-bounded terms — a BIGINT sum wraps past
-    * ~2³ rows·2⁶⁰). `keyExpr` buckets by `pmod(key, nBuckets)`.
+    * ~2³ rows·2⁶⁰), then the FINAL fingerprint narrows mod 2⁶¹−1 to
+    * BIGINT: a checksum is mod-compatible by definition, and a wide
+    * decimal in a final schema hash-diverges at the driver gate
+    * (Spark parquet vs DuckDB fetchdf map DECIMAL(38,0) to different
+    * pandas dtypes — the r14 red row). `keyExpr` buckets by
+    * `pmod(key, nBuckets)`.
+    *
+    * NULL handling: each hash column is coalesced to a
+    * chr(1)-prefixed sentinel BEFORE concat_ws, because Spark's concat_ws
+    * SKIPS null arguments — without the sentinel ('a',NULL) collides
+    * with (NULL,'a') and with ('a'), and a NULL row silently hashes
+    * like a shorter row instead of dropping/diverging loudly (the
+    * q_text_blocking_eval lesson). Caveat, documented not solved: a
+    * literal '|' INSIDE a value can still collide across column
+    * boundaries ('a|b', 'c') vs ('a', 'b|c') — acceptable for a
+    * drift monitor over keyed dims; use a control-char delimiter in
+    * hashCols expressions if values may contain '|'.
     *
     * Output: one row per bucket present on either side, both
     * fingerprints, and the verdict — `match` iff counts AND sums
     * agree. Hash collisions: a false "match" needs colliding 60-bit
-    * SUMS, detectable-in-principle but 2⁻⁶⁰-grade; the op is a drift
-    * MONITOR, not a cryptographic proof, and says so here.
+    * SUMS mod 2⁶¹−1, detectable-in-principle but 2⁻⁶⁰-grade; the op
+    * is a drift MONITOR, not a cryptographic proof, and says so here.
     */
   def checksumDiff(
       source: DataFrame,
@@ -527,24 +549,31 @@ object Cdc {
       nBuckets: Int = 32
   ): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // chr(1) cannot appear in sane data, so NULL gets its own hash
+    // byte-sequence distinct from every real value (incl. '')
+    val nullSentinel = lit("\\u0001NULL")
+    val hashInput = concat_ws("|",
+      hashCols.map(c => coalesce(col(c).cast("string"), nullSentinel)): _*)
     def fp(df: DataFrame, side: String): DataFrame =
       df.select(
         pmod(col(keyCol), lit(nBuckets.toLong)).as("bucket"),
-        expr("CAST(conv(substr(md5(concat_ws('|', " +
-          hashCols.mkString(", ") +
-          ")), 1, 15), 16, 10) AS BIGINT)").as("__h"))
+        conv(substring(md5(hashInput), 1, 15), 16, 10)
+          .cast("long").as("__h"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as(s"n_$side"),
           sum(col("__h").cast("decimal(38,0)")).as(s"sum_$side"))
+    // Mersenne-prime modulus: 2^61-1 fits BIGINT in both engines and
+    // the exact DECIMAL sums narrow identically (all terms >= 0)
+    val m61 = lit(2305843009213693951L)
     fp(source, "src")
       .join(fp(replica, "dst"), Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_src"), lit(0L)).as("n_src"),
         coalesce(col("n_dst"), lit(0L)).as("n_dst"),
-        coalesce(col("sum_src"), lit(0).cast("decimal(38,0)"))
-          .as("sum_src"),
-        coalesce(col("sum_dst"), lit(0).cast("decimal(38,0)"))
-          .as("sum_dst"))
+        pmod(coalesce(col("sum_src"), lit(0).cast("decimal(38,0)")),
+          m61).cast("long").as("sum_src"),
+        pmod(coalesce(col("sum_dst"), lit(0).cast("decimal(38,0)")),
+          m61).cast("long").as("sum_dst"))
       .withColumn("is_match",
         col("n_src") === col("n_dst") &&
           col("sum_src") === col("sum_dst"))

@@ -379,15 +379,18 @@ object CdcQueries {
         |  WHERE event_type IN ('signup','view','purchase','click')),
         |a AS (
         |  SELECT uid, CAST(COUNT(*) AS BIGINT) AS n_ops_a,
-        |    list_sort(list(DISTINCT op)) AS ops_a
+        |    list_sort(list(DISTINCT op)) AS ops_la
         |  FROM m WHERE id % 2 = 0 GROUP BY uid),
         |b AS (
         |  SELECT uid, CAST(COUNT(*) AS BIGINT) AS n_ops_b,
-        |    list_sort(list(DISTINCT op)) AS ops_b
+        |    list_sort(list(DISTINCT op)) AS ops_lb
         |  FROM m WHERE id % 2 = 1 GROUP BY uid)
-        |SELECT a.uid, a.n_ops_a, a.ops_a, b.n_ops_b, b.ops_b,
-        |  CASE WHEN list_contains(a.ops_a, 'D')
-        |      OR list_contains(b.ops_b, 'D')
+        |SELECT a.uid, a.n_ops_a,
+        |  array_to_string(a.ops_la, ',') AS ops_a,
+        |  b.n_ops_b,
+        |  array_to_string(b.ops_lb, ',') AS ops_b,
+        |  CASE WHEN list_contains(a.ops_la, 'D')
+        |      OR list_contains(b.ops_lb, 'D')
         |    THEN 'delete_conflict' ELSE 'update_conflict'
         |  END AS conflict_type
         |FROM a JOIN b USING (uid) ORDER BY a.uid""".stripMargin,
@@ -424,15 +427,17 @@ object CdcQueries {
          |    // CAST(MAX(run_end) - MIN(run_start) + 1 AS BIGINT)
          |    AS missing_ppm
          |FROM x GROUP BY src_table ORDER BY src_table""".stripMargin,
-    // md5-60 row hashes summed per bucket in HUGEINT -> DECIMAL(38,0)
+    // md5-60 row hashes summed per bucket in HUGEINT (exact), then
+    // the fingerprint narrows mod 2^61-1 to BIGINT — wide decimals
+    // must not reach a final projection (driver-hash hazard)
     "q_cdc_checksum_diff" ->
       """WITH src AS (
         |  SELECT c_custkey % 32 AS bucket,
         |    CAST(COUNT(*) AS BIGINT) AS n_src,
-        |    CAST(SUM(CAST(CAST(('0x' || substr(md5(
+        |    SUM(CAST(CAST(('0x' || substr(md5(
         |      c_custkey::VARCHAR || '|' || c_name || '|'
         |        || c_mktsegment), 1, 15)) AS BIGINT) AS HUGEINT))
-        |      AS DECIMAL(38,0)) AS sum_src
+        |      AS sum_src
         |  FROM customer GROUP BY 1),
         |dst0 AS (
         |  SELECT c_custkey, c_name,
@@ -442,19 +447,21 @@ object CdcQueries {
         |dst AS (
         |  SELECT c_custkey % 32 AS bucket,
         |    CAST(COUNT(*) AS BIGINT) AS n_dst,
-        |    CAST(SUM(CAST(CAST(('0x' || substr(md5(
+        |    SUM(CAST(CAST(('0x' || substr(md5(
         |      c_custkey::VARCHAR || '|' || c_name || '|'
         |        || c_mktsegment), 1, 15)) AS BIGINT) AS HUGEINT))
-        |      AS DECIMAL(38,0)) AS sum_dst
+        |      AS sum_dst
         |  FROM dst0 GROUP BY 1)
         |SELECT COALESCE(src.bucket, dst.bucket) AS bucket,
         |  COALESCE(n_src, 0) AS n_src,
         |  COALESCE(n_dst, 0) AS n_dst,
-        |  COALESCE(sum_src, CAST(0 AS DECIMAL(38,0))) AS sum_src,
-        |  COALESCE(sum_dst, CAST(0 AS DECIMAL(38,0))) AS sum_dst,
+        |  CAST(COALESCE(sum_src, 0) % 2305843009213693951
+        |    AS BIGINT) AS sum_src,
+        |  CAST(COALESCE(sum_dst, 0) % 2305843009213693951
+        |    AS BIGINT) AS sum_dst,
         |  COALESCE(n_src, 0) = COALESCE(n_dst, 0)
-        |    AND COALESCE(sum_src, CAST(0 AS DECIMAL(38,0)))
-        |      = COALESCE(sum_dst, CAST(0 AS DECIMAL(38,0)))
+        |    AND COALESCE(sum_src, 0) % 2305843009213693951
+        |      = COALESCE(sum_dst, 0) % 2305843009213693951
         |    AS is_match
         |FROM src FULL OUTER JOIN dst ON src.bucket = dst.bucket
         |ORDER BY bucket""".stripMargin,

@@ -319,6 +319,11 @@ object Demux {
     * join): per version, devices, devices that errored (exact ppm),
     * total errors. Both sides reduce to per-mid rollups before the
     * join — |devices|-sized tables meet, never event streams.
+    * Devices that error without EVER appearing in the page stream
+    * bucket under a NULL version_code row (full outer, not left):
+    * dropping them would make n_errors silently disagree with the
+    * raw error stream, and unattributable errors ARE the
+    * data-quality signal (the pointInTimeLookup/itemCtr convention).
     */
   def errorsByVersion(
       errors: DataFrame,
@@ -328,7 +333,7 @@ object Demux {
       .agg(max(col("version_code")).as("version_code"))
     val em = errors.groupBy(col("mid"))
       .agg(count(lit(1)).as("__n_err"))
-    vmap.join(em, Seq("mid"), "left")
+    vmap.join(em, Seq("mid"), "full_outer")
       .groupBy(col("version_code"))
       .agg(count(lit(1)).as("n_devices"),
         count(when(col("__n_err").isNotNull, lit(1)))

@@ -223,8 +223,9 @@ object DemuxQueries {
         |  CAST(SUM(COALESCE(ne, 0)) AS BIGINT) AS n_errors,
         |  COUNT(CASE WHEN ne IS NOT NULL THEN 1 END) * 1000000
         |    // COUNT(*) AS err_device_ppm
-        |FROM pv LEFT JOIN em USING (mid)
-        |GROUP BY version_code ORDER BY version_code""".stripMargin,
+        |FROM pv FULL OUTER JOIN em USING (mid)
+        |GROUP BY version_code
+        |ORDER BY version_code NULLS FIRST""".stripMargin,
     "q_demux_new_users" ->
       s"""${withK("event_type IN ('view','click','purchase')")},
          |dm AS (

@@ -683,7 +683,10 @@ object Layout {
       .agg(
         max_by(col("op"), col("version")).as("__last_op"),
         max(col("version")).as("live_version"),
-        max(col("n_rows")).as("n_rows"))
+        // the LATEST entry's row count, not the historical max: a
+        // file revived by a compaction rewrite with fewer rows must
+        // report the rewrite's count, not the stale original
+        max_by(col("n_rows"), col("version")).as("n_rows"))
       .filter(col("__last_op") === "A")
       .select(col("file_id"), col("live_version"), col("n_rows"))
 }

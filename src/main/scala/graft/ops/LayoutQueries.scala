@@ -645,7 +645,8 @@ object LayoutQueries {
         |  SELECT file_id,
         |    FIRST(op ORDER BY version DESC) AS last_op,
         |    CAST(MAX(version) AS BIGINT) AS live_version,
-        |    CAST(MAX(n_rows) AS BIGINT) AS n_rows
+        |    CAST(FIRST(n_rows ORDER BY version DESC) AS BIGINT)
+        |      AS n_rows
         |  FROM lg WHERE version <= 45 GROUP BY file_id)
         |SELECT file_id, live_version, n_rows
         |FROM res WHERE last_op = 'A'

@@ -38,6 +38,16 @@ object TextQueries {
     graft.Caches.persisted("text", ("jac", s, d))(
       Text.jaccardPairsOverOrdered(ordShingles(s, d), 0.5))
 
+  /** Exact containment pairs at 0.7, shared by the pair query and the
+    * provenance-matrix query — r14's #1 bench cost was
+    * q_text_source_containment RECOMPUTING this full prefix-filter
+    * predicate (13.9 s) that q_text_containment had already run
+    * (1.9 s); one materialization per session serves both.
+    */
+  private def contPairs(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("text", ("cont", s, d))(
+      Text.containmentPairsOverOrdered(ordShingles(s, d), 0.7))
+
   /** Converged cluster assignment, shared by the cluster query and
     * the survivor-policy query (label propagation runs once per
     * session; NOTE dupClusters' result is checkpoint-backed, so like
@@ -75,6 +85,7 @@ object TextQueries {
     "cache:text:minhash_candidates" -> ((s, d) => candidates(s, d)),
     "cache:text:ordered_shingles" -> ((s, d) => ordShingles(s, d)),
     "cache:text:jac_pairs" -> ((s, d) => jacPairs(s, d)),
+    "cache:text:containment_pairs" -> ((s, d) => contPairs(s, d)),
     "cache:text:dup_clusters" -> ((s, d) => clusterAssign(s, d)),
     "cache:text:bpe_merges" -> ((s, d) => learnedMerges(s, d)),
     "cache:text:seen_sigs" -> ((s, d) => seenSigs(s, d))
@@ -377,16 +388,14 @@ object TextQueries {
     // asymmetric containment (|A∩B|/|A|): catches fragment-in-page
     // inclusion that Jaccard's union denominator hides
     "q_text_containment" -> ((s, d) =>
-      Text.containmentPairsOverOrdered(ordShingles(s, d), 0.7)
-        .orderBy(col("doc_a"), col("doc_b"))),
+      contPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
     // Efraimidis–Spirakis weighted sample (w = n_chars, q20 keys)
     "q_text_weighted_sample" -> ((s, d) =>
       Text.weightedSample(Tables.documents(s, d), 100, col("n_chars"))),
     // provenance matrix over the containment pairs (shared ordered-
     // shingle table -> tiny pair set -> #sources^2 aggregation)
     "q_text_source_containment" -> ((s, d) =>
-      Text.sourceContainment(Tables.documents(s, d),
-        Text.containmentPairsOverOrdered(ordShingles(s, d), 0.7))
+      Text.sourceContainment(Tables.documents(s, d), contPairs(s, d))
         .orderBy(col("source_a"), col("source_b"))),
     // per-doc tf-idf keyword extraction (q20-integer idf, top-5)
     "q_text_tfidf_keywords" -> ((s, d) =>

@@ -2860,6 +2860,11 @@ object Vector {
     * `r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)` with M = 2·|E|,
     * x,y the endpoint degrees — exact milli out, DECIMAL(38,0)
     * cross-products (degree sums square past BIGINT at graph scale).
+    * The wide decimals stay INSIDE the computation: the final
+    * projection ships only `n_edges` + `assort_milli` as BIGINT —
+    * DECIMAL(38,0) in a final schema maps to different pandas dtypes
+    * from Spark parquet vs DuckDB fetchdf and hash-diverges at the
+    * driver gate even when every value is equal (the r14 regression).
     * Consumes the session-shared kNN graph: one distinct + one
     * small self-join on the k·n edge list, never the n² build.
     */
@@ -2899,6 +2904,7 @@ object Vector {
           |   div (2 * n_edges * CAST(sum_sq AS DECIMAL(38,0))
           |     - CAST(sum_deg AS DECIMAL(38,0)) * sum_deg)
           |   AS BIGINT) END""".stripMargin))
+      .select(col("n_edges"), col("assort_milli"))
   }
 
   /** BFS depth histogram from a source vector over the symmetrized

@@ -1557,7 +1557,7 @@ object VectorQueries {
         |               + CAST(deg_b AS HUGEINT) * deg_b)
         |          AS DECIMAL(38,0)) AS sum_sq
         |      FROM j)
-        |SELECT n_edges, sum_deg, sum_prod, sum_sq,
+        |SELECT n_edges,
         |  CASE WHEN 2 * n_edges * CAST(sum_sq AS HUGEINT)
         |       - CAST(sum_deg AS HUGEINT) * sum_deg = 0 THEN NULL
         |  ELSE CAST((2 * n_edges * CAST(sum_prod AS HUGEINT)

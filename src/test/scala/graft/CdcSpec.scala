@@ -207,22 +207,24 @@ class CdcSpec extends SparkSpec {
   }
 
   test("conflictingKeys: only shared keys surface; delete beats " +
-      "update in classification; op sets sorted distinct") {
+      "update in classification; op profile is a sorted-distinct CSV") {
     import spark.implicits._
     val a = Seq((1L, "I"), (1L, "U"), (2L, "U"), (3L, "I"))
       .toDF("k", "op")
     val b = Seq((1L, "U"), (2L, "D"), (2L, "U"), (9L, "I"))
       .toDF("k", "op")
-    val m = Cdc.conflictingKeys(a, b, Seq("k")).collect()
+    val out = Cdc.conflictingKeys(a, b, Seq("k"))
+    // driver-gate safety: no array/decimal columns in the final schema
+    assert(out.schema.fields.forall(f =>
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    val m = out.collect()
       .map(r => r.getAs[Long]("k") ->
-        (r.getAs[Long]("n_ops_a"), r.getAs[Seq[String]]("ops_a"),
-          r.getAs[Long]("n_ops_b"), r.getAs[Seq[String]]("ops_b"),
+        (r.getAs[Long]("n_ops_a"), r.getAs[String]("ops_a"),
+          r.getAs[Long]("n_ops_b"), r.getAs[String]("ops_b"),
           r.getAs[String]("conflict_type"))).toMap
     assert(m.keySet === Set(1L, 2L)) // 3 and 9 are single-writer
-    assert(m(1L) == ((2L, Seq("I", "U"), 1L, Seq("U"),
-      "update_conflict")))
-    assert(m(2L) == ((1L, Seq("U"), 2L, Seq("D", "U"),
-      "delete_conflict")))
+    assert(m(1L) == ((2L, "I,U", 1L, "U", "update_conflict")))
+    assert(m(2L) == ((1L, "U", 2L, "D,U", "delete_conflict")))
   }
 
   test("sequenceGaps: holes and spans per table; contiguous table " +
@@ -284,5 +286,31 @@ class CdcSpec extends SparkSpec {
     assert(!diff(2L)._1 && diff(2L)._2 === diff(2L)._3) // sum differs
     assert(!diff(1L)._1 && diff(1L)._3 === diff(1L)._2 - 1)
     assert(diff(0L)._1 && diff(3L)._1)
+  }
+
+  test("checksumDiff: fingerprints are BIGINT (no wide decimals in " +
+      "the final schema) and NULL columns hash distinct from '' " +
+      "and from shifted placements") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val src = Seq((1L, Option("a"), Option.empty[String]))
+      .toDF("k", "x", "y")
+    val out = Cdc.checksumDiff(src, src, "k", Seq("x", "y"), 1)
+    assert(out.schema("sum_src").dataType === LongType)
+    assert(out.schema.fields.forall(
+      !_.dataType.isInstanceOf[DecimalType]))
+    // ('a', NULL) must NOT collide with (NULL, 'a') — concat_ws
+    // without the sentinel would hash both as just 'a'
+    val shifted = Seq((1L, Option.empty[String], Option("a")))
+      .toDF("k", "x", "y")
+    val d1 = Cdc.checksumDiff(src, shifted, "k", Seq("x", "y"), 1)
+      .collect().head
+    assert(!d1.getAs[Boolean]("is_match"))
+    // ('a', NULL) must NOT collide with ('a', '')
+    val empty = Seq((1L, Option("a"), Option("")))
+      .toDF("k", "x", "y")
+    val d2 = Cdc.checksumDiff(src, empty, "k", Seq("x", "y"), 1)
+      .collect().head
+    assert(!d2.getAs[Boolean]("is_match"))
   }
 }

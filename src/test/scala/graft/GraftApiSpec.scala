@@ -198,6 +198,47 @@ class GraftApiSpec extends SparkSpec {
       s"un-CAST SUM in final projection (HUGEINT hazard): $offenders")
   }
 
+  /** r14 shipped three driver-red rows, all from final-projection
+    * dtype choices the local tooling tolerated: DECIMAL(38,0) columns
+    * hash-diverge (Spark parquet and DuckDB fetchdf map wide decimals
+    * to different pandas dtypes even when every value is equal) and
+    * array<_> columns crash the driver's pandas row sort outright
+    * (unhashable numpy.ndarray). The driver is the contract, so the
+    * registry-wide invariant is structural: NO registered query may
+    * place a DecimalType, ArrayType, MapType or StructType column in
+    * its FINAL schema — narrow to BIGINT (mod-2⁶¹ for checksums) or
+    * serialize to a sorted CSV string instead. Wide/nested types
+    * remain fine INSIDE a computation. Schema-only: each query is
+    * CONSTRUCTED against sf0.001 and its analyzed schema inspected —
+    * queries whose construction runs model fits do real (tiny) work,
+    * the rest never execute.
+    */
+  test("no Decimal/Array/Map/Struct column in any registered " +
+      "query's final schema") {
+    import org.apache.spark.sql.types._
+    val sf = "/root/testdata/sf0.001"
+    def banned(dt: DataType): Boolean = dt match {
+      case _: DecimalType | _: ArrayType | _: MapType | _: StructType =>
+        true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val schema =
+          try q(spark, sf).schema
+          catch {
+            case e: Exception => fail(
+              s"$name: query construction failed at sf0.001: $e")
+          }
+        schema.fields.collect {
+          case f if banned(f.dataType) =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"driver-hash-hazard columns in final schemas: $offenders")
+  }
+
   test("doc surface composes end to end") {
     assert(docs.dedupExact.count() == 2)
     assert(docs.dupGroups.columns.contains("n_dups"))

@@ -888,4 +888,111 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.decayed_weight_ppm).toSeq ===
       Seq(2000000L, 2000000L))
   }
+
+  test("SeqGapMonitor: islands extend/merge/open across batches, " +
+      "dups fold away, per-table isolation") {
+    import graft.streaming.SeqGapMonitor
+    import graft.streaming.SeqGapMonitor.{GapOut, IdRow}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[IdRow]
+    val q = SeqGapMonitor.monitor(in.toDS())
+      .writeStream.format("memory").queryName("seqgap_out")
+      .outputMode("append").start()
+    try {
+      in.addData(IdRow("t0", 1L), IdRow("t0", 2L), IdRow("t0", 3L),
+        IdRow("t0", 10L), IdRow("t1", 5L))
+      q.processAllAvailable()
+      // 4 bridges nothing (island {1-4}); 11 extends {10}; 20 opens;
+      // 2 is a cross-batch dup (absorbed); t1 untouched this batch
+      in.addData(IdRow("t0", 4L), IdRow("t0", 11L), IdRow("t0", 20L),
+        IdRow("t0", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("seqgap_out").as[GapOut].collect()
+    val t0 = got.filter(_.src_table == "t0").sortBy(_.n_ids)
+    assert(t0.length === 2)
+    // batch 1: islands {1-3},{10}: 4 ids, span 10, missing 6
+    assert(t0(0) === GapOut("t0", 4L, 1L, 10L, 2L, Some(6L),
+      6L, 600000L))
+    // batch 2: islands {1-4},{10-11},{20}: 7 ids, span 20, holes
+    // 5..9 (5) and 12..19 (8) -> missing 13, largest 8
+    assert(t0(1) === GapOut("t0", 7L, 1L, 20L, 3L, Some(8L),
+      13L, 650000L))
+    val t1 = got.filter(_.src_table == "t1")
+    assert(t1.toSeq === Seq(GapOut("t1", 1L, 5L, 5L, 1L, None,
+      0L, 0L)))
+  }
+
+  test("SeqGapMonitor ≡ Cdc.sequenceGaps on the same ids (under the " +
+      "island cap): final emission matches the batch profile " +
+      "column for column") {
+    import graft.streaming.SeqGapMonitor
+    import graft.streaming.SeqGapMonitor.{GapOut, IdRow}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two tables, dups, disorder, multi-hole spans — split over two
+    // arbitrary batches (island fold is commutative, split is free)
+    val feed = Seq(
+      ("ta", 7L), ("ta", 1L), ("ta", 2L), ("ta", 7L), ("ta", 3L),
+      ("ta", 30L), ("ta", 31L), ("ta", 12L),
+      ("tb", 100L), ("tb", 101L), ("tb", 102L))
+    val in = MemoryStream[IdRow]
+    val q = SeqGapMonitor.monitor(in.toDS())
+      .writeStream.format("memory").queryName("seqgap_diff")
+      .outputMode("append").start()
+    try {
+      in.addData(feed.take(6).map { case (t, i) => IdRow(t, i) }: _*)
+      q.processAllAvailable()
+      in.addData(feed.drop(6).map { case (t, i) => IdRow(t, i) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // final emission per table = the monitor's converged profile
+    val fin = spark.table("seqgap_diff").as[GapOut].collect()
+      .groupBy(_.src_table).map { case (t, rs) =>
+        t -> rs.maxBy(_.n_ids) }
+    val batch = graft.ops.Cdc.sequenceGaps(
+      feed.map { case (t, i) =>
+        (t, Map("id" -> i.toString)) }.toDF("table", "data"))
+      .collect().map { r =>
+        r.getAs[String]("src_table") -> GapOut(
+          r.getAs[String]("src_table"), r.getAs[Long]("n_ids"),
+          r.getAs[Long]("min_id"), r.getAs[Long]("max_id"),
+          r.getAs[Long]("n_islands"),
+          Option(r.getAs[Any]("largest_gap"))
+            .map(_.asInstanceOf[Long]),
+          r.getAs[Long]("n_missing"), r.getAs[Long]("missing_ppm"))
+      }.toMap
+    assert(fin === batch)
+  }
+
+  test("SeqGapMonitor: past the island cap the smallest interior " +
+      "gap closes — missing becomes a documented lower bound, " +
+      "span stays exact") {
+    import graft.streaming.SeqGapMonitor
+    import graft.streaming.SeqGapMonitor.{GapOut, IdRow}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[IdRow]
+    val q = SeqGapMonitor.monitor(in.toDS(), maxIslands = 2)
+      .writeStream.format("memory").queryName("seqgap_cap")
+      .outputMode("append").start()
+    try {
+      // 3 islands {1},{5},{100}: gaps 3 and 94 — the 3 closes
+      in.addData(IdRow("t", 1L), IdRow("t", 5L), IdRow("t", 100L))
+      q.processAllAvailable()
+      // an id inside the fused range is absorbed, not double-counted
+      in.addData(IdRow("t", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("seqgap_cap").as[GapOut].collect()
+      .sortBy(_.n_ids)
+    // capped: islands {1-5},{100}: 6 ids counted, missing 94 (the
+    // exact profile would say 3 ids / 97 missing — lower bound)
+    assert(got(0) === GapOut("t", 6L, 1L, 100L, 2L, Some(94L),
+      94L, 940000L))
+    assert(got(1) === GapOut("t", 6L, 1L, 100L, 2L, Some(94L),
+      94L, 940000L))
+  }
 }

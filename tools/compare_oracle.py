@@ -16,7 +16,7 @@ allocations with >100 GB free — allocator state poisoned process-wide
 a fresh process passes). Transient failures are therefore retried in a
 fresh SUBPROCESS, which clears them reliably.
 """
-import json, math, multiprocessing, os, subprocess, sys
+import decimal, json, math, multiprocessing, os, subprocess, sys
 # PRELOAD the multiprocessing C extensions at module import, while the
 # process map table is still small: after ~200 DuckDB connection
 # cycles the process nears vm.max_map_count and any LAZY dlopen
@@ -86,6 +86,36 @@ def compare_one(out_dir, sf_dir, name, sql):
                     f"spark {got[c].dtype} vs oracle {exp[c].dtype} "
                     f"(un-CAST aggregate in oracle final projection?)",
                     False)
+    # BANNED dtype classes (always on): the driver's gate hashes a
+    # pandas canonicalization of both frames, and two classes of final
+    # column diverge or crash there even when this tool's value compare
+    # passes — (a) wide DECIMAL: Spark parquet and DuckDB fetchdf map
+    # DECIMAL(38,0) to different pandas dtypes, so the value hash
+    # diverges (r14: q_vec_assortativity, q_cdc_checksum_diff); (b)
+    # array/list columns: the driver's sort_values lexsort dies on
+    # unhashable numpy.ndarray (r14: q_cdc_apply_conflicts). This tool
+    # must never be MORE lenient than the gate it rehearses, so both
+    # classes fail here loudly; narrow to BIGINT or serialize to a
+    # sorted CSV string in BOTH engines instead.
+    def banned(v):
+        if isinstance(v, decimal.Decimal):
+            return "decimal (wide-DECIMAL final column)"
+        if isinstance(v, (list, tuple, dict)) or \
+                (hasattr(v, "tolist") and not hasattr(v, "upper")
+                 and getattr(v, "ndim", 1) != 0):
+            return "array/list (unhashable in driver row sort)"
+        return None
+    for side, df in (("spark", got), ("oracle", exp)):
+        for c in df.columns:
+            if df[c].dtype.kind != "O":
+                continue
+            for v in df[c]:
+                b = None if v is None else banned(v)
+                if b:
+                    return (f"FAIL {name}: col {c} ({side}) carries "
+                            f"{b}: {type(v).__name__} — driver-gate "
+                            f"hazard, narrow/serialize the final "
+                            f"projection", False)
     for c in got.columns:
         gv = [norm(x) for x in got[c].tolist()]
         ev = [norm(x) for x in exp[c].tolist()]
