@@ -474,6 +474,50 @@ object StreamBench {
           java.nio.file.Files.readString(out9.toPath) + line9 + "\n")
       } finally sgQ.stop()
     }
+
+    // Tenth surface: the incremental replica-checksum monitor — raw
+    // change rows/s through the per-bucket (count, Σhash mod 2⁶¹−1)
+    // fold (the continuous form of Cdc.checksumDiff's replica side).
+    // Deterministic I/U/D mix (8:1:1) over a 64-bucket fingerprint
+    // domain; hashes are synthetic 60-bit values (the monitor folds
+    // longs — md5 computation is the FEED's cost, not the state op's).
+    {
+      implicit val s = spark
+      val ckIn = MemoryStream[streaming.ChecksumMonitor.Delta]
+      val ckQ = streaming.ChecksumMonitor.monitor(ckIn.toDS())
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val buckets = 64
+        val perBatch = 5000 * scale
+        val nCkBatches = 4
+        def ckBatch(b: Int): Seq[streaming.ChecksumMonitor.Delta] =
+          (0 until perBatch).map { i =>
+            val g = (b.toLong * perBatch + i)
+            val h = (g * 6364136223846793005L) >>> 4 // 60-bit-ish
+            val op = if (i % 10 == 8) "U" else if (i % 10 == 9) "D"
+              else "I"
+            streaming.ChecksumMonitor.Delta(
+              (i % buckets).toLong, op, h, h ^ 0x5555555555555L)
+          }
+        ckIn.addData(ckBatch(0)) // warm batch
+        ckQ.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nCkBatches).foreach { b =>
+          ckIn.addData(ckBatch(b))
+          ckQ.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = perBatch.toLong * nCkBatches
+        val line10 =
+          s"""{"metric":"checksum_monitor_changes_per_sec","value":${(n / dt).toLong},""" +
+            s""""changes":$n,"buckets":$buckets,"seconds":$dt,"batches":$nCkBatches,"scale":$scale,"sf":"$sfDir"}"""
+        println(line10)
+        val out10 = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(out10.toPath,
+          java.nio.file.Files.readString(out10.toPath) + line10 + "\n")
+      } finally ckQ.stop()
+    }
     spark.stop()
   }
 }

@@ -506,6 +506,61 @@ object Cdc {
         expr("n_missing * 1000000 div (max_id - min_id + 1)"))
   }
 
+  /** Arrival-disorder profile of a keyed feed — how out-of-order do
+    * ids actually arrive, per table: the measured fact behind every
+    * buffering decision (watermark width, sequencer reorder window,
+    * MERGE batch size). A row is an INVERSION when its id is below
+    * the running maximum of everything that arrived before it; the
+    * regression depth `prev_max − id` is how far back the sequencer
+    * must reach. Output per table: rows, inversions, exact ppm, and
+    * the maximum regression depth (NULL when perfectly ordered).
+    *
+    * Scale shape — the two-level prefix-max, NOT one window per
+    * table (a hot table would serialize onto one task): arrival
+    * partitions into calendar days, the running max runs inside each
+    * (table, day) partition, day maxima roll up to a per-table
+    * day-prefix window (calendar-bounded), and the effective
+    * previous-max is `greatest(intra-day prev, prior-day prefix)` —
+    * exactly equal to the global running max, computed with no
+    * row-scale single partition anywhere.
+    */
+  def disorderProfile(
+      feed: DataFrame,
+      tableCol: String = "src_table",
+      idCol: String = "id",
+      dayCol: String = "d",
+      orderCols: Seq[String] = Seq("arr_k")
+  ): DataFrame = {
+    val ord = orderCols.map(col) :+ col(idCol)
+    val wDay = Window.partitionBy(col(tableCol), col(dayCol))
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = feed
+      .withColumn("__local_prev", max(col(idCol)).over(wDay))
+    val dayMax = feed
+      .groupBy(col(tableCol), col(dayCol))
+      .agg(max(col(idCol)).as("__day_max"))
+    val wPrefix = Window.partitionBy(col(tableCol))
+      .orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dayPrefix = dayMax
+      .withColumn("__prior_prefix", max(col("__day_max")).over(wPrefix))
+      .select(col(tableCol), col(dayCol), col("__prior_prefix"))
+    withLocal
+      .join(dayPrefix, Seq(tableCol, dayCol))
+      .withColumn("__prev_max",
+        greatest(col("__local_prev"), col("__prior_prefix")))
+      .groupBy(col(tableCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(idCol) < col("__prev_max"), lit(1)))
+          .as("n_inversions"),
+        max(when(col(idCol) < col("__prev_max"),
+          col("__prev_max") - col(idCol))).as("max_regression"))
+      .withColumn("inversion_ppm",
+        expr("n_inversions * 1000000 div n_rows"))
+  }
+
   /** Replica checksum validation — "is the CDC-maintained copy still
     * byte-equal to the source" answered WITHOUT shipping rows: both
     * sides reduce to per-bucket (row count, 60-bit-row-hash sum)
@@ -541,6 +596,20 @@ object Cdc {
     * SUMS mod 2⁶¹−1, detectable-in-principle but 2⁻⁶⁰-grade; the op
     * is a drift MONITOR, not a cryptographic proof, and says so here.
     */
+  /** The repo's md5-60 ROW hash over named columns — shared by the
+    * batch [[checksumDiff]] and the streaming ChecksumMonitor's feed
+    * builders so both fingerprint the identical bytes. Each column
+    * coalesces to a chr(1)-prefixed sentinel BEFORE concat_ws
+    * (chr(1) cannot appear in sane data, so NULL gets its own hash
+    * byte-sequence distinct from every real value including '').
+    */
+  def rowHash60(hashCols: Seq[String]): Column = {
+    val nullSentinel = lit("\u0001NULL")
+    val hashInput = concat_ws("|",
+      hashCols.map(c => coalesce(col(c).cast("string"), nullSentinel)): _*)
+    conv(substring(md5(hashInput), 1, 15), 16, 10).cast("long")
+  }
+
   def checksumDiff(
       source: DataFrame,
       replica: DataFrame,
@@ -549,16 +618,10 @@ object Cdc {
       nBuckets: Int = 32
   ): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    // chr(1) cannot appear in sane data, so NULL gets its own hash
-    // byte-sequence distinct from every real value (incl. '')
-    val nullSentinel = lit("\\u0001NULL")
-    val hashInput = concat_ws("|",
-      hashCols.map(c => coalesce(col(c).cast("string"), nullSentinel)): _*)
     def fp(df: DataFrame, side: String): DataFrame =
       df.select(
         pmod(col(keyCol), lit(nBuckets.toLong)).as("bucket"),
-        conv(substring(md5(hashInput), 1, 15), 16, 10)
-          .cast("long").as("__h"))
+        rowHash60(hashCols).as("__h"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as(s"n_$side"),
           sum(col("__h").cast("decimal(38,0)")).as(s"sum_$side"))

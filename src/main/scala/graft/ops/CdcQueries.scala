@@ -129,6 +129,19 @@ object CdcQueries {
     "q_cdc_seq_gaps" -> ((s, d) =>
       Cdc.sequenceGaps(normalized(s, d))
         .orderBy(col("src_table"))),
+    // arrival-disorder profile: inversions vs the running id max and
+    // the max regression depth — the measured fact behind watermark /
+    // reorder-buffer sizing. Arrival order is planted deterministic:
+    // days in calendar order, ids scrambled by id%97 within each day
+    "q_cdc_disorder" -> ((s, d) => {
+      val f = Tables.events(s, d).select(
+        concat(lit("t"), pmod(col("user_id"), lit(3L)).cast("string"))
+          .as("src_table"),
+        col("event_id").as("id"),
+        to_date(col("ts")).as("d"),
+        pmod(col("event_id"), lit(97L)).as("arr_k"))
+      Cdc.disorderProfile(f).orderBy(col("src_table"))
+    }),
     // replica checksum validation: per-bucket (count, md5-60 sum)
     // fingerprints of a source dim vs a drifted replica (planted:
     // custkey%97 mutated, custkey%131 missing) — the
@@ -427,6 +440,28 @@ object CdcQueries {
          |    // CAST(MAX(run_end) - MIN(run_start) + 1 AS BIGINT)
          |    AS missing_ppm
          |FROM x GROUP BY src_table ORDER BY src_table""".stripMargin,
+    // running id max per table over the planted arrival order
+    // (d, id%97, id) — inversions + max regression depth
+    "q_cdc_disorder" ->
+      """WITH m AS (
+        |  SELECT 't'||(user_id % 3) AS src_table, event_id AS id,
+        |    CAST(ts AS DATE) AS d, event_id % 97 AS arr_k
+        |  FROM events),
+        |w AS (
+        |  SELECT src_table, id,
+        |    MAX(id) OVER (PARTITION BY src_table
+        |      ORDER BY d, arr_k, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM m)
+        |SELECT src_table, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(CASE WHEN id < prev_max THEN 1 END) AS BIGINT)
+        |    AS n_inversions,
+        |  CAST(MAX(CASE WHEN id < prev_max THEN prev_max - id END)
+        |    AS BIGINT) AS max_regression,
+        |  COUNT(CASE WHEN id < prev_max THEN 1 END) * 1000000
+        |    // COUNT(*) AS inversion_ppm
+        |FROM w GROUP BY src_table ORDER BY src_table""".stripMargin,
     // md5-60 row hashes summed per bucket in HUGEINT (exact), then
     // the fingerprint narrows mod 2^61-1 to BIGINT — wide decimals
     // must not reach a final projection (driver-hash hazard)

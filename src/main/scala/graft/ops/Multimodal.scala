@@ -563,6 +563,53 @@ object Multimodal {
     * the lowest doc_id. Singletons survive as their own cluster, so
     * the output is the full post-dedup media corpus manifest.
     */
+  /** Storage-reclaim estimate of media dedup — the capacity-planning
+    * number that decides whether the dedup pipeline is worth running
+    * on a store: one summary row with total corpus bytes, bytes
+    * reclaimable by EXACT dedup alone (identical payloads — free, a
+    * hash rollup), bytes reclaimable by the full near-dup cluster
+    * pass (keep the largest member per cluster, the
+    * [[mediaDupSurvivors]] convention), and the exact ppm of the
+    * store that near-dedup reclaims. Exact ≤ near by construction
+    * (identical payloads are hamming-0 pairs). Same banded pair
+    * graph + component pass as the survivors op, plus two
+    * count-sized rollups — nothing new shuffles at scale.
+    */
+  def dedupSavings(
+      docs: DataFrame,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val bytes = withPayload(docs).select(col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("pm"))
+    val pairs = mediaNearDup(docs, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    val perCluster = Text.dupClusters(docs, pairs)
+      .join(bytes, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(sum(col("n_bytes")).as("__cb"),
+        max(col("n_bytes")).as("__best"),
+        count(lit(1)).as("__n"))
+    val near = perCluster.agg(
+      count(lit(1)).as("n_clusters"),
+      sum(col("__n") - 1).cast("long").as("n_dropped"),
+      sum(col("__cb") - col("__best")).cast("long")
+        .as("neardup_reclaim_bytes"))
+    val exact = bytes.groupBy(col("pm"), col("n_bytes"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(sum((col("__c") - 1) * col("n_bytes")).cast("long")
+        .as("exact_reclaim_bytes"))
+    bytes.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(near))
+      .select(col("n_docs"), col("total_bytes"), col("n_clusters"),
+        col("n_dropped"), col("exact_reclaim_bytes"),
+        col("neardup_reclaim_bytes"),
+        expr("neardup_reclaim_bytes * 1000000 div total_bytes")
+          .as("reclaim_ppm"))
+  }
+
   def mediaDupSurvivors(
       docs: DataFrame,
       maxHamming: Int = 3

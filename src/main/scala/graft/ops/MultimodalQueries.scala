@@ -132,6 +132,16 @@ object MultimodalQueries {
       Multimodal.mediaDupSurvivors(docs.unionByName(planted),
         maxHamming = 3)
         .orderBy(col("cluster"))
+    }),
+    // capacity-planning rollup of the same planted-clone corpus:
+    // exact-dedup reclaim vs full near-dup-cluster reclaim in bytes
+    // and exact ppm of the store
+    "q_mm_dedup_savings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Multimodal.dedupSavings(docs.unionByName(planted),
+        maxHamming = 3)
     })
   )
 
@@ -243,6 +253,61 @@ object MultimodalQueries {
         |  g.n_members, g.n_members - 1 AS n_dropped
         |FROM w JOIN g USING (cluster) WHERE w.rk = 1
         |ORDER BY cluster""".stripMargin,
+    // survivors CTE stack + two count-sized rollups: exact reclaim
+    // from the identical-payload groups, near reclaim from keeping
+    // the largest member per component
+    "q_mm_dedup_savings" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+        |      AS phash
+        |  FROM d),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT reach.doc_id, e.dst
+        |  FROM reach JOIN e ON reach.r = e.src),
+        |cl AS (SELECT doc_id, MIN(r) AS cluster
+        |       FROM reach GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |        md5(text) AS pm
+        |      FROM d),
+        |g AS (SELECT cl.cluster,
+        |        CAST(SUM(b.n_bytes) AS BIGINT) AS cb,
+        |        CAST(MAX(b.n_bytes) AS BIGINT) AS best,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM cl JOIN b USING (doc_id) GROUP BY cl.cluster),
+        |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |         CAST(SUM(n - 1) AS BIGINT) AS n_dropped,
+        |         CAST(SUM(cb - best) AS BIGINT)
+        |           AS neardup_reclaim_bytes
+        |       FROM g),
+        |ex AS (SELECT CAST(SUM((c - 1) * n_bytes) AS BIGINT)
+        |         AS exact_reclaim_bytes
+        |       FROM (SELECT pm, n_bytes,
+        |               CAST(COUNT(*) AS BIGINT) AS c
+        |             FROM b GROUP BY pm, n_bytes)),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        |      FROM b)
+        |SELECT t.n_docs, t.total_bytes, nr.n_clusters, nr.n_dropped,
+        |  ex.exact_reclaim_bytes, nr.neardup_reclaim_bytes,
+        |  nr.neardup_reclaim_bytes * 1000000 // t.total_bytes
+        |    AS reclaim_ppm
+        |FROM t, nr, ex""".stripMargin,
     "q_mm_payload_stats" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -1424,4 +1424,43 @@ object Relational {
             .rowsBetween(org.apache.spark.sql.expressions
               .Window.unboundedPreceding, 0)))
   }
+
+  /** Per-part demand-velocity trend: shipped quantity in the first
+    * calendar half vs the second, and the exact milli ratio — the
+    * slow-mover/decliner screen an inventory planner runs before
+    * delisting (a part whose second-half velocity collapses is the
+    * one to stop stocking; one whose ratio explodes is about to
+    * stock out). Midpoint derives from the feed itself (global
+    * min/max shipdate in epoch days — one count-sized agg broadcast
+    * back), both halves are conditional sums in ONE scan of
+    * lineitem, and the decliner head is a TakeOrdered top-N, never
+    * a global sort. Parts with zero first-half volume are excluded
+    * (no baseline to decline from — they are the NEW-part screen,
+    * a different question).
+    */
+  def velocityTrend(
+      lineitem: DataFrame,
+      topN: Int = 20
+  ): DataFrame = {
+    val days = lineitem.select(
+      col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+        .cast("long").as("sd"))
+    val mid = days
+      .agg(min(col("sd")).as("__mn"), max(col("sd")).as("__mx"))
+      .select(expr("(__mn + __mx) div 2").as("mid_day"))
+    days
+      .crossJoin(broadcast(mid))
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(when(col("sd") <= col("mid_day"), col("qty"))
+          .otherwise(lit(0L))).cast("long").as("qty_h1"),
+        sum(when(col("sd") > col("mid_day"), col("qty"))
+          .otherwise(lit(0L))).cast("long").as("qty_h2"))
+      .filter(col("qty_h1") > 0)
+      .withColumn("trend_milli", expr("qty_h2 * 1000 div qty_h1"))
+      .orderBy(col("trend_milli"), col("l_partkey"))
+      .limit(topN)
+  }
 }

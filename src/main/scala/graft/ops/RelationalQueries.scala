@@ -227,6 +227,10 @@ object RelationalQueries {
     // (centi grid): the does-the-discount-move-volume audit
     "q_li_discount_elasticity" -> ((s, d) =>
       discountElasticity(Tables.lineitem(s, d))),
+    // per-part demand-velocity decliners: first-half vs second-half
+    // shipped quantity, exact milli ratio, top-20 steepest drops
+    "q_part_velocity_trend" -> ((s, d) =>
+      velocityTrend(Tables.lineitem(s, d), topN = 20)),
     // TPC-H Q12 shape: late vs on-time lineitems per priority class
     "q_shipping_delay" -> ((s, d) =>
       shippingDelayAnalysis(Tables.lineitem(s, d),
@@ -809,6 +813,25 @@ object RelationalQueries {
         |      - CAST(sum_x AS HUGEINT) * sum_x)
         |    AS BIGINT) END AS slope_qty_milli_per_centi
         |FROM s""".stripMargin,
+    // first-vs-second calendar-half shipped quantity per part;
+    // midpoint in epoch days from the feed's own min/max
+    "q_part_velocity_trend" ->
+      """WITH s AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(epoch(l_shipdate) // 86400 AS BIGINT) AS sd
+        |  FROM lineitem),
+        |m AS (SELECT (MIN(sd) + MAX(sd)) // 2 AS mid_day FROM s),
+        |g AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CASE WHEN sd <= mid_day THEN qty ELSE 0 END)
+        |      AS BIGINT) AS qty_h1,
+        |    CAST(SUM(CASE WHEN sd > mid_day THEN qty ELSE 0 END)
+        |      AS BIGINT) AS qty_h2
+        |  FROM s, m GROUP BY l_partkey)
+        |SELECT l_partkey, qty_h1, qty_h2,
+        |  qty_h2 * 1000 // qty_h1 AS trend_milli
+        |FROM g WHERE qty_h1 > 0
+        |ORDER BY trend_milli, l_partkey LIMIT 20""".stripMargin,
     "q_orders_backlog" ->
       """WITH life AS (
         |  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od,

@@ -266,6 +266,27 @@ class CdcSpec extends SparkSpec {
     assert(out((2L, 15L)) == ((false, None)))     // unkeyed dim
   }
 
+  test("disorderProfile: inversions against the running max, " +
+      "regressions carried ACROSS day boundaries by the prefix-max, " +
+      "ordered table reads zero/NULL") {
+    import spark.implicits._
+    // table "t": day 1 arrival [5, 3, 7] (3 regresses 2 below the
+    // max), day 2 arrival [6, 9] (6 regresses 1 below day-1's max —
+    // visible ONLY through the cross-day prefix). table "o": ordered.
+    val rows = Seq(
+      ("t", 5L, 1, 0), ("t", 3L, 1, 1), ("t", 7L, 1, 2),
+      ("t", 6L, 2, 0), ("t", 9L, 2, 1),
+      ("o", 1L, 1, 0), ("o", 2L, 1, 1), ("o", 3L, 2, 0))
+      .toDF("src_table", "id", "d", "arr_k")
+    val m = Cdc.disorderProfile(rows).collect()
+      .map(r => r.getAs[String]("src_table") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_inversions"),
+          Option(r.getAs[Any]("max_regression")),
+          r.getAs[Long]("inversion_ppm"))).toMap
+    assert(m("t") == ((5L, 2L, Some(2L), 400000L)))
+    assert(m("o") == ((3L, 0L, None, 0L)))
+  }
+
   test("checksumDiff: identical tables all-match; a mutated row and " +
       "a missing row flag exactly their buckets") {
     import spark.implicits._

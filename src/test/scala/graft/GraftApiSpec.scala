@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 333,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 333")
-    assert(SparkEntry.oracleSql.size == 321,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 321")
+    assert(SparkEntry.queries.size == 336,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 336")
+    assert(SparkEntry.oracleSql.size == 324,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 324")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -237,6 +237,45 @@ class GraftApiSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"driver-hash-hazard columns in final schemas: $offenders")
+  }
+
+  /** The r14 closing commit claimed 321/321 while the driver's own
+    * artifact said 318/321 — the local gate had quietly diverged from
+    * the one that counts. This pin makes the DRIVER's newest sweep a
+    * test input: every red row in the newest CORRECTNESS_r*.json
+    * (hash/rows mismatch or a compare error other than the contracted
+    * `no_oracle`) must be explicitly acknowledged here — i.e. fixing
+    * a driver red and acknowledging it is one deliberate same-commit
+    * act, and a NEW driver red fails the suite until a human names
+    * it. Parsing is regex-grade on purpose: the artifact is flat
+    * one-level JSON and this spec must not grow a JSON dependency.
+    */
+  test("every red row in the newest driver correctness artifact is " +
+      "acknowledged") {
+    val dir = new java.io.File("/root/repo")
+    val arts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
+      .sortBy(_.getName)
+    if (arts.nonEmpty) {
+      val txt = java.nio.file.Files.readString(arts.last.toPath)
+      val row =
+        """"(q_[a-z0-9_]+)":\s*\{([^}]*)\}""".r
+      val reds = row.findAllMatchIn(txt).collect {
+        case m if m.group(2).contains("\"hash_match\": false") ||
+          m.group(2).contains("\"rows_match\": false") ||
+          m.group(2).contains("\"schema_match\": false") ||
+          (m.group(2).contains("\"err\": \"") &&
+            !m.group(2).contains("\"err\": \"no_oracle\"")) =>
+          m.group(1)
+      }.toSet
+      // r14 reds, all fixed r15 (narrowed/serialized finals):
+      val acknowledged = Set("q_vec_assortativity",
+        "q_cdc_checksum_diff", "q_cdc_apply_conflicts")
+      assert(reds.subsetOf(acknowledged),
+        s"UNACKNOWLEDGED driver-red rows in ${arts.last.getName}: " +
+          s"${reds -- acknowledged} — fix them (or name them here) " +
+          "in the same commit")
+    }
   }
 
   test("doc surface composes end to end") {

@@ -338,4 +338,21 @@ class MultimodalSpec extends SparkSpec {
     assert(m(3L) == ((3L, 1L, 0L)))
     graft.Caches.release("text")
   }
+
+  test("dedupSavings: exact reclaim from identical payloads, " +
+      "near reclaim keeps the largest member per cluster, ppm " +
+      "exact; singletons contribute nothing") {
+    // 3x 'a' (1 byte each, one cluster), singletons 'b' and 'bb'
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, "bb")).toDF("doc_id", "text")
+    val r = graft.ops.Multimodal.dedupSavings(docs).collect().head
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("total_bytes") === 6L)
+    assert(r.getAs[Long]("n_clusters") === 3L)
+    assert(r.getAs[Long]("n_dropped") === 2L)
+    assert(r.getAs[Long]("exact_reclaim_bytes") === 2L)
+    assert(r.getAs[Long]("neardup_reclaim_bytes") === 2L)
+    assert(r.getAs[Long]("reclaim_ppm") === 333333L)
+    graft.Caches.release("text")
+  }
 }

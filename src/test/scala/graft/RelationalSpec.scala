@@ -334,4 +334,21 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.discountElasticity(tricky).collect()
       .head.getAs[Long]("sum_x") === 3L)
   }
+
+  test("velocityTrend: halves split at the feed's own midpoint, " +
+      "decliners rank first, zero-baseline parts excluded") {
+    import spark.implicits._
+    // calendar days Jan 1..11 -> midpoint Jan 6
+    val li = Seq(
+      (1L, 10.0, "1995-01-01"), (1L, 2.0, "1995-01-11"),   // 200
+      (2L, 5.0, "1995-01-02"), (2L, 5.0, "1995-01-10"),    // 1000
+      (3L, 7.0, "1995-01-09"),                             // h1=0: out
+      (4L, 4.0, "1995-01-03")                              // h2=0: 0
+    ).toDF("l_partkey", "l_quantity", "l_shipdate")
+    val out = Relational.velocityTrend(li, topN = 10).collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("qty_h1"),
+        r.getAs[Long]("qty_h2"), r.getAs[Long]("trend_milli")))
+    assert(out.toSeq === Seq((4L, 4L, 0L, 0L), (1L, 10L, 2L, 200L),
+      (2L, 5L, 5L, 1000L)))
+  }
 }

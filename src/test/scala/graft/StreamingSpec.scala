@@ -889,6 +889,62 @@ class StreamingSpec extends SparkSpec {
       Seq(2000000L, 2000000L))
   }
 
+  test("ChecksumMonitor ≡ Cdc.checksumDiff over the materialized " +
+      "end state: I/U/D fold to the exact batch fingerprint, " +
+      "bucket for bucket, regardless of batch split") {
+    import graft.streaming.ChecksumMonitor
+    import graft.streaming.ChecksumMonitor.{Delta, FpOut}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cols = Seq("k", "name", "seg")
+    def hashed(df: org.apache.spark.sql.DataFrame) = df.select(
+      pmod(col("k"), lit(4L)).as("bucket"),
+      graft.ops.Cdc.rowHash60(cols).as("h"), col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = (1L to 20L).map(k => (k, s"n$k", s"seg${k % 3}"))
+      .toDF("k", "name", "seg")
+    val mutated = base
+      .withColumn("seg",
+        when(col("k") === 6L, "MUT").otherwise(col("seg")))
+    val inserts = hashed(base).map { case (b, h, _) =>
+      Delta(b, "I", h, 0L) }
+    val oldRow6 = hashed(base).find(_._3 == 6L).get
+    val newRow6 = hashed(mutated).find(_._3 == 6L).get
+    val row9 = hashed(base).find(_._3 == 9L).get
+    val updates = Seq(Delta(oldRow6._1, "U", newRow6._2, oldRow6._2),
+      Delta(row9._1, "D", 0L, row9._2))
+    val in = MemoryStream[Delta]
+    val q = ChecksumMonitor.monitor(in.toDS())
+      .writeStream.format("memory").queryName("cksum_out")
+      .outputMode("append").start()
+    try {
+      // arbitrary split: half the inserts, then the rest MIXED with
+      // the updates/deletes — the fold is commutative mod M, so the
+      // batch boundaries must not matter
+      in.addData(inserts.take(9): _*)
+      q.processAllAvailable()
+      in.addData((inserts.drop(9) ++ updates): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // max-version row per bucket = the converged fingerprint (the
+    // monitor's LWW consumer contract)
+    val fin = spark.table("cksum_out").as[FpOut].collect()
+      .groupBy(_.bucket).map { case (b, rs) =>
+        b -> rs.maxBy(_.version) }
+    val finalTable = mutated.filter(col("k") =!= 9L)
+    val expect = graft.ops.Cdc.checksumDiff(
+      finalTable, finalTable, "k", cols, nBuckets = 4).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_src"), r.getAs[Long]("sum_src"))).toMap
+    assert(fin.keySet === expect.keySet)
+    for ((b, out) <- fin) {
+      assert((out.n_rows, out.fingerprint) === expect(b),
+        s"bucket $b: monitor ${(out.n_rows, out.fingerprint)} " +
+          s"!= batch ${expect(b)}")
+    }
+  }
+
   test("SeqGapMonitor: islands extend/merge/open across batches, " +
       "dups fold away, per-table isolation") {
     import graft.streaming.SeqGapMonitor
