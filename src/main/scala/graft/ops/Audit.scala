@@ -195,6 +195,96 @@ object Audit {
         col("z_q20"), col("anomaly"))
   }
 
+  /** Greedy alert-cooldown suppression — the anti-fatigue layer every
+    * monitoring stack puts between anomaly DETECTION and a pager: of
+    * a type's anomalous days, alert on the first, then suppress any
+    * further anomaly within `cooldownDays` of the LAST EMITTED alert
+    * (not the last anomaly — suppression must not slide the window).
+    * That greedy recurrence is inherently sequential, but its domain
+    * is the per-type anomalous-DAY list (calendar-bounded at any
+    * corpus size), so it folds as one `aggregate` over the sorted
+    * day array — the hierarchy-closure precedent: sequential in a
+    * bounded domain, never in rows. Anomaly rule kept deliberately
+    * self-contained (day count > 1.2× the type's own daily mean,
+    * exact integer cross-products) so the op needs no upstream score
+    * column; alert days ship as a CSV string (array finals are
+    * driver-hash hazards).
+    */
+  def alertCooldown(
+      events: DataFrame,
+      cooldownDays: Int = 3
+  ): DataFrame = {
+    require(cooldownDays >= 1,
+      s"cooldownDays must be >= 1: $cooldownDays")
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("__total"), count(lit(1)).as("__n_days"))
+    daily
+      .join(tot, "event_type")
+      .filter(col("n") * col("__n_days") * lit(5L) >
+        col("__total") * lit(6L))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("day"))).as("__days"))
+      .withColumn("__alerts", expr(
+        s"""aggregate(__days,
+           |  named_struct('last', CAST(-1000000000 AS BIGINT),
+           |    'out', CAST(array() AS ARRAY<BIGINT>)),
+           |  (acc, d) -> IF(d - acc.last >= $cooldownDays,
+           |    named_struct('last', d,
+           |      'out', array_append(acc.out, d)),
+           |    acc),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("event_type"),
+        size(col("__days")).cast("long").as("n_anomaly_days"),
+        size(col("__alerts")).cast("long").as("n_alerts"),
+        expr("CAST(size(__days) - size(__alerts) AS BIGINT) " +
+          "* 1000000 div size(__days)").as("suppressed_ppm"),
+        array_join(col("__alerts"), ",").as("alert_days"))
+  }
+
+  /** Stream-stream join state advisor — the estimate behind the #1
+    * streaming OOM: a watermarked interval join retains every row
+    * younger than the join horizon, so peak state is the max over
+    * time of rows-in-the-trailing-W-window. Measured from the feed
+    * itself: minute-grain counts (calendar-bounded domain), a
+    * sliding RANGE window of W minutes, then max / exact milli mean
+    * + a byte estimate at `bytesPerRow`. One scan + one bounded
+    * window; the global window runs over minutes, never events.
+    */
+  def streamJoinStateAdvisor(
+      events: DataFrame,
+      windowMinutes: Int = 60,
+      bytesPerRow: Long = 64L
+  ): DataFrame = {
+    require(windowMinutes >= 1,
+      s"windowMinutes must be >= 1: $windowMinutes")
+    val byMin = events
+      .groupBy(expr(
+        "CAST(unix_seconds(CAST(ts AS TIMESTAMP)) div 60 AS BIGINT)")
+        .as("m"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("m"))
+      .rangeBetween(-(windowMinutes - 1).toLong, 0L)
+    byMin
+      .withColumn("state_rows", sum(col("n")).over(w))
+      .agg(
+        count(lit(1)).as("n_minutes"),
+        max(col("state_rows")).as("max_state_rows"),
+        sum(col("state_rows")).as("__sum_state"))
+      .select(
+        lit(windowMinutes.toLong).as("w_minutes"),
+        col("n_minutes"),
+        col("max_state_rows"),
+        expr("__sum_state * 1000 div n_minutes")
+          .as("avg_state_rows_milli"),
+        (col("max_state_rows") * lit(bytesPerRow))
+          .as("max_state_bytes"))
+  }
+
   /** Day-over-day volume deltas per event type — the plain movement
     * report next to the anomaly scores: previous day's count, the
     * absolute delta, and the relative change in exact integer ppm

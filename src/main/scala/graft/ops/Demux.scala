@@ -344,6 +344,30 @@ object Demux {
       .orderBy(col("version_code"))
   }
 
+  /** DWS page-flow transition matrix — the navigation read the
+    * reference's warehouse builds over its demuxed page stream: per
+    * (source page, destination page) edge, visits and the exact ppm
+    * share of the source page's outflow. The envelope carries the
+    * edge directly (`last_page_id` → `page_id`), so this is ONE
+    * rollup + a source-total window over the page×page domain
+    * (bounded by the app's page inventory at any corpus size) — no
+    * sessionization, no per-user windows. Entry views (null
+    * last_page_id) group under the NULL source row, which is the
+    * entry-mix read for free.
+    */
+  def pageFlow(pages: DataFrame): DataFrame = {
+    val edges = pages
+      .groupBy(col("last_page_id"), col("page_id"))
+      .agg(count(lit(1)).as("n_visits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("last_page_id"))
+    edges
+      .withColumn("__src_total", sum(col("n_visits")).over(w))
+      .withColumn("share_ppm",
+        expr("n_visits * 1000000 div __src_total"))
+      .drop("__src_total")
+  }
+
   /** DWS new-vs-returning daily mix — the acquisition read off the
     * envelope's `is_new` flag: per event-time day, visits and exact
     * distinct devices on each side plus the new-device ppm share of

@@ -97,6 +97,11 @@ object DemuxQueries {
     "q_demux_err_by_version" -> ((s, d) =>
       Demux.errorsByVersion(Demux.errors(parsed(s, d)),
         Demux.pages(parsed(s, d)))),
+    // DWS page-flow matrix: (last_page_id -> page_id) edge visits +
+    // exact ppm share of the source page's outflow
+    "q_demux_page_flow" -> ((s, d) =>
+      Demux.pageFlow(Demux.pages(parsed(s, d)))
+        .orderBy(col("last_page_id"), col("page_id"))),
     // DWS item exposure->action conversion: page views of an item vs
     // actions on it (purchase events convert their own page row;
     // view/click pages stay at 0)
@@ -226,6 +231,22 @@ object DemuxQueries {
         |FROM pv FULL OUTER JOIN em USING (mid)
         |GROUP BY version_code
         |ORDER BY version_code NULLS FIRST""".stripMargin,
+    // (k%7 -> k%10) edge rollup + source-total share
+    "q_demux_page_flow" ->
+      s"""${withK("event_type IN ('view','click','purchase')")},
+         |ed AS (
+         |  SELECT 'p'||(k % 7) AS last_page_id,
+         |    'p'||(k % 10) AS page_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_visits
+         |  FROM e GROUP BY 1, 2),
+         |t AS (
+         |  SELECT *, SUM(n_visits) OVER (PARTITION BY last_page_id)
+         |    AS src_total
+         |  FROM ed)
+         |SELECT last_page_id, page_id, n_visits,
+         |  CAST(n_visits * 1000000 // src_total AS BIGINT)
+         |    AS share_ppm
+         |FROM t ORDER BY last_page_id, page_id""".stripMargin,
     "q_demux_new_users" ->
       s"""${withK("event_type IN ('view','click','purchase')")},
          |dm AS (

@@ -156,6 +156,17 @@ object RelationalQueries {
     "q_events_watermark_plan" -> ((s, d) =>
       Audit.watermarkPlan(Tables.events(s, d))
         .orderBy(col("event_type"))),
+    // greedy alert-cooldown suppression over each type's anomalous
+    // days (count > 1.2x the type's daily mean): first alert fires,
+    // anything within 3 days of the LAST EMITTED alert suppresses
+    "q_events_alert_cooldown" -> ((s, d) =>
+      Audit.alertCooldown(Tables.events(s, d), cooldownDays = 3)
+        .orderBy(col("event_type"))),
+    // stream-stream join state advisor: peak/mean trailing-60-minute
+    // row retention measured from the feed's own minute-grain rates
+    "q_events_join_state" -> ((s, d) =>
+      Audit.streamJoinStateAdvisor(Tables.events(s, d),
+        windowMinutes = 60, bytesPerRow = 64L)),
     // broadcast-vs-shuffle advisor over the dim tables (threshold
     // 100 KB so BOTH branches appear at oracle SF: customer/part
     // read shuffle, nation/region broadcast)
@@ -818,7 +829,8 @@ object RelationalQueries {
     "q_part_velocity_trend" ->
       """WITH s AS (
         |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
-        |    CAST(epoch(l_shipdate) // 86400 AS BIGINT) AS sd
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+        |      AS BIGINT) AS sd
         |  FROM lineitem),
         |m AS (SELECT (MIN(sd) + MAX(sd)) // 2 AS mid_day FROM s),
         |g AS (
@@ -1694,6 +1706,69 @@ object RelationalQueries {
         |  MIN(CASE WHEN cw * 1000 >= 900 * tw THEN v END) AS p900,
         |  CAST(MAX(tw) AS BIGINT) AS total_weight
         |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin,
+    // recursive greedy walk over each type's ordered anomaly days:
+    // state = (row index, last emitted alert, emitted CSV, count)
+    "q_events_alert_cooldown" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+        |      AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |a AS (
+        |  SELECT d.event_type, d.day,
+        |    ROW_NUMBER() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day) AS rn
+        |  FROM daily d JOIN tot t USING (event_type)
+        |  WHERE d.n * t.n_days * 5 > t.total * 6),
+        |walk(event_type, rn, last_alert, alerts, n_alerts) AS (
+        |  SELECT event_type, rn, day, CAST(day AS VARCHAR),
+        |    CAST(1 AS BIGINT)
+        |  FROM a WHERE rn = 1
+        |  UNION ALL
+        |  SELECT a.event_type, a.rn,
+        |    CASE WHEN a.day - w.last_alert >= 3
+        |      THEN a.day ELSE w.last_alert END,
+        |    CASE WHEN a.day - w.last_alert >= 3
+        |      THEN w.alerts || ',' || CAST(a.day AS VARCHAR)
+        |      ELSE w.alerts END,
+        |    CASE WHEN a.day - w.last_alert >= 3
+        |      THEN w.n_alerts + 1 ELSE w.n_alerts END
+        |  FROM walk w JOIN a
+        |    ON a.event_type = w.event_type AND a.rn = w.rn + 1),
+        |fin AS (
+        |  SELECT event_type, rn, alerts, n_alerts,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY rn DESC) AS rk
+        |  FROM walk)
+        |SELECT event_type, CAST(rn AS BIGINT) AS n_anomaly_days,
+        |  n_alerts,
+        |  (rn - n_alerts) * 1000000 // rn AS suppressed_ppm,
+        |  alerts AS alert_days
+        |FROM fin WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // minute-grain rates + one RANGE window of W minutes: peak and
+    // exact milli mean of trailing-window row retention
+    "q_events_join_state" ->
+      """WITH m AS (
+        |  SELECT epoch_ms(ts) // 60000 AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT m, SUM(n) OVER (ORDER BY m
+        |    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+        |    AS state_rows
+        |  FROM m)
+        |SELECT CAST(60 AS BIGINT) AS w_minutes,
+        |  CAST(COUNT(*) AS BIGINT) AS n_minutes,
+        |  CAST(MAX(state_rows) AS BIGINT) AS max_state_rows,
+        |  CAST(CAST(SUM(state_rows) AS HUGEINT) * 1000 // COUNT(*)
+        |    AS BIGINT) AS avg_state_rows_milli,
+        |  CAST(MAX(state_rows) AS BIGINT) * 64 AS max_state_bytes
+        |FROM w""".stripMargin,
     // same running-max lateness + histogram-quantile mechanics
     "q_events_watermark_plan" ->
       """WITH d AS (

@@ -750,4 +750,44 @@ class AuditSpec extends SparkSpec {
     assert(m(1L) == ((2L, 2L, 250000L)))
     assert(m(3L) == ((2L, 6L, 750000L)))
   }
+
+  test("alertCooldown: first anomaly alerts, anomalies within the " +
+      "cooldown of the LAST EMITTED alert suppress (window must " +
+      "not slide), far ones re-alert") {
+    import spark.implicits._
+    // 10 days, counts [3,3,1,1,3,1,1,1,3,1]: avg 1.6, anomaly at
+    // n=3 (3*10*5 > 16*6). Anomaly days 1,2,5,9: alert d1; d2
+    // suppressed (gap 1 < 3); d5 alerts (gap 4); d9 alerts (gap 4).
+    val counts = Seq(3, 3, 1, 1, 3, 1, 1, 1, 3, 1)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("a", f"2024-01-${i + 1}%02d"))
+    }
+    val df = rows.toDF("event_type", "ts")
+    val out = Audit.alertCooldown(df, cooldownDays = 3).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_anomaly_days") === 4L)
+    assert(r.getAs[Long]("n_alerts") === 3L)
+    assert(r.getAs[Long]("suppressed_ppm") === 250000L)
+    // epoch day of 2024-01-01 is 19723
+    assert(r.getAs[String]("alert_days") === "19723,19727,19731")
+  }
+
+  test("streamJoinStateAdvisor: trailing-window retention peaks " +
+      "where rate clusters; sparse far minutes retain only " +
+      "themselves") {
+    import spark.implicits._
+    val rows = Seq.fill(2)("2024-01-01 00:00:10") ++
+      Seq.fill(3)("2024-01-01 00:01:30") ++
+      Seq("2024-01-01 01:40:00")
+    val df = rows.map(Tuple1(_)).toDF("ts")
+    val r = Audit.streamJoinStateAdvisor(df, windowMinutes = 60,
+      bytesPerRow = 64L).collect().head
+    assert(r.getAs[Long]("w_minutes") === 60L)
+    assert(r.getAs[Long]("n_minutes") === 3L)
+    // states: m0 -> 2, m1 -> 2+3=5, m100 -> 1 (window long gone)
+    assert(r.getAs[Long]("max_state_rows") === 5L)
+    assert(r.getAs[Long]("avg_state_rows_milli") === 2666L)
+    assert(r.getAs[Long]("max_state_bytes") === 320L)
+  }
 }

@@ -286,4 +286,20 @@ class DemuxSpec extends SparkSpec {
     assert(st("cart") == ((1L, 1L, 1L, 1000000L, 1000L)))
     assert(st("promo") == ((1L, 1L, 1L, 1000000L, 1000L)))
   }
+
+  test("pageFlow: edge rollup with exact outflow shares; entry " +
+      "views group under the NULL source row") {
+    import spark.implicits._
+    val pages = Seq(
+      (Option("p1"), "p2"), (Option("p1"), "p2"), (Option("p1"), "p3"),
+      (Option.empty[String], "p2"))
+      .toDF("last_page_id", "page_id")
+    val m = graft.ops.Demux.pageFlow(pages).collect()
+      .map(r => (Option(r.getAs[String]("last_page_id")),
+        r.getAs[String]("page_id")) ->
+        (r.getAs[Long]("n_visits"), r.getAs[Long]("share_ppm"))).toMap
+    assert(m((Some("p1"), "p2")) == ((2L, 666666L)))
+    assert(m((Some("p1"), "p3")) == ((1L, 333333L)))
+    assert(m((None, "p2")) == ((1L, 1000000L)))
+  }
 }

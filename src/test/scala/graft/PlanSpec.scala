@@ -186,6 +186,7 @@ class PlanSpec extends SparkSpec {
     val bounded = Map(
       "q_events_cusum" -> "per-day count rollup (calendar-bounded at any corpus size)",
       "q_events_gini" -> "per-user count histogram (≤ #users at validation scale; documented Lorenz twin)",
+      "q_events_join_state" -> "minute-grain rate rollup (calendar-bounded at any corpus size)",
       "q_layout_key_quantiles" -> "coarse-cell histogram, ≤ coarseCells+1 rows by construction",
       "q_li_cramers_v" -> "completed |A|×|B| contingency rollup (3×2 returnflag×linestatus; category-domain-bounded at any corpus size)",
       "q_layout_prune_audit" -> "o_totalprice value histogram (rangeBoundaries contract)",
