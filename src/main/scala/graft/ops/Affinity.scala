@@ -530,6 +530,151 @@ object Affinity {
           * 1000.0).cast("long"))
   }
 
+  /** CUPED variance-reduced A/B readout — the pre-period adjustment
+    * every experimentation platform applies before calling a metric
+    * move: per user, the metric over the calendar's second half (the
+    * "experiment") and the SAME metric over the first half (the
+    * covariate X); the adjusted metric is Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X) pooled across arms (arm-blind by
+    * construction, so the adjustment cannot inject bias). Exact
+    * integer skeleton: one per-user rollup, global moments as BIGINT
+    * sums (cross-products promoted before multiplying), θ in
+    * sign-split micro units, per-arm means floored at named milli
+    * points — the whole row hash-compares. `varred_ppm` = ρ²·10⁶ is
+    * the fraction of metric variance the covariate removes (the
+    * "how much smaller can my experiment be" number).
+    */
+  def cupedLift(
+      events: DataFrame,
+      assignB: Column,
+      metricEvent: String = "purchase"
+  ): DataFrame = {
+    val days = events.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long").as("sd"),
+      when(col("event_type") === metricEvent, 1L).otherwise(0L)
+        .as("hit"))
+    val mid = days.agg(min(col("sd")).as("__mn"),
+      max(col("sd")).as("__mx"))
+      .select(expr("(__mn + __mx) div 2").as("mid_day"))
+    val perUser = days.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("sd") <= col("mid_day"), col("hit"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("sd") > col("mid_day"), col("hit"))
+          .otherwise(0L)).as("y"))
+      .withColumn("arm_b", assignB)
+    perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"),
+        count(when(col("arm_b"), lit(1))).as("n_b"),
+        sum(when(col("arm_b"), col("x")).otherwise(0L)).as("sx_b"),
+        sum(when(col("arm_b"), col("y")).otherwise(0L)).as("sy_b"),
+        count(when(!col("arm_b"), lit(1))).as("n_a"),
+        sum(when(!col("arm_b"), col("x")).otherwise(0L)).as("sx_a"),
+        sum(when(!col("arm_b"), col("y")).otherwise(0L)).as("sy_a"))
+      // cov/var cross-products: t = n·Sxy − Sx·Sy (sign-split), each
+      // term bounded by n·Σxy — promote before multiplying anyway
+      .withColumn("__t", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("__vx", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("__vy", expr(
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .withColumn("theta_micro", expr(
+        """CASE WHEN __vx = 0 THEN NULL
+          | ELSE CAST(CAST(sign(__t) AS BIGINT) *
+          |   CAST(abs(__t) * 1000000 div __vx AS BIGINT) AS BIGINT)
+          | END""".stripMargin))
+      .withColumn("varred_ppm", expr(
+        """CASE WHEN __vx = 0 OR __vy = 0 THEN NULL
+          | ELSE CAST(__t * __t * 1000000 div (__vx * __vy)
+          |   AS BIGINT) END""".stripMargin))
+      .withColumn("mean_a_milli", expr("sy_a * 1000 div n_a"))
+      .withColumn("mean_b_milli", expr("sy_b * 1000 div n_b"))
+      .withColumn("__dx_a",
+        expr("sx_a * 1000 div n_a - sx * 1000 div n"))
+      .withColumn("__dx_b",
+        expr("sx_b * 1000 div n_b - sx * 1000 div n"))
+      .withColumn("adj_a_milli", expr(
+        """CASE WHEN theta_micro IS NULL THEN mean_a_milli
+          | ELSE mean_a_milli - CAST(sign(theta_micro * __dx_a)
+          |     AS BIGINT) *
+          |   (abs(theta_micro * __dx_a) div 1000000) END""".stripMargin))
+      .withColumn("adj_b_milli", expr(
+        """CASE WHEN theta_micro IS NULL THEN mean_b_milli
+          | ELSE mean_b_milli - CAST(sign(theta_micro * __dx_b)
+          |     AS BIGINT) *
+          |   (abs(theta_micro * __dx_b) div 1000000) END""".stripMargin))
+      .withColumn("adj_diff_milli",
+        col("adj_b_milli") - col("adj_a_milli"))
+      .select(col("n").as("n_users"), col("n_a"), col("n_b"),
+        col("theta_micro"), col("varred_ppm"),
+        col("mean_a_milli"), col("mean_b_milli"),
+        col("adj_a_milli"), col("adj_b_milli"),
+        col("adj_diff_milli"))
+  }
+
+  /** Experiment power / MDE calculator — the "can this test even
+    * detect what we care about" readout computed from the feed's own
+    * measured conversion: pooled rate p̂ (exact ppm), the minimum
+    * detectable ABSOLUTE effect at the current per-arm n (the
+    * smaller arm — the binding one), and the required per-arm n for
+    * a 10%-relative MDE. Two-proportion normal approximation with
+    * (z_{0.025}+z_{0.8}) pinned as the q20 constant 2937341
+    * (= ⌊(1.959964+0.841621)·2²⁰⌋): n = z²·2p(1−p)/δ². Exact
+    * integers end to end (DECIMAL(38,0) for z²·2p(1−p) ≈ 4·10²⁴,
+    * ceil-division as (num+den−1) div den, MDE as the floored sqrt
+    * of a floored quotient — both floors mirrored in the twin).
+    */
+  def powerMde(
+      events: DataFrame,
+      assignB: Column,
+      convEvent: String,
+      minCount: Long = 1L
+  ): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === convEvent, 1L)
+        .otherwise(0L)) >= minCount, 1L).otherwise(0L).as("conv"))
+      .withColumn("arm_b", assignB)
+    perUser.agg(
+        count(when(!col("arm_b"), lit(1))).as("n_a"),
+        sum(when(!col("arm_b"), col("conv")).otherwise(0L))
+          .as("conv_a"),
+        count(when(col("arm_b"), lit(1))).as("n_b"),
+        sum(when(col("arm_b"), col("conv")).otherwise(0L))
+          .as("conv_b"))
+      .withColumn("p_pool_ppm", expr(
+        "(conv_a + conv_b) * 1000000 div (n_a + n_b)"))
+      // num = z²·2·p·(1e6−p) with z in q20: denominators carry 2^40
+      .withColumn("__num", expr(
+        "CAST(2937341 AS DECIMAL(38,0)) * 2937341 * 2 * p_pool_ppm " +
+          "* (1000000 - p_pool_ppm)"))
+      .withColumn("__n_min", least(col("n_a"), col("n_b")))
+      .withColumn("mde_abs_ppm", expr(
+        """CASE WHEN p_pool_ppm = 0 THEN NULL
+          | ELSE CAST(floor(sqrt(CAST(__num
+          |   div (CAST(__n_min AS DECIMAL(38,0)) * 1099511627776)
+          |   AS DOUBLE))) AS BIGINT) END""".stripMargin))
+      .withColumn("__delta", expr("p_pool_ppm div 10"))
+      .withColumn("n_req_10pct_rel", expr(
+        """CASE WHEN __delta = 0 THEN NULL
+          | ELSE CAST((__num + CAST(__delta AS DECIMAL(38,0)) * __delta
+          |     * 1099511627776 - 1)
+          |   div (CAST(__delta AS DECIMAL(38,0)) * __delta
+          |     * 1099511627776) AS BIGINT) END""".stripMargin))
+      .select(col("n_a"), col("n_b"),
+        col("conv_a").cast("long").as("conv_a"),
+        col("conv_b").cast("long").as("conv_b"),
+        col("p_pool_ppm"), col("mde_abs_ppm"),
+        col("n_req_10pct_rel"))
+  }
+
   /** Session-path mining — the "how do users actually move" table
     * behind funnel design (funnels test a HYPOTHESIZED order; path
     * mining reports the observed ones): per user-day session, the

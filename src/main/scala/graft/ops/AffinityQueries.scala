@@ -134,6 +134,18 @@ object AffinityQueries {
     "q_events_srm" -> ((s, d) =>
       Affinity.sampleRatioMismatch(Tables.events(s, d),
         col("user_id") % 2 === 1)),
+    // CUPED variance-reduced readout on the same parity split:
+    // first-half purchases as the covariate, pooled theta, exact
+    // integer-floored adjusted means + rho^2 variance reduction
+    "q_events_cuped" -> ((s, d) =>
+      Affinity.cupedLift(Tables.events(s, d),
+        col("user_id") % 2 === 1)),
+    // power/MDE calculator on the ab_lift conversion: pooled rate,
+    // min detectable absolute effect at current n, required n per
+    // arm for a 10%-relative effect (z constants pinned q20)
+    "q_events_power_mde" -> ((s, d) =>
+      Affinity.powerMde(Tables.events(s, d),
+        col("user_id") % 2 === 1, "purchase", minCount = 14L)),
     // per-user hour-entropy bot screen: q20 ln-of-integer counts,
     // user-domain-sized output, no window
     "q_events_user_entropy" -> ((s, d) =>
@@ -307,6 +319,117 @@ object AffinityQueries {
         |        + 1.0 / CAST(n_b AS DOUBLE)))
         |    * 1000.0) AS BIGINT) AS z_milli
         |FROM w""".stripMargin,
+    // pooled-theta CUPED: identical integer floors at every named
+    // point (theta sign-split micro, means/covariate shifts milli)
+    "q_events_cuped" ->
+      """WITH days AS (
+        |  SELECT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS sd,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |      AS hit
+        |  FROM events),
+        |m AS (SELECT (MIN(sd) + MAX(sd)) // 2 AS mid_day FROM days),
+        |u AS (
+        |  SELECT user_id, user_id % 2 = 1 AS arm_b,
+        |    CAST(SUM(CASE WHEN sd <= mid_day THEN hit ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN sd > mid_day THEN hit ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM days, m GROUP BY user_id),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(COUNT(CASE WHEN arm_b THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm_b THEN x ELSE 0 END) AS BIGINT)
+        |      AS sx_b,
+        |    CAST(SUM(CASE WHEN arm_b THEN y ELSE 0 END) AS BIGINT)
+        |      AS sy_b,
+        |    CAST(COUNT(CASE WHEN NOT arm_b THEN 1 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN NOT arm_b THEN x ELSE 0 END)
+        |      AS BIGINT) AS sx_a,
+        |    CAST(SUM(CASE WHEN NOT arm_b THEN y ELSE 0 END)
+        |      AS BIGINT) AS sy_a
+        |  FROM u),
+        |c AS (
+        |  SELECT *,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS t,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy
+        |  FROM g),
+        |c2 AS (
+        |  SELECT *,
+        |    CASE WHEN vx = 0 THEN NULL
+        |      ELSE CAST(CAST(sign(t) AS BIGINT) *
+        |        CAST(abs(t) * 1000000 // vx AS BIGINT) AS BIGINT)
+        |      END AS theta_micro,
+        |    CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |      ELSE CAST(t * t * 1000000 // (vx * vy) AS BIGINT)
+        |      END AS varred_ppm,
+        |    sy_a * 1000 // n_a AS mean_a_milli,
+        |    sy_b * 1000 // n_b AS mean_b_milli,
+        |    sx_a * 1000 // n_a - sx * 1000 // n AS dx_a,
+        |    sx_b * 1000 // n_b - sx * 1000 // n AS dx_b
+        |  FROM c),
+        |c3 AS (
+        |  SELECT *,
+        |    CASE WHEN theta_micro IS NULL THEN mean_a_milli
+        |      ELSE mean_a_milli - CAST(sign(theta_micro * dx_a)
+        |        AS BIGINT) * (abs(theta_micro * dx_a) // 1000000)
+        |      END AS adj_a_milli,
+        |    CASE WHEN theta_micro IS NULL THEN mean_b_milli
+        |      ELSE mean_b_milli - CAST(sign(theta_micro * dx_b)
+        |        AS BIGINT) * (abs(theta_micro * dx_b) // 1000000)
+        |      END AS adj_b_milli
+        |  FROM c2)
+        |SELECT n AS n_users, n_a, n_b, theta_micro, varred_ppm,
+        |  mean_a_milli, mean_b_milli, adj_a_milli, adj_b_milli,
+        |  adj_b_milli - adj_a_milli AS adj_diff_milli
+        |FROM c3""".stripMargin,
+    // two-proportion power calc: z sum pinned q20 = 2937341, 2^40 =
+    // 1099511627776 carries the q20 squares; ceil via (num+den-1)//den
+    "q_events_power_mde" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN COUNT(*) FILTER (event_type = 'purchase') >= 14
+        |      THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT
+        |    CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM u),
+        |c AS (SELECT *,
+        |    (conv_a + conv_b) * 1000000 // (n_a + n_b) AS p_pool_ppm
+        |  FROM g),
+        |d AS (SELECT *,
+        |    CAST(2937341 AS HUGEINT) * 2937341 * 2 * p_pool_ppm
+        |      * (1000000 - p_pool_ppm) AS num,
+        |    LEAST(n_a, n_b) AS n_min,
+        |    p_pool_ppm // 10 AS delta
+        |  FROM c)
+        |SELECT n_a, n_b, conv_a, conv_b, p_pool_ppm,
+        |  CASE WHEN p_pool_ppm = 0 THEN NULL
+        |    ELSE CAST(FLOOR(sqrt(CAST(num //
+        |      (CAST(n_min AS HUGEINT) * 1099511627776) AS DOUBLE)))
+        |      AS BIGINT) END AS mde_abs_ppm,
+        |  CASE WHEN delta = 0 THEN NULL
+        |    ELSE CAST((num + CAST(delta AS HUGEINT) * delta
+        |        * 1099511627776 - 1)
+        |      // (CAST(delta AS HUGEINT) * delta * 1099511627776)
+        |      AS BIGINT) END AS n_req_10pct_rel
+        |FROM d""".stripMargin,
     "q_events_dow_baseline" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -503,4 +503,56 @@ class AffinitySpec extends SparkSpec {
     assert(!m.contains(1L))
     graft.Caches.release("part")
   }
+
+  test("cupedLift: a perfectly-correlated covariate removes the " +
+      "whole arm difference (theta = 1, rho^2 = 1, adjusted " +
+      "means equalize)") {
+    import spark.implicits._
+    // user u: u purchases in the first half, u in the second ->
+    // x = y = u. B = odd users {1,3}, A = even {2,4}.
+    val rows = (1 to 4).flatMap { u =>
+      Seq.fill(u)((u.toLong, "purchase", "2024-01-01")) ++
+        Seq.fill(u)((u.toLong, "purchase", "2024-01-04"))
+    }
+    val df = rows.toDF("user_id", "event_type", "ts")
+    val r = Affinity.cupedLift(df, col("user_id") % 2 === 1)
+      .collect().head
+    assert(r.getAs[Long]("n_users") === 4L)
+    assert(r.getAs[Long]("theta_micro") === 1000000L)
+    assert(r.getAs[Long]("varred_ppm") === 1000000L)
+    assert(r.getAs[Long]("mean_a_milli") === 3000L)
+    assert(r.getAs[Long]("mean_b_milli") === 2000L)
+    assert(r.getAs[Long]("adj_a_milli") === 2500L)
+    assert(r.getAs[Long]("adj_b_milli") === 2500L)
+    assert(r.getAs[Long]("adj_diff_milli") === 0L)
+  }
+
+  test("powerMde: pooled rate, MDE at current n, and required n " +
+      "match the pinned-constant integer formula exactly") {
+    import spark.implicits._
+    // A (even ids): 2 of 5 convert; B (odd): 3 of 5
+    val rows = (1 to 10).map { u =>
+      val conv = (u % 2 == 0 && u <= 4) || (u % 2 == 1 && u <= 5)
+      (u.toLong, if (conv) "purchase" else "view")
+    }
+    val df = rows.map { case (u, t) => (u, t, "2024-01-01") }
+      .toDF("user_id", "event_type", "ts")
+    val r = Affinity.powerMde(df, col("user_id") % 2 === 1,
+      "purchase", minCount = 1L).collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("conv_a")) ===
+      ((5L, 2L)))
+    assert((r.getAs[Long]("n_b"), r.getAs[Long]("conv_b")) ===
+      ((5L, 3L)))
+    assert(r.getAs[Long]("p_pool_ppm") === 500000L)
+    // replicate the integer formula with BigInt
+    val z = BigInt(2937341)
+    val num = z * z * 2 * 500000 * (1000000 - 500000)
+    val q40 = BigInt(1) << 40
+    val mde = math.floor(math.sqrt((num / (BigInt(5) * q40)).toDouble))
+      .toLong
+    assert(r.getAs[Long]("mde_abs_ppm") === mde)
+    val den = BigInt(50000) * 50000 * q40
+    val nReq = ((num + den - 1) / den).toLong
+    assert(r.getAs[Long]("n_req_10pct_rel") === nReq)
+  }
 }

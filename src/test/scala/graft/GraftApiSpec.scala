@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 339,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 339")
-    assert(SparkEntry.oracleSql.size == 327,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 327")
+    assert(SparkEntry.queries.size == 341,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 341")
+    assert(SparkEntry.oracleSql.size == 329,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 329")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
