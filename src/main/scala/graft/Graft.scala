@@ -380,6 +380,17 @@ object Graft {
     /** Heaps-law vocabulary-growth curve over doc-rank buckets. */
     def vocabGrowth(nBuckets: Int = 10): DataFrame =
       ops.Text.vocabGrowth(docs, nBuckets)
+    /** Top-k token-mass coverage curve (vocab-size chooser). */
+    def vocabCoverageCurve(
+        ks: Seq[Long] = Seq(10L, 100L, 1000L, 10000L)): DataFrame =
+      ops.Text.vocabCoverageCurve(docs, ks)
+    /** Provenance spread of near-dup clusters (within vs cross source). */
+    def clusterSourceSpread(clusters: DataFrame): DataFrame =
+      ops.Text.clusterSourceSpread(docs, clusters)
+    /** Naive pad/truncate waste per candidate context length. */
+    def paddingWaste(
+        lens: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L)): DataFrame =
+      ops.Text.paddingWaste(docs, lens)
     /** Per-language chars/token fertility proxy. */
     def compressionRatio: DataFrame =
       ops.Text.compressionRatio(docs)

@@ -774,6 +774,124 @@ object Text {
         expr("n_chars * 1000 div n_tokens"))
       .orderBy(col("lang"))
 
+  /** Vocabulary-coverage curve — what fraction of CORPUS TOKEN MASS
+    * the top-k most frequent token types cover, for each budget in
+    * `ks`: the measured fact behind choosing a vocab size (the knee
+    * of this curve IS the budget where marginal vocab stops paying).
+    * Complements [[vocabGrowth]] (how vocabulary accumulates over
+    * data) with the static rank-mass view.
+    *
+    * Shape at scale: one token-frequency rollup (map-side combined),
+    * a TakeOrdered head of max(ks) rows, and windows ONLY over that
+    * head — bounded by construction; the full vocabulary is never
+    * globally sorted. Ties rank by (tf desc, token) so the curve is
+    * engine-exact.
+    */
+  def vocabCoverageCurve(
+      docs: DataFrame,
+      ks: Seq[Long] = Seq(10L, 100L, 1000L, 10000L)
+  ): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"ks must be non-empty positive: $ks")
+    val freq = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).cast("long").as("total_tokens"))
+    val ord = Seq(col("tf").desc, col("token"))
+    val head = freq
+      .orderBy(ord: _*).limit(ks.max.toInt)
+    val wRank = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    val ranked = head
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cum_tf", sum(col("tf")).over(
+        wRank.rowsBetween(org.apache.spark.sql.expressions
+          .Window.unboundedPreceding, 0)))
+    val ksDf = docs.sparkSession.createDataFrame(
+      ks.map(Tuple1(_))).toDF("k")
+    ksDf
+      .join(ranked, col("rn") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(col("rn")).cast("long").as("vocab_used"),
+        max(col("cum_tf")).cast("long").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_ppm",
+        expr("covered_tokens * 1000000 div total_tokens"))
+      .orderBy(col("k"))
+  }
+
+  /** Near-dup cluster provenance spread — do duplicate clusters stay
+    * WITHIN a source (boilerplate: fix at the source) or span
+    * sources/languages (syndication and mirror networks: fix with
+    * cross-source dedup)? Consumes the session-shared cluster
+    * assignment; per multi-member cluster the distinct source/lang
+    * counts, rolled up to one row with exact ppm shares. Cluster
+    * frame is components-sized; nothing rescans the corpus.
+    */
+  def clusterSourceSpread(
+      docs: DataFrame,
+      clusters: DataFrame
+  ): DataFrame = {
+    val per = clusters
+      .join(docs.select(col("doc_id"), col("source"), col("lang")),
+        "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      .filter(col("n_members") >= 2)
+    per.agg(
+        count(lit(1)).as("n_clusters"),
+        count(when(col("n_sources") > 1, lit(1)))
+          .as("n_multi_source"),
+        count(when(col("n_langs") > 1, lit(1))).as("n_multi_lang"))
+      .withColumn("multi_source_ppm", expr(
+        """CASE WHEN n_clusters = 0 THEN NULL
+          | ELSE n_multi_source * 1000000 div n_clusters
+          | END""".stripMargin))
+      .withColumn("multi_lang_ppm", expr(
+        """CASE WHEN n_clusters = 0 THEN NULL
+          | ELSE n_multi_lang * 1000000 div n_clusters
+          | END""".stripMargin))
+  }
+
+  /** Naive-padding waste curve — the number that motivates sequence
+    * packing: if every doc were padded/truncated to a fixed context
+    * length L, what fraction of the batch is pad and what fraction
+    * of real tokens is cut, for each candidate L. One scan of the
+    * per-doc token counts cross-joined with the (tiny, literal)
+    * length ladder; read beside [[packChunks]] (which removes the
+    * waste this op quantifies).
+    */
+  def paddingWaste(
+      docs: DataFrame,
+      lens: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L)
+  ): DataFrame = {
+    require(lens.nonEmpty && lens.forall(_ >= 1),
+      s"lens must be non-empty positive: $lens")
+    val perDoc = docs
+      .select(size(tokens(col("text"))).cast("long").as("n_tok"))
+    val lensDf = docs.sparkSession.createDataFrame(
+      lens.map(Tuple1(_))).toDF("seq_len")
+    perDoc.crossJoin(broadcast(lensDf))
+      .groupBy(col("seq_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        sum(least(col("n_tok"), col("seq_len"))).cast("long")
+          .as("kept_tokens"),
+        sum(greatest(col("seq_len") - col("n_tok"), lit(0L)))
+          .cast("long").as("pad_tokens"),
+        sum(greatest(col("n_tok") - col("seq_len"), lit(0L)))
+          .cast("long").as("truncated_tokens"))
+      .withColumn("padding_ppm",
+        expr("pad_tokens * 1000000 div (n_docs * seq_len)"))
+      .withColumn("truncated_ppm", expr(
+        """CASE WHEN total_tokens = 0 THEN NULL
+          | ELSE truncated_tokens * 1000000 div total_tokens
+          | END""".stripMargin))
+      .orderBy(col("seq_len"))
+  }
+
   /** Heaps-law vocabulary-growth audit — the curve that says whether
     * more data still buys new words (natural corpora grow vocabulary
     * ∝ tokensᵝ, β≈0.5; a template farm flattens immediately; OCR

@@ -352,6 +352,19 @@ object TextQueries {
     // tokenizer-fertility proxy: exact milli chars/token per lang
     "q_text_compression" -> ((s, d) =>
       Text.compressionRatio(Tables.documents(s, d))),
+    // static rank-mass view beside vocab_growth: corpus token mass
+    // covered by the top-k token types, k in {10,100,1000,10000}
+    "q_text_vocab_coverage" -> ((s, d) =>
+      Text.vocabCoverageCurve(Tables.documents(s, d))),
+    // provenance spread of the shared near-dup clusters: within-source
+    // boilerplate vs cross-source syndication, exact ppm shares
+    "q_text_cluster_spread" -> ((s, d) =>
+      Text.clusterSourceSpread(Tables.documents(s, d),
+        clusterAssign(s, d))),
+    // naive pad/truncate waste per candidate context length — the
+    // number that motivates packChunks
+    "q_text_padding_waste" -> ((s, d) =>
+      Text.paddingWaste(Tables.documents(s, d))),
     // BM25 integer skeleton (tf/dl/df/N/total_len per matching
     // doc-term) — fully hash-compared; the ln(idf) score and top-k
     // live in bm25TopK, pinned bitwise by TextSpec (the doc_freq
@@ -1956,6 +1969,92 @@ object TextQueries {
          |FROM tok GROUP BY token
          |HAVING COUNT(DISTINCT doc_id) >= 50
          |ORDER BY token""".stripMargin,
+    // rank by (tf desc, token), head <= 10000, cum over the head only
+    "q_text_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT UNNEST(
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END)
+         |    AS token
+         |  FROM documents),
+         |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+         |      FROM tok GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens
+         |       FROM f),
+         |r AS (SELECT tf,
+         |        ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rn
+         |      FROM f),
+         |c AS (SELECT rn,
+         |        CAST(SUM(tf) OVER (ORDER BY rn
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM r WHERE rn <= 10000),
+         |ks AS (SELECT UNNEST([10, 100, 1000, 10000]) AS k)
+         |SELECT CAST(ks.k AS BIGINT) AS k,
+         |  CAST(MAX(c.rn) AS BIGINT) AS vocab_used,
+         |  CAST(MAX(c.cum) AS BIGINT) AS covered_tokens,
+         |  tt.total_tokens,
+         |  CAST(MAX(c.cum) * 1000000 // tt.total_tokens AS BIGINT)
+         |    AS coverage_ppm
+         |FROM ks JOIN c ON c.rn <= ks.k CROSS JOIN tt
+         |GROUP BY ks.k, tt.total_tokens ORDER BY k""".stripMargin,
+    // shared jac-pair stack -> components -> provenance rollup
+    "q_text_cluster_spread" ->
+      s"""WITH RECURSIVE $jacPairsSql,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |    WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.dst
+         |  FROM reach JOIN e ON reach.r = e.src),
+         |cl AS (SELECT doc_id, MIN(r) AS cluster
+         |       FROM reach GROUP BY doc_id),
+         |cs AS (
+         |  SELECT cl.cluster,
+         |    CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |    CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs
+         |  FROM cl JOIN documents d USING (doc_id)
+         |  GROUP BY cl.cluster HAVING COUNT(*) >= 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(COUNT(CASE WHEN n_sources > 1 THEN 1 END) AS BIGINT)
+         |    AS n_multi_source,
+         |  CAST(COUNT(CASE WHEN n_langs > 1 THEN 1 END) AS BIGINT)
+         |    AS n_multi_lang,
+         |  CASE WHEN COUNT(*) = 0 THEN NULL
+         |    ELSE CAST(COUNT(CASE WHEN n_sources > 1 THEN 1 END)
+         |      * 1000000 // COUNT(*) AS BIGINT) END
+         |    AS multi_source_ppm,
+         |  CASE WHEN COUNT(*) = 0 THEN NULL
+         |    ELSE CAST(COUNT(CASE WHEN n_langs > 1 THEN 1 END)
+         |      * 1000000 // COUNT(*) AS BIGINT) END
+         |    AS multi_lang_ppm
+         |FROM cs""".stripMargin,
+    // per-doc token counts x literal length ladder, conditional sums
+    "q_text_padding_waste" ->
+      s"""WITH pd AS (
+         |  SELECT CASE WHEN length(trim(text)) = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(len($toksSql) AS BIGINT) END AS n_tok
+         |  FROM documents),
+         |ls AS (SELECT UNNEST([512, 1024, 2048, 4096]) AS seq_len)
+         |SELECT CAST(seq_len AS BIGINT) AS seq_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(LEAST(n_tok, seq_len)) AS BIGINT) AS kept_tokens,
+         |  CAST(SUM(GREATEST(seq_len - n_tok, 0)) AS BIGINT)
+         |    AS pad_tokens,
+         |  CAST(SUM(GREATEST(n_tok - seq_len, 0)) AS BIGINT)
+         |    AS truncated_tokens,
+         |  CAST(SUM(GREATEST(seq_len - n_tok, 0)) * 1000000
+         |    // (COUNT(*) * seq_len) AS BIGINT) AS padding_ppm,
+         |  CASE WHEN SUM(n_tok) = 0 THEN NULL
+         |    ELSE CAST(SUM(GREATEST(n_tok - seq_len, 0)) * 1000000
+         |      // SUM(n_tok) AS BIGINT) END AS truncated_ppm
+         |FROM pd, ls GROUP BY seq_len ORDER BY seq_len""".stripMargin,
     "q_text_compression" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT)

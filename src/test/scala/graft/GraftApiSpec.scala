@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 341,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 341")
-    assert(SparkEntry.oracleSql.size == 329,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 329")
+    assert(SparkEntry.queries.size == 344,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 344")
+    assert(SparkEntry.oracleSql.size == 332,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 332")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -383,6 +383,9 @@ class GraftApiSpec extends SparkSpec {
       "stopwordDiscovery" -> "stopwordsDiscovered",
       "dedupThresholdCurve" -> "dedupThresholdCurve",
       "vocabGrowth" -> "vocabGrowth",
+      "vocabCoverageCurve" -> "vocabCoverageCurve",
+      "clusterSourceSpread" -> "clusterSourceSpread",
+      "paddingWaste" -> "paddingWaste",
       "compressionRatio" -> "compressionRatio",
       "rollingFingerprint" -> "rollingFingerprinted",
       "winnowFingerprint" -> "winnowFingerprinted",

@@ -2177,4 +2177,47 @@ class TextSpec extends SparkSpec {
     val r2 = Text.lengthTailIndex(const, k = 2).collect().head
     assert(r2.isNullAt(r2.fieldIndex("alpha_milli")))
   }
+
+  test("vocabCoverageCurve: rank by (tf desc, token), cumulative " +
+      "mass exact, budget past the vocabulary clamps") {
+    val docs = Seq((1L, "a a b b c")).toDF("doc_id", "text")
+    val m = Text.vocabCoverageCurve(docs, ks = Seq(1L, 2L, 10L))
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("vocab_used"), r.getAs[Long]("covered_tokens"),
+          r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("coverage_ppm"))).toMap
+    assert(m(1L) == ((1L, 2L, 5L, 400000L))) // tie a-before-b
+    assert(m(2L) == ((2L, 4L, 5L, 800000L)))
+    assert(m(10L) == ((3L, 5L, 5L, 1000000L))) // clamped to |vocab|
+  }
+
+  test("clusterSourceSpread: multi-source and multi-lang clusters " +
+      "counted separately; singletons excluded") {
+    val docs = Seq(
+      (1L, "s1", "en"), (2L, "s2", "en"),  // cross-source, same lang
+      (3L, "s3", "en"), (4L, "s3", "de"),  // same source, cross-lang
+      (5L, "s4", "en")                     // singleton
+    ).toDF("doc_id", "source", "lang")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (5L, 5L)).toDF("doc_id", "cluster")
+    val r = Text.clusterSourceSpread(docs, clusters).collect().head
+    assert(r.getAs[Long]("n_clusters") === 2L)
+    assert(r.getAs[Long]("n_multi_source") === 1L)
+    assert(r.getAs[Long]("n_multi_lang") === 1L)
+    assert(r.getAs[Long]("multi_source_ppm") === 500000L)
+    assert(r.getAs[Long]("multi_lang_ppm") === 500000L)
+  }
+
+  test("paddingWaste: pad and truncation mass exact per length") {
+    val docs = Seq((1L, "t1 t2"), (2L, "t1 t2 t3 t4 t5"))
+      .toDF("doc_id", "text")
+    val r = Text.paddingWaste(docs, lens = Seq(4L)).collect().head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("total_tokens") === 7L)
+    assert(r.getAs[Long]("kept_tokens") === 6L)
+    assert(r.getAs[Long]("pad_tokens") === 2L)
+    assert(r.getAs[Long]("truncated_tokens") === 1L)
+    assert(r.getAs[Long]("padding_ppm") === 250000L)
+    assert(r.getAs[Long]("truncated_ppm") === 142857L)
+  }
 }
