@@ -285,6 +285,49 @@ object Audit {
           .as("max_state_bytes"))
   }
 
+  /** Categorical mix drift over time — the chi-square screen for a
+    * CATEGORY column's distribution wandering across periods (the
+    * categorical sibling of the numeric KS drift): per period, the
+    * independence chi-square contribution of that period's category
+    * mix against the pooled mix, `Σ_cells (obs·G − rowT·colT)² /
+    * (G·rowT·colT)` in exact per-cell-floored milli (per-cell floors
+    * pinned as part of the statistic, the repo convention). A period
+    * whose chi2 jumps is where the upstream changed its enum. One
+    * cells rollup + two marginal rollups broadcast back — never a
+    * period × period pass.
+    */
+  def categoricalMixDrift(
+      df: DataFrame,
+      catCol: String,
+      periodExpr: Column
+  ): DataFrame = {
+    val cells = df
+      .select(periodExpr.as("period"), col(catCol).as("cat"))
+      .groupBy(col("period"), col("cat"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("period"))
+      .agg(sum(col("n")).as("row_t"))
+    val cols = cells.groupBy(col("cat"))
+      .agg(sum(col("n")).as("col_t"))
+    val grand = cells.agg(sum(col("n")).as("grand"))
+    cells
+      .join(rows, "period")
+      .join(broadcast(cols), "cat")
+      .crossJoin(broadcast(grand))
+      .withColumn("__cell_milli", expr(
+        """CAST((CAST(n AS DECIMAL(38,0)) * grand
+          |  - CAST(row_t AS DECIMAL(38,0)) * col_t)
+          |  * (CAST(n AS DECIMAL(38,0)) * grand
+          |  - CAST(row_t AS DECIMAL(38,0)) * col_t) * 1000
+          |  div (CAST(grand AS DECIMAL(38,0)) * row_t * col_t)
+          |  AS BIGINT)""".stripMargin))
+      .groupBy(col("period"))
+      .agg(max(col("row_t")).as("n_rows"),
+        count(lit(1)).as("n_cats_seen"),
+        sum(col("__cell_milli")).cast("long").as("chi2_milli"))
+      .orderBy(col("period"))
+  }
+
   /** Day-over-day volume deltas per event type — the plain movement
     * report next to the anomaly scores: previous day's count, the
     * absolute delta, and the relative change in exact integer ppm

@@ -261,6 +261,43 @@ object Multimodal {
     * share attach is a window over that aggregated frame, never the
     * corpus.
     */
+  /** Magic-byte content sniffing — the trust-no-extension first pass
+    * every media-ingest pipeline runs: classify each payload by its
+    * leading bytes (JPEG ffd8ff, PNG 89504e47, RIFF 52494646, GIF
+    * 474946, PDF 25504446; anything else `unknown`) and roll up
+    * counts + byte mass per detected type. The content-derived twin
+    * of [[modalityMix]]'s metadata view — a mismatch between the two
+    * IS the mislabeled-payload alarm. One scan, hex-prefix
+    * when-chain (flat, not nested — the 2^n lesson), type-domain
+    * output.
+    */
+  def magicSniff(docs: DataFrame): DataFrame = {
+    val hx = lower(substring(hex(col("payload")), 1, 8))
+    val kind = when(hx.startsWith("ffd8ff"), "jpeg")
+      .when(hx.startsWith("89504e47"), "png")
+      .when(hx.startsWith("52494646"), "riff")
+      .when(hx.startsWith("474946"), "gif")
+      .when(hx.startsWith("25504446"), "pdf")
+      .otherwise("unknown")
+    // honor a caller-supplied binary payload column (true media
+    // bytes can't ride the text stand-in — jpeg/png magics are not
+    // valid UTF-8); derive from text only when absent
+    val withP =
+      if (docs.columns.contains("payload")) docs else withPayload(docs)
+    val base = withP.select(
+      kind.as("sniffed_type"),
+      length(col("payload")).cast("long").as("n_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    base
+      .groupBy(col("sniffed_type"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"))
+      .withColumn("__all", sum(col("n_docs")).over(w))
+      .withColumn("share_ppm", expr("n_docs * 1000000 div __all"))
+      .drop("__all")
+  }
+
   def modalityMix(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))

@@ -133,6 +133,19 @@ object MultimodalQueries {
         maxHamming = 3)
         .orderBy(col("cluster"))
     }),
+    // content sniffing over planted ASCII magic prefixes (%PDF /
+    // GIF8 / RIFF on doc_id%4 = 1/2/3) — counts, byte mass, ppm mix
+    "q_mm_magic_sniff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.withColumn("text",
+        concat(
+          when(pmod(col("doc_id"), lit(4L)) === 1, lit("%PDF"))
+            .when(pmod(col("doc_id"), lit(4L)) === 2, lit("GIF8"))
+            .when(pmod(col("doc_id"), lit(4L)) === 3, lit("RIFF"))
+            .otherwise(lit("")),
+          col("text")))
+      Multimodal.magicSniff(planted).orderBy(col("sniffed_type"))
+    }),
     // capacity-planning rollup of the same planted-clone corpus:
     // exact-dedup reclaim vs full near-dup-cluster reclaim in bytes
     // and exact ppm of the store
@@ -253,6 +266,34 @@ object MultimodalQueries {
         |  g.n_members, g.n_members - 1 AS n_dropped
         |FROM w JOIN g USING (cluster) WHERE w.rk = 1
         |ORDER BY cluster""".stripMargin,
+    // same planted prefixes; hex-prefix CASE mirrors the when-chain
+    "q_mm_magic_sniff" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 4 = 1 THEN '%PDF'
+        |    WHEN doc_id % 4 = 2 THEN 'GIF8'
+        |    WHEN doc_id % 4 = 3 THEN 'RIFF'
+        |    ELSE '' END || text AS text
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT lower(substr(hex(encode(text)), 1, 8)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM d),
+        |k AS (
+        |  SELECT CASE WHEN hx LIKE 'ffd8ff%' THEN 'jpeg'
+        |    WHEN hx LIKE '89504e47%' THEN 'png'
+        |    WHEN hx LIKE '52494646%' THEN 'riff'
+        |    WHEN hx LIKE '474946%' THEN 'gif'
+        |    WHEN hx LIKE '25504446%' THEN 'pdf'
+        |    ELSE 'unknown' END AS sniffed_type, n_bytes
+        |  FROM s2),
+        |r AS (
+        |  SELECT sniffed_type, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        |  FROM k GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS al FROM r)
+        |SELECT sniffed_type, n_docs, total_bytes,
+        |  n_docs * 1000000 // t.al AS share_ppm
+        |FROM r, t ORDER BY sniffed_type""".stripMargin,
     // survivors CTE stack + two count-sized rollups: exact reclaim
     // from the identical-payload groups, near reclaim from keeping
     // the largest member per component

@@ -242,6 +242,11 @@ object RelationalQueries {
     // shipped quantity, exact milli ratio, top-20 steepest drops
     "q_part_velocity_trend" -> ((s, d) =>
       velocityTrend(Tables.lineitem(s, d), topN = 20)),
+    // categorical mix drift: per order-year chi-square of the
+    // priority mix vs pooled (per-cell-floored milli, srm's sibling)
+    "q_orders_priority_drift" -> ((s, d) =>
+      Audit.categoricalMixDrift(Tables.orders(s, d),
+        "o_orderpriority", year(col("o_orderdate")).cast("long"))),
     // TPC-H Q12 shape: late vs on-time lineitems per priority class
     "q_shipping_delay" -> ((s, d) =>
       shippingDelayAnalysis(Tables.lineitem(s, d),
@@ -824,6 +829,31 @@ object RelationalQueries {
         |      - CAST(sum_x AS HUGEINT) * sum_x)
         |    AS BIGINT) END AS slope_qty_milli_per_centi
         |FROM s""".stripMargin,
+    // per-year priority-mix chi-square vs pooled, per-cell floors
+    "q_orders_priority_drift" ->
+      """WITH cells AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS period,
+        |    o_orderpriority AS cat, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT period, CAST(SUM(n) AS BIGINT) AS row_t
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT cat, CAST(SUM(n) AS BIGINT) AS col_t
+        |       FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS grand FROM cells),
+        |cc AS (
+        |  SELECT c.period, r.row_t,
+        |    CAST((CAST(c.n AS HUGEINT) * g.grand
+        |        - CAST(r.row_t AS HUGEINT) * t.col_t)
+        |      * (CAST(c.n AS HUGEINT) * g.grand
+        |        - CAST(r.row_t AS HUGEINT) * t.col_t) * 1000
+        |      // (CAST(g.grand AS HUGEINT) * r.row_t * t.col_t)
+        |      AS BIGINT) AS cell_milli
+        |  FROM cells c JOIN rt r USING (period)
+        |  JOIN ct t USING (cat) CROSS JOIN g)
+        |SELECT period, CAST(MAX(row_t) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cats_seen,
+        |  CAST(SUM(cell_milli) AS BIGINT) AS chi2_milli
+        |FROM cc GROUP BY period ORDER BY period""".stripMargin,
     // first-vs-second calendar-half shipped quantity per part;
     // midpoint in epoch days from the feed's own min/max
     "q_part_velocity_trend" ->

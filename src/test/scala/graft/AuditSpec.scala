@@ -751,6 +751,27 @@ class AuditSpec extends SparkSpec {
     assert(m(3L) == ((2L, 6L, 750000L)))
   }
 
+  test("categoricalMixDrift: identical per-period mixes read zero; " +
+      "a flipped mix carries the chi-square mass") {
+    import spark.implicits._
+    // periods 1/2 identical (2:2), period 3 flipped (4:0)
+    val df = (Seq.fill(2)((1L, "x")) ++ Seq.fill(2)((1L, "y")) ++
+      Seq.fill(2)((2L, "x")) ++ Seq.fill(2)((2L, "y")) ++
+      Seq.fill(4)((3L, "x")))
+      .toDF("p", "c")
+    val m = Audit.categoricalMixDrift(df, "c", col("p")).collect()
+      .map(r => r.getAs[Long]("period") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_cats_seen"),
+          r.getAs[Long]("chi2_milli"))).toMap
+    // G=12, col_t x=8, y=4. periods 1,2: exp cells (8/3, 4/3):
+    // cell x: (2*12-4*8)^2*1000/(12*4*8) = 64000/384 = 166
+    // cell y: (2*12-4*4)^2*1000/(12*4*4) = 64000/192 = 333
+    assert(m(1L) == ((4L, 2L, 499L)))
+    assert(m(2L) == ((4L, 2L, 499L)))
+    // period 3: only x seen: (4*12-4*8)^2*1000/(12*4*8) = 666
+    assert(m(3L) == ((4L, 1L, 666L)))
+  }
+
   test("alertCooldown: first anomaly alerts, anomalies within the " +
       "cooldown of the LAST EMITTED alert suppress (window must " +
       "not slide), far ones re-alert") {

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 344,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 344")
-    assert(SparkEntry.oracleSql.size == 332,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 332")
+    assert(SparkEntry.queries.size == 346,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 346")
+    assert(SparkEntry.oracleSql.size == 334,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 334")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

@@ -339,6 +339,27 @@ class MultimodalSpec extends SparkSpec {
     graft.Caches.release("text")
   }
 
+  test("magicSniff: true binary magics classify (jpeg/png), ASCII " +
+      "magics classify from text, rest unknown; ppm mix closes") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)),
+      (2L, Array(0x89, 0x50, 0x4E, 0x47, 0x0D).map(_.toByte)),
+      (3L, "%PDF-1.4 x".getBytes("UTF-8")),
+      (4L, "RIFF....WAVE".getBytes("UTF-8")),
+      (5L, "plain text".getBytes("UTF-8")))
+    val docs = rows.toDF("doc_id", "payload")
+    val m = graft.ops.Multimodal.magicSniff(docs).collect()
+      .map(r => r.getAs[String]("sniffed_type") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_bytes"),
+          r.getAs[Long]("share_ppm"))).toMap
+    assert(m("jpeg") == ((1L, 4L, 200000L)))
+    assert(m("png") == ((1L, 5L, 200000L)))
+    assert(m("pdf") == ((1L, 10L, 200000L)))
+    assert(m("riff") == ((1L, 12L, 200000L)))
+    assert(m("unknown") == ((1L, 10L, 200000L)))
+  }
+
   test("dedupSavings: exact reclaim from identical payloads, " +
       "near reclaim keeps the largest member per cluster, ppm " +
       "exact; singletons contribute nothing") {
