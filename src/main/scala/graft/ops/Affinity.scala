@@ -530,6 +530,63 @@ object Affinity {
           * 1000.0).cast("long"))
   }
 
+  /** Gap-constrained (windowed) funnel — the product-analytics form
+    * the plain ordered funnel can't express: each step must occur
+    * within `maxGapMs` of the PREVIOUS MATCHED step (greedy
+    * earliest-match scan), so a view followed by a purchase a week
+    * later does NOT convert. The per-user scan is inherently
+    * sequential but bounded by that user's own event count, so it
+    * folds as one `aggregate` over the user's sorted (ts, event_id,
+    * type) struct array — the eventPaths/alertCooldown precedent;
+    * the rollup emits one row per step with reach counts and exact
+    * ppm conversion vs the first step and vs the previous step
+    * (NULL at step 1).
+    */
+  def windowedFunnel(
+      events: DataFrame,
+      steps: Seq[String],
+      maxGapMs: Long
+  ): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"1..8 steps, got ${steps.size}")
+    require(maxGapMs >= 1, s"maxGapMs must be >= 1: $maxGapMs")
+    val n = steps.size
+    val stepsLit = steps.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_millis(col("ts")).as("tms"),
+        col("event_id").as("eid"),
+        col("event_type").as("et")))).as("__evs"))
+      .withColumn("__st", expr(
+        s"""aggregate(__evs,
+           |  named_struct('st', 0, 'lt', CAST(0 AS BIGINT)),
+           |  (acc, e) -> IF(acc.st < $n
+           |      AND e.et = element_at($stepsLit, acc.st + 1)
+           |      AND (acc.st = 0 OR e.tms - acc.lt <= $maxGapMs),
+           |    named_struct('st', acc.st + 1, 'lt', e.tms),
+           |    acc),
+           |  acc -> acc.st)""".stripMargin))
+    val reachCols = (1 to n).map(k =>
+      sum(when(col("__st") >= k, 1L).otherwise(0L)).as(s"__c$k"))
+    val agged = perUser.agg(reachCols.head, reachCols.tail: _*)
+    val stackArgs = (1 to n).map { k =>
+      val prev = if (k == 1) "CAST(NULL AS BIGINT)" else s"__c${k - 1}"
+      s"CAST($k AS BIGINT), '${steps(k - 1)}', __c$k, $prev, __c1"
+    }.mkString(", ")
+    agged
+      .select(expr(s"stack($n, $stackArgs) AS " +
+        "(step, step_name, n_users, __prev, __first)"))
+      .withColumn("conv_vs_first_ppm", expr(
+        """CASE WHEN __first = 0 THEN NULL
+          | ELSE n_users * 1000000 div __first END""".stripMargin))
+      .withColumn("conv_vs_prev_ppm", expr(
+        """CASE WHEN step = 1 OR __prev = 0 THEN NULL
+          | ELSE n_users * 1000000 div __prev END""".stripMargin))
+      .drop("__prev", "__first")
+      .orderBy(col("step"))
+  }
+
   /** CUPED variance-reduced A/B readout — the pre-period adjustment
     * every experimentation platform applies before calling a metric
     * move: per user, the metric over the calendar's second half (the

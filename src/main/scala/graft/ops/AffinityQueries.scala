@@ -134,6 +134,11 @@ object AffinityQueries {
     "q_events_srm" -> ((s, d) =>
       Affinity.sampleRatioMismatch(Tables.events(s, d),
         col("user_id") % 2 === 1)),
+    // gap-constrained funnel: view -> click -> purchase with each
+    // step within 1 h of the previous MATCHED step, greedy scan
+    "q_events_windowed_funnel" -> ((s, d) =>
+      Affinity.windowedFunnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"), maxGapMs = 3600000L)),
     // CUPED variance-reduced readout on the same parity split:
     // first-half purchases as the covariate, pooled theta, exact
     // integer-floored adjusted means + rho^2 variance reduction
@@ -319,6 +324,51 @@ object AffinityQueries {
         |        + 1.0 / CAST(n_b AS DOUBLE)))
         |    * 1000.0) AS BIGINT) AS z_milli
         |FROM w""".stripMargin,
+    // recursive greedy per-user walk in (tms, event_id) order — the
+    // alert-cooldown twin pattern, state = (step, last-match ms)
+    "q_events_windowed_funnel" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events),
+        |nn AS (SELECT user_id, CAST(MAX(rn) AS BIGINT) AS mx
+        |       FROM ev GROUP BY 1),
+        |walk(user_id, rn, st, lt) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), 0, CAST(0 AS BIGINT)
+        |  FROM nn
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    CASE WHEN w.st < 3
+        |        AND e.event_type =
+        |          (['view','click','purchase'])[w.st + 1]
+        |        AND (w.st = 0 OR e.tms - w.lt <= 3600000)
+        |      THEN w.st + 1 ELSE w.st END,
+        |    CASE WHEN w.st < 3
+        |        AND e.event_type =
+        |          (['view','click','purchase'])[w.st + 1]
+        |        AND (w.st = 0 OR e.tms - w.lt <= 3600000)
+        |      THEN e.tms ELSE w.lt END
+        |  FROM walk w JOIN ev e
+        |    ON e.user_id = w.user_id AND e.rn = w.rn + 1),
+        |fin AS (SELECT w.user_id, w.st FROM walk w
+        |        JOIN nn ON nn.user_id = w.user_id AND w.rn = nn.mx),
+        |c AS (SELECT
+        |    CAST(COUNT(CASE WHEN st >= 1 THEN 1 END) AS BIGINT) AS c1,
+        |    CAST(COUNT(CASE WHEN st >= 2 THEN 1 END) AS BIGINT) AS c2,
+        |    CAST(COUNT(CASE WHEN st >= 3 THEN 1 END) AS BIGINT) AS c3
+        |  FROM fin),
+        |stp AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |    c1 AS n_users, CAST(NULL AS BIGINT) AS prev, c1 FROM c
+        |  UNION ALL SELECT 2, 'click', c2, c1, c1 FROM c
+        |  UNION ALL SELECT 3, 'purchase', c3, c2, c1 FROM c)
+        |SELECT step, step_name, n_users,
+        |  CASE WHEN c1 = 0 THEN NULL
+        |    ELSE n_users * 1000000 // c1 END AS conv_vs_first_ppm,
+        |  CASE WHEN step = 1 OR prev = 0 THEN NULL
+        |    ELSE n_users * 1000000 // prev END AS conv_vs_prev_ppm
+        |FROM stp ORDER BY step""".stripMargin,
     // pooled-theta CUPED: identical integer floors at every named
     // point (theta sign-split micro, means/covariate shifts milli)
     "q_events_cuped" ->

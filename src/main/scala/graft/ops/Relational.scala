@@ -1425,6 +1425,28 @@ object Relational {
               .Window.unboundedPreceding, 0)))
   }
 
+  /** TPC-H Q13 shape — the customer order-count DISTRIBUTION: how
+    * many customers placed exactly k orders, INCLUDING the k = 0
+    * row (the dormant-account mass a plain inner join silently
+    * drops — the left join is the whole point of Q13). Two
+    * aggregations: per-customer order counts off the left join, then
+    * the count-of-counts histogram; output is order-count-domain
+    * sized. The null-extension rows read count 0 because COUNT of a
+    * NULL key is 0, not because of any coalesce.
+    */
+  def customerOrderDistribution(
+      customer: DataFrame,
+      orders: DataFrame
+  ): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** Per-part demand-velocity trend: shipped quantity in the first
     * calendar half vs the second, and the exact milli ratio — the
     * slow-mover/decliner screen an inventory planner runs before

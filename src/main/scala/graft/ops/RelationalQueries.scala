@@ -247,6 +247,11 @@ object RelationalQueries {
     "q_orders_priority_drift" -> ((s, d) =>
       Audit.categoricalMixDrift(Tables.orders(s, d),
         "o_orderpriority", year(col("o_orderdate")).cast("long"))),
+    // TPC-H Q13: customer order-count histogram INCLUDING the
+    // dormant k=0 row (left join is the point)
+    "q_orders_custdist" -> ((s, d) =>
+      customerOrderDistribution(Tables.customer(s, d),
+        Tables.orders(s, d))),
     // TPC-H Q12 shape: late vs on-time lineitems per priority class
     "q_shipping_delay" -> ((s, d) =>
       shippingDelayAnalysis(Tables.lineitem(s, d),
@@ -829,6 +834,17 @@ object RelationalQueries {
         |      - CAST(sum_x AS HUGEINT) * sum_x)
         |    AS BIGINT) END AS slope_qty_milli_per_centi
         |FROM s""".stripMargin,
+    // TPC-H Q13 twin: COUNT(o_orderkey) over the left join
+    "q_orders_custdist" ->
+      """WITH cc AS (
+        |  SELECT c.c_custkey,
+        |    CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     // per-year priority-mix chi-square vs pooled, per-cell floors
     "q_orders_priority_drift" ->
       """WITH cells AS (

@@ -504,6 +504,40 @@ class AffinitySpec extends SparkSpec {
     graft.Caches.release("part")
   }
 
+  test("windowedFunnel: greedy earliest-match scan, gap constraint " +
+      "vs the PREVIOUS MATCHED step, out-of-order prefix ignored") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1 full conversion inside the hour gaps
+      (1L, 1L, "view", "2024-01-01 00:00:00"),
+      (1L, 2L, "click", "2024-01-01 00:10:00"),
+      (1L, 3L, "purchase", "2024-01-01 00:30:00"),
+      // u2: click 2h after view -> gap broken at step 2
+      (2L, 4L, "view", "2024-01-01 00:00:00"),
+      (2L, 5L, "click", "2024-01-01 02:00:00"),
+      (2L, 6L, "purchase", "2024-01-01 02:01:00"),
+      // u3: click BEFORE any view is ignored; purchase can't match
+      // step 2 (expects click) -> stuck at step 1
+      (3L, 7L, "click", "2024-01-01 00:00:00"),
+      (3L, 8L, "view", "2024-01-01 00:05:00"),
+      (3L, 9L, "purchase", "2024-01-01 00:10:00"),
+      // u4: purchase 2h after click -> reaches step 2 only
+      (4L, 10L, "view", "2024-01-01 00:00:00"),
+      (4L, 11L, "click", "2024-01-01 00:30:00"),
+      (4L, 12L, "purchase", "2024-01-01 02:40:00"))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val m = Affinity.windowedFunnel(rows,
+      Seq("view", "click", "purchase"), maxGapMs = 3600000L)
+      .collect().map(r => r.getAs[Long]("step") ->
+        (r.getAs[String]("step_name"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("conv_vs_first_ppm"),
+          Option(r.getAs[Any]("conv_vs_prev_ppm")))).toMap
+    assert(m(1L) == (("view", 4L, 1000000L, None)))
+    assert(m(2L) == (("click", 2L, 500000L, Some(500000L))))
+    assert(m(3L) == (("purchase", 1L, 250000L, Some(500000L))))
+  }
+
   test("cupedLift: a perfectly-correlated covariate removes the " +
       "whole arm difference (theta = 1, rho^2 = 1, adjusted " +
       "means equalize)") {

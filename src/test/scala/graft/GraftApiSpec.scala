@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 346,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 346")
-    assert(SparkEntry.oracleSql.size == 334,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 334")
+    assert(SparkEntry.queries.size == 348,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 348")
+    assert(SparkEntry.oracleSql.size == 336,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 336")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

@@ -335,6 +335,18 @@ class RelationalSpec extends SparkSpec {
       .head.getAs[Long]("sum_x") === 3L)
   }
 
+  test("customerOrderDistribution: zero-order customers survive the " +
+      "left join as the k=0 row; (custdist desc, c_count desc) order") {
+    import spark.implicits._
+    val cust = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val ords = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val out = Relational.customerOrderDistribution(cust, ords)
+      .collect().map(r =>
+        (r.getAs[Long]("c_count"), r.getAs[Long]("custdist")))
+    assert(out.toSeq === Seq((1L, 2L), (2L, 1L), (0L, 1L)))
+  }
+
   test("velocityTrend: halves split at the feed's own midpoint, " +
       "decliners rank first, zero-baseline parts excluded") {
     import spark.implicits._
