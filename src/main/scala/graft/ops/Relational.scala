@@ -1485,4 +1485,433 @@ object Relational {
       .orderBy(col("trend_milli"), col("l_partkey"))
       .limit(topN)
   }
+
+  // --------------------------------------------------------------------
+  // TPC-H completion wave (r15): the benchmark shapes not yet covered
+  // by the registry. The synthetic schema has no partsupp table and no
+  // commit/receipt dates, so Q2/Q9/Q11/Q16/Q20 are principled
+  // adaptations (cost/stock proxies derived from lineitem history) and
+  // Q4 uses ship-vs-order lateness; each scaladoc states the exact
+  // deviation. All follow the registry's exact-arithmetic discipline:
+  // money sums in DECIMAL(18,4) (cast string->double finals), ratios as
+  // integer ppm/milli over scaled-integral DECIMAL(38,0), never a
+  // double division.
+  // --------------------------------------------------------------------
+
+  /** TPC-H Q10 shape — returned-item reporting: the customers who
+    * returned the most revenue in one order quarter (the churn-risk /
+    * fraud screen). lineitem is filtered to `l_returnflag = 'R'` at the
+    * scan, orders to the quarter window, then one hash aggregate per
+    * customer; customer and nation are broadcast dims. Revenue desc
+    * with a custkey tie-break keeps the LIMIT deterministic
+    * cross-engine (the sums are exact decimals, so equal doubles are
+    * equal in both engines).
+    */
+  def returnedItemReport(
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame,
+      nation: DataFrame,
+      startDate: String = "1996-01-01",
+      endDate: String = "1996-04-01",
+      topK: Int = 20
+  ): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,4)")
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders
+          .filter(col("o_orderdate") >= lit(startDate).cast("timestamp") &&
+            col("o_orderdate") < lit(endDate).cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("string").cast("double").as("revenue"),
+        count(lit(1)).as("n_returned"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("n_returned"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topK)
+  }
+
+  /** TPC-H Q7 shape — bilateral trade volume: shipped revenue between
+    * two nations (supplier side vs customer side, both directions) per
+    * ship year. nation is broadcast twice under different aliases;
+    * the nation-pair filter lands BEFORE the aggregate so only the
+    * two countries' lines reach the hash agg. Output is at most
+    * 2 x #years rows.
+    */
+  def nationTradeVolume(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      nationA: String = "NATION_18",
+      nationB: String = "NATION_19"
+  ): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,4)")
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("string").cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q9 shape — product-line profit by supplier nation and order
+    * year. DEVIATION from the benchmark: the synth schema has no
+    * partsupp, so unit cost is proxied as 60% of `p_retailprice`
+    * (scaled by 10^4 to an exact integral decimal before the subtract,
+    * so no engine rounds). Profit per line =
+    * extprice*(1-disc) - 0.6*retailprice*qty, summed exactly in
+    * DECIMAL and shipped as string-cast doubles. Parts filter by a
+    * name token at the broadcast dim.
+    */
+  def productTypeProfit(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      supplier: DataFrame,
+      part: DataFrame,
+      nation: DataFrame,
+      nameToken: String = "gear"
+  ): DataFrame = {
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    // per-line profit in exact 10^-4 units: extprice (<=2dp) times
+    // (1-discount) (<=2dp) is <=4dp so the 10^4 shift is integral, and
+    // retail*0.6*qty in the same units is retail*6000*qty (integral:
+    // 2dp x 6000 clears the fraction) — the DECIMAL(38,0) cast never
+    // sees a fractional value, so neither engine rounds
+    val profitTenK = expr(
+      """CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (CAST(1 AS DECIMAL(18,4))
+        |       - CAST(l_discount AS DECIMAL(18,4))) * 10000
+        |  - CAST(p_retailprice AS DECIMAL(18,4)) * 6000
+        |    * CAST(l_quantity AS DECIMAL(18,4))
+        |  AS DECIMAL(38,0))""".stripMargin)
+    lineitem
+      .join(broadcast(part
+          .filter(col("p_name").contains(nameToken))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        sum(profitTenK).cast("long").as("profit_tenk"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** TPC-H Q14 shape — promotion revenue share per ship month: what
+    * fraction of each month's discounted revenue came from PROMO-type
+    * parts. The share ships as integer ppm computed over
+    * scaled-integral DECIMAL(38,0) (scale-8 shift covers the
+    * extprice*(1-disc) product's full fractional width; a narrower
+    * shift would round and engines disagree on ties). One lineitem
+    * scan, part broadcast.
+    */
+  def promoRevenueShare(
+      lineitem: DataFrame,
+      part: DataFrame
+  ): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,4)")
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"),
+        month(col("l_shipdate")).cast("int").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("__promo"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .as("__total"),
+        count(lit(1)).as("n_items"))
+      .select(col("ship_year"), col("ship_month"), col("n_items"),
+        col("__promo").cast("string").cast("double").as("promo_revenue"),
+        col("__total").cast("string").cast("double").as("total_revenue"),
+        expr("""CAST(CAST(__promo * 100000000 AS DECIMAL(38,0))
+               |  * 1000000 div CAST(__total * 100000000
+               |  AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("promo_ppm"))
+      .orderBy(col("ship_year"), col("ship_month"))
+  }
+
+  /** TPC-H Q15 shape — top supplier(s) by quarter revenue: the view +
+    * scalar-max + equality-join stack, decorrelated as one supplier
+    * aggregate and a window max over the (supplier-count-sized)
+    * aggregate frame. Max selection runs on an exact micro-unit
+    * BIGINT, never a double equality.
+    */
+  def topSupplier(
+      lineitem: DataFrame,
+      supplier: DataFrame,
+      startDate: String = "1996-01-01",
+      endDate: String = "1996-04-01"
+  ): DataFrame = {
+    // pure integer micro-units: prices and discounts carry <=2
+    // fractional digits each, so cents x (100 - centi-discount) x 100
+    // is exact BIGINT arithmetic after one DECIMAL-bridged cast per
+    // FACTOR (a post-product 10^6 shift overflows DuckDB's DECIMAL
+    // widening; per-factor bridging sidesteps both engines' rules)
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(startDate).cast("timestamp") &&
+        col("l_shipdate") < lit(endDate).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(
+        """CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+          |  * (100 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 100
+          |           AS BIGINT)) * 100""".stripMargin))
+        .cast("long").as("rev_micro"))
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    rev
+      .withColumn("__max", max(col("rev_micro")).over(w))
+      .filter(col("rev_micro") === col("__max"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_micro"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q2 shape — min-cost supplier per part. DEVIATION: no
+    * partsupp, so a supplier's "offer" for a part is its best observed
+    * unit price in lineitem history (min over that supplier's lines of
+    * extprice_micro div qty — integer floor division on exact
+    * micro-units, engine-stable). Parts filter by size; suppliers
+    * by region. Winner per part by (offer, s_acctbal desc, s_suppkey)
+    * via one row_number window over the (part,supplier)-offer frame;
+    * final output ordered like Q2 (acctbal desc head).
+    */
+  def minCostSupplier(
+      lineitem: DataFrame,
+      part: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      pSize: Int = 15,
+      regionName: String = "EUROPE",
+      topK: Int = 100
+  ): DataFrame = {
+    val suppRegion = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val offers = lineitem
+      .join(broadcast(part
+          .filter(col("p_size") === pSize)
+          .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppRegion), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 1000000
+               |  AS DECIMAL(38,0)) div CAST(l_quantity AS BIGINT)"""
+          .stripMargin).cast("long")).as("offer_micro"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("offer_micro"), col("s_acctbal").desc,
+        col("s_suppkey"))
+    offers
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("offer_micro"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(topK)
+  }
+
+  /** TPC-H Q11 shape — important stock concentration. DEVIATION: no
+    * partsupp, so a part's "stock value" held by one nation's
+    * suppliers is proxied by shipped mass: sum over that nation's
+    * lines of qty * retailprice, in exact cents (retail carries <= 2
+    * fractional digits and qty is integral). Keep parts whose value
+    * exceeds `perMille` of the nation total — the scalar aggregate is
+    * broadcast back, the Q11 decorrelation.
+    */
+  def importantParts(
+      lineitem: DataFrame,
+      part: DataFrame,
+      supplier: DataFrame,
+      nation: DataFrame,
+      nationName: String = "NATION_3",
+      perMille: Int = 2
+  ): DataFrame = {
+    val suppKeys = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val values = lineitem
+      .join(broadcast(suppKeys), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(sum(expr("""CAST(CAST(p_retailprice AS DECIMAL(18,4))
+                     |  * CAST(l_quantity AS DECIMAL(18,4)) * 100
+                     |  AS DECIMAL(38,0))""".stripMargin))
+        .cast("long").as("value_cents"))
+    val total = values.agg(sum(col("value_cents")).as("__total"))
+    values
+      .crossJoin(broadcast(total))
+      .filter(col("value_cents") * 1000 > col("__total") * perMille)
+      .select(col("p_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16 shape — supplier variety per part segment: how many
+    * distinct suppliers have actually shipped each (brand, type, size)
+    * segment. DEVIATION: the part-supplier relation is the DISTINCT
+    * (l_partkey, l_suppkey) set observed in lineitem (no partsupp),
+    * and "customer complaints" suppliers are proxied by negative
+    * account balance. Brand/type/size exclusions land on the broadcast
+    * part dim before the join.
+    */
+  def supplierPartVariety(
+      lineitem: DataFrame,
+      part: DataFrame,
+      supplier: DataFrame,
+      excludeBrand: String = "Brand#1",
+      sizes: Seq[Int] = Seq(1, 5, 9, 14, 19, 23, 36, 45)
+  ): DataFrame = {
+    val okSupp = supplier.filter(col("s_acctbal") >= 0.0)
+      .select(col("s_suppkey"))
+    val segs = part
+      .filter(col("p_brand") =!= excludeBrand &&
+        col("p_type") =!= "PROMO" && col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(okSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .join(broadcast(segs), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive discounted revenue: three
+    * (brand, size-range, quantity-range) OR-blocks evaluated in one
+    * lineitem⋈broadcast(part) pass (the benchmark's p_container
+    * predicate becomes a size band — the column is absent). The point
+    * of the shape is the disjunction: the filter must not force three
+    * scans, and the quantity half of each block still prunes at the
+    * lineitem scan via the derived min/max bounds.
+    */
+  def disjunctiveRevenue(
+      lineitem: DataFrame,
+      part: DataFrame
+  ): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,4)")
+    def block(brand: String, sizeLo: Int, sizeHi: Int,
+        qtyLo: Int, qtyHi: Int): Column =
+      col("p_brand") === brand &&
+        col("p_size").between(sizeLo, sizeHi) &&
+        col("l_quantity").between(qtyLo, qtyHi)
+    lineitem
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"),
+          col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(block("Brand#12", 1, 5, 1, 11) ||
+        block("Brand#23", 1, 10, 10, 20) ||
+        block("Brand#24", 1, 15, 20, 30))
+      .agg(
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("string").cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q20 shape — excess-velocity suppliers: suppliers whose
+    * shipped quantity of one part family in a single year exceeds half
+    * their all-years total for that family (the benchmark's
+    * "availqty > half of one year's demand" stock screen, inverted to
+    * the data we have: a supplier concentrating a family's lifetime
+    * volume into one year is the promotion/stockpile signal). The
+    * default `shareDenom = 5` flags suppliers with over 20% of their
+    * lifetime family volume in the one year — ~1.4x the uniform share
+    * across the feed's ~7 ship years. Both sums come from ONE
+    * conditional-aggregate scan of the family-filtered lines;
+    * quantities are integral so the compare is pure BIGINT.
+    */
+  def excessSuppliers(
+      lineitem: DataFrame,
+      part: DataFrame,
+      supplier: DataFrame,
+      nameToken: String = "red",
+      year0: Int = 1997,
+      shareDenom: Int = 5
+  ): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_name").startsWith(nameToken))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === year0,
+            col("l_quantity").cast("long")).otherwise(lit(0L)))
+          .cast("long").as("qty_year"),
+        sum(col("l_quantity").cast("long")).cast("long").as("qty_total"))
+      .filter(col("qty_year") * shareDenom > col("qty_total"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("qty_year"),
+        col("qty_total"))
+      .orderBy(col("s_suppkey"))
+
+  /** TPC-H Q4 shape — order-priority lateness histogram: per priority
+    * class, how many orders had AT LEAST ONE line shipped more than
+    * `lateDays` after the order date (the benchmark's
+    * commit-vs-receipt EXISTS, re-expressed on the columns we have;
+    * [[shippingDelayAnalysis]] is the line-level Q12 view — this is
+    * the order-level EXISTS). Decorrelated as one per-order max-delay
+    * aggregate, then a count-sized histogram.
+    */
+  def lateOrderPriority(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      lateDays: Int = 60
+  ): DataFrame =
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(max(datediff(col("l_shipdate"), col("o_orderdate")))
+        .as("__max_delay"))
+      .filter(col("__max_delay") > lateDays)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
 }

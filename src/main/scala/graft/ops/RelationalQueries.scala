@@ -319,6 +319,40 @@ object RelationalQueries {
             _.cast("string"))).as("top_orders_csv"))
         .orderBy(col("o_orderpriority"))),
     "q_salted_agg" -> ((s, d) => saltedAgg(Tables.lineitem(s, d))),
+    // ---- TPC-H completion wave (r15): the benchmark shapes the
+    // registry did not yet cover; Q2/Q9/Q11/Q16/Q20 adapted to the
+    // partsupp-less synth schema (deviations in each scaladoc) ----
+    "q_returned_items" -> ((s, d) =>
+      returnedItemReport(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d))),
+    "q_nation_trade" -> ((s, d) =>
+      nationTradeVolume(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))),
+    "q_product_profit" -> ((s, d) =>
+      productTypeProfit(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.supplier(s, d), Tables.part(s, d), Tables.nation(s, d))),
+    "q_promo_share" -> ((s, d) =>
+      promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_top_supplier" -> ((s, d) =>
+      topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q_min_cost_supplier" -> ((s, d) =>
+      minCostSupplier(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d))),
+    "q_important_parts" -> ((s, d) =>
+      importantParts(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
+    "q_supplier_variety" -> ((s, d) =>
+      supplierPartVariety(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d))),
+    "q_disjunctive_revenue" -> ((s, d) =>
+      disjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_excess_suppliers" -> ((s, d) =>
+      excessSuppliers(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d))),
+    "q_late_order_priority" -> ((s, d) =>
+      lateOrderPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
     // exact two-sample KS on DOLLAR-quantized o_totalprice between
     // the even/odd orderkey halves — quantizing upstream keeps the
     // merged value histogram domain-bounded (≤ max price dollars)
@@ -1923,6 +1957,178 @@ object RelationalQueries {
         |    AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    // ---- TPC-H completion wave (r15) ----
+    "q_returned_items" ->
+      s"""WITH r AS (
+         |  SELECT o_custkey, $decRev AS revenue,
+         |    COUNT(*) AS n_returned
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT c_custkey, c_name, revenue, n_returned, c_acctbal,
+         |  n_name
+         |FROM r JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    "q_nation_trade" ->
+      s"""SELECT sn AS supp_nation, cn AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  $decRev AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN (SELECT s_suppkey, n_name AS sn FROM supplier
+         |      JOIN nation ON s_nationkey = n_nationkey) s
+         |  ON l_suppkey = s_suppkey
+         |JOIN (SELECT c_custkey, n_name AS cn FROM customer
+         |      JOIN nation ON c_nationkey = n_nationkey) c
+         |  ON o_custkey = c.c_custkey
+         |WHERE (sn = 'NATION_18' AND cn = 'NATION_19')
+         |   OR (sn = 'NATION_19' AND cn = 'NATION_18')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |        * (CAST(1 AS DECIMAL(18,4))
+        |           - CAST(l_discount AS DECIMAL(18,4))) * 10000
+        |      - CAST(p_retailprice AS DECIMAL(18,4)) * 6000
+        |        * CAST(l_quantity AS DECIMAL(18,4))
+        |      AS HUGEINT)) AS BIGINT) AS profit_tenk,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+    "q_promo_share" ->
+      """WITH a AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |    CAST(month(l_shipdate) AS INT) AS ship_month,
+        |    COUNT(*) AS n_items,
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,4))
+        |        * (CAST(1 AS DECIMAL(18,4))
+        |           - CAST(l_discount AS DECIMAL(18,4)))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS pr,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * (CAST(1 AS DECIMAL(18,4))
+        |         - CAST(l_discount AS DECIMAL(18,4)))) AS tot
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT ship_year, ship_month, n_items,
+        |  CAST(CAST(pr AS VARCHAR) AS DOUBLE) AS promo_revenue,
+        |  CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS total_revenue,
+        |  CAST(CAST(CAST(pr * 100000000 AS DECIMAL(38,0))
+        |      AS HUGEINT) * 1000000
+        |    // CAST(CAST(tot * 100000000 AS DECIMAL(38,0)) AS HUGEINT)
+        |    AS BIGINT) AS promo_ppm
+        |FROM a ORDER BY ship_year, ship_month""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+        |        AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 100
+        |               AS BIGINT)) * 100) AS BIGINT) AS rev_micro
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_micro
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_micro = (SELECT MAX(rev_micro) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+        |    n_name,
+        |    MIN(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |        * 1000000 AS HUGEINT)
+        |      // CAST(l_quantity AS BIGINT) AS BIGINT)) AS offer_micro
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+        |    ORDER BY offer_micro, s_acctbal DESC, s_suppkey) AS rn
+        |  FROM offers)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  offer_micro
+        |FROM ranked WHERE rn = 1
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,4))
+        |      * CAST(l_quantity AS DECIMAL(18,4)) * 100
+        |      AS HUGEINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = part.p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY 1)
+        |SELECT p_partkey, value_cents FROM v
+        |WHERE value_cents * 1000 >
+        |  (SELECT SUM(value_cents) FROM v) * 2
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+    "q_supplier_variety" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0.0)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM ok)
+        |  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin,
+    "q_disjunctive_revenue" ->
+      s"""SELECT $decRev AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_excess_suppliers" ->
+      """SELECT s_suppkey, s_name, qty_year, qty_total FROM (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS qty_year,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      AS qty_total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY 1) t
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty_year * 5 > qty_total
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_late_order_priority" ->
+      """WITH po AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    MAX(date_diff('day', o_orderdate, l_shipdate))
+        |      AS max_delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM po WHERE max_delay > 60
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
   )
 }

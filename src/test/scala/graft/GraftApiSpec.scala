@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 348,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 348")
-    assert(SparkEntry.oracleSql.size == 336,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 336")
+    assert(SparkEntry.queries.size == 359,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 359")
+    assert(SparkEntry.oracleSql.size == 347,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 347")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

@@ -363,4 +363,120 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq === Seq((4L, 4L, 0L, 0L), (1L, 10L, 2L, 200L),
       (2L, 5L, 5L, 1000L)))
   }
+
+  test("topSupplier: Q15 tie semantics — ALL max-revenue suppliers " +
+      "survive, micro-units exact") {
+    import spark.implicits._
+    // suppliers 1 and 2 tie at 990000 micro (10.00 * (1-0.01));
+    // supplier 3 trails; line outside the window ignored
+    val li = Seq(
+      (1L, 10.0, 0.01, "1996-02-01"),
+      (2L, 10.0, 0.01, "1996-02-02"),
+      (3L, 5.0, 0.00, "1996-02-03"),
+      (1L, 99.0, 0.00, "1995-06-01")
+    ).toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val supp = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name")
+    val out = Relational.topSupplier(li, supp).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("rev_micro")))
+    assert(out.toSeq === Seq((1L, 9900000L), (2L, 9900000L)))
+  }
+
+  test("lateOrderPriority: an order with late AND on-time lines " +
+      "counts ONCE (order-level EXISTS, not line count)") {
+    import spark.implicits._
+    val ords = Seq((1L, "1995-01-01", "1-URGENT"),
+      (2L, "1995-01-01", "2-HIGH"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, "1995-01-10"), (1L, "1995-06-01"), (1L, "1995-07-01"),
+      (2L, "1995-01-20"))
+      .toDF("l_orderkey", "l_shipdate")
+    val out = Relational.lateOrderPriority(li, ords, lateDays = 60)
+      .collect()
+      .map(r => (r.getAs[String]("o_orderpriority"),
+        r.getAs[Long]("order_count")))
+    assert(out.toSeq === Seq(("1-URGENT", 1L)))
+  }
+
+  test("minCostSupplier: min offer wins; offer ties break by acctbal " +
+      "desc then suppkey") {
+    import spark.implicits._
+    val li = Seq(
+      // part 1: supplier 1 offers 2.0/unit, supplier 2 offers 1.0/unit
+      (1L, 1L, 4.0, 2.0), (1L, 2L, 2.0, 2.0),
+      // part 2: both offer 1.0/unit -> acctbal desc picks supplier 1
+      (2L, 1L, 3.0, 3.0), (2L, 2L, 5.0, 5.0)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val part = Seq((1L, 10, "pa"), (2L, 10, "pb"))
+      .toDF("p_partkey", "p_size", "p_name")
+    val supp = Seq((1L, "s1", 900.0, 0), (2L, "s2", 100.0, 0))
+      .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val nat = Seq((0, "N0", 0)).toDF("n_nationkey", "n_name",
+      "n_regionkey")
+    val reg = Seq((0, "EUROPE")).toDF("r_regionkey", "r_name")
+    val out = Relational.minCostSupplier(li, part, supp, nat, reg,
+      pSize = 10).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[String]("s_name"),
+        r.getAs[Long]("offer_micro")))
+    assert(out.sortBy(_._1).toSeq ===
+      Seq((1L, "s2", 1000000L), (2L, "s1", 1000000L)))
+  }
+
+  test("excessSuppliers: one conditional scan, >20% lifetime share " +
+      "in the target year flags") {
+    import spark.implicits._
+    // supplier 1: 30 of 100 in 1997 (flag at denom 5); supplier 2:
+    // 10 of 100 (clear)
+    val rows =
+      (Seq.fill(30)((1L, 1L, 1.0, "1997-03-01")) ++
+        Seq.fill(70)((1L, 1L, 1.0, "1998-03-01")) ++
+        Seq.fill(10)((2L, 1L, 1.0, "1997-03-01")) ++
+        Seq.fill(90)((2L, 1L, 1.0, "1998-03-01")))
+    val li = rows.toDF("l_suppkey", "l_partkey", "l_quantity",
+      "l_shipdate")
+    val part = Seq((1L, "red bolt")).toDF("p_partkey", "p_name")
+    val supp = Seq((1L, "s1"), (2L, "s2")).toDF("s_suppkey", "s_name")
+    val out = Relational.excessSuppliers(li, part, supp).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("qty_year"),
+        r.getAs[Long]("qty_total")))
+    assert(out.toSeq === Seq((1L, 30L, 100L)))
+  }
+
+  test("promoRevenueShare: ppm is exact scaled-integer division") {
+    import spark.implicits._
+    // one month: promo 10.00, total 40.00 -> 250000 ppm exactly
+    val li = Seq(
+      (1L, 10.0, 0.0, "1996-01-05"),
+      (2L, 30.0, 0.0, "1996-01-15")
+    ).toDF("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val part = Seq((1L, "PROMO"), (2L, "LARGE"))
+      .toDF("p_partkey", "p_type")
+    val r = Relational.promoRevenueShare(li, part).collect().head
+    assert(r.getAs[Long]("promo_ppm") === 250000L)
+    assert(r.getAs[Double]("promo_revenue") === 10.0)
+    assert(r.getAs[Double]("total_revenue") === 40.0)
+  }
+
+  test("TPC-H wave dims broadcast: returned items, trade volume, " +
+      "disjunctive revenue all BHJ (no shuffle of lineitem by a dim " +
+      "key)") {
+    val li = Tables.lineitem(spark, d)
+    for (df <- Seq(
+      Relational.returnedItemReport(Tables.customer(spark, d),
+        Tables.orders(spark, d), li, Tables.nation(spark, d)),
+      Relational.nationTradeVolume(li, Tables.orders(spark, d),
+        Tables.customer(spark, d), Tables.supplier(spark, d),
+        Tables.nation(spark, d)),
+      Relational.disjunctiveRevenue(li, Tables.part(spark, d)))) {
+      assert(plan(df).contains("BroadcastHashJoin"))
+    }
+    // the disjunction stays one scan: a single parquet read of
+    // lineitem feeds the OR filter (no union-of-three-scans rewrite)
+    val scans = Relational.disjunctiveRevenue(li, Tables.part(spark, d))
+      .queryExecution.executedPlan.toString
+      .split("\n").count(l => l.contains("Scan parquet") &&
+        l.contains("lineitem"))
+    assert(scans === 1)
+  }
 }
