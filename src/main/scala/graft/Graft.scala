@@ -45,6 +45,12 @@ object Graft {
     /** Good-Turing counts-of-counts smoothing table with exact-ppm
       * unseen-mass estimate. */
     def goodTuring: DataFrame = ops.Text.goodTuring(docs)
+    /** Interpolated Kneser–Ney bigram table (D=3/4, exact ppm). */
+    def kneserNeyBigrams(topN: Int = 50): DataFrame =
+      ops.Text.kneserNeyBigrams(docs, topN)
+    /** Burrows' Delta stylometric distance between sources. */
+    def burrowsDelta(topK: Int = 20): DataFrame =
+      ops.Text.burrowsDelta(docs, topK)
     /** Cohen's kappa agreement of two boolean keep-columns on this
       * frame — chance-corrected filter-redundancy audit. */
     def filterAgreementKappa(
@@ -627,6 +633,12 @@ object Graft {
     def linkPredictionAssigned(k: Int = 3,
         topN: Int = 100): DataFrame =
       ops.Vector.linkPredictionAssigned(embs, k, topN)
+    /** Resource-Allocation (hub-discounted) link prediction over the
+      * kNN graph: score = Σ floor(10^6/deg(z)) over shared
+      * neighbors. */
+    def resourceAllocationLinkPred(k: Int = 3,
+        topN: Int = 100): DataFrame =
+      ops.Vector.resourceAllocationLinkPred(embs, k, topN)
     /** Rounds-bounded k-core peel of the within-list kNN graph
       * (frame must carry `list_id`): residual degree + membership. */
     def kCoreAssigned(

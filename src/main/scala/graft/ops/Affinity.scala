@@ -415,14 +415,89 @@ object Affinity {
   def entityResolution(
       part: DataFrame,
       maxDist: Int = 2,
-      cacheFamily: String = "part"
+      cacheFamily: String = "part",
+      precomputedPairs: Option[DataFrame] = None
   ): DataFrame = {
-    val pairs = fuzzyNameMatch(part, maxDist)
+    val pairs = precomputedPairs
+      .getOrElse(fuzzyNameMatch(part, maxDist))
       .select(col("part_a").as("doc_a"), col("part_b").as("doc_b"))
     val ids = part.select(col("p_partkey").as("doc_id"))
     val clusters = Text.dupClusters(ids, pairs,
       cacheFamily = cacheFamily)
     Audit.componentSizeProfile(clusters, "cluster")
+  }
+
+  /** Fellegi–Sunter agreement weights for the ER blocking pipeline —
+    * the numbers that turn [[entityResolution]]'s yes/no Levenshtein
+    * verdict into a principled per-field score: for each comparison
+    * field, `m` = P(field agrees | pair is a match) estimated over
+    * the blocked-and-verified candidate pairs, and `u` = P(field
+    * agrees | pair is random) estimated EXACTLY as the field's value
+    * collision probability Σ c_v·(c_v−1)/(N·(N−1)) — the standard
+    * frequency-based u (no pair sampling: the histogram IS the
+    * answer). The match weight ships as the odds ratio
+    * `weight_milli = m_ppm·1000 div u_ppm` — monotone-equivalent to
+    * the classic log₂(m/u) agreement weight without a transcendental,
+    * so it is exact end to end. A field with weight ≈ 1000 (m ≈ u)
+    * carries no linkage signal; price-band agreement at weight ≫ 1000
+    * is what earns it a slot in the match rule.
+    *
+    * Scale shape: the candidate pairs come from the same
+    * rarest-token blocking as [[fuzzyNameMatch]] (never n²); the
+    * attribute table is a broadcast dim on both sides; each u is a
+    * value-histogram aggregation (field-cardinality-sized); the
+    * output is exactly 4 rows via one `stack`.
+    */
+  def fellegiSunterWeights(part: DataFrame, maxDist: Int = 2,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val attrs = part.select(col("p_partkey"),
+      col("p_brand").as("f_brand"), col("p_type").as("f_type"),
+      col("p_size").cast("long").as("f_size"),
+      // exact dollar-hundreds band: cents div 10000, DECIMAL-bridged
+      // so no double division touches the bucketing
+      expr("CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 100 AS BIGINT)"
+        + " div 10000").as("f_price"))
+    def pref(p: String) = attrs.select(
+      col("p_partkey").as(s"${p}_key"),
+      col("f_brand").as(s"${p}_brand"), col("f_type").as(s"${p}_type"),
+      col("f_size").as(s"${p}_size"), col("f_price").as(s"${p}_price"))
+    val m = precomputedPairs.getOrElse(fuzzyNameMatch(part, maxDist))
+      .join(broadcast(pref("a")), col("part_a") === col("a_key"))
+      .join(broadcast(pref("b")), col("part_b") === col("b_key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("a_brand") === col("b_brand"), 1L)
+          .otherwise(0L)), lit(0L)).as("m_brand"),
+        coalesce(sum(when(col("a_type") === col("b_type"), 1L)
+          .otherwise(0L)), lit(0L)).as("m_type"),
+        coalesce(sum(when(col("a_size") === col("b_size"), 1L)
+          .otherwise(0L)), lit(0L)).as("m_size"),
+        coalesce(sum(when(col("a_price") === col("b_price"), 1L)
+          .otherwise(0L)), lit(0L)).as("m_price"))
+    def coll(f: String) = attrs.groupBy(col(s"f_$f"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L))
+        .as(s"u_$f"))
+    val n = attrs.agg(count(lit(1)).as("n_recs"))
+    m.crossJoin(broadcast(coll("brand")))
+      .crossJoin(broadcast(coll("type")))
+      .crossJoin(broadcast(coll("size")))
+      .crossJoin(broadcast(coll("price")))
+      .crossJoin(broadcast(n))
+      .selectExpr("n_pairs", "n_recs",
+        """stack(4,
+          |  'brand', m_brand, u_brand,
+          |  'price_band', m_price, u_price,
+          |  'size', m_size, u_size,
+          |  'type', m_type, u_type) AS (field, m_agree, u_coll)"""
+          .stripMargin)
+      .select(col("field"), col("n_pairs"), col("m_agree"),
+        expr("m_agree * 1000000 div GREATEST(n_pairs, 1)")
+          .as("m_ppm"),
+        expr("u_coll * 1000000 div GREATEST(n_recs * (n_recs - 1), 1)")
+          .as("u_ppm"))
+      .withColumn("weight_milli",
+        expr("m_ppm * 1000 div GREATEST(u_ppm, 1)"))
+      .orderBy(col("field"))
   }
 
   // --- Shuffle-skew diagnosis ---------------------------------------

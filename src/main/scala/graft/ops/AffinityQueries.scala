@@ -14,6 +14,15 @@ object AffinityQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Session-shared blocked+verified fuzzy pair set over the part
+    * catalog (the `jac_pairs` precedent): q_part_entity_resolution
+    * and q_part_fs_weights consume the identical candidate pairs, so
+    * the blocking + Levenshtein verification runs once per session.
+    */
+  private def fuzzyPairsDf(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("part", ("fuzzy", s, d))(
+      Affinity.fuzzyNameMatch(Tables.part(s, d), maxDist = 2))
+
   val queries: Map[String, Q] = Map(
     // market-basket pair association: exact integer support (ppm of
     // orders) + lift (milli) over co-ordered part pairs
@@ -84,8 +93,15 @@ object AffinityQueries {
     // ER capstone: block -> verify -> components -> entity-size
     // profile over the whole part catalog
     "q_part_entity_resolution" -> ((s, d) =>
-      Affinity.entityResolution(Tables.part(s, d))
+      Affinity.entityResolution(Tables.part(s, d),
+        precomputedPairs = Some(fuzzyPairsDf(s, d)))
         .orderBy(col("size"))),
+    // Fellegi-Sunter m/u agreement weights per comparison field over
+    // the shared blocked candidate pairs; u = exact value-collision
+    // ppm from the field histograms
+    "q_part_fs_weights" -> ((s, d) =>
+      Affinity.fellegiSunterWeights(Tables.part(s, d),
+        precomputedPairs = Some(fuzzyPairsDf(s, d)))),
     // event-type PMI over user-day co-occurrence units, q20 ln terms
     "q_events_pmi" -> ((s, d) =>
       Affinity.eventPmi(Tables.events(s, d))),
@@ -664,6 +680,80 @@ object AffinityQueries {
         |  tv_ppm, tv_ppm <= 200000 AS meets_t
         |FROM agg ORDER BY 1, 2""".stripMargin,
     // whole-catalog fuzzy pairs -> recursive components -> profile
+    "q_part_fs_weights" ->
+      """WITH t AS (
+        |  SELECT p_partkey, p_name,
+        |    UNNEST(list_distinct(string_split(p_name, ' '))) AS token
+        |  FROM part),
+        |tdf AS (SELECT token, COUNT(*) AS df FROM t GROUP BY 1),
+        |sig0 AS (
+        |  SELECT p_partkey, p_name, token AS block_token FROM (
+        |    SELECT t.p_partkey, t.p_name, t.token,
+        |      ROW_NUMBER() OVER (PARTITION BY t.p_partkey
+        |        ORDER BY tdf.df, t.token) AS rn
+        |    FROM t JOIN tdf USING (token))
+        |  WHERE rn = 1),
+        |bs AS (
+        |  SELECT block_token, COUNT(*) AS block_sz
+        |  FROM sig0 GROUP BY 1),
+        |sig AS (
+        |  SELECT s.p_partkey, s.p_name, s.block_token
+        |  FROM sig0 s JOIN bs USING (block_token)
+        |  WHERE bs.block_sz <= 500),
+        |pairs AS (
+        |  SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+        |  FROM sig a JOIN sig b
+        |    ON a.block_token = b.block_token
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |attrs AS (
+        |  SELECT p_partkey, p_brand AS f_brand, p_type AS f_type,
+        |    CAST(p_size AS BIGINT) AS f_size,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 100
+        |      AS BIGINT) // 10000 AS f_price
+        |  FROM part),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(COALESCE(SUM(CASE WHEN a.f_brand = b.f_brand
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_brand,
+        |    CAST(COALESCE(SUM(CASE WHEN a.f_type = b.f_type
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_type,
+        |    CAST(COALESCE(SUM(CASE WHEN a.f_size = b.f_size
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_size,
+        |    CAST(COALESCE(SUM(CASE WHEN a.f_price = b.f_price
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_price
+        |  FROM pairs
+        |  JOIN attrs a ON part_a = a.p_partkey
+        |  JOIN attrs b ON part_b = b.p_partkey),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recs FROM attrs),
+        |uu AS (
+        |  SELECT 'brand' AS field,
+        |    CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) AS u_coll
+        |  FROM (SELECT COUNT(*) AS c FROM attrs GROUP BY f_brand)
+        |  UNION ALL SELECT 'price_band',
+        |    CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM attrs GROUP BY f_price)
+        |  UNION ALL SELECT 'size',
+        |    CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM attrs GROUP BY f_size)
+        |  UNION ALL SELECT 'type',
+        |    CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM attrs GROUP BY f_type)),
+        |mm AS (
+        |  SELECT 'brand' AS field, m_brand AS m_agree FROM m
+        |  UNION ALL SELECT 'price_band', m_price FROM m
+        |  UNION ALL SELECT 'size', m_size FROM m
+        |  UNION ALL SELECT 'type', m_type FROM m)
+        |SELECT mm.field, m.n_pairs, mm.m_agree,
+        |  mm.m_agree * 1000000 // GREATEST(m.n_pairs, 1) AS m_ppm,
+        |  uu.u_coll * 1000000
+        |    // GREATEST(n.n_recs * (n.n_recs - 1), 1) AS u_ppm,
+        |  (mm.m_agree * 1000000 // GREATEST(m.n_pairs, 1)) * 1000
+        |    // GREATEST(uu.u_coll * 1000000
+        |      // GREATEST(n.n_recs * (n.n_recs - 1), 1), 1)
+        |    AS weight_milli
+        |FROM mm JOIN uu USING (field) CROSS JOIN m CROSS JOIN n
+        |ORDER BY mm.field""".stripMargin,
     "q_part_entity_resolution" ->
       """WITH RECURSIVE t AS (
         |  SELECT p_partkey, p_name,

@@ -1686,4 +1686,56 @@ object Audit {
         (lit(2L) * col("n_a") * col("n_b") - col("u2_a")).as("u2_b"),
         expr("u2_a * 1000000 div (2 * n_a * n_b)").as("auc_ppm"))
   }
+
+  /** Conjunctive-predicate selectivity audit — the filter-side
+    * sibling of [[joinCardinalityAudit]]: every cost-based planner
+    * multiplies marginal selectivities under the independence
+    * assumption (`sel(A ∧ B) ≈ sel(A)·sel(B)`), and correlated
+    * columns are where that estimate collapses (the classic
+    * make="Honda" ∧ model="Civic" failure). For each named predicate
+    * pair the audit reports marginal ppm, actual conjunctive ppm,
+    * the independence estimate `est_ppm = a_ppm·b_ppm div 10^6`, and
+    * `corr_milli = actual·1000 div est` — 1000 means independent,
+    * ≫1000 is positive correlation (the planner underestimates and
+    * under-parallelizes), ≪1000 negative (over-reserves). At 100 TB
+    * this is the table-stats health check that decides which column
+    * groups need multi-column statistics / a bucketing key.
+    *
+    * ONE scan: all marginal and joint counts are conditional sums in
+    * a single aggregate; the pair table unstacks from that one row.
+    */
+  def selectivityAudit(
+      df: DataFrame,
+      preds: Seq[(String, Column)],
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(preds.nonEmpty && pairs.nonEmpty,
+      "need at least one predicate and one pair")
+    val byName = preds.toMap
+    pairs.foreach { case (a, b) =>
+      require(byName.contains(a) && byName.contains(b),
+        s"pair ($a,$b) references an unregistered predicate") }
+    val marg = preds.map { case (n, c) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"n_$n") }
+    val joint = pairs.map { case (a, b) =>
+      sum(when(byName(a) && byName(b), 1L).otherwise(0L))
+        .as(s"n_${a}__$b") }
+    val agg = df.agg(count(lit(1)).as("n_rows"),
+      (marg ++ joint): _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a & $b', n_$a, n_$b, n_${a}__$b" }.mkString(", ")
+    agg
+      .selectExpr("n_rows",
+        s"stack(${pairs.size}, $stackArgs)" +
+          " AS (pair, n_a, n_b, n_joint)")
+      .select(col("pair"), col("n_rows"), col("n_a"), col("n_b"),
+        col("n_joint"),
+        expr("n_a * 1000000 div n_rows").as("a_ppm"),
+        expr("n_b * 1000000 div n_rows").as("b_ppm"))
+      .withColumn("actual_ppm",
+        expr("n_joint * 1000000 div n_rows"))
+      .withColumn("est_ppm", expr("a_ppm * b_ppm div 1000000"))
+      .withColumn("corr_milli",
+        expr("actual_ppm * 1000 div GREATEST(est_ppm, 1)"))
+      .orderBy(col("pair"))
+  }
 }

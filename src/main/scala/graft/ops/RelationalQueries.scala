@@ -353,6 +353,17 @@ object RelationalQueries {
         Tables.supplier(s, d))),
     "q_late_order_priority" -> ((s, d) =>
       lateOrderPriority(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // conjunctive-selectivity audit: independence-assumption estimate
+    // vs actual joint ppm per predicate pair, one conditional scan
+    "q_li_selectivity" -> ((s, d) =>
+      Audit.selectivityAudit(Tables.lineitem(s, d),
+        Seq(
+          "flag_r" -> (col("l_returnflag") === "R"),
+          "status_f" -> (col("l_linestatus") === "F"),
+          "y1996" -> (year(col("l_shipdate")) === 1996),
+          "qty10" -> (col("l_quantity") <= 10.0)),
+        Seq("flag_r" -> "status_f", "flag_r" -> "y1996",
+          "y1996" -> "qty10"))),
     // exact two-sample KS on DOLLAR-quantized o_totalprice between
     // the even/odd orderkey halves — quantizing upstream keeps the
     // merged value histogram domain-bounded (≤ max price dollars)
@@ -2120,6 +2131,45 @@ object RelationalQueries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE qty_year * 5 > qty_total
         |ORDER BY s_suppkey""".stripMargin,
+    "q_li_selectivity" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_r,
+        |    CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_status_f,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_y1996,
+        |    CAST(SUM(CASE WHEN l_quantity <= 10.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_qty10,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |      AND l_linestatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS j1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |      AND year(l_shipdate) = 1996
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS j2,
+        |    CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+        |      AND l_quantity <= 10.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS j3
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT 'flag_r & status_f' AS pair, n_rows,
+        |    n_flag_r AS n_a, n_status_f AS n_b, j1 AS n_joint FROM a
+        |  UNION ALL SELECT 'flag_r & y1996', n_rows,
+        |    n_flag_r, n_y1996, j2 FROM a
+        |  UNION ALL SELECT 'y1996 & qty10', n_rows,
+        |    n_y1996, n_qty10, j3 FROM a)
+        |SELECT pair, n_rows, n_a, n_b, n_joint,
+        |  n_a * 1000000 // n_rows AS a_ppm,
+        |  n_b * 1000000 // n_rows AS b_ppm,
+        |  n_joint * 1000000 // n_rows AS actual_ppm,
+        |  (n_a * 1000000 // n_rows) * (n_b * 1000000 // n_rows)
+        |    // 1000000 AS est_ppm,
+        |  (n_joint * 1000000 // n_rows) * 1000
+        |    // GREATEST((n_a * 1000000 // n_rows)
+        |      * (n_b * 1000000 // n_rows) // 1000000, 1)
+        |    AS corr_milli
+        |FROM p ORDER BY pair""".stripMargin,
     "q_late_order_priority" ->
       """WITH po AS (
         |  SELECT o_orderkey, o_orderpriority,

@@ -4381,6 +4381,132 @@ object Text {
       .orderBy(col("c"))
   }
 
+  /** Interpolated Kneser–Ney bigram table — the LM-smoothing step
+    * past [[goodTuring]] (GT prices the unseen mass; KN fixes WHICH
+    * continuations get it: "Francisco" is frequent but follows only
+    * "San", so its continuation probability is tiny — the
+    * novel-context signal raw counts can't see). Absolute discount
+    * D = 3/4 keeps everything rational, so the whole estimate is one
+    * exact integer expression — no libm, no double division:
+    *
+    *   P_KN(w2|w1) = max(c−D,0)/c(w1)
+    *                 + D·N1+(w1·)/c(w1) · N1+(·w2)/B
+    *   kn_ppm      = (max(4c−3,0)·B + 3·fert_w1·fert_w2) · 10^6
+    *                   div (4·c(w1)·B)      [DECIMAL(38,0)/HUGEINT]
+    *
+    * where fert_w1 = N1+(w1·) (distinct continuations of w1),
+    * fert_w2 = N1+(·w2) (distinct histories of w2, the continuation
+    * fertility), and B = #distinct bigram types. `cont_ppm` =
+    * fert_w2·10^6 div B is the continuation-unigram itself.
+    *
+    * Scale shape: one bigram aggregation (map-side combined,
+    * vocabulary²-bounded output), two vocabulary-sized side
+    * aggregations, ONE scalar. The head is TakeOrdered by
+    * (c desc, pair) BEFORE any join, so the w1/w2 side tables join
+    * onto `topN` rows (broadcast), never onto the bigram table.
+    */
+  def kneserNeyBigrams(docs: DataFrame, topN: Int = 50): DataFrame = {
+    val pairs = docs
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+      .select(substring_index(col("pair"), " ", 1).as("w1"),
+        substring_index(col("pair"), " ", -1).as("w2"))
+    val big = graft.Caches.track("text", pairs
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c")))
+    val hist = big.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c_w1"), count(lit(1)).as("fert_w1"))
+    val cont = big.groupBy(col("w2"))
+      .agg(count(lit(1)).as("fert_w2"))
+    val b = big.agg(count(lit(1)).as("bigram_types"))
+    big
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(topN)
+      .join(broadcast(hist), "w1")
+      .join(broadcast(cont), "w2")
+      .crossJoin(broadcast(b))
+      .select(col("w1"), col("w2"), col("c"), col("c_w1"),
+        col("fert_w1"), col("fert_w2"), col("bigram_types"),
+        expr("""CAST((CAST(GREATEST(4 * c - 3, 0) AS DECIMAL(38,0))
+               |    * bigram_types
+               |    + 3 * CAST(fert_w1 AS DECIMAL(38,0)) * fert_w2)
+               |  * 1000000
+               |  div (CAST(4 AS DECIMAL(38,0)) * c_w1 * bigram_types)
+               |  AS BIGINT)""".stripMargin).as("kn_ppm"),
+        expr("fert_w2 * 1000000 div bigram_types").as("cont_ppm"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+  }
+
+  /** Burrows' Delta between sources — the stylometric distance used
+    * for authorship attribution, turned corpus screen: two "sources"
+    * whose most-frequent-word usage profiles sit within noise of each
+    * other are one upstream author/template wearing two labels (the
+    * syndication/mirror signal [[sourceOverlap]] sees via shared
+    * vocabulary, re-detected here via USAGE RATES — mirrors can
+    * rewrite tokens and still keep their function-word rhythm).
+    * Classic Delta: over the corpus's top-`topK` tokens, per-source
+    * relative frequencies, z-scored per token across sources, then
+    * `delta = mean |z_a − z_b|` per source pair.
+    *
+    * Exact integer skeleton: frequencies in ppm (integer div by the
+    * source's token mass), per-token scaled deviation
+    * `sd_scaled = floor(sqrt(S·Σf² − (Σf)²))` (= S·σ, the IEEE
+    * correctly-rounded sqrt both engines share), z in milli as
+    * `(f·S − Σf)·1000 div max(sd_scaled,1)` SIGN-SPLIT (DuckDB `//`
+    * floors negatives while Spark `div` truncates — the cuped
+    * convention: divide the absolute value, reapply the sign; σ=0
+    * tokens contribute exact 0), delta in milli as the floored mean
+    * of |Δz|.
+    *
+    * Scale shape: one token aggregation (corpus-scanned once,
+    * map-side combined); everything after lives on the S×topK grid —
+    * sources × a TakeOrdered token head, never the vocabulary.
+    */
+  def burrowsDelta(docs: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tok = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+    val tf = graft.Caches.track("text", tok
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf")))
+    val tot = tf.groupBy(col("source")).agg(sum(col("tf")).as("total"))
+    val top = tf.groupBy(col("token")).agg(sum(col("tf")).as("ctf"))
+      .orderBy(col("ctf").desc, col("token")).limit(topK)
+      .select(col("token"))
+    val f = tot.crossJoin(broadcast(top))
+      .join(tf, Seq("source", "token"), "left")
+      .select(col("source"), col("token"),
+        expr("coalesce(tf, 0) * 1000000 div total").as("f_ppm"))
+    val mom = f.groupBy(col("token"))
+      .agg(count(lit(1)).as("s"), sum(col("f_ppm")).as("sf"),
+        sum(col("f_ppm") * col("f_ppm")).as("sff"))
+      .select(col("token"), col("s"), col("sf"),
+        floor(sqrt((col("s") * col("sff") - col("sf") * col("sf"))
+          .cast("double"))).cast("long").as("sd_scaled"))
+    val z = f.join(broadcast(mom), "token")
+      .select(col("source"), col("token"),
+        expr("""CASE WHEN f_ppm * s - sf < 0
+               |  THEN -((sf - f_ppm * s) * 1000
+               |         div GREATEST(sd_scaled, 1))
+               |  ELSE (f_ppm * s - sf) * 1000
+               |       div GREATEST(sd_scaled, 1) END"""
+          .stripMargin).as("z_milli"))
+    z.as("za")
+      .join(z.as("zb"), col("za.token") === col("zb.token") &&
+        col("za.source") < col("zb.source"))
+      .groupBy(col("za.source").as("source_a"),
+        col("zb.source").as("source_b"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(abs(col("za.z_milli") - col("zb.z_milli")))
+          .as("sum_abs_dz"))
+      .withColumn("delta_milli",
+        expr("sum_abs_dz div n_tokens"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def zipfAudit(docs: DataFrame): DataFrame = {
     val counts = docs
       .select(explode(tokens(col("text"))).as("token"))

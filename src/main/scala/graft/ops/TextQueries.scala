@@ -151,6 +151,14 @@ object TextQueries {
     // number that says how open this corpus's vocabulary is
     "q_text_good_turing" -> ((s, d) =>
       Text.goodTuring(Tables.documents(s, d))),
+    // interpolated Kneser-Ney bigram head (D=3/4 keeps it rational:
+    // exact ppm via DECIMAL(38,0)/HUGEINT, no libm)
+    "q_text_kneser_ney" -> ((s, d) =>
+      Text.kneserNeyBigrams(Tables.documents(s, d))),
+    // Burrows' Delta stylometric distance between sources over the
+    // top-20 token usage rates (sign-split z milli, exact skeleton)
+    "q_text_burrows_delta" -> ((s, d) =>
+      Text.burrowsDelta(Tables.documents(s, d))),
     // exact KS between the two doc_id-parity halves' MILLI-quantized
     // quality scores — quantizing keeps the merged histogram at
     // <= 1001 values regardless of corpus size (ksDrift's contract)
@@ -956,6 +964,89 @@ object TextQueries {
          |FROM cc LEFT JOIN cc nx ON nx.c = cc.c + 1
          |CROSS JOIN t
          |ORDER BY cc.c""".stripMargin,
+    "q_text_kneser_ney" ->
+      s"""WITH t AS (
+         |  SELECT $toksSql AS toks
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |ix AS (
+         |  SELECT toks,
+         |    UNNEST(generate_series(1, len(toks) - 1)) AS i
+         |  FROM t WHERE len(toks) >= 2),
+         |big AS (
+         |  SELECT toks[i] AS w1, toks[i + 1] AS w2,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ix GROUP BY 1, 2),
+         |hist AS (
+         |  SELECT w1, CAST(SUM(c) AS BIGINT) AS c_w1,
+         |    CAST(COUNT(*) AS BIGINT) AS fert_w1
+         |  FROM big GROUP BY 1),
+         |cont AS (
+         |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS fert_w2
+         |  FROM big GROUP BY 1),
+         |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS bigram_types
+         |      FROM big),
+         |head AS (
+         |  SELECT w1, w2, c FROM big
+         |  ORDER BY c DESC, w1, w2 LIMIT 50)
+         |SELECT h.w1, h.w2, h.c, hist.c_w1, hist.fert_w1,
+         |  cont.fert_w2, b.bigram_types,
+         |  CAST((CAST(GREATEST(4 * h.c - 3, 0) AS HUGEINT)
+         |      * b.bigram_types
+         |      + 3 * CAST(hist.fert_w1 AS HUGEINT) * cont.fert_w2)
+         |    * 1000000
+         |    // (CAST(4 AS HUGEINT) * hist.c_w1 * b.bigram_types)
+         |    AS BIGINT) AS kn_ppm,
+         |  cont.fert_w2 * 1000000 // b.bigram_types AS cont_ppm
+         |FROM head h
+         |JOIN hist USING (w1) JOIN cont USING (w2) CROSS JOIN b
+         |ORDER BY h.c DESC, h.w1, h.w2""".stripMargin,
+    "q_text_burrows_delta" ->
+      s"""WITH tok AS (
+         |  SELECT source, UNNEST($toksSql) AS token
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |tf AS (
+         |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT source, CAST(SUM(tf) AS BIGINT) AS total
+         |  FROM tf GROUP BY 1),
+         |top AS (
+         |  SELECT token FROM (
+         |    SELECT token, SUM(tf) AS ctf FROM tf GROUP BY 1)
+         |  ORDER BY ctf DESC, token LIMIT 20),
+         |f AS (
+         |  SELECT t.source, p.token,
+         |    COALESCE(x.tf, 0) * 1000000 // t.total AS f_ppm
+         |  FROM tot t CROSS JOIN top p
+         |  LEFT JOIN tf x
+         |    ON x.source = t.source AND x.token = p.token),
+         |mom AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS s,
+         |    CAST(SUM(f_ppm) AS BIGINT) AS sf,
+         |    CAST(SUM(f_ppm * f_ppm) AS BIGINT) AS sff
+         |  FROM f GROUP BY 1),
+         |mom2 AS (
+         |  SELECT token, s, sf,
+         |    CAST(floor(sqrt(CAST(s * sff - sf * sf AS DOUBLE)))
+         |      AS BIGINT) AS sd_scaled
+         |  FROM mom),
+         |z AS (
+         |  SELECT f.source, f.token,
+         |    CASE WHEN f.f_ppm * m.s - m.sf < 0
+         |      THEN -((m.sf - f.f_ppm * m.s) * 1000
+         |             // GREATEST(m.sd_scaled, 1))
+         |      ELSE (f.f_ppm * m.s - m.sf) * 1000
+         |           // GREATEST(m.sd_scaled, 1) END AS z_milli
+         |  FROM f JOIN mom2 m USING (token))
+         |SELECT za.source AS source_a, zb.source AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(abs(za.z_milli - zb.z_milli)) AS BIGINT)
+         |    AS sum_abs_dz,
+         |  CAST(SUM(abs(za.z_milli - zb.z_milli)) AS BIGINT)
+         |    // COUNT(*) AS delta_milli
+         |FROM z za JOIN z zb
+         |  ON za.token = zb.token AND za.source < zb.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     "q_text_source_lang_mi" ->
       """WITH cells AS (
         |  SELECT source AS a, lang AS b,

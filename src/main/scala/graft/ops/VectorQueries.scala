@@ -285,6 +285,12 @@ object VectorQueries {
       Vector.linkPredictionAssigned(sublisted(s, d),
         k = 3, topN = 100,
         precomputedKnn = Some(knnGraphDf(s, d)))),
+    // Resource-Allocation index on the same edge set: hub-discounted
+    // common neighbors, score = Σ floor(1e6/deg(z)) — exact integers
+    "q_vec_link_pred_ra" -> ((s, d) =>
+      Vector.resourceAllocationLinkPred(sublisted(s, d),
+        k = 3, topN = 100,
+        precomputedKnn = Some(knnGraphDf(s, d)))),
     // Newman degree assortativity of the symmetrized edge set:
     // both-orientations convention makes the marginals equal, so
     // Pearson closes in pure integers — no sqrt, exact milli
@@ -1886,6 +1892,60 @@ object VectorQueries {
         |JOIN deg da ON da.v = c.va
         |JOIN deg db ON db.v = c.vb
         |ORDER BY c.common_nbrs DESC, jaccard_ppm DESC, vec_a, vec_b
+        |LIMIT 100""".stripMargin,
+    "q_vec_link_pred_ra" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |ed AS MATERIALIZED (
+        |       SELECT DISTINCT LEAST(vec_id, nbr_id) AS a,
+        |         GREATEST(vec_id, nbr_id) AS b
+        |       FROM r WHERE rk <= 3),
+        |sym AS (SELECT a AS v, b AS w FROM ed
+        |        UNION ALL SELECT b, a FROM ed),
+        |deg AS (SELECT v, COUNT(*) AS degree FROM sym GROUP BY 1),
+        |two AS (
+        |  SELECT e1.v AS va, e2.w AS vb,
+        |    COUNT(*) AS common_nbrs,
+        |    CAST(SUM(1000000 // dz.degree) AS BIGINT) AS ra_micro
+        |  FROM sym e1 JOIN sym e2
+        |    ON e1.w = e2.v AND e1.v < e2.w
+        |  JOIN deg dz ON dz.v = e1.w
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT t.va, t.vb, t.common_nbrs, t.ra_micro FROM two t
+        |  LEFT JOIN ed ON ed.a = t.va AND ed.b = t.vb
+        |  WHERE ed.a IS NULL)
+        |SELECT va AS vec_a, vb AS vec_b, common_nbrs, ra_micro
+        |FROM cand
+        |ORDER BY ra_micro DESC, common_nbrs DESC, vec_a, vec_b
         |LIMIT 100""".stripMargin,
     "q_vec_binary_topk" ->
       """WITH bits AS (

@@ -504,6 +504,35 @@ class AffinitySpec extends SparkSpec {
     graft.Caches.release("part")
   }
 
+  test("fellegiSunterWeights: m from the blocked pairs, u as exact " +
+      "collision ppm, discriminating field outweighs noise field") {
+    import spark.implicits._
+    // parts 1-2 block on 'red' (the rarest shared token) at edit
+    // distance 0 -> the single candidate pair; 3 and 4 block alone
+    val part = Seq(
+      (1L, "red bolt", "B1", "T1", 10, 150.0),
+      (2L, "red bolt", "B1", "T2", 10, 250.0),
+      (3L, "blue bolt", "B2", "T3", 20, 350.0),
+      (4L, "green gear", "B3", "T4", 30, 450.0)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+    val out = Affinity.fellegiSunterWeights(part).collect()
+      .map(r => r.getAs[String]("field") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("m_agree"),
+          r.getAs[Long]("m_ppm"), r.getAs[Long]("u_ppm"),
+          r.getAs[Long]("weight_milli"))).toMap
+    // brand: pair agrees (m=1e6 ppm); values B1,B1,B2,B3 collide
+    // 2/12 random-pair slots -> u=166666; weight 6000 (>1000: signal)
+    assert(out("brand") == ((1L, 1L, 1000000L, 166666L, 6000L)))
+    // size ties brand exactly (10,10,20,30)
+    assert(out("size") == ((1L, 1L, 1000000L, 166666L, 6000L)))
+    // type: pair disagrees, all values distinct -> zero everywhere
+    assert(out("type") == ((1L, 0L, 0L, 0L, 0L)))
+    // price bands 1,2,3,4 all distinct; pair lands in different
+    // hundred-dollar bands -> no agreement, no collision
+    assert(out("price_band") == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("windowedFunnel: greedy earliest-match scan, gap constraint " +
       "vs the PREVIOUS MATCHED step, out-of-order prefix ignored") {
     import spark.implicits._

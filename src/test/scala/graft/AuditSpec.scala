@@ -811,4 +811,24 @@ class AuditSpec extends SparkSpec {
     assert(r.getAs[Long]("avg_state_rows_milli") === 2666L)
     assert(r.getAs[Long]("max_state_bytes") === 320L)
   }
+
+  test("selectivityAudit: planted perfect correlation reads " +
+      "corr 2000, independent pair reads 1000") {
+    import spark.implicits._
+    // 100 rows: x and y co-occur perfectly (50/50); z alternates
+    // independently of x (25 of the 50 x-rows have z)
+    val df = (0 until 100).map { i =>
+      (i < 50, i < 50, i % 2 == 0)
+    }.toDF("x", "y", "z")
+    val out = Audit.selectivityAudit(df,
+      Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")),
+      Seq("x" -> "y", "x" -> "z")).collect()
+      .map(r => r.getAs[String]("pair") ->
+        (r.getAs[Long]("actual_ppm"), r.getAs[Long]("est_ppm"),
+          r.getAs[Long]("corr_milli"))).toMap
+    // x&y: actual 500000 vs est 250000 -> the planner would
+    // underestimate the conjunction 2x
+    assert(out("x & y") == ((500000L, 250000L, 2000L)))
+    assert(out("x & z") == ((250000L, 250000L, 1000L)))
+  }
 }

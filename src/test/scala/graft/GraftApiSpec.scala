@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 359,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 359")
-    assert(SparkEntry.oracleSql.size == 347,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 347")
+    assert(SparkEntry.queries.size == 364,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 364")
+    assert(SparkEntry.oracleSql.size == 352,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 352")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -489,6 +489,7 @@ class GraftApiSpec extends SparkSpec {
       "meanPool" -> "meanPooledBy",
       "triangleCoefficientAssigned" -> "triangleCoefficientAssigned",
       "linkPredictionAssigned" -> "linkPredictionAssigned",
+      "resourceAllocationLinkPred" -> "resourceAllocationLinkPred",
       "centroidDriftQ16" -> "centroidDriftTo",
       "kCoreAssigned" -> "kCoreAssigned",
       "degreeAssortativity" -> "degreeAssortativity",
@@ -536,6 +537,8 @@ class GraftApiSpec extends SparkSpec {
       "minhashRecallAudit" -> "minhashRecallAudit",
       "filterAgreementKappa" -> "filterAgreementKappa",
       "goodTuring" -> "goodTuring",
+      "kneserNeyBigrams" -> "kneserNeyBigrams",
+      "burrowsDelta" -> "burrowsDelta",
       "keySkewProfile" -> "keySkewProfile",
       "compactionPlan" -> "compactionPlan",
       "pruneAudit" -> "pruneAudit",

@@ -1793,6 +1793,43 @@ class TextSpec extends SparkSpec {
       (3L, 1L, 0L, 0L, 125000L)))
   }
 
+  test("kneserNeyBigrams: hand continuation counts, exact D=3/4 " +
+      "ppm, head order") {
+    import spark.implicits._
+    // bigrams: (a,b)=2 (a,c)=1 -> B=2; hist a: c_w1=3 fert_w1=2;
+    // cont: fert(b)=1 fert(c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Text.kneserNeyBigrams(docs).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c"), r.getAs[Long]("kn_ppm"),
+        r.getAs[Long]("cont_ppm"))).toList
+    assert(out === List(
+      // (a,b): (max(8-3,0)*2 + 3*2*1)*1e6 div (4*3*2) = 16e6/24
+      ("a", "b", 2L, 666666L, 500000L),
+      // (a,c): (1*2 + 6)*1e6 div 24 = 8e6/24
+      ("a", "c", 1L, 333333L, 500000L)))
+    graft.Caches.release("text")
+  }
+
+  test("burrowsDelta: identical usage rhythms read delta 0, the " +
+      "skewed source separates; sign-split z is engine-exact") {
+    import spark.implicits._
+    // s1 and s2: identical a/b rates; s3 leans 3:1 on 'a'
+    val docs = Seq((1L, "a b", "s1"), (2L, "a b", "s2"),
+      (3L, "a a a b", "s3")).toDF("doc_id", "text", "source")
+    val out = graft.ops.Text.burrowsDelta(docs).collect()
+      .map(r => (r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")) ->
+        r.getAs[Long]("delta_milli")).toMap
+    // hand z (ppm rates, sd_scaled = floor(sqrt(1.25e11)) = 353553):
+    // z_a = (-707, -707, 1414), z_b = (707, 707, -1414)
+    assert(out(("s1", "s2")) === 0L)
+    assert(out(("s1", "s3")) === 2121L)
+    assert(out(("s2", "s3")) === 2121L)
+    graft.Caches.release("text")
+  }
+
   test("filterAgreementKappa: hand 2x2, perfect opposition, " +
       "constant-filter NULL") {
     def kap(cells: Seq[(Boolean, Boolean)]) =

@@ -1041,6 +1041,41 @@ class VectorSpec extends SparkSpec {
       .map(_.getAs[Long]("vec_a")).toList === List(1L))
   }
 
+  test("resourceAllocation link pred: hub-discounted score is the " +
+      "sum of per-neighbor integer floors; hub pairs rank below " +
+      "specialist pairs") {
+    // same graph as the linkPrediction fixture: degrees 1:2 2:3 3:3
+    // 4:3 5:1. (1,4) shares {2,3} -> 2*floor(1e6/3) = 666666;
+    // (2,5)/(3,5) share {4} -> 333333
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("vec_id", "nbr_id")
+    val out = Vec.resourceAllocationLinkPred(
+      spark.emptyDataFrame, k = 3, topN = 100,
+      precomputedKnn = Some(edges)).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Long]("common_nbrs"), r.getAs[Long]("ra_micro")))
+      .toList
+    assert(out === List(
+      (1L, 4L, 2L, 666666L),
+      (2L, 5L, 1L, 333333L),
+      (3L, 5L, 1L, 333333L)))
+    // hub discounting: star hub 0 over {6,7,9,10} (deg 4) plus
+    // specialist 8 tied to 6 and 7 (deg 2)
+    val star = Seq((0L, 6L), (0L, 7L), (0L, 9L), (0L, 10L),
+      (6L, 8L), (7L, 8L)).toDF("vec_id", "nbr_id")
+    val m2 = Vec.resourceAllocationLinkPred(
+      spark.emptyDataFrame, k = 3, topN = 100,
+      precomputedKnn = Some(star)).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Long]("ra_micro")).toMap
+    // (6,7) via hub 0 (deg 4 -> 250000) AND specialist 8
+    // (deg 2 -> 500000) = 750000; (9,10) via the hub alone scores
+    // the discounted 250000, not the 333333 a deg-3 vertex would
+    // earn — the hub width itself is priced in
+    assert(m2((6L, 7L)) === 750000L)
+    assert(m2((9L, 10L)) === 250000L)
+  }
+
   test("kCore: triangle survives the peel, lone pair is stripped") {
     // list 0: three mutually-near vectors — k=2 gives K3, every
     // degree stays 2 through all rounds (a true 2-core)
