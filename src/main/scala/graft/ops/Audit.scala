@@ -469,6 +469,103 @@ object Audit {
       .orderBy(col("event_type"))
   }
 
+  /** Holt–Winters (additive, weekly season) one-step backtest — the
+    * model-based step past [[seasonalNaiveBacktest]]: level + trend +
+    * weekday-seasonal state folded over each event type's daily
+    * series, scoring every post-warmup day's one-step-ahead forecast
+    * and reporting MAE against the seasonal-naive baseline
+    * (`skill_milli` > 1000 means the smoother beats naive — the
+    * go/no-go for replacing the naive alarm threshold with the
+    * model-based one).
+    *
+    * Exact fixed-point recursion (NO doubles anywhere): counts enter
+    * in milli, smoothing weights are milli integers (α=500, β=250,
+    * γ=250 by default), every smoothing division is a SIGN-SPLIT
+    * `div 1000` (truncation toward zero in both engines — DuckDB `//`
+    * floors negatives, so the twin sign-splits identically), so the
+    * whole state trajectory is engine-bitwise. Warmup: the first
+    * observation seeds the level; each weekday's first observation
+    * seeds that seasonal slot (unscored); smoothing and scoring start
+    * once a day's slot is seeded.
+    *
+    * Scale shape: the fold's domain is the per-type DAY list —
+    * calendar-bounded, never row-scale (the alertCooldown contract):
+    * one daily rollup scans the feed, `aggregate` folds the sorted
+    * day array per type, the naive baseline is a self-join on d−7
+    * over the same count-sized frame.
+    */
+  def holtWintersBacktest(
+      events: DataFrame,
+      alphaMilli: Long = 500L,
+      betaMilli: Long = 250L,
+      gammaMilli: Long = 250L): DataFrame = {
+    require(Seq(alphaMilli, betaMilli, gammaMilli)
+      .forall(w => w >= 0 && w <= 1000), "weights must be in [0,1000]")
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("d"))
+      .agg((count(lit(1)) * 1000L).as("y"))
+    // sign-split integral division by 1000: truncation toward zero,
+    // identical in Spark (div) and the DuckDB twin (sign-split //)
+    def tdiv(v: String) =
+      s"(CASE WHEN ($v) < 0 THEN -((-($v)) div 1000) " +
+        s"ELSE ($v) div 1000 END)"
+    val sCur = (0 to 6).map(i => s"WHEN x.d % 7 = $i THEN acc.s$i")
+      .mkString("(CASE ", " ", " END)")
+    val lEff = s"(CASE WHEN acc.seen = 0 THEN x.y ELSE acc.l END)"
+    val f = s"(acc.l + acc.b + $sCur)"
+    val lNew = tdiv(s"$alphaMilli * (x.y - $sCur) + " +
+      s"${1000 - alphaMilli} * (acc.l + acc.b)")
+    val bNew = tdiv(s"$betaMilli * ($lNew - acc.l) + " +
+      s"${1000 - betaMilli} * acc.b")
+    val sNew = tdiv(s"$gammaMilli * (x.y - $lNew) + " +
+      s"${1000 - gammaMilli} * $sCur")
+    val sUpd = (0 to 6).map { i =>
+      s"'s$i', CASE WHEN x.d % 7 = $i THEN (CASE WHEN $sCur IS NULL " +
+        s"THEN x.y - $lEff ELSE $sNew END) ELSE acc.s$i END"
+    }.mkString(", ")
+    val zero = "CAST(NULL AS BIGINT)"
+    val fold =
+      s"""aggregate(
+         |  array_sort(collect_list(struct(d, y))),
+         |  named_struct(
+         |    'l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+         |    's0', $zero, 's1', $zero, 's2', $zero, 's3', $zero,
+         |    's4', $zero, 's5', $zero, 's6', $zero,
+         |    'sae', CAST(0 AS BIGINT), 'nsc', CAST(0 AS BIGINT),
+         |    'seen', CAST(0 AS BIGINT)),
+         |  (acc, x) -> named_struct(
+         |    'l', CASE WHEN $sCur IS NULL THEN $lEff ELSE $lNew END,
+         |    'b', CASE WHEN $sCur IS NULL THEN acc.b ELSE $bNew END,
+         |    $sUpd,
+         |    'sae', acc.sae + CASE WHEN $sCur IS NULL THEN 0
+         |      ELSE abs(x.y - $f) END,
+         |    'nsc', acc.nsc + CASE WHEN $sCur IS NULL THEN 0
+         |      ELSE 1 END,
+         |    'seen', acc.seen + 1))""".stripMargin
+    val hw = daily.groupBy(col("event_type"))
+      .agg(expr(fold).as("st"))
+      .select(col("event_type"), col("st.seen").as("n_days"),
+        col("st.nsc").as("n_scored"),
+        expr("st.sae div GREATEST(st.nsc, 1)").as("mae_milli"),
+        col("st.l").as("level_milli"), col("st.b").as("trend_milli"))
+    val naive = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") === col("b.d") + 7)
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(lit(1)).as("naive_n"),
+        sum(abs(col("a.y") - col("b.y"))).as("naive_sae"))
+      .select(col("event_type"), col("naive_n"),
+        expr("naive_sae div GREATEST(naive_n, 1)")
+          .as("naive_mae_milli"))
+    hw.join(naive, Seq("event_type"), "left")
+      .withColumn("skill_milli",
+        expr("naive_mae_milli * 1000 div GREATEST(mae_milli, 1)"))
+      .orderBy(col("event_type"))
+  }
+
   /** One-pass column profile — the "what is actually in this table"
     * report run before writing assertions ([[assertionReport]]
     * checks EXPECTATIONS; this DISCOVERS them): per listed column,

@@ -32,6 +32,77 @@ object RelationalQueries {
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) " +
       "AS VARCHAR) AS DOUBLE)"
 
+  /** Recursive-CTE twin of `Audit.holtWintersBacktest` (α=500 β=250
+    * γ=250 milli). The smoothing recursion nests the level update
+    * inside the trend and seasonal updates, so the SQL is GENERATED
+    * here with the same string pieces the Spark fold uses — the two
+    * engines execute the identical sign-split integer arithmetic.
+    */
+  private val hwOracle: String = {
+    def tdiv(v: String) =
+      s"(CASE WHEN ($v) < 0 THEN -((-($v)) // 1000) " +
+        s"ELSE ($v) // 1000 END)"
+    val sCur = (0 to 6).map(i => s"WHEN o.d % 7 = $i THEN r.s$i")
+      .mkString("(CASE ", " ", " END)")
+    val lNew = tdiv(s"500 * (o.y - $sCur) + 500 * (r.l + r.b)")
+    val bNew = tdiv(s"250 * ($lNew - r.l) + 750 * r.b")
+    val sNew = tdiv(s"250 * (o.y - $lNew) + 750 * $sCur")
+    val sSeed = (0 to 6).map(i =>
+      s"CASE WHEN d % 7 = $i THEN CAST(0 AS BIGINT) END AS s$i")
+      .mkString(", ")
+    val sUpd = (0 to 6).map(i =>
+      s"CASE WHEN o.d % 7 = $i THEN (CASE WHEN $sCur IS NULL " +
+        s"THEN o.y - r.l ELSE $sNew END) ELSE r.s$i END")
+      .mkString(", ")
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+       |    CAST(COUNT(*) * 1000 AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |ord AS (
+       |  SELECT event_type, d, y,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+       |      AS rn
+       |  FROM daily),
+       |rec AS (
+       |  SELECT event_type, rn, y AS l, CAST(0 AS BIGINT) AS b,
+       |    $sSeed,
+       |    CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS nsc,
+       |    CAST(1 AS BIGINT) AS seen
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.event_type, o.rn,
+       |    CASE WHEN $sCur IS NULL THEN r.l ELSE $lNew END,
+       |    CASE WHEN $sCur IS NULL THEN r.b ELSE $bNew END,
+       |    $sUpd,
+       |    r.sae + CASE WHEN $sCur IS NULL THEN 0
+       |      ELSE abs(o.y - (r.l + r.b + $sCur)) END,
+       |    r.nsc + CASE WHEN $sCur IS NULL THEN 0 ELSE 1 END,
+       |    r.seen + 1
+       |  FROM rec r JOIN ord o
+       |    ON o.event_type = r.event_type AND o.rn = r.rn + 1),
+       |fin AS (
+       |  SELECT r.event_type, r.seen AS n_days, r.nsc AS n_scored,
+       |    r.sae // GREATEST(r.nsc, 1) AS mae_milli,
+       |    r.l AS level_milli, r.b AS trend_milli
+       |  FROM rec r JOIN (SELECT event_type, MAX(rn) AS mx
+       |                   FROM ord GROUP BY 1) m
+       |    ON r.event_type = m.event_type AND r.rn = m.mx),
+       |naive AS (
+       |  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS naive_n,
+       |    CAST(SUM(abs(a.y - b.y)) AS BIGINT) AS naive_sae
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type AND a.d = b.d + 7
+       |  GROUP BY 1)
+       |SELECT f.event_type, f.n_days, f.n_scored, f.mae_milli,
+       |  f.level_milli, f.trend_milli, n.naive_n,
+       |  n.naive_sae // GREATEST(n.naive_n, 1) AS naive_mae_milli,
+       |  (n.naive_sae // GREATEST(n.naive_n, 1)) * 1000
+       |    // GREATEST(f.mae_milli, 1) AS skill_milli
+       |FROM fin f LEFT JOIN naive n USING (event_type)
+       |ORDER BY f.event_type""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
     "q_distinct_agg"    -> ((s, d) => distinctAgg(Tables.lineitem(s, d))),
@@ -106,6 +177,10 @@ object RelationalQueries {
     // seasonal-naive backtest: last day vs prior same-weekday mean
     "q_events_forecast_backtest" -> ((s, d) =>
       Audit.seasonalNaiveBacktest(Tables.events(s, d))),
+    // Holt-Winters (additive, m=7) one-step backtest: exact
+    // fixed-point smoothing fold + seasonal-naive skill ratio
+    "q_events_holt_winters" -> ((s, d) =>
+      Audit.holtWintersBacktest(Tables.events(s, d))),
     // one-pass column profile of orders (nulls/distinct/min/max per
     // column, engine-stable string rendering)
     "q_profile_orders" -> ((s, d) =>
@@ -2131,6 +2206,7 @@ object RelationalQueries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE qty_year * 5 > qty_total
         |ORDER BY s_suppkey""".stripMargin,
+    "q_events_holt_winters" -> hwOracle,
     "q_li_selectivity" ->
       """WITH a AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -812,6 +812,57 @@ class AuditSpec extends SparkSpec {
     assert(r.getAs[Long]("max_state_bytes") === 320L)
   }
 
+  test("holtWintersBacktest: scala replica of the fixed-point " +
+      "recursion matches the fold; constant series reads mae 0") {
+    import spark.implicits._
+    val ys = Seq(10, 12, 8, 11, 9, 13, 7, 14, 9, 10, 12, 8, 15, 6)
+    val rows = ys.zipWithIndex.flatMap { case (n, d) =>
+      val day = java.time.LocalDate.ofEpochDay(d.toLong).toString
+      Seq.fill(n)(("a", s"$day 12:00:00"))
+    }
+    val out = Audit.holtWintersBacktest(
+      rows.toDF("event_type", "ts")).collect().head
+    // independent replica of the documented recursion
+    def tdiv(v: Long) = if (v < 0) -((-v) / 1000) else v / 1000
+    var l = 0L; var b = 0L; var sae = 0L; var nsc = 0L; var seen = 0L
+    val s = Array.fill[Option[Long]](7)(None)
+    for ((n, d) <- ys.zipWithIndex) {
+      val y = n * 1000L; val i = d % 7
+      s(i) match {
+        case None =>
+          val lEff = if (seen == 0) y else l
+          s(i) = Some(y - lEff); l = lEff
+        case Some(sc) =>
+          sae += math.abs(y - (l + b + sc)); nsc += 1
+          val lNew = tdiv(500 * (y - sc) + 500 * (l + b))
+          b = tdiv(250 * (lNew - l) + 750 * b)
+          s(i) = Some(tdiv(250 * (y - lNew) + 750 * sc))
+          l = lNew
+      }
+      seen += 1
+    }
+    assert(out.getAs[Long]("n_days") === 14L)
+    assert(out.getAs[Long]("n_scored") === nsc)
+    assert(out.getAs[Long]("mae_milli") === sae / nsc)
+    assert(out.getAs[Long]("level_milli") === l)
+    assert(out.getAs[Long]("trend_milli") === b)
+    // naive baseline: |y_d - y_(d-7)| for d=7..13
+    val naive = (7 until 14).map(d =>
+      math.abs(ys(d) - ys(d - 7)) * 1000L)
+    assert(out.getAs[Long]("naive_mae_milli") ===
+      naive.sum / naive.size)
+    // constant series: forecasts are exact after warmup
+    val const = (0 until 21).flatMap { d =>
+      val day = java.time.LocalDate.ofEpochDay(d.toLong).toString
+      Seq.fill(5)(("c", s"$day 01:00:00"))
+    }
+    val rc = Audit.holtWintersBacktest(
+      const.toDF("event_type", "ts")).collect().head
+    assert(rc.getAs[Long]("mae_milli") === 0L)
+    assert(rc.getAs[Long]("trend_milli") === 0L)
+    assert(rc.getAs[Long]("level_milli") === 5000L)
+  }
+
   test("selectivityAudit: planted perfect correlation reads " +
       "corr 2000, independent pair reads 1000") {
     import spark.implicits._
