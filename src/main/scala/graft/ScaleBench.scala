@@ -224,9 +224,14 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale_exponent","sf":"$sfDir","scales":[${
       ks.mkString(",")}],"queries":$perQuery}"""
+    // default OUTSIDE the repo: an unset env var must never clobber a
+    // committed per-round artifact (SCALEBENCH_r12.json learned this
+    // the hard way) — merging a batch into SCALEBENCH_r<N>.json is a
+    // deliberate act, not a side effect
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_SCALEBENCH_OUT", "SCALEBENCH_r12.json")), line + "\n")
+        "SPARK_GRAFT_SCALEBENCH_OUT", "/tmp/scalebench_last.json")),
+      line + "\n")
     println(line)
     spark.stop()
   }
