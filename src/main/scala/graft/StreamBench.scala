@@ -518,6 +518,50 @@ object StreamBench {
           java.nio.file.Files.readString(out10.toPath) + line10 + "\n")
       } finally ckQ.stop()
     }
+
+    // Eleventh surface: the Holt–Winters forecast monitor — closed
+    // daily counts/s through the per-type fixed-point smoothing fold
+    // (the continuous form of Audit.holtWintersBacktest). Many types
+    // × few days per batch is the realistic shape: the fold cost is
+    // per (type, day) row, so the feed is 2500·scale types × 4 days
+    // per batch with a deterministic weekly-seasonal count profile.
+    {
+      implicit val s = spark
+      val fcIn = MemoryStream[streaming.ForecastMonitor.DayCount]
+      val fcQ = streaming.ForecastMonitor.monitor(fcIn.toDS())
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val types = 2500 * scale
+        val daysPerBatch = 4
+        val nFcBatches = 4
+        def fcBatch(b: Int): Seq[streaming.ForecastMonitor.DayCount] =
+          (0 until types).flatMap { t =>
+            (0 until daysPerBatch).map { j =>
+              val d = (b * daysPerBatch + j).toLong
+              // weekly rhythm + per-type offset, deterministic
+              val n = 50L + (d % 7) * 10L + (t % 13).toLong
+              streaming.ForecastMonitor.DayCount(s"t$t", d, n)
+            }
+          }
+        fcIn.addData(fcBatch(0)) // warm batch (seeds weekday slots)
+        fcQ.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nFcBatches).foreach { b =>
+          fcIn.addData(fcBatch(b))
+          fcQ.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = types.toLong * daysPerBatch * nFcBatches
+        val line11 =
+          s"""{"metric":"forecast_monitor_days_per_sec","value":${(n / dt).toLong},""" +
+            s""""day_rows":$n,"types":$types,"seconds":$dt,"batches":$nFcBatches,"scale":$scale,"sf":"$sfDir"}"""
+        println(line11)
+        val out11 = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(out11.toPath,
+          java.nio.file.Files.readString(out11.toPath) + line11 + "\n")
+      } finally fcQ.stop()
+    }
     spark.stop()
   }
 }

@@ -945,6 +945,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ForecastMonitor ≡ Audit.holtWintersBacktest under an " +
+      "arbitrary batch split: level, trend, scored count and " +
+      "summed |err| match column for column; warmup unscored; " +
+      "duplicate day dropped") {
+    import graft.streaming.ForecastMonitor
+    import graft.streaming.ForecastMonitor.{DayCount, ForecastOut}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ys = Seq(10, 12, 8, 11, 9, 13, 7, 14, 9, 10, 12, 8, 15, 6)
+    val days = ys.zipWithIndex.map { case (n, d) =>
+      DayCount("a", d.toLong, n.toLong) }
+    val in = MemoryStream[DayCount]
+    val q = ForecastMonitor.monitor(in.toDS())
+      .writeStream.format("memory").queryName("hw_out")
+      .outputMode("append").start()
+    try {
+      in.addData(days.take(5): _*)
+      q.processAllAvailable()
+      // re-close of day 4 (cross-batch duplicate): must be dropped
+      in.addData(days(4))
+      q.processAllAvailable()
+      in.addData(days.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hw_out").as[ForecastOut].collect()
+      .sortBy(_.day)
+    assert(got.length === ys.length) // dup emitted nothing
+    // warmup: the first 7 days (one per weekday) are unscored
+    assert(got.take(7).forall(_.forecast_milli.isEmpty))
+    assert(got.drop(7).forall(_.forecast_milli.nonEmpty))
+    val batch = graft.ops.Audit.holtWintersBacktest(
+      ys.zipWithIndex.flatMap { case (n, d) =>
+        val day = java.time.LocalDate.ofEpochDay(d.toLong).toString
+        Seq.fill(n)(("a", s"$day 12:00:00"))
+      }.toDF("event_type", "ts")).collect().head
+    assert(got.count(_.abs_err_milli.nonEmpty).toLong ===
+      batch.getAs[Long]("n_scored"))
+    assert(got.flatMap(_.abs_err_milli).sum /
+      batch.getAs[Long]("n_scored") === batch.getAs[Long]("mae_milli"))
+    assert(got.last.level_milli === batch.getAs[Long]("level_milli"))
+    assert(got.last.trend_milli === batch.getAs[Long]("trend_milli"))
+  }
+
   test("SeqGapMonitor: islands extend/merge/open across batches, " +
       "dups fold away, per-table isolation") {
     import graft.streaming.SeqGapMonitor
