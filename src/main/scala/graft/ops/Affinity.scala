@@ -605,6 +605,57 @@ object Affinity {
           * 1000.0).cast("long"))
   }
 
+  /** Quantile treatment effects — the distributional A/B readout
+    * [[abConversionLift]] (means) and [[cupedLift]] (variance) can't
+    * see: a treatment that moves the p90 while leaving the median
+    * flat is a whale-only effect, and deciding on the mean ships it
+    * to everyone. Per arm, PERCENTILE_DISC at each requested
+    * percentile over milli-quantized event values (value at row
+    * `⌈p·n/100⌉` of the (value, event_id) total order — exact-rank,
+    * the groupPercentiles convention, with the ceil as the integer
+    * `(n·p + 99) div 100`), and the per-percentile treatment−control
+    * difference. One shuffle on the 2-arm partition; output =
+    * |percentiles| rows.
+    */
+  def abQuantileLift(
+      events: DataFrame,
+      assignB: Column,
+      eventType: String = "purchase",
+      percentiles: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1,100]")
+    val vals = events.filter(col("event_type") === eventType)
+      .select(assignB.as("treat"),
+        floor(col("value") * 1000.0).cast("long").as("v_milli"),
+        col("event_id"))
+    val w = Window.partitionBy(col("treat"))
+      .orderBy(col("v_milli"), col("event_id"))
+    val ranked = vals
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1))
+        .over(Window.partitionBy(col("treat"))))
+    val perArm = ranked.groupBy(col("treat"))
+      .agg(max(col("cnt")).as("n"),
+        percentiles.map(p =>
+          max(when(col("rn") === expr(s"(cnt * $p + 99) div 100"),
+            col("v_milli"))).as(s"p$p")): _*)
+    val ctrl = perArm.filter(!col("treat"))
+      .select((col("n").as("n_ctrl") +:
+        percentiles.map(p => col(s"p$p").as(s"c$p"))): _*)
+    val treat = perArm.filter(col("treat"))
+      .select((col("n").as("n_treat") +:
+        percentiles.map(p => col(s"p$p").as(s"t$p"))): _*)
+    val stackArgs = percentiles
+      .map(p => s"$p, c$p, t$p").mkString(", ")
+    ctrl.crossJoin(treat)
+      .selectExpr("n_ctrl", "n_treat",
+        s"stack(${percentiles.size}, $stackArgs)" +
+          " AS (pct, ctrl_milli, treat_milli)")
+      .withColumn("diff_milli", col("treat_milli") - col("ctrl_milli"))
+      .orderBy(col("pct"))
+  }
+
   /** Gap-constrained (windowed) funnel — the product-analytics form
     * the plain ordered funnel can't express: each step must occur
     * within `maxGapMs` of the PREVIOUS MATCHED step (greedy

@@ -120,6 +120,11 @@ object AffinityQueries {
     "q_events_ab_lift" -> ((s, d) =>
       Affinity.abConversionLift(Tables.events(s, d),
         col("user_id") % 2 === 1, "purchase", minCount = 14L)),
+    // quantile treatment effects: exact-rank PERCENTILE_DISC per arm
+    // over milli-quantized purchase values + per-percentile diff
+    "q_events_ab_quantiles" -> ((s, d) =>
+      Affinity.abQuantileLift(Tables.events(s, d),
+        col("user_id") % 2 === 1)),
     // weekday seasonal baseline + per-day deviation in exact milli
     "q_events_dow_baseline" -> ((s, d) =>
       Audit.dowBaseline(Tables.events(s, d))),
@@ -307,6 +312,44 @@ object AffinityQueries {
         |  c.ct * 1000000 // s.src_total AS p_ppm
         |FROM c JOIN s USING (src)
         |ORDER BY src, dst""".stripMargin,
+    "q_events_ab_quantiles" ->
+      """WITH v AS (
+        |  SELECT (user_id % 2 = 1) AS treat,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_milli, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT treat, v_milli,
+        |    ROW_NUMBER() OVER (PARTITION BY treat
+        |      ORDER BY v_milli, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY treat) AS cnt
+        |  FROM v),
+        |a AS (
+        |  SELECT treat, CAST(MAX(cnt) AS BIGINT) AS n,
+        |    MAX(CASE WHEN rn = (cnt * 25 + 99) // 100
+        |      THEN v_milli END) AS p25,
+        |    MAX(CASE WHEN rn = (cnt * 50 + 99) // 100
+        |      THEN v_milli END) AS p50,
+        |    MAX(CASE WHEN rn = (cnt * 75 + 99) // 100
+        |      THEN v_milli END) AS p75,
+        |    MAX(CASE WHEN rn = (cnt * 90 + 99) // 100
+        |      THEN v_milli END) AS p90
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT n AS n_ctrl, p25 AS c25, p50 AS c50,
+        |        p75 AS c75, p90 AS c90 FROM a WHERE NOT treat),
+        |t AS (SELECT n AS n_treat, p25 AS t25, p50 AS t50,
+        |        p75 AS t75, p90 AS t90 FROM a WHERE treat),
+        |s AS (
+        |  SELECT n_ctrl, n_treat, 25 AS pct, c25 AS ctrl_milli,
+        |    t25 AS treat_milli FROM c CROSS JOIN t
+        |  UNION ALL SELECT n_ctrl, n_treat, 50, c50, t50
+        |    FROM c CROSS JOIN t
+        |  UNION ALL SELECT n_ctrl, n_treat, 75, c75, t75
+        |    FROM c CROSS JOIN t
+        |  UNION ALL SELECT n_ctrl, n_treat, 90, c90, t90
+        |    FROM c CROSS JOIN t)
+        |SELECT n_ctrl, n_treat, pct, ctrl_milli, treat_milli,
+        |  treat_milli - ctrl_milli AS diff_milli
+        |FROM s ORDER BY pct""".stripMargin,
     "q_events_ab_lift" ->
       """WITH pu AS (
         |  SELECT user_id,

@@ -1235,6 +1235,66 @@ object Audit {
            | AS BIGINT)""".stripMargin))
   }
 
+  /** Isotonic (PAV) calibration map over the [[reliabilityBins]]
+    * grid — the monotone score→rate fit a production classifier
+    * threshold actually consumes (a reliability diagram shows WHERE
+    * the score miscalibrates; the isotonic fit is the REPAIR: the
+    * least-squares monotone rate curve). Computed via the exact
+    * minimax identity `fit_i = max_{j≤i} min_{k≥i} avg(y over bins
+    * j..k)` rather than the sequential pool-adjacent-violators stack:
+    * on the count-sized bin grid the identity is two joins and two
+    * aggregates (B³ pairs at B ≤ tens — trivial), needs no
+    * order-dependent fold, and both engines execute the identical
+    * double op chain (integer segment sums, one division, min/max —
+    * the zipfAudit fixed-chain convention), so `fit_milli` is
+    * engine-bitwise.
+    *
+    * Scale shape: ONE corpus scan (the binning aggregate); everything
+    * after lives on the B-bin frame.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      scoreScaledCol: String,
+      labelCol: String,
+      scaleBits: Int,
+      nBins: Int
+  ): DataFrame = {
+    val scale = 1L << scaleBits
+    require(scale % nBins == 0, s"nBins must divide 2^$scaleBits")
+    val width = scale / nBins
+    val bins = df.select(
+        expr(s"CAST($scoreScaledCol AS BIGINT) div $width").as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sum_label"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_y", sum(col("sum_label")).over(w))
+    val lo = pre.select(col("bin").as("j"),
+      (col("cum_n") - col("n")).as("pn"),
+      (col("cum_y") - col("sum_label")).as("py"))
+    val hi = pre.select(col("bin").as("k"),
+      col("cum_n").as("cn"), col("cum_y").as("cy"))
+    val segs = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cy") - col("py")).cast("double") /
+          (col("cn") - col("pn")).cast("double")).as("seg_avg"))
+    val fit = segs
+      .join(bins.select(col("bin").as("i")),
+        col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(min(col("seg_avg")).as("mn"))
+      .groupBy(col("i"))
+      .agg(max(col("mn")).as("fit"))
+    bins.join(fit, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("sum_label"),
+        expr("sum_label * 1000 div n").as("raw_rate_milli"),
+        floor(col("fit") * 1000.0).cast("long").as("fit_milli"))
+      .orderBy(col("bin"))
+  }
+
   /** Fleiss' kappa for `raterCols.size` binary raters over one item
     * set — the multi-rater generalization of the pairwise Cohen's
     * kappa ([[graft.ops.Text.filterAgreementKappa]]): with three or

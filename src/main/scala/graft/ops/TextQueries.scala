@@ -820,6 +820,14 @@ object TextQueries {
           (col("lang") === "en").cast("long").as("is_en")),
         "score_scaled", "is_en", scaleBits = 11, nBins = 16)
         .orderBy(col("bin"))),
+    // isotonic (PAV) calibration of the same score->rate grid via
+    // the exact minimax identity on the bin frame
+    "q_text_isotonic" -> ((s, d) =>
+      Audit.isotonicCalibration(
+        Tables.documents(s, d).select(
+          least(col("n_chars"), lit(2047L)).as("score_scaled"),
+          (col("lang") === "en").cast("long").as("is_en")),
+        "score_scaled", "is_en", scaleBits = 11, nBins = 16)),
     // Fleiss' kappa across THREE quality gates (heuristic, logistic
     // classifier, token-count rule) — the panel-level agreement the
     // pairwise q_text_filter_kappa cannot see
@@ -1498,6 +1506,34 @@ object TextQueries {
     // per-bin integer evidence + q20 gap² — HUGEINT promoted BEFORE
     // the square×2^20 product (BIGINT overflows at corpus scale),
     // narrowed back for the hash compare
+    "q_text_isotonic" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(n_chars, 2047) AS BIGINT) // 128 AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS sum_label
+        |  FROM documents GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n, sum_label,
+        |    SUM(n) OVER (ORDER BY bin) AS cum_n,
+        |    SUM(sum_label) OVER (ORDER BY bin) AS cum_y
+        |  FROM b),
+        |segs AS (
+        |  SELECT lo.bin AS j, hi.bin AS k,
+        |    CAST(hi.cum_y - (lo.cum_y - lo.sum_label) AS DOUBLE)
+        |      / CAST(hi.cum_n - (lo.cum_n - lo.n) AS DOUBLE)
+        |      AS seg_avg
+        |  FROM pre lo JOIN pre hi ON lo.bin <= hi.bin),
+        |im AS (
+        |  SELECT i.bin AS i, s.j, MIN(s.seg_avg) AS mn
+        |  FROM segs s JOIN b i ON s.j <= i.bin AND s.k >= i.bin
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, MAX(mn) AS fit FROM im GROUP BY 1)
+        |SELECT b.bin, b.n, b.sum_label,
+        |  b.sum_label * 1000 // b.n AS raw_rate_milli,
+        |  CAST(floor(fit.fit * 1000) AS BIGINT) AS fit_milli
+        |FROM b JOIN fit ON b.bin = fit.i
+        |ORDER BY b.bin""".stripMargin,
     "q_text_reliability" ->
       """WITH b AS (
         |  SELECT LEAST(n_chars, 2047) AS sc,

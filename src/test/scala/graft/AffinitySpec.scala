@@ -533,6 +533,28 @@ class AffinitySpec extends SparkSpec {
     assert(out("price_band") == ((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("abQuantileLift: exact-rank PERCENTILE_DISC per arm on the " +
+      "milli domain, integer ceil, per-percentile diff") {
+    import spark.implicits._
+    // control (even users): values 1..4; treatment (odd): 11..14
+    val rows =
+      (1 to 4).map(v => (2L, s"purchase", v.toDouble, v.toLong)) ++
+        (1 to 4).map(v => (3L, s"purchase", v + 10.0, 100L + v)) :+
+        ((2L, "view", 99.0, 999L))
+    val ev = rows.toDF("user_id", "event_type", "value", "event_id")
+    val out = Affinity.abQuantileLift(ev, col("user_id") % 2 === 1)
+      .collect()
+      .map(r => r.getAs[Int]("pct") ->
+        (r.getAs[Long]("ctrl_milli"), r.getAs[Long]("treat_milli"),
+          r.getAs[Long]("diff_milli"))).toMap
+    // n=4: p25 -> row ceil(4*25/100)=1, p50 -> 2, p75 -> 3, p90 ->
+    // row ceil(3.6)=4; the stray 'view' row never enters
+    assert(out(25) == ((1000L, 11000L, 10000L)))
+    assert(out(50) == ((2000L, 12000L, 10000L)))
+    assert(out(75) == ((3000L, 13000L, 10000L)))
+    assert(out(90) == ((4000L, 14000L, 10000L)))
+  }
+
   test("windowedFunnel: greedy earliest-match scan, gap constraint " +
       "vs the PREVIOUS MATCHED step, out-of-order prefix ignored") {
     import spark.implicits._

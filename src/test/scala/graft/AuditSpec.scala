@@ -863,6 +863,31 @@ class AuditSpec extends SparkSpec {
     assert(rc.getAs[Long]("level_milli") === 5000L)
   }
 
+  test("isotonicCalibration: adjacent violators pool to their " +
+      "weighted mean; monotone input passes through untouched") {
+    import spark.implicits._
+    // 4 bins x 10 rows (scaleBits=5, nBins=4 -> width 8): rates
+    // 0.2, 0.5, 0.4, 0.8 — bins 1 and 2 violate and pool to 0.45
+    def rows(bin: Int, pos: Int) =
+      (0 until pos).map(_ => (bin * 8L, 1L)) ++
+        (pos until 10).map(_ => (bin * 8L, 0L))
+    val df = (rows(0, 2) ++ rows(1, 5) ++ rows(2, 4) ++ rows(3, 8))
+      .toDF("score_scaled", "y")
+    val out = Audit.isotonicCalibration(df, "score_scaled", "y",
+      scaleBits = 5, nBins = 4).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("raw_rate_milli"),
+        r.getAs[Long]("fit_milli"))).toList
+    assert(out === List((0L, 200L, 200L), (1L, 500L, 450L),
+      (2L, 400L, 450L), (3L, 800L, 800L)))
+    // already-monotone rates are a fixed point of the fit
+    val mono = (rows(0, 1) ++ rows(1, 4) ++ rows(2, 6) ++ rows(3, 9))
+      .toDF("score_scaled", "y")
+    val fit2 = Audit.isotonicCalibration(mono, "score_scaled", "y",
+      scaleBits = 5, nBins = 4).collect()
+      .map(r => r.getAs[Long]("fit_milli")).toList
+    assert(fit2 === List(100L, 400L, 600L, 900L))
+  }
+
   test("selectivityAudit: planted perfect correlation reads " +
       "corr 2000, independent pair reads 1000") {
     import spark.implicits._

@@ -204,6 +204,7 @@ class PlanSpec extends SparkSpec {
       "q_text_mwu" -> "cumulative over the n_chars VALUE histogram (distinct metric values)",
       "q_salted_join" -> "skewAdvisor hot-list subplan: rank window over its LIMIT-topK head only",
       "q_sql_revenue_share" -> "nation-level aggregate (≤ 25 rows)",
+      "q_top_supplier" -> "supplier revenue aggregate (supplier-dim-sized: the Q15 max runs over ≤ |supplier| rows at any fact scale)",
       "q_text_curriculum" -> "doc-quality rank (documented exact-rank validation twin)",
       "q_text_dedup_curve" -> "decile frame (nBuckets rows)",
       "q_text_filter_yield" -> "quality value-bucket frame (<= 11 rows by construction)",
@@ -214,6 +215,7 @@ class PlanSpec extends SparkSpec {
       "q_text_quality_pct" -> "quality histogram (distinct integer scores)",
       "q_text_source_lang_mi" -> "observed |sources|×|langs| cell rollup (category-domain-bounded)",
       "q_text_spearman" -> "two capped-value histograms (≤ 2001 / ≤ 401 rows by construction)",
+      "q_text_isotonic" -> "bin-grid prefix sums (≤ nBins rows by construction; the corpus never enters a window)",
       "q_text_stopwords" -> "df-ratio >= 50% token set (stopword-sized by construction)",
       "q_text_vocab_growth" -> "coarse-cell histogram + nBuckets cum frames",
       "q_text_zipf" -> "token-frequency histogram head (rank cap)",
