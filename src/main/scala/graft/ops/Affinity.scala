@@ -444,9 +444,11 @@ object Affinity {
     *
     * Scale shape: the candidate pairs come from the same
     * rarest-token blocking as [[fuzzyNameMatch]] (never n²); the
-    * attribute table is a broadcast dim on both sides; each u is a
-    * value-histogram aggregation (field-cardinality-sized); the
-    * output is exactly 4 rows via one `stack`.
+    * attribute table joins by key on both sides (part scales with
+    * the corpus, so it streams — no broadcast of an unbounded dim);
+    * each u is a value-histogram aggregation
+    * (field-cardinality-sized); the output is exactly 4 rows via one
+    * `stack`.
     */
   def fellegiSunterWeights(part: DataFrame, maxDist: Int = 2,
       precomputedPairs: Option[DataFrame] = None): DataFrame = {
@@ -462,8 +464,8 @@ object Affinity {
       col("f_brand").as(s"${p}_brand"), col("f_type").as(s"${p}_type"),
       col("f_size").as(s"${p}_size"), col("f_price").as(s"${p}_price"))
     val m = precomputedPairs.getOrElse(fuzzyNameMatch(part, maxDist))
-      .join(broadcast(pref("a")), col("part_a") === col("a_key"))
-      .join(broadcast(pref("b")), col("part_b") === col("b_key"))
+      .join(pref("a"), col("part_a") === col("a_key"))
+      .join(pref("b"), col("part_b") === col("b_key"))
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(sum(when(col("a_brand") === col("b_brand"), 1L)
           .otherwise(0L)), lit(0L)).as("m_brand"),
@@ -493,7 +495,12 @@ object Affinity {
       .select(col("field"), col("n_pairs"), col("m_agree"),
         expr("m_agree * 1000000 div GREATEST(n_pairs, 1)")
           .as("m_ppm"),
-        expr("u_coll * 1000000 div GREATEST(n_recs * (n_recs - 1), 1)")
+        // u_coll is O(N²/|domain|): the 10^6 shift must ride
+        // DECIMAL(38,0)/HUGEINT (u_coll·10^6 passes 2^63 near
+        // N ≈ 1.5e7 for a 25-value field — the kn_ppm discipline)
+        expr("""CAST(CAST(u_coll AS DECIMAL(38,0)) * 1000000
+               |  div GREATEST(CAST(n_recs AS DECIMAL(38,0))
+               |    * (n_recs - 1), 1) AS BIGINT)""".stripMargin)
           .as("u_ppm"))
       .withColumn("weight_milli",
         expr("m_ppm * 1000 div GREATEST(u_ppm, 1)"))

@@ -787,16 +787,16 @@ object AffinityQueries {
         |  UNION ALL SELECT 'price_band', m_price FROM m
         |  UNION ALL SELECT 'size', m_size FROM m
         |  UNION ALL SELECT 'type', m_type FROM m)
-        |SELECT mm.field, m.n_pairs, mm.m_agree,
-        |  mm.m_agree * 1000000 // GREATEST(m.n_pairs, 1) AS m_ppm,
-        |  uu.u_coll * 1000000
-        |    // GREATEST(n.n_recs * (n.n_recs - 1), 1) AS u_ppm,
-        |  (mm.m_agree * 1000000 // GREATEST(m.n_pairs, 1)) * 1000
-        |    // GREATEST(uu.u_coll * 1000000
-        |      // GREATEST(n.n_recs * (n.n_recs - 1), 1), 1)
-        |    AS weight_milli
-        |FROM mm JOIN uu USING (field) CROSS JOIN m CROSS JOIN n
-        |ORDER BY mm.field""".stripMargin,
+        |SELECT field, n_pairs, m_agree, m_ppm, u_ppm,
+        |  m_ppm * 1000 // GREATEST(u_ppm, 1) AS weight_milli
+        |FROM (
+        |  SELECT mm.field, m.n_pairs, mm.m_agree,
+        |    mm.m_agree * 1000000 // GREATEST(m.n_pairs, 1) AS m_ppm,
+        |    CAST(CAST(uu.u_coll AS HUGEINT) * 1000000
+        |      // GREATEST(CAST(n.n_recs AS HUGEINT)
+        |        * (n.n_recs - 1), 1) AS BIGINT) AS u_ppm
+        |  FROM mm JOIN uu USING (field) CROSS JOIN m CROSS JOIN n)
+        |ORDER BY field""".stripMargin,
     "q_part_entity_resolution" ->
       """WITH RECURSIVE t AS (
         |  SELECT p_partkey, p_name,

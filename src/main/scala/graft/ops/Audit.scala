@@ -1886,10 +1886,10 @@ object Audit {
           " AS (pair, n_a, n_b, n_joint)")
       .select(col("pair"), col("n_rows"), col("n_a"), col("n_b"),
         col("n_joint"),
-        expr("n_a * 1000000 div n_rows").as("a_ppm"),
-        expr("n_b * 1000000 div n_rows").as("b_ppm"))
+        expr("n_a * 1000000 div GREATEST(n_rows, 1)").as("a_ppm"),
+        expr("n_b * 1000000 div GREATEST(n_rows, 1)").as("b_ppm"))
       .withColumn("actual_ppm",
-        expr("n_joint * 1000000 div n_rows"))
+        expr("n_joint * 1000000 div GREATEST(n_rows, 1)"))
       .withColumn("est_ppm", expr("a_ppm * b_ppm div 1000000"))
       .withColumn("corr_milli",
         expr("actual_ppm * 1000 div GREATEST(est_ppm, 1)"))

@@ -1502,10 +1502,12 @@ object Relational {
     * returned the most revenue in one order quarter (the churn-risk /
     * fraud screen). lineitem is filtered to `l_returnflag = 'R'` at the
     * scan, orders to the quarter window, then one hash aggregate per
-    * customer; customer and nation are broadcast dims. Revenue desc
-    * with a custkey tie-break keeps the LIMIT deterministic
-    * cross-engine (the sums are exact decimals, so equal doubles are
-    * equal in both engines).
+    * customer. The top-k head is taken on the AGGREGATE (revenue
+    * needs no customer attributes), so customer and nation join onto
+    * `topK` broadcast rows — the full customer dim is never
+    * collected. Revenue desc with a custkey tie-break keeps the
+    * LIMIT deterministic cross-engine (the sums are exact decimals,
+    * so equal doubles are equal in both engines).
     */
   def returnedItemReport(
       customer: DataFrame,
@@ -1517,7 +1519,7 @@ object Relational {
       topK: Int = 20
   ): DataFrame = {
     def dec(c: Column) = c.cast("decimal(18,4)")
-    lineitem
+    val head = lineitem
       .filter(col("l_returnflag") === "R")
       .join(orders
           .filter(col("o_orderdate") >= lit(startDate).cast("timestamp") &&
@@ -1530,20 +1532,24 @@ object Relational {
           (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
           .cast("string").cast("double").as("revenue"),
         count(lit(1)).as("n_returned"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(topK)
+    broadcast(head)
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"),
         col("n_returned"), col("c_acctbal"), col("n_name"))
       .orderBy(col("revenue").desc, col("c_custkey"))
-      .limit(topK)
   }
 
   /** TPC-H Q7 shape — bilateral trade volume: shipped revenue between
     * two nations (supplier side vs customer side, both directions) per
-    * ship year. nation is broadcast twice under different aliases;
-    * the nation-pair filter lands BEFORE the aggregate so only the
-    * two countries' lines reach the hash agg. Output is at most
-    * 2 x #years rows.
+    * ship year. The nation-pair filter lands on BOTH key-mapping
+    * tables BEFORE their fact joins, so only the two countries' rows
+    * travel: the supplier map (region-of-a-dim-sized) broadcasts;
+    * the customer map streams through a shuffle join — customer
+    * scales with the corpus and is never collected. Output is at
+    * most 2 x #years rows.
     */
   def nationTradeVolume(
       lineitem: DataFrame,
@@ -1558,14 +1564,16 @@ object Relational {
     val suppNation = supplier
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(nationA, nationB))
     val custNation = customer
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(nationA, nationB))
     lineitem
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
       .filter(
         (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
         (col("supp_nation") === nationB && col("cust_nation") === nationA))
@@ -1633,7 +1641,7 @@ object Relational {
     * scaled-integral DECIMAL(38,0) (scale-8 shift covers the
     * extprice*(1-disc) product's full fractional width; a narrower
     * shift would round and engines disagree on ties). One lineitem
-    * scan, part broadcast.
+    * scan; the part key map streams (part scales with the corpus).
     */
   def promoRevenueShare(
       lineitem: DataFrame,
@@ -1641,7 +1649,7 @@ object Relational {
   ): DataFrame = {
     def dec(c: Column) = c.cast("decimal(18,4)")
     lineitem
-      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+      .join(part.select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"),
         month(col("l_shipdate")).cast("int").as("ship_month"))
@@ -1772,7 +1780,7 @@ object Relational {
       .select(col("s_suppkey"))
     val values = lineitem
       .join(broadcast(suppKeys), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_retailprice"))),
+      .join(part.select(col("p_partkey"), col("p_retailprice")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"))
       .agg(sum(expr("""CAST(CAST(p_retailprice AS DECIMAL(18,4))
@@ -1813,7 +1821,7 @@ object Relational {
       .select(col("l_partkey"), col("l_suppkey")).distinct()
       .join(broadcast(okSupp), col("l_suppkey") === col("s_suppkey"),
         "left_semi")
-      .join(broadcast(segs), col("l_partkey") === col("p_partkey"))
+      .join(segs, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -1822,7 +1830,7 @@ object Relational {
 
   /** TPC-H Q19 shape — disjunctive discounted revenue: three
     * (brand, size-range, quantity-range) OR-blocks evaluated in one
-    * lineitem⋈broadcast(part) pass (the benchmark's p_container
+    * lineitem⋈part pass (the benchmark's p_container
     * predicate becomes a size band — the column is absent). The point
     * of the shape is the disjunction: the filter must not force three
     * scans, and the quantity half of each block still prunes at the
@@ -1840,8 +1848,8 @@ object Relational {
         col("l_quantity").between(qtyLo, qtyHi)
     lineitem
       .filter(col("l_quantity").between(1, 30))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"),
-          col("p_size"))),
+      .join(part.select(col("p_partkey"), col("p_brand"),
+          col("p_size")),
         col("l_partkey") === col("p_partkey"))
       .filter(block("Brand#12", 1, 5, 1, 11) ||
         block("Brand#23", 1, 10, 10, 20) ||

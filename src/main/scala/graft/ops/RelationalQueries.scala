@@ -2236,14 +2236,15 @@ object RelationalQueries {
         |  UNION ALL SELECT 'y1996 & qty10', n_rows,
         |    n_y1996, n_qty10, j3 FROM a)
         |SELECT pair, n_rows, n_a, n_b, n_joint,
-        |  n_a * 1000000 // n_rows AS a_ppm,
-        |  n_b * 1000000 // n_rows AS b_ppm,
-        |  n_joint * 1000000 // n_rows AS actual_ppm,
-        |  (n_a * 1000000 // n_rows) * (n_b * 1000000 // n_rows)
+        |  n_a * 1000000 // GREATEST(n_rows, 1) AS a_ppm,
+        |  n_b * 1000000 // GREATEST(n_rows, 1) AS b_ppm,
+        |  n_joint * 1000000 // GREATEST(n_rows, 1) AS actual_ppm,
+        |  (n_a * 1000000 // GREATEST(n_rows, 1))
+        |    * (n_b * 1000000 // GREATEST(n_rows, 1))
         |    // 1000000 AS est_ppm,
-        |  (n_joint * 1000000 // n_rows) * 1000
-        |    // GREATEST((n_a * 1000000 // n_rows)
-        |      * (n_b * 1000000 // n_rows) // 1000000, 1)
+        |  (n_joint * 1000000 // GREATEST(n_rows, 1)) * 1000
+        |    // GREATEST((n_a * 1000000 // GREATEST(n_rows, 1))
+        |      * (n_b * 1000000 // GREATEST(n_rows, 1)) // 1000000, 1)
         |    AS corr_milli
         |FROM p ORDER BY pair""".stripMargin,
     "q_late_order_priority" ->

@@ -4402,8 +4402,10 @@ object Text {
     * Scale shape: one bigram aggregation (map-side combined,
     * vocabulary²-bounded output), two vocabulary-sized side
     * aggregations, ONE scalar. The head is TakeOrdered by
-    * (c desc, pair) BEFORE any join, so the w1/w2 side tables join
-    * onto `topN` rows (broadcast), never onto the bigram table.
+    * (c desc, pair) BEFORE any join, and it is the HEAD that
+    * broadcasts — the vocabulary-sized hist/cont tables stream
+    * against it (broadcasting a side table would collect the whole
+    * vocabulary to the driver).
     */
   def kneserNeyBigrams(docs: DataFrame, topN: Int = 50): DataFrame = {
     val pairs = docs
@@ -4422,11 +4424,12 @@ object Text {
     val cont = big.groupBy(col("w2"))
       .agg(count(lit(1)).as("fert_w2"))
     val b = big.agg(count(lit(1)).as("bigram_types"))
-    big
+    val head = big
       .orderBy(col("c").desc, col("w1"), col("w2"))
       .limit(topN)
-      .join(broadcast(hist), "w1")
-      .join(broadcast(cont), "w2")
+    broadcast(head)
+      .join(hist, "w1")
+      .join(cont, "w2")
       .crossJoin(broadcast(b))
       .select(col("w1"), col("w2"), col("c"), col("c_w1"),
         col("fert_w1"), col("fert_w2"), col("bigram_types"),
