@@ -4479,8 +4479,12 @@ object Text {
     val top = tf.groupBy(col("token")).agg(sum(col("tf")).as("ctf"))
       .orderBy(col("ctf").desc, col("token")).limit(topK)
       .select(col("token"))
+    // restrict tf to the head BEFORE the grid join: tfTop is <= S×K
+    // rows, so the vocabulary-sized tf table never shuffles into the
+    // grid — it streams once against the broadcast head
+    val tfTop = tf.join(broadcast(top), "token")
     val f = tot.crossJoin(broadcast(top))
-      .join(tf, Seq("source", "token"), "left")
+      .join(broadcast(tfTop), Seq("source", "token"), "left")
       .select(col("source"), col("token"),
         expr("coalesce(tf, 0) * 1000000 div total").as("f_ppm"))
     val mom = f.groupBy(col("token"))
