@@ -473,10 +473,19 @@ class RelationalSpec extends SparkSpec {
     }
     // the disjunction stays one scan: a single parquet read of
     // lineitem feeds the OR filter (no union-of-three-scans rewrite)
-    val scans = Relational.disjunctiveRevenue(li, Tables.part(spark, d))
+    val djPlan = Relational.disjunctiveRevenue(li, Tables.part(spark, d))
       .queryExecution.executedPlan.toString
-      .split("\n").count(l => l.contains("Scan parquet") &&
-        l.contains("lineitem"))
+    val scans = djPlan.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
     assert(scans === 1)
+    // the derived quantity envelope of the three OR-blocks prunes at
+    // the scan even though no single block covers it
+    assert(djPlan.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      djPlan.contains("LessThanOrEqual(l_quantity,30.0)"))
+    // Q10: the returnflag filter reaches the lineitem scan
+    val riPlan = Relational.returnedItemReport(Tables.customer(spark, d),
+      Tables.orders(spark, d), li, Tables.nation(spark, d))
+      .queryExecution.executedPlan.toString
+    assert(riPlan.contains("EqualTo(l_returnflag,R)"))
   }
 }
