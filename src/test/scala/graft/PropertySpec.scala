@@ -755,4 +755,108 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("isotonic fit is monotone non-decreasing and bounded by the " +
+      "raw rate range for ANY binned input") {
+    val frameGen = Gen.listOfN(6,
+      Gen.zip(Gen.choose(1, 12), Gen.choose(0, 12)))
+    forAll(frameGen, n = 8) { bins =>
+      // bin i gets n rows with pos <= n positives
+      val rows = bins.zipWithIndex.flatMap { case ((n0, p0), i) =>
+        val n = n0 max 1; val p = p0 min n
+        (0 until p).map(_ => (i * 4L, 1L)) ++
+          (p until n).map(_ => (i * 4L, 0L))
+      }
+      val out = graft.ops.Audit.isotonicCalibration(
+        rows.toDF("score_scaled", "y"), "score_scaled", "y",
+        scaleBits = 5, nBins = 8).collect()
+        .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("raw_rate_milli"),
+          r.getAs[Long]("fit_milli"))).sortBy(_._1)
+      val fits = out.map(_._3)
+      assert(fits.zip(fits.tail).forall { case (a, b) => a <= b },
+        s"fit not monotone: ${out.toList}")
+      val raws = out.map(_._2)
+      // minimax fit lives inside the raw rate envelope (floor slack 1)
+      assert(fits.forall(f => f >= raws.min - 1 && f <= raws.max + 1),
+        s"fit escapes the raw envelope: ${out.toList}")
+    }
+  }
+
+  test("kneserNey head rows are internally consistent for ANY corpus " +
+      "(ppm in range, fertility <= history mass, discount never " +
+      "exceeds the count)") {
+    forAll(Gen.listOfN(8, textGen), n = 6) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.ops.Text.kneserNeyBigrams(docs, topN = 20)
+        .collect()
+      out.foreach { r =>
+        val kn = r.getAs[Long]("kn_ppm")
+        val cont = r.getAs[Long]("cont_ppm")
+        assert(kn >= 0 && kn <= 1000000, s"kn_ppm out of range: $kn")
+        assert(cont >= 0 && cont <= 1000000)
+        assert(r.getAs[Long]("fert_w1") <= r.getAs[Long]("c_w1"))
+        assert(r.getAs[Long]("c") <= r.getAs[Long]("c_w1"))
+      }
+      graft.Caches.release("text")
+    }
+  }
+
+  test("abQuantileLift: flipping the assignment swaps arms and " +
+      "negates every percentile diff") {
+    val valGen = Gen.listOfN(12, Gen.choose(1, 500))
+    forAll(valGen, n = 6) { vs =>
+      val ev = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, "purchase", v.toDouble / 7.0, i.toLong * 31) }
+        .toDF("user_id", "event_type", "value", "event_id")
+      def run(flip: Boolean) = graft.ops.Affinity.abQuantileLift(ev,
+          if (flip) col("user_id") % 2 === 0
+          else col("user_id") % 2 === 1)
+        .collect()
+        .map(r => r.getAs[Int]("pct") ->
+          (r.getAs[Long]("ctrl_milli"), r.getAs[Long]("treat_milli"),
+            r.getAs[Long]("diff_milli"))).toMap
+      val a = run(false); val b = run(true)
+      a.keySet.foreach { p =>
+        assert(a(p)._1 == b(p)._2 && a(p)._2 == b(p)._1 &&
+          a(p)._3 == -b(p)._3, s"p$p: ${a(p)} vs ${b(p)}")
+      }
+    }
+  }
+
+  test("holtWintersBacktest matches the independent scala replica " +
+      "for ANY daily series") {
+    val seriesGen = Gen.listOfN(17, Gen.choose(1, 30))
+    forAll(seriesGen, n = 5) { ys =>
+      val rows = ys.zipWithIndex.flatMap { case (n, d) =>
+        val day = java.time.LocalDate.ofEpochDay(d.toLong).toString
+        Seq.fill(n)(("a", s"$day 06:00:00"))
+      }
+      val out = graft.ops.Audit.holtWintersBacktest(
+        rows.toDF("event_type", "ts")).collect().head
+      def tdiv(v: Long) = if (v < 0) -((-v) / 1000) else v / 1000
+      var l = 0L; var b = 0L; var sae = 0L; var nsc = 0L
+      var seen = 0L
+      val s = Array.fill[Option[Long]](7)(None)
+      for ((n, d) <- ys.zipWithIndex) {
+        val y = n * 1000L; val i = d % 7
+        s(i) match {
+          case None =>
+            val lEff = if (seen == 0) y else l
+            s(i) = Some(y - lEff); l = lEff
+          case Some(sc) =>
+            sae += math.abs(y - (l + b + sc)); nsc += 1
+            val lNew = tdiv(500 * (y - sc) + 500 * (l + b))
+            b = tdiv(250 * (lNew - l) + 750 * b)
+            s(i) = Some(tdiv(250 * (y - lNew) + 750 * sc))
+            l = lNew
+        }
+        seen += 1
+      }
+      assert(out.getAs[Long]("level_milli") === l, s"series $ys")
+      assert(out.getAs[Long]("trend_milli") === b, s"series $ys")
+      assert(out.getAs[Long]("n_scored") === nsc)
+      assert(out.getAs[Long]("mae_milli") === sae / (nsc max 1L))
+    }
+  }
 }
