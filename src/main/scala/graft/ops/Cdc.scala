@@ -472,6 +472,47 @@ object Cdc {
     * range, or scattered rows?"). Per-table windows over the
     * DISTINCT id set; islands are |gaps|-sized, never row-sized.
     */
+  /** CDC schema-drift profile — the column-set evolution monitor for
+    * a Maxwell-style feed: upstream DDL (ADD/DROP COLUMN, a producer
+    * version change) shows up as keys appearing or vanishing from the
+    * `data` map, and the first symptom downstream is silent NULLs in
+    * a consumer that assumed a stable schema. Per (table, column):
+    * rows carrying the column, exact presence ppm, first/last id seen
+    * with it, and a status derived from the table's own id bounds —
+    * `added` (first seen after the table's first row), `dropped`
+    * (last seen before its last), `windowed` (both), `stable`.
+    * [[changedColumns]] is the per-ROW update diff; this is the
+    * per-COLUMN lifecycle over the whole feed.
+    *
+    * Scale shape: one scan; the key explosion is #columns-per-row
+    * (schema-sized, single digits) — output and both aggregates are
+    * (table x column)-sized; the per-table bounds broadcast back.
+    */
+  def schemaDrift(env: DataFrame): DataFrame = {
+    val rows = env.select(col("table").as("src_table"),
+      col("data")("id").cast("long").as("id"),
+      map_keys(col("data")).as("ks"))
+    val tot = rows.groupBy(col("src_table"))
+      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("t_min"),
+        max(col("id")).as("t_max"))
+    rows
+      .select(col("src_table"), col("id"),
+        explode(col("ks")).as("col_name"))
+      .groupBy(col("src_table"), col("col_name"))
+      .agg(count(lit(1)).as("n_present"),
+        min(col("id")).as("first_id"), max(col("id")).as("last_id"))
+      .join(broadcast(tot), "src_table")
+      .select(col("src_table"), col("col_name"), col("n_present"),
+        expr("n_present * 1000000 div n_rows").as("presence_ppm"),
+        col("first_id"), col("last_id"),
+        when(col("first_id") > col("t_min") &&
+          col("last_id") < col("t_max"), "windowed")
+          .when(col("first_id") > col("t_min"), "added")
+          .when(col("last_id") < col("t_max"), "dropped")
+          .otherwise("stable").as("status"))
+      .orderBy(col("src_table"), col("col_name"))
+  }
+
   def sequenceGaps(
       normalized: DataFrame,
       tableCol: String = "table",

@@ -129,6 +129,19 @@ object CdcQueries {
     "q_cdc_seq_gaps" -> ((s, d) =>
       Cdc.sequenceGaps(normalized(s, d))
         .orderBy(col("src_table"))),
+    // column-lifecycle drift over the raw envelope: 'k' planted as
+    // ADDED (absent before id 100), 'uid' planted as DROPPED (absent
+    // from id 5000 on) via map_filter — the op must read both off
+    // the table's own id bounds
+    "q_cdc_schema_drift" -> ((s, d) => {
+      val planted = parsedEnv(s, d).withColumn("data",
+        map_filter(col("data"), (kk, _) =>
+          !(kk === "k" &&
+            col("data")("id").cast("long") < 100L) &&
+          !(kk === "uid" &&
+            col("data")("id").cast("long") >= 5000L)))
+      Cdc.schemaDrift(planted)
+    }),
     // arrival-disorder profile: inversions vs the running id max and
     // the max regression depth — the measured fact behind watermark /
     // reorder-buffer sizing. Arrival order is planted deterministic:
@@ -408,6 +421,34 @@ object CdcQueries {
         |  END AS conflict_type
         |FROM a JOIN b USING (uid) ORDER BY a.uid""".stripMargin,
     // gaps-and-islands over the per-table DISTINCT id stream
+    "q_cdc_schema_drift" ->
+      """WITH rows AS (
+        |  SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS src_table,
+        |    event_id AS id FROM events),
+        |cols AS (
+        |  SELECT src_table, id, col_name
+        |  FROM rows CROSS JOIN (VALUES ('id'), ('k'), ('uid'))
+        |    c(col_name)
+        |  WHERE NOT (col_name = 'k' AND id < 100)
+        |    AND NOT (col_name = 'uid' AND id >= 5000)),
+        |tot AS (
+        |  SELECT src_table, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    MIN(id) AS t_min, MAX(id) AS t_max
+        |  FROM rows GROUP BY 1)
+        |SELECT c.src_table, c.col_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_present,
+        |  CAST(COUNT(*) AS BIGINT) * 1000000 // t.n_rows
+        |    AS presence_ppm,
+        |  CAST(MIN(c.id) AS BIGINT) AS first_id,
+        |  CAST(MAX(c.id) AS BIGINT) AS last_id,
+        |  CASE WHEN MIN(c.id) > t.t_min AND MAX(c.id) < t.t_max
+        |    THEN 'windowed'
+        |    WHEN MIN(c.id) > t.t_min THEN 'added'
+        |    WHEN MAX(c.id) < t.t_max THEN 'dropped'
+        |    ELSE 'stable' END AS status
+        |FROM cols c JOIN tot t USING (src_table)
+        |GROUP BY c.src_table, c.col_name, t.n_rows, t.t_min, t.t_max
+        |ORDER BY c.src_table, c.col_name""".stripMargin,
     "q_cdc_seq_gaps" ->
       s"""$base,
          |ids AS (SELECT DISTINCT src_table, id FROM m),

@@ -227,6 +227,31 @@ class CdcSpec extends SparkSpec {
     assert(m(2L) == ((1L, "U", 2L, "D,U", "delete_conflict")))
   }
 
+  test("schemaDrift: added/dropped/windowed/stable statuses read " +
+      "off the table's own id bounds; presence ppm exact") {
+    import spark.implicits._
+    // t0 over ids 1..4: 'a' everywhere (stable), 'b' from id 2
+    // (added), 'c' until id 3 (dropped), 'w' only ids 2-3 (windowed)
+    def data(id: Long): Map[String, String] = {
+      val base = Map("id" -> id.toString, "a" -> "x")
+      val b = if (id >= 2) Map("b" -> "x") else Map.empty
+      val c = if (id <= 3) Map("c" -> "x") else Map.empty
+      val w = if (id >= 2 && id <= 3) Map("w" -> "x") else Map.empty
+      base ++ b ++ c ++ w
+    }
+    val env = (1L to 4L).map(i => ("t0", data(i)))
+      .toDF("table", "data")
+    val m = Cdc.schemaDrift(env).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[String]("status"), r.getAs[Long]("presence_ppm"),
+          r.getAs[Long]("first_id"), r.getAs[Long]("last_id"))).toMap
+    assert(m("id") == (("stable", 1000000L, 1L, 4L)))
+    assert(m("a") == (("stable", 1000000L, 1L, 4L)))
+    assert(m("b") == (("added", 750000L, 2L, 4L)))
+    assert(m("c") == (("dropped", 750000L, 1L, 3L)))
+    assert(m("w") == (("windowed", 500000L, 2L, 3L)))
+  }
+
   test("sequenceGaps: holes and spans per table; contiguous table " +
       "reads zero missing and NULL largest gap; dup ids fold") {
     import spark.implicits._

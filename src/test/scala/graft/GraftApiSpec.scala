@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 367,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 367")
-    assert(SparkEntry.oracleSql.size == 355,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 355")
+    assert(SparkEntry.queries.size == 368,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 368")
+    assert(SparkEntry.oracleSql.size == 356,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 356")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
