@@ -1763,8 +1763,13 @@ object Relational {
     * suppliers is proxied by shipped mass: sum over that nation's
     * lines of qty * retailprice, in exact cents (retail carries <= 2
     * fractional digits and qty is integral). Keep parts whose value
-    * exceeds `perMille` of the nation total — the scalar aggregate is
-    * broadcast back, the Q11 decorrelation.
+    * exceeds `factor` times the UNIFORM per-part share of the nation
+    * total (value·n_parts > factor·total) — the benchmark's absolute
+    * fraction becomes SF-relative, so the concentration screen keeps
+    * its meaning as the catalog grows (a fixed per-mille cut empties
+    * at 10x the parts, which is the point of the screen failing,
+    * not the screen working). The scalar (total, n_parts) aggregate
+    * is broadcast back — the Q11 decorrelation.
     */
   def importantParts(
       lineitem: DataFrame,
@@ -1772,7 +1777,7 @@ object Relational {
       supplier: DataFrame,
       nation: DataFrame,
       nationName: String = "NATION_3",
-      perMille: Int = 2
+      factor: Int = 2
   ): DataFrame = {
     val suppKeys = supplier
       .join(broadcast(nation.filter(col("n_name") === nationName)),
@@ -1787,10 +1792,15 @@ object Relational {
                      |  * CAST(l_quantity AS DECIMAL(18,4)) * 100
                      |  AS DECIMAL(38,0))""".stripMargin))
         .cast("long").as("value_cents"))
-    val total = values.agg(sum(col("value_cents")).as("__total"))
+    val total = values.agg(sum(col("value_cents")).as("__total"),
+      count(lit(1)).as("__n_parts"))
     values
       .crossJoin(broadcast(total))
-      .filter(col("value_cents") * 1000 > col("__total") * perMille)
+      // value·n_parts and total·factor both ride DECIMAL(38,0):
+      // cents ~ 1e12 x parts ~ 1e7 passes 2^63 at large SF
+      .filter(expr(s"""CAST(value_cents AS DECIMAL(38,0)) * __n_parts
+                      |  > CAST(__total AS DECIMAL(38,0)) * $factor"""
+        .stripMargin))
       .select(col("p_partkey"), col("value_cents"))
       .orderBy(col("value_cents").desc, col("p_partkey"))
   }

@@ -2166,8 +2166,9 @@ object RelationalQueries {
         |  WHERE n_name = 'NATION_3'
         |  GROUP BY 1)
         |SELECT p_partkey, value_cents FROM v
-        |WHERE value_cents * 1000 >
-        |  (SELECT SUM(value_cents) FROM v) * 2
+        |WHERE CAST(value_cents AS HUGEINT)
+        |    * (SELECT COUNT(*) FROM v) >
+        |  CAST((SELECT SUM(value_cents) FROM v) AS HUGEINT) * 2
         |ORDER BY value_cents DESC, p_partkey""".stripMargin,
     "q_supplier_variety" ->
       """WITH pairs AS (
