@@ -208,14 +208,22 @@ object Audit {
     * self-contained (day count > 1.2× the type's own daily mean,
     * exact integer cross-products) so the op needs no upstream score
     * column; alert days ship as a CSV string (array finals are
-    * driver-hash hazards).
+    * driver-hash hazards). The anomaly ratio is `ratioNum/ratioDen`
+    * (default 21/20 = 1.05x the type's own daily mean — relative
+    * day-to-day variance SHRINKS as volume grows, so a wide 1.2x cut
+    * that fires at validation scale goes silent at 10x the data; the
+    * threshold must track the question, not the corpus size).
     */
   def alertCooldown(
       events: DataFrame,
-      cooldownDays: Int = 3
+      cooldownDays: Int = 3,
+      ratioNum: Long = 21L,
+      ratioDen: Long = 20L
   ): DataFrame = {
     require(cooldownDays >= 1,
       s"cooldownDays must be >= 1: $cooldownDays")
+    require(ratioNum > ratioDen && ratioDen >= 1,
+      s"anomaly ratio must exceed 1: $ratioNum/$ratioDen")
     val daily = events
       .groupBy(col("event_type"),
         datediff(to_date(col("ts")), lit("1970-01-01"))
@@ -225,8 +233,8 @@ object Audit {
       .agg(sum(col("n")).as("__total"), count(lit(1)).as("__n_days"))
     daily
       .join(tot, "event_type")
-      .filter(col("n") * col("__n_days") * lit(5L) >
-        col("__total") * lit(6L))
+      .filter(col("n") * col("__n_days") * lit(ratioDen) >
+        col("__total") * lit(ratioNum))
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("day"))).as("__days"))
       .withColumn("__alerts", expr(

@@ -1890,7 +1890,7 @@ object RelationalQueries {
         |    ROW_NUMBER() OVER (PARTITION BY d.event_type
         |      ORDER BY d.day) AS rn
         |  FROM daily d JOIN tot t USING (event_type)
-        |  WHERE d.n * t.n_days * 5 > t.total * 6),
+        |  WHERE d.n * t.n_days * 20 > t.total * 21),
         |walk(event_type, rn, last_alert, alerts, n_alerts) AS (
         |  SELECT event_type, rn, day, CAST(day AS VARCHAR),
         |    CAST(1 AS BIGINT)
