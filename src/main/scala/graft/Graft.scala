@@ -360,6 +360,10 @@ object Graft {
         valueCol: String = "n_chars"
     ): DataFrame =
       ops.Text.sourceInfluence(docs, groupCol, valueCol)
+    /** Exact 1-D Wasserstein-1 of each source's stopword-rate
+      * distribution vs the corpus, on the fixed 101-bucket support.
+      */
+    def sourceQualityEmd: DataFrame = ops.Text.sourceQualityEmd(docs)
     /** Neyman variance-optimal per-stratum budget split with exact
       * largest-remainder rounding (Σ n_alloc = budget).
       */
@@ -864,6 +868,10 @@ object Graft {
       * frame = the log: file_id, op 'A'/'R', version, n_rows). */
     def snapshotLiveFiles(asOfVersion: Long): DataFrame =
       ops.Layout.snapshotLiveFiles(df, asOfVersion)
+    /** Bloom-filter sizing advisor: exact q20 expected FPP per
+      * (file, m_bits, k) for a point-lookup column. */
+    def bloomAdvised(fileIdCol: String, keyCol: String): DataFrame =
+      ops.Layout.bloomAdvisor(df, fileIdCol, keyCol)
     def withZValue(
         cols: Seq[String],
         bits: Int = 16,

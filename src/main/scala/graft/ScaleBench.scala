@@ -153,11 +153,19 @@ object ScaleBench {
       val dir = s"$work/k$k"
       System.err.println(s"[scalebench] materializing k=$k at $dir")
       materialize(spark, sfDir, dir, k)
+      // SPARK_GRAFT_SCALE_CACHE_TARGETS (comma list of builder
+      // names, e.g. "cache:text:jac_pairs") narrows the timed cache
+      // builds the same way SCALE_TARGETS narrows queries — the dev
+      // loop for auditing ONE cache's exponent (the k=20 pair-cache
+      // root-cause run) without rebuilding every family per sample
+      val cacheSel = sys.env.get("SPARK_GRAFT_SCALE_CACHE_TARGETS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       val builders =
         if (sys.env.get("SPARK_GRAFT_SCALE_CACHES").contains("0"))
           Seq.empty
-        else ops.TextQueries.sharedCacheBuilders ++
-          ops.VectorQueries.sharedCacheBuilders
+        else (ops.TextQueries.sharedCacheBuilders ++
+          ops.VectorQueries.sharedCacheBuilders)
+          .filter(b => cacheSel.forall(_.contains(b._1)))
       // shared family caches are timed as their own entries (their
       // build cost scales too and should be attributed once, not
       // folded into every consumer). SAMPLED like the targets: each
@@ -207,11 +215,14 @@ object ScaleBench {
     }
     val kLo = ks.min
     val kHi = ks.max
+    val cacheSelR = sys.env.get("SPARK_GRAFT_SCALE_CACHE_TARGETS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reported = targets ++
       (if (sys.env.get("SPARK_GRAFT_SCALE_CACHES").contains("0"))
         Seq.empty
       else (ops.TextQueries.sharedCacheBuilders ++
-        ops.VectorQueries.sharedCacheBuilders).map(_._1))
+        ops.VectorQueries.sharedCacheBuilders).map(_._1)
+        .filter(n => cacheSelR.forall(_.contains(n))))
     val perQuery = reported.map { name =>
       val ts = ks.map { k =>
         val cell = times((name, k))

@@ -131,8 +131,9 @@ object StreamBench {
       println(line2)
       val out2 = new java.io.File(sys.env.getOrElse(
         "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
-      java.nio.file.Files.writeString(out2.toPath,
-        java.nio.file.Files.readString(out2.toPath) + line2 + "\n")
+      java.nio.file.Files.writeString(out2.toPath, line2 + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } finally gate.stop()
 
     // Third surface: the streaming SEMANTIC ingestion gate —
@@ -203,8 +204,9 @@ object StreamBench {
       println(line3)
       val out3 = new java.io.File(sys.env.getOrElse(
         "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
-      java.nio.file.Files.writeString(out3.toPath,
-        java.nio.file.Files.readString(out3.toPath) + line3 + "\n")
+      java.nio.file.Files.writeString(out3.toPath, line3 + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } finally semGate.stop()
 
     // Fourth surface: the streaming batch-level QUALITY gate — docs/s
@@ -251,8 +253,9 @@ object StreamBench {
       println(line4)
       val out4 = new java.io.File(sys.env.getOrElse(
         "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
-      java.nio.file.Files.writeString(out4.toPath,
-        java.nio.file.Files.readString(out4.toPath) + line4 + "\n")
+      java.nio.file.Files.writeString(out4.toPath, line4 + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } finally qgate.stop()
 
     // Fifth surface: the continuously-maintained materialized view —
@@ -298,8 +301,9 @@ object StreamBench {
       println(line5)
       val out5 = new java.io.File(sys.env.getOrElse(
         "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
-      java.nio.file.Files.writeString(out5.toPath,
-        java.nio.file.Files.readString(out5.toPath) + line5 + "\n")
+      java.nio.file.Files.writeString(out5.toPath, line5 + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } finally mvQ.stop()
 
     // Sixth surface: the per-feed CUSUM monitor — bucket rows/s
@@ -339,8 +343,9 @@ object StreamBench {
         println(line6)
         val out6 = new java.io.File(sys.env.getOrElse(
           "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
-        java.nio.file.Files.writeString(out6.toPath,
-          java.nio.file.Files.readString(out6.toPath) + line6 + "\n")
+        java.nio.file.Files.writeString(out6.toPath, line6 + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       } finally cuQ.stop()
     }
 
@@ -379,8 +384,9 @@ object StreamBench {
         println(line7)
         val out7 = new java.io.File(sys.env.getOrElse(
           "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
-        java.nio.file.Files.writeString(out7.toPath,
-          java.nio.file.Files.readString(out7.toPath) + line7 + "\n")
+        java.nio.file.Files.writeString(out7.toPath, line7 + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       } finally dcQ.stop()
     }
 
@@ -424,8 +430,9 @@ object StreamBench {
         println(line8)
         val out8 = new java.io.File(sys.env.getOrElse(
           "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
-        java.nio.file.Files.writeString(out8.toPath,
-          java.nio.file.Files.readString(out8.toPath) + line8 + "\n")
+        java.nio.file.Files.writeString(out8.toPath, line8 + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       } finally hkQ.stop()
     }
 
@@ -470,8 +477,9 @@ object StreamBench {
         println(line9)
         val out9 = new java.io.File(sys.env.getOrElse(
           "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
-        java.nio.file.Files.writeString(out9.toPath,
-          java.nio.file.Files.readString(out9.toPath) + line9 + "\n")
+        java.nio.file.Files.writeString(out9.toPath, line9 + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       } finally sgQ.stop()
     }
 
@@ -514,8 +522,9 @@ object StreamBench {
         println(line10)
         val out10 = new java.io.File(sys.env.getOrElse(
           "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
-        java.nio.file.Files.writeString(out10.toPath,
-          java.nio.file.Files.readString(out10.toPath) + line10 + "\n")
+        java.nio.file.Files.writeString(out10.toPath, line10 + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       } finally ckQ.stop()
     }
 
@@ -558,8 +567,9 @@ object StreamBench {
         println(line11)
         val out11 = new java.io.File(sys.env.getOrElse(
           "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
-        java.nio.file.Files.writeString(out11.toPath,
-          java.nio.file.Files.readString(out11.toPath) + line11 + "\n")
+        java.nio.file.Files.writeString(out11.toPath, line11 + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       } finally fcQ.stop()
     }
     spark.stop()

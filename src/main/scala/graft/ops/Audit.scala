@@ -213,6 +213,15 @@ object Audit {
     * day-to-day variance SHRINKS as volume grows, so a wide 1.2x cut
     * that fires at validation scale goes silent at 10x the data; the
     * threshold must track the question, not the corpus size).
+    *
+    * CHANGELOG: before r15 the default ratio was a hard-coded 6/5
+    * (1.2x) — callers who tuned alert volumes against that cut should
+    * re-examine thresholds, since the 21/20 default fires on smaller
+    * deviations. The `require(ratioNum > ratioDen)` also forbids a
+    * ratio of exactly 1.0: this operator is an ANOMALY gate, so a
+    * <=1 ratio (alert on every day at/below the mean) is a different
+    * operator — to disable suppression-worthy detection entirely,
+    * filter upstream rather than degenerating the ratio.
     */
   def alertCooldown(
       events: DataFrame,
@@ -572,6 +581,162 @@ object Audit {
       .withColumn("skill_milli",
         expr("naive_mae_milli * 1000 div GREATEST(mae_milli, 1)"))
       .orderBy(col("event_type"))
+  }
+
+  /** Kaplan–Meier survival estimator with right-censoring — the
+    * user-lifetime read every retention effort starts from: per
+    * event_type, each user's engagement lifetime runs from their
+    * first to their last event day; a user whose last activity ends
+    * at least `churnGapDays` before the corpus's final day is an
+    * observed churn (event) at `t = last − first`, anyone still
+    * active near the end is CENSORED at `t = corpusEnd − first` —
+    * dropping censored users (what a naive "days active" histogram
+    * does) biases survival DOWN, which is exactly the error KM
+    * corrects. Output per (event_type, t): the risk set `n_risk`,
+    * observed churns `d_churned`, censored exits `c_censored`, and
+    * the product-limit survival `s_q20 = Π_{t'≤t} (n−d)/n` in ⌊p·2²⁰⌋
+    * fixed point — every step floors, the identical recursion replays
+    * in a recursive-CTE twin, so the whole curve hash-compares
+    * bitwise (the [[holtWintersBacktest]] convention).
+    *
+    * Shape at scale: one scan to per-user bounds (map-side combinable
+    * groupBy), a (type × duration)-sized table after that — duration
+    * is calendar-bounded, so the sequential product folds a
+    * per-type array of at most #days entries (the bounded-domain
+    * fold discipline: sequential in days, never in rows or users).
+    * The O(T²) prefix re-fold inside `transform` is ≤ #days² tiny
+    * integer ops per type — invariant in corpus size.
+    * Overflow: s_q20 ≤ 2²⁰ and n_risk ≤ #users keep the step product
+    * under 2⁶³ up to ~8·10¹² users.
+    */
+  def kaplanMeier(
+      events: DataFrame,
+      churnGapDays: Int = 14
+  ): DataFrame = {
+    require(churnGapDays >= 1, s"churnGapDays must be >= 1")
+    val life = events
+      .groupBy(col("event_type"),
+        col("user_id"))
+      .agg(
+        min(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long")).as("first_day"),
+        max(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long")).as("last_day"))
+    val corpusEnd = events
+      .agg(max(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long")).as("end_day"))
+    val durations = life
+      .crossJoin(broadcast(corpusEnd))
+      .select(col("event_type"),
+        (col("last_day") <= col("end_day") - churnGapDays)
+          .as("churned"),
+        when(col("last_day") <= col("end_day") - churnGapDays,
+          col("last_day") - col("first_day"))
+          .otherwise(col("end_day") - col("first_day")).as("t"))
+    val tab = durations
+      .groupBy(col("event_type"), col("t"))
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("dd"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("cc"))
+    // risk set relationally (total − exits before t), product via the
+    // bounded-domain fold: collect the per-type day table, prefix-fold
+    // the q20 survival for each row
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("event_type"))
+    val risk = tab
+      .withColumn("n_risk",
+        sum(col("dd") + col("cc")).over(wAll) -
+          coalesce(sum(col("dd") + col("cc")).over(wPrev), lit(0L)))
+    risk
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("n_risk"), col("dd"), col("cc"))))
+        .as("arr"))
+      .select(col("event_type"), posexplode(expr(
+        """transform(arr, (x, i) -> named_struct(
+          |  't', x.t, 'n_risk', x.n_risk,
+          |  'd_churned', x.dd, 'c_censored', x.cc,
+          |  's_q20', aggregate(slice(arr, 1, i + 1),
+          |    CAST(1048576 AS BIGINT),
+          |    (acc, y) -> CASE WHEN y.dd > 0
+          |      THEN acc * (y.n_risk - y.dd) div y.n_risk
+          |      ELSE acc END)))""".stripMargin)))
+      .select(col("event_type"), col("col.t").as("t"),
+        col("col.n_risk").as("n_risk"),
+        col("col.d_churned").as("d_churned"),
+        col("col.c_censored").as("c_censored"),
+        col("col.s_q20").as("s_q20"))
+      .orderBy(col("event_type"), col("t"))
+  }
+
+  /** Western Electric control-chart rules over a type's daily count
+    * series — the run-based anomaly layer a single-point z-test
+    * misses: a process can drift without any one day crossing 3σ.
+    * Per (event_type, day), the four classic rules against the
+    * type's OWN mean/σ (both exact: all comparisons are integer
+    * cross-multiplications of (x·n − S)² against k²·(n·SS − S²), no
+    * sqrt, no doubles — DECIMAL(38,0)-bridged so 10¹⁰-row days
+    * can't overflow the squares):
+    *   r1 — this day beyond 3σ;
+    *   r2 — ≥2 of the last 3 days beyond 2σ on the SAME side;
+    *   r3 — ≥4 of the last 5 days beyond 1σ on the same side;
+    *   r4 — 8 consecutive days on one side of the mean.
+    * `side` is the day's sign vs the mean (+1/−1/0). Rules flag the
+    * day COMPLETING a pattern (standard chart convention). Windows
+    * are ROWS-based over the observed day sequence — a calendar gap
+    * splits no run (document gaps via [[sequenceGaps]]-style tools
+    * if the feed has them).
+    *
+    * Shape at scale: one scan to daily counts, then windows over the
+    * calendar-bounded (type × day) table — corpus growth changes
+    * the COUNTS, not the frame size.
+    */
+  def westernElectricRules(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x").cast("decimal(19,0)") * col("x"))
+          .cast("decimal(38,0)").as("ss"))
+    val base = daily.join(tot, "event_type")
+      .withColumn("dev",
+        (col("x") * col("n") - col("s")).cast("decimal(38,0)"))
+      .withColumn("varn",
+        (col("n").cast("decimal(38,0)") * col("ss") -
+          col("s").cast("decimal(38,0)") *
+            col("s").cast("decimal(38,0)")))
+      .withColumn("side",
+        when(col("dev") > 0, 1L).when(col("dev") < 0, -1L)
+          .otherwise(0L))
+      .withColumn("b1", (col("dev") * col("dev") >
+        lit(1) * col("varn")).cast("long"))
+      .withColumn("b2", (col("dev") * col("dev") >
+        lit(4) * col("varn")).cast("long"))
+      .withColumn("b3", (col("dev") * col("dev") >
+        lit(9) * col("varn")).cast("long"))
+    def lastK(c: Column, k: Int): Column =
+      sum(c).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("day")).rowsBetween(-(k - 1), 0))
+    base
+      .withColumn("r1", (col("b3") === 1L).cast("long"))
+      .withColumn("r2", (
+        lastK(col("b2") * (col("side") === 1L).cast("long"), 3) >= 2 ||
+        lastK(col("b2") * (col("side") === -1L).cast("long"), 3) >= 2)
+        .cast("long"))
+      .withColumn("r3", (
+        lastK(col("b1") * (col("side") === 1L).cast("long"), 5) >= 4 ||
+        lastK(col("b1") * (col("side") === -1L).cast("long"), 5) >= 4)
+        .cast("long"))
+      .withColumn("r4", (
+        lastK((col("side") === 1L).cast("long"), 8) === 8 ||
+        lastK((col("side") === -1L).cast("long"), 8) === 8)
+        .cast("long"))
+      .select(col("event_type"), col("day"), col("x"), col("side"),
+        col("r1"), col("r2"), col("r3"), col("r4"))
+      .orderBy(col("event_type"), col("day"))
   }
 
   /** One-pass column profile — the "what is actually in this table"
@@ -1241,6 +1406,86 @@ object Audit {
            | * 1048576
            | div (CAST($scale AS DECIMAL(38,0)) * $scale * n * n)
            | AS BIGINT)""".stripMargin))
+  }
+
+  /** Murphy decomposition of the Brier score —
+    * `brier = reliability − resolution + uncertainty` — the one-row
+    * answer to "is my quality classifier bad at CALIBRATION or bad
+    * at DISCRIMINATION": reliability is the score-vs-rate gap within
+    * bins (fixable by recalibration — [[isotonicCalibrate]]),
+    * resolution is how far the bins' rates spread from the base rate
+    * (not fixable post-hoc: it IS the classifier's skill), and
+    * uncertainty is the base rate's own variance (a property of the
+    * label, the floor no model beats). Same input convention as
+    * [[reliabilityBins]]: an integer score in [0, 2^scaleBits) and a
+    * 0/1 label. All four terms in exact micro units via
+    * cross-multiplied integer fractions (DECIMAL(38,0)-bridged; the
+    * only floors are one integral division per term and per bin,
+    * replayed identically in the SQL twin). `brier_micro` is the
+    * UNBINNED exact score, while rel/res/unc decompose the BINNED
+    * forecast (Murphy's identity holds exactly only when scores are
+    * constant within a bin) — so the residual
+    * `brier − (rel − res + unc)` is itself a diagnostic: it reads
+    * the within-bin forecast variance, i.e. how much the binning
+    * blurs the score; shrink bins if it dominates.
+    *
+    * Shape at scale: one scan to (bin)-sized partial aggregates —
+    * nBins rows thereafter; the whole decomposition is a map-side
+    * combinable groupBy plus arithmetic on ≤ nBins rows.
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      scoreScaledCol: String,
+      labelCol: String,
+      scaleBits: Int,
+      nBins: Int
+  ): DataFrame = {
+    val scale = 1L << scaleBits
+    require(scale % nBins == 0, s"nBins must divide 2^$scaleBits")
+    val width = scale / nBins
+    val d38 = "decimal(38,0)"
+    val binned = df.select(
+        expr(s"CAST($scoreScaledCol AS BIGINT) div $width").as("bin"),
+        col(labelCol).cast("long").as("y"),
+        col(scoreScaledCol).cast("long").as("sc"))
+    val bins = binned
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_k"),
+        sum(col("sc")).as("ssc"), sum(col("y")).as("sy"),
+        sum((col("sc") - lit(scale) * col("y")).cast("decimal(19,0)") *
+          (col("sc") - lit(scale) * col("y"))).cast(d38).as("sqerr"))
+    bins
+      .agg(
+        sum(col("n_k")).as("n"),
+        sum(col("sy")).as("sy_tot"),
+        sum(col("sqerr")).cast(d38).as("sqerr_tot"),
+        sum(expr(s"""(CAST(ssc AS $d38) - $scale * sy) *
+          | (CAST(ssc AS $d38) - $scale * sy) * 1000000
+          | div n_k""".stripMargin)).cast(d38).as("rel_sum"),
+        collect_list(struct(col("bin"), col("n_k"), col("sy")))
+          .as("bl"))
+      .select(col("n"), col("sy_tot"), col("sqerr_tot"),
+        col("rel_sum"),
+        // resolution needs the global base rate against each bin —
+        // fold the nBins-sized list rather than a second shuffle
+        expr(s"""aggregate(bl, CAST(0 AS $d38), (acc, x) ->
+          | acc + (CAST(x.sy AS $d38) * n - CAST(sy_tot AS $d38)
+          |   * x.n_k) * (CAST(x.sy AS $d38) * n
+          |   - CAST(sy_tot AS $d38) * x.n_k) * 1000000
+          |   div x.n_k)""".stripMargin).as("res_sum"))
+      .select(
+        col("n").as("n"),
+        col("sy_tot").as("n_pos"),
+        expr(s"""CAST(sqerr_tot * 1000000
+          | div (CAST($scale AS $d38) * $scale * n)
+          | AS BIGINT)""".stripMargin).as("brier_micro"),
+        expr(s"""CAST(rel_sum div (CAST($scale AS $d38) * $scale * n)
+          | AS BIGINT)""".stripMargin).as("rel_micro"),
+        expr(s"""CAST(res_sum div (CAST(n AS $d38) * n * n)
+          | AS BIGINT)""".stripMargin).as("res_micro"),
+        expr(s"""CAST(CAST(sy_tot AS $d38) * (n - sy_tot) * 1000000
+          | div (CAST(n AS $d38) * n) AS BIGINT)""".stripMargin)
+          .as("unc_micro"))
   }
 
   /** Isotonic (PAV) calibration map over the [[reliabilityBins]]

@@ -484,6 +484,17 @@ object Cdc {
     * [[changedColumns]] is the per-ROW update diff; this is the
     * per-COLUMN lifecycle over the whole feed.
     *
+    * Status reads only the ENDPOINTS, so a column present at both
+    * ends but absent for a long interior stretch (flapping producer,
+    * revert-then-reapply DDL) still reads `stable` — that dropout is
+    * exposed by `span_ppm`: rows carrying the column per million ids
+    * of its OWN [first_id, last_id] span. Under the dense-unique-id
+    * feed contract (binlog pk), `span_ppm` well below 1,000,000 on a
+    * `stable` column is interior dropout; drill in with the
+    * [[sequenceGaps]] machinery on the column-filtered id stream.
+    * (Ids repeating across ops can push span_ppm above 1e6 — the
+    * signal is relative to the table's other columns either way.)
+    *
     * Scale shape: one scan; the key explosion is #columns-per-row
     * (schema-sized, single digits) — output and both aggregates are
     * (table x column)-sized; the per-table bounds broadcast back.
@@ -504,6 +515,8 @@ object Cdc {
       .join(broadcast(tot), "src_table")
       .select(col("src_table"), col("col_name"), col("n_present"),
         expr("n_present * 1000000 div n_rows").as("presence_ppm"),
+        expr("n_present * 1000000 div (last_id - first_id + 1)")
+          .as("span_ppm"),
         col("first_id"), col("last_id"),
         when(col("first_id") > col("t_min") &&
           col("last_id") < col("t_max"), "windowed")

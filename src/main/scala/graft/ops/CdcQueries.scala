@@ -439,6 +439,9 @@ object CdcQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_present,
         |  CAST(COUNT(*) AS BIGINT) * 1000000 // t.n_rows
         |    AS presence_ppm,
+        |  CAST(COUNT(*) AS BIGINT) * 1000000
+        |    // (CAST(MAX(c.id) AS BIGINT) - MIN(c.id) + 1)
+        |    AS span_ppm,
         |  CAST(MIN(c.id) AS BIGINT) AS first_id,
         |  CAST(MAX(c.id) AS BIGINT) AS last_id,
         |  CASE WHEN MIN(c.id) > t.t_min AND MAX(c.id) < t.t_max

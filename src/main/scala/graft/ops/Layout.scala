@@ -689,4 +689,94 @@ object Layout {
         max_by(col("n_rows"), col("version")).as("n_rows"))
       .filter(col("__last_op") === "A")
       .select(col("file_id"), col("live_version"), col("n_rows"))
+
+  /** Bloom-filter sizing advisor for point-lookup data skipping —
+    * the "would a bloom filter on this column actually prune" math,
+    * per file and per candidate (filter-size, hash-count) config:
+    * min/max zone maps prune RANGE predicates but do nothing for a
+    * point lookup on a column uncorrelated with the layout order
+    * (the [[pruneAudit]] blind spot this closes). For a file holding
+    * `n_keys` distinct values of the lookup column, a bloom filter
+    * of `m` bits with `k` hashes false-positives — and so fails to
+    * skip the file — with probability (1 − (1−1/m)^{k·n})^k.
+    * Computed EXACTLY in q20 fixed point by square-and-multiply
+    * (the [[graft.ops.Text]] q20pow convention — floored integer
+    * chain, bitwise-replayable in SQL; no libm): m is restricted to
+    * powers of two dividing 2²⁰ so (1−1/m) is an exact q20 value.
+    * Output per (file_id, m_bits, k): n_keys, expected `fpp_ppm`,
+    * the filter's `bits_per_key_milli` cost, and `effective` —
+    * whether the config prunes ≥ 99 % of irrelevant probes.
+    *
+    * Shape at scale: `keyed` aggregates to one row per file (the
+    * manifest size, never data-sized); the config grid is a
+    * broadcast cross of #files × |ms|·|ks| rows; the pow chain is
+    * fixed-depth column arithmetic (exponentBits square-multiply
+    * steps). Per-file n_keys is bounded by the file's row capacity,
+    * so the exponent never outgrows the chain: callers pass
+    * exponentBits ≥ log2(k·max n_keys).
+    */
+  def bloomAdvisor(
+      keyed: DataFrame,
+      fileIdCol: String,
+      keyCol: String,
+      mBitsChoices: Seq[Int] = Seq(1 << 14, 1 << 16, 1 << 18),
+      kChoices: Seq[Int] = Seq(1, 3, 5, 7),
+      exponentBits: Int = 13
+  ): DataFrame = {
+    require(mBitsChoices.nonEmpty && mBitsChoices.forall(m =>
+      m > 0 && (m & (m - 1)) == 0 && (1L << 20) % m == 0),
+      "each m must be a power of two dividing 2^20")
+    require(kChoices.nonEmpty && kChoices.forall(k => k >= 1 && k <= 7),
+      "k in [1,7]")
+    require(exponentBits >= 1 && exponentBits <= 40,
+      "exponentBits in [1,40]")
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val files = keyed
+      .groupBy(col(fileIdCol).as("file_id"))
+      .agg(countDistinct(col(keyCol)).as("n_keys"))
+    val grid = mBitsChoices.flatMap(m => kChoices.map(k => (m, k)))
+      .toDF("m_bits", "k")
+    def ldiv(a: Column, b: Column): Column =
+      call_function("div", a.cast("long"), b.cast("long"))
+    val one = lit(1L << 20)
+    // (1 - 1/m)^(k·n) by named-step square-and-multiply (the
+    // q20powSteps shape: named columns keep the expression tree
+    // linear in exponentBits)
+    var df = files.crossJoin(broadcast(grid))
+      // loud guard, not a silent drop: an exponent past the chain
+      // width would return a WRONG fpp, so any such row fails the
+      // whole job at scan stage (the exactCosinePairs convention)
+      .withColumn("__g", assert_true(
+        (col("k") * col("n_keys")) < (1L << exponentBits),
+        lit(s"bloomAdvisor: k*n_keys exceeds the $exponentBits-bit " +
+          "pow chain; raise exponentBits")))
+      .filter(col("__g").isNull).drop("__g")
+      .withColumn("e1", col("k") * col("n_keys"))
+      .withColumn("acc", one.cast("long"))
+      .withColumn("pw", (one - ldiv(one, col("m_bits"))).cast("long"))
+    for (bit <- 0 until exponentBits) {
+      df = df.withColumn("acc",
+        when(shiftright(col("e1"), bit) % 2 === 1,
+          ldiv(col("acc") * col("pw"), one)).otherwise(col("acc")))
+      if (bit < exponentBits - 1)
+        df = df.withColumn("pw", ldiv(col("pw") * col("pw"), one))
+    }
+    // (1 - inner)^k, k <= 7: 3-bit chain
+    df = df.withColumn("acc2", one.cast("long"))
+      .withColumn("pw2", (one - col("acc")).cast("long"))
+    for (bit <- 0 until 3) {
+      df = df.withColumn("acc2",
+        when(shiftright(col("k"), bit) % 2 === 1,
+          ldiv(col("acc2") * col("pw2"), one)).otherwise(col("acc2")))
+      if (bit < 2)
+        df = df.withColumn("pw2", ldiv(col("pw2") * col("pw2"), one))
+    }
+    df.select(col("file_id"), col("m_bits"), col("k"),
+        col("n_keys"),
+        ldiv(col("acc2") * lit(1000000L), one).as("fpp_ppm"),
+        expr("m_bits * 1000 div n_keys").as("bits_per_key_milli"))
+      .withColumn("effective", (col("fpp_ppm") <= 10000L).cast("long"))
+      .orderBy(col("file_id"), col("m_bits"), col("k"))
+  }
 }

@@ -113,6 +113,15 @@ object LayoutQueries {
     "q_export_shards" -> ((s, d) =>
       Export.shardManifest(Tables.documents(s, d), col("lang"),
         col("doc_id"), col("text"), budgetBytes = 8192L)),
+    // bloom-filter sizing advisor: per 512-row orders file, exact
+    // q20 expected FPP of a point-lookup filter on o_custkey over a
+    // (m_bits x k) config grid — the skipping math zone maps can't do
+    "q_layout_bloom_advisor" -> ((s, d) =>
+      Layout.bloomAdvisor(
+        Tables.orders(s, d).select(
+          expr("o_orderkey div 512").as("file_id"),
+          col("o_custkey")),
+        "file_id", "o_custkey")),
     // data-skipping audit: the SAME range predicates against
     // insertion-ordered vs range-clustered file layouts of orders —
     // min/max pruning measured (files/rows scanned, exact skip ppm),
@@ -265,7 +274,56 @@ object LayoutQueries {
          |    FROM $prev) t)""".stripMargin
     }.mkString(",\n")
 
+  /** q20 square-and-multiply chain as stacked CTEs, `bits` wide —
+    * the Text.q20powChainSql shape generalized past 8 bits (the
+    * bloom exponent k·n_keys needs 13). Each step reads exponent
+    * bit `i` of `eCol`, multiplies `acc` by the pre-square `pw`,
+    * floors to q20 — identical to the Spark named-column chain.
+    */
+  private def q20ChainSql(tag: String, from: String, keep: String,
+      eCol: String, bits: Int): String =
+    (0 until bits).map { bit =>
+      val prev = if (bit == 0) from else s"$tag${bit - 1}"
+      s"""$tag$bit AS (
+         |  SELECT $keep,
+         |    CASE WHEN ($eCol // ${1L << bit}) % 2 = 1
+         |      THEN (acc * pw) // 1048576 ELSE acc END AS acc,
+         |    (pw * pw) // 1048576 AS pw
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+
+  private val bloomAdvisorOracle: String = {
+    val grid = Seq(1 << 14, 1 << 16, 1 << 18)
+      .flatMap(m => Seq(1, 3, 5, 7).map(k => s"($m, $k)"))
+      .mkString(", ")
+    val keep = "file_id, n_keys, m_bits, k, e1"
+    s"""WITH f AS (
+       |  SELECT o_orderkey // 512 AS file_id,
+       |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys
+       |  FROM orders GROUP BY 1),
+       |grid(m_bits, k) AS (VALUES $grid),
+       |p_in AS (
+       |  SELECT file_id, n_keys, m_bits, k,
+       |    CAST(k * n_keys AS BIGINT) AS e1,
+       |    CAST(1048576 AS BIGINT) AS acc,
+       |    CAST(1048576 - 1048576 // m_bits AS BIGINT) AS pw
+       |  FROM f CROSS JOIN grid),
+       |${q20ChainSql("p", "p_in", keep, "e1", 13)},
+       |q_pre AS (
+       |  SELECT $keep, 1048576 - acc AS pw FROM p12),
+       |q_in AS (
+       |  SELECT *, CAST(1048576 AS BIGINT) AS acc FROM q_pre),
+       |${q20ChainSql("q", "q_in", keep, "k", 3)}
+       |SELECT file_id, m_bits, k, n_keys,
+       |  (acc * 1000000) // 1048576 AS fpp_ppm,
+       |  m_bits * 1000 // n_keys AS bits_per_key_milli,
+       |  CAST(CASE WHEN (acc * 1000000) // 1048576 <= 10000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS effective
+       |FROM q2 ORDER BY file_id, m_bits, k""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_layout_bloom_advisor" -> bloomAdvisorOracle,
     "q_layout_hilbert" -> {
       val keep = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
       s"""WITH mm AS (

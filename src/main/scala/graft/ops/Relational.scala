@@ -1504,10 +1504,14 @@ object Relational {
     * scan, orders to the quarter window, then one hash aggregate per
     * customer. The top-k head is taken on the AGGREGATE (revenue
     * needs no customer attributes), so customer and nation join onto
-    * `topK` broadcast rows — the full customer dim is never
-    * collected. Revenue desc with a custkey tie-break keeps the
-    * LIMIT deterministic cross-engine (the sums are exact decimals,
-    * so equal doubles are equal in both engines).
+    * a broadcast head of `4*topK` rows — an OVER-FETCH, with the
+    * real `LIMIT topK` applied AFTER the customer join, so up to
+    * `3*topK` head custkeys may be absent from the customer dim
+    * (late tombstone, filtered snapshot) without shrinking or
+    * skewing the report; the full customer dim is never collected.
+    * Revenue desc with a custkey tie-break keeps the LIMIT
+    * deterministic cross-engine (the sums are exact decimals, so
+    * equal doubles are equal in both engines).
     */
   def returnedItemReport(
       customer: DataFrame,
@@ -1533,13 +1537,14 @@ object Relational {
           .cast("string").cast("double").as("revenue"),
         count(lit(1)).as("n_returned"))
       .orderBy(col("revenue").desc, col("o_custkey"))
-      .limit(topK)
+      .limit(topK * 4)
     broadcast(head)
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"),
         col("n_returned"), col("c_acctbal"), col("n_name"))
       .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topK)
   }
 
   /** TPC-H Q7 shape — bilateral trade volume: shipped revenue between

@@ -181,6 +181,15 @@ object RelationalQueries {
     // fixed-point smoothing fold + seasonal-naive skill ratio
     "q_events_holt_winters" -> ((s, d) =>
       Audit.holtWintersBacktest(Tables.events(s, d))),
+    // Kaplan-Meier survival with right-censoring: per-type user
+    // lifetimes, product-limit curve in exact q20 (recursive-CTE
+    // twin, bitwise both SFs)
+    "q_events_kaplan_meier" -> ((s, d) =>
+      Audit.kaplanMeier(Tables.events(s, d))),
+    // Western Electric run rules: per-day side/rule flags from exact
+    // integer cross-multiplied sigma comparisons (no sqrt)
+    "q_events_we_rules" -> ((s, d) =>
+      Audit.westernElectricRules(Tables.events(s, d))),
     // one-pass column profile of orders (nulls/distinct/min/max per
     // column, engine-stable string rendering)
     "q_profile_orders" -> ((s, d) =>
@@ -2208,6 +2217,110 @@ object RelationalQueries {
         |WHERE qty_year * 5 > qty_total
         |ORDER BY s_suppkey""".stripMargin,
     "q_events_holt_winters" -> hwOracle,
+    // product-limit recursion mirrored step-for-step: positive q20
+    // integers, // floors = Spark div truncation
+    "q_events_kaplan_meier" ->
+      """WITH RECURSIVE life AS (
+        |  SELECT event_type, user_id,
+        |    CAST(MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS f,
+        |    CAST(MAX(CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS l
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT CAST(MAX(CAST(ts AS DATE) - DATE '1970-01-01')
+        |    AS BIGINT) AS end_day FROM events),
+        |dur AS (
+        |  SELECT event_type, (l <= end_day - 14) AS churned,
+        |    CASE WHEN l <= end_day - 14 THEN l - f
+        |      ELSE end_day - f END AS t
+        |  FROM life CROSS JOIN m),
+        |tab AS (
+        |  SELECT event_type, t,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dd,
+        |    CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS cc
+        |  FROM dur GROUP BY 1, 2),
+        |r0 AS (
+        |  SELECT event_type, t, dd, cc,
+        |    CAST(SUM(dd + cc) OVER (PARTITION BY event_type)
+        |      - COALESCE(SUM(dd + cc) OVER (PARTITION BY event_type
+        |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t)
+        |      AS rn
+        |  FROM tab),
+        |rec AS (
+        |  SELECT event_type, rn, t, n_risk, dd, cc,
+        |    CASE WHEN dd > 0
+        |      THEN (1048576 * (n_risk - dd)) // n_risk
+        |      ELSE 1048576 END AS s
+        |  FROM r0 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.rn, o.t, o.n_risk, o.dd, o.cc,
+        |    CASE WHEN o.dd > 0
+        |      THEN (r.s * (o.n_risk - o.dd)) // o.n_risk
+        |      ELSE r.s END
+        |  FROM rec r JOIN r0 o
+        |    ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+        |SELECT event_type, t, n_risk, dd AS d_churned,
+        |  cc AS c_censored, CAST(s AS BIGINT) AS s_q20
+        |FROM rec ORDER BY event_type, t""".stripMargin,
+    // sigma rules via integer cross-multiplication: dev^2 vs
+    // k^2*(n*SS - S^2), HUGEINT-bridged squares
+    "q_events_we_rules" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+        |  FROM daily GROUP BY 1),
+        |base AS (
+        |  SELECT d.event_type, d.day, d.x,
+        |    CAST(d.x AS HUGEINT) * t.n - t.s AS dev,
+        |    CAST(t.n AS HUGEINT) * t.ss
+        |      - CAST(t.s AS HUGEINT) * t.s AS varn
+        |  FROM daily d JOIN tot t USING (event_type)),
+        |b AS (
+        |  SELECT event_type, day, x,
+        |    CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1
+        |      ELSE 0 END AS side,
+        |    CASE WHEN dev * dev > 1 * varn THEN 1 ELSE 0 END AS b1,
+        |    CASE WHEN dev * dev > 4 * varn THEN 1 ELSE 0 END AS b2,
+        |    CASE WHEN dev * dev > 9 * varn THEN 1 ELSE 0 END AS b3
+        |  FROM base)
+        |SELECT event_type, day, x, CAST(side AS BIGINT) AS side,
+        |  CAST(b3 AS BIGINT) AS r1,
+        |  CAST(CASE WHEN
+        |      SUM(CASE WHEN side = 1 THEN b2 ELSE 0 END) OVER w3 >= 2
+        |      OR SUM(CASE WHEN side = -1 THEN b2 ELSE 0 END)
+        |        OVER w3 >= 2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS r2,
+        |  CAST(CASE WHEN
+        |      SUM(CASE WHEN side = 1 THEN b1 ELSE 0 END) OVER w5 >= 4
+        |      OR SUM(CASE WHEN side = -1 THEN b1 ELSE 0 END)
+        |        OVER w5 >= 4
+        |    THEN 1 ELSE 0 END AS BIGINT) AS r3,
+        |  CAST(CASE WHEN
+        |      SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER w8 = 8
+        |      OR SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END)
+        |        OVER w8 = 8
+        |    THEN 1 ELSE 0 END AS BIGINT) AS r4
+        |FROM b
+        |WINDOW
+        |  w3 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  w5 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |  w8 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     "q_li_selectivity" ->
       """WITH a AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

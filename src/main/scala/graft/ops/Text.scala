@@ -3431,6 +3431,82 @@ object Text {
           col("pass_alpha") && col("pass_stop"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance between each
+    * source's quality distribution and the corpus's — the drift
+    * metric that sees what a KS test flattens: KS reads only the
+    * single worst CDF gap, EMD integrates the WHOLE displaced mass,
+    * so a source that is mildly off everywhere (the classic
+    * quietly-degrading feed) scores high here while its KS stays
+    * small. Quality proxy: per-doc stopword rate in exact milli
+    * (`n_stop·1000 div n_tokens`), bucketed to 101 support points
+    * (10-milli buckets); on a 1-D bucketed support EMD has the
+    * closed form Σ_b |F_src(b) − F_all(b)| — exact in integers via
+    * cross-multiplied CDFs (`|cum_s·N_all − cum_all·N_s|`,
+    * DECIMAL(38,0)-bridged before the ppm shift so clone-scale
+    * corpora can't overflow the sum). `shift_milli` adds the signed
+    * mean displacement so the table reads direction, not just
+    * magnitude.
+    *
+    * Shape at scale: one scan to (source × bucket) counts — the
+    * support is FIXED at 101 buckets, so everything after the first
+    * aggregate is (#sources × 101)-sized; the corpus CDF broadcasts.
+    */
+  def sourceQualityEmd(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = tokens(col("text"))
+    val rated = docs.select(col("source"),
+      (size(filter(toks,
+        t => array_contains(lit(stopwords.toArray), t)))
+        .cast("long") * 1000L).as("stop_k"),
+      greatest(size(toks).cast("long"), lit(1L)).as("n_tok"))
+      .select(col("source"),
+        least(call_function("div",
+          call_function("div", col("stop_k"), col("n_tok")),
+          lit(10L)), lit(100L)).cast("long").as("b"))
+    val perSrc = rated.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val support = spark.range(0, 101).select(col("id").as("b"))
+    val srcs = perSrc.select(col("source")).distinct()
+    val dense = srcs.crossJoin(support)
+      .join(perSrc, Seq("source", "b"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("b"))
+    val srcCdf = dense
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_src",
+        sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .withColumn("wsum",
+        sum(col("b") * col("cnt"))
+          .over(Window.partitionBy(col("source"))))
+    val allCdf = rated.groupBy(col("b")).agg(count(lit(1)).as("acnt"))
+      .join(support, Seq("b"), "right")
+      .withColumn("acnt", coalesce(col("acnt"), lit(0L)))
+      .withColumn("acum",
+        sum(col("acnt")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_all", sum(col("acnt")).over())
+      .withColumn("awsum", sum(col("b") * col("acnt")).over())
+    srcCdf.join(broadcast(allCdf), "b")
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_src")).as("n_docs"),
+        sum(abs(col("cum").cast("decimal(38,0)") * col("n_all") -
+          col("acum").cast("decimal(38,0)") * col("n_src")))
+          .as("gap_mass"),
+        max(col("n_all")).as("n_all"),
+        max(col("wsum")).as("wsum"),
+        max(col("awsum")).as("awsum"))
+      .select(col("source"), col("n_docs"),
+        expr("""CAST(gap_mass * 1000000
+          | div (CAST(n_docs AS DECIMAL(38,0)) * n_all)
+          | AS BIGINT)""".stripMargin).as("emd_bucket_ppm"),
+        expr("wsum * 1000 div n_docs").as("mean_bucket_milli"),
+        expr("awsum * 1000 div n_all").as("all_bucket_milli"),
+        (expr("wsum * 1000 div n_docs") -
+          expr("awsum * 1000 div n_all")).as("shift_milli"))
+      .orderBy(col("source"))
+  }
+
   /** Leave-one-source-out (jackknife) influence of each source on a
     * corpus-level mean — the "which feed moves the metric" audit
     * that turns a single corpus average into an attribution table:

@@ -62,6 +62,22 @@ object VectorQueries {
         Tables.embeddings(s, d).withColumn("list_id", col("label")),
         0.4))
 
+  /** The CONVERGED SemDeDup assignment, memoized per (session, dir):
+    * label propagation runs ONCE per session and both its consumers
+    * (`q_vec_semantic_dedup` reads the assignment,
+    * `q_vec_component_sizes` profiles it) share the fixpoint instead
+    * of each re-running the iterative loop — the r15 ScaleBench
+    * exponents (0.94/0.92) were both paying the full iteration;
+    * alphabetically-first consumer pays the one build (the
+    * cache:vec:sempairs precedent). Released with the vec family.
+    */
+  private[ops] def semDedupConverged(
+      s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("vec", ("semdedup_converged", s, d))(
+      Vector.semanticDedupAssigned(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        0.4, precomputedPairs = Some(semPairs(s, d))))
+
   /** Embeddings with the scale-capped within-label sublist id: each
     * label bucket SUB-DIVIDES into m = max(1, n div 1250) vec_id
     * sublists (m = 1 at the oracle validation SFs, so list_id =
@@ -254,10 +270,7 @@ object VectorQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
     "q_vec_semantic_dedup" -> ((s, d) =>
-      Vector.semanticDedupAssigned(
-        Tables.embeddings(s, d).withColumn("list_id", col("label")),
-        0.4, precomputedPairs = Some(semPairs(s, d)))
-        .orderBy(col("vec_id"))),
+      semDedupConverged(s, d).orderBy(col("vec_id"))),
     // within-list directed kNN graph in the offline-assignment form
     // (list = stored label): exact cosine + per-vector rank window,
     // deterministic end to end, so the whole graph oracle-hashes
@@ -363,11 +376,7 @@ object VectorQueries {
     // mass is the threshold-health read before acting on the graph
     "q_vec_component_sizes" -> ((s, d) =>
       graft.ops.Audit.componentSizeProfile(
-        Vector.semanticDedupAssigned(
-          Tables.embeddings(s, d)
-            .withColumn("list_id", col("label")),
-          0.4, precomputedPairs = Some(semPairs(s, d))),
-        "cluster")
+        semDedupConverged(s, d), "cluster")
         .orderBy(col("size"))),
     // Newman modularity of the label communities on a coarse
     // (label % 4) kNN graph — coarser lists than communities so

@@ -30,7 +30,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * would double-smooth the state the batch twin saw once.
   *
   * Shape at scale: state is bounded by the type domain; each
-  * micro-batch shuffles only its own day rows.
+  * micro-batch shuffles only its own day rows. The per-batch
+  * `rows.toSeq.sortBy` materializes ONE TYPE's day rows of ONE
+  * micro-batch — bounded by calendar days per trigger interval
+  * under the pre-closed-daily contract above. Feeding row-grain
+  * events (one row per EVENT instead of per day) violates that
+  * contract and makes the buffer corpus-sized: aggregate to daily
+  * counts upstream (the watermarked windowed count) first.
   */
 object ForecastMonitor {
 

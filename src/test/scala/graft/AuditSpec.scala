@@ -907,4 +907,106 @@ class AuditSpec extends SparkSpec {
     assert(out("x & y") == ((500000L, 250000L, 2000L)))
     assert(out("x & z") == ((250000L, 250000L, 1000L)))
   }
+
+  test("kaplanMeier: censored users stay in the risk set, survival " +
+      "steps only at churn durations, q20 products floor") {
+    import spark.implicits._
+    // corpus days 0..20 (end_day = 20, churn cut = last <= 6):
+    //  u1 day 0 only          -> churned, t = 0
+    //  u2 days 0..3           -> churned, t = 3
+    //  u3 days 2 and 20       -> censored at t = 18
+    //  u4 days 0 and 6        -> churned (last = 6 = 20-14), t = 6
+    def d(day: Int) = f"2024-01-${day + 1}%02d"
+    val rows =
+      Seq(("a", 1L, d(0)), ("a", 2L, d(0)), ("a", 2L, d(3)),
+        ("a", 3L, d(2)), ("a", 3L, d(20)), ("a", 4L, d(0)),
+        ("a", 4L, d(6)))
+    val out = Audit.kaplanMeier(
+      rows.toDF("event_type", "user_id", "ts")).collect()
+      .map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("d_churned"),
+          r.getAs[Long]("c_censored"), r.getAs[Long]("s_q20"))))
+      .toMap
+    assert(out.keySet === Set(0L, 3L, 6L, 18L))
+    assert(out(0L) == ((4L, 1L, 0L, 786432L)))  // 2^20 * 3/4
+    assert(out(3L) == ((3L, 1L, 0L, 524288L)))  // * 2/3
+    assert(out(6L) == ((2L, 1L, 0L, 262144L)))  // * 1/2
+    assert(out(18L) == ((1L, 0L, 1L, 262144L))) // censored: flat
+  }
+
+  test("westernElectricRules: matches an integer replica on an " +
+      "irregular series; 8 consecutive below-mean days complete r4; " +
+      "a constant series sides 0 and fires nothing") {
+    import spark.implicits._
+    def d(day: Int) = f"2024-01-${day + 1}%02d"
+    val series = Map(
+      "a" -> Seq(5, 1, 2, 1, 1, 9, 1, 2, 1, 14),
+      "b" -> Seq(3, 3, 3, 3, 3, 3, 3, 3, 3, 3),
+      "c" -> Seq(1, 1, 1, 1, 1, 1, 1, 1, 100, 100))
+    val rows = series.toSeq.flatMap { case (t, xs) =>
+      xs.zipWithIndex.flatMap { case (x, i) =>
+        Seq.fill(x)((t, d(i)))
+      }
+    }
+    val out = Audit.westernElectricRules(
+      rows.toDF("event_type", "ts")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"))
+        -> ((r.getAs[Long]("x"), r.getAs[Long]("side"),
+          r.getAs[Long]("r1"), r.getAs[Long]("r2"),
+          r.getAs[Long]("r3"), r.getAs[Long]("r4")))).toMap
+    // integer replica of the cross-multiplied rules
+    val day0 = out.keys.map(_._2).min
+    for ((t, xs) <- series) {
+      val n = xs.size.toLong
+      val s = xs.map(_.toLong).sum
+      val ss = xs.map(x => x.toLong * x).sum
+      val varn = n * ss - s * s
+      val dev = xs.map(x => x * n - s)
+      val side = dev.map(v => if (v > 0) 1L else if (v < 0) -1L else 0L)
+      def beyond(k: Long) =
+        dev.map(v => BigInt(v) * v > BigInt(k) * k * varn)
+      val (b1, b2, b3) = (beyond(1), beyond(2), beyond(3))
+      def lastK(i: Int, k: Int, f: Int => Boolean): Int =
+        (math.max(0, i - k + 1) to i).count(f)
+      for (i <- xs.indices) {
+        val exp = (xs(i).toLong, side(i),
+          if (b3(i)) 1L else 0L,
+          if (lastK(i, 3, j => b2(j) && side(j) == 1L) >= 2 ||
+            lastK(i, 3, j => b2(j) && side(j) == -1L) >= 2) 1L else 0L,
+          if (lastK(i, 5, j => b1(j) && side(j) == 1L) >= 4 ||
+            lastK(i, 5, j => b1(j) && side(j) == -1L) >= 4) 1L else 0L,
+          if (lastK(i, 8, j => side(j) == 1L) == 8 ||
+            lastK(i, 8, j => side(j) == -1L) == 8) 1L else 0L)
+        assert(out((t, day0 + i)) == exp,
+          s"type $t day $i: got ${out((t, day0 + i))}, want $exp")
+      }
+    }
+    // targeted: 'c' completes 8-below on day index 7, not before
+    assert(out(("c", day0 + 7))._6 === 1L)
+    assert(out(("c", day0 + 6))._6 === 0L)
+    // constant series: side 0 everywhere, no rule fires
+    for (i <- 0 until 10)
+      assert(out(("b", day0 + i)) == ((3L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("brierDecomposition: hand-computed micro components; the " +
+      "rel-res+unc residual reads the within-bin forecast variance") {
+    import spark.implicits._
+    // scale 8 (3 bits), 2 bins of width 4:
+    //  bin0: (0,0), (3,0); bin1: (7,1), (4,1)
+    val df = Seq((0L, 0L), (3L, 0L), (7L, 1L), (4L, 1L))
+      .toDF("sc", "y")
+    val r = Audit.brierDecomposition(df, "sc", "y",
+      scaleBits = 3, nBins = 2).collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_pos") === 2L)
+    assert(r.getAs[Long]("brier_micro") === 101562L) // 26e6/256
+    assert(r.getAs[Long]("rel_micro") === 66406L)    // 17e6/256
+    assert(r.getAs[Long]("res_micro") === 250000L)   // 16e6/64
+    assert(r.getAs[Long]("unc_micro") === 250000L)   // 4e6/16
+    // residual 101562-66406 = within-bin var 0.1406/4 in micro
+    assert(r.getAs[Long]("brier_micro") -
+      (r.getAs[Long]("rel_micro") - r.getAs[Long]("res_micro") +
+        r.getAs[Long]("unc_micro")) === 35156L)
+  }
 }

@@ -237,19 +237,25 @@ class CdcSpec extends SparkSpec {
       val b = if (id >= 2) Map("b" -> "x") else Map.empty
       val c = if (id <= 3) Map("c" -> "x") else Map.empty
       val w = if (id >= 2 && id <= 3) Map("w" -> "x") else Map.empty
-      base ++ b ++ c ++ w
+      // 'f' flaps: present at ids 2 and 4 only — dropout INSIDE its
+      // own window shows as span_ppm < presence-of-dense (666666 over
+      // span 2..4) while the endpoint-only status still reads 'added'
+      val f = if (id == 2 || id == 4) Map("f" -> "x") else Map.empty
+      base ++ b ++ c ++ w ++ f
     }
     val env = (1L to 4L).map(i => ("t0", data(i)))
       .toDF("table", "data")
     val m = Cdc.schemaDrift(env).collect()
       .map(r => r.getAs[String]("col_name") ->
         (r.getAs[String]("status"), r.getAs[Long]("presence_ppm"),
+          r.getAs[Long]("span_ppm"),
           r.getAs[Long]("first_id"), r.getAs[Long]("last_id"))).toMap
-    assert(m("id") == (("stable", 1000000L, 1L, 4L)))
-    assert(m("a") == (("stable", 1000000L, 1L, 4L)))
-    assert(m("b") == (("added", 750000L, 2L, 4L)))
-    assert(m("c") == (("dropped", 750000L, 1L, 3L)))
-    assert(m("w") == (("windowed", 500000L, 2L, 3L)))
+    assert(m("id") == (("stable", 1000000L, 1000000L, 1L, 4L)))
+    assert(m("a") == (("stable", 1000000L, 1000000L, 1L, 4L)))
+    assert(m("b") == (("added", 750000L, 1000000L, 2L, 4L)))
+    assert(m("c") == (("dropped", 750000L, 1000000L, 1L, 3L)))
+    assert(m("w") == (("windowed", 500000L, 1000000L, 2L, 3L)))
+    assert(m("f") == (("added", 500000L, 666666L, 2L, 4L)))
   }
 
   test("sequenceGaps: holes and spans per table; contiguous table " +

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 368,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 368")
-    assert(SparkEntry.oracleSql.size == 356,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 356")
+    assert(SparkEntry.queries.size == 373,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 373")
+    assert(SparkEntry.oracleSql.size == 361,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 361")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -377,6 +377,7 @@ class GraftApiSpec extends SparkSpec {
       "stratifiedSample" -> "stratifiedSample",
       "neymanAllocation" -> "neymanAllocated",
       "sourceInfluence" -> "sourceInfluenced",
+      "sourceQualityEmd" -> "sourceQualityEmd",
       "curationPipeline" -> "curated",
       "contamination" -> "contaminationAgainst",
       "docFrequency" -> "docFrequency",
@@ -497,6 +498,7 @@ class GraftApiSpec extends SparkSpec {
       "knnLabelPurity" -> "knnLabelPurity",
       "labelConductance" -> "labelConductance",
       "snapshotLiveFiles" -> "snapshotLiveFiles",
+      "bloomAdvisor" -> "bloomAdvised",
       "chunkDedup" -> "chunkDedup",
       "sourceDupMatrix" -> "sourceDupMatrix",
       "tokenFertility" -> "tokenFertility",

@@ -446,4 +446,46 @@ class LayoutSpec extends SparkSpec {
         r.getAs[Long]("live_version")).toMap
     assert(live === Map(1L -> 5L, 3L -> 9L, 4L -> 5L))
   }
+
+  test("bloomAdvisor: matches a q20 square-and-multiply replica, " +
+      "fpp grows with keys and shrinks with bits; exponent past the " +
+      "chain fails loudly") {
+    import spark.implicits._
+    val keyed = Seq((0L, 10L), (0L, 20L), (0L, 30L),
+      (1L, 10L), (1L, 10L)).toDF("file_id", "key")
+    val out = Layout.bloomAdvisor(keyed, "file_id", "key",
+      mBitsChoices = Seq(1 << 14, 1 << 16), kChoices = Seq(1, 3))
+      .collect()
+      .map(r => (r.getAs[Long]("file_id"), r.getAs[Int]("m_bits"),
+        r.getAs[Int]("k")) ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("fpp_ppm"))))
+      .toMap
+    // q20 replica
+    def q20pow(base: Long, e: Long, bits: Int): Long = {
+      var acc = 1L << 20; var pw = base
+      for (bit <- 0 until bits) {
+        if (((e >> bit) & 1) == 1) acc = acc * pw / (1L << 20)
+        if (bit < bits - 1) pw = pw * pw / (1L << 20)
+      }
+      acc
+    }
+    for ((f, nk) <- Seq((0L, 3L), (1L, 1L));
+         m <- Seq(1 << 14, 1 << 16); k <- Seq(1, 3)) {
+      val inner = q20pow((1L << 20) - (1L << 20) / m, k * nk, 13)
+      val fpp = q20pow((1L << 20) - inner, k, 3) * 1000000L / (1L << 20)
+      assert(out((f, m, k)) == ((nk, fpp)),
+        s"file $f m $m k $k")
+    }
+    // 3 keys false-positive more than 1 key at equal config; more
+    // bits false-positive less at equal keys
+    assert(out((0L, 1 << 14, 1))._2 >= out((1L, 1 << 14, 1))._2)
+    assert(out((0L, 1 << 16, 3))._2 <= out((0L, 1 << 14, 3))._2)
+    // loud guard: k*n past 2^exponentBits must throw, not mis-math
+    val ex = intercept[Exception] {
+      Layout.bloomAdvisor(keyed, "file_id", "key",
+        mBitsChoices = Seq(1 << 14), kChoices = Seq(7),
+        exponentBits = 4).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

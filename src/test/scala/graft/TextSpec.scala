@@ -2257,4 +2257,24 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Long]("padding_ppm") === 250000L)
     assert(r.getAs[Long]("truncated_ppm") === 142857L)
   }
+
+  test("sourceQualityEmd: opposite-extreme sources score the same " +
+      "EMD with opposite signed shifts; mass and CDF math exact") {
+    import spark.implicits._
+    // source A: all-stopword docs (rate 1000 -> bucket 100);
+    // source B: no stopwords (bucket 0). Corpus CDF is 1/2 up to
+    // b=99, so each source displaces |F_src - F_all| = 1/2 over 100
+    // buckets -> EMD = 50 bucket units = 50e6 ppm, shifts +/-50000.
+    val docs = Seq(
+      (1L, "the the", "A", 7L), (2L, "of to", "A", 5L),
+      (3L, "x y", "B", 3L), (4L, "p q r", "B", 5L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Text.sourceQualityEmd(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("emd_bucket_ppm"),
+          r.getAs[Long]("mean_bucket_milli"),
+          r.getAs[Long]("shift_milli")))).toMap
+    assert(out("A") == ((2L, 50000000L, 100000L, 50000L)))
+    assert(out("B") == ((2L, 50000000L, 0L, -50000L)))
+  }
 }

@@ -16,9 +16,20 @@ attributable to the sweep, not the engine (see also the
 q_aa_canary / q_zz_canary constant probes).
 
 Usage: selfcheck.py OUT_DIR SF_DIR ROUND [QUERY ...]
+       selfcheck.py OUT_DIR SF_DIR ROUND --rotate N
 (defaults to the four r10-disputed queries + both canaries)
+
+Rotation (r15 verdict #7): at ~370 registered queries a full
+triplicate sweep per round is not cheap, so `--rotate N` selects the
+N queries whose last triplicate check is OLDEST — never-checked
+first (alphabetical for determinism), then ascending by the last
+SELFCHECK_r*.json round that contains them — plus both canaries.
+Run with N ≈ registry/3 per round and every query gets a triplicate
+adjudication at least once per ~3 rounds. The rotation state IS the
+committed SELFCHECK artifacts: no extra bookkeeping file, and a
+clobbered artifact just re-queues its queries.
 """
-import hashlib, json, subprocess, sys
+import glob, hashlib, json, re, subprocess, sys
 
 DEFAULT = ["q_text_dedup_curve", "q_text_stopwords",
            "q_text_vocab_growth", "q_vec_centroid_margin",
@@ -68,10 +79,32 @@ print(json.dumps({"spark_md5": mat(got), "oracle_md5": mat(exp),
 """
 
 
+def rotation(sqls, n):
+    """The n oldest-unchecked oracle-backed queries (+ canaries)."""
+    last = {}
+    for path in glob.glob("SELFCHECK_r*.json"):
+        m = re.search(r"SELFCHECK_r(\d+)", path)
+        if not m:
+            continue
+        r = int(m.group(1))
+        try:
+            checked = json.load(open(path))
+        except (json.JSONDecodeError, OSError):
+            continue
+        for q in checked:
+            last[q] = max(last.get(q, -1), r)
+    pool = sorted(sqls, key=lambda q: (last.get(q, -1), q))
+    picked = [q for q in pool if not q.endswith("_canary")][:n]
+    return picked + ["q_aa_canary", "q_zz_canary"]
+
+
 def main():
     out_dir, sf_dir, rnd = sys.argv[1:4]
-    queries = sys.argv[4:] or DEFAULT
     sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) >= 6 and sys.argv[4] == "--rotate":
+        queries = rotation(sqls, int(sys.argv[5]))
+    else:
+        queries = sys.argv[4:] or DEFAULT
     report = {}
     for name in queries:
         runs = []
