@@ -572,6 +572,57 @@ object StreamBench {
           java.nio.file.StandardOpenOption.APPEND)
       } finally fcQ.stop()
     }
+
+    // Twelfth surface: the Western-Electric phase-II monitor —
+    // closed daily counts/s through the per-type frozen-baseline
+    // rule evaluation (the continuous form of
+    // Audit.westernElectricRules). Same many-types × few-days shape
+    // as the forecast surface; the per-row cost is the BigInt sigma
+    // comparisons plus the 7-entry ring fold.
+    {
+      implicit val s = spark
+      val weIn = MemoryStream[streaming.WeRulesMonitor.Day]
+      val types = 2500 * scale
+      // frozen baseline per type: mean 80, mild spread
+      val weBaseline = (0 until types).map { t =>
+        val xs = (0 until 14).map(d => 50L + (d % 7) * 10L + (t % 13))
+        (s"t$t", (xs.size.toLong, xs.sum,
+          xs.map(x => x * x).sum))
+      }.toMap
+      val weQ = streaming.WeRulesMonitor.monitor(weIn.toDS(), weBaseline)
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val daysPerBatch = 4
+        val nWeBatches = 4
+        def weBatch(b: Int): Seq[streaming.WeRulesMonitor.Day] =
+          (0 until types).flatMap { t =>
+            (0 until daysPerBatch).map { j =>
+              val d = (b * daysPerBatch + j).toLong
+              val n = 50L + (d % 7) * 10L + (t % 13).toLong +
+                (if (d % 11 == 10) 40L else 0L) // occasional spike
+              streaming.WeRulesMonitor.Day(s"t$t", d, n)
+            }
+          }
+        weIn.addData(weBatch(0)) // warm batch (fills the ring)
+        weQ.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nWeBatches).foreach { b =>
+          weIn.addData(weBatch(b))
+          weQ.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = types.toLong * daysPerBatch * nWeBatches
+        val line12 =
+          s"""{"metric":"we_rules_monitor_days_per_sec","value":${(n / dt).toLong},""" +
+            s""""day_rows":$n,"types":$types,"seconds":$dt,"batches":$nWeBatches,"scale":$scale,"sf":"$sfDir"}"""
+        println(line12)
+        val out12 = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(out12.toPath, line12 + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } finally weQ.stop()
+    }
     spark.stop()
   }
 }

@@ -739,6 +739,71 @@ object Audit {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Theil–Sen robust trend of a type's daily count series, with
+    * the OLS slope beside it — the estimator that answers "is the
+    * feed actually growing, or did three spike days drag the
+    * regression": the Sen slope is the MEDIAN of all pairwise
+    * day-to-day slopes, with breakdown point ~29 % (a third of the
+    * days can be garbage before it moves), while OLS bends to a
+    * single outlier; `delta_milli` between them is the outlier-
+    * contamination read. Slopes in exact milli with Spark-`div`
+    * truncation; the median of an even pair count is the
+    * truncated-toward-zero half of the two middle values' sum —
+    * both replayed sign-split in the SQL twin (the cuped
+    * convention; DuckDB `//` floors negatives).
+    *
+    * Shape at scale: one scan to daily counts; the pair build is
+    * (calendar days)² per type — bounded at any corpus size (the
+    * [[kaplanMeier]] bounded-domain discipline) — and the median
+    * folds a sorted in-memory array of that bounded pair list.
+    */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("d"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        expr("(b.x - a.x) * 1000 div (b.d - a.d)").as("slope_milli"))
+    val sen = pairs
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("slope_milli"))).as("arr"))
+      .select(col("event_type"),
+        size(col("arr")).cast("long").as("n_pairs"),
+        expr("""CASE WHEN size(arr) % 2 = 1
+          |  THEN element_at(arr,
+          |    CAST((size(arr) + 1) div 2 AS INT))
+          |  ELSE (element_at(arr, CAST(size(arr) div 2 AS INT))
+          |    + element_at(arr,
+          |        CAST(size(arr) div 2 + 1 AS INT))) div 2
+          |END""".stripMargin).as("sen_slope_milli"))
+    val ols = daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("d")).as("sd"), sum(col("x")).as("sx"),
+        sum(col("d").cast("decimal(19,0)") * col("x"))
+          .cast("decimal(38,0)").as("sdx"),
+        sum(col("d").cast("decimal(19,0)") * col("d"))
+          .cast("decimal(38,0)").as("sdd"))
+      .select(col("event_type"), col("n_days"),
+        // DECIMAL(38,0)-bridged cross products: day-number x count
+        // sums overflow BIGINT near 10^10-row days
+        expr("""CAST((CAST(n_days AS DECIMAL(38,0)) * sdx
+          |   - CAST(sd AS DECIMAL(38,0)) * sx) * 1000
+          | div (CAST(n_days AS DECIMAL(38,0)) * sdd
+          |   - CAST(sd AS DECIMAL(38,0)) * sd) AS BIGINT)"""
+          .stripMargin).as("ols_slope_milli"))
+    sen.join(ols, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("sen_slope_milli"), col("ols_slope_milli"),
+        (col("ols_slope_milli") - col("sen_slope_milli"))
+          .as("delta_milli"))
+      .orderBy(col("event_type"))
+  }
+
   /** One-pass column profile — the "what is actually in this table"
     * report run before writing assertions ([[assertionReport]]
     * checks EXPECTATIONS; this DISCOVERS them): per listed column,

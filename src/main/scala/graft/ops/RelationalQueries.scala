@@ -190,6 +190,10 @@ object RelationalQueries {
     // integer cross-multiplied sigma comparisons (no sqrt)
     "q_events_we_rules" -> ((s, d) =>
       Audit.westernElectricRules(Tables.events(s, d))),
+    // Theil-Sen robust daily trend vs OLS: median pairwise slope in
+    // exact milli over the bounded day domain
+    "q_events_theil_sen" -> ((s, d) =>
+      Audit.theilSenTrend(Tables.events(s, d))),
     // one-pass column profile of orders (nulls/distinct/min/max per
     // column, engine-stable string rendering)
     "q_profile_orders" -> ((s, d) =>
@@ -2267,6 +2271,71 @@ object RelationalQueries {
         |SELECT event_type, t, n_risk, dd AS d_churned,
         |  cc AS c_censored, CAST(s AS BIGINT) AS s_q20
         |FROM rec ORDER BY event_type, t""".stripMargin,
+    // pairwise-slope median, sign-split // (Spark div truncates);
+    // OLS cross products HUGEINT-bridged
+    "q_events_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN (b.x - a.x) < 0
+        |      THEN -(((a.x - b.x) * 1000) // (b.d - a.d))
+        |      ELSE ((b.x - a.x) * 1000) // (b.d - a.d) END
+        |      AS slope_milli
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (
+        |  SELECT event_type, slope_milli,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY slope_milli) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np
+        |  FROM p),
+        |mid AS (
+        |  SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+        |    MAX(CASE WHEN rn * 2 = np + 1 THEN slope_milli END)
+        |      AS modd,
+        |    MAX(CASE WHEN rn * 2 = np THEN slope_milli END) AS mlo,
+        |    MAX(CASE WHEN rn * 2 = np + 2 THEN slope_milli END)
+        |      AS mhi
+        |  FROM r GROUP BY 1),
+        |sen AS (
+        |  SELECT event_type, n_pairs,
+        |    CAST(CASE WHEN n_pairs % 2 = 1 THEN modd
+        |      ELSE (CASE WHEN mlo + mhi < 0
+        |        THEN -((-(mlo + mhi)) // 2)
+        |        ELSE (mlo + mhi) // 2 END)
+        |      END AS BIGINT) AS sen_slope_milli
+        |  FROM mid),
+        |ols AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(d) AS BIGINT) AS sd,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(d AS HUGEINT) * x) AS HUGEINT) AS sdx,
+        |    CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd
+        |  FROM daily GROUP BY 1),
+        |olss AS (
+        |  SELECT event_type, n_days,
+        |    CAST(CASE WHEN (CAST(n_days AS HUGEINT) * sdx
+        |          - CAST(sd AS HUGEINT) * sx) < 0
+        |      THEN -(((CAST(sd AS HUGEINT) * sx
+        |          - CAST(n_days AS HUGEINT) * sdx) * 1000)
+        |        // (CAST(n_days AS HUGEINT) * sdd
+        |          - CAST(sd AS HUGEINT) * sd))
+        |      ELSE ((CAST(n_days AS HUGEINT) * sdx
+        |          - CAST(sd AS HUGEINT) * sx) * 1000)
+        |        // (CAST(n_days AS HUGEINT) * sdd
+        |          - CAST(sd AS HUGEINT) * sd)
+        |      END AS BIGINT) AS ols_slope_milli
+        |  FROM ols)
+        |SELECT s.event_type, o.n_days, s.n_pairs,
+        |  s.sen_slope_milli, o.ols_slope_milli,
+        |  o.ols_slope_milli - s.sen_slope_milli AS delta_milli
+        |FROM sen s JOIN olss o USING (event_type)
+        |ORDER BY s.event_type""".stripMargin,
     // sigma rules via integer cross-multiplication: dev^2 vs
     // k^2*(n*SS - S^2), HUGEINT-bridged squares
     "q_events_we_rules" ->

@@ -989,6 +989,43 @@ class AuditSpec extends SparkSpec {
       assert(out(("b", day0 + i)) == ((3L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("theilSenTrend: median pairwise slope shrugs off an outlier " +
+      "day that bends OLS; even pair counts floor-average the mids") {
+    import spark.implicits._
+    def d(day: Int) = f"2024-01-${day + 1}%02d"
+    // 'a': clean +2/day trend [1,3,5,7,9] with one spike day 50:
+    // all clean pairs slope 2000; spike pairs finite but the median
+    // stays 2000 while OLS bends upward
+    val a = Seq(1, 3, 5, 7, 9, 50)
+    // 'b': two days only -> 1 pair, slope (4-1)*1000 div 2 = 1500
+    val rows = a.zipWithIndex.flatMap { case (x, i) =>
+      Seq.fill(x)(("a", d(i)))
+    } ++ Seq.fill(1)(("b", d(0))) ++ Seq.fill(4)(("b", d(2)))
+    val out = Audit.theilSenTrend(rows.toDF("event_type", "ts"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("sen_slope_milli"),
+          r.getAs[Long]("ols_slope_milli"),
+          r.getAs[Long]("delta_milli")))).toMap
+    // replica: slopes of all 15 pairs of 'a'
+    val days = a.indices.map(_.toLong)
+    val slopes = (for (i <- a.indices; j <- a.indices if i < j)
+      yield (a(j) - a(i)).toLong * 1000 / (days(j) - days(i)))
+      .sorted
+    assert(slopes.size === 15)
+    val senA = slopes(7) // odd count: 8th of 15
+    val (na, sda, sxa, sdxa, sdda) =
+      (6L, days.sum, a.map(_.toLong).sum,
+        days.zip(a).map { case (dd, x) => dd * x }.sum,
+        days.map(dd => dd * dd).sum)
+    val olsA = (na * sdxa - sda * sxa) * 1000 / (na * sdda - sda * sda)
+    assert(out("a") == ((6L, 15L, senA, olsA, olsA - senA)))
+    assert(senA === 2000L)     // the robust read: the clean trend
+    assert(olsA > 4000L)       // OLS dragged by the spike
+    assert(out("b") == ((2L, 1L, 1500L, 1500L, 0L)))
+  }
+
   test("brierDecomposition: hand-computed micro components; the " +
       "rel-res+unc residual reads the within-bin forecast variance") {
     import spark.implicits._

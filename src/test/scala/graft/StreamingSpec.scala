@@ -1096,6 +1096,67 @@ class StreamingSpec extends SparkSpec {
       94L, 940000L))
   }
 
+  test("WeRulesMonitor: phase-II flags against a frozen baseline " +
+      "equal the batch op's global-stats flags bit-for-bit; " +
+      "baseline-less types and cross-batch regressions drop") {
+    import graft.streaming.WeRulesMonitor
+    import graft.streaming.WeRulesMonitor.{Day, WeOut}
+    import graft.ops.Audit
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val series = Map(
+      "a" -> Seq(5L, 1L, 2L, 1L, 1L, 9L, 1L, 2L, 1L, 14L),
+      "c" -> Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 100L, 100L))
+    // the batch twin runs on row-grain events of the same series
+    def d(day: Int) = f"2024-01-${day + 1}%02d"
+    val rows = series.toSeq.flatMap { case (t, xs) =>
+      xs.zipWithIndex.flatMap { case (x, i) =>
+        Seq.fill(x.toInt)((t, d(i))) }
+    }
+    val batch = Audit.westernElectricRules(
+      rows.toDF("event_type", "ts")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"))
+        -> ((r.getAs[Long]("x"), r.getAs[Long]("side"),
+          r.getAs[Long]("r1"), r.getAs[Long]("r2"),
+          r.getAs[Long]("r3"), r.getAs[Long]("r4")))).toMap
+    // freeze each type's own global stats as the monitor baseline —
+    // the differential contract: identical inputs, identical flags
+    val baseline = series.map { case (t, xs) =>
+      t -> ((xs.size.toLong, xs.sum,
+        xs.map(x => x * x).sum))
+    }
+    val day0 = batch.keys.map(_._2).min
+    val in = MemoryStream[Day]
+    val q = WeRulesMonitor.monitor(in.toDS(), baseline)
+      .writeStream.format("memory").queryName("we_out")
+      .outputMode("append").start()
+    try {
+      // split mid-run-window so the ring state crosses the batch
+      // boundary; 'z' has no baseline and must vanish; day 2 of 'a'
+      // re-sent in batch 2 (cross-batch regression) must drop
+      in.addData(series("a").take(6).zipWithIndex.map {
+        case (x, i) => Day("a", day0 + i, x) } ++
+        series("c").take(3).zipWithIndex.map {
+          case (x, i) => Day("c", day0 + i, x) } ++
+        Seq(Day("z", day0, 5L)))
+      q.processAllAvailable()
+      in.addData(series("a").drop(6).zipWithIndex.map {
+        case (x, i) => Day("a", day0 + i + 6, x) } ++
+        series("c").drop(3).zipWithIndex.map {
+          case (x, i) => Day("c", day0 + i + 3, x) } ++
+        Seq(Day("a", day0 + 2, 2L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("we_out").as[WeOut].collect()
+    assert(!got.exists(_.event_type == "z"))
+    // exactly one row per (type, day) — the regression dropped
+    assert(got.length === 20)
+    for (o <- got)
+      assert(batch((o.event_type, o.day)) ==
+        ((o.x, o.side, o.r1, o.r2, o.r3, o.r4)),
+        s"${o.event_type} day ${o.day}")
+  }
+
   /** True-Kafka wiring smoke, self-arming (r15 verdict #4): the
     * sandbox ships no kafka connector (287 jars probed, none), so
     * this spec CANCELS via assume() today — the day the environment
