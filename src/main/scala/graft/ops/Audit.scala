@@ -739,6 +739,102 @@ object Audit {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Weekly growth accounting — the decomposition every growth team
+    * reads before trusting a topline active-user number: this week's
+    * actives split into NEW (first week ever), RETAINED (also active
+    * last week) and RESURRECTED (active before, but not last week),
+    * with CHURNED = last week's actives who went silent; quick
+    * ratio `(new + resurrected) / churned` in milli is the one-number
+    * health read (guarded NULL when nothing churned). A topline that
+    * grows while the quick ratio sinks is churn masked by
+    * acquisition — invisible in the aggregate.
+    *
+    * Shape at scale: one scan to the distinct (type, user, week)
+    * activity set; everything after is self-joins of that set on
+    * (type, user, week−1) plus a first-week aggregate — all
+    * activity-set-sized, map-side combinable, output
+    * (type × weeks)-sized.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val a = events
+      .select(col("event_type"), col("user_id"),
+        call_function("div",
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long"),
+          lit(7L)).as("w"))
+      .distinct()
+    val first = a.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("w")).as("first_w"))
+    val prev = a.select(col("event_type"), col("user_id"),
+      (col("w") + 1).as("w"))
+    val cur = a
+      .join(first, Seq("event_type", "user_id"))
+      .join(prev.withColumn("was_prev", lit(1L)),
+        Seq("event_type", "user_id", "w"), "left")
+      .select(col("event_type"), col("w"),
+        when(col("first_w") === col("w"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected").as("kind"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("kind") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churned = prev.join(a, Seq("event_type", "user_id", "w"),
+        "left_anti")
+      .groupBy(col("event_type"), col("w"))
+      .agg(count(lit(1)).as("n_churned"))
+    // churn weeks past the corpus horizon are bookkeeping artifacts
+    val maxW = a.agg(max(col("w")).as("max_w"))
+    cur.join(churned, Seq("event_type", "w"), "full_outer")
+      .crossJoin(broadcast(maxW))
+      .filter(col("w") <= col("max_w"))
+      .select(col("event_type"), col("w"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio_milli",
+        when(col("n_churned") > 0,
+          expr("(n_new + n_resurrected) * 1000 div n_churned")))
+      .orderBy(col("event_type"), col("w"))
+  }
+
+  /** DAU/MAU stickiness — how much of the monthly audience shows up
+    * on a given day: per (type, day), distinct daily actives over
+    * distinct trailing-28-day actives, exact milli. The
+    * distinct-over-window is computed by EXPANSION — each activity
+    * row explodes to the ≤ 28 trailing window days it serves, then
+    * one distinct + count — an EQUI-aggregate of 28·|activity| rows
+    * (a type-keyed range join would nested-loop days × user-days
+    * inside each type partition); exact and linear ×window in the
+    * activity set, the right form up to ~10⁹ user-days; past that
+    * swap the per-day exact sets for mergeable HLL sketches (the
+    * documented approx_count_distinct route) and keep the frame.
+    */
+  def stickiness(events: DataFrame, windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val a = events
+      .select(col("event_type"), col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("d"))
+      .distinct()
+    val dau = a.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("dau"))
+    val mau = a
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("d"),
+          col("d") + lit(windowDays - 1))).as("d"))
+      .distinct()
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("event_type", "d"))
+      .withColumn("dau_mau_milli", expr("dau * 1000 div mau"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
   /** Theil–Sen robust trend of a type's daily count series, with
     * the OLS slope beside it — the estimator that answers "is the
     * feed actually growing, or did three spike days drag the

@@ -1937,4 +1937,57 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
+
+  /** Laspeyres / Paasche price indices per ship year vs the corpus's
+    * first year — the is-revenue-growth-price-or-volume decomposition:
+    * Laspeyres reprices the BASE year's basket at year-y prices
+    * (Σp_y·q_0 / Σp_0·q_0), Paasche prices THIS year's basket both
+    * ways (Σp_y·q_y / Σp_0·q_y); Laspeyres ≫ Paasche means the mix
+    * shifted toward the items that got expensive. Per-(part, year)
+    * unit price = cents of revenue div quantity — an exact floored
+    * integer both engines share (the waterfall cents convention);
+    * only parts present in BOTH years enter a pair (standard
+    * matched-basket practice, `n_parts_common` reports the overlap).
+    * All basket sums DECIMAL(38,0); indices in exact ppm.
+    *
+    * Shape at scale: one lineitem scan to the (part × year) grid —
+    * everything after is grid-sized: a self-join on part against the
+    * base-year slice and two aggregations per year.
+    */
+  def priceIndex(lineitem: DataFrame): DataFrame = {
+    val py = lineitem
+      .select(col("l_partkey"),
+        year(col("l_shipdate")).cast("int").as("y"),
+        // the waterfall cents convention: <=2 fractional digits, so
+        // DECIMAL(18,4)-bridged x100 is exact
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+              | AS DECIMAL(38,0))""".stripMargin).as("cents"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("y"))
+      .agg(sum(col("cents")).cast("decimal(38,0)").as("rev_cents"),
+        sum(col("q")).as("qty"))
+      .withColumn("p_cents",
+        expr("CAST(rev_cents div qty AS BIGINT)"))
+    val y0 = py.agg(min(col("y")).as("y0"))
+    val base = py.crossJoin(broadcast(y0))
+      .filter(col("y") === col("y0"))
+      .select(col("l_partkey"), col("p_cents").as("p0"),
+        col("qty").as("q0"))
+    py.join(base, "l_partkey")
+      .groupBy(col("y"))
+      .agg(
+        count(lit(1)).as("n_parts_common"),
+        sum(col("p_cents").cast("decimal(38,0)") * col("q0"))
+          .as("l_num"),
+        sum(col("p0").cast("decimal(38,0)") * col("q0")).as("l_den"),
+        sum(col("p_cents").cast("decimal(38,0)") * col("qty"))
+          .as("p_num"),
+        sum(col("p0").cast("decimal(38,0)") * col("qty")).as("p_den"))
+      .select(col("y"), col("n_parts_common"),
+        expr("CAST(l_num * 1000000 div l_den AS BIGINT)")
+          .as("laspeyres_ppm"),
+        expr("CAST(p_num * 1000000 div p_den AS BIGINT)")
+          .as("paasche_ppm"))
+      .orderBy(col("y"))
+  }
 }

@@ -194,6 +194,18 @@ object RelationalQueries {
     // exact milli over the bounded day domain
     "q_events_theil_sen" -> ((s, d) =>
       Audit.theilSenTrend(Tables.events(s, d))),
+    // weekly growth accounting: actives split new/retained/
+    // resurrected, churned from the vanished prev-week set, quick
+    // ratio milli
+    "q_events_growth_accounting" -> ((s, d) =>
+      Audit.growthAccounting(Tables.events(s, d))),
+    // DAU/MAU stickiness via the explode-to-equi-join expansion
+    "q_events_stickiness" -> ((s, d) =>
+      Audit.stickiness(Tables.events(s, d))),
+    // Laspeyres/Paasche matched-basket price indices per ship year
+    // vs the first year, exact cents/ppm
+    "q_li_price_index" -> ((s, d) =>
+      Relational.priceIndex(Tables.lineitem(s, d))),
     // one-pass column profile of orders (nulls/distinct/min/max per
     // column, engine-stable string rendering)
     "q_profile_orders" -> ((s, d) =>
@@ -2271,6 +2283,106 @@ object RelationalQueries {
         |SELECT event_type, t, n_risk, dd AS d_churned,
         |  cc AS c_censored, CAST(s AS BIGINT) AS s_q20
         |FROM rec ORDER BY event_type, t""".stripMargin,
+    // activity-set self-joins on (type, user, week-1); churn weeks
+    // past the horizon filtered like the Spark side
+    "q_events_growth_accounting" ->
+      """WITH a AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      // 7 AS w
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, user_id, MIN(w) AS first_w
+        |  FROM a GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT a.event_type, a.w,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN f.first_w = a.w THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN p.user_id IS NOT NULL
+        |        AND f.first_w <> a.w THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_retained,
+        |    CAST(SUM(CASE WHEN p.user_id IS NULL
+        |        AND f.first_w <> a.w THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_resurrected
+        |  FROM a
+        |  JOIN f ON a.event_type = f.event_type
+        |    AND a.user_id = f.user_id
+        |  LEFT JOIN a p ON p.event_type = a.event_type
+        |    AND p.user_id = a.user_id AND p.w = a.w - 1
+        |  GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT p.event_type, p.w + 1 AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM a p LEFT JOIN a n ON n.event_type = p.event_type
+        |    AND n.user_id = p.user_id AND n.w = p.w + 1
+        |  WHERE n.user_id IS NULL
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT MAX(w) AS max_w FROM a)
+        |SELECT COALESCE(c.event_type, ch.event_type) AS event_type,
+        |  COALESCE(c.w, ch.w) AS w,
+        |  COALESCE(c.n_active, 0) AS n_active,
+        |  COALESCE(c.n_new, 0) AS n_new,
+        |  COALESCE(c.n_retained, 0) AS n_retained,
+        |  COALESCE(c.n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(ch.n_churned, 0) AS n_churned,
+        |  CASE WHEN COALESCE(ch.n_churned, 0) > 0
+        |    THEN (COALESCE(c.n_new, 0) + COALESCE(c.n_resurrected, 0))
+        |      * 1000 // ch.n_churned END AS quick_ratio_milli
+        |FROM cur c FULL OUTER JOIN ch
+        |  ON c.event_type = ch.event_type AND c.w = ch.w
+        |CROSS JOIN mx
+        |WHERE COALESCE(c.w, ch.w) <= mx.max_w
+        |ORDER BY 1, 2""".stripMargin,
+    // explode-to-equi-join expansion twin via generate_series
+    "q_events_stickiness" ->
+      """WITH a AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS d
+        |  FROM events),
+        |dau AS (
+        |  SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS dau
+        |  FROM a GROUP BY 1, 2),
+        |exp AS (
+        |  SELECT DISTINCT a.event_type, a.user_id,
+        |    a.d + CAST(g.x AS BIGINT) AS d
+        |  FROM a CROSS JOIN range(0, 28) g(x)),
+        |mau AS (
+        |  SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS mau
+        |  FROM exp GROUP BY 1, 2)
+        |SELECT dau.event_type, dau.d, dau.dau, mau.mau,
+        |  dau.dau * 1000 // mau.mau AS dau_mau_milli
+        |FROM dau JOIN mau ON dau.event_type = mau.event_type
+        |  AND dau.d = mau.d
+        |ORDER BY 1, 2""".stripMargin,
+    // matched-basket indices: per-(part,year) floored cents price,
+    // basket sums HUGEINT, indices exact ppm
+    "q_li_price_index" ->
+      """WITH py AS (
+        |  SELECT l_partkey,
+        |    CAST(year(l_shipdate) AS INT) AS y,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * 100 AS DECIMAL(38,0))) AS HUGEINT) AS rev_cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (
+        |  SELECT l_partkey, y,
+        |    CAST(rev_cents // qty AS BIGINT) AS p_cents, qty
+        |  FROM py),
+        |y0 AS (SELECT MIN(y) AS y0 FROM p),
+        |base AS (
+        |  SELECT l_partkey, p_cents AS p0, qty AS q0
+        |  FROM p CROSS JOIN y0 WHERE y = y0)
+        |SELECT p.y, CAST(COUNT(*) AS BIGINT) AS n_parts_common,
+        |  CAST(SUM(CAST(p.p_cents AS HUGEINT) * b.q0) * 1000000
+        |    // SUM(CAST(b.p0 AS HUGEINT) * b.q0) AS BIGINT)
+        |    AS laspeyres_ppm,
+        |  CAST(SUM(CAST(p.p_cents AS HUGEINT) * p.qty) * 1000000
+        |    // SUM(CAST(b.p0 AS HUGEINT) * p.qty) AS BIGINT)
+        |    AS paasche_ppm
+        |FROM p JOIN base b ON p.l_partkey = b.l_partkey
+        |GROUP BY p.y ORDER BY p.y""".stripMargin,
     // pairwise-slope median, sign-split // (Spark div truncates);
     // OLS cross products HUGEINT-bridged
     "q_events_theil_sen" ->

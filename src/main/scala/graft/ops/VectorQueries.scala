@@ -136,6 +136,10 @@ object VectorQueries {
 
   val sharedCacheBuilders: Seq[(String, Q)] = Seq(
     "cache:vec:semantic_pairs" -> ((s, d) => semPairs(s, d)),
+    // the converged label-prop assignment (r16): timed as its own
+    // line so neither consumer's headline absorbs the iteration
+    "cache:vec:semdedup_converged" ->
+      ((s, d) => semDedupConverged(s, d)),
     "cache:vec:ivfpq_index" -> ((s, d) => ivfPqIndexDf(s, d)),
     "cache:vec:knn_graph" -> ((s, d) => knnGraphDf(s, d))
   )

@@ -989,6 +989,53 @@ class AuditSpec extends SparkSpec {
       assert(out(("b", day0 + i)) == ((3L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("growthAccounting: actives split new/retained/resurrected, " +
+      "churn reads the vanished prev-week set, horizon weeks drop") {
+    import spark.implicits._
+    // w0: u1,u2,u3 all new | w1: u1 retained, u2+u3 churn
+    // w2: u4 new, u1 retained, u3 resurrected | w3: u1 only,
+    // u3+u4 churn; u1's post-horizon churn week is filtered
+    def d(w: Int) = f"2024-01-${w * 7 + 1}%02d"
+    val rows = Seq(
+      ("a", 1L, d(0)), ("a", 1L, d(1)), ("a", 1L, d(2)),
+      ("a", 1L, d(3)),
+      ("a", 2L, d(0)),
+      ("a", 3L, d(0)), ("a", 3L, d(2)),
+      ("a", 4L, d(2)))
+    val out = Audit.growthAccounting(
+      rows.toDF("event_type", "user_id", "ts")).collect()
+    assert(out.length === 4)
+    val m = out.map(r => r.getAs[Long]("w") ->
+      ((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+        r.getAs[Long]("n_churned"),
+        Option(r.getAs[Any]("quick_ratio_milli"))))).toMap
+    val w0 = m.keySet.min
+    assert(m(w0) == ((3L, 3L, 0L, 0L, 0L, None)))
+    assert(m(w0 + 1) == ((1L, 0L, 1L, 0L, 2L, Some(0L))))
+    assert(m(w0 + 2) == ((3L, 1L, 1L, 1L, 0L, None)))
+    assert(m(w0 + 3) == ((1L, 0L, 1L, 0L, 2L, Some(0L))))
+  }
+
+  test("stickiness: trailing-window distinct actives via the " +
+      "expansion; ratio exact milli") {
+    import spark.implicits._
+    def d(day: Int) = f"2024-01-${day + 1}%02d"
+    val rows = Seq(("a", 1L, d(0)), ("a", 1L, d(2)),
+      ("a", 2L, d(2)), ("a", 3L, d(0)))
+    val out = Audit.stickiness(
+      rows.toDF("event_type", "user_id", "ts"), windowDays = 3)
+      .collect()
+      .map(r => r.getAs[Long]("d") ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("mau"),
+          r.getAs[Long]("dau_mau_milli")))).toMap
+    val d0 = out.keySet.min
+    // d0: dau {u1,u3}, window actives {u1,u3} -> 1000
+    // d2: dau {u1,u2}, window actives {u1,u2,u3} -> 666
+    assert(out(d0) == ((2L, 2L, 1000L)))
+    assert(out(d0 + 2) == ((2L, 3L, 666L)))
+  }
+
   test("theilSenTrend: median pairwise slope shrugs off an outlier " +
       "day that bends OLS; even pair counts floor-average the mids") {
     import spark.implicits._

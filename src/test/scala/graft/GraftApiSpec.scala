@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 374,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 374")
-    assert(SparkEntry.oracleSql.size == 362,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 362")
+    assert(SparkEntry.queries.size == 377,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 377")
+    assert(SparkEntry.oracleSql.size == 365,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 365")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

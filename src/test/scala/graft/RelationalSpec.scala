@@ -488,4 +488,30 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(riPlan.contains("EqualTo(l_returnflag,R)"))
   }
+
+  test("priceIndex: Laspeyres reprices the base basket, Paasche " +
+      "this year's; base year reads identity; multi-line years " +
+      "aggregate before pricing") {
+    import spark.implicits._
+    // part1: 2020 p=100c q10; 2021 p=200c q5
+    // part2: 2020 p=500c q4; 2021 p=550c q8 ACROSS TWO LINES
+    val li = Seq(
+      (1L, 10.0, 10.00, "2020-03-01"),
+      (1L, 5.0, 10.00, "2021-03-01"),
+      (2L, 4.0, 20.00, "2020-06-01"),
+      (2L, 3.0, 16.50, "2021-06-01"),
+      (2L, 5.0, 27.50, "2021-07-01"))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+    val out = Relational.priceIndex(li).collect()
+      .map(r => r.getAs[Int]("y") ->
+        ((r.getAs[Long]("n_parts_common"),
+          r.getAs[Long]("laspeyres_ppm"),
+          r.getAs[Long]("paasche_ppm")))).toMap
+    assert(out(2020) == ((2L, 1000000L, 1000000L)))
+    // L = (200*10+550*4)/(100*10+500*4) = 4200/3000
+    // P = (200*5+550*8)/(100*5+500*8) = 5400/4500
+    assert(out(2021) == ((2L, 1400000L, 1200000L)))
+  }
 }

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Merge ScaleBench batch outputs into the round artifact.
+
+Usage: merge_scalebench.py SCALEBENCH_rN.json batch1.json [batch2.json ...]
+
+Each batch file is one ScaleBench JSON line ({metric, sf, scales,
+queries:{name:{k1, k1_med, ..., samples, alpha}}}). Merging keeps the
+per-cell MIN across batches (k-cells and their medians follow the min
+batch), sums samples, and recomputes alpha from the merged min cells
+over the widest k-range both sides share. The round artifact is
+created if absent. Never run a ScaleBench main pointed AT the round
+artifact (the r15b SCALEBENCH_r12 clobber) — always merge explicitly.
+"""
+import json
+import math
+import sys
+
+
+def merge(dst, src):
+    for name, cell in src["queries"].items():
+        if name not in dst["queries"]:
+            dst["queries"][name] = cell
+            continue
+        d = dst["queries"][name]
+        ks = sorted(
+            {k for k in d if k.startswith("k") and "_" not in k} &
+            {k for k in cell if k.startswith("k") and "_" not in k},
+            key=lambda s: int(s[1:]))
+        for k in cell:
+            if k.startswith("k") and "_" not in k and k in d:
+                if cell[k] < d[k]:
+                    d[k] = cell[k]
+                    if f"{k}_med" in cell:
+                        d[f"{k}_med"] = cell[f"{k}_med"]
+            elif k.startswith("k") and k not in d:
+                d[k] = cell[k]
+        d["samples"] = d.get("samples", 0) + cell.get("samples", 0)
+        if len(ks) >= 2:
+            lo, hi = ks[0], ks[-1]
+            d["alpha"] = round(
+                math.log(d[hi] / d[lo]) /
+                math.log(int(hi[1:]) / int(lo[1:])), 3)
+
+
+def main():
+    out_path, batches = sys.argv[1], sys.argv[2:]
+    try:
+        dst = json.load(open(out_path))
+    except (OSError, json.JSONDecodeError):
+        dst = None
+    for b in batches:
+        with open(b) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                src = json.loads(line)
+                if dst is None:
+                    dst = src
+                else:
+                    merge(dst, src)
+    json.dump(dst, open(out_path, "w"), indent=None)
+    print(f"{out_path}: {len(dst['queries'])} entries")
+
+
+if __name__ == "__main__":
+    main()
