@@ -596,6 +596,15 @@ object Graft {
         rescoreK: Int = 50
     ): DataFrame =
       ops.Vector.matryoshkaTopK(embs, queryId, k, dims, rescoreK)
+    /** Truncation recall curve vs the full-dim baseline per
+      * candidate prefix dim — the calibration behind matryoshkaTopK.
+      */
+    def matryoshkaRecallCurve(
+        dims: Seq[Int] = Seq(8, 16, 32),
+        k: Int = 10,
+        sampleMod: Long = 50L
+    ): DataFrame =
+      ops.Vector.matryoshkaRecallCurve(embs, dims, k, sampleMod)
     /** PageRank centrality over the within-list kNN graph in exact
       * q20 integer arithmetic (frame must carry `list_id`). */
     def knnPagerankAssigned(k: Int = 3, iters: Int = 3): DataFrame =

@@ -93,6 +93,7 @@ object SparkEntry {
     "q_vec_ranking_metrics", "q_vec_rrf_fusion",
     "q_vec_semantic_contamination", "q_vec_semantic_dedup",
     "q_vec_semantic_pairs", "q_vec_sq8_distortion",
+    "q_vec_matryoshka_recall",
     "q_vec_triangle_coeff", "q_waiting_suppliers",
     "q_window_distribution_funcs", "q_zset_range",
     // the four r10/r11 hash-mismatch rows (tail-adjacent; the

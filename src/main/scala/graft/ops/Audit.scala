@@ -739,6 +739,58 @@ object Audit {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Split-conformal interval calibration for the seasonal-naive
+    * forecaster — does "the next value lands within q of last
+    * week's" actually hold 90 % of the time: per type, absolute
+    * one-week-ahead residuals split by day parity into a CALIBRATION
+    * half (even epoch days) and a TEST half (odd); the conformal
+    * quantile is the ⌈(n_cal+1)·0.9⌉-th smallest calibration
+    * residual (the finite-sample-valid rank, clamped to n_cal), and
+    * `coverage_ppm` measures how often test residuals fall within
+    * it — materially below 900 000 means the error distribution
+    * shifts between halves and the interval is not exchangeable-
+    * valid. All ranks and counts exact integers; no distributional
+    * assumption anywhere.
+    *
+    * Shape at scale: daily counts → a d−7 self-join on the
+    * calendar-bounded day table; rank window over per-type
+    * calibration residuals (day-domain-bounded); one row per type.
+    */
+  def conformalCoverage(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("d"))
+      .agg(count(lit(1)).as("x"))
+    val resid = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") === col("b.d") + 7)
+      .select(col("a.event_type").as("event_type"),
+        col("a.d").as("d"),
+        abs(col("a.x") - col("b.x")).as("r"),
+        (col("a.d") % 2 === 0).as("is_cal"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("r"), col("d"))
+    val cal = resid.filter(col("is_cal"))
+      .withColumn("rk", row_number().over(wRank))
+    val nCal = cal.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cal"))
+    val q90 = cal.join(nCal, "event_type")
+      .filter(col("rk") ===
+        least(col("n_cal"), expr("(9 * (n_cal + 1) + 9) div 10")))
+      .select(col("event_type"), col("n_cal"), col("r").as("q90_err"))
+    resid.filter(!col("is_cal"))
+      .join(q90, "event_type")
+      .groupBy(col("event_type"), col("n_cal"), col("q90_err"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q90_err"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("event_type"), col("n_cal"), col("n_test"),
+        col("q90_err"),
+        expr("n_covered * 1000000 div n_test").as("coverage_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   /** Weekly growth accounting — the decomposition every growth team
     * reads before trusting a topline active-user number: this week's
     * actives split into NEW (first week ever), RETAINED (also active

@@ -1938,6 +1938,73 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
 
+  /** ABC/XYZ inventory classification — the two-axis screen behind
+    * every stocking policy: ABC ranks parts by cumulative revenue
+    * share (A to 80 %, B to 95 %, C the tail — the Pareto cut
+    * operationalized per part), XYZ grades demand STABILITY from the
+    * coefficient of variation of monthly shipped quantity over the
+    * corpus's full month span (zero months count — intermittency IS
+    * variability): X when 4·σ ≤ μ, Y when 2·σ ≤ μ, else Z, tested
+    * as exact integer cross-multiplications (16·(n·SS−S²) ≤ S²
+    * etc. — no sqrt, no doubles). An A/Z part (top revenue, erratic
+    * demand) is the planner's fire alarm.
+    *
+    * Shape at scale: one lineitem scan to the (part × month) grid,
+    * densified against the corpus month span (months are
+    * calendar-bounded); the revenue window runs over the part
+    * domain — dim-sized by definition, never fact-sized.
+    */
+  def abcXyz(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(col("l_partkey"),
+      (year(col("l_shipdate")) * 12 +
+        (month(col("l_shipdate")) - 1)).cast("long").as("m"),
+      expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+            | AS DECIMAL(38,0))""".stripMargin).as("cents"),
+      col("l_quantity").cast("long").as("q"))
+    val span = base.agg(min(col("m")).as("m_min"),
+      max(col("m")).as("m_max"))
+    val pm = base.groupBy(col("l_partkey"), col("m"))
+      .agg(sum(col("q")).as("q"))
+    val months = span.select(explode(sequence(col("m_min"),
+      col("m_max"))).as("m"))
+    val dense = pm.select(col("l_partkey")).distinct()
+      .crossJoin(broadcast(months))
+      .join(pm, Seq("l_partkey", "m"), "left")
+      .withColumn("q", coalesce(col("q"), lit(0L)))
+    val xyz = dense.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_m"), sum(col("q")).as("sq"),
+        sum(col("q").cast("decimal(19,0)") * col("q"))
+          .cast("decimal(38,0)").as("sqq"))
+      .select(col("l_partkey"), col("n_m"), col("sq"),
+        when(expr("16 * (n_m * sqq - CAST(sq AS DECIMAL(38,0)) * sq)")
+          <= expr("CAST(sq AS DECIMAL(38,0)) * sq"), "X")
+          .when(expr("4 * (n_m * sqq - CAST(sq AS DECIMAL(38,0)) * sq)")
+            <= expr("CAST(sq AS DECIMAL(38,0)) * sq"), "Y")
+          .otherwise("Z").as("xyz_class"))
+    val rev = base.groupBy(col("l_partkey"))
+      .agg(sum(col("cents")).cast("decimal(38,0)").as("rev_cents"))
+    val wCum = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val abc = rev
+      .withColumn("cum", sum(col("rev_cents")).over(wCum))
+      .withColumn("tot", sum(col("rev_cents")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("l_partkey"),
+        expr("CAST(rev_cents AS BIGINT)").as("rev_cents"),
+        expr("CAST(cum * 1000000 div tot AS BIGINT)")
+          .as("cum_share_ppm"))
+      .withColumn("abc_class",
+        when(col("cum_share_ppm") <= 800000L, "A")
+          .when(col("cum_share_ppm") <= 950000L, "B")
+          .otherwise("C"))
+    abc.join(xyz, "l_partkey")
+      .select(col("l_partkey"), col("rev_cents"),
+        col("cum_share_ppm"), col("abc_class"), col("n_m"),
+        col("sq").as("total_qty"), col("xyz_class"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** Laspeyres / Paasche price indices per ship year vs the corpus's
     * first year — the is-revenue-growth-price-or-volume decomposition:
     * Laspeyres reprices the BASE year's basket at year-y prices

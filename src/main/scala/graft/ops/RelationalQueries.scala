@@ -206,6 +206,14 @@ object RelationalQueries {
     // vs the first year, exact cents/ppm
     "q_li_price_index" -> ((s, d) =>
       Relational.priceIndex(Tables.lineitem(s, d))),
+    // split-conformal coverage of the seasonal-naive forecaster:
+    // parity-split residuals, exact finite-sample rank, coverage ppm
+    "q_events_conformal" -> ((s, d) =>
+      Audit.conformalCoverage(Tables.events(s, d))),
+    // ABC by cumulative revenue share + XYZ by demand-stability
+    // cross-multiplied CV classes over the densified month grid
+    "q_li_abc_xyz" -> ((s, d) =>
+      Relational.abcXyz(Tables.lineitem(s, d))),
     // one-pass column profile of orders (nulls/distinct/min/max per
     // column, engine-stable string rendering)
     "q_profile_orders" -> ((s, d) =>
@@ -2283,6 +2291,96 @@ object RelationalQueries {
         |SELECT event_type, t, n_risk, dd AS d_churned,
         |  cc AS c_censored, CAST(s AS BIGINT) AS s_q20
         |FROM rec ORDER BY event_type, t""".stripMargin,
+    // parity-split conformal: rank = ceil(0.9*(n_cal+1)) clamped,
+    // identical integer formula both engines
+    "q_events_conformal" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |resid AS (
+        |  SELECT a.event_type, a.d, abs(a.x - b.x) AS r,
+        |    a.d % 2 = 0 AS is_cal
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d = b.d + 7),
+        |cal AS (
+        |  SELECT event_type, d, r,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY r, d) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+        |  FROM resid WHERE is_cal),
+        |q90 AS (
+        |  SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+        |    r AS q90_err
+        |  FROM cal
+        |  WHERE rk = LEAST(n_cal, (9 * (n_cal + 1) + 9) // 10))
+        |SELECT t.event_type, q.n_cal,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test, q.q90_err,
+        |  CAST(SUM(CASE WHEN t.r <= q.q90_err THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+        |FROM resid t JOIN q90 q ON t.event_type = q.event_type
+        |WHERE NOT t.is_cal
+        |GROUP BY t.event_type, q.n_cal, q.q90_err
+        |ORDER BY t.event_type""".stripMargin,
+    // ABC cumulative-share window over the part domain; XYZ via
+    // 16/4-fold integer CV cross-tests on the densified month grid
+    "q_li_abc_xyz" ->
+      """WITH base AS (
+        |  SELECT l_partkey,
+        |    CAST(year(l_shipdate) * 12 + (month(l_shipdate) - 1)
+        |      AS BIGINT) AS m,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+        |      AS DECIMAL(38,0)) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |span AS (SELECT MIN(m) AS m_min, MAX(m) AS m_max FROM base),
+        |pm AS (
+        |  SELECT l_partkey, m, CAST(SUM(q) AS BIGINT) AS q
+        |  FROM base GROUP BY 1, 2),
+        |months AS (
+        |  SELECT CAST(UNNEST(generate_series(m_min, m_max))
+        |    AS BIGINT) AS m
+        |  FROM span),
+        |dense AS (
+        |  SELECT p.l_partkey, mo.m, COALESCE(pm.q, 0) AS q
+        |  FROM (SELECT DISTINCT l_partkey FROM pm) p
+        |  CROSS JOIN months mo
+        |  LEFT JOIN pm ON pm.l_partkey = p.l_partkey
+        |    AND pm.m = mo.m),
+        |xyz AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_m,
+        |    CAST(SUM(q) AS BIGINT) AS sq,
+        |    CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq
+        |  FROM dense GROUP BY 1),
+        |xyzc AS (
+        |  SELECT l_partkey, n_m, sq,
+        |    CASE WHEN 16 * (n_m * sqq - CAST(sq AS HUGEINT) * sq)
+        |        <= CAST(sq AS HUGEINT) * sq THEN 'X'
+        |      WHEN 4 * (n_m * sqq - CAST(sq AS HUGEINT) * sq)
+        |        <= CAST(sq AS HUGEINT) * sq THEN 'Y'
+        |      ELSE 'Z' END AS xyz_class
+        |  FROM xyz),
+        |rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(cents) AS HUGEINT) AS rev_cents
+        |  FROM base GROUP BY 1),
+        |abc AS (
+        |  SELECT l_partkey,
+        |    CAST(rev_cents AS BIGINT) AS rev_cents,
+        |    CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC,
+        |        l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) * 1000000
+        |      // SUM(rev_cents) OVER () AS BIGINT) AS cum_share_ppm
+        |  FROM rev)
+        |SELECT a.l_partkey, a.rev_cents, a.cum_share_ppm,
+        |  CASE WHEN a.cum_share_ppm <= 800000 THEN 'A'
+        |    WHEN a.cum_share_ppm <= 950000 THEN 'B'
+        |    ELSE 'C' END AS abc_class,
+        |  x.n_m, x.sq AS total_qty, x.xyz_class
+        |FROM abc a JOIN xyzc x USING (l_partkey)
+        |ORDER BY a.l_partkey""".stripMargin,
     // activity-set self-joins on (type, user, week-1); churn weeks
     // past the horizon filtered like the Spark side
     "q_events_growth_accounting" ->

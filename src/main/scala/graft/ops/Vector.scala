@@ -363,6 +363,65 @@ object Vector {
         col("e._2").as("vec_id"), col("e._1").as("cos_sim"))
   }
 
+  /** Matryoshka truncation recall curve — the "how small can the
+    * embeddings get" audit for MRL-style models (Kusupati et al.,
+    * "Matryoshka Representation Learning"): for each candidate
+    * prefix dimension, exact-cosine top-k over the TRUNCATED
+    * (renormalized) vectors is scored against the full-dimension
+    * top-k baseline on a deterministic query sample; `recall_ppm`
+    * per dim is the storage/latency-vs-quality frontier read before
+    * committing to a truncated index ([[matryoshkaTopK]] is the
+    * serving-side op this calibrates). Zero extra model state: the
+    * prefix IS the representation.
+    *
+    * Shape at scale: |dims|+1 broadcast-query brute-force passes
+    * (the [[batchTopK]] mergeable top-k shape — corpus × sampled
+    * queries, map-side combined); the query sample is the scale
+    * lever (raise `sampleMod` with the corpus so nq·N work stays
+    * budgeted), and the measured curve transfers to the ANN paths
+    * because truncation error is a property of the embedding, not
+    * the index.
+    */
+  def matryoshkaRecallCurve(
+      embeddings: DataFrame,
+      dims: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 10,
+      sampleMod: Long = 50L
+  ): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      "dims must be positive")
+    require(k >= 1 && sampleMod >= 1, "k and sampleMod positive")
+    val topk = udaf(new graft.functions.TopKPairsAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val q = embeddings.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    def topIds(dim: Option[Int]): DataFrame = {
+      def trunc(c: Column) = dim.map(dd => slice(c, 1, dd)).getOrElse(c)
+      embeddings.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(trunc(col("embedding")), trunc(col("q_emb"))).as("cs"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("cs"), col("vec_id")).as("top"))
+        .select(col("query_id"),
+          explode(col("top")).as("e"))
+        .select(col("query_id"), col("e._2").as("vec_id"))
+    }
+    // persisted via the registry so release("vec") reclaims it
+    val base = graft.Caches.track("vec", topIds(None))
+    val nBase = base.agg(count(lit(1)).as("n_base"))
+    val out = dims.sorted.map { dd =>
+      topIds(Some(dd))
+        .join(base, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(nBase))
+        .select(lit(dd).as("dim"), col("n_base"), col("hits"),
+          expr("hits * 1000000 div n_base").as("recall_ppm"))
+    }.reduce(_.unionByName(_))
+    out
+  }
+
   /** IVF(-flat) approximate nearest neighbor — the other scale path
     * next to sign-LSH: a KMeans coarse quantizer (trained once,
     * deterministic seed) partitions vectors into `nLists` inverted

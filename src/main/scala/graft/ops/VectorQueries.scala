@@ -572,6 +572,11 @@ object VectorQueries {
     "q_vec_matryoshka_topk" -> ((s, d) =>
       Vector.matryoshkaTopK(Tables.embeddings(s, d), 0L, k = 10,
         dims = 16, rescoreK = 50)),
+    // the calibration table behind that serving mode: truncation
+    // recall vs the full-dim baseline per candidate prefix dim
+    "q_vec_matryoshka_recall" -> ((s, d) =>
+      Vector.matryoshkaRecallCurve(Tables.embeddings(s, d))
+        .orderBy(col("dim"))),
     // SQ8 + exact rescore: integer first-pass ranking over the
     // quantized corpus, full-precision cosine on the top-rescoreK
     // survivors only — every stage engine-reproducible, so the whole
@@ -2754,6 +2759,60 @@ object VectorQueries {
         |  COUNT(*) AS n_systems
         |FROM uni GROUP BY id
         |ORDER BY rrf_score_q20 DESC, id LIMIT 20""".stripMargin,
+    // truncated-vs-full recall: one unnested pair table serves the
+    // baseline and every dim (CASE-padded ordered sums — +0.0 terms
+    // past the prefix leave the IEEE fold bitwise identical to
+    // Spark's slice + decDot)
+    "q_vec_matryoshka_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |dims(dim) AS (VALUES (8), (16), (32)),
+        |fdots AS (
+        |  SELECT query_id, vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)
+        |      AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+        |  FROM pairs GROUP BY 1, 2),
+        |base AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY dot / (na * nb) DESC, vec_id) AS rk
+        |    FROM fdots) WHERE rk <= 10),
+        |tdots AS (
+        |  SELECT d.dim, p.query_id, p.vec_id,
+        |    SUM(CASE WHEN p.i <= d.dim
+        |      THEN CAST(p.x AS DOUBLE) * CAST(p.y AS DOUBLE)
+        |      ELSE 0 END ORDER BY p.i) AS dot,
+        |    sqrt(SUM(CASE WHEN p.i <= d.dim
+        |      THEN CAST(p.x AS DOUBLE) * CAST(p.x AS DOUBLE)
+        |      ELSE 0 END)) AS na,
+        |    sqrt(SUM(CASE WHEN p.i <= d.dim
+        |      THEN CAST(p.y AS DOUBLE) * CAST(p.y AS DOUBLE)
+        |      ELSE 0 END)) AS nb
+        |  FROM pairs p CROSS JOIN dims d GROUP BY 1, 2, 3),
+        |tr AS (
+        |  SELECT dim, query_id, vec_id FROM (
+        |    SELECT dim, query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY dim, query_id
+        |        ORDER BY dot / (na * nb) DESC, vec_id) AS rk
+        |    FROM tdots) WHERE rk <= 10),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM base)
+        |SELECT t.dim, nb.n_base,
+        |  CAST(COUNT(b.vec_id) AS BIGINT) AS hits,
+        |  CAST(COUNT(b.vec_id) * 1000000 // nb.n_base AS BIGINT)
+        |    AS recall_ppm
+        |FROM tr t LEFT JOIN base b
+        |  ON t.query_id = b.query_id AND t.vec_id = b.vec_id
+        |CROSS JOIN nb
+        |GROUP BY t.dim, nb.n_base ORDER BY t.dim""".stripMargin,
     // prefix cosine (i <= 16, ordered SUM — bitwise the same fold as
     // Spark's slice + decDot) → top-50 by (approx DESC, vec_id) →
     // exact-cosine rescore → top-10 (the q_vec_quantized_topk tail)

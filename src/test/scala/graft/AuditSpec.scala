@@ -989,6 +989,29 @@ class AuditSpec extends SparkSpec {
       assert(out(("b", day0 + i)) == ((3L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("conformalCoverage: parity-split residuals, finite-sample " +
+      "rank clamps to n_cal, coverage exact ppm") {
+    import spark.implicits._
+    def d(day: Int) = f"2024-01-${day + 1}%02d"
+    // day counts 1..7 then 2,4,3,8,5,9,7: residuals vs d-7 by index
+    // [1,2,0,4,0,3,0] at epoch days 19730..19736 — 2024-01-01 is
+    // epoch 19723 (odd), so EVEN epoch = odd index: cal residuals
+    // [1,0,0,0] (n=4, rank min(4, ceil(0.9*5)=5) CLAMPS to 4 ->
+    // q90 = 1), test [2,4,3] -> none within 1 -> coverage 0 (the
+    // shifted-distribution alarm this op exists to raise)
+    val counts = Seq(1, 2, 3, 4, 5, 6, 7, 2, 4, 3, 8, 5, 9, 7)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(("a", d(i)))
+    }
+    val out = Audit.conformalCoverage(
+      rows.toDF("event_type", "ts")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("n_cal"), r.getAs[Long]("n_test"),
+      r.getAs[Long]("q90_err"), r.getAs[Long]("coverage_ppm")) ==
+      ((4L, 3L, 1L, 0L)))
+  }
+
   test("growthAccounting: actives split new/retained/resurrected, " +
       "churn reads the vanished prev-week set, horizon weeks drop") {
     import spark.implicits._

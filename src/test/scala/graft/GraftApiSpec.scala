@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 377,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 377")
-    assert(SparkEntry.oracleSql.size == 365,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 365")
+    assert(SparkEntry.queries.size == 380,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 380")
+    assert(SparkEntry.oracleSql.size == 368,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 368")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -116,6 +116,7 @@ class GraftApiSpec extends SparkSpec {
       "q_vec_ranking_metrics", "q_vec_rrf_fusion",
       "q_vec_semantic_contamination", "q_vec_semantic_dedup",
       "q_vec_semantic_pairs", "q_vec_sq8_distortion",
+      "q_vec_matryoshka_recall",
       "q_vec_triangle_coeff", "q_waiting_suppliers",
       "q_window_distribution_funcs", "q_zset_range",
       "q_text_dedup_curve", "q_text_stopwords", "q_text_vocab_growth",
@@ -520,6 +521,7 @@ class GraftApiSpec extends SparkSpec {
       "qualityDrift" -> "qualityDriftTo",
       "rrfFuse" -> "rrfFusedWith",
       "matryoshkaTopK" -> "matryoshkaTopK",
+      "matryoshkaRecallCurve" -> "matryoshkaRecallCurve",
       "knnPagerankAssigned" -> "knnPagerankAssigned",
       "knnPagerank" -> "knnPagerank",
       "pcaMomentsQ16" -> "pcaMoments",

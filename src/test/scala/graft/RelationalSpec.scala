@@ -489,6 +489,35 @@ class RelationalSpec extends SparkSpec {
     assert(riPlan.contains("EqualTo(l_returnflag,R)"))
   }
 
+  test("abcXyz: cumulative-share classes cut at 80/95, CV classes " +
+      "from cross-multiplied moments over the densified month grid " +
+      "(zero months count)") {
+    import spark.implicits._
+    val li = Seq(
+      // p1: steady 10/month, dominant revenue -> A/X
+      (1L, 10.0, 100.00, "2020-01-05"),
+      (1L, 10.0, 100.00, "2020-02-05"),
+      (1L, 10.0, 100.00, "2020-03-05"),
+      // p2: 4,8,6 -> CV in (1/4,1/2] -> B/Y
+      (2L, 4.0, 20.00, "2020-01-10"),
+      (2L, 8.0, 40.00, "2020-02-10"),
+      (2L, 6.0, 30.00, "2020-03-10"),
+      // p3: one spike month, two zeros -> C/Z
+      (3L, 3.0, 30.00, "2020-01-15"))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+    val out = Relational.abcXyz(li).collect()
+      .map(r => r.getAs[Long]("l_partkey") ->
+        ((r.getAs[Long]("rev_cents"), r.getAs[Long]("cum_share_ppm"),
+          r.getAs[String]("abc_class"), r.getAs[Long]("n_m"),
+          r.getAs[Long]("total_qty"), r.getAs[String]("xyz_class"))))
+      .toMap
+    assert(out(1L) == ((30000L, 714285L, "A", 3L, 30L, "X")))
+    assert(out(2L) == ((9000L, 928571L, "B", 3L, 18L, "Y")))
+    assert(out(3L) == ((3000L, 1000000L, "C", 3L, 3L, "Z")))
+  }
+
   test("priceIndex: Laspeyres reprices the base basket, Paasche " +
       "this year's; base year reads identity; multi-line years " +
       "aggregate before pricing") {

@@ -1613,4 +1613,26 @@ class VectorSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("phi_ppm")))
     graft.Caches.release("vec")
   }
+
+  test("matryoshkaRecallCurve: a prefix that flips the ranking " +
+      "halves recall; the full-width prefix recalls 1") {
+    import spark.implicits._
+    // query v0 = e1. Full-dim top-2: v1 (0.994), v3 (0.954).
+    // At dim 2, v2's tail support vanishes -> cos 1.0 and it
+    // displaces v3: hits 1 of 2. At dim 4 (= full) recall is exact.
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.0f, 0.6f, 0.0f)),
+      (3L, Array(0.95f, -0.3f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Vec.matryoshkaRecallCurve(embs, dims = Seq(2, 4),
+      k = 2, sampleMod = 10L).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("n_base"), r.getAs[Long]("hits"),
+          r.getAs[Long]("recall_ppm")))).toMap
+    assert(out(2) == ((2L, 1L, 500000L)))
+    assert(out(4) == ((2L, 2L, 1000000L)))
+    graft.Caches.release("vec")
+  }
 }
