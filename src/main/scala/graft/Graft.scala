@@ -364,6 +364,12 @@ object Graft {
       * distribution vs the corpus, on the fixed 101-bucket support.
       */
     def sourceQualityEmd: DataFrame = ops.Text.sourceQualityEmd(docs)
+    /** RAKE keywords: stopword-delimited candidate runs scored by
+      * the degree/frequency ratio in exact milli, corpus top-N. */
+    def rakeKeywords(
+        maxPhraseLen: Int = 4,
+        topN: Int = 30
+    ): DataFrame = ops.Text.rakeKeywords(docs, maxPhraseLen, topN)
     /** Neyman variance-optimal per-stratum budget split with exact
       * largest-remainder rounding (Σ n_alloc = budget).
       */

@@ -739,6 +739,73 @@ object Audit {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Interrupted time-series (segmented regression) — the
+    * before/after read for a deploy, policy change, or incident at a
+    * known cut date: per event type, separate OLS level+trend fits
+    * on the pre and post halves of the daily series, and the two
+    * numbers a causal read needs: `level_delta_milli` (the jump
+    * between the two fitted lines AT the cut) and
+    * `trend_delta_milli` (the slope change) — a mean-diff hides a
+    * trend that was already there; segmenting doesn't. The cut
+    * defaults to the feed's own midpoint day (broadcast back, the
+    * velocityTrend convention). All slopes/intercepts exact floored
+    * milli via the [[theilSenTrend]] integer-OLS skeleton (days are
+    * re-origined to the cut so intercept magnitudes stay small);
+    * DECIMAL(38,0)-bridged cross products, sign-split twin.
+    *
+    * Shape at scale: one scan to daily counts; two conditional
+    * aggregations over the calendar-bounded day table; one row per
+    * type.
+    */
+  def interruptedTimeSeries(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("d"))
+      .agg(count(lit(1)).as("x"))
+    val cut = daily.agg(
+      expr("(min(d) + max(d)) div 2").as("cut_d"))
+    val rel = daily.crossJoin(broadcast(cut))
+      .select(col("event_type"), (col("d") - col("cut_d")).as("d"),
+        col("x"), (col("d") < col("cut_d")).as("pre"))
+    def fit(side: DataFrame, tag: String): DataFrame = {
+      val d38 = "decimal(38,0)"
+      side.groupBy(col("event_type"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("d")).as("sd"), sum(col("x")).as("sx"),
+          sum(col("d").cast("decimal(19,0)") * col("x"))
+            .cast(d38).as("sdx"),
+          sum(col("d").cast("decimal(19,0)") * col("d"))
+            .cast(d38).as("sdd"))
+        .select(col("event_type"), col(s"n_$tag"),
+          expr(s"""CAST(CASE
+            | WHEN (CAST(n_$tag AS $d38) * sdd
+            |     - CAST(sd AS $d38) * sd) = 0 THEN NULL
+            | ELSE (CAST(n_$tag AS $d38) * sdx
+            |     - CAST(sd AS $d38) * sx) * 1000
+            |   div (CAST(n_$tag AS $d38) * sdd
+            |     - CAST(sd AS $d38) * sd)
+            | END AS BIGINT)""".stripMargin).as(s"slope_${tag}_milli"),
+          col("sd").as(s"sd_$tag"), col("sx").as(s"sx_$tag"))
+        .withColumn(s"level_${tag}_milli",
+          expr(s"""(sx_$tag * 1000 - slope_${tag}_milli * sd_$tag)
+            | div n_$tag""".stripMargin))
+        .drop(s"sd_$tag", s"sx_$tag")
+    }
+    fit(rel.filter(col("pre")), "pre")
+      .join(fit(rel.filter(!col("pre")), "post"), "event_type")
+      .crossJoin(broadcast(cut))
+      .select(col("event_type"), col("cut_d"),
+        col("n_pre"), col("n_post"),
+        col("slope_pre_milli"), col("slope_post_milli"),
+        col("level_pre_milli"), col("level_post_milli"),
+        (col("slope_post_milli") - col("slope_pre_milli"))
+          .as("trend_delta_milli"),
+        (col("level_post_milli") - col("level_pre_milli"))
+          .as("level_delta_milli"))
+      .orderBy(col("event_type"))
+  }
+
   /** Split-conformal interval calibration for the seasonal-naive
     * forecaster — does "the next value lands within q of last
     * week's" actually hold 90 % of the time: per type, absolute

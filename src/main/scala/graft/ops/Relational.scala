@@ -1938,6 +1938,48 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))
 
+  /** RFM segment migration matrix — where the customer base is
+    * MOVING, which the static [[rfmSegments]] snapshot can't say:
+    * the same quintile scoring runs independently on the feed's
+    * first and second half (split at the midpoint order date, the
+    * velocityTrend convention — each half scores against its OWN
+    * snapshot date and its own quintile boundaries, so the matrix
+    * reads relative-position shifts, not calendar drift), and
+    * customers land in a (segment_h1 → segment_h2) transition cell;
+    * segment 0 marks absence from a half, so the matrix's borders
+    * ARE the acquisition (0→s) and silence (s→0) flows. `share_ppm`
+    * is the cell's share of all customers observed in either half.
+    *
+    * Shape at scale: two [[rfmSegments]] passes (each one shuffle to
+    * per-customer rollups + rank windows on the customer-domain
+    * frame) + one full-outer join on custkey; output is at most
+    * 126² cells.
+    */
+  def rfmMigration(orders: DataFrame): DataFrame = {
+    val mid = orders.agg(
+      expr("""CAST(date_add(min(CAST(o_orderdate AS DATE)),
+        | CAST(datediff(max(CAST(o_orderdate AS DATE)),
+        |   min(CAST(o_orderdate AS DATE))) div 2 AS INT))
+        | AS TIMESTAMP)""".stripMargin).as("mid_ts"))
+    val o = orders.crossJoin(broadcast(mid))
+    val h1 = rfmSegments(o.filter(col("o_orderdate") < col("mid_ts")))
+      .select(col("custkey"), col("segment").as("segment_h1"))
+    val h2 = rfmSegments(o.filter(col("o_orderdate") >= col("mid_ts")))
+      .select(col("custkey"), col("segment").as("segment_h2"))
+    val joined = h1.join(h2, Seq("custkey"), "full_outer")
+      .select(coalesce(col("segment_h1"), lit(0L)).as("segment_h1"),
+        coalesce(col("segment_h2"), lit(0L)).as("segment_h2"))
+    joined
+      .groupBy(col("segment_h1"), col("segment_h2"))
+      .agg(count(lit(1)).as("n_cust"))
+      .withColumn("n_total",
+        sum(col("n_cust")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("segment_h1"), col("segment_h2"), col("n_cust"),
+        expr("n_cust * 1000000 div n_total").as("share_ppm"))
+      .orderBy(col("segment_h1"), col("segment_h2"))
+  }
+
   /** ABC/XYZ inventory classification — the two-axis screen behind
     * every stocking policy: ABC ranks parts by cumulative revenue
     * share (A to 80 %, B to 95 %, C the tail — the Pareto cut

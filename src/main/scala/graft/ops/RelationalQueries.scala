@@ -214,6 +214,14 @@ object RelationalQueries {
     // cross-multiplied CV classes over the densified month grid
     "q_li_abc_xyz" -> ((s, d) =>
       Relational.abcXyz(Tables.lineitem(s, d))),
+    // interrupted time-series: segmented integer-OLS level/trend
+    // deltas at the feed's midpoint cut
+    "q_events_its" -> ((s, d) =>
+      Audit.interruptedTimeSeries(Tables.events(s, d))),
+    // RFM quintile migration matrix between the feed's two halves,
+    // segment 0 = absent from a half
+    "q_cust_rfm_migration" -> ((s, d) =>
+      Relational.rfmMigration(Tables.orders(s, d))),
     // one-pass column profile of orders (nulls/distinct/min/max per
     // column, engine-stable string rendering)
     "q_profile_orders" -> ((s, d) =>
@@ -2291,6 +2299,120 @@ object RelationalQueries {
         |SELECT event_type, t, n_risk, dd AS d_churned,
         |  cc AS c_censored, CAST(s AS BIGINT) AS s_q20
         |FROM rec ORDER BY event_type, t""".stripMargin,
+    // segmented OLS, sign-split divisions (the theil_sen twin
+    // conventions), cut-re-origined days
+    "q_events_its" -> {
+      def sdiv(num: String, den: String) =
+        s"""CASE WHEN ($num) < 0
+           | THEN -((-($num)) // ($den)) ELSE ($num) // ($den) END"""
+          .stripMargin
+      def fitSql(tag: String, pred: String): String = {
+        val np = s"(CAST(n_$tag AS HUGEINT) * sdx" +
+          s" - CAST(sd AS HUGEINT) * sx) * 1000"
+        val dn = s"(CAST(n_$tag AS HUGEINT) * sdd" +
+          s" - CAST(sd AS HUGEINT) * sd)"
+        s"""f$tag AS (
+           |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_$tag,
+           |    CAST(SUM(d) AS BIGINT) AS sd,
+           |    CAST(SUM(x) AS BIGINT) AS sx,
+           |    CAST(SUM(CAST(d AS HUGEINT) * x) AS HUGEINT) AS sdx,
+           |    CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd
+           |  FROM rel WHERE $pred GROUP BY 1),
+           |s$tag AS (
+           |  SELECT event_type, n_$tag,
+           |    CAST(CASE WHEN $dn = 0 THEN NULL
+           |      ELSE ${sdiv(np, dn)} END AS BIGINT)
+           |      AS slope_${tag}_milli,
+           |    sd AS sd_$tag, sx AS sx_$tag
+           |  FROM f$tag),
+           |l$tag AS (
+           |  SELECT event_type, n_$tag, slope_${tag}_milli,
+           |    CAST(${sdiv(s"sx_$tag * 1000 - slope_${tag}_milli" +
+                s" * sd_$tag", s"n_$tag")} AS BIGINT)
+           |      AS level_${tag}_milli
+           |  FROM s$tag)""".stripMargin
+      }
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+         |      AS d,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |c AS (SELECT (MIN(d) + MAX(d)) // 2 AS cut_d FROM daily),
+         |rel AS (
+         |  SELECT event_type, daily.d - c.cut_d AS d, x,
+         |    daily.d < c.cut_d AS pre
+         |  FROM daily CROSS JOIN c),
+         |${fitSql("pre", "pre")},
+         |${fitSql("post", "NOT pre")}
+         |SELECT p.event_type, c.cut_d, p.n_pre, q.n_post,
+         |  p.slope_pre_milli, q.slope_post_milli,
+         |  p.level_pre_milli, q.level_post_milli,
+         |  q.slope_post_milli - p.slope_pre_milli
+         |    AS trend_delta_milli,
+         |  q.level_post_milli - p.level_pre_milli
+         |    AS level_delta_milli
+         |FROM lpre p JOIN lpost q USING (event_type)
+         |CROSS JOIN c
+         |ORDER BY p.event_type""".stripMargin
+    },
+    // two independent rfm quintile passes (the q_rfm_segments twin
+    // per half) full-outer joined into the migration matrix
+    "q_cust_rfm_migration" -> {
+      def halfSql(tag: String, pred: String): String =
+        s"""per$tag AS (
+           |  SELECT o_custkey AS custkey,
+           |    MAX(o_orderdate) AS last_order,
+           |    COUNT(*) AS frequency,
+           |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           |      AS VARCHAR) AS DOUBLE) AS monetary
+           |  FROM orders CROSS JOIN m
+           |  WHERE $pred GROUP BY 1),
+           |snap$tag AS (
+           |  SELECT MAX(o_orderdate) AS snap_day
+           |  FROM orders CROSS JOIN m WHERE $pred),
+           |r$tag AS (
+           |  SELECT custkey, COUNT(*) OVER () AS n_c,
+           |    ROW_NUMBER() OVER (ORDER BY
+           |      CAST(date_diff('day', last_order, snap_day)
+           |        AS BIGINT) DESC, custkey) AS rn_r,
+           |    ROW_NUMBER() OVER (ORDER BY frequency, custkey)
+           |      AS rn_f,
+           |    ROW_NUMBER() OVER (ORDER BY monetary, custkey)
+           |      AS rn_m
+           |  FROM per$tag CROSS JOIN snap$tag),
+           |seg$tag AS (
+           |  SELECT custkey,
+           |    ((5 * (rn_r - 1)) // n_c + 1) * 100
+           |      + ((5 * (rn_f - 1)) // n_c + 1) * 10
+           |      + ((5 * (rn_m - 1)) // n_c + 1) AS segment
+           |  FROM r$tag)""".stripMargin
+      s"""WITH b AS (
+         |  SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+         |    MAX(CAST(o_orderdate AS DATE)) AS mx
+         |  FROM orders),
+         |m AS (
+         |  SELECT CAST(mn + CAST(date_diff('day', mn, mx) // 2
+         |    AS INT) AS TIMESTAMP) AS mid_ts FROM b),
+         |${halfSql("1", "o_orderdate < mid_ts")},
+         |${halfSql("2", "o_orderdate >= mid_ts")},
+         |j AS (
+         |  SELECT CAST(COALESCE(s1.segment, 0) AS BIGINT)
+         |      AS segment_h1,
+         |    CAST(COALESCE(s2.segment, 0) AS BIGINT) AS segment_h2
+         |  FROM seg1 s1 FULL OUTER JOIN seg2 s2
+         |    ON s1.custkey = s2.custkey),
+         |g AS (
+         |  SELECT segment_h1, segment_h2,
+         |    CAST(COUNT(*) AS BIGINT) AS n_cust
+         |  FROM j GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(n_cust) AS BIGINT) AS n_total FROM g)
+         |SELECT g.segment_h1, g.segment_h2, g.n_cust,
+         |  CAST(g.n_cust * 1000000 // t.n_total AS BIGINT)
+         |    AS share_ppm
+         |FROM g CROSS JOIN t
+         |ORDER BY g.segment_h1, g.segment_h2""".stripMargin
+    },
     // parity-split conformal: rank = ceil(0.9*(n_cal+1)) clamped,
     // identical integer formula both engines
     "q_events_conformal" ->

@@ -3431,6 +3431,72 @@ object Text {
           col("pass_alpha") && col("pass_stop"))
   }
 
+  /** RAKE keyword extraction (Rose et al., "Automatic Keyword
+    * Extraction from Individual Documents") — corpus-level candidate
+    * phrases as the stopword-delimited token runs, scored by the
+    * classic degree/frequency ratio: a word's degree is Σ of the
+    * lengths of the phrases it occurs in (co-occurrence incl.
+    * itself), its frequency the occurrence count, and a phrase
+    * scores the sum of its member words' `deg·1000 div freq` —
+    * floored per WORD before the sum, so the whole score is exact
+    * integer milli and engine-bitwise (classic RAKE's float ratio
+    * ordered only approximately). Tokens are lowercased for both
+    * delimiting and scoring; runs longer than `maxPhraseLen` are
+    * DISCARDED (overlong runs are list/boilerplate debris, and the
+    * cap bounds the phrase arrays).
+    *
+    * Shape at scale: one scan to positional tokens, the
+    * gaps-and-islands grouping (`pos − rank-among-content-tokens`,
+    * the sequenceGaps trick applied within docs), then joins on the
+    * word and phrase-text domains — vocabulary-sized, never
+    * all-pairs; the final head is a TakeOrdered topN.
+    */
+  def rakeKeywords(
+      docs: DataFrame,
+      maxPhraseLen: Int = 4,
+      topN: Int = 30
+  ): DataFrame = {
+    require(maxPhraseLen >= 1 && topN >= 1, "positive params")
+    val tok = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok0")))
+      .select(col("doc_id"), col("pos"), lower(col("tok0")).as("tok"))
+    val content = tok
+      .filter(!array_contains(lit(stopwords.toArray), col("tok")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("grp", col("pos") - col("rn"))
+    val phrases = content
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
+        .as("parts"))
+      .select(col("doc_id"), col("grp"),
+        array_join(expr("transform(parts, x -> x.tok)"), " ")
+          .as("phrase"),
+        size(col("parts")).cast("long").as("n_words"))
+      .filter(col("n_words") <= maxPhraseLen)
+    val words = phrases.select(col("doc_id"), col("grp"),
+      col("phrase"), col("n_words"),
+      explode(split(col("phrase"), " ")).as("word"))
+    val wordScore = words.groupBy(col("word"))
+      .agg(sum(col("n_words")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("word"), expr("deg * 1000 div freq").as("wscore"))
+    val phraseScore = words
+      .join(wordScore, "word")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(max(col("phrase")).as("phrase"),
+        max(col("n_words")).as("n_words"),
+        sum(col("wscore")).as("score_milli"))
+    phraseScore
+      .groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occur"),
+        max(col("score_milli")).as("score_milli"))
+      .orderBy(col("score_milli").desc, col("phrase"))
+      .limit(topN)
+  }
+
   /** Exact 1-D Wasserstein-1 (earth-mover) distance between each
     * source's quality distribution and the corpus's — the drift
     * metric that sees what a KS test flattens: KS reads only the

@@ -851,6 +851,10 @@ object TextQueries {
     // distribution vs the corpus: integrated drift + signed shift
     "q_text_source_emd" -> ((s, d) =>
       Text.sourceQualityEmd(Tables.documents(s, d))),
+    // RAKE keywords: stopword-delimited runs scored deg/freq in
+    // exact milli, corpus-level top-30
+    "q_text_rake" -> ((s, d) =>
+      Text.rakeKeywords(Tables.documents(s, d))),
     // isotonic (PAV) calibration of the same score->rate grid via
     // the exact minimax identity on the bin frame
     "q_text_isotonic" -> ((s, d) =>
@@ -1646,6 +1650,48 @@ object TextQueries {
          |    * 1000000 // (CAST(t.n AS HUGEINT) * t.n) AS BIGINT)
          |    AS unc_micro
          |FROM tot t CROSS JOIN res r""".stripMargin,
+    // gaps-and-islands phrase runs (pos - content-rank), word
+    // deg/freq floored per word, head by (score DESC, phrase)
+    "q_text_rake" ->
+      s"""WITH ne AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE length(trim(text)) > 0),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CAST(generate_subscripts($toksSql, 1) AS BIGINT) AS pos,
+         |    lower(UNNEST($toksSql)) AS tok
+         |  FROM ne),
+         |content AS (
+         |  SELECT doc_id, pos, tok,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY pos) AS grp
+         |  FROM tok WHERE NOT list_contains($stopSql, tok)),
+         |ph AS (
+         |  SELECT doc_id, grp,
+         |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words
+         |  FROM content GROUP BY 1, 2
+         |  HAVING COUNT(*) <= 4),
+         |w AS (
+         |  SELECT doc_id, grp, phrase, n_words,
+         |    UNNEST(string_split(phrase, ' ')) AS word
+         |  FROM ph),
+         |ws AS (
+         |  SELECT word,
+         |    CAST(SUM(n_words) AS BIGINT) * 1000
+         |      // CAST(COUNT(*) AS BIGINT) AS wscore
+         |  FROM w GROUP BY 1),
+         |psc AS (
+         |  SELECT w.doc_id, w.grp, MAX(w.phrase) AS phrase,
+         |    MAX(w.n_words) AS n_words,
+         |    CAST(SUM(s.wscore) AS BIGINT) AS score_milli
+         |  FROM w JOIN ws s ON w.word = s.word
+         |  GROUP BY 1, 2)
+         |SELECT phrase, MAX(n_words) AS n_words,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occur,
+         |  MAX(score_milli) AS score_milli
+         |FROM psc GROUP BY phrase
+         |ORDER BY score_milli DESC, phrase LIMIT 30""".stripMargin,
     // step-function EMD on the fixed 101-bucket support; CDFs
     // cross-multiplied to integers, HUGEINT-bridged before the ppm
     // shift

@@ -989,6 +989,36 @@ class AuditSpec extends SparkSpec {
       assert(out(("b", day0 + i)) == ((3L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("interruptedTimeSeries: level jump on a flat series, trend " +
+      "break on a trending one; intercepts extrapolate to the cut") {
+    import spark.implicits._
+    def d(day: Int) = f"2024-01-${day + 1}%02d"
+    // 10 days, cut at the midpoint (epoch (mn+mx) div 2 = index 4):
+    // 'a' flat 5 then flat 9 -> pure level jump 4000 milli;
+    // 'b' ramps 1..4 pre (slope 1000, line hits 5 AT the cut) then
+    // flat 20 -> trend delta -1000, level delta 15000
+    val series = Map(
+      "a" -> Seq(5, 5, 5, 5, 9, 9, 9, 9, 9, 9),
+      "b" -> Seq(1, 2, 3, 4, 20, 20, 20, 20, 20, 20))
+    val rows = series.toSeq.flatMap { case (t, xs) =>
+      xs.zipWithIndex.flatMap { case (x, i) => Seq.fill(x)((t, d(i))) }
+    }
+    val out = Audit.interruptedTimeSeries(
+      rows.toDF("event_type", "ts")).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pre"), r.getAs[Long]("n_post"),
+          r.getAs[Long]("slope_pre_milli"),
+          r.getAs[Long]("slope_post_milli"),
+          r.getAs[Long]("level_pre_milli"),
+          r.getAs[Long]("level_post_milli"),
+          r.getAs[Long]("trend_delta_milli"),
+          r.getAs[Long]("level_delta_milli")))).toMap
+    assert(out("a") ==
+      ((4L, 6L, 0L, 0L, 5000L, 9000L, 0L, 4000L)))
+    assert(out("b") ==
+      ((4L, 6L, 1000L, 0L, 5000L, 20000L, -1000L, 15000L)))
+  }
+
   test("conformalCoverage: parity-split residuals, finite-sample " +
       "rank clamps to n_cal, coverage exact ppm") {
     import spark.implicits._

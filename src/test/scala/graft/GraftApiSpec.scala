@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 380,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 380")
-    assert(SparkEntry.oracleSql.size == 368,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 368")
+    assert(SparkEntry.queries.size == 383,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 383")
+    assert(SparkEntry.oracleSql.size == 371,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 371")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -379,6 +379,7 @@ class GraftApiSpec extends SparkSpec {
       "neymanAllocation" -> "neymanAllocated",
       "sourceInfluence" -> "sourceInfluenced",
       "sourceQualityEmd" -> "sourceQualityEmd",
+      "rakeKeywords" -> "rakeKeywords",
       "curationPipeline" -> "curated",
       "contamination" -> "contaminationAgainst",
       "docFrequency" -> "docFrequency",

@@ -489,6 +489,31 @@ class RelationalSpec extends SparkSpec {
     assert(riPlan.contains("EqualTo(l_returnflag,R)"))
   }
 
+  test("rfmMigration: halves score independently against their own " +
+      "snapshots; absence maps to segment 0 on the matrix border") {
+    import spark.implicits._
+    // span Jan 1..10 -> mid = Jan 5. h1: c1 (2 orders), c2 (1);
+    // h2: c1 (1), c3 (2). Quintiles over n_c=2 give scores {1,3}.
+    val o = Seq(
+      (1L, 10.0, "1995-01-01"), (1L, 10.0, "1995-01-02"),
+      (2L, 50.0, "1995-01-03"),
+      (1L, 30.0, "1995-01-06"),
+      (3L, 5.0, "1995-01-09"), (3L, 5.0, "1995-01-10"))
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val out = Relational.rfmMigration(o).collect()
+      .map(r => (r.getAs[Long]("segment_h1"),
+        r.getAs[Long]("segment_h2")) ->
+        ((r.getAs[Long]("n_cust"), r.getAs[Long]("share_ppm"))))
+      .toMap
+    // c1: h1 seg 131 (recent-but-1d r=1, freq2 f=3, mon20 m=1),
+    //     h2 seg 113; c2: 313 -> absent; c3: absent -> 331
+    assert(out == Map(
+      (131L, 113L) -> ((1L, 333333L)),
+      (313L, 0L) -> ((1L, 333333L)),
+      (0L, 331L) -> ((1L, 333333L))))
+  }
+
   test("abcXyz: cumulative-share classes cut at 80/95, CV classes " +
       "from cross-multiplied moments over the densified month grid " +
       "(zero months count)") {

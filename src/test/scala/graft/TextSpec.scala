@@ -2258,6 +2258,25 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Long]("truncated_ppm") === 142857L)
   }
 
+  test("rakeKeywords: stopword-delimited runs, degree/freq floored " +
+      "per word, multi-word phrases outrank their fragments") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "deep learning of the deep net", "en", "s", 29L),
+      (2L, "the deep learning", "en", "s", 17L),
+      (3L, "the net", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.rakeKeywords(docs).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_occur"), r.getAs[Long]("score_milli")))
+    // deep: freq 3 deg 6 -> 2000; learning: 2/4 -> 2000;
+    // net: freq 2 deg 3 (one 2-run, one 1-run) -> 1500
+    assert(out.toSeq === Seq(
+      ("deep learning", 2L, 2L, 4000L),
+      ("deep net", 2L, 1L, 3500L),
+      ("net", 1L, 1L, 1500L)))
+  }
+
   test("sourceQualityEmd: opposite-extreme sources score the same " +
       "EMD with opposite signed shifts; mass and CDF math exact") {
     import spark.implicits._
