@@ -191,6 +191,7 @@ class PlanSpec extends SparkSpec {
       "q_text_vocab_coverage" -> "top-max(ks) token-frequency head (LIMIT upstream of both windows)",
       "q_text_source_emd" -> "corpus CDF over the FIXED 101-bucket support (the window input is the densified support frame, never doc rows)",
       "q_li_abc_xyz" -> "cumulative revenue share over the PART domain (dim-sized by definition, never fact-sized)",
+      "q_cust_rfm_migration" -> "rfmSegments rank windows per half + the cell-total window (customer-domain rollups, <= 126^2 cells — the q_rfm_segments bound twice)",
       "q_layout_key_quantiles" -> "coarse-cell histogram, ≤ coarseCells+1 rows by construction",
       "q_li_cramers_v" -> "completed |A|×|B| contingency rollup (3×2 returnflag×linestatus; category-domain-bounded at any corpus size)",
       "q_layout_prune_audit" -> "o_totalprice value histogram (rangeBoundaries contract)",
