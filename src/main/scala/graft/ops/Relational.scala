@@ -1980,6 +1980,62 @@ object Relational {
       .orderBy(col("segment_h1"), col("segment_h2"))
   }
 
+  /** Price-volume-mix bridge — the finance decomposition of a
+    * revenue delta the [[priceIndex]] ratios summarize: for each
+    * ship year vs the base year over the matched-part basket,
+    * ΔRev = Σ(p₁−p₀)·q₀ (PRICE effect: repricing the old basket)
+    * + Σp₀·(q₁−q₀) (VOLUME effect: old prices on the quantity
+    * change) + Σ(p₁−p₀)·(q₁−q₀) (the JOINT/mix cross-term that
+    * makes the identity close). Built on the same floored
+    * cents-per-unit prices as priceIndex, so the identity holds
+    * EXACTLY over the reconstructed p·q revenues by construction —
+    * `total_delta_cents` is emitted from the sum and equals
+    * `recon_delta_cents` (the reconstructed revenue delta) as a
+    * row-level self-check both engines replay.
+    *
+    * Shape at scale: the priceIndex (part × year) grid + one
+    * base-year self-join; all sums DECIMAL(38,0), grid-sized.
+    */
+  def marginBridge(lineitem: DataFrame): DataFrame = {
+    val py = lineitem
+      .select(col("l_partkey"),
+        year(col("l_shipdate")).cast("int").as("y"),
+        expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+              | AS DECIMAL(38,0))""".stripMargin).as("cents"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("y"))
+      .agg(sum(col("cents")).cast("decimal(38,0)").as("rev_cents"),
+        sum(col("q")).as("qty"))
+      .withColumn("p_cents",
+        expr("CAST(rev_cents div qty AS BIGINT)"))
+    val y0 = py.agg(min(col("y")).as("y0"))
+    val base = py.crossJoin(broadcast(y0))
+      .filter(col("y") === col("y0"))
+      .select(col("l_partkey"), col("p_cents").as("p0"),
+        col("qty").as("q0"))
+    val d38 = "decimal(38,0)"
+    py.join(base, "l_partkey")
+      .groupBy(col("y"))
+      .agg(
+        count(lit(1)).as("n_parts_common"),
+        sum(expr(s"CAST(p_cents - p0 AS $d38) * q0"))
+          .cast(d38).as("price_eff"),
+        sum(expr(s"CAST(p0 AS $d38) * (qty - q0)"))
+          .cast(d38).as("volume_eff"),
+        sum(expr(s"CAST(p_cents - p0 AS $d38) * (qty - q0)"))
+          .cast(d38).as("joint_eff"),
+        sum(expr(s"CAST(p_cents AS $d38) * qty - CAST(p0 AS $d38) * q0"))
+          .cast(d38).as("recon_delta"))
+      .select(col("y"), col("n_parts_common"),
+        expr("CAST(price_eff AS BIGINT)").as("price_effect_cents"),
+        expr("CAST(volume_eff AS BIGINT)").as("volume_effect_cents"),
+        expr("CAST(joint_eff AS BIGINT)").as("joint_effect_cents"),
+        expr("CAST(price_eff + volume_eff + joint_eff AS BIGINT)")
+          .as("total_delta_cents"),
+        expr("CAST(recon_delta AS BIGINT)").as("recon_delta_cents"))
+      .orderBy(col("y"))
+  }
+
   /** ABC/XYZ inventory classification — the two-axis screen behind
     * every stocking policy: ABC ranks parts by cumulative revenue
     * share (A to 80 %, B to 95 %, C the tail — the Pareto cut

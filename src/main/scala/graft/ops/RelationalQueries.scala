@@ -222,6 +222,10 @@ object RelationalQueries {
     // segment 0 = absent from a half
     "q_cust_rfm_migration" -> ((s, d) =>
       Relational.rfmMigration(Tables.orders(s, d))),
+    // price-volume-mix revenue bridge per year vs base, identity
+    // closed exactly over the floored reconstructed revenues
+    "q_li_margin_bridge" -> ((s, d) =>
+      Relational.marginBridge(Tables.lineitem(s, d))),
     // one-pass column profile of orders (nulls/distinct/min/max per
     // column, engine-stable string rendering)
     "q_profile_orders" -> ((s, d) =>
@@ -2576,6 +2580,40 @@ object RelationalQueries {
         |FROM dau JOIN mau ON dau.event_type = mau.event_type
         |  AND dau.d = mau.d
         |ORDER BY 1, 2""".stripMargin,
+    // PVM bridge on the same floored-price grid; the identity
+    // column pair is the cross-engine self-check
+    "q_li_margin_bridge" ->
+      """WITH py AS (
+        |  SELECT l_partkey,
+        |    CAST(year(l_shipdate) AS INT) AS y,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * 100 AS DECIMAL(38,0))) AS HUGEINT) AS rev_cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (
+        |  SELECT l_partkey, y,
+        |    CAST(rev_cents // qty AS BIGINT) AS p_cents, qty
+        |  FROM py),
+        |y0 AS (SELECT MIN(y) AS y0 FROM p),
+        |base AS (
+        |  SELECT l_partkey, p_cents AS p0, qty AS q0
+        |  FROM p CROSS JOIN y0 WHERE y = y0)
+        |SELECT p.y, CAST(COUNT(*) AS BIGINT) AS n_parts_common,
+        |  CAST(SUM(CAST(p.p_cents - b.p0 AS HUGEINT) * b.q0)
+        |    AS BIGINT) AS price_effect_cents,
+        |  CAST(SUM(CAST(b.p0 AS HUGEINT) * (p.qty - b.q0))
+        |    AS BIGINT) AS volume_effect_cents,
+        |  CAST(SUM(CAST(p.p_cents - b.p0 AS HUGEINT)
+        |    * (p.qty - b.q0)) AS BIGINT) AS joint_effect_cents,
+        |  CAST(SUM(CAST(p.p_cents - b.p0 AS HUGEINT) * b.q0)
+        |    + SUM(CAST(b.p0 AS HUGEINT) * (p.qty - b.q0))
+        |    + SUM(CAST(p.p_cents - b.p0 AS HUGEINT)
+        |      * (p.qty - b.q0)) AS BIGINT) AS total_delta_cents,
+        |  CAST(SUM(CAST(p.p_cents AS HUGEINT) * p.qty
+        |    - CAST(b.p0 AS HUGEINT) * b.q0) AS BIGINT)
+        |    AS recon_delta_cents
+        |FROM p JOIN base b ON p.l_partkey = b.l_partkey
+        |GROUP BY p.y ORDER BY p.y""".stripMargin,
     // matched-basket indices: per-(part,year) floored cents price,
     // basket sums HUGEINT, indices exact ppm
     "q_li_price_index" ->

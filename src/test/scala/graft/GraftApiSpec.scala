@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 383,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 383")
-    assert(SparkEntry.oracleSql.size == 371,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 371")
+    assert(SparkEntry.queries.size == 384,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 384")
+    assert(SparkEntry.oracleSql.size == 372,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 372")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that

@@ -859,4 +859,105 @@ class PropertySpec extends SparkSpec {
       assert(out.getAs[Long]("mae_milli") === sae / (nsc max 1L))
     }
   }
+
+  test("kaplanMeier properties: survival non-increasing, first risk " +
+      "set = all users, exits conserve the population") {
+    import graft.ops.Audit
+    val gen = for {
+      nUsers <- Gen.choose(3, 12)
+      spans <- Gen.listOfN(nUsers, for {
+        f <- Gen.choose(0, 15)
+        len <- Gen.choose(0, 20)
+      } yield (f, (f + len) min 24))
+    } yield spans
+    forAll(gen, n = 12) { spans =>
+      def d(day: Int) = f"2024-01-${day + 1}%02d"
+      val rows = spans.zipWithIndex.flatMap { case ((f, l), u) =>
+        Seq(("a", u.toLong, d(f)), ("a", u.toLong, d(l)))
+      }
+      val out = graft.ops.Audit.kaplanMeier(
+        rows.toDF("event_type", "user_id", "ts")).collect()
+        .sortBy(_.getAs[Long]("t"))
+      assert(out.head.getAs[Long]("n_risk") === spans.size.toLong,
+        s"spans $spans")
+      val sQ = out.map(_.getAs[Long]("s_q20"))
+      assert(sQ.zip(sQ.tail).forall { case (a, b) => b <= a },
+        s"survival must not increase: ${sQ.toSeq} ($spans)")
+      assert(out.map(r => r.getAs[Long]("d_churned") +
+        r.getAs[Long]("c_censored")).sum === spans.size.toLong)
+      assert(sQ.forall(s => s >= 0 && s <= 1048576L))
+    }
+  }
+
+  test("theilSenTrend breakdown: one corrupted day cannot move the " +
+      "Sen slope off an exactly-linear series; OLS has no such " +
+      "guarantee") {
+    import graft.ops.Audit
+    val gen = for {
+      nDays <- Gen.choose(5, 9)
+      m <- Gen.choose(0, 4) // slope counts/day
+      c0 <- Gen.choose(1, 5)
+      spikeAt <- Gen.choose(0, nDays - 1)
+      spike <- Gen.choose(50, 200)
+    } yield (nDays, m, c0, spikeAt, spike)
+    forAll(gen, n = 12) { case (nDays, m, c0, spikeAt, spike) =>
+      def d(day: Int) = f"2024-01-${day + 1}%02d"
+      val xs = (0 until nDays).map(i =>
+        if (i == spikeAt) spike else c0 + m * i)
+      val rows = xs.zipWithIndex.flatMap { case (x, i) =>
+        Seq.fill(x)(("a", d(i)))
+      }
+      val out = Audit.theilSenTrend(rows.toDF("event_type", "ts"))
+        .collect().head
+      // clean pairs (those avoiding the spike) all have slope
+      // exactly m*1000 and outnumber spike pairs (n-1 of C(n,2)),
+      // so the median is exactly the clean slope
+      assert(out.getAs[Long]("sen_slope_milli") === m * 1000L,
+        s"xs $xs")
+    }
+  }
+
+  test("brierDecomposition bounds: all components in range on " +
+      "arbitrary score/label sets") {
+    import graft.ops.Audit
+    val gen = Gen.nonEmptyListOf(for {
+      sc <- Gen.choose(0L, 2047L)
+      y <- Gen.oneOf(0L, 1L)
+    } yield (sc, y))
+    forAll(gen, n = 12) { rows =>
+      val r = Audit.brierDecomposition(rows.toDF("sc", "y"),
+        "sc", "y", scaleBits = 11, nBins = 16).collect().head
+      val (b, rel, res, unc) = (r.getAs[Long]("brier_micro"),
+        r.getAs[Long]("rel_micro"), r.getAs[Long]("res_micro"),
+        r.getAs[Long]("unc_micro"))
+      assert(b >= 0 && b <= 1000000L, s"brier $b")
+      assert(rel >= 0, s"rel $rel")
+      assert(res >= 0, s"res $res")
+      assert(unc >= 0 && unc <= 250000L, s"unc $unc")
+    }
+  }
+
+  test("bloomAdvisor tracks the real-valued FPP within chain-floor " +
+      "tolerance on random file populations") {
+    import graft.ops.Layout
+    val gen = Gen.nonEmptyListOf(Gen.choose(1, 60))
+      .map(_.take(4).zipWithIndex)
+    forAll(gen, n = 8) { files =>
+      val keyed = files.flatMap { case (nk, f) =>
+        (0 until nk).map(i => (f.toLong, i.toLong * 7 + f))
+      }.toDF("file_id", "key")
+      val out = Layout.bloomAdvisor(keyed, "file_id", "key",
+        mBitsChoices = Seq(1 << 14, 1 << 16), kChoices = Seq(1, 5))
+        .collect()
+      for (r <- out) {
+        val (m, k, nk, fpp) = (r.getAs[Int]("m_bits"),
+          r.getAs[Int]("k"), r.getAs[Long]("n_keys"),
+          r.getAs[Long]("fpp_ppm"))
+        val real = math.pow(
+          1.0 - math.pow(1.0 - 1.0 / m, k * nk), k) * 1e6
+        assert(math.abs(fpp - real) <= 2000.0,
+          s"m=$m k=$k n=$nk fpp=$fpp real=$real")
+      }
+    }
+  }
 }

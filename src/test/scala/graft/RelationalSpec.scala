@@ -543,6 +543,30 @@ class RelationalSpec extends SparkSpec {
     assert(out(3L) == ((3000L, 1000000L, "C", 3L, 3L, "Z")))
   }
 
+  test("marginBridge: price/volume/joint effects close the identity " +
+      "against the reconstructed revenue delta exactly") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 10.0, 10.00, "2020-03-01"),
+      (1L, 5.0, 10.00, "2021-03-01"),
+      (2L, 4.0, 20.00, "2020-06-01"),
+      (2L, 3.0, 16.50, "2021-06-01"),
+      (2L, 5.0, 27.50, "2021-07-01"))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice",
+        "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+    val out = Relational.marginBridge(li).collect()
+      .map(r => r.getAs[Int]("y") ->
+        ((r.getAs[Long]("price_effect_cents"),
+          r.getAs[Long]("volume_effect_cents"),
+          r.getAs[Long]("joint_effect_cents"),
+          r.getAs[Long]("total_delta_cents"),
+          r.getAs[Long]("recon_delta_cents")))).toMap
+    assert(out(2020) == ((0L, 0L, 0L, 0L, 0L)))
+    // p1: (200-100)*10, 100*(5-10), 100*(-5); p2: 50*4, 500*4, 50*4
+    assert(out(2021) == ((1200L, 1500L, -300L, 2400L, 2400L)))
+  }
+
   test("priceIndex: Laspeyres reprices the base basket, Paasche " +
       "this year's; base year reads identity; multi-line years " +
       "aggregate before pricing") {
