@@ -225,6 +225,13 @@ object Graft {
     /** Dedup impact histogram (the receiver IS a cluster
       * assignment, e.g. [[dupClusters]]' output). */
     def dedupImpact: DataFrame = ops.Text.dedupImpact(docs)
+    /** Transitive over-merge audit (the receiver IS a cluster
+      * assignment; pass the direct near-dup pair graph). */
+    def chainContamination(
+        directPairs: DataFrame,
+        maxClusterSize: Int = 64
+    ): DataFrame =
+      ops.Text.chainContamination(docs, directPairs, maxClusterSize)
     /** Leakage-safe split: the split draw keyed by near-dup cluster
       * so no duplicate pair straddles the eval boundary. */
     def leakageSafeSplitBy(

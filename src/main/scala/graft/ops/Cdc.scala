@@ -472,6 +472,37 @@ object Cdc {
     * range, or scattered rows?"). Per-table windows over the
     * DISTINCT id set; islands are |gaps|-sized, never row-sized.
     */
+  /** Duplicate-delivery profile of a raw CDC feed — the
+    * at-least-once reality check run BEFORE trusting any downstream
+    * count: Kafka redelivers on rebalance/timeout, Maxwell replays
+    * on restart, and every duplicate line double-applies in a
+    * consumer without idempotent sinks ([[IdempotentSink]] is the
+    * fix this op sizes). Per table over the raw `value` lines:
+    * messages, distinct lines, duplicate count/ppm, and the worst
+    * single line's copy count (`max_copies` — 2 means occasional
+    * redelivery, 10+ means a replay loop).
+    *
+    * Shape at scale: one groupBy on (table, line) — message-sized,
+    * map-side combinable (dups collapse in the partial aggregate) —
+    * then a table-sized rollup.
+    */
+  def dupDeliveryProfile(lines: DataFrame): DataFrame =
+    lines
+      .select(get_json_object(col("value"), "$.table")
+        .as("src_table"), col("value"))
+      .groupBy(col("src_table"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("src_table"))
+      .agg(sum(col("n")).as("n_msgs"),
+        count(lit(1)).as("n_unique"),
+        max(col("n")).as("max_copies"))
+      .select(col("src_table"), col("n_msgs"), col("n_unique"),
+        (col("n_msgs") - col("n_unique")).as("n_dup"),
+        expr("(n_msgs - n_unique) * 1000000 div n_msgs")
+          .as("dup_ppm"),
+        col("max_copies"))
+      .orderBy(col("src_table"))
+
   /** CDC schema-drift profile — the column-set evolution monitor for
     * a Maxwell-style feed: upstream DDL (ADD/DROP COLUMN, a producer
     * version change) shows up as keys appearing or vanishing from the

@@ -129,6 +129,15 @@ object CdcQueries {
     "q_cdc_seq_gaps" -> ((s, d) =>
       Cdc.sequenceGaps(normalized(s, d))
         .orderBy(col("src_table"))),
+    // at-least-once redelivery audit over RAW lines: dups PLANTED by
+    // re-synthesizing every event_id % 37 == 0 envelope (injective
+    // line synthesis, so the duplicate rate has an exact oracle)
+    "q_cdc_dup_delivery" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Cdc.dupDeliveryProfile(maxwellLines(
+        ev.unionByName(ev.filter(col("event_id") % 37 === 0)))
+        .select(col("value")))
+    }),
     // column-lifecycle drift over the raw envelope: 'k' planted as
     // ADDED (absent before id 100), 'uid' planted as DROPPED (absent
     // from id 5000 on) via map_filter — the op must read both off
@@ -452,6 +461,29 @@ object CdcQueries {
         |FROM cols c JOIN tot t USING (src_table)
         |GROUP BY c.src_table, c.col_name, t.n_rows, t.t_min, t.t_max
         |ORDER BY c.src_table, c.col_name""".stripMargin,
+    // line equality == tuple equality (the synthesis is injective),
+    // so the twin counts over the field tuple; same % 37 plant
+    "q_cdc_dup_delivery" ->
+      """WITH m AS (
+        |  SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS src_table,
+        |    event_id, user_id, event_type,
+        |    COALESCE(CAST(json_extract_string(props, '$.k') AS INT),
+        |      0) AS k
+        |  FROM events),
+        |p AS (
+        |  SELECT * FROM m
+        |  UNION ALL SELECT * FROM m WHERE event_id % 37 = 0),
+        |g AS (
+        |  SELECT src_table, event_id, user_id, event_type, k,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2, 3, 4, 5)
+        |SELECT src_table, CAST(SUM(n) AS BIGINT) AS n_msgs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup,
+        |  CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT)
+        |    AS dup_ppm,
+        |  CAST(MAX(n) AS BIGINT) AS max_copies
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cdc_seq_gaps" ->
       s"""$base,
          |ids AS (SELECT DISTINCT src_table, id FROM m),

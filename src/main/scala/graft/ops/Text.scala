@@ -3431,6 +3431,64 @@ object Text {
           col("pass_alpha") && col("pass_stop"))
   }
 
+  /** Chain-contamination audit of the dedup clusters — how much of
+    * each cluster is held together only TRANSITIVELY: connected
+    * components deliberately close A~B~C into one cluster even when
+    * A and C are NOT direct near-duplicates, and at aggressive
+    * thresholds that chaining can glue genuinely distinct documents
+    * into one keep-group (the classic over-merge failure of
+    * transitive dedup). Per cluster SIZE: examined clusters, member
+    * pairs, pairs directly ≥ threshold, and `transitive_ppm` — the
+    * share of intra-cluster pairs with NO direct edge. High ppm at
+    * large sizes is the signal to raise the threshold or switch the
+    * keep-policy from per-cluster to per-edge.
+    *
+    * Scale honesty: intra-cluster pairs are Σ|c|² — clusters larger
+    * than `maxClusterSize` are NOT silently truncated; they report
+    * as their own rows with `examined = 0` and NULL pair columns,
+    * so a giant-component corpus shows up loudly in the output
+    * instead of vanishing from the denominator.
+    */
+  def chainContamination(
+      assign: DataFrame,
+      directPairs: DataFrame,
+      maxClusterSize: Int = 64
+  ): DataFrame = {
+    require(maxClusterSize >= 2, "maxClusterSize >= 2")
+    val sizes = assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+    val small = assign
+      .join(sizes.filter(col("sz") <= maxClusterSize), "cluster")
+    val intra = small.as("a").join(small.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cluster").as("cluster"), col("a.sz").as("sz"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val flagged = intra.join(
+      directPairs.select(col("doc_a"), col("doc_b"),
+        lit(1L).as("direct")),
+      Seq("doc_a", "doc_b"), "left")
+    val examined = flagged.groupBy(col("sz"))
+      .agg(countDistinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("direct"), lit(0L))).as("n_direct"))
+      .select(col("sz"), col("n_clusters"), lit(1L).as("examined"),
+        col("n_pairs"), col("n_direct"),
+        (col("n_pairs") - col("n_direct")).as("n_transitive_only"),
+        expr("(n_pairs - n_direct) * 1000000 div n_pairs")
+          .as("transitive_ppm"))
+    val skipped = sizes.filter(col("sz") > maxClusterSize)
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz"), col("n_clusters"), lit(0L).as("examined"),
+        lit(null).cast("long").as("n_pairs"),
+        lit(null).cast("long").as("n_direct"),
+        lit(null).cast("long").as("n_transitive_only"),
+        lit(null).cast("long").as("transitive_ppm"))
+    examined.unionByName(skipped).orderBy(col("sz"))
+  }
+
   /** RAKE keyword extraction (Rose et al., "Automatic Keyword
     * Extraction from Individual Documents") — corpus-level candidate
     * phrases as the stopword-delimited token runs, scored by the

@@ -855,6 +855,11 @@ object TextQueries {
     // exact milli, corpus-level top-30
     "q_text_rake" -> ((s, d) =>
       Text.rakeKeywords(Tables.documents(s, d))),
+    // transitive over-merge audit on the shared cluster assignment +
+    // direct-pair graph; oversized clusters report examined=0
+    "q_text_chain_contamination" -> ((s, d) =>
+      Text.chainContamination(clusterAssign(s, d),
+        jacPairs(s, d).select(col("doc_a"), col("doc_b")))),
     // isotonic (PAV) calibration of the same score->rate grid via
     // the exact minimax identity on the bin frame
     "q_text_isotonic" -> ((s, d) =>
@@ -1650,6 +1655,61 @@ object TextQueries {
          |    * 1000000 // (CAST(t.n AS HUGEINT) * t.n) AS BIGINT)
          |    AS unc_micro
          |FROM tot t CROSS JOIN res r""".stripMargin,
+    // same recursive CC + direct-pair left join; oversize clusters
+    // as examined=0 rows (none at validation SFs)
+    "q_text_chain_contamination" ->
+      s"""WITH RECURSIVE $jacPairsSql,
+         |dp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM dp
+         |  UNION ALL SELECT doc_b, doc_a FROM dp),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.dst
+         |  FROM reach JOIN e ON reach.r = e.src),
+         |cl AS (
+         |  SELECT doc_id, MIN(r) AS cluster
+         |  FROM reach GROUP BY doc_id),
+         |szs AS (
+         |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM cl GROUP BY 1 HAVING COUNT(*) >= 2),
+         |small AS (
+         |  SELECT c.doc_id, c.cluster, s.sz
+         |  FROM cl c JOIN szs s ON c.cluster = s.cluster
+         |  WHERE s.sz <= 64),
+         |intra AS (
+         |  SELECT a.cluster, a.sz, a.doc_id AS doc_a,
+         |    b.doc_id AS doc_b
+         |  FROM small a JOIN small b
+         |    ON a.cluster = b.cluster AND a.doc_id < b.doc_id),
+         |fl AS (
+         |  SELECT i.sz, i.cluster,
+         |    CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END
+         |      AS direct
+         |  FROM intra i LEFT JOIN dp d
+         |    ON i.doc_a = d.doc_a AND i.doc_b = d.doc_b),
+         |ex AS (
+         |  SELECT sz,
+         |    CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         |    CAST(1 AS BIGINT) AS examined,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(direct) AS BIGINT) AS n_direct,
+         |    CAST(COUNT(*) - SUM(direct) AS BIGINT)
+         |      AS n_transitive_only,
+         |    CAST((COUNT(*) - SUM(direct)) * 1000000 // COUNT(*)
+         |      AS BIGINT) AS transitive_ppm
+         |  FROM fl GROUP BY 1),
+         |sk AS (
+         |  SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |    CAST(0 AS BIGINT) AS examined,
+         |    CAST(NULL AS BIGINT) AS n_pairs,
+         |    CAST(NULL AS BIGINT) AS n_direct,
+         |    CAST(NULL AS BIGINT) AS n_transitive_only,
+         |    CAST(NULL AS BIGINT) AS transitive_ppm
+         |  FROM szs WHERE sz > 64 GROUP BY 1)
+         |SELECT * FROM ex UNION ALL SELECT * FROM sk
+         |ORDER BY sz""".stripMargin,
     // gaps-and-islands phrase runs (pos - content-rank), word
     // deg/freq floored per word, head by (score DESC, phrase)
     "q_text_rake" ->

@@ -258,6 +258,22 @@ class CdcSpec extends SparkSpec {
     assert(m("f") == (("added", 500000L, 666666L, 2L, 4L)))
   }
 
+  test("dupDeliveryProfile: identical raw lines collapse per table; " +
+      "max_copies reads the worst replay") {
+    import spark.implicits._
+    val a = """{"table":"t0","type":"insert","data":{"id":"1"}}"""
+    val b = """{"table":"t0","type":"insert","data":{"id":"2"}}"""
+    val c = """{"table":"t1","type":"insert","data":{"id":"3"}}"""
+    val out = Cdc.dupDeliveryProfile(
+      Seq(a, a, a, b, c).toDF("value")).collect()
+      .map(r => r.getAs[String]("src_table") ->
+        ((r.getAs[Long]("n_msgs"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("n_dup"), r.getAs[Long]("dup_ppm"),
+          r.getAs[Long]("max_copies")))).toMap
+    assert(out("t0") == ((4L, 2L, 2L, 500000L, 3L)))
+    assert(out("t1") == ((1L, 1L, 0L, 0L, 1L)))
+  }
+
   test("sequenceGaps: holes and spans per table; contiguous table " +
       "reads zero missing and NULL largest gap; dup ids fold") {
     import spark.implicits._

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 384,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 384")
-    assert(SparkEntry.oracleSql.size == 372,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 372")
+    assert(SparkEntry.queries.size == 386,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 386")
+    assert(SparkEntry.oracleSql.size == 374,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 374")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -486,6 +486,7 @@ class GraftApiSpec extends SparkSpec {
       "zipfAudit" -> "zipfAudit",
       "langConfusion" -> "langConfusion",
       "dedupImpact" -> "dedupImpact",
+      "chainContamination" -> "chainContamination",
       "mahalanobisOutliers" -> "mahalanobisOutliers",
       "coresetSample" -> "coresetSample",
       "rankingMetrics" -> "rankingMetricsAgainst",

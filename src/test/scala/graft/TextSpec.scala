@@ -2258,6 +2258,35 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Long]("truncated_ppm") === 142857L)
   }
 
+  test("chainContamination: transitively-glued pairs counted per " +
+      "size; singletons excluded; oversize clusters report loudly " +
+      "instead of vanishing") {
+    import spark.implicits._
+    // cluster 10 = {10,11,12} chained 10-11-12 (pair 10-12 only
+    // transitive); cluster 20 = {20,21} direct; 30 singleton
+    val assign = Seq((10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L), (21L, 20L), (30L, 30L)).toDF("doc_id", "cluster")
+    val direct = Seq((10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val out = Text.chainContamination(assign, direct).collect()
+      .map(r => r.getAs[Long]("sz") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("examined"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("n_direct"),
+          r.getAs[Long]("transitive_ppm")))).toMap
+    assert(out(2L) == ((1L, 1L, 1L, 1L, 0L)))
+    assert(out(3L) == ((1L, 1L, 3L, 2L, 333333L)))
+    assert(!out.contains(1L)) // singleton never enters
+    // cap = 2: the size-3 cluster must surface as examined = 0 with
+    // NULL pair columns, not disappear
+    val capped = Text.chainContamination(assign, direct,
+      maxClusterSize = 2).collect()
+      .map(r => r.getAs[Long]("sz") ->
+        ((r.getAs[Long]("examined"),
+          Option(r.getAs[Any]("n_pairs"))))).toMap
+    assert(capped(3L) == ((0L, None)))
+    assert(capped(2L)._1 === 1L)
+  }
+
   test("rakeKeywords: stopword-delimited runs, degree/freq floored " +
       "per word, multi-word phrases outrank their fragments") {
     import spark.implicits._

@@ -22,10 +22,6 @@ def merge(dst, src):
             dst["queries"][name] = cell
             continue
         d = dst["queries"][name]
-        ks = sorted(
-            {k for k in d if k.startswith("k") and "_" not in k} &
-            {k for k in cell if k.startswith("k") and "_" not in k},
-            key=lambda s: int(s[1:]))
         for k in cell:
             if k.startswith("k") and "_" not in k and k in d:
                 if cell[k] < d[k]:
@@ -35,6 +31,11 @@ def merge(dst, src):
             elif k.startswith("k") and k not in d:
                 d[k] = cell[k]
         d["samples"] = d.get("samples", 0) + cell.get("samples", 0)
+        # alpha over the WIDEST k-range present after the merge (a
+        # narrower batch must not shrink the exponent's span)
+        ks = sorted(
+            (k for k in d if k.startswith("k") and "_" not in k),
+            key=lambda s: int(s[1:]))
         if len(ks) >= 2:
             lo, hi = ks[0], ks[-1]
             d["alpha"] = round(
