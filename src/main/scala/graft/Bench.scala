@@ -25,6 +25,23 @@ object Bench {
     // machinery) so the first timed query doesn't absorb JVM startup.
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // Host-factor probe: a fixed CPU-bound kernel (no IO, no shuffle
+    // beyond the final 1-row reduce) whose quiet-window floor on this
+    // host class is pinned below. Its ratio to the floor estimates
+    // the external-load multiplier on THIS bench run — the
+    // round-over-round artifact gap (r16: 444.7 s driver vs 370.2 s
+    // builder on identical HEAD) was exactly this factor, previously
+    // recoverable only by cross-referencing per-query tails.
+    def hostProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(500000000L)
+        .selectExpr("sum(id * 3 + (id & 1023))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // best-of-3: the probe estimates the FLOOR of available compute;
+    // a single sample can hit a scheduler hiccup
+    val probeStart = (0 until 3).map(_ => hostProbe()).min
+    System.err.println(f"[bench] host_probe(start) $probeStart%6.3fs")
     // Outside the timed region, materialize what is NOT operator work:
     // the demux/CDC synth lines (harness scaffolding standing in for a
     // Kafka broker's payloads — a deployment reads them, it doesn't
@@ -173,18 +190,40 @@ object Bench {
     //  3. a SHORT final line — headline total + absolute path of the
     //     file — fits inside any plausible tail-capture window, so a
     //     last-line capture parses THAT.
+    // close-of-run probe: external load is BURSTY on this host; the
+    // start/end pair brackets the run (min of the two is the factor
+    // estimate — the probe measures a floor, so the smaller sample
+    // is the less-contended one)
+    val probeEnd = (0 until 3).map(_ => hostProbe()).min
+    System.err.println(f"[bench] host_probe(end)   $probeEnd%6.3fs")
+    // quiet-window floor of hostProbe() on this 32-thread host class
+    // (calibrated r17: quiet best-of-3 start/end read 0.212/0.168 s;
+    // re-pin if the kernel or host class changes)
+    val probeFloor = 0.16
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val hostFactor = r3(math.max(1.0,
+      math.min(probeStart, probeEnd) / probeFloor))
     val qs = retimed.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    // per-family subtotals: round-over-round reads compare families
+    // (relational / text / vec / cdc / demux / ...) without
+    // re-deriving them from the query tail
+    val famTotals = retimed
+      .groupBy { case (name, _) => family(name) }
+      .map { case (f, es) =>
+        (if (f.isEmpty) "other" else f) -> r3(es.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, v) => "\"" + f + "\":" + v }
       .mkString("{", ",", "}")
     val total = r3(retimed.map(_._2).sum)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"total_sec":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"families":$famTotals,"host_probe_sec":${r3(math.min(probeStart, probeEnd))},"host_factor":$hostFactor,"total_sec":$total}"""
     val benchFile = new java.io.File("target/bench.json")
     Option(benchFile.getParentFile).foreach(_.mkdirs())
     java.nio.file.Files.writeString(benchFile.toPath, full + "\n")
     println(full)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"${benchFile.getAbsolutePath}","total_sec":$total}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"${benchFile.getAbsolutePath}","host_factor":$hostFactor,"total_sec":$total}""")
     spark.stop()
   }
 }

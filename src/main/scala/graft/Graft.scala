@@ -212,6 +212,15 @@ object Graft {
     /** Cross-source containment provenance matrix over a pair set. */
     def sourceContainment(pairs: DataFrame): DataFrame =
       ops.Text.sourceContainment(docs, pairs)
+    /** Shard-local dedup loss over a pair set (the receiver IS the
+      * pair graph): pairs missed per candidate hash-shard count. */
+    def shardDedupLoss(
+        shardCounts: Seq[Int] = Seq(2, 8, 32)): DataFrame =
+      ops.Text.shardDedupLoss(docs, shardCounts)
+    /** Cross-language dup affinity over a pair set: observed vs
+      * independence-expected pair share per lang cell. */
+    def langDupAffinity(pairs: DataFrame): DataFrame =
+      ops.Text.langDupAffinity(docs, pairs)
     /** Per-doc tf-idf keywords (q20-integer idf, per-doc top-k). */
     def tfidfKeywords(k: Int): DataFrame =
       ops.Text.tfidfKeywords(docs, k)
@@ -615,9 +624,16 @@ object Graft {
     def matryoshkaRecallCurve(
         dims: Seq[Int] = Seq(8, 16, 32),
         k: Int = 10,
-        sampleMod: Long = 50L
+        sampleMod: Long = 50L,
+        sampleCount: Int = 0
     ): DataFrame =
-      ops.Vector.matryoshkaRecallCurve(embs, dims, k, sampleMod)
+      ops.Vector.matryoshkaRecallCurve(embs, dims, k, sampleMod,
+        sampleCount)
+    /** Cosine range search: neighborhood count + best match at τ
+      * per sampled query (constant-nq sample). */
+    def rangeSearch(tau: Double = 0.8, sampleCount: Int = 32)
+        : DataFrame =
+      ops.Vector.rangeSearch(embs, tau, sampleCount)
     /** PageRank centrality over the within-list kNN graph in exact
       * q20 integer arithmetic (frame must carry `list_id`). */
     def knnPagerankAssigned(k: Int = 3, iters: Int = 3): DataFrame =

@@ -623,6 +623,56 @@ object StreamBench {
           java.nio.file.StandardOpenOption.APPEND)
       } finally weQ.stop()
     }
+
+    // Thirteenth surface: the duplicate-delivery monitor — raw
+    // envelope lines/s through the per-table (value-hash → copies)
+    // fold (the continuous form of Cdc.dupDeliveryProfile; the
+    // reference producer is acks=1 with idempotence off, so
+    // at-least-once duplicates are its intrinsic failure mode).
+    // Realistic ingest mix: ~10% of lines are redeliveries of an
+    // earlier line in the same table; distinct lines stay under the
+    // tracking cap so the profile is exact throughout.
+    {
+      implicit val s = spark
+      val ddIn = MemoryStream[String]
+      val ddQ = streaming.DupDeliveryMonitor.monitor(ddIn.toDF())
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val tables = 8
+        val perBatch = 5000 * scale
+        val nDdBatches = 4
+        def ddBatch(b: Int): Seq[String] =
+          (0 until perBatch).map { i =>
+            val t = i % tables
+            val g = b.toLong * perBatch + i
+            // every 10th line replays the line 72 slots back: 72 ≡ 0
+            // (mod 8) keeps the table, 72 ≢ 0 (mod 10) makes the
+            // target a FRESH line, so the replay reproduces its
+            // string exactly — dups land both within and across
+            // micro-batches (72 < perBatch)
+            val src = if (i % 10 == 9 && g >= 72) g - 72 else g
+            s"""{"table":"t$t","data":{"id":$src,"v":${src % 97}}}"""
+          }
+        ddIn.addData(ddBatch(0)) // warm batch
+        ddQ.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nDdBatches).foreach { b =>
+          ddIn.addData(ddBatch(b))
+          ddQ.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = perBatch.toLong * nDdBatches
+        val line13 =
+          s"""{"metric":"dup_delivery_monitor_lines_per_sec","value":${(n / dt).toLong},""" +
+            s""""lines":$n,"tables":$tables,"seconds":$dt,"batches":$nDdBatches,"scale":$scale,"sf":"$sfDir"}"""
+        println(line13)
+        val out13 = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(out13.toPath, line13 + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } finally ddQ.stop()
+    }
     spark.stop()
   }
 }

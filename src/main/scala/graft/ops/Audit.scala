@@ -669,6 +669,71 @@ object Audit {
       .orderBy(col("event_type"), col("t"))
   }
 
+  /** Nelson–Aalen cumulative hazard — the additive companion to
+    * [[kaplanMeier]]'s multiplicative survival: H(t) = Σ_{tᵢ≤t}
+    * dᵢ/nᵢ over the SAME lifetime/risk-set table (identical churn
+    * censoring, identical day-grain event times). Where the KM curve
+    * answers "what fraction survives past t", the hazard increments
+    * localize WHEN the churn force concentrates (a step jump at
+    * t = 7 is a day-7 cliff the survival curve only shows as slope),
+    * and −ln(KM) ≈ NA is the standard cross-check between the two
+    * estimators. Each step is floored to exact integer micro BEFORE
+    * the cumulative sum (`dᵢ·10⁶ div nᵢ` — engine-bitwise; the
+    * cumulative floor bias is ≤ #steps micro-units, documented), so
+    * the whole curve is integer arithmetic: no q20 product fold
+    * needed — hazard ACCUMULATES, so it is one window cumsum where
+    * KM needs the sequential product.
+    *
+    * Scale shape: identical to KM through the risk table (user-grain
+    * rollup, calendar-bounded step table); the cumsum window runs
+    * over ≤ #days rows per type.
+    */
+  def nelsonAalen(
+      events: DataFrame,
+      churnGapDays: Int = 14
+  ): DataFrame = {
+    require(churnGapDays >= 1, s"churnGapDays must be >= 1")
+    val life = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        min(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long")).as("first_day"),
+        max(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long")).as("last_day"))
+    val corpusEnd = events
+      .agg(max(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long")).as("end_day"))
+    val durations = life
+      .crossJoin(broadcast(corpusEnd))
+      .select(col("event_type"),
+        (col("last_day") <= col("end_day") - churnGapDays)
+          .as("churned"),
+        when(col("last_day") <= col("end_day") - churnGapDays,
+          col("last_day") - col("first_day"))
+          .otherwise(col("end_day") - col("first_day")).as("t"))
+    val tab = durations
+      .groupBy(col("event_type"), col("t"))
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("dd"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("cc"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tab
+      .withColumn("n_risk",
+        sum(col("dd") + col("cc")).over(wAll) -
+          coalesce(sum(col("dd") + col("cc")).over(wPrev), lit(0L)))
+      .withColumn("h_step_micro",
+        expr("dd * 1000000 div n_risk"))
+      .withColumn("h_cum_micro",
+        sum(col("h_step_micro")).over(wCum))
+      .select(col("event_type"), col("t"), col("n_risk"),
+        col("dd").as("d_churned"), col("cc").as("c_censored"),
+        col("h_step_micro"), col("h_cum_micro"))
+      .orderBy(col("event_type"), col("t"))
+  }
+
   /** Western Electric control-chart rules over a type's daily count
     * series — the run-based anomaly layer a single-point z-test
     * misses: a process can drift without any one day crossing 3σ.
@@ -2145,6 +2210,69 @@ object Audit {
         expr("CAST(sxy div n_pairs AS BIGINT)").as("e_xy_m2"),
         expr("CAST(sx2 div n_pairs AS BIGINT)").as("e_x2_m2"),
         expr("CAST(sy2 div n_pairs AS BIGINT)").as("e_y2_m2"))
+      .withColumn("cov_m2",
+        expr("e_xy_m2 - mean_x_milli * mean_y_milli"))
+      .withColumn("var_x_m2",
+        expr("e_x2_m2 - mean_x_milli * mean_x_milli"))
+      .withColumn("var_y_m2",
+        expr("e_y2_m2 - mean_y_milli * mean_y_milli"))
+      .withColumn("r_milli",
+        when(col("var_x_m2") > 0 && col("var_y_m2") > 0,
+          floor(col("cov_m2").cast("double") * 1000.0 /
+            sqrt(col("var_x_m2").cast("double") *
+              col("var_y_m2").cast("double"))).cast("long")))
+  }
+
+  /** Cross-series lead–lag profile — does one feed's daily volume
+    * PREDICT another's ([[dailyAutocorrelation]] is the self-series
+    * case; this is the pair case a funnel owner reads before
+    * claiming "views lead purchases by two days")? Pearson r of
+    * (typeA count on day d, typeB count on day d+lag) over every lag
+    * in [−maxLag, +maxLag]: positive lags test A leading B, negative
+    * lags the reverse, lag 0 is plain co-movement, and the argmax
+    * lag is the phase estimate. Identical exact-moment discipline as
+    * the autocorrelation op (milli-scaled counts, DECIMAL moment
+    * skeleton, floor-div-n means, IEEE only at the final r_milli) —
+    * engine-bitwise by the same argument, with the same ~3·10⁶
+    * events/day documented bound.
+    *
+    * Scale shape: one day-grain rollup of the two feeds, one
+    * |days|·|lags| calendar join, a |lags|-row moment aggregation —
+    * the day grid is calendar-bounded, so 100× more events is the
+    * SAME join size after the rollup.
+    */
+  def leadLagCorrelation(
+      events: DataFrame,
+      typeA: String = "view",
+      typeB: String = "purchase",
+      maxLag: Int = 7
+  ): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val lags = (-maxLag to maxLag).toSeq
+    def daily(t: String) = events
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg((count(lit(1)) * 1000L).as("x"))
+    val a = daily(typeA)
+      .withColumn("lag", explode(array(lags.map(lit): _*)))
+      .withColumn("jd", expr("date_add(d, lag)"))
+      .select(col("lag"), col("x"), col("jd"))
+    val b = daily(typeB).select(col("d").as("jd"), col("x").as("y"))
+    a.join(b, "jd")
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sx2"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("sy2"))
+      .select(col("lag").cast("long").as("lag"), col("n_days"),
+        expr("CAST(sx div n_days AS BIGINT)").as("mean_x_milli"),
+        expr("CAST(sy div n_days AS BIGINT)").as("mean_y_milli"),
+        expr("CAST(sxy div n_days AS BIGINT)").as("e_xy_m2"),
+        expr("CAST(sx2 div n_days AS BIGINT)").as("e_x2_m2"),
+        expr("CAST(sy2 div n_days AS BIGINT)").as("e_y2_m2"))
       .withColumn("cov_m2",
         expr("e_xy_m2 - mean_x_milli * mean_y_milli"))
       .withColumn("var_x_m2",

@@ -831,6 +831,58 @@ object Relational {
       .limit(topK)
   }
 
+  /** Supplier on-time scorecard with a Wilson lower bound — the
+    * delivery league table done so a 3-shipment supplier at 3/3
+    * cannot outrank a 500-shipment supplier at 480/500: per
+    * supplier, shipments, on-time count (shipped within `slaDays`
+    * of the order date), the raw rate, and the 95% Wilson score
+    * LOWER bound the ranking actually sorts by (the small-sample
+    * shrinkage estimator a procurement report should lead with).
+    * The bound is computed as ONE fixed double expression tree — z²
+    * literals (1.96² = 3.8416), left-to-right IEEE — mirrored
+    * token-for-token in the SQL twin, so the floor(ppm) hashes
+    * bitwise; counts themselves stay exact integers.
+    *
+    * Scale shape: one orderkey equi-join (both fact sides shuffle on
+    * the key once), one fact-sized groupBy(l_suppkey) with map-side
+    * combine, a supplier-sized scoring projection, TakeOrdered topK
+    * — and the name join runs AFTER the head, broadcasting the
+    * topK-row head into the supplier dim, never the reverse.
+    */
+  def supplierSlaWilson(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      supplier: DataFrame,
+      slaDays: Int = 60,
+      topK: Int = 20
+  ): DataFrame = {
+    val perSupp = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_shipments"),
+        sum(when(datediff(col("l_shipdate"), col("o_orderdate"))
+          <= slaDays, 1L).otherwise(0L)).as("n_ontime"))
+      .select(col("l_suppkey"), col("n_shipments"), col("n_ontime"),
+        expr("n_ontime * 1000000 div n_shipments").as("otif_ppm"),
+        expr(
+          """CAST(FLOOR(1000000.0 * ((CAST(n_ontime AS DOUBLE)
+            | + 1.9208 - 1.96 * SQRT(CAST(n_ontime AS DOUBLE)
+            | * CAST(n_shipments - n_ontime AS DOUBLE)
+            | / CAST(n_shipments AS DOUBLE) + 0.9604))
+            | / (CAST(n_shipments AS DOUBLE) + 3.8416)))
+            | AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("wilson_lb_ppm"))
+      .orderBy(col("wilson_lb_ppm").desc, col("l_suppkey"))
+      .limit(topK)
+    broadcast(perSupp)
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_shipments"),
+        col("n_ontime"), col("otif_ppm"), col("wilson_lb_ppm"))
+      .orderBy(col("wilson_lb_ppm").desc, col("s_suppkey"))
+  }
+
   /** TPC-H Q22 shape — idle wealthy customers: customers whose
     * balance beats the average POSITIVE balance and who have placed
     * no order since `sinceDate` (every synthetic customer has SOME

@@ -104,6 +104,18 @@ object RelationalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // supplier ship-SLA scorecard ranked by the 95% Wilson LOWER
+    // bound (small-sample shrinkage): fact join + suppkey agg +
+    // TakeOrdered head, names broadcast-joined after the head
+    "q_supplier_sla_wilson" -> ((s, d) =>
+      Relational.supplierSlaWilson(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.supplier(s, d))),
+    // lead–lag cross-correlation between the view and purchase
+    // daily series at lags −7..7 (the cross-type sibling of
+    // q_events_autocorr, same exact-moment discipline)
+    "q_events_lead_lag" -> ((s, d) =>
+      Audit.leadLagCorrelation(Tables.events(s, d))
+        .orderBy(col("lag"))),
     "q_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
     "q_distinct_agg"    -> ((s, d) => distinctAgg(Tables.lineitem(s, d))),
     "q_rollup_agg" -> ((s, d) =>
@@ -186,6 +198,11 @@ object RelationalQueries {
     // twin, bitwise both SFs)
     "q_events_kaplan_meier" -> ((s, d) =>
       Audit.kaplanMeier(Tables.events(s, d))),
+    // Nelson-Aalen cumulative hazard over the SAME risk table:
+    // per-step d/n floored to exact micro, window cumsum (hazard
+    // adds where survival multiplies - no sequential fold needed)
+    "q_events_nelson_aalen" -> ((s, d) =>
+      Audit.nelsonAalen(Tables.events(s, d))),
     // Western Electric run rules: per-day side/rule flags from exact
     // integer cross-multiplied sigma comparisons (no sqrt)
     "q_events_we_rules" -> ((s, d) =>
@@ -649,6 +666,85 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Wilson bound as ONE fixed double expression tree mirrored
+    // token-for-token from the Spark op (identical IEEE fold);
+    // counts exact BIGINT throughout
+    "q_supplier_sla_wilson" ->
+      """WITH s AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_shipments,
+        |    CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+        |        - CAST(o_orderdate AS DATE) <= 60
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |sc AS (
+        |  SELECT l_suppkey, n_shipments, n_ontime,
+        |    n_ontime * 1000000 // n_shipments AS otif_ppm,
+        |    CAST(FLOOR(1000000.0 * ((CAST(n_ontime AS DOUBLE)
+        |      + 1.9208 - 1.96 * SQRT(CAST(n_ontime AS DOUBLE)
+        |      * CAST(n_shipments - n_ontime AS DOUBLE)
+        |      / CAST(n_shipments AS DOUBLE) + 0.9604))
+        |      / (CAST(n_shipments AS DOUBLE) + 3.8416)))
+        |      AS BIGINT) AS wilson_lb_ppm
+        |  FROM s),
+        |top AS (SELECT * FROM sc
+        |        ORDER BY wilson_lb_ppm DESC, l_suppkey LIMIT 20)
+        |SELECT t.l_suppkey AS s_suppkey, su.s_name,
+        |  t.n_shipments, t.n_ontime,
+        |  CAST(t.otif_ppm AS BIGINT) AS otif_ppm, t.wilson_lb_ppm
+        |FROM top t JOIN supplier su ON su.s_suppkey = t.l_suppkey
+        |ORDER BY t.wilson_lb_ppm DESC, t.l_suppkey""".stripMargin,
+    // two filtered day rollups, |days|·15 calendar join, exact
+    // HUGEINT moment skeleton, IEEE only at the final r_milli —
+    // the q_events_autocorr twin with a cross-series pair table
+    "q_events_lead_lag" ->
+      """WITH da AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) * 1000 AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |db AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) * 1000 AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |a AS (
+        |  SELECT l.lag, x, d + l.lag AS jd
+        |  FROM da, (SELECT UNNEST([-7, -6, -5, -4, -3, -2, -1, 0,
+        |    1, 2, 3, 4, 5, 6, 7]) AS lag) l),
+        |p AS (
+        |  SELECT a.lag, a.x, b.x AS y
+        |  FROM a JOIN db b ON b.d = a.jd),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sx2,
+        |    SUM(CAST(y AS HUGEINT) * y) AS sy2
+        |  FROM p GROUP BY 1),
+        |k AS (
+        |  SELECT lag, n_days,
+        |    CAST(sx // n_days AS BIGINT) AS mean_x_milli,
+        |    CAST(sy // n_days AS BIGINT) AS mean_y_milli,
+        |    CAST(sxy // n_days AS BIGINT) AS e_xy_m2,
+        |    CAST(sx2 // n_days AS BIGINT) AS e_x2_m2,
+        |    CAST(sy2 // n_days AS BIGINT) AS e_y2_m2
+        |  FROM m)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_days, mean_x_milli,
+        |  mean_y_milli, e_xy_m2, e_x2_m2, e_y2_m2,
+        |  e_xy_m2 - mean_x_milli * mean_y_milli AS cov_m2,
+        |  e_x2_m2 - mean_x_milli * mean_x_milli AS var_x_m2,
+        |  e_y2_m2 - mean_y_milli * mean_y_milli AS var_y_m2,
+        |  CASE WHEN e_x2_m2 - mean_x_milli * mean_x_milli > 0
+        |      AND e_y2_m2 - mean_y_milli * mean_y_milli > 0
+        |    THEN CAST(FLOOR(CAST(e_xy_m2
+        |        - mean_x_milli * mean_y_milli AS DOUBLE) * 1000.0
+        |      / sqrt(CAST(e_x2_m2 - mean_x_milli * mean_x_milli
+        |          AS DOUBLE)
+        |        * CAST(e_y2_m2 - mean_y_milli * mean_y_milli
+        |          AS DOUBLE)))
+        |      AS BIGINT)
+        |  END AS r_milli
+        |FROM k ORDER BY lag""".stripMargin,
     "q_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
@@ -2255,6 +2351,47 @@ object RelationalQueries {
     "q_events_holt_winters" -> hwOracle,
     // product-limit recursion mirrored step-for-step: positive q20
     // integers, // floors = Spark div truncation
+    // same life/risk CTE stack as the KM twin, but the curve is one
+    // window cumsum of the per-step micro hazard (floored per step
+    // BEFORE the sum, mirroring the Spark op)
+    "q_events_nelson_aalen" ->
+      """WITH life AS (
+        |  SELECT event_type, user_id,
+        |    CAST(MIN(CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS f,
+        |    CAST(MAX(CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS l
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT CAST(MAX(CAST(ts AS DATE) - DATE '1970-01-01')
+        |    AS BIGINT) AS end_day FROM events),
+        |dur AS (
+        |  SELECT event_type, (l <= end_day - 14) AS churned,
+        |    CASE WHEN l <= end_day - 14 THEN l - f
+        |      ELSE end_day - f END AS t
+        |  FROM life CROSS JOIN m),
+        |tab AS (
+        |  SELECT event_type, t,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dd,
+        |    CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS cc
+        |  FROM dur GROUP BY 1, 2),
+        |r0 AS (
+        |  SELECT event_type, t, dd, cc,
+        |    CAST(SUM(dd + cc) OVER (PARTITION BY event_type)
+        |      - COALESCE(SUM(dd + cc) OVER (PARTITION BY event_type
+        |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM tab)
+        |SELECT event_type, t, n_risk, dd AS d_churned,
+        |  cc AS c_censored,
+        |  CAST(dd * 1000000 // n_risk AS BIGINT) AS h_step_micro,
+        |  CAST(SUM(dd * 1000000 // n_risk) OVER (
+        |    PARTITION BY event_type ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS h_cum_micro
+        |FROM r0 ORDER BY event_type, t""".stripMargin,
     "q_events_kaplan_meier" ->
       """WITH RECURSIVE life AS (
         |  SELECT event_type, user_id,

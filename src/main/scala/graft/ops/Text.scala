@@ -1214,6 +1214,23 @@ object Text {
     * df aggregation, and the canonical sort (the expensive shuffles)
     * are threshold-independent.
     */
+  /* Shuffle-width note (r17 adjudication of the pair-cache
+   * "memory-phase wall"): explicit `repartition(p, key)` widening of
+   * the heavy exchanges below was IMPLEMENTED AND MEASURED HARMFUL —
+   * a user repartition sits BEFORE the aggregation, so the exchange
+   * ships the raw exploded rows (9.7M candidate rows at k=20) that
+   * the planner's partial aggregate would otherwise collapse
+   * map-side (to ~10k) before its own exchange, and AQE cannot
+   * coalesce a user-pinned width. In-JVM A/B at k=20 (same process,
+   * alternating widths): candidate dedup 3.1–4.9 s at planner width
+   * vs 18.5–19.9 s at width 196; the df/collect_list aggs regress
+   * the same way. The declarative plan already has the right shape —
+   * partial-agg before every exchange — and the committed
+   * superlinear k10→k20 cells trace to single-process JVM aging
+   * (ascending-k runs age the heap into the k20 cells) plus host
+   * noise, not to plan shape; see SURVEY §6 and SCALEBENCH_r17's
+   * per-k fresh-JVM cells.
+   */
   def orderedShingles(docs: DataFrame): DataFrame = {
     // shingles staged behind two Project barriers: `tokens` (a split)
     // must not get inlined into the per-element lambda (lambda HOF
@@ -1590,6 +1607,64 @@ object Text {
       .withColumn("share_ppm",
         expr("n_pairs * 1000000 div n_total"))
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Cross-language near-duplicate affinity — which language PAIRS
+    * the dup graph concentrates in, scored against the independence
+    * baseline: within-language dups are the expected template/crawl
+    * redundancy, but a cross-language cell sitting far ABOVE its
+    * expected share is machine-translated boilerplate or
+    * transliterated mirrors — contamination a per-language dedup
+    * sweep never sees. Per unordered (lang_a ≤ lang_b) cell:
+    * observed pairs and share, the EXACT expected share under
+    * independent pairing from the doc marginals (nₐ·n_b cross /
+    * n(n−1)/2 within, over N(N−1)/2 — no with-replacement
+    * approximation), and the observed/expected lift in milli.
+    * DECIMAL(38,0)-bridged products (pairs_total reaches N²/2, far
+    * past BIGINT once multiplied by the ppm shift).
+    *
+    * Scale shape: two id-keyed attribution joins on the (already
+    * small) pair set, #langs² cells, doc marginals one
+    * map-side-combinable rollup; the lang marginal and scalar
+    * totals broadcast.
+    */
+  def langDupAffinity(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lang = docs.select(col("doc_id"), col("lang"))
+    val tagged = pairs
+      .join(lang.select(col("doc_id").as("doc_a"),
+        col("lang").as("la")), "doc_a")
+      .join(lang.select(col("doc_id").as("doc_b"),
+        col("lang").as("lb")), "doc_b")
+      .select(least(col("la"), col("lb")).as("lang_a"),
+        greatest(col("la"), col("lb")).as("lang_b"))
+    val counts = tagged.groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val marg = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val obsTot = counts.agg(sum(col("n_pairs")).as("obs_total"))
+    counts
+      .join(broadcast(marg.select(col("lang").as("lang_a"),
+        col("n_docs").as("na"))), "lang_a")
+      .join(broadcast(marg.select(col("lang").as("lang_b"),
+        col("n_docs").as("nb"))), "lang_b")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(obsTot))
+      .withColumn("pairs_lang",
+        when(col("lang_a") === col("lang_b"),
+          expr("na * (na - 1) div 2")).otherwise(expr("na * nb")))
+      .withColumn("pairs_total",
+        expr("n_total * (n_total - 1) div 2"))
+      .select(col("lang_a"), col("lang_b"), col("n_pairs"),
+        expr("n_pairs * 1000000 div obs_total").as("share_ppm"),
+        expr("""CAST(CAST(pairs_lang AS DECIMAL(38,0)) * 1000000
+          | div pairs_total AS BIGINT)""".stripMargin
+          .replace("\n", "")).as("expected_ppm"),
+        expr("""CAST(CAST(n_pairs AS DECIMAL(38,0)) * pairs_total
+          | * 1000 div (CAST(obs_total AS DECIMAL(38,0))
+          | * pairs_lang) AS BIGINT)""".stripMargin
+          .replace("\n", "")).as("lift_milli"))
+      .orderBy(col("lang_a"), col("lang_b"))
   }
 
   /** Hill tail-index of the document-length distribution — IS the
@@ -3448,6 +3523,13 @@ object Text {
     * as their own rows with `examined = 0` and NULL pair columns,
     * so a giant-component corpus shows up loudly in the output
     * instead of vanishing from the denominator.
+    *
+    * `directPairs` orientation: the pair graph is normalized here —
+    * each edge is canonicalized to (least, greatest) and
+    * deduplicated before the membership join, so callers may pass
+    * (a,b), (b,a), or both without inflating `transitive_ppm` or
+    * fanning out the join (the in-repo producers emit doc_a < doc_b
+    * already; the public facade must not depend on that).
     */
   def chainContamination(
       assign: DataFrame,
@@ -3455,6 +3537,10 @@ object Text {
       maxClusterSize: Int = 64
   ): DataFrame = {
     require(maxClusterSize >= 2, "maxClusterSize >= 2")
+    val canonPairs = directPairs
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
     val sizes = assign.groupBy(col("cluster"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") >= 2)
@@ -3466,7 +3552,7 @@ object Text {
       .select(col("a.cluster").as("cluster"), col("a.sz").as("sz"),
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val flagged = intra.join(
-      directPairs.select(col("doc_a"), col("doc_b"),
+      canonPairs.select(col("doc_a"), col("doc_b"),
         lit(1L).as("direct")),
       Seq("doc_a", "doc_b"), "left")
     val examined = flagged.groupBy(col("sz"))
@@ -4499,6 +4585,48 @@ object Text {
       .select(col("cluster_size"), col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).as("n_docs"),
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_removed"))
+
+  /** Shard-local dedup loss — the first design question of dedup at
+    * 100 TB: a single global pair pass is the gold standard, but the
+    * affordable layout is often S independent shard-local passes
+    * (each shard deduped where it lives, no cross-shard shuffle).
+    * That layout silently MISSES every true near-dup pair whose two
+    * docs hash to different shards — and under a uniform hash the
+    * expected miss rate is (S−1)/S of all pairs, i.e. almost all of
+    * them at realistic S, unless dup pairs are id-correlated. This
+    * op measures the actual loss on the actual pair graph: for each
+    * candidate shard count, the pairs kept (both docs in one
+    * `pmod(doc_id, S)` shard) vs lost, as exact counts and ppm —
+    * the evidence for choosing between global dedup, shard-local
+    * dedup + a cross-shard MinHash pass, or content-keyed sharding.
+    *
+    * Scale shape: ONE scan of the (already-built) pair set exploded
+    * by |shardCounts| (single digits) into one #shardCounts-row
+    * aggregation; the corpus is never touched — this audits the
+    * pair-graph artifact the dedup already paid for.
+    */
+  def shardDedupLoss(
+      pairs: DataFrame,
+      shardCounts: Seq[Int] = Seq(2, 8, 32)
+  ): DataFrame = {
+    require(shardCounts.nonEmpty && shardCounts.forall(_ >= 2),
+      "shard counts must be >= 2")
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        explode(lit(shardCounts.distinct.sorted.toArray))
+          .as("n_shards"))
+      .groupBy(col("n_shards"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(pmod(col("doc_a"), col("n_shards")) ===
+          pmod(col("doc_b"), col("n_shards")), 1L).otherwise(0L))
+          .as("n_local"))
+      .select(col("n_shards").cast("long").as("n_shards"),
+        col("n_pairs"), col("n_local"),
+        (col("n_pairs") - col("n_local")).as("n_lost"),
+        expr("(n_pairs - n_local) * 1000000 div n_pairs")
+          .as("lost_ppm"))
+      .orderBy(col("n_shards"))
+  }
 
   /** Duplicate-cluster quality bias — joins the two facts every
     * dedup decision should see together: ARE the duplicated

@@ -451,6 +451,12 @@ object TextQueries {
     "q_text_dedup_impact" -> ((s, d) =>
       Text.dedupImpact(clusterAssign(s, d))
         .orderBy(col("cluster_size"))),
+    // shard-local dedup loss: pairs MISSED if dedup runs per hash
+    // shard instead of globally, per candidate shard count — one
+    // scan of the shared pair graph, the global-vs-sharded design
+    // evidence at 100 TB
+    "q_text_shard_dedup_loss" -> ((s, d) =>
+      Text.shardDedupLoss(jacPairs(s, d))),
     // pairwise dedup → dedup GROUPS: connected components (min
     // reachable doc_id) over the exact-jaccard pair graph; oracle is
     // a DuckDB recursive CTE over the same edges
@@ -925,6 +931,11 @@ object TextQueries {
     // pair graph: who copies from whom (syndication vs boilerplate)
     "q_text_source_dup_matrix" -> ((s, d) =>
       Text.sourceDupMatrix(Tables.documents(s, d), jacPairs(s, d))),
+    // cross-language dup affinity: observed vs independence-expected
+    // pair share per lang cell (a cross-lang cell far above lift
+    // 1000 is MT boilerplate a per-lang dedup sweep never sees)
+    "q_text_lang_dup_affinity" -> ((s, d) =>
+      Text.langDupAffinity(Tables.documents(s, d), jacPairs(s, d))),
     // tokenizer fertility: tokens per MB-byte per lang + token/byte
     // share side by side (byte-balanced != token-balanced)
     "q_text_fertility" -> ((s, d) =>
@@ -2104,6 +2115,47 @@ object TextQueries {
          |SELECT sdm.source_a, sdm.source_b, sdm.n_pairs, sdt.n_total,
          |  sdm.n_pairs * 1000000 // sdt.n_total AS share_ppm
          |FROM sdm, sdt ORDER BY source_a, source_b""".stripMargin,
+    // the jac pair space on (lang_a, lang_b) scored against the
+    // exact independence baseline (n_a·n_b cross / C(n,2) within
+    // over C(N,2)); HUGEINT-bridged products mirror the DECIMAL(38)
+    // bridge in the op
+    "q_text_lang_dup_affinity" ->
+      s"""WITH $jacPairsSql,
+         |pr AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         |lg AS (SELECT doc_id, lang FROM documents),
+         |tg AS (
+         |  SELECT LEAST(la.lang, lb.lang) AS lang_a,
+         |    GREATEST(la.lang, lb.lang) AS lang_b
+         |  FROM pr JOIN lg la ON la.doc_id = pr.doc_a
+         |  JOIN lg lb ON lb.doc_id = pr.doc_b),
+         |cts AS (
+         |  SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM tg GROUP BY 1, 2),
+         |mg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total
+         |       FROM documents),
+         |ot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS obs_total
+         |       FROM cts),
+         |x AS (
+         |  SELECT c.lang_a, c.lang_b, c.n_pairs, ma.n_docs AS na,
+         |    mb.n_docs AS nb, tt.n_total, ot.obs_total,
+         |    CASE WHEN c.lang_a = c.lang_b
+         |      THEN ma.n_docs * (ma.n_docs - 1) // 2
+         |      ELSE ma.n_docs * mb.n_docs END AS pairs_lang,
+         |    tt.n_total * (tt.n_total - 1) // 2 AS pairs_total
+         |  FROM cts c
+         |  JOIN mg ma ON ma.lang = c.lang_a
+         |  JOIN mg mb ON mb.lang = c.lang_b
+         |  CROSS JOIN tt CROSS JOIN ot)
+         |SELECT lang_a, lang_b, n_pairs,
+         |  n_pairs * 1000000 // obs_total AS share_ppm,
+         |  CAST(CAST(pairs_lang AS HUGEINT) * 1000000
+         |    // pairs_total AS BIGINT) AS expected_ppm,
+         |  CAST(CAST(n_pairs AS HUGEINT) * pairs_total * 1000
+         |    // (CAST(obs_total AS HUGEINT) * pairs_lang)
+         |    AS BIGINT) AS lift_milli
+         |FROM x ORDER BY lang_a, lang_b""".stripMargin,
     // the q_text_chunks window arithmetic + md5-60 first-owner pass
     "q_text_chunk_dedup" ->
       """WITH t AS (
@@ -2751,6 +2803,26 @@ object TextQueries {
          |  (m.n * 1000000) // tot.label_total AS share_ppm
          |FROM m JOIN tot USING (lang_label)
          |ORDER BY lang_label, lang_guess""".stripMargin,
+    // one exploded scan of the exact pair set per shard count; the
+    // shard key is pmod(doc_id, S) in both engines (non-negative
+    // ids, so % ≡ pmod)
+    "q_text_shard_dedup_loss" ->
+      s"""WITH $jacPairsSql,
+         |pr AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         |sh AS (
+         |  SELECT p.doc_a, p.doc_b, s.n_shards
+         |  FROM pr p, (SELECT UNNEST([2, 8, 32]) AS n_shards) s)
+         |SELECT CAST(n_shards AS BIGINT) AS n_shards,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN doc_a % n_shards = doc_b % n_shards
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_local,
+         |  CAST(COUNT(*) - SUM(CASE WHEN doc_a % n_shards
+         |      = doc_b % n_shards THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_lost,
+         |  CAST((COUNT(*) - SUM(CASE WHEN doc_a % n_shards
+         |      = doc_b % n_shards THEN 1 ELSE 0 END)) * 1000000
+         |    // COUNT(*) AS BIGINT) AS lost_ppm
+         |FROM sh GROUP BY n_shards ORDER BY n_shards""".stripMargin,
     "q_text_dedup_impact" ->
       s"""WITH RECURSIVE $jacPairsSql,
          |e AS (

@@ -49,6 +49,20 @@ object Vector {
   def cosine(a: Column, b: Column): Column =
     decDot(a, b) / (decNorm(a) * decNorm(b))
 
+  /** [[cosine]] with the zero-norm case guarded BEFORE the division
+    * (NULL instead of 0/0): under ANSI mode (Spark 4's default) a
+    * zero-norm operand makes the raw quotient a runtime
+    * DIVIDE_BY_ZERO error, not a NaN — so consumers that must
+    * tolerate degenerate vectors (zero embeddings, all-zero
+    * truncation prefixes) filter `isNotNull` on THIS form; the
+    * CaseWhen only evaluates the division when the guard holds.
+    */
+  def cosineSafe(a: Column, b: Column): Column = {
+    val na = decNorm(a)
+    val nb = decNorm(b)
+    when(na > 0.0 && nb > 0.0, decDot(a, b) / (na * nb))
+  }
+
   /** Brute-force cosine top-k against the vector with id `queryId`:
     * 1-row broadcast cross join + map-side cosine + TakeOrdered.
     */
@@ -376,32 +390,59 @@ object Vector {
     *
     * Shape at scale: |dims|+1 broadcast-query brute-force passes
     * (the [[batchTopK]] mergeable top-k shape — corpus × sampled
-    * queries, map-side combined); the query sample is the scale
-    * lever (raise `sampleMod` with the corpus so nq·N work stays
-    * budgeted), and the measured curve transfers to the ANN paths
-    * because truncation error is a property of the embedding, not
-    * the index.
+    * queries, map-side combined). The query sample is the scale
+    * lever, and `sampleCount > 0` is the PRODUCTION form: a
+    * constant-size sample (smallest `sampleCount` ids under a
+    * Knuth multiplicative shuffle of vec_id — deterministic,
+    * engine-reproducible, spread across the id space) keeps nq
+    * constant in corpus size, so total work is O(sampleCount · N)
+    * — strictly linear at 100×. The legacy `sampleMod` form (every
+    * mod-th id) makes nq ∝ n and total work n²/mod; it survives
+    * only for callers that want proportional coverage at a scale
+    * they have budgeted explicitly. The measured curve transfers
+    * to the ANN paths because truncation error is a property of
+    * the embedding, not the index.
+    *
+    * Zero-norm prefixes (a vector whose first `dim` components are
+    * all zero) have undefined cosine; those pairs are excluded from
+    * ranking in BOTH engines (the SQL twin filters `na > 0 AND
+    * nb > 0`; here [[cosineSafe]]'s pre-division guard — identical
+    * set, and under ANSI mode the guard is REQUIRED: a raw 0/0
+    * would be a runtime error, not a NaN).
     */
   def matryoshkaRecallCurve(
       embeddings: DataFrame,
       dims: Seq[Int] = Seq(8, 16, 32),
       k: Int = 10,
-      sampleMod: Long = 50L
+      sampleMod: Long = 50L,
+      sampleCount: Int = 0
   ): DataFrame = {
     require(dims.nonEmpty && dims.forall(_ >= 1),
       "dims must be positive")
     require(k >= 1 && sampleMod >= 1, "k and sampleMod positive")
     val topk = udaf(new graft.functions.TopKPairsAggregator(k),
       org.apache.spark.sql.Encoders.product[(Double, Long)])
-    val q = embeddings.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // constant-count sample: TakeOrdered over the hashed id — one
+    // scan + top-N, no full sort, nq independent of corpus size
+    val q =
+      (if (sampleCount > 0)
+        embeddings
+          .orderBy(pmod(col("vec_id") * lit(2654435761L),
+            lit(4294967296L)), col("vec_id"))
+          .limit(sampleCount)
+      else
+        embeddings.filter(pmod(col("vec_id"), lit(sampleMod)) === 0))
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))
     def topIds(dim: Option[Int]): DataFrame = {
       def trunc(c: Column) = dim.map(dd => slice(c, 1, dd)).getOrElse(c)
       embeddings.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          cosine(trunc(col("embedding")), trunc(col("q_emb"))).as("cs"))
+          cosineSafe(trunc(col("embedding")), trunc(col("q_emb")))
+            .as("cs"))
+        .filter(col("cs").isNotNull)
         .groupBy(col("query_id"))
         .agg(topk(col("cs"), col("vec_id")).as("top"))
         .select(col("query_id"),
@@ -417,9 +458,60 @@ object Vector {
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(nBase))
         .select(lit(dd).as("dim"), col("n_base"), col("hits"),
-          expr("hits * 1000000 div n_base").as("recall_ppm"))
+          when(col("n_base") === 0, lit(0L))
+            .otherwise(expr("hits * 1000000 div n_base"))
+            .as("recall_ppm"))
     }.reduce(_.unionByName(_))
     out
+  }
+
+  /** Cosine RANGE search — the other retrieval mode next to top-k:
+    * "everything at least τ similar", the primitive behind
+    * near-duplicate lookup, dedup-before-insert checks, and
+    * radius-bounded recommendation, where the answer SIZE is the
+    * signal (top-k hides whether a query has 3 neighbors or 3000).
+    * Per sampled query: match count at-or-above `tau` and the best
+    * cosine in exact micro — the neighborhood-density profile of the
+    * corpus at that radius.
+    *
+    * The query sample is the constant-count Knuth pick (the
+    * [[matryoshkaRecallCurve]] production form — nq independent of
+    * corpus size, engine-reproducible), so total work is
+    * O(sampleCount · N): one broadcast cross join, map-side combined
+    * conditional aggregation, no shuffle of the corpus. Zero-norm
+    * vectors have undefined cosine and are excluded in BOTH engines
+    * ([[cosineSafe]]'s pre-division guard ≡ the twin's na > 0 AND
+    * nb > 0 — required under ANSI, where 0/0 errors); empty match
+    * sets still emit their query row (count 0, null best), because
+    * "no neighbors at τ" is exactly the datum a dedup gate reads.
+    */
+  def rangeSearch(
+      embeddings: DataFrame,
+      tau: Double = 0.8,
+      sampleCount: Int = 32
+  ): DataFrame = {
+    require(tau > -1.0 && tau <= 1.0, "tau must be in (-1, 1]")
+    require(sampleCount >= 1, "sampleCount must be >= 1")
+    val q = embeddings
+      .orderBy(pmod(col("vec_id") * lit(2654435761L),
+        lit(4294967296L)), col("vec_id"))
+      .limit(sampleCount)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+    embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        cosineSafe(col("embedding"), col("q_emb")).as("cs"))
+      .filter(col("cs").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("cs") >= tau, 1L).otherwise(0L))
+          .as("n_matches"),
+        max(when(col("cs") >= tau, col("cs"))).as("best"))
+      .select(col("query_id"), col("n_matches"),
+        floor(col("best") * 1000000.0).cast("long")
+          .as("best_cos_micro"))
   }
 
   /** IVF(-flat) approximate nearest neighbor — the other scale path

@@ -573,10 +573,20 @@ object VectorQueries {
       Vector.matryoshkaTopK(Tables.embeddings(s, d), 0L, k = 10,
         dims = 16, rescoreK = 50)),
     // the calibration table behind that serving mode: truncation
-    // recall vs the full-dim baseline per candidate prefix dim
+    // recall vs the full-dim baseline per candidate prefix dim.
+    // PRODUCTION config: constant 32-query sample (nq independent
+    // of corpus size → O(32·N) total work), not the proportional
+    // sampleMod form whose registered cost trended n²/50
     "q_vec_matryoshka_recall" -> ((s, d) =>
-      Vector.matryoshkaRecallCurve(Tables.embeddings(s, d))
+      Vector.matryoshkaRecallCurve(Tables.embeddings(s, d),
+          sampleCount = 32)
         .orderBy(col("dim"))),
+    // cosine RANGE search (everything ≥ τ, the dedup-gate retrieval
+    // mode next to top-k): neighborhood size + best match per
+    // sampled query — constant-nq Knuth sample, O(32·N)
+    "q_vec_range_search" -> ((s, d) =>
+      Vector.rangeSearch(Tables.embeddings(s, d))
+        .orderBy(col("query_id"))),
     // SQ8 + exact rescore: integer first-pass ranking over the
     // quantized corpus, full-precision cosine on the top-rescoreK
     // survivors only — every stage engine-reproducible, so the whole
@@ -2762,11 +2772,50 @@ object VectorQueries {
     // truncated-vs-full recall: one unnested pair table serves the
     // baseline and every dim (CASE-padded ordered sums — +0.0 terms
     // past the prefix leave the IEEE fold bitwise identical to
-    // Spark's slice + decDot)
+    // Spark's slice + decDot). Query sample = smallest 32 ids under
+    // the Knuth multiplicative shuffle (the op's constant-nq
+    // production form); all four norm sums carry ORDER BY i so the
+    // double fold associates exactly like Spark's sequential
+    // decNorm, and zero-norm prefixes are excluded from ranking in
+    // both engines (na > 0 AND nb > 0 ≡ the op's NaN filter)
+    // per-query conditional aggregation over the same ordered-sum
+    // pair table as the recall twin; zero-norm rows excluded in both
+    // engines, empty match sets keep their row (count 0, NULL best)
+    "q_vec_range_search" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings
+        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |  LIMIT 32),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |dots AS (
+        |  SELECT query_id, vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)
+        |      AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS na,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |             ORDER BY i)) AS nb
+        |  FROM pairs GROUP BY 1, 2),
+        |cs AS (
+        |  SELECT query_id, dot / (na * nb) AS cs
+        |  FROM dots WHERE na > 0 AND nb > 0)
+        |SELECT query_id,
+        |  CAST(SUM(CASE WHEN cs >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matches,
+        |  CAST(FLOOR(MAX(CASE WHEN cs >= 0.8 THEN cs END)
+        |    * 1000000.0) AS BIGINT) AS best_cos_micro
+        |FROM cs GROUP BY query_id ORDER BY query_id""".stripMargin,
     "q_vec_matryoshka_recall" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings
+        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |  LIMIT 32),
         |pairs AS (
         |  SELECT q.query_id, e.vec_id,
         |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
@@ -2777,15 +2826,17 @@ object VectorQueries {
         |  SELECT query_id, vec_id,
         |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)
         |      AS dot,
-        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
-        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS na,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |             ORDER BY i)) AS nb
         |  FROM pairs GROUP BY 1, 2),
         |base AS (
         |  SELECT query_id, vec_id FROM (
         |    SELECT query_id, vec_id,
         |      ROW_NUMBER() OVER (PARTITION BY query_id
         |        ORDER BY dot / (na * nb) DESC, vec_id) AS rk
-        |    FROM fdots) WHERE rk <= 10),
+        |    FROM fdots WHERE na > 0 AND nb > 0) WHERE rk <= 10),
         |tdots AS (
         |  SELECT d.dim, p.query_id, p.vec_id,
         |    SUM(CASE WHEN p.i <= d.dim
@@ -2793,21 +2844,22 @@ object VectorQueries {
         |      ELSE 0 END ORDER BY p.i) AS dot,
         |    sqrt(SUM(CASE WHEN p.i <= d.dim
         |      THEN CAST(p.x AS DOUBLE) * CAST(p.x AS DOUBLE)
-        |      ELSE 0 END)) AS na,
+        |      ELSE 0 END ORDER BY p.i)) AS na,
         |    sqrt(SUM(CASE WHEN p.i <= d.dim
         |      THEN CAST(p.y AS DOUBLE) * CAST(p.y AS DOUBLE)
-        |      ELSE 0 END)) AS nb
+        |      ELSE 0 END ORDER BY p.i)) AS nb
         |  FROM pairs p CROSS JOIN dims d GROUP BY 1, 2, 3),
         |tr AS (
         |  SELECT dim, query_id, vec_id FROM (
         |    SELECT dim, query_id, vec_id,
         |      ROW_NUMBER() OVER (PARTITION BY dim, query_id
         |        ORDER BY dot / (na * nb) DESC, vec_id) AS rk
-        |    FROM tdots) WHERE rk <= 10),
+        |    FROM tdots WHERE na > 0 AND nb > 0) WHERE rk <= 10),
         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM base)
         |SELECT t.dim, nb.n_base,
         |  CAST(COUNT(b.vec_id) AS BIGINT) AS hits,
-        |  CAST(COUNT(b.vec_id) * 1000000 // nb.n_base AS BIGINT)
+        |  CAST(CASE WHEN nb.n_base = 0 THEN 0
+        |    ELSE COUNT(b.vec_id) * 1000000 // nb.n_base END AS BIGINT)
         |    AS recall_ppm
         |FROM tr t LEFT JOIN base b
         |  ON t.query_id = b.query_id AND t.vec_id = b.vec_id

@@ -934,6 +934,31 @@ class AuditSpec extends SparkSpec {
     assert(out(18L) == ((1L, 0L, 1L, 262144L))) // censored: flat
   }
 
+  test("nelsonAalen: cumulative hazard steps d/n in exact micro " +
+      "over the SAME risk table as kaplanMeier; censoring adds no " +
+      "hazard; -ln(KM) tracks NA") {
+    import spark.implicits._
+    // identical fixture to the kaplanMeier test above
+    def d(day: Int) = f"2024-01-${day + 1}%02d"
+    val rows =
+      Seq(("a", 1L, d(0)), ("a", 2L, d(0)), ("a", 2L, d(3)),
+        ("a", 3L, d(2)), ("a", 3L, d(20)), ("a", 4L, d(0)),
+        ("a", 4L, d(6)))
+    val out = Audit.nelsonAalen(
+      rows.toDF("event_type", "user_id", "ts")).collect()
+      .map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("h_step_micro"),
+          r.getAs[Long]("h_cum_micro")))).toMap
+    assert(out.keySet === Set(0L, 3L, 6L, 18L))
+    assert(out(0L) == ((4L, 250000L, 250000L)))   // 1/4
+    assert(out(3L) == ((3L, 333333L, 583333L)))   // + 1/3
+    assert(out(6L) == ((2L, 500000L, 1083333L)))  // + 1/2
+    assert(out(18L) == ((1L, 0L, 1083333L)))      // censored: flat
+    // -ln(S(6)) = -ln(1/4) = 1.386 vs H(6) = 1.083 — same order,
+    // NA <= -ln(KM) at every step (the standard inequality)
+    assert(out(6L)._3 <= math.ceil(-math.log(0.25) * 1e6).toLong)
+  }
+
   test("westernElectricRules: matches an integer replica on an " +
       "irregular series; 8 consecutive below-mean days complete r4; " +
       "a constant series sides 0 and fires nothing") {
@@ -1145,5 +1170,38 @@ class AuditSpec extends SparkSpec {
     assert(r.getAs[Long]("brier_micro") -
       (r.getAs[Long]("rel_micro") - r.getAs[Long]("res_micro") +
         r.getAs[Long]("unc_micro")) === 35156L)
+  }
+
+  test("leadLagCorrelation: a series that exactly leads another by " +
+      "2 days reads r_milli = 1000 at lag 2 and below elsewhere; " +
+      "constant overlap at other lags stays defined") {
+    import spark.implicits._
+    // type a daily counts on days 1..10: 1,2,1,3,1,4,1,5,1,6
+    // type b = same pattern shifted +2 days (b on day d+2 equals a
+    // on day d) → at lag 2 the joined pairs are identical series
+    val pat = Seq(1, 2, 1, 3, 1, 4, 1, 5, 1, 6)
+    def day(i: Int) = f"2024-03-${i}%02d"
+    val rows =
+      pat.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n)(("view", day(i + 1))) } ++
+      pat.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n)(("purchase", day(i + 3))) }
+    val ev = rows.zipWithIndex.map { case ((t, d), ix) =>
+      (ix.toLong, java.sql.Timestamp.valueOf(s"$d 12:00:00"),
+        ix.toLong, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val out = Audit.leadLagCorrelation(ev).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_days"),
+          Option(r.getAs[Any]("r_milli")).map(_.asInstanceOf[Long])))
+      .toMap
+    // lag +2: all 10 a-days pair with the identical b values → r = 1
+    assert(out(2L) === ((10L, Some(1000L))))
+    // lag 0 pairs a(d) with a(d-2)'s value: alternating vs flat-ish
+    // overlap — defined, smaller than the exact-match lag
+    assert(out(0L)._2.exists(_ < 1000L))
+    // the profile spans the full requested lag grid
+    assert(out.keySet === (-7L to 7L).toSet)
   }
 }

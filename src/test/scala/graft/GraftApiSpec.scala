@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 386,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 386")
-    assert(SparkEntry.oracleSql.size == 374,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 374")
+    assert(SparkEntry.queries.size == 392,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 392")
+    assert(SparkEntry.oracleSql.size == 380,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 380")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -487,6 +487,9 @@ class GraftApiSpec extends SparkSpec {
       "langConfusion" -> "langConfusion",
       "dedupImpact" -> "dedupImpact",
       "chainContamination" -> "chainContamination",
+      "shardDedupLoss" -> "shardDedupLoss",
+      "langDupAffinity" -> "langDupAffinity",
+      "rangeSearch" -> "rangeSearch",
       "mahalanobisOutliers" -> "mahalanobisOutliers",
       "coresetSample" -> "coresetSample",
       "rankingMetrics" -> "rankingMetricsAgainst",

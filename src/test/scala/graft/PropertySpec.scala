@@ -960,4 +960,98 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("shardDedupLoss conserves pairs (local + lost = total) and " +
+      "bounds lost_ppm on random pair graphs") {
+    val pairGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 200L), Gen.choose(0L, 200L)))
+      .map(_.filter { case (a, b) => a != b }.take(40))
+      .suchThat(_.nonEmpty)
+    forAll(pairGen, n = 10) { ps =>
+      val pairs = ps.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+        .toDF("doc_a", "doc_b")
+      val out = Text.shardDedupLoss(pairs, Seq(2, 8, 32)).collect()
+      assert(out.length === 3)
+      for (r <- out) {
+        val (np, nl, lost, ppm) = (r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_local"), r.getAs[Long]("n_lost"),
+          r.getAs[Long]("lost_ppm"))
+        assert(nl + lost === np)
+        assert(ppm >= 0 && ppm <= 1000000L)
+        assert(ppm === lost * 1000000L / np)
+      }
+    }
+  }
+
+  test("Wilson lower bound shrinks toward the rate as n grows at " +
+      "a fixed rate, and never exceeds the raw rate") {
+    import graft.ops.Relational
+    // fixed 90% rate at n = 10/40/160: the bound must be strictly
+    // increasing in n (more evidence -> less shrinkage) and < rate
+    val orders = Seq((1L, "2021-01-01")).toDF("o_orderkey", "od")
+      .select(col("o_orderkey"), col("od").cast("timestamp")
+        .as("o_orderdate"))
+    val li = Seq(10, 40, 160).zipWithIndex.flatMap {
+      case (n, i) =>
+        val sup = (i + 1).toLong
+        val on = n * 9 / 10
+        (1 to on).map(_ => (1L, sup, "2021-02-01")) ++
+          (1 to n - on).map(_ => (1L, sup, "2021-06-01"))
+    }.toDF("l_orderkey", "l_suppkey", "sd")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("sd").cast("timestamp").as("l_shipdate"))
+    val supp = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("s_suppkey", "s_name")
+    val bySup = Relational.supplierSlaWilson(li, orders, supp)
+      .collect().map(r => r.getAs[Long]("s_suppkey") ->
+        ((r.getAs[Long]("otif_ppm"), r.getAs[Long]("wilson_lb_ppm"))))
+      .toMap
+    for ((_, (rate, lb)) <- bySup) assert(lb < rate)
+    assert(bySup(1L)._2 < bySup(2L)._2)
+    assert(bySup(2L)._2 < bySup(3L)._2)
+    // identical 900000 raw rate at every n
+    assert(bySup.values.map(_._1).toSet === Set(900000L))
+  }
+
+  test("rangeSearch neighborhoods shrink monotonically in tau") {
+    import graft.ops.{Vector => Vec}
+    val vecGen = Gen.listOfN(12,
+      Gen.listOfN(4, Gen.choose(-4, 4).map(_.toFloat)))
+    forAll(vecGen, n = 6) { vs =>
+      val embs = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.toArray) }.toDF("vec_id", "embedding")
+      def counts(tau: Double): Map[Long, Long] =
+        Vec.rangeSearch(embs, tau = tau, sampleCount = 3).collect()
+          .map(r => r.getAs[Long]("query_id") ->
+            r.getAs[Long]("n_matches")).toMap
+      val loose = counts(0.2)
+      val tight = counts(0.9)
+      assert(tight.keySet === loose.keySet)
+      for ((q, c) <- tight) assert(c <= loose(q),
+        s"query $q: $c at 0.9 > ${loose(q)} at 0.2")
+    }
+  }
+
+  test("DupDeliveryMonitor folds conserve messages and eviction " +
+      "conserves the accumulators on random hash batches") {
+    import graft.streaming.DupDeliveryMonitor
+    val hGen = Gen.listOfN(60, Gen.choose(0L, 20L))
+    forAll(hGen, n = 10) { hs =>
+      val m = DupDeliveryMonitor.foldBatch(Map.empty, hs)
+      assert(m.values.sum === hs.size.toLong)
+      assert(m.keySet === hs.toSet)
+      val (kept, dMsgs, dUniq, dMax) =
+        DupDeliveryMonitor.evict(m, 5)
+      assert(kept.size <= 5)
+      assert(kept.values.sum + dMsgs === hs.size.toLong)
+      assert(kept.size + dUniq === m.size.toLong)
+      if (m.size > 5) {
+        // evicted counts never exceed any retained count
+        assert(dMax <= kept.values.min)
+      } else {
+        assert((dMsgs, dUniq, dMax) === ((0L, 0L, 0L)))
+      }
+    }
+  }
 }

@@ -592,4 +592,38 @@ class RelationalSpec extends SparkSpec {
     // P = (200*5+550*8)/(100*5+500*8) = 5400/4500
     assert(out(2021) == ((2L, 1400000L, 1200000L)))
   }
+
+  test("supplierSlaWilson: a 3/3 supplier ranks BELOW a 19/20 one " +
+      "(the Wilson shrinkage); raw rates exact ppm") {
+    import spark.implicits._
+    val orders = Seq((1L, "2021-01-01")).toDF("o_orderkey", "od")
+      .select(col("o_orderkey"), col("od").cast("timestamp")
+        .as("o_orderdate"))
+    // supplier 1: 3 shipments, all within 60 days; supplier 2:
+    // 20 shipments, 19 within, one at +100 days
+    val li = ((1 to 3).map(i => (1L, 1L, "2021-02-01")) ++
+      (1 to 19).map(i => (1L, 2L, "2021-02-15")) ++
+      Seq((1L, 2L, "2021-04-11")))
+      .toDF("l_orderkey", "l_suppkey", "sd")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("sd").cast("timestamp").as("l_shipdate"))
+    val supp = Seq((1L, "tiny"), (2L, "steady"))
+      .toDF("s_suppkey", "s_name")
+    val out = Relational.supplierSlaWilson(li, orders, supp)
+      .collect()
+    assert(out.length === 2)
+    // the large near-perfect supplier leads despite the lower rate
+    assert(out(0).getAs[String]("s_name") === "steady")
+    assert(out(0).getAs[Long]("otif_ppm") === 950000L)
+    assert(out(1).getAs[String]("s_name") === "tiny")
+    assert(out(1).getAs[Long]("otif_ppm") === 1000000L)
+    // lb matches the fixed expression tree replayed in plain scala
+    def lb(k: Long, n: Long): Long =
+      math.floor(1000000.0 * ((k.toDouble + 1.9208 -
+        1.96 * math.sqrt(k.toDouble * (n - k).toDouble / n.toDouble
+          + 0.9604)) / (n.toDouble + 3.8416))).toLong
+    assert(out(0).getAs[Long]("wilson_lb_ppm") === lb(19L, 20L))
+    assert(out(1).getAs[Long]("wilson_lb_ppm") === lb(3L, 3L))
+    assert(lb(19L, 20L) > lb(3L, 3L))
+  }
 }

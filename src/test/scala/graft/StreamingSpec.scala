@@ -1167,6 +1167,111 @@ class StreamingSpec extends SparkSpec {
     * schema, and the full demux plan built over that source. Query
     * START still needs a live broker and stays out of scope.
     */
+  test("DupDeliveryMonitor: copies accumulate within and across " +
+      "batches, per-table isolation, non-JSON lines group apart") {
+    import graft.streaming.DupDeliveryMonitor
+    import graft.streaming.DupDeliveryMonitor.DupOut
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = DupDeliveryMonitor.monitor(in.toDF())
+      .writeStream.format("memory").queryName("dupdel_out")
+      .outputMode("append").start()
+    val la = """{"table":"ta","data":{"id":1}}"""
+    val lb = """{"table":"ta","data":{"id":2}}"""
+    val lc = """{"table":"tb","data":{"id":1}}"""
+    try {
+      in.addData(la, la, lb, lc, "not json")
+      q.processAllAvailable()
+      // la redelivers cross-batch (3 copies total); tb untouched
+      in.addData(la, lb)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dupdel_out").as[DupOut].collect()
+    val ta = got.filter(_.src_table == "ta").sortBy(_.n_msgs)
+    assert(ta.length === 2)
+    assert(ta(0) === DupOut("ta", 3L, 2L, 1L, 333333L, 2L, true))
+    assert(ta(1) === DupOut("ta", 5L, 2L, 3L, 600000L, 3L, true))
+    assert(got.filter(_.src_table == "tb").toSeq ===
+      Seq(DupOut("tb", 1L, 1L, 0L, 0L, 1L, true)))
+    // the non-JSON line profiles as its own (null-table) group
+    assert(got.filter(_.src_table == null).toSeq ===
+      Seq(DupOut(null, 1L, 1L, 0L, 0L, 1L, true)))
+  }
+
+  test("DupDeliveryMonitor ≡ Cdc.dupDeliveryProfile on the same " +
+      "lines (under the cap): final emission matches the batch " +
+      "profile column for column under an arbitrary split") {
+    import graft.streaming.DupDeliveryMonitor
+    import graft.streaming.DupDeliveryMonitor.DupOut
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mk = (t: String, k: Int) =>
+      s"""{"table":"$t","data":{"id":$k}}"""
+    // dups split ACROSS the batch boundary (count fold commutes)
+    val feed = Seq(mk("ta", 1), mk("ta", 2), mk("ta", 1), mk("tb", 9),
+      mk("ta", 1), mk("ta", 2), mk("tb", 9), mk("tb", 8))
+    val in = MemoryStream[String]
+    val q = DupDeliveryMonitor.monitor(in.toDF())
+      .writeStream.format("memory").queryName("dupdel_diff")
+      .outputMode("append").start()
+    try {
+      in.addData(feed.take(5): _*)
+      q.processAllAvailable()
+      in.addData(feed.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("dupdel_diff").as[DupOut].collect()
+      .groupBy(_.src_table).map { case (t, rs) =>
+        t -> rs.maxBy(_.n_msgs) }
+    val batch = graft.ops.Cdc.dupDeliveryProfile(feed.toDF("value"))
+      .collect().map { r =>
+        r.getAs[String]("src_table") -> DupOut(
+          r.getAs[String]("src_table"), r.getAs[Long]("n_msgs"),
+          r.getAs[Long]("n_unique"), r.getAs[Long]("n_dup"),
+          r.getAs[Long]("dup_ppm"), r.getAs[Long]("max_copies"),
+          exact = true)
+      }.toMap
+    assert(fin === batch)
+  }
+
+  test("DupDeliveryMonitor: past the tracking cap singletons evict " +
+      "first — n_msgs stays exact, dup counts become documented " +
+      "lower bounds, exact flips false") {
+    import graft.streaming.DupDeliveryMonitor
+    import graft.streaming.DupDeliveryMonitor.DupOut
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mk = (k: String) => s"""{"table":"t","k":"$k"}"""
+    val in = MemoryStream[String]
+    val q = DupDeliveryMonitor.monitor(in.toDF(), maxTracked = 2)
+      .writeStream.format("memory").queryName("dupdel_cap")
+      .outputMode("append").start()
+    try {
+      // counts 3/2/1: the singleton c evicts (count asc — unique
+      // choice, so the assertion is hash-order independent)
+      in.addData(mk("a"), mk("a"), mk("a"), mk("b"), mk("b"), mk("c"))
+      q.processAllAvailable()
+      // c redelivers AFTER eviction: re-counts as a new unique —
+      // n_unique overcounts, n_dup undercounts (the documented
+      // conservative direction), and c evicts again
+      in.addData(mk("c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dupdel_cap").as[DupOut].collect()
+      .sortBy(_.n_msgs)
+    assert(got(0) === DupOut("t", 6L, 3L, 3L, 500000L, 3L, false))
+    // truth: 7 msgs / 3 unique / 4 dups — the monitor reports 4
+    // uniques / 3 dups (lower bound) with n_msgs and max_copies exact
+    assert(got(1) === DupOut("t", 7L, 4L, 3L, 428571L, 3L, false))
+    val batch = graft.ops.Cdc.dupDeliveryProfile(
+      (Seq.fill(3)(mk("a")) ++ Seq.fill(2)(mk("b")) ++
+        Seq.fill(2)(mk("c"))).toDF("value")).collect().head
+    assert(batch.getAs[Long]("n_msgs") === 7L)
+    assert(batch.getAs[Long]("n_unique") === 3L)
+    assert(batch.getAs[Long]("n_dup") === 4L)
+  }
+
   test("kafka source wiring resolves and carries the demux plan " +
       "(auto-cancelled while connector jars are absent)") {
     val kafkaPresent = scala.util.Try(Class.forName(

@@ -2325,4 +2325,47 @@ class TextSpec extends SparkSpec {
     assert(out("A") == ((2L, 50000000L, 100000L, 50000L)))
     assert(out("B") == ((2L, 50000000L, 0L, -50000L)))
   }
+
+  test("shardDedupLoss: pairs crossing the hash-shard boundary " +
+      "count as lost, per candidate shard count") {
+    import spark.implicits._
+    // pairs: (0,2) same shard at S=2 (both even), lost at S=4
+    // (0%4=0 vs 2%4=2); (1,3) same at S=2, lost at S=4; (4,8) same
+    // at both S=2 and S=4; (5,6) lost at both
+    val pairs = Seq((0L, 2L), (1L, 3L), (4L, 8L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = Text.shardDedupLoss(pairs, Seq(2, 4)).collect()
+      .map(r => r.getAs[Long]("n_shards") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_local"),
+          r.getAs[Long]("n_lost"), r.getAs[Long]("lost_ppm"))))
+      .toMap
+    assert(out(2L) === ((4L, 3L, 1L, 250000L)))
+    assert(out(4L) === ((4L, 1L, 3L, 750000L)))
+  }
+
+  test("langDupAffinity: observed share scored against the exact " +
+      "independence baseline — a concentrated cross-lang cell " +
+      "lifts above 1000 milli") {
+    import spark.implicits._
+    // 6 docs: 3 en, 2 de, 1 fr. Pairs: (1,4) en-de, (2,5) en-de,
+    // (1,2) en-en. C(6,2)=15 total slots; en-de expects 3*2/15 =
+    // 400000 ppm but observes 2/3 = 666666 ppm -> lift 1666 milli;
+    // en-en expects C(3,2)/15 = 200000 ppm, observes 333333 ppm
+    val docs = Seq(
+      (1L, "a", "en", "s", 1L), (2L, "b", "en", "s", 1L),
+      (3L, "c", "en", "s", 1L), (4L, "d", "de", "s", 1L),
+      (5L, "e", "de", "s", 1L), (6L, "f", "fr", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 4L), (2L, 5L), (1L, 2L))
+      .toDF("doc_a", "doc_b")
+    val out = Text.langDupAffinity(docs, pairs).collect()
+      .map(r => (r.getAs[String]("lang_a"),
+        r.getAs[String]("lang_b")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("expected_ppm"),
+          r.getAs[Long]("lift_milli")))).toMap
+    assert(out(("de", "en")) === ((2L, 666666L, 400000L, 1666L)))
+    assert(out(("en", "en")) === ((1L, 333333L, 200000L, 1666L)))
+    assert(out.size === 2)
+  }
 }

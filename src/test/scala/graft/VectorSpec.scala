@@ -1635,4 +1635,45 @@ class VectorSpec extends SparkSpec {
     assert(out(4) == ((2L, 2L, 1000000L)))
     graft.Caches.release("vec")
   }
+
+  test("rangeSearch: per-query neighborhood counts at tau, exact " +
+      "best-cosine micro, zero-norm rows excluded, empty " +
+      "neighborhoods keep their row") {
+    import spark.implicits._
+    // Knuth pick of 2 over ids 0..4 samples {0, 2} (hashes 0 and
+    // 1013904226 are the two smallest). cos(v0,v1)=1, cos(v0,v3)
+    // = 3/5, cos(v2,v3) = 4/5 EXACTLY (float-exact components);
+    // v4 is zero-norm and must not appear or match anywhere
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(3.0f, 4.0f)),
+      (4L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Vec.rangeSearch(embs, tau = 0.8, sampleCount = 2)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_matches"),
+          Option(r.getAs[Any]("best_cos_micro"))
+            .map(_.asInstanceOf[Long])))).toMap
+    assert(out.keySet === Set(0L, 2L))
+    assert(out(0L) === ((1L, Some(1000000L)))) // v1 at cos 1.0
+    assert(out(2L) === ((1L, Some(800000L))))  // v3 at cos 4/5
+  }
+
+  test("rangeSearch: a query whose radius catches nothing still " +
+      "emits (0, null)") {
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Vec.rangeSearch(embs, tau = 0.5, sampleCount = 2)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_matches"),
+          Option(r.getAs[Any]("best_cos_micro"))))).toMap
+    assert(out === Map(0L -> ((0L, None)), 2L -> ((0L, None))))
+  }
 }

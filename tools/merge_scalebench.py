@@ -22,25 +22,36 @@ def merge(dst, src):
             dst["queries"][name] = cell
             continue
         d = dst["queries"][name]
+        # only BARE k-cells drive the merge; a _med travels with the
+        # batch that supplied its base cell's retained min (copying a
+        # stray _med on absence alone could pair another batch's
+        # median with this batch's min)
         for k in cell:
-            if k.startswith("k") and "_" not in k and k in d:
+            if not k.startswith("k") or "_" in k:
+                continue
+            if k in d:
                 if cell[k] < d[k]:
                     d[k] = cell[k]
                     if f"{k}_med" in cell:
                         d[f"{k}_med"] = cell[f"{k}_med"]
-            elif k.startswith("k") and k not in d:
+            else:
                 d[k] = cell[k]
+                if f"{k}_med" in cell:
+                    d[f"{k}_med"] = cell[f"{k}_med"]
         d["samples"] = d.get("samples", 0) + cell.get("samples", 0)
         # alpha over the WIDEST k-range present after the merge (a
-        # narrower batch must not shrink the exponent's span)
+        # narrower batch must not shrink the exponent's span); a
+        # non-positive min cell (errored run recorded as 0.0) makes
+        # the log undefined — leave the prior alpha rather than crash
         ks = sorted(
             (k for k in d if k.startswith("k") and "_" not in k),
             key=lambda s: int(s[1:]))
         if len(ks) >= 2:
             lo, hi = ks[0], ks[-1]
-            d["alpha"] = round(
-                math.log(d[hi] / d[lo]) /
-                math.log(int(hi[1:]) / int(lo[1:])), 3)
+            if d[lo] > 0 and d[hi] > 0:
+                d["alpha"] = round(
+                    math.log(d[hi] / d[lo]) /
+                    math.log(int(hi[1:]) / int(lo[1:])), 3)
 
 
 def main():
