@@ -673,6 +673,52 @@ object StreamBench {
           java.nio.file.StandardOpenOption.APPEND)
       } finally ddQ.stop()
     }
+
+    // Fourteenth surface: gap sessionization — raw events/s through
+    // the per-user event-time session fold (flatMapGroupsWithState
+    // with EventTimeTimeout; the reference's DWD session surface run
+    // as keyed state). Each micro-batch advances event time a full
+    // minute against a 30 s gap + 10 s watermark delay, so every
+    // batch closes the previous batch's sessions (state churns —
+    // open, extend, close, timer re-arm all exercised) while
+    // within-batch events chain into one session per user.
+    {
+      implicit val s = spark
+      val szIn = MemoryStream[streaming.Sessionize.Event]
+      val szQ = streaming.Sessionize.sessionize(szIn.toDS(), 30000L)
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val users = 1000 * scale
+        val perUser = 5
+        val perBatch = users * perUser
+        val nSzBatches = 4
+        def szBatch(b: Int): Seq[streaming.Sessionize.Event] =
+          (0 until users).flatMap { u =>
+            (0 until perUser).map { i =>
+              streaming.Sessionize.Event(u.toLong,
+                b.toLong * 60000L + i * 1000L, (u % 7).toDouble)
+            }
+          }
+        szIn.addData(szBatch(0)) // warm batch
+        szQ.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nSzBatches).foreach { b =>
+          szIn.addData(szBatch(b))
+          szQ.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = perBatch.toLong * nSzBatches
+        val line14 =
+          s"""{"metric":"sessionize_events_per_sec","value":${(n / dt).toLong},""" +
+            s""""events":$n,"users":$users,"seconds":$dt,"batches":$nSzBatches,"scale":$scale,"sf":"$sfDir"}"""
+        println(line14)
+        val out14 = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(out14.toPath, line14 + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } finally szQ.stop()
+    }
     spark.stop()
   }
 }

@@ -167,6 +167,67 @@ object Affinity {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** First-order entropy rate of the user-journey Markov chain —
+    * how PREDICTABLE the next event is given the current one, the
+    * single number that tells a personalization/caching owner
+    * whether journey modeling is worth anything (rate ≈ 0: journeys
+    * are deterministic; rate ≈ ln|types|: transitions are noise).
+    * Per source state: the conditional entropy of its outgoing
+    * transition distribution in q20 nats (`H(dst|src) =
+    * Σ ct·(ln n − ln ct)/n` over its counts), its transition-mass
+    * weight, and the `__all__` row whose `h_cond_q20` is the
+    * transition-weighted entropy RATE of the whole chain. Logs are
+    * the repo's q20-of-integer-count convention (⌊ln(count)·2²⁰⌋ —
+    * counts are exact integers in both engines, so the floored logs
+    * and everything downstream hash bitwise).
+    *
+    * Scale shape: one lag window per user (the [[markovTransitions]]
+    * shuffle), then all arithmetic on the #types² transition table.
+    */
+  def markovEntropyRate(events: DataFrame): DataFrame = {
+    def lnq20(c: Column): Column =
+      floor(log(c.cast("double")) * (1L << 20)).cast("long")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("ct"))
+    val perSrc = trans
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_dst"),
+        sum(col("ct")).as("src_total"),
+        sum(col("ct") * lnq20(col("ct"))).as("mass_ln_ct"))
+      .select(col("src"), col("n_dst"), col("src_total"),
+        // Σ ct·(ln n − ln ct) div n, all q20 integers
+        expr("""(src_total * CAST(FLOOR(LN(CAST(src_total AS DOUBLE))
+          | * 1048576) AS BIGINT) - mass_ln_ct) div src_total"""
+          .stripMargin.replace("\n", "")).as("h_cond_q20"),
+        col("mass_ln_ct"))
+    val tot = perSrc.agg(sum(col("src_total")).as("all_total"))
+    val withWeight = perSrc
+      .crossJoin(broadcast(tot))
+      .select(col("src"), col("n_dst"), col("src_total"),
+        col("h_cond_q20"),
+        expr("src_total * 1000000 div all_total").as("weight_ppm"))
+    // the chain's entropy RATE: transition-weighted conditional
+    // entropies, exact integer weighting (mass div total)
+    val rate = perSrc
+      .crossJoin(broadcast(tot))
+      .agg(sum(col("n_dst")).as("n_dst"),
+        sum(col("src_total")).as("src_total"),
+        sum(col("src_total") * col("h_cond_q20")).as("mass_h"),
+        max(col("all_total")).as("all_total"))
+      .select(lit("__all__").as("src"), col("n_dst"),
+        col("src_total"),
+        expr("mass_h div all_total").as("h_cond_q20"),
+        lit(1000000L).as("weight_ppm"))
+    withWeight.unionByName(rate).orderBy(col("src"))
+  }
+
   // --- Privacy / governance -----------------------------------------
 
   /** k-anonymity audit over a quasi-identifier tuple — the standard

@@ -54,6 +54,11 @@ object AffinityQueries {
     // row-conditional probabilities
     "q_events_markov" -> ((s, d) =>
       Affinity.markovTransitions(Tables.events(s, d))),
+    // first-order entropy RATE of the journey chain: per-src
+    // conditional entropy in q20 nats + the transition-weighted
+    // __all__ row (is journey modeling worth anything)
+    "q_events_entropy_rate" -> ((s, d) =>
+      Affinity.markovEntropyRate(Tables.events(s, d))),
     // k-anonymity audit over (nation, segment, $5000 balance bucket)
     "q_kanon_risk" -> ((s, d) =>
       Affinity.kAnonymityRisk(Tables.customer(s, d), k = 5L)),
@@ -312,6 +317,44 @@ object AffinityQueries {
         |  c.ct * 1000000 // s.src_total AS p_ppm
         |FROM c JOIN s USING (src)
         |ORDER BY src, dst""".stripMargin,
+    // per-src conditional entropy in q20 (floored integer-count
+    // logs — numerators provably non-negative, so // ≡ div) + the
+    // transition-weighted __all__ rate row
+    "q_events_entropy_rate" ->
+      """WITH t AS (
+        |  SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (
+        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM t WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_dst,
+        |    CAST(SUM(ct) AS BIGINT) AS src_total,
+        |    CAST(SUM(ct * CAST(FLOOR(LN(CAST(ct AS DOUBLE))
+        |      * 1048576) AS BIGINT)) AS BIGINT) AS mass_ln_ct
+        |  FROM c GROUP BY 1),
+        |h AS (
+        |  SELECT src, n_dst, src_total,
+        |    (src_total * CAST(FLOOR(LN(CAST(src_total AS DOUBLE))
+        |      * 1048576) AS BIGINT) - mass_ln_ct) // src_total
+        |      AS h_cond_q20
+        |  FROM ps),
+        |at AS (SELECT CAST(SUM(src_total) AS BIGINT) AS all_total
+        |       FROM h)
+        |SELECT src, n_dst, src_total,
+        |  CAST(h_cond_q20 AS BIGINT) AS h_cond_q20,
+        |  src_total * 1000000 // at.all_total AS weight_ppm
+        |FROM h CROSS JOIN at
+        |UNION ALL
+        |SELECT '__all__', CAST(SUM(n_dst) AS BIGINT),
+        |  CAST(SUM(src_total) AS BIGINT),
+        |  CAST(SUM(src_total * h_cond_q20) // MAX(at.all_total)
+        |    AS BIGINT),
+        |  CAST(1000000 AS BIGINT)
+        |FROM h CROSS JOIN at
+        |ORDER BY src""".stripMargin,
     "q_events_ab_quantiles" ->
       """WITH v AS (
         |  SELECT (user_id % 2 = 1) AS treat,

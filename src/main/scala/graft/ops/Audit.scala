@@ -2223,6 +2223,98 @@ object Audit {
               col("var_y_m2").cast("double"))).cast("long")))
   }
 
+  /** Shared-literal q20 cosine/sine table for [[dailyPeriodogram]]:
+    * one (period, phase) row per residue class, values floored to
+    * q20 in SCALA so both engines consume IDENTICAL integers (the
+    * JL ±1-matrix shared-literal discipline — libm cos is not
+    * guaranteed identically rounded across engines, so neither side
+    * ever calls cos at query time).
+    */
+  private[ops] def periodogramLut(
+      periods: Seq[Int]): Seq[(Int, Int, Long, Long)] =
+    for (p <- periods; ph <- 0 until p) yield {
+      val a = 2.0 * math.Pi * ph / p
+      (p, ph,
+        math.floor(math.cos(a) * (1L << 20)).toLong,
+        math.floor(math.sin(a) * (1L << 20)).toLong)
+    }
+
+  /** Daily-series periodogram in exact fixed point — WHICH cycle
+    * length dominates a feed's volume (the weekly rhythm, a
+    * biweekly pay cycle, none at all)? For each candidate period P,
+    * the squared DFT magnitude of the mean-removed, zero-filled
+    * daily series at frequency 1/P, computed entirely in integers:
+    * counts milli-scaled, mean removal as `x·T − Σx` (exact — no
+    * division), the trig factors from the shared q20 literal table
+    * above, correlations accumulated in DECIMAL(38,0), then ONE
+    * sign-split floor-div normalization by `Σx·T` per component
+    * (scale-invariant: 100× the volume is the same normalized
+    * power), and `power = re² + im²`. The day grid is the corpus
+    * calendar INCLUDING zero days — absent days are signal, and
+    * skipping them would alias every period.
+    *
+    * Scale shape: one day-grain rollup; everything after runs on
+    * the (#types × #days ≤ calendar) zero-filled grid joined to a
+    * ≤ Σperiods-row broadcast literal table — invariant in corpus
+    * size.
+    */
+  def dailyPeriodogram(
+      events: DataFrame,
+      periods: Seq[Int] = (2 to 14)
+  ): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      "periods must be >= 2")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lut = broadcast(periodogramLut(periods.distinct.sorted)
+      .toDF("period", "phase", "cosq", "sinq"))
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("d"))
+      .agg((count(lit(1)) * 1000L).as("x"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    // zero-filled corpus-calendar grid per type
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"),
+        col("d0"))
+    val filled = grid
+      .join(daily.select(col("event_type").as("et2"), col("d"),
+        col("x")),
+        col("event_type") === col("et2") &&
+          col("d") === col("t") + col("d0"), "left")
+      .select(col("event_type"), col("t"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val stats = filled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("tt"), sum(col("x")).as("sx"))
+    def sdiv(num: String, den: String) =
+      s"""CASE WHEN ($num) < 0
+         | THEN -CAST((-($num)) div ($den) AS BIGINT)
+         | ELSE CAST(($num) div ($den) AS BIGINT) END"""
+        .stripMargin.replace("\n", "")
+    filled
+      .join(broadcast(stats), "event_type")
+      .crossJoin(lut)
+      .filter(pmod(col("t"), col("period")) === col("phase"))
+      .groupBy(col("event_type"), col("period"))
+      .agg(max(col("tt")).as("n_days"), max(col("sx")).as("sx"),
+        sum((col("x") * col("tt") - col("sx"))
+          .cast("decimal(38,0)") * col("cosq")).as("re_raw"),
+        sum((col("x") * col("tt") - col("sx"))
+          .cast("decimal(38,0)") * col("sinq")).as("im_raw"))
+      .filter(col("sx") > 0)
+      .select(col("event_type"), col("period").cast("long")
+          .as("period"), col("n_days"), col("sx"),
+        expr(sdiv("re_raw", "sx * n_days")).as("re_q"),
+        expr(sdiv("im_raw", "sx * n_days")).as("im_q"))
+      .select(col("event_type"), col("period"), col("n_days"),
+        (col("re_q") * col("re_q") + col("im_q") * col("im_q"))
+          .as("power"))
+      .orderBy(col("event_type"), col("period"))
+  }
+
   /** Cross-series lead–lag profile — does one feed's daily volume
     * PREDICT another's ([[dailyAutocorrelation]] is the self-series
     * case; this is the pair case a funnel owner reads before

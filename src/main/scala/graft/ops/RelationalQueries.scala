@@ -116,6 +116,11 @@ object RelationalQueries {
     "q_events_lead_lag" -> ((s, d) =>
       Audit.leadLagCorrelation(Tables.events(s, d))
         .orderBy(col("lag"))),
+    // fixed-point periodogram over the zero-filled daily grid:
+    // which cycle length dominates each feed (shared q20 trig
+    // literals, sign-split normalization — fully engine-exact)
+    "q_events_periodogram" -> ((s, d) =>
+      Audit.dailyPeriodogram(Tables.events(s, d))),
     "q_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
     "q_distinct_agg"    -> ((s, d) => distinctAgg(Tables.lineitem(s, d))),
     "q_rollup_agg" -> ((s, d) =>
@@ -694,6 +699,62 @@ object RelationalQueries {
         |  CAST(t.otif_ppm AS BIGINT) AS otif_ppm, t.wilson_lb_ppm
         |FROM top t JOIN supplier su ON su.s_suppkey = t.l_suppkey
         |ORDER BY t.wilson_lb_ppm DESC, t.l_suppkey""".stripMargin,
+    // the q20 trig table is GENERATED from the same Scala literals
+    // the op consumes (the JL shared-literal discipline — libm cos
+    // is not identically rounded across engines, so neither side
+    // calls it at query time); sign-split // for the negative
+    // correlation numerators
+    "q_events_periodogram" -> {
+      val lutRows = Audit.periodogramLut(2 to 14)
+        .map { case (p, ph, cq, sq) => s"($p, $ph, $cq, $sq)" }
+        .mkString(", ")
+      def sdiv(num: String, den: String) =
+        s"""CASE WHEN ($num) < 0
+           | THEN -CAST((-($num)) // ($den) AS BIGINT)
+           | ELSE CAST(($num) // ($den) AS BIGINT) END"""
+          .stripMargin.replace("\n", "")
+      s"""WITH lut(period, phase, cosq, sinq) AS (VALUES $lutRows),
+         |daily AS (
+         |  SELECT event_type,
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+         |      AS d,
+         |    CAST(COUNT(*) * 1000 AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+         |ty AS (SELECT DISTINCT event_type FROM daily),
+         |grid AS (
+         |  SELECT ty.event_type,
+         |    UNNEST(generate_series(0, sp.d1 - sp.d0)) AS t, sp.d0
+         |  FROM ty CROSS JOIN sp),
+         |filled AS (
+         |  SELECT g.event_type, g.t, COALESCE(dl.x, 0) AS x
+         |  FROM grid g LEFT JOIN daily dl
+         |    ON dl.event_type = g.event_type AND dl.d = g.t + g.d0),
+         |st AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tt,
+         |    CAST(SUM(x) AS BIGINT) AS sx
+         |  FROM filled GROUP BY 1),
+         |corr AS (
+         |  SELECT f.event_type, l.period,
+         |    MAX(s.tt) AS n_days, MAX(s.sx) AS sx,
+         |    SUM(CAST(f.x * s.tt - s.sx AS HUGEINT) * l.cosq)
+         |      AS re_raw,
+         |    SUM(CAST(f.x * s.tt - s.sx AS HUGEINT) * l.sinq)
+         |      AS im_raw
+         |  FROM filled f
+         |  JOIN st s ON s.event_type = f.event_type
+         |  JOIN lut l ON (f.t % l.period) = l.phase
+         |  GROUP BY 1, 2),
+         |q AS (
+         |  SELECT event_type, CAST(period AS BIGINT) AS period,
+         |    n_days,
+         |    ${sdiv("re_raw", "sx * n_days")} AS re_q,
+         |    ${sdiv("im_raw", "sx * n_days")} AS im_q
+         |  FROM corr WHERE sx > 0)
+         |SELECT event_type, period, n_days,
+         |  re_q * re_q + im_q * im_q AS power
+         |FROM q ORDER BY event_type, period""".stripMargin
+    },
     // two filtered day rollups, |days|·15 calendar join, exact
     // HUGEINT moment skeleton, IEEE only at the final r_milli —
     // the q_events_autocorr twin with a cross-series pair table

@@ -640,4 +640,34 @@ class AffinitySpec extends SparkSpec {
     val nReq = ((num + den - 1) / den).toLong
     assert(r.getAs[Long]("n_req_10pct_rel") === nReq)
   }
+
+  test("markovEntropyRate: deterministic journeys score zero " +
+      "conditional entropy, a 50/50 split scores q20 ln 2, the " +
+      "__all__ row is the transition-weighted rate") {
+    import spark.implicits._
+    def ev(u: Long, i: Int, t: String) =
+      (u * 100 + i, java.sql.Timestamp.valueOf(
+        f"2024-03-01 10:${i}%02d:00"), u, t, 1.0, "{}")
+    // user 1: a b a b  (a->b x2, b->a x1); user 2: a a a (a->a x2)
+    val rows = Seq(
+      ev(1L, 0, "a"), ev(1L, 1, "b"), ev(1L, 2, "a"), ev(1L, 3, "b"),
+      ev(2L, 0, "a"), ev(2L, 1, "a"), ev(2L, 2, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+    val out = graft.ops.Affinity.markovEntropyRate(rows).collect()
+      .map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("n_dst"), r.getAs[Long]("src_total"),
+          r.getAs[Long]("h_cond_q20"),
+          r.getAs[Long]("weight_ppm")))).toMap
+    def lnq20(x: Long) =
+      math.floor(math.log(x.toDouble) * (1L << 20)).toLong
+    // src a: {b: 2, a: 2} of 4 -> (4 ln4 - 4 ln2) / 4 in q20
+    val hA = (4 * lnq20(4) - 4 * lnq20(2)) / 4
+    assert(out("a") === ((2L, 4L, hA, 800000L)))
+    // src b: single destination -> zero conditional entropy
+    assert(out("b") === ((1L, 1L, 0L, 200000L)))
+    assert(out("__all__") === ((3L, 5L, (4 * hA) / 5, 1000000L)))
+    // ln 2 in q20 is ~726817: the 50/50 split reads as expected
+    assert(hA === lnq20(2) || hA === lnq20(2) + 1 || hA === 726817L)
+  }
 }

@@ -959,6 +959,32 @@ class AuditSpec extends SparkSpec {
     assert(out(6L)._3 <= math.ceil(-math.log(0.25) * 1e6).toLong)
   }
 
+  test("dailyPeriodogram: a pure period-2 alternation concentrates " +
+      "power at P=2 exactly (hand-computed fixed point) and " +
+      "dominates every other period") {
+    import spark.implicits._
+    // 8 days alternating 3 and 1 events: x = 3000/1000 milli,
+    // T = 8, S = 16000; x·T − S = ±8000. P=2 trig is exact in q20
+    // (cos 0 = 2^20, cos π = −2^20, sin both 0) so
+    // re_raw = 8·8000·2^20, re_q = re_raw/(S·T) = 524288,
+    // power = 524288² = 274877906944
+    def d(day: Int) = f"2024-03-${day + 1}%02d"
+    val rows = (0 until 8).flatMap { t =>
+      val n = if (t % 2 == 0) 3 else 1
+      (0 until n).map(i => ((t * 10 + i).toLong,
+        java.sql.Timestamp.valueOf(s"${d(t)} 12:00:00"),
+        1L, "a", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val out = Audit.dailyPeriodogram(rows).collect()
+      .map(r => r.getAs[Long]("period") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("power"))).toMap
+    assert(out.keySet === (2L to 14L).toSet)
+    assert(out(2L) === ((8L, 274877906944L)))
+    for (p <- 3L to 14L)
+      assert(out(p)._2 < out(2L)._2, s"period $p >= period 2")
+  }
+
   test("westernElectricRules: matches an integer replica on an " +
       "irregular series; 8 consecutive below-mean days complete r4; " +
       "a constant series sides 0 and fires nothing") {

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 392,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 392")
-    assert(SparkEntry.oracleSql.size == 380,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 380")
+    assert(SparkEntry.queries.size == 394,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 394")
+    assert(SparkEntry.oracleSql.size == 382,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 382")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
