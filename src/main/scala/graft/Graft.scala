@@ -401,6 +401,12 @@ object Graft {
         n: Int = 3,
         minHits: Int = 1
     ): DataFrame = ops.Text.contamination(docs, evalDocs, n, minHits)
+    /** Contamination n-gram-size sweep: the gate-calibration curve
+      * over candidate shingle lengths. */
+    def contaminationCurveAgainst(
+        evalDocs: DataFrame,
+        ns: Seq[Int] = Seq(3, 5, 8)
+    ): DataFrame = ops.Text.contaminationCurve(docs, evalDocs, ns)
     def docFrequency(minDf: Long = 1L): DataFrame =
       ops.Text.docFrequency(docs, minDf)
     /** Corpus-derived stopword list with cumulative mass coverage. */

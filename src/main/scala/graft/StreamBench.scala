@@ -719,6 +719,51 @@ object StreamBench {
           java.nio.file.StandardOpenOption.APPEND)
       } finally szQ.stop()
     }
+
+    // Fifteenth surface: per-key token-bucket rate limiting — raw
+    // events/s through the keyed window/used fold (the admission
+    // guard a multi-tenant ingest front-end runs per producer).
+    // Each batch lands 10 events per user in a 5-event-capacity
+    // window, so both admit and reject paths run every batch, and
+    // batches advance one full window so state rolls over.
+    {
+      implicit val s = spark
+      val rlIn = MemoryStream[streaming.RateLimit.Event]
+      val rlQ = streaming.RateLimit
+        .rateLimit(rlIn.toDS(), capacity = 5, windowMs = 60000L)
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        val users = 1000 * scale
+        val perUser = 10
+        val perBatch = users * perUser
+        val nRlBatches = 4
+        def rlBatch(b: Int): Seq[streaming.RateLimit.Event] =
+          (0 until users).flatMap { u =>
+            (0 until perUser).map { i =>
+              streaming.RateLimit.Event(u.toLong,
+                b.toLong * 60000L + i * 100L, (i % 3).toDouble)
+            }
+          }
+        rlIn.addData(rlBatch(0)) // warm batch
+        rlQ.processAllAvailable()
+        val t0 = System.nanoTime()
+        (1 to nRlBatches).foreach { b =>
+          rlIn.addData(rlBatch(b))
+          rlQ.processAllAvailable()
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = perBatch.toLong * nRlBatches
+        val line15 =
+          s"""{"metric":"rate_limit_events_per_sec","value":${(n / dt).toLong},""" +
+            s""""events":$n,"users":$users,"seconds":$dt,"batches":$nRlBatches,"scale":$scale,"sf":"$sfDir"}"""
+        println(line15)
+        val out15 = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(out15.toPath, line15 + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } finally rlQ.stop()
+    }
     spark.stop()
   }
 }

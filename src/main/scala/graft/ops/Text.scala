@@ -2188,6 +2188,37 @@ object Text {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Contamination n-gram-size sweep — the calibration read BEFORE
+    * picking the gate's shingle length: short n-grams (3) flag
+    * common phrases as "contamination" (false positives drain the
+    * training set), long ones (13+) miss paraphrased leakage; the
+    * curve of contaminated-doc counts and total hits per candidate
+    * n is the evidence for the cutoff, exactly the
+    * [[dedupThresholdCurve]] discipline applied to
+    * [[contamination]]. One [[contamination]] pass per candidate n
+    * (the shingle transform is n-specific, so the scans don't
+    * share), each a broadcast-eval-set semi-ish join at minHits = 1;
+    * output is |ns| rows.
+    */
+  def contaminationCurve(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      ns: Seq[Int] = Seq(3, 5, 8)
+  ): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be >= 1")
+    val tot = docs.agg(count(lit(1)).as("n_train"))
+    ns.distinct.sorted.map { n =>
+      contamination(docs, evalDocs, n, minHits = 1)
+        .agg(count(lit(1)).as("n_contaminated"),
+          coalesce(sum(col("n_hits")), lit(0L)).as("n_hits_total"))
+        .crossJoin(broadcast(tot))
+        .select(lit(n.toLong).as("ngram"), col("n_contaminated"),
+          col("n_hits_total"), col("n_train"),
+          expr("n_contaminated * 1000000 div n_train")
+            .as("contaminated_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** PII redaction: replace emails, URLs, and long digit runs with
     * typed placeholders, and count what was redacted. Patterns stick
     * to the regex subset Java and RE2 interpret identically (no

@@ -684,6 +684,15 @@ object TextQueries {
     "q_text_repetition" -> ((s, d) =>
       Text.repetitionStats(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    // the gate-calibration sweep over candidate shingle lengths:
+    // contaminated docs / total hits per n (pick the cutoff from
+    // the curve, not a default)
+    "q_text_contamination_curve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Text.contaminationCurve(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
     // capstone composition: quality gate -> near-dup cluster
     // representatives -> PII redact -> chunk -> deterministic sample
     "q_text_prepare" -> ((s, d) =>
@@ -3504,6 +3513,37 @@ object TextQueries {
         |WHERE sh.doc_id % 50 <> 0
         |GROUP BY sh.doc_id HAVING COUNT(*) >= 5
         |ORDER BY sh.doc_id""".stripMargin,
+    // one generated CTE block per candidate n (the n-ary shingle
+    // concat is built in Scala so each branch mirrors the op's
+    // tokenShingles arity exactly), UNION ALL'd into the curve
+    "q_text_contamination_curve" -> Seq(3, 5, 8).map { n =>
+      val cat = (0 until n).map(j => s"t[i + $j]")
+        .mkString(" || ' ' || ")
+      s"""SELECT CAST($n AS BIGINT) AS ngram,
+         |  CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+         |  CAST(COALESCE(SUM(n_hits), 0) AS BIGINT) AS n_hits_total,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         |   WHERE doc_id % 50 <> 0) AS n_train,
+         |  CAST(COUNT(*) * 1000000 //
+         |    (SELECT COUNT(*) FROM documents WHERE doc_id % 50 <> 0)
+         |    AS BIGINT) AS contaminated_ppm
+         |FROM (
+         |  WITH w AS (
+         |    SELECT doc_id,
+         |      regexp_split_to_array(trim(text), '\\s+') AS t
+         |    FROM documents WHERE len(trim(text)) > 0),
+         |  sh AS (
+         |    SELECT doc_id,
+         |      UNNEST(list_distinct(list_transform(
+         |        generate_series(1, len(t) - ${n - 1}),
+         |        i -> $cat))) AS s
+         |    FROM w WHERE len(t) >= $n),
+         |  ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+         |  SELECT sh.doc_id, COUNT(*) AS n_hits
+         |  FROM sh JOIN ev ON sh.s = ev.s
+         |  WHERE sh.doc_id % 50 <> 0
+         |  GROUP BY sh.doc_id)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY ngram"),
     "q_text_signal_corr" ->
       s"""WITH m AS (
          |  SELECT source, COUNT(*) AS n,

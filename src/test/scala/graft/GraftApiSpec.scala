@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 394,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 394")
-    assert(SparkEntry.oracleSql.size == 382,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 382")
+    assert(SparkEntry.queries.size == 395,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 395")
+    assert(SparkEntry.oracleSql.size == 383,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 383")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -487,6 +487,7 @@ class GraftApiSpec extends SparkSpec {
       "langConfusion" -> "langConfusion",
       "dedupImpact" -> "dedupImpact",
       "chainContamination" -> "chainContamination",
+      "contaminationCurve" -> "contaminationCurveAgainst",
       "shardDedupLoss" -> "shardDedupLoss",
       "langDupAffinity" -> "langDupAffinity",
       "rangeSearch" -> "rangeSearch",

@@ -238,4 +238,47 @@ class PlanSpec extends SparkSpec {
         s"(adjudicate + whitelist with a proven bound), stale " +
         s"${bounded.keySet -- offenders} (remove from whitelist)")
   }
+
+  test("supplier SLA scorecard: the topK HEAD broadcasts into the " +
+      "supplier dim (never the reverse) below a TakeOrdered") {
+    val d = sf("sf0.001")
+    val p = plan(ops.Relational.supplierSlaWilson(
+      Tables.lineitem(spark, d), Tables.orders(spark, d),
+      Tables.supplier(spark, d)))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"no TakeOrdered head:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"name join did not broadcast:\n$p")
+  }
+
+  test("range search: corpus scans once against a broadcast query " +
+      "sample — no shuffle of the embeddings, map-side combine on") {
+    val d = sf("sf0.001")
+    val p = plan(ops.Vector.rangeSearch(
+      Tables.embeddings(spark, d)))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query sample not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the sample join:\n$p")
+    assert(p.contains("partial"), s"no partial aggregation:\n$p")
+  }
+
+  test("shard dedup loss: one aggregation over the exploded pair " +
+      "scan — no join, partial combine before the shuffle") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val p = plan(ops.Text.shardDedupLoss(pairs))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial"), s"no partial aggregation:\n$p")
+  }
+
+  test("periodogram: the q20 trig table attaches by broadcast; the " +
+      "corpus never sort-merge-joins") {
+    val d = sf("sf0.001")
+    val p = plan(ops.Audit.dailyPeriodogram(
+      Tables.events(spark, d)))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"lut join did not broadcast:\n$p")
+  }
 }
