@@ -76,6 +76,15 @@ object Graft {
         rows: Int = ops.Text.LshRows
     ): DataFrame =
       ops.Text.minhashRecallAudit(docs, truthPairs, bands, rows)
+    /** Candidate-precision audit of the banded MinHash layout:
+      * exact-jaccard decile profile of the candidate set. */
+    def minhashPrecisionAudit(
+        bands: Int = ops.Text.LshBands,
+        rows: Int = ops.Text.LshRows
+    ): DataFrame =
+      ops.Text.minhashPrecisionAudit(docs, bands, rows)
+    /** Per-source unigram KL divergence from the corpus (q20). */
+    def sourceUnigramKl: DataFrame = ops.Text.sourceUnigramKl(docs)
     def clusterSurvivors(clusters: DataFrame): DataFrame =
       ops.Text.dupClusterSurvivors(docs, clusters)
     def scrubbedDuplicateBlocks(blockTokens: Int = 20): DataFrame =

@@ -408,6 +408,137 @@ object Text {
       .select(col("doc_id"),
         graft.functions.tokenShingles(col("text"), 3).as("sh"))
 
+  /** MinHash candidate PRECISION audit — the cost side of the
+    * recall/precision ledger ([[minhashRecallAudit]] is the recall
+    * side): every banded candidate pair pays an exact verification,
+    * so the fraction of candidates that FAIL the gate is wasted
+    * verify work, and the decile profile of candidate exact-Jaccard
+    * says whether the (bands, rows) layout is spending its
+    * collisions near the threshold (good) or on noise (resize the
+    * bands — [[lshTuningCurve]] is the theory curve this measures).
+    * Per exact-Jaccard decile of the CANDIDATE set: count, share,
+    * and the cumulative at-or-above fraction — `precision_at_ppm`
+    * at decile d is the measured precision of a d/10 gate over this
+    * corpus and layout.
+    *
+    * Scale shape: the banding self-join (collision-bounded), one
+    * set-attach join per side on the candidate ids, an ≤ 11-row
+    * decile rollup (the bounded global window of the dedup-curve
+    * precedent). Exact twin: the same md5 permutation family as the
+    * recall audit, so the DuckDB oracle replays candidates
+    * bit-for-bit.
+    */
+  def minhashPrecisionAudit(
+      docs: DataFrame,
+      bands: Int = LshBands,
+      rows: Int = LshRows
+  ): DataFrame = {
+    require(bands >= 1 && rows >= 1, "need bands >= 1 and rows >= 1")
+    val nPerms = bands * rows
+    def md5Int(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    var sig = docShingles(docs)
+    for (i <- 0 until nPerms)
+      sig = sig.withColumn(s"__m$i",
+        array_min(transform(col("sh"),
+          s => md5Int(concat(lit(s"$i:"), s)))))
+    val banded = graft.Caches.track("text", sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        md5Int(concat_ws(":", (0 until rows).map(r =>
+          col(s"__m${b * rows + r}").cast("string")): _*))
+      }: _*)).as(Seq("band_idx", "band_hash"))))
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docShingles(docs)
+      .select(col("doc_id"), array_distinct(col("sh")).as("st"))
+    val deciled = cands
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("st").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("st").as("sb")), "doc_b")
+      .select(floor(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (size(col("sa")) + size(col("sb")) -
+            size(array_intersect(col("sa"), col("sb")))) * 10)
+        .cast("int").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cands"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile").desc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    deciled
+      .withColumn("cum_at_or_above", sum(col("n_cands")).over(wDesc))
+      .withColumn("total_cands", sum(col("n_cands")).over(wAll))
+      .select(col("decile"), col("n_cands"), col("cum_at_or_above"),
+        col("total_cands"),
+        expr("n_cands * 1000000 div total_cands").as("share_ppm"),
+        expr("cum_at_or_above * 1000000 div total_cands")
+          .as("precision_at_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus — the
+    * distribution-shift ledger behind every mixture decision: which
+    * sources' token distributions sit far from the blend they feed
+    * (high KL: niche jargon/language/boilerplate — reweighting them
+    * moves the mixture most; near-zero: interchangeable with the
+    * average). `KL(source ‖ corpus) = Σ p_s·ln(p_s/p_c)` computed as
+    * `Σ c_s·(ln(c_s·N) − ln(c·n_s)) div n_s` in q20 nats — counts
+    * exact, each log taken on the DOUBLE product (no BIGINT overflow
+    * at any scale; both engines cast the same integers, so the
+    * floored q20 logs hash bitwise), and no smoothing needed because
+    * the corpus contains every source token by construction. The
+    * per-term floor bias is ≤ vocab·2⁻²⁰ of a nat — documented, not
+    * hidden.
+    *
+    * Scale shape: one (source × token) rollup + a vocab-sized join
+    * to the corpus unigram table; output is #sources rows.
+    */
+  def sourceUnigramKl(docs: DataFrame): DataFrame = {
+    def lnq20d(c: Column): Column =
+      floor(log(c) * (1L << 20)).cast("long")
+    val occ = docs
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val bySrc = occ.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cs"))
+    val corpus = bySrc.groupBy(col("w"))
+      .agg(sum(col("cs")).as("c"))
+    val nTot = corpus.agg(sum(col("c")).as("n_corpus"))
+    val nSrc = bySrc.groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_src"),
+        count(lit(1)).as("vocab_src"))
+    bySrc
+      .join(corpus, "w")
+      .join(broadcast(nSrc), "source")
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("n_src"), col("vocab_src"),
+        // DECIMAL(38,0) bridge: count × q20-log-diff products exceed
+        // BIGINT once sources reach ~10¹² tokens
+        (col("cs").cast("decimal(38,0)") *
+          (lnq20d(col("cs").cast("double") *
+            col("n_corpus").cast("double")) -
+            lnq20d(col("c").cast("double") *
+              col("n_src").cast("double")))).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_tokens"),
+        max(col("vocab_src")).as("vocab"),
+        sum(col("term")).as("mass"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("""CASE WHEN mass < 0
+          | THEN -CAST((-mass) div n_tokens AS BIGINT)
+          | ELSE CAST(mass div n_tokens AS BIGINT) END"""
+          .stripMargin.replace("\n", "")).as("kl_q20"))
+      .orderBy(col("source"))
+  }
+
   /** MinHash signature via the native codegen expression (one string
     * hash + MinhashPerms integer mixes per shingle; the HOF
     * formulation — 32 × array_min(transform(xxhash64)) — re-hashed

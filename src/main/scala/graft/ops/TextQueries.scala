@@ -418,6 +418,15 @@ object TextQueries {
     // empirical closure of q_text_lsh_tuning's analytic curve; md5
     // hash family so both engines compute the identical signatures);
     // truth = the session-shared exact pair graph at >= 0.5
+    // the cost side of the banding ledger: exact-jaccard decile
+    // profile of the CANDIDATE set, with measured precision of a
+    // d/10 gate (wasted-verification accounting)
+    "q_text_minhash_precision" -> ((s, d) =>
+      Text.minhashPrecisionAudit(Tables.documents(s, d))),
+    // per-source unigram KL from the corpus blend (q20 nats):
+    // which sources move the mixture most when reweighted
+    "q_text_source_kl" -> ((s, d) =>
+      Text.sourceUnigramKl(Tables.documents(s, d))),
     "q_text_minhash_recall" -> ((s, d) =>
       Text.minhashRecallAudit(Tables.documents(s, d), jacPairs(s, d))),
     // asymmetric containment (|A∩B|/|A|): catches fragment-in-page
@@ -2574,6 +2583,87 @@ object TextQueries {
     // the measured-recall twin: same jac truth CTE, plus a full
     // md5-family MinHash+banding replica (engine-identical md5int),
     // left-joined truth-vs-candidates rolled up per decile
+    // recall oracle's md5 banding CTEs + an exact-jaccard verify of
+    // the candidate set itself (identical float fold: inter/union
+    // DOUBLE, ×10, floor)
+    "q_text_minhash_precision" ->
+      s"""WITH $jacPairsSql,
+         |mh AS (
+         |  SELECT x.doc_id, pr.pi,
+         |    MIN(CAST(('0x' || substr(md5(
+         |      CAST(pr.pi AS VARCHAR) || ':' || x.tok), 1, 15))
+         |      AS BIGINT)) AS m
+         |  FROM i x CROSS JOIN
+         |    (SELECT UNNEST(generate_series(0, 31)) AS pi) pr
+         |  GROUP BY 1, 2),
+         |bh AS (
+         |  SELECT doc_id, pi // 4 AS band_idx,
+         |    CAST(('0x' || substr(md5(
+         |      string_agg(CAST(m AS VARCHAR), ':' ORDER BY pi)),
+         |      1, 15)) AS BIGINT) AS band_hash
+         |  FROM mh GROUP BY doc_id, pi // 4),
+         |cand AS (
+         |  SELECT DISTINCT la.doc_id AS doc_a, rb.doc_id AS doc_b
+         |  FROM bh la JOIN bh rb ON la.band_idx = rb.band_idx
+         |    AND la.band_hash = rb.band_hash
+         |    AND la.doc_id < rb.doc_id),
+         |cj AS (
+         |  SELECT CAST(FLOOR(
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / (a.n + b.n - len(list_intersect(a.toks, b.toks)))
+         |      * 10) AS INT) AS decile
+         |  FROM cand c JOIN s a ON a.doc_id = c.doc_a
+         |  JOIN s b ON b.doc_id = c.doc_b),
+         |dg AS (
+         |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cands
+         |  FROM cj GROUP BY 1)
+         |SELECT decile, n_cands,
+         |  CAST(SUM(n_cands) OVER (ORDER BY decile DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_at_or_above,
+         |  CAST(SUM(n_cands) OVER () AS BIGINT) AS total_cands,
+         |  CAST(n_cands * 1000000 // SUM(n_cands) OVER ()
+         |    AS BIGINT) AS share_ppm,
+         |  CAST(SUM(n_cands) OVER (ORDER BY decile DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    * 1000000 // SUM(n_cands) OVER () AS BIGINT)
+         |    AS precision_at_ppm
+         |FROM dg ORDER BY decile""".stripMargin,
+    // per-source unigram KL in q20 nats: counts exact, logs on the
+    // DOUBLE product (same casts both engines), HUGEINT term mass,
+    // sign-split final div
+    "q_text_source_kl" ->
+      s"""WITH occ AS (
+         |  SELECT source, UNNEST($toksSql) AS w
+         |  FROM documents WHERE len(trim(text)) > 0),
+         |bs AS (
+         |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs
+         |  FROM occ GROUP BY 1, 2),
+         |cw AS (SELECT w, CAST(SUM(cs) AS BIGINT) AS c
+         |       FROM bs GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM cw),
+         |ns AS (
+         |  SELECT source, CAST(SUM(cs) AS BIGINT) AS n_src,
+         |    CAST(COUNT(*) AS BIGINT) AS vocab_src
+         |  FROM bs GROUP BY 1),
+         |tm AS (
+         |  SELECT bs.source, ns.n_src, ns.vocab_src,
+         |    CAST(bs.cs AS HUGEINT) *
+         |      (CAST(FLOOR(LN(CAST(bs.cs AS DOUBLE)
+         |         * CAST(nt.n_corpus AS DOUBLE)) * 1048576)
+         |         AS BIGINT)
+         |       - CAST(FLOOR(LN(CAST(cw.c AS DOUBLE)
+         |         * CAST(ns.n_src AS DOUBLE)) * 1048576)
+         |         AS BIGINT)) AS term
+         |  FROM bs JOIN cw USING (w) JOIN ns USING (source)
+         |  CROSS JOIN nt)
+         |SELECT source, MAX(n_src) AS n_tokens,
+         |  MAX(vocab_src) AS vocab,
+         |  CASE WHEN SUM(term) < 0
+         |    THEN -CAST((-SUM(term)) // MAX(n_src) AS BIGINT)
+         |    ELSE CAST(SUM(term) // MAX(n_src) AS BIGINT) END
+         |    AS kl_q20
+         |FROM tm GROUP BY source ORDER BY source""".stripMargin,
     "q_text_minhash_recall" ->
       s"""WITH $jacPairsSql,
          |mh AS (

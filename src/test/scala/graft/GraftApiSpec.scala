@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 395,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 395")
-    assert(SparkEntry.oracleSql.size == 383,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 383")
+    assert(SparkEntry.queries.size == 397,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 397")
+    assert(SparkEntry.oracleSql.size == 385,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 385")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -488,6 +488,8 @@ class GraftApiSpec extends SparkSpec {
       "dedupImpact" -> "dedupImpact",
       "chainContamination" -> "chainContamination",
       "contaminationCurve" -> "contaminationCurveAgainst",
+      "minhashPrecisionAudit" -> "minhashPrecisionAudit",
+      "sourceUnigramKl" -> "sourceUnigramKl",
       "shardDedupLoss" -> "shardDedupLoss",
       "langDupAffinity" -> "langDupAffinity",
       "rangeSearch" -> "rangeSearch",

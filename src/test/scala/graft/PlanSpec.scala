@@ -210,6 +210,7 @@ class PlanSpec extends SparkSpec {
       "q_top_supplier" -> "supplier revenue aggregate (supplier-dim-sized: the Q15 max runs over ≤ |supplier| rows at any fact scale)",
       "q_text_curriculum" -> "doc-quality rank (documented exact-rank validation twin)",
       "q_text_dedup_curve" -> "decile frame (nBuckets rows)",
+      "q_text_minhash_precision" -> "candidate decile frame (<= 11 rows by construction)",
       "q_text_filter_yield" -> "quality value-bucket frame (<= 11 rows by construction)",
       "q_text_auc_influence" -> "global score histogram (≤ 2001 values; the per-group windows partition by source)",
       "q_text_neyman_alloc" -> "per-stratum rollup (|sources| rows; remainder-rank window is strata-bounded)",

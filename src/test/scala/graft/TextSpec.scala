@@ -2368,4 +2368,59 @@ class TextSpec extends SparkSpec {
     assert(out(("en", "en")) === ((1L, 333333L, 200000L, 1666L)))
     assert(out.size === 2)
   }
+
+  test("minhashPrecisionAudit: exact duplicates surface as " +
+      "decile-10 candidates; share/cumulative accounting closes") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base, "en", "s", 1L),
+      (2L, base, "en", "s", 1L), // exact dup of 1 -> certain candidate
+      (3L, "one two three four five six seven", "en", "s", 1L),
+      (4L, "cats dogs birds fish mice ants bees", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.minhashPrecisionAudit(docs).collect()
+      .map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Long]("n_cands"), r.getAs[Long]("cum_at_or_above"),
+          r.getAs[Long]("total_cands"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("precision_at_ppm")))).toMap
+    // the identical pair collides in every band -> decile 10 present
+    assert(out.contains(10))
+    assert(out(10)._1 >= 1L)
+    // accounting: one total everywhere; top decile cum == its count;
+    // shares and precision derive exactly
+    val total = out.values.head._3
+    for ((_, (n, cum, t, share, prec)) <- out) {
+      assert(t === total)
+      assert(share === n * 1000000L / total)
+      assert(prec === cum * 1000000L / total)
+    }
+    assert(out(out.keySet.max)._2 === out(out.keySet.max)._1)
+    assert(out.values.map(_._1).sum === total)
+  }
+
+  test("sourceUnigramKl: disjoint-vocabulary halves each read " +
+      "q20 ln 2 from the blend; a single source reads exactly 0") {
+    import spark.implicits._
+    def lnq20(x: Double) =
+      math.floor(math.log(x) * (1L << 20)).toLong
+    val docs = Seq(
+      (1L, "x x x x", "A", 7L), (2L, "y y y y", "B", 7L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .withColumn("lang", lit("en"))
+    val out = Text.sourceUnigramKl(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Long]("kl_q20")))).toMap
+    // term = 4*(lnq20(4*8) - lnq20(4*4)) div 4 per source
+    val expect = lnq20(32.0) - lnq20(16.0)
+    assert(out("A") === ((4L, 1L, expect)))
+    assert(out("B") === ((4L, 1L, expect)))
+    // ln 2 in q20 within the floor unit
+    assert(math.abs(expect - 726817L) <= 1L)
+    val solo = Text.sourceUnigramKl(
+      Seq((1L, "p q r p", "A", 7L))
+        .toDF("doc_id", "text", "source", "n_chars")).collect()
+    assert(solo.head.getAs[Long]("kl_q20") === 0L)
+  }
 }
