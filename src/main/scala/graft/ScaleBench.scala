@@ -149,10 +149,27 @@ object ScaleBench {
     // cell, alpha from the mins
     val times = scala.collection.mutable.Map
       .empty[(String, Int), Seq[Double]]
+    // Host-factor probe (the Bench instrument, r17): a fixed
+    // CPU-bound kernel timed best-of-3 per k-point, so batches merged
+    // across days carry the host state their cells were measured
+    // under — mixing host states into exponents is exactly the
+    // failure mode the r17 fresh-JVM remeasure diagnosed. The quiet
+    // floor on this host class is ~0.16 s (BENCH convention);
+    // merge_scalebench injects the winning batch's probe per cell.
+    def hostProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(500000000L)
+        .selectExpr("sum(id * 3 + (id & 1023))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probes = scala.collection.mutable.Map.empty[Int, Double]
     for (k <- ks) {
       val dir = s"$work/k$k"
       System.err.println(s"[scalebench] materializing k=$k at $dir")
       materialize(spark, sfDir, dir, k)
+      probes(k) = (0 until 3).map(_ => hostProbe()).min
+      System.err.println(
+        f"[scalebench] host_probe(k=$k) ${probes(k)}%6.3fs")
       // SPARK_GRAFT_SCALE_CACHE_TARGETS (comma list of builder
       // names, e.g. "cache:text:jac_pairs") narrows the timed cache
       // builds the same way SCALE_TARGETS narrows queries — the dev
@@ -233,8 +250,10 @@ object ScaleBench {
           math.log(kHi.toDouble / kLo)
       s""""$name":{$ts,"samples":$samples,"alpha":${r3(alpha)}}"""
     }.mkString("{", ",", "}")
+    val probeJson = ks.map(k => s""""k$k":${r3(probes(k))}""")
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"scale_exponent","sf":"$sfDir","scales":[${
-      ks.mkString(",")}],"queries":$perQuery}"""
+      ks.mkString(",")}],"probes":$probeJson,"queries":$perQuery}"""
     // default OUTSIDE the repo: an unset env var must never clobber a
     // committed per-round artifact (SCALEBENCH_r12.json learned this
     // the hard way) — merging a batch into SCALEBENCH_r<N>.json is a

@@ -200,10 +200,16 @@ object Affinity {
       .groupBy(col("src"))
       .agg(count(lit(1)).as("n_dst"),
         sum(col("ct")).as("src_total"),
-        sum(col("ct") * lnq20(col("ct"))).as("mass_ln_ct"))
+        // count-times-q20-log mass in DECIMAL(38,0) (the
+        // sourceUnigramKl bridge): ct·lnq20(ct) crosses BIGINT once
+        // a state nears ~3e11 transitions
+        sum(col("ct").cast("decimal(38,0)") * lnq20(col("ct")))
+          .as("mass_ln_ct"))
       .select(col("src"), col("n_dst"), col("src_total"),
-        // Σ ct·(ln n − ln ct) div n, all q20 integers
-        expr("""(src_total * CAST(FLOOR(LN(CAST(src_total AS DOUBLE))
+        // Σ ct·(ln n − ln ct) div n, all q20 integers; the
+        // src_total·lnq20 product takes the same DECIMAL bridge
+        expr("""(CAST(src_total AS DECIMAL(38,0))
+          | * CAST(FLOOR(LN(CAST(src_total AS DOUBLE))
           | * 1048576) AS BIGINT) - mass_ln_ct) div src_total"""
           .stripMargin.replace("\n", "")).as("h_cond_q20"),
         col("mass_ln_ct"))
@@ -212,14 +218,18 @@ object Affinity {
       .crossJoin(broadcast(tot))
       .select(col("src"), col("n_dst"), col("src_total"),
         col("h_cond_q20"),
-        expr("src_total * 1000000 div all_total").as("weight_ppm"))
+        expr("CAST(src_total AS DECIMAL(38,0)) * 1000000 div all_total")
+          .as("weight_ppm"))
     // the chain's entropy RATE: transition-weighted conditional
     // entropies, exact integer weighting (mass div total)
     val rate = perSrc
       .crossJoin(broadcast(tot))
       .agg(sum(col("n_dst")).as("n_dst"),
         sum(col("src_total")).as("src_total"),
-        sum(col("src_total") * col("h_cond_q20")).as("mass_h"),
+        // same shape, same bridge: mass·entropy crosses BIGINT with
+        // src_total ~3e11
+        sum(col("src_total").cast("decimal(38,0)")
+          * col("h_cond_q20")).as("mass_h"),
         max(col("all_total")).as("all_total"))
       .select(lit("__all__").as("src"), col("n_dst"),
         col("src_total"),

@@ -332,12 +332,14 @@ object AffinityQueries {
         |ps AS (
         |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_dst,
         |    CAST(SUM(ct) AS BIGINT) AS src_total,
-        |    CAST(SUM(ct * CAST(FLOOR(LN(CAST(ct AS DOUBLE))
-        |      * 1048576) AS BIGINT)) AS BIGINT) AS mass_ln_ct
+        |    CAST(SUM(CAST(ct AS HUGEINT)
+        |      * CAST(FLOOR(LN(CAST(ct AS DOUBLE))
+        |      * 1048576) AS BIGINT)) AS HUGEINT) AS mass_ln_ct
         |  FROM c GROUP BY 1),
         |h AS (
         |  SELECT src, n_dst, src_total,
-        |    (src_total * CAST(FLOOR(LN(CAST(src_total AS DOUBLE))
+        |    (CAST(src_total AS HUGEINT)
+        |      * CAST(FLOOR(LN(CAST(src_total AS DOUBLE))
         |      * 1048576) AS BIGINT) - mass_ln_ct) // src_total
         |      AS h_cond_q20
         |  FROM ps),
@@ -345,13 +347,14 @@ object AffinityQueries {
         |       FROM h)
         |SELECT src, n_dst, src_total,
         |  CAST(h_cond_q20 AS BIGINT) AS h_cond_q20,
-        |  src_total * 1000000 // at.all_total AS weight_ppm
+        |  CAST(CAST(src_total AS HUGEINT) * 1000000
+        |    // at.all_total AS BIGINT) AS weight_ppm
         |FROM h CROSS JOIN at
         |UNION ALL
         |SELECT '__all__', CAST(SUM(n_dst) AS BIGINT),
         |  CAST(SUM(src_total) AS BIGINT),
-        |  CAST(SUM(src_total * h_cond_q20) // MAX(at.all_total)
-        |    AS BIGINT),
+        |  CAST(SUM(CAST(src_total AS HUGEINT) * h_cond_q20)
+        |    // MAX(at.all_total) AS BIGINT),
         |  CAST(1000000 AS BIGINT)
         |FROM h CROSS JOIN at
         |ORDER BY src""".stripMargin,

@@ -1640,6 +1640,94 @@ object Text {
       .union(finalSnap.select(col("doc_id"), col("cluster")))
   }
 
+  /** Connected components of a PARTITION-CONFINED pair graph — the
+    * zero-iteration sibling of [[dupClusters]] for graphs whose
+    * edges provably never cross a partition key. The SemDeDup
+    * within-list pair graphs are the canonical case:
+    * [[graft.ops.Vector.semanticNearDupPairsAssigned]] only ever
+    * joins `l.list_id === r.list_id`, so every component lives
+    * inside ONE list and a global fixpoint iteration is pure
+    * overhead. Where the general loop pays O(log diameter) rounds of
+    * graph-sized joins + checkpoint materializations + convergence
+    * counts, this is ONE hash-partition shuffle of the edge list on
+    * the partition key and a per-group union-find (path-halving +
+    * union-by-min-id, O(E·α(E)) local work, α the inverse
+    * Ackermann). Per-group memory is O(nodes in the partition) —
+    * bounded by the partitioner granularity, the same bound that
+    * makes the Σ|list|² pair build viable at all — so the operator
+    * scales exactly where the pair build does.
+    *
+    * Union-by-min keeps each tree's root equal to the minimum id
+    * seen in its component (merging roots ra < rb attaches rb under
+    * ra; min(min_A, min_B) is the smaller root), so the emitted
+    * (doc_id, min reachable id) assignment is the SAME unique
+    * fixpoint [[dupClusters]] converges to — bitwise identical on
+    * any partition-confined graph, independent of edge order
+    * (DupClustersSpec pins this differentially).
+    *
+    * `pairsWithPart` carries `(doc_a, doc_b, part)` with BOTH
+    * endpoints belonging to `part` — callers attach the key with an
+    * id-keyed join against their assignment (linear in the pair set,
+    * which is orders of magnitude smaller than the corpus) and MUST
+    * establish confinement before calling (a cross-partition edge
+    * here would silently split a component;
+    * [[graft.ops.Vector.semanticDedupAssigned]] CHECKS it with one
+    * tiny aggregate over the attached keys and routes unconfined
+    * graphs to [[dupClusters]] instead).
+    *
+    * Returns `(doc_id, cluster)` over ALL of `docs` — graph nodes
+    * get their component's min id, non-graph docs themselves (the
+    * [[dupClusters]] contract).
+    */
+  def dupClustersPartitioned(
+      docs: DataFrame,
+      pairsWithPart: DataFrame
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges = pairsWithPart
+      .select(col("part").cast("long").as("_1"),
+        col("doc_a").cast("long").as("_2"),
+        col("doc_b").cast("long").as("_3"))
+      .as[(Long, Long, Long)]
+    val comps = edges.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        // local union-find: path-halving find, union by min root
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent(x)
+          while (p != x) {
+            val gp = parent(p)
+            parent.update(x, gp)
+            x = gp
+            p = parent(x)
+          }
+          x
+        }
+        it.foreach { case (_, a, b) =>
+          if (!parent.contains(a)) parent.update(a, a)
+          if (!parent.contains(b)) parent.update(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.update(rb, ra)
+            else parent.update(ra, rb)
+          }
+        }
+        // materialize keys before the final finds (path-halving
+        // mutates the map; LongMap iteration during mutation is
+        // undefined)
+        val nodes = parent.keys.toArray
+        nodes.iterator.map(n => (n, find(n)))
+      }
+      .toDF("doc_id", "cluster")
+    docs.select(col("doc_id"))
+      .join(comps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .union(comps)
+  }
+
   /** Survivor selection over near-duplicate clusters — the policy
     * step between clustering and dedup: real pipelines keep the BEST
     * copy per cluster (highest quality score), not an arbitrary one.
@@ -1781,11 +1869,24 @@ object Text {
         col("n_docs").as("nb"))), "lang_b")
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(obsTot))
+      // n(n-1)/2 reaches N²/2 — the raw BIGINT multiply overflows at
+      // n >= ~4.3e9 docs, so the product is DECIMAL(38,0)-bridged
+      // BEFORE the multiply via the exact even/odd split (one factor
+      // is always even; div-first keeps every operand integral).
+      // na*nb crosses BIGINT the same way. Token-identical HUGEINT
+      // splits in the SQL twin.
       .withColumn("pairs_lang",
         when(col("lang_a") === col("lang_b"),
-          expr("na * (na - 1) div 2")).otherwise(expr("na * nb")))
+          expr("""CASE WHEN na % 2 = 0
+            | THEN CAST(na div 2 AS DECIMAL(38,0)) * (na - 1)
+            | ELSE CAST(na AS DECIMAL(38,0)) * ((na - 1) div 2)
+            | END""".stripMargin.replace("\n", "")))
+          .otherwise(expr("CAST(na AS DECIMAL(38,0)) * nb")))
       .withColumn("pairs_total",
-        expr("n_total * (n_total - 1) div 2"))
+        expr("""CASE WHEN n_total % 2 = 0
+          | THEN CAST(n_total div 2 AS DECIMAL(38,0)) * (n_total - 1)
+          | ELSE CAST(n_total AS DECIMAL(38,0)) * ((n_total - 1) div 2)
+          | END""".stripMargin.replace("\n", "")))
       .select(col("lang_a"), col("lang_b"), col("n_pairs"),
         expr("n_pairs * 1000000 div obs_total").as("share_ppm"),
         expr("""CAST(CAST(pairs_lang AS DECIMAL(38,0)) * 1000000

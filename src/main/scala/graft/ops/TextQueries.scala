@@ -2158,10 +2158,19 @@ object TextQueries {
          |x AS (
          |  SELECT c.lang_a, c.lang_b, c.n_pairs, ma.n_docs AS na,
          |    mb.n_docs AS nb, tt.n_total, ot.obs_total,
-         |    CASE WHEN c.lang_a = c.lang_b
-         |      THEN ma.n_docs * (ma.n_docs - 1) // 2
-         |      ELSE ma.n_docs * mb.n_docs END AS pairs_lang,
-         |    tt.n_total * (tt.n_total - 1) // 2 AS pairs_total
+         |    CASE WHEN c.lang_a = c.lang_b THEN
+         |      CASE WHEN ma.n_docs % 2 = 0
+         |        THEN CAST(ma.n_docs // 2 AS HUGEINT)
+         |          * (ma.n_docs - 1)
+         |        ELSE CAST(ma.n_docs AS HUGEINT)
+         |          * ((ma.n_docs - 1) // 2) END
+         |      ELSE CAST(ma.n_docs AS HUGEINT) * mb.n_docs
+         |      END AS pairs_lang,
+         |    CASE WHEN tt.n_total % 2 = 0
+         |      THEN CAST(tt.n_total // 2 AS HUGEINT)
+         |        * (tt.n_total - 1)
+         |      ELSE CAST(tt.n_total AS HUGEINT)
+         |        * ((tt.n_total - 1) // 2) END AS pairs_total
          |  FROM cts c
          |  JOIN mg ma ON ma.lang = c.lang_a
          |  JOIN mg mb ON mb.lang = c.lang_b

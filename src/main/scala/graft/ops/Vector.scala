@@ -427,8 +427,12 @@ object Vector {
     val q =
       (if (sampleCount > 0)
         embeddings
-          .orderBy(pmod(col("vec_id") * lit(2654435761L),
-            lit(4294967296L)), col("vec_id"))
+          // DECIMAL(38,0) bridge: vec_id * 2654435761 overflows
+          // BIGINT at vec_id >= ~3.48e9 (ANSI: runtime error); the
+          // exact-decimal product keeps the shuffle key identical to
+          // the twin's HUGEINT at any id range
+          .orderBy(pmod(col("vec_id").cast("decimal(38,0)")
+            * lit(2654435761L), lit(4294967296L)), col("vec_id"))
           .limit(sampleCount)
       else
         embeddings.filter(pmod(col("vec_id"), lit(sampleMod)) === 0))
@@ -490,11 +494,13 @@ object Vector {
       tau: Double = 0.8,
       sampleCount: Int = 32
   ): DataFrame = {
-    require(tau > -1.0 && tau <= 1.0, "tau must be in (-1, 1]")
+    require(tau >= -1.0 && tau <= 1.0, "tau must be in [-1, 1]")
     require(sampleCount >= 1, "sampleCount must be >= 1")
     val q = embeddings
-      .orderBy(pmod(col("vec_id") * lit(2654435761L),
-        lit(4294967296L)), col("vec_id"))
+      // DECIMAL(38,0) bridge — see matryoshkaRecallCurve's sample:
+      // the raw BIGINT multiply overflows at vec_id >= ~3.48e9
+      .orderBy(pmod(col("vec_id").cast("decimal(38,0)")
+        * lit(2654435761L), lit(4294967296L)), col("vec_id"))
       .limit(sampleCount)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
@@ -1385,8 +1391,41 @@ object Vector {
     val pairs = precomputedPairs
       .getOrElse(semanticNearDupPairsAssigned(assigned, threshold))
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    Text.dupClusters(assigned.select(col("vec_id").as("doc_id")),
-      pairs, cacheFamily = "vec")
+    // When the pair graph is confined to `assigned`'s lists — true
+    // by construction for pairs from [[semanticNearDupPairsAssigned]]
+    // over the SAME assignment (its self-join requires l.list_id ===
+    // r.list_id) — components never span lists and the
+    // zero-iteration partition-local walk replaces the global
+    // label-propagation fixpoint (r17 ScaleBench measured the
+    // iterative build at alpha 0.789 — the rounds' full-graph joins
+    // + checkpoints + convergence counts, not the component math).
+    // Confinement is CHECKED, not assumed: the attach joins recover
+    // each endpoint's list (pair-set-sized work, orders of magnitude
+    // below the corpus), and one tiny aggregate decides the path. A
+    // caller whose pairs cross lists (e.g. label-built pairs scored
+    // against a finer sublist assignment, the q_vec_cluster_reps
+    // shape at m > 1) gets the general iterative fixpoint — same
+    // unique min-reachable-id assignment either way, so the branch
+    // is invisible in results.
+    val lists = assigned.select(col("vec_id"), col("list_id"))
+    val tagged = pairs
+      .join(lists.select(col("vec_id").as("doc_a"),
+        col("list_id").as("__pa")), "doc_a")
+      .join(lists.select(col("vec_id").as("doc_b"),
+        col("list_id").as("__pb")), "doc_b")
+    val confined = tagged
+      .agg(coalesce(max(when(col("__pa") =!= col("__pb"), 1L)
+        .otherwise(0L)), lit(0L)).as("x"))
+      .head.getLong(0) == 0L
+    val docsOnly = assigned.select(col("vec_id").as("doc_id"))
+    val clusters =
+      if (confined)
+        Text.dupClustersPartitioned(docsOnly,
+          tagged.select(col("doc_a"), col("doc_b"),
+            col("__pa").as("part")))
+      else
+        Text.dupClusters(docsOnly, pairs, cacheFamily = "vec")
+    clusters
       .select(col("doc_id").as("vec_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("keep"))
   }

@@ -2785,7 +2785,8 @@ object VectorQueries {
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb
         |  FROM embeddings
-        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |  ORDER BY (CAST(vec_id AS HUGEINT) * 2654435761)
+        |    % 4294967296, vec_id
         |  LIMIT 32),
         |pairs AS (
         |  SELECT q.query_id, e.vec_id,
@@ -2814,7 +2815,8 @@ object VectorQueries {
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb
         |  FROM embeddings
-        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |  ORDER BY (CAST(vec_id AS HUGEINT) * 2654435761)
+        |    % 4294967296, vec_id
         |  LIMIT 32),
         |pairs AS (
         |  SELECT q.query_id, e.vec_id,

@@ -260,6 +260,70 @@ class TextSpec extends SparkSpec {
     assert(wrote > 0, "reliable checkpoint wrote no files")
   }
 
+  // --- dupClustersPartitioned ≡ dupClusters (differential) ---------
+
+  private def assignments(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+      .sortBy(_._1).toSeq
+
+  test("dupClustersPartitioned: bitwise-identical fixpoint to " +
+      "dupClusters on random partition-confined graphs") {
+    // 5 partitions × 40 nodes, seeded random edges WITHIN each
+    // partition — every (doc_id, cluster) row must equal the
+    // iterative fixpoint exactly (the unique min-reachable-id
+    // assignment), including docs with no incident edge
+    val rnd = new scala.util.Random(42)
+    val nodes = (0 until 5).flatMap { p =>
+      (0 until 40).map(i => (p * 1000L + i, p.toLong))
+    }
+    val edges = nodes.groupBy(_._2).toSeq.flatMap { case (p, ns) =>
+      val ids = ns.map(_._1)
+      (0 until 55).map { _ =>
+        val a = ids(rnd.nextInt(ids.length))
+        val b = ids(rnd.nextInt(ids.length))
+        (math.min(a, b), math.max(a, b), p)
+      }.filter(e => e._1 != e._2)
+    }
+    val docsDf = nodes.map(_._1).toDF("doc_id")
+    val pairsDf = edges.toDF("doc_a", "doc_b", "part")
+    val part = assignments(
+      Text.dupClustersPartitioned(docsDf, pairsDf))
+    val iter = assignments(Text.dupClusters(docsDf,
+      pairsDf.select(col("doc_a"), col("doc_b"))))
+    assert(part == iter)
+  }
+
+  test("dupClustersPartitioned: long path inside one partition " +
+      "(diameter stress) matches the iterative fixpoint") {
+    // a 500-node path is the worst case for round-based propagation;
+    // the union-find must land every node on cluster 0 in one pass
+    val n = 500
+    val docsDf = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairsDf = (0 until n - 1)
+      .map(i => (i.toLong, i + 1L, 7L)).toDF("doc_a", "doc_b", "part")
+    val part = assignments(
+      Text.dupClustersPartitioned(docsDf, pairsDf))
+    assert(part.forall(_._2 == 0L))
+    val iter = assignments(Text.dupClusters(docsDf,
+      pairsDf.select(col("doc_a"), col("doc_b"))))
+    assert(part == iter)
+  }
+
+  test("dupClustersPartitioned: duplicate and reversed edges are " +
+      "harmless; empty graph yields all singletons") {
+    val docsDf = (1L to 4L).toDF("doc_id")
+    val pairsDf = Seq((1L, 2L, 0L), (2L, 1L, 0L), (1L, 2L, 0L))
+      .toDF("doc_a", "doc_b", "part")
+    val m = assignments(
+      Text.dupClustersPartitioned(docsDf, pairsDf)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+    val empty = Seq.empty[(Long, Long, Long)]
+      .toDF("doc_a", "doc_b", "part")
+    val s = assignments(Text.dupClustersPartitioned(docsDf, empty))
+    assert(s == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("chunking: overlapping windows cover every token exactly") {
     val doc = Seq((1L, (1 to 120).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")

@@ -237,6 +237,23 @@ class VectorSpec extends SparkSpec {
       2L -> ((2L, true)), 3L -> ((3L, true))))
   }
 
+  test("semanticDedupAssigned routes a cross-list pair graph to the " +
+      "general fixpoint (no silent component split)") {
+    // the partition-local walk is only valid on a list-confined
+    // graph — a doctored pair crossing labels 0 and 1 must take the
+    // iterative path and still produce the correct joint component
+    val assigned = vecs.withColumn("list_id", col("label"))
+    val crossPair = Seq((0L, 2L, 1.0)).toDF("vec_a", "vec_b", "cos_sim")
+    val out = Vec.semanticDedupAssigned(assigned, 0.95,
+      precomputedPairs = Some(crossPair)).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(out == Map(
+      0L -> ((0L, true)), 2L -> ((0L, false)),
+      1L -> ((1L, true)), 3L -> ((3L, true)), 4L -> ((4L, true))))
+  }
+
   test("exactCosinePairs refuses inputs above the n² guard") {
     val e = intercept[Exception] {
       Vec.exactCosinePairs(vecs, 0.5, maxRows = 2L).count()

@@ -16,6 +16,19 @@ import math
 import sys
 
 
+def inject_probes(src):
+    """Copy the batch's per-k host probe into each cell (k1_probe,
+    ...) so merged artifacts record the host state each retained min
+    was measured under (r17 verdict #5)."""
+    probes = src.pop("probes", None)
+    if not probes:
+        return
+    for cell in src["queries"].values():
+        for k in list(cell):
+            if k.startswith("k") and "_" not in k and k in probes:
+                cell[f"{k}_probe"] = probes[k]
+
+
 def merge(dst, src):
     for name, cell in src["queries"].items():
         if name not in dst["queries"]:
@@ -32,12 +45,21 @@ def merge(dst, src):
             if k in d:
                 if cell[k] < d[k]:
                     d[k] = cell[k]
-                    if f"{k}_med" in cell:
-                        d[f"{k}_med"] = cell[f"{k}_med"]
+                    # companions (median, host probe) travel with the
+                    # batch that supplied the retained min; a winning
+                    # batch without one DROPS the loser's, or we'd
+                    # pair another batch's companion with this
+                    # batch's min
+                    for suf in ("_med", "_probe"):
+                        if f"{k}{suf}" in cell:
+                            d[f"{k}{suf}"] = cell[f"{k}{suf}"]
+                        else:
+                            d.pop(f"{k}{suf}", None)
             else:
                 d[k] = cell[k]
-                if f"{k}_med" in cell:
-                    d[f"{k}_med"] = cell[f"{k}_med"]
+                for suf in ("_med", "_probe"):
+                    if f"{k}{suf}" in cell:
+                        d[f"{k}{suf}"] = cell[f"{k}{suf}"]
         d["samples"] = d.get("samples", 0) + cell.get("samples", 0)
         # alpha over the WIDEST k-range present after the merge (a
         # narrower batch must not shrink the exponent's span); a
@@ -67,6 +89,7 @@ def main():
                 if not line:
                     continue
                 src = json.loads(line)
+                inject_probes(src)
                 if dst is None:
                     dst = src
                 else:
