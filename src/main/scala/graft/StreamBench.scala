@@ -762,6 +762,63 @@ object StreamBench {
         java.nio.file.Files.writeString(out15.toPath, line15 + "\n",
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
+
+        // Split paths (r17 verdict #4): the reject path skips the
+        // state mutation, so it is the CHEAP one — a blended rate can
+        // mask an admit-path regression. Admit phase: capacity-exact
+        // batches in fresh windows (every event admitted). Reject
+        // phase: a window filled to capacity outside the timed
+        // region, then replayed batches inside it (every event
+        // rejected). Windows 10+ and 20 sit past the blended phase's
+        // 0..4 so the watermark never marks them late.
+        val nSplit = 4
+        def admitBatch(b: Int): Seq[streaming.RateLimit.Event] =
+          (0 until users).flatMap { u =>
+            (0 until 5).map { i =>
+              streaming.RateLimit.Event(u.toLong,
+                (10L + b) * 60000L + i * 100L, (i % 3).toDouble)
+            }
+          }
+        val ta0 = System.nanoTime()
+        (0 until nSplit).foreach { b =>
+          rlIn.addData(admitBatch(b))
+          rlQ.processAllAvailable()
+        }
+        val admitDt = (System.nanoTime() - ta0) / 1e9
+        val nAdmit = users.toLong * 5 * nSplit
+        rlIn.addData((0 until users).flatMap { u =>
+          (0 until 5).map { i =>
+            streaming.RateLimit.Event(u.toLong,
+              20L * 60000L + i * 100L, (i % 3).toDouble)
+          }
+        })
+        rlQ.processAllAvailable()
+        def rejectBatch(b: Int): Seq[streaming.RateLimit.Event] =
+          (0 until users).flatMap { u =>
+            (0 until perUser).map { i =>
+              streaming.RateLimit.Event(u.toLong,
+                20L * 60000L + 1000L + b * 100L + i, (i % 3).toDouble)
+            }
+          }
+        val tr0 = System.nanoTime()
+        (0 until nSplit).foreach { b =>
+          rlIn.addData(rejectBatch(b))
+          rlQ.processAllAvailable()
+        }
+        val rejectDt = (System.nanoTime() - tr0) / 1e9
+        val nReject = users.toLong * perUser * nSplit
+        val line15a =
+          s"""{"metric":"rate_limit_admit_events_per_sec","value":${(nAdmit / admitDt).toLong},""" +
+            s""""events":$nAdmit,"users":$users,"seconds":$admitDt,"batches":$nSplit,"scale":$scale,"sf":"$sfDir"}"""
+        val line15b =
+          s"""{"metric":"rate_limit_reject_events_per_sec","value":${(nReject / rejectDt).toLong},""" +
+            s""""events":$nReject,"users":$users,"seconds":$rejectDt,"batches":$nSplit,"scale":$scale,"sf":"$sfDir"}"""
+        println(line15a)
+        println(line15b)
+        java.nio.file.Files.writeString(out15.toPath,
+          line15a + "\n" + line15b + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
       } finally rlQ.stop()
     }
     spark.stop()

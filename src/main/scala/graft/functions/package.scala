@@ -59,4 +59,15 @@ package object functions {
     */
   def zorderInterleave(buckets: Column, bits: Int): Column =
     Bridge.column(ZOrderInterleave(Bridge.expression(buckets), bits))
+
+  /** All sign-LSH band hashes of a unit-vector column in one native
+    * pass (see [[graft.functions.HyperplaneBands]]).
+    */
+  def hyperplaneBands(
+      unit: Column,
+      planes: Array[Array[Double]],
+      nBands: Int,
+      bitsPerBand: Int): Column =
+    Bridge.column(HyperplaneBands(Bridge.expression(unit), planes,
+      nBands, bitsPerBand))
 }

@@ -1690,34 +1690,44 @@ object Vector {
       math.min(bitsPerBand + extra, 48)
     } else bitsPerBand
     val planes = hyperplanes(nBands * effBits, dim)
-    val bandArr = array((0 until nBands).map { bnd =>
-      (0 until effBits).map { bit =>
-        val p = planes(bnd * effBits + bit)
-        when(decDot(col("unit"), array(p.map(lit(_)): _*)) >= 0,
-          lit(1L << bit)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
-    // Persist the unit vectors once (normalization + 32 plane dots
-    // feed both the banding and the verify legs); registered with
-    // Caches so the family release unpersists it.
+    // All band hashes in ONE native pass (r18): the per-plane
+    // when(decDot(...) >= 0, ...) assembly rebuilt nBands·effBits
+    // separate expression trees — at the production bit growth
+    // (320+ planes at 10× scale) that made the banding stage the
+    // dominant n-scaling term of the whole operator (k10 profile:
+    // 4.65 s of 9.0 s). Bitwise-identical hashes (same fold order,
+    // same NaN/null policy — see HyperplaneBands).
+    val bandArr = graft.functions.hyperplaneBands(
+      col("unit"), planes, nBands, effBits)
+    // Persist the unit vectors once (normalization + plane dots feed
+    // both the banding and the verify legs); registered with Caches
+    // so the family release unpersists it.
     val u = graft.Caches.track("vec", unitized(embeddings)
       .select(col("vec_id"), col("unit"), bandArr.as("bands")))
     // ids-ONLY through the band self-join: exploding the unit array
     // alongside the bands would push nBands copies of every vector
-    // through the exchange (a nBands× data blowup at corpus scale),
-    // and a pair colliding in k bands would pay k dot products. Band
-    // rows are (id, band_idx, band_hash) triples; candidates dedup to
-    // id pairs BEFORE the unit vectors are attached, so each
-    // surviving pair is fetched and dotted exactly once — the same
-    // ids-first shape as Text.jaccardExactPairs' candidate join.
+    // through the exchange (a nBands× data blowup at corpus scale).
+    // Band rows are (id, band_idx, band_hash) triples; id pairs are
+    // fetched and dotted as they collide (a pair colliding in k
+    // bands pays k dots — ~3% of collisions at production bit
+    // growth) and dedup to unique pairs after the threshold — the
+    // same ids-first shape as Text.jaccardExactPairs' candidate
+    // join, with the exchange moved to the surviving-pair set.
     val banded = u.select(col("vec_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    // Dedup AFTER the verify, not before (r18): at production bit
+    // growth only ~3% of collisions repeat across bands (k10
+    // profile: 8.31M → 8.03M), so a full exchange of the candidate
+    // set to dedup it costs more than re-dotting the few repeats —
+    // the distinct moves to the (tiny) surviving pair set. Repeated
+    // pairs dot to the SAME cos_sim (one deterministic fold per
+    // fetch), so dropDuplicates after the threshold keeps results
+    // bit-identical to distinct-then-verify.
     val cands = banded.as("l").join(banded.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
           col("l.band_hash") === col("r.band_hash") &&
           col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
-      .distinct()
     val pairs = cands
       .join(u.select(col("vec_id").as("vec_a"), col("unit").as("ua")),
         "vec_a")
@@ -1726,6 +1736,7 @@ object Vector {
       .select(col("vec_a"), col("vec_b"),
         decDot(col("ua"), col("ub")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
     if (maxPairsPerVector <= 0) pairs
     else {
       val topk = udaf(

@@ -254,6 +254,61 @@ class VectorSpec extends SparkSpec {
       1L -> ((1L, true)), 3L -> ((3L, true)), 4L -> ((4L, true))))
   }
 
+  test("hyperplaneBands: bitwise-identical to the per-plane decDot " +
+      "assembly, incl. NaN units and null elements") {
+    // random unit-ish vectors + the degenerate cases the old
+    // when(decDot >= 0).otherwise(0) construction defined: NaN
+    // components (zero-norm units) hash all-ones (Spark orders NaN
+    // above every double), a null element hashes all-zero (NULL dot
+    // takes the otherwise branch); everything else must match the
+    // per-plane signs bit for bit
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val nBands = 6
+    val bits = 5
+    val planes = Vec.hyperplanes(nBands * bits, dim, seed = 9L)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    } :+ (97L, Array.fill(dim)(Double.NaN))
+    val df = rows.toDF("vec_id", "unit")
+    val fast = graft.functions.hyperplaneBands(
+      col("unit"), planes, nBands, bits)
+    val slow = array((0 until nBands).map { b =>
+      (0 until bits).map { j =>
+        val p = planes(b * bits + j)
+        when(Vec.decDot(col("unit"), array(p.map(lit(_)): _*)) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val out = df.select(col("vec_id"), fast.as("f"), slow.as("s"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](r.fieldIndex("f")).toSeq ==
+        r.getSeq[Long](r.fieldIndex("s")).toSeq,
+        s"mismatch at vec ${r.getAs[Long]("vec_id")}")
+    }
+    // NaN unit → Spark orders NaN above 0, so decDot >= 0 held and
+    // every bit is SET (all-ones hashes) — both forms must agree
+    val nanRow = out.find(_.getAs[Long]("vec_id") == 97L).get
+    assert(nanRow.getSeq[Long](nanRow.fieldIndex("f")).toSeq ==
+      Seq.fill(nBands)((1L << bits) - 1))
+    // a null element poisons every plane's dot → all-zero hashes
+    val withNull = Seq((1L, Array[java.lang.Double](1.0, null,
+      0.5) ++ Array.fill[java.lang.Double](dim - 3)(0.25)))
+      .toDF("vec_id", "unit")
+    val nRow = withNull.select(
+      graft.functions.hyperplaneBands(col("unit"), planes, nBands,
+        bits).as("f")).head
+    assert(nRow.getSeq[Long](0).toSeq == Seq.fill(nBands)(0L))
+    // length mismatch (shorter array than the planes' dim) → zeros
+    val short = Seq((2L, Array(1.0, -1.0)))
+      .toDF("vec_id", "unit")
+    val sRow = short.select(
+      graft.functions.hyperplaneBands(col("unit"), planes, nBands,
+        bits).as("f")).head
+    assert(sRow.getSeq[Long](0).toSeq == Seq.fill(nBands)(0L))
+  }
+
   test("exactCosinePairs refuses inputs above the n² guard") {
     val e = intercept[Exception] {
       Vec.exactCosinePairs(vecs, 0.5, maxRows = 2L).count()
