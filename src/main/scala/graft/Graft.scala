@@ -95,6 +95,17 @@ object Graft {
       ops.Text.removeBoilerplate(docs, minDf)
     def dupClusters(pairs: DataFrame): DataFrame =
       ops.Text.dupClusters(docs, pairs)
+    /** Zero-iteration connected components of a partition-confined
+      * pair graph (`pairsWithPart` carries (doc_a, doc_b, part) with
+      * both endpoints in `part`) — the one-shuffle union-find
+      * sibling of [[dupClusters]]. */
+    def dupClustersPartitioned(pairsWithPart: DataFrame): DataFrame =
+      ops.Text.dupClustersPartitioned(docs, pairsWithPart)
+    /** Bradley–Terry source strengths from pairwise quality
+      * preferences (rank-sum sufficient statistics, exact q20 MM
+      * rounds). */
+    def bradleyTerry(iters: Int = 3): DataFrame =
+      ops.Text.bradleyTerry(docs, iters)
     /** Source-pair duplicate matrix over a precomputed near-dup
       * pair graph: who copies from whom. */
     def sourceDupMatrix(pairs: DataFrame): DataFrame =
@@ -615,6 +626,16 @@ object Graft {
       ops.Vector.semanticNearDupPairsAssigned(embs, threshold)
     def semanticDedupedAssigned(threshold: Double): DataFrame =
       ops.Vector.semanticDedupAssigned(embs, threshold)
+    /** Personalized PageRank (restart at `seedId`) over the
+      * within-list kNN graph — top `topN` by q20 mass. */
+    def pprTopK(seedId: Long, k: Int = 3, iters: Int = 3,
+        topN: Int = 25): DataFrame =
+      ops.Vector.pprAssigned(embs, seedId, k, iters, topN)
+    /** Threshold → component-structure dedup sweep over a
+      * precomputed within-list pair graph. */
+    def semanticDedupCurve(
+        taus: Seq[Double], pairs: DataFrame): DataFrame =
+      ops.Vector.dedupThresholdCurve(embs, taus, pairs)
     def assignedLists(model: KMeansModel): DataFrame =
       ops.Vector.assignLists(embs, model)
     def labelCentroids: DataFrame = ops.Vector.labelCentroids(embs)

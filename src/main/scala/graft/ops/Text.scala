@@ -1769,6 +1769,134 @@ object Text {
         (col("n_members") - 1).as("n_dropped"))
   }
 
+  /** Bradley–Terry source-strength fit over pairwise quality
+    * preferences — the preference-model primitive (the reward-model /
+    * RLHF data shape) applied to corpus curation: treat every
+    * cross-source document pair as one comparison decided by the
+    * deterministic [[qualityScore]] (strictly higher q20-floored
+    * quality wins; exact ties are uninformative and drop out of both
+    * the wins and the pair counts), then fit BT strengths `p_s` by
+    * the standard minorize–maximize recurrence
+    * `p_A ← W_A / Σ_{B≠A} n_AB/(p_A+p_B)`, renormalized to mean 2²⁰
+    * per round. Unlike a mean-quality ranking, BT strengths are
+    * calibrated on WHO the comparisons were against — a source that
+    * narrowly beats a strong source outranks one that crushes a weak
+    * one — which is the property a mixture-weighting decision wants.
+    *
+    * Everything is exact integer arithmetic off O(#distinct-quality ×
+    * #sources) sufficient statistics — no doc-pair is ever
+    * materialized: `W_A = Σ_q c_A(q)·(below_total(q) − below_A(q))`
+    * via two exclusive cumulative windows over the quality histogram
+    * (the MWU rank-sum shape), `n_AB = n_A·n_B − ties_AB` with
+    * `ties_AB = Σ_q c_A(q)·c_B(q)` (vocab-sized join). Pairwise-count
+    * products are DECIMAL(38,0)/HUGEINT-bridged (they reach N²); the
+    * MM division floors in q20 with a zero-denominator guard
+    * (`p_A + p_B = 0` between two zero-strength sources contributes
+    * nothing — both already sit at the MLE boundary) and a
+    * no-comparisons guard (a lone source keeps 2²⁰). Emitted `wins`
+    * rides the BIGINT envelope (exact to ~3e9 docs/source, the
+    * repo-wide emitted-count headroom; internal sums stay bridged).
+    *
+    * Scale shape: one scan for the quality histogram (map-side
+    * combine on (q, source)), windows over DISTINCT quality values,
+    * then #sources²-sized iteration frames — the corpus is read
+    * once.
+    */
+  def bradleyTerry(docs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val scored = qualityScore(docs)
+      .select(col("doc_id"),
+        floor(col("quality") * (1L << 20)).cast("long").as("q"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val cell = scored.groupBy(col("q"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cell.groupBy(col("q")).agg(sum(col("c")).as("t"))
+      .withColumn("below_total",
+        coalesce(sum(col("t")).over(Window.orderBy(col("q"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cells = cell
+      .withColumn("below_src",
+        coalesce(sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("q"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(tot.select(col("q"), col("below_total")), "q")
+    val wins = cells.groupBy(col("source"))
+      .agg(
+        sum(col("c").cast(dec) *
+          (col("below_total") - col("below_src"))).as("__wins"),
+        sum(col("c")).as("n_docs"))
+    val ties = cell.as("a").join(cell.as("b"),
+        col("a.q") === col("b.q") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(sum(col("a.c").cast(dec) * col("b.c")).as("ties"))
+    val marg = wins.select(col("source"), col("n_docs"))
+    val pairsAB = marg.as("a").join(marg.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        (col("a.n_docs").cast(dec) * col("b.n_docs")).as("nn"))
+      .join(ties, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"),
+        (col("nn") - coalesce(col("ties"), lit(0).cast(dec)))
+          .as("n_ab"))
+    // The sufficient statistics are #sources + #sources² rows — a
+    // MODEL-sized fit (the BPE-merge-table / PCA-moments collect
+    // precedent): pull them to the driver and run the MM rounds in
+    // exact BigInt (non-negative BigInt / == DECIMAL div == DuckDB
+    // // token for token). A distributed iteration was measured
+    // pathological here — each round joins p twice, so the lazy
+    // lineage re-derives the corpus-scan histogram ~2^iters times
+    // for frames of twenty rows (154 s at sf0.001 vs ~4 s now).
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val winRows = wins
+      .select(col("source"), col("__wins").cast("string"),
+        col("n_docs"))
+      .collect()
+      .map(r => (r.getString(0), BigInt(r.getString(1)),
+        r.getLong(2)))
+    val nAb = pairsAB
+      .select(col("sa"), col("sb"), col("n_ab").cast("string"))
+      .collect()
+      .flatMap { r =>
+        val v = BigInt(r.getString(2))
+        Seq((r.getString(0), r.getString(1)) -> v,
+          (r.getString(1), r.getString(0)) -> v)
+      }.toMap
+    val srcs = winRows.map(_._1).sorted
+    val winsOf = winRows.map(t => t._1 -> t._2).toMap
+    val docsOf = winRows.map(t => t._1 -> t._3).toMap
+    val q20 = BigInt(1048576)
+    var p = srcs.map(_ -> q20).toMap
+    for (_ <- 1 to iters) {
+      val updated = srcs.map { a =>
+        val d = srcs.iterator.filter(_ != a).map { b =>
+          val s = p(a) + p(b)
+          if (s == 0) BigInt(0) else nAb((a, b)) * q20 / s
+        }.sum
+        a -> (if (d == 0) p(a) else winsOf(a) * q20 / d)
+      }.toMap
+      // renormalize to mean 2²⁰ (BT is scale-invariant; the MM
+      // drifts the scale)
+      val tot = updated.values.sum
+      p =
+        if (tot == 0) srcs.map(_ -> q20).toMap
+        else updated.map { case (k, v) =>
+          k -> (v * srcs.length * q20 / tot)
+        }
+    }
+    srcs
+      .map(s => (s, docsOf(s), winsOf(s).toLong, p(s).toLong))
+      .sortBy { case (s, _, _, pq) => (-pq, s) }
+      .zipWithIndex
+      .map { case ((s, nd, w, pq), i) => (s, nd, w, pq, i + 1) }
+      .toSeq
+      .toDF("source", "n_docs", "wins", "p_q20", "rank")
+      .orderBy(col("rank"))
+  }
+
   /** Tokenizer fertility per language — tokens per kilobyte of
     * UTF-8, the number that converts a byte budget into a token
     * budget per language (CJK languages tokenize at a fraction of

@@ -974,6 +974,12 @@ object TextQueries {
     "q_text_mwu" -> ((s, d) =>
       Audit.mannWhitneyU(Tables.documents(s, d),
         col("lang"), col("n_chars"), "en", "de")),
+    // Bradley-Terry source strengths from pairwise quality
+    // preferences: rank-sum wins + tie-corrected pair counts off the
+    // quality histogram (never a doc-pair join), 3 exact q20 MM
+    // rounds with per-round renormalization
+    "q_text_bradley_terry" -> ((s, d) =>
+      Text.bradleyTerry(Tables.documents(s, d), iters = 3)),
     // source-pair tf-idf cosine: integer weights (tf × q20-ln idf),
     // exact DECIMAL dots/norms, one IEEE sqrt/divide at the end
     "q_text_source_tfidf_cos" -> ((s, d) =>
@@ -2263,6 +2269,146 @@ object TextQueries {
         |  (r2_a - n_a * (n_a + 1)) * 1000000
         |    // (2 * n_a * (n_total - n_a)) AS auc_ppm
         |FROM a""".stripMargin,
+    // Bradley-Terry source strengths: q20-floored quality histogram
+    // -> rank-sum wins (two exclusive cumulative windows) + tie-
+    // corrected pair counts (HUGEINT-bridged N² products), then 3
+    // unrolled q20 MM rounds with renormalization — every division a
+    // non-negative floor, so // ≡ Spark's div throughout
+    "q_text_bradley_terry" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CASE WHEN length(trim(text)) = 0
+         |         THEN CAST([] AS VARCHAR[])
+         |         ELSE $toksSql END AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(toks,
+         |      x -> list_contains($stopSql, x))) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / GREATEST(len(toks), 1) AS uniq_ratio,
+         |    CAST(LEAST(n_chars, 500) AS DOUBLE) / 500.0 AS len_score
+         |  FROM t),
+         |sc AS (
+         |  SELECT source,
+         |    CAST(FLOOR((stopword_ratio * 0.25 + uniq_ratio * 0.5
+         |      + len_score * 0.25) * 1048576) AS BIGINT) AS q
+         |  FROM r),
+         |cell AS (
+         |  SELECT q, source, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sc GROUP BY 1, 2),
+         |tq AS (SELECT q, CAST(SUM(c) AS BIGINT) AS tt
+         |       FROM cell GROUP BY 1),
+         |tb AS (
+         |  SELECT q, COALESCE(CAST(SUM(tt) OVER (ORDER BY q
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS BIGINT), 0) AS below_total
+         |  FROM tq),
+         |cb AS (
+         |  SELECT q, source, c,
+         |    COALESCE(CAST(SUM(c) OVER (PARTITION BY source
+         |      ORDER BY q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS below_src
+         |  FROM cell),
+         |w AS (
+         |  SELECT cb.source,
+         |    CAST(SUM(CAST(cb.c AS HUGEINT)
+         |      * (tb.below_total - cb.below_src)) AS HUGEINT) AS wins,
+         |    CAST(SUM(cb.c) AS BIGINT) AS n_docs
+         |  FROM cb JOIN tb USING (q) GROUP BY 1),
+         |tie AS (
+         |  SELECT a.source AS sa, b.source AS sb,
+         |    CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS ties
+         |  FROM cell a JOIN cell b
+         |    ON a.q = b.q AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |pab AS (
+         |  SELECT a.source AS sa, b.source AS sb,
+         |    CAST(a.n_docs AS HUGEINT) * b.n_docs
+         |      - COALESCE(tie.ties, 0) AS n_ab
+         |  FROM w a JOIN w b ON a.source < b.source
+         |  LEFT JOIN tie ON tie.sa = a.source AND tie.sb = b.source),
+         |sym AS (
+         |  SELECT sa AS source, sb AS other, n_ab FROM pab
+         |  UNION ALL SELECT sb, sa, n_ab FROM pab),
+         |p0 AS (SELECT source, CAST(1048576 AS BIGINT) AS p FROM w),
+         |d1 AS (
+         |  SELECT sym.source,
+         |    CAST(SUM(CASE WHEN pa.p + pb.p = 0
+         |      THEN CAST(0 AS HUGEINT)
+         |      ELSE CAST(sym.n_ab * 1048576 AS HUGEINT)
+         |        // (pa.p + pb.p) END) AS HUGEINT) AS d
+         |  FROM sym JOIN p0 pa ON pa.source = sym.source
+         |  JOIN p0 pb ON pb.source = sym.other GROUP BY 1),
+         |q1 AS (
+         |  SELECT p0.source,
+         |    CAST(CASE WHEN d1.d IS NULL OR d1.d = 0 THEN p0.p
+         |      ELSE CAST(w.wins * 1048576 AS HUGEINT) // d1.d
+         |      END AS BIGINT) AS p
+         |  FROM p0 LEFT JOIN d1 ON d1.source = p0.source
+         |  JOIN w ON w.source = p0.source),
+         |n1 AS (SELECT CAST(SUM(p) AS HUGEINT) AS tot,
+         |         CAST(COUNT(*) AS BIGINT) AS ns FROM q1),
+         |p1 AS (
+         |  SELECT q1.source,
+         |    CAST(CASE WHEN n1.tot = 0 THEN 1048576
+         |      ELSE CAST(q1.p AS HUGEINT) * n1.ns * 1048576 // n1.tot
+         |      END AS BIGINT) AS p
+         |  FROM q1 CROSS JOIN n1),
+         |d2 AS (
+         |  SELECT sym.source,
+         |    CAST(SUM(CASE WHEN pa.p + pb.p = 0
+         |      THEN CAST(0 AS HUGEINT)
+         |      ELSE CAST(sym.n_ab * 1048576 AS HUGEINT)
+         |        // (pa.p + pb.p) END) AS HUGEINT) AS d
+         |  FROM sym JOIN p1 pa ON pa.source = sym.source
+         |  JOIN p1 pb ON pb.source = sym.other GROUP BY 1),
+         |q2 AS (
+         |  SELECT p1.source,
+         |    CAST(CASE WHEN d2.d IS NULL OR d2.d = 0 THEN p1.p
+         |      ELSE CAST(w.wins * 1048576 AS HUGEINT) // d2.d
+         |      END AS BIGINT) AS p
+         |  FROM p1 LEFT JOIN d2 ON d2.source = p1.source
+         |  JOIN w ON w.source = p1.source),
+         |n2 AS (SELECT CAST(SUM(p) AS HUGEINT) AS tot,
+         |         CAST(COUNT(*) AS BIGINT) AS ns FROM q2),
+         |p2 AS (
+         |  SELECT q2.source,
+         |    CAST(CASE WHEN n2.tot = 0 THEN 1048576
+         |      ELSE CAST(q2.p AS HUGEINT) * n2.ns * 1048576 // n2.tot
+         |      END AS BIGINT) AS p
+         |  FROM q2 CROSS JOIN n2),
+         |d3 AS (
+         |  SELECT sym.source,
+         |    CAST(SUM(CASE WHEN pa.p + pb.p = 0
+         |      THEN CAST(0 AS HUGEINT)
+         |      ELSE CAST(sym.n_ab * 1048576 AS HUGEINT)
+         |        // (pa.p + pb.p) END) AS HUGEINT) AS d
+         |  FROM sym JOIN p2 pa ON pa.source = sym.source
+         |  JOIN p2 pb ON pb.source = sym.other GROUP BY 1),
+         |q3 AS (
+         |  SELECT p2.source,
+         |    CAST(CASE WHEN d3.d IS NULL OR d3.d = 0 THEN p2.p
+         |      ELSE CAST(w.wins * 1048576 AS HUGEINT) // d3.d
+         |      END AS BIGINT) AS p
+         |  FROM p2 LEFT JOIN d3 ON d3.source = p2.source
+         |  JOIN w ON w.source = p2.source),
+         |n3 AS (SELECT CAST(SUM(p) AS HUGEINT) AS tot,
+         |         CAST(COUNT(*) AS BIGINT) AS ns FROM q3),
+         |p3 AS (
+         |  SELECT q3.source,
+         |    CAST(CASE WHEN n3.tot = 0 THEN 1048576
+         |      ELSE CAST(q3.p AS HUGEINT) * n3.ns * 1048576 // n3.tot
+         |      END AS BIGINT) AS p
+         |  FROM q3 CROSS JOIN n3)
+         |SELECT w.source, w.n_docs, CAST(w.wins AS BIGINT) AS wins,
+         |  p3.p AS p_q20,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY p3.p DESC, w.source)
+         |    AS INT) AS rank
+         |FROM p3 JOIN w USING (source)
+         |ORDER BY rank""".stripMargin,
     // per-group q20 floors pinned as part of the statistic; HUGEINT
     // promoted before every square
     "q_text_len_anova" ->

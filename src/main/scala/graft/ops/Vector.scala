@@ -1849,6 +1849,112 @@ object Vector {
     pr
   }
 
+  /** Personalized PageRank (random walk with restart) from one seed
+    * vector over the within-list kNN graph — the "related items from
+    * THIS item" serving primitive next to the global
+    * [[knnPagerankAssigned]] centrality: the restart mass returns to
+    * the SEED every hop instead of spreading uniformly, so the
+    * stationary mass ranks the seed's graph neighborhood (the
+    * query-time recommendation / local-community read every vector
+    * store pairs with its index). Same exact q20 integer recurrence
+    * as the global operator (α = 0.15 → `157286` at the seed only,
+    * `17·s div 20` for the damped flow; every sum exact, `div`
+    * floors identically in both engines) so the whole ranking
+    * hash-compares. Same scale shape too: the edge build is the
+    * session-shared kNN graph (Σ|list|² candidates bounded by the
+    * sublist cap), each iteration one join + one agg on the k·n edge
+    * list; the final cut is TakeOrdered, never a global sort.
+    *
+    * Dangling kNN sinks leak their flow mass exactly as in the
+    * global operator (documented convention, identical twin).
+    * Returns the `topN` rows `(vec_id, ppr_q20, rank)` —
+    * seed included (it holds the restart mass by construction).
+    */
+  def pprAssigned(
+      assigned: DataFrame,
+      seedId: Long,
+      k: Int = 3,
+      iters: Int = 3,
+      topN: Int = 25,
+      precomputedKnn: Option[DataFrame] = None
+  ): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val edges = graft.Caches.track("vec",
+      precomputedKnn.getOrElse(knnGraphAssigned(assigned, k))
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src")
+    val nodes = assigned.select(col("vec_id"))
+    val seedMass = (c: Column) =>
+      when(c === seedId, lit(157286L)).otherwise(lit(0L))
+    var pr = nodes.select(col("vec_id"),
+      when(col("vec_id") === seedId, lit(1048576L)).otherwise(lit(0L))
+        .as("ppr_q20"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(pr.withColumnRenamed("vec_id", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("ppr_q20 div deg")).as("s"))
+      pr = nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (seedMass(col("vec_id")) +
+            expr("(17 * coalesce(s, 0L)) div 20")).as("ppr_q20"))
+      if (iters > lazyLineageMaxIters) pr = truncateGeneration(pr)
+    }
+    val top = pr.orderBy(col("ppr_q20").desc, col("vec_id"))
+      .limit(topN)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ppr_q20").desc, col("vec_id"))).cast("int"))
+  }
+
+  /** Dedup threshold→structure curve: for each cosine threshold τ,
+    * the pair count, component count, largest component and the docs
+    * dedup would DROP (members − components) — the table that
+    * answers "how aggressive can the semantic dedup get before it
+    * collapses the corpus" BEFORE committing a τ (the embedding-side
+    * sibling of Text's dedup_curve, but over component STRUCTURE,
+    * not just pair counts: a τ that only doubles pairs can still
+    * merge two giant clusters).
+    *
+    * Scale shape: the pair graph is built ONCE (the session-shared
+    * within-list pair cache at the FLOOR threshold) and every τ ≥
+    * floor is a filter over it; each τ's components run through the
+    * zero-iteration partition-local union-find
+    * ([[Text.dupClustersPartitioned]] via [[semanticDedupAssigned]]),
+    * so the whole curve costs |taus| passes over the (tiny) pair
+    * set + one corpus-sized anti-join each — never a fixpoint
+    * iteration, never n².
+    */
+  def dedupThresholdCurve(
+      assigned: DataFrame,
+      taus: Seq[Double],
+      precomputedPairs: DataFrame
+  ): DataFrame = {
+    require(taus.nonEmpty, "need at least one tau")
+    taus.sorted.map { tau =>
+      val pr = precomputedPairs.filter(col("cos_sim") >= tau)
+      val nPairs = pr.agg(count(lit(1)).as("n_pairs"))
+      val sizes = semanticDedupAssigned(assigned, tau,
+        precomputedPairs = Some(pr))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      sizes.agg(
+        count(lit(1)).as("n_components"),
+        max(col("sz")).as("max_component"),
+        sum(col("sz")).as("__n_total"))
+        .crossJoin(broadcast(nPairs))
+        .select(
+          lit(math.round(tau * 100)).as("tau_centi"),
+          col("n_pairs"),
+          col("n_components"),
+          col("max_component"),
+          (col("__n_total") - col("n_components")).as("n_dropped"))
+    }.reduce(_.unionByName(_)).orderBy(col("tau_centi"))
+  }
+
   /** Iterations up to which the iterative graph operators
     * ([[knnPagerankAssigned]], [[labelPropagationAssigned]]) leave
     * per-generation lineage lazy (measured faster — see the

@@ -603,6 +603,23 @@ object VectorQueries {
       Vector.knnPagerankAssigned(sublisted(s, d),
         k = 3, iters = 3)
         .orderBy(col("vec_id"))),
+    // personalized PageRank (random walk with restart) from seed
+    // vec 0 over the session-shared kNN edge set: the restart mass
+    // returns to the SEED each hop, so the q20 fixpoint ranks the
+    // seed's graph neighborhood — same exact integer recurrence as
+    // q_vec_pagerank, top-25 via TakeOrdered
+    "q_vec_ppr" -> ((s, d) =>
+      Vector.pprAssigned(sublisted(s, d), seedId = 0L,
+        k = 3, iters = 3, topN = 25,
+        precomputedKnn = Some(knnGraphDf(s, d)))),
+    // threshold -> component-structure sweep over the session pair
+    // cache: per tau >= the cache's floor, pair count, component
+    // count/max and dedup drop — each tau one filter over the pair
+    // artifact + the zero-iteration partition-local union-find
+    "q_vec_dedup_curve" -> ((s, d) =>
+      Vector.dedupThresholdCurve(
+        Tables.embeddings(s, d).withColumn("list_id", col("label")),
+        Seq(0.4, 0.5, 0.6, 0.7), semPairs(s, d))),
     // centrality-ranked duplicate-cluster representatives: SemDeDup
     // components say WHICH vectors are redundant, PageRank says which
     // copy to KEEP (the corpus-central exemplar, not the min id) —
@@ -1764,6 +1781,67 @@ object VectorQueries {
         |  n_total
         |FROM sz, tot GROUP BY sz, n_total
         |ORDER BY size""".stripMargin,
+    // threshold sweep over the same within-label pair table: per
+    // tau, pair count + recursive-reach component stats + dedup drop
+    "q_vec_dedup_curve" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |taus(tau_centi, tau) AS (
+        |  VALUES (40, 0.4), (50, 0.5), (60, 0.6), (70, 0.7)),
+        |pr AS (
+        |  SELECT t.tau_centi, p.vec_a, p.vec_b
+        |  FROM p CROSS JOIN taus t WHERE p.cos_sim >= t.tau),
+        |e AS (
+        |  SELECT tau_centi, vec_a AS src, vec_b AS dst FROM pr
+        |  UNION ALL
+        |  SELECT tau_centi, vec_b, vec_a FROM pr),
+        |reach(tau_centi, vec_id, r) AS (
+        |  SELECT t.tau_centi, v.vec_id, v.vec_id
+        |  FROM embeddings v CROSS JOIN taus t
+        |  UNION
+        |  SELECT reach.tau_centi, reach.vec_id, e.dst
+        |  FROM reach JOIN e ON reach.r = e.src
+        |    AND e.tau_centi = reach.tau_centi),
+        |comp AS (
+        |  SELECT tau_centi, vec_id, MIN(r) AS cluster
+        |  FROM reach GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT tau_centi, cluster, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM comp GROUP BY 1, 2),
+        |np AS (
+        |  SELECT tau_centi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM pr GROUP BY 1),
+        |st AS (
+        |  SELECT tau_centi,
+        |    CAST(COUNT(*) AS BIGINT) AS n_components,
+        |    CAST(MAX(sz) AS BIGINT) AS max_component,
+        |    CAST(SUM(sz) AS BIGINT) AS n_total
+        |  FROM sz GROUP BY 1)
+        |SELECT CAST(st.tau_centi AS BIGINT) AS tau_centi,
+        |  COALESCE(np.n_pairs, 0) AS n_pairs, st.n_components,
+        |  st.max_component,
+        |  st.n_total - st.n_components AS n_dropped
+        |FROM st LEFT JOIN np USING (tau_centi)
+        |ORDER BY tau_centi""".stripMargin,
     // q16-exact centroids per label, ordered-fold distances, milli
     // floor per vector before the label rollup
     "q_vec_silhouette" ->
@@ -2199,6 +2277,80 @@ object VectorQueries {
         |       FROM p2 LEFT JOIN c3 ON p2.vec_id = c3.vec_id)
         |SELECT vec_id, pr AS pr_q20 FROM p3
         |ORDER BY vec_id""".stripMargin,
+    // personalized PageRank: the same knn edge fragment and q20
+    // damped-flow term as q_vec_pagerank, but the restart mass
+    // returns to the SEED only (157286 at vec 0, zero elsewhere;
+    // p0 = 2^20 at the seed) — 3 unrolled rounds, then the top-25
+    // TakeOrdered cut with its rank
+    "q_vec_ppr" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS rk
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |e AS (SELECT vec_id AS src, nbr_id AS dst FROM r
+        |      WHERE rk <= 3),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM e
+        |       JOIN deg d ON e.src = d.src),
+        |p0 AS (SELECT vec_id,
+        |         CAST(CASE WHEN vec_id = 0 THEN 1048576 ELSE 0 END
+        |           AS BIGINT) AS pr
+        |       FROM embeddings),
+        |c1 AS (SELECT ed.dst AS vec_id,
+        |         CAST(SUM(p.pr // ed.deg) AS BIGINT) AS s
+        |       FROM ed JOIN p0 p ON ed.src = p.vec_id
+        |       GROUP BY ed.dst),
+        |p1 AS (SELECT p0.vec_id,
+        |         CAST(CASE WHEN p0.vec_id = 0 THEN 157286 ELSE 0 END
+        |           + (17 * COALESCE(c1.s, 0)) // 20 AS BIGINT) AS pr
+        |       FROM p0 LEFT JOIN c1 ON p0.vec_id = c1.vec_id),
+        |c2 AS (SELECT ed.dst AS vec_id,
+        |         CAST(SUM(p.pr // ed.deg) AS BIGINT) AS s
+        |       FROM ed JOIN p1 p ON ed.src = p.vec_id
+        |       GROUP BY ed.dst),
+        |p2 AS (SELECT p1.vec_id,
+        |         CAST(CASE WHEN p1.vec_id = 0 THEN 157286 ELSE 0 END
+        |           + (17 * COALESCE(c2.s, 0)) // 20 AS BIGINT) AS pr
+        |       FROM p1 LEFT JOIN c2 ON p1.vec_id = c2.vec_id),
+        |c3 AS (SELECT ed.dst AS vec_id,
+        |         CAST(SUM(p.pr // ed.deg) AS BIGINT) AS s
+        |       FROM ed JOIN p2 p ON ed.src = p.vec_id
+        |       GROUP BY ed.dst),
+        |p3 AS (SELECT p2.vec_id,
+        |         CAST(CASE WHEN p2.vec_id = 0 THEN 157286 ELSE 0 END
+        |           + (17 * COALESCE(c3.s, 0)) // 20 AS BIGINT) AS pr
+        |       FROM p2 LEFT JOIN c3 ON p2.vec_id = c3.vec_id)
+        |SELECT vec_id, pr AS ppr_q20,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, vec_id)
+        |    AS INT) AS rank
+        |FROM p3
+        |ORDER BY pr DESC, vec_id LIMIT 25""".stripMargin,
     // cluster representatives: ONE pairwise CTE (a.i-ordered unit
     // sums, vec_id <>) feeds both the component edge set (< filter,
     // >= 0.4) and the kNN ranking (rk <= 3) → reach components +

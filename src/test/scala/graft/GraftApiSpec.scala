@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 397,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 397")
-    assert(SparkEntry.oracleSql.size == 385,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 385")
+    assert(SparkEntry.queries.size == 400,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 400")
+    assert(SparkEntry.oracleSql.size == 388,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 388")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -385,6 +385,9 @@ class GraftApiSpec extends SparkSpec {
       "docFrequency" -> "docFrequency",
       "stopwordDiscovery" -> "stopwordsDiscovered",
       "dedupThresholdCurve" -> "dedupThresholdCurve",
+      "dupClustersPartitioned" -> "dupClustersPartitioned",
+      "bradleyTerry" -> "bradleyTerry",
+      "pprAssigned" -> "pprTopK",
       "vocabGrowth" -> "vocabGrowth",
       "vocabCoverageCurve" -> "vocabCoverageCurve",
       "clusterSourceSpread" -> "clusterSourceSpread",

@@ -324,6 +324,46 @@ class TextSpec extends SparkSpec {
     assert(s == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("bradleyTerry: strict quality dominance pins wins and the " +
+      "strength boundary; pure ties are uninformative") {
+    // source A's docs strictly outscore source B's on len_score
+    // (same text, different n_chars) → W_A = 4 cross wins, W_B = 0;
+    // the MM sends B to the zero-strength boundary and A holds the
+    // whole renormalized mass
+    val d = Seq(
+      (1L, "alpha beta gamma", "en", "A", 500L),
+      (2L, "alpha beta gamma", "en", "A", 500L),
+      (3L, "alpha beta gamma", "en", "B", 10L),
+      (4L, "alpha beta gamma", "en", "B", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.bradleyTerry(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("wins"),
+          r.getAs[Long]("p_q20"), r.getAs[Int]("rank"))))
+      .toMap
+    assert(out("A") == ((2L, 4L, 2097152L, 1)))
+    assert(out("B") == ((2L, 0L, 0L, 2)))
+    // identical quality everywhere → zero wins, zero informative
+    // pairs → both sources keep the 2^20 prior (ties drop out)
+    val tied = Seq(
+      (1L, "x y z", "en", "A", 100L),
+      (2L, "x y z", "en", "B", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = Text.bradleyTerry(tied).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("wins"), r.getAs[Long]("p_q20"))))
+      .toMap
+    assert(t("A") == ((0L, 1048576L)) && t("B") == ((0L, 1048576L)))
+    // a lone source has no comparisons and keeps the prior
+    val solo = Text.bradleyTerry(
+      Seq((1L, "a b", "en", "only", 50L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect()
+    assert(solo.length == 1 &&
+      solo.head.getAs[Long]("p_q20") == 1048576L &&
+      solo.head.getAs[Int]("rank") == 1)
+  }
+
   test("chunking: overlapping windows cover every token exactly") {
     val doc = Seq((1L, (1 to 120).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")

@@ -309,6 +309,43 @@ class VectorSpec extends SparkSpec {
     assert(sRow.getSeq[Long](0).toSeq == Seq.fill(nBands)(0L))
   }
 
+  test("pprAssigned: restart mass stays in the seed's component; " +
+      "unreachable nodes rank last with zero mass") {
+    val assigned = vecs.withColumn("list_id", col("label"))
+    val out = Vec.pprAssigned(assigned, seedId = 0L, k = 3,
+      iters = 3, topN = 25).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("ppr_q20"), r.getAs[Int]("rank"))))
+      .toMap
+    assert(out.size == 5)
+    // label 1 (vecs 2, 3) is a different list — no path from seed 0
+    assert(out(2L)._1 == 0L && out(3L)._1 == 0L)
+    // the seed and its within-list neighbors carry positive mass
+    assert(out(0L)._1 > 0L && out(1L)._1 > 0L && out(4L)._1 > 0L)
+    // ranks are the (ppr DESC, vec_id) order, 1-based and dense
+    val ranked = out.toSeq.sortBy { case (id, (pq, _)) => (-pq, id) }
+    assert(ranked.map(_._2._2) == (1 to 5))
+  }
+
+  test("dedupThresholdCurve: pairs shrink and components grow " +
+      "monotonically in tau; exact structure on the fixture") {
+    val assigned = vecs.withColumn("list_id", col("label"))
+    val pairs = Vec.semanticNearDupPairsAssigned(assigned, 0.9)
+    val rows = Vec.dedupThresholdCurve(assigned,
+      Seq(0.9, 0.994, 0.999), pairs).collect()
+      .map(r => r.getAs[Long]("tau_centi") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_components"),
+          r.getAs[Long]("max_component"), r.getAs[Long]("n_dropped"))))
+      .toMap
+    // cos(0,1)≈0.9939, cos(0,4)≈0.9988, cos(1,4)≈0.9982; label 1's
+    // pair sits at cos −1. tau 0.9: the full {0,1,4} triangle; tau
+    // 0.994: two edges, SAME component through vec 4 (structure
+    // stable while pairs drop); tau 0.999: no pairs, all singletons
+    assert(rows(90L) == ((3L, 3L, 3L, 2L)))
+    assert(rows(99L) == ((2L, 3L, 3L, 2L)))
+    assert(rows(100L) == ((0L, 5L, 1L, 0L)))
+  }
+
   test("exactCosinePairs refuses inputs above the n² guard") {
     val e = intercept[Exception] {
       Vec.exactCosinePairs(vecs, 0.5, maxRows = 2L).count()
