@@ -223,6 +223,7 @@ class PlanSpec extends SparkSpec {
       "q_text_stopwords" -> "df-ratio >= 50% token set (stopword-sized by construction)",
       "q_text_vocab_growth" -> "coarse-cell histogram + nBuckets cum frames",
       "q_text_zipf" -> "token-frequency histogram head (rank cap)",
+      "q_vec_ppr" -> "rank over the TakeOrdered head only (<= topN = 25 rows below a LIMIT)",
       "q_vec_rrf_fusion" -> "fused top-k lists (k-bounded)",
       "q_zset_range" -> "zset member range (bounded key range, documented)")
     val d = sf("sf0.001")
