@@ -89,7 +89,8 @@ object SparkEntry {
     "q_vec_cluster_reps", "q_vec_coreset_sample", "q_vec_cosine_topk",
     "q_vec_density_prune", "q_vec_doc_pool", "q_vec_drift_psi",
     "q_vec_knn_recall", "q_vec_label_prop", "q_vec_mmr_topk",
-    "q_vec_modularity", "q_vec_neardup", "q_vec_pagerank",
+    "q_vec_modularity", "q_vec_neardup", "q_vec_neardup_quantized",
+    "q_vec_pagerank",
     "q_vec_ranking_metrics", "q_vec_rrf_fusion",
     "q_vec_semantic_contamination", "q_vec_semantic_dedup",
     "q_vec_semantic_pairs", "q_vec_sq8_distortion",

@@ -1660,7 +1660,8 @@ object Vector {
       bitsPerBand: Int = 4,
       dim: Int = 64,
       maxPairsPerVector: Int = 0,
-      bitsRefN: Long = 0L
+      bitsRefN: Long = 0L,
+      quantizedVerify: Boolean = false
   ): DataFrame = {
     // Scale-honesty levers (both off by default = the recall-1 audit
     // config). When the threshold sits INSIDE the corpus's bulk
@@ -1728,7 +1729,47 @@ object Vector {
           col("l.band_hash") === col("r.band_hash") &&
           col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
-    val pairs = cands
+    // Optional SQ8 first-pass verify (`quantizedVerify`) — the
+    // quantizedTopK serving pattern applied to the pair verify: the
+    // candidate stream fetches 4×-smaller int8 codes of the UNIT
+    // vectors, scores by the exact integer dot descaled once, and
+    // only survivors of a PROVABLY SOUND margin ever touch full
+    // precision. Soundness: unit components are ≤ 1 in magnitude, so
+    // the per-vector floor-quantization error satisfies
+    // ‖u − û‖ ≤ √d·s/127 ≤ √d/127, giving
+    // |u·v − û·v̂| ≤ 2√d/127 + d/127² (= 0.130 at d = 64); every
+    // true pair (cos ≥ τ) therefore scores approx ≥ τ − margin and
+    // SURVIVES, so the final output is bit-identical to the plain
+    // path (differential spec pins it). NaN approx scores (zero-norm
+    // units) pass through via `!(approx < cut)` — Spark orders NaN
+    // above every double, so the plain path's `cos >= τ` admits
+    // those pairs and the exact stage must stay their judge.
+    val candsV =
+      if (!quantizedVerify) cands
+      else {
+        val margin =
+          2.0 * math.sqrt(dim) / 127.0 + dim / (127.0 * 127.0)
+        val codes = graft.Caches.track("vec", u
+          .select(col("vec_id"), col("unit"),
+            aggregate(col("unit"), lit(0.0),
+              (acc, x) => greatest(acc, abs(x))).as("__ma"))
+          .select(col("vec_id"), col("__ma").as("scale"),
+            transform(col("unit"), x =>
+              when(isnan(col("__ma")) || col("__ma") === 0.0, lit(0))
+                .otherwise(floor(x / col("__ma") * 127).cast("int")))
+              .as("qvec")))
+        cands
+          .join(codes.select(col("vec_id").as("vec_a"),
+            col("qvec").as("qa"), col("scale").as("sa")), "vec_a")
+          .join(codes.select(col("vec_id").as("vec_b"),
+            col("qvec").as("qb"), col("scale").as("sb")), "vec_b")
+          .select(col("vec_a"), col("vec_b"),
+            (decDot(col("qa"), col("qb")) *
+              (col("sa") * col("sb") / 16129.0)).as("__approx"))
+          .filter(!(col("__approx") < lit(threshold - margin)))
+          .select(col("vec_a"), col("vec_b"))
+      }
+    val pairs = candsV
       .join(u.select(col("vec_id").as("vec_a"), col("unit").as("ua")),
         "vec_a")
       .join(u.select(col("vec_id").as("vec_b"), col("unit").as("ub")),

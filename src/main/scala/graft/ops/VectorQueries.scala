@@ -144,6 +144,37 @@ object VectorQueries {
     "cache:vec:knn_graph" -> ((s, d) => knnGraphDf(s, d))
   )
 
+  /** Exact n²-twin SQL shared by q_vec_neardup and its quantized
+    * serving form (both emit the identical pair set by the sound-
+    * margin argument in [[Vector.cosineNearDup]]).
+    */
+  private val neardupExactTwinSql: String =
+    """WITH n AS (
+      |  SELECT vec_id,
+      |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |             ORDER BY i)) AS nrm
+      |  FROM (SELECT vec_id,
+      |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+      |          UNNEST(embedding) AS x FROM embeddings)
+      |  GROUP BY vec_id),
+      |u AS (
+      |  SELECT e.vec_id,
+      |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+      |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+      |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+      |p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT vec_a, vec_b, cos_sim FROM p
+      |WHERE cos_sim >= 0.4
+      |-- per-left-endpoint cap mirror (non-binding at validation
+      |-- SFs: max pairs/vector there is 3)
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a
+      |  ORDER BY cos_sim DESC, vec_b) <= 8
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_vec_cosine_topk" -> ((s, d) =>
       Vector.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
@@ -242,6 +273,15 @@ object VectorQueries {
     "q_vec_neardup" -> ((s, d) =>
       Vector.cosineNearDup(Tables.embeddings(s, d), 0.4, nBands = 32,
         bitsPerBand = 4, maxPairsPerVector = 8, bitsRefN = 2000L)
+        .orderBy(col("vec_a"), col("vec_b"))),
+    // the SQ8-first-pass serving form of the same config: candidates
+    // score on 4×-smaller int8 codes, only sound-margin survivors
+    // touch full precision — output bit-identical to q_vec_neardup
+    // (margin proof at Vector.cosineNearDup), same exact-twin oracle
+    "q_vec_neardup_quantized" -> ((s, d) =>
+      Vector.cosineNearDup(Tables.embeddings(s, d), 0.4, nBands = 32,
+        bitsPerBand = 4, maxPairsPerVector = 8, bitsRefN = 2000L,
+        quantizedVerify = true)
         .orderBy(col("vec_a"), col("vec_b"))),
     // exact n² twin (oracle-checked): the verification baseline the
     // banded-LSH path is measured against
@@ -712,32 +752,11 @@ object VectorQueries {
     // (recall 1 on this corpus — see the registry comment); same SQL
     // as q_vec_neardup_exact on purpose, mirroring how
     // q_text_ngram_jaccard shares q_text_jaccard_exact's oracle
-    "q_vec_neardup" ->
-      """WITH n AS (
-        |  SELECT vec_id,
-        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-        |             ORDER BY i)) AS nrm
-        |  FROM (SELECT vec_id,
-        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
-        |          UNNEST(embedding) AS x FROM embeddings)
-        |  GROUP BY vec_id),
-        |u AS (
-        |  SELECT e.vec_id,
-        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
-        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
-        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
-        |p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
-        |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
-        |  GROUP BY 1, 2)
-        |SELECT vec_a, vec_b, cos_sim FROM p
-        |WHERE cos_sim >= 0.4
-        |-- per-left-endpoint cap mirror (non-binding at validation
-        |-- SFs: max pairs/vector there is 3)
-        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_a
-        |  ORDER BY cos_sim DESC, vec_b) <= 8
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_vec_neardup" -> neardupExactTwinSql,
+    // bit-identical contract: the quantized first pass is a SOUND
+    // prefilter (margin proof in Vector.cosineNearDup), so the same
+    // exact twin is the oracle for the quantized serving form
+    "q_vec_neardup_quantized" -> neardupExactTwinSql,
     // the (i, j, sgn) VALUES body is rendered from the SAME Scala
     // matrix the Spark side folds in as literals — shared-literal
     // determinism, no per-engine hashing

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 400,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 400")
-    assert(SparkEntry.oracleSql.size == 388,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 388")
+    assert(SparkEntry.queries.size == 401,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 401")
+    assert(SparkEntry.oracleSql.size == 389,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 389")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -112,7 +112,8 @@ class GraftApiSpec extends SparkSpec {
       "q_vec_cluster_reps", "q_vec_coreset_sample", "q_vec_cosine_topk",
       "q_vec_density_prune", "q_vec_doc_pool", "q_vec_drift_psi",
       "q_vec_knn_recall", "q_vec_label_prop", "q_vec_mmr_topk",
-      "q_vec_modularity", "q_vec_neardup", "q_vec_pagerank",
+      "q_vec_modularity", "q_vec_neardup", "q_vec_neardup_quantized",
+      "q_vec_pagerank",
       "q_vec_ranking_metrics", "q_vec_rrf_fusion",
       "q_vec_semantic_contamination", "q_vec_semantic_dedup",
       "q_vec_semantic_pairs", "q_vec_sq8_distortion",

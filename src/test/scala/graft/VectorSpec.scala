@@ -346,6 +346,29 @@ class VectorSpec extends SparkSpec {
     assert(rows(100L) == ((0L, 5L, 1L, 0L)))
   }
 
+  test("quantizedVerify: bit-identical pair set to the plain verify") {
+    // the sound-margin prefilter must never change the output on any
+    // reachable input. (Zero-norm vectors never reach the banding:
+    // ANSI `unitized` raises DIVIDE_BY_ZERO first — pre-existing
+    // contract; the NaN pass-through in the prefilter covers
+    // non-ANSI sessions.)
+    val rnd = new scala.util.Random(11)
+    val embs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    def pairsOf(quant: Boolean) =
+      Vec.cosineNearDup(embs, 0.3, nBands = 8, bitsPerBand = 2,
+        quantizedVerify = quant)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+          r.getAs[Double]("cos_sim")))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val plain = pairsOf(false)
+    val quant = pairsOf(true)
+    assert(plain == quant)
+    assert(plain.nonEmpty, "fixture produced no pairs — vacuous")
+  }
+
   test("exactCosinePairs refuses inputs above the n² guard") {
     val e = intercept[Exception] {
       Vec.exactCosinePairs(vecs, 0.5, maxRows = 2L).count()
