@@ -87,6 +87,10 @@ object Graft {
     def sourceUnigramKl: DataFrame = ops.Text.sourceUnigramKl(docs)
     def clusterSurvivors(clusters: DataFrame): DataFrame =
       ops.Text.dupClusterSurvivors(docs, clusters)
+    /** Per-source dedup TOKEN ledger over a cluster assignment:
+      * surviving vs dropped training tokens by source. */
+    def sourceDedupTokens(clusters: DataFrame): DataFrame =
+      ops.Text.sourceDedupTokens(docs, clusters)
     def scrubbedDuplicateBlocks(blockTokens: Int = 20): DataFrame =
       ops.Text.scrubDuplicatedBlocks(docs, blockTokens)
     /** Line-frequency boilerplate removal (CCNet/C4 shape): drop

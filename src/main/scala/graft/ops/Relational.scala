@@ -471,6 +471,60 @@ object Relational {
       .orderBy(col("user_id"), col("sess_seq"))
   }
 
+  /** Peak session concurrency per day — the capacity number a
+    * serving/ingest owner reads next to average load (Little's-law
+    * sizing uses the PEAK of simultaneously-open sessions, which
+    * neither a per-day session count nor an hourly event histogram
+    * exposes): gap-sessionize ([[sessionizeBatch]]'s exact rule),
+    * split each session across the epoch-days it touches and clip
+    * its [start, end] to the day in pure millisecond integers, then
+    * the classic boundary sweep — (+1 at clipped start, −1 at
+    * clipped end), running sum in (ts, starts-before-ends) order,
+    * per-day max. Inclusive-interval tie rule: at equal ms a
+    * starting session overlaps an ending one, so +1 sorts first
+    * (delta DESC) and the peak counts both.
+    *
+    * Scale shape: the sessionize shuffle (one per-user window), a
+    * short explode (sessions are gap-bounded — they touch 1–2
+    * days), then per-DAY windows over boundary rows (2 per
+    * session-day; never a global window) and a tiny per-day max.
+    * All integer ms/day arithmetic, so the whole profile
+    * hash-compares.
+    */
+  def peakConcurrency(
+      events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L
+  ): DataFrame = {
+    val dayMs = 86400000L
+    val sess = sessionizeBatch(events, gapMs)
+      .select(col("user_id"), col("sess_seq"),
+        unix_millis(col("session_start")).as("s_ms"),
+        unix_millis(col("session_end")).as("e_ms"))
+    val perDay = sess
+      .withColumn("day", explode(sequence(
+        expr(s"s_ms div $dayMs"), expr(s"e_ms div $dayMs"))))
+      .select(col("user_id"), col("sess_seq"), col("day"),
+        greatest(col("s_ms"), col("day") * dayMs).as("cs_ms"),
+        least(col("e_ms"), col("day") * dayMs + (dayMs - 1))
+          .as("ce_ms"))
+    val bounds = perDay
+      .select(col("day"), col("cs_ms").as("ts_ms"),
+        lit(1L).as("delta"), col("user_id"), col("sess_seq"))
+      .unionByName(perDay.select(col("day"), col("ce_ms").as("ts_ms"),
+        lit(-1L).as("delta"), col("user_id"), col("sess_seq")))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("ts_ms"), col("delta").desc, col("user_id"),
+        col("sess_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("run", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(
+        (count(lit(1)) / 2).cast("long").as("n_sessions"),
+        max(col("run")).as("peak_concurrency"))
+      .orderBy(col("day"))
+  }
+
   /** As-of join via tagged union + last-non-null window — the
     * scale-safe as-of shape (one shuffle on the key, no inequality
     * range explosion): each left event gets the most recent right

@@ -355,6 +355,12 @@ object RelationalQueries {
       slidingWindowAgg(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) =>
       sessionizeBatch(Tables.events(s, d), 30 * 60 * 1000L)),
+    // peak simultaneously-open sessions per day (the capacity number
+    // next to average load): gap sessions split/clipped per epoch-day
+    // in pure ms integers, boundary sweep with starts-before-ends at
+    // equal ms, per-day running max
+    "q_events_peak_concurrency" -> ((s, d) =>
+      Relational.peakConcurrency(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => lastSignupAsOf(Tables.events(s, d))),
     "q_group_percentiles" -> ((s, d) =>
       groupPercentiles(Tables.orders(s, d))),
@@ -1492,6 +1498,54 @@ object RelationalQueries {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sess_seq
         |ORDER BY user_id, sess_seq""".stripMargin,
+    // the q_sessionize session fragment -> per-epoch-day split/clip
+    // in BIGINT ms -> boundary sweep (starts before ends at equal
+    // ms) -> per-day running max; // on non-negative BIGINTs ≡ div
+    "q_events_peak_concurrency" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sess_seq
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, sess_seq,
+        |    epoch_ms(MIN(ts)) AS s_ms, epoch_ms(MAX(ts)) AS e_ms
+        |  FROM s GROUP BY 1, 2),
+        |pd AS (
+        |  SELECT user_id, sess_seq, s_ms, e_ms,
+        |    UNNEST(generate_series(s_ms // 86400000,
+        |      e_ms // 86400000)) AS day
+        |  FROM g),
+        |cl AS (
+        |  SELECT user_id, sess_seq, day,
+        |    GREATEST(s_ms, day * 86400000) AS cs_ms,
+        |    LEAST(e_ms, day * 86400000 + 86399999) AS ce_ms
+        |  FROM pd),
+        |b AS (
+        |  SELECT day, cs_ms AS ts_ms, 1 AS delta, user_id, sess_seq
+        |  FROM cl
+        |  UNION ALL
+        |  SELECT day, ce_ms, -1, user_id, sess_seq FROM cl),
+        |r AS (
+        |  SELECT day, SUM(delta) OVER (PARTITION BY day
+        |    ORDER BY ts_ms, delta DESC, user_id, sess_seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM b)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(COUNT(*) // 2 AS BIGINT) AS n_sessions,
+        |  CAST(MAX(run) AS BIGINT) AS peak_concurrency
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts,
         |  (SELECT MAX(s.ts) FROM events s

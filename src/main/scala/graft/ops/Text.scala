@@ -1769,6 +1769,47 @@ object Text {
         (col("n_members") - 1).as("n_dropped"))
   }
 
+  /** Per-source dedup TOKEN ledger — dedup impact in the unit that
+    * prices a training run (docs are free, tokens are not): join the
+    * near-dup component assignment's min-id keep rule onto per-doc
+    * token counts and roll up per source — total vs surviving docs
+    * and tokens, and the dropped-token share in ppm. The table that
+    * says WHOSE corpus share was duplicate mass (a source can lose
+    * 2% of docs but 30% of tokens when its duplicates are the long
+    * ones) — the budgeting companion to [[Text.shardDedupLoss]]'s
+    * global-vs-sharded question and q_text_dedup_impact's corpus
+    * view.
+    *
+    * Scale shape: one scan for token counts (map-side), one id-keyed
+    * join against the (already computed, session-shared) cluster
+    * assignment, a #sources-sized rollup. The dropped-token ppm
+    * shift is DECIMAL(38,0)/HUGEINT-bridged (per-source token sums
+    * cross BIGINT×10⁶ at ~9e12 tokens).
+    */
+  def sourceDedupTokens(
+      docs: DataFrame,
+      clusters: DataFrame
+  ): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .join(clusters.select(col("doc_id"), col("cluster")), "doc_id")
+      .withColumn("keep", col("doc_id") === col("cluster"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("dropped_tokens_ppm",
+        when(col("n_tokens") > 0, expr(
+          """CAST(CAST(n_tokens - kept_tokens AS DECIMAL(38,0))
+            | * 1000000 div n_tokens AS BIGINT)""".stripMargin
+            .replace("\n", "")))
+          .otherwise(lit(0L)))
+      .orderBy(col("source"))
+
   /** Bradley–Terry source-strength fit over pairwise quality
     * preferences — the preference-model primitive (the reward-model /
     * RLHF data shape) applied to corpus curation: treat every

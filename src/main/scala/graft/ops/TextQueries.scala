@@ -471,6 +471,12 @@ object TextQueries {
     // a DuckDB recursive CTE over the same edges
     "q_text_dup_clusters" -> ((s, d) =>
       clusterAssign(s, d).orderBy(col("doc_id"))),
+    // dedup impact in TOKENS per source (docs are free, tokens are
+    // the training budget): min-id keep rule joined onto per-doc
+    // token counts over the session cluster assignment
+    "q_text_source_dedup_tokens" -> ((s, d) =>
+      Text.sourceDedupTokens(Tables.documents(s, d),
+        clusterAssign(s, d))),
     // dedup survivor POLICY on top of the clusters: keep the
     // best-quality member (ties → lowest doc_id) — one max-struct
     // agg over the shared session assignment
@@ -3217,6 +3223,44 @@ object TextQueries {
          |  FROM reach JOIN e ON reach.r = e.src)
          |SELECT doc_id, MIN(r) AS cluster
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the dup_clusters component fragment joined onto per-doc token
+    // counts; dropped-token ppm HUGEINT-bridged like the op
+    "q_text_source_dedup_tokens" ->
+      s"""WITH RECURSIVE $jacPairsSql,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |    WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.dst
+         |  FROM reach JOIN e ON reach.r = e.src),
+         |comp AS (
+         |  SELECT doc_id, MIN(r) AS cluster
+         |  FROM reach GROUP BY doc_id),
+         |tk AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len($toksSql) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |j AS (
+         |  SELECT tk.source, tk.n_toks,
+         |    CASE WHEN comp.cluster = tk.doc_id THEN 1 ELSE 0 END
+         |      AS keep
+         |  FROM tk JOIN comp USING (doc_id))
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(keep) AS BIGINT) AS kept_docs,
+         |  CAST(SUM(CASE WHEN keep = 1 THEN n_toks ELSE 0 END)
+         |    AS BIGINT) AS kept_tokens,
+         |  CAST(CASE WHEN SUM(n_toks) > 0 THEN
+         |    CAST(SUM(n_toks) - SUM(CASE WHEN keep = 1 THEN n_toks
+         |      ELSE 0 END) AS HUGEINT) * 1000000 // SUM(n_toks)
+         |    ELSE 0 END AS BIGINT) AS dropped_tokens_ppm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q_text_quality_deciles_exact" ->
       s"""WITH qt AS (
          |  SELECT doc_id, n_chars,

@@ -48,6 +48,30 @@ class AnalyticSpec extends SparkSpec {
     assert(out((2L, 1L)) == (1L, 4.0))
   }
 
+  test("peakConcurrency: overlapping sessions stack, inclusive " +
+      "boundary ties count both sides") {
+    // user 1: one session [0, 10m]; user 2: [5m, 15m] overlaps it;
+    // user 3: a session starting exactly when user 2's ends (15m) —
+    // inclusive intervals ⇒ instantaneous concurrency 2 there, and
+    // all three overlap nowhere ⇒ day peak 2; one lone next-day
+    // session ⇒ peak 1
+    val ev = Seq(
+      (1L, ts(0), 10L, 0.0), (1L, ts(10), 11L, 0.0),
+      (2L, ts(5), 12L, 0.0), (2L, ts(15), 13L, 0.0),
+      (3L, ts(15), 14L, 0.0), (3L, ts(20), 15L, 0.0),
+      (4L, ts(60 * 24), 16L, 0.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Relational.peakConcurrency(ev).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("n_sessions"),
+          r.getAs[Long]("peak_concurrency"))))
+      .toMap
+    assert(out.size == 2)
+    val days = out.keys.toSeq.sorted
+    assert(out(days.head) == ((3L, 2L)))
+    assert(out(days.last) == ((1L, 1L)))
+  }
+
   test("groupPercentiles picks exact order-statistic values") {
     val orders = (1 to 10).map(i =>
       (i.toLong, "P", i * 10.0)).toDF(

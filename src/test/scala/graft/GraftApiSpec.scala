@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 401,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 401")
-    assert(SparkEntry.oracleSql.size == 389,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 389")
+    assert(SparkEntry.queries.size == 403,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 403")
+    assert(SparkEntry.oracleSql.size == 391,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 391")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -388,6 +388,7 @@ class GraftApiSpec extends SparkSpec {
       "dedupThresholdCurve" -> "dedupThresholdCurve",
       "dupClustersPartitioned" -> "dupClustersPartitioned",
       "bradleyTerry" -> "bradleyTerry",
+      "sourceDedupTokens" -> "sourceDedupTokens",
       "pprAssigned" -> "pprTopK",
       "vocabGrowth" -> "vocabGrowth",
       "vocabCoverageCurve" -> "vocabCoverageCurve",

@@ -324,6 +324,26 @@ class TextSpec extends SparkSpec {
     assert(s == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("sourceDedupTokens: token ledger follows the min-id keep " +
+      "rule per source") {
+    // cluster {1,2,3} keeps only doc 1 (source s1); docs 4, 5 are
+    // singletons. Token counts: docs 1-3 have 9, doc 4 has 5, doc 5
+    // (empty) 0.
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L)).toDF("doc_id", "cluster")
+    val out = Text.sourceDedupTokens(docs, clusters).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("dropped_tokens_ppm"))))
+      .toMap
+    assert(out("s1") == ((1L, 9L, 1L, 9L, 0L)))
+    assert(out("s2") == ((1L, 9L, 0L, 0L, 1000000L)))
+    assert(out("s3") == ((1L, 9L, 0L, 0L, 1000000L)))
+    assert(out("s4") == ((1L, 5L, 1L, 5L, 0L)))
+    assert(out("s5") == ((1L, 0L, 1L, 0L, 0L)))
+  }
+
   test("bradleyTerry: strict quality dominance pins wins and the " +
       "strength boundary; pure ties are uninformative") {
     // source A's docs strictly outscore source B's on len_score
