@@ -91,6 +91,16 @@ object Graft {
       * surviving vs dropped training tokens by source. */
     def sourceDedupTokens(clusters: DataFrame): DataFrame =
       ops.Text.sourceDedupTokens(docs, clusters)
+    /** Soft-dedup ledger: every doc kept at weight 1/cluster_size —
+      * per-source effective (q20) token mass vs the hard keep rule. */
+    def softDedupWeights(clusters: DataFrame): DataFrame =
+      ops.Text.softDedupWeights(docs, clusters)
+    /** Resharding churn: consistent-hash ring vs mod-hash moved
+      * fraction when the shard count grows S→S+1. */
+    def ringRebalance(
+        scenarios: Seq[(Int, Int)] = Seq((8, 9), (32, 33)),
+        vnodesPerShard: Int = 16): DataFrame =
+      ops.Text.ringRebalance(docs, scenarios, vnodesPerShard)
     def scrubbedDuplicateBlocks(blockTokens: Int = 20): DataFrame =
       ops.Text.scrubDuplicatedBlocks(docs, blockTokens)
     /** Line-frequency boilerplate removal (CCNet/C4 shape): drop

@@ -1810,6 +1810,159 @@ object Text {
           .otherwise(lit(0L)))
       .orderBy(col("source"))
 
+  /** SOFT dedup ledger — instead of dropping duplicates, keep every
+    * document at weight `1/cluster_size` (each duplicate cluster
+    * contributes exactly one document's worth of probability mass to
+    * the training mixture). The alternative to [[sourceDedupTokens]]'s
+    * hard min-id keep rule: soft dedup preserves within-cluster
+    * diversity (every near-dup variant stays samplable) while
+    * removing the frequency bias that makes duplicated text
+    * over-trained. Emits, per source: the hard-dedup surviving tokens
+    * next to the soft-dedup EFFECTIVE tokens
+    * `Σ_docs ⌊n_toks·2²⁰ / cluster_size⌋` (q20 fixed point — exact
+    * integer arithmetic, engine-identical), the soft share of raw
+    * token mass in ppm, and the q20 delta `soft − hard·2²⁰` — positive
+    * where a source's documents sit in clusters whose min-id survivor
+    * lives in ANOTHER source (hard dedup charges the loss to this
+    * source; soft dedup refunds its fractional share).
+    *
+    * Scale shape: cluster sizes via one count-window over the
+    * (session-shared) assignment — a single shuffle on the cluster
+    * key — then one id-keyed join onto per-doc token counts and a
+    * #sources-sized rollup; the corpus is scanned once. Per-doc
+    * weights are ⌊·⌋ in DECIMAL(38,0) (HUGEINT in the twin) so the
+    * q20 products never overflow; the emitted q20 sums ride the
+    * BIGINT envelope (exact to ~8.8e12 raw tokens per source).
+    */
+  def softDedupWeights(
+      docs: DataFrame,
+      clusters: DataFrame
+  ): DataFrame = {
+    val sized = clusters
+      .select(col("doc_id"), col("cluster"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .join(sized, "doc_id")
+      .withColumn("w_q20", expr(
+        """CAST(CAST(n_toks AS DECIMAL(38,0)) * 1048576
+          | div cluster_size AS BIGINT)""".stripMargin
+          .replace("\n", "")))
+      .withColumn("keep", col("doc_id") === col("cluster"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L))
+          .as("hard_tokens"),
+        sum(col("w_q20")).as("soft_tokens_q20"))
+      .withColumn("soft_share_ppm",
+        when(col("n_tokens") > 0, expr(
+          """CAST(CAST(soft_tokens_q20 AS DECIMAL(38,0)) * 1000000
+            | div (CAST(n_tokens AS DECIMAL(38,0)) * 1048576)
+            | AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .otherwise(lit(0L)))
+      .withColumn("soft_minus_hard_q20",
+        expr("""CAST(CAST(soft_tokens_q20 AS DECIMAL(38,0))
+          | - CAST(hard_tokens AS DECIMAL(38,0)) * 1048576
+          | AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .orderBy(col("source"))
+  }
+
+  /** Resharding churn audit: when a corpus grows from S to S+1
+    * shards, what fraction of documents MOVE under naive mod-hash
+    * placement vs a consistent-hash ring (Karger et al.; the
+    * memcached/Dynamo placement scheme)? Mod-hash reassigns ~S/(S+1)
+    * of the corpus (every doc whose `h % S ≠ h % (S+1)`); a ring with
+    * V vnodes per shard moves only the arcs claimed by the new
+    * shard's V vnodes, ~1/(S+1) — the table that prices shard-count
+    * changes at 100 TB, where "move" means re-writing petabytes.
+    *
+    * Determinism contract: doc position is the Knuth multiplicative
+    * hash `(doc_id·2654435761) mod (2³¹−1)` (DECIMAL-bridged — the
+    * raw BIGINT product overflows at doc_id ≥ ~3.48e9); vnode v of
+    * shard s hashes `x = s·65521 + v` (65521 = largest prime < 2¹⁶
+    * keeps shard streams disjoint) through the QUADRATIC mix
+    * `((x² mod p)·2654435761 + x·65521) mod p` — a purely linear
+    * hash would place every shard's vnodes on one arithmetic lattice
+    * whose arcs are pathologically uneven (measured 46% churn where
+    * uniform placement gives 11%); the x² term breaks the lattice
+    * while every intermediate stays within BIGINT (≤ 5.7e18), so
+    * the twin needs no HUGEINT. Ties are
+    * impossible by construction: ring keys are packed as
+    * `pos·1024 + s·vps + v` (unique per config since S·vps ≤ 1024),
+    * and the owner is the minimum packed key clockwise of the doc
+    * (`key ≥ dpos·1024`, wrapping to the global minimum).
+    *
+    * Scale shape: the ring (≤ 1024 packed keys per config) is a
+    * LITERAL array evaluated per row in the scan — no join, no
+    * shuffle of the corpus; the whole audit is one map-side pass plus
+    * a 1-row aggregate fanned into #scenarios·2 result rows.
+    */
+  def ringRebalance(
+      docs: DataFrame,
+      scenarios: Seq[(Int, Int)] = Seq((8, 9), (32, 33)),
+      vnodesPerShard: Int = 16
+  ): DataFrame = {
+    require(scenarios.nonEmpty && scenarios.forall {
+      case (a, b) => a >= 1 && b >= 1 && a != b
+    }, "scenarios must be nonempty with distinct positive counts")
+    require(scenarios.map(c => c._1.max(c._2)).max * vnodesPerShard
+      <= 1024, "packed ring keys need S*vnodes <= 1024")
+    def ringKeys(n: Int): Seq[Long] = {
+      val p = 2147483647L
+      for { s <- 0 until n; v <- 0 until vnodesPerShard } yield {
+        val x = s.toLong * 65521L + v
+        ((x * x % p) * 2654435761L + x * 65521L) % p * 1024L +
+          s.toLong * vnodesPerShard + v
+      }
+    }
+    val configs = scenarios.flatMap(c => Seq(c._1, c._2)).distinct
+    val d0 = docs.select(col("doc_id")).withColumn("dpos", expr(
+      """CAST(pmod(CAST(doc_id AS DECIMAL(38,0)) * 2654435761,
+        | 2147483647) AS BIGINT)""".stripMargin.replace("\n", "")))
+    val withOwners = configs.foldLeft(d0) { (df, n) =>
+      val ks = ringKeys(n)
+      df.withColumn(s"__ck_$n", coalesce(
+          array_min(filter(lit(ks.toArray),
+            k => k >= col("dpos") * lit(1024L))),
+          lit(ks.min)))
+        .withColumn(s"own_$n",
+          expr(s"CAST(pmod(__ck_$n, 1024) div $vnodesPerShard " +
+            "AS BIGINT)"))
+    }
+    val flagged = scenarios.zipWithIndex.foldLeft(withOwners) {
+      case (df, ((a, b), i)) =>
+        df.withColumn(s"mv_ring_$i",
+            (col(s"own_$a") =!= col(s"own_$b")).cast("long"))
+          .withColumn(s"mv_mod_$i",
+            (pmod(col("dpos"), lit(a.toLong)) =!=
+              pmod(col("dpos"), lit(b.toLong))).cast("long"))
+    }
+    val aggCols = scenarios.indices.flatMap(i => Seq(
+      sum(col(s"mv_ring_$i")).as(s"ring_$i"),
+      sum(col(s"mv_mod_$i")).as(s"mod_$i")))
+    val allAggs = count(lit(1)).as("n_docs") +: aggCols
+    val one = flagged.agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = scenarios.zipWithIndex.flatMap {
+      case ((a, b), i) => Seq(
+        s"CAST($a AS BIGINT), CAST($b AS BIGINT), 'ring', ring_$i",
+        s"CAST($a AS BIGINT), CAST($b AS BIGINT), 'mod', mod_$i")
+    }.mkString(", ")
+    one.selectExpr("n_docs",
+        s"stack(${scenarios.size * 2}, $stackArgs) AS " +
+          "(from_shards, to_shards, strategy, n_moved)")
+      .select(col("from_shards"), col("to_shards"), col("strategy"),
+        col("n_docs"), col("n_moved"),
+        when(col("n_docs") > 0, expr(
+          """CAST(CAST(n_moved AS DECIMAL(38,0)) * 1000000
+            | div n_docs AS BIGINT)""".stripMargin.replace("\n", "")))
+          .otherwise(lit(0L)).as("moved_ppm"))
+      .orderBy(col("from_shards"), col("strategy"))
+  }
+
   /** Bradley–Terry source-strength fit over pairwise quality
     * preferences — the preference-model primitive (the reward-model /
     * RLHF data shape) applied to corpus curation: treat every

@@ -477,6 +477,15 @@ object TextQueries {
     "q_text_source_dedup_tokens" -> ((s, d) =>
       Text.sourceDedupTokens(Tables.documents(s, d),
         clusterAssign(s, d))),
+    // SOFT dedup: weight 1/cluster_size instead of dropping —
+    // per-source effective token mass (q20) vs the hard keep rule
+    "q_text_soft_dedup_weights" -> ((s, d) =>
+      Text.softDedupWeights(Tables.documents(s, d),
+        clusterAssign(s, d))),
+    // resharding churn: consistent-hash ring vs mod-hash when the
+    // shard count grows S→S+1 — map-side literal-ring pass, no join
+    "q_text_ring_rebalance" -> ((s, d) =>
+      Text.ringRebalance(Tables.documents(s, d))),
     // dedup survivor POLICY on top of the clusters: keep the
     // best-quality member (ties → lowest doc_id) — one max-struct
     // agg over the shared session assignment
@@ -3261,6 +3270,115 @@ object TextQueries {
          |      ELSE 0 END) AS HUGEINT) * 1000000 // SUM(n_toks)
          |    ELSE 0 END AS BIGINT) AS dropped_tokens_ppm
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // soft dedup: per-doc weight ⌊n_toks·2²⁰/cluster_size⌋ over the
+    // same recursive-CTE component assignment; all-integer q20 sums
+    "q_text_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $jacPairsSql,
+         |e AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |    WHERE jaccard >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.dst
+         |  FROM reach JOIN e ON reach.r = e.src),
+         |comp AS (
+         |  SELECT doc_id, MIN(r) AS cluster
+         |  FROM reach GROUP BY doc_id),
+         |sz AS (
+         |  SELECT doc_id, cluster,
+         |    COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+         |  FROM comp),
+         |tk AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len($toksSql) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |j AS (
+         |  SELECT tk.source, tk.n_toks,
+         |    CASE WHEN sz.cluster = tk.doc_id THEN 1 ELSE 0 END
+         |      AS keep,
+         |    CAST(CAST(tk.n_toks AS HUGEINT) * 1048576
+         |      // sz.cluster_size AS BIGINT) AS w_q20
+         |  FROM tk JOIN sz USING (doc_id)),
+         |g AS (
+         |  SELECT source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN keep = 1 THEN n_toks ELSE 0 END)
+         |      AS BIGINT) AS hard_tokens,
+         |    CAST(SUM(w_q20) AS BIGINT) AS soft_tokens_q20
+         |  FROM j GROUP BY source)
+         |SELECT source, n_docs, n_tokens, hard_tokens,
+         |  soft_tokens_q20,
+         |  CAST(CASE WHEN n_tokens > 0 THEN
+         |    CAST(soft_tokens_q20 AS HUGEINT) * 1000000
+         |      // (CAST(n_tokens AS HUGEINT) * 1048576)
+         |    ELSE 0 END AS BIGINT) AS soft_share_ppm,
+         |  CAST(CAST(soft_tokens_q20 AS HUGEINT)
+         |    - CAST(hard_tokens AS HUGEINT) * 1048576 AS BIGINT)
+         |    AS soft_minus_hard_q20
+         |FROM g ORDER BY source""".stripMargin,
+    // consistent-hash ring (16 vnodes/shard, packed keys
+    // pos·1024 + s·16 + v) vs mod-hash churn for S→S+1; positions
+    // are the Knuth hash mod 2³¹−1, HUGEINT-bridged like the Spark
+    // side's DECIMAL(38,0)
+    "q_text_ring_rebalance" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+        |      % 2147483647 AS BIGINT) AS dpos
+        |  FROM documents),
+        |cfg AS (SELECT UNNEST([8, 9, 32, 33]) AS n),
+        |ring AS (
+        |  -- quadratic vnode mix ((x² mod p)·2654435761 + x·65521)
+        |  -- mod p; every intermediate ≤ 5.7e18 stays in BIGINT
+        |  SELECT cfg.n,
+        |    CAST((((s.s * 65521 + v.v) * (s.s * 65521 + v.v)
+        |          % 2147483647) * 2654435761
+        |        + (s.s * 65521 + v.v) * 65521) % 2147483647
+        |      AS BIGINT) * 1024 + s.s * 16 + v.v AS ck
+        |  FROM cfg,
+        |    (SELECT UNNEST(range(33)) AS s) s,
+        |    (SELECT UNNEST(range(16)) AS v) v
+        |  WHERE s.s < cfg.n),
+        |own AS (
+        |  SELECT d.doc_id, d.dpos, r.n,
+        |    (COALESCE(MIN(CASE WHEN r.ck >= d.dpos * 1024
+        |        THEN r.ck END), MIN(r.ck)) % 1024) // 16 AS shard
+        |  FROM d, ring r GROUP BY d.doc_id, d.dpos, r.n),
+        |sc AS (SELECT UNNEST([8, 32]) AS a),
+        |mv AS (
+        |  SELECT sc.a AS from_shards, sc.a + 1 AS to_shards,
+        |    CASE WHEN bb.shard <> aa.shard THEN 1 ELSE 0 END
+        |      AS ring_mv,
+        |    CASE WHEN (bb.dpos % sc.a) <> (bb.dpos % (sc.a + 1))
+        |      THEN 1 ELSE 0 END AS mod_mv
+        |  FROM sc
+        |  JOIN own bb ON bb.n = sc.a
+        |  JOIN own aa ON aa.n = sc.a + 1 AND aa.doc_id = bb.doc_id),
+        |g AS (
+        |  SELECT from_shards, to_shards,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(ring_mv) AS BIGINT) AS ring_moved,
+        |    CAST(SUM(mod_mv) AS BIGINT) AS mod_moved
+        |  FROM mv GROUP BY 1, 2)
+        |SELECT CAST(from_shards AS BIGINT) AS from_shards,
+        |  CAST(to_shards AS BIGINT) AS to_shards,
+        |  'ring' AS strategy, n_docs,
+        |  ring_moved AS n_moved,
+        |  CAST(CASE WHEN n_docs > 0 THEN CAST(ring_moved AS HUGEINT)
+        |    * 1000000 // n_docs ELSE 0 END AS BIGINT) AS moved_ppm
+        |FROM g
+        |UNION ALL
+        |SELECT CAST(from_shards AS BIGINT), CAST(to_shards AS BIGINT),
+        |  'mod', n_docs, mod_moved,
+        |  CAST(CASE WHEN n_docs > 0 THEN CAST(mod_moved AS HUGEINT)
+        |    * 1000000 // n_docs ELSE 0 END AS BIGINT)
+        |FROM g
+        |ORDER BY from_shards, strategy""".stripMargin,
     "q_text_quality_deciles_exact" ->
       s"""WITH qt AS (
          |  SELECT doc_id, n_chars,

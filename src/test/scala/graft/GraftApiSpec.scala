@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 403,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 403")
-    assert(SparkEntry.oracleSql.size == 391,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 391")
+    assert(SparkEntry.queries.size == 405,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 405")
+    assert(SparkEntry.oracleSql.size == 393,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 393")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -389,6 +389,8 @@ class GraftApiSpec extends SparkSpec {
       "dupClustersPartitioned" -> "dupClustersPartitioned",
       "bradleyTerry" -> "bradleyTerry",
       "sourceDedupTokens" -> "sourceDedupTokens",
+      "softDedupWeights" -> "softDedupWeights",
+      "ringRebalance" -> "ringRebalance",
       "pprAssigned" -> "pprTopK",
       "vocabGrowth" -> "vocabGrowth",
       "vocabCoverageCurve" -> "vocabCoverageCurve",

@@ -344,6 +344,53 @@ class TextSpec extends SparkSpec {
     assert(out("s5") == ((1L, 0L, 1L, 0L, 0L)))
   }
 
+  test("softDedupWeights: 1/cluster_size weighting refunds dup " +
+      "members fractionally; singletons keep full mass") {
+    // cluster {1,2,3} size 3 → each member's 9 tokens weigh
+    // ⌊9·2²⁰/3⌋ = 3·2²⁰; hard dedup keeps only doc 1 (s1), so s2/s3
+    // get a positive soft−hard refund and s1 a negative one
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L)).toDF("doc_id", "cluster")
+    val out = Text.softDedupWeights(docs, clusters).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("hard_tokens"),
+          r.getAs[Long]("soft_tokens_q20"),
+          r.getAs[Long]("soft_share_ppm"),
+          r.getAs[Long]("soft_minus_hard_q20"))))
+      .toMap
+    assert(out("s1") == ((9L, 9L, 3145728L, 333333L, -6291456L)))
+    assert(out("s2") == ((9L, 0L, 3145728L, 333333L, 3145728L)))
+    assert(out("s3") == ((9L, 0L, 3145728L, 333333L, 3145728L)))
+    assert(out("s4") == ((5L, 5L, 5242880L, 1000000L, 0L)))
+    assert(out("s5") == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("ringRebalance: consistent-hash churn stays well under " +
+      "mod-hash churn on a shard-count bump") {
+    val many = (0L until 300L).map(i =>
+      (i, s"doc $i body", "en", s"s${i % 3}", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.ringRebalance(many).collect()
+      .map(r => (r.getAs[Long]("from_shards"),
+        r.getAs[String]("strategy")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_moved"),
+          r.getAs[Long]("moved_ppm"))))
+      .toMap
+    assert(out.size == 4)
+    for (((_, _), (n, mv, ppm)) <- out) {
+      assert(n == 300L)
+      assert(mv >= 0L && mv <= n)
+      assert(ppm == mv * 1000000L / n)
+    }
+    // mod-hash reassigns ~S/(S+1) of the corpus; the ring only the
+    // new shard's arcs (~1/(S+1)) — the whole point of the op
+    assert(out((8L, "ring"))._2 < out((8L, "mod"))._2)
+    assert(out((32L, "ring"))._2 < out((32L, "mod"))._2)
+    // new-shard arcs only ever ADD one destination: ring churn for
+    // 8→9 sits near 1/9 of the corpus, far below a third of it
+    assert(out((8L, "ring"))._2 <= 100L)
+  }
+
   test("bradleyTerry: strict quality dominance pins wins and the " +
       "strength boundary; pure ties are uninformative") {
     // source A's docs strictly outscore source B's on len_score
