@@ -95,6 +95,10 @@ object Graft {
       * per-source effective (q20) token mass vs the hard keep rule. */
     def softDedupWeights(clusters: DataFrame): DataFrame =
       ops.Text.softDedupWeights(docs, clusters)
+    /** GSP sequential patterns: gap-allowed token triples contained
+      * in ≥ minSupportPpm of documents, Apriori-pruned. */
+    def seqPatterns(minSupportPpm: Long = 350000L): DataFrame =
+      ops.Text.seqPatterns(docs, minSupportPpm)
     /** Resharding churn: consistent-hash ring vs mod-hash moved
       * fraction when the shard count grows S→S+1. */
     def ringRebalance(
@@ -679,6 +683,14 @@ object Graft {
     ): DataFrame =
       ops.Vector.matryoshkaRecallCurve(embs, dims, k, sampleMod,
         sampleCount)
+    /** Trustworthiness of the dim-truncated space: intruders into
+      * the truncated top-k charged their full-space rank excess. */
+    def trustworthiness(
+        dim: Int = 16,
+        ks: Seq[Int] = Seq(1, 5, 10),
+        sampleCount: Int = 32
+    ): DataFrame =
+      ops.Vector.trustworthiness(embs, dim, ks, sampleCount)
     /** Cosine range search: neighborhood count + best match at τ
       * per sampled query (constant-nq sample). */
     def rangeSearch(tau: Double = 0.8, sampleCount: Int = 32)

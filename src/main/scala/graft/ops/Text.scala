@@ -1871,6 +1871,96 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Sequential pattern mining, GSP-style (Srikant & Agrawal): all
+    * length-3 token patterns `a‥b‥c` (order matters, gaps allowed)
+    * contained in at least `minSupportPpm` of the corpus's documents
+    * — the sequence-structure analog of q_basket_triples' co-occur
+    * mining, and the primitive behind template/boilerplate discovery
+    * at the sub-document level (a high-support ordered triple IS a
+    * scaffold the corpus keeps reusing even when exact n-grams
+    * differ).
+    *
+    * Algorithm = Apriori on sequences: frequent singletons F1 (the
+    * only tokens that can appear in any frequent pattern), frequent
+    * gap-allowed pairs F2 over F1×F1 (containment via per-doc
+    * min/max positions: `a‥b ⊆ doc ⟺ maxpos(b) > minpos(a)` — also
+    * correct for a = b, where it demands two occurrences), candidate
+    * triples C3 = F2 ⋈ F2 on the shared middle token, then GREEDY
+    * containment (earliest-first matching is optimal for
+    * subsequences): `t2 = min pos(b) > minpos(a)`, contained iff
+    * `maxpos(c) > t2`. Supports are exact document counts; the
+    * threshold is `⌈n_docs·ppm/10⁶⌉` in both engines.
+    *
+    * Scale shape: every join is doc-keyed (the per-doc min/max table
+    * co-partitions with the positions table, exchanges reused); the
+    * frequent sets F1/F2/C3 are vocab-sized and BROADCAST — the
+    * corpus never shuffles on a token key. Worst-case per-doc work
+    * is |F1|² pair checks + |C3∩doc| triple checks — the Apriori
+    * prune is what keeps |C3| ≪ |F1|³.
+    */
+  def seqPatterns(
+      docs: DataFrame,
+      minSupportPpm: Long = 350000L
+  ): DataFrame = {
+    require(minSupportPpm >= 1 && minSupportPpm <= 1000000,
+      s"minSupportPpm in [1, 1000000], got $minSupportPpm")
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+      .withColumn("th", expr(
+        s"""CAST((n_docs * $minSupportPpm + 999999) div 1000000
+           | AS BIGINT)""".stripMargin.replace("\n", "")))
+    val tk = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val mm = tk.groupBy(col("doc_id"), col("tok"))
+      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+    val f1 = mm.groupBy(col("tok"))
+      .agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(nd))
+      .filter(col("sup") >= col("th"))
+      .select(col("tok"))
+    val mmF = mm.join(broadcast(f1), "tok")
+      .select(col("doc_id"), col("tok"), col("mn"), col("mx"))
+    val p2 = mmF.as("a").join(mmF.as("b"), Seq("doc_id"))
+      .filter(col("b.mx") > col("a.mn"))
+      .select(col("doc_id"), col("a.tok").as("ta"),
+        col("b.tok").as("tb"), col("a.mn").as("mn"))
+    val f2 = p2.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(nd))
+      .filter(col("sup") >= col("th"))
+      .select(col("ta"), col("tb"))
+    val ab2 = mmF
+      .withColumnRenamed("tok", "ta")
+      .join(broadcast(f2), "ta")
+      .join(tk.select(col("doc_id"), col("tok").as("tb"),
+        col("pos")), Seq("doc_id", "tb"))
+      .filter(col("pos") > col("mn"))
+      .groupBy(col("doc_id"), col("ta"), col("tb"))
+      .agg(min(col("pos")).as("t2"))
+    val c3 = f2.as("x")
+      .join(f2.as("y"), col("x.tb") === col("y.ta"))
+      .select(col("x.ta").as("ta"), col("x.tb").as("tb"),
+        col("y.tb").as("tc"))
+    val t3 = ab2
+      .join(mmF.select(col("doc_id"), col("tok").as("tc"),
+        col("mx")), Seq("doc_id"))
+      .filter(col("mx") > col("t2"))
+      .join(broadcast(c3), Seq("ta", "tb", "tc"))
+      .select(col("doc_id"), col("ta"), col("tb"), col("tc"))
+    t3.groupBy(col("ta"), col("tb"), col("tc"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nd))
+      .filter(col("support") >= col("th"))
+      .select(col("ta").as("tok_a"), col("tb").as("tok_b"),
+        col("tc").as("tok_c"), col("support"),
+        when(col("n_docs") > 0, expr(
+          """CAST(CAST(support AS DECIMAL(38,0)) * 1000000
+            | div n_docs AS BIGINT)""".stripMargin.replace("\n", "")))
+          .otherwise(lit(0L)).as("support_ppm"))
+      .orderBy(col("support").desc, col("tok_a"), col("tok_b"),
+        col("tok_c"))
+  }
+
   /** Resharding churn audit: when a corpus grows from S to S+1
     * shards, what fraction of documents MOVE under naive mod-hash
     * placement vs a consistent-hash ring (Karger et al.; the

@@ -486,6 +486,11 @@ object TextQueries {
     // shard count grows S→S+1 — map-side literal-ring pass, no join
     "q_text_ring_rebalance" -> ((s, d) =>
       Text.ringRebalance(Tables.documents(s, d))),
+    // GSP sequential patterns: gap-allowed token triples a‥b‥c in
+    // ≥35% of docs — Apriori-pruned, frequent sets broadcast, all
+    // corpus joins doc-keyed
+    "q_text_seq_patterns" -> ((s, d) =>
+      Text.seqPatterns(Tables.documents(s, d))),
     // dedup survivor POLICY on top of the clusters: keep the
     // best-quality member (ties → lowest doc_id) — one max-struct
     // agg over the shared session assignment
@@ -3321,6 +3326,61 @@ object TextQueries {
          |    - CAST(hard_tokens AS HUGEINT) * 1048576 AS BIGINT)
          |    AS soft_minus_hard_q20
          |FROM g ORDER BY source""".stripMargin,
+    // GSP triples over per-doc min/max position tables; greedy
+    // containment (earliest b after first a, any c after that);
+    // ceiling support threshold ⌈n_docs·ppm/10⁶⌉ in both engines
+    "q_text_seq_patterns" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, UNNEST($toksSql) AS tok,
+         |    generate_subscripts($toksSql, 1) AS pos
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |mm AS (
+         |  SELECT doc_id, tok, MIN(pos) AS mn, MAX(pos) AS mx
+         |  FROM tk GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    CAST((COUNT(*) * 350000 + 999999) // 1000000 AS BIGINT)
+         |      AS th
+         |  FROM documents),
+         |f1 AS (
+         |  SELECT tok FROM mm GROUP BY tok
+         |  HAVING COUNT(*) >= (SELECT th FROM nd)),
+         |p2 AS (
+         |  SELECT a.doc_id, a.tok AS ta, b.tok AS tb
+         |  FROM mm a JOIN mm b USING (doc_id)
+         |  WHERE a.tok IN (SELECT tok FROM f1)
+         |    AND b.tok IN (SELECT tok FROM f1)
+         |    AND b.mx > a.mn),
+         |f2 AS (
+         |  SELECT ta, tb FROM p2 GROUP BY ta, tb
+         |  HAVING COUNT(*) >= (SELECT th FROM nd)),
+         |ab2 AS (
+         |  SELECT a.doc_id, a.tok AS ta, p.tok AS tb,
+         |    MIN(p.pos) AS t2
+         |  FROM mm a
+         |  JOIN tk p ON p.doc_id = a.doc_id AND p.pos > a.mn
+         |  JOIN f2 ON f2.ta = a.tok AND f2.tb = p.tok
+         |  GROUP BY 1, 2, 3),
+         |c3 AS (
+         |  SELECT x.ta, x.tb, y.tb AS tc
+         |  FROM f2 x JOIN f2 y ON x.tb = y.ta),
+         |t3 AS (
+         |  SELECT ab2.ta, ab2.tb, c.tok AS tc
+         |  FROM ab2
+         |  JOIN mm c ON c.doc_id = ab2.doc_id
+         |  JOIN c3 ON c3.ta = ab2.ta AND c3.tb = ab2.tb
+         |    AND c3.tc = c.tok
+         |  WHERE c.mx > ab2.t2),
+         |g AS (
+         |  SELECT ta, tb, tc, CAST(COUNT(*) AS BIGINT) AS support
+         |  FROM t3 GROUP BY 1, 2, 3
+         |  HAVING COUNT(*) >= (SELECT th FROM nd))
+         |SELECT ta AS tok_a, tb AS tok_b, tc AS tok_c, support,
+         |  CAST(CASE WHEN nd.n_docs > 0 THEN
+         |    CAST(support AS HUGEINT) * 1000000 // nd.n_docs
+         |    ELSE 0 END AS BIGINT) AS support_ppm
+         |FROM g, nd
+         |ORDER BY support DESC, tok_a, tok_b, tok_c""".stripMargin,
     // consistent-hash ring (16 vnodes/shard, packed keys
     // pos·1024 + s·16 + v) vs mod-hash churn for S→S+1; positions
     // are the Knuth hash mod 2³¹−1, HUGEINT-bridged like the Spark

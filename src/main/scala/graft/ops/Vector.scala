@@ -469,6 +469,107 @@ object Vector {
     out
   }
 
+  /** Trustworthiness of a dimension-reduced space (Venna & Kaski):
+    * for sampled queries, does every point that ENTERS the truncated
+    * top-k actually belong near the query in the FULL space? Each
+    * intruder is charged its full-space rank excess `r − k`, and
+    * `T(k) = 1 − 2·Σpenalty / (nq·k·(2n−3k−1))` — the metric that
+    * separates "recall loss from mild reordering" (cheap) from
+    * "recall loss from far-away intruders" (dangerous for serving).
+    * Complements [[matryoshkaRecallCurve]]: recall counts MISSING
+    * true neighbors; trustworthiness weighs how WRONG the imposters
+    * are. Emitted in exact ppm (penalties and ranks are integers;
+    * the one division is DECIMAL(38,0)/HUGEINT-bridged and floored).
+    *
+    * Shape at scale: constant-nq Knuth-shuffle sample (the
+    * [[matryoshkaRecallCurve]] production form), then three
+    * broadcast passes over the corpus, each O(nq·N) map-side with no
+    * corpus shuffle: (1) score both spaces + truncated top-kmax per
+    * query (mergeable [[graft.functions.TopKPairsAggregator]]);
+    * (2) fetch the ≤ nq·kmax candidates' full-space scores
+    * (broadcast the candidate HEAD into the scan); (3) full-space
+    * rank of each candidate by COUNTING rows that beat it (again
+    * broadcast-head) — rank-by-count replaces the per-query global
+    * sort a window would need, so no partition ever holds N rows.
+    * The tiny rank table is session-persisted; per-k reads are free.
+    *
+    * Zero-norm handling: pairs where EITHER space has a zero norm
+    * are excluded from scoring and ranking in both engines
+    * ([[cosineSafe]] guard ≡ the twin's `na > 0` filters — under
+    * ANSI a raw 0/0 is a runtime error, not NaN).
+    */
+  def trustworthiness(
+      embeddings: DataFrame,
+      dim: Int = 16,
+      ks: Seq[Int] = Seq(1, 5, 10),
+      sampleCount: Int = 32
+  ): DataFrame = {
+    require(dim >= 1, "dim must be positive")
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    require(sampleCount >= 1, "sampleCount must be positive")
+    val kMax = ks.max
+    val topk = udaf(new graft.functions.TopKPairsAggregator(kMax),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val q = embeddings
+      .orderBy(pmod(col("vec_id").cast("decimal(38,0)")
+        * lit(2654435761L), lit(4294967296L)), col("vec_id"))
+      .limit(sampleCount)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+    def tr(c: Column) = slice(c, 1, dim)
+    val scores = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSafe(col("embedding"), col("q_emb")).as("cs_full"),
+        cosineSafe(tr(col("embedding")), tr(col("q_emb")))
+          .as("cs_trunc"))
+      .filter(col("cs_full").isNotNull && col("cs_trunc").isNotNull)
+    val p = scores
+      .groupBy(col("query_id"))
+      .agg(topk(col("cs_trunc"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("trunc_rank"),
+        col("col._2").as("vec_id"))
+    val cand = scores
+      .join(broadcast(p), Seq("query_id", "vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("trunc_rank"), col("cs_full").as("cand_full"))
+    val ranks = graft.Caches.track("vec", scores
+      .join(broadcast(cand), "query_id")
+      .groupBy(col("query_id"), col("cand_id"), col("trunc_rank"),
+        col("cand_full"))
+      .agg(sum(when(col("cs_full") > col("cand_full")
+          || (col("cs_full") === col("cand_full")
+            && col("vec_id") < col("cand_id")), 1L)
+        .otherwise(0L)).as("beats"))
+      .withColumn("r_full", col("beats") + lit(1L)))
+    val nq = ranks.agg(
+      countDistinct(col("query_id")).as("n_queries"))
+    val n = embeddings.agg(count(lit(1)).as("n_corpus"))
+    ks.sorted.map { k =>
+      ranks.filter(col("trunc_rank") <= k)
+        .agg(
+          coalesce(sum(when(col("r_full") > k,
+            col("r_full") - k).otherwise(0L)), lit(0L))
+            .as("penalty_sum"),
+          coalesce(sum(when(col("r_full") > k, 1L).otherwise(0L)),
+            lit(0L)).as("n_viol"))
+        .crossJoin(broadcast(nq))
+        .crossJoin(broadcast(n))
+        .select(lit(k).as("k"), col("n_corpus"), col("n_queries"),
+          col("n_viol"), col("penalty_sum"),
+          when(col("n_queries") > 0
+              && lit(2L) * col("n_corpus") - 3L * k - 1L > 0,
+            expr(s"""CAST(1000000 -
+              | CAST(penalty_sum AS DECIMAL(38,0)) * 2000000
+              | div (CAST(n_queries AS DECIMAL(38,0)) * $k
+              |   * (2 * n_corpus - 3 * $k - 1))
+              | AS BIGINT)""".stripMargin.replace("\n", " ")))
+            .otherwise(lit(1000000L)).as("trust_ppm"))
+    }.reduce(_.unionByName(_)).orderBy(col("k"))
+  }
+
   /** Cosine RANGE search — the other retrieval mode next to top-k:
     * "everything at least τ similar", the primitive behind
     * near-duplicate lookup, dedup-before-insert checks, and

@@ -621,6 +621,12 @@ object VectorQueries {
       Vector.matryoshkaRecallCurve(Tables.embeddings(s, d),
           sampleCount = 32)
         .orderBy(col("dim"))),
+    // trustworthiness of the 16-dim truncation (Venna–Kaski): every
+    // truncated-top-k intruder charged its full-space rank excess —
+    // the "how wrong are the imposters" companion to recall; same
+    // constant-nq sample, rank-by-count (no per-query global sort)
+    "q_vec_trustworthiness" -> ((s, d) =>
+      Vector.trustworthiness(Tables.embeddings(s, d))),
     // cosine RANGE search (everything ≥ τ, the dedup-gate retrieval
     // mode next to top-k): neighborhood size + best match per
     // sampled query — constant-nq Knuth sample, O(32·N)
@@ -3038,6 +3044,74 @@ object VectorQueries {
         |  ON t.query_id = b.query_id AND t.vec_id = b.vec_id
         |CROSS JOIN nb
         |GROUP BY t.dim, nb.n_base ORDER BY t.dim""".stripMargin,
+    // both-space cosine per (query, vec) with ordered SUM folds;
+    // full-space rank via ROW_NUMBER ≡ Spark's rank-by-count (+1);
+    // intruder penalty Σ(r_full − k) over truncated-top-k members
+    "q_vec_trustworthiness" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings
+        |  ORDER BY (CAST(vec_id AS HUGEINT) * 2654435761)
+        |    % 4294967296, vec_id
+        |  LIMIT 32),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |dots AS (
+        |  SELECT query_id, vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)
+        |      AS fdot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS fna,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |             ORDER BY i)) AS fnb,
+        |    SUM(CASE WHEN i <= 16
+        |      THEN CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+        |      ELSE 0 END ORDER BY i) AS tdot,
+        |    sqrt(SUM(CASE WHEN i <= 16
+        |      THEN CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      ELSE 0 END ORDER BY i)) AS tna,
+        |    sqrt(SUM(CASE WHEN i <= 16
+        |      THEN CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |      ELSE 0 END ORDER BY i)) AS tnb
+        |  FROM pairs GROUP BY 1, 2),
+        |v AS (
+        |  SELECT query_id, vec_id,
+        |    fdot / (fna * fnb) AS cf, tdot / (tna * tnb) AS ct
+        |  FROM dots
+        |  WHERE fna > 0 AND fnb > 0 AND tna > 0 AND tnb > 0),
+        |fr AS (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cf DESC, vec_id) AS r_full,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY ct DESC, vec_id) AS trunc_rank
+        |  FROM v),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus
+        |       FROM embeddings),
+        |nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT)
+        |         AS n_queries FROM fr),
+        |pen AS (
+        |  SELECT kk.k,
+        |    CAST(SUM(CASE WHEN fr.trunc_rank <= kk.k
+        |      AND fr.r_full > kk.k THEN fr.r_full - kk.k
+        |      ELSE 0 END) AS BIGINT) AS penalty_sum,
+        |    CAST(SUM(CASE WHEN fr.trunc_rank <= kk.k
+        |      AND fr.r_full > kk.k THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_viol
+        |  FROM (SELECT UNNEST([1, 5, 10]) AS k) kk, fr
+        |  GROUP BY kk.k)
+        |SELECT pen.k, nn.n_corpus, nq.n_queries, pen.n_viol,
+        |  pen.penalty_sum,
+        |  CAST(CASE WHEN nq.n_queries > 0
+        |      AND 2 * nn.n_corpus - 3 * pen.k - 1 > 0 THEN
+        |    1000000 - CAST(pen.penalty_sum AS HUGEINT) * 2000000
+        |      // (CAST(nq.n_queries AS HUGEINT) * pen.k
+        |        * (2 * nn.n_corpus - 3 * pen.k - 1))
+        |    ELSE 1000000 END AS BIGINT) AS trust_ppm
+        |FROM pen, nn, nq ORDER BY pen.k""".stripMargin,
     // prefix cosine (i <= 16, ordered SUM — bitwise the same fold as
     // Spark's slice + decDot) → top-50 by (approx DESC, vec_id) →
     // exact-cosine rescore → top-10 (the q_vec_quantized_topk tail)

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 405,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 405")
-    assert(SparkEntry.oracleSql.size == 393,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 393")
+    assert(SparkEntry.queries.size == 407,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 407")
+    assert(SparkEntry.oracleSql.size == 395,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 395")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -391,6 +391,7 @@ class GraftApiSpec extends SparkSpec {
       "sourceDedupTokens" -> "sourceDedupTokens",
       "softDedupWeights" -> "softDedupWeights",
       "ringRebalance" -> "ringRebalance",
+      "seqPatterns" -> "seqPatterns",
       "pprAssigned" -> "pprTopK",
       "vocabGrowth" -> "vocabGrowth",
       "vocabCoverageCurve" -> "vocabCoverageCurve",
@@ -537,6 +538,7 @@ class GraftApiSpec extends SparkSpec {
       "rrfFuse" -> "rrfFusedWith",
       "matryoshkaTopK" -> "matryoshkaTopK",
       "matryoshkaRecallCurve" -> "matryoshkaRecallCurve",
+      "trustworthiness" -> "trustworthiness",
       "knnPagerankAssigned" -> "knnPagerankAssigned",
       "knnPagerank" -> "knnPagerank",
       "pcaMomentsQ16" -> "pcaMoments",

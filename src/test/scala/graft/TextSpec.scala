@@ -365,6 +365,27 @@ class TextSpec extends SparkSpec {
     assert(out("s5") == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("seqPatterns: gap-allowed triple survives Apriori + greedy " +
+      "containment; reversed doc does not count") {
+    // th = ⌈4·0.75⌉ = 3. F1 = {a,b,c} (x in only 2 docs). Frequent
+    // pairs: a‥b, a‥c, b‥c (3 docs each — d4 is reversed). C3 joins
+    // to the single candidate a‥b‥c, contained in d1–d3 only.
+    val d = Seq(
+      (1L, "a b c", "en", "s1", 5L),
+      (2L, "a x b c", "en", "s1", 7L),
+      (3L, "a b x c", "en", "s1", 7L),
+      (4L, "c b a", "en", "s1", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.seqPatterns(d, minSupportPpm = 750000L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("tok_a") == "a"
+      && r.getAs[String]("tok_b") == "b"
+      && r.getAs[String]("tok_c") == "c")
+    assert(r.getAs[Long]("support") == 3L)
+    assert(r.getAs[Long]("support_ppm") == 750000L)
+  }
+
   test("ringRebalance: consistent-hash churn stays well under " +
       "mod-hash churn on a shard-count bump") {
     val many = (0L until 300L).map(i =>

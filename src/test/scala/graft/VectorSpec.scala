@@ -1768,6 +1768,32 @@ class VectorSpec extends SparkSpec {
     graft.Caches.release("vec")
   }
 
+  test("trustworthiness: a dim-1 truncation that promotes a " +
+      "far-away intruder is charged its full rank excess") {
+    import spark.implicits._
+    // query v0 = (1,0) (Knuth hash of id 0 is 0 → the 1-sample).
+    // dim-1 cosine is the SIGN of x, so ties break by id: truncated
+    // order v1, v2, v3. Full cosines: v2 ≈ .914, v1 ≈ .11, v3 = -.6
+    // → full ranks v1→2, v2→1, v3→3. k=1: v1 intrudes with
+    // r_full=2, penalty 1, T = 1 − 2·1/(1·1·(8−3−1)) = 1/2.
+    // k=2: {v1,v2} both have r_full ≤ 2 → penalty 0, T = 1.
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.1f, -0.9f)),
+      (2L, Array(0.9f, 0.4f)),
+      (3L, Array(-0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Vec.trustworthiness(embs, dim = 1, ks = Seq(1, 2),
+      sampleCount = 1).collect()
+      .map(r => r.getAs[Int]("k") ->
+        ((r.getAs[Long]("n_corpus"), r.getAs[Long]("n_queries"),
+          r.getAs[Long]("n_viol"), r.getAs[Long]("penalty_sum"),
+          r.getAs[Long]("trust_ppm")))).toMap
+    assert(out(1) == ((4L, 1L, 1L, 1L, 500000L)))
+    assert(out(2) == ((4L, 1L, 0L, 0L, 1000000L)))
+    graft.Caches.release("vec")
+  }
+
   test("rangeSearch: per-query neighborhood counts at tau, exact " +
       "best-cosine micro, zero-norm rows excluded, empty " +
       "neighborhoods keep their row") {
