@@ -95,6 +95,10 @@ object Graft {
       * per-source effective (q20) token mass vs the hard keep rule. */
     def softDedupWeights(clusters: DataFrame): DataFrame =
       ops.Text.softDedupWeights(docs, clusters)
+    /** TF-weighted Jaccard over a candidate pair graph: multiset
+      * min/max token mass per near-dup pair. */
+    def weightedJaccard(pairs: DataFrame): DataFrame =
+      ops.Text.weightedJaccard(docs, pairs)
     /** GSP sequential patterns: gap-allowed token triples contained
       * in ≥ minSupportPpm of documents, Apriori-pruned. */
     def seqPatterns(minSupportPpm: Long = 350000L): DataFrame =
@@ -683,6 +687,15 @@ object Graft {
     ): DataFrame =
       ops.Vector.matryoshkaRecallCurve(embs, dims, k, sampleMod,
         sampleCount)
+    /** Facility-location coverage: mean best-cosine to the coreset
+      * selection vs a hashed sample of the same size. */
+    def facilityCoverage(
+        k: Int = 32, gridDims: Int = 4, g: Int = 4): DataFrame =
+      ops.Vector.facilityCoverage(embs, k, gridDims, g)
+    /** k-occurrence (in-degree) moments of a kNN graph — the
+      * hubness pathology table. */
+    def hubness(knn: DataFrame, k: Int = 3): DataFrame =
+      ops.Vector.hubness(embs, knn, k)
     /** Trustworthiness of the dim-truncated space: intruders into
       * the truncated top-k charged their full-space rank excess. */
     def trustworthiness(

@@ -1871,6 +1871,58 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** TF-WEIGHTED Jaccard over the candidate pair graph: for each
+    * near-dup candidate, `Σ_tok min(tf_a, tf_b) / Σ_tok max(tf_a,
+    * tf_b)` on token MULTISETS — the similarity that distinguishes
+    * "same vocabulary, different emphasis" (set Jaccard high,
+    * weighted low) from true near-duplication, and the measure
+    * boilerplate-heavy corpora need because binary shingle overlap
+    * saturates on templated text. Exact integers throughout: the
+    * union mass closes from totals (`Σmax = len_a + len_b − Σmin`),
+    * so only SHARED tokens ever join.
+    *
+    * Scale shape: candidates come from the session pair graph
+    * (banded/prefix-filtered — never all-pairs); the intersection
+    * join is doc-keyed (pair × tf on doc_a, then equi on (doc_b,
+    * tok)), volume bounded by Σ_pairs |doc_a| tokens; lengths are a
+    * map-side scan. No token-keyed shuffle of the corpus.
+    */
+  def weightedJaccard(
+      docs: DataFrame,
+      pairs: DataFrame
+  ): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val len = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val inter = pairs.select(col("doc_a"), col("doc_b"))
+      .join(tf.select(col("doc_id").as("doc_a"), col("tok"),
+        col("tf").as("fa")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("tok"),
+        col("tf").as("fb")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("fa"), col("fb"))).as("inter_tf"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(len.select(col("doc_id").as("doc_a"),
+        col("n_toks").as("la")), Seq("doc_a"))
+      .join(len.select(col("doc_id").as("doc_b"),
+        col("n_toks").as("lb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("inter_tf"), lit(0L)).as("inter_tf"),
+        (col("la") + col("lb") - coalesce(col("inter_tf"), lit(0L)))
+          .as("union_tf"))
+      .withColumn("weighted_jaccard_ppm",
+        when(col("union_tf") > 0, expr(
+          """CAST(CAST(inter_tf AS DECIMAL(38,0)) * 1000000
+            | div union_tf AS BIGINT)""".stripMargin
+            .replace("\n", "")))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Sequential pattern mining, GSP-style (Srikant & Agrawal): all
     * length-3 token patterns `a‥b‥c` (order matters, gaps allowed)
     * contained in at least `minSupportPpm` of the corpus's documents

@@ -491,6 +491,12 @@ object TextQueries {
     // corpus joins doc-keyed
     "q_text_seq_patterns" -> ((s, d) =>
       Text.seqPatterns(Tables.documents(s, d))),
+    // tf-weighted Jaccard on the session candidate pairs: multiset
+    // min/max mass, union closed from totals so only shared tokens
+    // join
+    "q_text_weighted_jaccard" -> ((s, d) =>
+      Text.weightedJaccard(Tables.documents(s, d),
+        jacPairs(s, d))),
     // dedup survivor POLICY on top of the clusters: keep the
     // best-quality member (ties → lowest doc_id) — one max-struct
     // agg over the shared session assignment
@@ -3326,6 +3332,43 @@ object TextQueries {
          |    - CAST(hard_tokens AS HUGEINT) * 1048576 AS BIGINT)
          |    AS soft_minus_hard_q20
          |FROM g ORDER BY source""".stripMargin,
+    // weighted Jaccard on the exact-jaccard candidate pairs; union
+    // mass closed from per-doc totals (Σmax = la + lb − Σmin)
+    "q_text_weighted_jaccard" ->
+      s"""WITH ${jacPairsSql},
+         |pr AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         |tku AS (
+         |  SELECT doc_id, UNNEST($toksSql) AS tok
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tku GROUP BY 1, 2),
+         |ln AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len($toksSql) END AS BIGINT) AS n_toks
+         |  FROM documents),
+         |ix AS (
+         |  SELECT pr.doc_a, pr.doc_b,
+         |    CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS inter_tf
+         |  FROM pr
+         |  JOIN tf a ON a.doc_id = pr.doc_a
+         |  JOIN tf b ON b.doc_id = pr.doc_b AND b.tok = a.tok
+         |  GROUP BY 1, 2)
+         |SELECT pr.doc_a, pr.doc_b,
+         |  COALESCE(ix.inter_tf, 0) AS inter_tf,
+         |  la.n_toks + lb.n_toks - COALESCE(ix.inter_tf, 0)
+         |    AS union_tf,
+         |  CAST(CASE WHEN la.n_toks + lb.n_toks
+         |      - COALESCE(ix.inter_tf, 0) > 0 THEN
+         |    CAST(COALESCE(ix.inter_tf, 0) AS HUGEINT) * 1000000
+         |      // (la.n_toks + lb.n_toks - COALESCE(ix.inter_tf, 0))
+         |    ELSE 0 END AS BIGINT) AS weighted_jaccard_ppm
+         |FROM pr
+         |LEFT JOIN ix ON ix.doc_a = pr.doc_a AND ix.doc_b = pr.doc_b
+         |JOIN ln la ON la.doc_id = pr.doc_a
+         |JOIN ln lb ON lb.doc_id = pr.doc_b
+         |ORDER BY pr.doc_a, pr.doc_b""".stripMargin,
     // GSP triples over per-doc min/max position tables; greedy
     // containment (earliest b after first a, any c after that);
     // ceiling support threshold ⌈n_docs·ppm/10⁶⌉ in both engines

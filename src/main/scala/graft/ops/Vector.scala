@@ -3097,6 +3097,81 @@ object Vector {
       .limit(k)
   }
 
+  /** Facility-location coverage audit of a data-selection method:
+    * `coverage(S) = mean_x max_{s∈S} cos(x, s)` — the k-center/
+    * submodular objective that coreset selection papers optimize,
+    * evaluated EXACTLY for the engine's own [[coresetSample]]
+    * against a plain hashed sample of the same size. The table that
+    * says whether the density-weighted selection actually buys
+    * representativeness over "just hash-pick k rows" at this corpus
+    * — the audit to read before spending a selection pass at 100 TB.
+    *
+    * Determinism: per-vector best-cosine is floored to q20 BEFORE
+    * summing (integer sums are order-free, so Spark's unordered
+    * partial aggregation and the twin's scan agree bitwise); the
+    * division to ppm is DECIMAL/HUGEINT-bridged with the sign-split
+    * convention (best-cosine can be negative on adversarial
+    * corpora, and floor-vs-truncate differ there). Zero-norm
+    * vectors are excluded from scoring on both sides (cosineSafe
+    * guard ≡ the twin's norm filters).
+    *
+    * Scale shape: both selections are TakeOrdered heads (k rows),
+    * BROADCAST into one corpus scan each; per-x max collapses
+    * map-side in the partial aggregate, so the only exchange ships
+    * one skinny (id, q20) row per vector. O(k·N) total, no corpus
+    * self-join.
+    */
+  def facilityCoverage(
+      embeddings: DataFrame,
+      k: Int = 32,
+      gridDims: Int = 4,
+      g: Int = 4
+  ): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val sel = coresetSample(embeddings, k, gridDims, g)
+      .select(col("vec_id"))
+    val hashed = embeddings
+      .orderBy(pmod(col("vec_id").cast("decimal(38,0)")
+        * lit(2654435761L), lit(4294967296L)), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"))
+    def cover(ids: DataFrame, name: String): DataFrame = {
+      val s = embeddings.join(ids, "vec_id")
+        .select(col("vec_id").as("sid"),
+          col("embedding").as("s_emb"))
+      val best = embeddings.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(s))
+        .select(col("vec_id"),
+          cosineSafe(col("embedding"), col("s_emb")).as("cs"))
+        .filter(col("cs").isNotNull)
+        .groupBy(col("vec_id"))
+        .agg(max(col("cs")).as("best"))
+        .select(floor(col("best") * lit(1048576.0)).cast("long")
+          .as("b_q20"))
+      val sz = s.agg(count(lit(1)).as("set_size"))
+      best.agg(count(lit(1)).as("n_scored"),
+          coalesce(sum(col("b_q20")), lit(0L))
+            .as("coverage_q20_sum"))
+        .crossJoin(broadcast(sz))
+        .select(lit(name).as("method"), col("set_size"),
+          col("n_scored"), col("coverage_q20_sum"),
+          when(col("n_scored") > 0,
+            when(col("coverage_q20_sum") >= 0, expr(
+              """CAST(CAST(coverage_q20_sum AS DECIMAL(38,0))
+                | * 1000000 div (CAST(n_scored AS DECIMAL(38,0))
+                | * 1048576) AS BIGINT)"""
+                .stripMargin.replace("\n", " ")))
+              .otherwise(expr(
+                """CAST(-(CAST(-coverage_q20_sum AS DECIMAL(38,0))
+                  | * 1000000 div (CAST(n_scored AS DECIMAL(38,0))
+                  | * 1048576)) AS BIGINT)"""
+                  .stripMargin.replace("\n", " "))))
+            .otherwise(lit(0L)).as("mean_coverage_ppm"))
+    }
+    cover(sel, "coreset").unionByName(cover(hashed, "hash"))
+      .orderBy(col("method"))
+  }
+
   /** Diagonal-Mahalanobis embedding outliers: score each vector by
     * Σ_i (xq_i − μ_i)²/σ_i² over the q16-quantized view and keep the
     * top `k` — the curation gate that catches encoder failures (junk
@@ -3348,6 +3423,57 @@ object Vector {
           "(d_c * 1048576 div (2 * m))) div 1048576"))
       .withColumn("term_q20", col("intra_q20") - col("deg_q20"))
       .orderBy(col("community"))
+  }
+
+  /** Hubness of the kNN graph (Radovanović et al., "Hubs in Space"):
+    * the k-occurrence (in-degree) distribution of the DIRECTED kNN
+    * edge list, reduced to exact integer moments — the high-dim
+    * pathology metric for ANN serving. As dimension grows, a few
+    * vectors ("hubs") appear in a disproportionate share of other
+    * points' neighbor lists while many ("anti-hubs") appear in none;
+    * a right-skewed k-occurrence distribution degrades both recall
+    * (anti-hubs become unreachable) and dedup quality (hubs glue
+    * unrelated clusters). One row out: `n_vecs`, `n_edges`,
+    * `sum_d2`/`sum_d3` (the raw moments whose normalized form is the
+    * standard skewness S_k — emitted raw so the statistic stays
+    * exact integers; Σd³ rides the BIGINT envelope, exact while
+    * Σd³ < 9.2e18 — at E[d]=k this is ~n·k³·O(skew), fine to ~1e15
+    * vectors at k=3, with the per-element cube DECIMAL-bridged so
+    * only the emitted total is enveloped), `max_indeg`, `n_antihubs`
+    * (in-degree 0) and `n_hubs` (in-degree > 2k, the conventional
+    * hub cutoff).
+    *
+    * Scale shape: one count-aggregate over the k·n edge list keyed
+    * on the TARGET id (map-side combine), one left join back onto
+    * the id column to restore zero-degree vectors, one 1-row
+    * reduce. Consumes the session-shared graph; never rebuilds it.
+    */
+  def hubness(
+      embeddings: DataFrame,
+      knn: DataFrame,
+      k: Int = 3
+  ): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val indeg = embeddings.select(col("vec_id"))
+      .join(knn.groupBy(col("nbr_id").as("vec_id"))
+        .agg(count(lit(1)).as("d")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("d"))
+    indeg.agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("d")).as("n_edges"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("d2"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d * d")).as("d3"),
+        max(col("d")).as("max_indeg"),
+        sum(when(col("d") === 0, 1L).otherwise(0L))
+          .as("n_antihubs"),
+        sum(when(col("d") > 2L * k, 1L).otherwise(0L)).as("n_hubs"))
+      .select(col("n_vecs"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("d2").cast("long"), lit(0L)).as("sum_d2"),
+        coalesce(col("d3").cast("long"), lit(0L)).as("sum_d3"),
+        coalesce(col("max_indeg"), lit(0L)).as("max_indeg"),
+        coalesce(col("n_antihubs"), lit(0L)).as("n_antihubs"),
+        coalesce(col("n_hubs"), lit(0L)).as("n_hubs"))
   }
 
   /** Degree assortativity of the symmetrized kNN graph — do

@@ -194,6 +194,15 @@ object VectorQueries {
     // density-weighted coreset: 1/cell_count ES draw over the grid
     "q_vec_coreset_sample" -> ((s, d) =>
       Vector.coresetSample(Tables.embeddings(s, d), 100)),
+    // facility-location coverage: mean best-cosine to the coreset
+    // selection vs a hashed sample of the same size (k=32 heads
+    // broadcast, one O(k·N) scan each)
+    "q_vec_coverage" -> ((s, d) =>
+      Vector.facilityCoverage(Tables.embeddings(s, d))),
+    // k-occurrence (in-degree) moments of the session kNN graph —
+    // the hubness pathology table (Radovanović et al.)
+    "q_vec_hubness" -> ((s, d) =>
+      Vector.hubness(Tables.embeddings(s, d), knnGraphDf(s, d))),
     // chunk->doc mean pooling (synthetic 50-group mapping: the
     // registry's stand-in for a chunk->doc id table, same scaffolding
     // convention as the CDC envelope synthesis)
@@ -1181,6 +1190,138 @@ object VectorQueries {
         |  FROM p WHERE NOT isnan(cos_sim))
         |SELECT vec_id, nbr_id, cos_sim, "rank" FROM r
         |WHERE "rank" <= 3 ORDER BY vec_id, "rank"""".stripMargin,
+    // the knn-graph fragment, then in-degree per corpus vector
+    // (LEFT JOIN restores zero-degree rows) and exact moments;
+    // hub cutoff 2k = 6
+    "q_vec_hubness" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label),
+        |u AS (
+        |  SELECT e.vec_id, n.label,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    CAST(UNNEST(e.embedding) AS DOUBLE) / n.nrm AS ux
+        |  FROM embeddings e JOIN n ON e.vec_id = n.vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+        |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+        |  FROM u a JOIN u b
+        |    ON a.i = b.i AND a.label = b.label
+        |    AND a.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |      = b.vec_id % (SELECT GREATEST(1, COUNT(*) // 1250)
+        |                    FROM embeddings)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT vec_id, nbr_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_sim DESC, nbr_id) AS INT) AS "rank"
+        |  FROM p WHERE NOT isnan(cos_sim)),
+        |edges AS (SELECT nbr_id FROM r WHERE "rank" <= 3),
+        |deg AS (
+        |  SELECT e.vec_id, CAST(COUNT(ed.nbr_id) AS BIGINT) AS d
+        |  FROM embeddings e
+        |  LEFT JOIN edges ed ON ed.nbr_id = e.vec_id
+        |  GROUP BY e.vec_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(d) AS BIGINT) AS n_edges,
+        |  CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) AS sum_d2,
+        |  CAST(SUM(CAST(d AS HUGEINT) * d * d) AS BIGINT) AS sum_d3,
+        |  CAST(MAX(d) AS BIGINT) AS max_indeg,
+        |  CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_antihubs,
+        |  CAST(SUM(CASE WHEN d > 6 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hubs
+        |FROM deg""".stripMargin,
+    // coreset selection (LIMIT 32) + hashed sample, both scored by
+    // mean best-cosine over the corpus; per-x q20 floors summed as
+    // integers (order-free), sign-split ppm division
+    "q_vec_coverage" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS nrm
+        |  FROM (SELECT vec_id,
+        |          CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+        |          UNNEST(embedding) AS x FROM embeddings)
+        |  GROUP BY vec_id),
+        |u AS (
+        |  SELECT e.vec_id,
+        |    CAST(FLOOR(CAST(e.embedding[1] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c0,
+        |    CAST(FLOOR(CAST(e.embedding[2] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c1,
+        |    CAST(FLOOR(CAST(e.embedding[3] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c2,
+        |    CAST(FLOOR(CAST(e.embedding[4] AS DOUBLE) / n.nrm * 4)
+        |      AS INT) AS c3
+        |  FROM embeddings e JOIN n USING (vec_id)),
+        |c AS (SELECT c0, c1, c2, c3, COUNT(*) AS cell_count
+        |      FROM u GROUP BY 1, 2, 3, 4),
+        |d AS (
+        |  SELECT u.vec_id, c.cell_count
+        |  FROM u JOIN c USING (c0, c1, c2, c3)),
+        |s AS (
+        |  SELECT vec_id,
+        |    CAST(FLOOR(
+        |      ln(CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+        |            || ':coreset'), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+        |         / CAST(1152921504606846976 AS DOUBLE))
+        |      * CAST(cell_count AS DOUBLE) * 1048576) AS BIGINT)
+        |      AS key_q20
+        |  FROM d),
+        |cs AS (SELECT vec_id FROM s
+        |       ORDER BY key_q20 DESC, vec_id LIMIT 32),
+        |hs AS (SELECT vec_id FROM embeddings
+        |       ORDER BY (CAST(vec_id AS HUGEINT) * 2654435761)
+        |         % 4294967296, vec_id LIMIT 32),
+        |sets AS (
+        |  SELECT 'coreset' AS method, vec_id FROM cs
+        |  UNION ALL SELECT 'hash', vec_id FROM hs),
+        |sz AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS set_size
+        |       FROM sets GROUP BY method),
+        |pairs AS (
+        |  SELECT st.method, x.vec_id AS xid, se.vec_id AS sid,
+        |    CAST(generate_subscripts(x.embedding, 1) AS INT) AS i,
+        |    UNNEST(x.embedding) AS xv, UNNEST(se.embedding) AS sv
+        |  FROM embeddings x,
+        |    sets st JOIN embeddings se ON se.vec_id = st.vec_id),
+        |dots AS (
+        |  SELECT method, xid, sid,
+        |    SUM(CAST(xv AS DOUBLE) * CAST(sv AS DOUBLE) ORDER BY i)
+        |      AS dot,
+        |    sqrt(SUM(CAST(xv AS DOUBLE) * CAST(xv AS DOUBLE)
+        |             ORDER BY i)) AS na,
+        |    sqrt(SUM(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+        |             ORDER BY i)) AS nb
+        |  FROM pairs GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT method, xid,
+        |    CAST(FLOOR(MAX(dot / (na * nb)) * 1048576) AS BIGINT)
+        |      AS b_q20
+        |  FROM dots WHERE na > 0 AND nb > 0 GROUP BY 1, 2),
+        |g AS (
+        |  SELECT method, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |    CAST(SUM(b_q20) AS BIGINT) AS coverage_q20_sum
+        |  FROM best GROUP BY method)
+        |SELECT g.method, sz.set_size, g.n_scored,
+        |  g.coverage_q20_sum,
+        |  CAST(CASE WHEN g.n_scored = 0 THEN 0
+        |    WHEN g.coverage_q20_sum >= 0 THEN
+        |      CAST(g.coverage_q20_sum AS HUGEINT) * 1000000
+        |        // (CAST(g.n_scored AS HUGEINT) * 1048576)
+        |    ELSE -(CAST(-g.coverage_q20_sum AS HUGEINT) * 1000000
+        |        // (CAST(g.n_scored AS HUGEINT) * 1048576))
+        |    END AS BIGINT) AS mean_coverage_ppm
+        |FROM g JOIN sz USING (method)
+        |ORDER BY g.method""".stripMargin,
     // modularity: the knn-graph fragment on COARSER label%4 lists,
     // symmetrized, then per-community exact q20 terms (h = d_c·2^20
     // div 2m; deg term = h² div 2^20 — the documented double floor)

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 407,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 407")
-    assert(SparkEntry.oracleSql.size == 395,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 395")
+    assert(SparkEntry.queries.size == 410,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 410")
+    assert(SparkEntry.oracleSql.size == 398,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 398")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -392,6 +392,7 @@ class GraftApiSpec extends SparkSpec {
       "softDedupWeights" -> "softDedupWeights",
       "ringRebalance" -> "ringRebalance",
       "seqPatterns" -> "seqPatterns",
+      "weightedJaccard" -> "weightedJaccard",
       "pprAssigned" -> "pprTopK",
       "vocabGrowth" -> "vocabGrowth",
       "vocabCoverageCurve" -> "vocabCoverageCurve",
@@ -539,6 +540,8 @@ class GraftApiSpec extends SparkSpec {
       "matryoshkaTopK" -> "matryoshkaTopK",
       "matryoshkaRecallCurve" -> "matryoshkaRecallCurve",
       "trustworthiness" -> "trustworthiness",
+      "facilityCoverage" -> "facilityCoverage",
+      "hubness" -> "hubness",
       "knnPagerankAssigned" -> "knnPagerankAssigned",
       "knnPagerank" -> "knnPagerank",
       "pcaMomentsQ16" -> "pcaMoments",

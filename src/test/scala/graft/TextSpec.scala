@@ -365,6 +365,24 @@ class TextSpec extends SparkSpec {
     assert(out("s5") == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("weightedJaccard: multiset min/max mass on candidate pairs; " +
+      "disjoint pair keeps its row through the left join") {
+    val d = Seq(
+      (1L, "a a b", "en", "s1", 5L),
+      (2L, "a b b", "en", "s1", 5L),
+      (3L, "c c c", "en", "s1", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.6))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = Text.weightedJaccard(d, pairs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("inter_tf"), r.getAs[Long]("union_tf"),
+          r.getAs[Long]("weighted_jaccard_ppm")))).toMap
+    // {a:2,b:1} vs {a:1,b:2}: Σmin = 2, Σmax = 3+3−2 = 4
+    assert(out((1L, 2L)) == ((2L, 4L, 500000L)))
+    assert(out((1L, 3L)) == ((0L, 6L, 0L)))
+  }
+
   test("seqPatterns: gap-allowed triple survives Apriori + greedy " +
       "containment; reversed doc does not count") {
     // th = ⌈4·0.75⌉ = 3. F1 = {a,b,c} (x in only 2 docs). Frequent

@@ -1794,6 +1794,48 @@ class VectorSpec extends SparkSpec {
     graft.Caches.release("vec")
   }
 
+  test("hubness: in-degree moments over a star graph; zero-degree " +
+      "vectors restored by the left join") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // directed edges all point at v2: indegrees (0, 3, 0, 0)
+    val knn = Seq((1L, 2L), (3L, 2L), (4L, 2L))
+      .toDF("vec_id", "nbr_id")
+    val r = Vec.hubness(embs, knn, k = 1).collect().head
+    assert(r.getAs[Long]("n_vecs") == 4L)
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("sum_d2") == 9L)
+    assert(r.getAs[Long]("sum_d3") == 27L)
+    assert(r.getAs[Long]("max_indeg") == 3L)
+    assert(r.getAs[Long]("n_antihubs") == 3L)
+    // hub cutoff 2k = 2: only v2 (d = 3) crosses it
+    assert(r.getAs[Long]("n_hubs") == 1L)
+  }
+
+  test("facilityCoverage: two orthogonal groups, any 1-selection " +
+      "covers exactly half the q20 mass for both methods") {
+    import spark.implicits._
+    // ids 0,1 = e1; ids 2,3 = e2. Whatever single vector either
+    // method picks, two vectors score cos 1 and two score cos 0:
+    // sum = 2·2²⁰, mean ppm = 500000 — invariant to the pick, so
+    // the md5/hash draws need no hand-computation
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Vec.facilityCoverage(embs, k = 1, gridDims = 2)
+      .collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("set_size"), r.getAs[Long]("n_scored"),
+          r.getAs[Long]("coverage_q20_sum"),
+          r.getAs[Long]("mean_coverage_ppm")))).toMap
+    assert(out("coreset") == ((1L, 4L, 2097152L, 500000L)))
+    assert(out("hash") == ((1L, 4L, 2097152L, 500000L)))
+  }
+
   test("rangeSearch: per-query neighborhood counts at tau, exact " +
       "best-cosine micro, zero-norm rows excluded, empty " +
       "neighborhoods keep their row") {
