@@ -3136,7 +3136,9 @@ object Vector {
       .limit(k)
       .select(col("vec_id"))
     def cover(ids: DataFrame, name: String): DataFrame = {
-      val s = embeddings.join(ids, "vec_id")
+      // ids is a TakeOrdered HEAD (k rows) — broadcast it into the
+      // corpus scan, never the reverse
+      val s = embeddings.join(broadcast(ids), "vec_id")
         .select(col("vec_id").as("sid"),
           col("embedding").as("s_emb"))
       val best = embeddings.select(col("vec_id"), col("embedding"))

@@ -274,6 +274,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"no partial aggregation:\n$p")
   }
 
+  test("ring rebalance: literal-ring audit — no join anywhere, " +
+      "partial combine before the single-row reduce") {
+    val d = sf("sf0.001")
+    val p = plan(ops.Text.ringRebalance(Tables.documents(spark, d)))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial"), s"no partial aggregation:\n$p")
+  }
+
+  test("facility coverage: selection heads broadcast into the " +
+      "corpus scan — the corpus never sort-merge-joins") {
+    val d = sf("sf0.001")
+    val p = plan(ops.Vector.facilityCoverage(
+      Tables.embeddings(spark, d)))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"selection not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for a selection join:\n$p")
+  }
+
+  test("trustworthiness: candidate heads broadcast; rank-by-count " +
+      "means no window and no sort-merge join in the plan") {
+    val d = sf("sf0.001")
+    val p = plan(ops.Vector.trustworthiness(
+      Tables.embeddings(spark, d)))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query sample not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for a candidate join:\n$p")
+    assert(!p.contains("Window"),
+      s"rank-by-count regressed to a window sort:\n$p")
+  }
+
+  test("seq patterns: frequent sets attach by broadcast; no " +
+      "cartesian product anywhere") {
+    val d = sf("sf0.001")
+    val p = plan(ops.Text.seqPatterns(Tables.documents(spark, d)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"frequent sets not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in the pattern join:\n$p")
+  }
+
   test("periodogram: the q20 trig table attaches by broadcast; the " +
       "corpus never sort-merge-joins") {
     val d = sf("sf0.001")

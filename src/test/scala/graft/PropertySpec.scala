@@ -961,6 +961,100 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("seqPatterns matches a brute-force subsequence counter on " +
+      "random tiny corpora (Apriori is lossless)") {
+    val docGen = Gen.listOfN(5,
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.take(8)))
+    forAll(docGen, n = 8) { ds =>
+      val docs = ds.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" "), "en", "s", 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ppm = 400000L
+      val out = Text.seqPatterns(docs, ppm).collect()
+        .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"),
+          r.getAs[String]("tok_c")) -> r.getAs[Long]("support"))
+        .toMap
+      val th = (ds.size * ppm + 999999L) / 1000000L
+      def hasSub(doc: List[String],
+          p: (String, String, String)): Boolean = {
+        val i1 = doc.indexOf(p._1)
+        if (i1 < 0) false
+        else {
+          val rest = doc.drop(i1 + 1)
+          val i2 = rest.indexOf(p._2)
+          i2 >= 0 && rest.drop(i2 + 1).contains(p._3)
+        }
+      }
+      val alpha = Seq("a", "b", "c", "d")
+      val expected = (for {
+        a <- alpha; b <- alpha; c <- alpha
+        sup = ds.count(d => hasSub(d, (a, b, c))).toLong
+        if sup >= th
+      } yield (a, b, c) -> sup).toMap
+      assert(out == expected, s"corpus=$ds th=$th")
+    }
+  }
+
+  test("weightedJaccard matches a multiset min/max reference on " +
+      "random corpora and arbitrary candidate pairs") {
+    val corpusGen = Gen.listOfN(4,
+      Gen.listOf(Gen.oneOf("x", "y", "z")).map(_.take(6)))
+    forAll(corpusGen, n = 8) { ds =>
+      val docs = ds.zipWithIndex.map { case (ts, i) =>
+        ((i + 1).toLong, ts.mkString(" "), "en", "s", 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val pairs = Seq((1L, 2L, 0.9), (1L, 3L, 0.9), (2L, 4L, 0.9))
+        .toDF("doc_a", "doc_b", "jaccard")
+      val out = Text.weightedJaccard(docs, pairs).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          ((r.getAs[Long]("inter_tf"), r.getAs[Long]("union_tf"),
+            r.getAs[Long]("weighted_jaccard_ppm"))))
+        .toMap
+      assert(out.size == 3)
+      for (((a, b), (i, u, p)) <- out) {
+        val ta = ds(a.toInt - 1)
+        val tb = ds(b.toInt - 1)
+        val inter = (ta ++ tb).distinct.map(k =>
+          math.min(ta.count(_ == k), tb.count(_ == k)).toLong).sum
+        val union = ta.size + tb.size - inter
+        assert(i == inter && u == union, s"pair ($a,$b) corpus=$ds")
+        assert(p == (if (union > 0) i * 1000000L / union else 0L))
+      }
+    }
+  }
+
+  test("ringRebalance matches an independent replay of ring and " +
+      "mod ownership on random id sets") {
+    val idsGen = Gen.listOfN(60, Gen.choose(0L, 5000L))
+      .map(_.distinct).suchThat(_.nonEmpty)
+    forAll(idsGen, n = 5) { ids =>
+      val docs = ids.map(i => (i, "t", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = Text.ringRebalance(docs, Seq((8, 9)), 16).collect()
+        .map(r => r.getAs[String]("strategy") ->
+          r.getAs[Long]("n_moved")).toMap
+      val P = 2147483647L
+      def dpos(id: Long): Long =
+        (BigInt(id) * 2654435761L).mod(BigInt(P)).toLong
+      def keys(nS: Int): Seq[Long] =
+        for { s <- 0 until nS; v <- 0 until 16 } yield {
+          val x = s.toLong * 65521L + v
+          ((x * x % P) * 2654435761L + x * 65521L) % P * 1024L +
+            s.toLong * 16 + v
+        }
+      def owner(nS: Int, dp: Long): Long = {
+        val ks = keys(nS)
+        val cands = ks.filter(_ >= dp * 1024L)
+        val ck = if (cands.nonEmpty) cands.min else ks.min
+        (ck % 1024L) / 16L
+      }
+      val ringMv = ids.count(i => owner(8, dpos(i)) != owner(9, dpos(i))).toLong
+      val modMv = ids.count(i => dpos(i) % 8 != dpos(i) % 9).toLong
+      assert(out("ring") == ringMv, s"ids=$ids")
+      assert(out("mod") == modMv, s"ids=$ids")
+    }
+  }
+
   test("shardDedupLoss conserves pairs (local + lost = total) and " +
       "bounds lost_ppm on random pair graphs") {
     val pairGen = Gen.nonEmptyListOf(
