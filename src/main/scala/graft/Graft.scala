@@ -99,6 +99,10 @@ object Graft {
       * min/max token mass per near-dup pair. */
     def weightedJaccard(pairs: DataFrame): DataFrame =
       ops.Text.weightedJaccard(docs, pairs)
+    /** Triangle-closure audit of a near-dup pair graph — the
+      * is-component-dedup-safe evidence table. */
+    def dupTransitivity(pairs: DataFrame): DataFrame =
+      ops.Text.dupTransitivity(pairs)
     /** GSP sequential patterns: gap-allowed token triples contained
       * in ≥ minSupportPpm of documents, Apriori-pruned. */
     def seqPatterns(minSupportPpm: Long = 350000L): DataFrame =

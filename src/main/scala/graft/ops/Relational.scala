@@ -471,6 +471,117 @@ object Relational {
       .orderBy(col("user_id"), col("sess_seq"))
   }
 
+  /** Session-count sensitivity to the gap threshold — the
+    * calibration table behind [[sessionizeBatch]]'s one magic
+    * number: for each candidate inactivity gap, how many sessions
+    * does the SAME event stream split into, and how large is the
+    * average session? Read before committing a sessionization
+    * window: a curve still moving steeply at the chosen gap means
+    * session-level metrics (funnels, retention, concurrency) are
+    * artifacts of the threshold, not the behavior.
+    *
+    * One per-user lag pass computes every inter-event gap ONCE;
+    * each candidate threshold is then a conditional count over the
+    * same scan (session starts = null-gap rows + gaps above the
+    * threshold), fanned out of a single aggregate row with `stack`
+    * — the multi-threshold audit costs one window, not one window
+    * per threshold. All-integer ms arithmetic; the ratio is
+    * DECIMAL-bridged ppm.
+    */
+  def sessionGapCurve(
+      events: DataFrame,
+      gapsMs: Seq[Long] = Seq(900000L, 1800000L, 3600000L)
+  ): DataFrame = {
+    require(gapsMs.nonEmpty && gapsMs.forall(_ > 0),
+      "gap thresholds must be positive")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .select(col("user_id"),
+        when(col("prev_ts").isNull, lit(null).cast("long"))
+          .otherwise(unix_millis(col("ts"))
+            - unix_millis(col("prev_ts"))).as("gap_ms"))
+    val aggs = count(lit(1)).as("n_events") +:
+      countDistinct(col("user_id")).as("n_users") +:
+      gapsMs.sorted.zipWithIndex.map { case (g, i) =>
+        sum(when(col("gap_ms").isNull || col("gap_ms") > g, 1L)
+          .otherwise(0L)).as(s"s_$i")
+      }
+    val one = gapped.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = gapsMs.sorted.zipWithIndex.map { case (g, i) =>
+      s"CAST(${g / 1000L} AS BIGINT), s_$i"
+    }.mkString(", ")
+    one.selectExpr("n_events", "n_users",
+        s"stack(${gapsMs.size}, $stackArgs) AS (gap_s, n_sessions)")
+      .select(col("gap_s"), col("n_users"), col("n_events"),
+        coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+        when(col("n_sessions") > 0, expr(
+          """CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000
+            | div n_sessions AS BIGINT)""".stripMargin
+            .replace("\n", "")))
+          .otherwise(lit(0L)).as("events_per_session_ppm"))
+      .orderBy(col("gap_s"))
+  }
+
+  /** Single-server queue backlog per event type (Lindley, 1952):
+    * replay each type's arrival stream through a deterministic
+    * server whose per-event service time is `⌊value·1000⌋ ms`, and
+    * read off the waiting-time profile EXACTLY via the max-plus
+    * closed form — the capacity-planning companion to
+    * [[peakConcurrency]]: concurrency counts open sessions; this
+    * prices what a serial consumer (one partition of a downstream
+    * topic, one writer thread) would actually queue.
+    *
+    * Closed form instead of a sequential fold: completion
+    * `C_n = P_n + max_{j≤n}(a_j − P_{j−1})` with `P` the running
+    * service-time sum — so one cumulative-sum window and one
+    * running-max window per type replace the order-N recurrence,
+    * and `wait_n = P_{n−1} + M_n − a_n ≥ 0` falls out per row. All
+    * BIGINT ms; per-type windows only (never a global window).
+    * Emits per type: event count, max and total wait, and server
+    * utilization `ΣS·10⁶ / (span + S_last)` over the busy horizon.
+    */
+  def queueBacklog(events: DataFrame): DataFrame = {
+    // windows order by the MILLISECOND arrival, not raw ts: the twin
+    // can only see epoch_ms, and two same-ms events with distinct
+    // microseconds would otherwise fold in different orders
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("a_ms"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val staged = events
+      .select(col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("a_ms"),
+        greatest(lit(0L), floor(coalesce(col("value"), lit(0.0))
+          * lit(1000.0)).cast("long")).as("s_ms"))
+      .withColumn("p_ms", sum(col("s_ms")).over(wr))
+      .withColumn("q_ms",
+        col("a_ms") - coalesce(lag(col("p_ms"), 1).over(w),
+          lit(0L)))
+      .withColumn("m_ms", max(col("q_ms")).over(wr))
+      .withColumn("wait_ms",
+        col("p_ms") - col("s_ms") + col("m_ms") - col("a_ms"))
+    staged
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("wait_ms")).as("max_wait_ms"),
+        sum(col("wait_ms")).as("total_wait_ms"),
+        sum(col("s_ms")).as("busy_ms"),
+        min(col("a_ms")).as("first_ms"),
+        max(col("a_ms") + col("wait_ms") + col("s_ms"))
+          .as("drain_ms"))
+      .select(col("event_type"), col("n_events"),
+        col("max_wait_ms"), col("total_wait_ms"),
+        when(col("drain_ms") > col("first_ms"), expr(
+          """CAST(CAST(busy_ms AS DECIMAL(38,0)) * 1000000
+            | div (drain_ms - first_ms) AS BIGINT)""".stripMargin
+            .replace("\n", "")))
+          .otherwise(lit(1000000L)).as("utilization_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   /** Peak session concurrency per day — the capacity number a
     * serving/ingest owner reads next to average load (Little's-law
     * sizing uses the PEAK of simultaneously-open sessions, which

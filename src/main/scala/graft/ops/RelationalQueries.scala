@@ -361,6 +361,15 @@ object RelationalQueries {
     // equal ms, per-day running max
     "q_events_peak_concurrency" -> ((s, d) =>
       Relational.peakConcurrency(Tables.events(s, d))),
+    // session-count sensitivity curve over candidate gap thresholds:
+    // one lag pass, every threshold a conditional count of the same
+    // scan
+    "q_events_session_gap_curve" -> ((s, d) =>
+      Relational.sessionGapCurve(Tables.events(s, d))),
+    // Lindley single-server replay per event type via the max-plus
+    // closed form: two per-type windows, exact BIGINT ms waits
+    "q_events_queue_backlog" -> ((s, d) =>
+      Relational.queueBacklog(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => lastSignupAsOf(Tables.events(s, d))),
     "q_group_percentiles" -> ((s, d) =>
       groupPercentiles(Tables.orders(s, d))),
@@ -1501,6 +1510,71 @@ object RelationalQueries {
     // the q_sessionize session fragment -> per-epoch-day split/clip
     // in BIGINT ms -> boundary sweep (starts before ends at equal
     // ms) -> per-day running max; // on non-negative BIGINTs ≡ div
+    // one LAG pass; each threshold counts null-gap rows (stream
+    // heads) plus gaps above it — identical conditional over the
+    // same gap scan in both engines
+    "q_events_session_gap_curve" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, CASE WHEN prev_ts IS NULL THEN NULL
+        |    ELSE epoch_ms(ts) - epoch_ms(prev_ts) END AS gap_ms
+        |  FROM o),
+        |t AS (SELECT UNNEST([900, 1800, 3600]) AS gap_s)
+        |SELECT CAST(t.gap_s AS BIGINT) AS gap_s,
+        |  CAST(COUNT(DISTINCT g.user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN g.gap_ms IS NULL
+        |      OR g.gap_ms > t.gap_s * 1000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_sessions,
+        |  CAST(CASE WHEN SUM(CASE WHEN g.gap_ms IS NULL
+        |      OR g.gap_ms > t.gap_s * 1000 THEN 1 ELSE 0 END) > 0
+        |    THEN CAST(COUNT(*) AS HUGEINT) * 1000000
+        |      // SUM(CASE WHEN g.gap_ms IS NULL
+        |          OR g.gap_ms > t.gap_s * 1000 THEN 1 ELSE 0 END)
+        |    ELSE 0 END AS BIGINT) AS events_per_session_ppm
+        |FROM t, g GROUP BY t.gap_s ORDER BY gap_s""".stripMargin,
+    // Lindley max-plus closed form: P = running service sum, M =
+    // running max of (a − P_prev); wait = P − s + M − a; windows
+    // order by (epoch-ms, event_id) in BOTH engines (sub-ms ts
+    // precision must not influence the fold order)
+    "q_events_queue_backlog" ->
+      """WITH s0 AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS a_ms,
+        |    GREATEST(0, CAST(FLOOR(COALESCE(value, 0) * 1000)
+        |      AS BIGINT)) AS s_ms
+        |  FROM events),
+        |w1 AS (
+        |  SELECT *, SUM(s_ms) OVER (PARTITION BY event_type
+        |      ORDER BY a_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS p_ms
+        |  FROM s0),
+        |w2 AS (
+        |  SELECT *, a_ms - COALESCE(LAG(p_ms) OVER (
+        |      PARTITION BY event_type ORDER BY a_ms, event_id), 0)
+        |    AS q_ms
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, MAX(q_ms) OVER (PARTITION BY event_type
+        |      ORDER BY a_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS m_ms
+        |  FROM w2),
+        |w4 AS (
+        |  SELECT *, p_ms - s_ms + m_ms - a_ms AS wait_ms FROM w3)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(wait_ms) AS BIGINT) AS max_wait_ms,
+        |  CAST(SUM(wait_ms) AS BIGINT) AS total_wait_ms,
+        |  CAST(CASE WHEN MAX(a_ms + wait_ms + s_ms) > MIN(a_ms)
+        |    THEN CAST(SUM(s_ms) AS HUGEINT) * 1000000
+        |      // (MAX(a_ms + wait_ms + s_ms) - MIN(a_ms))
+        |    ELSE 1000000 END AS BIGINT) AS utilization_ppm
+        |FROM w4 GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_events_peak_concurrency" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,

@@ -1871,6 +1871,49 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Transitivity audit of the near-dup pair graph — the evidence
+    * behind using connected components as dedup clusters: similarity
+    * is NOT transitive (jac(a,b) ≥ t ∧ jac(b,c) ≥ t does not imply
+    * jac(a,c) ≥ t), so every open wedge in the pair graph is a
+    * document pair the component-based dedup treats as duplicates
+    * WITHOUT direct evidence. A high closure rate says components ≈
+    * cliques and min-id dedup is safe; a low one says clusters are
+    * chains gluing dissimilar documents and a survivor-per-component
+    * policy is over-merging. One row: edge, wedge, closed-wedge
+    * counts and the closure rate in ppm (= the graph's global
+    * clustering coefficient over the threshold graph).
+    *
+    * Scale shape: one self-join of the (session-shared, sparse)
+    * pair list on the wedge center (Σ_b deg(b)² — candidate-graph
+    * sized, never corpus²), one hash-lookup join back into the pair
+    * list for closure. Absence from the pair list IS the `< t`
+    * verdict (the pair engine emits every pair ≥ t), so no cosine
+    * or Jaccard is recomputed.
+    */
+  def dupTransitivity(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val sym = p.unionByName(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val wedges = sym.as("e1")
+      .join(sym.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .filter(col("e1.doc_a") < col("e2.doc_b"))
+      .select(col("e1.doc_a").as("wa"), col("e2.doc_b").as("wc"))
+    val closed = wedges
+      .join(p.select(col("doc_a").as("wa"), col("doc_b").as("wc"),
+        lit(1L).as("hit")), Seq("wa", "wc"), "left")
+    val ne = p.agg(count(lit(1)).as("n_edges"))
+    closed.agg(
+        count(lit(1)).as("n_wedges"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_closed"))
+      .crossJoin(broadcast(ne))
+      .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+        when(col("n_wedges") > 0, expr(
+          """CAST(CAST(n_closed AS DECIMAL(38,0)) * 1000000
+            | div n_wedges AS BIGINT)""".stripMargin
+            .replace("\n", "")))
+          .otherwise(lit(0L)).as("closure_ppm"))
+  }
+
   /** TF-WEIGHTED Jaccard over the candidate pair graph: for each
     * near-dup candidate, `Σ_tok min(tf_a, tf_b) / Σ_tok max(tf_a,
     * tf_b)` on token MULTISETS — the similarity that distinguishes

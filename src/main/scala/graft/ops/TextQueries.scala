@@ -497,6 +497,11 @@ object TextQueries {
     "q_text_weighted_jaccard" -> ((s, d) =>
       Text.weightedJaccard(Tables.documents(s, d),
         jacPairs(s, d))),
+    // triangle-closure audit of the dup pair graph: wedge self-join
+    // on the center + membership lookup — the is-CC-dedup-safe
+    // evidence table
+    "q_text_dup_transitivity" -> ((s, d) =>
+      Text.dupTransitivity(jacPairs(s, d))),
     // dedup survivor POLICY on top of the clusters: keep the
     // best-quality member (ties → lowest doc_id) — one max-struct
     // agg over the shared session assignment
@@ -3332,6 +3337,31 @@ object TextQueries {
          |    - CAST(hard_tokens AS HUGEINT) * 1048576 AS BIGINT)
          |    AS soft_minus_hard_q20
          |FROM g ORDER BY source""".stripMargin,
+    // symmetrized wedge self-join on the center, closure via a
+    // membership lookup into the canonical (a<b) pair list
+    "q_text_dup_transitivity" ->
+      s"""WITH ${jacPairsSql},
+         |pr AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         |sym AS (
+         |  SELECT doc_a, doc_b FROM pr
+         |  UNION ALL SELECT doc_b, doc_a FROM pr),
+         |wg AS (
+         |  SELECT e1.doc_a AS wa, e2.doc_b AS wc
+         |  FROM sym e1 JOIN sym e2 ON e1.doc_b = e2.doc_a
+         |  WHERE e1.doc_a < e2.doc_b),
+         |cl AS (
+         |  SELECT wg.wa, wg.wc,
+         |    CASE WHEN pr.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM wg LEFT JOIN pr
+         |    ON pr.doc_a = wg.wa AND pr.doc_b = wg.wc),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pr)
+         |SELECT (SELECT n_edges FROM ne) AS n_edges,
+         |  CAST(COUNT(*) AS BIGINT) AS n_wedges,
+         |  CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_closed,
+         |  CAST(CASE WHEN COUNT(*) > 0 THEN
+         |    CAST(SUM(hit) AS HUGEINT) * 1000000 // COUNT(*)
+         |    ELSE 0 END AS BIGINT) AS closure_ppm
+         |FROM cl""".stripMargin,
     // weighted Jaccard on the exact-jaccard candidate pairs; union
     // mass closed from per-doc totals (Σmax = la + lb − Σmin)
     "q_text_weighted_jaccard" ->

@@ -48,6 +48,43 @@ class AnalyticSpec extends SparkSpec {
     assert(out((2L, 1L)) == (1L, 4.0))
   }
 
+  test("sessionGapCurve: one lag pass, per-threshold session " +
+      "counts from the same gap scan") {
+    // u1 gaps: 10 min, 40 min; u2 single event. Sessions:
+    // 15/30-min gap → 3 (u1 splits), 60-min gap → 2
+    val ev = Seq(
+      (1L, ts(0), 10L, 1.0), (1L, ts(10), 11L, 2.0),
+      (1L, ts(50), 12L, 3.0), (2L, ts(5), 13L, 4.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Relational.sessionGapCurve(ev).collect()
+      .map(r => r.getAs[Long]("gap_s") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_sessions"),
+          r.getAs[Long]("events_per_session_ppm")))).toMap
+    assert(out(900L) == ((2L, 4L, 3L, 1333333L)))
+    assert(out(1800L) == ((2L, 4L, 3L, 1333333L)))
+    assert(out(3600L) == ((2L, 4L, 2L, 2000000L)))
+  }
+
+  test("queueBacklog: Lindley closed form reproduces the hand-run " +
+      "single-server recurrence") {
+    def tss(s: String) = java.sql.Timestamp.valueOf(s)
+    // service 2000/500/1000 ms; arrival 0/1000/10000 ms: event 2
+    // waits 1 s behind event 1; event 3 finds an idle server
+    val ev = Seq(
+      ("a", 1L, tss("2024-01-01 10:00:00"), 2.0),
+      ("a", 2L, tss("2024-01-01 10:00:01"), 0.5),
+      ("a", 3L, tss("2024-01-01 10:00:10"), 1.0)
+    ).toDF("event_type", "event_id", "ts", "value")
+    val r = Relational.queueBacklog(ev).collect().head
+    assert(r.getAs[String]("event_type") == "a")
+    assert(r.getAs[Long]("n_events") == 3L)
+    assert(r.getAs[Long]("max_wait_ms") == 1000L)
+    assert(r.getAs[Long]("total_wait_ms") == 1000L)
+    // busy 3500 ms over the [0, 11000] ms horizon
+    assert(r.getAs[Long]("utilization_ppm") == 318181L)
+  }
+
   test("peakConcurrency: overlapping sessions stack, inclusive " +
       "boundary ties count both sides") {
     // user 1: one session [0, 10m]; user 2: [5m, 15m] overlaps it;

@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 410,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 410")
-    assert(SparkEntry.oracleSql.size == 398,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 398")
+    assert(SparkEntry.queries.size == 413,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 413")
+    assert(SparkEntry.oracleSql.size == 401,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 401")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -393,6 +393,7 @@ class GraftApiSpec extends SparkSpec {
       "ringRebalance" -> "ringRebalance",
       "seqPatterns" -> "seqPatterns",
       "weightedJaccard" -> "weightedJaccard",
+      "dupTransitivity" -> "dupTransitivity",
       "pprAssigned" -> "pprTopK",
       "vocabGrowth" -> "vocabGrowth",
       "vocabCoverageCurve" -> "vocabCoverageCurve",

@@ -365,6 +365,23 @@ class TextSpec extends SparkSpec {
     assert(out("s5") == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("dupTransitivity: a chain leaves its wedge open; a triangle " +
+      "closes all three wedges") {
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val c = Text.dupTransitivity(chain).collect().head
+    assert(c.getAs[Long]("n_edges") == 2L)
+    assert(c.getAs[Long]("n_wedges") == 1L)
+    assert(c.getAs[Long]("n_closed") == 0L)
+    assert(c.getAs[Long]("closure_ppm") == 0L)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    val t = Text.dupTransitivity(tri).collect().head
+    assert(t.getAs[Long]("n_edges") == 3L)
+    assert(t.getAs[Long]("n_wedges") == 3L)
+    assert(t.getAs[Long]("n_closed") == 3L)
+    assert(t.getAs[Long]("closure_ppm") == 1000000L)
+  }
+
   test("weightedJaccard: multiset min/max mass on candidate pairs; " +
       "disjoint pair keeps its row through the left join") {
     val d = Seq(
