@@ -103,6 +103,15 @@ object Graft {
       * is-component-dedup-safe evidence table. */
     def dupTransitivity(pairs: DataFrame): DataFrame =
       ops.Text.dupTransitivity(pairs)
+    /** Bloom pre-dedup false-positive audit: how many unique docs
+      * an mBits/kHashes streaming gate would wrongly drop. */
+    def bloomDedupFpr(
+        mBits: Int = 4096, kHashes: Int = 3): DataFrame =
+      ops.Text.bloomDedupFpr(docs, mBits, kHashes)
+    /** DP per-source counts via the Laplace mechanism with
+      * engine-replayable hashed-uniform noise. */
+    def dpNoisyCounts(epsilon: Double = 1.0): DataFrame =
+      ops.Text.dpNoisyCounts(docs, epsilon)
     /** GSP sequential patterns: gap-allowed token triples contained
       * in ≥ minSupportPpm of documents, Apriori-pruned. */
     def seqPatterns(minSupportPpm: Long = 350000L): DataFrame =
@@ -691,6 +700,11 @@ object Graft {
     ): DataFrame =
       ops.Vector.matryoshkaRecallCurve(embs, dims, k, sampleMod,
         sampleCount)
+    /** Relative contrast (1−c_k)/(1−c_1) per sampled query — the
+      * ANN query-hardness diagnostic. */
+    def relativeContrast(
+        k: Int = 10, sampleCount: Int = 32): DataFrame =
+      ops.Vector.relativeContrast(embs, k, sampleCount)
     /** Facility-location coverage: mean best-cosine to the coreset
       * selection vs a hashed sample of the same size. */
     def facilityCoverage(

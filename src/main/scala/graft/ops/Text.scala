@@ -1871,6 +1871,106 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Bloom-filter pre-dedup false-positive audit: replay the
+    * streaming test-then-insert exact-dedup gate (the memory-bounded
+    * alternative to a full seen-hash table at 100 TB ingest) and
+    * count the documents a Bloom filter of `mBits`/`kHashes` would
+    * WRONGLY flag as already-seen. The replay is order-exact without
+    * any sequential fold: the bit a position occupies is set by the
+    * MINIMUM doc_id hashing to it, so "every bit already set when
+    * doc d arrives" ⟺ every one of d's positions has
+    * `first_setter < d` — two hash-keyed aggregations replace the
+    * stream. False positives are flagged-but-not-true-dups (true
+    * dups by exact text hash, same min-id rule); `fpr_ppm` is
+    * measured over the non-duplicate population, the rate that
+    * prices LOST unique documents at a given memory budget.
+    *
+    * Positions are `draw60(text ⊕ ':bloomᵢ') mod mBits` — the
+    * engine's md5 draw primitive, token-identical in the twin.
+    * Scale shape: one explode to k·n (position, doc) rows, one
+    * min-aggregate on position, one join back on position, one
+    * per-doc rollup — all narrow hash-keyed exchanges.
+    */
+  def bloomDedupFpr(
+      docs: DataFrame,
+      mBits: Int = 4096,
+      kHashes: Int = 3
+  ): DataFrame = {
+    require(mBits >= 2 && kHashes >= 1, "mBits/kHashes positive")
+    val p = docs.select(col("doc_id"), col("text"),
+        explode(lit((0 until kHashes).toArray)).as("i"))
+      .select(col("doc_id"),
+        pmod(draw60(concat(col("text"), lit(":bloom"),
+          col("i").cast("string"))), lit(mBits.toLong)).as("pos"))
+    val first = p.groupBy(col("pos"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val flagged = p.join(first, "pos")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("first_id") < col("doc_id"), 1L)
+          .otherwise(0L)).as("hits"),
+        count(lit(1)).as("k_rows"))
+      .select(col("doc_id"),
+        (col("hits") === col("k_rows")).cast("long").as("flagged"))
+    val dupw = Window.partitionBy(md5(col("text")))
+    val dups = docs.select(col("doc_id"),
+      (min(col("doc_id")).over(dupw) < col("doc_id")).cast("long")
+        .as("true_dup"))
+    flagged.join(dups, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("flagged")).as("n_flagged"),
+        sum(col("true_dup")).as("n_true_dups"),
+        sum(when(col("flagged") === 1 && col("true_dup") === 0, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .select(lit(mBits.toLong).as("m_bits"),
+        lit(kHashes.toLong).as("k_hashes"),
+        col("n_docs"), col("n_flagged"), col("n_true_dups"),
+        col("n_false_pos"),
+        when(col("n_docs") - col("n_true_dups") > 0, expr(
+          """CAST(CAST(n_false_pos AS DECIMAL(38,0)) * 1000000
+            | div (n_docs - n_true_dups) AS BIGINT)""".stripMargin
+            .replace("\n", "")))
+          .otherwise(lit(0L)).as("fpr_ppm"))
+  }
+
+  /** Differentially-private corpus statistics with ENGINE-REPLAYABLE
+    * noise: per-source document counts released through the standard
+    * Laplace mechanism (sensitivity 1), with the Laplace draw
+    * generated as the difference of two exponentials over hashed
+    * uniforms — `X = (ln u₁ − ln u₂)/ε`, `uᵢ = (draw60(source ⊕
+    * saltᵢ)+1)/2⁶⁰` — so the "random" release is a deterministic
+    * function both engines compute bitwise-identically (the
+    * [[coresetSample]] ln-of-draw precedent). This is the mechanism
+    * a data-clearing workflow needs when corpus composition tables
+    * leave the trust boundary; the deterministic seed is what makes
+    * the release AUDITABLE after the fact. Noisy counts are clamped
+    * at zero (post-processing preserves DP); `abs_err` is emitted so
+    * the utility of the chosen ε is read off the same table.
+    *
+    * Scale shape: one #sources-sized aggregate; the noise is
+    * per-GROUP arithmetic, no per-row work at all.
+    */
+  def dpNoisyCounts(
+      docs: DataFrame,
+      epsilon: Double = 1.0
+  ): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val scale = lit(1L << 60).cast("double")
+    def u(salt: String) =
+      (draw60(concat(col("source"), lit(salt))) + 1).cast("double") /
+        scale
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("noise",
+        floor((log(u(":dp1")) - log(u(":dp2"))) / lit(epsilon))
+          .cast("long"))
+      .select(col("source"), col("n_docs"),
+        greatest(lit(0L), col("n_docs") + col("noise"))
+          .as("noisy_count"))
+      .withColumn("abs_err",
+        abs(col("noisy_count") - col("n_docs")))
+      .orderBy(col("source"))
+  }
+
   /** Transitivity audit of the near-dup pair graph — the evidence
     * behind using connected components as dedup clusters: similarity
     * is NOT transitive (jac(a,b) ≥ t ∧ jac(b,c) ≥ t does not imply

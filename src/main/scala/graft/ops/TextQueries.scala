@@ -502,6 +502,14 @@ object TextQueries {
     // evidence table
     "q_text_dup_transitivity" -> ((s, d) =>
       Text.dupTransitivity(jacPairs(s, d))),
+    // Bloom pre-dedup FPR replay: position first-setter min-agg
+    // replaces the sequential test-then-insert stream
+    "q_text_bloom_dedup_fpr" -> ((s, d) =>
+      Text.bloomDedupFpr(Tables.documents(s, d))),
+    // Laplace-noised per-source counts with engine-replayable
+    // hashed-uniform noise (sensitivity 1, ε = 1)
+    "q_text_dp_counts" -> ((s, d) =>
+      Text.dpNoisyCounts(Tables.documents(s, d))),
     // dedup survivor POLICY on top of the clusters: keep the
     // best-quality member (ties → lowest doc_id) — one max-struct
     // agg over the shared session assignment
@@ -3337,6 +3345,64 @@ object TextQueries {
          |    - CAST(hard_tokens AS HUGEINT) * 1048576 AS BIGINT)
          |    AS soft_minus_hard_q20
          |FROM g ORDER BY source""".stripMargin,
+    // first-setter min per bloom position ⟺ the streamed bit state;
+    // flagged = all k positions set by a smaller doc_id
+    "q_text_bloom_dedup_fpr" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text || ':bloom'
+        |        || CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 4096 AS pos
+        |  FROM documents, (SELECT UNNEST([0, 1, 2]) AS i) i),
+        |f AS (SELECT pos, MIN(doc_id) AS first_id
+        |      FROM p GROUP BY pos),
+        |fl AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN SUM(CASE WHEN f.first_id < p.doc_id
+        |        THEN 1 ELSE 0 END) = COUNT(*) THEN 1 ELSE 0 END
+        |      AS flagged
+        |  FROM p JOIN f USING (pos) GROUP BY p.doc_id),
+        |td AS (
+        |  SELECT doc_id,
+        |    CASE WHEN MIN(doc_id) OVER (PARTITION BY md5(text))
+        |      < doc_id THEN 1 ELSE 0 END AS true_dup
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(fl.flagged) AS BIGINT) AS n_flagged,
+        |    CAST(SUM(td.true_dup) AS BIGINT) AS n_true_dups,
+        |    CAST(SUM(CASE WHEN fl.flagged = 1 AND td.true_dup = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        |  FROM fl JOIN td USING (doc_id))
+        |SELECT CAST(4096 AS BIGINT) AS m_bits,
+        |  CAST(3 AS BIGINT) AS k_hashes,
+        |  n_docs, n_flagged, n_true_dups, n_false_pos,
+        |  CAST(CASE WHEN n_docs - n_true_dups > 0 THEN
+        |    CAST(n_false_pos AS HUGEINT) * 1000000
+        |      // (n_docs - n_true_dups)
+        |    ELSE 0 END AS BIGINT) AS fpr_ppm
+        |FROM g""".stripMargin,
+    // Laplace noise as the difference of two ln-of-hashed-uniform
+    // exponentials — deterministic, the coreset draw precedent
+    "q_text_dp_counts" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |n AS (
+        |  SELECT source, n_docs,
+        |    CAST(FLOOR((
+        |      ln(CAST(CAST(('0x' || substr(md5(source || ':dp1'),
+        |          1, 15)) AS BIGINT) + 1 AS DOUBLE)
+        |        / CAST(1152921504606846976 AS DOUBLE))
+        |      - ln(CAST(CAST(('0x' || substr(md5(source || ':dp2'),
+        |          1, 15)) AS BIGINT) + 1 AS DOUBLE)
+        |        / CAST(1152921504606846976 AS DOUBLE))
+        |      ) / 1.0) AS BIGINT) AS noise
+        |  FROM g)
+        |SELECT source, n_docs,
+        |  GREATEST(0, n_docs + noise) AS noisy_count,
+        |  ABS(GREATEST(0, n_docs + noise) - n_docs) AS abs_err
+        |FROM n ORDER BY source""".stripMargin,
     // symmetrized wedge self-join on the center, closure via a
     // membership lookup into the canonical (a<b) pair list
     "q_text_dup_transitivity" ->

@@ -570,6 +570,63 @@ object Vector {
     }.reduce(_.unionByName(_)).orderBy(col("k"))
   }
 
+  /** Relative contrast of sampled queries (He et al., "On the
+    * Difficulty of Nearest Neighbor Search"): the ratio of the k-th
+    * neighbor's cosine DISTANCE to the nearest neighbor's,
+    * `RC = (1 − c_k)/(1 − c_1)` — the per-query hardness number
+    * that predicts ANN failure before any index is built. RC near 1
+    * means the nearest neighbor is barely closer than the k-th
+    * (concentration of distances: every probe order looks alike and
+    * recall collapses); large RC means an easy, well-separated
+    * query. The third leg of the serving-diagnostics tripod next to
+    * [[hubness]] (corpus pathology) and [[trustworthiness]]
+    * (projection pathology). Emitted as q20 floors of the same IEEE
+    * expression in both engines.
+    *
+    * Scale shape: the constant-nq Knuth sample broadcast into ONE
+    * corpus scan; per-query top-k via the mergeable
+    * [[graft.functions.TopKPairsAggregator]] — O(nq·N) map-side,
+    * no corpus shuffle, ≤ nq result rows.
+    */
+  def relativeContrast(
+      embeddings: DataFrame,
+      k: Int = 10,
+      sampleCount: Int = 32
+  ): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    require(sampleCount >= 1, "sampleCount must be positive")
+    val topk = udaf(new graft.functions.TopKPairsAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val q = embeddings
+      .orderBy(pmod(col("vec_id").cast("decimal(38,0)")
+        * lit(2654435761L), lit(4294967296L)), col("vec_id"))
+      .limit(sampleCount)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+    embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSafe(col("embedding"), col("q_emb")).as("cs"))
+      .filter(col("cs").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(topk(col("cs"), col("vec_id")).as("top"),
+        count(lit(1)).as("n_scored"))
+      .select(col("query_id"), col("n_scored"),
+        element_at(col("top"), 1).getField("_1").as("c1"),
+        when(size(col("top")) >= k,
+          element_at(col("top"), k).getField("_1")).as("ck"))
+      .select(col("query_id"), col("n_scored"),
+        floor(col("c1") * lit(1048576.0)).cast("long").as("c1_q20"),
+        coalesce(floor(col("ck") * lit(1048576.0)).cast("long"),
+          lit(0L)).as("ck_q20"),
+        when(col("ck").isNotNull && (lit(1.0) - col("c1")) > 0,
+          floor((lit(1.0) - col("ck")) * lit(1048576.0)
+            / (lit(1.0) - col("c1"))).cast("long"))
+          .otherwise(lit(0L)).as("contrast_q20"))
+      .orderBy(col("query_id"))
+  }
+
   /** Cosine RANGE search — the other retrieval mode next to top-k:
     * "everything at least τ similar", the primitive behind
     * near-duplicate lookup, dedup-before-insert checks, and

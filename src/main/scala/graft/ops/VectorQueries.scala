@@ -630,6 +630,10 @@ object VectorQueries {
       Vector.matryoshkaRecallCurve(Tables.embeddings(s, d),
           sampleCount = 32)
         .orderBy(col("dim"))),
+    // relative contrast per sampled query: (1−c_k)/(1−c_1) — the
+    // query-hardness diagnostic next to hubness/trustworthiness
+    "q_vec_relative_contrast" -> ((s, d) =>
+      Vector.relativeContrast(Tables.embeddings(s, d))),
     // trustworthiness of the 16-dim truncation (Venna–Kaski): every
     // truncated-top-k intruder charged its full-space rank excess —
     // the "how wrong are the imposters" companion to recall; same
@@ -3185,6 +3189,51 @@ object VectorQueries {
         |  ON t.query_id = b.query_id AND t.vec_id = b.vec_id
         |CROSS JOIN nb
         |GROUP BY t.dim, nb.n_base ORDER BY t.dim""".stripMargin,
+    // sampled queries ranked by full cosine; c1/ck q20 floors and
+    // the contrast ratio as the SAME IEEE expression in both engines
+    "q_vec_relative_contrast" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings
+        |  ORDER BY (CAST(vec_id AS HUGEINT) * 2654435761)
+        |    % 4294967296, vec_id
+        |  LIMIT 32),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |dots AS (
+        |  SELECT query_id, vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)
+        |      AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS na,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |             ORDER BY i)) AS nb
+        |  FROM pairs GROUP BY 1, 2),
+        |v AS (
+        |  SELECT query_id, vec_id, dot / (na * nb) AS cf
+        |  FROM dots WHERE na > 0 AND nb > 0),
+        |r AS (
+        |  SELECT query_id, cf,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cf DESC, vec_id) AS rk
+        |  FROM v),
+        |ns AS (SELECT query_id, CAST(COUNT(*) AS BIGINT)
+        |         AS n_scored FROM v GROUP BY 1),
+        |c1 AS (SELECT query_id, cf AS c1 FROM r WHERE rk = 1),
+        |ck AS (SELECT query_id, cf AS ck FROM r WHERE rk = 10)
+        |SELECT ns.query_id, ns.n_scored,
+        |  CAST(FLOOR(c1.c1 * 1048576) AS BIGINT) AS c1_q20,
+        |  CAST(COALESCE(FLOOR(ck.ck * 1048576), 0) AS BIGINT)
+        |    AS ck_q20,
+        |  CAST(CASE WHEN ck.ck IS NOT NULL AND 1 - c1.c1 > 0 THEN
+        |    FLOOR((1 - ck.ck) * 1048576 / (1 - c1.c1))
+        |    ELSE 0 END AS BIGINT) AS contrast_q20
+        |FROM ns JOIN c1 USING (query_id)
+        |LEFT JOIN ck USING (query_id)
+        |ORDER BY ns.query_id""".stripMargin,
     // both-space cosine per (query, vec) with ordered SUM folds;
     // full-space rank via ROW_NUMBER ≡ Spark's rank-by-count (+1);
     // intruder penalty Σ(r_full − k) over truncated-top-k members

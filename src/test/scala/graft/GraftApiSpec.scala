@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 413,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 413")
-    assert(SparkEntry.oracleSql.size == 401,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 401")
+    assert(SparkEntry.queries.size == 416,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 416")
+    assert(SparkEntry.oracleSql.size == 404,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 404")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -394,6 +394,8 @@ class GraftApiSpec extends SparkSpec {
       "seqPatterns" -> "seqPatterns",
       "weightedJaccard" -> "weightedJaccard",
       "dupTransitivity" -> "dupTransitivity",
+      "bloomDedupFpr" -> "bloomDedupFpr",
+      "dpNoisyCounts" -> "dpNoisyCounts",
       "pprAssigned" -> "pprTopK",
       "vocabGrowth" -> "vocabGrowth",
       "vocabCoverageCurve" -> "vocabCoverageCurve",
@@ -543,6 +545,7 @@ class GraftApiSpec extends SparkSpec {
       "trustworthiness" -> "trustworthiness",
       "facilityCoverage" -> "facilityCoverage",
       "hubness" -> "hubness",
+      "relativeContrast" -> "relativeContrast",
       "knnPagerankAssigned" -> "knnPagerankAssigned",
       "knnPagerank" -> "knnPagerank",
       "pcaMomentsQ16" -> "pcaMoments",

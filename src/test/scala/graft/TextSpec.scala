@@ -365,6 +365,55 @@ class TextSpec extends SparkSpec {
     assert(out("s5") == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("bloomDedupFpr: identical texts are flagged as true dups; " +
+      "a huge filter yields zero false positives") {
+    val same = Seq(
+      (1L, "same text", "en", "s", 9L), (2L, "same text", "en", "s", 9L),
+      (3L, "same text", "en", "s", 9L), (4L, "same text", "en", "s", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Text.bloomDedupFpr(same).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_flagged") == 3L)
+    assert(r.getAs[Long]("n_true_dups") == 3L)
+    assert(r.getAs[Long]("n_false_pos") == 0L)
+    assert(r.getAs[Long]("fpr_ppm") == 0L)
+    val distinct = Seq(
+      (1L, "alpha", "en", "s", 5L), (2L, "beta", "en", "s", 4L),
+      (3L, "gamma", "en", "s", 5L), (4L, "delta", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Text.bloomDedupFpr(distinct, mBits = 1 << 20).collect()
+      .head
+    assert(d.getAs[Long]("n_true_dups") == 0L)
+    assert(d.getAs[Long]("n_false_pos") == 0L)
+  }
+
+  test("dpNoisyCounts matches an md5 replay of the Laplace draw " +
+      "and clamps at zero") {
+    val d = Seq(
+      (1L, "a", "en", "s1", 1L), (2L, "b", "en", "s1", 1L),
+      (3L, "c", "en", "s2", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    def draw60(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def u(key: String): Double =
+      (draw60(key) + 1).toDouble / (1L << 60).toDouble
+    def noise(src: String, eps: Double): Long =
+      math.floor((math.log(u(src + ":dp1"))
+        - math.log(u(src + ":dp2"))) / eps).toLong
+    val out = Text.dpNoisyCounts(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("noisy_count"),
+          r.getAs[Long]("abs_err")))).toMap
+    for ((src, n) <- Seq("s1" -> 2L, "s2" -> 1L)) {
+      val exp = math.max(0L, n + noise(src, 1.0))
+      assert(out(src) == ((n, exp, math.abs(exp - n))), s"src=$src")
+    }
+  }
+
   test("dupTransitivity: a chain leaves its wedge open; a triangle " +
       "closes all three wedges") {
     val chain = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")

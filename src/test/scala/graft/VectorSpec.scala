@@ -1794,6 +1794,44 @@ class VectorSpec extends SparkSpec {
     graft.Caches.release("vec")
   }
 
+  test("relativeContrast matches a double-arithmetic replay; " +
+      "identical-nearest-neighbor queries hit the guard") {
+    import spark.implicits._
+    val vecs = Map(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.8f, 0.6f),
+      2L -> Array(0.6f, 0.8f), 3L -> Array(0.0f, 1.0f))
+    val embs = vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cs = Seq(1L, 2L, 3L).map(i => cosD(vecs(0L), vecs(i)))
+      .sorted(Ordering[Double].reverse)
+    val (c1, c2) = (cs(0), cs(1))
+    val r = Vec.relativeContrast(embs, k = 2, sampleCount = 1)
+      .collect().head
+    assert(r.getAs[Long]("query_id") == 0L)
+    assert(r.getAs[Long]("n_scored") == 3L)
+    assert(r.getAs[Long]("c1_q20")
+      == math.floor(c1 * 1048576.0).toLong)
+    assert(r.getAs[Long]("ck_q20")
+      == math.floor(c2 * 1048576.0).toLong)
+    assert(r.getAs[Long]("contrast_q20")
+      == math.floor((1.0 - c2) * 1048576.0 / (1.0 - c1)).toLong)
+    // an exact duplicate of the query makes 1 − c1 = 0: guard → 0
+    val dup = (embs.collect().map(r2 => (r2.getLong(0),
+      r2.getSeq[Float](1).toArray)).toSeq :+
+      (4L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val g = Vec.relativeContrast(dup, k = 2, sampleCount = 1)
+      .collect().head
+    assert(g.getAs[Long]("contrast_q20") == 0L)
+  }
+
   test("hubness: in-degree moments over a star graph; zero-degree " +
       "vectors restored by the left join") {
     import spark.implicits._
