@@ -103,6 +103,12 @@ object Graft {
       * is-component-dedup-safe evidence table. */
     def dupTransitivity(pairs: DataFrame): DataFrame =
       ops.Text.dupTransitivity(pairs)
+    /** Shingle-width sensitivity of the exact pair engine: pair
+      * counts and mean Jaccard per candidate width. */
+    def shingleWidthCurve(
+        widths: Seq[Int] = Seq(2, 3, 5),
+        threshold: Double = 0.5): DataFrame =
+      ops.Text.shingleWidthCurve(docs, widths, threshold)
     /** Bloom pre-dedup false-positive audit: how many unique docs
       * an mBits/kHashes streaming gate would wrongly drop. */
     def bloomDedupFpr(

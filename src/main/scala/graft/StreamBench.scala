@@ -136,6 +136,48 @@ object StreamBench {
         java.nio.file.StandardOpenOption.APPEND)
     } finally gate.stop()
 
+    // Bloom-gate surface: the memory-BOUNDED streaming pre-dedup
+    // (bit store capped at mBits rows vs the exact gate's
+    // per-doc-hash state) — same docs, same warm-batch protocol, so
+    // the two gate lines are directly comparable in one artifact.
+    {
+      val bloomIn = MemoryStream[(Long, String)]
+      val bstore = new streaming.BloomGate.MemoryStore(spark)
+      var badmitted = 0L
+      val bgate = streaming.BloomGate.start(
+        bloomIn.toDF().toDF("doc_id", "text"), bstore,
+        df => badmitted += df.count(),
+        checkpoint = java.nio.file.Files
+          .createTempDirectory("graft-bloom-bench").toString,
+        mBits = 1 << 18,
+        trigger =
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      try {
+        bloomIn.addData(docs.take(perDocBatch))
+        bgate.processAllAvailable()
+        val t0 = System.nanoTime()
+        var i = perDocBatch
+        var timed = 0
+        while (i < docs.length) {
+          bloomIn.addData(docs.slice(i, i + perDocBatch))
+          bgate.processAllAvailable()
+          i += perDocBatch
+          timed += 1
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = docs.length - perDocBatch
+        val lineB =
+          s"""{"metric":"bloom_gate_docs_per_sec","value":${(n / dt).toLong},""" +
+            s""""docs":$n,"admitted":$badmitted,"seconds":$dt,"batches":$timed,"m_bits":${1 << 18},"scale":$scale,"sf":"$sfDir"}"""
+        println(lineB)
+        val outB = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_STREAMBENCH_OUT", "target/streambench.json"))
+        java.nio.file.Files.writeString(outB.toPath, lineB + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } finally bgate.stop()
+    }
+
     // Third surface: the streaming SEMANTIC ingestion gate —
     // vectors/s through SemanticIngestPipeline micro-batches against
     // the accumulating unit-vector artifact store (offline metadata

@@ -1362,7 +1362,13 @@ object Text {
    * noise, not to plan shape; see SURVEY §6 and SCALEBENCH_r17's
    * per-k fresh-JVM cells.
    */
-  def orderedShingles(docs: DataFrame): DataFrame = {
+  def orderedShingles(docs: DataFrame): DataFrame =
+    orderedShinglesW(docs, 3)
+
+  /** [[orderedShingles]] at an arbitrary shingle WIDTH — the knob
+    * [[shingleWidthCurve]] sweeps. */
+  def orderedShinglesW(docs: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, s"shingle width must be positive, got $w")
     // shingles staged behind two Project barriers: `tokens` (a split)
     // must not get inlined into the per-element lambda (lambda HOF
     // bodies are excluded from subexpression elimination). The
@@ -1375,13 +1381,13 @@ object Text {
       .repartition(col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("raw_toks"),
         col("text"))
-      .filter(size(col("raw_toks")) >= 3)
+      .filter(size(col("raw_toks")) >= w)
       .select(col("doc_id"),
         // one-pass codegen shingling (bit-compatible with the
         // concat_ws HOF chain) + per-element hash; distinct again on
         // the hashes because distinct strings may collide
         array_distinct(transform(
-          graft.functions.tokenShingles(col("text"), 3),
+          graft.functions.tokenShingles(col("text"), w),
           s => xxhash64(s))).as("toks")))
     val df_ = toks
       .select(explode(col("toks")).as("tok"))
@@ -1891,17 +1897,27 @@ object Text {
     * min-aggregate on position, one join back on position, one
     * per-doc rollup — all narrow hash-keyed exchanges.
     */
+  /** The `(doc_id, pos)` Bloom position rows shared by the batch
+    * FPR replay and the streaming gate — k md5 draws per doc, mod
+    * the bit width. */
+  private[graft] def bloomPositions(
+      docs: DataFrame,
+      mBits: Int,
+      kHashes: Int
+  ): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        explode(lit((0 until kHashes).toArray)).as("i"))
+      .select(col("doc_id"),
+        pmod(draw60(concat(col("text"), lit(":bloom"),
+          col("i").cast("string"))), lit(mBits.toLong)).as("pos"))
+
   def bloomDedupFpr(
       docs: DataFrame,
       mBits: Int = 4096,
       kHashes: Int = 3
   ): DataFrame = {
     require(mBits >= 2 && kHashes >= 1, "mBits/kHashes positive")
-    val p = docs.select(col("doc_id"), col("text"),
-        explode(lit((0 until kHashes).toArray)).as("i"))
-      .select(col("doc_id"),
-        pmod(draw60(concat(col("text"), lit(":bloom"),
-          col("i").cast("string"))), lit(mBits.toLong)).as("pos"))
+    val p = bloomPositions(docs, mBits, kHashes)
     val first = p.groupBy(col("pos"))
       .agg(min(col("doc_id")).as("first_id"))
     val flagged = p.join(first, "pos")
@@ -1969,6 +1985,57 @@ object Text {
       .withColumn("abs_err",
         abs(col("noisy_count") - col("n_docs")))
       .orderBy(col("source"))
+  }
+
+  /** Shingle-WIDTH sensitivity of the exact near-dup pair engine —
+    * the other dedup knob next to the threshold
+    * (q_text_dedup_curve sweeps τ at fixed w; this sweeps w at
+    * fixed τ): short shingles make near-dup detection aggressive
+    * (any vocabulary overlap counts), long shingles demand verbatim
+    * phrase reuse. Per candidate width: eligible docs (≥ w tokens),
+    * pair count at the threshold, distinct documents touched by any
+    * pair, and the mean pair Jaccard (per-pair q20 floors summed as
+    * integers — order-free). Read before fixing the shingle width
+    * of a 100 TB dedup pass: a pair count still falling steeply at
+    * the chosen w means the dedup verdict is a parameter artifact.
+    *
+    * Cost shape: one full prefix-filtered pair join PER width (the
+    * widths are independent similarity spaces — there is no shared
+    * candidate set to reuse), each the standard PPJoin shape over
+    * its own ordered-shingle table; pair tables are session-tracked
+    * because two small aggregates read each.
+    */
+  def shingleWidthCurve(
+      docs: DataFrame,
+      widths: Seq[Int] = Seq(2, 3, 5),
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1),
+      "widths must be positive")
+    widths.sorted.map { w =>
+      val eligible = docs
+        .filter(size(tokens(col("text"))) >= w)
+        .agg(count(lit(1)).as("n_eligible"))
+      val pairs = graft.Caches.track("text",
+        jaccardPairsOverOrdered(orderedShinglesW(docs, w),
+          threshold))
+      val pairAgg = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(floor(col("jaccard") * lit(1048576.0))
+          .cast("long")), lit(0L)).as("sum_j_q20"))
+      val touched = pairs
+        .select(explode(array(col("doc_a"), col("doc_b")))
+          .as("doc_id"))
+        .agg(countDistinct(col("doc_id")).as("docs_in_pairs"))
+      pairAgg
+        .crossJoin(broadcast(eligible))
+        .crossJoin(broadcast(touched))
+        .select(lit(w.toLong).as("shingle_w"), col("n_eligible"),
+          col("n_pairs"), col("docs_in_pairs"),
+          when(col("n_pairs") > 0,
+            expr("CAST(sum_j_q20 div n_pairs AS BIGINT)"))
+            .otherwise(lit(0L)).as("mean_jaccard_q20"))
+    }.reduce(_.unionByName(_)).orderBy(col("shingle_w"))
   }
 
   /** Transitivity audit of the near-dup pair graph — the evidence

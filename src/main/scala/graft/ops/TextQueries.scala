@@ -506,6 +506,10 @@ object TextQueries {
     // replaces the sequential test-then-insert stream
     "q_text_bloom_dedup_fpr" -> ((s, d) =>
       Text.bloomDedupFpr(Tables.documents(s, d))),
+    // shingle-WIDTH sensitivity of the pair engine: one full pair
+    // join per width (independent similarity spaces)
+    "q_text_shingle_width_curve" -> ((s, d) =>
+      Text.shingleWidthCurve(Tables.documents(s, d))),
     // Laplace-noised per-source counts with engine-replayable
     // hashed-uniform noise (sensitivity 1, ε = 1)
     "q_text_dp_counts" -> ((s, d) =>
@@ -3345,6 +3349,16 @@ object TextQueries {
          |    - CAST(hard_tokens AS HUGEINT) * 1048576 AS BIGINT)
          |    AS soft_minus_hard_q20
          |FROM g ORDER BY source""".stripMargin,
+    // one exhaustive shared-shingle pair join per width; per-pair
+    // q20 floors summed as integers, // on non-negatives ≡ div
+    "q_text_shingle_width_curve" ->
+      s"""WITH ${widthBlockSql(2, 0.5)},
+         |${widthBlockSql(3, 0.5)},
+         |${widthBlockSql(5, 0.5)}
+         |SELECT * FROM g_2
+         |UNION ALL SELECT * FROM g_3
+         |UNION ALL SELECT * FROM g_5
+         |ORDER BY shingle_w""".stripMargin,
     // first-setter min per bloom position ⟺ the streamed bit state;
     // flagged = all k positions set by a smaller doc_id
     "q_text_bloom_dedup_fpr" ->
@@ -4904,6 +4918,53 @@ object TextQueries {
       |  GROUP BY nn.doc_id)""".stripMargin
 
   private def jacPairsSql = jacPairsSqlOver("documents")
+
+  /** Width-parameterized exhaustive pair CTE block for the
+    * shingle-width curve (the oracle needs no prefix filter — it
+    * joins every shared-shingle pair exhaustively per width). */
+  private def widthBlockSql(w: Int, threshold: Double): String = {
+    val concatExpr = (0 until w).map(j => s"w[i + $j]")
+      .mkString(" || ' ' || ")
+    s"""t0_$w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+       |    AS w
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |t_$w AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(w) - ${w - 1}),
+       |    i -> $concatExpr)) AS toks
+       |  FROM t0_$w WHERE len(w) >= $w),
+       |i_$w AS (SELECT doc_id, len(toks) AS n, UNNEST(toks) AS tok
+       |         FROM t_$w),
+       |p_$w AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.n AS na, b.n AS nb, COUNT(*) AS inter
+       |  FROM i_$w a JOIN i_$w b
+       |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |j_$w AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |  FROM p_$w
+       |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter)
+       |    >= $threshold),
+       |e_$w AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_eligible
+       |  FROM t0_$w WHERE len(w) >= $w),
+       |g_$w AS (
+       |  SELECT CAST($w AS BIGINT) AS shingle_w,
+       |    (SELECT n_eligible FROM e_$w) AS n_eligible,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+       |     FROM (SELECT doc_a AS doc_id FROM j_$w
+       |           UNION ALL SELECT doc_b FROM j_$w))
+       |      AS docs_in_pairs,
+       |    CAST(CASE WHEN COUNT(*) > 0 THEN
+       |      COALESCE(SUM(CAST(FLOOR(jaccard * 1048576)
+       |        AS BIGINT)), 0) // COUNT(*)
+       |      ELSE 0 END AS BIGINT) AS mean_jaccard_q20
+       |  FROM j_$w)""".stripMargin
+  }
 
   /** `pairPred` picks which doc pairs the inverted-index join emits:
     * the default canonical `a < b` for within-corpus pair sets; the

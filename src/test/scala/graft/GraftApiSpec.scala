@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 416,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 416")
-    assert(SparkEntry.oracleSql.size == 404,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 404")
+    assert(SparkEntry.queries.size == 417,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 417")
+    assert(SparkEntry.oracleSql.size == 405,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 405")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -490,6 +490,8 @@ class GraftApiSpec extends SparkSpec {
       "containmentPairs" -> "containmentPairs",
       "sourceContainment" -> "sourceContainment",
       "orderedShingles" -> "orderedShingles",
+      "orderedShinglesW" -> "orderedShingles",
+      "shingleWidthCurve" -> "shingleWidthCurve",
       "jaccardPairsOverOrdered" -> "jaccardPairsOverOrdered",
       "containmentPairsOverOrdered" -> "containmentPairsOverOrdered",
       "weightedSample" -> "weightedSample",
@@ -573,7 +575,11 @@ class GraftApiSpec extends SparkSpec {
       "pruneAudit2D" -> "pruneAudit2D",
       "fileOverlapDepth" -> "fileOverlapDepth")
     // internal staging / differential-test references, not user ops
-    val whitelist = Set("exactDedupWindow", "docShingles", "unitized")
+    val whitelist = Set("exactDedupWindow", "docShingles", "unitized",
+      // package-private plumbing (reflection sees it as public):
+      // the (doc_id, pos) rows shared by bloomDedupFpr and the
+      // streaming BloomGate
+      "bloomPositions")
     val missing = (opNames(ops.Text) ++ opNames(ops.Vector) ++
         opNames(ops.Layout))
       .diff(covered.keySet ++ whitelist)

@@ -386,6 +386,63 @@ class StreamingSpec extends SparkSpec {
       Set((12L, 1L)))
   }
 
+  test("streaming Bloom gate == the batch first-setter replay " +
+      "under any micro-batch split; state capped at mBits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.BloomGate
+    // distinct texts + two exact dups of doc 1 (guaranteed flags);
+    // tiny filter (m = 64, 3 hashes) so hash collisions also occur
+    val docs = (1L to 12L).map(i => (i, s"document body $i")) ++
+      Seq((13L, "document body 1"), (14L, "document body 1"))
+    def draw60(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def posOf(t: String): Seq[Long] =
+      (0 until 3).map(i => draw60(t + ":bloom" + i) % 64)
+    val first = scala.collection.mutable.Map[Long, Long]()
+    for ((id, t) <- docs; p <- posOf(t))
+      first(p) = math.min(first.getOrElse(p, Long.MaxValue), id)
+    val expected = docs.filter { case (id, t) =>
+      !posOf(t).forall(p => first(p) < id)
+    }.map(_._1).toSet
+    assert(!expected.contains(13L) && !expected.contains(14L))
+    def streamed(split: Int): Set[Long] = {
+      val store = new BloomGate.MemoryStore(spark)
+      val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+      for (chunk <- docs.grouped(split))
+        BloomGate.processBatch(chunk.toDF("doc_id", "text"), store,
+          df => admitted ++=
+            df.select("doc_id").collect().map(_.getLong(0)),
+          mBits = 64)
+      assert(store.bits.collect().length <= 64)
+      admitted.toSet
+    }
+    assert(streamed(5) == expected)
+    assert(streamed(2) == expected)
+    // streaming start() parity over two micro-batches
+    val store = new BloomGate.MemoryStore(spark)
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val sq = BloomGate.start(
+      in.toDF().toDF("doc_id", "text"), store,
+      df => admitted ++=
+        df.select("doc_id").collect().map(_.getLong(0)),
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-bloom-ckpt").toString,
+      mBits = 64,
+      trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      in.addData(docs.take(7))
+      sq.processAllAvailable()
+      in.addData(docs.drop(7))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    assert(admitted.toSet == expected)
+  }
+
   test("parquet-backed ingestion store matches the in-memory store " +
       "and survives a restart") {
     // production form of the seen store: the same two batches through

@@ -365,6 +365,28 @@ class TextSpec extends SparkSpec {
     assert(out("s5") == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("shingleWidthCurve: the same pair passes at w=2 and w=3 " +
+      "but not w=5; eligibility follows token counts") {
+    val d = Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "a b c d x", "en", "s", 9L),
+      (3L, "p q", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Text.shingleWidthCurve(d).collect()
+      .map(r => r.getAs[Long]("shingle_w") ->
+        ((r.getAs[Long]("n_eligible"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("docs_in_pairs"),
+          r.getAs[Long]("mean_jaccard_q20")))).toMap
+    // w=2: {ab,bc,cd,de} vs {ab,bc,cd,dx} → 3/5; w=3: 2/4 = 0.5;
+    // w=5: single disjoint shingles → no pair
+    assert(out(2L) == ((3L, 1L, 2L,
+      math.floor(3.0 / 5.0 * 1048576.0).toLong)))
+    assert(out(3L) == ((2L, 1L, 2L,
+      math.floor(2.0 / 4.0 * 1048576.0).toLong)))
+    assert(out(5L) == ((2L, 0L, 0L, 0L)))
+    graft.Caches.release("text")
+  }
+
   test("bloomDedupFpr: identical texts are flagged as true dups; " +
       "a huge filter yields zero false positives") {
     val same = Seq(
