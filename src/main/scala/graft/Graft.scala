@@ -103,6 +103,11 @@ object Graft {
       * is-component-dedup-safe evidence table. */
     def dupTransitivity(pairs: DataFrame): DataFrame =
       ops.Text.dupTransitivity(pairs)
+    /** Cross-modality dedup contingency: text pair graph vs
+      * semantic pair graph agreement (doc_id ≡ vec_id). */
+    def dupModalityAgreement(
+        textPairs: DataFrame, semanticPairs: DataFrame): DataFrame =
+      ops.Text.dupModalityAgreement(textPairs, semanticPairs)
     /** Shingle-width sensitivity of the exact pair engine: pair
       * counts and mean Jaccard per candidate width. */
     def shingleWidthCurve(

@@ -2038,6 +2038,45 @@ object Text {
     }.reduce(_.unionByName(_)).orderBy(col("shingle_w"))
   }
 
+  /** Cross-MODALITY dedup agreement — the exact contingency between
+    * the surface-form pair graph (shingle Jaccard) and the semantic
+    * pair graph (embedding cosine) over the same corpus (doc_id ≡
+    * vec_id, the registry's cross-modal convention): how many
+    * near-dup pairs do the two similarity spaces agree on, and how
+    * much does each catch that the other misses? `semantic_only` is
+    * the value SemDeDup adds beyond shingle dedup (paraphrases,
+    * translations, re-renderings); `text_only` is what embedding
+    * dedup under-weights (verbatim reuse inside otherwise-different
+    * documents); `overlap_ppm` is the Jaccard of the two pair SETS.
+    * The table to read before paying for BOTH passes at 100 TB.
+    *
+    * Scale shape: both inputs are session-shared candidate-sized
+    * pair artifacts in canonical (a < b) orientation; the audit is
+    * one equi-join plus three tiny aggregates — the corpora are
+    * never touched.
+    */
+  def dupModalityAgreement(
+      textPairs: DataFrame,
+      semanticPairs: DataFrame
+  ): DataFrame = {
+    val t = textPairs.select(col("doc_a"), col("doc_b"))
+    val v = semanticPairs.select(col("vec_a").as("doc_a"),
+      col("vec_b").as("doc_b"))
+    val nb = t.join(v, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val nt = t.agg(count(lit(1)).as("n_text"))
+    val nv = v.agg(count(lit(1)).as("n_semantic"))
+    nt.crossJoin(broadcast(nv)).crossJoin(broadcast(nb))
+      .select(col("n_text"), col("n_semantic"), col("n_both"),
+        (col("n_text") - col("n_both")).as("text_only"),
+        (col("n_semantic") - col("n_both")).as("semantic_only"),
+        when(col("n_text") + col("n_semantic") - col("n_both") > 0,
+          expr("""CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000
+            | div (n_text + n_semantic - n_both) AS BIGINT)"""
+            .stripMargin.replace("\n", "")))
+          .otherwise(lit(0L)).as("overlap_ppm"))
+  }
+
   /** Transitivity audit of the near-dup pair graph — the evidence
     * behind using connected components as dedup clusters: similarity
     * is NOT transitive (jac(a,b) ≥ t ∧ jac(b,c) ≥ t does not imply

@@ -510,6 +510,11 @@ object TextQueries {
     // join per width (independent similarity spaces)
     "q_text_shingle_width_curve" -> ((s, d) =>
       Text.shingleWidthCurve(Tables.documents(s, d))),
+    // cross-modality dedup contingency: the session text pair graph
+    // vs the session semantic pair graph (doc_id ≡ vec_id)
+    "q_text_semantic_dup_agreement" -> ((s, d) =>
+      Text.dupModalityAgreement(jacPairs(s, d),
+        VectorQueries.semPairs(s, d))),
     // Laplace-noised per-source counts with engine-replayable
     // hashed-uniform noise (sensitivity 1, ε = 1)
     "q_text_dp_counts" -> ((s, d) =>
@@ -3349,6 +3354,49 @@ object TextQueries {
          |    - CAST(hard_tokens AS HUGEINT) * 1048576 AS BIGINT)
          |    AS soft_minus_hard_q20
          |FROM g ORDER BY source""".stripMargin,
+    // text pair CTEs + the semantic-pair CTEs (renamed sn/su/sp to
+    // avoid colliding with the jac fragment's p) + one contingency
+    "q_text_semantic_dup_agreement" ->
+      s"""WITH ${jacPairsSql},
+         |tp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+         |sn AS (
+         |  SELECT vec_id, label,
+         |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         |             ORDER BY i)) AS nrm
+         |  FROM (SELECT vec_id, label,
+         |          CAST(generate_subscripts(embedding, 1) AS INT)
+         |            AS i,
+         |          UNNEST(embedding) AS x
+         |        FROM embeddings)
+         |  GROUP BY vec_id, label),
+         |su AS (
+         |  SELECT e.vec_id, sn.label,
+         |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+         |    CAST(UNNEST(e.embedding) AS DOUBLE) / sn.nrm AS ux
+         |  FROM embeddings e JOIN sn ON e.vec_id = sn.vec_id),
+         |sp AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |    SUM(a.ux * b.ux ORDER BY a.i) AS cos_sim
+         |  FROM su a JOIN su b
+         |    ON a.i = b.i AND a.label = b.label
+         |    AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |vp AS (SELECT doc_a, doc_b FROM sp WHERE cos_sim >= 0.4),
+         |g AS (
+         |  SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_text,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM vp)
+         |      AS n_semantic,
+         |    (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM tp JOIN vp USING (doc_a, doc_b)) AS n_both)
+         |SELECT n_text, n_semantic, n_both,
+         |  n_text - n_both AS text_only,
+         |  n_semantic - n_both AS semantic_only,
+         |  CAST(CASE WHEN n_text + n_semantic - n_both > 0 THEN
+         |    CAST(n_both AS HUGEINT) * 1000000
+         |      // (n_text + n_semantic - n_both)
+         |    ELSE 0 END AS BIGINT) AS overlap_ppm
+         |FROM g""".stripMargin,
     // one exhaustive shared-shingle pair join per width; per-pair
     // q20 floors summed as integers, // on non-negatives ≡ div
     "q_text_shingle_width_curve" ->

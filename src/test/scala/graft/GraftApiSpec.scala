@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 417,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 417")
-    assert(SparkEntry.oracleSql.size == 405,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 405")
+    assert(SparkEntry.queries.size == 418,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 418")
+    assert(SparkEntry.oracleSql.size == 406,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 406")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
@@ -492,6 +492,7 @@ class GraftApiSpec extends SparkSpec {
       "orderedShingles" -> "orderedShingles",
       "orderedShinglesW" -> "orderedShingles",
       "shingleWidthCurve" -> "shingleWidthCurve",
+      "dupModalityAgreement" -> "dupModalityAgreement",
       "jaccardPairsOverOrdered" -> "jaccardPairsOverOrdered",
       "containmentPairsOverOrdered" -> "containmentPairsOverOrdered",
       "weightedSample" -> "weightedSample",

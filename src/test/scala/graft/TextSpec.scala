@@ -436,6 +436,22 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("dupModalityAgreement: exact contingency of two canonical " +
+      "pair sets") {
+    val tp = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val vp = Seq((1L, 2L), (5L, 6L), (7L, 8L), (9L, 10L))
+      .toDF("vec_a", "vec_b")
+    val r = Text.dupModalityAgreement(tp, vp).collect().head
+    assert(r.getAs[Long]("n_text") == 3L)
+    assert(r.getAs[Long]("n_semantic") == 4L)
+    assert(r.getAs[Long]("n_both") == 2L)
+    assert(r.getAs[Long]("text_only") == 1L)
+    assert(r.getAs[Long]("semantic_only") == 2L)
+    // |∩| / |∪| = 2 / 5
+    assert(r.getAs[Long]("overlap_ppm") == 400000L)
+  }
+
   test("dupTransitivity: a chain leaves its wedge open; a triangle " +
       "closes all three wedges") {
     val chain = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
