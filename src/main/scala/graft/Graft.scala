@@ -711,6 +711,11 @@ object Graft {
     ): DataFrame =
       ops.Vector.matryoshkaRecallCurve(embs, dims, k, sampleMod,
         sampleCount)
+    /** Local intrinsic dimensionality (MLE) per sampled query —
+      * the distance-concentration diagnostic. */
+    def lidEstimate(
+        k: Int = 10, sampleCount: Int = 32): DataFrame =
+      ops.Vector.lidEstimate(embs, k, sampleCount)
     /** Relative contrast (1−c_k)/(1−c_1) per sampled query — the
       * ANN query-hardness diagnostic. */
     def relativeContrast(

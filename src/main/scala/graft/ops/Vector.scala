@@ -627,6 +627,89 @@ object Vector {
       .orderBy(col("query_id"))
   }
 
+  /** Local intrinsic dimensionality per sampled query (Amsaleg et
+    * al., the maximum-likelihood estimator over nearest-neighbor
+    * distances): `LID(q) = −n_used / Σᵢ ln(dᵢ/d_k)` over the top-k
+    * cosine DISTANCES `d = 1 − cos` — the fourth leg of the ANN
+    * serving diagnostics next to [[hubness]], [[trustworthiness]]
+    * and [[relativeContrast]]: high LID marks the corpus regions
+    * where every index structure degrades (distances concentrate;
+    * pruning bounds go vacuous), and the per-query profile says
+    * whether hardness is global or localized.
+    *
+    * Determinism contract: the summation runs in RANK order (the
+    * twin's `ORDER BY rnk` ≡ this side's rank-indexed fold over the
+    * TopK array), every term is the same IEEE `ln(dᵢ/d_k)` chain,
+    * and the estimate ships as a q20 floor. Zero-distance guards:
+    * exact-duplicate neighbors (`dᵢ = 0`, ln → −∞) are excluded
+    * from the sum with `n_used` reduced to match; a query whose
+    * k-th neighbor is itself at distance 0 (all-duplicates
+    * neighborhood) emits `lid_q20 = 0` with `n_used = 0` — by
+    * construction, not by NaN accident (ANSI would throw first).
+    *
+    * Scale shape: identical to [[relativeContrast]] — one
+    * broadcast-sample corpus scan, mergeable top-k, ≤ nq rows out.
+    */
+  def lidEstimate(
+      embeddings: DataFrame,
+      k: Int = 10,
+      sampleCount: Int = 32
+  ): DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    require(sampleCount >= 1, "sampleCount must be positive")
+    val topk = udaf(new graft.functions.TopKPairsAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val q = embeddings
+      .orderBy(pmod(col("vec_id").cast("decimal(38,0)")
+        * lit(2654435761L), lit(4294967296L)), col("vec_id"))
+      .limit(sampleCount)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+    embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        cosineSafe(col("embedding"), col("q_emb")).as("cs"),
+        col("vec_id"))
+      .filter(col("cs").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(topk(col("cs"), col("vec_id")).as("top"),
+        count(lit(1)).as("n_scored"))
+      .filter(size(col("top")) >= k)
+      .select(col("query_id"), col("n_scored"),
+        (lit(1.0) - element_at(col("top"), k).getField("_1"))
+          .as("dk"),
+        // rank-ordered fold: Σ ln(d_i/d_k) over i = 1..k−1 with
+        // zero-distance terms dropped; (sum, n_used) accumulated in
+        // index order so the twin's ORDER BY rnk sums identically
+        aggregate(
+          slice(col("top"), 1, k - 1),
+          struct(lit(0.0).as("s"), lit(0L).as("n")),
+          (acc, e) => {
+            val d = lit(1.0) - e.getField("_1")
+            struct(
+              when(d > 0 &&
+                  (lit(1.0) - element_at(col("top"), k)
+                    .getField("_1")) > 0,
+                acc.getField("s") +
+                  log(d / (lit(1.0) - element_at(col("top"), k)
+                    .getField("_1"))))
+                .otherwise(acc.getField("s")).as("s"),
+              when(d > 0 &&
+                  (lit(1.0) - element_at(col("top"), k)
+                    .getField("_1")) > 0,
+                acc.getField("n") + 1L)
+                .otherwise(acc.getField("n")).as("n"))
+          }).as("acc"))
+      .select(col("query_id"), col("n_scored"),
+        col("acc.n").as("n_used"),
+        when(col("dk") > 0 && col("acc.s") < 0,
+          floor(-col("acc.n").cast("double") / col("acc.s")
+            * lit(1048576.0)).cast("long"))
+          .otherwise(lit(0L)).as("lid_q20"))
+      .orderBy(col("query_id"))
+  }
+
   /** Cosine RANGE search — the other retrieval mode next to top-k:
     * "everything at least τ similar", the primitive behind
     * near-duplicate lookup, dedup-before-insert checks, and

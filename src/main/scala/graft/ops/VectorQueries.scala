@@ -634,6 +634,10 @@ object VectorQueries {
     // query-hardness diagnostic next to hubness/trustworthiness
     "q_vec_relative_contrast" -> ((s, d) =>
       Vector.relativeContrast(Tables.embeddings(s, d))),
+    // local intrinsic dimensionality (Amsaleg MLE over top-k cosine
+    // distances) per sampled query — rank-ordered ln fold, q20
+    "q_vec_lid" -> ((s, d) =>
+      Vector.lidEstimate(Tables.embeddings(s, d))),
     // trustworthiness of the 16-dim truncation (Venna–Kaski): every
     // truncated-top-k intruder charged its full-space rank excess —
     // the "how wrong are the imposters" companion to recall; same
@@ -3189,6 +3193,56 @@ object VectorQueries {
         |  ON t.query_id = b.query_id AND t.vec_id = b.vec_id
         |CROSS JOIN nb
         |GROUP BY t.dim, nb.n_base ORDER BY t.dim""".stripMargin,
+    // ranked cosine distances; Σ ln(dᵢ/d_k) in rank order (zero
+    // distances add 0 — exact, terms are ≤ 0), MLE floored to q20
+    "q_vec_lid" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings
+        |  ORDER BY (CAST(vec_id AS HUGEINT) * 2654435761)
+        |    % 4294967296, vec_id
+        |  LIMIT 32),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    CAST(generate_subscripts(e.embedding, 1) AS INT) AS i,
+        |    UNNEST(e.embedding) AS x, UNNEST(q.q_emb) AS y
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |dots AS (
+        |  SELECT query_id, vec_id,
+        |    SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) ORDER BY i)
+        |      AS dot,
+        |    sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |             ORDER BY i)) AS na,
+        |    sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |             ORDER BY i)) AS nb
+        |  FROM pairs GROUP BY 1, 2),
+        |v AS (
+        |  SELECT query_id, vec_id, dot / (na * nb) AS cf
+        |  FROM dots WHERE na > 0 AND nb > 0),
+        |r AS (
+        |  SELECT query_id, vec_id, cf,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cf DESC, vec_id) AS rnk
+        |  FROM v),
+        |ns AS (SELECT query_id, CAST(COUNT(*) AS BIGINT)
+        |         AS n_scored FROM v GROUP BY 1
+        |       HAVING COUNT(*) >= 10),
+        |kk AS (SELECT query_id, cf AS ck FROM r WHERE rnk = 10),
+        |s AS (
+        |  SELECT r.query_id,
+        |    SUM(CASE WHEN 1 - r.cf > 0 AND 1 - kk.ck > 0
+        |      THEN ln((1 - r.cf) / (1 - kk.ck)) ELSE 0 END
+        |      ORDER BY r.rnk) AS ssum,
+        |    CAST(SUM(CASE WHEN 1 - r.cf > 0 AND 1 - kk.ck > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_used
+        |  FROM r JOIN kk USING (query_id) WHERE r.rnk <= 9
+        |  GROUP BY r.query_id)
+        |SELECT ns.query_id, ns.n_scored, s.n_used,
+        |  CAST(CASE WHEN kk.ck < 1 AND s.ssum < 0 THEN
+        |    FLOOR(-CAST(s.n_used AS DOUBLE) / s.ssum * 1048576)
+        |    ELSE 0 END AS BIGINT) AS lid_q20
+        |FROM ns JOIN kk USING (query_id) JOIN s USING (query_id)
+        |ORDER BY ns.query_id""".stripMargin,
     // sampled queries ranked by full cosine; c1/ck q20 floors and
     // the contrast ratio as the SAME IEEE expression in both engines
     "q_vec_relative_contrast" ->

@@ -1832,6 +1832,58 @@ class VectorSpec extends SparkSpec {
     assert(g.getAs[Long]("contrast_q20") == 0L)
   }
 
+  test("lidEstimate matches a double-arithmetic MLE replay; " +
+      "duplicate neighbors drop out of the sum") {
+    import spark.implicits._
+    val vecs = Map(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(0.8f, 0.6f),
+      2L -> Array(0.6f, 0.8f), 3L -> Array(0.0f, 1.0f),
+      4L -> Array(-1.0f, 0.0f))
+    val embs = vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cs = Seq(1L, 2L, 3L, 4L).map(i => cosD(vecs(0L), vecs(i)))
+      .sorted(Ordering[Double].reverse)
+    val dk = 1.0 - cs(2)
+    var s = 0.0; var n = 0L
+    for (i <- 0 until 2) {
+      val d = 1.0 - cs(i)
+      if (d > 0 && dk > 0) { s += math.log(d / dk); n += 1 }
+    }
+    val expLid = math.floor(-n.toDouble / s * 1048576.0).toLong
+    val r = Vec.lidEstimate(embs, k = 3, sampleCount = 1)
+      .collect().head
+    assert(r.getAs[Long]("query_id") == 0L)
+    assert(r.getAs[Long]("n_scored") == 4L)
+    assert(r.getAs[Long]("n_used") == 2L)
+    assert(r.getAs[Long]("lid_q20") == expLid)
+    // an exact duplicate of the query sits at distance 0: the term
+    // drops and n_used shrinks, still matching the replay
+    val dup = (vecs.toSeq :+ (5L, Array(1.0f, 0.0f)))
+      .sortBy(_._1).toDF("vec_id", "embedding")
+    val cs2 = Seq(1L, 2L, 3L, 4L, 5L)
+      .map(i => cosD(vecs.getOrElse(i, Array(1.0f, 0.0f)), vecs(0L)))
+      .sorted(Ordering[Double].reverse)
+    val dk2 = 1.0 - cs2(2)
+    var s2 = 0.0; var n2 = 0L
+    for (i <- 0 until 2) {
+      val d = 1.0 - cs2(i)
+      if (d > 0 && dk2 > 0) { s2 += math.log(d / dk2); n2 += 1 }
+    }
+    val r2 = Vec.lidEstimate(dup, k = 3, sampleCount = 1)
+      .collect().head
+    assert(r2.getAs[Long]("n_used") == n2)
+    assert(r2.getAs[Long]("lid_q20")
+      == math.floor(-n2.toDouble / s2 * 1048576.0).toLong)
+  }
+
   test("hubness: in-degree moments over a star graph; zero-degree " +
       "vectors restored by the left join") {
     import spark.implicits._
