@@ -683,6 +683,110 @@ object Affinity {
           * 1000.0).cast("long"))
   }
 
+  /** O'Brien–Fleming-shaped boundary literals for [[abSequential]]
+    * — `⌊1.96·√(K/k)·1000⌋` per interim, computed ONCE here so the
+    * registered op and its SQL twin inline byte-identical
+    * constants. */
+  def obfBoundsMilli(checks: Int): Seq[Long] =
+    (1 to checks).map(k => math.floor(
+      1.96 * math.sqrt(checks.toDouble / k) * 1000.0).toLong)
+
+  /** GROUP-SEQUENTIAL A/B readout (Pocock/O'Brien–Fleming shape):
+    * the experiment's day range is split into `checks` equal
+    * interims; at each cut the CUMULATIVE two-proportion z is
+    * compared against the conservative early-stopping boundary
+    * `1.96·√(K/k)` (large early, 1.96 at the final look — the
+    * classic OBF spending shape). The table a peeking experimenter
+    * actually needs: the naive fixed-n z crosses 1.96 early by
+    * chance alone ~2× more often than α promises, and this emits
+    * the boundary next to the z so every interim decision is
+    * auditable. Same arm/conversion conventions as
+    * [[abConversionLift]] (arm by predicate, conversion = ≥
+    * `minCount` events of `convEvent`); the crossing decision is
+    * made on MILLI-QUANTIZED z against milli boundaries — integer
+    * compares, engine-identical.
+    *
+    * Guards: an interim with an empty arm or a degenerate pooled
+    * rate (0 or 1) has no defined z — emitted as 0, never a
+    * division by zero (ANSI would throw). Scale shape: one user-day
+    * rollup scan, a broadcast of `checks` cut rows, cumulative
+    * per-(check, user) sums keyed on user — |checks|·|users| rows
+    * through one shuffle; output = `checks` rows.
+    */
+  def abSequential(
+      events: DataFrame,
+      assignB: Column,
+      convEvent: String = "purchase",
+      minCount: Long = 14L,
+      checks: Int = 4
+  ): DataFrame = {
+    require(checks >= 1 && checks <= 16,
+      s"checks in [1,16], got $checks")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val bounds = obfBoundsMilli(checks)
+    val ud = events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))).as("dday"),
+        when(col("event_type") === convEvent, 1L).otherwise(0L)
+          .as("is_conv"))
+      .groupBy(col("user_id"), col("dday"))
+      .agg(sum(col("is_conv")).as("conv_events"))
+    val sp = ud.agg(min(col("dday")).as("d0"),
+      max(col("dday")).as("d1"))
+    val cuts = sp
+      .select(explode(lit((1 to checks).toArray)).as("chk"),
+        col("d0"), col("d1"))
+      .withColumn("cut_day", col("d0") - 1 + expr(
+        s"CAST(((d1 - d0 + 1) * chk + ${checks - 1}) div $checks " +
+          "AS INT)"))
+      .select(col("chk"), col("cut_day"))
+    val perUser = ud
+      .crossJoin(broadcast(cuts))
+      .filter(col("dday") <= col("cut_day"))
+      .groupBy(col("chk"), col("cut_day"), col("user_id"))
+      .agg(sum(col("conv_events")).as("cv"))
+      .select(col("chk"), col("cut_day"), col("user_id"),
+        when(col("cv") >= minCount, 1L).otherwise(0L).as("conv"))
+      .withColumn("arm", when(assignB, lit("B")).otherwise(lit("A")))
+    val boundaryCase = "CAST(CASE chk " +
+      bounds.zipWithIndex.map { case (b, i) =>
+        s"WHEN ${i + 1} THEN ${b}L"
+      }.mkString(" ") + " END AS BIGINT)"
+    perUser
+      .groupBy(col("chk"), col("cut_day"))
+      .agg(
+        count(when(col("arm") === "A", lit(1))).as("n_a"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0L))
+          .as("conv_a"),
+        count(when(col("arm") === "B", lit(1))).as("n_b"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0L))
+          .as("conv_b"))
+      .withColumn("z_milli",
+        when(col("n_a") > 0 && col("n_b") > 0
+            && col("conv_a") + col("conv_b") > 0
+            && col("conv_a") + col("conv_b")
+              < col("n_a") + col("n_b"),
+          floor(
+            (col("conv_b").cast("double") / col("n_b").cast("double")
+              - col("conv_a").cast("double")
+                / col("n_a").cast("double"))
+            / sqrt(
+              ((col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")) *
+              (lit(1.0) -
+                (col("conv_a") + col("conv_b")).cast("double") /
+                  (col("n_a") + col("n_b")).cast("double")) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double")))
+            * 1000.0).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("boundary_milli", expr(boundaryCase))
+      .withColumn("crossed",
+        (abs(col("z_milli")) >= col("boundary_milli")).cast("long"))
+      .orderBy(col("chk"))
+  }
+
   /** Quantile treatment effects — the distributional A/B readout
     * [[abConversionLift]] (means) and [[cupedLift]] (variance) can't
     * see: a treatment that moves the p90 while leaving the median

@@ -130,6 +130,12 @@ object AffinityQueries {
     "q_events_ab_quantiles" -> ((s, d) =>
       Affinity.abQuantileLift(Tables.events(s, d),
         col("user_id") % 2 === 1)),
+    // group-sequential A/B: cumulative z per quartile interim vs the
+    // OBF boundary 1.96·√(K/k) — the peeking-safe readout; crossing
+    // decided on milli-quantized integers in both engines
+    "q_events_ab_sequential" -> ((s, d) =>
+      Affinity.abSequential(Tables.events(s, d),
+        col("user_id") % 2 === 1)),
     // weekday seasonal baseline + per-day deviation in exact milli
     "q_events_dow_baseline" -> ((s, d) =>
       Audit.dowBaseline(Tables.events(s, d))),
@@ -396,6 +402,80 @@ object AffinityQueries {
         |SELECT n_ctrl, n_treat, pct, ctrl_milli, treat_milli,
         |  treat_milli - ctrl_milli AS diff_milli
         |FROM s ORDER BY pct""".stripMargin,
+    // cumulative per-interim conversion z (same IEEE chain as
+    // ab_lift, guarded) vs the shared OBF literal boundaries
+    "q_events_ab_sequential" -> {
+      val bounds = graft.ops.Affinity.obfBoundsMilli(4)
+      val bCase = "CAST(CASE chk " + bounds.zipWithIndex.map {
+        case (b, i) => s"WHEN ${i + 1} THEN $b"
+      }.mkString(" ") + " END AS BIGINT)"
+      s"""WITH ud AS (
+         |  SELECT user_id,
+         |    CAST(ts AS DATE) - DATE '1970-01-01' AS dday,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS conv_events
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT MIN(dday) AS d0, MAX(dday) AS d1 FROM ud),
+         |ck AS (SELECT UNNEST([1, 2, 3, 4]) AS chk),
+         |cuts AS (
+         |  SELECT ck.chk, CAST(sp.d0 - 1
+         |    + ((sp.d1 - sp.d0 + 1) * ck.chk + 3) // 4 AS INT)
+         |    AS cut_day
+         |  FROM ck, sp),
+         |uc AS (
+         |  SELECT c.chk, c.cut_day, ud.user_id,
+         |    SUM(ud.conv_events) AS cv
+         |  FROM cuts c JOIN ud ON ud.dday <= c.cut_day
+         |  GROUP BY 1, 2, 3),
+         |ua AS (
+         |  SELECT chk, cut_day, user_id,
+         |    CASE WHEN cv >= 14 THEN 1 ELSE 0 END AS conv,
+         |    CASE WHEN user_id % 2 = 1 THEN 'B' ELSE 'A' END AS arm
+         |  FROM uc),
+         |g AS (
+         |  SELECT chk, cut_day,
+         |    CAST(COUNT(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+         |    CAST(COALESCE(SUM(conv) FILTER (arm = 'A'), 0)
+         |      AS BIGINT) AS conv_a,
+         |    CAST(COUNT(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
+         |    CAST(COALESCE(SUM(conv) FILTER (arm = 'B'), 0)
+         |      AS BIGINT) AS conv_b
+         |  FROM ua GROUP BY 1, 2)
+         |SELECT chk, cut_day, n_a, conv_a, n_b, conv_b,
+         |  CAST(CASE WHEN n_a > 0 AND n_b > 0
+         |      AND conv_a + conv_b > 0
+         |      AND conv_a + conv_b < n_a + n_b THEN
+         |    FLOOR(
+         |      (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |        - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / sqrt(
+         |        (CAST(conv_a + conv_b AS DOUBLE)
+         |          / CAST(n_a + n_b AS DOUBLE))
+         |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+         |            / CAST(n_a + n_b AS DOUBLE))
+         |        * (1.0 / CAST(n_a AS DOUBLE)
+         |          + 1.0 / CAST(n_b AS DOUBLE)))
+         |      * 1000.0)
+         |    ELSE 0 END AS BIGINT) AS z_milli,
+         |  $bCase AS boundary_milli,
+         |  CAST(CASE WHEN ABS(CAST(CASE WHEN n_a > 0 AND n_b > 0
+         |      AND conv_a + conv_b > 0
+         |      AND conv_a + conv_b < n_a + n_b THEN
+         |    FLOOR(
+         |      (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+         |        - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / sqrt(
+         |        (CAST(conv_a + conv_b AS DOUBLE)
+         |          / CAST(n_a + n_b AS DOUBLE))
+         |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+         |            / CAST(n_a + n_b AS DOUBLE))
+         |        * (1.0 / CAST(n_a AS DOUBLE)
+         |          + 1.0 / CAST(n_b AS DOUBLE)))
+         |      * 1000.0)
+         |    ELSE 0 END AS BIGINT)) >= $bCase
+         |    THEN 1 ELSE 0 END AS BIGINT) AS crossed
+         |FROM g ORDER BY chk""".stripMargin
+    },
     "q_events_ab_lift" ->
       """WITH pu AS (
         |  SELECT user_id,

@@ -242,6 +242,37 @@ class AffinitySpec extends SparkSpec {
     assert(r.getAs[Long]("z_milli") > 0)
   }
 
+  test("abSequential: cumulative interim z vs OBF boundaries " +
+      "matches a double replay; early empty-conversion guard holds") {
+    def tss(s: String) = java.sql.Timestamp.valueOf(s)
+    // days 0..3; u1/u3 odd → B, u2/u4 even → A. Interim 1 covers
+    // days 0–1 (u1 conv, u3 no-conv, u4 present via signup);
+    // interim 2 adds u2 (conv) and u4's purchase.
+    val ev = Seq(
+      (1L, 1L, "purchase", tss("2024-01-01 10:00:00")),
+      (2L, 3L, "signup", tss("2024-01-01 11:00:00")),
+      (3L, 4L, "signup", tss("2024-01-02 10:00:00")),
+      (4L, 2L, "purchase", tss("2024-01-03 10:00:00")),
+      (5L, 4L, "purchase", tss("2024-01-04 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Affinity.abSequential(ev, col("user_id") % 2 === 1,
+      "purchase", minCount = 1L, checks = 2).collect()
+      .map(r => r.getAs[Int]("chk") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"),
+          r.getAs[Long]("z_milli"), r.getAs[Long]("boundary_milli"),
+          r.getAs[Long]("crossed")))).toMap
+    def z(na: Long, ca: Long, nb: Long, cb: Long): Long = {
+      val p = (ca + cb).toDouble / (na + nb).toDouble
+      math.floor((cb.toDouble / nb - ca.toDouble / na)
+        / math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+        * 1000.0).toLong
+    }
+    val b = graft.ops.Affinity.obfBoundsMilli(2)
+    assert(out(1) == ((1L, 0L, 2L, 1L, z(1, 0, 2, 1), b.head, 0L)))
+    assert(out(2) == ((2L, 2L, 2L, 1L, z(2, 2, 2, 1), b(1), 0L)))
+  }
+
   test("giniConcentration: uniform near 0, concentrated high, hand value exact") {
     // uniform: 4 keys × 2 rows → G = 0
     val uni = (1L to 4L).flatMap(k => Seq(k, k)).toDF("k")

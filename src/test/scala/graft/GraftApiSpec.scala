@@ -53,10 +53,10 @@ class GraftApiSpec extends SparkSpec {
     * a bump fails here long before the driver's sweep would notice.
     */
   test("registry size is pinned: any drift fails deliberately") {
-    assert(SparkEntry.queries.size == 419,
-      s"queries registry drifted: ${SparkEntry.queries.size} != 419")
-    assert(SparkEntry.oracleSql.size == 407,
-      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 407")
+    assert(SparkEntry.queries.size == 420,
+      s"queries registry drifted: ${SparkEntry.queries.size} != 420")
+    assert(SparkEntry.oracleSql.size == 408,
+      s"oracle registry drifted: ${SparkEntry.oracleSql.size} != 408")
   }
 
   /** The size pin catches net drift; this pins the DIRECTION that
