@@ -316,6 +316,28 @@ class PlanSpec extends SparkSpec {
       s"cartesian product in the pattern join:\n$p")
   }
 
+  test("lid estimate: broadcast query sample, no sort-merge join, " +
+      "no window — the rank fold stays inside the aggregate") {
+    val d = sf("sf0.001")
+    val p = plan(ops.Vector.lidEstimate(Tables.embeddings(spark, d)))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query sample not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the sample join:\n$p")
+    assert(!p.contains("Window"), s"window crept in:\n$p")
+  }
+
+  test("sequential A/B: the interim cut rows broadcast into the " +
+      "user-day rollup; no cartesian product") {
+    val d = sf("sf0.001")
+    val p = plan(ops.Affinity.abSequential(
+      Tables.events(spark, d), col("user_id") % 2 === 1))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"cut rows not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in the interim join:\n$p")
+  }
+
   test("periodogram: the q20 trig table attaches by broadcast; the " +
       "corpus never sort-merge-joins") {
     val d = sf("sf0.001")

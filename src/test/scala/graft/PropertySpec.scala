@@ -1055,6 +1055,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("queueBacklog matches a sequential Lindley fold on random " +
+      "arrival/service streams; waits non-negative, utilization " +
+      "bounded") {
+    import graft.ops.Relational
+    val evGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 20000L), Gen.choose(0.0, 3.0)))
+    forAll(evGen, n = 8) { evs =>
+      val rows = evs.zipWithIndex.map { case ((ams, v), i) =>
+        ("t", i.toLong, new java.sql.Timestamp(ams), v)
+      }
+      val df = rows.toDF("event_type", "event_id", "ts", "value")
+      val r = Relational.queueBacklog(df).collect().head
+      // sequential replay in arrival-(ms, id) order
+      val ordered = rows.map { case (_, id, ts, v) =>
+        (ts.getTime, id, math.max(0L, math.floor(v * 1000.0).toLong))
+      }.sortBy(t => (t._1, t._2))
+      var c = 0L; var totW = 0L; var maxW = 0L; var busy = 0L
+      for ((a, _, s) <- ordered) {
+        val start = math.max(a, c)
+        val w = start - a
+        totW += w; maxW = math.max(maxW, w); busy += s
+        c = start + s
+      }
+      assert(r.getAs[Long]("n_events") == ordered.size.toLong)
+      assert(r.getAs[Long]("max_wait_ms") == maxW, s"evs=$evs")
+      assert(r.getAs[Long]("total_wait_ms") == totW, s"evs=$evs")
+      val u = r.getAs[Long]("utilization_ppm")
+      assert(u >= 0L && u <= 1000000L)
+      val first = ordered.head._1.min(ordered.map(_._1).min)
+      if (c > first)
+        assert(u == busy * 1000000L / (c - first))
+    }
+  }
+
+  test("abSequential's final interim reproduces abConversionLift " +
+      "exactly (counts and z) on random event streams") {
+    import graft.ops.Affinity
+    val evGen = Gen.listOfN(20, Gen.zip(
+      Gen.choose(1L, 6L),
+      Gen.oneOf("purchase", "view"),
+      Gen.choose(0, 3)))
+    forAll(evGen, n = 8) { evs =>
+      // both arms guaranteed non-empty (abConversionLift's rate
+      // division requires it — as does any real A/B readout)
+      val seeded = evs ++ Seq((101L, "view", 0), (102L, "view", 0))
+      val rows = seeded.zipWithIndex.map { case ((u, t, day), i) =>
+        (i.toLong, u, t,
+          java.sql.Timestamp.valueOf(f"2024-01-0${day + 1}%d 10:00:00"))
+      }
+      val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+      val seqOut = Affinity.abSequential(df,
+        col("user_id") % 2 === 1, "purchase", minCount = 1L,
+        checks = 3).collect()
+        .map(r => r.getAs[Int]("chk") -> r).toMap
+      val fin = seqOut(3)
+      val lift = Affinity.abConversionLift(df,
+        col("user_id") % 2 === 1, "purchase", minCount = 1L).head
+      assert(fin.getAs[Long]("n_a") == lift.getAs[Long]("n_a"))
+      assert(fin.getAs[Long]("conv_a") == lift.getAs[Long]("conv_a"))
+      assert(fin.getAs[Long]("n_b") == lift.getAs[Long]("n_b"))
+      assert(fin.getAs[Long]("conv_b") == lift.getAs[Long]("conv_b"))
+      val ca = lift.getAs[Long]("conv_a"); val cb = lift.getAs[Long]("conv_b")
+      val na = lift.getAs[Long]("n_a"); val nb = lift.getAs[Long]("n_b")
+      if (na > 0 && nb > 0 && ca + cb > 0 && ca + cb < na + nb)
+        assert(fin.getAs[Long]("z_milli")
+          == lift.getAs[Long]("z_milli"))
+      else
+        assert(fin.getAs[Long]("z_milli") == 0L)
+    }
+  }
+
   test("shardDedupLoss conserves pairs (local + lost = total) and " +
       "bounds lost_ppm on random pair graphs") {
     val pairGen = Gen.nonEmptyListOf(
