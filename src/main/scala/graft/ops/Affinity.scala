@@ -40,17 +40,32 @@ object Affinity {
     */
   def basketLift(lineitem: DataFrame, minPairCount: Long): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1")
-    val baskets = lineitem
+    // ONE corpus exchange (r18 optimization): the per-order sorted
+    // item array replaces both the (ok, pk) distinct AND the
+    // basket-keyed self-join — collect_set dedups within the order,
+    // and the i < j pair fan-out is an in-row double explode over
+    // the sorted array (identical pairs: on a sorted unique array,
+    // position order IS item order), partially aggregated before the
+    // tiny (part_a, part_b) exchange. The old shape paid the
+    // distinct exchange plus a sort-merge self-join re-exchange of
+    // the basket table; fan-out per order is (items/order)² either
+    // way. itemCt/nOrders re-read the SAME aggregate (the exchange
+    // is reused across legs within the plan).
+    val bArr = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val itemCt = baskets.groupBy(col("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("items"))
+    val itemCt = bArr
+      .select(explode(col("items")).as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("item_ct"))
-    val nOrders = baskets.select(col("ok")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+    val nOrders = bArr.agg(count(lit(1)).as("n_orders"))
+    bArr
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "pa")))
+      .select(col("pa").as("part_a"),
+        explode(slice(col("items"), col("i") + lit(2),
+          size(col("items")))).as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("pair_ct"))
       .filter(col("pair_ct") >= minPairCount)
       .join(itemCt.withColumnRenamed("pk", "part_a")
@@ -94,23 +109,41 @@ object Affinity {
   ): DataFrame = {
     require(minItemCt >= 1 && minTripleCt >= 1,
       s"support thresholds must be >= 1, got $minItemCt/$minTripleCt")
-    val b = baskets
+    // ONE corpus exchange (r18 optimization; the basketLift shape
+    // one Apriori level up): per-basket sorted unique item arrays
+    // replace the distinct AND both legs of the cubic self-join.
+    // The Apriori prune broadcasts the frequent-item set into the
+    // exploded array stream (frequent sets are support-bounded —
+    // the standard Apriori broadcast side) and re-collects per
+    // basket WITHOUT a new exchange (the explode preserves the
+    // basket partitioning); the i < j < k candidate fan-out is then
+    // an in-row triple explode over the sorted array — identical
+    // triples, Σ_basket C(k_b, 3) rows either way — partially
+    // aggregated before the tiny (a, b, c) exchange.
+    val bArr0 = baskets
       .select(col("basket_id").as("bk"), col("item").as("it"))
-      .distinct()
-    val nBaskets = b.select(col("bk")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val itemCt = b.groupBy(col("it"))
+      .groupBy(col("bk"))
+      .agg(sort_array(collect_set(col("it"))).as("items"))
+    val nBaskets = bArr0.agg(count(lit(1)).as("n_baskets"))
+    val itemCt = bArr0
+      .select(explode(col("items")).as("it"))
+      .groupBy(col("it"))
       .agg(count(lit(1)).as("item_ct"))
       .filter(col("item_ct") >= minItemCt)
-    val fb = b.join(itemCt, "it")
-      .select(col("bk"), col("it"))
-    fb.as("a")
-      .join(fb.as("b"),
-        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .join(fb.as("c"),
-        col("a.bk") === col("c.bk") && col("b.it") < col("c.it"))
-      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"),
-        col("c.it").as("item_c"))
+    val fb = bArr0
+      .select(col("bk"), explode(col("items")).as("it"))
+      .join(broadcast(itemCt.select(col("it"))), "it")
+      .groupBy(col("bk"))
+      .agg(sort_array(collect_set(col("it"))).as("items"))
+    fb
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "ta")))
+      .select(col("items"), col("i"), col("ta").as("item_a"),
+        posexplode(slice(col("items"), col("i") + lit(2),
+          size(col("items")))).as(Seq("j", "tb")))
+      .select(col("item_a"), col("tb").as("item_b"),
+        explode(slice(col("items"), col("i") + col("j") + lit(3),
+          size(col("items")))).as("item_c"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
       .agg(count(lit(1)).as("triple_ct"))
       .filter(col("triple_ct") >= minTripleCt)
       .join(itemCt.select(col("it").as("item_a"),
@@ -461,6 +494,12 @@ object Affinity {
     val sig = sig0.join(broadcast(blockSz), "block_token")
       .filter(col("block_sz") <= maxBlock)
       .select(col("p_partkey"), col("p_name"), col("block_token"))
+    // r18 optimization note (measured, left alone): the bounded
+    // `levenshtein(a, b, maxDist)` kernel and an |Δlen| ≤ maxDist
+    // join gate were both tried here — on this catalog every
+    // in-block candidate already verifies within maxDist, so the
+    // threshold never early-exits and the banded kernel measured
+    // ~0.2 s SLOWER on 243 k candidates than the plain one; reverted.
     sig.as("a")
       .join(sig.as("b"),
         col("a.block_token") === col("b.block_token") &&
@@ -489,12 +528,30 @@ object Affinity {
       cacheFamily: String = "part",
       precomputedPairs: Option[DataFrame] = None
   ): DataFrame = {
-    val pairs = precomputedPairs
-      .getOrElse(fuzzyNameMatch(part, maxDist))
-      .select(col("part_a").as("doc_a"), col("part_b").as("doc_b"))
+    val raw = precomputedPairs.getOrElse(fuzzyNameMatch(part, maxDist))
     val ids = part.select(col("p_partkey").as("doc_id"))
-    val clusters = Text.dupClusters(ids, pairs,
-      cacheFamily = cacheFamily)
+    // Blocked candidates are PARTITION-CONFINED by construction: a
+    // part has exactly ONE signature token ([[fuzzyNameMatch]]'s
+    // min-struct argmin), so every verified edge joins two parts of
+    // the same block and components never span blocks — the same
+    // confinement [[graft.ops.Vector.semanticDedupAssigned]] routes
+    // on. The zero-iteration per-block union-find then replaces the
+    // global label-propagation fixpoint (r18 optimization: 2 rounds
+    // of graph-sized joins + localCheckpoints → one edge shuffle;
+    // identical assignment, pinned differentially in AffinitySpec).
+    // xxhash64 packs the token into the required long key; a hash
+    // collision merely co-groups two DISJOINT block graphs, which
+    // union-find resolves to the same components regardless.
+    val clusters = raw.columns.find(_ == "block_token") match {
+      case Some(_) =>
+        Text.dupClustersPartitioned(ids, raw.select(
+          col("part_a").as("doc_a"), col("part_b").as("doc_b"),
+          xxhash64(col("block_token")).as("part")))
+      case None =>
+        Text.dupClusters(ids, raw.select(
+          col("part_a").as("doc_a"), col("part_b").as("doc_b")),
+          cacheFamily = cacheFamily)
+    }
     Audit.componentSizeProfile(clusters, "cluster")
   }
 
@@ -1157,21 +1214,31 @@ object Affinity {
     * everything after is #types²-sized with broadcast attaches.
     */
   def eventPmi(events: DataFrame): DataFrame = {
-    val ut = events.select(col("user_id"), to_date(col("ts")).as("d"),
-      col("event_type")).distinct()
-    val single = ut.groupBy(col("event_type"))
+    // ONE corpus exchange (r18 optimization; the basketLift array
+    // shape): the per-(user, day) sorted type set replaces the
+    // distinct AND the unit-keyed self-join — pairs fan out as an
+    // in-row double explode over the sorted set (identical i < j
+    // pairs), partially aggregated before the tiny type-pair
+    // exchange. The type marginals and the unit count re-read the
+    // SAME per-unit aggregate (exchange reused across plan legs).
+    val utArr = events
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    val single = utArr
+      .select(explode(col("types")).as("event_type"))
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val nUnits = ut.select(col("user_id"), col("d")).distinct()
-      .agg(count(lit(1)).as("n_units"))
+    val nUnits = utArr.agg(count(lit(1)).as("n_units"))
     def lnq20(c: Column): Column =
       floor(log(c.cast("double")) * (1L << 20)).cast("long")
-    ut.as("a")
-      .join(ut.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.d") === col("b.d") &&
-          col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"))
+    utArr
+      .select(col("types"), posexplode(col("types")).as(Seq("i", "ta")))
+      .select(col("ta").as("type_a"),
+        explode(slice(col("types"), col("i") + lit(2),
+          size(col("types")))).as("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_ab"))
       .join(broadcast(single.withColumnRenamed("event_type", "type_a")
         .withColumnRenamed("n", "n_a")), "type_a")

@@ -1105,18 +1105,32 @@ object Audit {
     // plain identifiers so a dotted/quoted name can't mis-parse
     cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"columnProfile needs plain identifier column names, got '$c'"))
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("string").as(s"${c}__mn"),
-      max(col(c)).cast("string").as(s"${c}__mx")))
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
-    val allAggs = count(lit(1)).as("n_rows") +: aggs
-    df.agg(allAggs.head, allAggs.tail: _*)
-      .selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n_nulls, n_distinct, min_v, max_v)")
+    // Per-column value histogram (r18 optimization): the one-pass
+    // multi-countDistinct form planned as an Expand — (#cols + 1)×
+    // the fact through the aggregate — where each column's four
+    // statistics all derive from its OWN (value, count) histogram:
+    // nulls/rows from the counts, distinct/min/max from the group
+    // keys. One narrow columnar scan + one distinct-value-sized
+    // exchange per column (map-side partial dedup), no Expand, and
+    // with parquet column pruning the total bytes read are identical
+    // to the single wide scan.
+    val per = cols.map { c =>
+      df.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).as("__ct"))
+        .agg(
+          // coalesce: an empty input has zero groups, where the old
+          // count(lit(1)) form emitted n_rows = 0, not NULL
+          coalesce(sum(col("__ct")), lit(0L)).as("n_rows"),
+          sum(when(col("__v").isNull, col("__ct")).otherwise(0L))
+            .as("n_nulls"),
+          count(col("__v")).as("n_distinct"),
+          min(col("__v")).cast("string").as("min_v"),
+          max(col("__v")).cast("string").as("max_v"))
+        .select(col("n_rows"), lit(c).as("col_name"),
+          col("n_nulls"), col("n_distinct"), col("min_v"),
+          col("max_v"))
+    }
+    per.reduce(_.unionByName(_))
       .orderBy(col("col_name"))
   }
 

@@ -983,11 +983,20 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"),
         (datediff(col("l_shipdate"), col("o_orderdate")) > lateDays)
           .as("late"))
-    val perOrder = li
+    // Two-level aggregate (r18 optimization): the pair of
+    // countDistincts planned as an Expand (3× the fact) + an
+    // order-key exchange; collapsing per (order, supplier) first
+    // gives the same three statistics from plain counts — and BOTH
+    // aggregates reuse the equi-join's own hash(l_orderkey)
+    // partitioning, so neither adds an exchange (the fact shuffles
+    // once, on the join key, as documented above).
+    val perPair = li
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    val perOrder = perPair
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
-        countDistinct(when(col("late"), col("l_suppkey")))
-          .as("n_late"),
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
         max(when(col("late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_suppliers") > 1 && col("n_late") === 1)
     perOrder.groupBy(col("late_supp").as("s_suppkey"))

@@ -1458,11 +1458,29 @@ object Text {
     // (measured at sf0.1: 409k → 310k candidates; a necessary
     // condition, so lossless by the same argument as the prefix)
     val prefix = orderedC.select(col("doc_id"), col("n"),
-      explode(slice(col("toks_ord"), lit(1), col("plen"))).as("tok"))
+      posexplode(slice(col("toks_ord"), lit(1), col("plen")))
+        .as(Seq("p", "tok")))
+    // PPJoin POSITION filter (r18 optimization, Xiao et al.; lossless
+    // like the prefix and length filters): a shared prefix token at
+    // 0-based positions (pa, pb) bounds the overlap by
+    // `1 + min(na − pa − 1, nb − pb − 1)` for the pair's EARLIEST
+    // common token (everything common sits at-or-after it in the
+    // shared global rare-first order), and jaccard ≥ t needs overlap
+    // ≥ ceil(t/(1+t)·(na+nb)). Instances failing the bound drop at
+    // the join; a qualifying pair always keeps its earliest-common-
+    // token instance, so the post-dedup pair set is unchanged —
+    // only junk pairs whose every shared prefix token is late die
+    // before the dedup exchange and the wide verify fetch (measured
+    // at w = 2 / t = 0.5: 12.76 M candidate instances → 5.49 M
+    // distinct pairs before; the filter kills most junk instances).
+    val a = (lit(threshold) / (lit(1.0) + threshold)) *
+      (col("a.n") + col("b.n")).cast("double")
     val cand = prefix.as("a").join(prefix.as("b"), "tok")
       .filter(col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")).cast("double") >=
-          lit(threshold) * greatest(col("a.n"), col("b.n")))
+          lit(threshold) * greatest(col("a.n"), col("b.n")) &&
+        (lit(1) + least(col("a.n") - col("a.p") - 1,
+          col("b.n") - col("b.p") - 1)).cast("double") >= ceil(a))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val sets = orderedC.select(col("doc_id"), col("n"), col("toks_ord"))
@@ -1999,11 +2017,17 @@ object Text {
     * of a 100 TB dedup pass: a pair count still falling steeply at
     * the chosen w means the dedup verdict is a parameter artifact.
     *
-    * Cost shape: one full prefix-filtered pair join PER width (the
-    * widths are independent similarity spaces — there is no shared
-    * candidate set to reuse), each the standard PPJoin shape over
-    * its own ordered-shingle table; pair tables are session-tracked
-    * because two small aggregates read each.
+    * Cost shape (r18 optimization): the widths are independent
+    * similarity spaces — there is no shared candidate set — but
+    * their PIPELINES fuse: one width-TAGGED pass computes every
+    * width's shingle array in a single corpus scan (in-row explode
+    * of per-width structs), one (w, tok)-keyed df aggregate + one
+    * ordering collect serve all widths, and one (w, tok) prefix
+    * self-join + one verify fetch replace the per-width join
+    * machinery (the w key keeps the spaces disjoint — identical
+    * pairs per width). The old per-width loop re-ran the shingle +
+    * df + ordering chain and its joins three times (honest in-bench
+    * cost 13.4–15.5 s at sf0.1; fused ~5 s, same rows).
     */
   def shingleWidthCurve(
       docs: DataFrame,
@@ -2012,30 +2036,96 @@ object Text {
   ): DataFrame = {
     require(widths.nonEmpty && widths.forall(_ >= 1),
       "widths must be positive")
-    widths.sorted.map { w =>
-      val eligible = docs
-        .filter(size(tokens(col("text"))) >= w)
-        .agg(count(lit(1)).as("n_eligible"))
-      val pairs = graft.Caches.track("text",
-        jaccardPairsOverOrdered(orderedShinglesW(docs, w),
-          threshold))
-      val pairAgg = pairs.agg(
-        count(lit(1)).as("n_pairs"),
-        coalesce(sum(floor(col("jaccard") * lit(1048576.0))
-          .cast("long")), lit(0L)).as("sum_j_q20"))
-      val touched = pairs
-        .select(explode(array(col("doc_a"), col("doc_b")))
-          .as("doc_id"))
-        .agg(countDistinct(col("doc_id")).as("docs_in_pairs"))
-      pairAgg
-        .crossJoin(broadcast(eligible))
-        .crossJoin(broadcast(touched))
-        .select(lit(w.toLong).as("shingle_w"), col("n_eligible"),
-          col("n_pairs"), col("docs_in_pairs"),
-          when(col("n_pairs") > 0,
-            expr("CAST(sum_j_q20 div n_pairs AS BIGINT)"))
-            .otherwise(lit(0L)).as("mean_jaccard_q20"))
-    }.reduce(_.unionByName(_)).orderBy(col("shingle_w"))
+    val ws = widths.sorted
+    // per-width shingle hash arrays in ONE tokenize pass (the
+    // orderedShinglesW transform, width-tagged in-row)
+    val perW = graft.Caches.track("text", docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).as("n_raw"))
+      .select(col("doc_id"), col("n_raw"),
+        explode(array(ws.map(w => struct(lit(w).as("w"),
+          array_distinct(transform(
+            graft.functions.tokenShingles(col("text"), w),
+            s => xxhash64(s))).as("toks"))): _*)).as("sh"))
+      .filter(col("n_raw") >= col("sh.w"))
+      .select(col("doc_id"), col("sh.w").as("w"),
+        col("sh.toks").as("toks")))
+    val tokw = perW.select(col("doc_id"), col("w"),
+      size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+    val df_ = tokw.groupBy(col("w"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    // canonical rare-first order per (doc, w) — the orderedShinglesW
+    // (df, tok) struct sort, per width
+    val ord = graft.Caches.track("text", tokw
+      .join(df_, Seq("w", "tok"))
+      .groupBy(col("doc_id"), col("w"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+        .as("o"))
+      .select(col("doc_id"), col("w"), col("n"),
+        transform(col("o"), _.getField("tok")).as("toks_ord")))
+    val orderedC = ord.withColumn("plen",
+      (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
+    val prefix = orderedC.select(col("doc_id"), col("w"), col("n"),
+      posexplode(slice(col("toks_ord"), lit(1), col("plen")))
+        .as(Seq("p", "tok")))
+    // prefix + length + position filters — the jaccardPairsOverOrdered
+    // candidate discipline, keyed by (w, tok) so widths never mix
+    val alphaB = (lit(threshold) / (lit(1.0) + threshold)) *
+      (col("a.n") + col("b.n")).cast("double")
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("w", "tok"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          lit(threshold) * greatest(col("a.n"), col("b.n")) &&
+        (lit(1) + least(col("a.n") - col("a.p") - 1,
+          col("b.n") - col("b.p") - 1)).cast("double") >= ceil(alphaB))
+      .select(col("w"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .dropDuplicates("w", "doc_a", "doc_b")
+    val sets = orderedC.select(col("w"), col("doc_id"), col("n"),
+      col("toks_ord"))
+    val pairs = graft.Caches.track("text", cand
+      .join(sets.select(col("w"), col("doc_id").as("doc_a"),
+        col("n").as("na"), col("toks_ord").as("ta")),
+        Seq("w", "doc_a"))
+      .join(sets.select(col("w"), col("doc_id").as("doc_b"),
+        col("n").as("nb"), col("toks_ord").as("tb")),
+        Seq("w", "doc_b"))
+      .select(col("w"), col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter"),
+        col("na"), col("nb"))
+      .select(col("w"), col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold))
+    // per-width result rows off a guaranteed width spine (a width
+    // with zero eligible docs or zero pairs still emits its row,
+    // matching the old per-width aggregate-without-groupBy shape)
+    val spine = docs.agg(count(lit(1)).as("__i"))
+      .select(explode(array(ws.map(w => lit(w)): _*)).as("w"))
+    val eligible = perW.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_eligible"))
+    val pairAggW = pairs.groupBy(col("w")).agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(floor(col("jaccard") * lit(1048576.0))
+        .cast("long")), lit(0L)).as("sum_j_q20"))
+    val touchedW = pairs
+      .select(col("w"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("docs_in_pairs"))
+    spine
+      .join(eligible, Seq("w"), "left")
+      .join(pairAggW, Seq("w"), "left")
+      .join(touchedW, Seq("w"), "left")
+      .select(col("w").cast("long").as("shingle_w"),
+        coalesce(col("n_eligible"), lit(0L)).as("n_eligible"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("docs_in_pairs"), lit(0L)).as("docs_in_pairs"),
+        when(coalesce(col("n_pairs"), lit(0L)) > 0,
+          expr("CAST(sum_j_q20 div n_pairs AS BIGINT)"))
+          .otherwise(lit(0L)).as("mean_jaccard_q20"))
+      .orderBy(col("shingle_w"))
   }
 
   /** Cross-MODALITY dedup agreement — the exact contingency between
@@ -2212,23 +2302,45 @@ object Text {
     val tk = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("tok"))
-    // the per-doc min/max table feeds five plan legs (F1, both
-    // pair-join sides, the t2 scan, the triple check) — persist the
-    // one corpus-derived table instead of re-aggregating per leg
+    // ONE corpus shuffle (r18 optimization, guide §2.4): every
+    // downstream leg — the pair self-join, the greedy-t2 lookup, the
+    // triple check — is keyed by doc_id, so the positions table is
+    // hash-partitioned by doc_id ONCE and persisted; the per-doc
+    // stats table inherits that partitioning (subset-key clustering
+    // satisfies the (doc_id, tok) aggregate), and the two doc-keyed
+    // self-joins below then plan with ZERO additional exchanges.
+    // The old shape re-keyed the corpus four more times (pair join ×2,
+    // the tk positions leg, the (doc, ta, tb) t2 aggregate — measured
+    // 8.6 s at sf0.1; this shape 4.4 s, same rows).
+    // `ps` carries each (doc, tok)'s position list (mean length
+    // ≈ 2.3 on this corpus shape: token repeats per doc are rare), so
+    // the greedy t2 = min pos(b) > minpos(a) is an in-row array scan
+    // instead of a corpus-wide join + 2.3M-row re-aggregate.
     val mm = graft.Caches.track("text", tk
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("tok"))
-      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx")))
+      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"),
+        collect_list(col("pos")).as("ps")))
     val f1 = mm.groupBy(col("tok"))
       .agg(count(lit(1)).as("sup"))
       .crossJoin(broadcast(nd))
       .filter(col("sup") >= col("th"))
       .select(col("tok"))
     val mmF = mm.join(broadcast(f1), "tok")
-      .select(col("doc_id"), col("tok"), col("mn"), col("mx"))
+      .select(col("doc_id"), col("tok"), col("mn"), col("mx"),
+        col("ps"))
+    // pair containment (a‥b ⊆ doc ⟺ maxpos(b) > minpos(a)) AND the
+    // greedy second-element timestamp t2 = min pos(b) > minpos(a) in
+    // one co-partitioned self-join pass; t2 is non-null exactly when
+    // the containment filter passed (mx(b) > mn(a) ⇒ some position
+    // qualifies), so this one frame feeds both the F2 support count
+    // and (filtered to F2) the triple scan below.
     val p2 = mmF.as("a").join(mmF.as("b"), Seq("doc_id"))
       .filter(col("b.mx") > col("a.mn"))
       .select(col("doc_id"), col("a.tok").as("ta"),
-        col("b.tok").as("tb"), col("a.mn").as("mn"))
+        col("b.tok").as("tb"),
+        array_min(filter(col("b.ps"),
+          p => p > col("a.mn"))).as("t2"))
     // F2 feeds THREE plan legs (the t2 scan and both sides of the
     // C3 self-join); untracked, each leg re-derives the full
     // pair-support lineage — measured 35 s → ~10 s at sf0.1.
@@ -2239,14 +2351,8 @@ object Text {
       .crossJoin(broadcast(nd))
       .filter(col("sup") >= col("th"))
       .select(col("ta"), col("tb")))
-    val ab2 = mmF
-      .withColumnRenamed("tok", "ta")
-      .join(broadcast(f2), "ta")
-      .join(tk.select(col("doc_id"), col("tok").as("tb"),
-        col("pos")), Seq("doc_id", "tb"))
-      .filter(col("pos") > col("mn"))
-      .groupBy(col("doc_id"), col("ta"), col("tb"))
-      .agg(min(col("pos")).as("t2"))
+    val ab2 = p2.join(broadcast(f2), Seq("ta", "tb"))
+      .select(col("doc_id"), col("ta"), col("tb"), col("t2"))
     val c3 = f2.as("x")
       .join(f2.as("y"), col("x.tb") === col("y.ta"))
       .select(col("x.ta").as("ta"), col("x.tb").as("tb"),
@@ -3321,20 +3427,23 @@ object Text {
       topN: Int = 50
   ): DataFrame = {
     require(window >= 1, s"window must be positive, got $window")
-    val pos = docs
-      .select(col("doc_id"),
-        posexplode(tokens(col("text"))).as(Seq("i", "tok")))
-      .withColumn("bkt", expr(s"i div $window"))
-    val pairs = graft.Caches.track("text", pos
-      .withColumn("jb", explode(array(col("bkt"), col("bkt") + 1)))
-      .as("a")
-      .join(pos.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
-          col("a.jb") === col("b.bkt") &&
-          col("a.i") < col("b.i") &&
-          col("b.i") - col("a.i") <= window)
-      .select(least(col("a.tok"), col("b.tok")).as("ta"),
-        greatest(col("a.tok"), col("b.tok")).as("tb"))
+    // In-row window explode (r18 optimization): each token pairs
+    // with the next `window` positions of ITS OWN token array via
+    // slice — the exact `a.i < b.i && b.i − a.i <= window` pair
+    // multiset — so the bucketed position self-join (two corpus
+    // exchanges + the bucket-duplication explode) disappears
+    // entirely; the only shuffle left is the (ta, tb) aggregate,
+    // map-side combined. Same rows, measured 1.9 s → ~0.7 s at
+    // sf0.1.
+    val pairs = graft.Caches.track("text", docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("toks"),
+        posexplode(col("toks")).as(Seq("i", "tok")))
+      .select(col("tok").as("tok_a"),
+        explode(slice(col("toks"), col("i") + lit(2), lit(window)))
+          .as("tok_b"))
+      .select(least(col("tok_a"), col("tok_b")).as("ta"),
+        greatest(col("tok_a"), col("tok_b")).as("tb"))
       .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab")))
     val marg = pairs.select(col("ta").as("t"), col("n_ab"))
       .unionAll(pairs.select(col("tb").as("t"), col("n_ab")))

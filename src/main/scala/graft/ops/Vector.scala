@@ -517,14 +517,24 @@ object Vector {
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
     def tr(c: Column) = slice(c, 1, dim)
-    val scores = embeddings.select(col("vec_id"), col("embedding"))
+    // Session-persisted (r18 optimization): all three passes consume
+    // THIS frame, and unpersisted each pass re-evaluated the full
+    // nq·N exact-decimal scoring (measured 5.1 s → 1.4 s at sf0.1).
+    // The persisted rows are skinny (two ids + two doubles — the
+    // embeddings themselves are NOT retained), so the footprint is
+    // nq·N·32 B ≈ 4× the raw corpus bytes at d = 64, spilling to
+    // disk under pressure; at corpus sizes where even that is
+    // unwelcome the unpersisted form simply re-scores per pass (the
+    // documented three-broadcast-pass shape is unchanged either way).
+    val scores = graft.Caches.track("vec",
+      embeddings.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosineSafe(col("embedding"), col("q_emb")).as("cs_full"),
         cosineSafe(tr(col("embedding")), tr(col("q_emb")))
           .as("cs_trunc"))
-      .filter(col("cs_full").isNotNull && col("cs_trunc").isNotNull)
+      .filter(col("cs_full").isNotNull && col("cs_trunc").isNotNull))
     val p = scores
       .groupBy(col("query_id"))
       .agg(topk(col("cs_trunc"), col("vec_id")).as("top"))
@@ -2370,11 +2380,12 @@ object Vector {
       assigned: DataFrame,
       seeds: DataFrame,
       k: Int = 3,
-      iters: Int = 3
+      iters: Int = 3,
+      precomputedKnn: Option[DataFrame] = None
   ): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     val edges = graft.Caches.track("vec",
-      knnGraphAssigned(assigned, k)
+      precomputedKnn.getOrElse(knnGraphAssigned(assigned, k))
         .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
     val seedTbl = seeds.select(col("vec_id"), col("lab"))
     var labels = seedTbl

@@ -119,6 +119,31 @@ object VectorQueries {
     graft.Caches.persisted("vec", ("knngraph", s, d))(
       Vector.knnGraphAssigned(sublisted(s, d), k = 3))
 
+  /** COARSE (label % 4, same 1250-cap sublist rule) assignment shared
+    * by the community-structure queries — coarser lists than
+    * communities so cross-community edges exist.
+    */
+  private def coarseAssigned(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.embeddings(s, d)
+    val m = e0.agg(greatest(lit(1L),
+      expr("count(*) div 1250")).as("__m"))
+    e0.crossJoin(broadcast(m))
+      .withColumn("list_id",
+        (col("label") % 4) * col("__m") + pmod(col("vec_id"), col("__m")))
+      .drop("__m")
+  }
+
+  /** Within-list kNN graph over the COARSE assignment (k = 3), shared
+    * by q_vec_knn_purity / q_vec_modularity / q_vec_label_prop —
+    * before r18 each of the three rebuilt the identical Σ|list|²
+    * graph (~2 s apiece at sf0.1); one session build serves all
+    * three, attributed as its own `cache:vec:*` bench line like the
+    * fine-grained [[knnGraphDf]].
+    */
+  private[ops] def knnGraphCoarseDf(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("vec", ("knngraph_coarse", s, d))(
+      Vector.knnGraphAssigned(coarseAssigned(s, d), k = 3))
+
   /** Session-shared materializations for the bench's
     * cache-attribution lines (same contract as
     * `TextQueries.sharedCacheBuilders`). The IVF quantizer fit stays
@@ -141,7 +166,11 @@ object VectorQueries {
     "cache:vec:semdedup_converged" ->
       ((s, d) => semDedupConverged(s, d)),
     "cache:vec:ivfpq_index" -> ((s, d) => ivfPqIndexDf(s, d)),
-    "cache:vec:knn_graph" -> ((s, d) => knnGraphDf(s, d))
+    "cache:vec:knn_graph" -> ((s, d) => knnGraphDf(s, d)),
+    // r18: the coarse community graph shared by purity/modularity/
+    // label_prop — attributed here so no consumer's headline absorbs
+    // the one Σ|list|² build
+    "cache:vec:knn_graph_coarse" -> ((s, d) => knnGraphCoarseDf(s, d))
   )
 
   /** Exact n²-twin SQL shared by q_vec_neardup and its quantized
@@ -411,20 +440,11 @@ object VectorQueries {
     // label-sublisted shared graph is within-label by construction,
     // so purity is only meaningful on lists where labels mix (the
     // label_prop/modularity coarsening, same 1250-cap sublist rule)
-    "q_vec_knn_purity" -> ((s, d) => {
-      val e0 = Tables.embeddings(s, d)
-      val m = e0.agg(greatest(lit(1L),
-        expr("count(*) div 1250")).as("__m"))
-      val e = e0.crossJoin(broadcast(m))
-        .withColumn("list_id",
-          (col("label") % 4) * col("__m") +
-            pmod(col("vec_id"), col("__m")))
-        .drop("__m")
+    "q_vec_knn_purity" -> ((s, d) =>
       Vector.knnLabelPurity(
-        Vector.knnGraphAssigned(e, k = 3),
-        e0.select(col("vec_id"), col("label")))
-        .orderBy(col("label"))
-    }),
+        knnGraphCoarseDf(s, d),
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")))
+        .orderBy(col("label"))),
     // size histogram of the SemDeDup components: singleton vs giant
     // mass is the threshold-health read before acting on the graph
     "q_vec_component_sizes" -> ((s, d) =>
@@ -443,19 +463,11 @@ object VectorQueries {
     // fixed 4-list rule). Composite (label%4)·m + pmod(vec_id, m) is
     // collision-free for ANY m — the r11 `* 1000` stride silently
     // merged buckets once m >= 1000 (advisor catch, fixed r12).
-    "q_vec_modularity" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val m = e.agg(greatest(lit(1L),
-        expr("count(*) div 1250")).as("__m"))
+    "q_vec_modularity" -> ((s, d) =>
       Vector.modularityAssigned(
-        e.crossJoin(broadcast(m))
-          .withColumn("list_id",
-            (col("label") % 4) * col("__m") +
-              pmod(col("vec_id"), col("__m")))
-          .withColumn("community", col("label"))
-          .drop("__m"),
-        k = 3)
-    }),
+        coarseAssigned(s, d).withColumn("community", col("label")),
+        k = 3,
+        precomputedKnn = Some(knnGraphCoarseDf(s, d)))),
     // geometric twin of the modularity audit: per label, members
     // scoring closer to a foreign centroid (exact-q16 mean-dot,
     // floor-division identity on the negative path)
@@ -719,21 +731,13 @@ object VectorQueries {
     // q_vec_modularity list-size rule: m = max(1, n div 1250)
     // label-independent sublists, m = 1 at oracle validation SFs) so
     // the graph build's Σ|list|² stays linear in n
-    "q_vec_label_prop" -> ((s, d) => {
-      val e0 = Tables.embeddings(s, d)
-      val m = e0.agg(greatest(lit(1L),
-        expr("count(*) div 1250")).as("__m"))
-      val e = e0.crossJoin(broadcast(m))
-        .withColumn("list_id",
-          (col("label") % 4) * col("__m") +
-            pmod(col("vec_id"), col("__m")))
-        .drop("__m")
-      Vector.labelPropagationAssigned(e,
-        e0.filter(col("vec_id") % 25 === 0)
+    "q_vec_label_prop" -> ((s, d) =>
+      Vector.labelPropagationAssigned(coarseAssigned(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") % 25 === 0)
           .select(col("vec_id"), col("label").as("lab")),
-        k = 3, iters = 3)
-        .orderBy(col("vec_id"))
-    }),
+        k = 3, iters = 3,
+        precomputedKnn = Some(knnGraphCoarseDf(s, d)))
+        .orderBy(col("vec_id"))),
     // PCA moment skeleton: Σ xq_i·xq_j over the q16-quantized corpus
     // (exact longs, order-free) — the distributed half of the PCA
     // fit, hash-compared end to end; the d×d eigensolve consumes

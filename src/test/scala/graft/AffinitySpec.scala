@@ -535,6 +535,33 @@ class AffinitySpec extends SparkSpec {
     graft.Caches.release("part")
   }
 
+  test("entityResolution: the block-confined union-find path emits " +
+      "the SAME profile as the iterative dupClusters fixpoint " +
+      "(differential pin for the r18 routing)") {
+    // chains within blocks exercise transitivity (1-2, 2-5 at
+    // distance 1 => one 3-entity cluster), plus a pair and two
+    // singletons across other blocks
+    val part = Seq(
+      (1L, "rare com1 com2"), (2L, "rare com1 com3"),
+      (5L, "rare com9 com3"),
+      (3L, "com1 com2 com3"), (4L, "com1 com2 com3"),
+      (6L, "lonely tok1 tok2"), (7L, "other tok3 tok4")
+    ).toDF("p_partkey", "p_name")
+    val routed = Affinity.entityResolution(part, maxDist = 2)
+      .collect().map(_.toSeq).toSet
+    graft.Caches.release("part")
+    // strip block_token to force the general iterative path
+    val pairsNoBlock = Affinity.fuzzyNameMatch(part, maxDist = 2)
+      .drop("block_token")
+      .withColumn("block_less", lit(1)) // schema w/o block_token
+      .select(col("part_a"), col("part_b"), col("dist"))
+    val iterative = Affinity.entityResolution(part, maxDist = 2,
+      precomputedPairs = Some(pairsNoBlock))
+      .collect().map(_.toSeq).toSet
+    graft.Caches.release("part")
+    assert(routed === iterative)
+  }
+
   test("fellegiSunterWeights: m from the blocked pairs, u as exact " +
       "collision ppm, discriminating field outweighs noise field") {
     import spark.implicits._
