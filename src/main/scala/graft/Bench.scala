@@ -69,7 +69,10 @@ object Bench {
     val cacheBuilders: Map[String, Seq[(String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)]] = Map(
       "text" -> ops.TextQueries.sharedCacheBuilders,
-      "vec" -> ops.VectorQueries.sharedCacheBuilders)
+      "vec" -> ops.VectorQueries.sharedCacheBuilders,
+      // r18: the planted pHash pair graph + its components, shared
+      // by three mm queries (same attribution mechanism as text/vec)
+      "mm" -> ops.MultimodalQueries.sharedCacheBuilders)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val entries: Seq[(String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)] = {

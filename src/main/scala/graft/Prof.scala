@@ -34,40 +34,41 @@ object Prof {
 
     val docs = Tables.documents(spark, sfDir)
     t("docs")(docs.count())
-    for (w <- Seq(2)) {
-      val ord = graft.Caches.track("text", ops.Text.orderedShinglesW(docs, w))
-      t(s"ord_w$w")(ord.count())
-      val orderedC = ord.withColumn("plen",
-        (col("n") - ceil(lit(0.5) * col("n")) + 1).cast("int"))
-      val prefix = orderedC.select(col("doc_id"), col("n"),
-        explode(slice(col("toks_ord"), lit(1), col("plen"))).as("tok"))
-      t("prefix")(prefix.count())
-      val candRaw = prefix.as("a").join(prefix.as("b"), "tok")
-        .filter(col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")).cast("double") >=
-            lit(0.5) * greatest(col("a.n"), col("b.n")))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      t("candRaw")(candRaw.count())
-      val cand = candRaw.dropDuplicates("doc_a", "doc_b")
-      t("cand")(cand.count())
-      val sets = orderedC.select(col("doc_id"), col("n"), col("toks_ord"))
-      val verified = cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("n").as("na"), col("toks_ord").as("ta")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("toks_ord").as("tb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("ta"), col("tb"))).as("inter"), col("na"), col("nb"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-      t("verify")(verified.count())
-      val candNew = ops.Text.jaccardPairsOverOrdered(ord, 0.5)
-      t("newPairs")(candNew.count())
-      t("newPairs2")(candNew.count())
-    }
+    val inst = graft.Caches.track("text", docs
+      .select(col("doc_id"), ops.Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(
+            element_at(col("toks"), i + 1).as("v"),
+            element_at(col("toks"), i + 2).as("w")))).as("bg"))
+      .select(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
+      .groupBy(col("doc_id"), col("v"), col("w"))
+      .agg(count(lit(1)).as("ct")))
+    t("inst")(inst.count())
+    val big = graft.Caches.track("text",
+      inst.groupBy(col("v"), col("w")).agg(sum(col("ct")).as("c_vw")))
+    t("big")(big.count())
+    val cv = big.groupBy(col("v")).agg(sum(col("c_vw")).as("c_v"))
+    val cw = big.groupBy(col("w")).agg(sum(col("c_vw")).as("c_w"))
+    val nt = big.agg(sum(col("c_vw")).as("n_big"))
+    val model = big.join(cv, "v").join(cw, "w")
+      .crossJoin(broadcast(nt))
+      .select(col("v"), col("w"),
+        greatest(expr("700000 * c_vw div c_v + 300000 * c_w div n_big"),
+          lit(1L)).as("p_ppm"))
+    t("model")(model.count())
+    val scoredJ = inst.join(model, Seq("v", "w"))
+      .groupBy(col("doc_id")).agg(sum(col("ct")).as("nb"))
+    t("scoreJoin")(scoredJ.count())
     Caches.releaseAll()
-    t("full")(ops.Text.shingleWidthCurve(docs).count())
+    t("fullBce")(SparkEntry.queries("q_text_bigram_ce")(spark, sfDir).count())
     Caches.releaseAll()
-    t("full2")(ops.Text.shingleWidthCurve(docs).count())
+    t("fullBce2")(SparkEntry.queries("q_text_bigram_ce")(spark, sfDir).count())
+    Caches.releaseAll()
+    t("fullSem")(SparkEntry.queries("q_text_prepare_semantic")(spark, sfDir).count())
+    Caches.releaseAll()
+    t("fullSem2")(SparkEntry.queries("q_text_prepare_semantic")(spark, sfDir).count())
     Caches.releaseAll()
     spark.stop()
   }

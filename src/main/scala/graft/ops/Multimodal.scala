@@ -614,14 +614,21 @@ object Multimodal {
     */
   def dedupSavings(
       docs: DataFrame,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      precomputedClusters: Option[DataFrame] = None
   ): DataFrame = {
     val bytes = withPayload(docs).select(col("doc_id"),
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("pm"))
-    val pairs = mediaNearDup(docs, maxHamming)
-      .select(col("doc_a"), col("doc_b"))
-    val perCluster = Text.dupClusters(docs, pairs)
+    // r18 optimization: the banded pair graph + component pass is
+    // shared with [[mediaDupSurvivors]] over the same corpus —
+    // callers memoize ONE cluster assignment per session (the
+    // cache:mm:dup_clusters bench line) instead of each query
+    // re-running banding + iteration
+    val perCluster = precomputedClusters
+      .getOrElse(Text.dupClusters(docs,
+        mediaNearDup(docs, maxHamming)
+          .select(col("doc_a"), col("doc_b"))))
       .join(bytes, "doc_id")
       .groupBy(col("cluster"))
       .agg(sum(col("n_bytes")).as("__cb"),
@@ -649,11 +656,13 @@ object Multimodal {
 
   def mediaDupSurvivors(
       docs: DataFrame,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      precomputedClusters: Option[DataFrame] = None
   ): DataFrame = {
-    val pairs = mediaNearDup(docs, maxHamming)
-      .select(col("doc_a"), col("doc_b"))
-    val clusters = Text.dupClusters(docs, pairs)
+    val clusters = precomputedClusters
+      .getOrElse(Text.dupClusters(docs,
+        mediaNearDup(docs, maxHamming)
+          .select(col("doc_a"), col("doc_b"))))
     val bytes = withPayload(docs).select(col("doc_id"),
       length(col("payload")).cast("long").as("n_bytes"))
     clusters

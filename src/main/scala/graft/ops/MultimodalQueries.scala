@@ -30,6 +30,40 @@ object MultimodalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The planted-clone corpus three mm queries share (every 100th
+    * doc re-added under a shifted id — see q_mm_phash_neardup's
+    * rationale).
+    */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(docs.filter(col("doc_id") % 100 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  /** Session-shared pHash near-dup pair graph over the planted
+    * corpus (r18): q_mm_phash_neardup projects it and the
+    * survivors/savings pair consume its components — before r18
+    * each of the three re-ran banding + verify (~0.5 s apiece) and
+    * the two component consumers each re-ran the dupClusters
+    * iteration (~1 s apiece). Attributed as its own `cache:mm:*`
+    * bench line (the text/vec sharedCacheBuilders pattern).
+    */
+  private[ops] def phashPairsDf(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("mm", ("phash_pairs", s, d))(
+      Multimodal.mediaNearDup(plantedDocs(s, d), maxHamming = 3))
+
+  /** Session-shared component assignment over [[phashPairsDf]]. */
+  private[ops] def dupClustersDf(s: SparkSession, d: String): DataFrame =
+    graft.Caches.persisted("mm", ("dup_clusters", s, d))(
+      graft.ops.Text.dupClusters(plantedDocs(s, d),
+        phashPairsDf(s, d).select(col("doc_a"), col("doc_b")),
+        cacheFamily = "mm"))
+
+  val sharedCacheBuilders: Seq[(String, Q)] = Seq(
+    "cache:mm:phash_pairs" -> ((s, d) => phashPairsDf(s, d)),
+    "cache:mm:dup_clusters" -> ((s, d) => dupClustersDf(s, d))
+  )
+
   val queries: Map[String, Q] = Map(
     "q_mm_payload_stats" -> ((s, d) =>
       Multimodal.payloadStats(Tables.documents(s, d))
@@ -100,14 +134,8 @@ object MultimodalQueries {
     // payloads, so the query plants a deterministic duplicated slice
     // (every 100th doc re-added under a shifted id) on BOTH sides —
     // an empty result would make the green row vacuous
-    "q_mm_phash_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val planted = docs.filter(col("doc_id") % 100 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      Multimodal.mediaNearDup(docs.unionByName(planted),
-        maxHamming = 3)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "q_mm_phash_neardup" -> ((s, d) =>
+      phashPairsDf(s, d).orderBy(col("doc_a"), col("doc_b"))),
     // payload nibble entropy: decode-free compressibility proxy,
     // exact q20-ln mass + milli-bits per nibble
     "q_mm_payload_entropy" -> ((s, d) =>
@@ -125,14 +153,11 @@ object MultimodalQueries {
     // (r13 verdict item 8): phash pair graph → connected components
     // → keep the largest payload per cluster (ties lowest doc_id) —
     // the multimodal twin of q_text_cluster_survivors
-    "q_mm_dup_survivors" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val planted = docs.filter(col("doc_id") % 100 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      Multimodal.mediaDupSurvivors(docs.unionByName(planted),
-        maxHamming = 3)
-        .orderBy(col("cluster"))
-    }),
+    "q_mm_dup_survivors" -> ((s, d) =>
+      Multimodal.mediaDupSurvivors(plantedDocs(s, d),
+        maxHamming = 3,
+        precomputedClusters = Some(dupClustersDf(s, d)))
+        .orderBy(col("cluster"))),
     // content sniffing over planted ASCII magic prefixes (%PDF /
     // GIF8 / RIFF on doc_id%4 = 1/2/3) — counts, byte mass, ppm mix
     "q_mm_magic_sniff" -> ((s, d) => {
@@ -149,13 +174,10 @@ object MultimodalQueries {
     // capacity-planning rollup of the same planted-clone corpus:
     // exact-dedup reclaim vs full near-dup-cluster reclaim in bytes
     // and exact ppm of the store
-    "q_mm_dedup_savings" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val planted = docs.filter(col("doc_id") % 100 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      Multimodal.dedupSavings(docs.unionByName(planted),
-        maxHamming = 3)
-    })
+    "q_mm_dedup_savings" -> ((s, d) =>
+      Multimodal.dedupSavings(plantedDocs(s, d),
+        maxHamming = 3,
+        precomputedClusters = Some(dupClustersDf(s, d))))
   )
 
   val oracle: Map[String, String] = Map(

@@ -1165,35 +1165,55 @@ object Relational {
     * per-customer; at 100 TB the same frame feeds a segment-level
     * rollup.
     */
-  def rfmSegments(orders: DataFrame): DataFrame = {
-    val per = orders.groupBy(col("o_custkey").as("custkey"))
+  def rfmSegments(orders: DataFrame): DataFrame =
+    rfmScoredBy(orders, Nil).orderBy(col("custkey"))
+
+  /** [[rfmSegments]] generalized over an optional partition spine:
+    * with `part` empty this IS rfmSegments (global snap day, global
+    * rank windows); with a partition column every aggregate, the
+    * snapshot day, and every rank window computes WITHIN the
+    * partition — identical to calling rfmSegments on each slice
+    * separately, but in ONE scan and with the windows parallel
+    * across slices ([[rfmMigration]], r18 optimization).
+    */
+  private def rfmScoredBy(
+      orders: DataFrame, part: Seq[String]): DataFrame = {
+    val pcols = part.map(col)
+    val per = orders
+      .groupBy((pcols :+ col("o_custkey").as("custkey")): _*)
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         dsum(col("o_totalprice")).as("monetary"))
-    val snap = orders.agg(max(col("o_orderdate")).as("snap_day"))
-    val scored = per.crossJoin(broadcast(snap))
-      .withColumn("recency_days",
-        datediff(col("snap_day"), col("last_order")).cast("long"))
+    val snapped =
+      if (part.isEmpty) {
+        val snap = orders.agg(max(col("o_orderdate")).as("snap_day"))
+        per.crossJoin(broadcast(snap))
+      } else {
+        val snap = orders.groupBy(pcols: _*)
+          .agg(max(col("o_orderdate")).as("snap_day"))
+        per.join(broadcast(snap), part)
+      }
+    val scored = snapped.withColumn("recency_days",
+      datediff(col("snap_day"), col("last_order")).cast("long"))
+    // better = later in rank order on each axis; n rides a
+    // count-over-partition window on the SAME frame the rank
+    // windows already use (no eager driver count)
+    val wp = Window.partitionBy(pcols: _*)
     scored
-      // better = later in rank order on each axis; n rides a
-      // count-over-all window on the SAME single-partition frame the
-      // rank windows already use (no eager driver count)
-      .withColumn("n_c", count(lit(1)).over(
-        Window.partitionBy()))
+      .withColumn("n_c", count(lit(1)).over(wp))
       .withColumn("rn_r", row_number().over(
-        Window.orderBy(col("recency_days").desc, col("custkey"))))
+        wp.orderBy(col("recency_days").desc, col("custkey"))))
       .withColumn("rn_f", row_number().over(
-        Window.orderBy(col("frequency"), col("custkey"))))
+        wp.orderBy(col("frequency"), col("custkey"))))
       .withColumn("rn_m", row_number().over(
-        Window.orderBy(col("monetary"), col("custkey"))))
-      .select(col("custkey"), col("recency_days"), col("frequency"),
-        col("monetary"),
+        wp.orderBy(col("monetary"), col("custkey"))))
+      .select((pcols ++ Seq(col("custkey"), col("recency_days"),
+        col("frequency"), col("monetary"),
         expr("(5 * (rn_r - 1)) div n_c + 1").as("r_score"),
         expr("(5 * (rn_f - 1)) div n_c + 1").as("f_score"),
-        expr("(5 * (rn_m - 1)) div n_c + 1").as("m_score"))
+        expr("(5 * (rn_m - 1)) div n_c + 1").as("m_score"))): _*)
       .withColumn("segment",
         expr("r_score * 100 + f_score * 10 + m_score"))
-      .orderBy(col("custkey"))
   }
 
   /** Rolling active users — the DAU/WAU/MAU board every event
@@ -2187,10 +2207,22 @@ object Relational {
         | CAST(datediff(max(CAST(o_orderdate AS DATE)),
         |   min(CAST(o_orderdate AS DATE))) div 2 AS INT))
         | AS TIMESTAMP)""".stripMargin).as("mid_ts"))
+    // ONE orders scan for both halves (r18 optimization): tag the
+    // half, aggregate/snap/rank per (half, custkey) — identical to
+    // the old two rfmSegments calls on the filtered halves (the
+    // groupBy and the half-partitioned windows keep the halves
+    // disjoint), with the rank windows parallel across halves
+    // instead of two serial single-partition chains
     val o = orders.crossJoin(broadcast(mid))
-    val h1 = rfmSegments(o.filter(col("o_orderdate") < col("mid_ts")))
+      .withColumn("__half",
+        when(col("o_orderdate") < col("mid_ts"), 1).otherwise(2))
+    // session-tracked: h1 and h2 both read it — unpersisted, the
+    // double reference re-expands the whole scan+agg+window chain
+    // per half reference
+    val scored = graft.Caches.track("cust", rfmScoredBy(o, Seq("__half")))
+    val h1 = scored.filter(col("__half") === 1)
       .select(col("custkey"), col("segment").as("segment_h1"))
-    val h2 = rfmSegments(o.filter(col("o_orderdate") >= col("mid_ts")))
+    val h2 = scored.filter(col("__half") === 2)
       .select(col("custkey"), col("segment").as("segment_h2"))
     val joined = h1.join(h2, Seq("custkey"), "full_outer")
       .select(coalesce(col("segment_h1"), lit(0L)).as("segment_h1"),

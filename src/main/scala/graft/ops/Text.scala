@@ -5052,7 +5052,13 @@ object Text {
     val cv = big.groupBy(col("v")).agg(sum(col("c_vw")).as("c_v"))
     val cw = big.groupBy(col("w")).agg(sum(col("c_vw")).as("c_w"))
     val nt = big.agg(sum(col("c_vw")).as("n_big"))
-    val model = big.join(cv, "v").join(cw, "w")
+    // r18: the context/successor marginals and the finished model
+    // are bigram-vocab-bounded (931 rows at sf0.1) — broadcast them
+    // (the sourceUnigramKl broadcast-marginals precedent) so the
+    // corpus-sized instance table never re-shuffles onto (v, w);
+    // the only remaining instance exchange is the per-doc aggregate
+    val model = big.join(broadcast(cv), "v")
+      .join(broadcast(cw), "w")
       .crossJoin(broadcast(nt))
       .select(col("v"), col("w"),
         greatest(
@@ -5060,7 +5066,7 @@ object Text {
           lit(1L)).as("p_ppm"))
     val lnMillionQ20 =
       math.floor(math.log(1000000.0) * (1L << 20)).toLong
-    inst.join(model, Seq("v", "w"))
+    inst.join(broadcast(model), Seq("v", "w"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("ct")).as("n_bigrams"),
